@@ -1,0 +1,223 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ingest.BlockIngest
+import graft.query.QueryApi
+
+/** The reference-surface operator inventory (SURVEY §2) bound to the
+  * driver testdata: each entry is a Spark plan over `events` (mapped to
+  * the block-feed model by [[graft.ingest.BlockFeed.fromEvents]]) plus a
+  * DuckDB oracle SQL string computing the same result over the same
+  * parquet. Fixed parameters (account 7, contract (7,1)) exist at every
+  * scale factor (user_id range grows with sf; small ids always present).
+  */
+object CoreQueries {
+
+  private val Account = 7L
+  private val CIdx = 7L // 7 % 50
+  private val CSub = 1L // 7 % 3
+  private val MaxId = Long.MaxValue
+  // [2024-01-02, 2024-01-20) in epoch ms — non-empty at every sf.
+  private val TsLo = 1704153600000L
+  private val TsHi = 1705708799999L
+
+  /** Shared DuckDB CTEs mirroring BlockFeed.fromEvents + BlockIngest —
+    * the oracle recomputes the reference tables from `events` with the
+    * same deterministic rules. */
+  val cte: String = """WITH feed AS (
+  SELECT event_id, ts, user_id, event_type, value, props,
+         event_id // 8 AS height,
+         event_id % 8 AS seq,
+         (event_id // 8) * 1048576 + (event_id % 8) AS id,
+         epoch_ms(ts) AS time_ms,
+         md5(CAST(event_id // 8 AS VARCHAR)) AS block,
+         (event_type = 'error') AS is_special
+  FROM events
+), summaries AS (
+  SELECT id, block, time_ms AS "timestamp", height,
+         CASE WHEN is_special THEN '{"Right":' || props || '}'
+              ELSE '{"Left":' || props || '}' END AS summary,
+         CASE WHEN is_special THEN NULL ELSE user_id END AS sender
+  FROM feed
+), ati AS (
+  SELECT unnest(CASE WHEN event_type = 'purchase' THEN [user_id, user_id + 1]
+                     ELSE [user_id] END) AS account,
+         id AS summary
+  FROM feed
+), cti AS (
+  SELECT user_id % 50 AS "index", user_id % 3 AS subindex, id AS summary
+  FROM feed WHERE event_type IN ('purchase', 'click')
+), cis2_deltas AS (
+  SELECT user_id % 50 AS "index", CAST(0 AS BIGINT) AS subindex,
+         CAST(user_id % 20 AS VARCHAR) AS token_id,
+         CASE WHEN event_type = 'purchase' THEN CAST(round(value * 100) AS BIGINT)
+              ELSE -CAST(round(value * 100) AS BIGINT) END AS delta
+  FROM feed WHERE event_type IN ('purchase', 'click')
+), cis2_tokens AS (
+  SELECT "index", subindex, token_id, CAST(SUM(delta) AS VARCHAR) AS total_supply
+  FROM cis2_deltas GROUP BY 1, 2, 3
+), latest_signup AS (
+  SELECT user_id AS address, max_by(event_id, id) AS last_eid
+  FROM feed WHERE event_type = 'signup' GROUP BY 1
+), bindings AS (
+  SELECT address,
+         md5(concat_ws(':', address, last_eid, k)) AS public_key,
+         0 AS credential_index, CAST(k AS INT) AS key_index,
+         (address % 3 = 0) AS is_simple_account
+  FROM (SELECT address, last_eid,
+               unnest(generate_series(0, address % 3)) AS k
+        FROM latest_signup)
+)
+"""
+
+  private type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // — A. write-path derivations (SURVEY §2.A) —
+    "a5_summaries" -> ((s, d) => Tables.summaries(s, d).orderBy("id")),
+    "a6_ati" -> ((s, d) => Tables.ati(s, d).orderBy("account", "summary")),
+    "a6_cti" -> ((s, d) => Tables.cti(s, d).orderBy("index", "subindex", "summary")),
+    "a7_cis2_tokens" -> ((s, d) =>
+      Tables.cis2Tokens(s, d).orderBy("index", "subindex", "token_id")),
+    "a8_key_bindings" -> ((s, d) =>
+      Tables.keyBindings(s, d).orderBy("address", "key_index")),
+    "a4_canonical_accounts" -> ((s, d) => {
+      // alias-class canonicalization: dimension (prefix → canonical) built
+      // from the account snapshot, broadcast-joined to the fan-out
+      // (main.rs:133-146, 762-784; prefix here = id div 4 instead of the
+      // 29-of-32-byte prefix — same operator shape on Long addresses).
+      val dim = Tables.events(s, d)
+        .groupBy(shiftright(col("user_id"), 2).as("prefix"))
+        .agg(min("user_id").as("canonical"))
+      val canon = BlockIngest.canonicalize(
+        Tables.ati(s, d), "account", dim, a => shiftright(a, 2))
+      canon.groupBy(col("account")).agg(count(lit(1)).as("n")).orderBy("account")
+    }),
+    "a11_resume_height" -> ((s, d) =>
+      BlockIngest.resumeHeight(Tables.summaries(s, d))),
+    "a12_account_snapshot" -> ((s, d) =>
+      Tables.ati(s, d).select("account").distinct().orderBy("account")),
+
+    // — B. read surface (SURVEY §2.B) —
+    "b1_account_page_asc" -> ((s, d) =>
+      QueryApi.accountTransactions(Tables.ati(s, d), Tables.summaries(s, d),
+        lit(Account), 0L, Some(50), ascending = true)),
+    "b2_account_page_desc" -> ((s, d) =>
+      QueryApi.accountTransactions(Tables.ati(s, d), Tables.summaries(s, d),
+        lit(Account), MaxId, Some(50), ascending = false)),
+    "b3_contract_page_asc" -> ((s, d) =>
+      QueryApi.contractTransactions(Tables.cti(s, d), Tables.summaries(s, d),
+        CIdx, CSub, 0L, Some(50), ascending = true)),
+    "b3_contract_page_desc" -> ((s, d) =>
+      QueryApi.contractTransactions(Tables.cti(s, d), Tables.summaries(s, d),
+        CIdx, CSub, MaxId, Some(50), ascending = false)),
+    "b4_iterate_account" -> ((s, d) =>
+      QueryApi.accountTransactions(Tables.ati(s, d), Tables.summaries(s, d),
+        lit(Account), 0L, None, ascending = true)),
+    "b5_row_decode" -> ((s, d) =>
+      Tables.summaries(s, d).select(
+        col("id"),
+        get_json_object(col("summary"), "$.Left.k").as("left_k"),
+        get_json_object(col("summary"), "$.Right.k").as("right_k"))
+        .orderBy("id")),
+    "b6_topk_per_account" -> ((s, d) =>
+      QueryApi.topKPerAccount(Tables.ati(s, d), 3).orderBy("account", "rn")),
+    "b7_change_feed" -> ((s, d) =>
+      QueryApi.changeFeed(Tables.ati(s, d), Tables.summariesWithSender(s, d),
+        lit(Account), 0L, 100)),
+    "b8_max_height" -> ((s, d) =>
+      Tables.summaries(s, d).agg(max("height").as("max_height"))),
+    "b10_tokens_of_contract" -> ((s, d) =>
+      Tables.cis2Tokens(s, d)
+        .where(col("index") === CIdx && col("subindex") === 0L)
+        .orderBy("token_id")),
+    "b11_accounts_by_key" -> ((s, d) => {
+      val b = Tables.keyBindings(s, d)
+      val keys = b.where(col("address") === Account).select("public_key")
+      b.join(keys, Seq("public_key"), "left_semi")
+        .select("address", "public_key", "key_index")
+        .orderBy("address", "key_index")
+    }),
+    "b12_account_range" -> ((s, d) =>
+      QueryApi.accountTransactionsInRange(Tables.ati(s, d), Tables.summaries(s, d),
+        lit(Account), lit(TsLo), lit(TsHi), "timestamp"))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "a5_summaries" -> (cte +
+      """SELECT id, block, "timestamp", height, summary FROM summaries ORDER BY id"""),
+    "a6_ati" -> (cte +
+      "SELECT account, summary FROM ati ORDER BY account, summary"),
+    "a6_cti" -> (cte +
+      """SELECT "index", subindex, summary FROM cti ORDER BY "index", subindex, summary"""),
+    "a7_cis2_tokens" -> (cte +
+      """SELECT "index", subindex, token_id, total_supply FROM cis2_tokens ORDER BY "index", subindex, token_id"""),
+    "a8_key_bindings" -> (cte +
+      "SELECT address, public_key, credential_index, key_index, is_simple_account FROM bindings ORDER BY address, key_index"),
+    "a4_canonical_accounts" -> (cte +
+      """, dim AS (SELECT user_id // 4 AS prefix, min(user_id) AS canonical FROM events GROUP BY 1)
+SELECT coalesce(d.canonical, a.account) AS account, count(*) AS n
+FROM ati a LEFT JOIN dim d ON a.account // 4 = d.prefix
+GROUP BY 1 ORDER BY 1"""),
+    "a11_resume_height" -> (cte +
+      "SELECT max_by(height, id) AS height FROM summaries"),
+    "a12_account_snapshot" -> (cte +
+      "SELECT DISTINCT account FROM ati ORDER BY account"),
+    "b1_account_page_asc" -> (cte + s"""
+SELECT s.id, s.block, s."timestamp", s.height, s.summary
+FROM ati JOIN summaries s ON ati.summary = s.id
+WHERE ati.account = $Account AND ati.summary >= 0
+ORDER BY s.id ASC LIMIT 50"""),
+    "b2_account_page_desc" -> (cte + s"""
+SELECT s.id, s.block, s."timestamp", s.height, s.summary
+FROM ati JOIN summaries s ON ati.summary = s.id
+WHERE ati.account = $Account AND ati.summary <= $MaxId
+ORDER BY s.id DESC LIMIT 50"""),
+    "b3_contract_page_asc" -> (cte + s"""
+SELECT s.id, s.block, s."timestamp", s.height, s.summary
+FROM cti JOIN summaries s ON cti.summary = s.id
+WHERE cti."index" = $CIdx AND cti.subindex = $CSub AND cti.summary >= 0
+ORDER BY s.id ASC LIMIT 50"""),
+    "b3_contract_page_desc" -> (cte + s"""
+SELECT s.id, s.block, s."timestamp", s.height, s.summary
+FROM cti JOIN summaries s ON cti.summary = s.id
+WHERE cti."index" = $CIdx AND cti.subindex = $CSub AND cti.summary <= $MaxId
+ORDER BY s.id DESC LIMIT 50"""),
+    "b4_iterate_account" -> (cte + s"""
+SELECT s.id, s.block, s."timestamp", s.height, s.summary
+FROM ati JOIN summaries s ON ati.summary = s.id
+WHERE ati.account = $Account AND ati.summary >= 0
+ORDER BY s.id ASC"""),
+    "b5_row_decode" -> (cte + """
+SELECT id, summary->>'$.Left.k' AS left_k, summary->>'$.Right.k' AS right_k
+FROM summaries ORDER BY id"""),
+    "b6_topk_per_account" -> (cte + """
+SELECT account, summary, CAST(rn AS INT) AS rn FROM (
+  SELECT account, summary,
+         row_number() OVER (PARTITION BY account ORDER BY summary DESC) AS rn
+  FROM ati) WHERE rn <= 3 ORDER BY account, rn"""),
+    "b7_change_feed" -> (cte + s"""
+SELECT s.id, s.block, s."timestamp", s.height, s.summary, s.sender
+FROM ati JOIN summaries s ON ati.summary = s.id
+WHERE ati.account = $Account AND ati.summary > 0
+  AND (s.sender IS NULL OR s.sender <> $Account)
+ORDER BY s.id LIMIT 100"""),
+    "b8_max_height" -> (cte +
+      "SELECT max(height) AS max_height FROM summaries"),
+    "b10_tokens_of_contract" -> (cte + s"""
+SELECT "index", subindex, token_id, total_supply FROM cis2_tokens
+WHERE "index" = $CIdx AND subindex = 0 ORDER BY token_id"""),
+    "b11_accounts_by_key" -> (cte + s"""
+SELECT b.address, b.public_key, b.key_index
+FROM bindings b
+WHERE b.public_key IN (SELECT public_key FROM bindings WHERE address = $Account)
+ORDER BY b.address, b.key_index"""),
+    "b12_account_range" -> (cte + s"""
+SELECT s.id, s.block, s."timestamp", s.height, s.summary
+FROM ati JOIN summaries s ON ati.summary = s.id
+WHERE ati.account = $Account AND s."timestamp" BETWEEN $TsLo AND $TsHi
+ORDER BY s.id ASC""")
+  )
+}

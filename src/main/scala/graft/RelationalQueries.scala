@@ -1,0 +1,272 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.AsOfJoin
+
+/** General relational coverage over the TPC-H-ish testdata: aggregation,
+  * multi-way joins (broadcast dims), rollup, set ops, semi/anti joins,
+  * windows, sessionization, as-of enrichment. These are the bench
+  * headliners; each has a DuckDB oracle.
+  *
+  * Float discipline: every SUM over doubles casts each addend to
+  * DECIMAL(18,4) first — decimal addition is exact and associative, so
+  * Spark's parallel partial aggregation and DuckDB's sequential sum give
+  * bit-identical results (a raw double sum would differ in the low bits
+  * depending on partitioning). Per-row double arithmetic (price *
+  * (1-discount)) is IEEE-deterministic and identical in both engines.
+  */
+object RelationalQueries {
+
+  private val Dec = "decimal(18,4)"
+  private type Q = (SparkSession, String) => DataFrame
+
+  // Exact-decimal arithmetic: inputs are 2-decimal values stored as
+  // doubles; casting each input to decimal first makes every product
+  // exact in both engines (double products would differ in the last
+  // ulp between engines and accumulate across rows).
+  private def price2 = col("l_extendedprice").cast("decimal(12,2)")
+  private def disc1m = lit(1).cast("decimal(4,2)") - col("l_discount").cast("decimal(4,2)")
+  private def tax1p = lit(1).cast("decimal(4,2)") + col("l_tax").cast("decimal(4,2)")
+  private def revenue = price2 * disc1m
+
+  val queries: Map[String, Q] = Map(
+    "q1_pricing_summary" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .where(col("l_shipdate") <= lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(col("l_quantity").cast(Dec)).as("sum_qty"),
+          sum(col("l_extendedprice").cast(Dec)).as("sum_base_price"),
+          sum(revenue).as("sum_disc_price"),
+          sum(revenue * tax1p).as("sum_charge"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    "q3_shipping_priority" -> ((s, d) => {
+      val cust = Tables.customer(s, d).where(col("c_mktsegment") === "BUILDING")
+      val ord = Tables.orders(s, d).where(col("o_orderdate") < lit("1998-03-15"))
+      val li = Tables.lineitem(s, d).where(col("l_shipdate") > lit("1998-03-15"))
+      li.join(broadcast(ord.join(broadcast(cust), col("o_custkey") === col("c_custkey"))),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(sum(revenue).as("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(col("revenue").desc, col("l_orderkey").asc)
+        .limit(10)
+    }),
+
+    "q5_local_supplier_volume" -> ((s, d) => {
+      // dims (region→nation→customer) broadcast down the join chain; the
+      // only shuffle joins lineitem⋈orders on orderkey.
+      val nr = Tables.nation(s, d)
+        .join(broadcast(Tables.region(s, d).where(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+      val cust = Tables.customer(s, d)
+        .join(broadcast(nr), col("c_nationkey") === col("n_nationkey"))
+      val ord = Tables.orders(s, d)
+        .where(col("o_orderdate") >= lit("1996-01-01") && col("o_orderdate") < lit("1997-01-01"))
+      val li = Tables.lineitem(s, d)
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.supplier(s, d)),
+          col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+        .groupBy("n_name")
+        .agg(sum(revenue).as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name").asc)
+    }),
+
+    "q_rollup_revenue" -> ((s, d) =>
+      Tables.orders(s, d)
+        .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(sum(col("o_totalprice").cast(Dec)).as("total"),
+          count(lit(1)).as("n_orders"))
+        .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)),
+
+    "q_anti_customers_without_orders" -> ((s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")),
+
+    "q_semi_big_spenders" -> ((s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d).where(col("o_totalprice") > 400000.0),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")),
+
+    "q_intersect_repeat_buyers" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val y96 = o.where(year(col("o_orderdate")) === 1996).select("o_custkey")
+      val y97 = o.where(year(col("o_orderdate")) === 1997).select("o_custkey")
+      y96.intersect(y97).orderBy("o_custkey")
+    }),
+
+    "q_window_running_spend" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"),
+          sum(col("o_totalprice").cast(Dec)).over(w).as("running"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    "q_brand_stats" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+          sum(col("l_quantity").cast(Dec)).as("qty"))
+        .orderBy("p_brand")),
+
+    "q_asof_enrich" -> ((s, d) => {
+      // point-in-time: each event gets the customer's most recent order
+      // as of the event time. Orders deduped to one per (custkey, date)
+      // so the match is unique in both engines.
+      val ordersD = Tables.orders(s, d)
+        .groupBy(col("o_custkey"), col("o_orderdate"))
+        .agg(max("o_orderkey").as("o_orderkey"))
+      AsOfJoin(
+        left = Tables.events(s, d).select("event_id", "user_id", "ts"),
+        right = ordersD,
+        leftKey = col("user_id"), rightKey = col("o_custkey"),
+        leftTime = col("ts"), rightTime = col("o_orderdate"),
+        payload = Seq(col("o_orderkey").as("last_orderkey")),
+        tiebreak = col("o_orderkey"))
+        .select("event_id", "user_id", "last_orderkey")
+        .orderBy("event_id")
+    }),
+
+    "q_sessionize" -> ((s, d) => {
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+      val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .withColumn("prev_ms", lag(unix_millis(col("ts")), 1).over(byUser))
+        .withColumn("is_new",
+          when(col("prev_ms").isNull ||
+            unix_millis(col("ts")) - col("prev_ms") > 1800000L, 1L).otherwise(0L))
+        .withColumn("session_id", sum(col("is_new")).over(run))
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"),
+          min("event_id").as("first_event"), max("event_id").as("last_event"))
+        .orderBy("user_id", "session_id")
+    }),
+
+    "q_daily_active" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(countDistinct(col("user_id")).as("users"), count(lit(1)).as("n"))
+        .orderBy("day"))
+  )
+
+  private val dec = "DECIMAL(18,4)"
+  private def rev =
+    "CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))"
+
+  val oracles: Map[String, String] = Map(
+    "q1_pricing_summary" -> s"""
+SELECT l_returnflag, l_linestatus,
+       SUM(CAST(l_quantity AS $dec)) AS sum_qty,
+       SUM(CAST(l_extendedprice AS $dec)) AS sum_base_price,
+       SUM($rev) AS sum_disc_price,
+       SUM($rev * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS sum_charge,
+       count(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",
+
+    "q3_shipping_priority" -> s"""
+SELECT l_orderkey, SUM($rev) AS revenue, o_orderdate, o_orderpriority
+FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15' AND l_shipdate > TIMESTAMP '1998-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+
+    "q5_local_supplier_volume" -> s"""
+SELECT n_name, SUM($rev) AS revenue
+FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON l_orderkey = o_orderkey
+              JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+              JOIN nation ON c_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name ORDER BY revenue DESC, n_name""",
+
+    "q_rollup_revenue" -> """
+SELECT r_name, n_name, SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS total, count(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP(r_name, n_name)
+ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""",
+
+    "q_anti_customers_without_orders" -> """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+ORDER BY c_custkey""",
+
+    "q_semi_big_spenders" -> """
+SELECT c_custkey, c_name FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
+ORDER BY c_custkey""",
+
+    "q_intersect_repeat_buyers" -> """
+SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+INTERSECT
+SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+ORDER BY o_custkey""",
+
+    "q_window_running_spend" -> """
+SELECT o_custkey, o_orderkey,
+       SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+         OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS UNBOUNDED PRECEDING) AS running
+FROM orders ORDER BY o_custkey, o_orderkey""",
+
+    "q_brand_stats" -> """
+SELECT p_brand, count(DISTINCT l_suppkey) AS n_supp,
+       SUM(CAST(l_quantity AS DECIMAL(18,4))) AS qty
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand ORDER BY p_brand""",
+
+    "q_asof_enrich" -> """
+WITH orders_d AS (
+  SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+  FROM orders GROUP BY 1, 2
+)
+SELECT e.event_id, e.user_id, o.o_orderkey AS last_orderkey
+FROM events e ASOF LEFT JOIN orders_d o
+  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+ORDER BY e.event_id""",
+
+    "q_sessionize" -> """
+WITH x AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000 THEN 1 ELSE 0 END AS is_new
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, event_id,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM x
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id, count(*) AS n_events,
+       min(event_id) AS first_event, max(event_id) AS last_event
+FROM sess GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q_daily_active" -> """
+SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+       count(DISTINCT user_id) AS users, count(*) AS n
+FROM events GROUP BY 1 ORDER BY 1"""
+  )
+}

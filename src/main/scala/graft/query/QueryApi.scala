@@ -1,0 +1,82 @@
+package graft.query
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The reference's read surface (`DatabaseClient`, postgres.rs:309-383)
+  * as DataFrame plan builders. Postgres was the optimizer/executor for
+  * these in the reference; here Catalyst is — the keyset-pagination
+  * cursors become pushed-down range predicates on the id column, and the
+  * `ati/cti ⋈ summaries` FK join stays an equi-join Catalyst can
+  * broadcast once the paged side is filtered down.
+  *
+  * All pages are ordered by id — the clustered-key order the reference
+  * documents (ORDER BY ati.id, postgres.rs:100-118).
+  */
+object QueryApi {
+
+  /** B1/B2 — `query_account`: summaries affecting one account, keyset
+    * cursor `from`, ascending or descending (postgres.rs:100-181).
+    * Returns the reference row shape (id, block, timestamp, height,
+    * summary). */
+  def accountTransactions(ati: DataFrame, summaries: DataFrame, account: Column,
+                          from: Long, limit: Option[Int], ascending: Boolean): DataFrame = {
+    val cursor =
+      if (ascending) col("summary") >= from else col("summary") <= from
+    val page = ati.where(col("account") === account && cursor)
+    val joined = page.join(summaries, page("summary") === summaries("id"))
+      .select(summaries("id"), summaries("block"), summaries("timestamp"),
+        summaries("height"), summaries("summary"))
+    val sorted = joined.orderBy(if (ascending) col("id").asc else col("id").desc)
+    limit.fold(sorted)(sorted.limit)
+  }
+
+  /** B3 — `query_contract`: composite-key variant (postgres.rs:120-181). */
+  def contractTransactions(cti: DataFrame, summaries: DataFrame, index: Long, subindex: Long,
+                           from: Long, limit: Option[Int], ascending: Boolean): DataFrame = {
+    val cursor =
+      if (ascending) col("summary") >= from else col("summary") <= from
+    val page = cti.where(col("index") === index && col("subindex") === subindex && cursor)
+    val joined = page.join(summaries, page("summary") === summaries("id"))
+      .select(summaries("id"), summaries("block"), summaries("timestamp"),
+        summaries("height"), summaries("summary"))
+    val sorted = joined.orderBy(if (ascending) col("id").asc else col("id").desc)
+    limit.fold(sorted)(sorted.limit)
+  }
+
+  /** B6 — most-recent-k summaries per account, for all accounts at once
+    * (the generalization of wallet-proxy-indexer/README.md:113-122):
+    * window `row_number` over id desc, one shuffle on account. */
+  def topKPerAccount(ati: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("account")).orderBy(col("summary").desc)
+    ati.withColumn("rn", row_number().over(w)).where(col("rn") <= k)
+  }
+
+  /** B7 — change-feed page: ascending cursor poll keeping only rows not
+    * sent by the account itself ("incoming", monitor-postgres.rs:44-98;
+    * sender is null for protocol events → kept). */
+  def changeFeed(ati: DataFrame, summariesWithSender: DataFrame, account: Column,
+                 afterId: Long, pageSize: Int): DataFrame = {
+    val page = ati.where(col("account") === account && col("summary") > afterId)
+    val sws = summariesWithSender
+    page.join(sws, page("summary") === sws("id"))
+      .where(sws("sender").isNull || sws("sender") =!= account)
+      .select(sws("id"), sws("block"), sws("timestamp"), sws("height"),
+        sws("summary"), sws("sender"))
+      .orderBy(col("id").asc)
+      .limit(pageSize)
+  }
+
+  /** B12 — account page restricted to a height or timestamp range (the
+    * queries migration m0003 optimizes; m0003-...sql:1-12). */
+  def accountTransactionsInRange(ati: DataFrame, summaries: DataFrame, account: Column,
+                                 lo: Column, hi: Column, rangeCol: String): DataFrame = {
+    val page = ati.where(col("account") === account)
+    page.join(summaries, page("summary") === summaries("id"))
+      .where(summaries(rangeCol).between(lo, hi))
+      .select(summaries("id"), summaries("block"), summaries("timestamp"),
+        summaries("height"), summaries("summary"))
+      .orderBy(col("id").asc)
+  }
+}
