@@ -3,23 +3,312 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** LLM-data-pipeline extensions over `documents` / `embeddings`
-  * (dedup, similarity search, text analysis, multimodal plumbing).
-  * Implementations live in graft.ext; this binds them to the driver
-  * testdata with oracle SQL where DuckDB can express the same result. */
+import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** LLM-data-pipeline extensions over `documents` / `embeddings`:
+  * dedup (exact, n-gram Jaccard, MinHash+LSH, SimHash), similarity
+  * search (brute-force + LSH ANN), text analysis, multimodal plumbing.
+  * Implementations live in graft.ext; every entry here has a DuckDB
+  * oracle computing the identical result (hash/quantization design in
+  * [[graft.ext.Text]] / [[graft.ext.Similarity]] makes that possible).
+  */
 object ExtQueries {
   private type Q = (SparkSession, String) => DataFrame
 
+  // DuckDB mirrors of the portable primitives (graft.ext.Text).
+  private val H60 = "CAST(('0x' || substr(md5(%s),1,15)) AS BIGINT)"
+  private def h60(x: String) = H60.format(x)
+  private val WordsCte = """WITH w AS (
+  SELECT doc_id, text, string_split_regex(trim(text), ' +') AS words
+  FROM documents
+)"""
+  private val ShinglesCte = WordsCte + """, sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(CASE WHEN len(words) >= 3
+           THEN list_transform(range(len(words)-2),
+                i -> array_to_string(words[i+1:i+3], ' '))
+           ELSE [] END)) AS s
+  FROM w
+)"""
+  // Tokens: word runs or single non-word chars (see Text.TokenRe).
+  private val TokRe = "[0-9A-Za-z_]+|[^0-9A-Za-z_ ]"
+
   val queries: Map[String, Q] = Map(
     "dedup_exact" -> ((s, d) =>
-      ext.Dedup.exact(Tables.documents(s, d), col("text"), col("doc_id"))
-        .orderBy("content_hash"))
+      Dedup.exact(Tables.documents(s, d), col("text"), col("doc_id"))
+        .orderBy("content_hash")),
+
+    "dedup_ngram_jaccard" -> ((s, d) =>
+      Dedup.ngramJaccard(Tables.documents(s, d), col("text"), col("doc_id"),
+          k = 3, minJaccard = 0.2)
+        .orderBy("doc_a", "doc_b")),
+
+    "dedup_minhash_lsh" -> ((s, d) =>
+      Dedup.minhashLsh(Tables.documents(s, d), col("text"), col("doc_id"),
+          k = 3, numHashes = 16, bands = 4, minMatches = 4)
+        .orderBy("doc_a", "doc_b")),
+
+    "dedup_simhash" -> ((s, d) =>
+      Dedup.simhash(Tables.documents(s, d), col("text"), col("doc_id"))
+        .orderBy("doc_id")),
+
+    "dedup_simhash_pairs" -> ((s, d) =>
+      Dedup.simhashPairs(Tables.documents(s, d), col("text"), col("doc_id"),
+          maxDist = 16)
+        .orderBy("doc_a", "doc_b")),
+
+    "ann_bruteforce" -> ((s, d) =>
+      Similarity.bruteForceTopK(Tables.embeddings(s, d), "vec_id", "embedding",
+        queryId = 0L, k = 10)),
+
+    "ann_lsh" -> ((s, d) =>
+      Similarity.annLsh(Tables.embeddings(s, d), "vec_id", "embedding",
+        queryId = 0L, k = 10)),
+
+    "emb_neardup_pairs" -> ((s, d) =>
+      Similarity.nearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding",
+        k = 20)),
+
+    "text_token_stats" -> ((s, d) =>
+      TextAnalysis.tokenStats(Tables.documents(s, d), col("text"), col("doc_id"))
+        .orderBy("doc_id")),
+
+    "text_lang_id" -> ((s, d) =>
+      TextAnalysis.langId(Tables.documents(s, d), col("text"), col("doc_id"))
+        .orderBy("doc_id")),
+
+    "text_quality" -> ((s, d) =>
+      TextAnalysis.qualityScore(Tables.documents(s, d), col("text"), col("doc_id"))
+        .orderBy("doc_id")),
+
+    "text_fingerprint" -> ((s, d) =>
+      TextAnalysis.fingerprint(Tables.documents(s, d), col("text"), col("doc_id"))
+        .orderBy("doc_id")),
+
+    "multimodal_features" -> ((s, d) =>
+      Multimodal.featuresCols(Tables.documents(s, d),
+        col("text").cast("binary"), col("doc_id")).orderBy("media_id"))
   )
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" -> """
 SELECT md5(text) AS content_hash, min(doc_id) AS keeper_doc_id,
        count(*) AS n_copies
-FROM documents GROUP BY 1 ORDER BY 1"""
+FROM documents GROUP BY 1 ORDER BY 1""",
+
+    "dedup_ngram_jaccard" -> (ShinglesCte + """, sizes AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY 1
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, inter, sa.n + sb.n - inter AS union_n,
+       round(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 6) AS jaccard
+FROM pairs JOIN sizes sa ON doc_a = sa.doc_id
+           JOIN sizes sb ON doc_b = sb.doc_id
+WHERE round(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 6) >= 0.2
+ORDER BY doc_a, doc_b"""),
+
+    "dedup_minhash_lsh" -> (WordsCte + """, sh AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(words) >= 3
+           THEN list_transform(range(len(words)-2),
+                i -> array_to_string(words[i+1:i+3], ' '))
+           ELSE [] END) AS s
+  FROM w
+), mh AS (
+  SELECT doc_id, p, min(md5(p || ':' || s)) AS m
+  FROM sh CROSS JOIN (SELECT unnest(range(16)) AS p)
+  GROUP BY 1, 2
+), sig AS (
+  SELECT doc_id, list(m ORDER BY p) AS sig FROM mh GROUP BY 1
+), bands AS (
+  SELECT doc_id, b,
+         md5(array_to_string(sig[b*4+1:b*4+4], '|')) AS bucket
+  FROM sig CROSS JOIN (SELECT unnest(range(4)) AS b)
+), cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM bands x JOIN bands y
+    ON x.b = y.b AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(len(list_filter(range(16), i -> sa.sig[i+1] = sb.sig[i+1])) AS INT)
+         AS n_matching
+FROM cand JOIN sig sa ON doc_a = sa.doc_id
+          JOIN sig sb ON doc_b = sb.doc_id
+WHERE len(list_filter(range(16), i -> sa.sig[i+1] = sb.sig[i+1])) >= 4
+ORDER BY doc_a, doc_b"""),
+
+    "dedup_simhash" -> (s"""WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '$TokRe')) AS tok
+  FROM documents
+), votes AS (
+  SELECT doc_id, j,
+         SUM(((${h60("tok")} >> CAST(j AS INT)) & 1) * 2 - 1) AS vote
+  FROM toks CROSS JOIN (SELECT unnest(range(60)) AS j)
+  GROUP BY 1, 2
+)
+SELECT doc_id,
+       SUM(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INT))
+                ELSE 0 END) AS simhash
+FROM votes GROUP BY 1 ORDER BY doc_id"""),
+
+    "dedup_simhash_pairs" -> (s"""WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '$TokRe')) AS tok
+  FROM documents
+), votes AS (
+  SELECT doc_id, j,
+         SUM(((${h60("tok")} >> CAST(j AS INT)) & 1) * 2 - 1) AS vote
+  FROM toks CROSS JOIN (SELECT unnest(range(60)) AS j)
+  GROUP BY 1, 2
+), fp AS (
+  SELECT doc_id,
+         SUM(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INT))
+                  ELSE 0 END) AS simhash
+  FROM votes GROUP BY 1
+), blocked AS (
+  SELECT doc_id, simhash, p,
+         (simhash >> (CAST(p AS INT) * 15)) & 32767 AS piece
+  FROM fp CROSS JOIN (SELECT unnest(range(4)) AS p)
+)
+SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       bit_count(xor(x.simhash, y.simhash)) AS hamming
+FROM blocked x JOIN blocked y
+  ON x.p = y.p AND x.piece = y.piece AND x.doc_id < y.doc_id
+WHERE bit_count(xor(x.simhash, y.simhash)) <= 16
+ORDER BY doc_a, doc_b"""),
+
+    "ann_bruteforce" -> """
+WITH qz AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS qe
+  FROM embeddings
+), q AS (SELECT qe AS qv FROM qz WHERE vec_id = 0),
+scored AS (
+  SELECT vec_id,
+         round(
+           CAST(list_sum(list_transform(range(64), i -> qe[i+1] * qv[i+1])) AS DOUBLE)
+           / sqrt(CAST(list_sum(list_transform(range(64), i -> qe[i+1] * qe[i+1])) AS DOUBLE)
+                  * CAST(list_sum(list_transform(range(64), i -> qv[i+1] * qv[i+1])) AS DOUBLE)),
+           6) AS cosine
+  FROM qz CROSS JOIN q WHERE vec_id <> 0
+)
+SELECT vec_id, cosine FROM scored
+ORDER BY cosine DESC, vec_id ASC LIMIT 10""",
+
+    "ann_lsh" -> (s"""WITH qz AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS qe
+  FROM embeddings
+), bucketed AS (
+  SELECT vec_id, qe,
+         list_sum(list_transform(range(4), p ->
+           CASE WHEN list_sum(list_transform(range(64), i ->
+               qe[i+1] * (${h60("p || ':' || i")} % 1000 - 500))) > 0
+             THEN (CAST(1 AS BIGINT) << CAST(p AS INT)) ELSE 0 END)) AS bucket
+  FROM qz
+), q AS (SELECT qe AS qv, bucket AS qb FROM bucketed WHERE vec_id = 0),
+scored AS (
+  SELECT vec_id,
+         round(
+           CAST(list_sum(list_transform(range(64), i -> qe[i+1] * qv[i+1])) AS DOUBLE)
+           / sqrt(CAST(list_sum(list_transform(range(64), i -> qe[i+1] * qe[i+1])) AS DOUBLE)
+                  * CAST(list_sum(list_transform(range(64), i -> qv[i+1] * qv[i+1])) AS DOUBLE)),
+           6) AS cosine
+  FROM bucketed JOIN q ON bucket = qb WHERE vec_id <> 0
+)
+SELECT vec_id, cosine FROM scored
+ORDER BY cosine DESC, vec_id ASC LIMIT 10"""),
+
+    "emb_neardup_pairs" -> (s"""WITH qz AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS qe
+  FROM embeddings
+), bucketed AS (
+  SELECT vec_id, qe,
+         list_sum(list_transform(range(4), p ->
+           CASE WHEN list_sum(list_transform(range(64), i ->
+               qe[i+1] * (${h60("p || ':' || i")} % 1000 - 500))) > 0
+             THEN (CAST(1 AS BIGINT) << CAST(p AS INT)) ELSE 0 END)) AS bucket
+  FROM qz
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(
+         CAST(list_sum(list_transform(range(64), i -> a.qe[i+1] * b.qe[i+1])) AS DOUBLE)
+         / sqrt(CAST(list_sum(list_transform(range(64), i -> a.qe[i+1] * a.qe[i+1])) AS DOUBLE)
+                * CAST(list_sum(list_transform(range(64), i -> b.qe[i+1] * b.qe[i+1])) AS DOUBLE)),
+         6) AS cosine
+FROM bucketed a JOIN bucketed b
+  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+ORDER BY cosine DESC, id_a ASC, id_b ASC LIMIT 20"""),
+
+    "text_token_stats" -> (WordsCte + s"""
+SELECT doc_id,
+       CAST(length(text) AS INT) AS n_chars,
+       CAST(len(regexp_extract_all(text, '$TokRe')) AS INT) AS n_tokens,
+       CAST(len(words) AS INT) AS n_words,
+       CAST(len(list_distinct(words)) AS INT) AS n_uniq_words,
+       CAST(list_sum(list_transform(words, x -> length(x))) AS BIGINT)
+         AS sum_word_len
+FROM w ORDER BY doc_id"""),
+
+    "text_lang_id" -> """
+WITH w AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), ' +') AS words
+  FROM documents
+), sc AS (
+  SELECT doc_id,
+    CAST(len(list_filter(words, x -> x IN ('the','and','of','to','in','is','a','for'))) AS INT) AS s_en,
+    CAST(len(list_filter(words, x -> x IN ('el','la','de','que','y','en','un','los'))) AS INT) AS s_es,
+    CAST(len(list_filter(words, x -> x IN ('le','la','et','les','des','un','une','du'))) AS INT) AS s_fr,
+    CAST(len(list_filter(words, x -> x IN ('der','die','und','das','ist','ein','von','mit'))) AS INT) AS s_de
+  FROM w
+)
+SELECT doc_id, s_en, s_es, s_fr, s_de,
+       CASE WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de THEN 'en'
+            WHEN s_es >= s_fr AND s_es >= s_de THEN 'es'
+            WHEN s_fr >= s_de THEN 'fr'
+            ELSE 'de' END AS lang_pred
+FROM sc ORDER BY doc_id""",
+
+    "text_quality" -> (s"""WITH w AS (
+  SELECT doc_id, text,
+         string_split_regex(trim(lower(text)), ' +') AS words,
+         regexp_extract_all(text, '$TokRe') AS toks
+  FROM documents
+)
+SELECT doc_id,
+       CAST(length(text) AS INT) AS n_chars,
+       CAST(len(words) AS INT) AS n_words,
+       CAST(len(list_filter(words, x -> x IN ('the','and','of','to','in','is','a','for'))) * 1000 // len(words) AS BIGINT) AS stop_pm,
+       CAST((len(toks) - len(list_filter(toks, t -> regexp_matches(t, '^[0-9A-Za-z_]+$$')))) * 1000 // len(toks) AS BIGINT) AS punct_pm,
+       CAST(len(list_distinct(words)) * 1000 // len(words) AS BIGINT) AS uniq_pm,
+       CAST(list_max(list_transform(words, x -> length(x))) AS BIGINT) AS max_word_len,
+       (length(text) >= 20 AND len(words) >= 5
+        AND list_max(list_transform(words, x -> length(x))) <= 40
+        AND len(list_distinct(words)) * 1000 // len(words) >= 200) AS quality_ok
+FROM w ORDER BY doc_id"""),
+
+    "text_fingerprint" -> (WordsCte + """
+SELECT doc_id,
+       md5(regexp_replace(lower(trim(text)), ' +', ' ', 'g')) AS content_fp,
+       list_min(list_transform(CASE WHEN len(words) >= 3
+           THEN list_transform(range(len(words)-2),
+                i -> array_to_string(words[i+1:i+3], ' '))
+           ELSE [] END, s -> md5(s))) AS winnow_fp
+FROM w ORDER BY doc_id"""),
+
+    "multimodal_features" -> (s"""
+SELECT doc_id AS media_id,
+       CAST(octet_length(encode(text)) AS INT) AS byte_len,
+       md5(text) AS content_hash,
+       CAST(${h60("text")} % 1280 AS INT) AS width,
+       CAST(${h60("md5(text)")} % 720 AS INT) AS height,
+       CAST(octet_length(encode(text)) % 30 AS INT) AS n_frames
+FROM documents ORDER BY media_id""")
   )
 }

@@ -4,10 +4,10 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for large corpora. Every variant is a pure
-  * DataFrame plan — no driver-side state, no collect — and keyed so the
-  * shuffles are on bounded keys (hashes / band buckets), which is what
-  * survives 100 TB: candidate generation is always blocking-based
-  * (hash buckets), never an all-pairs cross join.
+  * DataFrame plan — no driver-side state, no collect — and candidate
+  * generation is always blocking-based (hash buckets / band buckets /
+  * shared shingles), never an all-pairs cross join: the shuffles are on
+  * uniform hash keys, which is what survives 100 TB.
   */
 object Dedup {
 
@@ -17,4 +17,124 @@ object Dedup {
   def exact(df: DataFrame, content: Column, id: Column): DataFrame =
     df.groupBy(md5(content).as("content_hash"))
       .agg(min(id).as("keeper_doc_id"), count(lit(1)).as("n_copies"))
+
+  /** Near-dup candidate pairs by exact n-gram Jaccard, blocked on shared
+    * shingles: explode shingles, self-join on the shingle (only docs
+    * sharing one meet), count intersections, filter by Jaccard.
+    *
+    * Scale: the shingle join shuffles on the shingle string — uniform
+    * unless a shingle is extremely common; at 100 TB you'd MinHash first
+    * ([[minhashLsh]]) and use this as the verify step on candidates.
+    * Jaccard is emitted both as exact integers (inter/union) and a
+    * rounded double (engine-independent: integer division in IEEE). */
+  def ngramJaccard(df: DataFrame, content: Column, id: Column,
+                   k: Int = 3, minJaccard: Double = 0.5): DataFrame = {
+    val sh = df.select(id.as("doc_id"),
+        explode(array_distinct(Text.shingles(content, k))).as("s"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val pairs = sh.as("a").join(sh.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"), col("inter"),
+        (col("sa.n") + col("sb.n") - col("inter")).as("union_n"))
+      .withColumn("jaccard",
+        round(col("inter").cast("double") / col("union_n"), 6))
+      .where(col("jaccard") >= minJaccard)
+  }
+
+  /** MinHash signatures: for each of `numHashes` "permutations" p, the
+    * signature element is min(md5(p || ':' || shingle)) — md5-as-random-
+    * permutation, with the min taken on the hex STRING (lexicographic),
+    * so the whole computation is portable and needs no custom UDAF.
+    * Output: (doc_id, sig array<string>). One shuffle on doc_id. */
+  def minhashSignatures(df: DataFrame, content: Column, id: Column,
+                        k: Int = 3, numHashes: Int = 16): DataFrame =
+    df.select(id.as("doc_id"), explode(Text.shingles(content, k)).as("s"))
+      .select(col("doc_id"), explode(sequence(lit(0), lit(numHashes - 1))).as("p"),
+        col("s"))
+      .groupBy("doc_id", "p")
+      .agg(min(md5(concat(col("p").cast("string"), lit(":"), col("s")))).as("m"))
+      .groupBy("doc_id")
+      .agg(transform(array_sort(collect_list(struct(col("p"), col("m")))),
+        x => x.getField("m")).as("sig"))
+
+  /** MinHash + LSH near-dup pairs: band the signature (`bands` bands of
+    * `numHashes/bands` rows), bucket-join on (band, md5(band slice)),
+    * then score candidate pairs by matching-signature fraction.
+    *
+    * Scale: candidates are generated ONLY through band-bucket collisions
+    * (shuffle on uniform md5 bucket keys); the signature join afterwards
+    * touches candidate pairs, not all pairs. This is the standard
+    * shingle→minhash→band→bucket-join pipeline. */
+  def minhashLsh(df: DataFrame, content: Column, id: Column,
+                 k: Int = 3, numHashes: Int = 16, bands: Int = 4,
+                 minMatches: Int = 8): DataFrame = {
+    val r = numHashes / bands
+    val sig = minhashSignatures(df, content, id, k, numHashes)
+    val buckets = sig.select(col("doc_id"),
+        explode(transform(sequence(lit(0), lit(bands - 1)),
+          b => struct(b.as("band"),
+            md5(concat_ws("|", slice(col("sig"), b * r + 1, lit(r)))).as("bucket"))))
+          .as("bb"))
+      .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
+    val cand = buckets.as("x").join(buckets.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(sig.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sig.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        aggregate(zip_with(col("sa.sig"), col("sb.sig"),
+            (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v).as("n_matching"))
+      .where(col("n_matching") >= minMatches)
+  }
+
+  /** 60-bit SimHash fingerprint per document: token-hash bit votes.
+    * bit_j(doc) = 1 iff sum over tokens of (2*((hash60(tok)>>j)&1)-1) > 0.
+    *
+    * The per-(doc, bit) explode is the portable formulation; a custom
+    * codegen Expression folding all 60 bits in one pass over tokens is
+    * the single-pass scale path (same result). */
+  def simhash(df: DataFrame, content: Column, id: Column,
+              bits: Int = 60): DataFrame =
+    df.select(id.as("doc_id"), explode(Text.tokens(content)).as("tok"))
+      .select(col("doc_id"), Text.hash60(col("tok")).as("h"),
+        explode(sequence(lit(0), lit(bits - 1))).as("j"))
+      .groupBy("doc_id", "j")
+      .agg(sum(expr("(shiftright(h, cast(j as int)) & 1) * 2 - 1")).as("vote"))
+      .groupBy("doc_id")
+      .agg(sum(expr(
+        "case when vote > 0 then shiftleft(cast(1 as bigint), cast(j as int)) else cast(0 as bigint) end"))
+        .as("simhash"))
+
+  /** SimHash near-dup pairs with Hamming distance <= maxDist, blocked on
+    * fingerprint pieces: split into `pieces` equal slices and bucket-join
+    * on (piece index, piece value); exact Hamming verify via
+    * bit_count(xor). By pigeonhole the blocking is lossless when
+    * maxDist < pieces; for larger maxDist it is banding-style
+    * approximate (recall < 1), which is the scale trade-off. */
+  def simhashPairs(df: DataFrame, content: Column, id: Column,
+                   maxDist: Int = 3, pieces: Int = 4): DataFrame = {
+    val bits = 60
+    val w = bits / pieces // piece width
+    val fp = simhash(df, content, id, bits)
+    val blocked = fp.select(col("doc_id"), col("simhash"),
+        explode(sequence(lit(0), lit(pieces - 1))).as("p"))
+      .withColumn("piece",
+        expr(s"shiftright(simhash, cast(p as int) * $w) & ${(1L << w) - 1}"))
+    blocked.as("x").join(blocked.as("y"),
+        col("x.p") === col("y.p") && col("x.piece") === col("y.piece") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxDist)
+  }
 }

@@ -1,0 +1,46 @@
+package graft.ext
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Shared text/hash primitives for the ext operators.
+  *
+  * Design constraint: every primitive must be *portable* — expressible
+  * identically in Spark and in the DuckDB oracle SQL — and
+  * *deterministic under any partitioning*. Hence:
+  *  - hashing is md5-based (both engines agree byte-for-byte on md5 of
+  *    UTF-8), either kept as hex strings (order by/min works
+  *    lexicographically) or folded to a 60-bit long via the first 15
+  *    hex chars;
+  *  - no engine-native hash() (Spark murmur3 ≠ DuckDB's);
+  *  - float-sensitive math is quantized to integers first (see
+  *    [[Similarity]]).
+  */
+object Text {
+
+  /** First 60 bits of md5 as a non-negative long.
+    * DuckDB equivalent: `CAST(('0x' || substr(md5(x),1,15)) AS BIGINT)`. */
+  def hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Whitespace word split (trimmed, multi-space tolerant).
+    * DuckDB: `string_split_regex(trim(text), ' +')`. */
+  def words(text: Column): Column = split(trim(text), " +")
+
+  /** k-word shingles as space-joined strings; empty array if fewer than
+    * k words. DuckDB: `list_transform(range(len(w)-k+1), i ->
+    * array_to_string(w[i+1:i+k], ' '))`. */
+  def shingles(text: Column, k: Int): Column = {
+    val w = words(text)
+    when(size(w) >= k,
+      transform(sequence(lit(0), size(w) - k),
+        i => concat_ws(" ", slice(w, i + 1, lit(k)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Tokens: word runs or single punctuation chars (a BPE-ish regex
+    * both engines interpret identically on ASCII).
+    * DuckDB: `regexp_extract_all(text, '[0-9A-Za-z_]+|[^0-9A-Za-z_ ]')`. */
+  val TokenRe = "[0-9A-Za-z_]+|[^0-9A-Za-z_ ]"
+  def tokens(text: Column): Column = regexp_extract_all(text, lit(TokenRe), lit(0))
+}
