@@ -111,7 +111,11 @@ object BlockIngest {
   def keyBindings(feed: DataFrame): DataFrame =
     withId(feed)
       .where(col("key_bindings").isNotNull)
-      .select(explode(col("affected_accounts")).as("address"), col("id"), col("key_bindings"))
+      // the binding snapshot belongs to the account whose keys changed:
+      // the sender, or for account creation (no sender) the created
+      // account = first affected address (main.rs:686-701, 730-758).
+      .select(coalesce(col("sender"), col("affected_accounts").getItem(0)).as("address"),
+        col("id"), col("key_bindings"))
       .groupBy("address")
       .agg(max_by(col("key_bindings"), col("id")).as("kb"))
       .select(col("address"), explode(col("kb")).as("b"))

@@ -1,0 +1,53 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy cat"), // near-dup of 1
+    (3L, "completely different content about spark engines here"),
+    (4L, "the quick brown fox jumps over the lazy dog") // exact dup of 1
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical content, keeper = min id") {
+    val out = Dedup.exact(docs, $"text", $"doc_id")
+      .orderBy("keeper_doc_id").collect()
+    assert(out.length == 3)
+    val dup = out.find(_.getAs[Long]("n_copies") == 2L).get
+    assert(dup.getAs[Long]("keeper_doc_id") == 1L)
+  }
+
+  test("ngram Jaccard finds the near-dup pair with exact similarity") {
+    val out = Dedup.ngramJaccard(docs, $"text", $"doc_id", k = 3, minJaccard = 0.5)
+      .orderBy("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // docs 1,2,4: 9-word docs, 7 shingles each; 1↔4 identical (J=1),
+    // 1↔2 and 2↔4 share 6 of 8 shingles (J=0.75); 3 is unrelated.
+    assert(out == Seq((1L, 2L), (1L, 4L), (2L, 4L)))
+  }
+
+  test("identical docs have identical minhash signatures; near-dups collide") {
+    val sig = Dedup.minhashSignatures(docs, $"text", $"doc_id")
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(sig(1L) == sig(4L))
+    assert(sig(1L) != sig(3L))
+    val pairs = Dedup.minhashLsh(docs, $"text", $"doc_id", minMatches = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(pairs.contains((1L, 4L))) // exact dup always at 16/16 matches
+  }
+
+  test("simhash: identical docs at distance 0, unrelated docs far") {
+    val fp = Dedup.simhash(docs, $"text", $"doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(1L) == fp(4L))
+    assert(java.lang.Long.bitCount(fp(1L) ^ fp(3L)) > 10)
+    val pairs = Dedup.simhashPairs(docs, $"text", $"doc_id", maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(pairs.contains((1L, 4L, 0)))
+  }
+}

@@ -1,0 +1,46 @@
+package graft.query
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class QueryApiSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ati = Seq(
+    (7L, 1L), (7L, 3L), (7L, 5L), (8L, 2L), (8L, 3L)).toDF("account", "summary")
+  private def sums = Seq(
+    (1L, "b1", 10L, 0L, "s1"), (2L, "b1", 10L, 0L, "s2"),
+    (3L, "b2", 20L, 1L, "s3"), (5L, "b3", 30L, 2L, "s5")
+  ).toDF("id", "block", "timestamp", "height", "summary")
+
+  test("account page asc honors keyset cursor and limit") {
+    val out = QueryApi.accountTransactions(ati, sums, lit(7L), 3L, Some(2),
+      ascending = true).collect().map(_.getAs[Long]("id"))
+    assert(out.toSeq == Seq(3L, 5L))
+  }
+
+  test("account page desc starts from MAX sentinel") {
+    val out = QueryApi.accountTransactions(ati, sums, lit(7L), Long.MaxValue,
+      Some(10), ascending = false).collect().map(_.getAs[Long]("id"))
+    assert(out.toSeq == Seq(5L, 3L, 1L))
+  }
+
+  test("top-k per account via window") {
+    val out = QueryApi.topKPerAccount(ati, 2)
+      .orderBy("account", "rn").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(out == Seq((7L, 5L), (7L, 3L), (8L, 3L), (8L, 2L)))
+  }
+
+  test("change feed keeps protocol events (null sender) and drops own sends") {
+    val sws = Seq(
+      (1L, "b1", 10L, 0L, "s1", Some(7L)),  // own send → dropped
+      (3L, "b2", 20L, 1L, "s3", Some(9L)),  // incoming → kept
+      (5L, "b3", 30L, 2L, "s5", None)       // protocol → kept
+    ).toDF("id", "block", "timestamp", "height", "summary", "sender")
+    val out = QueryApi.changeFeed(ati, sws, lit(7L), 0L, 100)
+      .collect().map(_.getAs[Long]("id"))
+    assert(out.toSeq == Seq(3L, 5L))
+  }
+}
