@@ -84,9 +84,18 @@ object BlockIngest {
     * this aggregated over all history (batch) or merged into the sink via
     * `INSERT … ON CONFLICT DO UPDATE` (streaming, main.rs:222-251). */
   def cis2Deltas(feed: DataFrame): DataFrame =
-    feed.select(explode(col("cis2_events")).as("e"))
+    cis2DeltaRows(withId(feed)).drop("summary", "seq")
+
+  /** CIS-2 deltas keyed by (summary id, position) — the append-only,
+    * idempotently-writable form the streaming sink persists (each delta
+    * has a natural PK, so replays dedup instead of double-applying;
+    * SURVEY §7.4 exactly-once). */
+  def cis2DeltaRows(feedWithId: DataFrame): DataFrame =
+    feedWithId.select(col("id").as("summary"),
+        posexplode(col("cis2_events")).as(Seq("seq", "e")))
       .where(col("e.kind").isin("mint", "burn"))
       .select(
+        col("summary"), col("seq"),
         col("e.index").as("index"),
         col("e.subindex").as("subindex"),
         col("e.token_id").as("token_id"),

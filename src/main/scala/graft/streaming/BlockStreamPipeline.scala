@@ -1,0 +1,51 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.model.Schemas
+
+/** The indexing pipeline as ONE Structured Streaming query — the Spark
+  * shape of the reference's node-loop + db-task architecture (SURVEY
+  * §3.1):
+  *
+  *  - source: a file-based stream of block-feed rows ordered by height
+  *    (stands in for the gRPC finalized-block subscription, A1);
+  *    `maxFilesPerTrigger` is the micro-batch chunk bound (A2's
+  *    `num_parallel`); the checkpoint is the resume point (A11 — no
+  *    startup MAX query needed);
+  *  - transforms + sink: [[TransactionalSink.writeBatch]] in
+  *    foreachBatch — per-partition transactions, idempotent writes, so
+  *    task retries / query restarts give exactly-once (A10, A14).
+  *
+  * Liveness (`max_behind`, A2) maps to monitoring
+  * `query.lastProgress` timestamps — an ops concern, not a plan one.
+  */
+object BlockStreamPipeline {
+
+  /** Start the pipeline over a directory of feed parquet files.
+    *
+    * @param feedDir       directory watched for feed-row parquet
+    * @param checkpointDir streaming checkpoint (offsets = resume point)
+    * @param url           JDBC url of the serving DB (migrated)
+    * @param availableNow  drain-all-then-stop (tests/backfill) vs
+    *                      continuous micro-batches
+    */
+  def start(spark: SparkSession, feedDir: String, checkpointDir: String,
+            url: String, dialect: Dialect, availableNow: Boolean = true,
+            maxFilesPerTrigger: Int = 4): StreamingQuery = {
+    val feed = spark.readStream
+      .schema(Schemas.blockFeed(org.apache.spark.sql.types.LongType))
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(feedDir)
+
+    val writer = feed.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        TransactionalSink.writeBatch(batch, url, dialect)
+      }
+    (if (availableNow) writer.trigger(Trigger.AvailableNow())
+     else writer.trigger(Trigger.ProcessingTime("2 seconds")))
+      .start()
+  }
+}
