@@ -50,17 +50,20 @@ object Dedup {
     * signature element is min(md5(p || ':' || shingle)) — md5-as-random-
     * permutation, with the min taken on the hex STRING (lexicographic),
     * so the whole computation is portable and needs no custom UDAF.
-    * Output: (doc_id, sig array<string>). One shuffle on doc_id. */
+    * Output: (doc_id, sig array<string>).
+    *
+    * Computed per-document with higher-order functions (the shingle set
+    * is already a per-row array): a NARROW map — no explode, no shuffle,
+    * nothing leaves the row. Documents with no shingles (< k words) have
+    * no signature, matching the exploded/oracle formulation. */
   def minhashSignatures(df: DataFrame, content: Column, id: Column,
                         k: Int = 3, numHashes: Int = 16): DataFrame =
-    df.select(id.as("doc_id"), explode(Text.shingles(content, k)).as("s"))
-      .select(col("doc_id"), explode(sequence(lit(0), lit(numHashes - 1))).as("p"),
-        col("s"))
-      .groupBy("doc_id", "p")
-      .agg(min(md5(concat(col("p").cast("string"), lit(":"), col("s")))).as("m"))
-      .groupBy("doc_id")
-      .agg(transform(array_sort(collect_list(struct(col("p"), col("m")))),
-        x => x.getField("m")).as("sig"))
+    df.select(id.as("doc_id"), Text.shingles(content, k).as("__sh"))
+      .where(size(col("__sh")) > 0)
+      .select(col("doc_id"),
+        transform(sequence(lit(0), lit(numHashes - 1)),
+          p => array_min(transform(col("__sh"),
+            s => md5(concat(p.cast("string"), lit(":"), s))))).as("sig"))
 
   /** MinHash + LSH near-dup pairs: band the signature (`bands` bands of
     * `numHashes/bands` rows), bucket-join on (band, md5(band slice)),
@@ -99,20 +102,19 @@ object Dedup {
   /** 60-bit SimHash fingerprint per document: token-hash bit votes.
     * bit_j(doc) = 1 iff sum over tokens of (2*((hash60(tok)>>j)&1)-1) > 0.
     *
-    * The per-(doc, bit) explode is the portable formulation; a custom
-    * codegen Expression folding all 60 bits in one pass over tokens is
-    * the single-pass scale path (same result). */
+    * Computed by the native codegen Expression
+    * [[graft.functions.SimHash60]] — one pass over the token array per
+    * row, no explode, no shuffle (the previous portable formulation
+    * exploded doc x token x 60 rows through two shuffles; same result).
+    * Documents with zero tokens are absent, matching the oracle. */
   def simhash(df: DataFrame, content: Column, id: Column,
-              bits: Int = 60): DataFrame =
-    df.select(id.as("doc_id"), explode(Text.tokens(content)).as("tok"))
-      .select(col("doc_id"), Text.hash60(col("tok")).as("h"),
-        explode(sequence(lit(0), lit(bits - 1))).as("j"))
-      .groupBy("doc_id", "j")
-      .agg(sum(expr("(shiftright(h, cast(j as int)) & 1) * 2 - 1")).as("vote"))
-      .groupBy("doc_id")
-      .agg(sum(expr(
-        "case when vote > 0 then shiftleft(cast(1 as bigint), cast(j as int)) else cast(0 as bigint) end"))
-        .as("simhash"))
+              bits: Int = 60): DataFrame = {
+    require(bits == 60, "simhash60 fingerprints are 60-bit")
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    df.select(id.as("doc_id"), Text.tokens(content).as("__toks"))
+      .where(size(col("__toks")) > 0)
+      .select(col("doc_id"), expr("simhash60(__toks)").as("simhash"))
+  }
 
   /** SimHash near-dup pairs with Hamming distance <= maxDist, blocked on
     * fingerprint pieces: split into `pieces` equal slices and bucket-join

@@ -29,6 +29,14 @@ object Similarity {
     round(dotQ(qa, qb).cast("double") /
       sqrt(dotQ(qa, qa).cast("double") * dotQ(qb, qb).cast("double")), 6)
 
+  /** cosine with pre-computed squared norms — the per-pair cost drops to
+    * one dot product; norms are computed once per VECTOR, not once per
+    * candidate pair (at scale each vector is in many pairs). The double
+    * math is the exact same sequence of IEEE ops as [[cosineQ]]. */
+  def cosineQNormed(qa: Column, qb: Column, n2a: Column, n2b: Column): Column =
+    round(dotQ(qa, qb).cast("double") /
+      sqrt(n2a.cast("double") * n2b.cast("double")), 6)
+
   /** Brute-force top-k cosine neighbours of one query vector: the
     * baseline ANN. The single query row is broadcast (no shuffle of the
     * corpus); the top-k is TakeOrderedAndProject — no global sort.
@@ -39,9 +47,13 @@ object Similarity {
                      queryId: Long, k: Int): DataFrame = {
     val q = embeddings.where(col(idCol) === queryId)
       .select(quantize(col(embCol)).as("__q"))
+      .withColumn("__qn2", dotQ(col("__q"), col("__q")))
     embeddings.where(col(idCol) =!= queryId)
       .crossJoin(broadcast(q))
-      .select(col(idCol), cosineQ(quantize(col(embCol)), col("__q")).as("cosine"))
+      .select(col(idCol), quantize(col(embCol)).as("__e"), col("__q"), col("__qn2"))
+      .select(col(idCol),
+        cosineQNormed(col("__e"), col("__q"),
+          dotQ(col("__e"), col("__e")), col("__qn2")).as("cosine"))
       .orderBy(col("cosine").desc, col(idCol).asc)
       .limit(k)
   }
@@ -69,14 +81,17 @@ object Similarity {
     * [[bruteForceTopK]] for recall measurement. */
   def annLsh(embeddings: DataFrame, idCol: String, embCol: String,
              queryId: Long, k: Int, dim: Int = 64, planes: Int = 4): DataFrame = {
-    val withBucket = embeddings.select(col(idCol), col(embCol),
-      quantize(col(embCol)).as("__qe"))
+    val withBucket = embeddings.select(col(idCol),
+        quantize(col(embCol)).as("__qe"))
+      .withColumn("__n2", dotQ(col("__qe"), col("__qe")))
       .withColumn("__bucket", lshBucket(col("__qe"), dim, planes))
     val q = withBucket.where(col(idCol) === queryId)
-      .select(col("__qe").as("__q"), col("__bucket").as("__qb"))
+      .select(col("__qe").as("__q"), col("__n2").as("__qn2"),
+        col("__bucket").as("__qb"))
     withBucket.where(col(idCol) =!= queryId)
       .join(broadcast(q), col("__bucket") === col("__qb"))
-      .select(col(idCol), cosineQ(col("__qe"), col("__q")).as("cosine"))
+      .select(col(idCol),
+        cosineQNormed(col("__qe"), col("__q"), col("__n2"), col("__qn2")).as("cosine"))
       .orderBy(col("cosine").desc, col(idCol).asc)
       .limit(k)
   }
@@ -89,11 +104,12 @@ object Similarity {
                    k: Int, dim: Int = 64, planes: Int = 4): DataFrame = {
     val withBucket = embeddings.select(col(idCol).as("vid"),
         quantize(col(embCol)).as("qe"))
+      .withColumn("n2", dotQ(col("qe"), col("qe")))
       .withColumn("bucket", lshBucket(col("qe"), dim, planes))
     withBucket.as("a").join(withBucket.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vid") < col("b.vid"))
       .select(col("a.vid").as("id_a"), col("b.vid").as("id_b"),
-        cosineQ(col("a.qe"), col("b.qe")).as("cosine"))
+        cosineQNormed(col("a.qe"), col("b.qe"), col("a.n2"), col("b.n2")).as("cosine"))
       .orderBy(col("cosine").desc, col("id_a").asc, col("id_b").asc)
       .limit(k)
   }

@@ -1,0 +1,63 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.ext.Text
+
+class SimHash60Spec extends SparkSpec {
+  import spark.implicits._
+
+  test("hash60 matches conv(substring(md5,1,15),16,10)") {
+    val inputs = Seq("", "a", "hello world", "σπάρκ", "x" * 1000)
+    val viaSql = inputs.toDF("s")
+      .select(Text.hash60(col("s")).as("h")).as[Long].collect()
+    val viaUtil = inputs.map(s => SimHashUtil.hash60(s.getBytes("UTF-8")))
+    assert(viaUtil == viaSql.toSeq)
+  }
+
+  test("simhash60 expression equals the exploded bit-vote formulation") {
+    GraftFunctions.register(spark)
+    val docs = Seq(
+      1L -> "the quick brown fox jumps over the lazy dog",
+      2L -> "the quick brown fox jumps over the lazy cat",
+      3L -> "completely different content here, with punctuation!",
+      4L -> "a",
+      5L -> "repeated repeated repeated repeated tokens tokens"
+    ).toDF("doc_id", "text")
+
+    val fast = docs
+      .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), expr("simhash60(toks)").as("simhash"))
+
+    val slow = docs
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("tok"))
+      .select(col("doc_id"), Text.hash60(col("tok")).as("h"),
+        explode(sequence(lit(0), lit(59))).as("j"))
+      .groupBy("doc_id", "j")
+      .agg(sum(expr("(shiftright(h, cast(j as int)) & 1) * 2 - 1")).as("vote"))
+      .groupBy("doc_id")
+      .agg(sum(expr(
+        "case when vote > 0 then shiftleft(cast(1 as bigint), cast(j as int)) else cast(0 as bigint) end"))
+        .as("simhash"))
+
+    val f = fast.orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    val s = slow.orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    assert(f == s)
+  }
+
+  test("null array yields null; empty array yields 0") {
+    GraftFunctions.register(spark)
+    val df = Seq((1L, Some(Seq("tok"))), (2L, None))
+      .toDF("id", "toks")
+      .withColumn("toks",
+        when(col("id") === 2L, lit(null).cast("array<string>"))
+          .otherwise(col("toks")))
+    val out = df.select(expr("simhash60(toks)")).collect().map(r =>
+      if (r.isNullAt(0)) None else Some(r.getLong(0)))
+    assert(out(0).isDefined && out(1).isEmpty)
+    val empty = Seq(Tuple1(Seq.empty[String])).toDF("toks")
+      .select(expr("simhash60(toks)")).as[Long].head()
+    assert(empty == 0L)
+  }
+}
