@@ -1,5 +1,17 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
+
+/** Benchmark main: times every SparkEntry query at SPARK_GRAFT_SF_DIR and
+  * emits ONE JSON line `{"metric":"total",...}`. The line is printed to
+  * stdout (build.sbt routes forked stdout through unprefixed) AND written
+  * to bench_out.json (override with SPARK_GRAFT_BENCH_OUT) so the driver
+  * can parse it even if the launcher decorates console output.
+  *
+  * Query failures are NOT swallowed into fast "successes": a failing
+  * query is listed in "errors" and poisons "value" with +1e9 sec so a
+  * broken query can never improve the total.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption
@@ -11,15 +23,32 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val timings = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    SparkEntry.queries.foreach { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try {
+        fn(spark, sfDir).count()
+        timings(name) = (System.nanoTime() - t0) / 1e9
+      } catch {
+        case e: Throwable =>
+          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+      }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+    } + "\""
+    val qs = timings.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
+    val es = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
+    // A failed query must never make the bench look faster: each one adds
+    // a 1e9-sec penalty to the headline value.
+    val total = timings.values.sum + errors.size * 1e9
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"cpus":$cpus,"sf":${jstr(sfDir)}}"""
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    Files.writeString(Paths.get(outFile), line + "\n")
+    println(line)
     spark.stop()
   }
 }

@@ -150,8 +150,8 @@ ORDER BY doc_a, doc_b"""),
   GROUP BY 1, 2
 )
 SELECT doc_id,
-       SUM(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INT))
-                ELSE 0 END) AS simhash
+       CAST(SUM(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INT))
+                ELSE 0 END) AS BIGINT) AS simhash
 FROM votes GROUP BY 1 ORDER BY doc_id"""),
 
     "dedup_simhash_pairs" -> (s"""WITH toks AS (

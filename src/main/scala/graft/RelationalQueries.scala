@@ -38,10 +38,10 @@ object RelationalQueries {
         .where(col("l_shipdate") <= lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-          sum(col("l_quantity").cast(Dec)).as("sum_qty"),
-          sum(col("l_extendedprice").cast(Dec)).as("sum_base_price"),
-          sum(revenue).as("sum_disc_price"),
-          sum(revenue * tax1p).as("sum_charge"),
+          sum(col("l_quantity").cast(Dec)).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast(Dec)).cast("double").as("sum_base_price"),
+          sum(revenue).cast("double").as("sum_disc_price"),
+          sum(revenue * tax1p).cast("double").as("sum_charge"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")),
 
@@ -84,7 +84,7 @@ object RelationalQueries {
         .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
         .rollup(col("r_name"), col("n_name"))
-        .agg(sum(col("o_totalprice").cast(Dec)).as("total"),
+        .agg(sum(col("o_totalprice").cast(Dec)).cast("double").as("total"),
           count(lit(1)).as("n_orders"))
         .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)),
 
@@ -114,7 +114,7 @@ object RelationalQueries {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       Tables.orders(s, d)
         .select(col("o_custkey"), col("o_orderkey"),
-          sum(col("o_totalprice").cast(Dec)).over(w).as("running"))
+          sum(col("o_totalprice").cast(Dec)).over(w).cast("double").as("running"))
         .orderBy("o_custkey", "o_orderkey")
     }),
 
@@ -123,7 +123,7 @@ object RelationalQueries {
         .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
         .groupBy("p_brand")
         .agg(countDistinct(col("l_suppkey")).as("n_supp"),
-          sum(col("l_quantity").cast(Dec)).as("qty"))
+          sum(col("l_quantity").cast(Dec)).cast("double").as("qty"))
         .orderBy("p_brand")),
 
     "q_asof_enrich" -> ((s, d) => {
@@ -173,10 +173,10 @@ object RelationalQueries {
   val oracles: Map[String, String] = Map(
     "q1_pricing_summary" -> s"""
 SELECT l_returnflag, l_linestatus,
-       SUM(CAST(l_quantity AS $dec)) AS sum_qty,
-       SUM(CAST(l_extendedprice AS $dec)) AS sum_base_price,
-       SUM($rev) AS sum_disc_price,
-       SUM($rev * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS sum_charge,
+       CAST(SUM(CAST(l_quantity AS $dec)) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS $dec)) AS DOUBLE) AS sum_base_price,
+       CAST(SUM($rev) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM($rev * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
        count(*) AS count_order
 FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
 GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",
@@ -202,7 +202,7 @@ WHERE r_name = 'ASIA'
 GROUP BY n_name ORDER BY revenue DESC, n_name""",
 
     "q_rollup_revenue" -> """
-SELECT r_name, n_name, SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS total, count(*) AS n_orders
+SELECT r_name, n_name, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total, count(*) AS n_orders
 FROM orders JOIN customer ON o_custkey = c_custkey
             JOIN nation ON c_nationkey = n_nationkey
             JOIN region ON n_regionkey = r_regionkey
@@ -227,14 +227,14 @@ ORDER BY o_custkey""",
 
     "q_window_running_spend" -> """
 SELECT o_custkey, o_orderkey,
-       SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
          OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-               ROWS UNBOUNDED PRECEDING) AS running
+               ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running
 FROM orders ORDER BY o_custkey, o_orderkey""",
 
     "q_brand_stats" -> """
 SELECT p_brand, count(DISTINCT l_suppkey) AS n_supp,
-       SUM(CAST(l_quantity AS DECIMAL(18,4))) AS qty
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS qty
 FROM lineitem JOIN part ON l_partkey = p_partkey
 GROUP BY p_brand ORDER BY p_brand""",
 
