@@ -49,6 +49,10 @@ object SimHashUtil {
   private val digests = ThreadLocal.withInitial[MessageDigest](() =>
     MessageDigest.getInstance("MD5"))
 
+  /** Thread-local MD5 instance, shared with [[MinHashUtil]] so the hot
+    * loops allocate no digest objects. Callers must `reset()` before use. */
+  def digest(): MessageDigest = digests.get()
+
   /** First 60 bits of md5(bytes) as a non-negative long — identical to
     * `conv(substring(md5(x),1,15),16,10)` / DuckDB
     * `CAST(('0x' || substr(md5(x),1,15)) AS BIGINT)`. */
