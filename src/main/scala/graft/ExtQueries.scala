@@ -118,7 +118,7 @@ ORDER BY doc_a, doc_b"""),
            ELSE [] END) AS s
   FROM w
 ), mh AS (
-  SELECT doc_id, p, min(md5(p || ':' || s)) AS m
+  SELECT doc_id, p, min(CAST(('0x' || substr(md5(p || ':' || s),1,15)) AS BIGINT)) AS m
   FROM sh CROSS JOIN (SELECT unnest(range(16)) AS p)
   GROUP BY 1, 2
 ), sig AS (

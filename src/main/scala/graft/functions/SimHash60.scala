@@ -94,11 +94,19 @@ object GraftFunctions {
   val all: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("simhash60"),
       new ExpressionInfo(classOf[SimHash60].getName, "simhash60"),
-      (exprs: Seq[Expression]) => SimHash60(exprs.head)))
+      (exprs: Seq[Expression]) => SimHash60(exprs.head)),
+    (FunctionIdentifier("minhash64"),
+      new ExpressionInfo(classOf[MinHash64].getName, "minhash64"),
+      (exprs: Seq[Expression]) => MinHash64(exprs.head,
+        exprs(1).eval().asInstanceOf[Number].intValue)))
 
+  /** Registers only if absent, so a user's own temp function of the same
+    * name is never silently replaced and repeated calls are no-ops. */
   def register(spark: SparkSession): Unit = all.foreach { case (id, _, builder) =>
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      id.funcName, builder, "built-in")
+    val reg = spark.sessionState.functionRegistry
+    if (!reg.functionExists(id)) {
+      reg.createOrReplaceTempFunction(id.funcName, builder, "built-in")
+    }
   }
 }
 

@@ -33,12 +33,31 @@ class DedupSpec extends SparkSpec {
 
   test("identical docs have identical minhash signatures; near-dups collide") {
     val sig = Dedup.minhashSignatures(docs, $"text", $"doc_id")
-      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
     assert(sig(1L) == sig(4L))
     assert(sig(1L) != sig(3L))
     val pairs = Dedup.minhashLsh(docs, $"text", $"doc_id", minMatches = 16)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(pairs.contains((1L, 4L))) // exact dup always at 16/16 matches
+  }
+
+  test("minhash signature values match the md5/hash60 reference formula") {
+    // Independent re-derivation of sig[p] = min over 3-shingles s of the
+    // first 60 bits of md5(p + ":" + s) — pins the exact byte format the
+    // DuckDB oracle mirrors.
+    def h60(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      var h = 0L
+      (0 until 7).foreach(k => h = (h << 8) | (d(k) & 0xffL))
+      (h << 4) | ((d(7) & 0xf0L) >>> 4)
+    }
+    val words = "the quick brown fox jumps over the lazy dog".split(" ")
+    val shingles = words.sliding(3).map(_.mkString(" ")).toSeq
+    val expected = (0 until 16).map(p => shingles.map(s => h60(s"$p:$s")).min)
+    val sig = Dedup.minhashSignatures(docs, $"text", $"doc_id")
+      .where($"doc_id" === 1L).collect().head.getSeq[Long](1)
+    assert(sig == expected)
   }
 
   test("simhash: identical docs at distance 0, unrelated docs far") {
