@@ -33,6 +33,30 @@ object ExtQueries {
   // Tokens: word runs or single non-word chars (see Text.TokenRe).
   private val TokRe = "[0-9A-Za-z_]+|[^0-9A-Za-z_ ]"
 
+  /** DuckDB mirror of [[graft.functions.RhpLsh]]: quantized embeddings,
+    * the (band, plane, dim) weight table, per-(vector, band, plane) sign
+    * sums, and per-(vector, band) bucket ids. Weights are a CTE (8k
+    * rows), not per-row md5 — the oracle stays tractable at sf0.01. */
+  private def rhpBucketsCte(bands: Int, planes: Int, dim: Int = 64) = s"""WITH qz AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS qe
+  FROM embeddings
+), ws AS (
+  SELECT b, p, i, (${h60("b || ':' || p || ':' || i")} % 1000 - 500) AS w
+  FROM (SELECT unnest(range($bands)) AS b)
+  CROSS JOIN (SELECT unnest(range($planes)) AS p)
+  CROSS JOIN (SELECT unnest(range($dim)) AS i)
+), comps AS (
+  SELECT qz.vec_id, ws.b, ws.p, SUM(qz.qe[ws.i+1] * ws.w) AS s
+  FROM qz CROSS JOIN ws
+  GROUP BY 1, 2, 3
+), buckets AS (
+  SELECT vec_id, b,
+         SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << CAST(p AS INT)) ELSE 0 END) AS bucket
+  FROM comps GROUP BY 1, 2
+)"""
+
   val queries: Map[String, Q] = Map(
     "dedup_exact" -> ((s, d) =>
       Dedup.exact(Tables.documents(s, d), col("text"), col("doc_id"))
@@ -198,52 +222,37 @@ scored AS (
 SELECT vec_id, cosine FROM scored
 ORDER BY cosine DESC, vec_id ASC LIMIT 10""",
 
-    "ann_lsh" -> (s"""WITH qz AS (
-  SELECT vec_id,
-         list_transform(embedding,
-           x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS qe
-  FROM embeddings
-), bucketed AS (
-  SELECT vec_id, qe,
-         list_sum(list_transform(range(4), p ->
-           CASE WHEN list_sum(list_transform(range(64), i ->
-               qe[i+1] * (${h60("p || ':' || i")} % 1000 - 500))) > 0
-             THEN (CAST(1 AS BIGINT) << CAST(p AS INT)) ELSE 0 END)) AS bucket
-  FROM qz
-), q AS (SELECT qe AS qv, bucket AS qb FROM bucketed WHERE vec_id = 0),
+    "ann_lsh" -> (rhpBucketsCte(8, 16) + """, qb AS (
+  SELECT b, bucket FROM buckets WHERE vec_id = 0
+), cand AS (
+  SELECT DISTINCT buckets.vec_id
+  FROM buckets JOIN qb ON buckets.b = qb.b AND buckets.bucket = qb.bucket
+  WHERE buckets.vec_id <> 0
+), q AS (SELECT qe AS qv FROM qz WHERE vec_id = 0),
 scored AS (
-  SELECT vec_id,
+  SELECT qz.vec_id,
          round(
            CAST(list_sum(list_transform(range(64), i -> qe[i+1] * qv[i+1])) AS DOUBLE)
            / sqrt(CAST(list_sum(list_transform(range(64), i -> qe[i+1] * qe[i+1])) AS DOUBLE)
                   * CAST(list_sum(list_transform(range(64), i -> qv[i+1] * qv[i+1])) AS DOUBLE)),
            6) AS cosine
-  FROM bucketed JOIN q ON bucket = qb WHERE vec_id <> 0
+  FROM qz JOIN cand ON qz.vec_id = cand.vec_id CROSS JOIN q
 )
 SELECT vec_id, cosine FROM scored
 ORDER BY cosine DESC, vec_id ASC LIMIT 10"""),
 
-    "emb_neardup_pairs" -> (s"""WITH qz AS (
-  SELECT vec_id,
-         list_transform(embedding,
-           x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS qe
-  FROM embeddings
-), bucketed AS (
-  SELECT vec_id, qe,
-         list_sum(list_transform(range(4), p ->
-           CASE WHEN list_sum(list_transform(range(64), i ->
-               qe[i+1] * (${h60("p || ':' || i")} % 1000 - 500))) > 0
-             THEN (CAST(1 AS BIGINT) << CAST(p AS INT)) ELSE 0 END)) AS bucket
-  FROM qz
+    "emb_neardup_pairs" -> (rhpBucketsCte(8, 16) + """, cand AS (
+  SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+  FROM buckets x JOIN buckets y
+    ON x.b = y.b AND x.bucket = y.bucket AND x.vec_id < y.vec_id
 )
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+SELECT id_a, id_b,
        round(
          CAST(list_sum(list_transform(range(64), i -> a.qe[i+1] * b.qe[i+1])) AS DOUBLE)
          / sqrt(CAST(list_sum(list_transform(range(64), i -> a.qe[i+1] * a.qe[i+1])) AS DOUBLE)
                 * CAST(list_sum(list_transform(range(64), i -> b.qe[i+1] * b.qe[i+1])) AS DOUBLE)),
          6) AS cosine
-FROM bucketed a JOIN bucketed b
-  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+FROM cand JOIN qz a ON id_a = a.vec_id JOIN qz b ON id_b = b.vec_id
 ORDER BY cosine DESC, id_a ASC, id_b ASC LIMIT 20"""),
 
     "text_token_stats" -> (WordsCte + s"""

@@ -58,38 +58,36 @@ object Similarity {
       .limit(k)
   }
 
-  /** Random-hyperplane LSH bucket id (`planes` sign bits). The plane
-    * weights are md5-derived integers (hash60(p:i) % 1000 - 500), so the
-    * sign is computed on an EXACT integer sum — portable and
-    * deterministic. DuckDB mirror uses the same formula. */
-  def lshBucket(qEmb: Column, dim: Int, planes: Int): Column = {
-    val bit: Int => Column = p => {
-      val s = aggregate(
-        zip_with(qEmb,
-          transform(sequence(lit(0), lit(dim - 1)),
-            i => Text.hash60(concat(lit(p.toString), lit(":"), i.cast("string"))) % 1000 - 500),
-          (x, w) => x * w),
-        lit(0L), (acc, v) => acc + v)
-      when(s > 0, lit(1L << p)).otherwise(0L)
-    }
-    (0 until planes).map(bit).reduce(_ + _)
+  /** Multi-band random-hyperplane LSH bucket ids: `bands` buckets per
+    * vector, each `planes` sign bits, via the native codegen Expression
+    * [[graft.functions.RhpLsh]] (md5-derived integer plane weights,
+    * statically cached — exact integer sums, portable to the DuckDB
+    * oracle). See RhpLsh scaladoc for the recall formula
+    * `1 - (1 - q^planes)^bands`. */
+  def lshBuckets(df: DataFrame, qEmbCol: String, bands: Int, planes: Int): Column = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    expr(s"rhplsh($qEmbCol, $bands, $planes)")
   }
 
-  /** LSH-bucketed ANN: search only the query's bucket. One shuffle-free
-    * scan with a pushed bucket filter once bucket ids are materialized;
-    * here computed inline. Recall < 1 by construction — pair with
-    * [[bruteForceTopK]] for recall measurement. */
+  /** LSH-bucketed ANN: score only vectors sharing a band bucket with the
+    * query — a shuffle-free corpus scan with a cheap band-intersection
+    * filter against the broadcast query row, then TakeOrderedAndProject.
+    * Recall < 1 by construction (the multi-band scheme keeps it high for
+    * genuinely close vectors — see [[graft.functions.RhpLsh]]); pair
+    * with [[bruteForceTopK]] on a sample for recall measurement. */
   def annLsh(embeddings: DataFrame, idCol: String, embCol: String,
-             queryId: Long, k: Int, dim: Int = 64, planes: Int = 4): DataFrame = {
-    val withBucket = embeddings.select(col(idCol),
+             queryId: Long, k: Int, bands: Int = 8, planes: Int = 16): DataFrame = {
+    val base = embeddings.select(col(idCol),
         quantize(col(embCol)).as("__qe"))
       .withColumn("__n2", dotQ(col("__qe"), col("__qe")))
-      .withColumn("__bucket", lshBucket(col("__qe"), dim, planes))
-    val q = withBucket.where(col(idCol) === queryId)
+      .withColumn("__bb", lshBuckets(embeddings, "__qe", bands, planes))
+    val q = base.where(col(idCol) === queryId)
       .select(col("__qe").as("__q"), col("__n2").as("__qn2"),
-        col("__bucket").as("__qb"))
-    withBucket.where(col(idCol) =!= queryId)
-      .join(broadcast(q), col("__bucket") === col("__qb"))
+        col("__bb").as("__qbb"))
+    base.where(col(idCol) =!= queryId)
+      .crossJoin(broadcast(q))
+      .where(exists(zip_with(col("__bb"), col("__qbb"), (x, y) => x === y),
+        b => b))
       .select(col(idCol),
         cosineQNormed(col("__qe"), col("__q"), col("__n2"), col("__qn2")).as("cosine"))
       .orderBy(col("cosine").desc, col(idCol).asc)
@@ -97,18 +95,30 @@ object Similarity {
   }
 
   /** Embedding near-dup candidates: top-`k` most-cosine-similar pairs
-    * among LSH-bucket collisions (pairs sharing a bucket). At scale the
-    * bucket join replaces the quadratic all-pairs; increasing `planes`
-    * tightens buckets. */
+    * among band-bucket collisions (pairs sharing a bucket in ANY band).
+    * Candidates come only from the per-band bucket self-join — shuffles
+    * on uniform (band, bucket) keys, never all-pairs; with 16 planes per
+    * band the expected in-bucket join is O(bands · n²/2^16) vs the old
+    * single-band 4-plane O(n²/2^4). The quantized base is persisted
+    * because the candidate join consumes it three times. */
   def nearDupPairs(embeddings: DataFrame, idCol: String, embCol: String,
-                   k: Int, dim: Int = 64, planes: Int = 4): DataFrame = {
-    val withBucket = embeddings.select(col(idCol).as("vid"),
+                   k: Int, bands: Int = 8, planes: Int = 16): DataFrame = {
+    val base = embeddings.select(col(idCol).as("vid"),
         quantize(col(embCol)).as("qe"))
       .withColumn("n2", dotQ(col("qe"), col("qe")))
-      .withColumn("bucket", lshBucket(col("qe"), dim, planes))
-    withBucket.as("a").join(withBucket.as("b"),
-        col("a.bucket") === col("b.bucket") && col("a.vid") < col("b.vid"))
-      .select(col("a.vid").as("id_a"), col("b.vid").as("id_b"),
+      .withColumn("bb", lshBuckets(embeddings, "qe", bands, planes))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val buckets = base.select(col("vid"),
+      posexplode(col("bb")).as(Seq("band", "bucket")))
+    val cand = buckets.as("x").join(buckets.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col("x.vid") < col("y.vid"))
+      .select(col("x.vid").as("id_a"), col("y.vid").as("id_b"))
+      .distinct()
+    cand
+      .join(base.as("a"), col("id_a") === col("a.vid"))
+      .join(base.as("b"), col("id_b") === col("b.vid"))
+      .select(col("id_a"), col("id_b"),
         cosineQNormed(col("a.qe"), col("b.qe"), col("a.n2"), col("b.n2")).as("cosine"))
       .orderBy(col("cosine").desc, col("id_a").asc, col("id_b").asc)
       .limit(k)

@@ -98,7 +98,12 @@ object GraftFunctions {
     (FunctionIdentifier("minhash64"),
       new ExpressionInfo(classOf[MinHash64].getName, "minhash64"),
       (exprs: Seq[Expression]) => MinHash64(exprs.head,
-        exprs(1).eval().asInstanceOf[Number].intValue)))
+        exprs(1).eval().asInstanceOf[Number].intValue)),
+    (FunctionIdentifier("rhplsh"),
+      new ExpressionInfo(classOf[RhpLsh].getName, "rhplsh"),
+      (exprs: Seq[Expression]) => RhpLsh(exprs.head,
+        exprs(1).eval().asInstanceOf[Number].intValue,
+        exprs(2).eval().asInstanceOf[Number].intValue)))
 
   /** Registers only if absent, so a user's own temp function of the same
     * name is never silently replaced and repeated calls are no-ops. */

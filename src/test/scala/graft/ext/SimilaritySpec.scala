@@ -29,7 +29,7 @@ class SimilaritySpec extends SparkSpec {
   test("LSH ANN results are a subset of brute-force with same scores") {
     val bf = Similarity.bruteForceTopK(vecs, "vec_id", "embedding", 0L, 4)
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
-    val lsh = Similarity.annLsh(vecs, "vec_id", "embedding", 0L, 4, dim = 8)
+    val lsh = Similarity.annLsh(vecs, "vec_id", "embedding", 0L, 4)
       .collect().map(r => (r.getLong(0), r.getDouble(1)))
     assert(lsh.nonEmpty) // same-direction copy always shares the bucket
     lsh.foreach { case (id, c) => assert(bf(id) == c) }
@@ -37,10 +37,48 @@ class SimilaritySpec extends SparkSpec {
   }
 
   test("near-dup pairs finds the colinear pair with cosine ~1") {
-    val out = Similarity.nearDupPairs(vecs, "vec_id", "embedding", k = 5, dim = 8)
+    val out = Similarity.nearDupPairs(vecs, "vec_id", "embedding", k = 5)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     val top = out.head
     assert((top._1, top._2) == (0L, 1L))
     assert(top._3 > 0.999999)
+  }
+
+  test("16-plane bands shrink the max bucket vs the old 4-plane scheme") {
+    import org.apache.spark.sql.functions._
+    // 400 random vectors: with 4 planes there are only 16 buckets, so the
+    // biggest bucket is huge (quadratic join work); 16-plane bands spread
+    // the same vectors over 2^16 buckets per band.
+    val rnd = new scala.util.Random(11)
+    val many = (0 until 400).map(i =>
+      (i.toLong, Array.fill(16)(rnd.nextFloat() * 2 - 1))).toDF("vec_id", "embedding")
+    def maxBucket(bands: Int, planes: Int): Long = {
+      val base = many.select(col("vec_id"),
+        Similarity.quantize(col("embedding")).as("qe"))
+      base.select(posexplode(
+          Similarity.lshBuckets(base, "qe", bands, planes)).as(Seq("band", "bucket")))
+        .groupBy("band", "bucket").count()
+        .agg(max("count")).collect().head.getLong(0)
+    }
+    val coarse = maxBucket(1, 4)
+    val fine = maxBucket(8, 16)
+    assert(fine < coarse / 4,
+      s"expected 16-plane bands to shrink max bucket: coarse=$coarse fine=$fine")
+  }
+
+  test("multi-band recall: near-identical vectors collide in some band") {
+    import org.apache.spark.sql.functions._
+    // 50 base vectors each with a tiny-noise twin: every twin pair must
+    // share at least one of the 8 band buckets (cosine ≈ 1 ⇒ recall ≈ 1).
+    val rnd = new scala.util.Random(13)
+    val rows = (0 until 50).flatMap { i =>
+      val base = Array.fill(16)(rnd.nextFloat() * 2 - 1)
+      val twin = base.map(x => x + (rnd.nextFloat() - 0.5f) * 1e-4f)
+      Seq((i.toLong * 2, base), (i.toLong * 2 + 1, twin))
+    }.toDF("vec_id", "embedding")
+    val found = Similarity.nearDupPairs(rows, "vec_id", "embedding", k = 100)
+      .where(col("id_b") === col("id_a") + 1 && col("id_a") % 2 === 0)
+      .count()
+    assert(found == 50L, s"expected all 50 twin pairs, found $found")
   }
 }
