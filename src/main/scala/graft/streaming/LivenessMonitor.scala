@@ -1,0 +1,66 @@
+package graft.streaming
+
+import java.util.UUID
+
+import org.apache.spark.sql.streaming.StreamingQueryListener
+
+/** A2 liveness monitoring — the Spark analog of the reference's
+  * `max_behind` node-staleness cutoff: the reference hard-errors when no
+  * finalized block arrives within `max_behind_seconds`
+  * (`next_chunk_timeout`, lib.rs:432-447) so the service can fail over
+  * to the next node endpoint (lib.rs:523-595).
+  *
+  * In Structured Streaming liveness is an observability concern, not a
+  * watermark: this `StreamingQueryListener` tracks the last wall-clock
+  * instant each query made progress WITH data (empty micro-batches do
+  * not count — a trigger that read nothing is exactly the "node behind"
+  * condition). Operators poll [[isBehind]]/[[behindQueries]] and decide
+  * the response (alert, stop the query, switch sources) — the decision
+  * loop stays outside the engine just as the reference's failover loop
+  * wraps its node client.
+  *
+  * The clock is injectable for deterministic tests.
+  */
+final class LivenessMonitor(maxBehindSeconds: Long,
+                            clock: () => Long = () => System.currentTimeMillis())
+    extends StreamingQueryListener {
+
+  private val lastAlive = new java.util.concurrent.ConcurrentHashMap[UUID, java.lang.Long]()
+  private val dataSeen = java.util.concurrent.ConcurrentHashMap.newKeySet[UUID]()
+  private val stopped = java.util.concurrent.ConcurrentHashMap.newKeySet[UUID]()
+
+  private[streaming] def recordStart(id: UUID, atMs: Long): Unit =
+    lastAlive.put(id, atMs)
+
+  private[streaming] def recordProgress(id: UUID, inputRows: Long, atMs: Long): Unit =
+    if (inputRows > 0) { dataSeen.add(id); lastAlive.put(id, atMs) }
+
+  private[streaming] def recordStop(id: UUID): Unit = stopped.add(id)
+
+  /** Queries currently tracked (started, not terminated). */
+  def tracked: Set[UUID] = {
+    import scala.jdk.CollectionConverters._
+    lastAlive.keySet.asScala.toSet.diff(stopped.asScala.toSet)
+  }
+
+  /** True iff the query ever completed a data-carrying micro-batch. */
+  def sawData(id: UUID): Boolean = dataSeen.contains(id)
+
+  /** True iff the query is live and has gone longer than
+    * `maxBehindSeconds` without a data-carrying micro-batch (measured
+    * from start for a query that never produced one). */
+  def isBehind(id: UUID): Boolean =
+    !stopped.contains(id) &&
+      Option(lastAlive.get(id)).exists(t => clock() - t > maxBehindSeconds * 1000L)
+
+  def behindQueries: Set[UUID] = tracked.filter(isBehind)
+
+  override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit =
+    recordStart(e.id, clock())
+
+  override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit =
+    recordProgress(e.progress.id, e.progress.numInputRows, clock())
+
+  override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit =
+    recordStop(e.id)
+}

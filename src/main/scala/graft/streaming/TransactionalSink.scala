@@ -1,190 +1,288 @@
 package graft.streaming
 
 import java.math.BigInteger
-import java.sql.Connection
+import java.sql.{Connection, PreparedStatement, SQLException}
 
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 
 import graft.ingest.BlockIngest
+import graft.model.Schemas
 
 /** Exactly-once JDBC sink for the block-feed stream — the Spark analog of
   * the reference's per-block transactional writer (insert_block,
-  * main.rs:543-574) with the retry/replay semantics of its use_db loop
-  * (lib.rs:284-361).
+  * main.rs:543-574; "each block is one DB transaction", README.md:41-44)
+  * with the retry/replay semantics of its use_db loop (lib.rs:284-361).
+  *
+  * **Per-block atomic visibility.** All rows derived from one block —
+  * summaries, ati, cti, cis2 deltas + supply, key bindings — are written
+  * in ONE JDBC transaction: the batch is repartitioned by `height` so a
+  * single task owns every row of a block, rows are sorted by height
+  * within the partition, and the writer commits once per block on a
+  * single connection (commit-by-height). A crash or kill at any point
+  * leaves every block either fully visible in all five tables or not
+  * visible at all — never a block with `summaries` present but `ati`
+  * missing. Blocks commit in height order within a partition; across
+  * partitions order is not guaranteed, which is why the streaming
+  * CHECKPOINT (not the A11 max-height query) is the resume authority
+  * mid-stream: a replayed micro-batch re-fills any inter-block gap
+  * idempotently. A11 remains correct for cold starts from a cleanly
+  * stopped DB.
   *
   * Exactly-once is BY CONSTRUCTION, not by ledger:
   *  - every row has a deterministic natural key (engine-derived ids,
   *    SURVEY §7.4), so all appends are conditional inserts
   *    (`INSERT … WHERE NOT EXISTS`) — a replayed micro-batch inserts 0
   *    rows;
-  *  - the CIS-2 running supply is updated only by the deltas that were
-  *    NEWLY inserted in this transaction (the conditional insert's
-  *    update count says which), so a replay adds nothing twice; the
-  *    batch is repartitioned by token key so no two tasks race on the
-  *    same supply row;
-  *  - key-binding snapshots are last-write-wins by source id: older
-  *    snapshots never overwrite newer ones, replays are no-ops; the
-  *    batch is repartitioned by address.
-  *
-  * Each partition writes in ONE JDBC transaction (per-partition
-  * atomicity; a task retry replays into a consistent state because every
-  * statement is idempotent).
+  *  - CIS-2 deltas are inserted as a STATEMENT BATCH and the per-
+  *    statement update counts from `executeBatch` say which deltas are
+  *    NEW; only those fold into the running supply (BigInteger
+  *    arithmetic — NUMERIC(80,0) analog), so replays add nothing twice.
+  *    The supply read-modify-write is an optimistic CAS
+  *    (`UPDATE … WHERE total_supply = <read value>`, savepoint-guarded
+  *    insert race) so two partitions touching the same token converge;
+  *    a deadlock abort fails the task and the idempotent retry heals;
+  *  - key bindings are pre-reduced to the LATEST snapshot per address in
+  *    the batch (max source id — the reference also ends the block batch
+  *    with only the last snapshot visible, main.rs:506-540), so exactly
+  *    one block transaction writes a given address per batch;
+  *    last-write-wins guards keep cross-batch replays no-ops.
   */
 object TransactionalSink extends Serializable {
 
+  private def heightOfId(id: org.apache.spark.sql.Column) =
+    shiftright(id, Schemas.SeqBits)
+
   /** Write one micro-batch of feed rows (Schemas.blockFeed + id) into
-    * the serving DB. Pure function of the batch — usable from
-    * foreachBatch (streaming) or directly (batch backfill, A13). */
+    * the serving DB with per-block atomicity. Pure function of the
+    * batch — usable from foreachBatch (streaming) or directly (batch
+    * backfill, A13). */
   def writeBatch(feedBatch: DataFrame, url: String, dialect: Dialect): Unit = {
     val withId = BlockIngest.withId(feedBatch)
 
-    val summaries = BlockIngest.summaries(feedBatch)
-    val ati = BlockIngest.ati(feedBatch)
-    val cti = BlockIngest.cti(feedBatch)
-    val deltas = BlockIngest.cis2DeltaRows(withId)
+    val summaries = BlockIngest.summaries(feedBatch).select(
+      col("height"), lit(0).as("tag"),
+      col("id").as("s_id"), col("block").as("s_block"),
+      col("timestamp").as("s_ts"), col("summary").as("s_summary"))
+
+    val ati = BlockIngest.ati(feedBatch).select(
+      heightOfId(col("summary")).as("height"), lit(1).as("tag"),
+      col("account").as("a_account"), col("summary").as("a_summary"))
+
+    val cti = BlockIngest.cti(feedBatch).select(
+      heightOfId(col("summary")).as("height"), lit(2).as("tag"),
+      col("index").as("c_idx"), col("subindex").as("c_subidx"),
+      col("summary").as("c_summary"))
+
+    val deltas = BlockIngest.cis2DeltaRows(withId).select(
+      heightOfId(col("summary")).as("height"), lit(3).as("tag"),
+      col("summary").as("d_summary"), col("seq").as("d_seq"),
+      col("index").as("d_idx"), col("subindex").as("d_subidx"),
+      col("token_id").as("d_token"), col("delta").as("d_delta"))
+
+    // Latest snapshot per address in this batch: one writer per address.
     val bindings = withId
       .where(col("key_bindings").isNotNull)
       .select(coalesce(col("sender"), col("affected_accounts").getItem(0)).as("address"),
-        col("id"), explode(col("key_bindings")).as("b"))
-      .select(col("address"), col("id"), col("b.credential_index"),
-        col("b.key_index"), col("b.public_key"), col("b.is_simple_account"))
+        col("id"), col("key_bindings"))
+      .groupBy("address")
+      .agg(max_by(struct(col("id"), col("key_bindings")), col("id")).as("w"))
+      .select(col("address"), col("w.id").as("id"), explode(col("w.key_bindings")).as("b"))
+      .select(heightOfId(col("id")).as("height"), lit(4).as("tag"),
+        col("address").as("b_address"), col("id").as("b_src"),
+        col("b.credential_index").as("b_cred"), col("b.key_index").as("b_key"),
+        col("b.public_key").as("b_pub"), col("b.is_simple_account").as("b_simple"))
 
-    val dummy = dialect.dummyFrom
+    val all = Seq(summaries, ati, cti, deltas, bindings)
+      .reduce(_.unionByName(_, allowMissingColumns = true))
 
-    insertIfAbsent(summaries, url,
-      s"""INSERT INTO summaries (id, block, ts, height, summary)
-         |SELECT ?, ?, ?, ?, ? $dummy
-         |WHERE NOT EXISTS (SELECT 1 FROM summaries WHERE id = ?)""".stripMargin,
-      (ps, r) => {
-        ps.setLong(1, r.getLong(0)); ps.setString(2, r.getString(1))
-        ps.setLong(3, r.getLong(2)); ps.setLong(4, r.getLong(3))
-        ps.setString(5, r.getString(4)); ps.setLong(6, r.getLong(0))
-      })
-
-    insertIfAbsent(ati, url,
-      s"""INSERT INTO ati (account, summary)
-         |SELECT ?, ? $dummy
-         |WHERE NOT EXISTS (SELECT 1 FROM ati WHERE account = ? AND summary = ?)""".stripMargin,
-      (ps, r) => {
-        ps.setLong(1, r.getLong(0)); ps.setLong(2, r.getLong(1))
-        ps.setLong(3, r.getLong(0)); ps.setLong(4, r.getLong(1))
-      })
-
-    insertIfAbsent(cti, url,
-      s"""INSERT INTO cti (idx, subidx, summary)
-         |SELECT ?, ?, ? $dummy
-         |WHERE NOT EXISTS (SELECT 1 FROM cti WHERE idx = ? AND subidx = ? AND summary = ?)""".stripMargin,
-      (ps, r) => {
-        ps.setLong(1, r.getLong(0)); ps.setLong(2, r.getLong(1))
-        ps.setLong(3, r.getLong(2)); ps.setLong(4, r.getLong(0))
-        ps.setLong(5, r.getLong(1)); ps.setLong(6, r.getLong(2))
-      })
-
-    applyCis2(deltas, url, dialect)
-    applyBindings(bindings, url, dialect)
+    all.repartition(col("height"))
+      .sortWithinPartitions(col("height"), col("tag"))
+      .foreachPartition { (rows: Iterator[Row]) =>
+        if (rows.nonEmpty) writePartition(rows, url, dialect)
+      }
   }
 
-  /** Conditional-insert appender: one JDBC transaction per partition,
-    * statement batching (A13's 1000-row batching analog). */
-  private def insertIfAbsent(df: DataFrame, url: String, sql: String,
-                             bind: (java.sql.PreparedStatement, Row) => Unit): Unit =
-    df.foreachPartition { (rows: Iterator[Row]) =>
-      if (rows.nonEmpty) withTx(url) { c =>
-        val ps = c.prepareStatement(sql)
-        var n = 0
-        rows.foreach { r =>
-          bind(ps, r); ps.addBatch(); n += 1
-          if (n % 1000 == 0) ps.executeBatch()
-        }
-        ps.executeBatch()
-      }
-    }
-
-  /** CIS-2: persist deltas idempotently, then fold ONLY the newly
-    * inserted deltas into the running supply (BigInteger arithmetic —
-    * NUMERIC(80,0) analog, beyond both Decimal(38) and Derby's
-    * DECIMAL(31)). Keyed repartition ⇒ one task owns a token key. */
-  private def applyCis2(deltas: DataFrame, url: String, dialect: Dialect): Unit =
-    deltas.repartition(col("index"), col("subindex"), col("token_id"))
-      .foreachPartition { (rows: Iterator[Row]) =>
-        if (rows.nonEmpty) withTx(url) { c =>
-          val ins = c.prepareStatement(
-            s"""INSERT INTO cis2_deltas (summary, seq, idx, subidx, token_id, delta)
-               |SELECT ?, ?, ?, ?, ?, ? ${dialect.dummyFrom}
-               |WHERE NOT EXISTS (SELECT 1 FROM cis2_deltas WHERE summary = ? AND seq = ?)""".stripMargin)
-          val acc = scala.collection.mutable.Map.empty[(Long, Long, String), BigInteger]
-          rows.foreach { r =>
-            val (sum, seq) = (r.getLong(0), r.getInt(1))
-            val key = (r.getLong(2), r.getLong(3), r.getString(4))
-            val delta = new BigInteger(r.getString(5))
-            ins.setLong(1, sum); ins.setInt(2, seq)
-            ins.setLong(3, key._1); ins.setLong(4, key._2)
-            ins.setString(5, key._3); ins.setString(6, delta.toString)
-            ins.setLong(7, sum); ins.setInt(8, seq)
-            if (ins.executeUpdate() == 1) // newly inserted → apply
-              acc.updateWith(key)(v => Some(v.getOrElse(BigInteger.ZERO).add(delta)))
-          }
-          val sel = c.prepareStatement(
-            "SELECT total_supply FROM cis2_tokens WHERE idx = ? AND subidx = ? AND token_id = ?")
-          val upd = c.prepareStatement(
-            "UPDATE cis2_tokens SET total_supply = ? WHERE idx = ? AND subidx = ? AND token_id = ?")
-          val insTok = c.prepareStatement(
-            "INSERT INTO cis2_tokens (idx, subidx, token_id, total_supply) VALUES (?, ?, ?, ?)")
-          acc.foreach { case ((i, s, t), d) =>
-            sel.setLong(1, i); sel.setLong(2, s); sel.setString(3, t)
-            val rs = sel.executeQuery()
-            if (rs.next()) {
-              val cur = new BigInteger(rs.getString(1))
-              upd.setString(1, cur.add(d).toString)
-              upd.setLong(2, i); upd.setLong(3, s); upd.setString(4, t)
-              upd.executeUpdate()
-            } else {
-              insTok.setLong(1, i); insTok.setLong(2, s); insTok.setString(3, t)
-              insTok.setString(4, d.toString)
-              insTok.executeUpdate()
-            }
-          }
-        }
-      }
-
-  /** Key bindings: last-write-wins snapshot by source id (delete older
-    * rows, insert guarded against newer — main.rs:506-540 semantics,
-    * replay/ordering safe). Keyed repartition ⇒ one task per address. */
-  private def applyBindings(bindings: DataFrame, url: String, dialect: Dialect): Unit =
-    bindings.repartition(col("address"))
-      .foreachPartition { (rows: Iterator[Row]) =>
-        if (rows.nonEmpty) withTx(url) { c =>
-          val del = c.prepareStatement(
-            "DELETE FROM bindings WHERE address = ? AND src_id < ?")
-          val ins = c.prepareStatement(
-            s"""INSERT INTO bindings (address, src_id, credential_index, key_index, public_key, is_simple_account)
-               |SELECT ?, ?, ?, ?, ?, ? ${dialect.dummyFrom}
-               |WHERE NOT EXISTS (SELECT 1 FROM bindings WHERE address = ? AND src_id > ?)
-               |  AND NOT EXISTS (SELECT 1 FROM bindings WHERE address = ? AND src_id = ?
-               |                  AND credential_index = ? AND key_index = ?)""".stripMargin)
-          rows.foreach { r =>
-            val (addr, id) = (r.getLong(0), r.getLong(1))
-            del.setLong(1, addr); del.setLong(2, id); del.executeUpdate()
-            ins.setLong(1, addr); ins.setLong(2, id)
-            ins.setInt(3, r.getInt(2)); ins.setInt(4, r.getInt(3))
-            ins.setString(5, r.getString(4)); ins.setBoolean(6, r.getBoolean(5))
-            ins.setLong(7, addr); ins.setLong(8, id)
-            ins.setLong(9, addr); ins.setLong(10, id)
-            ins.setInt(11, r.getInt(2)); ins.setInt(12, r.getInt(3))
-            ins.executeUpdate()
-          }
-        }
-      }
-
-  private def withTx(url: String)(f: Connection => Unit): Unit = {
+  /** One connection per partition; one transaction (commit) per block. */
+  private def writePartition(rows: Iterator[Row], url: String, dialect: Dialect): Unit = {
     val c = Migrations.connect(url)
     try {
       c.setAutoCommit(false)
-      f(c)
-      c.commit()
+      val st = new BlockStatements(c, dialect)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[Row]
+      var curHeight = Long.MinValue
+      def flush(): Unit = if (buf.nonEmpty) {
+        writeBlock(c, st, buf.toSeq)
+        c.commit()
+        buf.clear()
+      }
+      rows.foreach { r =>
+        val h = r.getAs[Long]("height")
+        if (h != curHeight) { flush(); curHeight = h }
+        buf += r
+      }
+      flush()
+      st.close()
     } catch {
       case e: Throwable => c.rollback(); throw e
     } finally c.close()
+  }
+
+  /** All writes of one block, in the reference's insert order
+    * (main.rs:543-574): summaries → ati → cti → cis2 → bindings. */
+  private def writeBlock(c: Connection, st: BlockStatements, rows: Seq[Row]): Unit = {
+    val byTag = rows.groupBy(_.getAs[Int]("tag"))
+
+    byTag.getOrElse(0, Nil).foreach { r =>
+      val id = r.getAs[Long]("s_id")
+      st.insSummary.setLong(1, id)
+      st.insSummary.setString(2, r.getAs[String]("s_block"))
+      st.insSummary.setLong(3, r.getAs[Long]("s_ts"))
+      st.insSummary.setLong(4, r.getAs[Long]("height"))
+      st.insSummary.setString(5, r.getAs[String]("s_summary"))
+      st.insSummary.setLong(6, id)
+      st.insSummary.addBatch()
+    }
+    st.insSummary.executeBatch()
+
+    byTag.getOrElse(1, Nil).foreach { r =>
+      val (a, s) = (r.getAs[Long]("a_account"), r.getAs[Long]("a_summary"))
+      st.insAti.setLong(1, a); st.insAti.setLong(2, s)
+      st.insAti.setLong(3, a); st.insAti.setLong(4, s)
+      st.insAti.addBatch()
+    }
+    st.insAti.executeBatch()
+
+    byTag.getOrElse(2, Nil).foreach { r =>
+      val (i, s2, s) = (r.getAs[Long]("c_idx"), r.getAs[Long]("c_subidx"),
+        r.getAs[Long]("c_summary"))
+      st.insCti.setLong(1, i); st.insCti.setLong(2, s2); st.insCti.setLong(3, s)
+      st.insCti.setLong(4, i); st.insCti.setLong(5, s2); st.insCti.setLong(6, s)
+      st.insCti.addBatch()
+    }
+    st.insCti.executeBatch()
+
+    // CIS-2: batched conditional inserts; executeBatch update counts say
+    // which deltas are NEW in this transaction — only those fold into
+    // the running supply (replay inserts 0 ⇒ applies 0).
+    val deltaRows = byTag.getOrElse(3, Nil)
+    deltaRows.foreach { r =>
+      st.insDelta.setLong(1, r.getAs[Long]("d_summary"))
+      st.insDelta.setInt(2, r.getAs[Int]("d_seq"))
+      st.insDelta.setLong(3, r.getAs[Long]("d_idx"))
+      st.insDelta.setLong(4, r.getAs[Long]("d_subidx"))
+      st.insDelta.setString(5, r.getAs[String]("d_token"))
+      st.insDelta.setString(6, r.getAs[String]("d_delta"))
+      st.insDelta.setLong(7, r.getAs[Long]("d_summary"))
+      st.insDelta.setInt(8, r.getAs[Int]("d_seq"))
+      st.insDelta.addBatch()
+    }
+    val inserted = st.insDelta.executeBatch()
+    val acc = scala.collection.mutable.LinkedHashMap.empty[(Long, Long, String), BigInteger]
+    deltaRows.zip(inserted).foreach { case (r, n) =>
+      if (n == 1) {
+        val key = (r.getAs[Long]("d_idx"), r.getAs[Long]("d_subidx"),
+          r.getAs[String]("d_token"))
+        val d = new BigInteger(r.getAs[String]("d_delta"))
+        acc.updateWith(key)(v => Some(v.getOrElse(BigInteger.ZERO).add(d)))
+      }
+    }
+    acc.foreach { case (key, d) => applySupply(c, st, key, d) }
+
+    byTag.getOrElse(4, Nil).foreach { r =>
+      val (addr, id) = (r.getAs[Long]("b_address"), r.getAs[Long]("b_src"))
+      st.delBindings.setLong(1, addr); st.delBindings.setLong(2, id)
+      st.delBindings.executeUpdate()
+      st.insBinding.setLong(1, addr); st.insBinding.setLong(2, id)
+      st.insBinding.setInt(3, r.getAs[Int]("b_cred"))
+      st.insBinding.setInt(4, r.getAs[Int]("b_key"))
+      st.insBinding.setString(5, r.getAs[String]("b_pub"))
+      st.insBinding.setBoolean(6, r.getAs[Boolean]("b_simple"))
+      st.insBinding.setLong(7, addr); st.insBinding.setLong(8, id)
+      st.insBinding.setLong(9, addr); st.insBinding.setLong(10, id)
+      st.insBinding.setInt(11, r.getAs[Int]("b_cred"))
+      st.insBinding.setInt(12, r.getAs[Int]("b_key"))
+      st.insBinding.executeUpdate()
+    }
+  }
+
+  /** Optimistic read-modify-write of one token's running supply:
+    * compare-and-swap on the read value (two concurrent block
+    * transactions on the same token converge — the loser's UPDATE
+    * matches 0 rows and retries); the first-insert race is
+    * savepoint-guarded so a PK violation degrades to a retry instead of
+    * poisoning the block transaction. */
+  private def applySupply(c: Connection, st: BlockStatements,
+                          key: (Long, Long, String), d: BigInteger): Unit = {
+    val (i, s, t) = key
+    var done = false
+    while (!done) {
+      st.selTok.setLong(1, i); st.selTok.setLong(2, s); st.selTok.setString(3, t)
+      val rs = st.selTok.executeQuery()
+      if (rs.next()) {
+        val cur = rs.getString(1)
+        st.updTok.setString(1, new BigInteger(cur).add(d).toString)
+        st.updTok.setLong(2, i); st.updTok.setLong(3, s); st.updTok.setString(4, t)
+        st.updTok.setString(5, cur)
+        done = st.updTok.executeUpdate() == 1
+      } else {
+        val sp = c.setSavepoint()
+        try {
+          st.insTok.setLong(1, i); st.insTok.setLong(2, s); st.insTok.setString(3, t)
+          st.insTok.setString(4, d.toString)
+          st.insTok.executeUpdate()
+          done = true
+        } catch {
+          case _: SQLException => c.rollback(sp) // lost the insert race; retry as update
+        }
+      }
+      rs.close()
+    }
+  }
+
+  /** Prepared statements reused across all blocks of a partition. */
+  private final class BlockStatements(c: Connection, dialect: Dialect) {
+    private val dummy = dialect.dummyFrom
+
+    val insSummary: PreparedStatement = c.prepareStatement(
+      s"""INSERT INTO summaries (id, block, ts, height, summary)
+         |SELECT ?, ?, ?, ?, ? $dummy
+         |WHERE NOT EXISTS (SELECT 1 FROM summaries WHERE id = ?)""".stripMargin)
+
+    val insAti: PreparedStatement = c.prepareStatement(
+      s"""INSERT INTO ati (account, summary)
+         |SELECT ?, ? $dummy
+         |WHERE NOT EXISTS (SELECT 1 FROM ati WHERE account = ? AND summary = ?)""".stripMargin)
+
+    val insCti: PreparedStatement = c.prepareStatement(
+      s"""INSERT INTO cti (idx, subidx, summary)
+         |SELECT ?, ?, ? $dummy
+         |WHERE NOT EXISTS (SELECT 1 FROM cti WHERE idx = ? AND subidx = ? AND summary = ?)""".stripMargin)
+
+    val insDelta: PreparedStatement = c.prepareStatement(
+      s"""INSERT INTO cis2_deltas (summary, seq, idx, subidx, token_id, delta)
+         |SELECT ?, ?, ?, ?, ?, ? $dummy
+         |WHERE NOT EXISTS (SELECT 1 FROM cis2_deltas WHERE summary = ? AND seq = ?)""".stripMargin)
+
+    val selTok: PreparedStatement = c.prepareStatement(
+      "SELECT total_supply FROM cis2_tokens WHERE idx = ? AND subidx = ? AND token_id = ?")
+    val updTok: PreparedStatement = c.prepareStatement(
+      """UPDATE cis2_tokens SET total_supply = ?
+        |WHERE idx = ? AND subidx = ? AND token_id = ? AND total_supply = ?""".stripMargin)
+    val insTok: PreparedStatement = c.prepareStatement(
+      "INSERT INTO cis2_tokens (idx, subidx, token_id, total_supply) VALUES (?, ?, ?, ?)")
+
+    val delBindings: PreparedStatement = c.prepareStatement(
+      "DELETE FROM bindings WHERE address = ? AND src_id < ?")
+    val insBinding: PreparedStatement = c.prepareStatement(
+      s"""INSERT INTO bindings (address, src_id, credential_index, key_index, public_key, is_simple_account)
+         |SELECT ?, ?, ?, ?, ?, ? $dummy
+         |WHERE NOT EXISTS (SELECT 1 FROM bindings WHERE address = ? AND src_id > ?)
+         |  AND NOT EXISTS (SELECT 1 FROM bindings WHERE address = ? AND src_id = ?
+         |                  AND credential_index = ? AND key_index = ?)""".stripMargin)
+
+    def close(): Unit =
+      Seq(insSummary, insAti, insCti, insDelta, selTok, updTok, insTok,
+        delBindings, insBinding).foreach(_.close())
   }
 }

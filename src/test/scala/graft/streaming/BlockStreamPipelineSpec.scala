@@ -124,4 +124,65 @@ class BlockStreamPipelineSpec extends SparkSpec {
         r(3).asInstanceOf[String])).toMap
     assert(gotTok == expTok)
   }
+
+  test("a failed write leaves no block partially visible (per-block atomicity)") {
+    // Block 2's binding row violates the 256-char public_key column, so
+    // its transaction dies AFTER the block's summaries/ati/cti/deltas
+    // statements already executed — the rollback must hide all of them
+    // (insert_block one-transaction-per-block, main.rs:543-574).
+    val root2 = Files.createTempDirectory("graft-atomic").toString
+    val url2 = s"jdbc:derby:$root2/db;create=true"
+    Migrations.migrate(url2, Dialect.Derby)
+
+    def feed(poison: Boolean): DataFrame = {
+      val rows = (0 until 4).flatMap { h =>
+        val pk = if (poison && h == 2) "x" * 300 else s"pk-$h"
+        Seq(
+          Row(h.toLong, 0, s"h$h", 1000L * h, s"""{"k":$h}""", false, (h % 3).toLong,
+            Seq((h % 3).toLong, ((h + 1) % 3).toLong),
+            Seq(Row((h % 2).toLong, 0L)),
+            Seq(Row((h % 2).toLong, 0L, "tok", "mint", (10 + h).toString)),
+            null),
+          Row(h.toLong, 1, s"h$h", 1000L * h, s"""{"s":$h}""", true, null,
+            Seq(90L + h), Seq.empty[Row], Seq.empty[Row],
+            Seq(Row(0, 0, pk, true)))
+        )
+      }
+      spark.createDataFrame(rows.asJava,
+        Schemas.blockFeed(org.apache.spark.sql.types.LongType))
+    }
+    def q2(sql: String): Seq[Seq[Any]] = {
+      val c = Migrations.connect(url2)
+      try {
+        val rs = c.createStatement().executeQuery(sql)
+        val n = rs.getMetaData.getColumnCount
+        val buf = scala.collection.mutable.Buffer.empty[Seq[Any]]
+        while (rs.next()) buf += (1 to n).map(rs.getObject)
+        buf.toSeq
+      } finally c.close()
+    }
+
+    intercept[Exception] {
+      TransactionalSink.writeBatch(feed(poison = true), url2, Dialect.Derby)
+    }
+    val lo = 2L * Schemas.SeqMod
+    val hi = 3L * Schemas.SeqMod
+    assert(q2("SELECT COUNT(*) FROM summaries WHERE height = 2").head.head == 0)
+    assert(q2(s"SELECT COUNT(*) FROM ati WHERE summary >= $lo AND summary < $hi").head.head == 0)
+    assert(q2(s"SELECT COUNT(*) FROM cti WHERE summary >= $lo AND summary < $hi").head.head == 0)
+    assert(q2(s"SELECT COUNT(*) FROM cis2_deltas WHERE summary >= $lo AND summary < $hi").head.head == 0)
+    assert(q2("SELECT COUNT(*) FROM bindings WHERE address = 92").head.head == 0)
+
+    // Replaying the corrected batch heals the gap; already-committed
+    // blocks dedup via the conditional inserts (idempotent replay).
+    TransactionalSink.writeBatch(feed(poison = false), url2, Dialect.Derby)
+    assert(q2("SELECT COUNT(*) FROM summaries").head.head == 8)
+    assert(q2("SELECT COUNT(*) FROM cis2_deltas").head.head == 4)
+    assert(q2("SELECT COUNT(*) FROM bindings").head.head == 4)
+    // mints on (0,0): heights 0 and 2 → 10 + 12
+    assert(q2("SELECT total_supply FROM cis2_tokens WHERE idx = 0 AND subidx = 0")
+      .head.head == "22")
+    assert(q2("SELECT total_supply FROM cis2_tokens WHERE idx = 1 AND subidx = 0")
+      .head.head == "24")
+  }
 }
