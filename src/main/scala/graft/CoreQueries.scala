@@ -117,11 +117,7 @@ object CoreQueries {
       QueryApi.accountTransactions(Tables.ati(s, d), Tables.summaries(s, d),
         lit(Account), 0L, None, ascending = true)),
     "b5_row_decode" -> ((s, d) =>
-      Tables.summaries(s, d).select(
-        col("id"),
-        get_json_object(col("summary"), "$.Left.k").as("left_k"),
-        get_json_object(col("summary"), "$.Right.k").as("right_k"))
-        .orderBy("id")),
+      QueryApi.decodeRows(Tables.summaries(s, d)).orderBy("id")),
     "b6_topk_per_account" -> ((s, d) =>
       QueryApi.topKPerAccount(Tables.ati(s, d), 3).orderBy("account", "rn")),
     "b7_change_feed" -> ((s, d) =>
@@ -192,7 +188,7 @@ WHERE ati.account = $Account AND ati.summary >= 0
 ORDER BY s.id ASC"""),
     "b5_row_decode" -> (cte + """
 SELECT id, summary->>'$.Left.k' AS left_k, summary->>'$.Right.k' AS right_k
-FROM summaries ORDER BY id"""),
+FROM summaries WHERE json_valid(summary) ORDER BY id"""),
     "b6_topk_per_account" -> (cte + """
 SELECT account, summary, CAST(rn AS INT) AS rn FROM (
   SELECT account, summary,

@@ -45,6 +45,19 @@ object QueryApi {
     limit.fold(sorted)(sorted.limit)
   }
 
+  /** B5 — row decode: project fields out of the JSON envelope, SILENTLY
+    * DROPPING rows whose summary fails to parse — the reference's
+    * `construct_row` is applied via `filter_map`, so undecodable rows
+    * vanish from every page instead of erroring (postgres.rs:387-391,
+    * 333, 360). Validity = the envelope parses as JSON at all
+    * (`get_json_object($)` is null exactly for malformed documents). */
+  def decodeRows(summaries: DataFrame): DataFrame =
+    summaries
+      .where(get_json_object(col("summary"), "$").isNotNull)
+      .select(col("id"),
+        get_json_object(col("summary"), "$.Left.k").as("left_k"),
+        get_json_object(col("summary"), "$.Right.k").as("right_k"))
+
   /** B6 — most-recent-k summaries per account, for all accounts at once
     * (the generalization of wallet-proxy-indexer/README.md:113-122):
     * window `row_number` over id desc, one shuffle on account. */

@@ -33,6 +33,18 @@ class QueryApiSpec extends SparkSpec {
     assert(out == Seq((7L, 5L), (7L, 3L), (8L, 3L), (8L, 2L)))
   }
 
+  test("row decode silently drops rows whose summary fails to parse") {
+    val withBad = Seq(
+      (1L, "b1", 10L, 0L, """{"Left":{"k":1}}"""),
+      (2L, "b1", 10L, 0L, """{oops not json"""), // dropped, not an error
+      (3L, "b2", 20L, 1L, """{"Right":{"k":3}}""")
+    ).toDF("id", "block", "timestamp", "height", "summary")
+    val out = QueryApi.decodeRows(withBad).orderBy("id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 3L))
+    assert(out(0).getString(1) == "1" && out(0).getString(2) == null)
+    assert(out(1).getString(1) == null && out(1).getString(2) == "3")
+  }
+
   test("change feed keeps protocol events (null sender) and drops own sends") {
     val sws = Seq(
       (1L, "b1", 10L, 0L, "s1", Some(7L)),  // own send → dropped
