@@ -23,6 +23,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Untimed warmup: JVM startup, codegen compilation, and parquet
+    // reader classloading shouldn't be charged to whichever query
+    // happens to run first (it was inflating that query by ~4s).
+    try {
+      spark.range(1000000).selectExpr("sum(id)").collect()
+      Tables.summaries(spark, sfDir).limit(1).count()
+    } catch { case _: Throwable => () }
     val timings = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries.foreach { case (name, fn) =>

@@ -22,13 +22,18 @@ object ExtQueries {
   SELECT doc_id, text, string_split_regex(trim(text), ' +') AS words
   FROM documents
 )"""
-  private val ShinglesCte = WordsCte + """, sh AS (
-  SELECT doc_id,
-         unnest(list_distinct(CASE WHEN len(words) >= 3
-           THEN list_transform(range(len(words)-2),
-                i -> array_to_string(words[i+1:i+3], ' '))
-           ELSE [] END)) AS s
-  FROM w
+  // Distinct 3-shingles per doc, folded to 60-bit longs AFTER the
+  // distinct (mirrors Dedup.ngramJaccard: exact-string dedup, long keys
+  // through the join).
+  private def hashedShinglesCte =
+    WordsCte + s""", sh AS (
+  SELECT doc_id, ${h60("s0")} AS s
+  FROM (SELECT doc_id,
+          unnest(list_distinct(CASE WHEN len(words) >= 3
+            THEN list_transform(range(len(words)-2),
+                 i -> array_to_string(words[i+1:i+3], ' '))
+            ELSE [] END)) AS s0
+        FROM w)
 )"""
   // Tokens: word runs or single non-word chars (see Text.TokenRe).
   private val TokRe = "[0-9A-Za-z_]+|[^0-9A-Za-z_ ]"
@@ -120,7 +125,7 @@ SELECT md5(text) AS content_hash, min(doc_id) AS keeper_doc_id,
        count(*) AS n_copies
 FROM documents GROUP BY 1 ORDER BY 1""",
 
-    "dedup_ngram_jaccard" -> (ShinglesCte + """, sizes AS (
+    "dedup_ngram_jaccard" -> (hashedShinglesCte + """, sizes AS (
   SELECT doc_id, count(*) AS n FROM sh GROUP BY 1
 ), pairs AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter

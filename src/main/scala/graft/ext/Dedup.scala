@@ -22,15 +22,22 @@ object Dedup {
     * shingles: explode shingles, self-join on the shingle (only docs
     * sharing one meet), count intersections, filter by Jaccard.
     *
-    * Scale: the shingle join shuffles on the shingle string — uniform
-    * unless a shingle is extremely common; at 100 TB you'd MinHash first
-    * ([[minhashLsh]]) and use this as the verify step on candidates.
-    * Jaccard is emitted both as exact integers (inter/union) and a
-    * rounded double (engine-independent: integer division in IEEE). */
+    * Scale: the join/shuffle key is the 60-bit md5 hash of the shingle,
+    * not the string — 8 bytes per key through the exchange instead of
+    * ~16+ characters, hashed post-explode so the md5 stays inside
+    * whole-stage codegen (distinctness is taken on the exact strings
+    * first). The exploded frame is persisted across its three uses
+    * (sizes + both join sides). Hash keys are uniform unless a shingle
+    * is extremely common; at 100 TB you'd MinHash first ([[minhashLsh]])
+    * and use this as the verify step on candidates. Jaccard is emitted
+    * both as exact integers (inter/union) and a rounded double
+    * (engine-independent: integer division in IEEE). */
   def ngramJaccard(df: DataFrame, content: Column, id: Column,
                    k: Int = 3, minJaccard: Double = 0.5): DataFrame = {
     val sh = df.select(id.as("doc_id"),
-        explode(array_distinct(Text.shingles(content, k))).as("s"))
+        explode(array_distinct(Text.shingles(content, k))).as("str"))
+      .select(col("doc_id"), Text.hash60(col("str")).as("s"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val pairs = sh.as("a").join(sh.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
