@@ -1,6 +1,6 @@
 package graft.ingest
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.model.Schemas
@@ -31,6 +31,48 @@ import graft.model.Schemas
   *    observably (last-write-wins, main.rs:506-531).
   */
 object BlockFeed {
+
+  /** Bare finalized-block header, as delivered by the block stream
+    * before enrichment (`FinalizedBlockInfo` + `BlockInfo`,
+    * main.rs:792-795). */
+  case class BlockHeader(height: Long, block_hash: String,
+                         block_time_ms: Long, transaction_count: Int)
+
+  /** Typed mirror of Schemas.blockFeed (Long addresses). */
+  case class Contract(index: Long, subindex: Long)
+  case class Cis2Event(index: Long, subindex: Long, token_id: String,
+                       kind: String, amount: String)
+  case class KeyBinding(credential_index: Int, key_index: Int,
+                        public_key: String, is_simple_account: Boolean)
+  case class FeedRow(height: Long, seq_in_block: Int, block_hash: String,
+                     block_time_ms: Long, payload_json: String,
+                     is_special: Boolean, sender: Option[Long],
+                     affected_accounts: Seq[Long],
+                     affected_contracts: Seq[Contract],
+                     cis2_events: Seq[Cis2Event],
+                     key_bindings: Option[Seq[KeyBinding]])
+
+  /** A3 — per-block enrichment: turn bare block headers into feed rows
+    * by fetching each block's transaction items and special outcomes
+    * (`on_finalized_block`, main.rs:786-861). The transaction fetch is
+    * SKIPPED for blocks with `transaction_count == 0` — the reference's
+    * empty-block pruning (main.rs:796-798) as a plain filter — while
+    * special outcomes are fetched for every block. Fetchers are
+    * pluggable (gRPC client in production, deterministic fakes in
+    * tests) and are called with at most `maxParallel` headers per call
+    * per partition (the `MAX_NODE_REQUESTS = 20` bound, main.rs:37). */
+  def enrich(headers: Dataset[BlockHeader],
+             fetchItems: Seq[BlockHeader] => Seq[FeedRow],
+             fetchSpecial: Seq[BlockHeader] => Seq[FeedRow],
+             maxParallel: Int = 20): Dataset[FeedRow] = {
+    val enc = Encoders.product[FeedRow]
+    val items = headers.filter((h: BlockHeader) => h.transaction_count > 0)
+      .mapPartitions((it: Iterator[BlockHeader]) =>
+        it.grouped(maxParallel).flatMap(g => fetchItems(g)))(enc)
+    val special = headers.mapPartitions((it: Iterator[BlockHeader]) =>
+      it.grouped(maxParallel).flatMap(g => fetchSpecial(g)))(enc)
+    items.unionByName(special)
+  }
 
   /** Map the driver `events` table to the canonical feed shape.
     * Addresses are LongType user ids in this mapping. */

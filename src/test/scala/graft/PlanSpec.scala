@@ -1,0 +1,55 @@
+package graft
+
+/** Physical-plan regression assertions over the real sf0.001 testdata —
+  * codifies the "explain, then iterate until it's the plan you'd want"
+  * discipline so a future edit that silently degrades a plan (lost
+  * broadcast, lost pushdown, accidental cartesian product, global sort
+  * where a top-k suffices) fails CI instead of only showing up at 100 TB.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  private def count(p: String, needle: String): Int =
+    p.sliding(needle.length).count(_ == needle)
+
+  test("b1 account page: top-k via TakeOrderedAndProject, cursor pushed to scan") {
+    val p = plan("b1_account_page_asc")
+    assert(p.contains("TakeOrderedAndProject"), s"expected limit+sort fusion in:\n$p")
+    // ati here is DERIVED from events (explode of affected_accounts), so
+    // the account predicate can't reach storage — but Catalyst must push
+    // the keyset cursor (summary >= 0) THROUGH the deterministic-id
+    // arithmetic down to the events scan as a data filter.
+    assert(p.contains("DataFilters: [(((") && p.contains("1048576"),
+      s"expected the id-cursor predicate pushed through to the scan in:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q5 local supplier volume: dimension joins broadcast") {
+    val p = plan("q5_local_supplier_volume")
+    assert(count(p, "BroadcastHashJoin") >= 3,
+      s"expected >=3 broadcast joins for the dimension chain in:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q1 pricing summary: partial aggregation before the exchange") {
+    val p = plan("q1_pricing_summary")
+    assert(count(p, "HashAggregate") >= 2,
+      s"expected partial+final HashAggregate pair in:\n$p")
+  }
+
+  test("no inventory query plans a cartesian product") {
+    // ann_bruteforce/ann_lsh intentionally broadcast-cross-join ONE query
+    // row against the corpus — a bounded nested loop, not an all-pairs
+    // blowup — so they are exempt.
+    val exempt = Set("ann_bruteforce", "ann_lsh")
+    SparkEntry.queries.keys.filterNot(exempt).foreach { name =>
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"),
+        s"$name plans a CartesianProduct:\n$p")
+    }
+  }
+}
