@@ -38,6 +38,32 @@ object ExtQueries {
   // Tokens: word runs or single non-word chars (see Text.TokenRe).
   private val TokRe = "[0-9A-Za-z_]+|[^0-9A-Za-z_ ]"
 
+  /** DuckDB mirror of the minhash→band→bucket candidate chain
+    * (Dedup.minhashSignatures + minhashLsh banding), shared by the pair
+    * query and the components query. */
+  private val MinhashCte = WordsCte + """, sh AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(words) >= 3
+           THEN list_transform(range(len(words)-2),
+                i -> array_to_string(words[i+1:i+3], ' '))
+           ELSE [] END) AS s
+  FROM w
+), mh AS (
+  SELECT doc_id, p, min(CAST(('0x' || substr(md5(p || ':' || s),1,15)) AS BIGINT)) AS m
+  FROM sh CROSS JOIN (SELECT unnest(range(16)) AS p)
+  GROUP BY 1, 2
+), sig AS (
+  SELECT doc_id, list(m ORDER BY p) AS sig FROM mh GROUP BY 1
+), bands AS (
+  SELECT doc_id, b,
+         md5(array_to_string(sig[b*4+1:b*4+4], '|')) AS bucket
+  FROM sig CROSS JOIN (SELECT unnest(range(4)) AS b)
+), cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM bands x JOIN bands y
+    ON x.b = y.b AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+)"""
+
   /** DuckDB mirror of [[graft.functions.RhpLsh]]: quantized embeddings,
     * the (band, plane, dim) weight table, per-(vector, band, plane) sign
     * sums, and per-(vector, band) bucket ids. Weights are a CTE (8k
@@ -76,6 +102,12 @@ object ExtQueries {
       Dedup.minhashLsh(Tables.documents(s, d), col("text"), col("doc_id"),
           k = 3, numHashes = 16, bands = 4, minMatches = 4)
         .orderBy("doc_a", "doc_b")),
+
+    "dedup_components" -> ((s, d) =>
+      Dedup.components(Dedup.minhashLsh(Tables.documents(s, d),
+          col("text"), col("doc_id"),
+          k = 3, numHashes = 16, bands = 4, minMatches = 4))
+        .orderBy("doc_id")),
 
     "dedup_simhash" -> ((s, d) =>
       Dedup.simhash(Tables.documents(s, d), col("text"), col("doc_id"))
@@ -139,28 +171,7 @@ FROM pairs JOIN sizes sa ON doc_a = sa.doc_id
 WHERE round(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 6) >= 0.2
 ORDER BY doc_a, doc_b"""),
 
-    "dedup_minhash_lsh" -> (WordsCte + """, sh AS (
-  SELECT doc_id,
-         unnest(CASE WHEN len(words) >= 3
-           THEN list_transform(range(len(words)-2),
-                i -> array_to_string(words[i+1:i+3], ' '))
-           ELSE [] END) AS s
-  FROM w
-), mh AS (
-  SELECT doc_id, p, min(CAST(('0x' || substr(md5(p || ':' || s),1,15)) AS BIGINT)) AS m
-  FROM sh CROSS JOIN (SELECT unnest(range(16)) AS p)
-  GROUP BY 1, 2
-), sig AS (
-  SELECT doc_id, list(m ORDER BY p) AS sig FROM mh GROUP BY 1
-), bands AS (
-  SELECT doc_id, b,
-         md5(array_to_string(sig[b*4+1:b*4+4], '|')) AS bucket
-  FROM sig CROSS JOIN (SELECT unnest(range(4)) AS b)
-), cand AS (
-  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-  FROM bands x JOIN bands y
-    ON x.b = y.b AND x.bucket = y.bucket AND x.doc_id < y.doc_id
-)
+    "dedup_minhash_lsh" -> (MinhashCte + """
 SELECT doc_a, doc_b,
        CAST(len(list_filter(range(16), i -> sa.sig[i+1] = sb.sig[i+1])) AS INT)
          AS n_matching
@@ -168,6 +179,23 @@ FROM cand JOIN sig sa ON doc_a = sa.doc_id
           JOIN sig sb ON doc_b = sb.doc_id
 WHERE len(list_filter(range(16), i -> sa.sig[i+1] = sb.sig[i+1])) >= 4
 ORDER BY doc_a, doc_b"""),
+
+    "dedup_components" -> (MinhashCte.replaceFirst("WITH ", "WITH RECURSIVE ") + """, pairs AS (
+  SELECT doc_a, doc_b
+  FROM cand JOIN sig sa ON doc_a = sa.doc_id
+            JOIN sig sb ON doc_b = sb.doc_id
+  WHERE len(list_filter(range(16), i -> sa.sig[i+1] = sb.sig[i+1])) >= 4
+), und AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+), reach AS (
+  SELECT u AS id, u AS r FROM und
+  UNION
+  SELECT und.u, reach.r FROM und JOIN reach ON und.v = reach.id
+)
+SELECT id AS doc_id, min(r) AS component
+FROM reach GROUP BY 1 ORDER BY doc_id"""),
 
     "dedup_simhash" -> (s"""WITH toks AS (
   SELECT doc_id, unnest(regexp_extract_all(text, '$TokRe')) AS tok

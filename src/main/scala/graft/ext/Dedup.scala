@@ -117,6 +117,49 @@ object Dedup {
       .where(col("n_matching") >= minMatches)
   }
 
+  /** Connected components over near-dup pairs — the clustering step that
+    * turns pairwise candidates ([[minhashLsh]], [[ngramJaccard]],
+    * [[simhashPairs]]) into dedup groups with a canonical keeper
+    * (component = min doc id in the group).
+    *
+    * Algorithm: min-label propagation to fixpoint. Each round is one
+    * join + one aggregation, both shuffling on uniform id keys — no
+    * driver-side graph, no all-pairs work; rounds ≈ the diameter of the
+    * largest cluster (near-dup clusters are shallow — a handful of
+    * rounds). `localCheckpoint` truncates the growing lineage each
+    * round, which is what keeps the loop viable at scale. Only ids that
+    * appear in some pair are emitted; unpaired documents are implicitly
+    * their own singleton component.
+    *
+    * Output: (doc_id, component) — component is the smallest doc id
+    * reachable through the pair graph (deterministic under any
+    * partitioning). */
+  def components(pairs: DataFrame,
+                 aCol: String = "doc_a", bCol: String = "doc_b"): DataFrame = {
+    val edges = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
+    val und = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = und.select(col("u").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .localCheckpoint()
+    var changed = 1L
+    while (changed > 0) {
+      val nbrMin = und.join(labels, und("v") === labels("id"))
+        .groupBy(und("u").as("nid")).agg(min("comp").as("nbr"))
+      // carry the previous label through the checkpoint so convergence
+      // is a filter over already-materialized rows, not a second join
+      val next = labels.join(nbrMin, labels("id") === nbrMin("nid"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("nbr"), col("comp"))).as("comp"),
+          col("comp").as("prev"))
+        .localCheckpoint()
+      changed = next.where(col("comp") =!= col("prev")).count()
+      labels = next.drop("prev")
+    }
+    labels.select(col("id").as("doc_id"), col("comp").as("component"))
+  }
+
   /** 60-bit SimHash fingerprint per document: token-hash bit votes.
     * bit_j(doc) = 1 iff sum over tokens of (2*((hash60(tok)>>j)&1)-1) > 0.
     *

@@ -60,6 +60,23 @@ class DedupSpec extends SparkSpec {
     assert(sig == expected)
   }
 
+  test("components: chains merge transitively, separate clusters stay apart") {
+    // graph: 1-2-3 chain (transitive), 10-11 pair, 20 absent (singleton)
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val out = Dedup.components(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("components: long chain converges to the global min label") {
+    // a 16-node path ordered so min-label needs several propagation
+    // rounds to reach the far end
+    val pairs = (0 until 15).map(i => (15L - i, 14L - i)).toDF("doc_a", "doc_b")
+    val out = Dedup.components(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.size == 16 && out.values.forall(_ == 0L))
+  }
+
   test("simhash: identical docs at distance 0, unrelated docs far") {
     val fp = Dedup.simhash(docs, $"text", $"doc_id")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
