@@ -126,6 +126,10 @@ object ExtQueries {
       Similarity.annLsh(Tables.embeddings(s, d), "vec_id", "embedding",
         queryId = 0L, k = 10)),
 
+    "ann_ivf" -> ((s, d) =>
+      Similarity.annIvf(Tables.embeddings(s, d), "vec_id", "embedding",
+        queryId = 0L, k = 10, centroidStride = 100, nprobe = 2)),
+
     "emb_neardup_pairs" -> ((s, d) =>
       Similarity.nearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding",
         k = 20)),
@@ -273,6 +277,41 @@ scored AS (
 )
 SELECT vec_id, cosine FROM scored
 ORDER BY cosine DESC, vec_id ASC LIMIT 10"""),
+
+    "ann_ivf" -> ("""WITH qz AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS qe
+  FROM embeddings
+), cents AS (
+  SELECT vec_id AS cid, qe AS ce FROM qz WHERE vec_id % 100 = 0
+), scored AS (
+  SELECT qz.vec_id, cents.cid,
+         round(
+           CAST(list_sum(list_transform(range(64), i -> qe[i+1] * ce[i+1])) AS DOUBLE)
+           / sqrt(CAST(list_sum(list_transform(range(64), i -> qe[i+1] * qe[i+1])) AS DOUBLE)
+                  * CAST(list_sum(list_transform(range(64), i -> ce[i+1] * ce[i+1])) AS DOUBLE)),
+           6) AS ccos
+  FROM qz CROSS JOIN cents
+), ranked AS (
+  SELECT vec_id, cid,
+         row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS rnk
+  FROM scored
+), cells AS (SELECT vec_id, cid FROM ranked WHERE rnk = 1),
+qcells AS (SELECT cid FROM ranked WHERE vec_id = 0 AND rnk <= 2),
+q AS (SELECT qe AS qv FROM qz WHERE vec_id = 0)
+SELECT qz.vec_id AS vec_id,
+       round(
+         CAST(list_sum(list_transform(range(64), i -> qe[i+1] * qv[i+1])) AS DOUBLE)
+         / sqrt(CAST(list_sum(list_transform(range(64), i -> qe[i+1] * qe[i+1])) AS DOUBLE)
+                * CAST(list_sum(list_transform(range(64), i -> qv[i+1] * qv[i+1])) AS DOUBLE)),
+         6) AS cosine
+FROM cells
+JOIN qcells ON cells.cid = qcells.cid
+JOIN qz ON qz.vec_id = cells.vec_id
+CROSS JOIN q
+WHERE qz.vec_id <> 0
+ORDER BY cosine DESC, qz.vec_id ASC LIMIT 10"""),
 
     "emb_neardup_pairs" -> (rhpBucketsCte(8, 16) + """, cand AS (
   SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b

@@ -94,6 +94,50 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF-style ANN: a coarse codebook partitions the corpus into cells;
+    * a query scans only its `nprobe` nearest cells. Deterministic and
+    * oracle-portable by construction: centroids are every
+    * `centroidStride`-th vector (a fixed sample, not k-means — the
+    * iteration-free analog of a coarse quantizer), assignment is argmax
+    * quantized cosine with ties to the smallest centroid id.
+    *
+    * Scale shape: centroids are broadcast (|C| ≈ corpus/stride, small);
+    * assignment is one shuffle keyed by vector id; the probe joins the
+    * query's cell ids (broadcast) against the cell-assigned corpus —
+    * touching |corpus|·nprobe/|C| vectors instead of all of them. In a
+    * real deployment the cell column is precomputed and the mirror is
+    * partitioned by it, making the probe a pruned scan. Recall < 1;
+    * measure against [[bruteForceTopK]]. */
+  def annIvf(embeddings: DataFrame, idCol: String, embCol: String,
+             queryId: Long, k: Int, centroidStride: Int = 100,
+             nprobe: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val qz = embeddings.select(col(idCol).as("vid"),
+        quantize(col(embCol)).as("qe"))
+      .withColumn("n2", dotQ(col("qe"), col("qe")))
+    val cents = qz.where(col("vid") % centroidStride === 0)
+      .select(col("vid").as("cid"), col("qe").as("ce"), col("n2").as("cn2"))
+    val scored = qz.crossJoin(broadcast(cents))
+      .select(col("vid"), col("qe"), col("n2"), col("cid"),
+        cosineQNormed(col("qe"), col("ce"), col("n2"), col("cn2")).as("ccos"))
+    val byCell = Window.partitionBy("vid")
+      .orderBy(col("ccos").desc, col("cid").asc)
+    val ranked = scored.withColumn("rnk", row_number().over(byCell))
+    val cells = ranked.where(col("rnk") === 1)
+      .select(col("vid"), col("qe"), col("n2"), col("cid"))
+    val qcells = ranked.where(col("vid") === queryId && col("rnk") <= nprobe)
+      .select(col("cid").as("qcid"))
+    val q = qz.where(col("vid") === queryId)
+      .select(col("qe").as("qv"), col("n2").as("qn2"))
+    cells.where(col("vid") =!= queryId)
+      .join(broadcast(qcells), col("cid") === col("qcid"))
+      .crossJoin(broadcast(q))
+      .select(col("vid").as(idCol),
+        cosineQNormed(col("qe"), col("qv"), col("n2"), col("qn2")).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Embedding near-dup candidates: top-`k` most-cosine-similar pairs
     * among band-bucket collisions (pairs sharing a bucket in ANY band).
     * Candidates come only from the per-band bucket self-join — shuffles

@@ -44,6 +44,19 @@ class SimilaritySpec extends SparkSpec {
     assert(top._3 > 0.999999)
   }
 
+  test("IVF ANN: finds the colinear copy via its cell; scores match brute force") {
+    // stride 2 → centroids {0, 2, 4}; vector 1 (same direction as 0)
+    // lands in centroid 0's cell, which the query (vec 0) probes first
+    val bf = Similarity.bruteForceTopK(vecs, "vec_id", "embedding", 0L, 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val ivf = Similarity.annIvf(vecs, "vec_id", "embedding", 0L, 4,
+        centroidStride = 2, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(ivf.nonEmpty)
+    ivf.foreach { case (id, c) => assert(bf(id) == c) }
+    assert(ivf.map(_._1).contains(1L))
+  }
+
   test("16-plane bands shrink the max bucket vs the old 4-plane scheme") {
     import org.apache.spark.sql.functions._
     // 400 random vectors: with 4 planes there are only 16 buckets, so the
