@@ -134,31 +134,19 @@ object TransactionalSink extends Serializable {
     val byTag = rows.groupBy(_.getAs[Int]("tag"))
 
     byTag.getOrElse(0, Nil).foreach { r =>
-      val id = r.getAs[Long]("s_id")
-      st.insSummary.setLong(1, id)
-      st.insSummary.setString(2, r.getAs[String]("s_block"))
-      st.insSummary.setLong(3, r.getAs[Long]("s_ts"))
-      st.insSummary.setLong(4, r.getAs[Long]("height"))
-      st.insSummary.setString(5, r.getAs[String]("s_summary"))
-      st.insSummary.setLong(6, id)
-      st.insSummary.addBatch()
+      st.insSummary.add(Seq(r.getAs[Long]("s_id"), r.getAs[String]("s_block"),
+        r.getAs[Long]("s_ts"), r.getAs[Long]("height"), r.getAs[String]("s_summary")))
     }
     st.insSummary.executeBatch()
 
     byTag.getOrElse(1, Nil).foreach { r =>
-      val (a, s) = (r.getAs[Long]("a_account"), r.getAs[Long]("a_summary"))
-      st.insAti.setLong(1, a); st.insAti.setLong(2, s)
-      st.insAti.setLong(3, a); st.insAti.setLong(4, s)
-      st.insAti.addBatch()
+      st.insAti.add(Seq(r.getAs[Long]("a_account"), r.getAs[Long]("a_summary")))
     }
     st.insAti.executeBatch()
 
     byTag.getOrElse(2, Nil).foreach { r =>
-      val (i, s2, s) = (r.getAs[Long]("c_idx"), r.getAs[Long]("c_subidx"),
-        r.getAs[Long]("c_summary"))
-      st.insCti.setLong(1, i); st.insCti.setLong(2, s2); st.insCti.setLong(3, s)
-      st.insCti.setLong(4, i); st.insCti.setLong(5, s2); st.insCti.setLong(6, s)
-      st.insCti.addBatch()
+      st.insCti.add(Seq(r.getAs[Long]("c_idx"), r.getAs[Long]("c_subidx"),
+        r.getAs[Long]("c_summary")))
     }
     st.insCti.executeBatch()
 
@@ -167,15 +155,9 @@ object TransactionalSink extends Serializable {
     // the running supply (replay inserts 0 ⇒ applies 0).
     val deltaRows = byTag.getOrElse(3, Nil)
     deltaRows.foreach { r =>
-      st.insDelta.setLong(1, r.getAs[Long]("d_summary"))
-      st.insDelta.setInt(2, r.getAs[Int]("d_seq"))
-      st.insDelta.setLong(3, r.getAs[Long]("d_idx"))
-      st.insDelta.setLong(4, r.getAs[Long]("d_subidx"))
-      st.insDelta.setString(5, r.getAs[String]("d_token"))
-      st.insDelta.setString(6, r.getAs[String]("d_delta"))
-      st.insDelta.setLong(7, r.getAs[Long]("d_summary"))
-      st.insDelta.setInt(8, r.getAs[Int]("d_seq"))
-      st.insDelta.addBatch()
+      st.insDelta.add(Seq(r.getAs[Long]("d_summary"), r.getAs[Int]("d_seq"),
+        r.getAs[Long]("d_idx"), r.getAs[Long]("d_subidx"),
+        r.getAs[String]("d_token"), r.getAs[String]("d_delta")))
     }
     val inserted = st.insDelta.executeBatch()
     val acc = scala.collection.mutable.LinkedHashMap.empty[(Long, Long, String), BigInteger]
@@ -240,29 +222,48 @@ object TransactionalSink extends Serializable {
     }
   }
 
+  /** Batched "insert unless key exists" statement in the dialect's
+    * native formulation (Derby: WHERE NOT EXISTS with the key values
+    * bound twice; Postgres: ON CONFLICT DO NOTHING, bound once). */
+  private final class IgnoreInsert(c: Connection, d: Dialect, table: String,
+                                   cols: Seq[String], keys: Seq[String]) {
+    private val (sql, rebindKeys) = d.insertIgnore(table, cols, keys)
+    private val keyIdx = keys.map(cols.indexOf)
+    val ps: PreparedStatement = c.prepareStatement(sql)
+
+    private def set(i: Int, v: Any): Unit = v match {
+      case l: Long => ps.setLong(i, l)
+      case n: Int => ps.setInt(i, n)
+      case s: String => ps.setString(i, s)
+      case b: Boolean => ps.setBoolean(i, b)
+      case other => ps.setObject(i, other)
+    }
+
+    /** Bind one row (values in `cols` order) and add it to the batch. */
+    def add(values: Seq[Any]): Unit = {
+      values.zipWithIndex.foreach { case (v, i) => set(i + 1, v) }
+      if (rebindKeys) keyIdx.zipWithIndex.foreach { case (ki, i) =>
+        set(values.size + i + 1, values(ki))
+      }
+      ps.addBatch()
+    }
+    def executeBatch(): Array[Int] = ps.executeBatch()
+    def close(): Unit = ps.close()
+  }
+
   /** Prepared statements reused across all blocks of a partition. */
   private final class BlockStatements(c: Connection, dialect: Dialect) {
     private val dummy = dialect.dummyFrom
 
-    val insSummary: PreparedStatement = c.prepareStatement(
-      s"""INSERT INTO summaries (id, block, ts, height, summary)
-         |SELECT ?, ?, ?, ?, ? $dummy
-         |WHERE NOT EXISTS (SELECT 1 FROM summaries WHERE id = ?)""".stripMargin)
-
-    val insAti: PreparedStatement = c.prepareStatement(
-      s"""INSERT INTO ati (account, summary)
-         |SELECT ?, ? $dummy
-         |WHERE NOT EXISTS (SELECT 1 FROM ati WHERE account = ? AND summary = ?)""".stripMargin)
-
-    val insCti: PreparedStatement = c.prepareStatement(
-      s"""INSERT INTO cti (idx, subidx, summary)
-         |SELECT ?, ?, ? $dummy
-         |WHERE NOT EXISTS (SELECT 1 FROM cti WHERE idx = ? AND subidx = ? AND summary = ?)""".stripMargin)
-
-    val insDelta: PreparedStatement = c.prepareStatement(
-      s"""INSERT INTO cis2_deltas (summary, seq, idx, subidx, token_id, delta)
-         |SELECT ?, ?, ?, ?, ?, ? $dummy
-         |WHERE NOT EXISTS (SELECT 1 FROM cis2_deltas WHERE summary = ? AND seq = ?)""".stripMargin)
+    val insSummary = new IgnoreInsert(c, dialect, "summaries",
+      Seq("id", "block", "ts", "height", "summary"), Seq("id"))
+    val insAti = new IgnoreInsert(c, dialect, "ati",
+      Seq("account", "summary"), Seq("account", "summary"))
+    val insCti = new IgnoreInsert(c, dialect, "cti",
+      Seq("idx", "subidx", "summary"), Seq("idx", "subidx", "summary"))
+    val insDelta = new IgnoreInsert(c, dialect, "cis2_deltas",
+      Seq("summary", "seq", "idx", "subidx", "token_id", "delta"),
+      Seq("summary", "seq"))
 
     val selTok: PreparedStatement = c.prepareStatement(
       "SELECT total_supply FROM cis2_tokens WHERE idx = ? AND subidx = ? AND token_id = ?")
@@ -281,8 +282,9 @@ object TransactionalSink extends Serializable {
          |  AND NOT EXISTS (SELECT 1 FROM bindings WHERE address = ? AND src_id = ?
          |                  AND credential_index = ? AND key_index = ?)""".stripMargin)
 
-    def close(): Unit =
-      Seq(insSummary, insAti, insCti, insDelta, selTok, updTok, insTok,
-        delBindings, insBinding).foreach(_.close())
+    def close(): Unit = {
+      Seq(insSummary, insAti, insCti, insDelta).foreach(_.close())
+      Seq(selTok, updTok, insTok, delBindings, insBinding).foreach(_.close())
+    }
   }
 }
