@@ -152,7 +152,19 @@ object ExtQueries {
 
     "multimodal_features" -> ((s, d) =>
       Multimodal.featuresCols(Tables.documents(s, d),
-        col("text").cast("binary"), col("doc_id")).orderBy("media_id"))
+        col("text").cast("binary"), col("doc_id")).orderBy("media_id")),
+
+    "multimodal_frames" -> ((s, d) =>
+      Multimodal.frameSample(
+        Multimodal.featuresCols(Tables.documents(s, d),
+          col("text").cast("binary"), col("doc_id")),
+        maxFrames = 4).orderBy("media_id", "frame_idx")),
+
+    "multimodal_resize" -> ((s, d) =>
+      Multimodal.resizePlan(
+        Multimodal.featuresCols(Tables.documents(s, d),
+          col("text").cast("binary"), col("doc_id")),
+        maxW = 512, maxH = 512).orderBy("media_id"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -390,6 +402,33 @@ SELECT doc_id AS media_id,
        CAST(${h60("text")} % 1280 AS INT) AS width,
        CAST(${h60("md5(text)")} % 720 AS INT) AS height,
        CAST(octet_length(encode(text)) % 30 AS INT) AS n_frames
-FROM documents ORDER BY media_id""")
+FROM documents ORDER BY media_id"""),
+
+    "multimodal_frames" -> ("""WITH f AS (
+  SELECT doc_id AS media_id, md5(text) AS content_hash,
+         CAST(octet_length(encode(text)) % 30 AS INT) AS n_frames
+  FROM documents
+)
+SELECT media_id, CAST(frame_idx AS INT) AS frame_idx,
+       md5(content_hash || ':' || frame_idx) AS frame_hash
+FROM (SELECT media_id, content_hash,
+             unnest(range(0, n_frames, CAST(ceil(n_frames / 4.0) AS INT))) AS frame_idx
+      FROM f WHERE n_frames > 0)
+ORDER BY media_id, frame_idx"""),
+
+    "multimodal_resize" -> (s"""WITH f AS (
+  SELECT doc_id AS media_id,
+         CAST(${h60("text")} % 1280 AS INT) AS width,
+         CAST(${h60("md5(text)")} % 720 AS INT) AS height
+  FROM documents
+)
+SELECT media_id, width, height,
+       CAST(CASE WHEN width <= 512 AND height <= 512 THEN width
+                 WHEN 512 * height <= 512 * width THEN 512
+                 ELSE (width * 512) // height END AS INT) AS target_w,
+       CAST(CASE WHEN width <= 512 AND height <= 512 THEN height
+                 WHEN 512 * height <= 512 * width THEN (height * 512) // width
+                 ELSE 512 END AS INT) AS target_h
+FROM f WHERE width > 0 AND height > 0 ORDER BY media_id""")
   )
 }

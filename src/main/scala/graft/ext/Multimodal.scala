@@ -36,6 +36,41 @@ object Multimodal {
       (Text.hash60(md5(media)) % 720).cast("int").as("height"),
       (length(media) % 30).cast("int").as("n_frames"))
 
+  /** Frame sampling over extracted features: at most `maxFrames` evenly
+    * strided frame indices per media item (stride = ceil(n/maxFrames)),
+    * one output row per sampled frame — the explode is narrow and
+    * bounded, which is the shape that matters at scale; the per-frame
+    * "decode" is the deterministic stub hash (a real pipeline hashes or
+    * embeds the decoded frame bytes here). */
+  def frameSample(features: DataFrame, maxFrames: Int = 4): DataFrame =
+    features.where(col("n_frames") > 0)
+      .withColumn("__stride",
+        ceil(col("n_frames") / lit(maxFrames.toDouble)).cast("int"))
+      .select(col("media_id"), col("content_hash"),
+        explode(sequence(lit(0), col("n_frames") - 1, col("__stride")))
+          .as("__fi"))
+      .select(col("media_id"), col("__fi").cast("int").as("frame_idx"),
+        md5(concat_ws(":", col("content_hash"), col("__fi"))).as("frame_hash"))
+
+  /** Resize planning: target dimensions that fit (maxW, maxH) while
+    * preserving aspect ratio, never upscaling. Pure integer arithmetic
+    * (the scale comparison is cross-multiplied, the scaled edge is an
+    * integer division), so the DuckDB oracle agrees exactly — no float
+    * rounding at the boundary. The actual pixel resample is the
+    * decoder-seam stub, like [[decodeBatch]]. */
+  def resizePlan(features: DataFrame, maxW: Int = 512, maxH: Int = 512): DataFrame =
+    features.where(col("width") > 0 && col("height") > 0)
+      .select(col("media_id"), col("width"), col("height"),
+        when(col("width") <= maxW && col("height") <= maxH, col("width"))
+          .when(lit(maxW) * col("height") <= lit(maxH) * col("width"), lit(maxW))
+          .otherwise(expr(s"CAST((width * $maxH) div height AS INT)"))
+          .cast("int").as("target_w"),
+        when(col("width") <= maxW && col("height") <= maxH, col("height"))
+          .when(lit(maxW) * col("height") <= lit(maxH) * col("width"),
+            expr(s"CAST((height * $maxW) div width AS INT)"))
+          .otherwise(lit(maxH))
+          .cast("int").as("target_h"))
+
   /** Partition-batched feature extraction — the execution shape a native
     * decoder needs (amortized per-batch init, bounded memory): iterate
     * each partition in fixed-size batches, "decode" each batch, emit
