@@ -163,7 +163,22 @@ object RelationalQueries {
       Tables.events(s, d)
         .groupBy(to_date(col("ts")).as("day"))
         .agg(countDistinct(col("user_id")).as("users"), count(lit(1)).as("n"))
-        .orderBy("day"))
+        .orderBy("day")),
+
+    "q_salted_enrich" -> ((s, d) => {
+      // events.event_type has ~5 values — the canonical skewed join key:
+      // an unsalted shuffle join sends every 'view' row to one reducer.
+      // SaltedJoin spreads each type over 8 sub-keys (deterministic salt
+      // from event_id); results are exactly the plain join's.
+      val ev = Tables.events(s, d)
+      val dim = ev.groupBy("event_type").agg(min("event_id").as("type_first"))
+      graft.operators.SaltedJoin.join(ev, dim, "event_type",
+          col("event_id"), factor = 8)
+        .groupBy("event_type", "type_first")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(Dec)).cast("double").as("sum_value"))
+        .orderBy("event_type")
+    })
   )
 
   private val dec = "DECIMAL(18,4)"
@@ -267,6 +282,13 @@ FROM sess GROUP BY 1, 2 ORDER BY 1, 2""",
     "q_daily_active" -> """
 SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
        count(DISTINCT user_id) AS users, count(*) AS n
-FROM events GROUP BY 1 ORDER BY 1"""
+FROM events GROUP BY 1 ORDER BY 1""",
+
+    "q_salted_enrich" -> s"""
+WITH dim AS (SELECT event_type, min(event_id) AS type_first FROM events GROUP BY 1)
+SELECT e.event_type, d.type_first, count(*) AS n,
+       CAST(SUM(CAST(e.value AS $dec)) AS DOUBLE) AS sum_value
+FROM events e JOIN dim d ON e.event_type = d.event_type
+GROUP BY 1, 2 ORDER BY 1"""
   )
 }
