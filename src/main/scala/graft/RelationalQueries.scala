@@ -165,6 +165,23 @@ object RelationalQueries {
         .agg(countDistinct(col("user_id")).as("users"), count(lit(1)).as("n"))
         .orderBy("day")),
 
+    "q_range_join" -> ((s, d) => {
+      // banded point-in-interval join: each user's events inside their
+      // first-3-days window, joined on (user, day-bucket) — uniform
+      // shuffle keys, no theta join (operators.RangeJoin).
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), unix_millis(col("ts")).as("ts_ms"))
+      val firsts = ev.groupBy(col("user_id").as("f_user"))
+        .agg(min("ts_ms").as("start_ms"))
+        .withColumn("end_ms", col("start_ms") + lit(3L * 86400000L))
+      graft.operators.RangeJoin.pointInInterval(ev, firsts,
+          Seq("user_id" -> "f_user"),
+          col("ts_ms"), col("start_ms"), col("end_ms"),
+          bucketWidth = 86400000L)
+        .groupBy("user_id").agg(count(lit(1)).as("n_early_events"))
+        .orderBy("user_id")
+    }),
+
     "q_salted_enrich" -> ((s, d) => {
       // events.event_type has ~5 values — the canonical skewed join key:
       // an unsalted shuffle join sends every 'view' row to one reducer.
@@ -289,6 +306,14 @@ WITH dim AS (SELECT event_type, min(event_id) AS type_first FROM events GROUP BY
 SELECT e.event_type, d.type_first, count(*) AS n,
        CAST(SUM(CAST(e.value AS $dec)) AS DOUBLE) AS sum_value
 FROM events e JOIN dim d ON e.event_type = d.event_type
-GROUP BY 1, 2 ORDER BY 1"""
+GROUP BY 1, 2 ORDER BY 1""",
+
+    "q_range_join" -> """
+WITH ev AS (SELECT user_id, epoch_ms(ts) AS ts_ms FROM events),
+f AS (SELECT user_id AS f_user, min(ts_ms) AS start_ms FROM ev GROUP BY 1)
+SELECT ev.user_id, count(*) AS n_early_events
+FROM ev JOIN f ON ev.user_id = f.f_user
+  AND ev.ts_ms >= f.start_ms AND ev.ts_ms < f.start_ms + 259200000
+GROUP BY 1 ORDER BY 1"""
   )
 }
