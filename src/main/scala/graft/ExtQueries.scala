@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ext.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 
 /** LLM-data-pipeline extensions over `documents` / `embeddings`:
   * dedup (exact, n-gram Jaccard, MinHash+LSH, SimHash), similarity
@@ -133,6 +133,16 @@ object ExtQueries {
     "emb_neardup_pairs" -> ((s, d) =>
       Similarity.nearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding",
         k = 20)),
+
+    "sample_split" -> ((s, d) =>
+      Sampling.split(Tables.documents(s, d), col("doc_id"))
+        .select("doc_id", "split").orderBy("doc_id")),
+
+    "sample_stratified" -> ((s, d) =>
+      Sampling.stratified(Tables.events(s, d), col("event_type"),
+          col("event_id"),
+          Map("view" -> 100000, "click" -> 500000, "purchase" -> 1000000))
+        .select("event_id", "event_type").orderBy("event_id")),
 
     "text_token_stats" -> ((s, d) =>
       TextAnalysis.tokenStats(Tables.documents(s, d), col("text"), col("doc_id"))
@@ -338,6 +348,21 @@ SELECT id_a, id_b,
          6) AS cosine
 FROM cand JOIN qz a ON id_a = a.vec_id JOIN qz b ON id_b = b.vec_id
 ORDER BY cosine DESC, id_a ASC, id_b ASC LIMIT 20"""),
+
+    "sample_split" -> (s"""
+SELECT doc_id,
+       CASE WHEN ${h60("CAST(doc_id AS VARCHAR)")} % 1000000 < 50000 THEN 'val'
+            WHEN ${h60("CAST(doc_id AS VARCHAR)")} % 1000000 < 100000 THEN 'test'
+            ELSE 'train' END AS split
+FROM documents ORDER BY doc_id"""),
+
+    "sample_stratified" -> (s"""
+SELECT event_id, event_type
+FROM events
+WHERE ${h60("CAST(event_id AS VARCHAR)")} % 1000000 <
+      CASE event_type WHEN 'view' THEN 100000 WHEN 'click' THEN 500000
+           WHEN 'purchase' THEN 1000000 ELSE 0 END
+ORDER BY event_id"""),
 
     "text_token_stats" -> (WordsCte + s"""
 SELECT doc_id,

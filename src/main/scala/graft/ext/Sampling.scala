@@ -1,0 +1,51 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling and dataset splitting for training-data
+  * pipelines. Everything is keyed on `hash60(md5(id))` rather than a
+  * random number generator, so results are
+  *
+  *  - reproducible across runs, partitionings, and engines (the DuckDB
+  *    oracle computes the identical membership);
+  *  - stable under retries and incremental reprocessing — a document's
+  *    split assignment never changes when the corpus around it does,
+  *    which is the property that keeps train/test contamination out of
+  *    incremental pipelines;
+  *  - narrow: every operator is a per-row filter/projection, no shuffle.
+  */
+object Sampling {
+
+  /** Uniform pseudo-random unit value in [0, 1_000_000) per id. */
+  private def ppmOf(id: Column): Column =
+    Text.hash60(id.cast("string")) % 1000000L
+
+  /** Deterministic sample: keeps a row iff its id hashes under `ppm`
+    * parts-per-million (ppm=10_000 ≈ 1%). */
+  def sampleByHash(df: DataFrame, id: Column, ppm: Int): DataFrame =
+    df.where(ppmOf(id) < ppm)
+
+  /** Train/validation/test split by hash bucket: adds a `split` column
+    * ("train" / "val" / "test") with the given ppm budgets for val and
+    * test (the rest is train). Assignment depends only on the id. */
+  def split(df: DataFrame, id: Column,
+            valPpm: Int = 50000, testPpm: Int = 50000): DataFrame = {
+    val u = ppmOf(id)
+    df.withColumn("split",
+      when(u < valPpm, "val")
+        .when(u < valPpm + testPpm, "test")
+        .otherwise("train"))
+  }
+
+  /** Stratified deterministic sample: per-stratum keep rates in ppm
+    * (strata absent from the map are dropped — the common "cap the
+    * over-represented classes" shape). */
+  def stratified(df: DataFrame, stratum: Column, id: Column,
+                 ratesPpm: Map[String, Int]): DataFrame = {
+    val rate = ratesPpm.foldLeft(lit(0)) { case (acc, (k, v)) =>
+      when(stratum === k, v).otherwise(acc)
+    }
+    df.where(ppmOf(id) < rate)
+  }
+}

@@ -1,0 +1,47 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = (0L until 2000L).map(i => (i, s"doc-$i"))
+    .toDF("doc_id", "text")
+
+  test("split is deterministic, partitioning-independent, near the budgets") {
+    val a = Sampling.split(docs, $"doc_id").select("doc_id", "split")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = Sampling.split(docs.repartition(7), $"doc_id")
+      .select("doc_id", "split")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a == b)
+    val counts = a.values.groupBy(identity).view.mapValues(_.size).toMap
+    // 5% val / 5% test budgets on 2000 ids — allow generous hash wobble
+    assert(counts("val") > 50 && counts("val") < 150, counts)
+    assert(counts("test") > 50 && counts("test") < 150, counts)
+    assert(counts("train") > 1700)
+  }
+
+  test("an id's assignment is stable when the corpus changes") {
+    val half = Sampling.split(docs.where($"doc_id" < 1000), $"doc_id")
+      .select("doc_id", "split")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val full = Sampling.split(docs, $"doc_id").select("doc_id", "split")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    half.foreach { case (id, s) => assert(full(id) == s) }
+  }
+
+  test("stratified keeps per-stratum rates and drops unknown strata") {
+    val ev = (0L until 3000L).map(i =>
+      (i, Seq("view", "click", "other")(i.toInt % 3))).toDF("event_id", "event_type")
+    val kept = Sampling.stratified(ev, $"event_type", $"event_id",
+        Map("view" -> 100000, "click" -> 1000000))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(kept.count(_._2 == "click") == 1000) // ppm 1e6 = keep all
+    val views = kept.count(_._2 == "view")
+    assert(views > 50 && views < 200, s"~10% of 1000 views expected, got $views")
+    assert(!kept.exists(_._2 == "other"))
+  }
+}
