@@ -165,6 +165,31 @@ object RelationalQueries {
         .agg(countDistinct(col("user_id")).as("users"), count(lit(1)).as("n"))
         .orderBy("day")),
 
+    "q_cube_daily_types" -> ((s, d) =>
+      // full cube over (type, day): every subtotal combination in one
+      // pass (Expand + single aggregation). Null group keys are
+      // relabeled '(all)' so ordering is engine-independent.
+      Tables.events(s, d)
+        .withColumn("day", to_date(col("ts")).cast("string"))
+        .cube("event_type", "day")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(Dec)).cast("double").as("sum_value"))
+        .select(coalesce(col("event_type"), lit("(all)")).as("event_type"),
+          coalesce(col("day"), lit("(all)")).as("day"),
+          col("n"), col("sum_value"))
+        .orderBy("event_type", "day")),
+
+    "q_pivot_daily_types" -> ((s, d) =>
+      // wide daily counts per event type: pivot with an explicit value
+      // list (no extra distinct pass; stable output schema).
+      Tables.events(s, d)
+        .withColumn("day", to_date(col("ts")))
+        .groupBy("day")
+        .pivot("event_type", Seq("view", "click", "purchase", "signup", "error"))
+        .agg(count(lit(1)))
+        .na.fill(0)
+        .orderBy("day")),
+
     "q_range_join" -> ((s, d) => {
       // banded point-in-interval join: each user's events inside their
       // first-3-days window, joined on (user, day-bucket) — uniform
@@ -307,6 +332,28 @@ SELECT e.event_type, d.type_first, count(*) AS n,
        CAST(SUM(CAST(e.value AS $dec)) AS DOUBLE) AS sum_value
 FROM events e JOIN dim d ON e.event_type = d.event_type
 GROUP BY 1, 2 ORDER BY 1""",
+
+    "q_cube_daily_types" -> s"""
+WITH e AS (
+  SELECT event_type,
+         CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR) AS day, value
+  FROM events
+)
+SELECT coalesce(event_type, '(all)') AS event_type,
+       coalesce(day, '(all)') AS day,
+       count(*) AS n,
+       CAST(SUM(CAST(value AS $dec)) AS DOUBLE) AS sum_value
+FROM e GROUP BY CUBE (event_type, day)
+ORDER BY 1, 2""",
+
+    "q_pivot_daily_types" -> """
+SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+       count(*) FILTER (event_type = 'view') AS "view",
+       count(*) FILTER (event_type = 'click') AS click,
+       count(*) FILTER (event_type = 'purchase') AS purchase,
+       count(*) FILTER (event_type = 'signup') AS signup,
+       count(*) FILTER (event_type = 'error') AS error
+FROM events GROUP BY 1 ORDER BY 1""",
 
     "q_range_join" -> """
 WITH ev AS (SELECT user_id, epoch_ms(ts) AS ts_ms FROM events),
