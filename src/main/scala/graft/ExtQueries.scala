@@ -134,6 +134,13 @@ object ExtQueries {
       Similarity.nearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding",
         k = 20)),
 
+    "approx_distinct_users" -> ((s, d) =>
+      Tables.events(s, d).groupBy("event_type")
+        .agg(graft.functions.KMV.distinctEst(
+          graft.ext.Text.hash60(col("user_id").cast("string")), 64)
+          .as("distinct_est"))
+        .orderBy("event_type")),
+
     "sample_split" -> ((s, d) =>
       Sampling.split(Tables.documents(s, d), col("doc_id"))
         .select("doc_id", "split").orderBy("doc_id")),
@@ -348,6 +355,19 @@ SELECT id_a, id_b,
          6) AS cosine
 FROM cand JOIN qz a ON id_a = a.vec_id JOIN qz b ON id_b = b.vec_id
 ORDER BY cosine DESC, id_a ASC, id_b ASC LIMIT 20"""),
+
+    "approx_distinct_users" -> (s"""
+WITH h AS (
+  SELECT event_type, ${h60("CAST(user_id AS VARCHAR)")} AS hv
+  FROM events
+), g AS (
+  SELECT event_type, list_sort(list_distinct(list(hv))) AS hs FROM h GROUP BY 1
+)
+SELECT event_type,
+       CAST(CASE WHEN len(hs) < 64 THEN len(hs)
+            ELSE CAST(round((63.0 * 1152921504606846976) / hs[64]) AS BIGINT)
+            END AS BIGINT) AS distinct_est
+FROM g ORDER BY 1"""),
 
     "sample_split" -> (s"""
 SELECT doc_id,
