@@ -165,6 +165,22 @@ object RelationalQueries {
         .agg(countDistinct(col("user_id")).as("users"), count(lit(1)).as("n"))
         .orderBy("day")),
 
+    "q_median_value_by_type" -> ((s, d) => {
+      // exact lower median, spelled out (row_number + count) so both
+      // engines agree bit-for-bit — built-in percentile/quantile
+      // functions interpolate with engine-specific semantics. The value
+      // emitted is a stored double, never a computed one.
+      val byVal = Window.partitionBy("event_type")
+        .orderBy(col("value"), col("event_id"))
+      val whole = Window.partitionBy("event_type")
+      Tables.events(s, d)
+        .withColumn("rn", row_number().over(byVal))
+        .withColumn("cnt", count(lit(1)).over(whole))
+        .where(col("rn") === expr("(cnt + 1) div 2"))
+        .select(col("event_type"), col("value").as("median_value"))
+        .orderBy("event_type")
+    }),
+
     "q_cube_daily_types" -> ((s, d) =>
       // full cube over (type, day): every subtotal combination in one
       // pass (Expand + single aggregation). Null group keys are
@@ -332,6 +348,17 @@ SELECT e.event_type, d.type_first, count(*) AS n,
        CAST(SUM(CAST(e.value AS $dec)) AS DOUBLE) AS sum_value
 FROM events e JOIN dim d ON e.event_type = d.event_type
 GROUP BY 1, 2 ORDER BY 1""",
+
+    "q_median_value_by_type" -> """
+WITH r AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS cnt
+  FROM events
+)
+SELECT event_type, value AS median_value
+FROM r WHERE rn = (cnt + 1) // 2
+ORDER BY event_type""",
 
     "q_cube_daily_types" -> s"""
 WITH e AS (
