@@ -35,7 +35,12 @@ object Bench {
     SparkEntry.queries.foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       try {
-        fn(spark, sfDir).count()
+        // Full materialization: execute the query's own physical plan and
+        // drain every output row. A plain df.count() lets Catalyst prune
+        // every unreferenced column (a projection-heavy query would be
+        // timed without computing its projections); toRdd executes the
+        // plan with the query's full output schema.
+        fn(spark, sfDir).queryExecution.toRdd.foreach(_ => ())
         timings(name) = (System.nanoTime() - t0) / 1e9
       } catch {
         case e: Throwable =>

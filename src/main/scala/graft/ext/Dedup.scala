@@ -26,7 +26,7 @@ object Dedup {
     * not the string — 8 bytes per key through the exchange instead of
     * ~16+ characters, hashed post-explode so the md5 stays inside
     * whole-stage codegen (distinctness is taken on the exact strings
-    * first). The exploded frame is persisted across its three uses
+    * first). The exploded frame is checkpointed across its three uses
     * (sizes + both join sides). Hash keys are uniform unless a shingle
     * is extremely common; at 100 TB you'd MinHash first ([[minhashLsh]])
     * and use this as the verify step on candidates. Jaccard is emitted
@@ -34,10 +34,15 @@ object Dedup {
     * (engine-independent: integer division in IEEE). */
   def ngramJaccard(df: DataFrame, content: Column, id: Column,
                    k: Int = 3, minJaccard: Double = 0.5): DataFrame = {
+    // Lazy localCheckpoint (NOT persist): the exploded frame is still
+    // materialized once and reused by its three consumers, but the
+    // blocks are owned by the RDD — reclaimed by the ContextCleaner when
+    // the returned plan is garbage-collected, instead of leaking in the
+    // CacheManager for the life of the session.
     val sh = df.select(id.as("doc_id"),
         explode(array_distinct(Text.shingles(content, k))).as("str"))
       .select(col("doc_id"), Text.hash60(col("str")).as("s"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(false)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val pairs = sh.as("a").join(sh.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
@@ -87,14 +92,15 @@ object Dedup {
     * (shuffle on uniform md5 bucket keys); the signature join afterwards
     * touches candidate pairs, not all pairs. This is the standard
     * shingle→minhash→band→bucket-join pipeline. The signature frame is
-    * persisted (memory-and-disk) because three downstream joins consume
-    * it — without that, the full shingle+hash pass re-runs per branch. */
+    * locally checkpointed because three downstream joins consume it —
+    * without that, the full shingle+hash pass re-runs per branch. */
   def minhashLsh(df: DataFrame, content: Column, id: Column,
                  k: Int = 3, numHashes: Int = 16, bands: Int = 4,
                  minMatches: Int = 8): DataFrame = {
     val r = numHashes / bands
+    // lazy localCheckpoint, not persist — see ngramJaccard for why
     val sig = minhashSignatures(df, content, id, k, numHashes)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(false)
     val buckets = sig.select(col("doc_id"),
         explode(transform(sequence(lit(0), lit(bands - 1)),
           b => struct(b.as("band"),
@@ -122,42 +128,75 @@ object Dedup {
     * [[simhashPairs]]) into dedup groups with a canonical keeper
     * (component = min doc id in the group).
     *
-    * Algorithm: min-label propagation to fixpoint. Each round is one
-    * join + one aggregation, both shuffling on uniform id keys — no
-    * driver-side graph, no all-pairs work; rounds ≈ the diameter of the
-    * largest cluster (near-dup clusters are shallow — a handful of
-    * rounds). `localCheckpoint` truncates the growing lineage each
-    * round, which is what keeps the loop viable at scale. Only ids that
-    * appear in some pair are emitted; unpaired documents are implicitly
-    * their own singleton component.
+    * Algorithm: alternating large-star / small-star contraction (Kiveris
+    * et al., "Connected Components in MapReduce and Beyond"):
+    *  - large-star: every node connects its strictly-larger neighbours to
+    *    the minimum of its closed neighbourhood;
+    *  - small-star: every node connects its smaller-or-equal neighbours
+    *    (and itself) to that minimum.
+    * Each star op is ONE window shuffle on uniform node-id keys plus a
+    * distinct; the edge set contracts towards per-component stars rooted
+    * at the minimum id in O(log) alternations — vs diameter-many rounds
+    * for plain min-label propagation (a chain of length d took d rounds;
+    * star contraction halves it each pass). `localCheckpoint` truncates
+    * lineage each round, and the convergence check is an `observe`
+    * metric collected DURING the checkpoint job — no separate per-round
+    * driver count() job; the driver only compares the already-collected
+    * (count, hash-sum) pair. Only ids that appear in some pair are
+    * emitted; unpaired documents are implicitly singleton components.
     *
     * Output: (doc_id, component) — component is the smallest doc id
     * reachable through the pair graph (deterministic under any
     * partitioning). */
   def components(pairs: DataFrame,
                  aCol: String = "doc_a", bCol: String = "doc_b"): DataFrame = {
-    val edges = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
-    val und = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
-      .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = und.select(col("u").as("id")).distinct()
-      .withColumn("comp", col("id"))
-      .localCheckpoint()
-    var changed = 1L
-    while (changed > 0) {
-      val nbrMin = und.join(labels, und("v") === labels("id"))
-        .groupBy(und("u").as("nid")).agg(min("comp").as("nbr"))
-      // carry the previous label through the checkpoint so convergence
-      // is a filter over already-materialized rows, not a second join
-      val next = labels.join(nbrMin, labels("id") === nbrMin("nid"), "left")
-        .select(col("id"),
-          least(col("comp"), coalesce(col("nbr"), col("comp"))).as("comp"),
-          col("comp").as("prev"))
-        .localCheckpoint()
-      changed = next.where(col("comp") =!= col("prev")).count()
-      labels = next.drop("prev")
+    import org.apache.spark.sql.expressions.Window
+    val byU = Window.partitionBy("u")
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      sym.withColumn("m", least(min(col("v")).over(byU), col("u")))
+        .where(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
     }
-    labels.select(col("id").as("doc_id"), col("comp").as("component"))
+    def smallStar(e: DataFrame): DataFrame = {
+      val dir = e.select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      val withM = dir.withColumn("m", min(col("v")).over(byU))
+      withM.where(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(withM.select(col("u"), col("m").as("v")))
+        .distinct()
+    }
+    var edges = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint()
+    // Fingerprint of the current edge set; two consecutive rounds with
+    // the same (count, xxhash64-xor) mean the alternation reached its
+    // star-graph fixpoint (the sets are deterministic, so a stable
+    // fingerprint IS a stable set up to a ~2^-64 hash coincidence).
+    // bit_xor, not sum: order-independent AND overflow-free under ANSI.
+    var prev: (Any, Any) = (-1L, -1L)
+    var round = 0
+    var done = false
+    while (!done) {
+      val obs = org.apache.spark.sql.Observation(s"cc_round_$round")
+      val next = smallStar(largeStar(edges))
+        .observe(obs, count(lit(1)).as("cnt"),
+          expr("bit_xor(xxhash64(u, v))").as("hsh"))
+        .localCheckpoint() // eager: runs the job, which fills `obs`
+      val metrics = obs.get
+      val cur = (metrics("cnt"), metrics("hsh"))
+      done = cur == prev
+      prev = cur
+      edges = next
+      round += 1
+    }
+    // At the fixpoint every edge is (member, component-min root).
+    edges.select(col("u").as("doc_id"), col("v").as("component"))
+      .union(edges.select(col("v").as("doc_id"), col("v").as("component")))
+      .distinct()
   }
 
   /** 60-bit SimHash fingerprint per document: token-hash bit votes.

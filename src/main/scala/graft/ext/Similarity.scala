@@ -143,15 +143,18 @@ object Similarity {
     * Candidates come only from the per-band bucket self-join — shuffles
     * on uniform (band, bucket) keys, never all-pairs; with 16 planes per
     * band the expected in-bucket join is O(bands · n²/2^16) vs the old
-    * single-band 4-plane O(n²/2^4). The quantized base is persisted
+    * single-band 4-plane O(n²/2^4). The quantized base is checkpointed
     * because the candidate join consumes it three times. */
   def nearDupPairs(embeddings: DataFrame, idCol: String, embCol: String,
                    k: Int, bands: Int = 8, planes: Int = 16): DataFrame = {
+    // lazy localCheckpoint, not persist — blocks are GC-reclaimed with
+    // the returned plan instead of leaking in the CacheManager
+    // (see Dedup.ngramJaccard)
     val base = embeddings.select(col(idCol).as("vid"),
         quantize(col(embCol)).as("qe"))
       .withColumn("n2", dotQ(col("qe"), col("qe")))
       .withColumn("bb", lshBuckets(embeddings, "qe", bands, planes))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(false)
     val buckets = base.select(col("vid"),
       posexplode(col("bb")).as(Seq("band", "bucket")))
     val cand = buckets.as("x").join(buckets.as("y"),

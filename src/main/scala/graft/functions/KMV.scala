@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, Encoder, Encoders}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions.udaf
 
@@ -16,61 +17,54 @@ import org.apache.spark.sql.functions.udaf
   * `(k-1) * 2^60 / kth_smallest` estimates the distinct count
   * (standard error ≈ 1/sqrt(k-2)).
   *
-  * The buffer is a sorted distinct array of ≤ k longs packed into
-  * bytes — compact, spill-friendly, and merge-associative, so Spark's
-  * partial aggregation applies on any partitioning. The DuckDB oracle
-  * computes the identical value from
+  * The buffer is a sorted distinct array of ≤ k longs (fixed capacity
+  * k, Long.MaxValue sentinel in unused slots) — compact, spill-friendly,
+  * and merge-associative, so Spark's partial aggregation applies on any
+  * partitioning. The DuckDB oracle computes the identical value from
   * `list_sort(list_distinct(list(hash)))[k]`.
   */
 object KMV {
 
   private val TwoPow60: Double = 1152921504606846976.0 // exact in a double
 
-  final class Sketch(k: Int) extends Aggregator[Long, Array[Byte], Long] {
+  final class Sketch(k: Int) extends Aggregator[Long, Array[Long], Long] {
     require(k >= 2, "KMV needs k >= 2")
 
-    private def decode(b: Array[Byte]): Array[Long] = {
-      val buf = java.nio.ByteBuffer.wrap(b)
-      Array.fill(b.length / 8)(buf.getLong)
-    }
-    private def encode(xs: Array[Long]): Array[Byte] = {
-      val buf = java.nio.ByteBuffer.allocate(xs.length * 8)
-      xs.foreach(buf.putLong)
-      buf.array
-    }
-    // insert into sorted-distinct, keeping only the k smallest
-    private def insert(xs: Array[Long], h: Long): Array[Long] = {
+    // The buffer is a fixed-size sorted long[] of capacity k; unused
+    // slots hold Long.MaxValue (valid hash60 inputs are < 2^60, so the
+    // sentinel can never collide with a real hash). Spark holds the
+    // buffer as a live object between reduce calls and only runs the
+    // encoder at partial-aggregation shuffle boundaries, so in-place
+    // mutation makes the per-row cost a binary search + arraycopy with
+    // ZERO allocation (the old formulation re-encoded a byte buffer per
+    // input row — O(k) alloc each).
+    private def insertInPlace(xs: Array[Long], h: Long): Array[Long] = {
       val i = java.util.Arrays.binarySearch(xs, h)
-      if (i >= 0) xs
-      else {
+      if (i < 0) {
         val ins = -i - 1
-        if (xs.length < k) {
-          val out = new Array[Long](xs.length + 1)
-          System.arraycopy(xs, 0, out, 0, ins)
-          out(ins) = h
-          System.arraycopy(xs, ins, out, ins + 1, xs.length - ins)
-          out
-        } else if (ins < k) {
-          val out = new Array[Long](k)
-          System.arraycopy(xs, 0, out, 0, ins)
-          out(ins) = h
-          System.arraycopy(xs, ins, out, ins + 1, k - ins - 1)
-          out
-        } else xs
+        if (ins < k) {
+          System.arraycopy(xs, ins, xs, ins + 1, k - ins - 1)
+          xs(ins) = h
+        }
       }
+      xs
     }
 
-    override def zero: Array[Byte] = Array.empty[Byte]
-    override def reduce(b: Array[Byte], h: Long): Array[Byte] =
-      encode(insert(decode(b), h))
-    override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] =
-      encode(decode(b).foldLeft(decode(a))(insert))
-    override def finish(b: Array[Byte]): Long = {
-      val xs = decode(b)
-      if (xs.length < k) xs.length.toLong
-      else math.round((k - 1).toDouble * TwoPow60 / xs.last)
+    override def zero: Array[Long] = Array.fill(k)(Long.MaxValue)
+    override def reduce(b: Array[Long], h: Long): Array[Long] =
+      insertInPlace(b, h)
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < k && b(i) != Long.MaxValue) { insertInPlace(a, b(i)); i += 1 }
+      a
     }
-    override def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+    override def finish(b: Array[Long]): Long = {
+      var n = 0
+      while (n < k && b(n) != Long.MaxValue) n += 1
+      if (n < k) n.toLong
+      else math.round((k - 1).toDouble * TwoPow60 / b(k - 1))
+    }
+    override def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder()
     override def outputEncoder: Encoder[Long] = Encoders.scalaLong
   }
 

@@ -27,7 +27,18 @@ final class LivenessMonitor(maxBehindSeconds: Long,
 
   private val lastAlive = new java.util.concurrent.ConcurrentHashMap[UUID, java.lang.Long]()
   private val dataSeen = java.util.concurrent.ConcurrentHashMap.newKeySet[UUID]()
-  private val stopped = java.util.concurrent.ConcurrentHashMap.newKeySet[UUID]()
+  // Bounded LRU of terminated queries' final sawData flag: a long-lived
+  // driver that starts and stops many queries (restart loops,
+  // availableNow batches) must not accumulate per-query entries forever,
+  // but [[sawData]] stays answerable for recently-terminated queries
+  // (listener events arrive asynchronously — a caller may only get to
+  // ask after termination).
+  private val recentStopped = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[UUID, java.lang.Boolean](16, 0.75f, false) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[UUID, java.lang.Boolean]): Boolean =
+        size > 1024
+    })
 
   private[streaming] def recordStart(id: UUID, atMs: Long): Unit =
     lastAlive.put(id, atMs)
@@ -35,23 +46,30 @@ final class LivenessMonitor(maxBehindSeconds: Long,
   private[streaming] def recordProgress(id: UUID, inputRows: Long, atMs: Long): Unit =
     if (inputRows > 0) { dataSeen.add(id); lastAlive.put(id, atMs) }
 
-  private[streaming] def recordStop(id: UUID): Unit = stopped.add(id)
+  /** Termination moves the query's state out of the live maps into the
+    * bounded terminated-query LRU. */
+  private[streaming] def recordStop(id: UUID): Unit = {
+    lastAlive.remove(id)
+    recentStopped.put(id, dataSeen.remove(id))
+  }
 
   /** Queries currently tracked (started, not terminated). */
   def tracked: Set[UUID] = {
     import scala.jdk.CollectionConverters._
-    lastAlive.keySet.asScala.toSet.diff(stopped.asScala.toSet)
+    lastAlive.keySet.asScala.toSet
   }
 
-  /** True iff the query ever completed a data-carrying micro-batch. */
-  def sawData(id: UUID): Boolean = dataSeen.contains(id)
+  /** True iff the query ever completed a data-carrying micro-batch
+    * (live queries, plus the most recent ~1024 terminated ones). */
+  def sawData(id: UUID): Boolean =
+    dataSeen.contains(id) ||
+      Option(recentStopped.get(id)).exists(_.booleanValue)
 
   /** True iff the query is live and has gone longer than
     * `maxBehindSeconds` without a data-carrying micro-batch (measured
     * from start for a query that never produced one). */
   def isBehind(id: UUID): Boolean =
-    !stopped.contains(id) &&
-      Option(lastAlive.get(id)).exists(t => clock() - t > maxBehindSeconds * 1000L)
+    Option(lastAlive.get(id)).exists(t => clock() - t > maxBehindSeconds * 1000L)
 
   def behindQueries: Set[UUID] = tracked.filter(isBehind)
 
