@@ -97,6 +97,29 @@ object CoreQueries {
     }),
     "a11_resume_height" -> ((s, d) =>
       BlockIngest.resumeHeight(Tables.summaries(s, d))),
+    "cis2_log_decode" -> ((s, d) => {
+      // CIS-2 binary log parse (§2.C): events → wire-format log bytes via
+      // cis2_encode, then decoded back through the raw-log feed path
+      // (Cis2Decode + reference drop semantics). The oracle computes the
+      // expected decoded fields directly from `events`; absolute byte-
+      // format correctness against hand-written wire fixtures is pinned
+      // by Cis2CodecSpec — together they cover both codec directions.
+      graft.functions.GraftFunctions.register(s)
+      val raw = Tables.events(s, d)
+        .where(col("event_type").isin("purchase", "click"))
+        .selectExpr(
+          "event_id div 8 as height",
+          "cast(event_id % 8 as int) as seq_in_block",
+          "user_id % 50 as index",
+          "cast(0 as bigint) as subindex",
+          """cis2_encode(
+               CASE WHEN event_type = 'purchase' THEN 'mint' ELSE 'burn' END,
+               cast(cast(user_id % 20 as string) as binary),
+               cast(cast(round(value * 100) as bigint) as string),
+               unhex(lpad(hex(user_id), 64, '0'))) as log""")
+      graft.ingest.BlockFeed.decodeRawLogs(raw)
+        .orderBy("height", "seq_in_block")
+    }),
     "a12_account_snapshot" -> ((s, d) =>
       Tables.ati(s, d).select("account").distinct().orderBy("account")),
 
@@ -159,6 +182,16 @@ FROM ati a LEFT JOIN dim d ON a.account // 4 = d.prefix
 GROUP BY 1 ORDER BY 1"""),
     "a11_resume_height" -> (cte +
       "SELECT max_by(height, id) AS height FROM summaries"),
+    "cis2_log_decode" -> """
+SELECT event_id // 8 AS height,
+       CAST(event_id % 8 AS INT) AS seq_in_block,
+       user_id % 50 AS "index",
+       CAST(0 AS BIGINT) AS subindex,
+       upper(hex(CAST(user_id % 20 AS VARCHAR))) AS token_id,
+       CASE WHEN event_type = 'purchase' THEN 'mint' ELSE 'burn' END AS kind,
+       CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR) AS amount
+FROM events WHERE event_type IN ('purchase', 'click')
+ORDER BY height, seq_in_block""",
     "a12_account_snapshot" -> (cte +
       "SELECT DISTINCT account FROM ati ORDER BY account"),
     "b1_account_page_asc" -> (cte + s"""

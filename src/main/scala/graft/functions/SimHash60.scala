@@ -103,7 +103,13 @@ object GraftFunctions {
       new ExpressionInfo(classOf[RhpLsh].getName, "rhplsh"),
       (exprs: Seq[Expression]) => RhpLsh(exprs.head,
         exprs(1).eval().asInstanceOf[Number].intValue,
-        exprs(2).eval().asInstanceOf[Number].intValue)))
+        exprs(2).eval().asInstanceOf[Number].intValue)),
+    (FunctionIdentifier("cis2_decode"),
+      new ExpressionInfo(classOf[Cis2Decode].getName, "cis2_decode"),
+      (exprs: Seq[Expression]) => Cis2Decode(exprs.head)),
+    (FunctionIdentifier("cis2_encode"),
+      new ExpressionInfo(classOf[Cis2Encode].getName, "cis2_encode"),
+      (exprs: Seq[Expression]) => Cis2Encode(exprs(0), exprs(1), exprs(2), exprs(3))))
 
   /** Registers only if absent, so a user's own temp function of the same
     * name is never silently replaced and repeated calls are no-ops. */

@@ -74,6 +74,41 @@ object BlockFeed {
     items.unionByName(special)
   }
 
+  /** A raw-log feed path: decode CIS-2 contract logs from their wire
+    * bytes instead of consuming pre-parsed structs — the operator the
+    * reference applies to every contract-update log
+    * (`cis2::Event::try_from` over `contract_update_logs()`,
+    * main.rs:617-645).
+    *
+    * Input: one row per log with the emitting contract and its position
+    * (`height`, `seq_in_block`, `index`, `subindex`, `log: binary`).
+    * Output: one row per successfully decoded event, in the
+    * `cis2_events` element shape (index, subindex, token_id, kind,
+    * amount) with token_id as uppercase hex of the raw id bytes (how
+    * the reference renders CIS-2 token ids).
+    *
+    * Drop semantics mirror the reference exactly: the per-(transaction,
+    * contract) log LIST is parsed as a unit, and if ANY entry fails —
+    * malformed bytes or a non-CIS-2 custom tag — the whole list is
+    * dropped silently (`.collect::<Result<…>>().ok()`, main.rs:618-626)
+    * rather than aborting the block. Implemented as a window max over
+    * the list key — one shuffle on (height, seq, contract), no UDF: the
+    * decode itself is the codegen Expression
+    * [[graft.functions.Cis2Decode]]. */
+  def decodeRawLogs(logs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(logs.sparkSession)
+    val listKey = Window.partitionBy("height", "seq_in_block", "index", "subindex")
+    logs.withColumn("ev", expr("cis2_decode(log)"))
+      .withColumn("bad",
+        max(when(col("ev").isNull || col("ev.tag") === "unknown", 1)
+          .otherwise(0)).over(listKey))
+      .where(col("bad") === 0)
+      .select(col("height"), col("seq_in_block"), col("index"), col("subindex"),
+        col("ev.token_id").as("token_id"), col("ev.tag").as("kind"),
+        col("ev.amount").as("amount"))
+  }
+
   /** Map the driver `events` table to the canonical feed shape.
     * Addresses are LongType user ids in this mapping. */
   def fromEvents(events: DataFrame): DataFrame = {
