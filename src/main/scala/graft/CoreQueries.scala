@@ -141,6 +141,8 @@ object CoreQueries {
         lit(Account), 0L, None, ascending = true)),
     "b5_row_decode" -> ((s, d) =>
       QueryApi.decodeRows(Tables.summaries(s, d)).orderBy("id")),
+    "b5_row_decode_strict" -> ((s, d) =>
+      QueryApi.decodeRowsStrict(Tables.summaries(s, d)).orderBy("id")),
     "b6_topk_per_account" -> ((s, d) =>
       QueryApi.topKPerAccount(Tables.ati(s, d), 3).orderBy("account", "rn")),
     "b7_change_feed" -> ((s, d) =>
@@ -222,6 +224,13 @@ ORDER BY s.id ASC"""),
     "b5_row_decode" -> (cte + """
 SELECT id, summary->>'$.Left.k' AS left_k, summary->>'$.Right.k' AS right_k
 FROM summaries WHERE json_valid(summary) ORDER BY id"""),
+    "b5_row_decode_strict" -> (cte + """
+SELECT id,
+       CASE WHEN json_extract(summary, '$.Left') IS NOT NULL THEN 'Left'
+            ELSE 'Right' END AS variant,
+       CAST(summary->>'$.Left.k' AS BIGINT) AS left_k,
+       CAST(summary->>'$.Right.k' AS BIGINT) AS right_k
+FROM summaries ORDER BY id"""),
     "b6_topk_per_account" -> (cte + """
 SELECT account, summary, CAST(rn AS INT) AS rn FROM (
   SELECT account, summary,

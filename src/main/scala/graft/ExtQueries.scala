@@ -122,9 +122,31 @@ object ExtQueries {
       Similarity.bruteForceTopK(Tables.embeddings(s, d), "vec_id", "embedding",
         queryId = 0L, k = 10)),
 
+    // queryId 32 has band-bucket partners at BOTH sf0.001 and sf0.01
+    // (checked against the DuckDB bucket table) — with queryId 0 the
+    // candidate set was empty at sf0.01 and the oracle row was vacuous
+    // (0 rows == 0 rows proves nothing about the banding chain).
     "ann_lsh" -> ((s, d) =>
       Similarity.annLsh(Tables.embeddings(s, d), "vec_id", "embedding",
-        queryId = 0L, k = 10)),
+        queryId = 32L, k = 10)),
+
+    // recall@k of both ANN paths against the exact top-k — the
+    // measurement the Similarity scaladocs promise. Deterministic by
+    // construction (every piece is oracle-portable integer math).
+    "ann_recall" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val bf = Similarity.bruteForceTopK(e, "vec_id", "embedding", 32L, 10)
+        .select("vec_id")
+      val lsh = Similarity.annLsh(e, "vec_id", "embedding", 32L, 10)
+        .select("vec_id")
+      val ivf = Similarity.annIvf(e, "vec_id", "embedding", 32L, 10,
+        centroidStride = 100, nprobe = 2).select("vec_id")
+      val ihits = ivf.join(bf, Seq("vec_id")).agg(count(lit(1)).as("hits"))
+        .select(lit("ivf").as("method"), col("hits"), lit(10).as("k"))
+      val lhits = lsh.join(bf, Seq("vec_id")).agg(count(lit(1)).as("hits"))
+        .select(lit("lsh").as("method"), col("hits"), lit(10).as("k"))
+      ihits.unionByName(lhits).orderBy("method")
+    }),
 
     "ann_ivf" -> ((s, d) =>
       Similarity.annIvf(Tables.embeddings(s, d), "vec_id", "embedding",
@@ -289,12 +311,12 @@ SELECT vec_id, cosine FROM scored
 ORDER BY cosine DESC, vec_id ASC LIMIT 10""",
 
     "ann_lsh" -> (rhpBucketsCte(8, 16) + """, qb AS (
-  SELECT b, bucket FROM buckets WHERE vec_id = 0
+  SELECT b, bucket FROM buckets WHERE vec_id = 32
 ), cand AS (
   SELECT DISTINCT buckets.vec_id
   FROM buckets JOIN qb ON buckets.b = qb.b AND buckets.bucket = qb.bucket
-  WHERE buckets.vec_id <> 0
-), q AS (SELECT qe AS qv FROM qz WHERE vec_id = 0),
+  WHERE buckets.vec_id <> 32
+), q AS (SELECT qe AS qv FROM qz WHERE vec_id = 32),
 scored AS (
   SELECT qz.vec_id,
          round(
@@ -306,6 +328,70 @@ scored AS (
 )
 SELECT vec_id, cosine FROM scored
 ORDER BY cosine DESC, vec_id ASC LIMIT 10"""),
+
+    "ann_recall" -> (rhpBucketsCte(8, 16) + """, qb AS (
+  SELECT b, bucket FROM buckets WHERE vec_id = 32
+), lcand AS (
+  SELECT DISTINCT buckets.vec_id
+  FROM buckets JOIN qb ON buckets.b = qb.b AND buckets.bucket = qb.bucket
+  WHERE buckets.vec_id <> 32
+), q AS (SELECT qe AS qv FROM qz WHERE vec_id = 32),
+bf AS (
+  SELECT qz.vec_id,
+         round(
+           CAST(list_sum(list_transform(range(64), i -> qe[i+1] * qv[i+1])) AS DOUBLE)
+           / sqrt(CAST(list_sum(list_transform(range(64), i -> qe[i+1] * qe[i+1])) AS DOUBLE)
+                  * CAST(list_sum(list_transform(range(64), i -> qv[i+1] * qv[i+1])) AS DOUBLE)),
+           6) AS cosine
+  FROM qz CROSS JOIN q WHERE vec_id <> 32
+  ORDER BY cosine DESC, vec_id ASC LIMIT 10
+), lsh AS (
+  SELECT qz.vec_id,
+         round(
+           CAST(list_sum(list_transform(range(64), i -> qe[i+1] * qv[i+1])) AS DOUBLE)
+           / sqrt(CAST(list_sum(list_transform(range(64), i -> qe[i+1] * qe[i+1])) AS DOUBLE)
+                  * CAST(list_sum(list_transform(range(64), i -> qv[i+1] * qv[i+1])) AS DOUBLE)),
+           6) AS cosine
+  FROM qz JOIN lcand ON qz.vec_id = lcand.vec_id CROSS JOIN q
+  ORDER BY cosine DESC, qz.vec_id ASC LIMIT 10
+), cents AS (
+  SELECT vec_id AS cid, qe AS ce FROM qz WHERE vec_id % 100 = 0
+), cscored AS (
+  SELECT qz.vec_id, cents.cid,
+         round(
+           CAST(list_sum(list_transform(range(64), i -> qe[i+1] * ce[i+1])) AS DOUBLE)
+           / sqrt(CAST(list_sum(list_transform(range(64), i -> qe[i+1] * qe[i+1])) AS DOUBLE)
+                  * CAST(list_sum(list_transform(range(64), i -> ce[i+1] * ce[i+1])) AS DOUBLE)),
+           6) AS ccos
+  FROM qz CROSS JOIN cents
+), cranked AS (
+  SELECT vec_id, cid,
+         row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS rnk
+  FROM cscored
+), cells AS (SELECT vec_id, cid FROM cranked WHERE rnk = 1),
+qcells AS (SELECT cid FROM cranked WHERE vec_id = 32 AND rnk <= 2),
+ivf AS (
+  SELECT qz.vec_id,
+         round(
+           CAST(list_sum(list_transform(range(64), i -> qe[i+1] * qv[i+1])) AS DOUBLE)
+           / sqrt(CAST(list_sum(list_transform(range(64), i -> qe[i+1] * qe[i+1])) AS DOUBLE)
+                  * CAST(list_sum(list_transform(range(64), i -> qv[i+1] * qv[i+1])) AS DOUBLE)),
+           6) AS cosine
+  FROM cells
+  JOIN qcells ON cells.cid = qcells.cid
+  JOIN qz ON qz.vec_id = cells.vec_id
+  CROSS JOIN q
+  WHERE qz.vec_id <> 32
+  ORDER BY cosine DESC, qz.vec_id ASC LIMIT 10
+)
+SELECT 'ivf' AS method,
+       CAST((SELECT count(*) FROM ivf WHERE vec_id IN (SELECT vec_id FROM bf)) AS BIGINT) AS hits,
+       10 AS k
+UNION ALL
+SELECT 'lsh',
+       CAST((SELECT count(*) FROM lsh WHERE vec_id IN (SELECT vec_id FROM bf)) AS BIGINT),
+       10
+ORDER BY method"""),
 
     "ann_ivf" -> ("""WITH qz AS (
   SELECT vec_id,

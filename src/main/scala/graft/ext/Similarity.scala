@@ -115,8 +115,7 @@ object Similarity {
     val qz = embeddings.select(col(idCol).as("vid"),
         quantize(col(embCol)).as("qe"))
       .withColumn("n2", dotQ(col("qe"), col("qe")))
-    val cents = qz.where(col("vid") % centroidStride === 0)
-      .select(col("vid").as("cid"), col("qe").as("ce"), col("n2").as("cn2"))
+    val cents = centroidsOf(qz, centroidStride)
     val scored = qz.crossJoin(broadcast(cents))
       .select(col("vid"), col("qe"), col("n2"), col("cid"),
         cosineQNormed(col("qe"), col("ce"), col("n2"), col("cn2")).as("ccos"))
@@ -135,6 +134,86 @@ object Similarity {
       .select(col("vid").as(idCol),
         cosineQNormed(col("qe"), col("qv"), col("n2"), col("qn2")).as("cosine"))
       .orderBy(col("cosine").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** Coarse codebook over a quantized frame (vid, qe, n2): every
+    * `centroidStride`-th vector. */
+  private def centroidsOf(qz: DataFrame, centroidStride: Int): DataFrame =
+    qz.where(col("vid") % centroidStride === 0)
+      .select(col("vid").as("cid"), col("qe").as("ce"), col("n2").as("cn2"))
+
+  /** The PRECOMPUTED-cells IVF path — the deployment shape [[annIvf]]'s
+    * scaladoc promises: cell assignment is materialized ONCE (one
+    * broadcast-scored pass over the corpus, the cost [[annIvf]] pays per
+    * query), hive-partitioned by `cid` (the [[graft.sources.SummaryMirror]]
+    * layout pattern) and sorted by `vid` within partitions for row-group
+    * skipping on id lookups. Centroids are stored beside the cells.
+    *
+    * Layout: `path/cells/cid=<c>/…` with (vid, qe, n2); `path/centroids`
+    * with (cid, ce, cn2). Same assignment rule as [[annIvf]] (argmax
+    * quantized cosine, ties to smallest cid), so probing the index
+    * returns identical results. */
+  def writeCellIndex(embeddings: DataFrame, idCol: String, embCol: String,
+                     path: String, centroidStride: Int = 100): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val qz = embeddings.select(col(idCol).as("vid"),
+        quantize(col(embCol)).as("qe"))
+      .withColumn("n2", dotQ(col("qe"), col("qe")))
+    val cents = centroidsOf(qz, centroidStride)
+    cents.write.mode("overwrite").parquet(s"$path/centroids")
+    val byCell = Window.partitionBy("vid")
+      .orderBy(col("ccos").desc, col("cid").asc)
+    qz.crossJoin(broadcast(cents))
+      .select(col("vid"), col("qe"), col("n2"), col("cid"),
+        cosineQNormed(col("qe"), col("ce"), col("n2"), col("cn2")).as("ccos"))
+      .withColumn("rnk", row_number().over(byCell))
+      .where(col("rnk") === 1)
+      .select(col("vid"), col("qe"), col("n2"), col("cid"))
+      .repartition(col("cid"))
+      .sortWithinPartitions("vid")
+      .write.mode("overwrite").partitionBy("cid").parquet(s"$path/cells")
+  }
+
+  /** Probe a [[writeCellIndex]] index: score the query against the
+    * (small, broadcast-sized) stored centroids to pick its `nprobe`
+    * cells, then scan ONLY those cell partitions — the `cid IN (…)`
+    * filter is a LITERAL partition predicate, so Catalyst prunes the
+    * other directories before any IO (PlanSpec pins PartitionFilters on
+    * this plan). The two tiny driver-side steps (fetch the query row,
+    * rank nprobe centroids) are point lookups on the serving path —
+    * bounded by nprobe and the codebook size, never by the corpus. */
+  def annIvfIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
+                    queryId: Long, k: Int, nprobe: Int = 2): DataFrame = {
+    // Explicit schema so the cid PARTITION column is LongType (inference
+    // would shrink it to int and force a cast into the pruning predicate).
+    val cellSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vid",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("qe",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType)),
+      org.apache.spark.sql.types.StructField("n2",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("cid",
+        org.apache.spark.sql.types.LongType)))
+    val cells = spark.read.schema(cellSchema).parquet(s"$path/cells")
+    val cents = spark.read.parquet(s"$path/centroids")
+    val qRow = cells.where(col("vid") === queryId)
+      .select(col("qe"), col("n2")).head()
+    val qe = qRow.getSeq[Long](0)
+    val qn2 = qRow.getLong(1)
+    val qLit = typedlit(qe)
+    val qcids = cents
+      .select(col("cid"),
+        cosineQNormed(qLit, col("ce"), lit(qn2), col("cn2")).as("ccos"))
+      .orderBy(col("ccos").desc, col("cid").asc)
+      .limit(nprobe)
+      .select("cid").collect().map(_.getLong(0)).toSeq
+    cells.where(col("cid").isin(qcids: _*) && col("vid") =!= queryId)
+      .select(col("vid"),
+        cosineQNormed(col("qe"), qLit, col("n2"), lit(qn2)).as("cosine"))
+      .orderBy(col("cosine").desc, col("vid").asc)
       .limit(k)
   }
 

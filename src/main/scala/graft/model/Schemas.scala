@@ -84,6 +84,24 @@ object Schemas {
       nullable = true)
   ))
 
+  /** The `{"Left":…}|{"Right":…}` summary-envelope payload as a REAL
+    * struct schema for interpreted-field access (SURVEY §7.4 item 7).
+    * The reference round-trips the full SDK JSON and HARD-FAILS on data
+    * it cannot interpret (`SummaryRow::new` → `UnknownData`,
+    * wallet-proxy-indexer/src/lib.rs:307-311) — the strict decode path
+    * ([[graft.query.QueryApi.decodeRowsStrict]]) mirrors that with
+    * `from_json` in FAILFAST mode plus an unknown-variant `raise_error`
+    * guard. Interpreted fields here cover the synthetic feed's payload
+    * (`{"k": n}`); a production deployment would widen the two structs
+    * to the SDK's `BlockItemSummary` / `SpecialTransactionOutcome`
+    * shapes — the policy machinery is independent of the field list. */
+  val summaryEnvelope: StructType = StructType(Seq(
+    StructField("Left", StructType(Seq(
+      StructField("k", LongType, nullable = true))), nullable = true),
+    StructField("Right", StructType(Seq(
+      StructField("k", LongType, nullable = true))), nullable = true)
+  ))
+
   /** Deterministic, order-preserving summary id: replaces Postgres
     * `RETURNING id` (main.rs:219). Ids are strictly increasing in
     * (height, seq_in_block) and may have gaps, matching the documented

@@ -58,6 +58,30 @@ object QueryApi {
         get_json_object(col("summary"), "$.Left.k").as("left_k"),
         get_json_object(col("summary"), "$.Right.k").as("right_k"))
 
+  /** B5 strict variant — typed decode of the summary envelope through a
+    * real `StructType` ([[graft.model.Schemas.summaryEnvelope]]) instead
+    * of per-field `get_json_object`, with the reference's hard-stop
+    * policy (lib.rs:307-311): malformed JSON aborts the job (`from_json`
+    * FAILFAST), and a structurally valid envelope that is NEITHER Left
+    * nor Right (unknown variant) aborts via `raise_error` — data the
+    * engine cannot interpret must never be silently dropped on the
+    * WRITE/interpret path (contrast [[decodeRows]], the read-path
+    * filter_map drop). The variant dispatch is part of the output, so
+    * the guard is always evaluated and never pruned. */
+  def decodeRowsStrict(summaries: DataFrame): DataFrame = {
+    val env = from_json(col("summary"), graft.model.Schemas.summaryEnvelope,
+      Map("mode" -> "FAILFAST"))
+    summaries.select(col("id"), env.as("env"))
+      .select(col("id"),
+        when(col("env.Left").isNotNull, lit("Left"))
+          .when(col("env.Right").isNotNull, lit("Right"))
+          .otherwise(raise_error(concat(
+            lit("unknown summary variant at id "), col("id").cast("string"))))
+          .as("variant"),
+        col("env.Left.k").as("left_k"),
+        col("env.Right.k").as("right_k"))
+  }
+
   /** B6 — most-recent-k summaries per account, for all accounts at once
     * (the generalization of wallet-proxy-indexer/README.md:113-122):
     * window `row_number` over id desc, one shuffle on account. */

@@ -57,6 +57,32 @@ class SimilaritySpec extends SparkSpec {
     assert(ivf.map(_._1).contains(1L))
   }
 
+  test("precomputed cell index: probe matches the per-query formulation") {
+    val root = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    Similarity.writeCellIndex(vecs, "vec_id", "embedding", root,
+      centroidStride = 2)
+    val direct = Similarity.annIvf(vecs, "vec_id", "embedding", 0L, 4,
+        centroidStride = 2, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val probe = Similarity.annIvfIndexed(spark, root, 0L, 4, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(probe == direct)
+  }
+
+  test("precomputed cell index: the probe scan is partition-pruned on cid") {
+    val root = java.nio.file.Files.createTempDirectory("graft-ivf-prune").toString
+    Similarity.writeCellIndex(vecs, "vec_id", "embedding", root,
+      centroidStride = 2)
+    val p = Similarity.annIvfIndexed(spark, root, 0L, 4, nprobe = 2)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters") && p.contains("cid"),
+      s"expected a cid partition filter on the probe scan in:\n$p")
+    // the nprobe IN-set must appear as a literal partition predicate —
+    // directories outside it are never touched
+    assert(p.contains("cid#") && (p.contains(" IN ") || p.contains("cid IN")),
+      s"expected literal IN pruning predicate in:\n$p")
+  }
+
   test("16-plane bands shrink the max bucket vs the old 4-plane scheme") {
     import org.apache.spark.sql.functions._
     // 400 random vectors: with 4 planes there are only 16 buckets, so the

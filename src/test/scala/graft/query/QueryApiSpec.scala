@@ -45,6 +45,39 @@ class QueryApiSpec extends SparkSpec {
     assert(out(1).getString(1) == null && out(1).getString(2) == "3")
   }
 
+  test("strict decode projects nested typed fields for valid envelopes") {
+    val ok = Seq(
+      (1L, "b1", 10L, 0L, """{"Left":{"k":1}}"""),
+      (3L, "b2", 20L, 1L, """{"Right":{"k":3}}""")
+    ).toDF("id", "block", "timestamp", "height", "summary")
+    val out = QueryApi.decodeRowsStrict(ok).orderBy("id").collect()
+    assert(out(0).getString(1) == "Left" &&
+      out(0).getLong(2) == 1L && out(0).isNullAt(3))
+    assert(out(1).getString(1) == "Right" &&
+      out(1).isNullAt(2) && out(1).getLong(3) == 3L)
+  }
+
+  test("strict decode hard-fails on malformed JSON (FAILFAST, lib.rs:307-311)") {
+    val bad = Seq((2L, "b1", 10L, 0L, """{oops not json"""))
+      .toDF("id", "block", "timestamp", "height", "summary")
+    val e = intercept[Exception] {
+      QueryApi.decodeRowsStrict(bad).collect()
+    }
+    assert(e.getMessage.contains("Malformed") ||
+      Option(e.getCause).exists(_.getMessage.contains("Malformed")))
+  }
+
+  test("strict decode hard-fails on an unknown envelope variant") {
+    val unknown = Seq((4L, "b1", 10L, 0L, """{"Middle":{"k":4}}"""))
+      .toDF("id", "block", "timestamp", "height", "summary")
+    val e = intercept[Exception] {
+      QueryApi.decodeRowsStrict(unknown).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("unknown summary variant at id 4")))
+  }
+
   test("change feed keeps protocol events (null sender) and drops own sends") {
     val sws = Seq(
       (1L, "b1", 10L, 0L, "s1", Some(7L)),  // own send → dropped
