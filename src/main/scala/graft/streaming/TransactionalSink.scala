@@ -42,11 +42,22 @@ import graft.model.Schemas
   *    (`UPDATE … WHERE total_supply = <read value>`, savepoint-guarded
   *    insert race) so two partitions touching the same token converge;
   *    a deadlock abort fails the task and the idempotent retry heals;
-  *  - key bindings are pre-reduced to the LATEST snapshot per address in
-  *    the batch (max source id — the reference also ends the block batch
-  *    with only the last snapshot visible, main.rs:506-540), so exactly
-  *    one block transaction writes a given address per batch;
-  *    last-write-wins guards keep cross-batch replays no-ops.
+  *  - key bindings are pre-reduced to the LATEST snapshot per (address,
+  *    BLOCK) — per block, not per batch, so every block transaction
+  *    carries its own snapshot and the all-five-tables atomic-visibility
+  *    invariant holds for bindings too (a reader between two commits of
+  *    one batch never sees block N present with block N's binding
+  *    missing). Across blocks and replayed batches the src_id
+  *    last-write-wins guards make older snapshots no-ops, matching the
+  *    reference's final state (main.rs:506-540).
+  *
+  * Driver requirement: `executeBatch` per-statement counts MUST be real
+  * row counts — the CIS-2 supply fold depends on them. A driver
+  * returning `Statement.SUCCESS_NO_INFO` (e.g. pgjdbc with
+  * `reWriteBatchedInserts=true`) would silently treat new deltas as
+  * replays, permanently under-counting supply; the writer fails fast on
+  * any negative count instead. Keep `reWriteBatchedInserts` OFF for the
+  * Postgres dialect.
   */
 object TransactionalSink extends Serializable {
 
@@ -80,12 +91,14 @@ object TransactionalSink extends Serializable {
       col("index").as("d_idx"), col("subindex").as("d_subidx"),
       col("token_id").as("d_token"), col("delta").as("d_delta"))
 
-    // Latest snapshot per address in this batch: one writer per address.
+    // Latest snapshot per (address, block): each block transaction writes
+    // its own snapshot (atomic visibility); src_id LWW guards resolve
+    // across blocks.
     val bindings = withId
       .where(col("key_bindings").isNotNull)
       .select(coalesce(col("sender"), col("affected_accounts").getItem(0)).as("address"),
         col("id"), col("key_bindings"))
-      .groupBy("address")
+      .groupBy(col("address"), heightOfId(col("id")).as("b_height"))
       .agg(max_by(struct(col("id"), col("key_bindings")), col("id")).as("w"))
       .select(col("address"), col("w.id").as("id"), explode(col("w.key_bindings")).as("b"))
       .select(heightOfId(col("id")).as("height"), lit(4).as("tag"),
@@ -160,6 +173,14 @@ object TransactionalSink extends Serializable {
         r.getAs[String]("d_token"), r.getAs[String]("d_delta")))
     }
     val inserted = st.insDelta.executeBatch()
+    // The supply fold is only sound with REAL per-statement counts; a
+    // driver answering SUCCESS_NO_INFO (-2) would silently misclassify
+    // new deltas as replays (permanent, invisible supply corruption) —
+    // fail the task instead and let the idempotent retry surface it.
+    require(inserted.forall(_ >= 0),
+      "cis2 delta executeBatch returned SUCCESS_NO_INFO; exact update " +
+        "counts are required (disable driver batch rewriting, e.g. " +
+        "pgjdbc reWriteBatchedInserts)")
     val acc = scala.collection.mutable.LinkedHashMap.empty[(Long, Long, String), BigInteger]
     deltaRows.zip(inserted).foreach { case (r, n) =>
       if (n == 1) {
