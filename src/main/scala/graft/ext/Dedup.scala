@@ -34,6 +34,7 @@ object Dedup {
     * (engine-independent: integer division in IEEE). */
   def ngramJaccard(df: DataFrame, content: Column, id: Column,
                    k: Int = 3, minJaccard: Double = 0.5): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
     // Lazy localCheckpoint (NOT persist): the exploded frame is still
     // materialized once and reused by its three consumers, but the
     // blocks are owned by the RDD — reclaimed by the ContextCleaner when

@@ -29,12 +29,17 @@ object Text {
 
   /** k-word shingles as space-joined strings; empty array if fewer than
     * k words. DuckDB: `list_transform(range(len(w)-k+1), i ->
-    * array_to_string(w[i+1:i+k], ' '))`. */
+    * array_to_string(w[i+1:i+k], ' '))`.
+    *
+    * Computed by the native [[graft.functions.WordShingles]] expression
+    * (one codegen'd pass; the previous `transform`+`slice`+`concat_ws`
+    * HOF ran interpreted and dominated every shingle consumer). The
+    * `when` wrapper keeps the old null-text behavior (empty array, not
+    * null). Callers must have [[graft.functions.GraftFunctions]]
+    * registered — every graft.ext entry point does that. */
   def shingles(text: Column, k: Int): Column = {
     val w = words(text)
-    when(size(w) >= k,
-      transform(sequence(lit(0), size(w) - k),
-        i => concat_ws(" ", slice(w, i + 1, lit(k)))))
+    when(size(w) >= k, call_function("word_shingles", w, lit(k)))
       .otherwise(array().cast("array<string>"))
   }
 

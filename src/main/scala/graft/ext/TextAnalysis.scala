@@ -79,11 +79,14 @@ object TextAnalysis {
     * shingle hash (robust to local edits). */
   def fingerprint(df: DataFrame, content: Column, id: Column,
                   k: Int = 3): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
     val norm = regexp_replace(lower(trim(content)), " +", " ")
     df.select(
       id.as("doc_id"),
       md5(norm).as("content_fp"),
-      array_min(transform(Text.shingles(content, k), s => md5(s)))
-        .as("winnow_fp"))
+      // native one-pass min-of-md5 (graft.functions.MinMd5) — same value
+      // as array_min(transform(.., md5)) without the per-element hex
+      // string allocation of the interpreted HOF chain
+      call_function("min_md5", Text.shingles(content, k)).as("winnow_fp"))
   }
 }

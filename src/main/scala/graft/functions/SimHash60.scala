@@ -104,6 +104,13 @@ object GraftFunctions {
       (exprs: Seq[Expression]) => RhpLsh(exprs.head,
         exprs(1).eval().asInstanceOf[Number].intValue,
         exprs(2).eval().asInstanceOf[Number].intValue)),
+    (FunctionIdentifier("word_shingles"),
+      new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
+      (exprs: Seq[Expression]) => WordShingles(exprs.head,
+        exprs(1).eval().asInstanceOf[Number].intValue)),
+    (FunctionIdentifier("min_md5"),
+      new ExpressionInfo(classOf[MinMd5].getName, "min_md5"),
+      (exprs: Seq[Expression]) => MinMd5(exprs.head)),
     (FunctionIdentifier("cis2_decode"),
       new ExpressionInfo(classOf[Cis2Decode].getName, "cis2_decode"),
       (exprs: Seq[Expression]) => Cis2Decode(exprs.head)),

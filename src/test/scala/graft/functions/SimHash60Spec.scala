@@ -46,6 +46,33 @@ class SimHash60Spec extends SparkSpec {
     assert(f == s)
   }
 
+  test("word_shingles/min_md5 equal the portable HOF formulations") {
+    GraftFunctions.register(spark)
+    val docs = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "one two three",
+      "short one", // fewer than k words → empty shingles, null min
+      "", // empty text
+      "a  b   c d" // multi-space split
+    ).zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val w = split(trim(col("text")), " +")
+    val hofShingles = when(size(w) >= 3,
+      transform(sequence(lit(0), size(w) - 3),
+        i => concat_ws(" ", slice(w, i + 1, lit(3)))))
+      .otherwise(array().cast("array<string>"))
+    val rows = docs.select(
+      Text.shingles(col("text"), 3).as("native_sh"),
+      hofShingles.as("hof_sh"),
+      call_function("min_md5", hofShingles).as("native_min"),
+      array_min(transform(hofShingles, s => md5(s))).as("hof_min")
+    ).collect()
+    rows.foreach { r =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1),
+        s"shingle mismatch: ${r.getSeq[String](0)} vs ${r.getSeq[String](1)}")
+      assert(r.getAs[String]("native_min") == r.getAs[String]("hof_min"))
+    }
+  }
+
   test("null array yields null; empty array yields 0") {
     GraftFunctions.register(spark)
     val df = Seq((1L, Some(Seq("tok"))), (2L, None))
