@@ -10,16 +10,21 @@ import org.apache.spark.sql.functions._
   * shuffle at all except where a groupBy is inherent. */
 object TextAnalysis {
 
-  /** Per-doc token statistics. */
+  /** Per-doc token statistics — one [[graft.functions.WordProfile]] /
+    * [[graft.functions.TokProfile]] pass per row instead of a chain of
+    * interpreted `size`/`array_distinct`/`aggregate` HOFs. */
   def tokenStats(df: DataFrame, content: Column, id: Column): DataFrame = {
-    val w = Text.words(content)
+    graft.functions.GraftFunctions.register(df.sparkSession)
     df.select(
-      id.as("doc_id"),
-      length(content).as("n_chars"),
-      size(Text.tokens(content)).as("n_tokens"),
-      size(w).as("n_words"),
-      size(array_distinct(w)).as("n_uniq_words"),
-      aggregate(w, lit(0L), (acc, x) => acc + length(x)).as("sum_word_len"))
+        id.as("doc_id"),
+        length(content).as("n_chars"),
+        call_function("tok_profile", Text.tokens(content)).as("__t"),
+        call_function("word_profile", Text.words(content)).as("__p"))
+      .select(col("doc_id"), col("n_chars"),
+        col("__t.n_tokens").as("n_tokens"),
+        col("__p.n_words").as("n_words"),
+        col("__p.n_uniq").as("n_uniq_words"),
+        col("__p.sum_len").as("sum_word_len"))
   }
 
   private val stop = Map(
@@ -28,17 +33,20 @@ object TextAnalysis {
     "fr" -> Seq("le", "la", "et", "les", "des", "un", "une", "du"),
     "de" -> Seq("der", "die", "und", "das", "ist", "ein", "von", "mit"))
 
-  private def hits(wordsCol: Column, lang: String): Column =
+  private[ext] def hits(wordsCol: Column, lang: String): Column =
     size(filter(wordsCol, w => w.isInCollection(stop(lang))))
 
   /** Stopword-profile language id (n-gram-heuristic class). Deterministic
-    * argmax with fixed tiebreak order en > es > fr > de. */
+    * argmax with fixed tiebreak order en > es > fr > de. The four hit
+    * counts come from ONE [[graft.functions.WordProfile]] pass (the
+    * `hits` HOF is kept for the spec's equivalence check). */
   def langId(df: DataFrame, content: Column, id: Column): DataFrame = {
-    val w = Text.words(lower(content))
-    val (en, es, fr, de) =
-      (hits(w, "en"), hits(w, "es"), hits(w, "fr"), hits(w, "de"))
-    df.select(id.as("doc_id"), en.as("s_en"), es.as("s_es"),
-        fr.as("s_fr"), de.as("s_de"))
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    df.select(id.as("doc_id"),
+        call_function("word_profile", Text.words(lower(content))).as("__p"))
+      .select(col("doc_id"), col("__p.s_en").as("s_en"),
+        col("__p.s_es").as("s_es"), col("__p.s_fr").as("s_fr"),
+        col("__p.s_de").as("s_de"))
       .withColumn("lang_pred",
         when(col("s_en") >= col("s_es") && col("s_en") >= col("s_fr")
           && col("s_en") >= col("s_de"), "en")
@@ -50,19 +58,20 @@ object TextAnalysis {
   /** Quality signals + a boolean verdict. Ratios are integer
     * parts-per-thousand (exact integer division — portable). */
   def qualityScore(df: DataFrame, content: Column, id: Column): DataFrame = {
-    val w = Text.words(lower(content))
-    val nPunct = size(Text.tokens(content)) - size(
-      filter(Text.tokens(content), t => t.rlike("^[0-9A-Za-z_]+$")))
+    graft.functions.GraftFunctions.register(df.sparkSession)
     df.select(
         id.as("doc_id"),
         length(content).as("n_chars"),
-        size(w).as("n_words"),
-        hits(w, "en").as("__stop"),
-        nPunct.as("__punct"),
-        size(Text.tokens(content)).as("__toks"),
-        size(array_distinct(w)).as("__uniq"),
-        aggregate(w, lit(0L), (a, x) => greatest(a, length(x).cast("long")))
-          .as("max_word_len"))
+        call_function("word_profile", Text.words(lower(content))).as("__p"),
+        call_function("tok_profile", Text.tokens(content)).as("__t"))
+      .select(
+        col("doc_id"), col("n_chars"),
+        col("__p.n_words").as("n_words"),
+        col("__p.s_en").as("__stop"),
+        col("__t.n_punct").as("__punct"),
+        col("__t.n_tokens").as("__toks"),
+        col("__p.n_uniq").as("__uniq"),
+        col("__p.max_len").as("max_word_len"))
       // ratios in integer parts-per-thousand: `div` (exact integral
       // division) rather than `/` (double), so both engines agree.
       .selectExpr("doc_id", "n_chars", "n_words",

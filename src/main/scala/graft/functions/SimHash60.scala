@@ -111,6 +111,12 @@ object GraftFunctions {
     (FunctionIdentifier("min_md5"),
       new ExpressionInfo(classOf[MinMd5].getName, "min_md5"),
       (exprs: Seq[Expression]) => MinMd5(exprs.head)),
+    (FunctionIdentifier("word_profile"),
+      new ExpressionInfo(classOf[WordProfile].getName, "word_profile"),
+      (exprs: Seq[Expression]) => WordProfile(exprs.head)),
+    (FunctionIdentifier("tok_profile"),
+      new ExpressionInfo(classOf[TokProfile].getName, "tok_profile"),
+      (exprs: Seq[Expression]) => TokProfile(exprs.head)),
     (FunctionIdentifier("cis2_decode"),
       new ExpressionInfo(classOf[Cis2Decode].getName, "cis2_decode"),
       (exprs: Seq[Expression]) => Cis2Decode(exprs.head)),

@@ -143,3 +143,128 @@ object ShingleUtil {
     false
   }
 }
+
+/** `word_profile(words)` — one-pass word statistics for the text-
+  * analysis operators: counts, distinct count, summed/max length, and
+  * the four fixed stopword-profile hit counts used by language id and
+  * quality scoring. Replaces a chain of interpreted HOFs
+  * (`size(filter(isInCollection))` per language, `aggregate` for
+  * sum/max, `array_distinct`) with a single codegen'd loop; semantics
+  * are pinned equal to the HOF formulation by spec, and the DuckDB
+  * oracles are unchanged. */
+case class WordProfile(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"word_profile requires array<string>, got ${other.catalogString}")
+  }
+  override def dataType: DataType = WordStatsUtil.profileSchema
+  override def prettyName: String = "word_profile"
+
+  override def nullSafeEval(input: Any): Any =
+    WordStatsUtil.profile(input.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.WordStatsUtil.profile($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): WordProfile =
+    copy(child = newChild)
+}
+
+/** `tok_profile(tokens)` — token count + punctuation-token count in one
+  * pass. A token from [[graft.ext.Text.TokenRe]] is either a word run
+  * or a single non-word char, so "punctuation" = first byte outside
+  * [0-9A-Za-z_] — no per-token regex (`rlike`) needed. */
+case class TokProfile(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"tok_profile requires array<string>, got ${other.catalogString}")
+  }
+  override def dataType: DataType = WordStatsUtil.tokSchema
+  override def prettyName: String = "tok_profile"
+
+  override def nullSafeEval(input: Any): Any =
+    WordStatsUtil.tokProfile(input.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.WordStatsUtil.tokProfile($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): TokProfile =
+    copy(child = newChild)
+}
+
+/** Static helpers referenced from generated code. */
+object WordStatsUtil {
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+  import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
+
+  val profileSchema: StructType = StructType(Seq(
+    StructField("n_words", IntegerType, nullable = false),
+    StructField("n_uniq", IntegerType, nullable = false),
+    StructField("sum_len", LongType, nullable = false),
+    StructField("max_len", LongType, nullable = false),
+    StructField("s_en", IntegerType, nullable = false),
+    StructField("s_es", IntegerType, nullable = false),
+    StructField("s_fr", IntegerType, nullable = false),
+    StructField("s_de", IntegerType, nullable = false)))
+
+  val tokSchema: StructType = StructType(Seq(
+    StructField("n_tokens", IntegerType, nullable = false),
+    StructField("n_punct", IntegerType, nullable = false)))
+
+  // The fixed stopword profiles of TextAnalysis (operator spec constants).
+  private def set(ws: String*): java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String]()
+    ws.foreach(w => s.add(UTF8String.fromString(w)))
+    s
+  }
+  private val En = set("the", "and", "of", "to", "in", "is", "a", "for")
+  private val Es = set("el", "la", "de", "que", "y", "en", "un", "los")
+  private val Fr = set("le", "la", "et", "les", "des", "un", "une", "du")
+  private val De = set("der", "die", "und", "das", "ist", "ein", "von", "mit")
+
+  def profile(words: ArrayData): GenericInternalRow = {
+    val n = words.numElements()
+    val uniq = new java.util.HashSet[UTF8String]()
+    var sumLen = 0L
+    var maxLen = 0L
+    var en = 0; var es = 0; var fr = 0; var de = 0
+    var i = 0
+    while (i < n) {
+      if (!words.isNullAt(i)) {
+        val w = words.getUTF8String(i)
+        uniq.add(w)
+        val len = w.numChars()
+        sumLen += len
+        if (len > maxLen) maxLen = len
+        if (En.contains(w)) en += 1
+        if (Es.contains(w)) es += 1
+        if (Fr.contains(w)) fr += 1
+        if (De.contains(w)) de += 1
+      }
+      i += 1
+    }
+    new GenericInternalRow(
+      Array[Any](n, uniq.size(), sumLen, maxLen, en, es, fr, de))
+  }
+
+  def tokProfile(toks: ArrayData): GenericInternalRow = {
+    val n = toks.numElements()
+    var punct = 0
+    var i = 0
+    while (i < n) {
+      if (!toks.isNullAt(i)) {
+        val t = toks.getUTF8String(i)
+        val b = if (t.numBytes() > 0) t.getByte(0) else 0
+        val word = (b >= '0' && b <= '9') || (b >= 'A' && b <= 'Z') ||
+          (b >= 'a' && b <= 'z') || b == '_'
+        if (!word) punct += 1
+      }
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](n, punct))
+  }
+}

@@ -38,6 +38,45 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.toSeq == Seq(true, false, false))
   }
 
+  test("word_profile/tok_profile equal the portable HOF formulations") {
+    import org.apache.spark.sql.functions._
+    graft.functions.GraftFunctions.register(spark)
+    val df = Seq(
+      "the quick brown fox, and the lazy dog!",
+      "el perro y la casa de los gatos",
+      "punctuation... everywhere?! yes; really.",
+      "", "x",
+      "der der der die und das ist ein von mit"
+    ).zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val w = Text.words(lower(col("text")))
+    val t = Text.tokens(col("text"))
+    val rows = df.select(
+      call_function("word_profile", w).as("p"),
+      call_function("tok_profile", t).as("tp"),
+      size(w).as("h_nw"),
+      size(array_distinct(w)).as("h_uniq"),
+      aggregate(w, lit(0L), (a, x) => a + length(x)).as("h_sum"),
+      aggregate(w, lit(0L), (a, x) => greatest(a, length(x).cast("long"))).as("h_max"),
+      TextAnalysis.hits(w, "en").as("h_en"), TextAnalysis.hits(w, "es").as("h_es"),
+      TextAnalysis.hits(w, "fr").as("h_fr"), TextAnalysis.hits(w, "de").as("h_de"),
+      size(t).as("h_nt"),
+      (size(t) - size(filter(t, x => x.rlike("^[0-9A-Za-z_]+$")))).as("h_punct")
+    ).collect()
+    rows.foreach { r =>
+      val p = r.getStruct(0); val tp = r.getStruct(1)
+      assert(p.getInt(0) == r.getAs[Int]("h_nw"))
+      assert(p.getInt(1) == r.getAs[Int]("h_uniq"))
+      assert(p.getLong(2) == r.getAs[Long]("h_sum"))
+      assert(p.getLong(3) == r.getAs[Long]("h_max"))
+      assert(p.getInt(4) == r.getAs[Int]("h_en"))
+      assert(p.getInt(5) == r.getAs[Int]("h_es"))
+      assert(p.getInt(6) == r.getAs[Int]("h_fr"))
+      assert(p.getInt(7) == r.getAs[Int]("h_de"))
+      assert(tp.getInt(0) == r.getAs[Int]("h_nt"))
+      assert(tp.getInt(1) == r.getAs[Int]("h_punct"))
+    }
+  }
+
   test("fingerprint: spacing-insensitive content fp, local-edit-stable winnow fp") {
     val df = Seq(
       (1L, "alpha beta  gamma delta epsilon"),
