@@ -45,7 +45,12 @@ object Text {
 
   /** Tokens: word runs or single punctuation chars (a BPE-ish regex
     * both engines interpret identically on ASCII).
-    * DuckDB: `regexp_extract_all(text, '[0-9A-Za-z_]+|[^0-9A-Za-z_ ]')`. */
+    * DuckDB: `regexp_extract_all(text, '[0-9A-Za-z_]+|[^0-9A-Za-z_ ]')`.
+    *
+    * Computed by the native [[graft.functions.WordTokens]] byte scanner
+    * (the regex machine was the residual hot-path cost after the other
+    * text natives); callers must have GraftFunctions registered — every
+    * graft.ext entry point does. */
   val TokenRe = "[0-9A-Za-z_]+|[^0-9A-Za-z_ ]"
-  def tokens(text: Column): Column = regexp_extract_all(text, lit(TokenRe), lit(0))
+  def tokens(text: Column): Column = call_function("word_tokens", text)
 }

@@ -117,6 +117,9 @@ object GraftFunctions {
     (FunctionIdentifier("tok_profile"),
       new ExpressionInfo(classOf[TokProfile].getName, "tok_profile"),
       (exprs: Seq[Expression]) => TokProfile(exprs.head)),
+    (FunctionIdentifier("word_tokens"),
+      new ExpressionInfo(classOf[WordTokens].getName, "word_tokens"),
+      (exprs: Seq[Expression]) => WordTokens(exprs.head)),
     (FunctionIdentifier("cis2_decode"),
       new ExpressionInfo(classOf[Cis2Decode].getName, "cis2_decode"),
       (exprs: Seq[Expression]) => Cis2Decode(exprs.head)),

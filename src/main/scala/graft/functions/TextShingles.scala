@@ -268,3 +268,65 @@ object WordStatsUtil {
     new GenericInternalRow(Array[Any](n, punct))
   }
 }
+
+/** `word_tokens(text)` — the [[graft.ext.Text.TokenRe]] tokenizer
+  * (`[0-9A-Za-z_]+|[^0-9A-Za-z_ ]`) as a native byte scanner: ASCII word
+  * runs become one token, a space is a separator, and ANY other
+  * character (punctuation, tabs/newlines, non-ASCII code points —
+  * multi-byte UTF-8 handled per code point) is a single-char token,
+  * exactly like the regex alternation. Replaces `regexp_extract_all`
+  * (a java.util.regex machine per row) in the text hot path; the DuckDB
+  * oracle keeps the regex formulation and the spec pins equality. */
+case class WordTokens(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"word_tokens requires string, got ${other.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_tokens"
+
+  override def nullSafeEval(input: Any): Any =
+    TokenizeUtil.tokens(input.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TokenizeUtil.tokens($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): WordTokens =
+    copy(child = newChild)
+}
+
+/** Static helper referenced from generated code. */
+object TokenizeUtil {
+
+  private def isWordByte(b: Byte): Boolean =
+    (b >= '0' && b <= '9') || (b >= 'A' && b <= 'Z') ||
+      (b >= 'a' && b <= 'z') || b == '_'
+
+  def tokens(s: UTF8String): ArrayData = {
+    val bytes = s.getBytes
+    val n = bytes.length
+    val out = new scala.collection.mutable.ArrayBuffer[Any](16)
+    var i = 0
+    while (i < n) {
+      val b = bytes(i)
+      if (isWordByte(b)) {
+        val start = i
+        i += 1
+        while (i < n && isWordByte(bytes(i))) i += 1
+        out += UTF8String.fromBytes(bytes, start, i - start)
+      } else if (b == ' ') {
+        i += 1
+      } else {
+        // one code point = one token ([^0-9A-Za-z_ ] matches any single
+        // char); multi-byte UTF-8 sequences advance by the whole char
+        val len = UTF8String.numBytesForFirstByte(b)
+        val end = math.min(i + len, n)
+        out += UTF8String.fromBytes(bytes, i, end - i)
+        i = end
+      }
+    }
+    new GenericArrayData(out.toArray)
+  }
+}

@@ -73,6 +73,26 @@ class SimHash60Spec extends SparkSpec {
     }
   }
 
+  test("word_tokens equals the regexp_extract_all formulation") {
+    GraftFunctions.register(spark)
+    val texts = Seq(
+      "the quick, brown fox!",
+      "tabs\tand\nnewlines are single-char tokens",
+      "σπάρκ mixed ascii κείμενο", // multi-byte code points
+      "", "   ", "a_b_c 123 __",
+      "!!??..", "ends with punct?")
+    val rows = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+      .select(
+        Text.tokens(col("text")).as("native"),
+        regexp_extract_all(col("text"), lit(Text.TokenRe), lit(0)).as("re"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1),
+        s"mismatch: ${r.getSeq[String](0)} vs ${r.getSeq[String](1)}")
+    }
+  }
+
   test("null array yields null; empty array yields 0") {
     GraftFunctions.register(spark)
     val df = Seq((1L, Some(Seq("tok"))), (2L, None))
