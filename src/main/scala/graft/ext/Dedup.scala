@@ -155,10 +155,11 @@ object Dedup {
     val byU = Window.partitionBy("u")
     def largeStar(e: DataFrame): DataFrame = {
       val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      // no distinct here: duplicates cannot change any min and the
+      // following small-star pass dedups — saves one shuffle per round
       sym.withColumn("m", least(min(col("v")).over(byU), col("u")))
         .where(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
-        .distinct()
     }
     def smallStar(e: DataFrame): DataFrame = {
       val dir = e.select(greatest(col("u"), col("v")).as("u"),

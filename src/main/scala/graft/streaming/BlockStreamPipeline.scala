@@ -48,4 +48,31 @@ object BlockStreamPipeline {
      else writer.trigger(Trigger.ProcessingTime("2 seconds")))
       .start()
   }
+
+  /** Start the pipeline over a registered
+    * [[graft.sources.BlockStore]] via the native height-offset source
+    * ([[graft.sources.BlockSourceProvider]]): the checkpoint stores the
+    * next HEIGHT (the reference's resume point), chunking is admission
+    * control, and the store is the node-client seam. Same sink and
+    * exactly-once semantics as [[start]]. */
+  def startFromStore(spark: SparkSession, storeName: String, checkpointDir: String,
+                     url: String, dialect: Dialect, availableNow: Boolean = true,
+                     startHeight: Long = 0L, maxBlocksPerTrigger: Int = 64,
+                     partitions: Int = 4): StreamingQuery = {
+    val feed = spark.readStream
+      .format(classOf[graft.sources.BlockSourceProvider].getName)
+      .option("store", storeName)
+      .option("startHeight", startHeight.toString)
+      .option("maxBlocksPerTrigger", maxBlocksPerTrigger.toString)
+      .option("partitions", partitions.toString)
+      .load()
+    val writer = feed.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        TransactionalSink.writeBatch(batch, url, dialect)
+      }
+    (if (availableNow) writer.trigger(Trigger.AvailableNow())
+     else writer.trigger(Trigger.ProcessingTime("2 seconds")))
+      .start()
+  }
 }

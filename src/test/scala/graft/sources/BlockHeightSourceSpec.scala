@@ -1,0 +1,75 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSpec
+import graft.ingest.BlockFeed.FeedRow
+
+object BlockHeightSourceSpec {
+  // foreachBatch target; static so executor-side closures see it in
+  // local mode and a restarted query keeps appending to the same buffer
+  val seen = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Int)]()
+}
+
+class BlockHeightSourceSpec extends SparkSpec {
+  import BlockHeightSourceSpec.seen
+
+  private def mkRow(h: Long, seq: Int): FeedRow =
+    FeedRow(h, seq, s"hash$h", h * 1000, s"""{"k":$h}""", is_special = false,
+      sender = Some(h % 5), affected_accounts = Seq(h % 5),
+      affected_contracts = Seq.empty, cis2_events = Seq.empty,
+      key_bindings = None)
+
+  private final class MemStore(@volatile var max: Long) extends BlockStore {
+    override def latestHeight(): Long = max
+    override def blocks(from: Long, until: Long): Iterator[FeedRow] =
+      (from until until).iterator.flatMap(h => Seq(mkRow(h, 0), mkRow(h, 1)))
+  }
+
+  test("height-offset source drains in bounded chunks and resumes from checkpoint") {
+    val store = new MemStore(9)
+    BlockStores.register("spec-store", store)
+    val ckpt = Files.createTempDirectory("graft-height-src").toString
+
+    def drain(): org.apache.spark.sql.streaming.StreamingQuery = {
+      val df = spark.readStream
+        .format(classOf[BlockSourceProvider].getName)
+        .option("store", "spec-store")
+        .option("startHeight", "0")
+        .option("maxBlocksPerTrigger", "3")
+        .option("partitions", "2")
+        .load()
+      val q = df.writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.select("height", "seq_in_block").collect()
+            .foreach(r => seen.add((r.getLong(0), r.getInt(1))))
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+      q
+    }
+
+    import scala.jdk.CollectionConverters._
+    val q1 = drain()
+    assert(seen.asScala.toSet ==
+      (0L to 9L).flatMap(h => Seq((h, 0), (h, 1))).toSet)
+    // 10 heights at <= 3 blocks per trigger → at least 4 micro-batches:
+    // the admission-control chunk bound (A2) is actually enforced
+    assert(q1.recentProgress.count(_.numInputRows > 0) >= 4,
+      q1.recentProgress.map(_.numInputRows).mkString(","))
+
+    // the chain advances; a restarted query resumes at the checkpointed
+    // height offset — only heights 10..14 flow, nothing is replayed
+    seen.clear()
+    store.max = 14
+    drain()
+    val resumed = seen.asScala.map(_._1).toSeq.distinct.sorted
+    assert(resumed == (10L to 14L),
+      s"expected resume from height 10, got $resumed")
+  }
+}
