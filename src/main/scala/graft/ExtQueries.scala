@@ -109,6 +109,16 @@ object ExtQueries {
           k = 3, numHashes = 16, bands = 4, minMatches = 4))
         .orderBy("doc_id")),
 
+    "dedup_cross_split" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.minhashLsh(docs, col("text"), col("doc_id"),
+        k = 3, numHashes = 16, bands = 4, minMatches = 4)
+      val splits = Sampling.split(docs, col("doc_id")).select("doc_id", "split")
+      Dedup.crossSplitContamination(pairs, splits)
+        .select("doc_a", "split_a", "doc_b", "split_b", "n_matching")
+        .orderBy("doc_a", "doc_b")
+    }),
+
     "dedup_simhash" -> ((s, d) =>
       Dedup.simhash(Tables.documents(s, d), col("text"), col("doc_id"))
         .orderBy("doc_id")),
@@ -189,6 +199,10 @@ object ExtQueries {
       TextAnalysis.fingerprint(Tables.documents(s, d), col("text"), col("doc_id"))
         .orderBy("doc_id")),
 
+    "text_repetition" -> ((s, d) =>
+      TextAnalysis.repetitionStats(Tables.documents(s, d), col("text"), col("doc_id"))
+        .orderBy("doc_id")),
+
     "multimodal_features" -> ((s, d) =>
       Multimodal.featuresCols(Tables.documents(s, d),
         col("text").cast("binary"), col("doc_id")).orderBy("media_id")),
@@ -251,6 +265,25 @@ ORDER BY doc_a, doc_b"""),
 )
 SELECT id AS doc_id, min(r) AS component
 FROM reach GROUP BY 1 ORDER BY doc_id"""),
+
+    "dedup_cross_split" -> (MinhashCte + s""", pairs AS (
+  SELECT doc_a, doc_b,
+         CAST(len(list_filter(range(16), i -> sa.sig[i+1] = sb.sig[i+1])) AS INT)
+           AS n_matching
+  FROM cand JOIN sig sa ON doc_a = sa.doc_id
+            JOIN sig sb ON doc_b = sb.doc_id
+  WHERE len(list_filter(range(16), i -> sa.sig[i+1] = sb.sig[i+1])) >= 4
+), sp AS (
+  SELECT doc_id,
+       CASE WHEN ${h60("CAST(doc_id AS VARCHAR)")} % 1000000 < 50000 THEN 'val'
+            WHEN ${h60("CAST(doc_id AS VARCHAR)")} % 1000000 < 100000 THEN 'test'
+            ELSE 'train' END AS split
+  FROM documents
+)
+SELECT doc_a, a.split AS split_a, doc_b, b.split AS split_b, n_matching
+FROM pairs JOIN sp a ON doc_a = a.doc_id JOIN sp b ON doc_b = b.doc_id
+WHERE a.split <> b.split
+ORDER BY doc_a, doc_b"""),
 
     "dedup_simhash" -> (s"""WITH toks AS (
   SELECT doc_id, unnest(regexp_extract_all(text, '$TokRe')) AS tok
@@ -525,6 +558,36 @@ SELECT doc_id,
                 i -> array_to_string(words[i+1:i+3], ' '))
            ELSE [] END, s -> md5(s))) AS winnow_fp
 FROM w ORDER BY doc_id"""),
+
+    "text_repetition" -> (WordsCte + """, bg AS (
+  SELECT doc_id, unnest(CASE WHEN len(words) >= 2
+    THEN list_transform(range(len(words)-1),
+         i -> array_to_string(words[i+1:i+2], ' '))
+    ELSE [] END) AS g
+  FROM w
+), tg AS (
+  SELECT doc_id, unnest(CASE WHEN len(words) >= 3
+    THEN list_transform(range(len(words)-2),
+         i -> array_to_string(words[i+1:i+3], ' '))
+    ELSE [] END) AS g
+  FROM w
+), bc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2),
+tc AS (SELECT doc_id, g, count(*) AS c FROM tg GROUP BY 1, 2),
+bstat AS (
+  SELECT doc_id, CAST(sum(c) AS INT) AS n_bigrams,
+         CAST(max(c) AS INT) AS top_bigram_n
+  FROM bc GROUP BY 1
+), tstat AS (
+  SELECT doc_id, CAST(sum(c) AS INT) AS n_trigrams,
+         CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS INT) AS dup_trigram_n
+  FROM tc GROUP BY 1
+)
+SELECT b.doc_id, n_bigrams, top_bigram_n,
+       CAST(top_bigram_n AS BIGINT) * 1000 // n_bigrams AS top_bigram_pm,
+       n_trigrams, dup_trigram_n,
+       CAST(dup_trigram_n AS BIGINT) * 1000 // n_trigrams AS dup_trigram_pm
+FROM bstat b JOIN tstat t ON b.doc_id = t.doc_id
+ORDER BY b.doc_id"""),
 
     "multimodal_features" -> (s"""
 SELECT doc_id AS media_id,

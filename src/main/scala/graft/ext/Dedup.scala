@@ -201,6 +201,27 @@ object Dedup {
       .distinct()
   }
 
+  /** Train/eval DECONTAMINATION: near-dup pairs that SPAN dataset
+    * splits — the leakage check run before training (an eval document
+    * with a near-duplicate in train invalidates the eval). Composes
+    * [[minhashLsh]] candidates with a split-assignment frame
+    * (typically [[Sampling.split]] output — hash-keyed, so membership
+    * is reproducible) and keeps only pairs whose endpoints disagree on
+    * the split. Scale shape: the pair frame is already
+    * blocking-generated; the two split joins shuffle on uniform doc-id
+    * keys (broadcastable when the split frame is a small eval set). */
+  def crossSplitContamination(pairs: DataFrame, splits: DataFrame,
+                              idCol: String = "doc_id",
+                              splitCol: String = "split"): DataFrame = {
+    val sa = splits.select(col(idCol).as("__ida"), col(splitCol).as("split_a"))
+    val sb = splits.select(col(idCol).as("__idb"), col(splitCol).as("split_b"))
+    pairs
+      .join(sa, col("doc_a") === col("__ida"))
+      .join(sb, col("doc_b") === col("__idb"))
+      .where(col("split_a") =!= col("split_b"))
+      .drop("__ida", "__idb")
+  }
+
   /** 60-bit SimHash fingerprint per document: token-hash bit votes.
     * bit_j(doc) = 1 iff sum over tokens of (2*((hash60(tok)>>j)&1)-1) > 0.
     *

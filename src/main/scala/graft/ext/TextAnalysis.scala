@@ -83,6 +83,31 @@ object TextAnalysis {
           "and __uniq * 1000L div n_words >= 200 as quality_ok")
   }
 
+  /** Gopher-style repetition quality signals (the C4/Gopher "repeated
+    * n-gram" filters of large-scale text curation): the fraction of
+    * bigram occurrences taken by the single most frequent bigram
+    * (`top_bigram_pm`) and the fraction of trigram occurrences whose
+    * trigram appears more than once (`dup_trigram_pm`) — both integer
+    * parts-per-thousand. Repetition is per-document, so the whole
+    * operator is a narrow map over [[graft.functions.FreqStats]]; no
+    * n-gram explode, no shuffle. Documents with fewer than 3 words
+    * (no trigrams) are dropped. */
+  def repetitionStats(df: DataFrame, content: Column, id: Column): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    df.select(id.as("doc_id"),
+        Text.shingles(content, 2).as("__b"),
+        Text.shingles(content, 3).as("__t"))
+      .selectExpr("doc_id", "freq_stats(__b) as fb", "freq_stats(__t) as ft")
+      .where(col("ft.n") > 0)
+      .selectExpr("doc_id",
+        "fb.n as n_bigrams",
+        "fb.max_count as top_bigram_n",
+        "cast(fb.max_count as bigint) * 1000 div fb.n as top_bigram_pm",
+        "ft.n as n_trigrams",
+        "ft.dup_n as dup_trigram_n",
+        "cast(ft.dup_n as bigint) * 1000 div ft.n as dup_trigram_pm")
+  }
+
   /** Document fingerprints: md5 of whitespace-normalized lowercase text
     * (exact content identity modulo spacing) + winnowing-style min
     * shingle hash (robust to local edits). */

@@ -120,6 +120,9 @@ object GraftFunctions {
     (FunctionIdentifier("word_tokens"),
       new ExpressionInfo(classOf[WordTokens].getName, "word_tokens"),
       (exprs: Seq[Expression]) => WordTokens(exprs.head)),
+    (FunctionIdentifier("freq_stats"),
+      new ExpressionInfo(classOf[FreqStats].getName, "freq_stats"),
+      (exprs: Seq[Expression]) => FreqStats(exprs.head)),
     (FunctionIdentifier("cis2_decode"),
       new ExpressionInfo(classOf[Cis2Decode].getName, "cis2_decode"),
       (exprs: Seq[Expression]) => Cis2Decode(exprs.head)),

@@ -330,3 +330,64 @@ object TokenizeUtil {
     new GenericArrayData(out.toArray)
   }
 }
+
+/** `freq_stats(strings)` — occurrence statistics of a string array in
+  * one pass: total count, the count of the most frequent element, and
+  * the number of occurrences belonging to elements seen more than once.
+  * The building block for Gopher-style repetition quality filters
+  * (top-n-gram fraction, duplicate-n-gram fraction) without exploding
+  * n-grams through a shuffle: repetition is a PER-DOCUMENT property, so
+  * it stays a narrow map. */
+case class FreqStats(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"freq_stats requires array<string>, got ${other.catalogString}")
+  }
+  override def dataType: DataType = FreqStatsUtil.schema
+  override def prettyName: String = "freq_stats"
+
+  override def nullSafeEval(input: Any): Any =
+    FreqStatsUtil.compute(input.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.FreqStatsUtil.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): FreqStats =
+    copy(child = newChild)
+}
+
+/** Static helper referenced from generated code. */
+object FreqStatsUtil {
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+  import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+
+  val schema: StructType = StructType(Seq(
+    StructField("n", IntegerType, nullable = false),
+    StructField("max_count", IntegerType, nullable = false),
+    StructField("dup_n", IntegerType, nullable = false)))
+
+  def compute(arr: ArrayData): GenericInternalRow = {
+    val n = arr.numElements()
+    val counts = new java.util.HashMap[UTF8String, Int]()
+    var total = 0
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        total += 1
+        counts.merge(arr.getUTF8String(i), 1, (a, b) => a + b)
+      }
+      i += 1
+    }
+    var maxCount = 0
+    var dupN = 0
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val c = it.next()
+      if (c > maxCount) maxCount = c
+      if (c > 1) dupN += c
+    }
+    new GenericInternalRow(Array[Any](total, maxCount, dupN))
+  }
+}

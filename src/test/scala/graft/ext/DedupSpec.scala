@@ -77,6 +77,19 @@ class DedupSpec extends SparkSpec {
     assert(out.size == 16 && out.values.forall(_ == 0L))
   }
 
+  test("cross-split contamination keeps only pairs spanning splits") {
+    import org.apache.spark.sql.functions._
+    val pairs = Seq((1L, 2L, 10), (3L, 4L, 12), (5L, 6L, 16))
+      .toDF("doc_a", "doc_b", "n_matching")
+    val splits = Seq(1L -> "train", 2L -> "test", 3L -> "train",
+      4L -> "train", 5L -> "val", 6L -> "train").toDF("doc_id", "split")
+    val out = Dedup.crossSplitContamination(pairs, splits)
+      .orderBy("doc_a")
+      .select("doc_a", "split_a", "doc_b", "split_b")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))
+    assert(out.toSeq == Seq((1L, "train", 2L, "test"), (5L, "val", 6L, "train")))
+  }
+
   test("simhash: identical docs at distance 0, unrelated docs far") {
     val fp = Dedup.simhash(docs, $"text", $"doc_id")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -38,6 +38,27 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.toSeq == Seq(true, false, false))
   }
 
+  test("repetition stats: crafted repeats produce exact ppm fractions") {
+    val df = Seq(
+      // "a b a b a b": bigrams = [a b, b a, a b, b a, a b] (n=5, top=3);
+      // trigrams = [a b a, b a b, a b a, b a b] (n=4, all duplicated)
+      (1L, "a b a b a b"),
+      // all-distinct words: no repeated bigrams/trigrams
+      (2L, "one two three four five"),
+      (3L, "x y")). // no trigrams → dropped
+      toDF("id", "text")
+    val out = TextAnalysis.repetitionStats(df, $"text", $"id")
+      .orderBy("doc_id").collect()
+    assert(out.length == 2)
+    val r1 = out(0)
+    assert(r1.getAs[Int]("n_bigrams") == 5 && r1.getAs[Int]("top_bigram_n") == 3)
+    assert(r1.getAs[Long]("top_bigram_pm") == 600L) // 3*1000 div 5
+    assert(r1.getAs[Int]("n_trigrams") == 4 && r1.getAs[Int]("dup_trigram_n") == 4)
+    assert(r1.getAs[Long]("dup_trigram_pm") == 1000L)
+    val r2 = out(1)
+    assert(r2.getAs[Int]("top_bigram_n") == 1 && r2.getAs[Long]("dup_trigram_pm") == 0L)
+  }
+
   test("word_profile/tok_profile equal the portable HOF formulations") {
     import org.apache.spark.sql.functions._
     graft.functions.GraftFunctions.register(spark)
