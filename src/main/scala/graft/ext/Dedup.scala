@@ -18,6 +18,24 @@ object Dedup {
     df.groupBy(md5(content).as("content_hash"))
       .agg(min(id).as("keeper_doc_id"), count(lit(1)).as("n_copies"))
 
+  /** STREAMING exact dedup — the continuous-ingestion form of [[exact]]:
+    * emit only the first document per content hash, with state BOUNDED
+    * by the event-time watermark (`dropDuplicatesWithinWatermark` keyed
+    * on the md5 hash, so the dedup state holds one entry per distinct
+    * recent document, not per document ever seen). The semantic
+    * trade-off is explicit: a duplicate arriving more than `delay`
+    * after its original MAY be emitted again — the streaming pass is
+    * the fast in-window filter, and the batch [[exact]] pass over the
+    * accumulated corpus is the authority (the standard two-tier layout
+    * of a continuously-fed training corpus). Output: (doc_id,
+    * event_time, content_hash) of first-seen documents. */
+  def streamingExact(df: DataFrame, content: Column, id: Column,
+                     eventTime: Column, delay: String): DataFrame =
+    df.select(id.as("doc_id"), eventTime.as("event_time"),
+        md5(content).as("content_hash"))
+      .withWatermark("event_time", delay)
+      .dropDuplicatesWithinWatermark("content_hash")
+
   /** Near-dup candidate pairs by exact n-gram Jaccard, blocked on shared
     * shingles: explode shingles, self-join on the shingle (only docs
     * sharing one meet), count intersections, filter by Jaccard.

@@ -77,6 +77,43 @@ class DedupSpec extends SparkSpec {
     assert(out.size == 16 && out.values.forall(_ == 0L))
   }
 
+  test("components property: random graphs match a union-find reference") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // driver-side union-find as the independent reference
+    def unionFind(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      nodes.map(x => x -> find(x)).toMap
+    }
+    val edgeGen = for {
+      n <- Gen.chooseNum(2, 40)
+      m <- Gen.chooseNum(1, 60)
+      es <- Gen.listOfN(m, for {
+        a <- Gen.chooseNum(0, n - 1)
+        b <- Gen.chooseNum(0, n - 1)
+      } yield (a.toLong, b.toLong))
+    } yield (n, es)
+    val prop = Prop.forAll(edgeGen) { case (n, es) =>
+      val pairs = es.map { case (a, b) => (a, b) }.toDF("doc_a", "doc_b")
+      val got = Dedup.components(pairs).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = unionFind(n, es.filter(e => e._1 != e._2))
+      got == want
+    }
+    // each case is several Spark jobs — keep the count small
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("cross-split contamination keeps only pairs spanning splits") {
     import org.apache.spark.sql.functions._
     val pairs = Seq((1L, 2L, 10), (3L, 4L, 12), (5L, 6L, 16))
