@@ -166,6 +166,10 @@ object ExtQueries {
       Similarity.nearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding",
         k = 20)),
 
+    "ann_knn_graph" -> ((s, d) =>
+      Similarity.knnGraph(Tables.embeddings(s, d), "vec_id", "embedding",
+        k = 3).orderBy("src", "rn")),
+
     "approx_distinct_users" -> ((s, d) =>
       Tables.events(s, d).groupBy("event_type")
         .agg(graft.functions.KMV.distinctEst(
@@ -460,6 +464,25 @@ JOIN qz ON qz.vec_id = cells.vec_id
 CROSS JOIN q
 WHERE qz.vec_id <> 0
 ORDER BY cosine DESC, qz.vec_id ASC LIMIT 10"""),
+
+    "ann_knn_graph" -> (rhpBucketsCte(8, 16) + """, cand AS (
+  SELECT DISTINCT x.vec_id AS src, y.vec_id AS dst
+  FROM buckets x JOIN buckets y
+    ON x.b = y.b AND x.bucket = y.bucket AND x.vec_id <> y.vec_id
+), scored AS (
+  SELECT src, dst,
+         round(
+           CAST(list_sum(list_transform(range(64), i -> a.qe[i+1] * b.qe[i+1])) AS DOUBLE)
+           / sqrt(CAST(list_sum(list_transform(range(64), i -> a.qe[i+1] * a.qe[i+1])) AS DOUBLE)
+                  * CAST(list_sum(list_transform(range(64), i -> b.qe[i+1] * b.qe[i+1])) AS DOUBLE)),
+           6) AS cosine
+  FROM cand JOIN qz a ON src = a.vec_id JOIN qz b ON dst = b.vec_id
+)
+SELECT src, dst, cosine, CAST(rn AS INT) AS rn FROM (
+  SELECT src, dst, cosine,
+         row_number() OVER (PARTITION BY src ORDER BY cosine DESC, dst ASC) AS rn
+  FROM scored)
+WHERE rn <= 3 ORDER BY src, rn"""),
 
     "emb_neardup_pairs" -> (rhpBucketsCte(8, 16) + """, cand AS (
   SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b

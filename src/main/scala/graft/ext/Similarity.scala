@@ -217,6 +217,41 @@ object Similarity {
       .limit(k)
   }
 
+  /** Approximate k-NN GRAPH: for EVERY vector, its `k` most similar
+    * neighbours among LSH band-bucket candidates — the batch
+    * construction behind semantic clustering / diversity sampling of a
+    * training corpus (vs [[nearDupPairs]]' global top pairs and
+    * [[annLsh]]'s single-query lookup). Directed: each candidate pair
+    * is considered from both endpoints, then a per-source window keeps
+    * the top `k` (`row_number` — ONE shuffle on the uniform source-id
+    * key). Vectors with no bucket collisions have no rows (recall < 1
+    * by construction, as everywhere in the LSH family). */
+  def knnGraph(embeddings: DataFrame, idCol: String, embCol: String,
+               k: Int, bands: Int = 8, planes: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = embeddings.select(col(idCol).as("vid"),
+        quantize(col(embCol)).as("qe"))
+      .withColumn("n2", dotQ(col("qe"), col("qe")))
+      .withColumn("bb", lshBuckets(embeddings, "qe", bands, planes))
+      .localCheckpoint(false)
+    val buckets = base.select(col("vid"),
+      posexplode(col("bb")).as(Seq("band", "bucket")))
+    val cand = buckets.as("x").join(buckets.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col("x.vid") =!= col("y.vid"))
+      .select(col("x.vid").as("src"), col("y.vid").as("dst"))
+      .distinct()
+    val bySrc = Window.partitionBy("src")
+      .orderBy(col("cosine").desc, col("dst").asc)
+    cand
+      .join(base.as("a"), col("src") === col("a.vid"))
+      .join(base.as("b"), col("dst") === col("b.vid"))
+      .select(col("src"), col("dst"),
+        cosineQNormed(col("a.qe"), col("b.qe"), col("a.n2"), col("b.n2")).as("cosine"))
+      .withColumn("rn", row_number().over(bySrc))
+      .where(col("rn") <= k)
+  }
+
   /** Embedding near-dup candidates: top-`k` most-cosine-similar pairs
     * among band-bucket collisions (pairs sharing a bucket in ANY band).
     * Candidates come only from the per-band bucket self-join — shuffles

@@ -105,6 +105,23 @@ class SimilaritySpec extends SparkSpec {
       s"expected 16-plane bands to shrink max bucket: coarse=$coarse fine=$fine")
   }
 
+  test("knn graph: every twin's nearest neighbour is its twin, both directions") {
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(17)
+    val rows = (0 until 30).flatMap { i =>
+      val base = Array.fill(16)(rnd.nextFloat() * 2 - 1)
+      val twin = base.map(x => x + (rnd.nextFloat() - 0.5f) * 1e-4f)
+      Seq((i.toLong * 2, base), (i.toLong * 2 + 1, twin))
+    }.toDF("vec_id", "embedding")
+    val top1 = Similarity.knnGraph(rows, "vec_id", "embedding", k = 1)
+      .where(col("rn") === 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0 until 30).foreach { i =>
+      assert(top1.get(i * 2L).contains(i * 2L + 1), s"pair $i forward")
+      assert(top1.get(i * 2L + 1).contains(i * 2L), s"pair $i backward")
+    }
+  }
+
   test("multi-band recall: near-identical vectors collide in some band") {
     import org.apache.spark.sql.functions._
     // 50 base vectors each with a tiny-noise twin: every twin pair must
