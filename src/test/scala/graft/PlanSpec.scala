@@ -41,6 +41,27 @@ class PlanSpec extends SparkSpec {
       s"expected partial+final HashAggregate pair in:\n$p")
   }
 
+  test("cis2 log decode: one list-key window, no joins, codegen'd decode") {
+    val p = plan("cis2_log_decode")
+    assert(count(p, "Window") == 1, s"expected exactly the drop-semantics window in:\n$p")
+    assert(!p.contains("Join"), s"decode path must not join:\n$p")
+    // the event-type filter must reach the parquet scan under the codec
+    assert(p.contains("PushedFilters: [In(event_type"), s"expected pushdown in:\n$p")
+  }
+
+  test("text repetition: narrow per-document map — no joins, only the sort exchange") {
+    val p = plan("text_repetition")
+    assert(!p.contains("Join"), s"repetition must stay per-document:\n$p")
+    assert(count(p, "Exchange") == 1, // the final orderBy only
+      s"expected a single (sort) exchange in:\n$p")
+  }
+
+  test("knn graph: per-source window top-k, no global sort") {
+    val p = plan("ann_knn_graph")
+    assert(p.contains("Window"), s"expected the per-source top-k window in:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("no inventory query plans a cartesian product") {
     // ann_bruteforce/ann_lsh intentionally broadcast-cross-join ONE query
     // row against the corpus — a bounded nested loop, not an all-pairs
