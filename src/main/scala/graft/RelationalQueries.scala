@@ -78,6 +78,35 @@ object RelationalQueries {
         .orderBy(col("revenue").desc, col("n_name").asc)
     }),
 
+    // Correlated SCALAR subquery (the TPC-H Q2 shape): Catalyst
+    // decorrelates it into an aggregate + join, not a per-row probe —
+    // the SQL is deliberately written subquery-style to pin that path.
+    "q_min_price_per_part" -> ((s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("li_corr")
+      s.sql("""
+        SELECT l_partkey, l_orderkey, l_extendedprice
+        FROM li_corr l1
+        WHERE l_extendedprice = (SELECT min(l_extendedprice)
+                                 FROM li_corr l2
+                                 WHERE l2.l_partkey = l1.l_partkey)
+        ORDER BY l_partkey, l_orderkey""")
+    }),
+
+    // Correlated EXISTS (the TPC-H Q4 shape) → decorrelated semi join
+    // under an aggregation.
+    "q_priority_discounted" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("ord_corr")
+      Tables.lineitem(s, d).createOrReplaceTempView("li_corr2")
+      s.sql("""
+        SELECT o_orderpriority, count(*) AS n
+        FROM ord_corr o
+        WHERE EXISTS (SELECT 1 FROM li_corr2 l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_discount > 0.05)
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority""")
+    }),
+
     "q_rollup_revenue" -> ((s, d) =>
       Tables.orders(s, d)
         .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
@@ -273,6 +302,22 @@ FROM customer JOIN orders ON c_custkey = o_custkey
 WHERE r_name = 'ASIA'
   AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
 GROUP BY n_name ORDER BY revenue DESC, n_name""",
+
+    "q_min_price_per_part" -> """
+SELECT l_partkey, l_orderkey, l_extendedprice
+FROM lineitem l1
+WHERE l_extendedprice = (SELECT min(l_extendedprice)
+                         FROM lineitem l2
+                         WHERE l2.l_partkey = l1.l_partkey)
+ORDER BY l_partkey, l_orderkey""",
+
+    "q_priority_discounted" -> """
+SELECT o_orderpriority, count(*) AS n
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_discount > 0.05)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority""",
 
     "q_rollup_revenue" -> """
 SELECT r_name, n_name, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total, count(*) AS n_orders
