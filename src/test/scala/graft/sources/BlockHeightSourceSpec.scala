@@ -6,7 +6,8 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.streaming.Trigger
 
 import graft.SparkSpec
-import graft.ingest.BlockFeed.FeedRow
+import graft.ingest.BlockFeed.{Cis2Event, FeedRow}
+import graft.streaming.{BlockStreamPipeline, Dialect, Migrations}
 
 object BlockHeightSourceSpec {
   // foreachBatch target; static so executor-side closures see it in
@@ -71,5 +72,51 @@ class BlockHeightSourceSpec extends SparkSpec {
     val resumed = seen.asScala.map(_._1).toSeq.distinct.sorted
     assert(resumed == (10L to 14L),
       s"expected resume from height 10, got $resumed")
+  }
+
+  test("startFromStore: height source through the per-block sink to the DB") {
+    // the full A1→A10 path over the native source: store → micro-batches
+    // → TransactionalSink (per-block transactions) → Derby, with
+    // height-offset resume between the two drains
+    final class SinkStore(@volatile var max: Long) extends BlockStore {
+      override def latestHeight(): Long = max
+      override def blocks(from: Long, until: Long): Iterator[FeedRow] =
+        (from until until).iterator.map { h =>
+          FeedRow(h, 0, s"h$h", h * 1000, s"""{"k":$h}""", is_special = false,
+            sender = Some(h % 3), affected_accounts = Seq(h % 3),
+            affected_contracts = Seq.empty,
+            cis2_events = Seq(Cis2Event(0L, 0L, "tok", "mint", (10 + h).toString)),
+            key_bindings = None)
+        }
+    }
+    val root = Files.createTempDirectory("graft-height-sink").toString
+    val url = s"jdbc:derby:$root/db;create=true"
+    Migrations.migrate(url, Dialect.Derby)
+    val store = new SinkStore(4)
+    BlockStores.register("sink-store", store)
+
+    def drainToDb(): Unit = {
+      val q = BlockStreamPipeline.startFromStore(spark, "sink-store",
+        s"$root/ckpt", url, Dialect.Derby, availableNow = true,
+        maxBlocksPerTrigger = 2)
+      q.awaitTermination(120000)
+    }
+    def one(sql: String): Any = {
+      val c = Migrations.connect(url)
+      try {
+        val rs = c.createStatement().executeQuery(sql)
+        rs.next(); rs.getObject(1)
+      } finally c.close()
+    }
+
+    drainToDb()
+    assert(one("SELECT COUNT(*) FROM summaries") == 5)
+    // mints 10+11+12+13+14 = 60
+    assert(one("SELECT total_supply FROM cis2_tokens WHERE idx = 0 AND subidx = 0") == "60")
+
+    store.max = 7 // resume: heights 5..7 only, supply += 15+16+17
+    drainToDb()
+    assert(one("SELECT COUNT(*) FROM summaries") == 8)
+    assert(one("SELECT total_supply FROM cis2_tokens WHERE idx = 0 AND subidx = 0") == "108")
   }
 }
