@@ -227,7 +227,10 @@ object Dedup {
     * is reproducible) and keeps only pairs whose endpoints disagree on
     * the split. Scale shape: the pair frame is already
     * blocking-generated; the two split joins shuffle on uniform doc-id
-    * keys (broadcastable when the split frame is a small eval set). */
+    * keys (broadcastable when the split frame is a small eval set).
+    * Pairs whose endpoints are MISSING from `splits` are dropped (inner
+    * joins) — pass a complete assignment (e.g. [[Sampling.split]] over
+    * the same corpus) when absence should be impossible. */
   def crossSplitContamination(pairs: DataFrame, splits: DataFrame,
                               idCol: String = "doc_id",
                               splitCol: String = "split"): DataFrame = {

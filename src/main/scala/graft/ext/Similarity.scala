@@ -199,10 +199,12 @@ object Similarity {
         org.apache.spark.sql.types.LongType)))
     val cells = spark.read.schema(cellSchema).parquet(s"$path/cells")
     val cents = spark.read.parquet(s"$path/centroids")
-    val qRow = cells.where(col("vid") === queryId)
-      .select(col("qe"), col("n2")).head()
-    val qe = qRow.getSeq[Long](0)
-    val qn2 = qRow.getLong(1)
+    val qRows = cells.where(col("vid") === queryId)
+      .select(col("qe"), col("n2")).take(1)
+    require(qRows.nonEmpty,
+      s"query vector $queryId is not in the cell index at $path")
+    val qe = qRows(0).getSeq[Long](0)
+    val qn2 = qRows(0).getLong(1)
     val qLit = typedlit(qe)
     val qcids = cents
       .select(col("cid"),
