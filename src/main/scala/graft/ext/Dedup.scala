@@ -213,10 +213,13 @@ object Dedup {
       edges = next
       round += 1
     }
-    // At the fixpoint every edge is (member, component-min root).
+    // At the fixpoint every edge is (member, component-min root): member
+    // rows are already distinct (small-star dedups) and can never equal
+    // a root row (member u ≠ v), so only the root set needs a distinct —
+    // one small shuffle instead of re-deduping the whole output.
     edges.select(col("u").as("doc_id"), col("v").as("component"))
-      .union(edges.select(col("v").as("doc_id"), col("v").as("component")))
-      .distinct()
+      .union(edges.select(col("v")).distinct()
+        .select(col("v").as("doc_id"), col("v").as("component")))
   }
 
   /** Train/eval DECONTAMINATION: near-dup pairs that SPAN dataset
