@@ -44,7 +44,7 @@ object Dedup {
     * not the string — 8 bytes per key through the exchange instead of
     * ~16+ characters, hashed post-explode so the md5 stays inside
     * whole-stage codegen (distinctness is taken on the exact strings
-    * first). The exploded frame is checkpointed across its three uses
+    * first). The exploded frame is persisted across its three uses
     * (sizes + both join sides). Hash keys are uniform unless a shingle
     * is extremely common; at 100 TB you'd MinHash first ([[minhashLsh]])
     * and use this as the verify step on candidates. Jaccard is emitted
@@ -53,15 +53,16 @@ object Dedup {
   def ngramJaccard(df: DataFrame, content: Column, id: Column,
                    k: Int = 3, minJaccard: Double = 0.5): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
-    // Lazy localCheckpoint (NOT persist): the exploded frame is still
-    // materialized once and reused by its three consumers, but the
-    // blocks are owned by the RDD — reclaimed by the ContextCleaner when
-    // the returned plan is garbage-collected, instead of leaking in the
-    // CacheManager for the life of the session.
+    // persist, not localCheckpoint: checkpoint blocks are unrecoverable
+    // after executor loss (routine at cluster scale), while a persisted
+    // frame recomputes lost partitions from lineage. KNOWN LEAK: the
+    // cache entry lives until the session drops it — long-lived sessions
+    // issuing many dedup calls should unpersist via
+    // spark.catalog.clearCache() or sparkContext.getPersistentRDDs.
     val sh = df.select(id.as("doc_id"),
         explode(array_distinct(Text.shingles(content, k))).as("str"))
       .select(col("doc_id"), Text.hash60(col("str")).as("s"))
-      .localCheckpoint(false)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val pairs = sh.as("a").join(sh.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
@@ -111,15 +112,16 @@ object Dedup {
     * (shuffle on uniform md5 bucket keys); the signature join afterwards
     * touches candidate pairs, not all pairs. This is the standard
     * shingle→minhash→band→bucket-join pipeline. The signature frame is
-    * locally checkpointed because three downstream joins consume it —
-    * without that, the full shingle+hash pass re-runs per branch. */
+    * persisted because three downstream joins consume it — without
+    * that, the full shingle+hash pass re-runs per branch. */
   def minhashLsh(df: DataFrame, content: Column, id: Column,
                  k: Int = 3, numHashes: Int = 16, bands: Int = 4,
                  minMatches: Int = 8): DataFrame = {
     val r = numHashes / bands
-    // lazy localCheckpoint, not persist — see ngramJaccard for why
+    // persist, not localCheckpoint — see ngramJaccard (fault tolerance
+    // over cache footprint; leak documented there)
     val sig = minhashSignatures(df, content, id, k, numHashes)
-      .localCheckpoint(false)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val buckets = sig.select(col("doc_id"),
         explode(transform(sequence(lit(0), lit(bands - 1)),
           b => struct(b.as("band"),
@@ -161,8 +163,10 @@ object Dedup {
     * lineage each round, and the convergence check is an `observe`
     * metric collected DURING the checkpoint job — no separate per-round
     * driver count() job; the driver only compares the already-collected
-    * (count, hash-sum) pair. Only ids that appear in some pair are
-    * emitted; unpaired documents are implicitly singleton components.
+    * (count, hash-sum) pair. Only ids that appear in some NON-SELF pair
+    * are emitted; unpaired documents — including ids appearing only in
+    * degenerate self-pairs, which no candidate generator produces — are
+    * implicitly singleton components.
     *
     * Output: (doc_id, component) — component is the smallest doc id
     * reachable through the pair graph (deterministic under any

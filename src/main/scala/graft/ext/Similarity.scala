@@ -175,16 +175,41 @@ object Similarity {
       .write.mode("overwrite").partitionBy("cid").parquet(s"$path/cells")
   }
 
-  /** Probe a [[writeCellIndex]] index: score the query against the
-    * (small, broadcast-sized) stored centroids to pick its `nprobe`
-    * cells, then scan ONLY those cell partitions — the `cid IN (…)`
-    * filter is a LITERAL partition predicate, so Catalyst prunes the
-    * other directories before any IO (PlanSpec pins PartitionFilters on
-    * this plan). The two tiny driver-side steps (fetch the query row,
-    * rank nprobe centroids) are point lookups on the serving path —
-    * bounded by nprobe and the codebook size, never by the corpus. */
-  def annIvfIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
-                    queryId: Long, k: Int, nprobe: Int = 2): DataFrame = {
+  /** Probe a [[writeCellIndex]] index with a caller-supplied QUERY
+    * VECTOR — the real serving shape (the query is usually a freshly
+    * embedded text, not a corpus member): rank the (small, stored)
+    * centroids, then scan ONLY the `nprobe` cell partitions — the
+    * `cid IN (…)` filter is a LITERAL partition predicate, so Catalyst
+    * prunes the other directories before any IO (PlanSpec pins
+    * PartitionFilters on this plan). Driver-side work is bounded by the
+    * codebook size and nprobe, never by the corpus. */
+  def annIvfIndexedVec(spark: org.apache.spark.sql.SparkSession, path: String,
+                       queryVec: Seq[Float], k: Int, nprobe: Int = 2,
+                       excludeVid: Option[Long] = None): DataFrame = {
+    // same HALF_UP rounding as [[quantize]] (Spark's round), which
+    // math.round would get wrong for negative half-way values
+    val qe = queryVec.map(x => java.math.BigDecimal.valueOf(x.toDouble * 1e6)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValue)
+    val qn2 = qe.map(v => v * v).sum
+    val cents = spark.read.parquet(s"$path/centroids")
+    val qLit = typedlit(qe)
+    val qcids = cents
+      .select(col("cid"),
+        cosineQNormed(qLit, col("ce"), lit(qn2), col("cn2")).as("ccos"))
+      .orderBy(col("ccos").desc, col("cid").asc)
+      .limit(nprobe)
+      .select("cid").collect().map(_.getLong(0)).toSeq
+    val cells = readCells(spark, path)
+    val probed = cells.where(col("cid").isin(qcids: _*))
+    excludeVid.fold(probed)(v => probed.where(col("vid") =!= v))
+      .select(col("vid"),
+        cosineQNormed(col("qe"), qLit, col("n2"), lit(qn2)).as("cosine"))
+      .orderBy(col("cosine").desc, col("vid").asc)
+      .limit(k)
+  }
+
+  private def readCells(spark: org.apache.spark.sql.SparkSession,
+                        path: String): DataFrame = {
     // Explicit schema so the cid PARTITION column is LongType (inference
     // would shrink it to int and force a cast into the pruning predicate).
     val cellSchema = org.apache.spark.sql.types.StructType(Seq(
@@ -197,7 +222,16 @@ object Similarity {
         org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("cid",
         org.apache.spark.sql.types.LongType)))
-    val cells = spark.read.schema(cellSchema).parquet(s"$path/cells")
+    spark.read.schema(cellSchema).parquet(s"$path/cells")
+  }
+
+  /** By-id convenience probe: looks the query row up IN THE INDEX (a
+    * full-corpus scan mitigated only by vid row-group sorting — per-
+    * query cost scales with the corpus, unlike [[annIvfIndexedVec]]),
+    * then delegates. Prefer the vector variant on a serving path. */
+  def annIvfIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
+                    queryId: Long, k: Int, nprobe: Int = 2): DataFrame = {
+    val cells = readCells(spark, path)
     val cents = spark.read.parquet(s"$path/centroids")
     val qRows = cells.where(col("vid") === queryId)
       .select(col("qe"), col("n2")).take(1)
@@ -235,7 +269,7 @@ object Similarity {
         quantize(col(embCol)).as("qe"))
       .withColumn("n2", dotQ(col("qe"), col("qe")))
       .withColumn("bb", lshBuckets(embeddings, "qe", bands, planes))
-      .localCheckpoint(false)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val buckets = base.select(col("vid"),
       posexplode(col("bb")).as(Seq("band", "bucket")))
     val cand = buckets.as("x").join(buckets.as("y"),
@@ -259,18 +293,18 @@ object Similarity {
     * Candidates come only from the per-band bucket self-join — shuffles
     * on uniform (band, bucket) keys, never all-pairs; with 16 planes per
     * band the expected in-bucket join is O(bands · n²/2^16) vs the old
-    * single-band 4-plane O(n²/2^4). The quantized base is checkpointed
+    * single-band 4-plane O(n²/2^4). The quantized base is persisted
     * because the candidate join consumes it three times. */
   def nearDupPairs(embeddings: DataFrame, idCol: String, embCol: String,
                    k: Int, bands: Int = 8, planes: Int = 16): DataFrame = {
-    // lazy localCheckpoint, not persist — blocks are GC-reclaimed with
-    // the returned plan instead of leaking in the CacheManager
-    // (see Dedup.ngramJaccard)
+    // persist, not localCheckpoint — checkpoint blocks don't survive
+    // executor loss; lineage recomputation does (see Dedup.ngramJaccard
+    // for the documented cache-lifetime trade-off)
     val base = embeddings.select(col(idCol).as("vid"),
         quantize(col(embCol)).as("qe"))
       .withColumn("n2", dotQ(col("qe"), col("qe")))
       .withColumn("bb", lshBuckets(embeddings, "qe", bands, planes))
-      .localCheckpoint(false)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val buckets = base.select(col("vid"),
       posexplode(col("bb")).as(Seq("band", "bucket")))
     val cand = buckets.as("x").join(buckets.as("y"),

@@ -185,6 +185,7 @@ object Cis2Util {
     }
     if (!c.ok) null
     else if (big == null) UTF8String.fromString(java.lang.Long.toUnsignedString(small))
+    else if (big.bitLength() > 256) { c.fail(); null } // TokenAmount < 2^256
     else UTF8String.fromString(big.toString)
   }
 

@@ -272,11 +272,17 @@ object WordStatsUtil {
 /** `word_tokens(text)` — the [[graft.ext.Text.TokenRe]] tokenizer
   * (`[0-9A-Za-z_]+|[^0-9A-Za-z_ ]`) as a native byte scanner: ASCII word
   * runs become one token, a space is a separator, and ANY other
-  * character (punctuation, tabs/newlines, non-ASCII code points —
-  * multi-byte UTF-8 handled per code point) is a single-char token,
-  * exactly like the regex alternation. Replaces `regexp_extract_all`
-  * (a java.util.regex machine per row) in the text hot path; the DuckDB
-  * oracle keeps the regex formulation and the spec pins equality. */
+  * character (punctuation, tabs/newlines, non-ASCII) is a single token.
+  *
+  * Non-BMP caveat, resolved in the ORACLE's favour: this scanner (and
+  * DuckDB's RE2-based `regexp_extract_all`) operates on Unicode CODE
+  * POINTS, so an astral-plane character (e.g. an emoji) is one token;
+  * java.util.regex operates on UTF-16 code units and would split it
+  * into two unpaired-surrogate tokens. The scanner deliberately matches
+  * the DuckDB oracle — the engine the correctness gate compares against
+  * — not the JVM regex quirk; the spec equivalence test therefore pins
+  * equality on BMP text only. Replaces `regexp_extract_all` (a
+  * java.util.regex machine per row) in the text hot path. */
 case class WordTokens(child: Expression) extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {

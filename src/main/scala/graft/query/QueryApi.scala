@@ -66,17 +66,21 @@ object QueryApi {
     * nor Right (unknown variant) aborts via `raise_error` — data the
     * engine cannot interpret must never be silently dropped on the
     * WRITE/interpret path (contrast [[decodeRows]], the read-path
-    * filter_map drop). The variant dispatch is part of the output, so
-    * the guard is always evaluated and never pruned. */
+    * filter_map drop). The guard is a FILTER (`assert_true`), not an
+    * output column: a filter survives downstream column pruning, so the
+    * hard-stop fires even when a caller selects only `left_k` —
+    * an output-column guard would be silently pruned away with it. */
   def decodeRowsStrict(summaries: DataFrame): DataFrame = {
     val env = from_json(col("summary"), graft.model.Schemas.summaryEnvelope,
       Map("mode" -> "FAILFAST"))
     summaries.select(col("id"), env.as("env"))
+      .where(assert_true(
+        col("env.Left").isNotNull || col("env.Right").isNotNull,
+        concat(lit("unknown summary variant at id "),
+          col("id").cast("string"))).isNull)
       .select(col("id"),
         when(col("env.Left").isNotNull, lit("Left"))
-          .when(col("env.Right").isNotNull, lit("Right"))
-          .otherwise(raise_error(concat(
-            lit("unknown summary variant at id "), col("id").cast("string"))))
+          .otherwise(lit("Right"))
           .as("variant"),
         col("env.Left.k").as("left_k"),
         col("env.Right.k").as("right_k"))

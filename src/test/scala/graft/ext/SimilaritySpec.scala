@@ -69,6 +69,20 @@ class SimilaritySpec extends SparkSpec {
     assert(probe == direct)
   }
 
+  test("precomputed cell index: vector probe equals the by-id probe") {
+    val root = java.nio.file.Files.createTempDirectory("graft-ivf-vec").toString
+    Similarity.writeCellIndex(vecs, "vec_id", "embedding", root,
+      centroidStride = 2)
+    val byId = Similarity.annIvfIndexed(spark, root, 0L, 4, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val qv = vecs.where($"vec_id" === 0L).select("embedding")
+      .collect()(0).getSeq[Float](0)
+    val byVec = Similarity.annIvfIndexedVec(spark, root, qv, 4, nprobe = 2,
+        excludeVid = Some(0L))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(byVec == byId)
+  }
+
   test("precomputed cell index: the probe scan is partition-pruned on cid") {
     val root = java.nio.file.Files.createTempDirectory("graft-ivf-prune").toString
     Similarity.writeCellIndex(vecs, "vec_id", "embedding", root,

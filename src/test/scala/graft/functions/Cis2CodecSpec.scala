@@ -102,7 +102,9 @@ class Cis2CodecSpec extends SparkSpec {
     assert(custom.getAs[String]("tag") == "unknown")
     assert(custom.isNullAt(custom.fieldIndex("token_id")))
     // truncated token id, truncated address, bad address tag, trailing
-    // garbage, unterminated LEB128, >37-byte LEB128, empty input
+    // garbage, unterminated LEB128, >37-byte LEB128, a 37-byte LEB128
+    // encoding exactly 2^256 (over the TokenAmount bound — the
+    // reference's try_from rejects it too), empty input
     val malformed = Seq(
       Array[Byte](254.toByte, 5, 0x01),
       Array[Byte](254.toByte, 0, 0x05, 0) ++ acctA.take(31),
@@ -110,6 +112,8 @@ class Cis2CodecSpec extends SparkSpec {
       Array[Byte](254.toByte, 0, 0x05, 0) ++ acctA ++ Array[Byte](0x00),
       Array[Byte](253.toByte, 0, 0x80.toByte),
       Array[Byte](253.toByte, 0) ++ Array.fill[Byte](38)(0x81.toByte),
+      Array[Byte](253.toByte, 0) ++ Array.fill[Byte](36)(0x80.toByte) ++
+        Array[Byte](0x10) ++ Array[Byte](0) ++ acctB,
       Array.emptyByteArray)
     malformed.foreach { b =>
       assert(decodeOne(b) == null, s"expected null for ${b.mkString(",")}")

@@ -73,6 +73,10 @@ class SimHash60Spec extends SparkSpec {
     }
   }
 
+  // BMP fixtures only: for astral-plane chars the scanner follows the
+  // DuckDB/RE2 code-point semantics, while java.util.regex (this
+  // reference formulation) splits them into surrogate halves — see the
+  // WordTokens scaladoc.
   test("word_tokens equals the regexp_extract_all formulation") {
     GraftFunctions.register(spark)
     val texts = Seq(

@@ -78,6 +78,18 @@ class QueryApiSpec extends SparkSpec {
     assert(msgs(e).exists(_.contains("unknown summary variant at id 4")))
   }
 
+  test("strict decode guard survives column pruning of the variant column") {
+    // the hard-stop is a filter, so selecting ONLY left_k must still fail
+    val unknown = Seq((9L, "b1", 10L, 0L, """{"Middle":{"k":9}}"""))
+      .toDF("id", "block", "timestamp", "height", "summary")
+    val e = intercept[Exception] {
+      QueryApi.decodeRowsStrict(unknown).select("left_k").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("unknown summary variant at id 9")))
+  }
+
   test("change feed keeps protocol events (null sender) and drops own sends") {
     val sws = Seq(
       (1L, "b1", 10L, 0L, "s1", Some(7L)),  // own send → dropped
