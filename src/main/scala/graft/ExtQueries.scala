@@ -177,6 +177,28 @@ object ExtQueries {
           .as("distinct_est"))
         .orderBy("event_type")),
 
+    // End-to-end curation pass composed from the operator surface:
+    // quality gate → exact-dedup keepers → deterministic split. The
+    // shape a user of this library runs nightly over a corpus. The gate
+    // tightens the base quality_ok with corpus-calibrated thresholds
+    // (uniq_pm >= 400, n_words >= 25) so the check is DISCRIMINATING —
+    // on the synthetic corpus everything passes the base gate and a
+    // pass-through pipeline would prove nothing.
+    "pipeline_curation" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val quality = TextAnalysis.qualityScore(docs, col("text"), col("doc_id"))
+        .where(col("quality_ok") && col("uniq_pm") >= 400 && col("n_words") >= 25)
+        .select("doc_id")
+      val keepers = Dedup.exact(docs, col("text"), col("doc_id"))
+        .select(col("keeper_doc_id").as("doc_id"))
+      val splits = Sampling.split(docs, col("doc_id")).select("doc_id", "split")
+      docs.select("doc_id")
+        .join(quality, Seq("doc_id"))
+        .join(keepers, Seq("doc_id"))
+        .join(splits, Seq("doc_id"))
+        .orderBy("doc_id")
+    }),
+
     "sample_split" -> ((s, d) =>
       Sampling.split(Tables.documents(s, d), col("doc_id"))
         .select("doc_id", "split").orderBy("doc_id")),
@@ -510,6 +532,31 @@ SELECT event_type,
             ELSE CAST(round((63.0 * 1152921504606846976) / hs[64]) AS BIGINT)
             END AS BIGINT) AS distinct_est
 FROM g ORDER BY 1"""),
+
+    "pipeline_curation" -> (s"""WITH w AS (
+  SELECT doc_id, text,
+         string_split_regex(trim(lower(text)), ' +') AS words
+  FROM documents
+), q AS (
+  SELECT doc_id FROM w
+  WHERE length(text) >= 20 AND len(words) >= 25
+    AND list_max(list_transform(words, x -> length(x))) <= 40
+    AND len(list_distinct(words)) * 1000 // len(words) >= 400
+), k AS (
+  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+), sp AS (
+  SELECT doc_id,
+       CASE WHEN ${h60("CAST(doc_id AS VARCHAR)")} % 1000000 < 50000 THEN 'val'
+            WHEN ${h60("CAST(doc_id AS VARCHAR)")} % 1000000 < 100000 THEN 'test'
+            ELSE 'train' END AS split
+  FROM documents
+)
+SELECT d.doc_id, sp.split
+FROM documents d
+JOIN q ON d.doc_id = q.doc_id
+JOIN k ON d.doc_id = k.doc_id
+JOIN sp ON d.doc_id = sp.doc_id
+ORDER BY d.doc_id"""),
 
     "sample_split" -> (s"""
 SELECT doc_id,
