@@ -58,6 +58,23 @@ object RelationalQueries {
         .limit(10)
     }),
 
+    "q10_returned_items" -> ((s, d) => {
+      // TPC-H Q10 shape: revenue lost to returned items, per customer.
+      // The only big shuffle is lineitem⋈orders on orderkey; customer is
+      // broadcast after its own nation-dim broadcast.
+      val li = Tables.lineitem(s, d).where(col("l_returnflag") === "R")
+      val cust = Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+      li.join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(sum(revenue).as("revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(col("revenue").desc, col("c_custkey").asc)
+        .limit(20)
+    }),
+
     "q5_local_supplier_volume" -> ((s, d) => {
       // dims (region→nation→customer) broadcast down the join chain; the
       // only shuffle joins lineitem⋈orders on orderkey.
@@ -291,6 +308,15 @@ WHERE c_mktsegment = 'BUILDING'
   AND o_orderdate < TIMESTAMP '1998-03-15' AND l_shipdate > TIMESTAMP '1998-03-15'
 GROUP BY l_orderkey, o_orderdate, o_orderpriority
 ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+
+    "q10_returned_items" -> s"""
+SELECT c_custkey, c_name, SUM($rev) AS revenue, c_acctbal, n_name
+FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON l_orderkey = o_orderkey
+              JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey LIMIT 20""",
 
     "q5_local_supplier_volume" -> s"""
 SELECT n_name, SUM($rev) AS revenue
