@@ -14,6 +14,10 @@ run / fork := true
 // Forked run output goes straight to stdout (no "[info] " prefix) so the
 // driver can parse Bench's single JSON line from captured output.
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// The driver parses Bench's JSON from a bounded tail of captured stdout;
+// sbt's trailing "[success] Total time: …" line would eat that budget.
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -51,13 +51,19 @@ object Bench {
       case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
       case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
     } + "\""
-    val qs = timings.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
+    // The driver parses this line from a 2000-char tail of captured
+    // stdout; with 60+ queries full double precision overflows that
+    // window (round 4's line was 2224 chars and failed to parse).
+    // Millisecond precision is far below run-to-run noise.
+    def jnum(v: Double): String = f"$v%.3f"
+    val qs = timings.map { case (k, v) => s"${jstr(k)}:${jnum(v)}" }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     // A failed query must never make the bench look faster: each one adds
     // a 1e9-sec penalty to the headline value.
     val total = timings.values.sum + errors.size * 1e9
+    val errPart = if (errors.isEmpty) "" else s""","errors":$es"""
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"cpus":$cpus,"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs$errPart,"cpus":$cpus,"sf":${jstr(sfDir)}}"""
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     Files.writeString(Paths.get(outFile), line + "\n")
     println(line)

@@ -170,7 +170,7 @@ object ExtQueries {
       Similarity.knnGraph(Tables.embeddings(s, d), "vec_id", "embedding",
         k = 3).orderBy("src", "rn")),
 
-    "approx_distinct_users" -> ((s, d) =>
+    "kmv_distinct" -> ((s, d) =>
       Tables.events(s, d).groupBy("event_type")
         .agg(graft.functions.KMV.distinctEst(
           graft.ext.Text.hash60(col("user_id").cast("string")), 64)
@@ -229,17 +229,17 @@ object ExtQueries {
       TextAnalysis.repetitionStats(Tables.documents(s, d), col("text"), col("doc_id"))
         .orderBy("doc_id")),
 
-    "multimodal_features" -> ((s, d) =>
+    "mm_features" -> ((s, d) =>
       Multimodal.featuresCols(Tables.documents(s, d),
         col("text").cast("binary"), col("doc_id")).orderBy("media_id")),
 
-    "multimodal_frames" -> ((s, d) =>
+    "mm_frames" -> ((s, d) =>
       Multimodal.frameSample(
         Multimodal.featuresCols(Tables.documents(s, d),
           col("text").cast("binary"), col("doc_id")),
         maxFrames = 4).orderBy("media_id", "frame_idx")),
 
-    "multimodal_resize" -> ((s, d) =>
+    "mm_resize" -> ((s, d) =>
       Multimodal.resizePlan(
         Multimodal.featuresCols(Tables.documents(s, d),
           col("text").cast("binary"), col("doc_id")),
@@ -520,7 +520,7 @@ SELECT id_a, id_b,
 FROM cand JOIN qz a ON id_a = a.vec_id JOIN qz b ON id_b = b.vec_id
 ORDER BY cosine DESC, id_a ASC, id_b ASC LIMIT 20"""),
 
-    "approx_distinct_users" -> (s"""
+    "kmv_distinct" -> (s"""
 WITH h AS (
   SELECT event_type, ${h60("CAST(user_id AS VARCHAR)")} AS hv
   FROM events
@@ -659,7 +659,7 @@ SELECT b.doc_id, n_bigrams, top_bigram_n,
 FROM bstat b JOIN tstat t ON b.doc_id = t.doc_id
 ORDER BY b.doc_id"""),
 
-    "multimodal_features" -> (s"""
+    "mm_features" -> (s"""
 SELECT doc_id AS media_id,
        CAST(octet_length(encode(text)) AS INT) AS byte_len,
        md5(text) AS content_hash,
@@ -668,7 +668,7 @@ SELECT doc_id AS media_id,
        CAST(octet_length(encode(text)) % 30 AS INT) AS n_frames
 FROM documents ORDER BY media_id"""),
 
-    "multimodal_frames" -> ("""WITH f AS (
+    "mm_frames" -> ("""WITH f AS (
   SELECT doc_id AS media_id, md5(text) AS content_hash,
          CAST(octet_length(encode(text)) % 30 AS INT) AS n_frames
   FROM documents
@@ -680,7 +680,7 @@ FROM (SELECT media_id, content_hash,
       FROM f WHERE n_frames > 0)
 ORDER BY media_id, frame_idx"""),
 
-    "multimodal_resize" -> (s"""WITH f AS (
+    "mm_resize" -> (s"""WITH f AS (
   SELECT doc_id AS media_id,
          CAST(${h60("text")} % 1280 AS INT) AS width,
          CAST(${h60("md5(text)")} % 720 AS INT) AS height

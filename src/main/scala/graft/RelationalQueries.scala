@@ -58,7 +58,7 @@ object RelationalQueries {
         .limit(10)
     }),
 
-    "q10_returned_items" -> ((s, d) => {
+    "q10_returns" -> ((s, d) => {
       // TPC-H Q10 shape: revenue lost to returned items, per customer.
       // The only big shuffle is lineitem⋈orders on orderkey; customer is
       // broadcast after its own nation-dim broadcast.
@@ -75,7 +75,7 @@ object RelationalQueries {
         .limit(20)
     }),
 
-    "q5_local_supplier_volume" -> ((s, d) => {
+    "q5_volume" -> ((s, d) => {
       // dims (region→nation→customer) broadcast down the join chain; the
       // only shuffle joins lineitem⋈orders on orderkey.
       val nr = Tables.nation(s, d)
@@ -98,7 +98,7 @@ object RelationalQueries {
     // Correlated SCALAR subquery (the TPC-H Q2 shape): Catalyst
     // decorrelates it into an aggregate + join, not a per-row probe —
     // the SQL is deliberately written subquery-style to pin that path.
-    "q_min_price_per_part" -> ((s, d) => {
+    "q_minprice" -> ((s, d) => {
       Tables.lineitem(s, d).createOrReplaceTempView("li_corr")
       s.sql("""
         SELECT l_partkey, l_orderkey, l_extendedprice
@@ -111,7 +111,7 @@ object RelationalQueries {
 
     // Correlated EXISTS (the TPC-H Q4 shape) → decorrelated semi join
     // under an aggregation.
-    "q_priority_discounted" -> ((s, d) => {
+    "q_discount" -> ((s, d) => {
       Tables.orders(s, d).createOrReplaceTempView("ord_corr")
       Tables.lineitem(s, d).createOrReplaceTempView("li_corr2")
       s.sql("""
@@ -124,7 +124,7 @@ object RelationalQueries {
         ORDER BY o_orderpriority""")
     }),
 
-    "q_rollup_revenue" -> ((s, d) =>
+    "q_rollup" -> ((s, d) =>
       Tables.orders(s, d)
         .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
         .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
@@ -134,27 +134,27 @@ object RelationalQueries {
           count(lit(1)).as("n_orders"))
         .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)),
 
-    "q_anti_customers_without_orders" -> ((s, d) =>
+    "q_anti" -> ((s, d) =>
       Tables.customer(s, d)
         .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
         .select("c_custkey", "c_name")
         .orderBy("c_custkey")),
 
-    "q_semi_big_spenders" -> ((s, d) =>
+    "q_semi" -> ((s, d) =>
       Tables.customer(s, d)
         .join(Tables.orders(s, d).where(col("o_totalprice") > 400000.0),
           col("c_custkey") === col("o_custkey"), "left_semi")
         .select("c_custkey", "c_name")
         .orderBy("c_custkey")),
 
-    "q_intersect_repeat_buyers" -> ((s, d) => {
+    "q_intersect" -> ((s, d) => {
       val o = Tables.orders(s, d)
       val y96 = o.where(year(col("o_orderdate")) === 1996).select("o_custkey")
       val y97 = o.where(year(col("o_orderdate")) === 1997).select("o_custkey")
       y96.intersect(y97).orderBy("o_custkey")
     }),
 
-    "q_window_running_spend" -> ((s, d) => {
+    "q_window" -> ((s, d) => {
       val w = Window.partitionBy(col("o_custkey"))
         .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -172,7 +172,7 @@ object RelationalQueries {
           sum(col("l_quantity").cast(Dec)).cast("double").as("qty"))
         .orderBy("p_brand")),
 
-    "q_asof_enrich" -> ((s, d) => {
+    "q_asof" -> ((s, d) => {
       // point-in-time: each event gets the customer's most recent order
       // as of the event time. Orders deduped to one per (custkey, date)
       // so the match is unique in both engines.
@@ -211,7 +211,7 @@ object RelationalQueries {
         .agg(countDistinct(col("user_id")).as("users"), count(lit(1)).as("n"))
         .orderBy("day")),
 
-    "q_median_value_by_type" -> ((s, d) => {
+    "q_median" -> ((s, d) => {
       // exact lower median, spelled out (row_number + count) so both
       // engines agree bit-for-bit — built-in percentile/quantile
       // functions interpolate with engine-specific semantics. The value
@@ -227,7 +227,7 @@ object RelationalQueries {
         .orderBy("event_type")
     }),
 
-    "q_cube_daily_types" -> ((s, d) =>
+    "q_cube" -> ((s, d) =>
       // full cube over (type, day): every subtotal combination in one
       // pass (Expand + single aggregation). Null group keys are
       // relabeled '(all)' so ordering is engine-independent.
@@ -241,7 +241,7 @@ object RelationalQueries {
           col("n"), col("sum_value"))
         .orderBy("event_type", "day")),
 
-    "q_pivot_daily_types" -> ((s, d) =>
+    "q_pivot" -> ((s, d) =>
       // wide daily counts per event type: pivot with an explicit value
       // list (no extra distinct pass; stable output schema).
       Tables.events(s, d)
@@ -269,7 +269,7 @@ object RelationalQueries {
         .orderBy("user_id")
     }),
 
-    "q_salted_enrich" -> ((s, d) => {
+    "q_salted" -> ((s, d) => {
       // events.event_type has ~5 values — the canonical skewed join key:
       // an unsalted shuffle join sends every 'view' row to one reducer.
       // SaltedJoin spreads each type over 8 sub-keys (deterministic salt
@@ -309,7 +309,7 @@ WHERE c_mktsegment = 'BUILDING'
 GROUP BY l_orderkey, o_orderdate, o_orderpriority
 ORDER BY revenue DESC, l_orderkey LIMIT 10""",
 
-    "q10_returned_items" -> s"""
+    "q10_returns" -> s"""
 SELECT c_custkey, c_name, SUM($rev) AS revenue, c_acctbal, n_name
 FROM customer JOIN orders ON c_custkey = o_custkey
               JOIN lineitem ON l_orderkey = o_orderkey
@@ -318,7 +318,7 @@ WHERE l_returnflag = 'R'
 GROUP BY c_custkey, c_name, c_acctbal, n_name
 ORDER BY revenue DESC, c_custkey LIMIT 20""",
 
-    "q5_local_supplier_volume" -> s"""
+    "q5_volume" -> s"""
 SELECT n_name, SUM($rev) AS revenue
 FROM customer JOIN orders ON c_custkey = o_custkey
               JOIN lineitem ON l_orderkey = o_orderkey
@@ -329,7 +329,7 @@ WHERE r_name = 'ASIA'
   AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
 GROUP BY n_name ORDER BY revenue DESC, n_name""",
 
-    "q_min_price_per_part" -> """
+    "q_minprice" -> """
 SELECT l_partkey, l_orderkey, l_extendedprice
 FROM lineitem l1
 WHERE l_extendedprice = (SELECT min(l_extendedprice)
@@ -337,7 +337,7 @@ WHERE l_extendedprice = (SELECT min(l_extendedprice)
                          WHERE l2.l_partkey = l1.l_partkey)
 ORDER BY l_partkey, l_orderkey""",
 
-    "q_priority_discounted" -> """
+    "q_discount" -> """
 SELECT o_orderpriority, count(*) AS n
 FROM orders o
 WHERE EXISTS (SELECT 1 FROM lineitem l
@@ -345,7 +345,7 @@ WHERE EXISTS (SELECT 1 FROM lineitem l
 GROUP BY o_orderpriority
 ORDER BY o_orderpriority""",
 
-    "q_rollup_revenue" -> """
+    "q_rollup" -> """
 SELECT r_name, n_name, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total, count(*) AS n_orders
 FROM orders JOIN customer ON o_custkey = c_custkey
             JOIN nation ON c_nationkey = n_nationkey
@@ -353,23 +353,23 @@ FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY ROLLUP(r_name, n_name)
 ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""",
 
-    "q_anti_customers_without_orders" -> """
+    "q_anti" -> """
 SELECT c_custkey, c_name FROM customer
 WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
 ORDER BY c_custkey""",
 
-    "q_semi_big_spenders" -> """
+    "q_semi" -> """
 SELECT c_custkey, c_name FROM customer
 WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
 ORDER BY c_custkey""",
 
-    "q_intersect_repeat_buyers" -> """
+    "q_intersect" -> """
 SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
 INTERSECT
 SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
 ORDER BY o_custkey""",
 
-    "q_window_running_spend" -> """
+    "q_window" -> """
 SELECT o_custkey, o_orderkey,
        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
          OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
@@ -382,7 +382,7 @@ SELECT p_brand, count(DISTINCT l_suppkey) AS n_supp,
 FROM lineitem JOIN part ON l_partkey = p_partkey
 GROUP BY p_brand ORDER BY p_brand""",
 
-    "q_asof_enrich" -> """
+    "q_asof" -> """
 WITH orders_d AS (
   SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
   FROM orders GROUP BY 1, 2
@@ -413,14 +413,14 @@ SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
        count(DISTINCT user_id) AS users, count(*) AS n
 FROM events GROUP BY 1 ORDER BY 1""",
 
-    "q_salted_enrich" -> s"""
+    "q_salted" -> s"""
 WITH dim AS (SELECT event_type, min(event_id) AS type_first FROM events GROUP BY 1)
 SELECT e.event_type, d.type_first, count(*) AS n,
        CAST(SUM(CAST(e.value AS $dec)) AS DOUBLE) AS sum_value
 FROM events e JOIN dim d ON e.event_type = d.event_type
 GROUP BY 1, 2 ORDER BY 1""",
 
-    "q_median_value_by_type" -> """
+    "q_median" -> """
 WITH r AS (
   SELECT event_type, value,
          row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
@@ -431,7 +431,7 @@ SELECT event_type, value AS median_value
 FROM r WHERE rn = (cnt + 1) // 2
 ORDER BY event_type""",
 
-    "q_cube_daily_types" -> s"""
+    "q_cube" -> s"""
 WITH e AS (
   SELECT event_type,
          CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR) AS day, value
@@ -444,7 +444,7 @@ SELECT coalesce(event_type, '(all)') AS event_type,
 FROM e GROUP BY CUBE (event_type, day)
 ORDER BY 1, 2""",
 
-    "q_pivot_daily_types" -> """
+    "q_pivot" -> """
 SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
        count(*) FILTER (event_type = 'view') AS "view",
        count(*) FILTER (event_type = 'click') AS click,

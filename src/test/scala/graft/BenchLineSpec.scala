@@ -1,0 +1,28 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The driver parses Bench's single JSON line from a bounded (2000-char)
+  * tail of captured stdout. Round 4's line was 2224 chars and silently
+  * failed to parse (`BENCH_r04.json: parsed: null`). This spec rebuilds
+  * the worst-case line shape from the real query inventory and pins it
+  * under the window, so adding queries can't re-break the bench without
+  * failing the suite.
+  */
+class BenchLineSpec extends AnyFunSuite {
+
+  test("worst-case bench JSON line fits the driver's 2000-char tail window") {
+    val names = SparkEntry.queries.keys.toSeq
+    assert(names.nonEmpty)
+    // Worst-case value rendering under Bench's %.3f formatting for any
+    // sane per-query timing (<1000s): "999.999" = 7 chars.
+    val qs = names.map(n => s""""$n":999.999""").mkString("{", ",", "}")
+    val line =
+      s"""{"metric":"total","value":99999.999,"unit":"sec","queries":$qs,"cpus":32,"sf":"/root/testdata/sf0.1"}"""
+    // Leave headroom for a trailing newline and any stray launcher byte.
+    assert(
+      line.length <= 1900,
+      s"bench JSON line would be ${line.length} chars with ${names.size} queries; " +
+        "shorten query names or tighten Bench.scala's encoding before adding more")
+  }
+}

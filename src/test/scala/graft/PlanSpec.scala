@@ -29,7 +29,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q5 local supplier volume: dimension joins broadcast") {
-    val p = plan("q5_local_supplier_volume")
+    val p = plan("q5_volume")
     assert(count(p, "BroadcastHashJoin") >= 3,
       s"expected >=3 broadcast joins for the dimension chain in:\n$p")
     assert(!p.contains("CartesianProduct"))
