@@ -30,13 +30,25 @@ import org.apache.spark.unsafe.types.UTF8String
   *    option byte (0 none / 1 + 32-byte hash).
   *
   * `cis2_decode(log_bytes)` evaluates to a struct (null on MALFORMED
-  * bytes — truncated fields, trailing garbage, LEB128 overflow). A
-  * structurally valid event with a custom tag decodes to
-  * `tag = "unknown"` with all payload fields null. That mirrors the
-  * reference's two-level policy: a log that fails `cis2::Event::
-  * try_from` silently drops the contract's event list (main.rs:622-626,
-  * `.ok()`), it does not abort the block — callers here get the same
-  * semantics with `WHERE decoded IS NOT NULL`.
+  * bytes — truncated fields, trailing garbage after a known-tag event,
+  * LEB128 overflow, a metadata url that is not valid UTF-8). A custom
+  * tag decodes to `tag = "unknown"` with all payload fields null — a
+  * SUCCESSFUL parse, matching `Ok(cis2::Event::Unknown)` which the
+  * reference consumes as a no-op (main.rs:497); only a null (malformed)
+  * decode triggers the reference's silent list drop (main.rs:622-626,
+  * `.ok()`).
+  *
+  * Strictness policy (the vendored SDK source is not available for a
+  * byte-level diff, so the edges are pinned here explicitly rather than
+  * claimed as an exact mirror):
+  *  - known tag + trailing bytes → malformed. The SDK parses events
+  *    through `ContractEvent::parse`, which requires all event bytes to
+  *    be consumed; an event with garbage after a well-formed payload is
+  *    rejected, not truncated.
+  *  - metadata url → must be valid UTF-8 (the SDK decodes it into a
+  *    Rust `String`, which fails on invalid UTF-8).
+  *  - custom tag (< 251) → valid regardless of payload: the payload is
+  *    opaque to CIS-2, so no consumption or format rule applies.
   *
   * Address fields are flattened: mint credits `to`, burn debits `from`,
   * transfer fills both, updateOperator maps owner→from / operator→to.
@@ -201,6 +213,43 @@ object Cis2Util {
       case _ => c.fail()
     }
 
+  /** Strict UTF-8 well-formedness check (no decoding, no allocation):
+    * rejects overlong encodings, surrogates, and values above U+10FFFF —
+    * the same inputs `String::from_utf8` rejects on the SDK side. */
+  private def validUtf8(b: Array[Byte], from: Int, len: Int): Boolean = {
+    var i = from
+    val end = from + len
+    while (i < end) {
+      val b0 = b(i) & 0xff
+      if (b0 < 0x80) i += 1
+      else {
+        val n = // continuation count, with the first-byte range check
+          if (b0 >= 0xc2 && b0 <= 0xdf) 1
+          else if (b0 >= 0xe0 && b0 <= 0xef) 2
+          else if (b0 >= 0xf0 && b0 <= 0xf4) 3
+          else return false
+        if (i + n >= end) return false
+        // tighter second-byte bounds for the overlong/surrogate edges
+        val b1 = b(i + 1) & 0xff
+        val b1ok = b0 match {
+          case 0xe0 => b1 >= 0xa0 && b1 <= 0xbf
+          case 0xed => b1 >= 0x80 && b1 <= 0x9f
+          case 0xf0 => b1 >= 0x90 && b1 <= 0xbf
+          case 0xf4 => b1 >= 0x80 && b1 <= 0x8f
+          case _ => b1 >= 0x80 && b1 <= 0xbf
+        }
+        if (!b1ok) return false
+        var j = 2
+        while (j <= n) {
+          if ((b(i + j) & 0xc0) != 0x80) return false
+          j += 1
+        }
+        i += n + 1
+      }
+    }
+    true
+  }
+
   private def tokenId(c: Cursor, row: GenericInternalRow): Unit = {
     val n = c.u8()
     val s = c.take(n)
@@ -213,7 +262,7 @@ object Cis2Util {
   }
 
   /** Decode one CIS-2 log. Returns null for malformed bytes; a row with
-    * tag="unknown" for structurally valid custom events (tag < 251). */
+    * tag="unknown" for custom events (tag < 251, any payload). */
   def decode(bytes: Array[Byte]): InternalRow = {
     if (bytes.length == 0) return null
     val row = new GenericInternalRow(12)
@@ -242,6 +291,7 @@ object Cis2Util {
         tokenId(c, row)
         val urlLen = c.u16le()
         val s = c.take(urlLen)
+        if (c.ok && !validUtf8(c.b, s, urlLen)) c.fail()
         if (c.ok) row.update(10, UTF8String.fromBytes(
           java.util.Arrays.copyOfRange(c.b, s, s + urlLen)))
         c.u8() match {

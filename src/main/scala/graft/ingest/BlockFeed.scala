@@ -87,12 +87,17 @@ object BlockFeed {
     * amount) with token_id as uppercase hex of the raw id bytes (how
     * the reference renders CIS-2 token ids).
     *
-    * Drop semantics mirror the reference exactly: the per-(transaction,
-    * contract) log LIST is parsed as a unit, and if ANY entry fails —
-    * malformed bytes or a non-CIS-2 custom tag — the whole list is
-    * dropped silently (`.collect::<Result<…>>().ok()`, main.rs:618-626)
-    * rather than aborting the block. Implemented as a window max over
-    * the list key — one shuffle on (height, seq, contract), no UDF: the
+    * Drop semantics follow the reference's two-level policy: the
+    * per-(transaction, contract) log LIST is parsed as a unit, and if
+    * ANY entry is MALFORMED the whole list is dropped silently
+    * (`.collect::<Result<…>>().ok()`, main.rs:618-626) rather than
+    * aborting the block. A custom (non-CIS-2) tag is NOT malformed: it
+    * is a successful parse (`Ok(Event::Unknown)`) that the reference
+    * keeps in the list and consumes as a no-op (main.rs:497) — so here
+    * an `unknown` row never poisons its list; it is filtered out
+    * individually after the list check, and a mint in the same list as
+    * a custom event still counts. Implemented as a window max over the
+    * list key — one shuffle on (height, seq, contract), no UDF: the
     * decode itself is the codegen Expression
     * [[graft.functions.Cis2Decode]]. */
   def decodeRawLogs(logs: DataFrame): DataFrame = {
@@ -101,9 +106,8 @@ object BlockFeed {
     val listKey = Window.partitionBy("height", "seq_in_block", "index", "subindex")
     logs.withColumn("ev", expr("cis2_decode(log)"))
       .withColumn("bad",
-        max(when(col("ev").isNull || col("ev.tag") === "unknown", 1)
-          .otherwise(0)).over(listKey))
-      .where(col("bad") === 0)
+        max(when(col("ev").isNull, 1).otherwise(0)).over(listKey))
+      .where(col("bad") === 0 && col("ev.tag") =!= "unknown")
       .select(col("height"), col("seq_in_block"), col("index"), col("subindex"),
         col("ev.token_id").as("token_id"), col("ev.tag").as("kind"),
         col("ev.amount").as("amount"))

@@ -6,6 +6,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.streaming
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
 import org.apache.spark.sql.types.{LongType, StructType}
@@ -121,15 +122,20 @@ private final class BlockMicroBatchStream(storeName: String, startHeight: Long,
   override def reportLatestOffset(): Offset =
     HeightOffset(availableNowTarget.getOrElse(store.latestHeight() + 1))
 
+  /** Only an explicit maxRows limit caps the batch. `Trigger.Once`
+    * passes ReadLimit.allAvailable — a one-shot trigger must drain every
+    * available height, not stop after one `maxBlocksPerTrigger` chunk —
+    * and min-rows-style limits set admission floors, not caps. Composite
+    * limits take the tightest maxRows component. */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val from = start.asInstanceOf[HeightOffset].h
     val avail = availableNowTarget.getOrElse(store.latestHeight() + 1)
-    val cap = limit match {
-      case r: org.apache.spark.sql.connector.read.streaming.ReadMaxRows =>
-        from + r.maxRows()
-      case _ => from + maxBlocksPerTrigger
+    def capOf(l: ReadLimit): Long = l match {
+      case r: streaming.ReadMaxRows => from + r.maxRows()
+      case c: streaming.CompositeReadLimit => c.getReadLimits.map(capOf).min
+      case _ => Long.MaxValue // allAvailable, minRows, …: no cap
     }
-    HeightOffset(math.max(from, math.min(avail, cap)))
+    HeightOffset(math.max(from, math.min(avail, capOf(limit))))
   }
 
   override def latestOffset(): Offset =

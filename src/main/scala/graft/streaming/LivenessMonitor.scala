@@ -40,11 +40,23 @@ final class LivenessMonitor(maxBehindSeconds: Long,
         size > 1024
     })
 
-  private[streaming] def recordStart(id: UUID, atMs: Long): Unit =
+  /** A start for an id in the terminated LRU is a RESTART (Spark keeps
+    * the query id stable across checkpoint restarts): drop the old
+    * incarnation's record and track afresh. */
+  private[streaming] def recordStart(id: UUID, atMs: Long): Unit = {
+    recentStopped.remove(id)
     lastAlive.put(id, atMs)
+  }
 
+  /** Progress events are delivered asynchronously and can arrive after
+    * the termination event; without the terminated-LRU guard such a
+    * straggler would re-insert the id and permanently resurrect a dead
+    * query in [[tracked]]/[[behindQueries]]. */
   private[streaming] def recordProgress(id: UUID, inputRows: Long, atMs: Long): Unit =
-    if (inputRows > 0) { dataSeen.add(id); lastAlive.put(id, atMs) }
+    if (inputRows > 0) {
+      if (recentStopped.containsKey(id)) recentStopped.put(id, true)
+      else { dataSeen.add(id); lastAlive.put(id, atMs) }
+    }
 
   /** Termination moves the query's state out of the live maps into the
     * bounded terminated-query LRU. */

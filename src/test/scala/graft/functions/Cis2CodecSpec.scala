@@ -140,19 +140,49 @@ class Cis2CodecSpec extends SparkSpec {
       ("burn", "00", max.toString)))
   }
 
-  test("decodeRawLogs drops the whole per-contract list on one bad entry") {
+  test("decodeRawLogs drops a list only on malformed entries; custom tags are kept no-ops") {
     val good = Cis2Util.encodeMintBurn("mint", Array[Byte](0x01), "42", acctA)
     val bad = Array[Byte](254.toByte, 5) // truncated
-    val custom = Array[Byte](3, 1, 2) // non-CIS-2 tag: also poisons its list
+    val custom = Array[Byte](3, 1, 2) // non-CIS-2 tag: Ok(Unknown), a no-op
     val rows = Seq(
       (0L, 0, 10L, 0L, good), // healthy list, kept
       (0L, 1, 11L, 0L, good), // same block, different contract: kept
-      (0L, 1, 12L, 0L, good), (0L, 1, 12L, 0L, bad), // poisoned pair
-      (1L, 0, 13L, 0L, custom) // unknown tag drops its list too
+      (0L, 1, 12L, 0L, good), (0L, 1, 12L, 0L, bad), // malformed poisons pair
+      // a custom event beside a mint must NOT poison the list: the
+      // reference parses it to Event::Unknown and consumes it as a no-op
+      // (main.rs:497), so the mint still counts
+      (1L, 0, 13L, 0L, custom), (1L, 0, 13L, 0L, good),
+      (1L, 0, 14L, 0L, custom) // all-custom list: kept, emits nothing
     ).toDF("height", "seq_in_block", "index", "subindex", "log")
     val out = graft.ingest.BlockFeed.decodeRawLogs(rows)
       .select("index", "kind", "token_id", "amount")
       .as[(Long, String, String, String)].collect().toSet
-    assert(out == Set((10L, "mint", "01", "42"), (11L, "mint", "01", "42")))
+    assert(out == Set((10L, "mint", "01", "42"), (11L, "mint", "01", "42"),
+      (13L, "mint", "01", "42")))
+  }
+
+  test("strictness edges: trailing bytes, invalid-UTF-8 url, custom payloads") {
+    // known tag + trailing byte after a well-formed payload → malformed
+    // (ContractEvent::parse requires full consumption on the SDK side)
+    val mint = Cis2Util.encodeMintBurn("mint", Array[Byte](0x01), "7", acctA)
+    assert(decodeOne(mint :+ 0x00.toByte) == null)
+    // tokenMetadata url must be valid UTF-8 (SDK decodes into String):
+    // 0xC0 0x80 is an overlong NUL, 0xED 0xA0 0x80 a surrogate — both null
+    for (badUrl <- Seq(Array[Byte](0xC0.toByte, 0x80.toByte),
+                       Array[Byte](0xED.toByte, 0xA0.toByte, 0x80.toByte))) {
+      val b = Array[Byte](251.toByte, 1, 0x07) ++
+        Array[Byte](badUrl.length.toByte, 0) ++ badUrl ++ Array[Byte](0)
+      assert(decodeOne(b) == null, s"expected null for url ${badUrl.mkString(",")}")
+    }
+    // multi-byte valid UTF-8 url survives
+    val okUrl = "https://métà.example/✓".getBytes("UTF-8")
+    val ok = Array[Byte](251.toByte, 1, 0x07) ++
+      Array[Byte](okUrl.length.toByte, 0) ++ okUrl ++ Array[Byte](0)
+    assert(decodeOne(ok).getAs[String]("metadata_url") == "https://métà.example/✓")
+    // custom tag: ANY payload (including none) is a valid unknown event —
+    // the payload is opaque to CIS-2, no consumption rule applies
+    assert(decodeOne(Array[Byte](0)).getAs[String]("tag") == "unknown")
+    assert(decodeOne(Array[Byte](250.toByte) ++ Array.fill[Byte](100)(0x5A))
+      .getAs[String]("tag") == "unknown")
   }
 }

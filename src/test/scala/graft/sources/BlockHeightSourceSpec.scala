@@ -74,6 +74,24 @@ class BlockHeightSourceSpec extends SparkSpec {
       s"expected resume from height 10, got $resumed")
   }
 
+  test("latestOffset: only maxRows caps the batch; allAvailable drains everything") {
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val store = new MemStore(99) // heights 0..99 available
+    BlockStores.register("limit-store", store)
+    val s = new BlockMicroBatchStream("limit-store", 0L, 5, 2)
+    def off(l: ReadLimit): Long =
+      s.latestOffset(HeightOffset(0L), l).asInstanceOf[HeightOffset].h
+    assert(off(ReadLimit.maxRows(5)) == 5) // normal trigger: chunked
+    // Trigger.Once passes allAvailable: a one-shot run must drain all
+    // 100 heights, not stop after one maxBlocksPerTrigger chunk
+    assert(off(ReadLimit.allAvailable()) == 100)
+    // a min-rows limit is an admission floor, not a cap
+    assert(off(ReadLimit.minRows(2, 1000)) == 100)
+    // composite: the tightest maxRows component wins
+    assert(off(ReadLimit.compositeLimit(
+      Array(ReadLimit.minRows(2, 1000), ReadLimit.maxRows(7)))) == 7)
+  }
+
   test("startFromStore: height source through the per-block sink to the DB") {
     // the full A1→A10 path over the native source: store → micro-batches
     // → TransactionalSink (per-block transactions) → Derby, with

@@ -34,6 +34,30 @@ class LivenessMonitorSpec extends SparkSpec {
     assert(m.tracked.isEmpty && !m.isBehind(id))
   }
 
+  test("a straggling progress event after termination cannot resurrect the query") {
+    var now = 0L
+    val m = new LivenessMonitor(240, () => now)
+    val id = UUID.randomUUID()
+    m.recordStart(id, now)
+    m.recordStop(id)
+    assert(!m.sawData(id))
+
+    // listener events are async: a data-carrying progress event can be
+    // delivered after the termination event. It must not re-track the
+    // query, but its data still counts toward the final sawData flag.
+    m.recordProgress(id, 4, now)
+    assert(m.tracked.isEmpty && m.behindQueries.isEmpty)
+    assert(m.sawData(id))
+
+    // a checkpoint restart reuses the query id: start re-tracks it as a
+    // fresh incarnation with no data seen yet
+    m.recordStart(id, now)
+    assert(m.tracked == Set(id))
+    assert(!m.sawData(id))
+    now = 241 * 1000L
+    assert(m.isBehind(id)) // and the liveness clock runs for it again
+  }
+
   test("attached to a real query: tracks it and is not behind after data") {
     val root = Files.createTempDirectory("graft-live").toString
     val feedDir = s"$root/feed"
