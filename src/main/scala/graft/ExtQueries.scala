@@ -119,6 +119,11 @@ object ExtQueries {
         .orderBy("doc_a", "doc_b")
     }),
 
+    "dedup_shared_ngrams" -> ((s, d) =>
+      Dedup.sharedShingleStats(Tables.documents(s, d), col("text"),
+          col("doc_id"), k = 3)
+        .orderBy("doc_id")),
+
     "dedup_simhash" -> ((s, d) =>
       Dedup.simhash(Tables.documents(s, d), col("text"), col("doc_id"))
         .orderBy("doc_id")),
@@ -229,6 +234,11 @@ object ExtQueries {
       TextAnalysis.repetitionStats(Tables.documents(s, d), col("text"), col("doc_id"))
         .orderBy("doc_id")),
 
+    "text_top_terms" -> ((s, d) =>
+      TextAnalysis.topTerms(Tables.documents(s, d), col("text"),
+          col("doc_id"), k = 5)
+        .orderBy("doc_id", "rn")),
+
     "mm_features" -> ((s, d) =>
       Multimodal.featuresCols(Tables.documents(s, d),
         col("text").cast("binary"), col("doc_id")).orderBy("media_id")),
@@ -310,6 +320,14 @@ SELECT doc_a, a.split AS split_a, doc_b, b.split AS split_b, n_matching
 FROM pairs JOIN sp a ON doc_a = a.doc_id JOIN sp b ON doc_b = b.doc_id
 WHERE a.split <> b.split
 ORDER BY doc_a, doc_b"""),
+
+    "dedup_shared_ngrams" -> (hashedShinglesCte + """
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+       CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) * 1000
+         // CAST(count(*) AS BIGINT) AS shared_pm
+FROM (SELECT doc_id, count(*) OVER (PARTITION BY s) AS nd FROM sh)
+GROUP BY doc_id ORDER BY doc_id"""),
 
     "dedup_simhash" -> (s"""WITH toks AS (
   SELECT doc_id, unnest(regexp_extract_all(text, '$TokRe')) AS tok
@@ -658,6 +676,22 @@ SELECT b.doc_id, n_bigrams, top_bigram_n,
        CAST(dup_trigram_n AS BIGINT) * 1000 // n_trigrams AS dup_trigram_pm
 FROM bstat b JOIN tstat t ON b.doc_id = t.doc_id
 ORDER BY b.doc_id"""),
+
+    "text_top_terms" -> ("""WITH t AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), ' +')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM t GROUP BY 1, 2
+), dfreq AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+), r AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+         row_number() OVER (PARTITION BY tf.doc_id
+           ORDER BY tf.tf DESC, dfreq.df ASC, tf.term ASC) AS rn
+  FROM tf JOIN dfreq USING (term)
+)
+SELECT doc_id, CAST(rn AS INT) AS rn, term, tf, df
+FROM r WHERE rn <= 5 ORDER BY doc_id, rn"""),
 
     "mm_features" -> (s"""
 SELECT doc_id AS media_id,

@@ -36,6 +36,36 @@ object Dedup {
       .withWatermark("event_time", delay)
       .dropDuplicatesWithinWatermark("content_hash")
 
+  /** Cross-document duplicated n-gram fraction — the corpus-level
+    * repetition signal of large-scale curation (the "duplicated n-gram"
+    * filter family): for each document, the share of its DISTINCT
+    * k-shingles that also occur in at least one OTHER document, as
+    * integer parts-per-thousand. [[TextAnalysis.repetitionStats]]
+    * measures repetition WITHIN a document (narrow map, zero shuffle);
+    * this measures it ACROSS the corpus, where two shuffles are
+    * inherent: a window count over the 60-bit shingle hash (uniform
+    * md5-derived keys — no skew) for how many docs contain each
+    * shingle, then a groupBy on doc_id to fold the flags back per
+    * document. The window formulation keeps it to exactly those two
+    * exchanges — no separate counts frame, no join. Shingles are
+    * per-doc DISTINCT before the explode, so a shingle repeated only
+    * inside one document has doc-count 1 and does NOT count as shared.
+    * Documents with no k-shingle (under k words) are dropped. */
+  def sharedShingleStats(df: DataFrame, content: Column, id: Column,
+                         k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    df.select(id.as("doc_id"),
+        explode(array_distinct(Text.shingles(content, k))).as("str"))
+      .select(col("doc_id"), Text.hash60(col("str")).as("s"))
+      .withColumn("nd", count(lit(1)).over(Window.partitionBy("s")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_shared"))
+      .selectExpr("doc_id", "n_shingles", "n_shared",
+        "n_shared * 1000 div n_shingles as shared_pm")
+  }
+
   /** Near-dup candidate pairs by exact n-gram Jaccard, blocked on shared
     * shingles: explode shingles, self-join on the shingle (only docs
     * sharing one meet), count intersections, filter by Jaccard.

@@ -108,6 +108,32 @@ object TextAnalysis {
         "cast(ft.dup_n as bigint) * 1000 div ft.n as dup_trigram_pm")
   }
 
+  /** Per-document salient terms — the TF-IDF shape with an all-integer
+    * ranking so both engines agree bit-for-bit: for each document, the
+    * top `k` terms ordered by term frequency DESC, document frequency
+    * ASC (rarer-in-corpus breaks the tie, which is exactly what IDF
+    * contributes), then term ASC (total order — no float scores to
+    * drift across engines; callers wanting a real tf·idf weight have tf
+    * and df in the output). Two shuffles, both on uniform keys: groupBy
+    * (doc_id, term) for tf — which also yields df as a count of those
+    * rows per term, no second pass over the corpus — and the top-k
+    * window on doc_id. At 100 TB both aggregations are partial
+    * (map-side combine) and the window is a bounded per-doc top-k. */
+  def topTerms(df: DataFrame, content: Column, id: Column,
+               k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = df.select(id.as("doc_id"),
+        explode(Text.words(lower(content))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val win = Window.partitionBy("doc_id")
+      .orderBy(col("tf").desc, col("df").asc, col("term").asc)
+    tf.join(dfreq, "term")
+      .withColumn("rn", row_number().over(win))
+      .where(col("rn") <= k)
+      .select(col("doc_id"), col("rn"), col("term"), col("tf"), col("df"))
+  }
+
   /** Document fingerprints: md5 of whitespace-normalized lowercase text
     * (exact content identity modulo spacing) + winnowing-style min
     * shingle hash (robust to local edits). */

@@ -127,6 +127,21 @@ class DedupSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, "train", 2L, "test"), (5L, "val", 6L, "train")))
   }
 
+  test("sharedShingleStats: cross-doc shared fraction; intra-doc repeats don't count") {
+    val corpus = Seq(
+      (1L, "a b c d"),     // distinct shingles: "a b c", "b c d"
+      (2L, "a b c x"),     // shares "a b c" with doc 1
+      (3L, "z z z z z"),   // one distinct shingle, repeated only here
+      (4L, "q w")          // no trigram → dropped
+    ).toDF("doc_id", "text")
+    val out = Dedup.sharedShingleStats(corpus, $"text", $"doc_id")
+      .orderBy("doc_id").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, 2L, 1L, 500L), // "a b c" appears in doc 2 as well
+      (2L, 2L, 1L, 500L),
+      (3L, 1L, 0L, 0L))) // within-doc repetition is repetitionStats' job
+  }
+
   test("simhash: identical docs at distance 0, unrelated docs far") {
     val fp = Dedup.simhash(docs, $"text", $"doc_id")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

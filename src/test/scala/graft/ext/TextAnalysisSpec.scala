@@ -98,6 +98,20 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("topTerms: tf desc, rarity (df asc) breaks ties, then term asc") {
+    val corpus = Seq(
+      (1L, "apple apple banana cherry"),
+      (2L, "banana cherry cherry date")).toDF("doc_id", "text")
+    val out = TextAnalysis.topTerms(corpus, $"text", $"doc_id", k = 2)
+      .orderBy("doc_id", "rn").as[(Long, Int, String, Long, Long)]
+      .collect().toSeq
+    // doc 1: apple tf=2 wins; banana/cherry tie at tf=1 df=2 → term asc
+    // doc 2: cherry tf=2 wins; banana (df=2) loses the tie to date (df=1)
+    assert(out == Seq(
+      (1L, 1, "apple", 2L, 1L), (1L, 2, "banana", 1L, 2L),
+      (2L, 1, "cherry", 2L, 2L), (2L, 2, "date", 1L, 1L)))
+  }
+
   test("fingerprint: spacing-insensitive content fp, local-edit-stable winnow fp") {
     val df = Seq(
       (1L, "alpha beta  gamma delta epsilon"),
