@@ -282,6 +282,20 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n"),
           sum(col("value").cast(Dec)).cast("double").as("sum_value"))
         .orderBy("event_type")
+    }),
+
+    "q_bloom_semi" -> ((s, d) => {
+      // runtime-filter semi join: events of users who ever signed up.
+      // The bloom pre-filter drops non-signup users' rows before the
+      // exact semi join's shuffle; the result is row-identical to the
+      // plain semi join (which is what the oracle computes).
+      val ev = Tables.events(s, d)
+      val dim = ev.where(col("event_type") === "signup")
+        .select(col("user_id").as("uid")).distinct()
+      graft.operators.BloomSemiJoin(ev, col("user_id"), dim, col("uid"),
+          expectedItems = 1 << 16, fpp = 0.01)
+        .groupBy("user_id").agg(count(lit(1)).as("n"))
+        .orderBy("user_id")
     })
   )
 
@@ -419,6 +433,12 @@ SELECT e.event_type, d.type_first, count(*) AS n,
        CAST(SUM(CAST(e.value AS $dec)) AS DOUBLE) AS sum_value
 FROM events e JOIN dim d ON e.event_type = d.event_type
 GROUP BY 1, 2 ORDER BY 1""",
+
+    "q_bloom_semi" -> """
+SELECT user_id, count(*) AS n
+FROM events
+WHERE user_id IN (SELECT DISTINCT user_id FROM events WHERE event_type = 'signup')
+GROUP BY 1 ORDER BY 1""",
 
     "q_median" -> """
 WITH r AS (

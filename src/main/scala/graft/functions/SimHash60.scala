@@ -128,7 +128,10 @@ object GraftFunctions {
       (exprs: Seq[Expression]) => Cis2Decode(exprs.head)),
     (FunctionIdentifier("cis2_encode"),
       new ExpressionInfo(classOf[Cis2Encode].getName, "cis2_encode"),
-      (exprs: Seq[Expression]) => Cis2Encode(exprs(0), exprs(1), exprs(2), exprs(3))))
+      (exprs: Seq[Expression]) => Cis2Encode(exprs(0), exprs(1), exprs(2), exprs(3))),
+    (FunctionIdentifier("bloom_might_contain"),
+      new ExpressionInfo(classOf[BloomMightContain].getName, "bloom_might_contain"),
+      (exprs: Seq[Expression]) => BloomMightContain(exprs(0), exprs(1))))
 
   /** Registers only if absent, so a user's own temp function of the same
     * name is never silently replaced and repeated calls are no-ops. */
