@@ -223,7 +223,11 @@ WHERE ati.account = $Account AND ati.summary >= 0
 ORDER BY s.id ASC"""),
     "b5_row_decode" -> (cte + """
 SELECT id, summary->>'$.Left.k' AS left_k, summary->>'$.Right.k' AS right_k
-FROM summaries WHERE json_valid(summary) ORDER BY id"""),
+FROM summaries
+WHERE json_valid(summary)
+  AND (json_extract(summary, '$.Left') IS NOT NULL
+       OR json_extract(summary, '$.Right') IS NOT NULL)
+ORDER BY id"""),
     "b5_row_decode_strict" -> (cte + """
 SELECT id,
        CASE WHEN json_extract(summary, '$.Left') IS NOT NULL THEN 'Left'

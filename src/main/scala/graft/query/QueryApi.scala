@@ -49,14 +49,23 @@ object QueryApi {
     * DROPPING rows whose summary fails to parse — the reference's
     * `construct_row` is applied via `filter_map`, so undecodable rows
     * vanish from every page instead of erroring (postgres.rs:387-391,
-    * 333, 360). Validity = the envelope parses as JSON at all
-    * (`get_json_object($)` is null exactly for malformed documents). */
-  def decodeRows(summaries: DataFrame): DataFrame =
-    summaries
-      .where(get_json_object(col("summary"), "$").isNotNull)
+    * 333, 360). Validity = the typed envelope parse succeeds AND lands
+    * in a known variant (serde's `Either` deserialize fails on both
+    * malformed JSON and unknown variants — both are dropped). */
+  def decodeRows(summaries: DataFrame): DataFrame = {
+    // ONE typed parse per row (the old per-field get_json_object chain
+    // parsed each document three times). A row is kept iff the typed
+    // parse lands in a known variant — exactly the reference's
+    // `filter_map(|r| from_value::<Either<L,R>>(r).ok())`: malformed
+    // JSON and unknown variants both vanish from the page rather than
+    // erroring (contrast the strict WRITE-path policy below).
+    val env = from_json(col("summary"), graft.model.Schemas.summaryEnvelope)
+    summaries.select(col("id"), env.as("env"))
+      .where(col("env.Left").isNotNull || col("env.Right").isNotNull)
       .select(col("id"),
-        get_json_object(col("summary"), "$.Left.k").as("left_k"),
-        get_json_object(col("summary"), "$.Right.k").as("right_k"))
+        col("env.Left.k").cast("string").as("left_k"),
+        col("env.Right.k").cast("string").as("right_k"))
+  }
 
   /** B5 strict variant — typed decode of the summary envelope through a
     * real `StructType` ([[graft.model.Schemas.summaryEnvelope]]) instead
