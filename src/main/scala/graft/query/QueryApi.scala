@@ -53,9 +53,13 @@ object QueryApi {
     * in a known variant (serde's `Either` deserialize fails on both
     * malformed JSON and unknown variants — both are dropped). */
   def decodeRows(summaries: DataFrame): DataFrame = {
-    // ONE typed parse per row (the old per-field get_json_object chain
-    // parsed each document three times). A row is kept iff the typed
-    // parse lands in a known variant — exactly the reference's
+    // One typed parse expression (the old per-field get_json_object
+    // chain string-parsed each document once per projected field).
+    // Catalyst's OptimizeJsonExprs splits the validity predicate into
+    // schema-pruned parses pushed into the scan's DataFilters, so
+    // undecodable rows are dropped at scan time and only survivors pay
+    // the full-schema parse. A row is kept iff the typed parse lands in
+    // a known variant — exactly the reference's
     // `filter_map(|r| from_value::<Either<L,R>>(r).ok())`: malformed
     // JSON and unknown variants both vanish from the page rather than
     // erroring (contrast the strict WRITE-path policy below).

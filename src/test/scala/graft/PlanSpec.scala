@@ -62,6 +62,46 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("bloom semi join: membership filter sits under the exact join") {
+    val p = plan("q_bloom_semi")
+    assert(p.contains("bloom_might_contain"),
+      s"expected the bloom probe in the fact-side filter:\n$p")
+    // the probe must run BEFORE the semi join it is pruning for: in the
+    // plan string the (bottom-up printed) filter appears after the join
+    // node but the probe's Filter must be a descendant of the join —
+    // cheap structural check: a Filter containing the probe exists and
+    // the exact join is still present to scrub false positives
+    assert(p.contains("LeftSemi"), s"expected the exact semi join:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("top terms: df broadcast (no term-keyed shuffle join) and top-k group limit") {
+    val p = plan("text_top_terms")
+    assert(p.contains("BroadcastHashJoin"),
+      s"document-frequency side must broadcast, not shuffle on term:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"expected the per-doc top-k pushed below the window sort:\n$p")
+  }
+
+  test("shared ngrams: single window over the shingle hash, no self-join") {
+    val p = plan("dedup_shared_ngrams")
+    assert(count(p, "Window") == 1, s"expected one shingle-hash window in:\n$p")
+    assert(!p.contains("Join"), s"shared-ngram stats must not self-join:\n$p")
+  }
+
+  test("b5 row decode: typed schema parse, validity filter at the scan") {
+    val p = plan("b5_row_decode")
+    // typed from_json only — the old formulation string-extracted each
+    // field with its own get_json_object full parse. (OptimizeJsonExprs
+    // splits the validity filter into schema-PRUNED parses and pushes
+    // them into the scan's DataFilters: undecodable rows die at scan
+    // time, before the projection's full parse.)
+    assert(p.contains("from_json") && !p.contains("get_json_object"),
+      s"expected typed from_json decode only in:\n$p")
+    assert(p.contains("DataFilters: [(isnotnull(from_json"),
+      s"expected the validity filter pushed to the scan in:\n$p")
+  }
+
   test("no inventory query plans a cartesian product") {
     // ann_bruteforce/ann_lsh intentionally broadcast-cross-join ONE query
     // row against the corpus — a bounded nested loop, not an all-pairs
