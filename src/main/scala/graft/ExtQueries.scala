@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.ext.{Dedup, Multimodal, Packing, Sampling, Similarity, TextAnalysis}
 
 /** LLM-data-pipeline extensions over `documents` / `embeddings`:
   * dedup (exact, n-gram Jaccard, MinHash+LSH, SimHash), similarity
@@ -217,6 +217,15 @@ object ExtQueries {
     "text_token_stats" -> ((s, d) =>
       TextAnalysis.tokenStats(Tables.documents(s, d), col("text"), col("doc_id"))
         .orderBy("doc_id")),
+
+    "pack_sequences" -> ((s, d) => {
+      val toks = TextAnalysis
+        .tokenStats(Tables.documents(s, d), col("text"), col("doc_id"))
+        .select(col("doc_id"), col("n_tokens"))
+      Packing.packSequences(toks, col("doc_id"), col("n_tokens"),
+          budget = 512)
+        .orderBy("doc_id")
+    }),
 
     "text_lang_id" -> ((s, d) =>
       TextAnalysis.langId(Tables.documents(s, d), col("text"), col("doc_id"))
@@ -600,6 +609,25 @@ SELECT doc_id,
        CAST(list_sum(list_transform(words, x -> length(x))) AS BIGINT)
          AS sum_word_len
 FROM w ORDER BY doc_id"""),
+
+    "pack_sequences" -> (s"""WITH t AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '$TokRe')) AS BIGINT) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, n_tokens,
+         CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS end_off
+  FROM t WHERE n_tokens > 0
+)
+SELECT doc_id, n_tokens,
+       end_off - n_tokens AS start_off,
+       end_off,
+       (end_off - n_tokens) // 512 AS first_bin,
+       (end_off - 1) // 512 AS last_bin,
+       (end_off - 1) // 512 - (end_off - n_tokens) // 512 + 1 AS n_bins
+FROM c ORDER BY doc_id"""),
 
     "text_lang_id" -> """
 WITH w AS (

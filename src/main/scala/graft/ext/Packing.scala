@@ -1,0 +1,77 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing for pretraining batches: documents are concatenated
+  * in deterministic `id` order into one notional token stream, and the
+  * stream is cut into fixed `budget`-token context windows. Each
+  * document gets its absolute token offsets and the range of windows
+  * ("bins") it lands in — the bookkeeping a packed-dataset writer needs
+  * to emit fixed-length training rows (including which documents
+  * straddle a window boundary).
+  *
+  * The core is a GLOBAL PREFIX SUM, which is where naive Spark goes
+  * wrong: `sum().over(Window.orderBy(id))` with no partition key drags
+  * the whole corpus through ONE task. This is the scalable two-level
+  * formulation:
+  *
+  *  1. range-repartition by `id` (contiguous ordered ranges, so the
+  *     global order is partition 0 ++ partition 1 ++ …) and sort within
+  *     each partition;
+  *  2. per-partition running sum — a NARROW single-pass `mapPartitions`,
+  *     all partitions in parallel. (A `Window.partitionBy(pid)` would be
+  *     wrong here: Catalyst can't see that `pid` IS the physical
+  *     partition, so it inserts a second full-data hash shuffle.)
+  *  3. per-partition totals (one row per partition) prefix-summed on a
+  *     PARTITION-COUNT-sized frame — the only single-task window, over
+  *     hundreds of rows, not billions — and broadcast-joined back as
+  *     each partition's base offset.
+  *
+  * The ranged frame is persisted: its partition ids come from sampled
+  * range boundaries, so both consumers (totals + join left side) must
+  * read the SAME materialization — a narrow 4-long-column frame, cheap
+  * to cache at any scale. Documents with no tokens are dropped (they
+  * occupy no stream position). `id` must be unique (same contract as
+  * [[Dedup.minhashSignatures]]).
+  */
+object Packing {
+
+  def packSequences(df: DataFrame, id: Column, nTokens: Column,
+                    budget: Long, numParts: Int = 0): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val parts = if (numParts > 0) numParts
+      else spark.sessionState.conf.numShufflePartitions
+    val ranged = df.select(id.as("doc_id"), nTokens.cast("long").as("n_tokens"))
+      .where(col("n_tokens") > 0)
+      .repartitionByRange(parts, col("doc_id"))
+      .sortWithinPartitions("doc_id")
+      .as[(Long, Long)]
+      .mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        var cum = 0L
+        it.map { case (docId, n) => cum += n; (pid, docId, n, cum) }
+      }
+      .toDF("pid", "doc_id", "n_tokens", "local_cum")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // local_cum is monotone within a partition, so max == the total.
+    val offsets = ranged.groupBy("pid").agg(max("local_cum").as("ptotal"))
+      .withColumn("base", coalesce(
+        sum("ptotal").over(Window.orderBy("pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("pid", "base")
+    ranged.join(broadcast(offsets), "pid")
+      .withColumn("start_off", col("base") + col("local_cum") - col("n_tokens"))
+      .withColumn("end_off", col("start_off") + col("n_tokens"))
+      // Integral `div`, not `/`: double division loses exactness past
+      // 2^53, and a 100 TB corpus has more tokens than that.
+      .withColumn("first_bin", expr(s"start_off div ${budget}L"))
+      .withColumn("last_bin", expr(s"(end_off - 1L) div ${budget}L"))
+      .select(col("doc_id"), col("n_tokens"), col("start_off"),
+        col("end_off"), col("first_bin"), col("last_bin"),
+        (col("last_bin") - col("first_bin") + 1).as("n_bins"))
+  }
+}

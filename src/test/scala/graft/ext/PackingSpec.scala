@@ -1,0 +1,68 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class PackingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def lens = Seq(
+    1L -> 100L, 2L -> 400L, 3L -> 50L, 4L -> 600L, 5L -> 0L,
+    6L -> 12L, 7L -> 512L, 8L -> 1L, 9L -> 1023L, 10L -> 3L)
+
+  private def docs = lens.toDF("doc_id", "n_tokens")
+
+  // The single-machine truth: running offsets in doc_id order.
+  private def expected(budget: Long) = {
+    var off = 0L
+    lens.filter(_._2 > 0).sortBy(_._1).map { case (id, n) =>
+      val start = off; off += n
+      val first = start / budget
+      val last = (off - 1) / budget
+      (id, n, start, off, first, last, last - first + 1)
+    }
+  }
+
+  test("offsets form one contiguous stream and bins match the budget math") {
+    val got = Packing.packSequences(docs, $"doc_id", $"n_tokens", budget = 512)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long, Long, Long, Long)]
+      .collect().toSeq
+    assert(got == expected(512L))
+  }
+
+  test("result is independent of the partition count") {
+    val twoPart = Packing
+      .packSequences(docs.repartition(7), $"doc_id", $"n_tokens",
+        budget = 512, numParts = 2)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long, Long, Long, Long)]
+      .collect().toSeq
+    val manyPart = Packing
+      .packSequences(docs, $"doc_id", $"n_tokens", budget = 512,
+        numParts = 16)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long, Long, Long, Long)]
+      .collect().toSeq
+    assert(twoPart == expected(512L))
+    assert(manyPart == expected(512L))
+  }
+
+  test("no global single-partition window over the document frame") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val plan = Packing
+      .packSequences(docs, $"doc_id", $"n_tokens", budget = 512)
+      .queryExecution.optimizedPlan
+    val windows = plan.collect { case w: LWindow => w }
+    // The ONLY Window is the partition-count-sized base-offset prefix
+    // sum, and it sits above the per-pid aggregate — one row per
+    // partition — never above the raw doc rows. The per-doc running sum
+    // is a narrow mapPartitions, not a Window at all.
+    assert(windows.size == 1, plan.toString)
+    windows.foreach { w =>
+      assert(w.child.collectFirst { case a: Aggregate => a }.nonEmpty,
+        "global window over non-aggregated rows:\n" + plan)
+    }
+  }
+}
