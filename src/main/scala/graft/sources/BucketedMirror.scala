@@ -1,0 +1,54 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Bucketed serving mirror — the co-located-join layout for the hot
+  * read path. The reference keeps its serving tables fast with btree
+  * indexes keyed by account (`m0001-…sql`; every B1/B6/B7 query starts
+  * `WHERE account = ?`). Spark's analog for repeated key-local work is
+  * BUCKETING: hash-partition the table into a fixed number of buckets
+  * on the serving key AT WRITE TIME, so every later aggregation or join
+  * on that key reads pre-clustered data and plans with NO shuffle at
+  * all — `EnsureRequirements` sees the bucketed scan's hash
+  * partitioning already satisfies the operator's distribution.
+  *
+  * At 100 TB this moves the dominant cost of the serving path (the
+  * every-query exchange of the fact table) to a once-per-refresh write.
+  * Two tables bucketed on the same key with the same bucket count
+  * (e.g. `ati` and `summaries` by account) join shuffle-free on either
+  * side. Pick the bucket count for the TARGET cluster: one bucket is
+  * one task's read unit, so ~2–4× total executor cores, and files of
+  * hundreds of MB, not the test fixture's toy counts.
+  *
+  * Bucketing lives in the catalog (file→bucket assignment is metadata),
+  * so mirrors are `saveAsTable` external tables at an explicit path —
+  * the data stays plain parquet readable by anything; only shuffle
+  * elision needs the table name.
+  */
+object BucketedMirror {
+
+  /** Write/refresh `df` as an external bucketed table. `sortCols`
+    * additionally sorts within each bucket file (serving queries that
+    * scan one key's rows in id order read them sequentially). */
+  def write(df: DataFrame, name: String, path: String, bucketCol: String,
+            buckets: Int, sortCols: Seq[String] = Nil): Unit = {
+    require(buckets > 0, "buckets must be positive")
+    val spark = df.sparkSession
+    // saveAsTable(Overwrite) on an existing external table can leave
+    // stale files at the path; drop-then-write is the idempotent form.
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    val w = df.write
+      .mode(SaveMode.Overwrite)
+      .format("parquet")
+      .option("path", path)
+      .bucketBy(buckets, bucketCol)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .saveAsTable(name)
+  }
+
+  /** The mirror as a DataFrame. Must go through the catalog — a plain
+    * `spark.read.parquet(path)` of the same files loses the bucket
+    * metadata and with it the shuffle elision. */
+  def table(spark: SparkSession, name: String): DataFrame =
+    spark.table(name)
+}
