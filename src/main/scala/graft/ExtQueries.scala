@@ -227,6 +227,11 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    "pack_shuffle" -> ((s, d) =>
+      Packing.shuffledOrdinal(Tables.documents(s, d), col("doc_id"),
+          seed = "epoch0")
+        .orderBy("doc_id")),
+
     "text_lang_id" -> ((s, d) =>
       TextAnalysis.langId(Tables.documents(s, d), col("text"), col("doc_id"))
         .orderBy("doc_id")),
@@ -628,6 +633,15 @@ SELECT doc_id, n_tokens,
        (end_off - 1) // 512 AS last_bin,
        (end_off - 1) // 512 - (end_off - n_tokens) // 512 + 1 AS n_bins
 FROM c ORDER BY doc_id"""),
+
+    "pack_shuffle" -> (s"""WITH t AS (
+  SELECT doc_id,
+         ${h60("'epoch0:' || CAST(doc_id AS VARCHAR)")} AS h
+  FROM documents
+)
+SELECT doc_id, h,
+       CAST(ROW_NUMBER() OVER (ORDER BY h, doc_id) AS BIGINT) - 1 AS ord
+FROM t ORDER BY doc_id"""),
 
     "text_lang_id" -> """
 WITH w AS (

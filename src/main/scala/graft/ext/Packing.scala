@@ -74,4 +74,45 @@ object Packing {
         col("end_off"), col("first_bin"), col("last_bin"),
         (col("last_bin") - col("first_bin") + 1).as("n_bins"))
   }
+
+  /** Deterministic global shuffle: the training-order step that
+    * precedes packing. Each document's position is its rank under
+    * `hash60(seed + ":" + id)` (ties broken by id), so the permutation
+    * is a pure function of (corpus, seed) — reproducible across runs,
+    * engines, and partitionings, and changing the seed is a fresh epoch
+    * order with zero state.
+    *
+    * Same scale shape as [[packSequences]]: a global `row_number()` is
+    * a one-task plan, so rank = range-partition by the hash, narrow
+    * per-partition ordinals, partition-count base offsets broadcast
+    * back.
+    */
+  def shuffledOrdinal(df: DataFrame, id: Column, seed: String,
+                      numParts: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val parts = if (numParts > 0) numParts
+      else spark.sessionState.conf.numShufflePartitions
+    val ranged = df
+      .select(id.cast("long").as("doc_id"),
+        Text.hash60(concat_ws(":", lit(seed), id.cast("long"))).as("h"))
+      .repartitionByRange(parts, col("h"), col("doc_id"))
+      .sortWithinPartitions("h", "doc_id")
+      .as[(Long, Long)]
+      .mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        var i = 0L
+        it.map { case (docId, h) => i += 1; (pid, docId, h, i) }
+      }
+      .toDF("pid", "doc_id", "h", "local_rank")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val offsets = ranged.groupBy("pid").agg(max("local_rank").as("ptotal"))
+      .withColumn("base", coalesce(
+        sum("ptotal").over(Window.orderBy("pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("pid", "base")
+    ranged.join(broadcast(offsets), "pid")
+      .select(col("doc_id"), col("h"),
+        (col("base") + col("local_rank") - 1L).as("ord"))
+  }
 }

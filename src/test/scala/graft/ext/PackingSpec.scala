@@ -49,6 +49,21 @@ class PackingSpec extends SparkSpec {
     assert(manyPart == expected(512L))
   }
 
+  test("shuffledOrdinal is a permutation, seed-determined, partition-independent") {
+    val ids = (0L until 500L).toDF("doc_id")
+    def run(seed: String, parts: Int) =
+      Packing.shuffledOrdinal(ids, $"doc_id", seed, numParts = parts)
+        .select("doc_id", "ord")
+        .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    val a = run("epoch0", 4)
+    // every position 0..n-1 appears exactly once
+    assert(a.map(_._2).sorted == (0L until 500L))
+    // same seed, different partitioning → identical order
+    assert(run("epoch0", 13) == a)
+    // a different seed is a genuinely different permutation
+    assert(run("epoch1", 4) != a)
+  }
+
   test("no global single-partition window over the document frame") {
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
     val plan = Packing
