@@ -232,6 +232,17 @@ object ExtQueries {
           seed = "epoch0")
         .orderBy("doc_id")),
 
+    "pack_bin_slices" -> ((s, d) => {
+      val toks = TextAnalysis
+        .tokenStats(Tables.documents(s, d), col("text"), col("doc_id"))
+        .select(col("doc_id"), col("n_tokens"))
+      Packing.binSlices(
+          Packing.packSequences(toks, col("doc_id"), col("n_tokens"),
+            budget = 512),
+          budget = 512)
+        .orderBy("bin", "bin_off")
+    }),
+
     "text_lang_id" -> ((s, d) =>
       TextAnalysis.langId(Tables.documents(s, d), col("text"), col("doc_id"))
         .orderBy("doc_id")),
@@ -633,6 +644,32 @@ SELECT doc_id, n_tokens,
        (end_off - 1) // 512 AS last_bin,
        (end_off - 1) // 512 - (end_off - n_tokens) // 512 + 1 AS n_bins
 FROM c ORDER BY doc_id"""),
+
+    "pack_bin_slices" -> (s"""WITH t AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '$TokRe')) AS BIGINT) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, n_tokens,
+         CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS end_off
+  FROM t WHERE n_tokens > 0
+), p AS (
+  SELECT doc_id, end_off - n_tokens AS start_off, end_off,
+         (end_off - n_tokens) // 512 AS first_bin,
+         (end_off - 1) // 512 AS last_bin
+  FROM c
+), e AS (
+  SELECT doc_id, start_off, end_off,
+         unnest(range(first_bin, last_bin + 1)) AS bin
+  FROM p
+)
+SELECT bin, doc_id,
+       greatest(start_off, bin * 512) - start_off AS doc_off,
+       greatest(start_off, bin * 512) - bin * 512 AS bin_off,
+       least(end_off, (bin + 1) * 512) - greatest(start_off, bin * 512) AS len
+FROM e ORDER BY bin, bin_off"""),
 
     "pack_shuffle" -> (s"""WITH t AS (
   SELECT doc_id,

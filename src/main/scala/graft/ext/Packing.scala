@@ -75,6 +75,32 @@ object Packing {
         (col("last_bin") - col("first_bin") + 1).as("n_bins"))
   }
 
+  /** The writer-side view of [[packSequences]]: one row per
+    * (document, context window) slice — which token range of the
+    * document lands at which offset of which fixed-length window. This
+    * is exactly the manifest a packed-dataset writer walks to emit
+    * training rows; a document straddling a window boundary appears
+    * once per window it touches.
+    *
+    * Pure per-row arithmetic + an explode over each document's own bin
+    * range (avg bins/doc ≈ 1 + doc_tokens/budget) — narrow, no
+    * shuffle beyond what [[packSequences]] already did.
+    */
+  def binSlices(packed: DataFrame, budget: Long): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    packed
+      .select(col("doc_id"), col("start_off"), col("end_off"),
+        explode(sequence(col("first_bin"), col("last_bin"))).as("bin"))
+      .withColumn("slice_start",
+        greatest(col("start_off"), col("bin") * budget))
+      .withColumn("slice_end",
+        least(col("end_off"), (col("bin") + 1L) * budget))
+      .select(col("bin"), col("doc_id"),
+        (col("slice_start") - col("start_off")).as("doc_off"),
+        (col("slice_start") - col("bin") * budget).as("bin_off"),
+        (col("slice_end") - col("slice_start")).as("len"))
+  }
+
   /** Deterministic global shuffle: the training-order step that
     * precedes packing. Each document's position is its rank under
     * `hash60(seed + ":" + id)` (ties broken by id), so the permutation

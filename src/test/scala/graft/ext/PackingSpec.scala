@@ -49,6 +49,34 @@ class PackingSpec extends SparkSpec {
     assert(manyPart == expected(512L))
   }
 
+  test("binSlices partitions every bin and every document exactly") {
+    val budget = 512L
+    val packed = Packing.packSequences(docs, $"doc_id", $"n_tokens", budget)
+    val slices = Packing.binSlices(packed, budget)
+      .as[(Long, Long, Long, Long, Long)] // bin, doc_id, doc_off, bin_off, len
+      .collect().toSeq
+    val total = lens.filter(_._2 > 0).map(_._2).sum
+    // slices tile the stream: lengths sum to the stream, no empty slices
+    assert(slices.map(_._5).sum == total)
+    assert(slices.forall(_._5 > 0))
+    // each document's slices cover [0, n_tokens) contiguously
+    val byDoc = slices.groupBy(_._2)
+    lens.filter(_._2 > 0).foreach { case (id, n) =>
+      val s = byDoc(id).sortBy(_._3)
+      assert(s.head._3 == 0L && s.map(_._5).sum == n)
+      assert(s.sliding(2).forall {
+        case Seq(a, b) => a._3 + a._5 == b._3
+        case _ => true
+      })
+    }
+    // each full bin holds exactly `budget` tokens (last bin may be short)
+    val byBin = slices.groupBy(_._1).view.mapValues(_.map(_._5).sum)
+    val lastBin = byBin.keys.max
+    byBin.foreach { case (bin, tokens) =>
+      if (bin < lastBin) assert(tokens == budget, s"bin $bin holds $tokens")
+    }
+  }
+
   test("shuffledOrdinal is a permutation, seed-determined, partition-independent") {
     val ids = (0L until 500L).toDF("doc_id")
     def run(seed: String, parts: Int) =
