@@ -130,6 +130,18 @@ object CoreQueries {
     "b2_account_page_desc" -> ((s, d) =>
       QueryApi.accountTransactions(Tables.ati(s, d), Tables.summaries(s, d),
         lit(Account), MaxId, Some(50), ascending = false)),
+    // B1/B2 through the SERVING mirrors (bucketed btree analog) — same
+    // oracle as the scan-based rows; the spec-level pruning/zero-Exchange
+    // claims live in ServingPageSpec.
+    "b1_account_page_served" -> ((s, d) => {
+      val (atiM, sumM) = graft.sources.ServingMirrors.atiSummaries(s, d)
+      QueryApi.accountPageServed(atiM, sumM, Account, 0L, 50, ascending = true)
+    }),
+    "b2_account_page_served" -> ((s, d) => {
+      val (atiM, sumM) = graft.sources.ServingMirrors.atiSummaries(s, d)
+      QueryApi.accountPageServed(atiM, sumM, Account, MaxId, 50,
+        ascending = false)
+    }),
     "b3_contract_page_asc" -> ((s, d) =>
       QueryApi.contractTransactions(Tables.cti(s, d), Tables.summaries(s, d),
         CIdx, CSub, 0L, Some(50), ascending = true)),
@@ -139,6 +151,9 @@ object CoreQueries {
     "b4_iterate_account" -> ((s, d) =>
       QueryApi.accountTransactions(Tables.ati(s, d), Tables.summaries(s, d),
         lit(Account), 0L, None, ascending = true)),
+    "b4_iterate_contract" -> ((s, d) =>
+      QueryApi.contractTransactions(Tables.cti(s, d), Tables.summaries(s, d),
+        CIdx, CSub, 0L, None, ascending = true)),
     "b5_row_decode" -> ((s, d) =>
       QueryApi.decodeRows(Tables.summaries(s, d)).orderBy("id")),
     "b5_row_decode_strict" -> ((s, d) =>
@@ -206,6 +221,16 @@ SELECT s.id, s.block, s."timestamp", s.height, s.summary
 FROM ati JOIN summaries s ON ati.summary = s.id
 WHERE ati.account = $Account AND ati.summary <= $MaxId
 ORDER BY s.id DESC LIMIT 50"""),
+    "b1_account_page_served" -> (cte + s"""
+SELECT s.id, s.block, s."timestamp", s.height, s.summary
+FROM ati JOIN summaries s ON ati.summary = s.id
+WHERE ati.account = $Account AND ati.summary >= 0
+ORDER BY s.id ASC LIMIT 50"""),
+    "b2_account_page_served" -> (cte + s"""
+SELECT s.id, s.block, s."timestamp", s.height, s.summary
+FROM ati JOIN summaries s ON ati.summary = s.id
+WHERE ati.account = $Account AND ati.summary <= $MaxId
+ORDER BY s.id DESC LIMIT 50"""),
     "b3_contract_page_asc" -> (cte + s"""
 SELECT s.id, s.block, s."timestamp", s.height, s.summary
 FROM cti JOIN summaries s ON cti.summary = s.id
@@ -220,6 +245,11 @@ ORDER BY s.id DESC LIMIT 50"""),
 SELECT s.id, s.block, s."timestamp", s.height, s.summary
 FROM ati JOIN summaries s ON ati.summary = s.id
 WHERE ati.account = $Account AND ati.summary >= 0
+ORDER BY s.id ASC"""),
+    "b4_iterate_contract" -> (cte + s"""
+SELECT s.id, s.block, s."timestamp", s.height, s.summary
+FROM cti JOIN summaries s ON cti.summary = s.id
+WHERE cti."index" = $CIdx AND cti.subindex = $CSub AND cti.summary >= 0
 ORDER BY s.id ASC"""),
     "b5_row_decode" -> (cte + """
 SELECT id, summary->>'$.Left.k' AS left_k, summary->>'$.Right.k' AS right_k

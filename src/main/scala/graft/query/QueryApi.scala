@@ -45,39 +45,59 @@ object QueryApi {
     limit.fold(sorted)(sorted.limit)
   }
 
+  /** The page's summary-id plan on the account-bucketed mirror: bucket
+    * pruning on the `account = ?` literal (only the account's bucket
+    * files are read) and top-`limit` by cursor order — orderBy+limit
+    * fuse to `TakeOrderedAndProject`, so the plan has ZERO Exchange.
+    * Split out of [[accountPageServed]] so ServingPageSpec can assert
+    * both properties on the exact plan the serving path executes. */
+  def accountPageIds(atiMirror: DataFrame, account: Long, from: Long,
+                     limit: Int, ascending: Boolean): DataFrame = {
+    val cursor =
+      if (ascending) col("summary") >= from else col("summary") <= from
+    val ord = if (ascending) col("summary").asc else col("summary").desc
+    atiMirror.where(col("account") === account && cursor)
+      .orderBy(ord).limit(limit)
+      .select("summary")
+  }
+
   /** B1/B2 SERVING path over bucketed mirrors — the btree analog of the
     * reference's `<0.5 s` account page (postgres.rs:94-99, served by the
     * m0001 btree): `atiMirror` is bucketed by account and `summariesMirror`
     * by id ([[graft.sources.ServingMirrors]]), so
-    *  1. the account+cursor probe reads ONLY the account's bucket files
-    *     (bucket pruning on the `account = ?` literal) with the cursor
-    *     pushed into the sorted row groups, and
+    *  1. the account+cursor probe ([[accountPageIds]]) reads ONLY the
+    *     account's bucket files (bucket pruning on the `account = ?`
+    *     literal) with the cursor pushed into the sorted row groups, and
     *  2. the page's ≤`limit` summary ids become a LITERAL `id IN (…)`
     *     predicate on the summaries scan — bucket-pruned AND row-group-
     *     skipped (the mirror is id-sorted), the Spark spelling of the
     *     reference's per-id pkey lookups.
+    * EAGER, unlike the other builders here: calling it runs the id job
+    * now (two bounded jobs total, like the reference's two index reads).
     * The driver-side id collect is bounded by the PAGE SIZE (≤ `limit`
     * rows, like the nprobe centroid collect in
     * [[graft.ext.Similarity.annIvfIndexedVec]]) — never by the data.
-    * ServingPageSpec pins both scans' pruning. For the unbounded iterate
-    * surface (B4) use [[accountTransactions]]/[[contractTransactions]] —
-    * a full-page collect there would be data-sized. */
+    * ServingPageSpec pins both scans' pruning and zero-Exchange plans,
+    * and CORRECTNESS rows b1/b2_account_page_served pin equality with
+    * [[accountTransactions]]. For the unbounded iterate surface (B4)
+    * use [[accountTransactions]]/[[contractTransactions]] — a full-page
+    * collect there would be data-sized. */
   def accountPageServed(atiMirror: DataFrame, summariesMirror: DataFrame,
                         account: Long, from: Long, limit: Int,
                         ascending: Boolean): DataFrame = {
-    val cursor =
-      if (ascending) col("summary") >= from else col("summary") <= from
-    val ord = if (ascending) col("summary").asc else col("summary").desc
     // ati carries at most one row per (account, summary), and every
     // summary id resolves (FK), so ordering the ati side by summary and
-    // cutting the page BEFORE the lookup is exactly join-order-limit.
-    val ids = atiMirror.where(col("account") === account && cursor)
-      .orderBy(ord).limit(limit)
-      .select("summary").collect().map(_.getLong(0)).toSeq
+    // cutting the page BEFORE the lookup is exactly join-order-limit;
+    // each id then matches exactly one summary row, so the final
+    // limit(limit) is a semantic no-op that fuses the output order into
+    // TakeOrderedAndProject (no Sort exchange).
+    val ids = accountPageIds(atiMirror, account, from, limit, ascending)
+      .collect().map(_.getLong(0)).toSeq
     summariesMirror.where(col("id").isin(ids: _*))
       .select(col("id"), col("block"), col("timestamp"), col("height"),
         col("summary"))
       .orderBy(if (ascending) col("id").asc else col("id").desc)
+      .limit(limit)
   }
 
   /** B5 — row decode: project fields out of the JSON envelope, SILENTLY
