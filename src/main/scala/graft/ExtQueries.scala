@@ -88,6 +88,28 @@ object ExtQueries {
   FROM comps GROUP BY 1, 2
 )"""
 
+  /** Precomputed IVF cell index for `sfDir`, built on first use (the
+    * once-per-refresh cost [[graft.ext.Similarity.writeCellIndex]]
+    * documents) and keyed like [[graft.sources.ServingMirrors]]: 16 hex
+    * chars of SHA-256 over the canonicalized path. cells/_SUCCESS is the
+    * build marker — centroids are written first, so its presence means
+    * both halves are complete. Synchronized so concurrent first probes
+    * can't race overlapping writes to one path. */
+  private def ivfIndexFor(s: SparkSession, sfDir: String): String =
+    synchronized {
+      val canon = java.nio.file.Paths.get(sfDir)
+        .toAbsolutePath.normalize.toString
+      val key = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(canon.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .take(8).map(b => f"$b%02x").mkString
+      val path = new java.io.File(s"target/graft-scratch/ivf_$key")
+        .getAbsolutePath
+      if (!new java.io.File(s"$path/cells/_SUCCESS").exists())
+        Similarity.writeCellIndex(Tables.embeddings(s, sfDir), "vec_id",
+          "embedding", path, centroidStride = 100)
+      path
+    }
+
   val queries: Map[String, Q] = Map(
     "dedup_exact" -> ((s, d) =>
       Dedup.exact(Tables.documents(s, d), col("text"), col("doc_id"))
@@ -141,9 +163,14 @@ object ExtQueries {
     // (checked against the DuckDB bucket table) — with queryId 0 the
     // candidate set was empty at sf0.01 and the oracle row was vacuous
     // (0 rows == 0 rows proves nothing about the banding chain).
+    // 8 planes per band, not the 16 the other LSH rows use: at 16 the
+    // declared row matched on a SINGLE candidate (2^16 buckets over ≤5k
+    // vectors — collisions vanish), so the compare exercised almost none
+    // of the banding chain; at 8 the candidate set is 30/16 vectors at
+    // sf0.001/sf0.01 and the row verifies a full scored top-10 page.
     "ann_lsh" -> ((s, d) =>
       Similarity.annLsh(Tables.embeddings(s, d), "vec_id", "embedding",
-        queryId = 32L, k = 10)),
+        queryId = 32L, k = 10, bands = 8, planes = 8)),
 
     // recall@k of both ANN paths against the exact top-k — the
     // measurement the Similarity scaladocs promise. Deterministic by
@@ -166,6 +193,16 @@ object ExtQueries {
     "ann_ivf" -> ((s, d) =>
       Similarity.annIvf(Tables.embeddings(s, d), "vec_id", "embedding",
         queryId = 0L, k = 10, centroidStride = 100, nprobe = 2)),
+
+    // The scale-safe IVF formulation: probe the PRECOMPUTED cell index
+    // (partition-pruned scan of nprobe cell directories) instead of
+    // re-assigning the whole corpus per query as ann_ivf does. Same
+    // assignment rule, same parameters → identical results, and the
+    // oracle is ann_ivf's verbatim.
+    "ann_ivf_indexed" -> ((s, d) =>
+      Similarity.annIvfIndexed(s, ivfIndexFor(s, d), queryId = 0L, k = 10,
+          nprobe = 2)
+        .select(col("vid").as("vec_id"), col("cosine"))),
 
     "emb_neardup_pairs" -> ((s, d) =>
       Similarity.nearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding",
@@ -280,6 +317,44 @@ object ExtQueries {
           col("text").cast("binary"), col("doc_id")),
         maxW = 512, maxH = 512).orderBy("media_id"))
   )
+
+  /** Shared by ann_ivf and ann_ivf_indexed: both formulations compute
+    * the same cells/probe result; only the Spark-side physical shape
+    * differs (per-query reassignment vs partition-pruned index scan). */
+  private val AnnIvfSql = """WITH qz AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS qe
+  FROM embeddings
+), cents AS (
+  SELECT vec_id AS cid, qe AS ce FROM qz WHERE vec_id % 100 = 0
+), scored AS (
+  SELECT qz.vec_id, cents.cid,
+         round(
+           CAST(list_sum(list_transform(range(64), i -> qe[i+1] * ce[i+1])) AS DOUBLE)
+           / sqrt(CAST(list_sum(list_transform(range(64), i -> qe[i+1] * qe[i+1])) AS DOUBLE)
+                  * CAST(list_sum(list_transform(range(64), i -> ce[i+1] * ce[i+1])) AS DOUBLE)),
+           6) AS ccos
+  FROM qz CROSS JOIN cents
+), ranked AS (
+  SELECT vec_id, cid,
+         row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS rnk
+  FROM scored
+), cells AS (SELECT vec_id, cid FROM ranked WHERE rnk = 1),
+qcells AS (SELECT cid FROM ranked WHERE vec_id = 0 AND rnk <= 2),
+q AS (SELECT qe AS qv FROM qz WHERE vec_id = 0)
+SELECT qz.vec_id AS vec_id,
+       round(
+         CAST(list_sum(list_transform(range(64), i -> qe[i+1] * qv[i+1])) AS DOUBLE)
+         / sqrt(CAST(list_sum(list_transform(range(64), i -> qe[i+1] * qe[i+1])) AS DOUBLE)
+                * CAST(list_sum(list_transform(range(64), i -> qv[i+1] * qv[i+1])) AS DOUBLE)),
+         6) AS cosine
+FROM cells
+JOIN qcells ON cells.cid = qcells.cid
+JOIN qz ON qz.vec_id = cells.vec_id
+CROSS JOIN q
+WHERE qz.vec_id <> 0
+ORDER BY cosine DESC, qz.vec_id ASC LIMIT 10"""
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" -> """
@@ -412,7 +487,7 @@ scored AS (
 SELECT vec_id, cosine FROM scored
 ORDER BY cosine DESC, vec_id ASC LIMIT 10""",
 
-    "ann_lsh" -> (rhpBucketsCte(8, 16) + """, qb AS (
+    "ann_lsh" -> (rhpBucketsCte(8, 8) + """, qb AS (
   SELECT b, bucket FROM buckets WHERE vec_id = 32
 ), cand AS (
   SELECT DISTINCT buckets.vec_id
@@ -495,40 +570,11 @@ SELECT 'lsh',
        10
 ORDER BY method"""),
 
-    "ann_ivf" -> ("""WITH qz AS (
-  SELECT vec_id,
-         list_transform(embedding,
-           x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS qe
-  FROM embeddings
-), cents AS (
-  SELECT vec_id AS cid, qe AS ce FROM qz WHERE vec_id % 100 = 0
-), scored AS (
-  SELECT qz.vec_id, cents.cid,
-         round(
-           CAST(list_sum(list_transform(range(64), i -> qe[i+1] * ce[i+1])) AS DOUBLE)
-           / sqrt(CAST(list_sum(list_transform(range(64), i -> qe[i+1] * qe[i+1])) AS DOUBLE)
-                  * CAST(list_sum(list_transform(range(64), i -> ce[i+1] * ce[i+1])) AS DOUBLE)),
-           6) AS ccos
-  FROM qz CROSS JOIN cents
-), ranked AS (
-  SELECT vec_id, cid,
-         row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS rnk
-  FROM scored
-), cells AS (SELECT vec_id, cid FROM ranked WHERE rnk = 1),
-qcells AS (SELECT cid FROM ranked WHERE vec_id = 0 AND rnk <= 2),
-q AS (SELECT qe AS qv FROM qz WHERE vec_id = 0)
-SELECT qz.vec_id AS vec_id,
-       round(
-         CAST(list_sum(list_transform(range(64), i -> qe[i+1] * qv[i+1])) AS DOUBLE)
-         / sqrt(CAST(list_sum(list_transform(range(64), i -> qe[i+1] * qe[i+1])) AS DOUBLE)
-                * CAST(list_sum(list_transform(range(64), i -> qv[i+1] * qv[i+1])) AS DOUBLE)),
-         6) AS cosine
-FROM cells
-JOIN qcells ON cells.cid = qcells.cid
-JOIN qz ON qz.vec_id = cells.vec_id
-CROSS JOIN q
-WHERE qz.vec_id <> 0
-ORDER BY cosine DESC, qz.vec_id ASC LIMIT 10"""),
+    "ann_ivf" -> AnnIvfSql,
+
+    // identical by construction: the index stores the same assignment
+    // the per-query formulation computes (ExtQueries.ivfIndexFor)
+    "ann_ivf_indexed" -> AnnIvfSql,
 
     "ann_knn_graph" -> (rhpBucketsCte(8, 16) + """, cand AS (
   SELECT DISTINCT x.vec_id AS src, y.vec_id AS dst
