@@ -46,6 +46,10 @@ object Bench {
         case e: Throwable =>
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
       }
+      // untimed: cache cleanup is refresh-cycle bookkeeping, not query
+      // cost — and without it each dedup/packing query's caches would
+      // inflate the memory pressure on every query after it
+      finally CacheScope.release()
     }
     def jstr(s: String): String = "\"" + s.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
@@ -53,9 +57,11 @@ object Bench {
     } + "\""
     // The driver parses this line from a 2000-char tail of captured
     // stdout; with 60+ queries full double precision overflows that
-    // window (round 4's line was 2224 chars and failed to parse).
-    // Millisecond precision is far below run-to-run noise.
-    def jnum(v: Double): String = f"$v%.3f"
+    // window (round 4's line was 2224 chars and failed to parse), and at
+    // 77 queries even millisecond precision did (2012 chars).
+    // Centisecond precision is still far below run-to-run noise
+    // (±25% on this box — BenchLineSpec pins the line budget).
+    def jnum(v: Double): String = f"$v%.2f"
     val qs = timings.map { case (k, v) => s"${jstr(k)}:${jnum(v)}" }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     // A failed query must never make the bench look faster: each one adds

@@ -85,14 +85,13 @@ object Dedup {
     graft.functions.GraftFunctions.register(df.sparkSession)
     // persist, not localCheckpoint: checkpoint blocks are unrecoverable
     // after executor loss (routine at cluster scale), while a persisted
-    // frame recomputes lost partitions from lineage. KNOWN LEAK: the
-    // cache entry lives until the session drops it — long-lived sessions
-    // issuing many dedup calls should unpersist via
-    // spark.catalog.clearCache() or sparkContext.getPersistentRDDs.
-    val sh = df.select(id.as("doc_id"),
-        explode(array_distinct(Text.shingles(content, k))).as("str"))
-      .select(col("doc_id"), Text.hash60(col("str")).as("s"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // frame recomputes lost partitions from lineage. The cache is
+    // registered with [[graft.CacheScope]] — callers release it after
+    // materializing the result (Verify/Bench do per query).
+    val sh = graft.CacheScope.persistTracked(
+      df.select(id.as("doc_id"),
+          explode(array_distinct(Text.shingles(content, k))).as("str"))
+        .select(col("doc_id"), Text.hash60(col("str")).as("s")))
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val pairs = sh.as("a").join(sh.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
@@ -149,9 +148,9 @@ object Dedup {
                  minMatches: Int = 8): DataFrame = {
     val r = numHashes / bands
     // persist, not localCheckpoint — see ngramJaccard (fault tolerance
-    // over cache footprint; leak documented there)
-    val sig = minhashSignatures(df, content, id, k, numHashes)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // over cache footprint; released via CacheScope there too)
+    val sig = graft.CacheScope.persistTracked(
+      minhashSignatures(df, content, id, k, numHashes))
     val buckets = sig.select(col("doc_id"),
         explode(transform(sequence(lit(0), lit(bands - 1)),
           b => struct(b.as("band"),
@@ -222,10 +221,10 @@ object Dedup {
         .union(withM.select(col("u"), col("m").as("v")))
         .distinct()
     }
-    var edges = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
-      .where(col("u") =!= col("v"))
-      .distinct()
-      .localCheckpoint()
+    var (edges, edgeRdds) = graft.CacheScope.localCheckpointWithRdds(
+      pairs.select(col(aCol).as("u"), col(bCol).as("v"))
+        .where(col("u") =!= col("v"))
+        .distinct())
     // Fingerprint of the current edge set; two consecutive rounds with
     // the same (count, xxhash64-xor) mean the alternation reached its
     // star-graph fixpoint (the sets are deterministic, so a stable
@@ -236,17 +235,25 @@ object Dedup {
     var done = false
     while (!done) {
       val obs = org.apache.spark.sql.Observation(s"cc_round_$round")
-      val next = smallStar(largeStar(edges))
-        .observe(obs, count(lit(1)).as("cnt"),
-          expr("bit_xor(xxhash64(u, v))").as("hsh"))
-        .localCheckpoint() // eager: runs the job, which fills `obs`
+      // eager checkpoint: runs the job, which fills `obs`; round N-1's
+      // blocks are freed as soon as round N is materialized, so the
+      // in-flight cache footprint is one edge set, not one per round
+      val (next, nextRdds) = graft.CacheScope.localCheckpointWithRdds(
+        smallStar(largeStar(edges))
+          .observe(obs, count(lit(1)).as("cnt"),
+            expr("bit_xor(xxhash64(u, v))").as("hsh")))
       val metrics = obs.get
       val cur = (metrics("cnt"), metrics("hsh"))
       done = cur == prev
       prev = cur
+      graft.CacheScope.unpersistRdds(edgeRdds)
       edges = next
+      edgeRdds = nextRdds
       round += 1
     }
+    // the final round's blocks back the RETURNED plan (truncated
+    // lineage — they can't recompute); they live until CacheScope.release
+    graft.CacheScope.trackRdds(edgeRdds)
     // At the fixpoint every edge is (member, component-min root): member
     // rows are already distinct (small-star dedups) and can never equal
     // a root row (member u ≠ v), so only the root set needs a distinct —

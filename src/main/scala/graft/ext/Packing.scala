@@ -45,18 +45,18 @@ object Packing {
     import spark.implicits._
     val parts = if (numParts > 0) numParts
       else spark.sessionState.conf.numShufflePartitions
-    val ranged = df.select(id.as("doc_id"), nTokens.cast("long").as("n_tokens"))
-      .where(col("n_tokens") > 0)
-      .repartitionByRange(parts, col("doc_id"))
-      .sortWithinPartitions("doc_id")
-      .as[(Long, Long)]
-      .mapPartitions { it =>
-        val pid = org.apache.spark.TaskContext.getPartitionId()
-        var cum = 0L
-        it.map { case (docId, n) => cum += n; (pid, docId, n, cum) }
-      }
-      .toDF("pid", "doc_id", "n_tokens", "local_cum")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ranged = graft.CacheScope.persistTracked(
+      df.select(id.as("doc_id"), nTokens.cast("long").as("n_tokens"))
+        .where(col("n_tokens") > 0)
+        .repartitionByRange(parts, col("doc_id"))
+        .sortWithinPartitions("doc_id")
+        .as[(Long, Long)]
+        .mapPartitions { it =>
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          var cum = 0L
+          it.map { case (docId, n) => cum += n; (pid, docId, n, cum) }
+        }
+        .toDF("pid", "doc_id", "n_tokens", "local_cum"))
     // local_cum is monotone within a partition, so max == the total.
     val offsets = ranged.groupBy("pid").agg(max("local_cum").as("ptotal"))
       .withColumn("base", coalesce(
@@ -119,19 +119,18 @@ object Packing {
     import spark.implicits._
     val parts = if (numParts > 0) numParts
       else spark.sessionState.conf.numShufflePartitions
-    val ranged = df
-      .select(id.cast("long").as("doc_id"),
-        Text.hash60(concat_ws(":", lit(seed), id.cast("long"))).as("h"))
-      .repartitionByRange(parts, col("h"), col("doc_id"))
-      .sortWithinPartitions("h", "doc_id")
-      .as[(Long, Long)]
-      .mapPartitions { it =>
-        val pid = org.apache.spark.TaskContext.getPartitionId()
-        var i = 0L
-        it.map { case (docId, h) => i += 1; (pid, docId, h, i) }
-      }
-      .toDF("pid", "doc_id", "h", "local_rank")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ranged = graft.CacheScope.persistTracked(
+      df.select(id.cast("long").as("doc_id"),
+          Text.hash60(concat_ws(":", lit(seed), id.cast("long"))).as("h"))
+        .repartitionByRange(parts, col("h"), col("doc_id"))
+        .sortWithinPartitions("h", "doc_id")
+        .as[(Long, Long)]
+        .mapPartitions { it =>
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          var i = 0L
+          it.map { case (docId, h) => i += 1; (pid, docId, h, i) }
+        }
+        .toDF("pid", "doc_id", "h", "local_rank"))
     val offsets = ranged.groupBy("pid").agg(max("local_rank").as("ptotal"))
       .withColumn("base", coalesce(
         sum("ptotal").over(Window.orderBy("pid")

@@ -265,11 +265,11 @@ object Similarity {
   def knnGraph(embeddings: DataFrame, idCol: String, embCol: String,
                k: Int, bands: Int = 8, planes: Int = 16): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val base = embeddings.select(col(idCol).as("vid"),
-        quantize(col(embCol)).as("qe"))
-      .withColumn("n2", dotQ(col("qe"), col("qe")))
-      .withColumn("bb", lshBuckets(embeddings, "qe", bands, planes))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val base = graft.CacheScope.persistTracked(
+      embeddings.select(col(idCol).as("vid"),
+          quantize(col(embCol)).as("qe"))
+        .withColumn("n2", dotQ(col("qe"), col("qe")))
+        .withColumn("bb", lshBuckets(embeddings, "qe", bands, planes)))
     val buckets = base.select(col("vid"),
       posexplode(col("bb")).as(Seq("band", "bucket")))
     val cand = buckets.as("x").join(buckets.as("y"),
@@ -299,12 +299,12 @@ object Similarity {
                    k: Int, bands: Int = 8, planes: Int = 16): DataFrame = {
     // persist, not localCheckpoint — checkpoint blocks don't survive
     // executor loss; lineage recomputation does (see Dedup.ngramJaccard
-    // for the documented cache-lifetime trade-off)
-    val base = embeddings.select(col(idCol).as("vid"),
-        quantize(col(embCol)).as("qe"))
-      .withColumn("n2", dotQ(col("qe"), col("qe")))
-      .withColumn("bb", lshBuckets(embeddings, "qe", bands, planes))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // for the cache-lifetime trade-off; released via CacheScope)
+    val base = graft.CacheScope.persistTracked(
+      embeddings.select(col(idCol).as("vid"),
+          quantize(col(embCol)).as("qe"))
+        .withColumn("n2", dotQ(col("qe"), col("qe")))
+        .withColumn("bb", lshBuckets(embeddings, "qe", bands, planes)))
     val buckets = base.select(col("vid"),
       posexplode(col("bb")).as(Seq("band", "bucket")))
     val cand = buckets.as("x").join(buckets.as("y"),

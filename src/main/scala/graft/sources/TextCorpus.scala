@@ -41,14 +41,14 @@ object TextCorpus {
     * lines (parse failures AND structurally valid lines missing the
     * required fields) for quarantine/metrics. */
   def readJsonl(spark: SparkSession, path: String): JsonlResult = {
-    val raw = spark.read
+    val raw = graft.CacheScope.cacheTracked(spark.read
       .schema(jsonlSchema)
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", "_corrupt_record")
-      .json(path)
-      // Spark requires caching or a re-derivable plan when filtering on
-      // the corrupt-record column alone; keep the full row and split.
-      .cache()
+      .json(path))
+    // Spark requires caching or a re-derivable plan when filtering on
+    // the corrupt-record column alone; keep the full row and split. The
+    // cache is released with the enclosing CacheScope pass.
     val wellFormed = col("_corrupt_record").isNull &&
       col("doc_id").isNotNull && col("text").isNotNull
     JsonlResult(
