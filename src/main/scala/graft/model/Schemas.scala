@@ -102,6 +102,46 @@ object Schemas {
       StructField("k", LongType, nullable = true))), nullable = true)
   ))
 
+  /** The REFERENCE-SHAPED deep envelope: `Left` carries a
+    * `BlockItemSummary` (index, energyCost, hash, details with a serde
+    * `type` tag, sender, cost, and an events array — the layout
+    * `DatabaseSummaryEntry` round-trips, postgres.rs:17-28, and
+    * `key_update_account` pattern-matches on, main.rs:686-700), `Right`
+    * a `SpecialTransactionOutcome` (serde `tag`-keyed protocol event).
+    * The event/effect field lists here are representative, not the full
+    * SDK union — widening them is mechanical column addition; the policy
+    * machinery (FAILFAST parse, unknown-variant and unknown-details-type
+    * hard stops, nested projection pruning) is what
+    * [[graft.query.QueryApi.decodeRowsDeep]] + DeepEnvelopeSpec pin. */
+  val summaryEnvelopeDeep: StructType = {
+    val event = StructType(Seq(
+      StructField("tag", StringType, nullable = true),
+      StructField("amount", StringType, nullable = true),
+      StructField("to", StringType, nullable = true)))
+    StructType(Seq(
+      StructField("Left", StructType(Seq(
+        StructField("index", LongType, nullable = true),
+        StructField("energyCost", LongType, nullable = true),
+        StructField("hash", StringType, nullable = true),
+        StructField("details", StructType(Seq(
+          StructField("type", StringType, nullable = true),
+          StructField("cost", StringType, nullable = true),
+          StructField("sender", StringType, nullable = true),
+          StructField("events", ArrayType(event), nullable = true))),
+          nullable = true))), nullable = true),
+      StructField("Right", StructType(Seq(
+        StructField("tag", StringType, nullable = true),
+        StructField("account", StringType, nullable = true),
+        StructField("amount", StringType, nullable = true))), nullable = true)))
+  }
+
+  /** The details `type` tags the reference interprets
+    * (`BlockItemSummaryDetails`: AccountTransaction / AccountCreation /
+    * Update, main.rs:687-696); anything else is the `Upward::Unknown`
+    * case the write path must hard-stop on (lib.rs:307-311). */
+  val KnownDetailsTypes: Seq[String] =
+    Seq("accountTransaction", "accountCreation", "update")
+
   /** Deterministic, order-preserving summary id: replaces Postgres
     * `RETURNING id` (main.rs:219). Ids are strictly increasing in
     * (height, seq_in_block) and may have gaps, matching the documented

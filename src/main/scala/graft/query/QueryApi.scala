@@ -154,6 +154,58 @@ object QueryApi {
         col("env.Right.k").as("right_k"))
   }
 
+  /** B5 deep variant — strict decode of the REFERENCE-SHAPED envelope
+    * ([[graft.model.Schemas.summaryEnvelopeDeep]]: nested
+    * `BlockItemSummary` with details type tag, sender, and events array)
+    * with BOTH hard-stop policies of the reference's interpret path:
+    *  - malformed JSON / type-mismatched fields abort (FAILFAST parse);
+    *  - an envelope that is neither Left nor Right aborts
+    *    (unknown VARIANT, lib.rs:307-311); and
+    *  - a Left whose `details.type` tag is outside
+    *    [[graft.model.Schemas.KnownDetailsTypes]] aborts — the
+    *    `Upward::Unknown` case `key_update_account` refuses to guess at
+    *    (main.rs:686-700): data the engine cannot interpret must never
+    *    be silently projected as nulls.
+    * Both guards are FILTERS (`assert_true`), so they survive column
+    * pruning when a caller selects a single nested field (same design
+    * note as [[decodeRowsStrict]]). Output: nested projections — the
+    * sender/type/events fields the reference's key-update scan reads. */
+  def decodeRowsDeep(summaries: DataFrame): DataFrame = {
+    val env = from_json(col("summary"), graft.model.Schemas.summaryEnvelopeDeep,
+      Map("mode" -> "FAILFAST"))
+    summaries.select(col("id"), env.as("env"))
+      .where(assert_true(
+        col("env.Left").isNotNull || col("env.Right").isNotNull,
+        concat(lit("unknown summary variant at id "),
+          col("id").cast("string"))).isNull)
+      // isInCollection over a NULL type tag yields null, and assert_true
+      // aborts on anything not true — a Left with missing/unknown details
+      // both stop here
+      .where(assert_true(
+        col("env.Left").isNull ||
+          col("env.Left.details.type")
+            .isInCollection(graft.model.Schemas.KnownDetailsTypes),
+        concat(lit("unknown block item details type at id "),
+          col("id").cast("string"))).isNull)
+      .select(col("id"),
+        when(col("env.Left").isNotNull, lit("Left"))
+          .otherwise(lit("Right"))
+          .as("variant"),
+        col("env.Left.index").as("tx_index"),
+        col("env.Left.details.type").as("details_type"),
+        col("env.Left.details.sender").as("sender"),
+        when(col("env.Left").isNotNull,
+          size(coalesce(col("env.Left.details.events"),
+            array().cast("array<struct<tag:string,amount:string,to:string>>"))))
+          .as("n_events"),
+        // get(), not getItem: ANSI mode makes an out-of-bounds index an
+        // ERROR, and an empty events array is a legal summary
+        get(col("env.Left.details.events"), lit(0)).getField("tag")
+          .as("first_event_tag"),
+        col("env.Right.tag").as("protocol_tag"),
+        col("env.Right.amount").as("protocol_amount"))
+  }
+
   /** B6 — most-recent-k summaries per account, for all accounts at once
     * (the generalization of wallet-proxy-indexer/README.md:113-122):
     * window `row_number` over id desc, one shuffle on account. */
