@@ -7,12 +7,18 @@ import org.apache.spark.sql.functions._
   * columns with typed metadata, decoded/feature-extracted in
   * partition-local batches.
   *
-  * The decode step itself is STUBBED (no media libraries in this
-  * environment) with a deterministic md5-derived fake — every piece of
-  * Spark-side plumbing around it is real: the schema (binary payload +
-  * metadata struct), the batched per-partition execution shape (what a
-  * `mapInPandas`/Arrow UDF would give), and the pure-column fallback
-  * used when the "decoder" is expressible as expressions.
+  * Dimension extraction for PNG/GIF/JPEG is REAL — header parsing via
+  * [[graft.functions.MediaHeaderUtil]] (public byte formats, verified
+  * against hand-built fixture bytes in MediaHeaderSpec). Pixel-level
+  * work (frame decode, resampling) remains stubbed with a deterministic
+  * md5-derived fake (no media libraries in this environment); every
+  * piece of Spark-side plumbing around the seam is real: the schema
+  * (binary payload + metadata struct), the batched per-partition
+  * execution shape (what a `mapInPandas`/Arrow UDF would give), and the
+  * pure-column path used when the decoder is expressible as
+  * expressions. [[featuresCols]] keeps the stub dims unconditionally —
+  * it is the oracle-portable declared-row path (DuckDB recomputes the
+  * same fake); [[featuresColsDetected]] is the honest serving variant.
   */
 object Multimodal {
 
@@ -35,6 +41,28 @@ object Multimodal {
       (Text.hash60(media) % 1280).cast("int").as("width"),
       (Text.hash60(md5(media)) % 720).cast("int").as("height"),
       (length(media) % 30).cast("int").as("n_frames"))
+
+  /** [[featuresCols]] with REAL header detection: recognized
+    * PNG/GIF/JPEG payloads get their true container dimensions (and a
+    * `format` tag) from the codegen `media_dims` expression; anything
+    * else falls back to the deterministic stub dims so a mixed corpus
+    * still yields a value per row. Still a pure narrow projection —
+    * header sniffing reads a bounded prefix of each payload. */
+  def featuresColsDetected(df: DataFrame, media: Column, id: Column): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    df.select(id.as("media_id"), media.as("__m"))
+      .withColumn("__dims", expr("media_dims(__m)"))
+      .select(col("media_id"),
+        length(col("__m")).as("byte_len"),
+        md5(col("__m")).as("content_hash"),
+        col("__dims.format").as("format"),
+        coalesce(col("__dims.width"),
+          (Text.hash60(col("__m")) % 1280).cast("int")).as("width"),
+        coalesce(col("__dims.height"),
+          (Text.hash60(md5(col("__m"))) % 720).cast("int")).as("height"),
+        when(col("__dims").isNotNull, lit(1))
+          .otherwise((length(col("__m")) % 30).cast("int")).as("n_frames"))
+  }
 
   /** Frame sampling over extracted features: at most `maxFrames` evenly
     * strided frame indices per media item (stride = ceil(n/maxFrames)),
@@ -83,16 +111,24 @@ object Multimodal {
     }
   }
 
-  /** Stub batch decoder — deterministic fake (md5-derived dims), marked
-    * clearly as the seam where a real image/audio codec plugs in. */
+  /** Batch decoder behind the seam: REAL header parsing for PNG/GIF/
+    * JPEG payloads ([[graft.functions.MediaHeaderUtil]] — a recognized
+    * still image has its true dimensions and one frame); anything else
+    * gets the deterministic md5-derived fake, the remaining stub where
+    * an audio/video codec would plug in. */
   private def decodeBatch(batch: Seq[MediaRow]): Seq[MediaFeatures] =
     batch.map { r =>
       val hex = java.security.MessageDigest.getInstance("MD5")
         .digest(r.payload).map("%02x".format(_)).mkString
-      val h60 = java.lang.Long.parseLong(hex.take(15), 16)
-      MediaFeatures(r.media_id, r.payload.length.toLong, hex,
-        (h60 % 1280).toInt, (nestedHash(hex) % 720).toInt,
-        r.payload.length % 30)
+      graft.functions.MediaHeaderUtil.parseDims(r.payload) match {
+        case Some((_, w, h)) =>
+          MediaFeatures(r.media_id, r.payload.length.toLong, hex, w, h, 1)
+        case None =>
+          val h60 = java.lang.Long.parseLong(hex.take(15), 16)
+          MediaFeatures(r.media_id, r.payload.length.toLong, hex,
+            (h60 % 1280).toInt, (nestedHash(hex) % 720).toInt,
+            r.payload.length % 30)
+      }
     }
 
   private def nestedHash(hex: String): Long = {

@@ -1,0 +1,134 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Real still-image header parsing over an opaque binary column — the
+  * codec that replaces the deterministic stub behind
+  * [[graft.ext.Multimodal]]'s decode seam for the three public
+  * container formats whose dimensions live at fixed or marker-addressed
+  * offsets:
+  *
+  *  - PNG: 8-byte signature `89 50 4E 47 0D 0A 1A 0A`, then the IHDR
+  *    chunk (always first, per the PNG spec): 4-byte length, "IHDR",
+  *    width and height as big-endian u32 at offsets 16 and 20.
+  *  - GIF: "GIF87a"/"GIF89a", then the logical screen descriptor:
+  *    width and height as LITTLE-endian u16 at offsets 6 and 8.
+  *  - JPEG: `FF D8` (SOI), then a marker walk — each segment is
+  *    `FF <marker> <big-endian u16 length incl. itself>` — until a
+  *    start-of-frame marker (C0–CF except C4 DHT / C8 JPG / CC DAC):
+  *    its payload is precision(1), height(u16), width(u16).
+  *
+  * Unrecognized or truncated bytes evaluate to NULL (the caller decides
+  * fallback policy — [[graft.ext.Multimodal.featuresColsDetected]]
+  * coalesces to the stub dims so a mixed corpus still gets a value per
+  * row). Header-only parsing reads a bounded prefix regardless of
+  * payload size, so the expression is safe in a 100 TB scan: no frame
+  * decode, no allocation beyond the 3-field result row.
+  */
+object MediaHeaderUtil {
+
+  val schema: StructType = StructType(Seq(
+    StructField("format", StringType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false)))
+
+  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+  private def be16(b: Array[Byte], i: Int): Int = (u8(b, i) << 8) | u8(b, i + 1)
+  private def le16(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8)
+  private def be32(b: Array[Byte], i: Int): Long =
+    (u8(b, i).toLong << 24) | (u8(b, i + 1) << 16) | (u8(b, i + 2) << 8) | u8(b, i + 3)
+
+  /** (format, width, height) of a recognized PNG/GIF/JPEG header. */
+  def parseDims(b: Array[Byte]): Option[(String, Int, Int)] =
+    png(b).orElse(gif(b)).orElse(jpeg(b))
+
+  private def png(b: Array[Byte]): Option[(String, Int, Int)] =
+    if (b.length >= 24 &&
+        u8(b, 0) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G' &&
+        u8(b, 4) == 0x0d && u8(b, 5) == 0x0a && u8(b, 6) == 0x1a && u8(b, 7) == 0x0a &&
+        b(12) == 'I' && b(13) == 'H' && b(14) == 'D' && b(15) == 'R') {
+      val w = be32(b, 16)
+      val h = be32(b, 20)
+      // the PNG spec caps dimensions at 2^31-1; 0 or over-cap → invalid
+      if (w > 0 && h > 0 && w <= Int.MaxValue && h <= Int.MaxValue)
+        Some(("png", w.toInt, h.toInt))
+      else None
+    } else None
+
+  private def gif(b: Array[Byte]): Option[(String, Int, Int)] =
+    if (b.length >= 10 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' &&
+        b(3) == '8' && (b(4) == '7' || b(4) == '9') && b(5) == 'a') {
+      val w = le16(b, 6)
+      val h = le16(b, 8)
+      if (w > 0 && h > 0) Some(("gif", w, h)) else None
+    } else None
+
+  private def jpeg(b: Array[Byte]): Option[(String, Int, Int)] = {
+    if (b.length < 4 || u8(b, 0) != 0xff || u8(b, 1) != 0xd8) return None
+    var i = 2
+    while (i + 1 < b.length) {
+      if (u8(b, i) != 0xff) return None // desynced — not a marker
+      while (i < b.length && u8(b, i) == 0xff) i += 1 // fill bytes
+      if (i >= b.length) return None
+      val marker = u8(b, i)
+      i += 1
+      if (marker == 0xd9 || marker == 0xda) return None // EOI/SOS: no SOF
+      // standalone markers (TEM, RSTn) carry no length segment
+      if (marker != 0x01 && !(marker >= 0xd0 && marker <= 0xd8)) {
+        if (i + 1 >= b.length) return None
+        val len = be16(b, i)
+        if (len < 2 || i + len > b.length) return None
+        val isSof = marker >= 0xc0 && marker <= 0xcf &&
+          marker != 0xc4 && marker != 0xc8 && marker != 0xcc
+        if (isSof) {
+          if (len < 7) return None
+          val h = be16(b, i + 3) // after length(2) + precision(1)
+          val w = be16(b, i + 5)
+          return if (w > 0 && h > 0) Some(("jpeg", w, h)) else None
+        }
+        i += len
+      }
+    }
+    None
+  }
+
+  /** Expression-facing wrapper: result row, or null when unrecognized. */
+  def parse(b: Array[Byte]): InternalRow = parseDims(b) match {
+    case Some((f, w, h)) =>
+      new GenericInternalRow(Array[Any](UTF8String.fromString(f),
+        Integer.valueOf(w), Integer.valueOf(h)))
+    case None => null
+  }
+}
+
+/** `media_dims(binary)` → struct(format, width, height) or null —
+  * native codegen (one static call, same pattern as [[Cis2Decode]]) so
+  * header sniffing stays inside whole-stage codegen on the scan. */
+case class MediaDims(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"media_dims requires binary, got ${other.catalogString}")
+  }
+  override def dataType: DataType = MediaHeaderUtil.schema
+  override def nullable: Boolean = true
+  override def prettyName: String = "media_dims"
+
+  override def nullSafeEval(input: Any): Any =
+    MediaHeaderUtil.parse(input.asInstanceOf[Array[Byte]])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.MediaHeaderUtil.parse($c);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): MediaDims =
+    copy(child = newChild)
+}

@@ -131,7 +131,10 @@ object GraftFunctions {
       (exprs: Seq[Expression]) => Cis2Encode(exprs(0), exprs(1), exprs(2), exprs(3))),
     (FunctionIdentifier("bloom_might_contain"),
       new ExpressionInfo(classOf[BloomMightContain].getName, "bloom_might_contain"),
-      (exprs: Seq[Expression]) => BloomMightContain(exprs(0), exprs(1))))
+      (exprs: Seq[Expression]) => BloomMightContain(exprs(0), exprs(1))),
+    (FunctionIdentifier("media_dims"),
+      new ExpressionInfo(classOf[MediaDims].getName, "media_dims"),
+      (exprs: Seq[Expression]) => MediaDims(exprs.head)))
 
   /** Registers only if absent, so a user's own temp function of the same
     * name is never silently replaced and repeated calls are no-ops. */
