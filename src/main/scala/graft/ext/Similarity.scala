@@ -226,9 +226,13 @@ object Similarity {
   }
 
   /** By-id convenience probe: looks the query row up IN THE INDEX (a
-    * full-corpus scan mitigated only by vid row-group sorting — per-
-    * query cost scales with the corpus, unlike [[annIvfIndexedVec]]),
-    * then delegates. Prefer the vector variant on a serving path. */
+    * full-corpus scan mitigated only by vid row-group sorting — the
+    * lookup predicate is pushed to the parquet reader and the cell
+    * files are vid-sorted, both pinned in SimilaritySpec, so footer
+    * min/max stats prune the lookup to ~one row group per file; per-
+    * query cost still scales with file COUNT, unlike
+    * [[annIvfIndexedVec]]), then delegates. Prefer the vector variant
+    * on a serving path. */
   def annIvfIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
                     queryId: Long, k: Int, nprobe: Int = 2): DataFrame = {
     val cells = readCells(spark, path)

@@ -97,6 +97,36 @@ class SimilaritySpec extends SparkSpec {
       s"expected literal IN pruning predicate in:\n$p")
   }
 
+  test("cell index: vid lookups get footer-stats skipping (pushed + sorted)") {
+    // Row-group skipping happens inside the parquet reader (Spark exposes
+    // no per-row-group metric), so pin its two PRECONDITIONS instead:
+    // (a) the by-id lookup predicate reaches the scan as a PushedFilter
+    //     (only pushed predicates are evaluated against footer min/max);
+    // (b) every cell data file is ACTUALLY sorted by vid, so vid min/max
+    //     ranges are tight and a point lookup prunes to one row group.
+    val root = java.nio.file.Files.createTempDirectory("graft-ivf-sort").toString
+    // per-dimension variation so no vector is all-zero (zero norm would
+    // divide-by-zero in the centroid assignment under ANSI)
+    val many = (0L until 64L)
+      .map(i => (i, Array.tabulate(8)(j => ((i * 37 + j * 11) % 19 - 9) / 9.0f)))
+      .toDF("vec_id", "embedding")
+    Similarity.writeCellIndex(many, "vec_id", "embedding", root,
+      centroidStride = 8)
+    val cells = spark.read.parquet(s"$root/cells")
+    val p = cells.where($"vid" === 42L)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters: [IsNotNull(vid), EqualTo(vid,42)]"),
+      s"vid lookup must be pushed to the parquet reader in:\n$p")
+    import org.apache.spark.sql.functions.input_file_name
+    val perFile = cells.select(input_file_name().as("f"), $"vid")
+      .collect().groupBy(_.getString(0))
+      .view.mapValues(_.map(_.getLong(1)).toSeq)
+    assert(perFile.nonEmpty)
+    perFile.foreach { case (f, vids) =>
+      assert(vids == vids.sorted, s"cell file $f is not vid-sorted: $vids")
+    }
+  }
+
   test("16-plane bands shrink the max bucket vs the old 4-plane scheme") {
     import org.apache.spark.sql.functions._
     // 400 random vectors: with 4 planes there are only 16 buckets, so the
