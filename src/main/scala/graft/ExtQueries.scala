@@ -95,7 +95,7 @@ object ExtQueries {
     * build marker — centroids are written first, so its presence means
     * both halves are complete. Synchronized so concurrent first probes
     * can't race overlapping writes to one path. */
-  private def ivfIndexFor(s: SparkSession, sfDir: String): String =
+  private[graft] def ivfIndexFor(s: SparkSession, sfDir: String): String =
     synchronized {
       val canon = java.nio.file.Paths.get(sfDir)
         .toAbsolutePath.normalize.toString
