@@ -37,6 +37,7 @@ object Bench {
       // the loop was charging b2_account_page_served ~2.9 s of mirror
       // write and ann_ivf_indexed ~1.3 s of index write.)
       graft.sources.ServingMirrors.atiSummaries(spark, sfDir)
+      graft.sources.ServingMirrors.ctiSummaries(spark, sfDir)
       ExtQueries.ivfIndexFor(spark, sfDir)
     } catch { case _: Throwable => () }
     val timings = scala.collection.mutable.LinkedHashMap.empty[String, Double]

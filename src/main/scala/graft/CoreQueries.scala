@@ -142,6 +142,11 @@ object CoreQueries {
       QueryApi.accountPageServed(atiM, sumM, Account, MaxId, 50,
         ascending = false)
     }),
+    "b3_contract_page_served" -> ((s, d) => {
+      val (ctiM, sumM) = graft.sources.ServingMirrors.ctiSummaries(s, d)
+      QueryApi.contractPageServed(ctiM, sumM, CIdx, CSub, 0L, 50,
+        ascending = true)
+    }),
     "b3_contract_page_asc" -> ((s, d) =>
       QueryApi.contractTransactions(Tables.cti(s, d), Tables.summaries(s, d),
         CIdx, CSub, 0L, Some(50), ascending = true)),
@@ -232,6 +237,11 @@ FROM ati JOIN summaries s ON ati.summary = s.id
 WHERE ati.account = $Account AND ati.summary <= $MaxId
 ORDER BY s.id DESC LIMIT 50"""),
     "b3_contract_page_asc" -> (cte + s"""
+SELECT s.id, s.block, s."timestamp", s.height, s.summary
+FROM cti JOIN summaries s ON cti.summary = s.id
+WHERE cti."index" = $CIdx AND cti.subindex = $CSub AND cti.summary >= 0
+ORDER BY s.id ASC LIMIT 50"""),
+    "b3_contract_page_served" -> (cte + s"""
 SELECT s.id, s.block, s."timestamp", s.height, s.summary
 FROM cti JOIN summaries s ON cti.summary = s.id
 WHERE cti."index" = $CIdx AND cti.subindex = $CSub AND cti.summary >= 0

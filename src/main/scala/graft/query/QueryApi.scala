@@ -87,18 +87,50 @@ object QueryApi {
                         ascending: Boolean): DataFrame = {
     // ati carries at most one row per (account, summary), and every
     // summary id resolves (FK), so ordering the ati side by summary and
-    // cutting the page BEFORE the lookup is exactly join-order-limit;
-    // each id then matches exactly one summary row, so the final
-    // limit(limit) is a semantic no-op that fuses the output order into
-    // TakeOrderedAndProject (no Sort exchange).
+    // cutting the page BEFORE the lookup is exactly join-order-limit.
     val ids = accountPageIds(atiMirror, account, from, limit, ascending)
       .collect().map(_.getLong(0)).toSeq
+    servedLookup(summariesMirror, ids, limit, ascending)
+  }
+
+  /** The contract-side id plan — same shape as [[accountPageIds]] on
+    * the cti mirror (bucketed by the leading composite key `index`):
+    * bucket pruning on the `index = ?` literal, zero Exchange. */
+  def contractPageIds(ctiMirror: DataFrame, index: Long, subindex: Long,
+                      from: Long, limit: Int, ascending: Boolean): DataFrame = {
+    val cursor =
+      if (ascending) col("summary") >= from else col("summary") <= from
+    val ord = if (ascending) col("summary").asc else col("summary").desc
+    ctiMirror.where(col("index") === index && col("subindex") === subindex &&
+        cursor)
+      .orderBy(ord).limit(limit)
+      .select("summary")
+  }
+
+  /** B3 SERVING path — [[accountPageServed]]'s contract twin
+    * (postgres.rs:120-181 over the cti PK btree), probing the shared
+    * id-bucketed summaries mirror with the page's literal id set. Same
+    * eager two-job contract; ServingPageSpec pins the plans. */
+  def contractPageServed(ctiMirror: DataFrame, summariesMirror: DataFrame,
+                         index: Long, subindex: Long, from: Long, limit: Int,
+                         ascending: Boolean): DataFrame = {
+    val ids = contractPageIds(ctiMirror, index, subindex, from, limit,
+      ascending).collect().map(_.getLong(0)).toSeq
+    servedLookup(summariesMirror, ids, limit, ascending)
+  }
+
+  /** The shared page lookup: a LITERAL `id IN (…)` probe of the
+    * id-bucketed, id-sorted summaries mirror — bucket-pruned and
+    * row-group-skipped. Each id matches exactly one summary row, so the
+    * final limit(limit) is a semantic no-op that fuses the output order
+    * into TakeOrderedAndProject (no Sort exchange). */
+  private def servedLookup(summariesMirror: DataFrame, ids: Seq[Long],
+                           limit: Int, ascending: Boolean): DataFrame =
     summariesMirror.where(col("id").isin(ids: _*))
       .select(col("id"), col("block"), col("timestamp"), col("height"),
         col("summary"))
       .orderBy(if (ascending) col("id").asc else col("id").desc)
       .limit(limit)
-  }
 
   /** B5 — row decode: project fields out of the JSON envelope, SILENTLY
     * DROPPING rows whose summary fails to parse — the reference's

@@ -38,6 +38,24 @@ object ServingMirrors {
       .take(8).map(b => f"$b%02x").mkString
   }
 
+  private def scratch(key: String): String =
+    new java.io.File(s"target/graft-scratch/serve_$key").getAbsolutePath
+
+  /** Write-if-absent: the catalog is the memo (see object doc). */
+  private def ensure(spark: SparkSession, name: String, path: String,
+                     df: => DataFrame, bucketCol: String, buckets: Int,
+                     sortCols: Seq[String]): Unit =
+    if (!spark.catalog.tableExists(name))
+      BucketedMirror.write(df, name, path, bucketCol, buckets, sortCols)
+
+  private def summariesMirror(spark: SparkSession, sfDir: String, key: String,
+                              buckets: Int): String = {
+    val sumT = s"graft_summaries_serve_$key"
+    ensure(spark, sumT, s"${scratch(key)}/summaries",
+      Tables.summaries(spark, sfDir), "id", buckets, Seq("id"))
+    sumT
+  }
+
   /** The (ati, summaries) serving mirrors for `sfDir`, building them on
     * first use (per catalog). Must be read through the catalog
     * ([[BucketedMirror.table]]) to keep the bucket metadata. */
@@ -45,14 +63,27 @@ object ServingMirrors {
                    buckets: Int = 16): (DataFrame, DataFrame) = synchronized {
     val key = keyOf(sfDir)
     val atiT = s"graft_ati_serve_$key"
-    val sumT = s"graft_summaries_serve_$key"
-    if (!spark.catalog.tableExists(atiT) || !spark.catalog.tableExists(sumT)) {
-      val base = new java.io.File(s"target/graft-scratch/serve_$key").getAbsolutePath
-      BucketedMirror.write(Tables.ati(spark, sfDir), atiT, s"$base/ati",
-        "account", buckets, sortCols = Seq("account", "summary"))
-      BucketedMirror.write(Tables.summaries(spark, sfDir), sumT,
-        s"$base/summaries", "id", buckets, sortCols = Seq("id"))
-    }
+    ensure(spark, atiT, s"${scratch(key)}/ati",
+      Tables.ati(spark, sfDir), "account", buckets,
+      Seq("account", "summary"))
+    val sumT = summariesMirror(spark, sfDir, key, buckets)
     (BucketedMirror.table(spark, atiT), BucketedMirror.table(spark, sumT))
+  }
+
+  /** The (cti, summaries) serving mirrors — the CONTRACT side of the
+    * same btree analog (the reference's `cti` PK serves B3 pages,
+    * postgres.rs:120-181): bucketed by `index` (the leading key of the
+    * composite (index, subindex)), sorted (index, subindex, summary) so
+    * one contract's rows sit contiguous within its bucket. The
+    * summaries mirror is SHARED with [[atiSummaries]]. */
+  def ctiSummaries(spark: SparkSession, sfDir: String,
+                   buckets: Int = 16): (DataFrame, DataFrame) = synchronized {
+    val key = keyOf(sfDir)
+    val ctiT = s"graft_cti_serve_$key"
+    ensure(spark, ctiT, s"${scratch(key)}/cti",
+      Tables.cti(spark, sfDir), "index", buckets,
+      Seq("index", "subindex", "summary"))
+    val sumT = summariesMirror(spark, sfDir, key, buckets)
+    (BucketedMirror.table(spark, ctiT), BucketedMirror.table(spark, sumT))
   }
 }

@@ -71,6 +71,26 @@ class ServingPageSpec extends SparkSpec {
     assert(served.nonEmpty && served == scanned)
   }
 
+  test("contract id probe: one bucket selected, zero Exchange") {
+    val (ctiM, _) = ServingMirrors.ctiSummaries(spark, sf)
+    val p = bucketVisiblePlan(
+      QueryApi.contractPageIds(ctiM, 7L, 1L, 0L, 50, ascending = true))
+    assert(p.contains("SelectedBucketsCount: 1 out of 16"),
+      s"index literal must prune to one bucket:\n$p")
+    assert(!p.contains("Exchange") && p.contains("TakeOrderedAndProject"),
+      s"contract id probe must be a shuffle-free top-k:\n$p")
+  }
+
+  test("served contract page equals the scan path") {
+    val (ctiM, sumM) = ServingMirrors.ctiSummaries(spark, sf)
+    val served = QueryApi.contractPageServed(ctiM, sumM, 7L, 1L, 0L, 50,
+        ascending = true).collect().map(_.toSeq).toSeq
+    val scanned = QueryApi.contractTransactions(Tables.cti(spark, sf),
+        Tables.summaries(spark, sf), 7L, 1L, 0L, Some(50),
+        ascending = true).collect().map(_.toSeq).toSeq
+    assert(served.nonEmpty && served == scanned)
+  }
+
   test("served page equals the scan path, descending") {
     val (atiM, sumM) = mirrors
     val served = QueryApi.accountPageServed(atiM, sumM, account, Long.MaxValue,
