@@ -14,11 +14,12 @@ class BenchLineSpec extends AnyFunSuite {
   test("worst-case bench JSON line fits the driver's 2000-char tail window") {
     val names = SparkEntry.queries.keys.toSeq
     assert(names.nonEmpty)
-    // Worst-case value rendering under Bench's %.2f formatting for any
-    // sane per-query timing (<1000s): "999.99" = 6 chars.
-    val qs = names.map(n => s""""$n":999.99""").mkString("{", ",", "}")
+    // Worst-case value rendering under Bench's adaptive formatting for
+    // any sane per-query timing (<1000s): 5 chars — e.g. v=9.996 rounds
+    // up through the <10 branch to "10.00".
+    val qs = names.map(n => s""""$n":10.00""").mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":99999.99,"unit":"sec","queries":$qs,"cpus":32,"sf":"/root/testdata/sf0.1"}"""
+      s"""{"metric":"total","value":99999,"unit":"sec","queries":$qs,"cpus":32,"sf":"/root/testdata/sf0.1"}"""
     // Leave headroom for a trailing newline and any stray launcher byte.
     assert(
       line.length <= 1950,
