@@ -92,4 +92,29 @@ class MediaHeaderSpec extends SparkSpec {
     val out = Multimodal.featuresBatched(ds).collect().head
     assert(out.width == 640 && out.height == 480 && out.n_frames == 1)
   }
+
+  test("property: arbitrary bytes never throw, and any parse is positive") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // include signature-prefixed garbage so the marker walks and length
+    // fields get exercised, not just the early signature rejects
+    val garbage = Gen.containerOf[Array, Byte](Gen.choose(-128, 127).map(_.toByte))
+    val prefixed = for {
+      sig <- Gen.oneOf(
+        bytes(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a),
+        bytes('G', 'I', 'F', '8', '9', 'a'),
+        bytes(0xff, 0xd8))
+      tail <- garbage
+    } yield sig ++ tail
+    val anyBytes = Gen.oneOf(garbage, prefixed)
+    val p = Prop.forAll(anyBytes) { b =>
+      MediaHeaderUtil.parseDims(b) match {
+        case Some((f, w, h)) =>
+          (f == "png" || f == "gif" || f == "jpeg") && w > 0 && h > 0
+        case None => true
+      }
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(500), p)
+    assert(res.passed, res.status.toString)
+  }
 }
