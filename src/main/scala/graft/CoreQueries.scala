@@ -135,11 +135,12 @@ object CoreQueries {
     // claims live in ServingPageSpec.
     "b1_account_page_served" -> ((s, d) => {
       val (atiM, sumM) = graft.sources.ServingMirrors.atiSummaries(s, d)
-      QueryApi.accountPageServed(atiM, sumM, Account, 0L, 50, ascending = true)
+      QueryApi.accountPageServed(atiM, sumM, lit(Account), 0L, 50,
+        ascending = true)
     }),
     "b2_account_page_served" -> ((s, d) => {
       val (atiM, sumM) = graft.sources.ServingMirrors.atiSummaries(s, d)
-      QueryApi.accountPageServed(atiM, sumM, Account, MaxId, 50,
+      QueryApi.accountPageServed(atiM, sumM, lit(Account), MaxId, 50,
         ascending = false)
     }),
     "b3_contract_page_served" -> ((s, d) => {

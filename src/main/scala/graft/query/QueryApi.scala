@@ -50,8 +50,12 @@ object QueryApi {
     * files are read) and top-`limit` by cursor order — orderBy+limit
     * fuse to `TakeOrderedAndProject`, so the plan has ZERO Exchange.
     * Split out of [[accountPageServed]] so ServingPageSpec can assert
-    * both properties on the exact plan the serving path executes. */
-  def accountPageIds(atiMirror: DataFrame, account: Long, from: Long,
+    * both properties on the exact plan the serving path executes.
+    * `account` must be a LITERAL (any address type the mirror carries —
+    * long fixture or 32-byte binary): bucket pruning evaluates the
+    * predicate against the bucket hash at planning time, which a
+    * non-literal column reference defeats. */
+  def accountPageIds(atiMirror: DataFrame, account: Column, from: Long,
                      limit: Int, ascending: Boolean): DataFrame = {
     val cursor =
       if (ascending) col("summary") >= from else col("summary") <= from
@@ -83,7 +87,7 @@ object QueryApi {
     * use [[accountTransactions]]/[[contractTransactions]] — a full-page
     * collect there would be data-sized. */
   def accountPageServed(atiMirror: DataFrame, summariesMirror: DataFrame,
-                        account: Long, from: Long, limit: Int,
+                        account: Column, from: Long, limit: Int,
                         ascending: Boolean): DataFrame = {
     // ati carries at most one row per (account, summary), and every
     // summary id resolves (FK), so ordering the ati side by summary and

@@ -19,7 +19,7 @@ import graft.sources.ServingMirrors
 class ServingPageSpec extends SparkSpec {
 
   private val sf = "/root/testdata/sf0.001"
-  private val account = 7L
+  private val account = org.apache.spark.sql.functions.lit(7L)
   private lazy val mirrors = ServingMirrors.atiSummaries(spark, sf)
 
   /** Build `df`'s executed plan with auto-disabling of bucketed scans
