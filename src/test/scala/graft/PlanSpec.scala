@@ -102,6 +102,18 @@ class PlanSpec extends SparkSpec {
       s"expected the validity filter pushed to the scan in:\n$p")
   }
 
+  test("ann_ivf_indexed declared row probes a partition-pruned index scan") {
+    // SimilaritySpec pins the API on its own tmp index; this ties the
+    // DECLARED row (through ExtQueries.ivfIndexFor's memoized build) to
+    // the same pruned-scan shape: a literal cid partition predicate and
+    // no per-query full-corpus re-assignment (no Window in the probe).
+    val p = plan("ann_ivf_indexed")
+    assert(p.contains("PartitionFilters") && p.contains("cid"),
+      s"expected cid partition pruning on the declared probe:\n$p")
+    assert(!p.contains("Window"),
+      s"the indexed probe must not re-rank the corpus per query:\n$p")
+  }
+
   test("no inventory query plans a cartesian product") {
     // ann_bruteforce/ann_lsh intentionally broadcast-cross-join ONE query
     // row against the corpus — a bounded nested loop, not an all-pairs
