@@ -46,6 +46,28 @@ object BucketedMirror {
       .saveAsTable(name)
   }
 
+  /** Incremental refresh: append a delta (e.g. one ingest micro-batch's
+    * new rows) to an existing mirror under the SAME bucket spec — each
+    * append adds one file per touched bucket, and bucket pruning /
+    * shuffle elision keep working across all appended files because the
+    * file→bucket assignment is the same hash. This is how the mirror
+    * tracks a continuously-ingesting upstream (the reference's btree is
+    * maintained per insert; here the unit is the micro-batch): call it
+    * from `foreachBatch` on the ingest stream. Compact periodically with
+    * [[write]] — every append adds a file per bucket, and serving reads
+    * degrade as files accumulate (same trade-off as btree page splits
+    * vs. vacuum). The bucket spec MUST match the original write; Spark
+    * rejects a mismatched append. */
+  def append(df: DataFrame, name: String, bucketCol: String, buckets: Int,
+             sortCols: Seq[String] = Nil): Unit = {
+    val w = df.write
+      .mode(SaveMode.Append)
+      .format("parquet")
+      .bucketBy(buckets, bucketCol)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .saveAsTable(name)
+  }
+
   /** The mirror as a DataFrame. Must go through the catalog — a plain
     * `spark.read.parquet(path)` of the same files loses the bucket
     * metadata and with it the shuffle elision. */
