@@ -219,6 +219,25 @@ object ExtQueries {
           .as("distinct_est"))
         .orderBy("event_type")),
 
+    // Count-Min frequency estimates for ten probe users from ONE global
+    // 4×256 sketch over all events — the mergeable heavy-hitter path
+    // (the shuffle moves one sketch per partition, never keys). The
+    // probed cells are plan-time constants; the oracle rebuilds the
+    // identical counters cell by cell.
+    "cms_user_counts" -> ((s, d) => {
+      import graft.functions.CountMin
+      val sk = Tables.events(s, d)
+        .agg(CountMin.sketch(col("user_id").cast("string"), depth = 4,
+          width = 256).as("sk"))
+      val probes = (0 until 10).map { k =>
+        struct(lit(k.toString).as("user_id"),
+          CountMin.estimate(col("sk"), k.toString, 4, 256).as("est_count"))
+      }
+      sk.select(explode(array(probes: _*)).as("p"))
+        .select(col("p.user_id"), col("p.est_count"))
+        .orderBy("user_id")
+    }),
+
     // End-to-end curation pass composed from the operator surface:
     // quality gate → exact-dedup keepers → deterministic split. The
     // shape a user of this library runs nightly over a corpus. The gate
@@ -608,6 +627,21 @@ SELECT id_a, id_b,
          6) AS cosine
 FROM cand JOIN qz a ON id_a = a.vec_id JOIN qz b ON id_b = b.vec_id
 ORDER BY cosine DESC, id_a ASC, id_b ASC LIMIT 20"""),
+
+    "cms_user_counts" -> (s"""
+WITH cells AS (
+  SELECT r, ${h60("CAST(r AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)")} % 256 AS c,
+         count(*) AS n
+  FROM events CROSS JOIN (SELECT unnest(range(4)) AS r)
+  GROUP BY 1, 2
+), probes AS (
+  SELECT k, r, ${h60("CAST(r AS VARCHAR) || ':' || k")} % 256 AS c
+  FROM (SELECT CAST(unnest(range(10)) AS VARCHAR) AS k)
+  CROSS JOIN (SELECT unnest(range(4)) AS r)
+)
+SELECT probes.k AS user_id, CAST(min(coalesce(cells.n, 0)) AS BIGINT) AS est_count
+FROM probes LEFT JOIN cells ON probes.r = cells.r AND probes.c = cells.c
+GROUP BY 1 ORDER BY 1"""),
 
     "kmv_distinct" -> (s"""
 WITH h AS (
