@@ -211,6 +211,17 @@ object RelationalQueries {
         .agg(countDistinct(col("user_id")).as("users"), count(lit(1)).as("n"))
         .orderBy("day")),
 
+    // the SCALE path for quantiles: q_median's exact row_number walk
+    // shuffles every row into per-key sorted windows; the histogram
+    // needs one uniform (key,bin) partial-agg shuffle and then windows
+    // over ≤256 rows per key, at binWidth-bounded error
+    "q_hist_quantile" -> ((s, d) =>
+      graft.operators.HistogramQuantile.quantiles(Tables.events(s, d),
+          col("event_type"), round(col("value") * 100), binWidth = 128,
+          pcts = Seq(50, 90, 99))
+        .withColumnRenamed("k", "event_type")
+        .orderBy("event_type")),
+
     "q_median" -> ((s, d) => {
       // exact lower median, spelled out (row_number + count) so both
       // engines agree bit-for-bit — built-in percentile/quantile
@@ -439,6 +450,24 @@ SELECT user_id, count(*) AS n
 FROM events
 WHERE user_id IN (SELECT DISTINCT user_id FROM events WHERE event_type = 'signup')
 GROUP BY 1 ORDER BY 1""",
+
+    "q_hist_quantile" -> """
+WITH b AS (
+  SELECT event_type AS k,
+         CAST(round(value * 100) AS BIGINT) // 128 AS bin,
+         count(*) AS n
+  FROM events GROUP BY 1, 2
+), c AS (
+  SELECT k, bin,
+         SUM(n) OVER (PARTITION BY k ORDER BY bin) AS cum,
+         SUM(n) OVER (PARTITION BY k) AS total
+  FROM b
+)
+SELECT k AS event_type,
+       CAST((min(CASE WHEN cum * 100 >= total * 50 THEN bin END) + 1) * 128 AS BIGINT) AS p50_hi,
+       CAST((min(CASE WHEN cum * 100 >= total * 90 THEN bin END) + 1) * 128 AS BIGINT) AS p90_hi,
+       CAST((min(CASE WHEN cum * 100 >= total * 99 THEN bin END) + 1) * 128 AS BIGINT) AS p99_hi
+FROM c GROUP BY 1 ORDER BY 1""",
 
     "q_median" -> """
 WITH r AS (
