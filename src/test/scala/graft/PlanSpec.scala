@@ -114,6 +114,27 @@ class PlanSpec extends SparkSpec {
       s"the indexed probe must not re-rank the corpus per query:\n$p")
   }
 
+  test("cms sketch: partial sketches move through the exchange, not keys") {
+    val p = plan("cms_user_counts")
+    // partial + final aggregate pair over the long[] buffer — the only
+    // data-sized exchange carries one sketch per partition
+    assert(count(p, "Aggregate") >= 2,
+      s"expected partial+final sketch aggregation in:\n$p")
+    assert(!p.contains("Window") && !p.contains("Join"),
+      s"the sketch path must not window or join:\n$p")
+  }
+
+  test("histogram quantile: one data-sized shuffle, windows over bins only") {
+    val p = plan("q_hist_quantile")
+    // (key,bin) partial+final count pair, then per-key windows over at
+    // most #bins rows, then the tiny final groupBy — no join, no sort
+    // of the raw data
+    assert(count(p, "HashAggregate") >= 4,
+      s"expected two aggregate pairs (bin counts + quantile fold) in:\n$p")
+    assert(count(p, "Window") == 2, s"expected the two bin windows in:\n$p")
+    assert(!p.contains("Join"), s"histogram path must not join:\n$p")
+  }
+
   test("no inventory query plans a cartesian product") {
     // ann_bruteforce/ann_lsh intentionally broadcast-cross-join ONE query
     // row against the corpus — a bounded nested loop, not an all-pairs

@@ -185,4 +185,28 @@ class Cis2CodecSpec extends SparkSpec {
     assert(decodeOne(Array[Byte](250.toByte) ++ Array.fill[Byte](100)(0x5A))
       .getAs[String]("tag") == "unknown")
   }
+
+  test("property: arbitrary log bytes never throw — null, unknown, or typed") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // plain garbage plus known-tag-prefixed garbage (the interesting
+    // half: it drives the field parsers, not just the tag dispatch)
+    val garbage = Gen.containerOf[Array, Byte](Gen.choose(-128, 127).map(_.toByte))
+    val tagged = for {
+      tag <- Gen.oneOf(255, 254, 253, 252, 251)
+      tail <- garbage
+    } yield tag.toByte +: tail
+    val anyBytes = Gen.oneOf(garbage, tagged)
+    val known = Set("transfer", "mint", "burn", "updateOperator",
+      "tokenMetadata", "unknown")
+    val p = Prop.forAll(anyBytes) { b =>
+      Cis2Util.decode(b) match {
+        case null => true // malformed — the reference's silent list drop
+        case row: org.apache.spark.sql.catalyst.InternalRow =>
+          known(row.getUTF8String(0).toString)
+      }
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(500), p)
+    assert(res.passed, res.status.toString)
+  }
 }
