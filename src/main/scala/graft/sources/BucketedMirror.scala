@@ -57,7 +57,9 @@ object BucketedMirror {
     * [[write]] — every append adds a file per bucket, and serving reads
     * degrade as files accumulate (same trade-off as btree page splits
     * vs. vacuum). The bucket spec MUST match the original write; Spark
-    * rejects a mismatched append. */
+    * rejects a mismatched append. Readers in OTHER sessions cache the
+    * table's file listing — they must `spark.catalog.refreshTable(name)`
+    * to see new generations (the writing session refreshes itself). */
   def append(df: DataFrame, name: String, bucketCol: String, buckets: Int,
              sortCols: Seq[String] = Nil): Unit = {
     val w = df.write
