@@ -41,6 +41,22 @@ class CacheHygieneSpec extends SparkSpec {
     assert((spark.sparkContext.getPersistentRDDs.keySet -- before).isEmpty)
   }
 
+  test("the JSONL corpus reader's split cache releases too") {
+    CacheScope.release()
+    val dir = java.nio.file.Files.createTempDirectory("cache_jsonl")
+    java.nio.file.Files.writeString(dir.resolve("a.jsonl"),
+      """{"doc_id":1,"text":"hello"}
+        |{oops not json
+        |""".stripMargin)
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val res = graft.sources.TextCorpus.readJsonl(spark, dir.toString)
+    assert(res.docs.count() == 1 && res.corrupt.count() == 1)
+    CacheScope.release()
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"readJsonl leaked persistent RDDs: $leaked")
+    org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
+  }
+
   test("components frees each round's checkpoint as the next materializes") {
     CacheScope.release()
     val before = spark.sparkContext.getPersistentRDDs.keySet
