@@ -270,6 +270,14 @@ object ExtQueries {
           Map("view" -> 100000, "click" -> 500000, "purchase" -> 1000000))
         .select("event_id", "event_type").orderBy("event_id")),
 
+    // per-language absolute cap (40 < the smallest language group at
+    // both test scales, so every group is actually truncated and the
+    // hash ranking — not a pass-through — is what the oracle checks)
+    "sample_group_cap" -> ((s, d) =>
+      Sampling.capPerGroup(Tables.documents(s, d), col("lang"),
+          col("doc_id"), n = 40)
+        .select("doc_id", "lang").orderBy("doc_id")),
+
     "text_token_stats" -> ((s, d) =>
       TextAnalysis.tokenStats(Tables.documents(s, d), col("text"), col("doc_id"))
         .orderBy("doc_id")),
@@ -695,6 +703,14 @@ WHERE ${h60("CAST(event_id AS VARCHAR)")} % 1000000 <
       CASE event_type WHEN 'view' THEN 100000 WHEN 'click' THEN 500000
            WHEN 'purchase' THEN 1000000 ELSE 0 END
 ORDER BY event_id"""),
+
+    "sample_group_cap" -> (s"""
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang
+           ORDER BY ${h60("'cap0:' || CAST(doc_id AS VARCHAR)")}, doc_id) AS rn
+  FROM documents)
+WHERE rn <= 40 ORDER BY doc_id"""),
 
     "text_token_stats" -> (WordsCte + s"""
 SELECT doc_id,

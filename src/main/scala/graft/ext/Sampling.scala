@@ -48,4 +48,26 @@ object Sampling {
     }
     df.where(ppmOf(id) < rate)
   }
+
+  /** Per-group ABSOLUTE cap — the "at most n documents per domain/
+    * source/language" curation rule ([[stratified]] caps by RATE; this
+    * caps by COUNT, which is what mixture recipes specify). The kept n
+    * are the group's smallest `hash60(seed + ":" + id)` values (ties by
+    * id) — a deterministic uniform choice, re-drawable with a new
+    * `seed`. Unlike the rate filters this is not a narrow map: counting
+    * to n needs the group together — ONE shuffle on the group key, and
+    * the rank<=n predicate pushes into WindowGroupLimit so each task
+    * keeps a bounded buffer instead of sorting whole groups. Changing
+    * the corpus can change which docs survive a FULL group (the cap is
+    * a ranking, not a threshold) — use [[stratified]] when incremental
+    * stability matters more than an exact count. */
+  def capPerGroup(df: DataFrame, group: Column, id: Column, n: Int,
+                  seed: String = "cap0"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = Text.hash60(concat_ws(":", lit(seed), id.cast("string")))
+    val w = Window.partitionBy(group).orderBy(h.asc, id.asc)
+    df.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= n)
+      .drop("__rn")
+  }
 }

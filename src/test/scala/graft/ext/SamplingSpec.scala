@@ -33,6 +33,27 @@ class SamplingSpec extends SparkSpec {
     half.foreach { case (id, s) => assert(full(id) == s) }
   }
 
+  test("capPerGroup keeps exactly n per group, deterministically, via group limit") {
+    val docs = (0L until 300L).map(i => (i, s"g${i % 3}")).toDF("doc_id", "g")
+    val capped = Sampling.capPerGroup(docs, $"g", $"doc_id", n = 10)
+    val kept = capped.collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(kept.groupBy(_._2).view.mapValues(_.length).toMap ==
+      Map("g0" -> 10, "g1" -> 10, "g2" -> 10))
+    // deterministic: same seed → same survivors on a different partitioning
+    val again = Sampling.capPerGroup(docs.repartition(7), $"g", $"doc_id", 10)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(kept.toSet == again.toSet)
+    // a different seed draws a different sample (not id-prefix-biased)
+    val reseeded = Sampling.capPerGroup(docs, $"g", $"doc_id", 10, seed = "cap1")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(reseeded != kept.toSet)
+    // the rank<=n predicate must push into WindowGroupLimit so tasks
+    // keep an n-row buffer instead of sorting whole groups
+    val p = capped.queryExecution.executedPlan.toString
+    assert(p.contains("WindowGroupLimit"),
+      s"expected the group-limit pushdown in:\n$p")
+  }
+
   test("stratified keeps per-stratum rates and drops unknown strata") {
     val ev = (0L until 3000L).map(i =>
       (i, Seq("view", "click", "other")(i.toInt % 3))).toDF("event_id", "event_type")
