@@ -90,20 +90,18 @@ object ExtQueries {
 
   /** Precomputed IVF cell index for `sfDir`, built on first use (the
     * once-per-refresh cost [[graft.ext.Similarity.writeCellIndex]]
-    * documents) and keyed like [[graft.sources.ServingMirrors]]: 16 hex
-    * chars of SHA-256 over the canonicalized path. cells/_SUCCESS is the
-    * build marker — centroids are written first, so its presence means
-    * both halves are complete. Synchronized so concurrent first probes
-    * can't race overlapping writes to one path. */
+    * documents) and keyed by [[graft.sources.Scratch.key]] — the key
+    * fingerprints the DATA, not just the path, because the
+    * cells/_SUCCESS marker outlives the JVM: with a path-only key a
+    * regenerated fixture at the same path would silently serve
+    * neighbors from the OLD corpus. _SUCCESS is the build marker —
+    * centroids are written first, so its presence means both halves are
+    * complete. Synchronized so concurrent first probes can't race
+    * overlapping writes to one path. */
   private[graft] def ivfIndexFor(s: SparkSession, sfDir: String): String =
     synchronized {
-      val canon = java.nio.file.Paths.get(sfDir)
-        .toAbsolutePath.normalize.toString
-      val key = java.security.MessageDigest.getInstance("SHA-256")
-        .digest(canon.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        .take(8).map(b => f"$b%02x").mkString
-      val path = new java.io.File(s"target/graft-scratch/ivf_$key")
-        .getAbsolutePath
+      val path = graft.sources.Scratch.dir("ivf",
+        graft.sources.Scratch.key(sfDir))
       if (!new java.io.File(s"$path/cells/_SUCCESS").exists())
         Similarity.writeCellIndex(Tables.embeddings(s, sfDir), "vec_id",
           "embedding", path, centroidStride = 100)

@@ -41,6 +41,10 @@ object CountMin {
 
     override def zero: Array[Long] = new Array[Long](depth * width)
     override def reduce(b: Array[Long], key: String): Array[Long] = {
+      // NULL keys count nowhere — the oracle's md5(r || ':' || key)
+      // concat is NULL for a null key and lands in no cell; Scala
+      // string interpolation would have counted the literal "null"
+      if (key == null) return b
       var r = 0
       while (r < depth) { b(r * width + cell(r, key, width)) += 1L; r += 1 }
       b

@@ -62,6 +62,14 @@ object BucketedMirror {
     * to see new generations (the writing session refreshes itself). */
   def append(df: DataFrame, name: String, bucketCol: String, buckets: Int,
              sortCols: Seq[String] = Nil): Unit = {
+    // hard requirement, not a convenience: Append+saveAsTable on a
+    // MISSING table silently CTASes a new managed table at the
+    // warehouse dir — after a session restart (catalog lost) a resumed
+    // ingest stream would orphan the external mirror's entire history
+    // and serve only post-restart rows. Re-register (write) first.
+    require(df.sparkSession.catalog.tableExists(name),
+      s"append target '$name' is not in the catalog — run BucketedMirror.write " +
+        "to (re)register the mirror before appending")
     val w = df.write
       .mode(SaveMode.Append)
       .format("parquet")

@@ -26,20 +26,16 @@ import graft.Tables
   */
 object ServingMirrors {
 
-  /** Table/path key for a scale dir: 16 hex chars of SHA-256 over the
-    * CANONICALIZED absolute path. Two spellings of one directory
-    * (`dir` vs `dir/`) share a mirror, and distinct directories cannot
-    * collide in practice (64 bits, vs the previous 32-bit `hashCode`
-    * where a collision would silently serve the other dir's data). */
-  private def keyOf(sfDir: String): String = {
-    val canon = java.nio.file.Paths.get(sfDir).toAbsolutePath.normalize.toString
-    java.security.MessageDigest.getInstance("SHA-256")
-      .digest(canon.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      .take(8).map(b => f"$b%02x").mkString
-  }
+  /** Table/path key for a scale dir: [[Scratch.key]] over the
+    * canonicalized path + data fingerprint + the BUCKET COUNT. Two
+    * spellings of one directory share a mirror; distinct directories,
+    * regenerated data, or a different `buckets` parameter each get
+    * their own tables — the previous name-only memo would silently
+    * hand back mirrors built with another call's bucket spec. */
+  private def keyOf(sfDir: String, buckets: Int): String =
+    Scratch.key(sfDir, s"b$buckets")
 
-  private def scratch(key: String): String =
-    new java.io.File(s"target/graft-scratch/serve_$key").getAbsolutePath
+  private def scratch(key: String): String = Scratch.dir("serve", key)
 
   /** Write-if-absent: the catalog is the memo (see object doc). */
   private def ensure(spark: SparkSession, name: String, path: String,
@@ -61,7 +57,7 @@ object ServingMirrors {
     * ([[BucketedMirror.table]]) to keep the bucket metadata. */
   def atiSummaries(spark: SparkSession, sfDir: String,
                    buckets: Int = 16): (DataFrame, DataFrame) = synchronized {
-    val key = keyOf(sfDir)
+    val key = keyOf(sfDir, buckets)
     val atiT = s"graft_ati_serve_$key"
     ensure(spark, atiT, s"${scratch(key)}/ati",
       Tables.ati(spark, sfDir), "account", buckets,
@@ -78,7 +74,7 @@ object ServingMirrors {
     * summaries mirror is SHARED with [[atiSummaries]]. */
   def ctiSummaries(spark: SparkSession, sfDir: String,
                    buckets: Int = 16): (DataFrame, DataFrame) = synchronized {
-    val key = keyOf(sfDir)
+    val key = keyOf(sfDir, buckets)
     val ctiT = s"graft_cti_serve_$key"
     ensure(spark, ctiT, s"${scratch(key)}/cti",
       Tables.cti(spark, sfDir), "index", buckets,

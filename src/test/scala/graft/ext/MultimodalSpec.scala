@@ -6,24 +6,34 @@ import graft.SparkSpec
 import graft.ext.Multimodal.MediaRow
 
 /** The multimodal plumbing contract: the batched mapPartitions path
-  * (where a real codec plugs in) must agree exactly with the pure
-  * column-expression path, on the same binary payloads. */
+  * (where a real codec plugs in) must agree exactly with the
+  * header-detecting column-expression path
+  * ([[Multimodal.featuresColsDetected]]) on the same binary payloads —
+  * both use the real PNG/GIF/JPEG header parse with the deterministic
+  * stub fallback. `featuresCols` (the oracle-portable declared-row
+  * path) intentionally keeps the stub unconditionally and agrees with
+  * the others only on unrecognizable payloads. */
 class MultimodalSpec extends SparkSpec {
   import spark.implicits._
 
+  // one REAL media payload (GIF, 320×200) + unrecognizable bytes, so
+  // the equivalence covers both decode branches
+  private def gifBytes = Array[Int](
+    'G', 'I', 'F', '8', '9', 'a', 0x40, 0x01, 0xc8, 0x00, 0x91, 0x00,
+    0x00).map(_.toByte)
   private val payloads = Seq(
-    (1L, "fake-jpeg-bytes-aaaa", "image/jpeg"),
-    (2L, "fake-wav-bytes-bbbbbb", "audio/wav"),
-    (3L, "x", "video/mp4"))
+    (1L, "fake-jpeg-bytes-aaaa".getBytes("UTF-8"), "image/jpeg"),
+    (2L, "fake-wav-bytes-bbbbbb".getBytes("UTF-8"), "audio/wav"),
+    (3L, "x".getBytes("UTF-8"), "video/mp4"))
 
-  test("featuresBatched == featuresCols on identical payloads") {
-    val ds = payloads.map { case (id, s, m) =>
-      MediaRow(id, s.getBytes("UTF-8"), m) }.toDS()
+  test("featuresBatched == featuresColsDetected on identical payloads") {
+    val all = payloads :+ ((4L, gifBytes, "image/gif"))
+    val ds = all.map { case (id, b, m) => MediaRow(id, b, m) }.toDS()
     val batched = Multimodal.featuresBatched(ds, batchSize = 2)
       .orderBy("media_id").collect()
 
-    val df = payloads.toDF("media_id", "payload", "mime")
-    val viaCols = Multimodal.featuresCols(df,
+    val df = all.toDF("media_id", "payload", "mime")
+    val viaCols = Multimodal.featuresColsDetected(df,
         col("payload").cast("binary"), col("media_id"))
       .orderBy("media_id").collect()
 
@@ -36,6 +46,23 @@ class MultimodalSpec extends SparkSpec {
       assert(b.width == c.getAs[Int]("width"))
       assert(b.height == c.getAs[Int]("height"))
       assert(b.n_frames == c.getAs[Int]("n_frames"))
+    }
+    // the GIF row took the REAL branch in both paths
+    assert(batched.find(_.media_id == 4L).get.width == 320)
+  }
+
+  test("featuresCols (oracle stub path) agrees on unrecognizable payloads") {
+    val ds = payloads.map { case (id, b, m) => MediaRow(id, b, m) }.toDS()
+    val batched = Multimodal.featuresBatched(ds, batchSize = 2)
+      .orderBy("media_id").collect()
+    val df = payloads.toDF("media_id", "payload", "mime")
+    val stub = Multimodal.featuresCols(df,
+        col("payload").cast("binary"), col("media_id"))
+      .orderBy("media_id").collect()
+    batched.zip(stub).foreach { case (b, c) =>
+      assert(b.width == c.getAs[Int]("width") &&
+        b.height == c.getAs[Int]("height") &&
+        b.n_frames == c.getAs[Int]("n_frames"))
     }
   }
 
@@ -73,8 +100,8 @@ class MultimodalSpec extends SparkSpec {
   }
 
   test("partitioning does not change batched results") {
-    val ds = payloads.map { case (id, s, m) =>
-      MediaRow(id, s.getBytes("UTF-8"), m) }.toDS()
+    val ds = (payloads :+ ((4L, gifBytes, "image/gif")))
+      .map { case (id, b, m) => MediaRow(id, b, m) }.toDS()
     val a = Multimodal.featuresBatched(ds.repartition(1)).orderBy("media_id")
       .collect().toSeq
     val b = Multimodal.featuresBatched(ds.repartition(3)).orderBy("media_id")

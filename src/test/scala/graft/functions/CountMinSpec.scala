@@ -40,6 +40,18 @@ class CountMinSpec extends SparkSpec {
     }
   }
 
+  test("null keys count nowhere, matching the oracle's null-concat drop") {
+    val withNulls = Seq(Some("a"), None, Some("a"), None).toDF("k")
+    val sk = withNulls
+      .agg(CountMin.sketch(col("k"), depth = 4, width = 256).as("sk"))
+    val out = sk.select(
+      CountMin.estimate(col("sk"), "a", 4, 256).as("a"),
+      CountMin.estimate(col("sk"), "null", 4, 256).as("lit_null")).head()
+    assert(out.getLong(0) == 2L)
+    // the literal string "null" must NOT have absorbed the null rows
+    assert(out.getLong(1) == 0L)
+  }
+
   test("the sketch is partitioning-invariant (merge associativity)") {
     val rows = (0 until 500).map(i => s"u${i % 37}").toDF("k")
     def sketchOf(parts: Int): Seq[Long] =

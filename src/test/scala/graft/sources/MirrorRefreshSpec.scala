@@ -51,8 +51,12 @@ class MirrorRefreshSpec extends SparkSpec with BeforeAndAfterAll {
     val p = agg.queryExecution.executedPlan.toString
     assert(!p.contains("Exchange"),
       s"bucketed groupBy must stay shuffle-free after appends:\n$p")
-    assert(agg.collect().map(_.getLong(1)).forall(_ == 1000 / 16 + 1) ||
-      agg.count() == 16)
+    // exact per-key counts: 1000 rows over k = i % 16 → keys 0-7 get
+    // 63, keys 8-15 get 62 — a dropped or duplicated append generation
+    // fails here, not just a vanished key
+    val got = agg.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = (0L until 16L).map(k => k -> (if (k < 8) 63L else 62L)).toMap
+    assert(got == expected, s"per-key counts after appends: $got")
   }
 
   test("bucket pruning survives appended file generations") {
