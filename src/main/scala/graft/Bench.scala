@@ -80,8 +80,11 @@ object Bench {
     // a 1e9-sec penalty to the headline value.
     val total = timings.values.sum + errors.size * 1e9
     val errPart = if (errors.isEmpty) "" else s""","errors":$es"""
+    // basename, not the full path: the stdout line competes for the
+    // driver's bounded tail window and the scale factor is the signal
+    val sfName = new java.io.File(sfDir).getName
     val line =
-      s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs$errPart,"cpus":$cpus,"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs$errPart,"cpus":$cpus,"sf":${jstr(sfName)}}"""
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     Files.writeString(Paths.get(outFile), line + "\n")
     println(line)

@@ -162,6 +162,48 @@ object CoreQueries {
         CIdx, CSub, 0L, None, ascending = true)),
     "b5_row_decode" -> ((s, d) =>
       QueryApi.decodeRows(Tables.summaries(s, d)).orderBy("id")),
+    // DEEP envelope decode, exercised end-to-end like cis2_log_decode:
+    // the driver fixture's payloads are shallow, so the query first
+    // ENCODES the reference-shaped nested BlockItemSummary JSON from
+    // `events` (details type tag, sender, events array / tagged
+    // protocol event), then runs it through decodeRowsDeep's FAILFAST +
+    // hard-stop pipeline; the oracle computes the projections directly.
+    "b5_decode_deep" -> ((s, d) => {
+      val feed = Tables.events(s, d).selectExpr(
+        "(event_id div 8) * 1048576 + (event_id % 8) as id",
+        """CASE WHEN event_type = 'error' THEN
+             to_json(named_struct('Right', named_struct(
+               'tag', 'protocolEvent',
+               'account', cast(user_id as string),
+               'amount', cast(cast(round(value * 100) as bigint) as string))))
+           ELSE
+             to_json(named_struct('Left', named_struct(
+               'index', event_id,
+               'energyCost', cast(round(value * 100) as bigint),
+               'hash', md5(cast(event_id as string)),
+               'details', named_struct(
+                 'type', CASE event_type
+                           WHEN 'signup' THEN 'accountCreation'
+                           WHEN 'view' THEN 'update'
+                           ELSE 'accountTransaction' END,
+                 'cost', cast(cast(round(value * 100) as bigint) as string),
+                 'sender', CASE WHEN event_type IN ('purchase', 'click')
+                             THEN cast(user_id as string) END,
+                 'events', CASE WHEN event_type = 'purchase' THEN
+                     array(named_struct('tag', 'Transferred',
+                             'amount', cast(cast(round(value * 100) as bigint) as string),
+                             'to', cast(user_id + 1 as string)),
+                           named_struct('tag', 'Memo',
+                             'amount', cast(null as string),
+                             'to', cast(null as string)))
+                   WHEN event_type = 'click' THEN
+                     array(named_struct('tag', 'Transferred',
+                             'amount', cast(cast(round(value * 100) as bigint) as string),
+                             'to', cast(user_id as string)))
+                   ELSE array() END))))
+           END as summary""")
+      QueryApi.decodeRowsDeep(feed).orderBy("id")
+    }),
     "b5_row_decode_strict" -> ((s, d) =>
       QueryApi.decodeRowsStrict(Tables.summaries(s, d)).orderBy("id")),
     "b6_topk_per_account" -> ((s, d) =>
@@ -262,6 +304,27 @@ SELECT s.id, s.block, s."timestamp", s.height, s.summary
 FROM cti JOIN summaries s ON cti.summary = s.id
 WHERE cti."index" = $CIdx AND cti.subindex = $CSub AND cti.summary >= 0
 ORDER BY s.id ASC"""),
+    "b5_decode_deep" -> """
+SELECT (event_id // 8) * 1048576 + (event_id % 8) AS id,
+  CASE WHEN event_type = 'error' THEN 'Right' ELSE 'Left' END AS variant,
+  CASE WHEN event_type = 'error' THEN NULL ELSE event_id END AS tx_index,
+  CASE WHEN event_type = 'error' THEN NULL
+       WHEN event_type = 'signup' THEN 'accountCreation'
+       WHEN event_type = 'view' THEN 'update'
+       ELSE 'accountTransaction' END AS details_type,
+  CASE WHEN event_type IN ('purchase', 'click')
+       THEN CAST(user_id AS VARCHAR) END AS sender,
+  CAST(CASE WHEN event_type = 'error' THEN NULL
+       WHEN event_type = 'purchase' THEN 2
+       WHEN event_type = 'click' THEN 1 ELSE 0 END AS INT) AS n_events,
+  CASE WHEN event_type IN ('purchase', 'click')
+       THEN 'Transferred' END AS first_event_tag,
+  CASE WHEN event_type = 'error' THEN 'protocolEvent' END AS protocol_tag,
+  CASE WHEN event_type = 'error'
+       THEN CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR)
+       END AS protocol_amount
+FROM events ORDER BY id""",
+
     "b5_row_decode" -> (cte + """
 SELECT id, summary->>'$.Left.k' AS left_k, summary->>'$.Right.k' AS right_k
 FROM summaries

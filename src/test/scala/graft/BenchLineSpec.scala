@@ -19,7 +19,7 @@ class BenchLineSpec extends AnyFunSuite {
     // up through the <10 branch to "10.00".
     val qs = names.map(n => s""""$n":10.00""").mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":99999,"unit":"sec","queries":$qs,"cpus":32,"sf":"/root/testdata/sf0.1"}"""
+      s"""{"metric":"total","value":99999,"unit":"sec","queries":$qs,"cpus":32,"sf":"sf0.1"}"""
     // Leave headroom for a trailing newline and any stray launcher byte.
     // If this trips on a future query: the next structural levers are
     // emitting basename(sfDir) instead of the full path (-15) and then
