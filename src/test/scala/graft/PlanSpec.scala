@@ -135,6 +135,20 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), s"histogram path must not join:\n$p")
   }
 
+  test("deep decode: narrow projection — no join, no window, no shuffle but the sort") {
+    val p = plan("b5_decode_deep")
+    assert(!p.contains("Join") && !p.contains("Window"),
+      s"encode→decode must stay per-row:\n$p")
+    assert(count(p, "Exchange") == 1, // the final orderBy only
+      s"expected only the output-order exchange in:\n$p")
+  }
+
+  test("group cap: rank predicate pushed into WindowGroupLimit at the declared row") {
+    val p = plan("sample_group_cap")
+    assert(p.contains("WindowGroupLimit"),
+      s"expected the per-group limit below the window sort in:\n$p")
+  }
+
   test("no inventory query plans a cartesian product") {
     // ann_bruteforce/ann_lsh intentionally broadcast-cross-join ONE query
     // row against the corpus — a bounded nested loop, not an all-pairs
