@@ -69,11 +69,12 @@ object Bench {
     // stdout; with 60+ queries full double precision overflows that
     // window (round 4's line was 2224 chars and failed to parse), and at
     // 77 queries even fixed millisecond precision did (2012 chars).
-    // Adaptive precision keeps ~3 significant digits in at most 5 chars
-    // per value — far below the ±25% run-to-run noise on this box
-    // (BenchLineSpec pins the whole line's budget).
+    // Adaptive precision keeps at most 4 chars per value — 0.1 s
+    // granularity, far below the multi-x run-to-run noise on this box
+    // (three rounds of frozen-code swings documented in VERDICT r7;
+    // BenchLineSpec pins the whole line's budget).
     def jnum(v: Double): String =
-      if (v < 10) f"$v%.2f" else if (v < 100) f"$v%.1f" else f"$v%.0f"
+      if (v < 100) f"$v%.1f" else f"$v%.0f"
     val qs = timings.map { case (k, v) => s"${jstr(k)}:${jnum(v)}" }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     // A failed query must never make the bench look faster: each one adds

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Dedup, Multimodal, Packing, Sampling, Similarity, TextAnalysis}
+import graft.ext.{Curation, Dedup, Multimodal, Packing, Sampling, Similarity, TextAnalysis}
 
 /** LLM-data-pipeline extensions over `documents` / `embeddings`:
   * dedup (exact, n-gram Jaccard, MinHash+LSH, SimHash), similarity
@@ -340,8 +340,57 @@ object ExtQueries {
       Multimodal.resizePlan(
         Multimodal.featuresCols(Tables.documents(s, d),
           col("text").cast("binary"), col("doc_id")),
-        maxW = 512, maxH = 512).orderBy("media_id"))
+        maxW = 512, maxH = 512).orderBy("media_id")),
+
+    // C4-style line dedup over CONSTRUCTED multi-line text — the fixture
+    // corpus has no newlines, so the row wraps each document's words into
+    // 4-word lines first (the encode-then-run pattern of b5_decode_deep /
+    // cis2_log_decode); ~340 lines are shared across documents at both
+    // test scales, so the filter actually discriminates.
+    "dedup_lines" -> ((s, d) =>
+      Curation.dedupLines(linedDocs(Tables.documents(s, d)),
+          col("text"), col("doc_id"))
+        .orderBy("doc_id")),
+
+    // PII redaction over text salted with deterministic contact strings
+    // for 2/3 of documents (the fixture has no digits at all — an
+    // unsalted row would be a vacuous zero-count pass-through); the
+    // remaining third exercises the untouched path.
+    "pii_redact" -> ((s, d) =>
+      Curation.redactPii(piiDocs(Tables.documents(s, d)), col("text"),
+        col("doc_id")).orderBy("doc_id")),
+
+    // Exact-substring duplicate spans over the REAL corpus text: 5-word
+    // windows occurring >= 2 times corpus-wide (~1100 duplicated windows
+    // at sf0.01), merged into maximal per-document spans.
+    "dup_spans" -> ((s, d) =>
+      Curation.duplicateSpans(Tables.documents(s, d), col("text"),
+          col("doc_id"), k = 5, minCount = 2)
+        .orderBy("doc_id", "span_start"))
   )
+
+  /** Wraps each document's words into 4-word '\n'-joined lines — the
+    * fixture corpus is single-line, and [[Curation.dedupLines]] needs
+    * line structure to act on. Mirrored verbatim in the oracle CTE. */
+  private def linedDocs(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), concat_ws("\n", expr(
+      "transform(sequence(0, (size(split(trim(text), ' +')) + 3) div 4 - 1)," +
+        " i -> concat_ws(' ', slice(split(trim(text), ' +'), i*4+1, 4)))"))
+      .as("text"))
+
+  /** Appends a deterministic contact tail (email + IPv4 + phone, all
+    * derived from doc_id) to 2/3 of documents. Mirrored in the oracle. */
+  private def piiDocs(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      concat(col("text"),
+        when(col("doc_id") % 3 =!= 0,
+          concat(lit(" reach u"), col("doc_id").cast("string"),
+            lit("@mail.example.com at 10."),
+            (col("doc_id") % 200).cast("string"), lit(".4."),
+            (col("doc_id") % 250).cast("string"), lit(" or 555-"),
+            lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .otherwise(lit(""))).as("text"))
 
   /** Shared by ann_ivf and ann_ivf_indexed: both formulations compute
     * the same cells/probe result; only the Spark-side physical shape
@@ -900,6 +949,90 @@ SELECT media_id, width, height,
        CAST(CASE WHEN width <= 512 AND height <= 512 THEN height
                  WHEN 512 * height <= 512 * width THEN (height * 512) // width
                  ELSE 512 END AS INT) AS target_h
-FROM f WHERE width > 0 AND height > 0 ORDER BY media_id""")
+FROM f WHERE width > 0 AND height > 0 ORDER BY media_id"""),
+
+    // Mirror of linedDocs (4-word lines) + Curation.dedupLines: doc
+    // frequency per exact line, drop lines in >= 2 docs, reassemble in
+    // original order. chr(10) == the '\n' Spark joins/splits on.
+    "dedup_lines" -> (s"""WITH w AS (
+  SELECT doc_id, string_split_regex(trim(text), ' +') AS words FROM documents
+), ld AS (
+  SELECT doc_id,
+         array_to_string(list_transform(range((len(words)+3)//4),
+           i -> array_to_string(words[i*4+1:i*4+4], ' ')), chr(10)) AS text
+  FROM w
+), l0 AS (
+  SELECT doc_id,
+         unnest(list_transform(range(len(lns)),
+           i -> {'pos': i, 'line': lns[i+1]}), recursive := true)
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS lns FROM ld)
+), lh AS (
+  SELECT doc_id, pos, line, ${h60("line")} AS lh FROM l0
+), df AS (
+  SELECT lh, count(DISTINCT doc_id) AS nd FROM lh GROUP BY 1
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CASE WHEN nd < 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       coalesce(string_agg(CASE WHEN nd < 2 THEN line END, chr(10)
+         ORDER BY pos), '') AS clean_text
+FROM lh JOIN df USING (lh)
+GROUP BY doc_id ORDER BY doc_id"""),
+
+    // Mirror of piiDocs + Curation.redactPii. Counts on the original
+    // text; replacements email -> ip -> phone with the 'g' flag (DuckDB
+    // replaces only the first match otherwise).
+    "pii_redact" -> (s"""WITH p AS (
+  SELECT doc_id,
+         text || CASE WHEN doc_id % 3 <> 0
+           THEN ' reach u' || CAST(doc_id AS VARCHAR)
+             || '@mail.example.com at 10.' || CAST(doc_id % 200 AS VARCHAR)
+             || '.4.' || CAST(doc_id % 250 AS VARCHAR)
+             || ' or 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+             || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+           ELSE '' END AS text
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '${Curation.EmailRe}')) AS INT)
+         AS n_emails,
+       CAST(len(regexp_extract_all(text, '${Curation.Ipv4Re}')) AS INT)
+         AS n_ips,
+       CAST(len(regexp_extract_all(text, '${Curation.PhoneRe}')) AS INT)
+         AS n_phones,
+       regexp_replace(regexp_replace(regexp_replace(text,
+         '${Curation.EmailRe}', '<EMAIL>', 'g'),
+         '${Curation.Ipv4Re}', '<IP>', 'g'),
+         '${Curation.PhoneRe}', '<PHONE>', 'g') AS redacted
+FROM p ORDER BY doc_id"""),
+
+    // Mirror of Curation.duplicateSpans: positioned 5-shingles, global
+    // occurrence count, gaps-and-islands merge (gap > 5 starts a new
+    // island; CASE WHEN NULL>5 THEN.. ELSE 0 matches Spark's first-row
+    // semantics).
+    "dup_spans" -> (s"""WITH w AS (
+  SELECT doc_id, string_split_regex(trim(text), ' +') AS words FROM documents
+), s0 AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(words) >= 5
+           THEN list_transform(range(len(words)-4),
+                i -> {'pos': i, 's': array_to_string(words[i+1:i+5], ' ')})
+           ELSE [] END, recursive := true)
+  FROM w
+), sh AS (
+  SELECT doc_id, pos, ${h60("s")} AS sh FROM s0
+), dup AS (
+  SELECT sh FROM (SELECT sh, count(*) AS n FROM sh GROUP BY 1) WHERE n >= 2
+), isl AS (
+  SELECT doc_id, pos,
+         sum(CASE WHEN pos - prev > 5 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM (SELECT doc_id, pos,
+               lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        FROM sh JOIN dup USING (sh))
+)
+SELECT doc_id, CAST(min(pos) AS INT) AS span_start,
+       CAST(max(pos) + 4 AS INT) AS span_end,
+       CAST(max(pos) + 4 - min(pos) + 1 AS INT) AS n_tokens
+FROM isl GROUP BY doc_id, island ORDER BY doc_id, span_start""")
   )
 }

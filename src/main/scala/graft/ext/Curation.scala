@@ -1,0 +1,138 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators that rewrite document TEXT (as opposed to
+  * selecting whole documents, which is [[Dedup]]/[[Sampling]]'s job):
+  * line-level boilerplate dedup, PII redaction, and duplicated-substring
+  * span detection. All three are the standard text-cleaning passes of
+  * large-scale pretraining pipelines (the C4 line filter, the
+  * email/IP/phone masking pass, and exact-substring dedup à la
+  * "Deduplicating Training Data Makes Language Models Better").
+  *
+  * Scale shape, like every graft.ext operator: candidate/count keys are
+  * uniform 60-bit md5-derived hashes ([[Text.hash60]]) so the shuffles
+  * they drive cannot skew; per-document reassembly shuffles on doc_id;
+  * nothing collects to the driver. Results are engine-portable — integer
+  * and string ops only — so each operator has an exact DuckDB oracle.
+  */
+object Curation {
+
+  /** Corpus-level LINE dedup (the C4/RefinedWeb boilerplate filter):
+    * drop every line that occurs in at least `minDocs` DISTINCT
+    * documents (navigation chrome, cookie banners, licence footers —
+    * the text that repeats across a crawl), keep everything else, and
+    * reassemble each document with its surviving lines in original
+    * order.
+    *
+    * Two shuffle rounds, both on uniform keys: (1) per-line document
+    * frequency — distinct (doc, line-hash) then count by line-hash;
+    * (2) fold the verdicts back and regroup by doc_id. The exploded
+    * line frame feeds both the count side and the reassembly side, so
+    * it is persisted for the query's scope (released by the caller via
+    * [[graft.CacheScope]]). Line identity is the exact line string
+    * (hashed to 8-byte keys for the exchanges); a line repeated WITHIN
+    * one document counts once toward its document frequency, but all
+    * its occurrences are dropped together when the line is shared.
+    *
+    * Output: (doc_id, n_lines, n_kept, clean_text) — clean_text is ""
+    * when every line was dropped, and documents always survive (this
+    * pass cleans text; whole-document removal is a [[Dedup]] decision).
+    */
+  def dedupLines(df: DataFrame, content: Column, id: Column,
+                 minDocs: Int = 2): DataFrame = {
+    val lines = graft.CacheScope.persistTracked(
+      df.select(id.as("doc_id"), posexplode(split(content, "\n")))
+        .toDF("doc_id", "pos", "line")
+        .withColumn("lh", Text.hash60(col("line"))))
+    val docFreq = lines.select(col("doc_id"), col("lh")).distinct()
+      .groupBy("lh").agg(count(lit(1)).as("nd"))
+    lines.join(docFreq, "lh")
+      .withColumn("kept", col("nd") < minDocs)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        concat_ws("\n",
+          transform(
+            array_sort(collect_list(when(col("kept"),
+              struct(col("pos"), col("line"))))),
+            s => s.getField("line"))).as("clean_text"))
+  }
+
+  /** Email / IPv4 / US-phone regexes shared with the DuckDB oracle —
+    * deliberately inside the common Java-regex ∩ RE2 dialect (character
+    * classes, bounded repetition, `\b`; no lookaround, no backrefs), so
+    * both engines match byte-identically. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  val PhoneRe = "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b"
+
+  /** PII masking pass: replace every email, IPv4, and xxx-xxx-xxxx
+    * phone with `<EMAIL>`/`<IP>`/`<PHONE>` tokens and report per-class
+    * hit counts (counted on the ORIGINAL text, so the counts are
+    * independent of replacement order; replacement applies email →
+    * ip → phone, and the patterns are mutually exclusive — the email
+    * local part can contain dots and digits but an address match
+    * consumes its whole token, and the `<...>` replacements contain no
+    * digits for a later pattern to re-match).
+    *
+    * A NARROW map — per-row regex work, zero shuffles, fully inside
+    * whole-stage codegen (built-in `regexp_replace`/`regexp_count`);
+    * at 100 TB this runs at scan speed and is the cheapest pass in the
+    * file. Output: (doc_id, n_emails, n_ips, n_phones, redacted). */
+  def redactPii(df: DataFrame, content: Column, id: Column): DataFrame =
+    df.select(id.as("doc_id"),
+      regexp_count(content, lit(EmailRe)).as("n_emails"),
+      regexp_count(content, lit(Ipv4Re)).as("n_ips"),
+      regexp_count(content, lit(PhoneRe)).as("n_phones"),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(content, EmailRe, "<EMAIL>"),
+          Ipv4Re, "<IP>"),
+        PhoneRe, "<PHONE>").as("redacted"))
+
+  /** Duplicated-substring SPANS (exact-substring dedup, Lee et al.):
+    * every maximal word range whose every `k`-word window occurs at
+    * least `minCount` times corpus-wide (counting repeats within the
+    * same document — a self-plagiarized passage is still a duplicate).
+    * The canonical use downstream is cutting those spans out of the
+    * training text; emitting the spans keeps the operator composable
+    * (and lets the row verify exact positions, not just a rewrite).
+    *
+    * Plan: position-preserving k-shingle explode (narrow), occurrence
+    * count by uniform shingle hash (one shuffle, map-side partial
+    * aggregation), hash-join the duplicated hashes back (a fraction of
+    * the shingle set — AQE broadcasts it when small), then merge
+    * overlapping windows per document with a gaps-and-islands pass:
+    * shingles at positions p and q (p < q) overlap-or-touch iff
+    * q - p <= k, so a window `lag` marks island starts and a running
+    * sum numbers them — the only doc-keyed shuffle, bounded per
+    * document by text length. The shingle frame feeds the count and
+    * probe sides, so it is persisted for the query's scope.
+    *
+    * Output: (doc_id, span_start, span_end, n_tokens) — inclusive
+    * 0-based word positions, n_tokens = span length in words. */
+  def duplicateSpans(df: DataFrame, content: Column, id: Column,
+                     k: Int = 5, minCount: Int = 2): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val sh = graft.CacheScope.persistTracked(
+      df.select(id.as("doc_id"), posexplode(Text.shingles(content, k)))
+        .toDF("doc_id", "pos", "s")
+        .select(col("doc_id"), col("pos"), Text.hash60(col("s")).as("sh")))
+    val dup = sh.groupBy("sh").agg(count(lit(1)).as("n"))
+      .where(col("n") >= minCount)
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    sh.join(dup, "sh")
+      .select("doc_id", "pos")
+      .withColumn("newi",
+        when(col("pos") - lag("pos", 1).over(w) > k, 1).otherwise(0))
+      .withColumn("island", sum("newi").over(w))
+      .groupBy("doc_id", "island")
+      .agg(min("pos").as("span_start"),
+        (max(col("pos")) + lit(k - 1)).as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + lit(1)).as("n_tokens"))
+  }
+}

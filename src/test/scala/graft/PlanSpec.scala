@@ -149,6 +149,36 @@ class PlanSpec extends SparkSpec {
       s"expected the per-group limit below the window sort in:\n$p")
   }
 
+  test("pii redaction: narrow per-row map — no join, no window, only the sort exchange") {
+    val p = plan("pii_redact")
+    assert(!p.contains("Join") && !p.contains("Window"),
+      s"redaction must stay per-row:\n$p")
+    assert(count(p, "Exchange") == 1, // the final orderBy only
+      s"expected a single (sort) exchange in:\n$p")
+  }
+
+  test("line dedup: hash-keyed count + join, no window, no nested loop") {
+    val p = plan("dedup_lines")
+    assert(!p.contains("Window"), s"line dedup needs no window:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"the doc-frequency join must be hash-keyed:\n$p")
+    assert(count(p, "HashAggregate") >= 2,
+      s"expected partial+final doc-frequency aggregation in:\n$p")
+  }
+
+  test("duplicate spans: doc-keyed windows only, hash-keyed dup probe") {
+    val p = plan("dup_spans")
+    // lag then the dependent running sum — two windows, both partitioned
+    // by doc_id (a global unpartitioned window would be the scale bug)
+    assert(count(p, "Window") == 2, s"expected the two island windows in:\n$p")
+    assert(p.contains("partitionBy=[doc_id") ||
+      p.contains("[doc_id#"), s"windows must be doc-partitioned in:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"the dup probe must be hash-keyed:\n$p")
+  }
+
   test("no inventory query plans a cartesian product") {
     // ann_bruteforce/ann_lsh intentionally broadcast-cross-join ONE query
     // row against the corpus — a bounded nested loop, not an all-pairs

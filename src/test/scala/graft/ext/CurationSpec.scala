@@ -1,0 +1,87 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class CurationSpec extends SparkSpec with org.scalatest.BeforeAndAfterEach {
+  import spark.implicits._
+
+  override def afterEach(): Unit = graft.CacheScope.release()
+
+  test("dedupLines drops corpus-shared lines, keeps order, survives empties") {
+    val docs = Seq(
+      (1L, "shared line\nunique one"),
+      (2L, "shared line\nunique two\nshared line"),
+      (3L, "only me"),
+      (4L, "shared line")).toDF("doc_id", "text")
+    val out = Curation.dedupLines(docs, $"text", $"doc_id")
+      .orderBy("doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out.toSeq == Seq(
+      // "shared line" is in 3 distinct docs -> every occurrence dropped,
+      // including BOTH copies inside doc 2; doc 4 keeps nothing but the
+      // document row itself survives with empty text
+      (1L, 2L, 1L, "unique one"),
+      (2L, 3L, 1L, "unique two"),
+      (3L, 1L, 1L, "only me"),
+      (4L, 1L, 0L, "")))
+  }
+
+  test("dedupLines is partitioning-independent") {
+    val docs = (0L until 200L)
+      .map(i => (i, s"common header\nbody ${i % 7}\ntail $i"))
+      .toDF("doc_id", "text")
+    val a = Curation.dedupLines(docs, $"text", $"doc_id")
+      .orderBy("doc_id").collect().toSeq
+    graft.CacheScope.release()
+    val b = Curation.dedupLines(docs.repartition(7), $"text", $"doc_id")
+      .orderBy("doc_id").collect().toSeq
+    assert(a == b)
+    // "common header" (200 docs) and "body k" (~28 docs each) go; only
+    // the unique tail survives
+    a.foreach(r => assert(r.getString(3) == s"tail ${r.getLong(0)}"))
+  }
+
+  test("redactPii masks email/ip/phone and counts on the original text") {
+    val docs = Seq(
+      (1L, "mail a.b+c@x.co.uk or 192.168.0.1 call 555-123-4567 end"),
+      (2L, "no pii here at all"),
+      (3L, "twice u@a.bc and v@b.cd")).toDF("doc_id", "text")
+    val out = Curation.redactPii(docs, $"text", $"doc_id")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getString(4)))
+    assert(out.toSeq == Seq(
+      (1L, 1, 1, 1, "mail <EMAIL> or <IP> call <PHONE> end"),
+      (2L, 0, 0, 0, "no pii here at all"),
+      (3L, 2, 0, 0, "twice <EMAIL> and <EMAIL>")))
+  }
+
+  test("duplicateSpans merges overlapping windows and counts same-doc repeats") {
+    val docs = Seq(
+      (1L, "a b c d e f"),
+      (2L, "x b c d y"),
+      (3L, "b c m n o p c d"),
+      (4L, "z z z")).toDF("doc_id", "text")
+    val out = Curation.duplicateSpans(docs, $"text", $"doc_id",
+        k = 2, minCount = 2)
+      .orderBy("doc_id", "span_start").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+    assert(out.toSeq == Seq(
+      // "b c" and "c d" each occur in docs 1, 2 and 3; "z z" occurs
+      // twice WITHIN doc 4. Doc 3's two hits are 6 positions apart
+      // (> k) -> two separate spans; docs 1/2's adjacent hits merge.
+      (1L, 1, 3, 3),
+      (2L, 1, 3, 3),
+      (3L, 0, 1, 2),
+      (3L, 6, 7, 2),
+      (4L, 0, 2, 3)))
+  }
+
+  test("duplicateSpans: a unique corpus yields no spans") {
+    val docs = Seq((1L, "p q r s t"), (2L, "u v w x y")).toDF("doc_id", "text")
+    assert(Curation.duplicateSpans(docs, $"text", $"doc_id", k = 2).count() == 0)
+  }
+}
