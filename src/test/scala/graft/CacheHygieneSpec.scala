@@ -15,7 +15,8 @@ class CacheHygieneSpec extends SparkSpec {
   private val cacheUsers = Seq(
     "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_components",
     "dedup_cross_split", "ann_knn_graph", "emb_neardup_pairs",
-    "pack_sequences", "pack_bin_slices", "pack_shuffle")
+    "pack_sequences", "pack_bin_slices", "pack_shuffle",
+    "dedup_lines", "dup_spans")
 
   test("each cache-using query leaves no net persistent RDDs after release") {
     CacheScope.release() // drain whatever earlier suites left tracked
