@@ -366,7 +366,15 @@ object ExtQueries {
     "dup_spans" -> ((s, d) =>
       Curation.duplicateSpans(Tables.documents(s, d), col("text"),
           col("doc_id"), k = 5, minCount = 2)
-        .orderBy("doc_id", "span_start"))
+        .orderBy("doc_id", "span_start")),
+
+    // The rewrite endpoint of exact-substring dedup: the same spans,
+    // cut out of the text (71 spans over 56 documents at sf0.01 — the
+    // other documents pass through untouched).
+    "dup_spans_cut" -> ((s, d) =>
+      Curation.cutSpans(Tables.documents(s, d), col("text"),
+          col("doc_id"), k = 5, minCount = 2)
+        .orderBy("doc_id"))
   )
 
   /** Wraps each document's words into 4-word '\n'-joined lines — the
@@ -1033,6 +1041,48 @@ FROM p ORDER BY doc_id"""),
 SELECT doc_id, CAST(min(pos) AS INT) AS span_start,
        CAST(max(pos) + 4 AS INT) AS span_end,
        CAST(max(pos) + 4 - min(pos) + 1 AS INT) AS n_tokens
-FROM isl GROUP BY doc_id, island ORDER BY doc_id, span_start""")
+FROM isl GROUP BY doc_id, island ORDER BY doc_id, span_start"""),
+
+    // dup_spans' CTE chain + span expansion to covered positions, word
+    // re-explode, and order-preserving reassembly of the survivors.
+    "dup_spans_cut" -> (s"""WITH w AS (
+  SELECT doc_id, string_split_regex(trim(text), ' +') AS words FROM documents
+), s0 AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(words) >= 5
+           THEN list_transform(range(len(words)-4),
+                i -> {'pos': i, 's': array_to_string(words[i+1:i+5], ' ')})
+           ELSE [] END, recursive := true)
+  FROM w
+), sh AS (
+  SELECT doc_id, pos, ${h60("s")} AS sh FROM s0
+), dup AS (
+  SELECT sh FROM (SELECT sh, count(*) AS n FROM sh GROUP BY 1) WHERE n >= 2
+), isl AS (
+  SELECT doc_id, pos,
+         sum(CASE WHEN pos - prev > 5 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM (SELECT doc_id, pos,
+               lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        FROM sh JOIN dup USING (sh))
+), spans AS (
+  SELECT doc_id, min(pos) AS span_start, max(pos) + 4 AS span_end
+  FROM isl GROUP BY doc_id, island
+), covered AS (
+  SELECT doc_id, unnest(range(span_start, span_end + 1)) AS wpos, true AS cut
+  FROM spans
+), wp AS (
+  SELECT doc_id,
+         unnest(list_transform(range(len(words)),
+           i -> {'wpos': i, 'w': words[i+1]}), recursive := true)
+  FROM w
+)
+SELECT wp.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(CASE WHEN cut THEN 1 ELSE 0 END) AS BIGINT) AS n_cut,
+       coalesce(string_agg(CASE WHEN cut IS NULL THEN w END, ' '
+         ORDER BY wp.wpos), '') AS clean_text
+FROM wp LEFT JOIN covered
+  ON wp.doc_id = covered.doc_id AND wp.wpos = covered.wpos
+GROUP BY wp.doc_id ORDER BY wp.doc_id""")
   )
 }

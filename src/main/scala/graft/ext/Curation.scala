@@ -135,4 +135,37 @@ object Curation {
       .select(col("doc_id"), col("span_start"), col("span_end"),
         (col("span_end") - col("span_start") + lit(1)).as("n_tokens"))
   }
+
+  /** The REWRITE companion to [[duplicateSpans]] — exact-substring
+    * dedup's endpoint: cut every duplicated span out of the text and
+    * return what survives (Lee et al. remove one-side duplicated text
+    * before training; this removes all sides, the conservative variant
+    * that needs no global keeper election).
+    *
+    * The spans are already merged and disjoint, so expanding them to
+    * covered word positions needs no dedup — an `explode(sequence)`
+    * bounded by total span length, joined to the word explode on
+    * uniform (doc_id, position) keys, then one doc-keyed regroup to
+    * reassemble. Every document survives (possibly with empty text),
+    * mirroring [[dedupLines]].
+    *
+    * Output: (doc_id, n_words, n_cut, clean_text). */
+  def cutSpans(df: DataFrame, content: Column, id: Column,
+               k: Int = 5, minCount: Int = 2): DataFrame = {
+    val covered = duplicateSpans(df, content, id, k, minCount)
+      .select(col("doc_id"),
+        explode(sequence(col("span_start"), col("span_end"))).as("wpos"),
+        lit(true).as("cut"))
+    df.select(id.as("doc_id"), posexplode(Text.words(content)))
+      .toDF("doc_id", "wpos", "w")
+      .join(covered, Seq("doc_id", "wpos"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(when(col("cut"), 1L).otherwise(0L)).as("n_cut"),
+        concat_ws(" ",
+          transform(
+            array_sort(collect_list(when(col("cut").isNull,
+              struct(col("wpos"), col("w"))))),
+            s => s.getField("w"))).as("clean_text"))
+  }
 }

@@ -80,6 +80,24 @@ class CurationSpec extends SparkSpec with org.scalatest.BeforeAndAfterEach {
       (4L, 0, 2, 3)))
   }
 
+  test("cutSpans removes exactly the duplicated spans, keeps the rest in order") {
+    val docs = Seq(
+      (1L, "a b c d e f"),
+      (2L, "x b c d y"),
+      (3L, "b c m n o p c d"),
+      (4L, "z z z"),
+      (5L, "all unique words here")).toDF("doc_id", "text")
+    val out = Curation.cutSpans(docs, $"text", $"doc_id", k = 2, minCount = 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out.toSeq == Seq(
+      (1L, 6L, 3L, "a e f"),
+      (2L, 5L, 3L, "x y"),
+      (3L, 8L, 4L, "m n o p"),
+      (4L, 3L, 3L, ""),
+      (5L, 4L, 0L, "all unique words here")))
+  }
+
   test("duplicateSpans: a unique corpus yields no spans") {
     val docs = Seq((1L, "p q r s t"), (2L, "u v w x y")).toDF("doc_id", "text")
     assert(Curation.duplicateSpans(docs, $"text", $"doc_id", k = 2).count() == 0)
