@@ -87,11 +87,18 @@ object Curation {
       regexp_count(content, lit(EmailRe)).as("n_emails"),
       regexp_count(content, lit(Ipv4Re)).as("n_ips"),
       regexp_count(content, lit(PhoneRe)).as("n_phones"),
+      redactText(content).as("redacted"))
+
+  /** The redaction expression alone — a plain Column, so it composes
+    * into wider projections and Structured Streaming queries
+    * (StreamingCurationSpec dedups a live feed on the redacted text);
+    * [[redactPii]] is the canonical batch shape over it. */
+  def redactText(content: Column): Column =
+    regexp_replace(
       regexp_replace(
-        regexp_replace(
-          regexp_replace(content, EmailRe, "<EMAIL>"),
-          Ipv4Re, "<IP>"),
-        PhoneRe, "<PHONE>").as("redacted"))
+        regexp_replace(content, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      PhoneRe, "<PHONE>")
 
   /** Duplicated-substring SPANS (exact-substring dedup, Lee et al.):
     * every maximal word range whose every `k`-word window occurs at

@@ -1,0 +1,42 @@
+package graft.ext
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The curation passes are plain narrow/stateful-safe DataFrame
+  * transforms, so they compose into Structured Streaming unchanged:
+  * a continuously-fed corpus can be PII-masked per micro-batch
+  * (stateless narrow map) and exact-deduped on the REDACTED content
+  * (watermark-bounded state) in one query — the shape a live ingestion
+  * pipeline runs before the heavier batch passes. */
+class StreamingCurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("redact-then-dedup composes in one streaming query") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(Long, Long, String)]
+    val feed = input.toDF().toDF("doc_id", "ms", "text")
+      .withColumn("event_time", timestamp_millis(col("ms")))
+    val redacted = feed
+      .withColumn("redacted", Curation.redactText(col("text")))
+    val q = Dedup.streamingExact(redacted, col("redacted"), col("doc_id"),
+        col("event_time"), "10 minutes")
+      .writeStream.format("memory").queryName("scur")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, 1000L, "write to a@x.io now"))
+      q.processAllAvailable()
+      // doc 2 differs from doc 1 only by the email address — after
+      // redaction the content is identical, so the dedup drops it;
+      // doc 3 is genuinely new and passes
+      input.addData((2L, 2000L, "write to b@y.io now"),
+        (3L, 3000L, "call 555-123-4567 instead"))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT doc_id, content_hash FROM scur")
+        .collect().map(r => r.getLong(0))
+      assert(got.sorted.toSeq == Seq(1L, 3L))
+    } finally q.stop()
+  }
+}
