@@ -69,12 +69,14 @@ object Bench {
     // stdout; with 60+ queries full double precision overflows that
     // window (round 4's line was 2224 chars and failed to parse), and at
     // 77 queries even fixed millisecond precision did (2012 chars).
-    // Adaptive precision keeps at most 4 chars per value — 0.1 s
-    // granularity, far below the multi-x run-to-run noise on this box
-    // (three rounds of frozen-code swings documented in VERDICT r7;
-    // BenchLineSpec pins the whole line's budget).
+    // Adaptive precision keeps at most 3 chars per value — 0.1 s
+    // granularity under 10 s, whole seconds above; both far below the
+    // multi-x run-to-run noise on this box (three rounds of frozen-code
+    // swings documented in VERDICT r7; BenchLineSpec pins the whole
+    // line's budget). The 9.95 guard keeps %.1f from rounding into a
+    // 4-char "10.0".
     def jnum(v: Double): String =
-      if (v < 100) f"$v%.1f" else f"$v%.0f"
+      if (v < 9.95) f"$v%.1f" else f"$v%.0f"
     val qs = timings.map { case (k, v) => s"${jstr(k)}:${jnum(v)}" }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     // A failed query must never make the bench look faster: each one adds

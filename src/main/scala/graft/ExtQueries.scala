@@ -276,6 +276,16 @@ object ExtQueries {
           col("doc_id"), n = 40)
         .select("doc_id", "lang").orderBy("doc_id")),
 
+    // Corpus-derived mixture rates: en/de/zh thin toward the target
+    // weights, fr's demand exceeds its supply (rate clamps to 1e6 —
+    // keep all), unweighted es drops entirely. All three regimes of
+    // Sampling.mixture exercised by one row.
+    "sample_mixture" -> ((s, d) =>
+      Sampling.mixture(Tables.documents(s, d), col("lang"), col("doc_id"),
+          Map("en" -> 200000, "fr" -> 400000, "de" -> 200000,
+            "zh" -> 200000), targetRows = 300)
+        .select("doc_id", "lang").orderBy("doc_id")),
+
     "text_token_stats" -> ((s, d) =>
       TextAnalysis.tokenStats(Tables.documents(s, d), col("text"), col("doc_id"))
         .orderBy("doc_id")),
@@ -766,6 +776,19 @@ SELECT doc_id, lang FROM (
            ORDER BY ${h60("'cap0:' || CAST(doc_id AS VARCHAR)")}, doc_id) AS rn
   FROM documents)
 WHERE rn <= 40 ORDER BY doc_id"""),
+
+    "sample_mixture" -> (s"""
+WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+r AS (
+  SELECT lang, least(1000000,
+    CASE lang WHEN 'en' THEN 200000 WHEN 'fr' THEN 400000
+         WHEN 'de' THEN 200000 WHEN 'zh' THEN 200000 ELSE 0 END
+      * 300 // n) AS rate
+  FROM c
+)
+SELECT doc_id, lang FROM documents JOIN r USING (lang)
+WHERE ${h60("'mix0:' || CAST(doc_id AS VARCHAR)")} % 1000000 < rate
+ORDER BY doc_id"""),
 
     "text_token_stats" -> (WordsCte + s"""
 SELECT doc_id,

@@ -70,4 +70,36 @@ object Sampling {
       .where(col("__rn") <= n)
       .drop("__rn")
   }
+
+  /** Weighted corpus MIXTURE — the domain-reweighting step of a
+    * training recipe (Pile/DoReMi-style): given target output weights
+    * per group (ppm) and a target output size, DERIVE each group's keep
+    * rate from the corpus' own group counts,
+    * `rate_g = min(1e6, w_g * targetRows div count_g)` ppm, then thin
+    * deterministically by seeded id hash. A group whose demand exceeds
+    * its supply clamps to keep-everything (the recipe is then
+    * under-filled — epoch repetition is the caller's policy decision);
+    * groups without a weight are dropped. Unlike [[stratified]] the
+    * rates track the corpus, so the output PROPORTIONS stay on target
+    * as the corpus grows.
+    *
+    * Scale shape: one tiny per-group count aggregate (map-side partial,
+    * #groups rows), broadcast back onto the corpus — the big side stays
+    * a narrow scan + filter, no data-sized shuffle. */
+  def mixture(df: DataFrame, group: Column, id: Column,
+              weightsPpm: Map[String, Int], targetRows: Long,
+              seed: String = "mix0"): DataFrame = {
+    val wcol = weightsPpm.foldLeft(lit(0L)) { case (acc, (k, v)) =>
+      when(col("__g") === k, lit(v.toLong)).otherwise(acc)
+    }
+    val rates = df.groupBy(group.as("__g")).agg(count(lit(1)).as("__n"))
+      .withColumn("__w", wcol)
+      .withColumn("__rate",
+        least(lit(1000000L), expr(s"__w * $targetRows div __n")))
+    val u = Text.hash60(concat_ws(":", lit(seed), id.cast("string"))) %
+      1000000L
+    df.join(broadcast(rates), group === col("__g"))
+      .where(u < col("__rate"))
+      .drop("__g", "__n", "__w", "__rate")
+  }
 }

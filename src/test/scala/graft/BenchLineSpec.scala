@@ -15,9 +15,9 @@ class BenchLineSpec extends AnyFunSuite {
     val names = SparkEntry.queries.keys.toSeq
     assert(names.nonEmpty)
     // Worst-case value rendering under Bench's adaptive formatting for
-    // any sane per-query timing (<1000s): 4 chars — "99.9" via the
-    // <100 branch, "999" above it.
-    val qs = names.map(n => s""""$n":99.9""").mkString("{", ",", "}")
+    // any sane per-query timing (<1000s): 3 chars — "9.9" under the
+    // 9.95 guard, "999" above it.
+    val qs = names.map(n => s""""$n":9.9""").mkString("{", ",", "}")
     val line =
       s"""{"metric":"total","value":99999,"unit":"sec","queries":$qs,"cpus":32,"sf":"sf0.1"}"""
     // Leave headroom for a trailing newline and any stray launcher byte.

@@ -179,6 +179,14 @@ class PlanSpec extends SparkSpec {
       s"the dup probe must be hash-keyed:\n$p")
   }
 
+  test("mixture: tiny rate table broadcast, corpus side stays a narrow filter") {
+    val p = plan("sample_mixture")
+    assert(p.contains("BroadcastHashJoin"),
+      s"expected the per-group rates broadcast back in:\n$p")
+    assert(!p.contains("Window") && !p.contains("SortMergeJoin"),
+      s"the corpus side must not shuffle for the rate join:\n$p")
+  }
+
   test("no inventory query plans a cartesian product") {
     // ann_bruteforce/ann_lsh intentionally broadcast-cross-join ONE query
     // row against the corpus — a bounded nested loop, not an all-pairs

@@ -33,6 +33,28 @@ class SamplingSpec extends SparkSpec {
     half.foreach { case (id, s) => assert(full(id) == s) }
   }
 
+  test("mixture derives rates from counts: thins, clamps, and drops per group") {
+    val docs = ((0L until 1000L).map(i => (i, "big")) ++
+      (1000L until 1010L).map(i => (i, "small")) ++
+      (1010L until 1020L).map(i => (i, "unweighted")))
+      .toDF("doc_id", "g")
+    val out = Sampling.mixture(docs, $"g", $"doc_id",
+      Map("big" -> 500000, "small" -> 500000), targetRows = 40)
+    val byG = out.collect().map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._2).view.mapValues(_.length).toMap
+    // big: rate = 0.5*40/1000 = 2% of 1000 -> ~20 (hash wobble allowed);
+    // small: demand 20 > supply 10 -> rate clamps, ALL 10 kept;
+    // unweighted: dropped entirely
+    assert(byG.getOrElse("small", 0) == 10, byG)
+    assert(!byG.contains("unweighted"), byG)
+    assert(byG("big") > 5 && byG("big") < 50, byG)
+    // deterministic under repartitioning
+    val again = Sampling.mixture(docs.repartition(7), $"g", $"doc_id",
+      Map("big" -> 500000, "small" -> 500000), targetRows = 40)
+      .collect().map(r => r.getLong(0)).sorted
+    assert(again.toSeq == out.collect().map(r => r.getLong(0)).sorted.toSeq)
+  }
+
   test("capPerGroup keeps exactly n per group, deterministically, via group limit") {
     val docs = (0L until 300L).map(i => (i, s"g${i % 3}")).toDF("doc_id", "g")
     val capped = Sampling.capPerGroup(docs, $"g", $"doc_id", n = 10)
