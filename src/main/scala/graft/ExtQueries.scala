@@ -202,6 +202,17 @@ object ExtQueries {
           nprobe = 2)
         .select(col("vid").as("vec_id"), col("cosine"))),
 
+    // Lloyd-refined IVF codebook: one assign+mean round, then the final
+    // assignment against the learned centroids (stride-50 seeds -> 10
+    // cells over the 500-vector corpus; every vector gets a cell, so
+    // the row checks the full assignment, not a sample). The oracle
+    // unrolls the identical round in SQL.
+    "ann_kmeans" -> ((s, d) =>
+      Similarity.kmeansRefine(Tables.embeddings(s, d), "vec_id",
+          "embedding", centroidStride = 50, iters = 1)
+        .select(col("vid").as("vec_id"), col("cid"))
+        .orderBy("vec_id")),
+
     "emb_neardup_pairs" -> ((s, d) =>
       Similarity.nearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding",
         k = 20)),
@@ -667,6 +678,46 @@ ORDER BY method"""),
     // identical by construction: the index stores the same assignment
     // the per-query formulation computes (ExtQueries.ivfIndexFor)
     "ann_ivf_indexed" -> AnnIvfSql,
+
+    // kmeansRefine with iters=1 unrolled: seed codebook -> assignment
+    // a1 -> per-(cell, dim) integer means (the sign trick mirrors
+    // Spark's truncating `div`; DuckDB's // floors) -> final assignment.
+    "ann_kmeans" -> ("""WITH qz AS (
+  SELECT vec_id AS vid,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS qe
+  FROM embeddings
+), c0 AS (
+  SELECT vid AS cid, qe AS ce FROM qz WHERE vid % 50 = 0
+), a1 AS (
+  SELECT vid, cid FROM (
+    SELECT qz.vid, c0.cid,
+           row_number() OVER (PARTITION BY qz.vid ORDER BY
+             round(CAST(list_sum(list_transform(range(64), i -> qe[i+1] * ce[i+1])) AS DOUBLE)
+               / sqrt(CAST(list_sum(list_transform(range(64), i -> qe[i+1] * qe[i+1])) AS DOUBLE)
+                      * CAST(list_sum(list_transform(range(64), i -> ce[i+1] * ce[i+1])) AS DOUBLE)),
+               6) DESC, c0.cid ASC) AS rnk
+    FROM qz CROSS JOIN c0)
+  WHERE rnk = 1
+), s1 AS (
+  SELECT a1.cid, d.i AS d, sum(qe[d.i+1]) AS s, count(*) AS n
+  FROM a1 JOIN qz ON a1.vid = qz.vid
+  CROSS JOIN (SELECT unnest(range(64)) AS i) d
+  GROUP BY 1, 2
+), c1 AS (
+  SELECT cid,
+         list(CASE WHEN s < 0 THEN -((-s) // n) ELSE s // n END ORDER BY d) AS ce
+  FROM s1 GROUP BY 1
+)
+SELECT vid AS vec_id, cid FROM (
+  SELECT qz.vid, c1.cid,
+         row_number() OVER (PARTITION BY qz.vid ORDER BY
+           round(CAST(list_sum(list_transform(range(64), i -> qe[i+1] * ce[i+1])) AS DOUBLE)
+             / sqrt(CAST(list_sum(list_transform(range(64), i -> qe[i+1] * qe[i+1])) AS DOUBLE)
+                    * CAST(list_sum(list_transform(range(64), i -> ce[i+1] * ce[i+1])) AS DOUBLE)),
+             6) DESC, c1.cid ASC) AS rnk
+  FROM qz CROSS JOIN c1)
+WHERE rnk = 1 ORDER BY vec_id"""),
 
     "ann_knn_graph" -> (rhpBucketsCte(8, 16) + """, cand AS (
   SELECT DISTINCT x.vec_id AS src, y.vec_id AS dst

@@ -143,6 +143,68 @@ object Similarity {
     qz.where(col("vid") % centroidStride === 0)
       .select(col("vid").as("cid"), col("qe").as("ce"), col("n2").as("cn2"))
 
+  /** Nearest-centroid assignment of every vector in `qz` against a
+    * (small, broadcast) codebook: argmax quantized cosine, ties to the
+    * smallest cid — the rule shared by [[annIvf]], [[writeCellIndex]]
+    * and [[kmeansRefine]]. */
+  private def assignCells(qz: DataFrame, cents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byVec = Window.partitionBy("vid")
+      .orderBy(col("ccos").desc, col("cid").asc)
+    qz.crossJoin(broadcast(cents))
+      .select(col("vid"), col("qe"), col("n2"), col("cid"),
+        cosineQNormed(col("qe"), col("ce"), col("n2"), col("cn2")).as("ccos"))
+      .withColumn("rnk", row_number().over(byVec))
+      .where(col("rnk") === 1)
+      .select(col("vid"), col("qe"), col("n2"), col("cid"))
+  }
+
+  /** Lloyd (k-means) REFINEMENT of the coarse IVF codebook — turns the
+    * stride-sampled quantizer into a learned one: `iters` rounds of
+    * (assign all vectors to their nearest centroid) → (replace each
+    * centroid with its cell's element-wise mean), then a final
+    * assignment against the refined codebook. Returns (vid, cid); cells
+    * keep their original centroid label across rounds, and a cell that
+    * loses all members simply drops out (standard Lloyd behavior).
+    *
+    * Determinism/portability: vectors are the exact quantized integers,
+    * per-dimension means use TRUNCATING integer division (Spark's `div`;
+    * the oracle mirrors it with a sign trick, since DuckDB's `//`
+    * floors), assignment ties break to the smallest cid — so fixed
+    * `iters` gives one bit-exact answer in both engines (k-means with
+    * floats and a convergence test would be neither).
+    *
+    * Scale shape, per round: the codebook (corpus/stride rows) is
+    * BROADCAST for assignment — the corpus never shuffles for it — and
+    * the mean is a posexplode to (cid, dim) keys (a ×dim narrow fan-out
+    * into a uniform two-level aggregation), like the published scalable
+    * k-means layouts. `iters` is a small constant; each round's plan
+    * builds on the previous lazily, so keep it ≤ 3 (at deployment scale
+    * you would materialize the codebook between rounds the way
+    * [[writeCellIndex]] stores it). */
+  def kmeansRefine(embeddings: DataFrame, idCol: String, embCol: String,
+                   centroidStride: Int = 100, iters: Int = 1): DataFrame = {
+    val qz = graft.CacheScope.persistTracked(
+      embeddings.select(col(idCol).as("vid"),
+          quantize(col(embCol)).as("qe"))
+        .withColumn("n2", dotQ(col("qe"), col("qe"))))
+    var cents = centroidsOf(qz, centroidStride)
+    for (_ <- 1 to iters) {
+      val means = assignCells(qz, cents)
+        .select(col("cid"), posexplode(col("qe")))
+        .toDF("cid", "d", "v")
+        .groupBy("cid", "d")
+        .agg(sum("v").as("s"), count(lit(1)).as("n"))
+        .select(col("cid"), col("d"), expr("s div n").as("m"))
+      cents = means.groupBy("cid")
+        .agg(transform(
+          array_sort(collect_list(struct(col("d"), col("m")))),
+          s => s.getField("m")).as("ce"))
+        .withColumn("cn2", dotQ(col("ce"), col("ce")))
+    }
+    assignCells(qz, cents).select("vid", "cid")
+  }
+
   /** The PRECOMPUTED-cells IVF path — the deployment shape [[annIvf]]'s
     * scaladoc promises: cell assignment is materialized ONCE (one
     * broadcast-scored pass over the corpus, the cost [[annIvf]] pays per

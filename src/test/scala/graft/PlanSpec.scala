@@ -187,6 +187,19 @@ class PlanSpec extends SparkSpec {
       s"the corpus side must not shuffle for the rate join:\n$p")
   }
 
+  test("kmeans: codebook broadcast for assignment, means aggregate partially") {
+    val p = plan("ann_kmeans")
+    // both assignment passes broadcast the (bounded) codebook; the
+    // corpus never shuffles to meet it
+    assert(count(p, "BroadcastNestedLoopJoin") >= 2,
+      s"expected broadcast codebook assignment in:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"the corpus must not shuffle for assignment in:\n$p")
+    // per-(cell,dim) means: partial+final pair over uniform keys
+    assert(count(p, "HashAggregate") >= 2,
+      s"expected partial+final mean aggregation in:\n$p")
+  }
+
   test("no inventory query plans a cartesian product") {
     // ann_bruteforce/ann_lsh intentionally broadcast-cross-join ONE query
     // row against the corpus — a bounded nested loop, not an all-pairs

@@ -36,6 +36,44 @@ class SimilaritySpec extends SparkSpec {
     assert(lsh.map(_._1).contains(1L))
   }
 
+  test("kmeansRefine pulls borderline members to the learned centroid") {
+    // Two direction clusters; stride 4 seeds the codebook with ids 0
+    // (cluster A) and 4 (cluster B). Seed 4 is an OUTLIER of B leaning
+    // toward the boundary, so A-member 3 starts closer to it than to
+    // seed 0 — after one Lloyd round B's centroid retreats into true B
+    // and A's moves to its members' mean, which reclaims 3 (cosines
+    // hand-checked: 3-vs-seeds 0.871/0.915 → B, 3-vs-means 0.896/0.762
+    // → A).
+    def v(x: Float, y: Float) = Array(x, y, 0f, 0f)
+    val docs = Seq(
+      0L -> v(1f, 0f), 1L -> v(0.95f, 0.1f), 2L -> v(0.9f, 0.05f),
+      3L -> v(0.8f, 0.45f),
+      4L -> v(0.6f, 0.8f), 5L -> v(0.05f, 1f), 6L -> v(0.1f, 0.95f),
+      7L -> v(0f, 1f))
+      .toDF("vec_id", "embedding")
+    val r0 = Similarity.kmeansRefine(docs, "vec_id", "embedding",
+        centroidStride = 4, iters = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    graft.CacheScope.release()
+    val r1 = Similarity.kmeansRefine(docs, "vec_id", "embedding",
+        centroidStride = 4, iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    graft.CacheScope.release()
+    // seed round: 3 lands in B's cell (closer to raw seed 4)
+    assert(r0(3L) == 4L, r0)
+    // after one Lloyd round A's centroid moved toward its members and
+    // reclaims 3; the stable members never flip
+    assert(r1(3L) == 0L, r1)
+    assert(Seq(0L, 1L, 2L).forall(v => r1(v) == 0L), r1)
+    assert(Seq(4L, 5L, 6L, 7L).forall(v => r1(v) == 4L), r1)
+    // deterministic under repartitioning
+    val again = Similarity.kmeansRefine(docs.repartition(5), "vec_id",
+        "embedding", centroidStride = 4, iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    graft.CacheScope.release()
+    assert(again == r1)
+  }
+
   test("near-dup pairs finds the colinear pair with cosine ~1") {
     val out = Similarity.nearDupPairs(vecs, "vec_id", "embedding", k = 5)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
