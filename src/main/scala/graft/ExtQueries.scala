@@ -269,6 +269,37 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    // Observability view of the curation pipeline: how many documents
+    // survive each successive gate (the numbers a curation run reports
+    // before anyone trains on its output). Same gates as
+    // pipeline_curation, folded to one pass: per-doc flags, one
+    // aggregate, unpivoted to (stage, n_docs) rows.
+    "pipeline_funnel" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val quality = TextAnalysis.qualityScore(docs, col("text"), col("doc_id"))
+        .where(col("quality_ok") && col("uniq_pm") >= 400 && col("n_words") >= 25)
+        .select(col("doc_id"), lit(true).as("q"))
+      val keepers = Dedup.exact(docs, col("text"), col("doc_id"))
+        .select(col("keeper_doc_id").as("doc_id"), lit(true).as("k"))
+      val flags = Sampling.split(docs, col("doc_id"))
+        .select("doc_id", "split")
+        .join(quality, Seq("doc_id"), "left")
+        .join(keepers, Seq("doc_id"), "left")
+        .agg(count(lit(1)).as("c0"),
+          sum(when(col("q"), 1L).otherwise(0L)).as("c1"),
+          sum(when(col("q") && col("k"), 1L).otherwise(0L)).as("c2"),
+          sum(when(col("q") && col("k") && col("split") === "train", 1L)
+            .otherwise(0L)).as("c3"))
+      flags.select(explode(array(
+          struct(lit("0_total").as("stage"), col("c0").as("n_docs")),
+          struct(lit("1_quality").as("stage"), col("c1").as("n_docs")),
+          struct(lit("2_dedup").as("stage"), col("c2").as("n_docs")),
+          struct(lit("3_train").as("stage"), col("c3").as("n_docs"))))
+          .as("s"))
+        .select(col("s.stage"), col("s.n_docs"))
+        .orderBy("stage")
+    }),
+
     "sample_split" -> ((s, d) =>
       Sampling.split(Tables.documents(s, d), col("doc_id"))
         .select("doc_id", "split").orderBy("doc_id")),
@@ -811,6 +842,32 @@ SELECT doc_id,
             WHEN ${h60("CAST(doc_id AS VARCHAR)")} % 1000000 < 100000 THEN 'test'
             ELSE 'train' END AS split
 FROM documents ORDER BY doc_id"""),
+
+    // pipeline_curation's gates as cumulative per-stage counts
+    "pipeline_funnel" -> (s"""WITH w AS (
+  SELECT doc_id, text,
+         string_split_regex(trim(lower(text)), ' +') AS words
+  FROM documents
+), f AS (
+  SELECT d.doc_id,
+         (length(d.text) >= 20 AND len(w.words) >= 25
+           AND list_max(list_transform(w.words, x -> length(x))) <= 40
+           AND len(list_distinct(w.words)) * 1000 // len(w.words) >= 400)
+           AS q,
+         d.doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))
+           AS k,
+         ${h60("CAST(d.doc_id AS VARCHAR)")} % 1000000 >= 100000 AS tr
+  FROM documents d JOIN w ON d.doc_id = w.doc_id
+)
+SELECT stage, n_docs FROM (
+  SELECT '0_total' AS stage, CAST(count(*) AS BIGINT) AS n_docs FROM f
+  UNION ALL
+  SELECT '1_quality', CAST(sum(CASE WHEN q THEN 1 ELSE 0 END) AS BIGINT) FROM f
+  UNION ALL
+  SELECT '2_dedup', CAST(sum(CASE WHEN q AND k THEN 1 ELSE 0 END) AS BIGINT) FROM f
+  UNION ALL
+  SELECT '3_train', CAST(sum(CASE WHEN q AND k AND tr THEN 1 ELSE 0 END) AS BIGINT) FROM f
+) ORDER BY stage"""),
 
     "sample_stratified" -> (s"""
 SELECT event_id, event_type
