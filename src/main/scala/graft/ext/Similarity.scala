@@ -188,7 +188,16 @@ object Similarity {
       embeddings.select(col(idCol).as("vid"),
           quantize(col(embCol)).as("qe"))
         .withColumn("n2", dotQ(col("qe"), col("qe"))))
-    var cents = centroidsOf(qz, centroidStride)
+    val cents = refineCents(qz, centroidsOf(qz, centroidStride), iters)
+    assignCells(qz, cents).select("vid", "cid")
+  }
+
+  /** `iters` Lloyd rounds over an initial codebook — the loop body of
+    * [[kmeansRefine]], shared with [[writeCellIndex]]'s optional
+    * refinement. */
+  private def refineCents(qz: DataFrame, init: DataFrame,
+                          iters: Int): DataFrame = {
+    var cents = init
     for (_ <- 1 to iters) {
       val means = assignCells(qz, cents)
         .select(col("cid"), posexplode(col("qe")))
@@ -202,7 +211,7 @@ object Similarity {
           s => s.getField("m")).as("ce"))
         .withColumn("cn2", dotQ(col("ce"), col("ce")))
     }
-    assignCells(qz, cents).select("vid", "cid")
+    cents
   }
 
   /** The PRECOMPUTED-cells IVF path — the deployment shape [[annIvf]]'s
@@ -217,12 +226,17 @@ object Similarity {
     * quantized cosine, ties to smallest cid), so probing the index
     * returns identical results. */
   def writeCellIndex(embeddings: DataFrame, idCol: String, embCol: String,
-                     path: String, centroidStride: Int = 100): Unit = {
+                     path: String, centroidStride: Int = 100,
+                     refineIters: Int = 0): Unit = {
     import org.apache.spark.sql.expressions.Window
     val qz = embeddings.select(col(idCol).as("vid"),
         quantize(col(embCol)).as("qe"))
       .withColumn("n2", dotQ(col("qe"), col("qe")))
-    val cents = centroidsOf(qz, centroidStride)
+    // refineIters > 0 stores a Lloyd-refined codebook (the learned
+    // quantizer [[kmeansRefine]] computes) instead of the raw stride
+    // sample; the probe paths read whatever codebook is stored, so the
+    // index format and pruning behavior are identical either way.
+    val cents = refineCents(qz, centroidsOf(qz, centroidStride), refineIters)
     cents.write.mode("overwrite").parquet(s"$path/centroids")
     val byCell = Window.partitionBy("vid")
       .orderBy(col("ccos").desc, col("cid").asc)

@@ -74,6 +74,34 @@ class SimilaritySpec extends SparkSpec {
     assert(again == r1)
   }
 
+  test("refined cell index stores the learned codebook; cells match kmeansRefine") {
+    def v(x: Float, y: Float) = Array(x, y, 0f, 0f)
+    val docs = Seq(
+      0L -> v(1f, 0f), 1L -> v(0.95f, 0.1f), 2L -> v(0.9f, 0.05f),
+      3L -> v(0.8f, 0.45f),
+      4L -> v(0.6f, 0.8f), 5L -> v(0.05f, 1f), 6L -> v(0.1f, 0.95f),
+      7L -> v(0f, 1f))
+      .toDF("vec_id", "embedding")
+    val root = java.nio.file.Files.createTempDirectory("graft-ivfk").toString
+    Similarity.writeCellIndex(docs, "vec_id", "embedding", root,
+      centroidStride = 4, refineIters = 1)
+    // stored cells ARE the Lloyd assignment (vector 3 in the refined
+    // A cell, not seed 4's — same geometry as the kmeansRefine spec)
+    val cells = spark.read.parquet(s"$root/cells")
+      .select("vid", "cid").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val km = Similarity.kmeansRefine(docs, "vec_id", "embedding",
+        centroidStride = 4, iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    graft.CacheScope.release()
+    assert(cells == km, s"cells $cells vs kmeans $km")
+    assert(cells(3L) == 0L)
+    // the probe path reads the refined codebook transparently
+    val near = Similarity.annIvfIndexed(spark, root, 0L, 3, nprobe = 1)
+      .collect().map(_.getLong(0))
+    assert(near.toSet == Set(1L, 2L, 3L), near.toSeq)
+  }
+
   test("near-dup pairs finds the colinear pair with cosine ~1") {
     val out = Similarity.nearDupPairs(vecs, "vec_id", "embedding", k = 5)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
