@@ -1,0 +1,124 @@
+package graft.ext
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+import graft.SparkSpec
+
+/** Property-based invariants for the curation rewrites, over random
+  * corpora drawn from a tiny vocabulary (which makes cross-document
+  * collisions — the interesting case — common). Spark-backed
+  * properties run a handful of cases each (every case is a full job);
+  * the pure-expression redaction property runs hundreds.
+  */
+class CurationPropsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def checkProp(p: Prop, cases: Int): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(cases), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  private val word = Gen.oneOf("ab", "cd", "ef", "gh", "ij")
+  private val doc = Gen.chooseNum(1, 12)
+    .flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
+  private val corpus = Gen.chooseNum(2, 8)
+    .flatMap(n => Gen.listOfN(n, doc))
+    .map(_.zipWithIndex.map { case (t, i) => (i.toLong, t) })
+
+  test("cutSpans: counts reconcile and survivors are an ordered subsequence") {
+    checkProp(Prop.forAll(corpus) { docs =>
+      val df = docs.toDF("doc_id", "text")
+      val out = Curation.cutSpans(df, $"text", $"doc_id", k = 2, minCount = 2)
+        .collect().map(r => (r.getLong(0),
+          (r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+      graft.CacheScope.release()
+      docs.forall { case (id, text) =>
+        val words = text.split(" ").toSeq
+        val (nWords, nCut, clean) = out(id)
+        val cleanWords =
+          if (clean.isEmpty) Seq.empty else clean.split(" ").toSeq
+        // every document survives; totals reconcile; the survivors are
+        // a subsequence of the original words (order preserved)
+        nWords == words.length &&
+          cleanWords.length == nWords - nCut &&
+          isSubsequence(cleanWords, words)
+      }
+    }, cases = 8)
+  }
+
+  test("duplicateSpans: spans are disjoint, in bounds, at least k long") {
+    checkProp(Prop.forAll(corpus) { docs =>
+      val df = docs.toDF("doc_id", "text")
+      val spans = Curation.duplicateSpans(df, $"text", $"doc_id",
+          k = 2, minCount = 2)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+      graft.CacheScope.release()
+      val byDoc = docs.toMap
+      spans.forall { case (id, s, e, n) =>
+        val len = byDoc(id).split(" ").length
+        s >= 0 && e < len && n == e - s + 1 && n >= 2
+      } && spans.groupBy(_._1).values.forall { ss =>
+        // merged spans never touch: a gap of at least one word
+        ss.sortBy(_._2).toSeq.sliding(2).forall {
+          case Seq(a, b) => b._2 > a._3 + 1
+          case _ => true
+        }
+      }
+    }, cases = 8)
+  }
+
+  test("dedupLines: kept lines are exactly the locally-unique ones") {
+    val linedDoc = Gen.chooseNum(1, 5)
+      .flatMap(n => Gen.listOfN(n, doc)).map(_.mkString("\n"))
+    val linedCorpus = Gen.chooseNum(2, 6)
+      .flatMap(n => Gen.listOfN(n, linedDoc))
+      .map(_.zipWithIndex.map { case (t, i) => (i.toLong, t) })
+    checkProp(Prop.forAll(linedCorpus) { docs =>
+      val df = docs.toDF("doc_id", "text")
+      val out = Curation.dedupLines(df, $"text", $"doc_id")
+        .collect().map(r => (r.getLong(0), r.getString(3))).toMap
+      graft.CacheScope.release()
+      // reference model: line -> number of distinct docs containing it
+      val docFreq = docs.flatMap { case (_, t) => t.split("\n", -1).distinct }
+        .groupBy(identity).view.mapValues(_.length).toMap
+      docs.forall { case (id, text) =>
+        val expect = text.split("\n", -1).filter(docFreq(_) < 2)
+        out(id).split("\n", -1).filter(_.nonEmpty).toSeq ==
+          expect.filter(_.nonEmpty).toSeq
+      }
+    }, cases = 8)
+  }
+
+  test("redactText is idempotent and leaves PII-free text alone (expression-level)") {
+    val noise = Gen.listOfN(6, Gen.oneOf("lorem", "ipsum", "x", "-", "."))
+      .map(_.mkString(" "))
+    val pii = Gen.oneOf(
+      "a.b@example.com", "10.0.0.1", "555-123-4567", "")
+    val gen = for { a <- noise; p <- pii; b <- noise } yield s"$a $p $b"
+    checkProp(Prop.forAll(Gen.listOfN(12, gen)) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val once = Curation.redactPii(df, $"text", $"doc_id")
+      val twice = once.select($"doc_id",
+        Curation.redactText($"redacted").as("again"),
+        $"redacted", $"n_emails", $"n_ips", $"n_phones")
+        .collect()
+      twice.forall { r =>
+        val stable = r.getString(1) == r.getString(2)
+        // counted PII implies the original text actually changed
+        val masked = (r.getInt(3) + r.getInt(4) + r.getInt(5) == 0) ||
+          r.getString(2).contains("<")
+        stable && masked
+      }
+    }, cases = 5)
+  }
+
+  /** `xs` appears within `ys` preserving order (not necessarily
+    * contiguously). */
+  private def isSubsequence(xs: Seq[String], ys: Seq[String]): Boolean = {
+    var i = 0
+    ys.foreach { y => if (i < xs.length && xs(i) == y) i += 1 }
+    i == xs.length
+  }
+}
