@@ -27,15 +27,17 @@ object Curation {
     * reassemble each document with its surviving lines in original
     * order.
     *
-    * Two shuffle rounds, both on uniform keys: (1) per-line document
-    * frequency — distinct (doc, line-hash) then count by line-hash;
-    * (2) fold the verdicts back and regroup by doc_id. The exploded
-    * line frame feeds both the count side and the reassembly side, so
-    * it is persisted for the query's scope (released by the caller via
-    * [[graft.CacheScope]]). Line identity is the exact line string
-    * (hashed to 8-byte keys for the exchanges); a line repeated WITHIN
-    * one document counts once toward its document frequency, but all
-    * its occurrences are dropped together when the line is shared.
+    * Exactly two shuffles, both on uniform keys (the
+    * [[Dedup.sharedShingleStats]] window formulation — no separate
+    * counts frame, no join, no persisted intermediate): (1) per-line
+    * document frequency as a window over the line hash —
+    * `dense_rank` by doc_id then its partition max is an exact
+    * windowed COUNT DISTINCT, which Spark's window API lacks
+    * natively; (2) regroup by doc_id to reassemble. Line identity is
+    * the exact line string (hashed to 8-byte keys for the exchange);
+    * a line repeated WITHIN one document counts once toward its
+    * document frequency, but all its occurrences are dropped together
+    * when the line is shared.
     *
     * Output: (doc_id, n_lines, n_kept, clean_text) — clean_text is ""
     * when every line was dropped, and documents always survive (this
@@ -43,13 +45,12 @@ object Curation {
     */
   def dedupLines(df: DataFrame, content: Column, id: Column,
                  minDocs: Int = 2): DataFrame = {
-    val lines = graft.CacheScope.persistTracked(
-      df.select(id.as("doc_id"), posexplode(split(content, "\n")))
-        .toDF("doc_id", "pos", "line")
-        .withColumn("lh", Text.hash60(col("line"))))
-    val docFreq = lines.select(col("doc_id"), col("lh")).distinct()
-      .groupBy("lh").agg(count(lit(1)).as("nd"))
-    lines.join(docFreq, "lh")
+    val byLine = Window.partitionBy("lh")
+    val byLineDoc = byLine.orderBy("doc_id")
+    df.select(id.as("doc_id"), posexplode(split(content, "\n")))
+      .toDF("doc_id", "pos", "line")
+      .withColumn("lh", Text.hash60(col("line")))
+      .withColumn("nd", max(dense_rank().over(byLineDoc)).over(byLine))
       .withColumn("kept", col("nd") < minDocs)
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_lines"),
@@ -109,29 +110,25 @@ object Curation {
     * (and lets the row verify exact positions, not just a rewrite).
     *
     * Plan: position-preserving k-shingle explode (narrow), occurrence
-    * count by uniform shingle hash (one shuffle, map-side partial
-    * aggregation), hash-join the duplicated hashes back (a fraction of
-    * the shingle set — AQE broadcasts it when small), then merge
-    * overlapping windows per document with a gaps-and-islands pass:
-    * shingles at positions p and q (p < q) overlap-or-touch iff
-    * q - p <= k, so a window `lag` marks island starts and a running
-    * sum numbers them — the only doc-keyed shuffle, bounded per
-    * document by text length. The shingle frame feeds the count and
-    * probe sides, so it is persisted for the query's scope.
+    * count as a WINDOW over the uniform shingle hash (one shuffle; the
+    * [[Dedup.sharedShingleStats]] formulation — no counts frame, no
+    * join, no persisted intermediate), then merge overlapping windows
+    * per document with a gaps-and-islands pass: shingles at positions
+    * p and q (p < q) overlap-or-touch iff q - p <= k, so a window
+    * `lag` marks island starts and a running sum numbers them — the
+    * only doc-keyed shuffle, bounded per document by text length.
     *
     * Output: (doc_id, span_start, span_end, n_tokens) — inclusive
     * 0-based word positions, n_tokens = span length in words. */
   def duplicateSpans(df: DataFrame, content: Column, id: Column,
                      k: Int = 5, minCount: Int = 2): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
-    val sh = graft.CacheScope.persistTracked(
-      df.select(id.as("doc_id"), posexplode(Text.shingles(content, k)))
-        .toDF("doc_id", "pos", "s")
-        .select(col("doc_id"), col("pos"), Text.hash60(col("s")).as("sh")))
-    val dup = sh.groupBy("sh").agg(count(lit(1)).as("n"))
-      .where(col("n") >= minCount)
     val w = Window.partitionBy("doc_id").orderBy("pos")
-    sh.join(dup, "sh")
+    df.select(id.as("doc_id"), posexplode(Text.shingles(content, k)))
+      .toDF("doc_id", "pos", "s")
+      .select(col("doc_id"), col("pos"), Text.hash60(col("s")).as("sh"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("sh")))
+      .where(col("n") >= minCount)
       .select("doc_id", "pos")
       .withColumn("newi",
         when(col("pos") - lag("pos", 1).over(w) > k, 1).otherwise(0))

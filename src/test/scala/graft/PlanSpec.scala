@@ -157,26 +157,26 @@ class PlanSpec extends SparkSpec {
       s"expected a single (sort) exchange in:\n$p")
   }
 
-  test("line dedup: hash-keyed count + join, no window, no nested loop") {
+  test("line dedup: windowed doc-frequency over the line hash, no join") {
     val p = plan("dedup_lines")
-    assert(!p.contains("Window"), s"line dedup needs no window:\n$p")
-    assert(!p.contains("BroadcastNestedLoopJoin") &&
-      !p.contains("CartesianProduct"),
-      s"the doc-frequency join must be hash-keyed:\n$p")
+    // dense_rank + its partition max = exact windowed COUNT DISTINCT
+    // over the uniform line hash; verdicts never leave the row, so
+    // there is no counts frame and no join anywhere in the plan
+    assert(!p.contains("Join"), s"line dedup must not join:\n$p")
+    assert(count(p, "Window") >= 2,
+      s"expected the dense_rank + max doc-frequency windows in:\n$p")
     assert(count(p, "HashAggregate") >= 2,
-      s"expected partial+final doc-frequency aggregation in:\n$p")
+      s"expected partial+final reassembly aggregation in:\n$p")
   }
 
-  test("duplicate spans: doc-keyed windows only, hash-keyed dup probe") {
+  test("duplicate spans: windowed count + doc-keyed islands, no join") {
     val p = plan("dup_spans")
-    // lag then the dependent running sum — two windows, both partitioned
-    // by doc_id (a global unpartitioned window would be the scale bug)
-    assert(count(p, "Window") == 2, s"expected the two island windows in:\n$p")
+    // shingle-hash count window, then lag + the dependent running sum
+    // over doc_id (a global unpartitioned window would be the scale bug)
+    assert(count(p, "Window") == 3, s"expected the three windows in:\n$p")
     assert(p.contains("partitionBy=[doc_id") ||
       p.contains("[doc_id#"), s"windows must be doc-partitioned in:\n$p")
-    assert(!p.contains("BroadcastNestedLoopJoin") &&
-      !p.contains("CartesianProduct"),
-      s"the dup probe must be hash-keyed:\n$p")
+    assert(!p.contains("Join"), s"the dup filter must stay windowed:\n$p")
   }
 
   test("mixture: tiny rate table broadcast, corpus side stays a narrow filter") {
