@@ -87,8 +87,12 @@ class SimilaritySpec extends SparkSpec {
       centroidStride = 4, refineIters = 1)
     // stored cells ARE the Lloyd assignment (vector 3 in the refined
     // A cell, not seed 4's — same geometry as the kmeansRefine spec)
+    // cast: partition-column inference types cid as int (readCells, the
+    // production path, pins it to long with an explicit schema)
     val cells = spark.read.parquet(s"$root/cells")
-      .select("vid", "cid").collect()
+      .select(org.apache.spark.sql.functions.col("vid"),
+        org.apache.spark.sql.functions.col("cid").cast("long"))
+      .collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     val km = Similarity.kmeansRefine(docs, "vec_id", "embedding",
         centroidStride = 4, iters = 1)
