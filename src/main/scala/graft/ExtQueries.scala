@@ -373,6 +373,11 @@ object ExtQueries {
       TextAnalysis.repetitionStats(Tables.documents(s, d), col("text"), col("doc_id"))
         .orderBy("doc_id")),
 
+    // corpus-level IDF-shaped rarity (integer bit-length surprisal)
+    "text_rarity" -> ((s, d) =>
+      TextAnalysis.rarityScore(Tables.documents(s, d), col("text"),
+        col("doc_id")).orderBy("doc_id")),
+
     "text_top_terms" -> ((s, d) =>
       TextAnalysis.topTerms(Tables.documents(s, d), col("text"),
           col("doc_id"), k = 5)
@@ -1037,6 +1042,24 @@ SELECT b.doc_id, n_bigrams, top_bigram_n,
        CAST(dup_trigram_n AS BIGINT) * 1000 // n_trigrams AS dup_trigram_pm
 FROM bstat b JOIN tstat t ON b.doc_id = t.doc_id
 ORDER BY b.doc_id"""),
+
+    // rarityScore: distinct tokens per doc (on the STRINGS, hashed
+    // after, matching the Spark order of operations), document
+    // frequency as a row-count window over the hash, bit-length
+    // surprisal folded per document.
+    "text_rarity" -> (s"""WITH t AS (
+  SELECT doc_id, ${h60("tok")} AS th
+  FROM (SELECT DISTINCT doc_id, tok
+        FROM (SELECT doc_id, unnest(regexp_extract_all(text, '$TokRe')) AS tok
+              FROM documents))
+), d AS (
+  SELECT doc_id, 64 - length(bin(count(*) OVER (PARTITION BY th))) AS rar
+  FROM t
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+       CAST(sum(rar) AS BIGINT) AS rarity_sum,
+       CAST(sum(rar) * 1000 // count(*) AS BIGINT) AS rarity_pm
+FROM d GROUP BY doc_id ORDER BY doc_id"""),
 
     "text_top_terms" -> ("""WITH t AS (
   SELECT doc_id, unnest(string_split_regex(trim(lower(text)), ' +')) AS term

@@ -149,6 +149,34 @@ object TextAnalysis {
   /** Document fingerprints: md5 of whitespace-normalized lowercase text
     * (exact content identity modulo spacing) + winnowing-style min
     * shingle hash (robust to local edits). */
+  /** Corpus-statistical token RARITY — the IDF-shaped signal of
+    * statistical quality filters (documents made of globally common
+    * tokens score near zero; rare-vocabulary documents score high), as
+    * an exact integer surprisal proxy: for each of a document's
+    * DISTINCT tokens, `64 - bitlength(df)` where `df` is the token's
+    * document frequency (both engines agree on `length(bin(x))` — no
+    * logarithm touches a float). Unlike the per-row [[qualityScore]],
+    * this is a CORPUS statistic: one shuffle, a count window over the
+    * uniform 60-bit token hash (rows are pre-distinct per (doc, token),
+    * so a plain row count IS the document frequency), then the per-doc
+    * regroup. Documents with no tokens are dropped.
+    *
+    * Output: (doc_id, n_terms, rarity_sum, rarity_pm = mean rarity per
+    * term in parts-per-thousand). */
+  def rarityScore(df: DataFrame, content: Column, id: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    df.select(id.as("doc_id"),
+        explode(array_distinct(Text.tokens(content))).as("tok"))
+      .select(col("doc_id"), Text.hash60(col("tok")).as("th"))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("th")))
+      .withColumn("rar", lit(64) - length(bin(col("df"))))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"),
+        sum(col("rar").cast("long")).as("rarity_sum"))
+      .withColumn("rarity_pm", expr("rarity_sum * 1000 div n_terms"))
+  }
+
   def fingerprint(df: DataFrame, content: Column, id: Column,
                   k: Int = 3): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)

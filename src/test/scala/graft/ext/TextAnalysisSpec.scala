@@ -112,6 +112,27 @@ class TextAnalysisSpec extends SparkSpec {
       (2L, 1, "cherry", 2L, 2L), (2L, 2, "date", 1L, 1L)))
   }
 
+  test("rarityScore: bit-length surprisal over document frequency") {
+    val df = Seq(
+      (1L, "common rare1"),
+      (2L, "common rare2"),
+      (3L, "common common")).toDF("id", "text")
+    val out = TextAnalysis.rarityScore(df, $"text", $"id")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // df(common)=3 -> bitlen 2 -> rar 62; df(rareN)=1 -> bitlen 1 -> 63.
+    // doc 3 has ONE distinct term (repeats don't raise df).
+    assert(out.toSeq == Seq(
+      (1L, 2L, 125L, 62500L),
+      (2L, 2L, 125L, 62500L),
+      (3L, 1L, 62L, 62000L)))
+    // partitioning-independent
+    val again = TextAnalysis.rarityScore(df.repartition(3), $"text", $"id")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(again.toSeq == out.toSeq)
+  }
+
   test("fingerprint: spacing-insensitive content fp, local-edit-stable winnow fp") {
     val df = Seq(
       (1L, "alpha beta  gamma delta epsilon"),
