@@ -179,6 +179,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), s"the dup filter must stay windowed:\n$p")
   }
 
+  test("token rarity: windowed doc-frequency, no join") {
+    val p = plan("text_rarity")
+    assert(!p.contains("Join"), s"rarity must not join:\n$p")
+    assert(count(p, "Window") == 1,
+      s"expected exactly the doc-frequency count window in:\n$p")
+  }
+
   test("mixture: tiny rate table broadcast, corpus side stays a narrow filter") {
     val p = plan("sample_mixture")
     assert(p.contains("BroadcastHashJoin"),
