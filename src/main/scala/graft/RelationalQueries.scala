@@ -211,6 +211,51 @@ object RelationalQueries {
         .agg(countDistinct(col("user_id")).as("users"), count(lit(1)).as("n"))
         .orderBy("day")),
 
+    // SCD2 history from a change feed: every event opens a validity
+    // interval the NEXT event of the same key closes (null = current) —
+    // the slowly-changing-dimension shape a warehouse derives from CDC.
+    // One user-keyed window; millisecond longs out (engine-portable).
+    "q_scd2" -> ((s, d) => {
+      val byUser = Window.partitionBy("user_id")
+        .orderBy(col("valid_from_ms").asc, col("event_id").asc)
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_millis(col("ts")).as("valid_from_ms"))
+        .withColumn("valid_to_ms", lead("valid_from_ms", 1).over(byUser))
+        .orderBy("user_id", "valid_from_ms", "event_id")
+    }),
+
+    // Ordered conversion funnel: first view, first click strictly after
+    // it, first purchase strictly after that, per user — stage counts.
+    // Three dependent full-partition windows share ONE user-keyed
+    // exchange, then a per-user fold and a tiny final aggregate.
+    "q_funnel" -> ((s, d) => {
+      val byUser = Window.partitionBy("user_id")
+      val staged = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"),
+          unix_millis(col("ts")).as("ms"))
+        .withColumn("v_ms",
+          min(when(col("event_type") === "view", col("ms"))).over(byUser))
+        .withColumn("c_ms",
+          min(when(col("event_type") === "click" && col("ms") > col("v_ms"),
+            col("ms"))).over(byUser))
+        .withColumn("p_ms",
+          min(when(col("event_type") === "purchase" && col("ms") > col("c_ms"),
+            col("ms"))).over(byUser))
+      staged.groupBy("user_id")
+        .agg(max("v_ms").as("v"), max("c_ms").as("c"), max("p_ms").as("p"))
+        .agg(sum(when(col("v").isNotNull, 1L).otherwise(0L)).as("n_view"),
+          sum(when(col("c").isNotNull, 1L).otherwise(0L)).as("n_click"),
+          sum(when(col("p").isNotNull, 1L).otherwise(0L)).as("n_purchase"))
+        .select(explode(array(
+          struct(lit("1_view").as("stage"), col("n_view").as("n_users")),
+          struct(lit("2_click").as("stage"), col("n_click").as("n_users")),
+          struct(lit("3_purchase").as("stage"),
+            col("n_purchase").as("n_users")))).as("s"))
+        .select("s.stage", "s.n_users")
+        .orderBy("stage")
+    }),
+
     // the SCALE path for quantiles: q_median's exact row_number walk
     // shuffles every row into per-key sorted windows; the histogram
     // needs one uniform (key,bin) partial-agg shuffle and then windows
@@ -437,6 +482,42 @@ FROM sess GROUP BY 1, 2 ORDER BY 1, 2""",
 SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
        count(DISTINCT user_id) AS users, count(*) AS n
 FROM events GROUP BY 1 ORDER BY 1""",
+
+    "q_scd2" -> """
+SELECT user_id, event_id, event_type,
+       epoch_ms(ts) AS valid_from_ms,
+       lead(epoch_ms(ts)) OVER (PARTITION BY user_id
+         ORDER BY epoch_ms(ts), event_id) AS valid_to_ms
+FROM events ORDER BY user_id, valid_from_ms, event_id""",
+
+    "q_funnel" -> """
+WITH s1 AS (
+  SELECT user_id, event_type, epoch_ms(ts) AS ms,
+         min(CASE WHEN event_type = 'view' THEN epoch_ms(ts) END)
+           OVER (PARTITION BY user_id) AS v_ms
+  FROM events
+), s2 AS (
+  SELECT *, min(CASE WHEN event_type = 'click' AND ms > v_ms THEN ms END)
+           OVER (PARTITION BY user_id) AS c_ms
+  FROM s1
+), s3 AS (
+  SELECT *, min(CASE WHEN event_type = 'purchase' AND ms > c_ms THEN ms END)
+           OVER (PARTITION BY user_id) AS p_ms
+  FROM s2
+), u AS (
+  SELECT user_id, max(v_ms) AS v, max(c_ms) AS c, max(p_ms) AS p
+  FROM s3 GROUP BY 1
+), f AS (
+  SELECT CAST(sum(CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+         CAST(sum(CASE WHEN c IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+         CAST(sum(CASE WHEN p IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase
+  FROM u
+)
+SELECT stage, n_users FROM (
+  SELECT '1_view' AS stage, n_view AS n_users FROM f
+  UNION ALL SELECT '2_click', n_click FROM f
+  UNION ALL SELECT '3_purchase', n_purchase FROM f
+) ORDER BY stage""",
 
     "q_salted" -> s"""
 WITH dim AS (SELECT event_type, min(event_id) AS type_first FROM events GROUP BY 1)

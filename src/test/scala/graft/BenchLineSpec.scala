@@ -18,8 +18,11 @@ class BenchLineSpec extends AnyFunSuite {
     // any sane per-query timing (<1000s): 3 chars — "9.9" under the
     // 9.95 guard, "999" above it.
     val qs = names.map(n => s""""$n":9.9""").mkString("{", ",", "}")
+    // Worst-case happy-path total: <1000 s formats as 3 chars ("999");
+    // a query failure blows the line with 1e9 penalties + an errors map
+    // regardless, so the budget pins the zero-error shape only.
     val line =
-      s"""{"metric":"total","value":99999,"unit":"sec","queries":$qs,"cpus":32,"sf":"sf0.1"}"""
+      s"""{"metric":"total","value":999,"unit":"sec","queries":$qs,"cpus":32,"sf":"sf0.1"}"""
     // Leave headroom for a trailing newline and any stray launcher byte.
     // If this trips on a future query: the next structural levers are
     // emitting basename(sfDir) instead of the full path (-15) and then
