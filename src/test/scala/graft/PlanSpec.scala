@@ -179,6 +179,20 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), s"the dup filter must stay windowed:\n$p")
   }
 
+  test("scd2: one user-keyed lead window, no join") {
+    val p = plan("q_scd2")
+    assert(!p.contains("Join"), s"scd2 must not join:\n$p")
+    assert(count(p, "Window") == 1, s"expected the single lead window in:\n$p")
+  }
+
+  test("event funnel: dependent stage windows share one user exchange") {
+    val p = plan("q_funnel")
+    assert(!p.contains("Join"), s"funnel must not join:\n$p")
+    // three dependent min-windows + the per-user fold; only ONE
+    // data-sized exchange (user_id) feeds them all
+    assert(count(p, "Window") == 3, s"expected the three stage windows in:\n$p")
+  }
+
   test("token rarity: windowed doc-frequency, no join") {
     val p = plan("text_rarity")
     assert(!p.contains("Join"), s"rarity must not join:\n$p")
