@@ -74,7 +74,9 @@ object Bench {
     // multi-x run-to-run noise on this box (three rounds of frozen-code
     // swings documented in VERDICT r7; BenchLineSpec pins the whole
     // line's budget). The 9.95 guard keeps %.1f from rounding into a
-    // 4-char "10.0".
+    // 4-char "10.0"; values >= 999.5 s render 4+ chars, but a bench
+    // with ~17-minute queries is already a broken round (the same
+    // bucket as the 1e9 error penalties the budget doesn't pin).
     def jnum(v: Double): String =
       if (v < 9.95) f"$v%.1f" else f"$v%.0f"
     val qs = timings.map { case (k, v) => s"${jstr(k)}:${jnum(v)}" }.mkString("{", ",", "}")

@@ -460,6 +460,30 @@ object ExtQueries {
   /** Shared by ann_ivf and ann_ivf_indexed: both formulations compute
     * the same cells/probe result; only the Spark-side physical shape
     * differs (per-query reassignment vs partition-pruned index scan). */
+  /** Shared CTE chain of dup_spans / dup_spans_cut: positioned
+    * 5-shingles, global occurrence count, gaps-and-islands (`isl`). */
+  private def DupSpansCte = s"""WITH w AS (
+  SELECT doc_id, string_split_regex(trim(text), ' +') AS words FROM documents
+), s0 AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(words) >= 5
+           THEN list_transform(range(len(words)-4),
+                i -> {'pos': i, 's': array_to_string(words[i+1:i+5], ' ')})
+           ELSE [] END, recursive := true)
+  FROM w
+), sh AS (
+  SELECT doc_id, pos, ${h60("s")} AS sh FROM s0
+), dup AS (
+  SELECT sh FROM (SELECT sh, count(*) AS n FROM sh GROUP BY 1) WHERE n >= 2
+), isl AS (
+  SELECT doc_id, pos,
+         sum(CASE WHEN pos - prev > 5 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM (SELECT doc_id, pos,
+               lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        FROM sh JOIN dup USING (sh))
+)"""
+
   private val AnnIvfSql = """WITH qz AS (
   SELECT vec_id,
          list_transform(embedding,
@@ -1170,56 +1194,17 @@ FROM p ORDER BY doc_id"""),
     // Mirror of Curation.duplicateSpans: positioned 5-shingles, global
     // occurrence count, gaps-and-islands merge (gap > 5 starts a new
     // island; CASE WHEN NULL>5 THEN.. ELSE 0 matches Spark's first-row
-    // semantics).
-    "dup_spans" -> (s"""WITH w AS (
-  SELECT doc_id, string_split_regex(trim(text), ' +') AS words FROM documents
-), s0 AS (
-  SELECT doc_id,
-         unnest(CASE WHEN len(words) >= 5
-           THEN list_transform(range(len(words)-4),
-                i -> {'pos': i, 's': array_to_string(words[i+1:i+5], ' ')})
-           ELSE [] END, recursive := true)
-  FROM w
-), sh AS (
-  SELECT doc_id, pos, ${h60("s")} AS sh FROM s0
-), dup AS (
-  SELECT sh FROM (SELECT sh, count(*) AS n FROM sh GROUP BY 1) WHERE n >= 2
-), isl AS (
-  SELECT doc_id, pos,
-         sum(CASE WHEN pos - prev > 5 THEN 1 ELSE 0 END)
-           OVER (PARTITION BY doc_id ORDER BY pos) AS island
-  FROM (SELECT doc_id, pos,
-               lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
-        FROM sh JOIN dup USING (sh))
-)
+    // semantics). Shared verbatim by dup_spans and dup_spans_cut so the
+    // two can never desync (the AnnIvfSql convention).
+    "dup_spans" -> (DupSpansCte + """
 SELECT doc_id, CAST(min(pos) AS INT) AS span_start,
        CAST(max(pos) + 4 AS INT) AS span_end,
        CAST(max(pos) + 4 - min(pos) + 1 AS INT) AS n_tokens
 FROM isl GROUP BY doc_id, island ORDER BY doc_id, span_start"""),
 
-    // dup_spans' CTE chain + span expansion to covered positions, word
+    // DupSpansCte + span expansion to covered positions, word
     // re-explode, and order-preserving reassembly of the survivors.
-    "dup_spans_cut" -> (s"""WITH w AS (
-  SELECT doc_id, string_split_regex(trim(text), ' +') AS words FROM documents
-), s0 AS (
-  SELECT doc_id,
-         unnest(CASE WHEN len(words) >= 5
-           THEN list_transform(range(len(words)-4),
-                i -> {'pos': i, 's': array_to_string(words[i+1:i+5], ' ')})
-           ELSE [] END, recursive := true)
-  FROM w
-), sh AS (
-  SELECT doc_id, pos, ${h60("s")} AS sh FROM s0
-), dup AS (
-  SELECT sh FROM (SELECT sh, count(*) AS n FROM sh GROUP BY 1) WHERE n >= 2
-), isl AS (
-  SELECT doc_id, pos,
-         sum(CASE WHEN pos - prev > 5 THEN 1 ELSE 0 END)
-           OVER (PARTITION BY doc_id ORDER BY pos) AS island
-  FROM (SELECT doc_id, pos,
-               lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
-        FROM sh JOIN dup USING (sh))
-), spans AS (
+    "dup_spans_cut" -> (DupSpansCte + """, spans AS (
   SELECT doc_id, min(pos) AS span_start, max(pos) + 4 AS span_end
   FROM isl GROUP BY doc_id, island
 ), covered AS (

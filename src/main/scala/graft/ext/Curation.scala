@@ -72,12 +72,15 @@ object Curation {
 
   /** PII masking pass: replace every email, IPv4, and xxx-xxx-xxxx
     * phone with `<EMAIL>`/`<IP>`/`<PHONE>` tokens and report per-class
-    * hit counts (counted on the ORIGINAL text, so the counts are
-    * independent of replacement order; replacement applies email →
-    * ip → phone, and the patterns are mutually exclusive — the email
-    * local part can contain dots and digits but an address match
-    * consumes its whole token, and the `<...>` replacements contain no
-    * digits for a later pattern to re-match).
+    * hit counts. Counts are computed on the ORIGINAL text per class,
+    * independently of replacement order; the `<...>` replacements
+    * contain no digits or `@` for a later pattern to re-match, so the
+    * rewrite is idempotent (property-tested). Caveat on the counts: a
+    * pattern can match INSIDE a longer earlier-class match (an
+    * IPv4-shaped email local part like `10.2.3.4@x.com` counts one ip
+    * whose text the email replacement consumes), so per-class counts
+    * are occurrence counts in the original, not a reconciliation
+    * against tokens in the redacted output.
     *
     * A NARROW map — per-row regex work, zero shuffles, fully inside
     * whole-stage codegen (built-in `regexp_replace`/`regexp_count`);

@@ -229,26 +229,39 @@ object Similarity {
                      path: String, centroidStride: Int = 100,
                      refineIters: Int = 0): Unit = {
     import org.apache.spark.sql.expressions.Window
-    val qz = embeddings.select(col(idCol).as("vid"),
+    val qzPlan = embeddings.select(col(idCol).as("vid"),
         quantize(col(embCol)).as("qe"))
       .withColumn("n2", dotQ(col("qe"), col("qe")))
-    // refineIters > 0 stores a Lloyd-refined codebook (the learned
-    // quantizer [[kmeansRefine]] computes) instead of the raw stride
-    // sample; the probe paths read whatever codebook is stored, so the
-    // index format and pruning behavior are identical either way.
-    val cents = refineCents(qz, centroidsOf(qz, centroidStride), refineIters)
-    cents.write.mode("overwrite").parquet(s"$path/centroids")
-    val byCell = Window.partitionBy("vid")
-      .orderBy(col("ccos").desc, col("cid").asc)
-    qz.crossJoin(broadcast(cents))
-      .select(col("vid"), col("qe"), col("n2"), col("cid"),
-        cosineQNormed(col("qe"), col("ce"), col("n2"), col("cn2")).as("ccos"))
-      .withColumn("rnk", row_number().over(byCell))
-      .where(col("rnk") === 1)
-      .select(col("vid"), col("qe"), col("n2"), col("cid"))
-      .repartition(col("cid"))
-      .sortWithinPartitions("vid")
-      .write.mode("overwrite").partitionBy("cid").parquet(s"$path/cells")
+    // Refinement re-reads qz once per assignment round plus the final
+    // cells pass — persist it for the build's scope (unpersisted in the
+    // finally: this method materializes everything it needs before
+    // returning, unlike the lazy kmeansRefine, which defers to
+    // CacheScope). Without this, refineIters = N re-scans and
+    // re-quantizes the full corpus N+1 times.
+    val qz = if (refineIters > 0) qzPlan.persist() else qzPlan
+    try {
+      // refineIters > 0 stores a Lloyd-refined codebook (the learned
+      // quantizer [[kmeansRefine]] computes) instead of the raw stride
+      // sample; the probe paths read whatever codebook is stored, so the
+      // index format and pruning behavior are identical either way.
+      val cents = refineCents(qz, centroidsOf(qz, centroidStride), refineIters)
+      cents.write.mode("overwrite").parquet(s"$path/centroids")
+      // Assign against the codebook just MATERIALIZED: re-evaluating the
+      // lazy refinement plan here would recompute every Lloyd round a
+      // second time, and reading back also guarantees stored == used.
+      val stored = embeddings.sparkSession.read.parquet(s"$path/centroids")
+      val byCell = Window.partitionBy("vid")
+        .orderBy(col("ccos").desc, col("cid").asc)
+      qz.crossJoin(broadcast(stored))
+        .select(col("vid"), col("qe"), col("n2"), col("cid"),
+          cosineQNormed(col("qe"), col("ce"), col("n2"), col("cn2")).as("ccos"))
+        .withColumn("rnk", row_number().over(byCell))
+        .where(col("rnk") === 1)
+        .select(col("vid"), col("qe"), col("n2"), col("cid"))
+        .repartition(col("cid"))
+        .sortWithinPartitions("vid")
+        .write.mode("overwrite").partitionBy("cid").parquet(s"$path/cells")
+    } finally if (refineIters > 0) qz.unpersist()
   }
 
   /** Probe a [[writeCellIndex]] index with a caller-supplied QUERY
