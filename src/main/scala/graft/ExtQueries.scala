@@ -170,23 +170,17 @@ object ExtQueries {
       Similarity.annLsh(Tables.embeddings(s, d), "vec_id", "embedding",
         queryId = 32L, k = 10, bands = 8, planes = 8)),
 
-    // recall@k of both ANN paths against the exact top-k — the
-    // measurement the Similarity scaladocs promise. Deterministic by
-    // construction (every piece is oracle-portable integer math).
-    "ann_recall" -> ((s, d) => {
-      val e = Tables.embeddings(s, d)
-      val bf = Similarity.bruteForceTopK(e, "vec_id", "embedding", 32L, 10)
-        .select("vec_id")
-      val lsh = Similarity.annLsh(e, "vec_id", "embedding", 32L, 10)
-        .select("vec_id")
-      val ivf = Similarity.annIvf(e, "vec_id", "embedding", 32L, 10,
-        centroidStride = 100, nprobe = 2).select("vec_id")
-      val ihits = ivf.join(bf, Seq("vec_id")).agg(count(lit(1)).as("hits"))
-        .select(lit("ivf").as("method"), col("hits"), lit(10).as("k"))
-      val lhits = lsh.join(bf, Seq("vec_id")).agg(count(lit(1)).as("hits"))
-        .select(lit("lsh").as("method"), col("hits"), lit(10).as("k"))
-      ihits.unionByName(lhits).orderBy("method")
-    }),
+    // recall@k of both ANN paths against the exact top-k, over a FIVE
+    // query sample in one batch pass (Similarity.recallAtK — the
+    // per-query loop formulation would re-scan the corpus per query).
+    // Deterministic by construction: every piece is oracle-portable
+    // integer math, zero-candidate queries emit explicit hits=0 rows.
+    // planes = 8 matches ann_lsh's tuned banding: at 2^16 buckets over
+    // this corpus LSH candidate sets are empty and every lsh row would
+    // be a true-but-vacuous hits=0.
+    "ann_recall" -> ((s, d) =>
+      Similarity.recallAtK(Tables.embeddings(s, d), "vec_id", "embedding",
+        queryIds = Seq(0L, 32L, 100L, 250L, 400L), k = 10, planes = 8)),
 
     "ann_ivf" -> ((s, d) =>
       Similarity.annIvf(Tables.embeddings(s, d), "vec_id", "embedding",
@@ -669,31 +663,39 @@ scored AS (
 SELECT vec_id, cosine FROM scored
 ORDER BY cosine DESC, vec_id ASC LIMIT 10"""),
 
-    "ann_recall" -> (rhpBucketsCte(8, 16) + """, qb AS (
-  SELECT b, bucket FROM buckets WHERE vec_id = 32
+    // Batched mirror of Similarity.recallAtK over the five-query
+    // sample: one pairs CTE scores every (query, corpus) pair, each
+    // method takes its per-query windowed top-10, and the explicit
+    // (method x query) base emits hits=0 rows for empty candidate sets.
+    "ann_recall" -> (rhpBucketsCte(8, 8) + """, qset AS (
+  SELECT vec_id AS qid, qe AS qv FROM qz WHERE vec_id IN (0, 32, 100, 250, 400)
+), pairs AS (
+  SELECT q.qid, z.vec_id,
+         round(
+           CAST(list_sum(list_transform(range(64), i -> z.qe[i+1] * q.qv[i+1])) AS DOUBLE)
+           / sqrt(CAST(list_sum(list_transform(range(64), i -> z.qe[i+1] * z.qe[i+1])) AS DOUBLE)
+                  * CAST(list_sum(list_transform(range(64), i -> q.qv[i+1] * q.qv[i+1])) AS DOUBLE)),
+           6) AS cosine
+  FROM qz z CROSS JOIN qset q WHERE z.vec_id <> q.qid
+), bf AS (
+  SELECT qid, vec_id FROM (
+    SELECT qid, vec_id,
+           row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id ASC) AS rn
+    FROM pairs)
+  WHERE rn <= 10
+), qb AS (
+  SELECT vec_id AS qid, b, bucket FROM buckets
+  WHERE vec_id IN (0, 32, 100, 250, 400)
 ), lcand AS (
-  SELECT DISTINCT buckets.vec_id
+  SELECT DISTINCT qb.qid, buckets.vec_id
   FROM buckets JOIN qb ON buckets.b = qb.b AND buckets.bucket = qb.bucket
-  WHERE buckets.vec_id <> 32
-), q AS (SELECT qe AS qv FROM qz WHERE vec_id = 32),
-bf AS (
-  SELECT qz.vec_id,
-         round(
-           CAST(list_sum(list_transform(range(64), i -> qe[i+1] * qv[i+1])) AS DOUBLE)
-           / sqrt(CAST(list_sum(list_transform(range(64), i -> qe[i+1] * qe[i+1])) AS DOUBLE)
-                  * CAST(list_sum(list_transform(range(64), i -> qv[i+1] * qv[i+1])) AS DOUBLE)),
-           6) AS cosine
-  FROM qz CROSS JOIN q WHERE vec_id <> 32
-  ORDER BY cosine DESC, vec_id ASC LIMIT 10
-), lsh AS (
-  SELECT qz.vec_id,
-         round(
-           CAST(list_sum(list_transform(range(64), i -> qe[i+1] * qv[i+1])) AS DOUBLE)
-           / sqrt(CAST(list_sum(list_transform(range(64), i -> qe[i+1] * qe[i+1])) AS DOUBLE)
-                  * CAST(list_sum(list_transform(range(64), i -> qv[i+1] * qv[i+1])) AS DOUBLE)),
-           6) AS cosine
-  FROM qz JOIN lcand ON qz.vec_id = lcand.vec_id CROSS JOIN q
-  ORDER BY cosine DESC, qz.vec_id ASC LIMIT 10
+  WHERE buckets.vec_id <> qb.qid
+), lshtop AS (
+  SELECT qid, vec_id FROM (
+    SELECT p.qid, p.vec_id,
+           row_number() OVER (PARTITION BY p.qid ORDER BY p.cosine DESC, p.vec_id ASC) AS rn
+    FROM pairs p JOIN lcand ON p.qid = lcand.qid AND p.vec_id = lcand.vec_id)
+  WHERE rn <= 10
 ), cents AS (
   SELECT vec_id AS cid, qe AS ce FROM qz WHERE vec_id % 100 = 0
 ), cscored AS (
@@ -709,29 +711,32 @@ bf AS (
          row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS rnk
   FROM cscored
 ), cells AS (SELECT vec_id, cid FROM cranked WHERE rnk = 1),
-qcells AS (SELECT cid FROM cranked WHERE vec_id = 32 AND rnk <= 2),
-ivf AS (
-  SELECT qz.vec_id,
-         round(
-           CAST(list_sum(list_transform(range(64), i -> qe[i+1] * qv[i+1])) AS DOUBLE)
-           / sqrt(CAST(list_sum(list_transform(range(64), i -> qe[i+1] * qe[i+1])) AS DOUBLE)
-                  * CAST(list_sum(list_transform(range(64), i -> qv[i+1] * qv[i+1])) AS DOUBLE)),
-           6) AS cosine
-  FROM cells
-  JOIN qcells ON cells.cid = qcells.cid
-  JOIN qz ON qz.vec_id = cells.vec_id
-  CROSS JOIN q
-  WHERE qz.vec_id <> 32
-  ORDER BY cosine DESC, qz.vec_id ASC LIMIT 10
+qcells AS (
+  SELECT vec_id AS qid, cid FROM cranked
+  WHERE vec_id IN (0, 32, 100, 250, 400) AND rnk <= 2
+), ivftop AS (
+  SELECT qid, vec_id FROM (
+    SELECT p.qid, p.vec_id,
+           row_number() OVER (PARTITION BY p.qid ORDER BY p.cosine DESC, p.vec_id ASC) AS rn
+    FROM pairs p
+    JOIN cells c ON p.vec_id = c.vec_id
+    JOIN qcells qc ON p.qid = qc.qid AND c.cid = qc.cid)
+  WHERE rn <= 10
+), base AS (
+  SELECT m.method, q.qid
+  FROM (SELECT 'ivf' AS method UNION ALL SELECT 'lsh') m
+  CROSS JOIN (SELECT unnest([0, 32, 100, 250, 400]) AS qid) q
+), hits AS (
+  SELECT 'ivf' AS method, t.qid, count(*) AS h
+  FROM ivftop t JOIN bf ON t.qid = bf.qid AND t.vec_id = bf.vec_id GROUP BY 2
+  UNION ALL
+  SELECT 'lsh', t.qid, count(*)
+  FROM lshtop t JOIN bf ON t.qid = bf.qid AND t.vec_id = bf.vec_id GROUP BY 2
 )
-SELECT 'ivf' AS method,
-       CAST((SELECT count(*) FROM ivf WHERE vec_id IN (SELECT vec_id FROM bf)) AS BIGINT) AS hits,
-       10 AS k
-UNION ALL
-SELECT 'lsh',
-       CAST((SELECT count(*) FROM lsh WHERE vec_id IN (SELECT vec_id FROM bf)) AS BIGINT),
-       10
-ORDER BY method"""),
+SELECT base.method, CAST(base.qid AS BIGINT) AS query_id,
+       CAST(coalesce(h, 0) AS BIGINT) AS hits, 10 AS k
+FROM base LEFT JOIN hits ON base.method = hits.method AND base.qid = hits.qid
+ORDER BY 1, 2"""),
 
     "ann_ivf" -> AnnIvfSql,
 

@@ -346,6 +346,70 @@ object Similarity {
       .limit(k)
   }
 
+  /** Batch ANN recall@k over a SAMPLE of query vectors — the index-QA
+    * measurement run before an approximate index serves traffic: for
+    * each query id, how many of the exact top-`k` ([[bruteForceTopK]]
+    * semantics) the LSH and IVF paths each recover. One corpus scan per
+    * method family with the query SET broadcast and per-query top-k via
+    * windows — not a per-query loop: at scale the evaluation sample is
+    * hundreds of queries and looping would re-scan the corpus per
+    * query. Queries with zero approximate candidates still emit their
+    * row (hits 0) via the explicit (method × query) base frame.
+    *
+    * Output: (method, query_id, hits, k) — one row per method per
+    * query, hits = |approx top-k ∩ exact top-k|. */
+  def recallAtK(embeddings: DataFrame, idCol: String, embCol: String,
+                queryIds: Seq[Long], k: Int,
+                bands: Int = 8, planes: Int = 16,
+                centroidStride: Int = 100, nprobe: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(embeddings.sparkSession)
+    val qz = graft.CacheScope.persistTracked(
+      embeddings.select(col(idCol).as("vid"),
+          quantize(col(embCol)).as("qe"))
+        .withColumn("n2", dotQ(col("qe"), col("qe")))
+        .withColumn("bb", expr(s"rhplsh(qe, $bands, $planes)")))
+    val qset = broadcast(qz.where(col("vid").isin(queryIds: _*))
+      .select(col("vid").as("qid"), col("qe").as("qv"),
+        col("n2").as("qn2"), col("bb").as("qbb")))
+    def topk(scored: DataFrame): DataFrame = {
+      val w = Window.partitionBy("qid")
+        .orderBy(col("cosine").desc, col("vid").asc)
+      scored.withColumn("rn", row_number().over(w))
+        .where(col("rn") <= k).select("qid", "vid")
+    }
+    val pairs = qz.crossJoin(qset).where(col("vid") =!= col("qid"))
+    def scoreQ(df: DataFrame): DataFrame = df.select(col("qid"), col("vid"),
+      cosineQNormed(col("qe"), col("qv"), col("n2"), col("qn2")).as("cosine"))
+    val bf = topk(scoreQ(pairs))
+    val lsh = topk(scoreQ(pairs.where(
+      exists(zip_with(col("bb"), col("qbb"), (x, y) => x === y), b => b))))
+    val cents = centroidsOf(qz, centroidStride)
+    val cells = assignCells(qz, cents)
+    val qrank = Window.partitionBy("qid")
+      .orderBy(col("ccos").desc, col("cid").asc)
+    val qcells = broadcast(qset.crossJoin(broadcast(cents))
+      .select(col("qid"), col("qv"), col("qn2"), col("cid"),
+        cosineQNormed(col("qv"), col("ce"), col("qn2"), col("cn2")).as("ccos"))
+      .withColumn("rnk", row_number().over(qrank))
+      .where(col("rnk") <= nprobe)
+      .select("qid", "qv", "qn2", "cid"))
+    val ivf = topk(scoreQ(
+      cells.join(qcells, "cid").where(col("vid") =!= col("qid"))))
+    def hitsOf(m: String, cand: DataFrame): DataFrame =
+      cand.join(bf, Seq("qid", "vid"))
+        .groupBy("qid").agg(count(lit(1)).as("hits"))
+        .select(lit(m).as("method"), col("qid"), col("hits"))
+    import embeddings.sparkSession.implicits._
+    val base = Seq("ivf", "lsh")
+      .flatMap(m => queryIds.map(q => (m, q))).toDF("method", "qid")
+    base.join(hitsOf("ivf", ivf).unionByName(hitsOf("lsh", lsh)),
+        Seq("method", "qid"), "left")
+      .select(col("method"), col("qid").as("query_id"),
+        coalesce(col("hits"), lit(0L)).as("hits"), lit(k).as("k"))
+      .orderBy("method", "query_id")
+  }
+
   /** Approximate k-NN GRAPH: for EVERY vector, its `k` most similar
     * neighbours among LSH band-bucket candidates — the batch
     * construction behind semantic clustering / diversity sampling of a

@@ -16,7 +16,7 @@ class CacheHygieneSpec extends SparkSpec {
     "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_components",
     "dedup_cross_split", "ann_knn_graph", "emb_neardup_pairs",
     "pack_sequences", "pack_bin_slices", "pack_shuffle",
-    "ann_kmeans")
+    "ann_kmeans", "ann_recall")
 
   test("each cache-using query leaves no net persistent RDDs after release") {
     CacheScope.release() // drain whatever earlier suites left tracked
