@@ -13,10 +13,20 @@ import org.apache.spark.sql.functions._
   * "Deduplicating Training Data Makes Language Models Better").
   *
   * Scale shape, like every graft.ext operator: candidate/count keys are
-  * uniform 60-bit md5-derived hashes ([[Text.hash60]]) so the shuffles
-  * they drive cannot skew; per-document reassembly shuffles on doc_id;
-  * nothing collects to the driver. Results are engine-portable — integer
-  * and string ops only — so each operator has an exact DuckDB oracle.
+  * uniform 60-bit md5-derived hashes ([[Text.hash60]]), which spreads
+  * DISTINCT keys evenly — but the inputs these operators exist for are
+  * precisely the ones with a HOT key (a cookie-banner line or
+  * boilerplate shingle occurring in a large fraction of a crawl), and
+  * every occurrence of one key hashes to the same value. So corpus-wide
+  * occurrence counts are computed with `groupBy(hash)` — partial
+  * map-side aggregation collapses a hot key to one row per task before
+  * any exchange — and joined back onto the occurrence rows on the same
+  * hash key, where AQE's skew-join splitting can subdivide a hot probe
+  * partition (a window over the hash could do neither: window
+  * partitions cannot pre-aggregate or split). Per-document reassembly
+  * shuffles on doc_id; nothing collects to the driver. Results are
+  * engine-portable — integer and string ops only — so each operator
+  * has an exact DuckDB oracle.
   */
 object Curation {
 
@@ -27,13 +37,16 @@ object Curation {
     * reassemble each document with its surviving lines in original
     * order.
     *
-    * Exactly two shuffles, both on uniform keys (the
-    * [[Dedup.sharedShingleStats]] window formulation — no separate
-    * counts frame, no join, no persisted intermediate): (1) per-line
-    * document frequency as a window over the line hash —
-    * `dense_rank` by doc_id then its partition max is an exact
-    * windowed COUNT DISTINCT, which Spark's window API lacks
-    * natively; (2) regroup by doc_id to reassemble. Line identity is
+    * Plan (the skew-safe formulation — see the object doc): per-line
+    * document frequency is `groupBy(lh).agg(count_distinct(doc_id))`,
+    * which Spark plans as two partial-aggregating phases — first on
+    * the uniform composite (lh, doc_id) key, then on lh over
+    * already-collapsed partials — so a line present in 10⁸ documents
+    * costs one row per map task, not 10⁸ rows in one partition (the
+    * previous window-over-lh formulation had exactly that hot
+    * partition, with no way to pre-aggregate). The counts frame (one
+    * row per DISTINCT line) joins back onto the occurrence rows on
+    * lh; the final regroup on doc_id reassembles. Line identity is
     * the exact line string (hashed to 8-byte keys for the exchange);
     * a line repeated WITHIN one document counts once toward its
     * document frequency, but all its occurrences are dropped together
@@ -45,12 +58,15 @@ object Curation {
     */
   def dedupLines(df: DataFrame, content: Column, id: Column,
                  minDocs: Int = 2): DataFrame = {
-    val byLine = Window.partitionBy("lh")
-    val byLineDoc = byLine.orderBy("doc_id")
-    df.select(id.as("doc_id"), posexplode(split(content, "\n")))
+    val lines = df
+      .select(id.as("doc_id"), posexplode(split(content, "\n")))
       .toDF("doc_id", "pos", "line")
       .withColumn("lh", Text.hash60(col("line")))
-      .withColumn("nd", max(dense_rank().over(byLineDoc)).over(byLine))
+    // Not persisted: the lineage is a narrow scan+explode, and at corpus
+    // scale re-running it is cheaper than caching the exploded frame.
+    val docFreq = lines.groupBy("lh")
+      .agg(count_distinct(col("doc_id")).as("nd"))
+    lines.join(docFreq, "lh")
       .withColumn("kept", col("nd") < minDocs)
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_lines"),
@@ -113,13 +129,17 @@ object Curation {
     * (and lets the row verify exact positions, not just a rewrite).
     *
     * Plan: position-preserving k-shingle explode (narrow), occurrence
-    * count as a WINDOW over the uniform shingle hash (one shuffle; the
-    * [[Dedup.sharedShingleStats]] formulation — no counts frame, no
-    * join, no persisted intermediate), then merge overlapping windows
-    * per document with a gaps-and-islands pass: shingles at positions
-    * p and q (p < q) overlap-or-touch iff q - p <= k, so a window
-    * `lag` marks island starts and a running sum numbers them — the
-    * only doc-keyed shuffle, bounded per document by text length.
+    * counts as a partial-aggregating `groupBy(sh)` — a boilerplate
+    * shingle in 10⁸ documents collapses map-side instead of flooding
+    * one window partition (object doc) — filtered to the
+    * over-threshold keys (typically a tiny fraction of the corpus
+    * vocabulary, so AQE usually broadcasts the join back and the
+    * occurrence side never shuffles for it), then merge overlapping
+    * windows per document with a gaps-and-islands pass: shingles at
+    * positions p and q (p < q) overlap-or-touch iff q - p <= k, so a
+    * window `lag` marks island starts and a running sum numbers them
+    * — the only doc-keyed shuffle, bounded per document by text
+    * length.
     *
     * Output: (doc_id, span_start, span_end, n_tokens) — inclusive
     * 0-based word positions, n_tokens = span length in words. */
@@ -127,11 +147,13 @@ object Curation {
                      k: Int = 5, minCount: Int = 2): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
     val w = Window.partitionBy("doc_id").orderBy("pos")
-    df.select(id.as("doc_id"), posexplode(Text.shingles(content, k)))
+    val sh = df.select(id.as("doc_id"), posexplode(Text.shingles(content, k)))
       .toDF("doc_id", "pos", "s")
       .select(col("doc_id"), col("pos"), Text.hash60(col("s")).as("sh"))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy("sh")))
+    val hot = sh.groupBy("sh").agg(count(lit(1)).as("n"))
       .where(col("n") >= minCount)
+      .select("sh")
+    sh.join(hot, "sh")
       .select("doc_id", "pos")
       .withColumn("newi",
         when(col("pos") - lag("pos", 1).over(w) > k, 1).otherwise(0))

@@ -42,23 +42,29 @@ object Dedup {
     * k-shingles that also occur in at least one OTHER document, as
     * integer parts-per-thousand. [[TextAnalysis.repetitionStats]]
     * measures repetition WITHIN a document (narrow map, zero shuffle);
-    * this measures it ACROSS the corpus, where two shuffles are
-    * inherent: a window count over the 60-bit shingle hash (uniform
-    * md5-derived keys — no skew) for how many docs contain each
-    * shingle, then a groupBy on doc_id to fold the flags back per
-    * document. The window formulation keeps it to exactly those two
-    * exchanges — no separate counts frame, no join. Shingles are
+    * this measures it ACROSS the corpus. Per-shingle document counts
+    * come from a partial-aggregating `groupBy(s)` — hash uniformity
+    * spreads DISTINCT shingles, but a boilerplate shingle occurring in
+    * most of a crawl is ONE key, and map-side combine collapses it to
+    * one row per task where a window-over-s formulation would funnel
+    * every occurrence into a single partition. The counts (one row per
+    * distinct shingle) join back on the uniform hash key (AQE
+    * skew-join splits a residual hot probe partition), then a groupBy
+    * on doc_id folds the flags back per document. Shingles are
     * per-doc DISTINCT before the explode, so a shingle repeated only
     * inside one document has doc-count 1 and does NOT count as shared.
     * Documents with no k-shingle (under k words) are dropped. */
   def sharedShingleStats(df: DataFrame, content: Column, id: Column,
                          k: Int = 3): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     graft.functions.GraftFunctions.register(df.sparkSession)
-    df.select(id.as("doc_id"),
+    val ex = df.select(id.as("doc_id"),
         explode(array_distinct(Text.shingles(content, k))).as("str"))
       .select(col("doc_id"), Text.hash60(col("str")).as("s"))
-      .withColumn("nd", count(lit(1)).over(Window.partitionBy("s")))
+    // rows are pre-distinct per (doc, shingle), so a plain row count per
+    // shingle IS its document frequency; not persisted — the lineage is
+    // a narrow scan+explode, cheaper to re-run than to cache at scale
+    val docCount = ex.groupBy("s").agg(count(lit(1)).as("nd"))
+    ex.join(docCount, "s")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_shingles"),
         sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_shared"))

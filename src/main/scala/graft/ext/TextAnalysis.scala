@@ -156,20 +156,26 @@ object TextAnalysis {
     * DISTINCT tokens, `64 - bitlength(df)` where `df` is the token's
     * document frequency (both engines agree on `length(bin(x))` — no
     * logarithm touches a float). Unlike the per-row [[qualityScore]],
-    * this is a CORPUS statistic: one shuffle, a count window over the
-    * uniform 60-bit token hash (rows are pre-distinct per (doc, token),
-    * so a plain row count IS the document frequency), then the per-doc
+    * this is a CORPUS statistic: document frequency per token from a
+    * partial-aggregating `groupBy(th)` (rows are pre-distinct per
+    * (doc, token), so a plain row count IS the document frequency) —
+    * the token "the" occurs in essentially EVERY document, the
+    * textbook hot key, and map-side combine collapses it to one row
+    * per task where a count window over th would funnel the whole
+    * corpus's occurrences into one partition. The vocabulary-sized
+    * counts frame joins back on the uniform hash key (AQE skew-join
+    * splits a residual hot probe partition), then the per-doc
     * regroup. Documents with no tokens are dropped.
     *
     * Output: (doc_id, n_terms, rarity_sum, rarity_pm = mean rarity per
     * term in parts-per-thousand). */
   def rarityScore(df: DataFrame, content: Column, id: Column): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     graft.functions.GraftFunctions.register(df.sparkSession)
-    df.select(id.as("doc_id"),
+    val ex = df.select(id.as("doc_id"),
         explode(array_distinct(Text.tokens(content))).as("tok"))
       .select(col("doc_id"), Text.hash60(col("tok")).as("th"))
-      .withColumn("df", count(lit(1)).over(Window.partitionBy("th")))
+    val dfreq = ex.groupBy("th").agg(count(lit(1)).as("df"))
+    ex.join(dfreq, "th")
       .withColumn("rar", lit(64) - length(bin(col("df"))))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_terms"),

@@ -83,10 +83,17 @@ class PlanSpec extends SparkSpec {
       s"expected the per-doc top-k pushed below the window sort:\n$p")
   }
 
-  test("shared ngrams: single window over the shingle hash, no self-join") {
+  test("shared ngrams: partial-agg doc counts, no window over the shingle hash") {
+    // occurrence counts MUST be a groupBy (map-side combine absorbs a
+    // boilerplate shingle shared by most of the corpus) joined back on
+    // the hash key — a count window over the hash would put every
+    // occurrence of the hot key into one partition
     val p = plan("dedup_shared_ngrams")
-    assert(count(p, "Window") == 1, s"expected one shingle-hash window in:\n$p")
-    assert(!p.contains("Join"), s"shared-ngram stats must not self-join:\n$p")
+    assert(!p.contains("Window"), s"no window may partition on the shingle hash:\n$p")
+    assert(count(p, "HashAggregate") >= 4,
+      s"expected partial+final pairs for doc counts and the per-doc fold in:\n$p")
+    assert(p.contains("Join"), s"expected the counts rejoin in:\n$p")
+    assert(!p.contains("CartesianProduct"))
   }
 
   test("b5 row decode: typed schema parse, validity filter at the scan") {
@@ -157,26 +164,32 @@ class PlanSpec extends SparkSpec {
       s"expected a single (sort) exchange in:\n$p")
   }
 
-  test("line dedup: windowed doc-frequency over the line hash, no join") {
+  test("line dedup: partial-agg distinct-doc counts, no window over the line hash") {
     val p = plan("dedup_lines")
-    // dense_rank + its partition max = exact windowed COUNT DISTINCT
-    // over the uniform line hash; verdicts never leave the row, so
-    // there is no counts frame and no join anywhere in the plan
-    assert(!p.contains("Join"), s"line dedup must not join:\n$p")
-    assert(count(p, "Window") >= 2,
-      s"expected the dense_rank + max doc-frequency windows in:\n$p")
-    assert(count(p, "HashAggregate") >= 2,
-      s"expected partial+final reassembly aggregation in:\n$p")
+    // document frequency = groupBy(lh).count_distinct(doc_id): Spark
+    // plans it as two partial-aggregating phases ((lh, doc_id) then
+    // lh), so a line in half the corpus collapses map-side instead of
+    // landing in one window partition; counts rejoin on lh
+    assert(!p.contains("Window"), s"no window may partition on the line hash:\n$p")
+    assert(count(p, "HashAggregate") >= 6,
+      s"expected the distinct pair + count pair + reassembly pair in:\n$p")
+    assert(p.contains("Join"), s"expected the doc-frequency rejoin in:\n$p")
+    assert(!p.contains("CartesianProduct"))
   }
 
-  test("duplicate spans: windowed count + doc-keyed islands, no join") {
+  test("duplicate spans: partial-agg shingle counts, doc-keyed island windows only") {
     val p = plan("dup_spans")
-    // shingle-hash count window, then lag + the dependent running sum
-    // over doc_id (a global unpartitioned window would be the scale bug)
-    assert(count(p, "Window") == 3, s"expected the three windows in:\n$p")
+    // occurrence counts are a groupBy(sh) joined back (skew-safe); the
+    // only windows left are the per-document lag + running-sum island
+    // pass (a window partitioned on sh, or an unpartitioned global
+    // window, would be the scale bug)
+    assert(count(p, "Window") == 2, s"expected only the two island windows in:\n$p")
     assert(p.contains("partitionBy=[doc_id") ||
       p.contains("[doc_id#"), s"windows must be doc-partitioned in:\n$p")
-    assert(!p.contains("Join"), s"the dup filter must stay windowed:\n$p")
+    assert(count(p, "HashAggregate") >= 2,
+      s"expected partial+final shingle-count aggregation in:\n$p")
+    assert(p.contains("Join"), s"expected the over-threshold key join in:\n$p")
+    assert(!p.contains("CartesianProduct"))
   }
 
   test("scd2: one user-keyed lead window, no join") {
@@ -193,11 +206,15 @@ class PlanSpec extends SparkSpec {
     assert(count(p, "Window") == 3, s"expected the three stage windows in:\n$p")
   }
 
-  test("token rarity: windowed doc-frequency, no join") {
+  test("token rarity: partial-agg doc-frequency, no window over the token hash") {
+    // "the" occurs in ~every document — the hot key a count window
+    // over th cannot absorb; the groupBy(th) pair collapses it map-side
     val p = plan("text_rarity")
-    assert(!p.contains("Join"), s"rarity must not join:\n$p")
-    assert(count(p, "Window") == 1,
-      s"expected exactly the doc-frequency count window in:\n$p")
+    assert(!p.contains("Window"), s"no window may partition on the token hash:\n$p")
+    assert(count(p, "HashAggregate") >= 4,
+      s"expected partial+final pairs for doc frequency and the per-doc fold in:\n$p")
+    assert(p.contains("Join"), s"expected the doc-frequency rejoin in:\n$p")
+    assert(!p.contains("CartesianProduct"))
   }
 
   test("mixture: tiny rate table broadcast, corpus side stays a narrow filter") {

@@ -1,0 +1,110 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Hot-key regression suite for the corpus-statistics operators whose
+  * whole PURPOSE is skewed input: a cookie-banner line / boilerplate
+  * shingle / stop token occurring in most of the corpus is ONE key, so
+  * any plan that routes every occurrence of one key through a single
+  * window partition stalls at scale exactly on the data these operators
+  * target. Each test drives a fixture where one key covers >50% of
+  * documents, asserts the result is still exact, and pins the plan
+  * property that makes it survive: occurrence counts flow through a
+  * partial (map-side) aggregate — never a window partitioned by the
+  * content hash. */
+class SkewSpec extends SparkSpec with org.scalatest.BeforeAndAfterEach {
+  import spark.implicits._
+
+  override def afterEach(): Unit = graft.CacheScope.release()
+
+  /** One boilerplate line + one unique line per doc; the hot line is in
+    * ALL docs. */
+  private def skewedDocs(n: Int): DataFrame =
+    (0L until n.toLong)
+      .map(i => (i, s"accept our cookies\nunique payload $i"))
+      .toDF("doc_id", "text")
+
+  private def physical(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  /** No Window operator anywhere: the count formulations under test
+    * must aggregate, and windows over uniform doc-sized groups (islands
+    * in duplicateSpans) are asserted separately where they belong. */
+  private def assertNoHashWindow(p: String, hashCol: String): Unit =
+    assert(!p.split('\n').exists(l =>
+      l.contains("Window") && l.contains(s"$hashCol#")),
+      s"found a window partitioned by the $hashCol hash in:\n$p")
+
+  test("dedupLines: a line in 100% of docs is counted by partial agg, result exact") {
+    val docs = skewedDocs(300)
+    val out = Curation.dedupLines(docs, $"text", $"doc_id")
+    val p = physical(out)
+    assertNoHashWindow(p, "lh")
+    assert(p.contains("HashAggregate"), s"expected partial aggregation in:\n$p")
+    val rows = out.orderBy("doc_id").collect()
+    assert(rows.length == 300)
+    rows.foreach { r =>
+      assert(r.getLong(1) == 2L && r.getLong(2) == 1L &&
+        r.getString(3) == s"unique payload ${r.getLong(0)}")
+    }
+  }
+
+  test("duplicateSpans: a shingle in every doc counts via groupBy, islands stay doc-keyed") {
+    val docs = (0L until 200L)
+      .map(i => (i, s"accept all our cookies now w$i x$i y$i z$i"))
+      .toDF("doc_id", "text")
+    val out = Curation.duplicateSpans(docs, $"text", $"doc_id", k = 3)
+    val p = physical(out)
+    assertNoHashWindow(p, "sh")
+    assert(p.contains("HashAggregate"), s"expected partial aggregation in:\n$p")
+    val rows = out.orderBy("doc_id").collect()
+    // "accept all our cookies now" = words 0..4; its three 3-shingles
+    // occur in all 200 docs, the per-doc w/x/y/z tail in exactly one.
+    assert(rows.length == 200)
+    rows.foreach { r =>
+      assert(r.getInt(1) == 0 && r.getInt(2) == 4 && r.getInt(3) == 5,
+        s"unexpected span ${r.mkString(",")}")
+    }
+  }
+
+  test("sharedShingleStats: a corpus-wide shingle aggregates map-side, ratios exact") {
+    val docs = (0L until 240L)
+      .map(i => (i, s"the quick brown fox a$i b$i c$i"))
+      .toDF("doc_id", "text")
+    val out = Dedup.sharedShingleStats(docs, $"text", $"doc_id", k = 3)
+    val p = physical(out)
+    assertNoHashWindow(p, "s#")
+    assert(p.contains("HashAggregate"), s"expected partial aggregation in:\n$p")
+    val rows = out.orderBy("doc_id").collect()
+    assert(rows.length == 240)
+    // words the,quick,brown,fox,aI,bI,cI -> 5 distinct 3-shingles per
+    // doc; "the quick brown" and "quick brown fox" are shared by all
+    // 240 docs, the three aI/bI/cI-suffixed ones are unique per doc.
+    rows.foreach { r =>
+      assert(r.getLong(1) == 5L && r.getLong(2) == 2L &&
+        r.getLong(3) == 2L * 1000 / 5,
+        s"unexpected stats ${r.mkString(",")}")
+    }
+  }
+
+  test("rarityScore: the stop token 'the' aggregates map-side, surprisal exact") {
+    val docs = (0L until 256L)
+      .map(i => (i, s"the tok$i"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.rarityScore(docs, $"text", $"doc_id")
+    val p = physical(out)
+    assertNoHashWindow(p, "th")
+    assert(p.contains("HashAggregate"), s"expected partial aggregation in:\n$p")
+    val rows = out.orderBy("doc_id").collect()
+    assert(rows.length == 256)
+    // df("the") = 256 -> bin length 9 -> rarity 55; df(tokI) = 1 ->
+    // rarity 63. Two terms per doc.
+    rows.foreach { r =>
+      assert(r.getLong(1) == 2L && r.getLong(2) == 55L + 63L,
+        s"unexpected rarity ${r.mkString(",")}")
+    }
+  }
+}
