@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Isolated per-query timing: `runMain graft.BenchOne <sfDir> <query> [runs]`
+  * times ONE SparkEntry query `runs` times (default 3) in a fresh session
+  * with [[Bench]]'s exact pinned config and materialization (toRdd drain,
+  * CacheScope release between runs, untimed warmup). Exists because the
+  * full [[Bench]] sweep interleaves 90+ queries whose memory pressure and
+  * GC cross-contaminate per-query numbers — attributing a single query's
+  * regression needs a clean repeated measurement (VERDICT r8: is
+  * dedup_components 17 s real or sandbox noise?). */
+object BenchOne {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val name = args(1)
+    val runs = args.lift(2).map(_.toInt).getOrElse(3)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    Tables.summaries(spark, sfDir).limit(1).count()
+    val fn = SparkEntry.queries(name)
+    val times = (1 to runs).map { _ =>
+      val t0 = System.nanoTime()
+      try fn(spark, sfDir).queryExecution.toRdd.foreach(_ => ())
+      finally CacheScope.release()
+      (System.nanoTime() - t0) / 1e9
+    }
+    println(f"[benchone] $name @ $sfDir: ${times.map(t => f"$t%.2f").mkString(", ")} sec (min ${times.min}%.2f)")
+    spark.stop()
+  }
+}
