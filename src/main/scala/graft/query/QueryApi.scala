@@ -162,6 +162,31 @@ object QueryApi {
         col("env.Right.k").cast("string").as("right_k"))
   }
 
+  /** Optimizer fence: value-identical to `c` (monotonically_increasing_id
+    * is always >= 0, so the branch always takes `c`), but the
+    * nondeterminism flag stops PushPredicateThroughNonJoin and
+    * CollapseProject from inlining the aliased expression into
+    * downstream filters/projections. Used by the FAILFAST decoders
+    * ([[decodeRowsStrict]], [[decodeRowsDeep]]) where the guard filters
+    * referencing the parsed envelope were being pushed below the parse
+    * projection with the parse SUBSTITUTED into each guard — every row
+    * paid the full envelope parse 3-4 times (FAILFAST parses cannot be
+    * schema-pruned by OptimizeJsonExprs without changing abort
+    * semantics, so each copy was a full parse; measured 3.5 s → 2.1 s
+    * at sf0.1 going to parse-once). `rand()`-comparison fences do NOT
+    * work here: the optimizer folds full-range rand comparisons away.
+    *
+    * The cost is symmetric: the fence also blocks CALLER predicates
+    * from pushing down through the decode — fine for these two, which
+    * are WRITE-path interpreters consumed whole-batch per ingested
+    * block (the reference aborts ingestion on any undecodable row, so
+    * every row is interpreted; there is no selective probe to push).
+    * The read-path [[decodeRows]] stays unfenced on purpose: its
+    * PERMISSIVE validity filter pushing into the scan IS the plan
+    * (rows die at scan time; PlanSpec pins the pushed DataFilters). */
+  private def parseOnce(c: Column): Column =
+    when(monotonically_increasing_id() >= -1, c)
+
   /** B5 strict variant — typed decode of the summary envelope through a
     * real `StructType` ([[graft.model.Schemas.summaryEnvelope]]) instead
     * of per-field `get_json_object`, with the reference's hard-stop
@@ -175,8 +200,8 @@ object QueryApi {
     * hard-stop fires even when a caller selects only `left_k` —
     * an output-column guard would be silently pruned away with it. */
   def decodeRowsStrict(summaries: DataFrame): DataFrame = {
-    val env = from_json(col("summary"), graft.model.Schemas.summaryEnvelope,
-      Map("mode" -> "FAILFAST"))
+    val env = parseOnce(from_json(col("summary"),
+      graft.model.Schemas.summaryEnvelope, Map("mode" -> "FAILFAST")))
     summaries.select(col("id"), env.as("env"))
       .where(assert_true(
         col("env.Left").isNotNull || col("env.Right").isNotNull,
@@ -207,8 +232,8 @@ object QueryApi {
     * note as [[decodeRowsStrict]]). Output: nested projections — the
     * sender/type/events fields the reference's key-update scan reads. */
   def decodeRowsDeep(summaries: DataFrame): DataFrame = {
-    val env = from_json(col("summary"), graft.model.Schemas.summaryEnvelopeDeep,
-      Map("mode" -> "FAILFAST"))
+    val env = parseOnce(from_json(col("summary"),
+      graft.model.Schemas.summaryEnvelopeDeep, Map("mode" -> "FAILFAST")))
     summaries.select(col("id"), env.as("env"))
       .where(assert_true(
         col("env.Left").isNotNull || col("env.Right").isNotNull,

@@ -148,6 +148,19 @@ class PlanSpec extends SparkSpec {
       s"encode→decode must stay per-row:\n$p")
     assert(count(p, "Exchange") == 1, // the final orderBy only
       s"expected only the output-order exchange in:\n$p")
+    // parse-once: without the parseOnce fence the guard filters are
+    // pushed below the parse projection with the FAILFAST parse
+    // substituted into each — every row paid the full envelope parse
+    // 3-4x (measured 3.5 s -> 2.1 s at sf0.1)
+    assert(count(p, "from_json") == 1,
+      s"expected exactly one envelope parse in:\n$p")
+  }
+
+  test("strict decode: exactly one FAILFAST parse feeds guards and projection") {
+    val p = plan("b5_row_decode_strict")
+    assert(count(p, "from_json") == 1,
+      s"expected exactly one envelope parse in:\n$p")
+    assert(!p.contains("Join") && !p.contains("Window"))
   }
 
   test("group cap: rank predicate pushed into WindowGroupLimit at the declared row") {
