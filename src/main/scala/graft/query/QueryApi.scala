@@ -269,7 +269,18 @@ object QueryApi {
 
   /** B6 — most-recent-k summaries per account, for all accounts at once
     * (the generalization of wallet-proxy-indexer/README.md:113-122):
-    * window `row_number` over id desc, one shuffle on account. */
+    * window `row_number` over id desc, one shuffle on account.
+    *
+    * HOT-ACCOUNT bound: a window partition is one key, and an exchange
+    * hot account at 100x would be the classic skewed-window stall — but
+    * the `rn <= k` predicate lets Catalyst's InferWindowGroupLimit plan
+    * a PARTIAL WindowGroupLimit before the exchange and a Final one
+    * after (pinned in PlanSpec): each map task forwards at most k rows
+    * per account, so the hot account's reducer receives <= k x
+    * #map-partitions rows regardless of how many rows the account has.
+    * That IS the salted two-phase top-k (salt = input partition), planned
+    * by the optimizer instead of hand-rolled; QueryApiSpec drives a
+    * fixture where one account owns >80% of all rows. */
   def topKPerAccount(ati: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("account")).orderBy(col("summary").desc)
     ati.withColumn("rn", row_number().over(w)).where(col("rn") <= k)

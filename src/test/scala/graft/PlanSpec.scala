@@ -163,6 +163,22 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join") && !p.contains("Window"))
   }
 
+  test("topk per account: partial WindowGroupLimit runs before the exchange") {
+    // the hot-account bound: each map task forwards at most k rows per
+    // account, so one account owning most of the corpus cannot flood a
+    // single window partition — losing the Partial phase here would be
+    // the b6 scale bug
+    val p = plan("b6_topk_per_account")
+    assert(p.contains("Partial") && p.contains("WindowGroupLimit"),
+      s"expected the map-side partial group limit in:\n$p")
+    val partialIdx = p.indexOf("Partial")
+    val exchangeIdx = p.indexOf("Exchange hashpartitioning")
+    // plans print top-down, so the partial (which executes FIRST, below
+    // the exchange) must appear AFTER the account exchange in the text
+    assert(exchangeIdx >= 0 && partialIdx > exchangeIdx,
+      s"partial group limit must sit below the account exchange in:\n$p")
+  }
+
   test("group cap: rank predicate pushed into WindowGroupLimit at the declared row") {
     val p = plan("sample_group_cap")
     assert(p.contains("WindowGroupLimit"),

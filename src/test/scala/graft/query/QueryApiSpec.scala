@@ -33,6 +33,24 @@ class QueryApiSpec extends SparkSpec {
     assert(out == Seq((7L, 5L), (7L, 3L), (8L, 3L), (8L, 2L)))
   }
 
+  test("top-k per account: a hot account owning >80% of rows stays exact and bounded") {
+    // 10k rows for account 1 spread over 16 input partitions, a handful
+    // for everyone else — the exchange-hot-account shape at 100x. The
+    // partial WindowGroupLimit (pinned in PlanSpec) caps what each map
+    // task forwards per account at k, so the reducer sees <= k x 16 rows
+    // for the hot key; the result must still be the exact global top-k.
+    val hot = spark.range(10000).select(lit(1L).as("account"),
+      (col("id") * 7 % 9973).as("summary")).repartition(16)
+    val cold = Seq((2L, 11L), (2L, 12L), (3L, 5L)).toDF("account", "summary")
+    val out = QueryApi.topKPerAccount(hot.union(cold), 3)
+      .orderBy("account", "rn").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    // top summary values of id*7 % 9973 over id<10000: the three largest
+    // residues of the full cycle 0..9972 are 9972, 9971, 9970
+    assert(out.take(3) == Seq((1L, 9972L, 1), (1L, 9971L, 2), (1L, 9970L, 3)))
+    assert(out.drop(3) == Seq((2L, 12L, 1), (2L, 11L, 2), (3L, 5L, 1)))
+  }
+
   test("row decode silently drops rows whose summary fails to parse") {
     val withBad = Seq(
       (1L, "b1", 10L, 0L, """{"Left":{"k":1}}"""),
