@@ -78,6 +78,47 @@ object BucketedMirror {
       .saveAsTable(name)
   }
 
+  /** REPLAY-SAFE [[append]] for `foreachBatch`: Structured Streaming
+    * re-delivers the last micro-batch after a restart (the batch may
+    * have committed to the sink before the checkpoint advanced), and a
+    * plain append would duplicate its rows in the mirror. This is the
+    * standard batchId-dedup pattern: a marker file per applied batch
+    * under the mirror's own path (`_applied_batches/<id>` — the `_`
+    * prefix hides the directory from Spark's file listing, like
+    * `_spark_metadata`), checked before appending. Returns false when
+    * the batch was already applied (the replay no-op).
+    *
+    * Honest bound: the marker commits AFTER the data files, so a crash
+    * BETWEEN the two replays one batch's rows into the mirror — the
+    * same at-least-once tail every non-transactional file sink has.
+    * The serving reads tolerate it (ids are unique, the page probe
+    * dedups on id), and the periodic [[write]] compaction squashes it;
+    * a deployment needing exact files would anti-join the delta on the
+    * unique id instead, at the cost of a mirror scan per batch. The
+    * DB sink beside this call needs no marker: its conditional inserts
+    * ([[graft.streaming.TransactionalSink]]) are row-idempotent. */
+  def appendOnce(df: DataFrame, name: String, batchId: Long, bucketCol: String,
+                 buckets: Int, sortCols: Seq[String] = Nil): Boolean = {
+    val spark = df.sparkSession
+    require(spark.catalog.tableExists(name),
+      s"append target '$name' is not in the catalog — run BucketedMirror.write " +
+        "to (re)register the mirror before appending")
+    val loc = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(name))
+      .location
+    val markers = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(loc), "_applied_batches")
+    val fs = markers.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(markers, batchId.toString)
+    if (fs.exists(marker)) false
+    else {
+      append(df, name, bucketCol, buckets, sortCols)
+      fs.mkdirs(markers)
+      fs.create(marker, false).close()
+      true
+    }
+  }
+
   /** The mirror as a DataFrame. Must go through the catalog — a plain
     * `spark.read.parquet(path)` of the same files loses the bucket
     * metadata and with it the shuffle elision. */
