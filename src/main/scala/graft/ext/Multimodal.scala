@@ -9,12 +9,17 @@ import org.apache.spark.sql.functions._
   *
   * Dimension extraction for PNG/GIF/JPEG is REAL — header parsing via
   * [[graft.functions.MediaHeaderUtil]] (public byte formats, verified
-  * against hand-built fixture bytes in MediaHeaderSpec). Pixel-level
-  * work (frame decode, resampling) remains stubbed with a deterministic
-  * md5-derived fake (no media libraries in this environment); every
-  * piece of Spark-side plumbing around the seam is real: the schema
-  * (binary payload + metadata struct), the batched per-partition
-  * execution shape (what a `mapInPandas`/Arrow UDF would give), and the
+  * against hand-built fixture bytes in MediaHeaderSpec) — and PIXEL
+  * decode is real too for the still-image formats the JVM ships codecs
+  * for: [[decodeBatch]] and [[pixelsBatched]] run `javax.imageio`
+  * inside the partition batch (MultimodalSpec round-trips real
+  * encoded images and checks decoded dims == header dims and exact
+  * luminance stats). The remaining stub is the audio/video branch —
+  * payloads no JVM codec reads get the deterministic md5-derived fake,
+  * the seam where an FFI codec would plug in. Every piece of
+  * Spark-side plumbing around the seam is real: the schema (binary
+  * payload + metadata struct), the batched per-partition execution
+  * shape (what a `mapInPandas`/Arrow UDF would give), and the
   * pure-column path used when the decoder is expressible as
   * expressions. [[featuresCols]] keeps the stub dims unconditionally —
   * it is the oracle-portable declared-row path (DuckDB recomputes the
@@ -111,18 +116,22 @@ object Multimodal {
     }
   }
 
-  /** Batch decoder behind the seam: REAL header parsing for PNG/GIF/
-    * JPEG payloads ([[graft.functions.MediaHeaderUtil]] — a recognized
-    * still image has its true dimensions and one frame); anything else
-    * gets the deterministic md5-derived fake, the remaining stub where
-    * an audio/video codec would plug in. */
+  /** Batch decoder behind the seam: recognized PNG/GIF/JPEG payloads
+    * get REAL decoded dimensions — `javax.imageio` when the payload
+    * actually decodes, the parsed header otherwise (a sniffed header on
+    * a truncated body still yields container dims, like a real pipeline
+    * quarantining bad files); anything else gets the deterministic
+    * md5-derived fake, the remaining stub where an audio/video codec
+    * would plug in. */
   private def decodeBatch(batch: Seq[MediaRow]): Seq[MediaFeatures] =
     batch.map { r =>
       val hex = java.security.MessageDigest.getInstance("MD5")
         .digest(r.payload).map("%02x".format(_)).mkString
       graft.functions.MediaHeaderUtil.parseDims(r.payload) match {
         case Some((_, w, h)) =>
-          MediaFeatures(r.media_id, r.payload.length.toLong, hex, w, h, 1)
+          val (rw, rh) = decodeImage(r.payload)
+            .map(i => (i.getWidth, i.getHeight)).getOrElse((w, h))
+          MediaFeatures(r.media_id, r.payload.length.toLong, hex, rw, rh, 1)
         case None =>
           val h60 = java.lang.Long.parseLong(hex.take(15), 16)
           MediaFeatures(r.media_id, r.payload.length.toLong, hex,
@@ -130,6 +139,51 @@ object Multimodal {
             r.payload.length % 30)
       }
     }
+
+  /** Decoded-pixel statistics: the REAL pixel path over whatever the
+    * JVM's `javax.imageio` codecs read (PNG/GIF/JPEG/BMP). One output
+    * row per DECODABLE payload — undecodable or unrecognized rows are
+    * dropped, the quarantine contract of a real media pipeline (pair
+    * with [[featuresColsDetected]] when every row needs a value).
+    * `mean_luma` is the exact integer mean of (r+g+b) over all pixels
+    * divided by 3 (integer division — deterministic, no float). Same
+    * partition-batch shape as [[featuresBatched]]. */
+  def pixelsBatched(ds: Dataset[MediaRow], batchSize: Int = 64): Dataset[MediaPixels] = {
+    implicit val enc = Encoders.product[MediaPixels]
+    ds.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.flatMap { r =>
+          graft.functions.MediaHeaderUtil.parseDims(r.payload).flatMap {
+            case (fmt, _, _) =>
+              decodeImage(r.payload).map { img =>
+                var sum = 0L
+                var y = 0
+                while (y < img.getHeight) {
+                  var x = 0
+                  while (x < img.getWidth) {
+                    val rgb = img.getRGB(x, y)
+                    sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+                    x += 1
+                  }
+                  y += 1
+                }
+                val n = img.getWidth.toLong * img.getHeight
+                MediaPixels(r.media_id, fmt, img.getWidth, img.getHeight, n,
+                  (sum / (3L * n)).toInt)
+              }
+          }
+        }
+      }
+    }
+  }
+
+  /** Pixel-statistics row of [[pixelsBatched]]. */
+  case class MediaPixels(media_id: Long, format: String, width: Int,
+                         height: Int, n_pixels: Long, mean_luma: Int)
+
+  private def decodeImage(payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
+    catch { case _: Exception => None }
 
   private def nestedHash(hex: String): Long = {
     val h2 = java.security.MessageDigest.getInstance("MD5")

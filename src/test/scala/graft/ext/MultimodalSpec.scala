@@ -99,6 +99,50 @@ class MultimodalSpec extends SparkSpec {
     out.values.foreach { case (w, h) => assert(w <= 512 && h <= 512) }
   }
 
+  // real encoded images (in-memory ImageIO round trip): constant-color
+  // canvases whose pixel statistics are known exactly
+  private def encoded(fmt: String, w: Int, h: Int, rgb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until h).foreach(y => (0 until w).foreach(x => img.setRGB(x, y, rgb)))
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, fmt, bos), s"no $fmt writer")
+    bos.toByteArray
+  }
+
+  test("real decode: pixel dimensions equal header dimensions, luma exact") {
+    // rgb(10,20,30) -> mean luma (10+20+30)/3 = 20
+    val png = encoded("png", 7, 5, (10 << 16) | (20 << 8) | 30)
+    val gif = encoded("gif", 11, 3, (60 << 16) | (90 << 8) | 120)
+    val jpg = encoded("jpg", 16, 8, (128 << 16) | (128 << 8) | 128)
+    val ds = Seq(MediaRow(1L, png, "image/png"), MediaRow(2L, gif, "image/gif"),
+      MediaRow(3L, jpg, "image/jpeg"),
+      MediaRow(4L, "not an image".getBytes("UTF-8"), "audio/wav")).toDS()
+
+    // the pixel path: decoded dims must equal the parsed header dims
+    val px = Multimodal.pixelsBatched(ds, batchSize = 2)
+      .orderBy("media_id").collect()
+    assert(px.map(_.media_id).toSeq == Seq(1L, 2L, 3L)) // wav quarantined
+    px.foreach { p =>
+      val payload = Seq(png, gif, jpg)(p.media_id.toInt - 1)
+      val Some((fmt, hw, hh)) =
+        graft.functions.MediaHeaderUtil.parseDims(payload)
+      assert(p.format == fmt && p.width == hw && p.height == hh,
+        s"decoded ${p.width}x${p.height} != header ${hw}x$hh for $fmt")
+    }
+    assert(px(0).n_pixels == 35L && px(0).mean_luma == 20) // PNG lossless
+    assert(px(1).n_pixels == 33L && px(1).mean_luma == 90) // GIF indexed
+    // JPEG is lossy; a constant-gray canvas still decodes within +-2
+    assert(px(2).n_pixels == 128L && (px(2).mean_luma - 128).abs <= 2)
+
+    // featuresBatched now reports REAL dims for decodable images
+    val feats = Multimodal.featuresBatched(ds, batchSize = 2)
+      .orderBy("media_id").collect()
+    assert(feats.find(_.media_id == 1L).get.width == 7)
+    assert(feats.find(_.media_id == 1L).get.height == 5)
+    assert(feats.find(_.media_id == 3L).get.width == 16)
+  }
+
   test("partitioning does not change batched results") {
     val ds = (payloads :+ ((4L, gifBytes, "image/gif")))
       .map { case (id, b, m) => MediaRow(id, b, m) }.toDS()
