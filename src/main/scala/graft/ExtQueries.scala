@@ -15,6 +15,36 @@ import graft.ext.{Curation, Dedup, Multimodal, Packing, Sampling, Similarity, Te
 object ExtQueries {
   private type Q = (SparkSession, String) => DataFrame
 
+  // ===== Spark <-> DuckDB DIALECT BRIDGES (collected; re-derived the
+  // hard way more than once — read before writing a new oracle) =====
+  //
+  // 1. Integer division SIGN: Spark's `div` truncates toward zero,
+  //    DuckDB's `//` floors toward -inf. They agree on nonnegative
+  //    numerators; for possibly-negative ones the oracle needs the
+  //    sign trick `CASE WHEN s < 0 THEN -((-s) // n) ELSE s // n END`
+  //    (see the ann_kmeans means step). All the `* 1000 div n` ratio
+  //    columns are nonnegative by construction, so plain `//` is safe
+  //    there.
+  // 2. Half-way ROUNDING: Spark's `round` and DuckDB's `round` on
+  //    DOUBLE are both HALF_UP (away from zero), but the JVM's
+  //    `math.round` is floor(x+0.5) — WRONG for negative halves.
+  //    Driver-side quantization must use BigDecimal HALF_UP
+  //    (Similarity.annIvfIndexedVec), never math.round.
+  // 3. Float DRIFT: never compare raw double aggregates — sum order
+  //    differs per partitioning. Embedding math stays in quantized
+  //    LONGs (dot products are exact integers) and casts to DOUBLE
+  //    only for the final cosine, which both engines `round(..., 6)`
+  //    before comparing/ordering. Money sums cast to DECIMAL before
+  //    any arithmetic (RelationalQueries scaladoc).
+  // 4. 60-bit HASH: `CAST(('0x' || substr(md5(s),1,15)) AS BIGINT)`
+  //    reads the same 15 hex nibbles Spark's Text.hash60 takes — 60
+  //    bits, always nonnegative, fits a signed long in both engines.
+  // 5. COLUMN NAMES: the driver's compare sorts columns by NAME before
+  //    hashing values — alias every computed column identically in the
+  //    Spark plan and the SQL, or the row hashes diverge on identical
+  //    values.
+  // =================================================================
+
   // DuckDB mirrors of the portable primitives (graft.ext.Text).
   private val H60 = "CAST(('0x' || substr(md5(%s),1,15)) AS BIGINT)"
   private def h60(x: String) = H60.format(x)

@@ -228,7 +228,6 @@ object Similarity {
   def writeCellIndex(embeddings: DataFrame, idCol: String, embCol: String,
                      path: String, centroidStride: Int = 100,
                      refineIters: Int = 0): Unit = {
-    import org.apache.spark.sql.expressions.Window
     val qzPlan = embeddings.select(col(idCol).as("vid"),
         quantize(col(embCol)).as("qe"))
       .withColumn("n2", dotQ(col("qe"), col("qe")))
@@ -249,15 +248,11 @@ object Similarity {
       // Assign against the codebook just MATERIALIZED: re-evaluating the
       // lazy refinement plan here would recompute every Lloyd round a
       // second time, and reading back also guarantees stored == used.
+      // assignCells is THE assignment rule (argmax quantized cosine,
+      // ties to smallest cid) shared with annIvf/kmeansRefine — the
+      // stored index must never desync from the in-memory assignment.
       val stored = embeddings.sparkSession.read.parquet(s"$path/centroids")
-      val byCell = Window.partitionBy("vid")
-        .orderBy(col("ccos").desc, col("cid").asc)
-      qz.crossJoin(broadcast(stored))
-        .select(col("vid"), col("qe"), col("n2"), col("cid"),
-          cosineQNormed(col("qe"), col("ce"), col("n2"), col("cn2")).as("ccos"))
-        .withColumn("rnk", row_number().over(byCell))
-        .where(col("rnk") === 1)
-        .select(col("vid"), col("qe"), col("n2"), col("cid"))
+      assignCells(qz, stored)
         .repartition(col("cid"))
         .sortWithinPartitions("vid")
         .write.mode("overwrite").partitionBy("cid").parquet(s"$path/cells")
