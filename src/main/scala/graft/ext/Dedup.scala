@@ -190,11 +190,17 @@ object Dedup {
     *    the minimum of its closed neighbourhood;
     *  - small-star: every node connects its smaller-or-equal neighbours
     *    (and itself) to that minimum.
-    * Each star op is ONE window shuffle on uniform node-id keys plus a
-    * distinct; the edge set contracts towards per-component stars rooted
-    * at the minimum id in O(log) alternations — vs diameter-many rounds
-    * for plain min-label propagation (a chain of length d took d rounds;
-    * star contraction halves it each pass). `localCheckpoint` truncates
+    * Per-node minima are a partial-aggregating `groupBy(u)` joined back
+    * on u — NOT a min window over u: the node a near-dup cluster
+    * contracts into is exactly the high-degree hot key (a boilerplate
+    * document paired with millions), and map-side combine collapses its
+    * edges to one row per task where a window partition would hold the
+    * full degree (AQE skew-join splits the residual hot probe side) —
+    * the same reformulation as the curation occurrence counts. The edge
+    * set contracts towards per-component stars rooted at the minimum id
+    * in O(log) alternations — vs diameter-many rounds for plain
+    * min-label propagation (a chain of length d took d rounds; star
+    * contraction halves it each pass). `localCheckpoint` truncates
     * lineage each round, and the convergence check is an `observe`
     * metric collected DURING the checkpoint job — no separate per-round
     * driver count() job; the driver only compares the already-collected
@@ -208,20 +214,22 @@ object Dedup {
     * partitioning). */
   def components(pairs: DataFrame,
                  aCol: String = "doc_a", bCol: String = "doc_b"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val byU = Window.partitionBy("u")
     def largeStar(e: DataFrame): DataFrame = {
       val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
       // no distinct here: duplicates cannot change any min and the
-      // following small-star pass dedups — saves one shuffle per round
-      sym.withColumn("m", least(min(col("v")).over(byU), col("u")))
+      // following small-star pass dedups — saves one shuffle per round.
+      // sym is read twice (min build + probe) — cheap: each round's
+      // input is a localCheckpoint, so the re-read is a block scan.
+      val mins = sym.groupBy("u").agg(min("v").as("__mv"))
+      sym.join(mins, "u")
+        .withColumn("m", least(col("__mv"), col("u")))
         .where(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
     }
     def smallStar(e: DataFrame): DataFrame = {
       val dir = e.select(greatest(col("u"), col("v")).as("u"),
         least(col("u"), col("v")).as("v"))
-      val withM = dir.withColumn("m", min(col("v")).over(byU))
+      val withM = dir.join(dir.groupBy("u").agg(min("v").as("m")), "u")
       withM.where(col("v") =!= col("m"))
         .select(col("v").as("u"), col("m").as("v"))
         .union(withM.select(col("u"), col("m").as("v")))

@@ -90,6 +90,22 @@ class SkewSpec extends SparkSpec with org.scalatest.BeforeAndAfterEach {
     }
   }
 
+  test("components: a hot hub node with 3000 edges contracts exactly") {
+    // the node a near-dup cluster contracts into IS the hot key: hub 5
+    // pairs with 3000 others (plus a disjoint chain), and the per-node
+    // min must flow through a partial aggregate, not a degree-sized
+    // window partition
+    val hub = spark.range(3000)
+      .select(lit(5L).as("doc_a"), (col("id") + 10L).as("doc_b"))
+    val chain = Seq((4000L, 4001L), (4001L, 4002L)).toDF("doc_a", "doc_b")
+    val out = Dedup.components(hub.union(chain).repartition(16))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out.size == 3004)
+    (10L until 3010L).foreach(n => assert(out(n) == 5L))
+    assert(out(5L) == 5L)
+    assert(out(4000L) == 4000L && out(4001L) == 4000L && out(4002L) == 4000L)
+  }
+
   test("rarityScore: the stop token 'the' aggregates map-side, surprisal exact") {
     val docs = (0L until 256L)
       .map(i => (i, s"the tok$i"))
