@@ -85,19 +85,40 @@ object Dedup {
     * is extremely common; at 100 TB you'd MinHash first ([[minhashLsh]])
     * and use this as the verify step on candidates. Jaccard is emitted
     * both as exact integers (inter/union) and a rounded double
-    * (engine-independent: integer division in IEEE). */
+    * (engine-independent: integer division in IEEE).
+    *
+    * `maxDocFreq` is the STOP-SHINGLE guard for the self-join's real
+    * scale hazard: a boilerplate shingle in M documents contributes
+    * M·(M-1)/2 candidate rows — QUADRATIC, not merely a hot partition.
+    * Setting it drops shingles present in more than `maxDocFreq`
+    * documents BEFORE sizes and the join, so Jaccard is computed
+    * self-consistently over the informative shingle sets (the standard
+    * stop-shingle treatment: ultra-common shingles carry no near-dup
+    * signal — two documents sharing only a cookie banner are not
+    * near-duplicates). The default keeps every shingle — exact
+    * textbook Jaccard, matching the DuckDB oracle. */
   def ngramJaccard(df: DataFrame, content: Column, id: Column,
-                   k: Int = 3, minJaccard: Double = 0.5): DataFrame = {
+                   k: Int = 3, minJaccard: Double = 0.5,
+                   maxDocFreq: Int = Int.MaxValue): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
     // persist, not localCheckpoint: checkpoint blocks are unrecoverable
     // after executor loss (routine at cluster scale), while a persisted
     // frame recomputes lost partitions from lineage. The cache is
     // registered with [[graft.CacheScope]] — callers release it after
     // materializing the result (Verify/Bench do per query).
+    val exploded = df.select(id.as("doc_id"),
+        explode(array_distinct(Text.shingles(content, k))).as("str"))
+      .select(col("doc_id"), Text.hash60(col("str")).as("s"))
     val sh = graft.CacheScope.persistTracked(
-      df.select(id.as("doc_id"),
-          explode(array_distinct(Text.shingles(content, k))).as("str"))
-        .select(col("doc_id"), Text.hash60(col("str")).as("s")))
+      if (maxDocFreq == Int.MaxValue) exploded
+      else {
+        // rows are distinct per (doc, shingle): a row count per shingle
+        // IS its document frequency (partial agg — the hot key is the
+        // one being removed)
+        val keep = exploded.groupBy("s").agg(count(lit(1)).as("__df"))
+          .where(col("__df") <= maxDocFreq).select("s")
+        exploded.join(keep, "s")
+      })
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val pairs = sh.as("a").join(sh.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))

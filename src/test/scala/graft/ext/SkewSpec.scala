@@ -90,6 +90,29 @@ class SkewSpec extends SparkSpec with org.scalatest.BeforeAndAfterEach {
     }
   }
 
+  test("ngramJaccard stop-shingle cap removes the quadratic boilerplate pairs") {
+    // 40 docs share the cookie-banner shingles (df=40 -> 780 candidate
+    // pairs, the M^2 hazard) but are otherwise unique; docs 100/101 are
+    // true near-dups through RARE shingles (df=2)
+    val docs = ((0L until 40L).map(i => (i, s"accept our cookies x$i y$i")) ++
+      Seq((100L, "rare alpha beta gamma"), (101L, "rare alpha beta delta")))
+      .toDF("doc_id", "text")
+    val uncapped = Dedup.ngramJaccard(docs, $"text", $"doc_id",
+        k = 2, minJaccard = 0.3)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    graft.CacheScope.release()
+    val capped = Dedup.ngramJaccard(docs, $"text", $"doc_id",
+        k = 2, minJaccard = 0.3, maxDocFreq = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSet
+    // uncapped: every boilerplate pair passes 0.3 (2 shared of 4+4) +
+    // the real pair; capped: ONLY the real pair, with Jaccard computed
+    // self-consistently over the informative shingles (2 of 3+3)
+    assert(uncapped.size == 40 * 39 / 2 + 1 && uncapped((100L, 101L)))
+    assert(capped == Set((100L, 101L, 2L, 4L, 0.5)))
+  }
+
   test("components: a hot hub node with 3000 edges contracts exactly") {
     // the node a near-dup cluster contracts into IS the hot key: hub 5
     // pairs with 3000 others (plus a disjoint chain), and the per-node
