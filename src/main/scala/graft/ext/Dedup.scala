@@ -169,22 +169,39 @@ object Dedup {
     * touches candidate pairs, not all pairs. This is the standard
     * shingle→minhash→band→bucket-join pipeline. The signature frame is
     * persisted because three downstream joins consume it — without
-    * that, the full shingle+hash pass re-runs per branch. */
+    * that, the full shingle+hash pass re-runs per branch.
+    *
+    * `maxBucket` caps the bucket self-join's QUADRATIC hazard: a
+    * cluster of M near-identical documents collides into one band
+    * bucket and yields M·(M-1)/2 candidates. Capping skips buckets
+    * with more than `maxBucket` members (partial-agg count + rejoin —
+    * the oversize bucket never reaches the self-join). The standard
+    * production trade: a skipped giant bucket is an exact/near-exact
+    * dup CLUSTER that [[exact]] dedup or a per-bucket representative
+    * pass handles at linear cost; pairs within it are lost to THIS
+    * band, recovered by other bands only if those stay under the cap.
+    * Default keeps every bucket (textbook LSH, the oracle row). */
   def minhashLsh(df: DataFrame, content: Column, id: Column,
                  k: Int = 3, numHashes: Int = 16, bands: Int = 4,
-                 minMatches: Int = 8): DataFrame = {
+                 minMatches: Int = 8, maxBucket: Int = Int.MaxValue): DataFrame = {
     val r = numHashes / bands
     // persist, not localCheckpoint — see ngramJaccard (fault tolerance
     // over cache footprint; released via CacheScope there too)
     val sig = graft.CacheScope.persistTracked(
       minhashSignatures(df, content, id, k, numHashes))
-    val buckets = sig.select(col("doc_id"),
+    val allBuckets = sig.select(col("doc_id"),
         explode(transform(sequence(lit(0), lit(bands - 1)),
           b => struct(b.as("band"),
             md5(concat_ws("|", slice(col("sig"), b * r + 1, lit(r))
               .cast("array<string>"))).as("bucket"))))
           .as("bb"))
       .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
+    val buckets =
+      if (maxBucket == Int.MaxValue) allBuckets
+      else allBuckets.join(
+        allBuckets.groupBy("band", "bucket").agg(count(lit(1)).as("__n"))
+          .where(col("__n") <= maxBucket).select("band", "bucket"),
+        Seq("band", "bucket"))
     val cand = buckets.as("x").join(buckets.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -342,16 +359,27 @@ object Dedup {
     * on (piece index, piece value); exact Hamming verify via
     * bit_count(xor). By pigeonhole the blocking is lossless when
     * maxDist < pieces; for larger maxDist it is banding-style
-    * approximate (recall < 1), which is the scale trade-off. */
+    * approximate (recall < 1), which is the scale trade-off.
+    * `maxBucket` caps the piece-bucket self-join's quadratic blowup on
+    * clusters of identical fingerprints — same guard, same trade as
+    * [[minhashLsh]]'s (skipping an oversize bucket also voids the
+    * pigeonhole losslessness for pairs inside it). Default: uncapped. */
   def simhashPairs(df: DataFrame, content: Column, id: Column,
-                   maxDist: Int = 3, pieces: Int = 4): DataFrame = {
+                   maxDist: Int = 3, pieces: Int = 4,
+                   maxBucket: Int = Int.MaxValue): DataFrame = {
     val bits = 60
     val w = bits / pieces // piece width
     val fp = simhash(df, content, id)
-    val blocked = fp.select(col("doc_id"), col("simhash"),
+    val allBlocked = fp.select(col("doc_id"), col("simhash"),
         explode(sequence(lit(0), lit(pieces - 1))).as("p"))
       .withColumn("piece",
         expr(s"shiftright(simhash, cast(p as int) * $w) & ${(1L << w) - 1}"))
+    val blocked =
+      if (maxBucket == Int.MaxValue) allBlocked
+      else allBlocked.join(
+        allBlocked.groupBy("p", "piece").agg(count(lit(1)).as("__n"))
+          .where(col("__n") <= maxBucket).select("p", "piece"),
+        Seq("p", "piece"))
     blocked.as("x").join(blocked.as("y"),
         col("x.p") === col("y.p") && col("x.piece") === col("y.piece") &&
           col("x.doc_id") < col("y.doc_id"))

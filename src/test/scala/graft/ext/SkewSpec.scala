@@ -113,6 +113,32 @@ class SkewSpec extends SparkSpec with org.scalatest.BeforeAndAfterEach {
     assert(capped == Set((100L, 101L, 2L, 4L, 0.5)))
   }
 
+  test("minhashLsh/simhashPairs bucket caps skip the identical-cluster blowup") {
+    // 30 byte-identical docs collide into one bucket per band/piece
+    // (30*29/2 = 435 candidate pairs); one small true near-dup pair
+    // (identical too, but a 2-member bucket) must survive the cap
+    val docs = ((0L until 30L).map(i => (i, "aaa bbb ccc ddd eee")) ++
+      Seq((100L, "xxx yyy zzz www vvv"), (101L, "xxx yyy zzz www vvv")))
+      .toDF("doc_id", "text")
+    def pairSet(d: org.apache.spark.sql.DataFrame) =
+      d.select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val mhAll = pairSet(Dedup.minhashLsh(docs, $"text", $"doc_id"))
+    graft.CacheScope.release()
+    val mhCapped = pairSet(Dedup.minhashLsh(docs, $"text", $"doc_id",
+      maxBucket = 5))
+    graft.CacheScope.release()
+    assert(mhAll.size == 30 * 29 / 2 + 1 && mhAll((100L, 101L)))
+    assert(mhCapped == Set((100L, 101L)))
+
+    val shAll = pairSet(Dedup.simhashPairs(docs, $"text", $"doc_id"))
+    val shCapped = pairSet(Dedup.simhashPairs(docs, $"text", $"doc_id",
+      maxBucket = 5))
+    assert(shAll.size == 30 * 29 / 2 + 1 && shAll((100L, 101L)))
+    assert(shCapped == Set((100L, 101L)))
+  }
+
   test("components: a hot hub node with 3000 edges contracts exactly") {
     // the node a near-dup cluster contracts into IS the hot key: hub 5
     // pairs with 3000 others (plus a disjoint chain), and the per-node
