@@ -405,6 +405,17 @@ object Similarity {
       .orderBy("method", "query_id")
   }
 
+  /** Oversize-bucket skip shared by [[knnGraph]]/[[nearDupPairs]]: a
+    * partial-aggregating per-(band, bucket) count joined back — the
+    * oversize bucket never reaches the candidate self-join. No-op at
+    * the Int.MaxValue default. */
+  private def capBuckets(b: DataFrame, maxBucket: Int): DataFrame =
+    if (maxBucket == Int.MaxValue) b
+    else b.join(
+      b.groupBy("band", "bucket").agg(count(lit(1)).as("__n"))
+        .where(col("__n") <= maxBucket).select("band", "bucket"),
+      Seq("band", "bucket"))
+
   /** Approximate k-NN GRAPH: for EVERY vector, its `k` most similar
     * neighbours among LSH band-bucket candidates — the batch
     * construction behind semantic clustering / diversity sampling of a
@@ -413,17 +424,21 @@ object Similarity {
     * is considered from both endpoints, then a per-source window keeps
     * the top `k` (`row_number` — ONE shuffle on the uniform source-id
     * key). Vectors with no bucket collisions have no rows (recall < 1
-    * by construction, as everywhere in the LSH family). */
+    * by construction, as everywhere in the LSH family). `maxBucket`
+    * caps the bucket self-join's quadratic blowup on clusters of
+    * identical embeddings — same guard and trade as
+    * [[graft.ext.Dedup.minhashLsh]]; default uncapped. */
   def knnGraph(embeddings: DataFrame, idCol: String, embCol: String,
-               k: Int, bands: Int = 8, planes: Int = 16): DataFrame = {
+               k: Int, bands: Int = 8, planes: Int = 16,
+               maxBucket: Int = Int.MaxValue): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val base = graft.CacheScope.persistTracked(
       embeddings.select(col(idCol).as("vid"),
           quantize(col(embCol)).as("qe"))
         .withColumn("n2", dotQ(col("qe"), col("qe")))
         .withColumn("bb", lshBuckets(embeddings, "qe", bands, planes)))
-    val buckets = base.select(col("vid"),
-      posexplode(col("bb")).as(Seq("band", "bucket")))
+    val buckets = capBuckets(base.select(col("vid"),
+      posexplode(col("bb")).as(Seq("band", "bucket"))), maxBucket)
     val cand = buckets.as("x").join(buckets.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
           col("x.vid") =!= col("y.vid"))
@@ -446,9 +461,14 @@ object Similarity {
     * on uniform (band, bucket) keys, never all-pairs; with 16 planes per
     * band the expected in-bucket join is O(bands · n²/2^16) vs the old
     * single-band 4-plane O(n²/2^4). The quantized base is persisted
-    * because the candidate join consumes it three times. */
+    * because the candidate join consumes it three times. `maxBucket`
+    * caps the residual quadratic hazard — a cluster of identical
+    * embeddings collapses into one bucket per band regardless of the
+    * plane count; same guard and trade as
+    * [[graft.ext.Dedup.minhashLsh]]; default uncapped. */
   def nearDupPairs(embeddings: DataFrame, idCol: String, embCol: String,
-                   k: Int, bands: Int = 8, planes: Int = 16): DataFrame = {
+                   k: Int, bands: Int = 8, planes: Int = 16,
+                   maxBucket: Int = Int.MaxValue): DataFrame = {
     // persist, not localCheckpoint — checkpoint blocks don't survive
     // executor loss; lineage recomputation does (see Dedup.ngramJaccard
     // for the cache-lifetime trade-off; released via CacheScope)
@@ -457,8 +477,8 @@ object Similarity {
           quantize(col(embCol)).as("qe"))
         .withColumn("n2", dotQ(col("qe"), col("qe")))
         .withColumn("bb", lshBuckets(embeddings, "qe", bands, planes)))
-    val buckets = base.select(col("vid"),
-      posexplode(col("bb")).as(Seq("band", "bucket")))
+    val buckets = capBuckets(base.select(col("vid"),
+      posexplode(col("bb")).as(Seq("band", "bucket"))), maxBucket)
     val cand = buckets.as("x").join(buckets.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
           col("x.vid") < col("y.vid"))

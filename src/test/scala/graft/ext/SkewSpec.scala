@@ -139,6 +139,33 @@ class SkewSpec extends SparkSpec with org.scalatest.BeforeAndAfterEach {
     assert(shCapped == Set((100L, 101L)))
   }
 
+  test("embedding LSH bucket caps skip the identical-cluster blowup") {
+    // 25 identical embeddings bucket together in every band; a separate
+    // identical pair (orthogonal direction) sits in 2-member buckets
+    val e1 = Array.fill(16)(0.5f)
+    val e2 = Array.tabulate(16)(i => if (i % 2 == 0) 0.9f else -0.9f)
+    val vecs = ((0L until 25L).map(i => (i, e1)) ++
+      Seq((100L, e2), (101L, e2))).toDF("vec_id", "embedding")
+    val all = Similarity.nearDupPairs(vecs, "vec_id", "embedding", k = 1000)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    graft.CacheScope.release()
+    val capped = Similarity.nearDupPairs(vecs, "vec_id", "embedding",
+        k = 1000, maxBucket = 5)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    graft.CacheScope.release()
+    assert(all.size == 25 * 24 / 2 + 1 && all((100L, 101L)))
+    assert(capped == Set((100L, 101L)))
+
+    val g = Similarity.knnGraph(vecs, "vec_id", "embedding", k = 3,
+        maxBucket = 5)
+      .select("src").collect().map(_.getLong(0)).toSet
+    graft.CacheScope.release()
+    // only the small-bucket pair produces graph edges under the cap
+    assert(g == Set(100L, 101L))
+  }
+
   test("components: a hot hub node with 3000 edges contracts exactly") {
     // the node a near-dup cluster contracts into IS the hot key: hub 5
     // pairs with 3000 others (plus a disjoint chain), and the per-node
