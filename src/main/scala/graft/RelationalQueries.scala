@@ -190,6 +190,14 @@ object RelationalQueries {
         .orderBy("event_id")
     }),
 
+    // The per-user lag/running-sum windows here (and in q_scd2 /
+    // q_funnel) are inherently sequential per key — unlike the
+    // occurrence COUNTS reformulated as partial aggregates (Curation/
+    // TextAnalysis), gap detection cannot pre-combine map-side. The
+    // bound is one user's event count; a pathological hot user at
+    // 100 TB needs a time-bounded pre-split (sessionize per day, then
+    // stitch boundary sessions), which changes semantics and is a
+    // caller decision, not a default.
     "q_sessionize" -> ((s, d) => {
       val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
       val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -20,6 +20,14 @@ class SkewSpec extends SparkSpec with org.scalatest.BeforeAndAfterEach {
 
   override def afterEach(): Unit = graft.CacheScope.release()
 
+  test("AQE skew-join splitting is available to the count rejoins") {
+    // the groupBy+rejoin formulations lean on AQE to subdivide a
+    // residual hot probe partition; a config change silently disabling
+    // adaptive execution would void that half of the skew story
+    assert(spark.conf.get("spark.sql.adaptive.enabled") == "true")
+    assert(spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true")
+  }
+
   /** One boilerplate line + one unique line per doc; the hot line is in
     * ALL docs. */
   private def skewedDocs(n: Int): DataFrame =
