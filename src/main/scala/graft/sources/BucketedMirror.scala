@@ -96,7 +96,12 @@ object BucketedMirror {
     * a deployment needing exact files would anti-join the delta on the
     * unique id instead, at the cost of a mirror scan per batch. The
     * DB sink beside this call needs no marker: its conditional inserts
-    * ([[graft.streaming.TransactionalSink]]) are row-idempotent. */
+    * ([[graft.streaming.TransactionalSink]]) are row-idempotent.
+    *
+    * Compact ([[write]]) only while the ingest stream is STOPPED: the
+    * overwrite clears the marker directory along with the data files,
+    * so an in-flight batch replayed across a compaction would no
+    * longer be recognized as applied. */
   def appendOnce(df: DataFrame, name: String, batchId: Long, bucketCol: String,
                  buckets: Int, sortCols: Seq[String] = Nil): Boolean = {
     val spark = df.sparkSession
