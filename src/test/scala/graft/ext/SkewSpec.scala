@@ -174,6 +174,27 @@ class SkewSpec extends SparkSpec with org.scalatest.BeforeAndAfterEach {
     assert(g == Set(100L, 101L))
   }
 
+  test("minhashLsh bucket cap BINDS on the real corpus") {
+    // the sf0.001 documents table has band buckets of size 3-4 (checked
+    // against DuckDB), so maxBucket = 2 must drop some pairs while
+    // every surviving pair comes from the uncapped set — pinning that
+    // the guard changes real behavior, not just the synthetic fixtures
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def pairsOf(maxBucket: Int) = {
+      val p = Dedup.minhashLsh(docs, col("text"), col("doc_id"),
+          k = 3, numHashes = 16, bands = 4, minMatches = 4,
+          maxBucket = maxBucket)
+        .select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      graft.CacheScope.release()
+      p
+    }
+    val un = pairsOf(Int.MaxValue)
+    val capped = pairsOf(2)
+    assert(capped.nonEmpty && capped.subsetOf(un) && capped.size < un.size,
+      s"cap did not bind: ${capped.size} of ${un.size}")
+  }
+
   test("components: a hot hub node with 3000 edges contracts exactly") {
     // the node a near-dup cluster contracts into IS the hot key: hub 5
     // pairs with 3000 others (plus a disjoint chain), and the per-node
