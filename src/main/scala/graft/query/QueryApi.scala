@@ -125,14 +125,23 @@ object QueryApi {
 
   /** The shared page lookup: a LITERAL `id IN (…)` probe of the
     * id-bucketed, id-sorted summaries mirror — bucket-pruned and
-    * row-group-skipped. Each id matches exactly one summary row, so the
-    * final limit(limit) is a semantic no-op that fuses the output order
-    * into TakeOrderedAndProject (no Sort exchange). */
+    * row-group-skipped. The id dedup guards the serving path against a
+    * REPLAYED mirror generation (the
+    * [[graft.sources.BucketedMirror.appendOnce]] crash window commits
+    * data files before the marker, so a replay can duplicate one
+    * batch's rows until compaction): duplicate rows are byte-identical,
+    * and because the mirror is BUCKETED by id the aggregation's
+    * required distribution is already satisfied by the scan — the
+    * dedup adds a HashAggregate but NO Exchange, preserving the
+    * zero-Exchange page plan ServingPageSpec pins. The final
+    * limit(limit) fuses the output order into TakeOrderedAndProject
+    * (no Sort exchange). */
   private def servedLookup(summariesMirror: DataFrame, ids: Seq[Long],
                            limit: Int, ascending: Boolean): DataFrame =
     summariesMirror.where(col("id").isin(ids: _*))
       .select(col("id"), col("block"), col("timestamp"), col("height"),
         col("summary"))
+      .dropDuplicates("id")
       .orderBy(if (ascending) col("id").asc else col("id").desc)
       .limit(limit)
 

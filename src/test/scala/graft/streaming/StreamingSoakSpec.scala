@@ -169,4 +169,47 @@ class StreamingSoakSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
         s"served probe must read one bucket after streamed appends:\n$p")
     } finally spark.conf.set(k, saved)
   }
+
+  test("served page tolerates a replayed generation (the marker crash window)") {
+    // appendOnce's residual window: data files commit, the crash lands
+    // before the marker, the batch replays — one generation's rows are
+    // duplicated in the mirror. The appendOnce scaladoc claims serving
+    // reads tolerate this (ids are unique, the page probe dedups on
+    // id); simulate the window with two raw append() calls of the same
+    // delta and pin the claim.
+    import spark.implicits._
+    val atiM = "soak_dup_ati_m"
+    val sumM = "soak_dup_sum_m"
+    try {
+      BucketedMirror.write(Seq((7L, 1L), (7L, 3L), (8L, 2L))
+        .toDF("account", "summary"),
+        atiM, s"$root/dup_ati_m", "account", buckets = 8,
+        sortCols = Seq("account", "summary"))
+      BucketedMirror.write(
+        Seq((1L, "b1", 10L, 0L, "s1"), (2L, "b1", 10L, 0L, "s2"),
+          (3L, "b2", 20L, 1L, "s3"))
+          .toDF("id", "block", "timestamp", "height", "summary"),
+        sumM, s"$root/dup_sum_m", "id", buckets = 8, sortCols = Seq("id"))
+      val delta = Seq((7L, 5L)).toDF("account", "summary")
+      val sumDelta = Seq((5L, "b3", 30L, 2L, "s5"))
+        .toDF("id", "block", "timestamp", "height", "summary")
+      // the replayed generation: same delta appended twice
+      BucketedMirror.append(delta, atiM, "account", 8,
+        Seq("account", "summary"))
+      BucketedMirror.append(delta, atiM, "account", 8,
+        Seq("account", "summary"))
+      BucketedMirror.append(sumDelta, sumM, "id", 8, Seq("id"))
+      BucketedMirror.append(sumDelta, sumM, "id", 8, Seq("id"))
+
+      val page = QueryApi.accountPageServed(
+        BucketedMirror.table(spark, atiM), BucketedMirror.table(spark, sumM),
+        lit(7L), from = 0L, limit = 100, ascending = true)
+        .collect().map(r => (r.getLong(0), r.getString(4))).toSeq
+      assert(page == Seq((1L, "s1"), (3L, "s3"), (5L, "s5")),
+        s"duplicated generation leaked into the served page: $page")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $atiM")
+      spark.sql(s"DROP TABLE IF EXISTS $sumM")
+    }
+  }
 }
