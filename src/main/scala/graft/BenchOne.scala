@@ -27,9 +27,12 @@ object BenchOne {
     val fn = SparkEntry.queries(name)
     val times = (1 to runs).map { _ =>
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).queryExecution.toRdd.foreach(_ => ())
-      finally CacheScope.release()
-      (System.nanoTime() - t0) / 1e9
+      // elapsed is captured before the cache release so the measured
+      // span matches Bench's convention (release is untimed there too)
+      try {
+        fn(spark, sfDir).queryExecution.toRdd.foreach(_ => ())
+        (System.nanoTime() - t0) / 1e9
+      } finally CacheScope.release()
     }
     println(f"[benchone] $name @ $sfDir: ${times.map(t => f"$t%.2f").mkString(", ")} sec (min ${times.min}%.2f)")
     spark.stop()

@@ -140,9 +140,11 @@ object Multimodal {
       }
     }
 
-  /** Decoded-pixel statistics: the REAL pixel path over whatever the
-    * JVM's `javax.imageio` codecs read (PNG/GIF/JPEG/BMP). One output
-    * row per DECODABLE payload — undecodable or unrecognized rows are
+  /** Decoded-pixel statistics: the REAL pixel path over the formats
+    * [[graft.functions.MediaHeaderUtil.parseDims]] sniffs (PNG/GIF/JPEG)
+    * — the header gate runs first, so a format `javax.imageio` could
+    * read but the sniffer doesn't know (e.g. BMP) is quarantined. One
+    * output row per DECODABLE payload — undecodable or unrecognized rows are
     * dropped, the quarantine contract of a real media pipeline (pair
     * with [[featuresColsDetected]] when every row needs a value).
     * `mean_luma` is the exact integer mean of (r+g+b) over all pixels

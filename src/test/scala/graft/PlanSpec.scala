@@ -169,13 +169,17 @@ class PlanSpec extends SparkSpec {
     // single window partition — losing the Partial phase here would be
     // the b6 scale bug
     val p = plan("b6_topk_per_account")
-    assert(p.contains("Partial") && p.contains("WindowGroupLimit"),
-      s"expected the map-side partial group limit in:\n$p")
-    val partialIdx = p.indexOf("Partial")
-    val exchangeIdx = p.indexOf("Exchange hashpartitioning")
+    val lines = p.split('\n')
+    // anchor to the WindowGroupLimit line itself: a bare indexOf("Partial")
+    // would match any Partial-mode operator elsewhere in the plan text
+    val partialLine = lines.indexWhere(l =>
+      l.contains("WindowGroupLimit") && l.contains("Partial"))
+    val exchangeLine = lines.indexWhere(_.contains("Exchange hashpartitioning"))
+    assert(partialLine >= 0,
+      s"expected a Partial-mode WindowGroupLimit in:\n$p")
     // plans print top-down, so the partial (which executes FIRST, below
     // the exchange) must appear AFTER the account exchange in the text
-    assert(exchangeIdx >= 0 && partialIdx > exchangeIdx,
+    assert(exchangeLine >= 0 && partialLine > exchangeLine,
       s"partial group limit must sit below the account exchange in:\n$p")
   }
 

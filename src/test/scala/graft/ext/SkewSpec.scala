@@ -84,7 +84,7 @@ class SkewSpec extends SparkSpec with org.scalatest.BeforeAndAfterEach {
       .toDF("doc_id", "text")
     val out = Dedup.sharedShingleStats(docs, $"text", $"doc_id", k = 3)
     val p = physical(out)
-    assertNoHashWindow(p, "s#")
+    assertNoHashWindow(p, "s")
     assert(p.contains("HashAggregate"), s"expected partial aggregation in:\n$p")
     val rows = out.orderBy("doc_id").collect()
     assert(rows.length == 240)
