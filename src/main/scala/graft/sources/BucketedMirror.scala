@@ -101,10 +101,11 @@ object BucketedMirror {
     * DB sink beside this call needs no marker: its conditional inserts
     * ([[graft.streaming.TransactionalSink]]) are row-idempotent.
     *
-    * Compact ([[write]]) only while the ingest stream is STOPPED: the
-    * overwrite clears the marker directory along with the data files,
-    * so an in-flight batch replayed across a compaction would no
-    * longer be recognized as applied. */
+    * Compacting with a raw [[write]] is only safe while the ingest
+    * stream is STOPPED: the overwrite clears the marker directory along
+    * with the data files, so an in-flight batch replayed across it
+    * would no longer be recognized as applied. A live deployment uses
+    * [[compact]], which carries the markers into the new generation. */
   def appendOnce(df: DataFrame, name: String, batchId: Long, bucketCol: String,
                  buckets: Int, sortCols: Seq[String] = Nil): Boolean = {
     val spark = df.sparkSession
@@ -125,6 +126,92 @@ object BucketedMirror {
       fs.create(marker, false).close()
       true
     }
+  }
+
+  /** STREAM-SAFE compaction: squash the mirror's accumulated append
+    * generations (one file per bucket per micro-batch — the btree
+    * page-split analog) back to one file per bucket WITHOUT stopping
+    * the ingest stream. The replay hazard of compact-by-[[write]] is
+    * that the overwrite clears `_applied_batches`, so a micro-batch
+    * replayed across the compaction would be re-applied; here the
+    * markers are CARRIED into the new generation before the swap:
+    *
+    *  1. list the applied-batch markers (BEFORE reading data — worst
+    *     case a batch landing in between is compacted AND marked, never
+    *     marked-but-missing, so the failure mode is a tolerated
+    *     duplicate, never row loss);
+    *  2. rewrite the current snapshot, bucketed under the table's OWN
+    *     catalog bucket spec (it cannot drift from the original write),
+    *     into a fresh `<path>_gen<N>` directory via a temp table name —
+    *     the live table stays readable and appendable throughout;
+    *  3. copy the markers into the new generation;
+    *  4. re-list the markers and ABORT (drop the new generation, throw)
+    *     if an append landed during the rewrite — its rows are not in
+    *     the snapshot, and carrying its marker would turn the replay
+    *     into silent row loss. Deployments that call this from the same
+    *     thread as the `foreachBatch` (between batches) never hit this;
+    *  5. atomically repoint the table (`ALTER TABLE .. SET LOCATION`) —
+    *     bucket metadata is table-level, so shuffle elision and bucket
+    *     pruning survive the move — then drop the old generation.
+    *
+    * A replayed batch after the swap resolves the NEW location from the
+    * catalog, finds its carried marker, and no-ops — the soak spec
+    * compacts with the stream mid-flight across a restart boundary and
+    * pins exactly that. Old-generation deletion assumes no reader holds
+    * a plan over the old file listing (true for per-query serving
+    * reads; a deployment with long-running concurrent readers would
+    * defer the delete by a grace period). Returns the new location. */
+  def compact(spark: SparkSession, name: String): String = {
+    require(spark.catalog.tableExists(name),
+      s"compact target '$name' is not in the catalog")
+    val meta = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(name))
+    val spec = meta.bucketSpec.getOrElse(
+      throw new IllegalArgumentException(s"'$name' is not a bucketed mirror"))
+    val oldLoc = new org.apache.hadoop.fs.Path(meta.location)
+    val fs = oldLoc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def listMarkers(): Set[String] = {
+      val dir = new org.apache.hadoop.fs.Path(oldLoc, "_applied_batches")
+      if (fs.exists(dir)) fs.listStatus(dir).map(_.getPath.getName).toSet
+      else Set.empty
+    }
+    val applied = listMarkers()
+    val GenRe = "(.*)_gen(\\d+)$".r
+    val newLoc = oldLoc.toString match {
+      case GenRe(stem, n) => s"${stem}_gen${n.toInt + 1}"
+      case base           => s"${base}_gen1"
+    }
+    val tmpName = s"${name}_compacting"
+    spark.sql(s"DROP TABLE IF EXISTS $tmpName")
+    val w = spark.table(name).write
+      .mode(SaveMode.Overwrite)
+      .format("parquet")
+      .option("path", newLoc)
+      .bucketBy(spec.numBuckets, spec.bucketColumnNames.head,
+        spec.bucketColumnNames.tail: _*)
+    (if (spec.sortColumnNames.nonEmpty)
+      w.sortBy(spec.sortColumnNames.head, spec.sortColumnNames.tail: _*)
+    else w).saveAsTable(tmpName)
+    val newMarkers = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(newLoc), "_applied_batches")
+    fs.mkdirs(newMarkers)
+    applied.foreach { id =>
+      fs.create(new org.apache.hadoop.fs.Path(newMarkers, id), false).close()
+    }
+    val now = listMarkers()
+    if (now != applied) {
+      spark.sql(s"DROP TABLE IF EXISTS $tmpName")
+      fs.delete(new org.apache.hadoop.fs.Path(newLoc), true)
+      throw new IllegalStateException(
+        s"compaction of '$name' raced appends of batch(es) " +
+          s"${(now -- applied).toSeq.sorted.mkString(",")} — retry")
+    }
+    // the temp table is external: dropping it keeps the files
+    spark.sql(s"DROP TABLE IF EXISTS $tmpName")
+    spark.sql(s"ALTER TABLE $name SET LOCATION '$newLoc'")
+    spark.catalog.refreshTable(name)
+    fs.delete(oldLoc, true)
+    newLoc
   }
 
   /** The mirror as a DataFrame. Must go through the catalog — a plain

@@ -170,6 +170,136 @@ class StreamingSoakSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     } finally spark.conf.set(k, saved)
   }
 
+  test("online compaction mid-flight: markers carried, replay no-op, page and pruning survive") {
+    // the 24/7-serving gap: compaction must NOT require stopping the
+    // ingest stream. Here the stream is stopped mid-flight (checkpoint
+    // still holds undrained feed files), both mirrors are compacted,
+    // and the restart drains the remainder ACROSS the compacted
+    // generation. The carried markers make any replayed batch a no-op;
+    // a raw write()-compaction here would wipe them and re-apply.
+    import org.apache.hadoop.fs.Path
+    import spark.implicits._
+    val atiM = "soak_c_ati_m"
+    val sumM = "soak_c_sum_m"
+    val feed = s"$root/feed_c"
+    val ck = s"$root/ckpt_c"
+    val dbUrl = s"jdbc:derby:$root/db_c;create=true"
+    val sort = Seq("account", "summary")
+    try {
+      Migrations.migrate(dbUrl, Dialect.Derby)
+      BucketedMirror.write(Seq.empty[(Long, Long)].toDF("account", "summary"),
+        atiM, s"$root/c_ati_m", "account", buckets = 8, sortCols = sort)
+      BucketedMirror.write(
+        Seq.empty[(Long, String, Long, Long, String)]
+          .toDF("id", "block", "timestamp", "height", "summary"),
+        sumM, s"$root/c_sum_m", "id", buckets = 8, sortCols = Seq("id"))
+      (0 until 6).foreach { i =>
+        mkFeed(i * 2 until (i + 1) * 2).coalesce(1)
+          .write.mode(SaveMode.Append).parquet(feed)
+      }
+      def applyB(batch: DataFrame, batchId: Long): Unit = {
+        TransactionalSink.writeBatch(batch, dbUrl, Dialect.Derby)
+        BucketedMirror.appendOnce(BlockIngest.ati(batch), atiM, batchId,
+          "account", buckets = 8, sortCols = sort)
+        BucketedMirror.appendOnce(BlockIngest.summaries(batch), sumM, batchId,
+          "id", buckets = 8, sortCols = Seq("id"))
+      }
+      def start(): StreamingQuery = spark.readStream
+        .schema(Schemas.blockFeed(org.apache.spark.sql.types.LongType))
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+        .writeStream
+        .option("checkpointLocation", ck)
+        .foreachBatch(applyB _)
+        .trigger(Trigger.AvailableNow())
+        .start()
+
+      val q1 = start()
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      while (q1.lastProgress == null && q1.isActive &&
+        System.nanoTime() < deadline) Thread.sleep(50)
+      q1.stop()
+      q1.awaitTermination(120000)
+
+      // MID-FLIGHT: undrained feed files remain behind the checkpoint;
+      // compact both mirrors now, while the stream is between runs
+      val atiLoc = BucketedMirror.compact(spark, atiM)
+      val sumLoc = BucketedMirror.compact(spark, sumM)
+      assert(atiLoc.endsWith("_gen1") && sumLoc.endsWith("_gen1"))
+      val fs = new Path(atiLoc)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // one rewrite generation: at most one data file per bucket
+      assert(fs.listStatus(new Path(atiLoc))
+        .count(_.getPath.getName.endsWith(".parquet")) <= 8)
+      // (a) the carried markers: batch 0 committed before the stop
+      // (lastProgress was non-null), and replaying it across the
+      // compaction must be a no-op — the exact failure write()-based
+      // compaction would cause
+      val carried = fs.listStatus(new Path(atiLoc, "_applied_batches"))
+        .map(_.getPath.getName.toLong).toSet
+      assert(carried.contains(0L), s"marker for batch 0 not carried: $carried")
+      assert(!BucketedMirror.appendOnce(BlockIngest.ati(mkFeed(0 until 2)),
+        atiM, 0L, "account", buckets = 8, sortCols = sort),
+        "batch 0 was re-applied across the compaction")
+
+      // restart from the same checkpoint; drain the rest into gen1
+      val q2 = start()
+      q2.awaitTermination(120000)
+      assert(!q2.isActive)
+
+      // (b) MULTISET equality with the batch derivation — a re-applied
+      // batch would show up as duplicated rows that set equality hides
+      val full = mkFeed(0 until 12)
+      spark.catalog.refreshTable(atiM)
+      spark.catalog.refreshTable(sumM)
+      val gotAti = BucketedMirror.table(spark, atiM).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+      val expAti = BlockIngest.ati(full).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+      assert(gotAti == expAti)
+      val gotSum = BucketedMirror.table(spark, sumM)
+        .select("id", "summary").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq.sorted
+      val expSum = BlockIngest.summaries(full).collect()
+        .map(r => (r.getLong(0), r.getString(4))).toSeq.sorted
+      assert(gotSum == expSum)
+
+      // compact AGAIN on the live-appended state (gen1 -> gen2): the
+      // generational rename must iterate, not nest
+      val atiLoc2 = BucketedMirror.compact(spark, atiM)
+      assert(atiLoc2.endsWith("_gen2") && !atiLoc2.contains("_gen1"))
+      assert(fs.listStatus(new Path(atiLoc2))
+        .count(_.getPath.getName.endsWith(".parquet")) <= 8)
+
+      // served page over the twice-compacted mirror == the batch answer
+      val served = QueryApi.accountPageServed(
+        BucketedMirror.table(spark, atiM), BucketedMirror.table(spark, sumM),
+        lit(1L), from = 0L, limit = 100, ascending = true)
+        .collect().map(r => (r.getLong(0), r.getString(4))).toSeq
+      val batchAnswer = QueryApi.accountTransactions(
+        BlockIngest.ati(mkFeed(0 until 12)),
+        BlockIngest.summaries(mkFeed(0 until 12)),
+        lit(1L), from = 0L, limit = Some(100), ascending = true)
+        .collect().map(r => (r.getLong(0), r.getString(4))).toSeq
+      assert(served.nonEmpty && served == batchAnswer)
+
+      // (c) bucket pruning survives the relocated generations
+      val k = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+      val saved = spark.conf.get(k)
+      spark.conf.set(k, "false")
+      try {
+        val p = QueryApi.accountPageIds(BucketedMirror.table(spark, atiM),
+          lit(1L), from = 0L, limit = 100, ascending = true)
+          .queryExecution.executedPlan.toString
+        assert(p.contains("SelectedBucketsCount: 1 out of 8"),
+          s"served probe must still read one bucket after compaction:\n$p")
+      } finally spark.conf.set(k, saved)
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $atiM")
+      spark.sql(s"DROP TABLE IF EXISTS $sumM")
+    }
+  }
+
   test("served page tolerates a replayed generation (the marker crash window)") {
     // appendOnce's residual window: data files commit, the crash lands
     // before the marker, the batch replays — one generation's rows are
