@@ -14,9 +14,14 @@ import org.apache.spark.sql.functions._
   * for: [[decodeBatch]] and [[pixelsBatched]] run `javax.imageio`
   * inside the partition batch (MultimodalSpec round-trips real
   * encoded images and checks decoded dims == header dims and exact
-  * luminance stats). The remaining stub is the audio/video branch —
-  * payloads no JVM codec reads get the deterministic md5-derived fake,
-  * the seam where an FFI codec would plug in. Every piece of
+  * luminance stats). AUDIO decode is real for PCM WAV — RIFF header
+  * parse + exact integer sample statistics
+  * ([[graft.functions.MediaHeaderUtil.wavStats]], fixture-byte-verified
+  * in AudioDecodeSpec) behind the same seam, with [[audioBatched]] as
+  * the full-stats analog of [[pixelsBatched]]. The remaining stub is
+  * the video/compressed-audio branch — payloads no shipped codec reads
+  * get the deterministic md5-derived fake, the seam where an FFI codec
+  * would plug in. Every piece of
   * Spark-side plumbing around the seam is real: the schema (binary
   * payload + metadata struct), the batched per-partition execution
   * shape (what a `mapInPandas`/Arrow UDF would give), and the
@@ -120,9 +125,11 @@ object Multimodal {
     * get REAL decoded dimensions — `javax.imageio` when the payload
     * actually decodes, the parsed header otherwise (a sniffed header on
     * a truncated body still yields container dims, like a real pipeline
-    * quarantining bad files); anything else gets the deterministic
-    * md5-derived fake, the remaining stub where an audio/video codec
-    * would plug in. */
+    * quarantining bad files). PCM WAV payloads get REAL audio fields:
+    * width/height 0 (no raster) and `n_frames` = the decoded PCM frame
+    * count (capped at Int.MaxValue), from the RIFF parse. Anything else
+    * gets the deterministic md5-derived fake, the remaining stub where
+    * a video / compressed-audio codec would plug in. */
   private def decodeBatch(batch: Seq[MediaRow]): Seq[MediaFeatures] =
     batch.map { r =>
       val hex = java.security.MessageDigest.getInstance("MD5")
@@ -133,10 +140,17 @@ object Multimodal {
             .map(i => (i.getWidth, i.getHeight)).getOrElse((w, h))
           MediaFeatures(r.media_id, r.payload.length.toLong, hex, rw, rh, 1)
         case None =>
-          val h60 = java.lang.Long.parseLong(hex.take(15), 16)
-          MediaFeatures(r.media_id, r.payload.length.toLong, hex,
-            (h60 % 1280).toInt, (nestedHash(hex) % 720).toInt,
-            r.payload.length % 30)
+          graft.functions.MediaHeaderUtil.parseWav(r.payload) match {
+            case Some(wav) =>
+              val frames = wav.dataLen.toLong / wav.blockAlign
+              MediaFeatures(r.media_id, r.payload.length.toLong, hex, 0, 0,
+                math.min(frames, Int.MaxValue.toLong).toInt)
+            case None =>
+              val h60 = java.lang.Long.parseLong(hex.take(15), 16)
+              MediaFeatures(r.media_id, r.payload.length.toLong, hex,
+                (h60 % 1280).toInt, (nestedHash(hex) % 720).toInt,
+                r.payload.length % 30)
+          }
       }
     }
 
@@ -182,6 +196,34 @@ object Multimodal {
   /** Pixel-statistics row of [[pixelsBatched]]. */
   case class MediaPixels(media_id: Long, format: String, width: Int,
                          height: Int, n_pixels: Long, mean_luma: Int)
+
+  /** Decoded-PCM statistics: the REAL audio path, the WAV analog of
+    * [[pixelsBatched]] — RIFF/`fmt `/`data` chunk walk plus an exact
+    * integer pass over every sample
+    * ([[graft.functions.MediaHeaderUtil.wavStats]]; no floats, so the
+    * result is engine- and platform-exact). One output row per payload
+    * that parses as uncompressed 8/16-bit PCM WAV — compressed codecs,
+    * truncated chunks, and non-audio bytes are dropped, the same
+    * quarantine contract as the pixel path. Same partition-batch
+    * execution shape as [[featuresBatched]]. */
+  def audioBatched(ds: Dataset[MediaRow], batchSize: Int = 64): Dataset[MediaAudio] = {
+    implicit val enc = Encoders.product[MediaAudio]
+    ds.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.flatMap { r =>
+          graft.functions.MediaHeaderUtil.wavStats(r.payload).map { s =>
+            MediaAudio(r.media_id, "wav", s.channels, s.sampleRate,
+              s.bitsPerSample, s.nFrames, s.durationMs, s.meanAbsAmp)
+          }
+        }
+      }
+    }
+  }
+
+  /** PCM-statistics row of [[audioBatched]]. */
+  case class MediaAudio(media_id: Long, format: String, channels: Int,
+                        sample_rate: Int, bits: Int, n_frames: Long,
+                        duration_ms: Long, mean_abs_amp: Long)
 
   private def decodeImage(payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
     try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))

@@ -42,6 +42,9 @@ object MediaHeaderUtil {
   private def le16(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8)
   private def be32(b: Array[Byte], i: Int): Long =
     (u8(b, i).toLong << 24) | (u8(b, i + 1) << 16) | (u8(b, i + 2) << 8) | u8(b, i + 3)
+  private def le32(b: Array[Byte], i: Int): Long =
+    u8(b, i).toLong | (u8(b, i + 1).toLong << 8) |
+      (u8(b, i + 2).toLong << 16) | (u8(b, i + 3).toLong << 24)
 
   /** (format, width, height) of a recognized PNG/GIF/JPEG header. */
   def parseDims(b: Array[Byte]): Option[(String, Int, Int)] =
@@ -95,6 +98,80 @@ object MediaHeaderUtil {
       }
     }
     None
+  }
+
+  /** Uncompressed-PCM WAV container fields (RIFF, a public format):
+    * `RIFF <size> WAVE`, then word-aligned chunks of
+    * `<4-byte id> <LE u32 size> <data>`. The `fmt ` chunk carries
+    * audioFormat(u16, 1 = PCM), channels(u16), sampleRate(u32),
+    * byteRate(u32), blockAlign(u16), bitsPerSample(u16); the `data`
+    * chunk is the raw interleaved samples. */
+  case class WavPcm(channels: Int, sampleRate: Int, bitsPerSample: Int,
+                    blockAlign: Int, dataOffset: Int, dataLen: Int)
+
+  /** Parse a PCM WAV header — the audio analog of [[parseDims]].
+    * Only linear PCM at 8 or 16 bits is accepted (the two shapes the
+    * canonical format defines without an extension chunk); compressed
+    * audioFormat codes, truncated chunks, or a blockAlign inconsistent
+    * with channels×bits are rejected, not guessed at. */
+  def parseWav(b: Array[Byte]): Option[WavPcm] = {
+    if (b.length < 12 ||
+        b(0) != 'R' || b(1) != 'I' || b(2) != 'F' || b(3) != 'F' ||
+        b(8) != 'W' || b(9) != 'A' || b(10) != 'V' || b(11) != 'E') return None
+    var i = 12
+    var fmt: Option[(Int, Int, Long, Int, Int)] = None
+    var data: Option[(Int, Int)] = None
+    while (i + 8 <= b.length && (fmt.isEmpty || data.isEmpty)) {
+      val size = le32(b, i + 4)
+      if (size < 0 || size > Int.MaxValue - 8 || i + 8 + size > b.length)
+        return None // truncated or absurd chunk
+      val sz = size.toInt
+      if (b(i) == 'f' && b(i + 1) == 'm' && b(i + 2) == 't' && b(i + 3) == ' ') {
+        if (sz < 16) return None
+        fmt = Some((le16(b, i + 8), le16(b, i + 10), le32(b, i + 12),
+          le16(b, i + 20), le16(b, i + 22)))
+      } else if (b(i) == 'd' && b(i + 1) == 'a' && b(i + 2) == 't' &&
+                 b(i + 3) == 'a') {
+        data = Some((i + 8, sz))
+      }
+      i += 8 + sz + (sz & 1) // chunks are word-aligned
+    }
+    for {
+      (af, ch, rate, ba, bits) <- fmt
+      (off, len) <- data
+      if af == 1 && (bits == 8 || bits == 16) && ch > 0 &&
+        rate > 0 && rate <= Int.MaxValue &&
+        ba == ch * (bits / 8) && len % ba == 0
+    } yield WavPcm(ch, rate.toInt, bits, ba, off, len)
+  }
+
+  /** Decoded PCM statistics of a WAV payload — the audio analog of the
+    * pixel-luma pass: exact integer sample arithmetic, no floats.
+    * `durationMs` is `frames * 1000 div sampleRate`; `meanAbsAmp` is
+    * the integer mean of |sample| over every sample of every channel
+    * (8-bit samples are unsigned around a 128 bias per the format; 16-bit
+    * are signed little-endian). */
+  case class WavStats(channels: Int, sampleRate: Int, bitsPerSample: Int,
+                      nFrames: Long, durationMs: Long, meanAbsAmp: Long)
+
+  def wavStats(b: Array[Byte]): Option[WavStats] = parseWav(b).map { w =>
+    val bytesPerSample = w.bitsPerSample / 8
+    val nSamples = w.dataLen.toLong / bytesPerSample
+    val nFrames = w.dataLen.toLong / w.blockAlign
+    var sum = 0L
+    var i = w.dataOffset
+    val end = w.dataOffset + w.dataLen
+    if (w.bitsPerSample == 8) {
+      while (i < end) { sum += math.abs((b(i) & 0xff) - 128); i += 1 }
+    } else {
+      while (i + 1 < end) {
+        sum += math.abs((b(i) & 0xff) | (b(i + 1).toInt << 8))
+        i += 2
+      }
+    }
+    WavStats(w.channels, w.sampleRate, w.bitsPerSample, nFrames,
+      nFrames * 1000L / w.sampleRate,
+      if (nSamples == 0) 0L else sum / nSamples)
   }
 
   /** Expression-facing wrapper: result row, or null when unrecognized. */
