@@ -34,7 +34,7 @@ object Bench {
       // pre-built btree — its comparable numbers (<0.5 s account page)
       // are measured against an existing index, so the serving queries
       // here must time the PAGE, not the refresh. (First-touch inside
-      // the loop was charging b2_account_page_served ~2.9 s of mirror
+      // the loop was charging b2_served ~2.9 s of mirror
       // write and ann_ivf_indexed ~1.3 s of index write.)
       graft.sources.ServingMirrors.atiSummaries(spark, sfDir)
       graft.sources.ServingMirrors.ctiSummaries(spark, sfDir)

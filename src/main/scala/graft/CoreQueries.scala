@@ -83,7 +83,7 @@ object CoreQueries {
       Tables.cis2Tokens(s, d).orderBy("index", "subindex", "token_id")),
     "a8_key_bindings" -> ((s, d) =>
       Tables.keyBindings(s, d).orderBy("address", "key_index")),
-    "a4_canonical_accounts" -> ((s, d) => {
+    "a4_canon" -> ((s, d) => {
       // alias-class canonicalization: dimension (prefix → canonical) built
       // from the account snapshot, broadcast-joined to the fan-out
       // (main.rs:133-146, 762-784; prefix here = id div 4 instead of the
@@ -95,7 +95,7 @@ object CoreQueries {
         Tables.ati(s, d), "account", dim, a => shiftright(a, 2))
       canon.groupBy(col("account")).agg(count(lit(1)).as("n")).orderBy("account")
     }),
-    "a11_resume_height" -> ((s, d) =>
+    "a11_resume" -> ((s, d) =>
       BlockIngest.resumeHeight(Tables.summaries(s, d))),
     "cis2_log_decode" -> ((s, d) => {
       // CIS-2 binary log parse (§2.C): events → wire-format log bytes via
@@ -120,44 +120,44 @@ object CoreQueries {
       graft.ingest.BlockFeed.decodeRawLogs(raw)
         .orderBy("height", "seq_in_block")
     }),
-    "a12_account_snapshot" -> ((s, d) =>
+    "a12_snapshot" -> ((s, d) =>
       Tables.ati(s, d).select("account").distinct().orderBy("account")),
 
     // — B. read surface (SURVEY §2.B) —
-    "b1_account_page_asc" -> ((s, d) =>
+    "b1_asc" -> ((s, d) =>
       QueryApi.accountTransactions(Tables.ati(s, d), Tables.summaries(s, d),
         lit(Account), 0L, Some(50), ascending = true)),
-    "b2_account_page_desc" -> ((s, d) =>
+    "b2_desc" -> ((s, d) =>
       QueryApi.accountTransactions(Tables.ati(s, d), Tables.summaries(s, d),
         lit(Account), MaxId, Some(50), ascending = false)),
     // B1/B2 through the SERVING mirrors (bucketed btree analog) — same
     // oracle as the scan-based rows; the spec-level pruning/zero-Exchange
     // claims live in ServingPageSpec.
-    "b1_account_page_served" -> ((s, d) => {
+    "b1_served" -> ((s, d) => {
       val (atiM, sumM) = graft.sources.ServingMirrors.atiSummaries(s, d)
       QueryApi.accountPageServed(atiM, sumM, lit(Account), 0L, 50,
         ascending = true)
     }),
-    "b2_account_page_served" -> ((s, d) => {
+    "b2_served" -> ((s, d) => {
       val (atiM, sumM) = graft.sources.ServingMirrors.atiSummaries(s, d)
       QueryApi.accountPageServed(atiM, sumM, lit(Account), MaxId, 50,
         ascending = false)
     }),
-    "b3_contract_page_served" -> ((s, d) => {
+    "b3_served" -> ((s, d) => {
       val (ctiM, sumM) = graft.sources.ServingMirrors.ctiSummaries(s, d)
       QueryApi.contractPageServed(ctiM, sumM, CIdx, CSub, 0L, 50,
         ascending = true)
     }),
-    "b3_contract_page_asc" -> ((s, d) =>
+    "b3_asc" -> ((s, d) =>
       QueryApi.contractTransactions(Tables.cti(s, d), Tables.summaries(s, d),
         CIdx, CSub, 0L, Some(50), ascending = true)),
-    "b3_contract_page_desc" -> ((s, d) =>
+    "b3_desc" -> ((s, d) =>
       QueryApi.contractTransactions(Tables.cti(s, d), Tables.summaries(s, d),
         CIdx, CSub, MaxId, Some(50), ascending = false)),
-    "b4_iterate_account" -> ((s, d) =>
+    "b4_iter_acc" -> ((s, d) =>
       QueryApi.accountTransactions(Tables.ati(s, d), Tables.summaries(s, d),
         lit(Account), 0L, None, ascending = true)),
-    "b4_iterate_contract" -> ((s, d) =>
+    "b4_iter_con" -> ((s, d) =>
       QueryApi.contractTransactions(Tables.cti(s, d), Tables.summaries(s, d),
         CIdx, CSub, 0L, None, ascending = true)),
     "b5_row_decode" -> ((s, d) =>
@@ -204,27 +204,27 @@ object CoreQueries {
            END as summary""")
       QueryApi.decodeRowsDeep(feed).orderBy("id")
     }),
-    "b5_row_decode_strict" -> ((s, d) =>
+    "b5_strict" -> ((s, d) =>
       QueryApi.decodeRowsStrict(Tables.summaries(s, d)).orderBy("id")),
-    "b6_topk_per_account" -> ((s, d) =>
+    "b6_topk" -> ((s, d) =>
       QueryApi.topKPerAccount(Tables.ati(s, d), 3).orderBy("account", "rn")),
     "b7_change_feed" -> ((s, d) =>
       QueryApi.changeFeed(Tables.ati(s, d), Tables.summariesWithSender(s, d),
         lit(Account), 0L, 100)),
     "b8_max_height" -> ((s, d) =>
       Tables.summaries(s, d).agg(max("height").as("max_height"))),
-    "b10_tokens_of_contract" -> ((s, d) =>
+    "b10_tokens" -> ((s, d) =>
       Tables.cis2Tokens(s, d)
         .where(col("index") === CIdx && col("subindex") === 0L)
         .orderBy("token_id")),
-    "b11_accounts_by_key" -> ((s, d) => {
+    "b11_by_key" -> ((s, d) => {
       val b = Tables.keyBindings(s, d)
       val keys = b.where(col("address") === Account).select("public_key")
       b.join(keys, Seq("public_key"), "left_semi")
         .select("address", "public_key", "key_index")
         .orderBy("address", "key_index")
     }),
-    "b12_account_range" -> ((s, d) =>
+    "b12_range" -> ((s, d) =>
       QueryApi.accountTransactionsInRange(Tables.ati(s, d), Tables.summaries(s, d),
         lit(Account), lit(TsLo), lit(TsHi), "timestamp"))
   )
@@ -240,12 +240,12 @@ object CoreQueries {
       """SELECT "index", subindex, token_id, total_supply FROM cis2_tokens ORDER BY "index", subindex, token_id"""),
     "a8_key_bindings" -> (cte +
       "SELECT address, public_key, credential_index, key_index, is_simple_account FROM bindings ORDER BY address, key_index"),
-    "a4_canonical_accounts" -> (cte +
+    "a4_canon" -> (cte +
       """, dim AS (SELECT user_id // 4 AS prefix, min(user_id) AS canonical FROM events GROUP BY 1)
 SELECT coalesce(d.canonical, a.account) AS account, count(*) AS n
 FROM ati a LEFT JOIN dim d ON a.account // 4 = d.prefix
 GROUP BY 1 ORDER BY 1"""),
-    "a11_resume_height" -> (cte +
+    "a11_resume" -> (cte +
       "SELECT max_by(height, id) AS height FROM summaries"),
     "cis2_log_decode" -> """
 SELECT event_id // 8 AS height,
@@ -257,49 +257,49 @@ SELECT event_id // 8 AS height,
        CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR) AS amount
 FROM events WHERE event_type IN ('purchase', 'click')
 ORDER BY height, seq_in_block""",
-    "a12_account_snapshot" -> (cte +
+    "a12_snapshot" -> (cte +
       "SELECT DISTINCT account FROM ati ORDER BY account"),
-    "b1_account_page_asc" -> (cte + s"""
+    "b1_asc" -> (cte + s"""
 SELECT s.id, s.block, s."timestamp", s.height, s.summary
 FROM ati JOIN summaries s ON ati.summary = s.id
 WHERE ati.account = $Account AND ati.summary >= 0
 ORDER BY s.id ASC LIMIT 50"""),
-    "b2_account_page_desc" -> (cte + s"""
+    "b2_desc" -> (cte + s"""
 SELECT s.id, s.block, s."timestamp", s.height, s.summary
 FROM ati JOIN summaries s ON ati.summary = s.id
 WHERE ati.account = $Account AND ati.summary <= $MaxId
 ORDER BY s.id DESC LIMIT 50"""),
-    "b1_account_page_served" -> (cte + s"""
+    "b1_served" -> (cte + s"""
 SELECT s.id, s.block, s."timestamp", s.height, s.summary
 FROM ati JOIN summaries s ON ati.summary = s.id
 WHERE ati.account = $Account AND ati.summary >= 0
 ORDER BY s.id ASC LIMIT 50"""),
-    "b2_account_page_served" -> (cte + s"""
+    "b2_served" -> (cte + s"""
 SELECT s.id, s.block, s."timestamp", s.height, s.summary
 FROM ati JOIN summaries s ON ati.summary = s.id
 WHERE ati.account = $Account AND ati.summary <= $MaxId
 ORDER BY s.id DESC LIMIT 50"""),
-    "b3_contract_page_asc" -> (cte + s"""
+    "b3_asc" -> (cte + s"""
 SELECT s.id, s.block, s."timestamp", s.height, s.summary
 FROM cti JOIN summaries s ON cti.summary = s.id
 WHERE cti."index" = $CIdx AND cti.subindex = $CSub AND cti.summary >= 0
 ORDER BY s.id ASC LIMIT 50"""),
-    "b3_contract_page_served" -> (cte + s"""
+    "b3_served" -> (cte + s"""
 SELECT s.id, s.block, s."timestamp", s.height, s.summary
 FROM cti JOIN summaries s ON cti.summary = s.id
 WHERE cti."index" = $CIdx AND cti.subindex = $CSub AND cti.summary >= 0
 ORDER BY s.id ASC LIMIT 50"""),
-    "b3_contract_page_desc" -> (cte + s"""
+    "b3_desc" -> (cte + s"""
 SELECT s.id, s.block, s."timestamp", s.height, s.summary
 FROM cti JOIN summaries s ON cti.summary = s.id
 WHERE cti."index" = $CIdx AND cti.subindex = $CSub AND cti.summary <= $MaxId
 ORDER BY s.id DESC LIMIT 50"""),
-    "b4_iterate_account" -> (cte + s"""
+    "b4_iter_acc" -> (cte + s"""
 SELECT s.id, s.block, s."timestamp", s.height, s.summary
 FROM ati JOIN summaries s ON ati.summary = s.id
 WHERE ati.account = $Account AND ati.summary >= 0
 ORDER BY s.id ASC"""),
-    "b4_iterate_contract" -> (cte + s"""
+    "b4_iter_con" -> (cte + s"""
 SELECT s.id, s.block, s."timestamp", s.height, s.summary
 FROM cti JOIN summaries s ON cti.summary = s.id
 WHERE cti."index" = $CIdx AND cti.subindex = $CSub AND cti.summary >= 0
@@ -332,14 +332,14 @@ WHERE json_valid(summary)
   AND (json_extract(summary, '$.Left') IS NOT NULL
        OR json_extract(summary, '$.Right') IS NOT NULL)
 ORDER BY id"""),
-    "b5_row_decode_strict" -> (cte + """
+    "b5_strict" -> (cte + """
 SELECT id,
        CASE WHEN json_extract(summary, '$.Left') IS NOT NULL THEN 'Left'
             ELSE 'Right' END AS variant,
        CAST(summary->>'$.Left.k' AS BIGINT) AS left_k,
        CAST(summary->>'$.Right.k' AS BIGINT) AS right_k
 FROM summaries ORDER BY id"""),
-    "b6_topk_per_account" -> (cte + """
+    "b6_topk" -> (cte + """
 SELECT account, summary, CAST(rn AS INT) AS rn FROM (
   SELECT account, summary,
          row_number() OVER (PARTITION BY account ORDER BY summary DESC) AS rn
@@ -352,15 +352,15 @@ WHERE ati.account = $Account AND ati.summary > 0
 ORDER BY s.id LIMIT 100"""),
     "b8_max_height" -> (cte +
       "SELECT max(height) AS max_height FROM summaries"),
-    "b10_tokens_of_contract" -> (cte + s"""
+    "b10_tokens" -> (cte + s"""
 SELECT "index", subindex, token_id, total_supply FROM cis2_tokens
 WHERE "index" = $CIdx AND subindex = 0 ORDER BY token_id"""),
-    "b11_accounts_by_key" -> (cte + s"""
+    "b11_by_key" -> (cte + s"""
 SELECT b.address, b.public_key, b.key_index
 FROM bindings b
 WHERE b.public_key IN (SELECT public_key FROM bindings WHERE address = $Account)
 ORDER BY b.address, b.key_index"""),
-    "b12_account_range" -> (cte + s"""
+    "b12_range" -> (cte + s"""
 SELECT s.id, s.block, s."timestamp", s.height, s.summary
 FROM ati JOIN summaries s ON ati.summary = s.id
 WHERE ati.account = $Account AND s."timestamp" BETWEEN $TsLo AND $TsHi

@@ -143,7 +143,7 @@ object ExtQueries {
       Dedup.exact(Tables.documents(s, d), col("text"), col("doc_id"))
         .orderBy("content_hash")),
 
-    "dedup_ngram_jaccard" -> ((s, d) =>
+    "dedup_jaccard" -> ((s, d) =>
       Dedup.ngramJaccard(Tables.documents(s, d), col("text"), col("doc_id"),
           k = 3, minJaccard = 0.2)
         .orderBy("doc_a", "doc_b")),
@@ -169,7 +169,7 @@ object ExtQueries {
         .orderBy("doc_a", "doc_b")
     }),
 
-    "dedup_shared_ngrams" -> ((s, d) =>
+    "dedup_shared" -> ((s, d) =>
       Dedup.sharedShingleStats(Tables.documents(s, d), col("text"),
           col("doc_id"), k = 3)
         .orderBy("doc_id")),
@@ -549,7 +549,7 @@ SELECT md5(text) AS content_hash, min(doc_id) AS keeper_doc_id,
        count(*) AS n_copies
 FROM documents GROUP BY 1 ORDER BY 1""",
 
-    "dedup_ngram_jaccard" -> (hashedShinglesCte + """, sizes AS (
+    "dedup_jaccard" -> (hashedShinglesCte + """, sizes AS (
   SELECT doc_id, count(*) AS n FROM sh GROUP BY 1
 ), pairs AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
@@ -608,7 +608,7 @@ FROM pairs JOIN sp a ON doc_a = a.doc_id JOIN sp b ON doc_b = b.doc_id
 WHERE a.split <> b.split
 ORDER BY doc_a, doc_b"""),
 
-    "dedup_shared_ngrams" -> (hashedShinglesCte + """
+    "dedup_shared" -> (hashedShinglesCte + """
 SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
        CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
        CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) * 1000

@@ -33,7 +33,7 @@ object RelationalQueries {
   private def revenue = price2 * disc1m
 
   val queries: Map[String, Q] = Map(
-    "q1_pricing_summary" -> ((s, d) =>
+    "q1_pricing" -> ((s, d) =>
       Tables.lineitem(s, d)
         .where(col("l_shipdate") <= lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
@@ -45,7 +45,7 @@ object RelationalQueries {
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")),
 
-    "q3_shipping_priority" -> ((s, d) => {
+    "q3_shipping" -> ((s, d) => {
       val cust = Tables.customer(s, d).where(col("c_mktsegment") === "BUILDING")
       val ord = Tables.orders(s, d).where(col("o_orderdate") < lit("1998-03-15"))
       val li = Tables.lineitem(s, d).where(col("l_shipdate") > lit("1998-03-15"))
@@ -368,7 +368,7 @@ object RelationalQueries {
     "CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))"
 
   val oracles: Map[String, String] = Map(
-    "q1_pricing_summary" -> s"""
+    "q1_pricing" -> s"""
 SELECT l_returnflag, l_linestatus,
        CAST(SUM(CAST(l_quantity AS $dec)) AS DOUBLE) AS sum_qty,
        CAST(SUM(CAST(l_extendedprice AS $dec)) AS DOUBLE) AS sum_base_price,
@@ -378,7 +378,7 @@ SELECT l_returnflag, l_linestatus,
 FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
 GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",
 
-    "q3_shipping_priority" -> s"""
+    "q3_shipping" -> s"""
 SELECT l_orderkey, SUM($rev) AS revenue, o_orderdate, o_orderpriority
 FROM customer JOIN orders ON c_custkey = o_custkey
               JOIN lineitem ON l_orderkey = o_orderkey

@@ -82,7 +82,7 @@ object QueryApi {
     * rows, like the nprobe centroid collect in
     * [[graft.ext.Similarity.annIvfIndexedVec]]) — never by the data.
     * ServingPageSpec pins both scans' pruning and zero-Exchange plans,
-    * and CORRECTNESS rows b1/b2_account_page_served pin equality with
+    * and CORRECTNESS rows b1/b2_served pin equality with
     * [[accountTransactions]]. For the unbounded iterate surface (B4)
     * use [[accountTransactions]]/[[contractTransactions]] — a full-page
     * collect there would be data-sized. */

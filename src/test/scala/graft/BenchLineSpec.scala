@@ -23,13 +23,17 @@ class BenchLineSpec extends AnyFunSuite {
     // regardless, so the budget pins the zero-error shape only.
     val line =
       s"""{"metric":"total","value":999,"unit":"sec","queries":$qs,"cpus":32,"sf":"sf0.1"}"""
-    // Leave headroom for a trailing newline and any stray launcher byte.
-    // If this trips on a future query: the next structural levers are
-    // emitting basename(sfDir) instead of the full path (-15) and then
+    // Round 10 shortened the 21 longest names to reclaim headroom (the
+    // line sat at 1,978/2,000 — one more query would have silently
+    // broken the driver's tail parse). Keep >=150 chars spare so the
+    // inventory can still grow ~10 queries without another rename
+    // sweep. If this trips: the next structural levers are emitting
+    // basename(sfDir) instead of the full path (-15) and then
     // shortening the longest query names.
     assert(
-      line.length <= 1980,
-      s"bench JSON line would be ${line.length} chars with ${names.size} queries; " +
+      line.length <= 1850,
+      s"bench JSON line would be ${line.length} chars with ${names.size} queries " +
+        "(need >=150 chars spare under the driver's 2000-char tail); " +
         "shorten query names or tighten Bench.scala's encoding before adding more")
   }
 }

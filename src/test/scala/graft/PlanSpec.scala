@@ -17,7 +17,7 @@ class PlanSpec extends SparkSpec {
     p.sliding(needle.length).count(_ == needle)
 
   test("b1 account page: top-k via TakeOrderedAndProject, cursor pushed to scan") {
-    val p = plan("b1_account_page_asc")
+    val p = plan("b1_asc")
     assert(p.contains("TakeOrderedAndProject"), s"expected limit+sort fusion in:\n$p")
     // ati here is DERIVED from events (explode of affected_accounts), so
     // the account predicate can't reach storage — but Catalyst must push
@@ -36,7 +36,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q1 pricing summary: partial aggregation before the exchange") {
-    val p = plan("q1_pricing_summary")
+    val p = plan("q1_pricing")
     assert(count(p, "HashAggregate") >= 2,
       s"expected partial+final HashAggregate pair in:\n$p")
   }
@@ -60,6 +60,28 @@ class PlanSpec extends SparkSpec {
     val p = plan("ann_knn_graph")
     assert(p.contains("Window"), s"expected the per-source top-k window in:\n$p")
     assert(!p.contains("CartesianProduct"))
+    // same hot-key bound as b6: each map task forwards at most k rows
+    // per source before the window exchange — the candidates are
+    // already bucket-capped, but a dense similarity cluster can still
+    // pile thousands of candidate rows onto one source id
+    assert(p.split('\n').exists(l =>
+      l.contains("WindowGroupLimit") && l.contains("Partial")),
+      s"expected a Partial-mode WindowGroupLimit in:\n$p")
+  }
+
+  test("ann recall: every per-query top-k gets the partial group limit") {
+    // recallAtK ranks three candidate families (brute force, LSH, IVF)
+    // with the same row_number <= k shape; all of them must keep the
+    // map-side partial limit, not just the first
+    val p = plan("ann_recall")
+    val partials = p.split('\n').count(l =>
+      l.contains("WindowGroupLimit") && l.contains("Partial"))
+    assert(partials >= 3,
+      s"expected >=3 Partial-mode WindowGroupLimits (one per method), got $partials in:\n$p")
+    // the only nested-loop is against the broadcast query set (bounded
+    // by |queryIds|), never data x data
+    assert(!p.contains("CartesianProduct"),
+      s"recall scoring must not cartesian on data:\n$p")
   }
 
   test("bloom semi join: membership filter sits under the exact join") {
@@ -88,7 +110,7 @@ class PlanSpec extends SparkSpec {
     // boilerplate shingle shared by most of the corpus) joined back on
     // the hash key — a count window over the hash would put every
     // occurrence of the hot key into one partition
-    val p = plan("dedup_shared_ngrams")
+    val p = plan("dedup_shared")
     assert(!p.contains("Window"), s"no window may partition on the shingle hash:\n$p")
     assert(count(p, "HashAggregate") >= 4,
       s"expected partial+final pairs for doc counts and the per-doc fold in:\n$p")
@@ -157,7 +179,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("strict decode: exactly one FAILFAST parse feeds guards and projection") {
-    val p = plan("b5_row_decode_strict")
+    val p = plan("b5_strict")
     assert(count(p, "from_json") == 1,
       s"expected exactly one envelope parse in:\n$p")
     assert(!p.contains("Join") && !p.contains("Window"))
@@ -168,7 +190,7 @@ class PlanSpec extends SparkSpec {
     // account, so one account owning most of the corpus cannot flood a
     // single window partition — losing the Partial phase here would be
     // the b6 scale bug
-    val p = plan("b6_topk_per_account")
+    val p = plan("b6_topk")
     val lines = p.split('\n')
     // anchor to the WindowGroupLimit line itself: a bare indexOf("Partial")
     // would match any Partial-mode operator elsewhere in the plan text

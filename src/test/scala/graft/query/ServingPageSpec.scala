@@ -14,7 +14,7 @@ import graft.sources.ServingMirrors
   *      page and also plans zero Exchange;
   *  (c) the served page equals the scan-path [[QueryApi.accountTransactions]]
   *      row-for-row, both directions (the CORRECTNESS rows
-  *      b1/b2_account_page_served additionally pin this against DuckDB).
+  *      b1/b2_served additionally pin this against DuckDB).
   */
 class ServingPageSpec extends SparkSpec {
 
