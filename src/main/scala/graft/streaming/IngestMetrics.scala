@@ -42,4 +42,37 @@ object IngestMetrics {
       .select(col("window.start").as("window_start"),
         col("window.end").as("window_end"),
         col("n_docs"), col("sum_chars"), col("n_len_ok"))
+
+  /** STREAMING sessionization — the `session_window` counterpart of the
+    * batch gap-based `q_sessionize` (RelationalQueries): per-key
+    * activity sessions that close when no event arrives within `gap`.
+    * Unlike the tumbling [[docsPerWindow]], session windows MERGE in
+    * the state store as events arrive (two open sessions bridged by a
+    * late event collapse into one); the watermark bounds both lateness
+    * and state — a session is emitted (append mode) once the watermark
+    * passes its end, and its state row is dropped.
+    *
+    * Semantics note vs the batch variant: Spark defines a session's end
+    * as last-event-time + gap, so `duration_ms` here includes the
+    * trailing gap, where the batch lag/cumsum formulation measures
+    * first-to-last event span. Both are deterministic; pick per use.
+    *
+    * Scale: state is hash-distributed by the grouping key, so a hot key
+    * concentrates its (single-row, merged) session state on one
+    * partition — bounded by sessions-per-key, not events-per-key,
+    * which is what makes this safe where a per-key event sort would
+    * not be. */
+  def userSessions(docs: DataFrame, eventTime: Column, key: Column,
+                   gap: String, delay: String): DataFrame =
+    docs
+      .select(eventTime.as("event_time"), key.as("user_id"))
+      .withWatermark("event_time", delay)
+      .groupBy(session_window(col("event_time"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        (unix_millis(col("session_window.end")) -
+          unix_millis(col("session_window.start"))).as("duration_ms"),
+        col("n_events"))
 }

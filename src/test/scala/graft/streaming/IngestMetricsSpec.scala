@@ -43,4 +43,46 @@ class IngestMetricsSpec extends SparkSpec {
           "short".length + "another sufficiently long document".length).toLong)
     } finally q.stop()
   }
+
+  test("session windows merge across a gap-bridging event and close by watermark") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(Long, String)] // (ms, user)
+    val feed = input.toDF().toDF("ms", "user")
+      .withColumn("event_time", timestamp_millis(col("ms")))
+    val sessions = IngestMetrics.userSessions(feed,
+      col("event_time"), col("user"), gap = "30 seconds", delay = "60 seconds")
+    val q = sessions.writeStream.format("memory").queryName("user_sessions")
+      .outputMode("append").start()
+    try {
+      // user a: events at 0s and 50s — 50s gap > 30s, so TWO open
+      // sessions; user b: one event at 5s
+      input.addData((0L, "a"), (50000L, "a"), (5000L, "b"))
+      q.processAllAvailable()
+      // the bridge: an event at 25s is within 30s of BOTH of a's open
+      // sessions — the state store must MERGE them into one [0s, 80s).
+      // (the 60s watermark delay keeps 25s above the watermark — 50s
+      // max event minus 60s — so the bridge is late-but-in-bounds,
+      // exactly the case session merging exists for)
+      input.addData((25000L, "a"))
+      q.processAllAvailable()
+      // advance the watermark far past every session's end
+      input.addData((500000L, "c"))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        """SELECT user_id, session_start, session_end, duration_ms, n_events
+          |FROM user_sessions ORDER BY user_id""".stripMargin).collect()
+      assert(rows.length == 2) // a's merged session + b's; c's is still open
+      val a = rows(0)
+      assert(a.getString(0) == "a")
+      assert(a.getAs[Timestamp]("session_start").getTime == 0L)
+      // end = last event (50s) + gap (30s)
+      assert(a.getAs[Timestamp]("session_end").getTime == 80000L)
+      assert(a.getAs[Long]("duration_ms") == 80000L)
+      assert(a.getAs[Long]("n_events") == 3L)
+      val b = rows(1)
+      assert(b.getString(0) == "b")
+      assert(b.getAs[Long]("n_events") == 1L)
+      assert(b.getAs[Timestamp]("session_end").getTime == 35000L)
+    } finally q.stop()
+  }
 }
