@@ -407,6 +407,18 @@ object ExtQueries {
           col("doc_id"), k = 5)
         .orderBy("doc_id", "rn")),
 
+    "src_stats" -> ((s, d) =>
+      TextAnalysis.sourceStats(Tables.documents(s, d), col("source"),
+        col("text"), col("lang"), col("doc_id")).orderBy("source")),
+
+    "text_zipf" -> ((s, d) =>
+      TextAnalysis.vocabHead(Tables.documents(s, d), col("text"), k = 50)
+        .orderBy("rank")),
+
+    "dedup_prefix" -> ((s, d) =>
+      Dedup.prefixDups(Tables.documents(s, d), col("text"), col("doc_id"),
+        n = 64).orderBy("doc_id")),
+
     "mm_features" -> ((s, d) =>
       Multimodal.featuresCols(Tables.documents(s, d),
         col("text").cast("binary"), col("doc_id")).orderBy("media_id")),
@@ -1135,6 +1147,33 @@ FROM d GROUP BY doc_id ORDER BY doc_id"""),
 )
 SELECT doc_id, CAST(rn AS INT) AS rn, term, tf, df
 FROM r WHERE rn <= 5 ORDER BY doc_id, rn"""),
+
+    "src_stats" -> ("""
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(max(length(text)) AS BIGINT) AS max_chars
+FROM documents GROUP BY source ORDER BY source"""),
+
+    "text_zipf" -> ("""WITH t AS (
+  SELECT unnest(string_split_regex(trim(lower(text)), ' +')) AS term
+  FROM documents
+), c AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS n FROM t GROUP BY 1
+), k AS (
+  SELECT term, n FROM c ORDER BY n DESC, term ASC LIMIT 50
+)
+SELECT term, n,
+       CAST(row_number() OVER (ORDER BY n DESC, term ASC) AS INT) AS rank
+FROM k ORDER BY rank"""),
+
+    "dedup_prefix" -> (s"""WITH p AS (
+  SELECT doc_id, ${h60("substr(text,1,64)")} AS ph FROM documents
+), c AS (
+  SELECT ph, CAST(count(*) AS BIGINT) AS n_share FROM p GROUP BY 1
+)
+SELECT p.doc_id, c.n_share FROM p JOIN c USING (ph) ORDER BY doc_id"""),
 
     "mm_features" -> (s"""
 SELECT doc_id AS media_id,

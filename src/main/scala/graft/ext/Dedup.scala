@@ -18,6 +18,25 @@ object Dedup {
     df.groupBy(md5(content).as("content_hash"))
       .agg(min(id).as("keeper_doc_id"), count(lit(1)).as("n_copies"))
 
+  /** PREFIX duplicates — the truncation-dup detector [[exact]] misses:
+    * two crawls of the same page cut at different lengths share their
+    * leading bytes but hash differently whole. For every document, the
+    * number of documents (itself included) sharing its first `n`
+    * characters. The count is a partial-aggregating `groupBy` on the
+    * 60-bit prefix hash joined back on the key — a boilerplate prefix
+    * covering most of a crawl is exactly the hot key this operator
+    * exists to find, and map-side combine collapses it to one row per
+    * task. 8-byte hash keys through the exchange, not 64-char strings.
+    * Callers filter `n_share > 1` for the dup set; emitting every doc
+    * keeps the row count stable for accounting. */
+  def prefixDups(df: DataFrame, content: Column, id: Column,
+                 n: Int = 64): DataFrame = {
+    val pref = df.select(id.as("doc_id"),
+      Text.hash60(substring(content, 1, n)).as("ph"))
+    val counts = pref.groupBy("ph").agg(count(lit(1)).as("n_share"))
+    pref.join(counts, "ph").select(col("doc_id"), col("n_share"))
+  }
+
   /** STREAMING exact dedup — the continuous-ingestion form of [[exact]]:
     * emit only the first document per content hash, with state BOUNDED
     * by the event-time watermark (`dropDuplicatesWithinWatermark` keyed

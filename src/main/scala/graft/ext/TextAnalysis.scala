@@ -146,6 +146,43 @@ object TextAnalysis {
       .select(col("doc_id"), col("rn"), col("term"), col("tf"), col("df"))
   }
 
+  /** Per-SOURCE corpus census — the accounting pass a mixture designer
+    * runs before [[Sampling.mixture]]: document count, character mass,
+    * language spread, and the largest document per source (domain,
+    * crawl, dump shard...). One partial-aggregating `groupBy(source)` —
+    * a dominant source is ONE key and map-side combine absorbs it; the
+    * distinct-language count is two-phase (distinct then count), both
+    * phases partial, with per-source language cardinality bounded by
+    * the language inventory, not the corpus. */
+  def sourceStats(df: DataFrame, source: Column, content: Column,
+                  lang: Column, id: Column): DataFrame =
+    df.select(source.as("source"), lang.as("lang"),
+        length(content).cast("long").as("len"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("len").as("sum_chars"),
+        count_distinct(col("lang")).as("n_langs"),
+        max("len").as("max_chars"))
+
+  /** Corpus vocabulary head — the top `k` most frequent terms with
+    * their counts and dense 1-based rank (the Zipf-curve head every
+    * corpus report opens with, and the empirical stop-list input).
+    * Scale shape: term counts are a partial-aggregating `groupBy(term)`
+    * (the textbook hot key "the" combines map-side), then the top-k is
+    * taken with orderBy+limit — `TakeOrderedAndProject`, a per-partition
+    * heap + driver merge of k rows, NOT a global sort — and only the k
+    * surviving rows pass through the single-partition ranking window.
+    * Ties break lexicographically so both engines agree on a total
+    * order. */
+  def vocabHead(df: DataFrame, content: Column, k: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.select(explode(Text.words(lower(content))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("n"))
+    counts.orderBy(col("n").desc, col("term").asc).limit(k)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("n").desc, col("term").asc)))
+  }
+
   /** Document fingerprints: md5 of whitespace-normalized lowercase text
     * (exact content identity modulo spacing) + winnowing-style min
     * shingle hash (robust to local edits). */

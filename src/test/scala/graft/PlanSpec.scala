@@ -69,6 +69,30 @@ class PlanSpec extends SparkSpec {
       s"expected a Partial-mode WindowGroupLimit in:\n$p")
   }
 
+  test("vocab head: heap top-k over partial-agg counts, window only after the limit") {
+    // the ranking window is single-partition by construction, so it may
+    // only ever see the k limited rows — a plan that windows the whole
+    // vocabulary would serialize it through one task
+    val p = plan("text_zipf")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"expected heap top-k (not a global sort) over the term counts in:\n$p")
+    assert(p.contains("HashAggregate"),
+      s"expected partial term-count aggregation in:\n$p")
+    val lines = p.split('\n')
+    val winLine = lines.indexWhere(_.contains("Window"))
+    val topLine = lines.indexWhere(_.contains("TakeOrderedAndProject"))
+    // top-down print: the window (executes LAST) must sit above the limit
+    assert(winLine >= 0 && topLine > winLine,
+      s"the rank window must consume the limited rows, not the vocabulary:\n$p")
+  }
+
+  test("prefix dups: partial-agg share counts, no window over the prefix hash") {
+    val p = plan("dedup_prefix")
+    assert(!p.contains("Window"), s"no window may partition on the prefix hash:\n$p")
+    assert(p.contains("HashAggregate") && p.contains("Join"),
+      s"expected the partial-agg + rejoin shape in:\n$p")
+  }
+
   test("ann recall: every per-query top-k gets the partial group limit") {
     // recallAtK ranks three candidate families (brute force, LSH, IVF)
     // with the same row_number <= k shape; all of them must keep the

@@ -22,6 +22,22 @@ class DedupSpec extends SparkSpec {
     assert(dup.getAs[Long]("keeper_doc_id") == 1L)
   }
 
+  test("prefix dups count docs sharing leading chars, not whole content") {
+    val df = Seq(
+      (1L, "shared leading boilerplate header then unique tail one"),
+      (2L, "shared leading boilerplate header then unique tail two"),
+      (3L, "completely different document")).toDF("doc_id", "text")
+    // n=32 covers the common header but not the divergent tails
+    val out = Dedup.prefixDups(df, $"text", $"doc_id", n = 32)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(out == Seq((1L, 2L), (2L, 2L), (3L, 1L)))
+    // at full length the tails differ: everyone is unique
+    val full = Dedup.prefixDups(df, $"text", $"doc_id", n = 500)
+      .orderBy("doc_id").collect().map(_.getLong(1)).toSeq
+    assert(full == Seq(1L, 1L, 1L))
+  }
+
   test("ngram Jaccard finds the near-dup pair with exact similarity") {
     val out = Dedup.ngramJaccard(docs, $"text", $"doc_id", k = 3, minJaccard = 0.5)
       .orderBy("doc_a", "doc_b").collect()

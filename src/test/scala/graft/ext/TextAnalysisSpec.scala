@@ -143,4 +143,30 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(0).getString(1) == out(1).getString(1)) // content fp equal
     assert(out(0).getString(1) != out(2).getString(1))
   }
+
+  test("source stats: per-source census with distinct languages and max doc") {
+    val df = Seq(
+      (1L, "aaaa", "en", "web"),
+      (2L, "bb", "de", "web"),
+      (3L, "cccccc", "en", "web"),
+      (4L, "d", "en", "books")).toDF("id", "text", "lang", "source")
+    val out = TextAnalysis.sourceStats(df, $"source", $"text", $"lang", $"id")
+      .orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(out.toSeq == Seq(
+      ("books", 1L, 1L, 1L, 1L),
+      ("web", 3L, 12L, 2L, 6L)))
+  }
+
+  test("vocab head: top-k terms by count, lexicographic ties, 1-based rank") {
+    val df = Seq(
+      (1L, "the cat and the dog"),
+      (2L, "THE cat sat")).toDF("id", "text")
+    // counts: the=3 (lowercased), cat=2, and=1 dog=1 sat=1
+    val out = TextAnalysis.vocabHead(df, $"text", k = 3)
+      .orderBy("rank").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    assert(out.toSeq == Seq(("the", 3L, 1), ("cat", 2L, 2), ("and", 1L, 3)))
+  }
 }
