@@ -9,7 +9,7 @@ import org.apache.spark.sql.types._
   * dedup/text operator consumes (`doc_id`, `text`, plus carried
   * metadata).
   *
-  * Two sources:
+  * Three sources:
   *  - [[readJsonl]] — JSON-lines dumps (one document object per line),
   *    the lingua franca of web-scale text corpora. Schema-enforced scan
   *    with PERMISSIVE mode and a corrupt-record side channel: malformed
@@ -17,6 +17,11 @@ import org.apache.spark.sql.types._
   *    [[JsonlResult]] splits them off so the pipeline can quarantine
   *    and count them (data-quality accounting is part of curation, the
   *    same reasoning as the B5 drop policy being observable).
+  *  - [[readCsv]] — delimited dumps (metadata tables, label files,
+  *    smaller corpora). Same quarantine contract as JSONL: PERMISSIVE
+  *    parse with the corrupt-record side channel, multiline quoted
+  *    fields ON (a document column WILL contain newlines), header
+  *    required.
   *  - [[readFiles]] — document-per-file corpora via Spark's `binaryFile`
   *    source (scanned distributed, never through the driver): emits the
   *    file path, modification time, and the decoded UTF-8 text, with a
@@ -57,6 +62,40 @@ object TextCorpus {
         .select(coalesce(col("_corrupt_record"),
           to_json(struct(col("doc_id"), col("text"), col("source"),
             col("lang")))).as("raw_line")))
+  }
+
+  final case class CsvResult(docs: DataFrame, corrupt: DataFrame)
+
+  /** Read a CSV corpus with the same quarantine contract as
+    * [[readJsonl]]: rows that fail the schema land in `corrupt` as
+    * their raw line, never silently dropped, never aborting the scan.
+    * `multiLine` is ON because document text columns legitimately
+    * contain newlines inside quotes — note the scale trade this buys:
+    * multiline CSV files are NOT splittable (one file = one task's
+    * read unit), so a 100 TB corpus should arrive as many moderate
+    * files, not one giant one. `schema` must include a nullable
+    * `_corrupt_record` string column; `required` lists the columns a
+    * row must have non-null to count as well-formed. */
+  def readCsv(spark: SparkSession, path: String, schema: StructType,
+              required: Seq[String]): CsvResult = {
+    val raw = graft.CacheScope.cacheTracked(spark.read
+      .schema(schema)
+      .option("header", "true")
+      .option("multiLine", "true")
+      .option("escape", "\"")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .csv(path))
+    val wellFormed = required.foldLeft(col("_corrupt_record").isNull) {
+      (acc, c) => acc && col(c).isNotNull
+    }
+    val dataCols = schema.fieldNames.filterNot(_ == "_corrupt_record")
+    CsvResult(
+      docs = raw.where(wellFormed).drop("_corrupt_record"),
+      corrupt = raw.where(!wellFormed)
+        .select(coalesce(col("_corrupt_record"),
+          to_json(struct(dataCols.map(col).toIndexedSeq: _*)))
+          .as("raw_line")))
   }
 
   /** Read a document-per-file corpus: one row per file with the decoded

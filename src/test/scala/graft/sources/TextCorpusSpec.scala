@@ -34,6 +34,39 @@ class TextCorpusSpec extends SparkSpec {
     assert(corrupt.exists(_.contains("no id")))
   }
 
+  test("csv: quoted multiline text parses; bad rows quarantine, not drop") {
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft-csv").toString
+    Files.writeString(Paths.get(dir, "corpus.csv"),
+      "doc_id,text,lang\n" +
+        "1,\"alpha beta\",en\n" +
+        "2,\"a document\nwith an embedded newline\",de\n" +
+        "not_a_number,\"bad id\",en\n" +
+        "4,,en\n" + // missing required text
+        "5,\"fine\",fr\n")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = true),
+      StructField("text", StringType, nullable = true),
+      StructField("lang", StringType, nullable = true),
+      StructField("_corrupt_record", StringType, nullable = true)))
+    val r = TextCorpus.readCsv(spark, dir, schema,
+      required = Seq("doc_id", "text"))
+    val docs = r.docs.orderBy("doc_id").collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getString(2)))
+    assert(docs.toSeq == Seq(
+      (1L, "alpha beta", "en"),
+      (2L, "a document\nwith an embedded newline", "de"),
+      (5L, "fine", "fr")))
+    val corrupt = r.corrupt.as[String].collect()
+    assert(corrupt.length == 2)
+    assert(corrupt.exists(_.contains("not_a_number")))
+    // the operator surface consumes the docs frame directly
+    val stats = graft.ext.TextAnalysis.tokenStats(r.docs,
+      org.apache.spark.sql.functions.col("text"),
+      org.apache.spark.sql.functions.col("doc_id"))
+    assert(stats.count() == 3)
+  }
+
   test("files: one row per file with deterministic path-hash ids") {
     val dir = Files.createTempDirectory("graft-files").toString
     Files.writeString(Paths.get(dir, "a.txt"), "first document")
