@@ -76,4 +76,27 @@ class BucketedMirrorSpec extends SparkSpec with BeforeAndAfterAll {
     assert(p.contains("Exchange"),
       "control: without catalog bucket metadata the shuffle must return")
   }
+
+  test("compact before any appendOnce: no markers to carry, elision survives") {
+    // the soak covers compaction with carried markers mid-stream; this
+    // is the other lifecycle edge — a mirror maintained only by raw
+    // appends (no _applied_batches directory exists at all)
+    val name = "ati_compact_edge"
+    try {
+      BucketedMirror.write(ati, name, path(name), "account",
+        buckets = 8, sortCols = Seq("account", "id"))
+      BucketedMirror.append(summaries.select($"account", $"id",
+        $"id" + 1000000L as "height"), name, "account", 8,
+        Seq("account", "id"))
+      val newLoc = BucketedMirror.compact(spark, name)
+      assert(newLoc.endsWith("_gen1"))
+      val t = BucketedMirror.table(spark, name)
+      assert(t.count() == 2000 + 200)
+      val p = t.groupBy("account").count().queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange"),
+        s"bucketed groupBy must still elide the shuffle after compact:\n$p")
+      // the old generation directory is gone, the new one is the table
+      assert(!new java.io.File(path(name)).exists())
+    } finally spark.sql(s"DROP TABLE IF EXISTS $name")
+  }
 }
