@@ -18,10 +18,14 @@ import org.apache.spark.sql.functions._
   * parse + exact integer sample statistics
   * ([[graft.functions.MediaHeaderUtil.wavStats]], fixture-byte-verified
   * in AudioDecodeSpec) behind the same seam, with [[audioBatched]] as
-  * the full-stats analog of [[pixelsBatched]]. The remaining stub is
-  * the video/compressed-audio branch — payloads no shipped codec reads
-  * get the deterministic md5-derived fake, the seam where an FFI codec
-  * would plug in. Every piece of
+  * the full-stats analog of [[pixelsBatched]]. VIDEO container
+  * metadata is real for MP4/ISO-BMFF — box-walk parse of
+  * brand/timescale/duration/tracks/dims/frame-count
+  * ([[graft.functions.MediaHeaderUtil.parseMp4]], [[videoBatched]]) —
+  * while frame-PIXEL decode stays the marked stub (no video codec
+  * ships with the JVM): payloads no parser recognizes get the
+  * deterministic md5-derived fake, the seam where an FFI codec would
+  * plug in. Every piece of
   * Spark-side plumbing around the seam is real: the schema (binary
   * payload + metadata struct), the batched per-partition execution
   * shape (what a `mapInPandas`/Arrow UDF would give), and the
@@ -146,10 +150,19 @@ object Multimodal {
               MediaFeatures(r.media_id, r.payload.length.toLong, hex, 0, 0,
                 math.min(frames, Int.MaxValue.toLong).toInt)
             case None =>
-              val h60 = java.lang.Long.parseLong(hex.take(15), 16)
-              MediaFeatures(r.media_id, r.payload.length.toLong, hex,
-                (h60 % 1280).toInt, (nestedHash(hex) % 720).toInt,
-                r.payload.length % 30)
+              graft.functions.MediaHeaderUtil.parseMp4(r.payload) match {
+                case Some(v) =>
+                  // container-level truth: tkhd display dims + the video
+                  // track's stts sample (frame) count
+                  MediaFeatures(r.media_id, r.payload.length.toLong, hex,
+                    v.width, v.height,
+                    math.min(v.nSamples, Int.MaxValue.toLong).toInt)
+                case None =>
+                  val h60 = java.lang.Long.parseLong(hex.take(15), 16)
+                  MediaFeatures(r.media_id, r.payload.length.toLong, hex,
+                    (h60 % 1280).toInt, (nestedHash(hex) % 720).toInt,
+                    r.payload.length % 30)
+              }
           }
       }
     }
@@ -224,6 +237,34 @@ object Multimodal {
   case class MediaAudio(media_id: Long, format: String, channels: Int,
                         sample_rate: Int, bits: Int, n_frames: Long,
                         duration_ms: Long, mean_abs_amp: Long)
+
+  /** Container-metadata statistics for MP4/ISO-BMFF video: brand,
+    * movie timescale/duration, track count, the video track's display
+    * dimensions, and its `stts` sample (frame) count — everything the
+    * container itself declares, parsed byte-level
+    * ([[graft.functions.MediaHeaderUtil.parseMp4]]). FRAME PIXELS stay
+    * out of scope (no video codec ships with the JVM): this is the
+    * routing pass of a real pipeline — which payloads are video, how
+    * long, what resolution — before a decoder fleet touches them. Same
+    * quarantine contract and batch shape as the image/audio paths. */
+  def videoBatched(ds: Dataset[MediaRow], batchSize: Int = 64): Dataset[MediaVideo] = {
+    implicit val enc = Encoders.product[MediaVideo]
+    ds.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.flatMap { r =>
+          graft.functions.MediaHeaderUtil.parseMp4(r.payload).map { v =>
+            MediaVideo(r.media_id, v.brand, v.timescale, v.durationMs,
+              v.nTracks, v.width, v.height, v.nSamples)
+          }
+        }
+      }
+    }
+  }
+
+  /** Container-metadata row of [[videoBatched]]. */
+  case class MediaVideo(media_id: Long, brand: String, timescale: Long,
+                        duration_ms: Long, n_tracks: Int, width: Int,
+                        height: Int, n_samples: Long)
 
   private def decodeImage(payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
     try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))

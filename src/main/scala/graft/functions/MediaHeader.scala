@@ -174,6 +174,121 @@ object MediaHeaderUtil {
       if (nSamples == 0) 0L else sum / nSamples)
   }
 
+  /** ISO-BMFF (MP4/MOV) container fields — the video analog of
+    * [[parseWav]], parsed from the public box structure: a file is a
+    * sequence of boxes `[u32 size]["4cc" type][payload]` (size 1 = u64
+    * largesize follows; size 0 = to end of file), with container boxes
+    * (`moov`, `trak`, `mdia`, `minf`, `stbl`) nesting further boxes.
+    * Extracted: the `ftyp` major brand, `mvhd` timescale + duration
+    * (version 0 = u32 fields, version 1 = u64), the track count, the
+    * first non-degenerate `tkhd` display dimensions (16.16 fixed point,
+    * integer part taken), and that track's total `stts` sample count —
+    * the container's own frame count. FRAME PIXEL DECODE is out of
+    * scope (no codec shipped); this is the metadata a real pipeline
+    * reads before routing payloads to a decoder fleet. */
+  case class Mp4Info(brand: String, timescale: Long, durationMs: Long,
+                     nTracks: Int, width: Int, height: Int, nSamples: Long)
+
+  private val Mp4Containers = Set("moov", "trak", "mdia", "minf", "stbl")
+
+  def parseMp4(b: Array[Byte]): Option[Mp4Info] = {
+    if (b.length < 16) return None
+    // the first box must be ftyp (the signature of the format)
+    if (!(b(4) == 'f' && b(5) == 't' && b(6) == 'y' && b(7) == 'p')) return None
+    val firstSize = be32(b, 0)
+    if (firstSize < 16 || firstSize > b.length) return None
+    val brand = new String(b, 8, 4, "US-ASCII")
+    var timescale = 0L; var duration = -1L
+    var nTracks = 0; var width = 0; var height = 0; var nSamples = 0L
+
+    /** Iterate sibling boxes in [from, to); `onBox(type, body, end)`.
+      * Returns false on a structural error (truncated/absurd box). */
+    def boxes(from: Int, to: Int)(onBox: (String, Int, Int) => Boolean): Boolean = {
+      var i = from
+      while (i + 8 <= to) {
+        val size32 = be32(b, i)
+        var header = 8
+        val size: Long =
+          if (size32 == 1L) {
+            if (i + 16 > to) return false
+            header = 16
+            (be32(b, i + 8) << 32) | be32(b, i + 12)
+          } else if (size32 == 0L) (to - i).toLong
+          else size32
+        if (size < header || i + size > to) return false
+        val tpe = new String(b, i + 4, 4, "US-ASCII")
+        val end = (i + size).toInt
+        if (!onBox(tpe, i + header, end)) return false
+        i = end
+      }
+      true
+    }
+
+    /** Scan one trak subtree: first tkhd display dims (16.16 fixed
+      * point — the LAST 8 bytes of the box in both versions) and the
+      * total stts sample count. */
+    def trackScan(from: Int, to: Int, depth: Int,
+                  acc: Array[Long]): Boolean =
+      boxes(from, to) { (tpe, body, end) =>
+        tpe match {
+          case t if Mp4Containers(t) && depth < 8 =>
+            trackScan(body, end, depth + 1, acc)
+          case "tkhd" if end - body >= 8 =>
+            if (acc(0) == 0) {
+              acc(0) = be32(b, end - 8) >> 16
+              acc(1) = be32(b, end - 4) >> 16
+            }
+            true
+          case "stts" if end - body >= 8 =>
+            val n = be32(b, body + 4)
+            if (body + 8 + n * 8 > end) false
+            else {
+              var k = 0
+              while (k < n) { acc(2) += be32(b, body + 8 + k * 8); k += 1 }
+              true
+            }
+          case _ => true
+        }
+      }
+
+    def walk(from: Int, to: Int, depth: Int): Boolean =
+      boxes(from, to) { (tpe, body, end) =>
+        tpe match {
+          case "trak" =>
+            nTracks += 1
+            val acc = Array(0L, 0L, 0L) // w, h, samples
+            if (!trackScan(body, end, 0, acc)) false
+            else {
+              // keep the FIRST track with non-degenerate display dims
+              // (the video track; audio tkhds carry 0×0)
+              if (width == 0 && acc(0) > 0 && acc(1) > 0) {
+                width = acc(0).toInt; height = acc(1).toInt
+                nSamples = acc(2)
+              }
+              true
+            }
+          case t if Mp4Containers(t) && depth < 8 =>
+            walk(body, end, depth + 1)
+          case "mvhd" =>
+            val v = if (end - body >= 1) u8(b, body) else -1
+            if (v == 1 && end - body >= 32) {
+              timescale = be32(b, body + 20)
+              duration = (be32(b, body + 24) << 32) | be32(b, body + 28)
+            } else if (v == 0 && end - body >= 20) {
+              timescale = be32(b, body + 12)
+              duration = be32(b, body + 16)
+            }
+            true
+          case _ => true
+        }
+      }
+
+    if (!walk(firstSize.toInt, b.length, 0)) return None
+    if (timescale <= 0 || duration < 0) return None
+    Some(Mp4Info(brand, timescale, duration * 1000L / timescale,
+      nTracks, width, height, nSamples))
+  }
+
   /** Expression-facing wrapper: result row, or null when unrecognized. */
   def parse(b: Array[Byte]): InternalRow = parseDims(b) match {
     case Some((f, w, h)) =>
