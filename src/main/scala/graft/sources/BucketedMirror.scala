@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.col
 
 /** Bucketed serving mirror — the co-located-join layout for the hot
   * read path. The reference keeps its serving tables fast with btree
@@ -183,7 +184,17 @@ object BucketedMirror {
     }
     val tmpName = s"${name}_compacting"
     spark.sql(s"DROP TABLE IF EXISTS $tmpName")
-    val w = spark.table(name).write
+    // Repartition on the bucket columns before the bucketed write:
+    // HashPartitioning and the bucket id use the same murmur3-pmod, so
+    // each writer task holds exactly one bucket and the rewrite lands
+    // one file per non-empty bucket — the point of compacting. Without
+    // it the writer-task count follows file-scan packing of the
+    // accumulated small generations, and a task spanning two buckets
+    // writes two files per rewrite.
+    val bucketCols = spec.bucketColumnNames.map(col)
+    val w = spark.table(name)
+      .repartition(spec.numBuckets, bucketCols: _*)
+      .write
       .mode(SaveMode.Overwrite)
       .format("parquet")
       .option("path", newLoc)
