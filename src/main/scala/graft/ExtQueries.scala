@@ -174,6 +174,13 @@ object ExtQueries {
           col("doc_id"), k = 3)
         .orderBy("doc_id")),
 
+    "decon_ngram" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.ngramContamination(docs, col("text"), col("doc_id"),
+          Sampling.split(docs, col("doc_id")).select("doc_id", "split"))
+        .orderBy("doc_id")
+    }),
+
     "dedup_simhash" -> ((s, d) =>
       Dedup.simhash(Tables.documents(s, d), col("text"), col("doc_id"))
         .orderBy("doc_id")),
@@ -619,6 +626,27 @@ SELECT doc_a, a.split AS split_a, doc_b, b.split AS split_b, n_matching
 FROM pairs JOIN sp a ON doc_a = a.doc_id JOIN sp b ON doc_b = b.doc_id
 WHERE a.split <> b.split
 ORDER BY doc_a, doc_b"""),
+
+    "decon_ngram" -> (hashedShinglesCte + s""", sp AS (
+  SELECT doc_id,
+       CASE WHEN ${h60("CAST(doc_id AS VARCHAR)")} % 1000000 < 50000 THEN 'val'
+            WHEN ${h60("CAST(doc_id AS VARCHAR)")} % 1000000 < 100000 THEN 'test'
+            ELSE 'train' END AS split
+  FROM documents
+), tagged AS (
+  SELECT sh.doc_id, sh.s, sp.split FROM sh JOIN sp ON sh.doc_id = sp.doc_id
+), ts AS (
+  SELECT DISTINCT s FROM tagged WHERE split = 'train'
+)
+SELECT t.doc_id, t.split,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(sum(CASE WHEN ts.s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_contaminated,
+       CAST(sum(CASE WHEN ts.s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) * 1000
+         // CAST(count(*) AS BIGINT) AS contam_pm
+FROM tagged t LEFT JOIN ts ON t.s = ts.s
+WHERE t.split <> 'train'
+GROUP BY 1, 2 ORDER BY doc_id"""),
 
     "dedup_shared" -> (hashedShinglesCte + """
 SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,

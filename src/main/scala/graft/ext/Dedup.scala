@@ -358,6 +358,51 @@ object Dedup {
       .drop("__ida", "__idb")
   }
 
+  /** N-GRAM-level train/eval contamination — the finer companion of
+    * [[crossSplitContamination]]: that one flags whole documents whose
+    * NEAR-DUPLICATE crosses a split; this one scores every non-train
+    * document by the share of its distinct k-shingles that occur
+    * ANYWHERE in the train split (integer parts-per-thousand), the
+    * overlap rule large-model eval hygiene is built on — an eval doc
+    * can leak through a handful of verbatim n-grams long before it has
+    * a near-duplicate. Output per non-train doc: split, n_shingles,
+    * n_contaminated, contam_pm; docs under k words have no shingle and
+    * are dropped.
+    *
+    * Scale shape: the split frame joins BEFORE the explode (doc-sized
+    * shuffle, broadcastable when the assignment is a small eval
+    * manifest — never shingle-sized), the train shingle set is a
+    * partial-aggregating distinct on the uniform 60-bit hash, and the
+    * probe is an equi-join on that same key (AQE splits a residual hot
+    * probe partition). The scan+explode lineage runs once per side
+    * rather than being cached — the same deliberate trade as
+    * [[sharedShingleStats]]. At deployment scale the train set is the
+    * big side; a bloom pre-filter ([[graft.operators.BloomSemiJoin]])
+    * over the probe cuts the exact join's shuffle the way the serving
+    * path's bloom semi join does — composable here because the exact
+    * join still decides membership. */
+  def ngramContamination(df: DataFrame, content: Column, id: Column,
+                         splits: DataFrame, trainSplit: String = "train",
+                         k: Int = 3, idCol: String = "doc_id",
+                         splitCol: String = "split"): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val sp = splits.select(col(idCol).as("__id"), col(splitCol).as("split"))
+    val ex = df.select(id.as("doc_id"), content.as("__text"))
+      .join(sp, col("doc_id") === col("__id")).drop("__id")
+      .select(col("doc_id"), col("split"),
+        explode(array_distinct(Text.shingles(col("__text"), k))).as("str"))
+      .select(col("doc_id"), col("split"), Text.hash60(col("str")).as("s"))
+    val trainS = ex.where(col("split") === trainSplit)
+      .select("s").distinct().withColumn("__hit", lit(1L))
+    ex.where(col("split") =!= trainSplit)
+      .join(trainS, Seq("s"), "left")
+      .groupBy("doc_id", "split")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_contaminated"))
+      .selectExpr("doc_id", "split", "n_shingles", "n_contaminated",
+        "n_contaminated * 1000 div n_shingles as contam_pm")
+  }
+
   /** 60-bit SimHash fingerprint per document: token-hash bit votes.
     * bit_j(doc) = 1 iff sum over tokens of (2*((hash60(tok)>>j)&1)-1) > 0.
     *
