@@ -256,6 +256,19 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("ngram contamination: partial-agg train set, no window over the shingle hash") {
+    val p = plan("decon_ngram")
+    // the train shingle set is a groupBy-distinct on the uniform hash
+    // (map-side combine absorbs boilerplate shingles) and membership is
+    // an equi-join probe — a window-over-s formulation would funnel a
+    // corpus-wide shingle into one partition
+    assert(!p.contains("Window"), s"no window may partition on the shingle hash:\n$p")
+    assert(count(p, "HashAggregate") >= 4,
+      s"expected the distinct pair + per-doc fold pair in:\n$p")
+    assert(p.contains("Join"), s"expected the train-membership probe join in:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("duplicate spans: partial-agg shingle counts, doc-keyed island windows only") {
     val p = plan("dup_spans")
     // occurrence counts are a groupBy(sh) joined back (skew-safe); the
