@@ -98,6 +98,29 @@ class SkewSpec extends SparkSpec with org.scalatest.BeforeAndAfterEach {
     }
   }
 
+  test("ngramContamination: a train-wide shingle stays one distinct row, shares exact") {
+    val docs = (0L until 240L)
+      .map(i => (i, s"the quick brown fox a$i b$i c$i"))
+      .toDF("doc_id", "text")
+    val splits = (0L until 240L)
+      .map(i => (i, if (i % 10 == 0) "test" else "train"))
+      .toDF("doc_id", "split")
+    val out = Dedup.ngramContamination(docs, $"text", $"doc_id", splits)
+    val p = physical(out)
+    assertNoHashWindow(p, "s")
+    assert(p.contains("HashAggregate"), s"expected partial aggregation in:\n$p")
+    val rows = out.orderBy("doc_id").collect()
+    assert(rows.length == 24)
+    // each test doc: 5 distinct 3-shingles; "the quick brown" and
+    // "quick brown fox" occur in all 216 train docs (one distinct row
+    // after the partial agg), the aI/bI/cI-suffixed three nowhere else
+    rows.foreach { r =>
+      assert(r.getString(1) == "test" && r.getLong(2) == 5L &&
+        r.getLong(3) == 2L && r.getLong(4) == 2L * 1000 / 5,
+        s"unexpected contamination ${r.mkString(",")}")
+    }
+  }
+
   test("ngramJaccard stop-shingle cap removes the quadratic boilerplate pairs") {
     // 40 docs share the cookie-banner shingles (df=40 -> 780 candidate
     // pairs, the M^2 hazard) but are otherwise unique; docs 100/101 are
