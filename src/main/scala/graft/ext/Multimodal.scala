@@ -131,9 +131,11 @@ object Multimodal {
     * a truncated body still yields container dims, like a real pipeline
     * quarantining bad files). PCM WAV payloads get REAL audio fields:
     * width/height 0 (no raster) and `n_frames` = the decoded PCM frame
-    * count (capped at Int.MaxValue), from the RIFF parse. Anything else
-    * gets the deterministic md5-derived fake, the remaining stub where
-    * a video / compressed-audio codec would plug in. */
+    * count (capped at Int.MaxValue), from the RIFF parse. MP4 video and
+    * FLAC audio get their container-declared frame/sample counts
+    * ([[graft.functions.MediaHeaderUtil.parseMp4]]/`parseFlac`).
+    * Anything else gets the deterministic md5-derived fake, the
+    * remaining stub where a sample-level codec would plug in. */
   private def decodeBatch(batch: Seq[MediaRow]): Seq[MediaFeatures] =
     batch.map { r =>
       val hex = java.security.MessageDigest.getInstance("MD5")
@@ -158,10 +160,18 @@ object Multimodal {
                     v.width, v.height,
                     math.min(v.nSamples, Int.MaxValue.toLong).toInt)
                 case None =>
-                  val h60 = java.lang.Long.parseLong(hex.take(15), 16)
-                  MediaFeatures(r.media_id, r.payload.length.toLong, hex,
-                    (h60 % 1280).toInt, (nestedHash(hex) % 720).toInt,
-                    r.payload.length % 30)
+                  graft.functions.MediaHeaderUtil.parseFlac(r.payload) match {
+                    case Some(f) =>
+                      // STREAMINFO truth: no raster, n_frames = the
+                      // container's declared total sample count
+                      MediaFeatures(r.media_id, r.payload.length.toLong, hex,
+                        0, 0, math.min(f.nSamples, Int.MaxValue.toLong).toInt)
+                    case None =>
+                      val h60 = java.lang.Long.parseLong(hex.take(15), 16)
+                      MediaFeatures(r.media_id, r.payload.length.toLong, hex,
+                        (h60 % 1280).toInt, (nestedHash(hex) % 720).toInt,
+                        r.payload.length % 30)
+                  }
               }
           }
       }

@@ -174,6 +174,39 @@ object MediaHeaderUtil {
       if (nSamples == 0) 0L else sum / nSamples)
   }
 
+  /** FLAC STREAMINFO fields — the compressed-audio analog of
+    * [[parseWav]], read from the public container structure: the
+    * `fLaC` magic, then metadata blocks of
+    * `[1 byte: last-flag | type][u24 length][body]`, where the spec
+    * REQUIRES the first block to be STREAMINFO (type 0, 34 bytes):
+    * u16 min/max block size, u24 min/max frame size, then a packed
+    * 64-bit field of 20-bit sample rate, 3-bit channels-1, 5-bit
+    * bits-per-sample-1, 36-bit total samples, and the 128-bit MD5 of
+    * the unencoded audio. SAMPLE decode is out of scope (no FLAC
+    * codec ships with the JVM) — like [[parseMp4]] this is the
+    * routing/stats metadata a pipeline reads before a decoder fleet. */
+  case class FlacInfo(sampleRate: Int, channels: Int, bits: Int,
+                      nSamples: Long, durationMs: Long, md5Hex: String)
+
+  def parseFlac(b: Array[Byte]): Option[FlacInfo] = {
+    if (b.length < 42 ||
+        b(0) != 'f' || b(1) != 'L' || b(2) != 'a' || b(3) != 'C') return None
+    // first block must be STREAMINFO (type 0) per the format
+    val hdr = u8(b, 4)
+    val len = (u8(b, 5) << 16) | (u8(b, 6) << 8) | u8(b, 7)
+    if ((hdr & 0x7f) != 0 || len < 34 || 8 + len > b.length) return None
+    val s = 8 // STREAMINFO body offset
+    val sr = (u8(b, s + 10) << 12) | (u8(b, s + 11) << 4) | (u8(b, s + 12) >> 4)
+    val ch = ((u8(b, s + 12) >> 1) & 0x7) + 1
+    val bps = (((u8(b, s + 12) & 0x1) << 4) | (u8(b, s + 13) >> 4)) + 1
+    val ns = ((u8(b, s + 13) & 0xf).toLong << 32) |
+      (u8(b, s + 14).toLong << 24) | (u8(b, s + 15).toLong << 16) |
+      (u8(b, s + 16).toLong << 8) | u8(b, s + 17).toLong
+    if (sr <= 0) return None // 0 is invalid outside non-audio streams
+    val md5 = (18 until 34).map(k => f"${u8(b, s + k)}%02x").mkString
+    Some(FlacInfo(sr, ch, bps, ns, ns * 1000L / sr, md5))
+  }
+
   /** ISO-BMFF (MP4/MOV) container fields — the video analog of
     * [[parseWav]], parsed from the public box structure: a file is a
     * sequence of boxes `[u32 size]["4cc" type][payload]` (size 1 = u64

@@ -268,8 +268,10 @@ class StreamingSoakSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
       // generational rename must iterate, not nest
       val atiLoc2 = BucketedMirror.compact(spark, atiM)
       assert(atiLoc2.endsWith("_gen2") && !atiLoc2.contains("_gen1"))
-      assert(fs.listStatus(new Path(atiLoc2))
-        .count(_.getPath.getName.endsWith(".parquet")) <= 8)
+      val gen2Files = fs.listStatus(new Path(atiLoc2))
+        .map(_.getPath.getName).filter(_.endsWith(".parquet"))
+      assert(gen2Files.length <= 8,
+        s"compaction must land one file per bucket; got:\n${gen2Files.sorted.mkString("\n")}")
 
       // served page over the twice-compacted mirror == the batch answer
       val served = QueryApi.accountPageServed(
