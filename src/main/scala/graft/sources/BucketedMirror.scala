@@ -191,8 +191,18 @@ object BucketedMirror {
     // it the writer-task count follows file-scan packing of the
     // accumulated small generations, and a task spanning two buckets
     // writes two files per rewrite.
+    //
+    // The source must be a PLAIN file read, not spark.table(name): the
+    // catalog scan advertises HashPartitioning(bucketCols, n), which
+    // lets EnsureRequirements elide this repartition — and once no node
+    // requires the distribution, AQE's DisableUnnecessaryBucketedScan
+    // can re-plan the scan as a packed UNBUCKETED read, executing with
+    // neither the exchange nor the bucket layout (observed: writer
+    // tasks = file-packing count, several files per bucket). A plain
+    // scan exposes no partitioning, so the exchange always stands.
     val bucketCols = spec.bucketColumnNames.map(col)
-    val w = spark.table(name)
+    val w = spark.read.schema(spark.table(name).schema)
+      .parquet(oldLoc.toString)
       .repartition(spec.numBuckets, bucketCols: _*)
       .write
       .mode(SaveMode.Overwrite)

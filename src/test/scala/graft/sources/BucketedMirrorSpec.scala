@@ -99,4 +99,23 @@ class BucketedMirrorSpec extends SparkSpec with BeforeAndAfterAll {
       assert(!new java.io.File(path(name)).exists())
     } finally spark.sql(s"DROP TABLE IF EXISTS $name")
   }
+
+  test("compacting an empty mirror: schema pinned from the catalog, no inference") {
+    // compact sources a PLAIN file read (the catalog scan's advertised
+    // partitioning would let the one-file-per-bucket repartition be
+    // elided); a mirror created empty has no parquet footer to infer
+    // from, so the read must take the catalog schema
+    val name = "ati_compact_empty"
+    try {
+      BucketedMirror.write(
+        Seq.empty[(Long, Long, Long)].toDF("account", "id", "height"),
+        name, path(name), "account", buckets = 8,
+        sortCols = Seq("account", "id"))
+      val newLoc = BucketedMirror.compact(spark, name)
+      assert(newLoc.endsWith("_gen1"))
+      val t = BucketedMirror.table(spark, name)
+      assert(t.count() == 0 &&
+        t.columns.toSeq == Seq("account", "id", "height"))
+    } finally spark.sql(s"DROP TABLE IF EXISTS $name")
+  }
 }
