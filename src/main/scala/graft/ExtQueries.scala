@@ -194,6 +194,10 @@ object ExtQueries {
       Similarity.bruteForceTopK(Tables.embeddings(s, d), "vec_id", "embedding",
         queryId = 0L, k = 10)),
 
+    "ann_pq" -> ((s, d) =>
+      Similarity.annPq(Tables.embeddings(s, d), "vec_id", "embedding",
+        queryId = 0L, k = 10, m = 8, subDim = 8, centroidStride = 50)),
+
     // queryId 32 has band-bucket partners at BOTH sf0.001 and sf0.01
     // (checked against the DuckDB bucket table) — with queryId 0 the
     // candidate set was empty at sf0.01 and the oracle row was vacuous
@@ -694,6 +698,43 @@ FROM blocked x JOIN blocked y
   ON x.p = y.p AND x.piece = y.piece AND x.doc_id < y.doc_id
 WHERE bit_count(xor(x.simhash, y.simhash)) <= 16
 ORDER BY doc_a, doc_b"""),
+
+    // PQ/ADC: stride-sampled per-subspace codebooks (8 × 8 dims),
+    // argmin integer L2 encoding with ties to the smallest id, query
+    // scored through the (subspace, code) distance table — the exact
+    // mirror of Similarity.annPq, all BIGINT arithmetic.
+    "ann_pq" -> """
+WITH qz AS (
+  SELECT vec_id AS vid,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS qe
+  FROM embeddings
+), cb AS (
+  SELECT vid AS cid, qe AS ce FROM qz WHERE vid % 50 = 0
+), cbs AS (
+  SELECT s, cid, ce[s*8+1 : s*8+8] AS cse
+  FROM cb CROSS JOIN (SELECT CAST(unnest(range(8)) AS INT) AS s)
+), codes AS (
+  SELECT vid, s, cid AS code FROM (
+    SELECT qz.vid, cbs.s, cbs.cid,
+           row_number() OVER (PARTITION BY qz.vid, cbs.s ORDER BY
+             list_sum(list_transform(range(8),
+               i -> (qe[cbs.s*8+i+1] - cse[i+1]) * (qe[cbs.s*8+i+1] - cse[i+1]))) ASC,
+             cbs.cid ASC) AS rnk
+    FROM qz CROSS JOIN cbs)
+  WHERE rnk = 1
+), tbl AS (
+  SELECT s, cid,
+         list_sum(list_transform(range(8),
+           i -> (q.qe[s*8+i+1] - cse[i+1]) * (q.qe[s*8+i+1] - cse[i+1]))) AS td
+  FROM cbs CROSS JOIN (SELECT qe FROM qz WHERE vid = 0) q
+)
+SELECT codes.vid AS vec_id, CAST(sum(tbl.td) AS BIGINT) AS pq_dist
+FROM codes JOIN tbl ON codes.s = tbl.s AND codes.code = tbl.cid
+WHERE codes.vid <> 0
+GROUP BY 1
+ORDER BY pq_dist ASC, vec_id ASC
+LIMIT 10""",
 
     "ann_bruteforce" -> """
 WITH qz AS (

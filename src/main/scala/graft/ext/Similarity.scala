@@ -143,6 +143,74 @@ object Similarity {
     qz.where(col("vid") % centroidStride === 0)
       .select(col("vid").as("cid"), col("qe").as("ce"), col("n2").as("cn2"))
 
+  /** Quantized squared L2 distance — exact integer arithmetic, the
+    * decomposable metric product quantization is built on (cosine does
+    * not decompose across subspaces). */
+  def l2Q(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, v) => acc + v)
+
+  /** Product-quantization ANN with asymmetric distance (ADC) — the
+    * memory-bound scale path the IVF/LSH variants don't cover: each
+    * vector is ENCODED as `m` small codebook ids (one byte each at
+    * k≤256), so a 100 TB float corpus serves from ~m bytes per vector,
+    * and a query scores codes against a broadcast (m × |codebook|)
+    * distance TABLE without touching the original floats.
+    *
+    * Deterministic and oracle-portable like [[annIvf]]: per-subspace
+    * codebooks are the `centroidStride`-sampled vectors' slices (the
+    * iteration-free analog of PQ's per-subspace k-means), encoding is
+    * argmin quantized squared L2 with ties to the smallest id, and all
+    * distances are exact BIGINT sums.
+    *
+    * Scale shape: encoding is one pass against the broadcast codebook
+    * with a partial-aggregating `min(struct(dist, cid))` per
+    * (vector, subspace) — no window, map-side combine absorbs the
+    * m·|codebook| candidate fan-out (in a deployment the codes are
+    * precomputed once and stored, like [[writeCellIndex]]'s cells, and
+    * a codegen expression would fuse the argmin). The query side is a
+    * broadcast distance table joined to the codes and summed per
+    * vector — partial agg, then a TakeOrderedAndProject top-k; the only
+    * exchange is the code groupBy. Approximate by construction
+    * (quantization error); measure against [[bruteForceTopK]].
+    *
+    * `dims` must equal `m * subDim`; output (vec_id, pq_dist). */
+  def annPq(embeddings: DataFrame, idCol: String, embCol: String,
+            queryId: Long, k: Int, m: Int = 8, subDim: Int = 8,
+            centroidStride: Int = 50): DataFrame = {
+    val qz = embeddings.select(col(idCol).as("vid"),
+      quantize(col(embCol)).as("qe"))
+    val cents = qz.where(col("vid") % centroidStride === 0)
+      .select(col("vid").as("cid"), col("qe").as("ce"))
+    // per-subspace codebook: (s, cid, cse) — m × |codebook| rows, tiny
+    val subs = embeddings.sparkSession.range(m)
+      .select(col("id").cast("int").as("s"))
+    val cbs = cents.crossJoin(broadcast(subs))
+      .select(col("s"), col("cid"),
+        slice(col("ce"), col("s") * subDim + 1, lit(subDim)).as("cse"))
+    val codes = qz.crossJoin(broadcast(cbs))
+      .select(col("vid"), col("s"), col("cid"),
+        l2Q(slice(col("qe"), col("s") * subDim + 1, lit(subDim)),
+          col("cse")).as("d"))
+      .groupBy("vid", "s")
+      .agg(min(struct(col("d"), col("cid"))).as("best"))
+      .select(col("vid"), col("s"), col("best.cid").as("code"))
+    // ADC table: per (subspace, codebook id) the query's partial dist
+    val q = qz.where(col("vid") === queryId).select(col("qe").as("qv"))
+    val table = cbs.crossJoin(broadcast(q))
+      .select(col("s").as("ts"), col("cid").as("tcid"),
+        l2Q(slice(col("qv"), col("s") * subDim + 1, lit(subDim)),
+          col("cse")).as("td"))
+    codes.where(col("vid") =!= queryId)
+      .join(broadcast(table),
+        col("s") === col("ts") && col("code") === col("tcid"))
+      .groupBy("vid")
+      .agg(sum(col("td")).as("pq_dist"))
+      .select(col("vid").as(idCol), col("pq_dist"))
+      .orderBy(col("pq_dist").asc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Nearest-centroid assignment of every vector in `qz` against a
     * (small, broadcast) codebook: argmax quantized cosine, ties to the
     * smallest cid — the rule shared by [[annIvf]], [[writeCellIndex]]
