@@ -165,14 +165,16 @@ object Similarity {
     *
     * Scale shape: encoding is one pass against the broadcast codebook
     * with a partial-aggregating `min(struct(dist, cid))` per
-    * (vector, subspace) — no window, map-side combine absorbs the
+    * (vector, subspace) — no window; the struct buffer makes it a
+    * SortAggregate pair, but the map-side partial still absorbs the
     * m·|codebook| candidate fan-out (in a deployment the codes are
     * precomputed once and stored, like [[writeCellIndex]]'s cells, and
     * a codegen expression would fuse the argmin). The query side is a
     * broadcast distance table joined to the codes and summed per
-    * vector — partial agg, then a TakeOrderedAndProject top-k; the only
-    * exchange is the code groupBy. Approximate by construction
-    * (quantization error); measure against [[bruteForceTopK]].
+    * vector — partial agg, then a TakeOrderedAndProject top-k. Both
+    * exchanges carry m CODES per vector, never the raw floats.
+    * Approximate by construction (quantization error); measure against
+    * [[bruteForceTopK]].
     *
     * `dims` must equal `m * subDim`; output (vec_id, pq_dist). */
   def annPq(embeddings: DataFrame, idCol: String, embCol: String,

@@ -167,6 +167,30 @@ class PlanSpec extends SparkSpec {
       s"the indexed probe must not re-rank the corpus per query:\n$p")
   }
 
+  test("pq adc: broadcast codebook and table, partial-agg codes, fused top-k") {
+    // both wide exchanges carry CODES (m small ints per vector), never
+    // the raw float vectors: the argmin encoding aggregates partially
+    // before its (vid, s) exchange, the ADC distance table joins as a
+    // broadcast, and the final ranking fuses into TakeOrderedAndProject
+    // instead of a global sort or a window
+    val p = plan("ann_pq")
+    // the argmin's min(struct) buffer is not hash-aggregable, so the
+    // encoding plans as a partial+final SortAggregate pair — still
+    // map-side combined; the ADC sum gets the usual HashAggregate pair
+    assert(count(p, "Aggregate") >= 4,
+      s"expected partial+final pairs for encoding and ADC sum in:\n$p")
+    assert(p.contains("partial_min(struct") && count(p, "HashAggregate") >= 2,
+      s"expected a combined argmin and a hash ADC sum in:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"expected the ADC table joined as a broadcast in:\n$p")
+    assert(count(p, "Exchange hashpartitioning") <= 2,
+      s"expected only the two code-sized exchanges in:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"expected limit+sort fusion in:\n$p")
+    assert(!p.contains("Window") && !p.contains("CartesianProduct"),
+      s"the PQ path must not window or cartesian:\n$p")
+  }
+
   test("cms sketch: partial sketches move through the exchange, not keys") {
     val p = plan("cms_user_counts")
     // partial + final aggregate pair over the long[] buffer — the only

@@ -251,4 +251,44 @@ class SimilaritySpec extends SparkSpec {
       .count()
     assert(found == 50L, s"expected all 50 twin pairs, found $found")
   }
+
+  test("PQ ADC: distances equal the independent codebook reconstruction") {
+    // dim 8 = 2 subspaces of 4; stride 2 → codebook {0, 2, 4}. Docs are
+    // `vecs` plus an exact duplicate of the query — its code must be the
+    // query's own codebook entry in both subspaces, so its ADC distance
+    // is exactly 0. Every other distance is re-derived here from first
+    // principles (quantize → per-subspace argmin → table-sum), an
+    // engine-independent mirror of both annPq and the DuckDB oracle.
+    val rnd = new scala.util.Random(7)
+    val base = Array.fill(8)(rnd.nextFloat() * 2 - 1)
+    val raw = Seq(
+      0L -> base,
+      1L -> base.map(x => x * 2.0f),
+      2L -> base.map(x => -x),
+      3L -> Array.fill(8)(rnd.nextFloat() * 2 - 1),
+      4L -> Array.fill(8)(rnd.nextFloat() * 2 - 1),
+      5L -> base.clone())
+    val docs = raw.toDF("vec_id", "embedding")
+    val out = Similarity.annPq(docs, "vec_id", "embedding", queryId = 0L,
+        k = 5, m = 2, subDim = 4, centroidStride = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+
+    def quant(v: Array[Float]): Array[Long] =
+      v.map(x => BigDecimal(x.toDouble * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+    def l2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val qz = raw.toMap.view.mapValues(quant).toMap
+    val cb = Seq(0L, 2L, 4L)
+    def sub(v: Array[Long], s: Int) = v.slice(s * 4, s * 4 + 4)
+    def code(vid: Long, s: Int): Long =
+      cb.minBy(c => (l2(sub(qz(vid), s), sub(qz(c), s)), c))
+    val expected = raw.map(_._1).filter(_ != 0L)
+      .map(v => v -> (0 until 2).map(s => l2(sub(qz(0L), s), sub(qz(code(v, s)), s))).sum)
+      .sortBy { case (v, d) => (d, v) }.take(5)
+    assert(out == expected, s"got $out expected $expected")
+    // the duplicate reuses the query's own codebook entry per subspace
+    // (vec 1, colinear at 2×, quantizes to the same codes — also 0)
+    assert(out.contains((5L, 0L)), s"exact duplicate must score 0: $out")
+  }
 }
