@@ -35,7 +35,7 @@ object Bench {
       // are measured against an existing index, so the serving queries
       // here must time the PAGE, not the refresh. (First-touch inside
       // the loop was charging b2_served ~2.9 s of mirror
-      // write and ann_ivf_indexed ~1.3 s of index write.)
+      // write and ann_ivf_idx ~1.3 s of index write.)
       graft.sources.ServingMirrors.atiSummaries(spark, sfDir)
       graft.sources.ServingMirrors.ctiSummaries(spark, sfDir)
       ExtQueries.ivfIndexFor(spark, sfDir)

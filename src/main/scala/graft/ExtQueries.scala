@@ -138,6 +138,21 @@ object ExtQueries {
       path
     }
 
+  /** Precomputed PQ code index for `sfDir` — same build-once contract,
+    * data-fingerprint keying, and race guard as [[ivfIndexFor]]. The
+    * codebook is written before the codes, so codes/_SUCCESS marks both
+    * halves complete. Same parameters as the `ann_pq` declared row →
+    * the probe must reproduce it exactly. */
+  private[graft] def pqIndexFor(s: SparkSession, sfDir: String): String =
+    synchronized {
+      val path = graft.sources.Scratch.dir("pq",
+        graft.sources.Scratch.key(sfDir))
+      if (!new java.io.File(s"$path/codes/_SUCCESS").exists())
+        Similarity.writePqIndex(Tables.embeddings(s, sfDir), "vec_id",
+          "embedding", path, m = 8, subDim = 8, centroidStride = 50)
+      path
+    }
+
   val queries: Map[String, Q] = Map(
     "dedup_exact" -> ((s, d) =>
       Dedup.exact(Tables.documents(s, d), col("text"), col("doc_id"))
@@ -159,7 +174,7 @@ object ExtQueries {
           k = 3, numHashes = 16, bands = 4, minMatches = 4))
         .orderBy("doc_id")),
 
-    "dedup_cross_split" -> ((s, d) => {
+    "decon_split" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val pairs = Dedup.minhashLsh(docs, col("text"), col("doc_id"),
         k = 3, numHashes = 16, bands = 4, minMatches = 4)
@@ -198,6 +213,13 @@ object ExtQueries {
       Similarity.annPq(Tables.embeddings(s, d), "vec_id", "embedding",
         queryId = 0L, k = 10, m = 8, subDim = 8, centroidStride = 50)),
 
+    // probes the stored code index; same codebook, encoding rule, and
+    // parameters as ann_pq → identical results, oracle is its verbatim
+    "ann_pq_idx" -> ((s, d) =>
+      Similarity.annPqIndexed(s, pqIndexFor(s, d), Tables.embeddings(s, d),
+          "vec_id", "embedding", queryId = 0L, k = 10)
+        .select(col("vid").as("vec_id"), col("pq_dist"))),
+
     // queryId 32 has band-bucket partners at BOTH sf0.001 and sf0.01
     // (checked against the DuckDB bucket table) — with queryId 0 the
     // candidate set was empty at sf0.01 and the oracle row was vacuous
@@ -232,7 +254,7 @@ object ExtQueries {
     // re-assigning the whole corpus per query as ann_ivf does. Same
     // assignment rule, same parameters → identical results, and the
     // oracle is ann_ivf's verbatim.
-    "ann_ivf_indexed" -> ((s, d) =>
+    "ann_ivf_idx" -> ((s, d) =>
       Similarity.annIvfIndexed(s, ivfIndexFor(s, d), queryId = 0L, k = 10,
           nprobe = 2)
         .select(col("vid").as("vec_id"), col("cosine"))),
@@ -289,7 +311,7 @@ object ExtQueries {
     // (uniq_pm >= 400, n_words >= 25) so the check is DISCRIMINATING —
     // on the synthetic corpus everything passes the base gate and a
     // pass-through pipeline would prove nothing.
-    "pipeline_curation" -> ((s, d) => {
+    "pipe_curation" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val quality = TextAnalysis.qualityScore(docs, col("text"), col("doc_id"))
         .where(col("quality_ok") && col("uniq_pm") >= 400 && col("n_words") >= 25)
@@ -307,9 +329,9 @@ object ExtQueries {
     // Observability view of the curation pipeline: how many documents
     // survive each successive gate (the numbers a curation run reports
     // before anyone trains on its output). Same gates as
-    // pipeline_curation, folded to one pass: per-doc flags, one
+    // pipe_curation, folded to one pass: per-doc flags, one
     // aggregate, unpivoted to (stage, n_docs) rows.
-    "pipeline_funnel" -> ((s, d) => {
+    "pipe_funnel" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val quality = TextAnalysis.qualityScore(docs, col("text"), col("doc_id"))
         .where(col("quality_ok") && col("uniq_pm") >= 400 && col("n_words") >= 25)
@@ -504,7 +526,7 @@ object ExtQueries {
             lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
           .otherwise(lit(""))).as("text"))
 
-  /** Shared by ann_ivf and ann_ivf_indexed: both formulations compute
+  /** Shared by ann_ivf and ann_ivf_idx: both formulations compute
     * the same cells/probe result; only the Spark-side physical shape
     * differs (per-query reassignment vs partition-pruned index scan). */
   /** Shared CTE chain of dup_spans / dup_spans_cut: positioned
@@ -530,6 +552,45 @@ object ExtQueries {
                lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
         FROM sh JOIN dup USING (sh))
 )"""
+
+  /** Shared by ann_pq and ann_pq_idx. PQ/ADC: stride-sampled
+    * per-subspace codebooks (8 × 8 dims), argmin integer L2 encoding
+    * with ties to the smallest id, query scored through the
+    * (subspace, code) distance table — the exact mirror of
+    * Similarity.annPq, all BIGINT arithmetic. The indexed variant
+    * stores the identical codebook/codes, so one SQL covers both. */
+  private val AnnPqSql = """
+WITH qz AS (
+  SELECT vec_id AS vid,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS qe
+  FROM embeddings
+), cb AS (
+  SELECT vid AS cid, qe AS ce FROM qz WHERE vid % 50 = 0
+), cbs AS (
+  SELECT s, cid, ce[s*8+1 : s*8+8] AS cse
+  FROM cb CROSS JOIN (SELECT CAST(unnest(range(8)) AS INT) AS s)
+), codes AS (
+  SELECT vid, s, cid AS code FROM (
+    SELECT qz.vid, cbs.s, cbs.cid,
+           row_number() OVER (PARTITION BY qz.vid, cbs.s ORDER BY
+             list_sum(list_transform(range(8),
+               i -> (qe[cbs.s*8+i+1] - cse[i+1]) * (qe[cbs.s*8+i+1] - cse[i+1]))) ASC,
+             cbs.cid ASC) AS rnk
+    FROM qz CROSS JOIN cbs)
+  WHERE rnk = 1
+), tbl AS (
+  SELECT s, cid,
+         list_sum(list_transform(range(8),
+           i -> (q.qe[s*8+i+1] - cse[i+1]) * (q.qe[s*8+i+1] - cse[i+1]))) AS td
+  FROM cbs CROSS JOIN (SELECT qe FROM qz WHERE vid = 0) q
+)
+SELECT codes.vid AS vec_id, CAST(sum(tbl.td) AS BIGINT) AS pq_dist
+FROM codes JOIN tbl ON codes.s = tbl.s AND codes.code = tbl.cid
+WHERE codes.vid <> 0
+GROUP BY 1
+ORDER BY pq_dist ASC, vec_id ASC
+LIMIT 10"""
 
   private val AnnIvfSql = """WITH qz AS (
   SELECT vec_id,
@@ -612,7 +673,7 @@ ORDER BY doc_a, doc_b"""),
 SELECT id AS doc_id, min(r) AS component
 FROM reach GROUP BY 1 ORDER BY doc_id"""),
 
-    "dedup_cross_split" -> (MinhashCte + s""", pairs AS (
+    "decon_split" -> (MinhashCte + s""", pairs AS (
   SELECT doc_a, doc_b,
          CAST(len(list_filter(range(16), i -> sa.sig[i+1] = sb.sig[i+1])) AS INT)
            AS n_matching
@@ -699,42 +760,12 @@ FROM blocked x JOIN blocked y
 WHERE bit_count(xor(x.simhash, y.simhash)) <= 16
 ORDER BY doc_a, doc_b"""),
 
-    // PQ/ADC: stride-sampled per-subspace codebooks (8 × 8 dims),
-    // argmin integer L2 encoding with ties to the smallest id, query
-    // scored through the (subspace, code) distance table — the exact
-    // mirror of Similarity.annPq, all BIGINT arithmetic.
-    "ann_pq" -> """
-WITH qz AS (
-  SELECT vec_id AS vid,
-         list_transform(embedding,
-           x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS qe
-  FROM embeddings
-), cb AS (
-  SELECT vid AS cid, qe AS ce FROM qz WHERE vid % 50 = 0
-), cbs AS (
-  SELECT s, cid, ce[s*8+1 : s*8+8] AS cse
-  FROM cb CROSS JOIN (SELECT CAST(unnest(range(8)) AS INT) AS s)
-), codes AS (
-  SELECT vid, s, cid AS code FROM (
-    SELECT qz.vid, cbs.s, cbs.cid,
-           row_number() OVER (PARTITION BY qz.vid, cbs.s ORDER BY
-             list_sum(list_transform(range(8),
-               i -> (qe[cbs.s*8+i+1] - cse[i+1]) * (qe[cbs.s*8+i+1] - cse[i+1]))) ASC,
-             cbs.cid ASC) AS rnk
-    FROM qz CROSS JOIN cbs)
-  WHERE rnk = 1
-), tbl AS (
-  SELECT s, cid,
-         list_sum(list_transform(range(8),
-           i -> (q.qe[s*8+i+1] - cse[i+1]) * (q.qe[s*8+i+1] - cse[i+1]))) AS td
-  FROM cbs CROSS JOIN (SELECT qe FROM qz WHERE vid = 0) q
-)
-SELECT codes.vid AS vec_id, CAST(sum(tbl.td) AS BIGINT) AS pq_dist
-FROM codes JOIN tbl ON codes.s = tbl.s AND codes.code = tbl.cid
-WHERE codes.vid <> 0
-GROUP BY 1
-ORDER BY pq_dist ASC, vec_id ASC
-LIMIT 10""",
+    "ann_pq" -> AnnPqSql,
+
+    // per-query and precomputed-index PQ share the build rule and
+    // parameters, so the oracle is verbatim (the ann_ivf_idx
+    // pattern)
+    "ann_pq_idx" -> AnnPqSql,
 
     "ann_bruteforce" -> """
 WITH qz AS (
@@ -853,7 +884,7 @@ ORDER BY 1, 2"""),
 
     // identical by construction: the index stores the same assignment
     // the per-query formulation computes (ExtQueries.ivfIndexFor)
-    "ann_ivf_indexed" -> AnnIvfSql,
+    "ann_ivf_idx" -> AnnIvfSql,
 
     // kmeansRefine with iters=1 unrolled: seed codebook -> assignment
     // a1 -> per-(cell, dim) integer means (the sign trick mirrors
@@ -956,7 +987,7 @@ SELECT event_type,
             END AS BIGINT) AS distinct_est
 FROM g ORDER BY 1"""),
 
-    "pipeline_curation" -> (s"""WITH w AS (
+    "pipe_curation" -> (s"""WITH w AS (
   SELECT doc_id, text,
          string_split_regex(trim(lower(text)), ' +') AS words
   FROM documents
@@ -988,8 +1019,8 @@ SELECT doc_id,
             ELSE 'train' END AS split
 FROM documents ORDER BY doc_id"""),
 
-    // pipeline_curation's gates as cumulative per-stage counts
-    "pipeline_funnel" -> (s"""WITH w AS (
+    // pipe_curation's gates as cumulative per-stage counts
+    "pipe_funnel" -> (s"""WITH w AS (
   SELECT doc_id, text,
          string_split_regex(trim(lower(text)), ' +') AS words
   FROM documents

@@ -167,9 +167,9 @@ object Similarity {
     * with a partial-aggregating `min(struct(dist, cid))` per
     * (vector, subspace) — no window; the struct buffer makes it a
     * SortAggregate pair, but the map-side partial still absorbs the
-    * m·|codebook| candidate fan-out (in a deployment the codes are
-    * precomputed once and stored, like [[writeCellIndex]]'s cells, and
-    * a codegen expression would fuse the argmin). The query side is a
+    * m·|codebook| candidate fan-out ([[writePqIndex]] materializes
+    * exactly these codes once; [[annPqIndexedVec]] is the serving
+    * path that never re-encodes). The query side is a
     * broadcast distance table joined to the codes and summed per
     * vector — partial agg, then a TakeOrderedAndProject top-k. Both
     * exchanges carry m CODES per vector, never the raw floats.
@@ -182,21 +182,8 @@ object Similarity {
             centroidStride: Int = 50): DataFrame = {
     val qz = embeddings.select(col(idCol).as("vid"),
       quantize(col(embCol)).as("qe"))
-    val cents = qz.where(col("vid") % centroidStride === 0)
-      .select(col("vid").as("cid"), col("qe").as("ce"))
-    // per-subspace codebook: (s, cid, cse) — m × |codebook| rows, tiny
-    val subs = embeddings.sparkSession.range(m)
-      .select(col("id").cast("int").as("s"))
-    val cbs = cents.crossJoin(broadcast(subs))
-      .select(col("s"), col("cid"),
-        slice(col("ce"), col("s") * subDim + 1, lit(subDim)).as("cse"))
-    val codes = qz.crossJoin(broadcast(cbs))
-      .select(col("vid"), col("s"), col("cid"),
-        l2Q(slice(col("qe"), col("s") * subDim + 1, lit(subDim)),
-          col("cse")).as("d"))
-      .groupBy("vid", "s")
-      .agg(min(struct(col("d"), col("cid"))).as("best"))
-      .select(col("vid"), col("s"), col("best.cid").as("code"))
+    val cbs = pqCodebook(qz, m, subDim, centroidStride)
+    val codes = pqEncode(qz, cbs, subDim)
     // ADC table: per (subspace, codebook id) the query's partial dist
     val q = qz.where(col("vid") === queryId).select(col("qe").as("qv"))
     val table = cbs.crossJoin(broadcast(q))
@@ -211,6 +198,133 @@ object Similarity {
       .select(col("vid").as(idCol), col("pq_dist"))
       .orderBy(col("pq_dist").asc, col(idCol).asc)
       .limit(k)
+  }
+
+  /** Per-subspace PQ codebook over a quantized frame (vid, qe):
+    * (s, cid, cse) — m × |codebook| rows, tiny. The codebook is the
+    * `centroidStride`-sampled vectors' `subDim`-wide slices. */
+  private def pqCodebook(qz: DataFrame, m: Int, subDim: Int,
+                         centroidStride: Int): DataFrame = {
+    val subs = qz.sparkSession.range(m)
+      .select(col("id").cast("int").as("s"))
+    qz.where(col("vid") % centroidStride === 0)
+      .select(col("vid").as("cid"), col("qe").as("ce"))
+      .crossJoin(broadcast(subs))
+      .select(col("s"), col("cid"),
+        slice(col("ce"), col("s") * subDim + 1, lit(subDim)).as("cse"))
+  }
+
+  /** THE PQ encoding rule — argmin quantized squared L2 per
+    * (vector, subspace), ties to the smallest cid — shared by [[annPq]]
+    * and [[writePqIndex]] so stored codes can never desync from the
+    * per-query formulation (the [[assignCells]] discipline). Returns
+    * (vid, s, code). */
+  private def pqEncode(qz: DataFrame, cbs: DataFrame,
+                       subDim: Int): DataFrame =
+    qz.crossJoin(broadcast(cbs))
+      .select(col("vid"), col("s"), col("cid"),
+        l2Q(slice(col("qe"), col("s") * subDim + 1, lit(subDim)),
+          col("cse")).as("d"))
+      .groupBy("vid", "s")
+      .agg(min(struct(col("d"), col("cid"))).as("best"))
+      .select(col("vid"), col("s"), col("best.cid").as("code"))
+
+  /** The PRECOMPUTED-codes PQ path — materializes what [[annPq]] pays
+    * per query: the per-subspace codebook and every vector's `m`-code
+    * encoding, written once and served forever. Unlike
+    * [[writeCellIndex]] the codes table deliberately does NOT carry the
+    * vectors — compressing the corpus to `m` small ids per vector is
+    * the entire point (at k≤256 codebook entries a real deployment
+    * stores one byte per code; ~100 TB of floats serve from ~table-of-
+    * codes gigabytes).
+    *
+    * Layout: `path/codebook` with (s, cid, cse); `path/codes` with
+    * (vid, codes array) — range-partitioned and sorted by `vid`, so id
+    * lookups get parquet footer min/max skipping. Encoding reads the
+    * codebook back from storage first: stored == used, same discipline
+    * as [[writeCellIndex]]. */
+  def writePqIndex(embeddings: DataFrame, idCol: String, embCol: String,
+                   path: String, m: Int = 8, subDim: Int = 8,
+                   centroidStride: Int = 50): Unit = {
+    val qz = embeddings.select(col(idCol).as("vid"),
+      quantize(col(embCol)).as("qe"))
+    pqCodebook(qz, m, subDim, centroidStride)
+      .write.mode("overwrite").parquet(s"$path/codebook")
+    val stored = embeddings.sparkSession.read.parquet(s"$path/codebook")
+    pqEncode(qz, stored, subDim)
+      .groupBy("vid")
+      .agg(transform(
+        array_sort(collect_list(struct(col("s"), col("code")))),
+        x => x.getField("code")).as("codes"))
+      .repartitionByRange(col("vid"))
+      .sortWithinPartitions("vid")
+      .write.mode("overwrite").parquet(s"$path/codes")
+  }
+
+  /** Probe a [[writePqIndex]] index with a caller-supplied QUERY
+    * VECTOR — the asymmetric-distance serving shape, and the reason PQ
+    * scales: the stored codebook (tiny, bounded like [[annIvfIndexedVec]]'s
+    * centroid ranking) is collected once and turned into a LITERAL
+    * (cid·m + s) → distance map, so scoring is a zero-shuffle scan of
+    * the codes table — per row, a fold over the `m` codes against the
+    * literal table — fused straight into TakeOrderedAndProject. No
+    * join, no aggregation exchange, no window; the only distributed
+    * work is the compressed-codes scan itself (PlanSpec pins zero
+    * hash exchanges on this plan). */
+  def annPqIndexedVec(spark: org.apache.spark.sql.SparkSession,
+                      path: String, queryVec: Seq[Float], k: Int,
+                      excludeVid: Option[Long] = None): DataFrame = {
+    // same HALF_UP rounding as [[quantize]] (Spark's round), which
+    // math.round would get wrong for negative half-way values
+    val qe = queryVec.map(x => java.math.BigDecimal.valueOf(x.toDouble * 1e6)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValue)
+    val cb = spark.read.parquet(s"$path/codebook").collect()
+    val m = cb.map(_.getAs[Int]("s")).max + 1
+    // driver-side ADC table keyed by cid·m + s (collision-free: s < m)
+    val tbl = cb.map { r =>
+      val s = r.getAs[Int]("s")
+      val cse = r.getSeq[Long](r.fieldIndex("cse"))
+      val sub = qe.slice(s * cse.length, (s + 1) * cse.length)
+      val d = sub.zip(cse).map { case (x, y) => (x - y) * (x - y) }.sum
+      (r.getAs[Long]("cid") * m + s) -> d
+    }.toMap
+    val tblLit = typedlit(tbl)
+    val scored = readCodes(spark, path)
+      .select(col("vid"),
+        aggregate(
+          zip_with(col("codes"), sequence(lit(0L), lit((m - 1).toLong)),
+            (c, s) => element_at(tblLit, c * m + s)),
+          lit(0L), (acc, v) => acc + v).as("pq_dist"))
+    excludeVid.fold(scored)(v => scored.where(col("vid") =!= v))
+      .orderBy(col("pq_dist").asc, col("vid").asc)
+      .limit(k)
+  }
+
+  /** By-id convenience probe: PQ indexes do not store the raw vectors
+    * (that is their point), so the query's float vector is looked up in
+    * the SOURCE table — a one-row pushed-down lookup, bounded like
+    * [[annIvfIndexed]]'s — and delegated to [[annPqIndexedVec]]. Same
+    * parameters as the build → results identical to [[annPq]]. */
+  def annPqIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
+                   embeddings: DataFrame, idCol: String, embCol: String,
+                   queryId: Long, k: Int): DataFrame = {
+    val qRows = embeddings.where(col(idCol) === queryId)
+      .select(col(embCol)).take(1)
+    require(qRows.nonEmpty,
+      s"query vector $queryId is not in the source table")
+    annPqIndexedVec(spark, path, qRows(0).getSeq[Float](0), k,
+      excludeVid = Some(queryId))
+  }
+
+  private def readCodes(spark: org.apache.spark.sql.SparkSession,
+                        path: String): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vid",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("codes",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType))))
+    spark.read.schema(schema).parquet(s"$path/codes")
   }
 
   /** Nearest-centroid assignment of every vector in `qz` against a

@@ -14,7 +14,7 @@ class CacheHygieneSpec extends SparkSpec {
   /** Every declared query built on a persist/checkpoint-using operator. */
   private val cacheUsers = Seq(
     "dedup_jaccard", "dedup_minhash_lsh", "dedup_components",
-    "dedup_cross_split", "ann_knn_graph", "emb_neardup_pairs",
+    "decon_split", "ann_knn_graph", "emb_neardup_pairs",
     "pack_sequences", "pack_bin_slices", "pack_shuffle",
     "ann_kmeans", "ann_recall")
 

@@ -155,12 +155,12 @@ class PlanSpec extends SparkSpec {
       s"expected the validity filter pushed to the scan in:\n$p")
   }
 
-  test("ann_ivf_indexed declared row probes a partition-pruned index scan") {
+  test("ann_ivf_idx declared row probes a partition-pruned index scan") {
     // SimilaritySpec pins the API on its own tmp index; this ties the
     // DECLARED row (through ExtQueries.ivfIndexFor's memoized build) to
     // the same pruned-scan shape: a literal cid partition predicate and
     // no per-query full-corpus re-assignment (no Window in the probe).
-    val p = plan("ann_ivf_indexed")
+    val p = plan("ann_ivf_idx")
     assert(p.contains("PartitionFilters") && p.contains("cid"),
       s"expected cid partition pruning on the declared probe:\n$p")
     assert(!p.contains("Window"),
@@ -189,6 +189,19 @@ class PlanSpec extends SparkSpec {
       s"expected limit+sort fusion in:\n$p")
     assert(!p.contains("Window") && !p.contains("CartesianProduct"),
       s"the PQ path must not window or cartesian:\n$p")
+  }
+
+  test("pq index probe: zero-exchange scan of the stored codes, fused top-k") {
+    // the ADC distance table is a collected literal map, so serving is
+    // ONE distributed pass over the compressed codes — no join, no
+    // window, no aggregation exchange, top-k fused into the scan
+    val p = plan("ann_pq_idx")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"expected limit+sort fusion in:\n$p")
+    assert(count(p, "Exchange hashpartitioning") == 0,
+      s"the code scan must not shuffle at all:\n$p")
+    assert(!p.contains("Join") && !p.contains("Window"),
+      s"ADC serving must not join or window:\n$p")
   }
 
   test("cms sketch: partial sketches move through the exchange, not keys") {

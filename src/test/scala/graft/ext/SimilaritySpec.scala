@@ -291,4 +291,23 @@ class SimilaritySpec extends SparkSpec {
     // (vec 1, colinear at 2×, quantizes to the same codes — also 0)
     assert(out.contains((5L, 0L)), s"exact duplicate must score 0: $out")
   }
+
+  test("PQ code index: both probes match the per-query formulation") {
+    val root = java.nio.file.Files.createTempDirectory("graft-pq").toString
+    Similarity.writePqIndex(vecs, "vec_id", "embedding", root,
+      m = 2, subDim = 4, centroidStride = 2)
+    val direct = Similarity.annPq(vecs, "vec_id", "embedding", 0L, 4,
+        m = 2, subDim = 4, centroidStride = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val byId = Similarity.annPqIndexed(spark, root, vecs, "vec_id",
+        "embedding", 0L, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(byId == direct, s"probe $byId vs direct $direct")
+    val qv = vecs.where($"vec_id" === 0L).select("embedding")
+      .collect()(0).getSeq[Float](0)
+    val byVec = Similarity.annPqIndexedVec(spark, root, qv, 4,
+        excludeVid = Some(0L))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(byVec == byId, s"vector probe $byVec vs by-id $byId")
+  }
 }
