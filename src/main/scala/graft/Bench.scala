@@ -39,6 +39,7 @@ object Bench {
       graft.sources.ServingMirrors.atiSummaries(spark, sfDir)
       graft.sources.ServingMirrors.ctiSummaries(spark, sfDir)
       ExtQueries.ivfIndexFor(spark, sfDir)
+      ExtQueries.pqIndexFor(spark, sfDir)
     } catch { case _: Throwable => () }
     val timings = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]

@@ -24,6 +24,15 @@ object BenchOne {
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000).selectExpr("sum(id)").collect()
     Tables.summaries(spark, sfDir).limit(1).count()
+    // Bench's untimed once-per-refresh artifacts (mirrors + ANN
+    // indexes): without this, run 1 of a serving query on a cold
+    // scratch would time the index BUILD, not the page/probe.
+    try {
+      graft.sources.ServingMirrors.atiSummaries(spark, sfDir)
+      graft.sources.ServingMirrors.ctiSummaries(spark, sfDir)
+      ExtQueries.ivfIndexFor(spark, sfDir)
+      ExtQueries.pqIndexFor(spark, sfDir)
+    } catch { case _: Throwable => () }
     val fn = SparkEntry.queries(name)
     val times = (1 to runs).map { _ =>
       val t0 = System.nanoTime()

@@ -14,6 +14,16 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Start from an empty outDir: a reused directory keeps per-query
+    // subdirs whose names are no longer declared (e.g. after a key
+    // rename), and those stale dumps would surface as phantom
+    // no-oracle rows in the downstream compare.
+    val root = Paths.get(outDir)
+    if (Files.exists(root)) {
+      import scala.jdk.CollectionConverters._
+      Files.walk(root).iterator().asScala.toSeq.reverse
+        .foreach(p => Files.deleteIfExists(p))
+    }
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
