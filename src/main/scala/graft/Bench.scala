@@ -40,6 +40,7 @@ object Bench {
       graft.sources.ServingMirrors.ctiSummaries(spark, sfDir)
       ExtQueries.ivfIndexFor(spark, sfDir)
       ExtQueries.pqIndexFor(spark, sfDir)
+      ExtQueries.ivfPqIndexFor(spark, sfDir)
     } catch { case _: Throwable => () }
     val timings = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]

@@ -32,6 +32,7 @@ object BenchOne {
       graft.sources.ServingMirrors.ctiSummaries(spark, sfDir)
       ExtQueries.ivfIndexFor(spark, sfDir)
       ExtQueries.pqIndexFor(spark, sfDir)
+      ExtQueries.ivfPqIndexFor(spark, sfDir)
     } catch { case _: Throwable => () }
     val fn = SparkEntry.queries(name)
     val times = (1 to runs).map { _ =>

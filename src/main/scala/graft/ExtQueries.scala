@@ -153,6 +153,20 @@ object ExtQueries {
       path
     }
 
+  /** Precomputed IVF-PQ index for `sfDir` — same build-once contract
+    * as [[pqIndexFor]]. Build order centroids → pqcb → codes, so
+    * codes/_SUCCESS marks the whole index complete. */
+  private[graft] def ivfPqIndexFor(s: SparkSession, sfDir: String): String =
+    synchronized {
+      val path = graft.sources.Scratch.dir("ivfpq",
+        graft.sources.Scratch.key(sfDir))
+      if (!new java.io.File(s"$path/codes/_SUCCESS").exists())
+        Similarity.writeIvfPqIndex(Tables.embeddings(s, sfDir), "vec_id",
+          "embedding", path, coarseStride = 100, m = 8, subDim = 8,
+          pqStride = 50)
+      path
+    }
+
   val queries: Map[String, Q] = Map(
     "dedup_exact" -> ((s, d) =>
       Dedup.exact(Tables.documents(s, d), col("text"), col("doc_id"))
@@ -163,7 +177,7 @@ object ExtQueries {
           k = 3, minJaccard = 0.2)
         .orderBy("doc_a", "doc_b")),
 
-    "dedup_minhash_lsh" -> ((s, d) =>
+    "dedup_lsh" -> ((s, d) =>
       Dedup.minhashLsh(Tables.documents(s, d), col("text"), col("doc_id"),
           k = 3, numHashes = 16, bands = 4, minMatches = 4)
         .orderBy("doc_a", "doc_b")),
@@ -218,6 +232,15 @@ object ExtQueries {
     "ann_pq_idx" -> ((s, d) =>
       Similarity.annPqIndexed(s, pqIndexFor(s, d), Tables.embeddings(s, d),
           "vec_id", "embedding", queryId = 0L, k = 10)
+        .select(col("vid").as("vec_id"), col("pq_dist"))),
+
+    // IVF-PQ: coarse cells (ann_ivf's assignment) + product-quantized
+    // residual codes (ann_pq's encoding) probed from the stored index —
+    // the partition-pruned compressed-codes serving shape
+    "ann_ivfpq" -> ((s, d) =>
+      Similarity.annIvfPqIndexed(s, ivfPqIndexFor(s, d),
+          Tables.embeddings(s, d), "vec_id", "embedding", queryId = 0L,
+          k = 10, nprobe = 2)
         .select(col("vid").as("vec_id"), col("pq_dist"))),
 
     // queryId 32 has band-bucket partners at BOTH sf0.001 and sf0.01
@@ -592,6 +615,67 @@ GROUP BY 1
 ORDER BY pq_dist ASC, vec_id ASC
 LIMIT 10"""
 
+  /** ann_ivfpq: AnnIvfSql's coarse assignment (argmax rounded cosine,
+    * ties to smallest cid) feeding AnnPqSql's encode/ADC pattern on the
+    * RESIDUALS — dense codes by sampled-vid rank, query residual PER
+    * probed cell, all BIGINT distance arithmetic. Mirrors
+    * Similarity.writeIvfPqIndex + annIvfPqIndexed exactly. */
+  private val AnnIvfPqSql = """
+WITH qz AS (
+  SELECT vec_id AS vid,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS qe
+  FROM embeddings
+), cents AS (
+  SELECT vid AS cid, qe AS ce FROM qz WHERE vid % 100 = 0
+), scored AS (
+  SELECT qz.vid, qz.qe, cents.cid, cents.ce,
+         round(
+           CAST(list_sum(list_transform(range(64), i -> qe[i+1] * ce[i+1])) AS DOUBLE)
+           / sqrt(CAST(list_sum(list_transform(range(64), i -> qe[i+1] * qe[i+1])) AS DOUBLE)
+                  * CAST(list_sum(list_transform(range(64), i -> ce[i+1] * ce[i+1])) AS DOUBLE)),
+           6) AS ccos
+  FROM qz CROSS JOIN cents
+), ranked AS (
+  SELECT vid, qe, cid, ce,
+         row_number() OVER (PARTITION BY vid ORDER BY ccos DESC, cid ASC) AS rnk
+  FROM scored
+), res AS (
+  SELECT vid, cid,
+         list_transform(range(64), i -> qe[i+1] - ce[i+1]) AS re
+  FROM ranked WHERE rnk = 1
+), rcb AS (
+  SELECT CAST(row_number() OVER (ORDER BY vid) - 1 AS BIGINT) AS code, re
+  FROM res WHERE vid % 50 = 0
+), rcbs AS (
+  SELECT s, code, re[s*8+1 : s*8+8] AS rse
+  FROM rcb CROSS JOIN (SELECT CAST(unnest(range(8)) AS INT) AS s)
+), codes AS (
+  SELECT vid, cid, s, code FROM (
+    SELECT res.vid, res.cid, rcbs.s, rcbs.code,
+           row_number() OVER (PARTITION BY res.vid, rcbs.s ORDER BY
+             list_sum(list_transform(range(8),
+               i -> (re[rcbs.s*8+i+1] - rse[i+1]) * (re[rcbs.s*8+i+1] - rse[i+1]))) ASC,
+             rcbs.code ASC) AS rnk
+    FROM res CROSS JOIN rcbs)
+  WHERE rnk = 1
+), qres AS (
+  SELECT cid, list_transform(range(64), i -> qe[i+1] - ce[i+1]) AS qr
+  FROM ranked WHERE vid = 0 AND rnk <= 2
+), tbl AS (
+  SELECT qres.cid, rcbs.s, rcbs.code,
+         list_sum(list_transform(range(8),
+           i -> (qr[rcbs.s*8+i+1] - rse[i+1]) * (qr[rcbs.s*8+i+1] - rse[i+1]))) AS td
+  FROM qres CROSS JOIN rcbs
+)
+SELECT codes.vid AS vec_id, CAST(sum(tbl.td) AS BIGINT) AS pq_dist
+FROM codes JOIN tbl
+  ON codes.cid = tbl.cid AND codes.s = tbl.s AND codes.code = tbl.code
+WHERE codes.vid <> 0
+GROUP BY 1
+ORDER BY pq_dist ASC, vec_id ASC
+LIMIT 10"""
+
   private val AnnIvfSql = """WITH qz AS (
   SELECT vec_id,
          list_transform(embedding,
@@ -647,7 +731,7 @@ FROM pairs JOIN sizes sa ON doc_a = sa.doc_id
 WHERE round(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 6) >= 0.2
 ORDER BY doc_a, doc_b"""),
 
-    "dedup_minhash_lsh" -> (MinhashCte + """
+    "dedup_lsh" -> (MinhashCte + """
 SELECT doc_a, doc_b,
        CAST(len(list_filter(range(16), i -> sa.sig[i+1] = sb.sig[i+1])) AS INT)
          AS n_matching
@@ -766,6 +850,8 @@ ORDER BY doc_a, doc_b"""),
     // parameters, so the oracle is verbatim (the ann_ivf_idx
     // pattern)
     "ann_pq_idx" -> AnnPqSql,
+
+    "ann_ivfpq" -> AnnIvfPqSql,
 
     "ann_bruteforce" -> """
 WITH qz AS (

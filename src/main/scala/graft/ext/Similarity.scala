@@ -327,6 +327,175 @@ object Similarity {
     spark.read.schema(schema).parquet(s"$path/codes")
   }
 
+  /** IVF-PQ: the canonical large-corpus ANN serving index — coarse
+    * inverted cells ([[writeCellIndex]]'s assignment rule) with each
+    * vector's RESIDUAL against its cell centroid product-quantized
+    * ([[annPq]]'s encoding rule) into `m` dense codebook ids. A probe
+    * ranks the centroids, reads only `nprobe` cell partitions, and
+    * scores the compressed codes against a per-cell ADC table — the
+    * combination serves a 100 TB float corpus from partition-pruned
+    * scans of a codes table a few bytes per vector wide, which neither
+    * half achieves alone (IVF cells still store the vectors; flat PQ
+    * still scans every code).
+    *
+    * Determinism/portability ([[annIvf]]/[[annPq]] discipline): coarse
+    * assignment is argmax quantized cosine with ties to the smallest
+    * cid; residuals are exact integer differences; the residual
+    * sub-codebook is the `pqStride`-sampled vectors' residual slices
+    * with DENSE codes assigned by residual-id rank; encoding is argmin
+    * quantized squared L2 with ties to the smallest code; all distances
+    * are exact BIGINT sums.
+    *
+    * Layout: `path/centroids` (cid, ce, cn2); `path/pqcb`
+    * (s, code, rse) — m × |sub-codebook| rows, tiny; `path/codes`
+    * hive-partitioned `cid=<c>/…` with (vid, codes), vid-sorted for
+    * footer skipping. Each artifact is read back from storage before
+    * the next derives from it: stored == used. */
+  def writeIvfPqIndex(embeddings: DataFrame, idCol: String, embCol: String,
+                      path: String, coarseStride: Int = 100, m: Int = 8,
+                      subDim: Int = 8, pqStride: Int = 50): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = embeddings.sparkSession
+    val qz = embeddings.select(col(idCol).as("vid"),
+        quantize(col(embCol)).as("qe"))
+      .withColumn("n2", dotQ(col("qe"), col("qe")))
+    centroidsOf(qz, coarseStride)
+      .write.mode("overwrite").parquet(s"$path/centroids")
+    val cents = spark.read.parquet(s"$path/centroids")
+    // residual = vector − its cell's centroid, exact integer subtract;
+    // persisted for the build's scope (codebook sample + encode both
+    // read it), the writeCellIndex refinement pattern
+    val res = assignCells(qz, cents)
+      .join(broadcast(cents.select(col("cid"), col("ce"))), "cid")
+      .select(col("vid"), col("cid"),
+        zip_with(col("qe"), col("ce"), (x, y) => x - y).as("re"))
+      .persist()
+    try {
+      // dense code = rank of the sampled vid (single-partition window is
+      // fine: the frame is |corpus|/pqStride rows, codebook-sized by
+      // design, like the collected codebooks on the probe side)
+      val subs = spark.range(m).select(col("id").cast("int").as("s"))
+      res.where(col("vid") % pqStride === 0)
+        .select(col("vid").as("rid"), col("re"))
+        .withColumn("code",
+          row_number().over(Window.orderBy("rid")).cast("long") - 1)
+        .crossJoin(broadcast(subs))
+        .select(col("s"), col("code"),
+          slice(col("re"), col("s") * subDim + 1, lit(subDim)).as("rse"))
+        .write.mode("overwrite").parquet(s"$path/pqcb")
+      val storedCb = spark.read.parquet(s"$path/pqcb")
+      // encode residuals: argmin quantized L2 per (vector, subspace),
+      // ties to the smallest code — pqEncode's rule on the residual
+      // frame, partial-agg absorbing the m·|codebook| candidate fan-out
+      res.crossJoin(broadcast(storedCb))
+        .select(col("vid"), col("cid"), col("s"), col("code"),
+          l2Q(slice(col("re"), col("s") * subDim + 1, lit(subDim)),
+            col("rse")).as("d"))
+        .groupBy("vid", "cid", "s")
+        .agg(min(struct(col("d"), col("code"))).as("best"))
+        .select(col("vid"), col("cid"), col("s"),
+          col("best.code").as("code"))
+        .groupBy("vid", "cid")
+        .agg(transform(
+          array_sort(collect_list(struct(col("s"), col("code")))),
+          x => x.getField("code")).as("codes"))
+        .repartition(col("cid"))
+        .sortWithinPartitions("vid")
+        .write.mode("overwrite").partitionBy("cid").parquet(s"$path/codes")
+    } finally res.unpersist()
+  }
+
+  /** Probe a [[writeIvfPqIndex]] index with a caller-supplied QUERY
+    * VECTOR. Driver-side work is bounded by the two codebooks: the
+    * centroids rank picks `nprobe` cells ([[annIvfIndexedVec]]'s
+    * literal-pruning shape) and the collected pq codebook becomes a
+    * LITERAL (cell, subspace, code) → distance map over the query's
+    * PER-CELL residuals. Scoring is then a partition-pruned scan of the
+    * compressed codes — per row a fold over `m` codes against the
+    * literal table, no join, no window, no aggregation exchange — fused
+    * into TakeOrderedAndProject (PlanSpec pins pruning + zero hash
+    * exchanges). Distances are squared L2 between the query's residual
+    * and the candidate's RECONSTRUCTED residual in the shared cell —
+    * ascending, smaller is nearer. */
+  def annIvfPqIndexedVec(spark: org.apache.spark.sql.SparkSession,
+                         path: String, queryVec: Seq[Float], k: Int,
+                         nprobe: Int = 2,
+                         excludeVid: Option[Long] = None): DataFrame = {
+    // same HALF_UP rounding as [[quantize]] (Spark's round), which
+    // math.round would get wrong for negative half-way values
+    val qe = queryVec.map(x => java.math.BigDecimal.valueOf(x.toDouble * 1e6)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValue)
+    val qn2 = qe.map(v => v * v).sum
+    val qLit = typedlit(qe)
+    // nprobe cells WITH their centroids: the query's residual differs
+    // per cell, so the probe needs ce, not just cid
+    val probed = spark.read.parquet(s"$path/centroids")
+      .select(col("cid"), col("ce"),
+        cosineQNormed(qLit, col("ce"), lit(qn2), col("cn2")).as("ccos"))
+      .orderBy(col("ccos").desc, col("cid").asc)
+      .limit(nprobe)
+      .select("cid", "ce").collect()
+    val qres = probed.map { r =>
+      r.getLong(0) -> qe.zip(r.getSeq[Long](1)).map { case (x, y) => x - y }
+    }.toMap
+    val cb = spark.read.parquet(s"$path/pqcb").collect()
+    val m = cb.map(_.getAs[Int]("s")).max + 1
+    val ncb = cb.map(_.getAs[Long]("code")).max + 1
+    // ADC tables for every probed cell, keyed (cid·m + s)·ncb + code —
+    // collision-free: s < m, code < ncb
+    val tbl = (for { (cid, qr) <- qres.toSeq; r <- cb } yield {
+      val s = r.getAs[Int]("s")
+      val code = r.getAs[Long]("code")
+      val rse = r.getSeq[Long](r.fieldIndex("rse"))
+      val sub = qr.slice(s * rse.length, (s + 1) * rse.length)
+      val d = sub.zip(rse).map { case (x, y) => (x - y) * (x - y) }.sum
+      ((cid * m + s) * ncb + code) -> d
+    }).toMap
+    val tblLit = typedlit(tbl)
+    val scored = readIvfPqCodes(spark, path)
+      .where(col("cid").isin(qres.keys.toSeq: _*))
+      .select(col("vid"),
+        aggregate(
+          zip_with(col("codes"), sequence(lit(0L), lit((m - 1).toLong)),
+            (c, s) => element_at(tblLit,
+              (col("cid") * lit(m.toLong) + s) * lit(ncb) + c)),
+          lit(0L), (acc, v) => acc + v).as("pq_dist"))
+    excludeVid.fold(scored)(v => scored.where(col("vid") =!= v))
+      .orderBy(col("pq_dist").asc, col("vid").asc)
+      .limit(k)
+  }
+
+  /** By-id convenience probe: like [[annPqIndexed]], the index stores
+    * only codes, so the query's float vector is a one-row pushed-down
+    * lookup in the SOURCE table, then delegated. Same parameters as the
+    * build → results mirror the declared oracle exactly. */
+  def annIvfPqIndexed(spark: org.apache.spark.sql.SparkSession,
+                      path: String, embeddings: DataFrame, idCol: String,
+                      embCol: String, queryId: Long, k: Int,
+                      nprobe: Int = 2): DataFrame = {
+    val qRows = embeddings.where(col(idCol) === queryId)
+      .select(col(embCol)).take(1)
+    require(qRows.nonEmpty,
+      s"query vector $queryId is not in the source table")
+    annIvfPqIndexedVec(spark, path, qRows(0).getSeq[Float](0), k, nprobe,
+      excludeVid = Some(queryId))
+  }
+
+  private def readIvfPqCodes(spark: org.apache.spark.sql.SparkSession,
+                             path: String): DataFrame = {
+    // Explicit schema: the cid PARTITION column must stay LongType so
+    // the pruning predicate needs no cast (readCells discipline)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vid",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("codes",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType)),
+      org.apache.spark.sql.types.StructField("cid",
+        org.apache.spark.sql.types.LongType)))
+    spark.read.schema(schema).parquet(s"$path/codes")
+  }
+
   /** Nearest-centroid assignment of every vector in `qz` against a
     * (small, broadcast) codebook: argmax quantized cosine, ties to the
     * smallest cid — the rule shared by [[annIvf]], [[writeCellIndex]]

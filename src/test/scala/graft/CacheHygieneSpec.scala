@@ -13,7 +13,7 @@ class CacheHygieneSpec extends SparkSpec {
 
   /** Every declared query built on a persist/checkpoint-using operator. */
   private val cacheUsers = Seq(
-    "dedup_jaccard", "dedup_minhash_lsh", "dedup_components",
+    "dedup_jaccard", "dedup_lsh", "dedup_components",
     "decon_split", "ann_knn_graph", "emb_neardup_pairs",
     "pack_sequences", "pack_bin_slices", "pack_shuffle",
     "ann_kmeans", "ann_recall")
@@ -33,7 +33,7 @@ class CacheHygieneSpec extends SparkSpec {
   test("tracking engages: the persisted intermediate exists until release") {
     CacheScope.release()
     val before = spark.sparkContext.getPersistentRDDs.keySet
-    SparkEntry.queries("dedup_minhash_lsh")(spark, sf)
+    SparkEntry.queries("dedup_lsh")(spark, sf)
       .queryExecution.toRdd.foreach(_ => ())
     val during = spark.sparkContext.getPersistentRDDs.keySet -- before
     assert(during.nonEmpty,

@@ -204,6 +204,22 @@ class PlanSpec extends SparkSpec {
       s"ADC serving must not join or window:\n$p")
   }
 
+  test("ivfpq probe: partition-pruned code scan, literal ADC, fused top-k") {
+    // coarse cells prune the codes scan to nprobe partitions; the
+    // per-cell ADC tables are a collected literal map, so scoring is
+    // one pass over the pruned compressed codes — no join, no window,
+    // no aggregation exchange, top-k fused into the scan
+    val p = plan("ann_ivfpq")
+    assert(p.contains("PartitionFilters") && p.contains("cid"),
+      s"expected cid partition pruning on the codes scan:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"expected limit+sort fusion in:\n$p")
+    assert(count(p, "Exchange hashpartitioning") == 0,
+      s"the pruned code scan must not shuffle at all:\n$p")
+    assert(!p.contains("Join") && !p.contains("Window"),
+      s"ADC serving must not join or window:\n$p")
+  }
+
   test("cms sketch: partial sketches move through the exchange, not keys") {
     val p = plan("cms_user_counts")
     // partial + final aggregate pair over the long[] buffer — the only

@@ -292,6 +292,72 @@ class SimilaritySpec extends SparkSpec {
     assert(out.contains((5L, 0L)), s"exact duplicate must score 0: $out")
   }
 
+  test("IVF-PQ: probe equals the independent residual-ADC reconstruction") {
+    // dim 8 = 2 subspaces of 4; coarse cells {0, 2, 4} (stride 2),
+    // residual codebook sampled at the same stride. The whole pipeline
+    // — coarse assign → residual → dense-code encode → per-cell ADC →
+    // pruned top-k — is re-derived here from first principles, an
+    // engine-independent mirror of writeIvfPqIndex + annIvfPqIndexed
+    // and of the DuckDB oracle.
+    val rnd = new scala.util.Random(7)
+    val base = Array.fill(8)(rnd.nextFloat() * 2 - 1)
+    val raw = Seq(
+      0L -> base,
+      1L -> base.map(x => x * 2.0f),
+      2L -> base.map(x => -x),
+      3L -> Array.fill(8)(rnd.nextFloat() * 2 - 1),
+      4L -> Array.fill(8)(rnd.nextFloat() * 2 - 1),
+      5L -> base.clone())
+    val docs = raw.toDF("vec_id", "embedding")
+    val root = java.nio.file.Files.createTempDirectory("graft-ivfpq").toString
+    Similarity.writeIvfPqIndex(docs, "vec_id", "embedding", root,
+      coarseStride = 2, m = 2, subDim = 4, pqStride = 2)
+    val byId = Similarity.annIvfPqIndexed(spark, root, docs, "vec_id",
+        "embedding", 0L, 5, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+
+    def quant(v: Array[Float]): Array[Long] =
+      v.map(x => BigDecimal(x.toDouble * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+    def dot(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    def l2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val qz = raw.toMap.view.mapValues(quant).toMap
+    val cids = Seq(0L, 2L, 4L)
+    // Spark's round(x, 6): BigDecimal HALF_UP on the double
+    def ccos(v: Long, c: Long): Double =
+      BigDecimal(dot(qz(v), qz(c)).toDouble /
+          math.sqrt(dot(qz(v), qz(v)).toDouble * dot(qz(c), qz(c)).toDouble))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def cell(v: Long): Long = cids.minBy(c => (-ccos(v, c), c))
+    val res = raw.map(_._1)
+      .map(v => v -> qz(v).zip(qz(cell(v))).map { case (x, y) => x - y })
+      .toMap
+    val sampled = raw.map(_._1).filter(_ % 2 == 0).sorted // dense code order
+    def sub(a: Array[Long], s: Int) = a.slice(s * 4, s * 4 + 4)
+    def code(v: Long, s: Int): Int = sampled.indices
+      .minBy(ci => (l2(sub(res(v), s), sub(res(sampled(ci)), s)), ci))
+    val probed = cids.sortBy(c => (-ccos(0L, c), c)).take(2).toSet
+    val expected = raw.map(_._1).filter(v => v != 0L && probed(cell(v)))
+      .map { v =>
+        val qr = qz(0L).zip(qz(cell(v))).map { case (x, y) => x - y }
+        v -> (0 until 2)
+          .map(s => l2(sub(qr, s), sub(res(sampled(code(v, s))), s))).sum
+      }
+      .sortBy { case (v, d) => (d, v) }.take(5)
+    assert(byId == expected, s"got $byId expected $expected")
+    // the query's exact duplicate shares cell, residual, and codes, and
+    // the query's own residual is a sampled codebook entry → distance 0
+    assert(byId.contains((5L, 0L)), s"exact duplicate must score 0: $byId")
+
+    val qv = raw.head._2.toSeq
+    val byVec = Similarity.annIvfPqIndexedVec(spark, root, qv, 5,
+        nprobe = 2, excludeVid = Some(0L))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(byVec == byId, s"vector probe $byVec vs by-id $byId")
+  }
+
   test("PQ code index: both probes match the per-query formulation") {
     val root = java.nio.file.Files.createTempDirectory("graft-pq").toString
     Similarity.writePqIndex(vecs, "vec_id", "embedding", root,
