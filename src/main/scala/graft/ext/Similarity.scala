@@ -353,14 +353,29 @@ object Similarity {
     * the next derives from it: stored == used. */
   def writeIvfPqIndex(embeddings: DataFrame, idCol: String, embCol: String,
                       path: String, coarseStride: Int = 100, m: Int = 8,
-                      subDim: Int = 8, pqStride: Int = 50): Unit = {
-    import org.apache.spark.sql.expressions.Window
+                      subDim: Int = 8, pqStride: Int = 50,
+                      refineIters: Int = 0): Unit = {
     val spark = embeddings.sparkSession
-    val qz = embeddings.select(col(idCol).as("vid"),
+    val qzPlan = embeddings.select(col(idCol).as("vid"),
         quantize(col(embCol)).as("qe"))
       .withColumn("n2", dotQ(col("qe"), col("qe")))
-    centroidsOf(qz, coarseStride)
-      .write.mode("overwrite").parquet(s"$path/centroids")
+    // refineIters > 0 stores the Lloyd-learned coarse quantizer
+    // ([[kmeansRefine]]) instead of the raw stride sample — the probe
+    // reads whatever codebook is stored, so format and pruning are
+    // identical either way ([[writeCellIndex]]'s contract, including
+    // its persist-during-refinement discipline)
+    val qz = if (refineIters > 0) qzPlan.persist() else qzPlan
+    try {
+      refineCents(qz, centroidsOf(qz, coarseStride), refineIters)
+        .write.mode("overwrite").parquet(s"$path/centroids")
+      writeIvfPqCodes(spark, qz, path, m, subDim, pqStride)
+    } finally if (refineIters > 0) qz.unpersist()
+  }
+
+  private def writeIvfPqCodes(spark: org.apache.spark.sql.SparkSession,
+                              qz: DataFrame, path: String, m: Int,
+                              subDim: Int, pqStride: Int): Unit = {
+    import org.apache.spark.sql.expressions.Window
     val cents = spark.read.parquet(s"$path/centroids")
     // residual = vector − its cell's centroid, exact integer subtract;
     // persisted for the build's scope (codebook sample + encode both

@@ -358,6 +358,44 @@ class SimilaritySpec extends SparkSpec {
     assert(byVec == byId, s"vector probe $byVec vs by-id $byId")
   }
 
+  test("refined IVF-PQ: coarse cells are the Lloyd assignment; probes agree") {
+    // same two-cluster geometry as the kmeansRefine specs: with the
+    // learned quantizer, vector 3 must sit in the refined A cell
+    def v(x: Float, y: Float) = Array(x, y, 0f, 0f)
+    val docs = Seq(
+      0L -> v(1f, 0f), 1L -> v(0.95f, 0.1f), 2L -> v(0.9f, 0.05f),
+      3L -> v(0.8f, 0.45f),
+      4L -> v(0.6f, 0.8f), 5L -> v(0.05f, 1f), 6L -> v(0.1f, 0.95f),
+      7L -> v(0f, 1f))
+      .toDF("vec_id", "embedding")
+    val root = java.nio.file.Files.createTempDirectory("graft-ivfpqk").toString
+    Similarity.writeIvfPqIndex(docs, "vec_id", "embedding", root,
+      coarseStride = 4, m = 2, subDim = 2, pqStride = 2, refineIters = 1)
+    val cells = spark.read.parquet(s"$root/codes")
+      .select(org.apache.spark.sql.functions.col("vid"),
+        org.apache.spark.sql.functions.col("cid").cast("long"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val km = Similarity.kmeansRefine(docs, "vec_id", "embedding",
+        centroidStride = 4, iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    graft.CacheScope.release()
+    assert(cells == km, s"cells $cells vs kmeans $km")
+    assert(cells(3L) == 0L)
+    val byId = Similarity.annIvfPqIndexed(spark, root, docs, "vec_id",
+        "embedding", 0L, 4, nprobe = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // nprobe 1 over the refined codebook: only cell-A members surface
+    assert(byId.map(_._1).toSet.subsetOf(Set(1L, 2L, 3L)),
+      s"refined A-cell probe leaked other cells: $byId")
+    val qv = docs.where($"vec_id" === 0L).select("embedding")
+      .collect()(0).getSeq[Float](0)
+    val byVec = Similarity.annIvfPqIndexedVec(spark, root, qv, 4,
+        nprobe = 1, excludeVid = Some(0L))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(byVec == byId, s"vector probe $byVec vs by-id $byId")
+  }
+
   test("PQ code index: both probes match the per-query formulation") {
     val root = java.nio.file.Files.createTempDirectory("graft-pq").toString
     Similarity.writePqIndex(vecs, "vec_id", "embedding", root,
