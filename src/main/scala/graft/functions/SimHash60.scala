@@ -134,7 +134,10 @@ object GraftFunctions {
       (exprs: Seq[Expression]) => BloomMightContain(exprs(0), exprs(1))),
     (FunctionIdentifier("media_dims"),
       new ExpressionInfo(classOf[MediaDims].getName, "media_dims"),
-      (exprs: Seq[Expression]) => MediaDims(exprs.head)))
+      (exprs: Seq[Expression]) => MediaDims(exprs.head)),
+    (FunctionIdentifier("html_text"),
+      new ExpressionInfo(classOf[HtmlText].getName, "html_text"),
+      (exprs: Seq[Expression]) => HtmlText(exprs.head)))
 
   /** Registers only if absent, so a user's own temp function of the same
     * name is never silently replaced and repeated calls are no-ops. */

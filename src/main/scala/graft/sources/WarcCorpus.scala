@@ -1,0 +1,259 @@
+package graft.sources
+
+import java.io.{BufferedInputStream, ByteArrayInputStream, EOFException, InputStream}
+import java.util.zip.GZIPInputStream
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Web-crawl ingestion: the WARC container (ISO 28500 — the format
+  * large public crawls are published in) parsed down to the
+  * `documents` shape the curation/dedup operators consume.
+  *
+  * Reference behavior target: the same raw-dump → quarantine-or-emit
+  * contract as [[TextCorpus]] (`readJsonl`/`readCsv`), applied to the
+  * remaining corpus format a training pipeline actually receives.
+  *
+  * Format facts the parser relies on (all from the public spec):
+  *  - a WARC file is a sequence of records; each record is a version
+  *    line `WARC/1.x`, CRLF-separated named headers, a blank line, then
+  *    exactly `Content-Length` bytes of block, then two CRLFs;
+  *  - the `.warc.gz` convention compresses EACH RECORD as its own gzip
+  *    member, members concatenated — `GZIPInputStream` consumes
+  *    concatenated members natively, and record extents come from
+  *    `Content-Length`, so one sequential decompressing scan recovers
+  *    every record without needing member boundaries;
+  *  - a `response` record whose Content-Type is `application/http`
+  *    wraps a full HTTP response: status line, headers, blank line,
+  *    payload. The HTTP status and Content-Type are split out; the
+  *    payload is the entity bytes.
+  *
+  * Scale shape: one file = one task (the gzip stream is not
+  * splittable — same trade as [[TextCorpus.readCsv]]'s multiline; the
+  * crawl convention of ~1 GB segment files exists precisely so a
+  * 100 TB crawl is tens of thousands of independent file-tasks).
+  * Parsing is a single streaming pass per file — the decompressed
+  * corpus is never materialized whole; only one record's payload is
+  * resident at a time.
+  *
+  * Malformed input follows the quarantine contract: structural damage
+  * (bad version line, truncated payload, absurd length) stops the scan
+  * of THAT file and emits a synthetic `_corrupt` row carrying the file
+  * offset and reason — never silently dropped, never aborting the job.
+  */
+object WarcCorpus {
+
+  /** One parsed record; `httpStatus`/`httpContentType` are populated
+    * only for `application/http` response records. For a `_corrupt`
+    * row, `recordId` carries the reason and `offset` the position (in
+    * the uncompressed stream) where parsing stopped. */
+  final case class WarcRow(
+      path: String, offset: Long, warc_type: String, record_id: String,
+      target_uri: String, warc_date: String, content_type: String,
+      http_status: Option[Int], http_content_type: Option[String],
+      payload: Array[Byte])
+
+  /** Max header-section bytes per record before declaring corruption —
+    * a desynced scan otherwise "reads headers" through gigabytes. */
+  private val MaxHeaderBytes = 1 << 20
+
+  /** Parse every record of one WARC file (plain or record-gzipped).
+    * Streaming: safe for payloads up to single-record memory. */
+  def parseRecords(path: String, bytes: Array[Byte]): Seq[WarcRow] = {
+    val raw = new ByteArrayInputStream(bytes)
+    val in: InputStream =
+      if (bytes.length >= 2 && (bytes(0) & 0xff) == 0x1f && (bytes(1) & 0xff) == 0x8b)
+        new BufferedInputStream(new GZIPInputStream(raw))
+      else new BufferedInputStream(raw)
+    val out = Seq.newBuilder[WarcRow]
+    val counted = new CountingStream(in)
+    var done = false
+    while (!done) {
+      parseOne(path, counted) match {
+        case Right(Some(row)) => out += row
+        case Right(None) => done = true // clean EOF
+        case Left(reason) =>
+          out += WarcRow(path, counted.count, "_corrupt", reason,
+            null, null, null, None, None, Array.emptyByteArray)
+          done = true
+      }
+    }
+    out.result()
+  }
+
+  private final class CountingStream(in: InputStream) extends InputStream {
+    var count: Long = 0L
+    override def read(): Int = {
+      val b = in.read(); if (b >= 0) count += 1; b
+    }
+    override def read(b: Array[Byte], off: Int, len: Int): Int = {
+      val n = in.read(b, off, len); if (n > 0) count += n; n
+    }
+  }
+
+  /** Read one CRLF-terminated line as ISO-8859-1 (header sections are
+    * ASCII per the spec; 8859-1 is the byte-transparent superset). */
+  private def readLine(in: InputStream, limit: Int): Option[String] = {
+    val sb = new java.lang.StringBuilder(96)
+    var prev = -1
+    var c = in.read()
+    if (c < 0) return None
+    while (c >= 0 && !(prev == '\r' && c == '\n') && sb.length < limit) {
+      if (prev >= 0) sb.append(prev.toChar)
+      prev = c
+      c = in.read()
+    }
+    if (prev == '\r' && c == '\n') Some(sb.toString)
+    else Some(sb.append(prev.toChar).toString) // EOF mid-line: best effort
+  }
+
+  /** None = clean EOF; Left = structural corruption. */
+  private def parseOne(path: String,
+                       in: CountingStream): Either[String, Option[WarcRow]] = {
+    val start = in.count
+    // tolerate extra CRLFs between records (common in the wild)
+    var version: String = null
+    var blanks = 0
+    while (version == null) {
+      readLine(in, 256) match {
+        case None => return Right(None)
+        case Some("") =>
+          blanks += 1
+          if (blanks > 64) return Left(s"run of blank lines at offset $start")
+        case Some(v) if v.startsWith("WARC/") => version = v
+        case Some(other) =>
+          return Left(s"expected WARC/ version line at offset $start, got '${
+            other.take(40)}'")
+      }
+    }
+    // named headers to the blank line; names are case-insensitive
+    val headers = scala.collection.mutable.Map.empty[String, String]
+    var headerBytes = 0L
+    var blank = false
+    while (!blank) {
+      readLine(in, MaxHeaderBytes) match {
+        case None => return Left(s"EOF inside header block at offset $start")
+        case Some("") => blank = true
+        case Some(line) =>
+          headerBytes += line.length + 2
+          if (headerBytes > MaxHeaderBytes)
+            return Left(s"header block exceeds ${MaxHeaderBytes}B at offset $start")
+          val k = line.indexOf(':')
+          if (k > 0) headers.update(
+            line.substring(0, k).trim.toLowerCase(java.util.Locale.ROOT),
+            line.substring(k + 1).trim)
+      }
+    }
+    val lenStr = headers.get("content-length") match {
+      case Some(v) => v
+      case None => return Left(s"record at offset $start has no Content-Length")
+    }
+    val len =
+      try lenStr.toLong
+      catch { case _: NumberFormatException =>
+        return Left(s"bad Content-Length '$lenStr' at offset $start") }
+    if (len < 0 || len > Int.MaxValue)
+      return Left(s"absurd Content-Length $len at offset $start")
+    val block = new Array[Byte](len.toInt)
+    try {
+      var read = 0
+      while (read < block.length) {
+        val n = in.read(block, read, block.length - read)
+        if (n < 0) throw new EOFException
+        read += n
+      }
+    } catch { case _: EOFException =>
+      return Left(s"truncated block (wanted $len bytes) at offset $start") }
+
+    val contentType = headers.getOrElse("content-type", "")
+    val (status, httpCt, payload) =
+      if (contentType.toLowerCase(java.util.Locale.ROOT)
+            .startsWith("application/http")) httpSplit(block)
+      else (None, None, block)
+    Right(Some(WarcRow(
+      path = path,
+      offset = start,
+      warc_type = headers.getOrElse("warc-type", ""),
+      record_id = headers.getOrElse("warc-record-id", ""),
+      target_uri = headers.getOrElse("warc-target-uri", null),
+      warc_date = headers.getOrElse("warc-date", null),
+      content_type = contentType,
+      http_status = status,
+      http_content_type = httpCt,
+      payload = payload)))
+  }
+
+  /** Split an `application/http` block into (status, content-type,
+    * entity bytes). A malformed HTTP envelope keeps the whole block as
+    * payload with no status — the record itself is still well-formed
+    * WARC, so it is NOT corruption. */
+  private def httpSplit(block: Array[Byte]): (Option[Int], Option[String], Array[Byte]) = {
+    // find CRLFCRLF
+    var i = 0
+    var split = -1
+    while (split < 0 && i + 3 < block.length) {
+      if (block(i) == '\r' && block(i + 1) == '\n' &&
+          block(i + 2) == '\r' && block(i + 3) == '\n') split = i
+      i += 1
+    }
+    if (split < 0) return (None, None, block)
+    val head = new String(block, 0, split, "ISO-8859-1")
+    val lines = head.split("\r\n")
+    val status = lines.headOption
+      .filter(_.startsWith("HTTP/"))
+      .flatMap { sl =>
+        val parts = sl.split(" ", 3)
+        if (parts.length >= 2 && parts(1).forall(_.isDigit) && parts(1).nonEmpty)
+          Some(parts(1).toInt)
+        else None
+      }
+    if (status.isEmpty) return (None, None, block)
+    val ct = lines.iterator.drop(1)
+      .map { l => val k = l.indexOf(':'); if (k > 0)
+        (l.substring(0, k).trim.toLowerCase(java.util.Locale.ROOT),
+          l.substring(k + 1).trim) else ("", "") }
+      .collectFirst { case ("content-type", v) => v }
+    (status, ct, java.util.Arrays.copyOfRange(block, split + 4, block.length))
+  }
+
+  final case class WarcResult(records: DataFrame, corrupt: DataFrame)
+
+  /** Read a directory of WARC files (plain `.warc` or record-gzipped
+    * `.warc.gz`): `records` carries one row per parsed record with the
+    * HTTP envelope split out, `corrupt` the per-file quarantine rows.
+    * The scan is distributed (binaryFile source, one task per file)
+    * and parsing streams each file once. */
+  def readWarc(spark: SparkSession, path: String,
+               pathGlob: String = "*.warc*"): WarcResult = {
+    import spark.implicits._
+    val rows = spark.read.format("binaryFile")
+      .option("pathGlobFilter", pathGlob)
+      .load(path)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (p, bytes) => parseRecords(p, bytes) }
+      .toDF()
+    WarcResult(
+      records = rows.where(col("warc_type") =!= "_corrupt"),
+      corrupt = rows.where(col("warc_type") === "_corrupt")
+        .select(col("path"), col("offset"), col("record_id").as("reason")))
+  }
+
+  /** The crawl → corpus composition: successful (HTTP 200) HTML
+    * response records extracted to plain text via the codegen
+    * `html_text` pass, in the `documents` shape (`doc_id` = stable
+    * URI hash, like [[TextCorpus.readFiles]]). Everything stays one
+    * narrow zero-shuffle projection over the record scan. */
+  def webDocuments(records: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(records.sparkSession)
+    records
+      .where(col("warc_type") === "response" && col("http_status") === 200 &&
+        col("http_content_type").startsWith("text/html") &&
+        col("target_uri").isNotNull)
+      .select(
+        graft.ext.Text.hash60(col("target_uri")).as("doc_id"),
+        col("target_uri").as("url"),
+        col("warc_date").as("fetched"),
+        expr("html_text(CAST(payload AS STRING))").as("text"))
+  }
+}

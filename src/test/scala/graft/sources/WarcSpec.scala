@@ -1,0 +1,176 @@
+package graft.sources
+
+import java.io.ByteArrayOutputStream
+import java.nio.file.{Files, Paths}
+import java.util.zip.GZIPOutputStream
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** WARC ingestion against hand-assembled fixture bytes — the container
+  * structure is built field by field from the public spec (version
+  * line, CRLF headers, Content-Length block, double-CRLF trailer;
+  * record-per-member gzip for `.warc.gz`), so a parse bug cannot hide
+  * behind a library that wrote the fixture the same wrong way. */
+class WarcSpec extends SparkSpec {
+  import WarcCorpus._
+
+  private val CRLF = "\r\n"
+
+  private def rec(tpe: String, uri: Option[String], ctype: String,
+                  block: Array[Byte], id: String): Array[Byte] = {
+    val hdrs = Seq(
+      "WARC-Type" -> tpe,
+      "WARC-Record-ID" -> id,
+      "WARC-Date" -> "2026-01-02T03:04:05Z") ++
+      uri.map("WARC-Target-URI" -> _).toSeq ++ Seq(
+      "Content-Type" -> ctype,
+      "Content-Length" -> block.length.toString)
+    val head = ("WARC/1.0" +: hdrs.map { case (k, v) => s"$k: $v" })
+      .mkString(CRLF) + CRLF + CRLF
+    head.getBytes("ISO-8859-1") ++ block ++ (CRLF + CRLF).getBytes("ISO-8859-1")
+  }
+
+  private def httpResp(status: String, ctype: String, body: String): Array[Byte] =
+    (s"HTTP/1.1 $status$CRLF" +
+      s"Content-Type: $ctype$CRLF" +
+      s"Server: fixture$CRLF$CRLF").getBytes("ISO-8859-1") ++
+      body.getBytes("UTF-8")
+
+  private val html =
+    "<html><head><title>T</title></head><body><h1>Greetings</h1>" +
+      "<p>From the &amp; crawl</p></body></html>"
+
+  private def fileBytes: Array[Byte] =
+    rec("warcinfo", None, "application/warc-fields",
+      "software: fixture\r\n".getBytes("ISO-8859-1"), "<urn:uuid:0>") ++
+    rec("request", Some("http://example.org/page"), "application/http; msgtype=request",
+      s"GET /page HTTP/1.1${CRLF}Host: example.org$CRLF$CRLF".getBytes("ISO-8859-1"),
+      "<urn:uuid:1>") ++
+    rec("response", Some("http://example.org/page"), "application/http; msgtype=response",
+      httpResp("200 OK", "text/html; charset=UTF-8", html), "<urn:uuid:2>") ++
+    rec("response", Some("http://example.org/missing"), "application/http; msgtype=response",
+      httpResp("404 Not Found", "text/plain", "no such page"), "<urn:uuid:3>")
+
+  private def gzMember(b: Array[Byte]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val g = new GZIPOutputStream(bos)
+    g.write(b); g.close()
+    bos.toByteArray
+  }
+
+  test("parseRecords: every record, headers split, HTTP envelope split") {
+    val rows = parseRecords("f", fileBytes)
+    assert(rows.map(_.warc_type) == Seq("warcinfo", "request", "response", "response"))
+    val ok = rows(2)
+    assert(ok.target_uri == "http://example.org/page")
+    assert(ok.warc_date == "2026-01-02T03:04:05Z")
+    assert(ok.http_status.contains(200))
+    assert(ok.http_content_type.contains("text/html; charset=UTF-8"))
+    assert(new String(ok.payload, "UTF-8") == html)
+    assert(rows(3).http_status.contains(404))
+    // the request record is application/http too — its envelope has no
+    // HTTP/ status line, so the whole block stays as payload
+    assert(rows(1).http_status.isEmpty)
+    assert(new String(rows(1).payload, "ISO-8859-1").startsWith("GET /page"))
+    // offsets are monotonically increasing record starts
+    assert(rows.map(_.offset) == rows.map(_.offset).sorted)
+    assert(rows(0).offset == 0L)
+  }
+
+  test("record-per-member gzip parses identically to the plain file") {
+    val plain = parseRecords("f", fileBytes)
+    val gzBytes =
+      gzMember(rec("warcinfo", None, "application/warc-fields",
+        "software: fixture\r\n".getBytes("ISO-8859-1"), "<urn:uuid:0>")) ++
+      gzMember(rec("request", Some("http://example.org/page"),
+        "application/http; msgtype=request",
+        s"GET /page HTTP/1.1${CRLF}Host: example.org$CRLF$CRLF".getBytes("ISO-8859-1"),
+        "<urn:uuid:1>")) ++
+      gzMember(rec("response", Some("http://example.org/page"),
+        "application/http; msgtype=response",
+        httpResp("200 OK", "text/html; charset=UTF-8", html), "<urn:uuid:2>")) ++
+      gzMember(rec("response", Some("http://example.org/missing"),
+        "application/http; msgtype=response",
+        httpResp("404 Not Found", "text/plain", "no such page"), "<urn:uuid:3>"))
+    val gz = parseRecords("f", gzBytes)
+    assert(gz.map(r => (r.warc_type, r.target_uri, r.http_status,
+      new String(r.payload, "UTF-8"))) ==
+      plain.map(r => (r.warc_type, r.target_uri, r.http_status,
+        new String(r.payload, "UTF-8"))))
+  }
+
+  test("structural corruption quarantines the file tail, keeps the head") {
+    // valid record, then garbage where a version line should be
+    val bytes = rec("warcinfo", None, "application/warc-fields",
+      "a: b\r\n".getBytes("ISO-8859-1"), "<urn:uuid:0>") ++
+      "NOT A WARC LINE\r\nstuff".getBytes("ISO-8859-1")
+    val rows = parseRecords("f", bytes)
+    assert(rows.map(_.warc_type) == Seq("warcinfo", "_corrupt"))
+    assert(rows(1).record_id.contains("expected WARC/ version line"))
+
+    // truncated payload: Content-Length larger than remaining bytes
+    val trunc = ("WARC/1.0" + CRLF + "WARC-Type: response" + CRLF +
+      "Content-Length: 999" + CRLF + CRLF + "short").getBytes("ISO-8859-1")
+    val t = parseRecords("f", trunc)
+    assert(t.map(_.warc_type) == Seq("_corrupt"))
+    assert(t(0).record_id.contains("truncated block"))
+
+    // missing Content-Length
+    val nolen = ("WARC/1.0" + CRLF + "WARC-Type: response" + CRLF + CRLF)
+      .getBytes("ISO-8859-1")
+    assert(parseRecords("f", nolen)(0).record_id.contains("no Content-Length"))
+  }
+
+  test("readWarc + webDocuments: crawl to documents, quarantine split") {
+    val dir = Files.createTempDirectory("graft-warc")
+    Files.write(dir.resolve("seg-0.warc"), fileBytes)
+    Files.write(dir.resolve("seg-1.warc.gz"),
+      gzMember(rec("response", Some("http://example.org/two"),
+        "application/http; msgtype=response",
+        httpResp("200 OK", "text/html", "<p>Second &lt;doc&gt;</p>"),
+        "<urn:uuid:9>")))
+    Files.write(dir.resolve("broken.warc"),
+      "GARBAGE\r\nnot warc at all".getBytes("ISO-8859-1"))
+
+    val res = readWarc(spark, dir.toString)
+    assert(res.records.count() == 5)
+    assert(res.corrupt.count() == 1)
+    val reason = res.corrupt.select("reason").collect()(0).getString(0)
+    assert(reason.contains("expected WARC/ version line"))
+
+    val docs = WarcCorpus.webDocuments(res.records)
+      .orderBy("url").collect()
+    // only the two 200 text/html responses become documents
+    assert(docs.map(_.getAs[String]("url")).toSeq ==
+      Seq("http://example.org/page", "http://example.org/two"))
+    // the page title is kept as its own line — it is prose
+    assert(docs(0).getAs[String]("text") == "T\nGreetings\nFrom the & crawl")
+    assert(docs(1).getAs[String]("text") == "Second <doc>")
+    assert(docs(0).getAs[String]("fetched") == "2026-01-02T03:04:05Z")
+    // doc_id is the stable uri hash — non-null, distinct
+    assert(docs.map(_.getAs[Long]("doc_id")).distinct.length == 2)
+
+    // the composition stays a zero-shuffle narrow plan over the scan
+    val plan = WarcCorpus.webDocuments(res.records)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("extracted web documents flow into the curation operators") {
+    val dir = Files.createTempDirectory("graft-warc2")
+    // two near-identical pages: the pipeline's exact dedup must fold them
+    val page = "<html><body><p>Same body text here</p></body></html>"
+    Files.write(dir.resolve("a.warc"),
+      rec("response", Some("http://a.example/x"),
+        "application/http; msgtype=response",
+        httpResp("200 OK", "text/html", page), "<urn:uuid:a>") ++
+      rec("response", Some("http://b.example/y"),
+        "application/http; msgtype=response",
+        httpResp("200 OK", "text/html", page), "<urn:uuid:b>"))
+    val docs = WarcCorpus.webDocuments(readWarc(spark, dir.toString).records)
+    val deduped = graft.ext.Dedup.exact(docs, col("text"), col("doc_id"))
+    assert(docs.count() == 2 && deduped.count() == 1)
+    graft.CacheScope.release()
+  }
+}
