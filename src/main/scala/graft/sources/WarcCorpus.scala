@@ -1,6 +1,6 @@
 package graft.sources
 
-import java.io.{BufferedInputStream, ByteArrayInputStream, EOFException, InputStream}
+import java.io.{BufferedInputStream, ByteArrayInputStream, ByteArrayOutputStream, EOFException, InputStream}
 import java.util.zip.GZIPInputStream
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -183,10 +183,45 @@ object WarcCorpus {
       payload = payload)))
   }
 
+  /** Undo HTTP/1.1 chunked transfer-encoding: `hex-size[;ext]CRLF data
+    * CRLF` repeated, a `0` chunk ends the body (trailers ignored).
+    * Crawls capture the wire bytes, so chunked framing is routine in
+    * the wild. Malformed framing returns the input unchanged — best
+    * effort beats dropping the page. */
+  private[sources] def dechunk(b: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream(b.length)
+    var i = 0
+    while (i < b.length) {
+      // hex size up to ';' (chunk extension) or CR
+      var j = i
+      var size = 0L
+      var sawHex = false
+      while (j < b.length && b(j) != '\r' && b(j) != ';') {
+        val d = Character.digit(b(j).toChar, 16)
+        if (d < 0 || size > (Long.MaxValue >> 4)) return b
+        size = (size << 4) | d
+        sawHex = true
+        j += 1
+      }
+      if (!sawHex || size > Int.MaxValue) return b
+      while (j < b.length && b(j) != '\r') j += 1 // skip any extension
+      if (j + 1 >= b.length || b(j + 1) != '\n') return b
+      val dataStart = j + 2
+      if (size == 0) return out.toByteArray // trailers, if any, ignored
+      if (dataStart + size + 2 > b.length) return b // truncated chunk
+      out.write(b, dataStart, size.toInt)
+      if (b(dataStart + size.toInt) != '\r' ||
+          b(dataStart + size.toInt + 1) != '\n') return b
+      i = dataStart + size.toInt + 2
+    }
+    b // ran off the end without a terminal 0-chunk — malformed
+  }
+
   /** Split an `application/http` block into (status, content-type,
-    * entity bytes). A malformed HTTP envelope keeps the whole block as
-    * payload with no status — the record itself is still well-formed
-    * WARC, so it is NOT corruption. */
+    * entity bytes) — chunked transfer-encoding undone. A malformed
+    * HTTP envelope keeps the whole block as payload with no status —
+    * the record itself is still well-formed WARC, so it is NOT
+    * corruption. */
   private def httpSplit(block: Array[Byte]): (Option[Int], Option[String], Array[Byte]) = {
     // find CRLFCRLF
     var i = 0
@@ -208,13 +243,30 @@ object WarcCorpus {
         else None
       }
     if (status.isEmpty) return (None, None, block)
-    val ct = lines.iterator.drop(1)
+    val hdrPairs = lines.iterator.drop(1)
       .map { l => val k = l.indexOf(':'); if (k > 0)
         (l.substring(0, k).trim.toLowerCase(java.util.Locale.ROOT),
           l.substring(k + 1).trim) else ("", "") }
-      .collectFirst { case ("content-type", v) => v }
-    (status, ct, java.util.Arrays.copyOfRange(block, split + 4, block.length))
+      .toSeq
+    val ct = hdrPairs.collectFirst { case ("content-type", v) => v }
+    val chunked = hdrPairs.exists { case (k, v) =>
+      k == "transfer-encoding" &&
+        v.toLowerCase(java.util.Locale.ROOT).contains("chunked") }
+    val entity = java.util.Arrays.copyOfRange(block, split + 4, block.length)
+    (status, ct, if (chunked) dechunk(entity) else entity)
   }
+
+  /** The 27 defined windows-1252 codepoints in 0x80–0x9F (the only
+    * range where cp1252 and iso-8859-1 disagree) and their glyphs;
+    * the five undefined bytes (81 8D 8F 90 9D) pass through. */
+  private[sources] val Cp1252High: String =
+    "\u0080\u0082\u0083\u0084\u0085\u0086\u0087\u0088\u0089\u008A" +
+    "\u008B\u008C\u008E\u0091\u0092\u0093\u0094\u0095\u0096\u0097" +
+    "\u0098\u0099\u009A\u009B\u009C\u009E\u009F"
+  private[sources] val Cp1252Glyphs: String =
+    "\u20AC\u201A\u0192\u201E\u2026\u2020\u2021\u02C6\u2030\u0160" +
+    "\u2039\u0152\u017D\u2018\u2019\u201C\u201D\u2022\u2013\u2014" +
+    "\u02DC\u2122\u0161\u203A\u0153\u017E\u0178"
 
   final case class WarcResult(records: DataFrame, corrupt: DataFrame)
 
@@ -243,17 +295,34 @@ object WarcCorpus {
     * response records extracted to plain text via the codegen
     * `html_text` pass, in the `documents` shape (`doc_id` = stable
     * URI hash, like [[TextCorpus.readFiles]]). Everything stays one
-    * narrow zero-shuffle projection over the record scan. */
+    * narrow zero-shuffle projection over the record scan.
+    *
+    * Payload bytes decode per the header's `charset=` parameter:
+    * latin-1 declarations decode as windows-1252 (its superset — the
+    * WHATWG rule every browser applies), anything else as UTF-8 (the
+    * dominant and the fallback encoding; a `<meta charset>` sniff for
+    * header-less pages is the documented next step of this seam). */
   def webDocuments(records: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(records.sparkSession)
+    val charset = regexp_extract(lower(col("http_content_type")),
+      "charset=\"?([a-z0-9_\\-]+)", 1)
     records
       .where(col("warc_type") === "response" && col("http_status") === 200 &&
         col("http_content_type").startsWith("text/html") &&
         col("target_uri").isNotNull)
+      .withColumn("__page",
+        when(charset.isin("iso-8859-1", "latin1", "latin-1", "windows-1252",
+            "cp1252"),
+          // Spark's decode knows iso-8859-1 but not cp1252; the two
+          // differ ONLY in 0x80–0x9F, which latin-1 maps to control
+          // chars — translate them to the cp1252 glyphs afterwards
+          translate(decode(col("payload"), "ISO-8859-1"),
+            Cp1252High, Cp1252Glyphs))
+          .otherwise(decode(col("payload"), "UTF-8")))
       .select(
         graft.ext.Text.hash60(col("target_uri")).as("doc_id"),
         col("target_uri").as("url"),
         col("warc_date").as("fetched"),
-        expr("html_text(CAST(payload AS STRING))").as("text"))
+        expr("html_text(__page)").as("text"))
   }
 }

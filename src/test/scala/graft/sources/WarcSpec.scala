@@ -122,6 +122,49 @@ class WarcSpec extends SparkSpec {
     assert(parseRecords("f", nolen)(0).record_id.contains("no Content-Length"))
   }
 
+  test("chunked transfer-encoding is undone; malformed framing passes through") {
+    // "Wiki" (4) + "pedia" (5) + terminal chunk, with a chunk extension
+    val chunked = ("4;ext=1" + CRLF + "Wiki" + CRLF + "5" + CRLF + "pedia" +
+      CRLF + "0" + CRLF + CRLF).getBytes("ISO-8859-1")
+    assert(new String(dechunk(chunked), "ISO-8859-1") == "Wikipedia")
+    // malformed: not hex, truncated chunk, missing terminal — unchanged
+    for (bad <- Seq("zz\r\nWiki", "ff\r\nshort", "4\r\nWiki\r\n")) {
+      val b = bad.getBytes("ISO-8859-1")
+      assert(dechunk(b).toSeq == b.toSeq, bad)
+    }
+    // end to end: a chunked HTTP response record yields the joined body
+    val block = (s"HTTP/1.1 200 OK${CRLF}Content-Type: text/html$CRLF" +
+      s"Transfer-Encoding: chunked$CRLF$CRLF").getBytes("ISO-8859-1") ++
+      ("6" + CRLF + "<p>ab " + CRLF + "5" + CRLF + "c</p>" + CRLF + "0" +
+        CRLF + CRLF).getBytes("ISO-8859-1")
+    val rows = parseRecords("f", rec("response", Some("http://c.example/"),
+      "application/http; msgtype=response", block, "<urn:uuid:c>"))
+    assert(new String(rows(0).payload, "UTF-8") == "<p>ab c</p>")
+  }
+
+  test("latin-1-declared pages decode as windows-1252, utf-8 otherwise") {
+    import spark.implicits._
+    // 0xE9 = é in latin-1/cp1252; 0x80 = € in cp1252 ONLY (the WHATWG
+    // latin1→cp1252 rule); both invalid as lone UTF-8 bytes
+    val latin1Body = "<p>caf".getBytes("ISO-8859-1") ++
+      Array(0xe9.toByte, ' '.toByte, 0x80.toByte) ++
+      "</p>".getBytes("ISO-8859-1")
+    val utf8Body = "<p>café €</p>".getBytes("UTF-8")
+    val dir = Files.createTempDirectory("graft-warc-cs")
+    Files.write(dir.resolve("cs.warc"),
+      rec("response", Some("http://l1.example/"),
+        "application/http; msgtype=response",
+        (s"HTTP/1.1 200 OK${CRLF}Content-Type: text/html; charset=ISO-8859-1" +
+          s"$CRLF$CRLF").getBytes("ISO-8859-1") ++ latin1Body, "<urn:uuid:l>") ++
+      rec("response", Some("http://u8.example/"),
+        "application/http; msgtype=response",
+        (s"HTTP/1.1 200 OK${CRLF}Content-Type: text/html; charset=utf-8" +
+          s"$CRLF$CRLF").getBytes("ISO-8859-1") ++ utf8Body, "<urn:uuid:u>"))
+    val docs = WarcCorpus.webDocuments(readWarc(spark, dir.toString).records)
+      .orderBy("url").select("text").as[String].collect()
+    assert(docs.toSeq == Seq("café €", "café €"))
+  }
+
   test("readWarc + webDocuments: crawl to documents, quarantine split") {
     val dir = Files.createTempDirectory("graft-warc")
     Files.write(dir.resolve("seg-0.warc"), fileBytes)
