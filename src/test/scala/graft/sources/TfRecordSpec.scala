@@ -1,0 +1,98 @@
+package graft.sources
+
+import java.io.ByteArrayOutputStream
+import java.nio.file.Files
+import java.util.zip.GZIPOutputStream
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** TFRecord framing against first principles: the masking formula is
+  * pinned on the public CRC32C check vector (so the spec would catch a
+  * CRC32 / CRC32C mix-up), corruption is localized to the damaged
+  * record, and the export → read round trip crosses the Spark boundary
+  * both ways. */
+class TfRecordSpec extends SparkSpec {
+  import TfRecord._
+
+  test("masking formula on the public CRC32C check vector") {
+    // crc32c("123456789") = 0xE3069283 — the format's published check
+    // value, independent of the JDK implementation under test
+    val crc = 0xE3069283L
+    val expected = (((crc >>> 15) | (crc << 17)) + 0xa282ead8L) & 0xffffffffL
+    assert(maskedCrc("123456789".getBytes("US-ASCII")) == expected)
+  }
+
+  test("encode/decode round trip, including the empty payload") {
+    val payloads = Seq("alpha", "", "γάμμα utf-8", "x" * 10000)
+      .map(_.getBytes("UTF-8"))
+    val bytes = payloads.map(encodeRecord).reduce(_ ++ _)
+    val Right(out) = decodeRecords(bytes)
+    assert(out.map(new String(_, "UTF-8")) ==
+      Seq("alpha", "", "γάμμα utf-8", "x" * 10000))
+    // whole-file gzip sniffed transparently
+    val bos = new ByteArrayOutputStream()
+    val g = new GZIPOutputStream(bos); g.write(bytes); g.close()
+    val Right(gz) = decodeRecords(bos.toByteArray)
+    assert(gz.map(_.toSeq) == out.map(_.toSeq))
+  }
+
+  test("corruption is localized: records before the damage survive") {
+    val good = encodeRecord("keep me".getBytes) ++ encodeRecord("me too".getBytes)
+    // flip a payload byte of a third record -> its payload crc fails
+    val bad = encodeRecord("break me".getBytes)
+    bad(14) = (bad(14) ^ 0x01).toByte
+    val Left((kept, reason)) = decodeRecords(good ++ bad)
+    assert(kept.map(new String(_)) == Seq("keep me", "me too"))
+    assert(reason.contains("record 2") && reason.contains("payload crc"), reason)
+    // truncation mid-record
+    val Left((kept2, reason2)) = decodeRecords(good ++ bad.take(10))
+    assert(kept2.length == 2 && reason2.contains("truncated"), reason2)
+    // a flipped length byte fails the LENGTH crc, not a giant read
+    val badLen = encodeRecord("x".getBytes)
+    badLen(0) = (badLen(0) ^ 0x40).toByte
+    val Left((_, reason3)) = decodeRecords(badLen)
+    assert(reason3.contains("length crc mismatch"), reason3)
+  }
+
+  test("write exports per-partition part files; read round-trips them") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-tfr").toString + "/export"
+    val docs = (0 until 100).map(i => (i.toLong, s"document body $i"))
+      .toDF("doc_id", "text")
+      .repartition(4, col("doc_id"))
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+    val n = TfRecord.write(docs, "payload", dir)
+    assert(n == 100L)
+    // drop the local FS's hidden .crc sidecars (Spark's scan does too)
+    val files = new java.io.File(dir).listFiles().map(_.getName)
+      .filterNot(_.startsWith(".")).sorted
+    assert(files.length == 4 && files.forall(_.matches("part-\\d{5}\\.tfrecord")),
+      files.mkString(","))
+
+    val back = TfRecord.read(spark, dir)
+    assert(back.corrupt.count() == 0)
+    val texts = back.records.select(decode(col("payload"), "UTF-8").as("t"))
+      .as[String].collect().sorted
+    assert(texts.toSeq == (0 until 100).map(i => s"document body $i").sorted)
+    // per-file idx is dense from 0
+    val idx0 = back.records.groupBy("path").agg(min("idx").as("lo"))
+      .select("lo").as[Long].collect()
+    assert(idx0.forall(_ == 0L))
+  }
+
+  test("read quarantines a rotted file but keeps its intact prefix") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-tfr2")
+    Files.write(dir.resolve("ok.tfrecord"), encodeRecord("fine".getBytes))
+    val rot = encodeRecord("head".getBytes) ++ encodeRecord("tail".getBytes)
+    rot(rot.length - 1) = (rot(rot.length - 1) ^ 0xff).toByte
+    Files.write(dir.resolve("rot.tfrecord"), rot)
+    val res = TfRecord.read(spark, dir.toString)
+    // 1 record from ok + the intact head record from rot
+    assert(res.records.count() == 2)
+    val q = res.corrupt.select("path", "reason").collect()
+    assert(q.length == 1 && q(0).getString(0).endsWith("rot.tfrecord") &&
+      q(0).getString(1).contains("payload crc"), q.mkString)
+  }
+}
