@@ -137,7 +137,16 @@ object GraftFunctions {
       (exprs: Seq[Expression]) => MediaDims(exprs.head)),
     (FunctionIdentifier("html_text"),
       new ExpressionInfo(classOf[HtmlText].getName, "html_text"),
-      (exprs: Seq[Expression]) => HtmlText(exprs.head)))
+      (exprs: Seq[Expression]) => HtmlText(exprs.head)),
+    (FunctionIdentifier("tf_feat_i64"),
+      new ExpressionInfo(classOf[TfFeatI64].getName, "tf_feat_i64"),
+      (exprs: Seq[Expression]) => TfFeatI64(exprs(0), exprs(1))),
+    (FunctionIdentifier("tf_feat_f32"),
+      new ExpressionInfo(classOf[TfFeatF32].getName, "tf_feat_f32"),
+      (exprs: Seq[Expression]) => TfFeatF32(exprs(0), exprs(1))),
+    (FunctionIdentifier("tf_feat_bytes"),
+      new ExpressionInfo(classOf[TfFeatBytes].getName, "tf_feat_bytes"),
+      (exprs: Seq[Expression]) => TfFeatBytes(exprs(0), exprs(1))))
 
   /** Registers only if absent, so a user's own temp function of the same
     * name is never silently replaced and repeated calls are no-ops. */
