@@ -209,4 +209,16 @@ object TfRecord {
     }.count() // force the job
     written.value
   }
+
+  /** Streaming export: one batch-addressed shard directory per
+    * micro-batch (`dir/batch-NNNNNN/part-*.tfrecord`), for use inside
+    * `foreachBatch`. Replay-idempotent the same way the serving
+    * mirrors are: a replayed batchId rewrites the SAME directory with
+    * the SAME deterministic content, so a restart straddling a
+    * half-written batch converges instead of duplicating — the
+    * trainer-side reader globs the `batch-*` directories and never
+    * sees a record twice. */
+  def writeBatch(df: DataFrame, payloadCol: String, dir: String,
+                 batchId: Long): Long =
+    write(df, payloadCol, f"$dir/batch-$batchId%06d")
 }

@@ -81,6 +81,48 @@ class TfRecordSpec extends SparkSpec {
     assert(idx0.forall(_ == 0L))
   }
 
+  test("streaming export: batch-addressed shards, replay rewrites in place") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-tfr-s").toString + "/stream"
+    val input = MemoryStream[(Long, String)]
+    // captured micro-batch content for the replay below (collected —
+    // a foreachBatch DataFrame must not outlive its micro-batch)
+    var lastTexts: Seq[String] = Nil
+    var lastId = -1L
+    val q = input.toDF().toDF("doc_id", "text")
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        TfRecord.writeBatch(
+          batch.select(encode(col("text"), "UTF-8").as("payload")),
+          "payload", dir, id)
+        lastTexts = batch.select("text").collect().map(_.getString(0)).toSeq
+        lastId = id
+        ()
+      }.start()
+    try {
+      input.addData(1L -> "first", 2L -> "second")
+      q.processAllAvailable()
+      input.addData(3L -> "third")
+      q.processAllAvailable()
+      def readAll(): Seq[String] = {
+        val res = TfRecord.read(spark, s"$dir/batch-*", "*.tfrecord")
+        assert(res.corrupt.count() == 0)
+        res.records.select(decode(col("payload"), "UTF-8").as("t"))
+          .as[String].collect().toSeq.sorted
+      }
+      assert(readAll() == Seq("first", "second", "third"))
+      // replay the last micro-batch (what a restart does after a crash
+      // between export and checkpoint commit): same id, same data →
+      // the batch directory is rewritten, not duplicated
+      TfRecord.writeBatch(
+        lastTexts.toDF("text").select(encode(col("text"), "UTF-8").as("payload")),
+        "payload", dir, lastId)
+      assert(readAll() == Seq("first", "second", "third"))
+    } finally q.stop()
+  }
+
   test("read quarantines a rotted file but keeps its intact prefix") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-tfr2")
