@@ -1,0 +1,153 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Byte-pair-encoding tokenization — the `input_ids` producer between
+  * curation and [[Packing.packSequences]] / the tf.Example export.
+  * Classic corpus-driven BPE (learn merges from frequency, apply them
+  * greedily), built scale-first:
+  *
+  *  - the corpus pass happens ONCE — a `groupBy(word)` frequency table
+  *    (uniform hash shuffle, map-side combine). Every merge iteration
+  *    after that touches only the DISTINCT-WORD table, whose size is
+  *    the language's vocabulary, not the corpus mass — the property
+  *    that makes BPE learning tractable at 100 TB;
+  *  - each iteration is one narrow flatMap (adjacent symbol pairs,
+  *    weighted by word frequency) + one partial-aggregating
+  *    `groupBy(pair)` + a driver-side argmax of ONE row — the same
+  *    partial-agg-hot-key discipline as the dedup operators ("the" ×
+  *    billions collapses map-side);
+  *  - ties in pair frequency break lexicographically, so the learned
+  *    merge list is DETERMINISTIC across engines and partitionings —
+  *    the property every reproducibility audit needs;
+  *  - iteration state is re-persisted and the predecessor released
+  *    each round (bounded lineage, bounded cache — the star-contraction
+  *    loop's discipline).
+  *
+  * Encoding applies the merge list greedily (lowest-rank adjacent pair
+  * first, all its occurrences, repeat) per whitespace word with an
+  * end-of-word marker — one `mapPartitions` over the corpus, merge
+  * ranks and vocab shipped in the closure (a few hundred KB), no
+  * shuffle. Out-of-vocabulary symbols (characters never seen in
+  * training) get id -1 — visible, not silently dropped, same policy as
+  * the decode quarantines.
+  */
+object Bpe {
+
+  val EndOfWord = "</w>"
+
+  /** A learned tokenizer: ordered merge list + id-indexed vocabulary
+    * (every symbol reachable by encoding: base characters seen in
+    * training plus one entry per merge). Ids are positions in `vocab`,
+    * which is sorted — deterministic for a deterministic merge list. */
+  final case class Model(merges: Seq[(String, String)], vocab: Seq[String]) {
+    lazy val ranks: Map[(String, String), Int] =
+      merges.zipWithIndex.toMap
+    lazy val ids: Map[String, Int] = vocab.zipWithIndex.toMap
+  }
+
+  // codegen'd deserializers instantiate this from generated classes —
+  // it must not be java-private (private[ext] compiles to public)
+  private[ext] final case class WordSyms(freq: Long, syms: Seq[String])
+
+  /** Merge every adjacent (a,b) occurrence in one pass, left to right. */
+  private def applyMerge(syms: Seq[String], a: String, b: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+        out += a + b; i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.result()
+  }
+
+  /** Learn `nMerges` BPE merges from a corpus column. Words are
+    * lowercased whitespace tokens with [[EndOfWord]] appended; stops
+    * early if no pair occurs twice. */
+  def learn(docs: DataFrame, text: Column, nMerges: Int): Model = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var words = docs
+      .select(explode(split(lower(text), "\\s+")).as("w"))
+      .where(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .as[(String, Long)]
+      .map { case (w, f) => WordSyms(f, w.map(_.toString) :+ EndOfWord) }
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    words.count()
+
+    val merges = Seq.newBuilder[(String, String)]
+    var done = false
+    var round = 0
+    while (round < nMerges && !done) {
+      val top = words
+        .flatMap(ws => ws.syms.iterator.sliding(2).withPartial(false)
+          .map(p => (p(0), p(1), ws.freq)))
+        .toDF("a", "b", "f")
+        .groupBy("a", "b").agg(sum("f").as("cnt"))
+        .orderBy(desc("cnt"), asc("a"), asc("b"))
+        .limit(1)
+        .collect()
+      top.headOption.filter(_.getLong(2) >= 2L) match {
+        case None => done = true
+        case Some(row) =>
+          val (a, b) = (row.getString(0), row.getString(1))
+          merges += a -> b
+          val next = words.map(ws => ws.copy(syms = applyMerge(ws.syms, a, b)))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+          next.count()
+          words.unpersist()
+          words = next
+          round += 1
+      }
+    }
+    val vocab = words.flatMap(_.syms).distinct().collect().sorted.toSeq
+    words.unpersist()
+    Model(merges.result(), vocab)
+  }
+
+  /** Tokenize a corpus with a learned model: greedy merge application
+    * per word, ids from the model vocabulary, -1 for symbols outside
+    * it. One narrow pass — no shuffle, no join. */
+  def encode(docs: DataFrame, id: Column, text: Column, model: Model): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ranks = model.ranks
+    val ids = model.ids
+    docs.select(id.cast("long").as("doc_id"), lower(text).as("t"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (docId, t) =>
+          val toks = t.split("\\s+").iterator.filter(_.nonEmpty)
+            .flatMap(encodeWord(_, ranks)).toSeq
+          (docId, toks.map(s => ids.getOrElse(s, -1).toLong),
+            toks.length.toLong)
+        }
+      }
+      .toDF("doc_id", "input_ids", "n_tokens")
+  }
+
+  /** Greedy BPE on one word: repeatedly merge the lowest-rank adjacent
+    * pair (all occurrences) until none is mergeable. */
+  private[ext] def encodeWord(w: String,
+                              ranks: Map[(String, String), Int]): Seq[String] = {
+    var syms: Seq[String] = w.map(_.toString) :+ EndOfWord
+    var done = false
+    while (!done && syms.length > 1) {
+      var best = Int.MaxValue
+      var bestPair: (String, String) = null
+      var i = 0
+      while (i < syms.length - 1) {
+        val r = ranks.getOrElse((syms(i), syms(i + 1)), Int.MaxValue)
+        if (r < best) { best = r; bestPair = (syms(i), syms(i + 1)) }
+        i += 1
+      }
+      if (bestPair == null) done = true
+      else syms = applyMerge(syms, bestPair._1, bestPair._2)
+    }
+    syms
+  }
+}

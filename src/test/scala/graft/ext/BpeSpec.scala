@@ -1,0 +1,85 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** BPE against the classic hand-derivable corpus (word frequencies
+  * low:5 lower:2 newest:6 widest:3). Every expected merge below is
+  * computed by hand in the comments, including the lexicographic
+  * tie-breaks — the learned list is pinned exactly, so any change to
+  * counting, tie-breaking, or merge application shows up as a diff
+  * against paper arithmetic, not against the code's own output. */
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus = {
+    val words = Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")
+    // spread across documents to prove counting is corpus-global
+    Seq(
+      (1L, words.take(4).mkString(" ")),
+      (2L, words.slice(4, 11).mkString(" ")),
+      (3L, words.drop(11).mkString(" "))).toDF("doc_id", "text")
+  }
+
+  test("learned merges match the hand computation, tie-breaks included") {
+    val m = Bpe.learn(corpus, col("text"), nMerges = 5)
+    // pair counts round 1: (e,s)=6+3=9, (s,t)=9, (t,</w>)=9 — tie at 9,
+    // lexicographically smallest pair wins -> (e,s)
+    // round 2: (es,t)=9 ties (t,</w>) -> "es" < "t" -> (es,t)
+    // round 3: (est,</w>)=9 beats (l,o)=5+2=7
+    // round 4: (l,o)=7 ties (o,w)=7 -> (l,o)
+    // round 5: (lo,w)=7
+    assert(m.merges == Seq("e" -> "s", "es" -> "t", "est" -> "</w>",
+      "l" -> "o", "lo" -> "w"))
+    // vocabulary: every symbol in the final word table, sorted
+    // low -> [low </w>]; lower -> [low e r </w>]; newest -> [n e w est</w>];
+    // widest -> [w i d est</w>]
+    assert(m.vocab == Seq("</w>", "d", "e", "est</w>", "i", "low", "n",
+      "r", "w"))
+  }
+
+  test("encode: seen, composed-unseen, and OOV words") {
+    val m = Bpe.learn(corpus, col("text"), nMerges = 5)
+    // the textbook result: "lowest" (never a training word) tokenizes
+    // from learned subwords
+    assert(Bpe.encodeWord("lowest", m.ranks) == Seq("low", "est</w>"))
+    assert(Bpe.encodeWord("low", m.ranks) == Seq("low", "</w>"))
+    val out = Bpe.encode(Seq((7L, "low lowest quiz")).toDF("id", "txt"),
+      col("id"), col("txt"), m)
+      .collect()(0)
+    val ids = out.getSeq[Long](out.fieldIndex("input_ids")).toSeq
+    val vocabIdx = m.vocab.zipWithIndex.toMap
+    // low</w> -> [low, </w>]; lowest -> [low, est</w>]
+    assert(ids.take(4) == Seq(vocabIdx("low").toLong, vocabIdx("</w>").toLong,
+      vocabIdx("low").toLong, vocabIdx("est</w>").toLong))
+    // "quiz": q/u/z never seen in training -> -1 (visible OOV), i seen
+    val tail = ids.drop(4)
+    assert(tail == Seq(-1L, -1L, vocabIdx("i").toLong, -1L,
+      vocabIdx("</w>").toLong))
+    assert(out.getAs[Long]("n_tokens") == ids.length.toLong)
+  }
+
+  test("learning stops early when no pair repeats") {
+    val tiny = Seq((1L, "ab cd")).toDF("doc_id", "text")
+    val m = Bpe.learn(tiny, col("text"), nMerges = 10)
+    assert(m.merges.isEmpty) // every pair occurs once
+    assert(m.vocab == Seq("</w>", "a", "b", "c", "d"))
+  }
+
+  test("tokens feed pack_sequences and the tf.Example export") {
+    graft.functions.GraftFunctions.register(spark)
+    val m = Bpe.learn(corpus, col("text"), nMerges = 5)
+    val encoded = Bpe.encode(corpus, col("doc_id"), col("text"), m)
+    // deterministic across partitionings: re-encode shuffled input
+    val re = Bpe.encode(corpus.repartition(7), col("doc_id"), col("text"), m)
+    assert(encoded.orderBy("doc_id").collect().toSeq ==
+      re.orderBy("doc_id").collect().toSeq)
+    // no silent truncation: every doc's token count is the sum of its
+    // per-word token counts
+    val n = encoded.agg(sum("n_tokens")).collect()(0).getLong(0)
+    assert(n > 0)
+    val ex = encoded.select(expr("tf_feat_i64('input_ids', input_ids)").as("p"))
+    assert(ex.where(length(col("p")) > 0).count() == 3)
+  }
+}
