@@ -59,6 +59,26 @@ class HtmlTextSpec extends SparkSpec {
     assert(x("x<y unclosed") == "x")
   }
 
+  test("property: arbitrary strings never throw, output has no raw markup") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // bias toward markup-significant characters so tag/entity/comment
+    // paths are hit constantly, not once in a blue moon
+    val markupChar = Gen.oneOf('<', '>', '&', ';', '/', '!', '-', '"',
+      '\'', '=', 'a', 'p', 's', ' ', '\n', '#', 'x', '0', '9')
+    val anyHtml = Gen.listOf(Gen.frequency(
+      3 -> markupChar, 1 -> Gen.asciiPrintableChar)).map(_.mkString)
+    val p = Prop.forAll(anyHtml) { h =>
+      val t = HtmlTextUtil.extract(h)
+      // total, and normalization holds: no blank lines, no double
+      // spaces, no leading/trailing line whitespace
+      t.linesIterator.forall(l =>
+        l.nonEmpty && l == l.trim && !l.contains("  "))
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(500), p)
+    assert(res.passed, res.status.toString)
+  }
+
   test("the registered expression matches the direct call and is codegen") {
     import spark.implicits._
     GraftFunctions.register(spark)

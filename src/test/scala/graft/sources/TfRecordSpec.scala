@@ -55,6 +55,26 @@ class TfRecordSpec extends SparkSpec {
     assert(reason3.contains("length crc mismatch"), reason3)
   }
 
+  test("property: arbitrary bytes never throw; damage keeps the prefix") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val garbage = Gen.containerOf[Array, Byte](Gen.choose(-128, 127).map(_.toByte))
+    // valid records followed by garbage: the valid prefix must survive
+    val seeded = for {
+      n <- Gen.choose(0, 3)
+      payloads <- Gen.listOfN(n, garbage)
+      tail <- garbage
+    } yield (payloads.map(encodeRecord) :+ tail).foldLeft(Array.emptyByteArray)(_ ++ _) -> n
+    val p = Prop.forAll(seeded) { case (bytes, n) =>
+      decodeRecords(bytes) match {
+        case Right(recs) => recs.length >= n
+        case Left((recs, reason)) => recs.length >= n && reason.nonEmpty
+      }
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(300), p)
+    assert(res.passed, res.status.toString)
+  }
+
   test("write exports per-partition part files; read round-trips them") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-tfr").toString + "/export"

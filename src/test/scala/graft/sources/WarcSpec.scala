@@ -165,6 +165,29 @@ class WarcSpec extends SparkSpec {
     assert(docs.toSeq == Seq("café €", "café €"))
   }
 
+  test("property: arbitrary bytes never throw; corruption is terminal") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val garbage = Gen.containerOf[Array, Byte](Gen.choose(-128, 127).map(_.toByte))
+    // prefix with a plausible version line + header shards so the
+    // header walk and Content-Length paths get exercised
+    val prefixed = for {
+      tail <- garbage
+      lenByte <- Gen.choose(0, 255)
+    } yield (s"WARC/1.0${CRLF}WARC-Type: response${CRLF}Content-Length: " +
+      s"$lenByte$CRLF$CRLF").getBytes("ISO-8859-1") ++ tail
+    val anyBytes = Gen.oneOf(garbage, prefixed)
+    val p = Prop.forAll(anyBytes) { b =>
+      val rows = parseRecords("f", b)
+      // at most one corrupt row, and only ever as the LAST row
+      rows.count(_.warc_type == "_corrupt") <= 1 &&
+        rows.dropRight(1).forall(_.warc_type != "_corrupt") &&
+        rows.forall(r => dechunk(r.payload) != null)
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(300), p)
+    assert(res.passed, res.status.toString)
+  }
+
   test("readWarc + webDocuments: crawl to documents, quarantine split") {
     val dir = Files.createTempDirectory("graft-warc")
     Files.write(dir.resolve("seg-0.warc"), fileBytes)
