@@ -67,6 +67,26 @@ class BpeSpec extends SparkSpec {
     assert(m.vocab == Seq("</w>", "a", "b", "c", "d"))
   }
 
+  test("real corpus: merges learn, encode covers training text, determinism") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val m = Bpe.learn(docs, col("text"), nMerges = 12)
+    assert(m.merges.length == 12) // real text has no shortage of pairs
+    assert(m.merges.distinct.length == 12)
+    // a second learn over a different partitioning is bit-identical
+    val m2 = Bpe.learn(docs.repartition(13), col("text"), nMerges = 12)
+    assert(m.merges == m2.merges && m.vocab == m2.vocab)
+    val enc = Bpe.encode(docs, col("doc_id"), col("text"), m)
+    val stats = enc.agg(
+      count(lit(1)).as("docs"),
+      sum("n_tokens").as("toks"),
+      sum(when(array_contains(col("input_ids"), -1L), 1L).otherwise(0L))
+        .as("oov_docs")).collect()(0)
+    assert(stats.getLong(0) == docs.count())
+    assert(stats.getLong(1) > 0)
+    // encoding the corpus the model was learned on has no OOV
+    assert(stats.getLong(2) == 0L)
+  }
+
   test("tokens feed pack_sequences and the tf.Example export") {
     graft.functions.GraftFunctions.register(spark)
     val m = Bpe.learn(corpus, col("text"), nMerges = 5)
