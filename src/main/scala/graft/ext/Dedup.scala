@@ -452,4 +452,66 @@ object Dedup {
       .distinct()
       .where(col("hamming") <= maxDist)
   }
+
+  /** INCREMENTAL dedup — the operation a continuously-growing corpus
+    * actually runs: given the accumulated `history` (the 100 TB side)
+    * and a fresh `incoming` batch (the day's crawl), return the
+    * incoming documents whose content does not already exist in
+    * history. Neither full side is shuffled: [[graft.operators.BloomAntiJoin]]
+    * settles bloom-miss documents immediately (provably novel, zero
+    * further work) and exact-checks only the hit set against a
+    * reverse-bloom-pruned history scan, so the exchange under the
+    * exact anti join is sized by the OVERLAP, not the corpus.
+    *
+    * Content identity is the md5 of the content column — the same
+    * equality [[exact]] uses. Documents duplicated WITHIN the incoming
+    * batch are all "new against history" and all emitted; intra-batch
+    * dedup is a separate [[exact]] pass (the two-tier layout: fast
+    * new-vs-history filter, then the batch authority).
+    *
+    * Output: (doc_id, content_hash) of the novel incoming documents.
+    */
+  def newAgainst(history: DataFrame, incoming: DataFrame,
+                 content: Column, id: Column,
+                 expectedHistory: Long, fpp: Double = 0.01): DataFrame = {
+    val in = incoming.select(id.as("doc_id"), md5(content).as("content_hash"))
+    val hist = history.select(md5(content).as("content_hash"))
+    graft.operators.BloomAntiJoin(in, col("content_hash"),
+      hist, col("content_hash"), expectedHistory, fpp)
+  }
+
+  /** Serialized history bloom for the STREAMING tier of incremental
+    * dedup: one partial-aggregated pass over the accumulated corpus,
+    * collected to the driver. The collect is the single-row filter —
+    * bounded by [[graft.functions.Bloom.optimalBits]]'s 8 MiB cap, not
+    * by the data — which is what lets the filter travel into a
+    * streaming query as a literal. */
+  def historyFilter(history: DataFrame, content: Column,
+                    expectedItems: Long, fpp: Double = 0.01): Array[Byte] = {
+    import org.apache.spark.sql.functions.udaf
+    val bits = graft.functions.Bloom.optimalBits(expectedItems, fpp)
+    val agg = udaf(new graft.functions.Bloom.Agg(bits,
+      graft.functions.Bloom.optimalHashes(bits, expectedItems)))
+    history.select(xxhash64(md5(content)).as("__h"))
+      .agg(agg(col("__h")).as("__bloom"))
+      .collect()(0).getAs[Array[Byte]](0)
+  }
+
+  /** Streaming tier of [[newAgainst]] — TAG, don't drop: adds
+    * `maybe_in_history`, true iff the content's hash hits the history
+    * bloom. A stateless zero-shuffle projection, so it composes into
+    * any streaming query (and stacks with [[streamingExact]] for
+    * in-window intra-stream dups). Tagging instead of filtering is
+    * deliberate: a bloom false positive on a DROP path would silently
+    * lose a novel document forever; on a TAG path it only sends it to
+    * the batch authority ([[newAgainst]]), whose exact anti join
+    * settles it. No false negatives: `maybe_in_history = false` is
+    * PROOF the document is new. */
+  def tagAgainstHistory(df: DataFrame, content: Column,
+                        historyBloom: Array[Byte]): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    df.withColumn("maybe_in_history",
+      call_function("bloom_might_contain",
+        lit(historyBloom), xxhash64(md5(content))))
+  }
 }
