@@ -182,7 +182,7 @@ object ExtQueries {
           k = 3, numHashes = 16, bands = 4, minMatches = 4)
         .orderBy("doc_a", "doc_b")),
 
-    "dedup_components" -> ((s, d) =>
+    "dedup_cc" -> ((s, d) =>
       Dedup.components(Dedup.minhashLsh(Tables.documents(s, d),
           col("text"), col("doc_id"),
           k = 3, numHashes = 16, bands = 4, minMatches = 4))
@@ -214,7 +214,7 @@ object ExtQueries {
       Dedup.simhash(Tables.documents(s, d), col("text"), col("doc_id"))
         .orderBy("doc_id")),
 
-    "dedup_simhash_pairs" -> ((s, d) =>
+    "dedup_sh_pairs" -> ((s, d) =>
       Dedup.simhashPairs(Tables.documents(s, d), col("text"), col("doc_id"),
           maxDist = 16)
         .orderBy("doc_a", "doc_b")),
@@ -293,7 +293,7 @@ object ExtQueries {
         .select(col("vid").as("vec_id"), col("cid"))
         .orderBy("vec_id")),
 
-    "emb_neardup_pairs" -> ((s, d) =>
+    "emb_neardup" -> ((s, d) =>
       Similarity.nearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding",
         k = 20)),
 
@@ -313,7 +313,7 @@ object ExtQueries {
     // (the shuffle moves one sketch per partition, never keys). The
     // probed cells are plan-time constants; the oracle rebuilds the
     // identical counters cell by cell.
-    "cms_user_counts" -> ((s, d) => {
+    "cms_counts" -> ((s, d) => {
       import graft.functions.CountMin
       val sk = Tables.events(s, d)
         .agg(CountMin.sketch(col("user_id").cast("string"), depth = 4,
@@ -384,7 +384,7 @@ object ExtQueries {
       Sampling.split(Tables.documents(s, d), col("doc_id"))
         .select("doc_id", "split").orderBy("doc_id")),
 
-    "sample_stratified" -> ((s, d) =>
+    "sample_strat" -> ((s, d) =>
       Sampling.stratified(Tables.events(s, d), col("event_type"),
           col("event_id"),
           Map("view" -> 100000, "click" -> 500000, "purchase" -> 1000000))
@@ -393,7 +393,7 @@ object ExtQueries {
     // per-language absolute cap (40 < the smallest language group at
     // both test scales, so every group is actually truncated and the
     // hash ranking — not a pass-through — is what the oracle checks)
-    "sample_group_cap" -> ((s, d) =>
+    "sample_cap" -> ((s, d) =>
       Sampling.capPerGroup(Tables.documents(s, d), col("lang"),
           col("doc_id"), n = 40)
         .select("doc_id", "lang").orderBy("doc_id")),
@@ -408,7 +408,7 @@ object ExtQueries {
             "zh" -> 200000), targetRows = 300)
         .select("doc_id", "lang").orderBy("doc_id")),
 
-    "text_token_stats" -> ((s, d) =>
+    "text_tokens" -> ((s, d) =>
       TextAnalysis.tokenStats(Tables.documents(s, d), col("text"), col("doc_id"))
         .orderBy("doc_id")),
 
@@ -426,7 +426,7 @@ object ExtQueries {
           seed = "epoch0")
         .orderBy("doc_id")),
 
-    "pack_bin_slices" -> ((s, d) => {
+    "pack_slices" -> ((s, d) => {
       val toks = TextAnalysis
         .tokenStats(Tables.documents(s, d), col("text"), col("doc_id"))
         .select(col("doc_id"), col("n_tokens"))
@@ -445,11 +445,11 @@ object ExtQueries {
       TextAnalysis.qualityScore(Tables.documents(s, d), col("text"), col("doc_id"))
         .orderBy("doc_id")),
 
-    "text_fingerprint" -> ((s, d) =>
+    "text_fp" -> ((s, d) =>
       TextAnalysis.fingerprint(Tables.documents(s, d), col("text"), col("doc_id"))
         .orderBy("doc_id")),
 
-    "text_repetition" -> ((s, d) =>
+    "text_rep" -> ((s, d) =>
       TextAnalysis.repetitionStats(Tables.documents(s, d), col("text"), col("doc_id"))
         .orderBy("doc_id")),
 
@@ -474,6 +474,17 @@ object ExtQueries {
     "dedup_prefix" -> ((s, d) =>
       Dedup.prefixDups(Tables.documents(s, d), col("text"), col("doc_id"),
         n = 64).orderBy("doc_id")),
+
+    // New-vs-history incremental dedup: docs with doc_id % 10 >= 8 play
+    // the fresh crawl batch, the rest the accumulated corpus.
+    "dedup_incr" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.newAgainst(
+        docs.where(col("doc_id") % 10 < 8),
+        docs.where(col("doc_id") % 10 >= 8),
+        col("text"), col("doc_id"), expectedHistory = 10000)
+        .orderBy("doc_id")
+    }),
 
     "mm_features" -> ((s, d) =>
       Multimodal.featuresCols(Tables.documents(s, d),
@@ -740,7 +751,7 @@ FROM cand JOIN sig sa ON doc_a = sa.doc_id
 WHERE len(list_filter(range(16), i -> sa.sig[i+1] = sb.sig[i+1])) >= 4
 ORDER BY doc_a, doc_b"""),
 
-    "dedup_components" -> (MinhashCte.replaceFirst("WITH ", "WITH RECURSIVE ") + """, pairs AS (
+    "dedup_cc" -> (MinhashCte.replaceFirst("WITH ", "WITH RECURSIVE ") + """, pairs AS (
   SELECT doc_a, doc_b
   FROM cand JOIN sig sa ON doc_a = sa.doc_id
             JOIN sig sb ON doc_b = sb.doc_id
@@ -819,7 +830,7 @@ SELECT doc_id,
                 ELSE 0 END) AS BIGINT) AS simhash
 FROM votes GROUP BY 1 ORDER BY doc_id"""),
 
-    "dedup_simhash_pairs" -> (s"""WITH toks AS (
+    "dedup_sh_pairs" -> (s"""WITH toks AS (
   SELECT doc_id, unnest(regexp_extract_all(text, '$TokRe')) AS tok
   FROM documents
 ), votes AS (
@@ -1031,7 +1042,7 @@ SELECT src, dst, cosine, CAST(rn AS INT) AS rn FROM (
   FROM scored)
 WHERE rn <= 3 ORDER BY src, rn"""),
 
-    "emb_neardup_pairs" -> (rhpBucketsCte(8, 16) + """, cand AS (
+    "emb_neardup" -> (rhpBucketsCte(8, 16) + """, cand AS (
   SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
   FROM buckets x JOIN buckets y
     ON x.b = y.b AND x.bucket = y.bucket AND x.vec_id < y.vec_id
@@ -1045,7 +1056,7 @@ SELECT id_a, id_b,
 FROM cand JOIN qz a ON id_a = a.vec_id JOIN qz b ON id_b = b.vec_id
 ORDER BY cosine DESC, id_a ASC, id_b ASC LIMIT 20"""),
 
-    "cms_user_counts" -> (s"""
+    "cms_counts" -> (s"""
 WITH cells AS (
   SELECT r, ${h60("CAST(r AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)")} % 256 AS c,
          count(*) AS n
@@ -1131,7 +1142,7 @@ SELECT stage, n_docs FROM (
   SELECT '3_train', CAST(sum(CASE WHEN q AND k AND tr THEN 1 ELSE 0 END) AS BIGINT) FROM f
 ) ORDER BY stage"""),
 
-    "sample_stratified" -> (s"""
+    "sample_strat" -> (s"""
 SELECT event_id, event_type
 FROM events
 WHERE ${h60("CAST(event_id AS VARCHAR)")} % 1000000 <
@@ -1139,7 +1150,7 @@ WHERE ${h60("CAST(event_id AS VARCHAR)")} % 1000000 <
            WHEN 'purchase' THEN 1000000 ELSE 0 END
 ORDER BY event_id"""),
 
-    "sample_group_cap" -> (s"""
+    "sample_cap" -> (s"""
 SELECT doc_id, lang FROM (
   SELECT doc_id, lang,
          row_number() OVER (PARTITION BY lang
@@ -1160,7 +1171,7 @@ SELECT doc_id, lang FROM documents JOIN r USING (lang)
 WHERE ${h60("'mix0:' || CAST(doc_id AS VARCHAR)")} % 1000000 < rate
 ORDER BY doc_id"""),
 
-    "text_token_stats" -> (WordsCte + s"""
+    "text_tokens" -> (WordsCte + s"""
 SELECT doc_id,
        CAST(length(text) AS INT) AS n_chars,
        CAST(len(regexp_extract_all(text, '$TokRe')) AS INT) AS n_tokens,
@@ -1189,7 +1200,7 @@ SELECT doc_id, n_tokens,
        (end_off - 1) // 512 - (end_off - n_tokens) // 512 + 1 AS n_bins
 FROM c ORDER BY doc_id"""),
 
-    "pack_bin_slices" -> (s"""WITH t AS (
+    "pack_slices" -> (s"""WITH t AS (
   SELECT doc_id,
          CAST(len(regexp_extract_all(text, '$TokRe')) AS BIGINT) AS n_tokens
   FROM documents
@@ -1261,7 +1272,7 @@ SELECT doc_id,
         AND len(list_distinct(words)) * 1000 // len(words) >= 200) AS quality_ok
 FROM w ORDER BY doc_id"""),
 
-    "text_fingerprint" -> (WordsCte + """
+    "text_fp" -> (WordsCte + """
 SELECT doc_id,
        md5(regexp_replace(lower(trim(text)), ' +', ' ', 'g')) AS content_fp,
        list_min(list_transform(CASE WHEN len(words) >= 3
@@ -1270,7 +1281,7 @@ SELECT doc_id,
            ELSE [] END, s -> md5(s))) AS winnow_fp
 FROM w ORDER BY doc_id"""),
 
-    "text_repetition" -> (WordsCte + """, bg AS (
+    "text_rep" -> (WordsCte + """, bg AS (
   SELECT doc_id, unnest(CASE WHEN len(words) >= 2
     THEN list_transform(range(len(words)-1),
          i -> array_to_string(words[i+1:i+2], ' '))
@@ -1360,6 +1371,14 @@ FROM k ORDER BY rank"""),
   SELECT ph, CAST(count(*) AS BIGINT) AS n_share FROM p GROUP BY 1
 )
 SELECT p.doc_id, c.n_share FROM p JOIN c USING (ph) ORDER BY doc_id"""),
+
+    "dedup_incr" -> """
+SELECT doc_id, md5(text) AS content_hash
+FROM documents d
+WHERE doc_id % 10 >= 8 AND NOT EXISTS (
+  SELECT 1 FROM documents h
+  WHERE h.doc_id % 10 < 8 AND md5(h.text) = md5(d.text))
+ORDER BY doc_id""",
 
     "mm_features" -> (s"""
 SELECT doc_id AS media_id,

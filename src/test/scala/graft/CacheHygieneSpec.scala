@@ -13,9 +13,9 @@ class CacheHygieneSpec extends SparkSpec {
 
   /** Every declared query built on a persist/checkpoint-using operator. */
   private val cacheUsers = Seq(
-    "dedup_jaccard", "dedup_lsh", "dedup_components",
-    "decon_split", "ann_knn_graph", "emb_neardup_pairs",
-    "pack_sequences", "pack_bin_slices", "pack_shuffle",
+    "dedup_jaccard", "dedup_lsh", "dedup_cc",
+    "decon_split", "ann_knn_graph", "emb_neardup",
+    "pack_sequences", "pack_slices", "pack_shuffle",
     "ann_kmeans", "ann_recall")
 
   test("each cache-using query leaves no net persistent RDDs after release") {

@@ -50,7 +50,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("text repetition: narrow per-document map — no joins, only the sort exchange") {
-    val p = plan("text_repetition")
+    val p = plan("text_rep")
     assert(!p.contains("Join"), s"repetition must stay per-document:\n$p")
     assert(count(p, "Exchange") == 1, // the final orderBy only
       s"expected a single (sort) exchange in:\n$p")
@@ -118,6 +118,19 @@ class PlanSpec extends SparkSpec {
     // cheap structural check: a Filter containing the probe exists and
     // the exact join is still present to scrub false positives
     assert(p.contains("LeftSemi"), s"expected the exact semi join:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("incremental dedup: both sides bloom-pruned before the exact anti join") {
+    val p = plan("dedup_incr")
+    // two probes: history-bloom over the incoming batch, candidate-bloom
+    // over the history scan — both sides of the exact join pre-pruned
+    assert(count(p, "bloom_might_contain") >= 2,
+      s"expected both the forward and reverse bloom probes:\n$p")
+    assert(p.contains("LeftAnti"),
+      s"expected the exact anti join scrubbing false positives:\n$p")
+    assert(p.contains("Union"),
+      s"expected bloom-miss rows unioned around the exact join:\n$p")
     assert(!p.contains("CartesianProduct"))
   }
 
@@ -221,7 +234,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("cms sketch: partial sketches move through the exchange, not keys") {
-    val p = plan("cms_user_counts")
+    val p = plan("cms_counts")
     // partial + final aggregate pair over the long[] buffer — the only
     // data-sized exchange carries one sketch per partition
     assert(count(p, "Aggregate") >= 2,
@@ -283,7 +296,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("group cap: rank predicate pushed into WindowGroupLimit at the declared row") {
-    val p = plan("sample_group_cap")
+    val p = plan("sample_cap")
     assert(p.contains("WindowGroupLimit"),
       s"expected the per-group limit below the window sort in:\n$p")
   }
