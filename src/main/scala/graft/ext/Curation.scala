@@ -120,6 +120,62 @@ object Curation {
         Ipv4Re, "<IP>"),
       PhoneRe, "<PHONE>")
 
+  /** Tracking query parameters stripped by [[canonicalUrl]]: the
+    * advertising/analytics click ids and campaign tags that vary per
+    * *visit*, not per *page* — the reason one page yields thousands of
+    * distinct crawl URLs. */
+  private val TrackingParamRe =
+    "^(utm_[a-z]+|fbclid|gclid|dclid|msclkid|mc_eid|mc_cid|igshid|ref|ref_src)="
+
+  /** Canonical form of a crawl URL — the dedup KEY for url-level crawl
+    * dedup (two fetches of one page under cosmetically different URLs
+    * are duplicates before their bytes are even compared):
+    *
+    *  - scheme dropped (http/https/protocol-relative all collapse);
+    *  - userinfo and the #fragment dropped;
+    *  - host lowercased, leading `www.`, trailing dot, and default
+    *    ports :80/:443 stripped (other ports kept — they address
+    *    different servers);
+    *  - path: duplicate slashes collapsed, trailing slash stripped
+    *    (path CASE is kept — paths are case-sensitive);
+    *  - query: split on `&`, empty and tracking params
+    *    ([[TrackingParamRe]]) dropped, the survivors SORTED (param
+    *    order is transport accident, not identity) and rejoined.
+    *
+    * A pure zero-shuffle projection — regexp + higher-order array ops
+    * only — so it composes into the WARC ingest stream
+    * ([[graft.sources.WarcCorpus.webDocuments]] emits `url`) exactly
+    * like [[redactText]] composes into curation. */
+  def canonicalUrl(url: Column): Column = {
+    val noScheme = regexp_replace(trim(url),
+      "^[A-Za-z][A-Za-z0-9+.-]*://|^//", "")
+    val noFrag = regexp_replace(noScheme, "#.*$", "")
+    val auth = regexp_extract(noFrag, "^([^/?]*)", 1)
+    val host = regexp_replace(
+      regexp_replace(
+        regexp_replace(lower(regexp_replace(auth, "^[^@]*@", "")),
+          "\\.(:[0-9]+)?$", "$1"),   // trailing host dot
+        ":(80|443)$", ""),           // default ports
+      "^www\\.", "")
+    val pathQ = regexp_replace(noFrag, "^[^/?]*", "")
+    val path = regexp_replace(
+      regexp_replace(regexp_replace(pathQ, "\\?.*$", ""), "/{2,}", "/"),
+      "/$", "")
+    val query = regexp_extract(pathQ, "\\?(.*)$", 1)
+    val params = array_sort(filter(split(query, "&"),
+      p => p =!= lit("") && !p.rlike(TrackingParamRe)))
+    val normQ = array_join(params, "&")
+    concat(host, path,
+      when(normQ === "", lit("")).otherwise(concat(lit("?"), normQ)))
+  }
+
+  /** URL-level crawl dedup over [[canonicalUrl]] — same shape and
+    * scale story as [[Dedup.exact]]: one shuffle on the canonical-url
+    * md5 (uniform), map-side partial aggregation, keeper = min id. */
+  def urlDups(df: DataFrame, url: Column, id: Column): DataFrame =
+    df.groupBy(canonicalUrl(url).as("canonical_url"))
+      .agg(min(id).as("keeper_doc_id"), count(lit(1)).as("n_copies"))
+
   /** Duplicated-substring SPANS (exact-substring dedup, Lee et al.):
     * every maximal word range whose every `k`-word window occurs at
     * least `minCount` times corpus-wide (counting repeats within the
