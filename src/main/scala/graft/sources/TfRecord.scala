@@ -173,7 +173,19 @@ object TfRecord {
     * Deterministic layout for a deterministic input partitioning —
     * the rename-free direct write is fine for an export directory the
     * caller owns (idempotent re-export = overwrite). */
-  def write(df: DataFrame, payloadCol: String, dir: String): Long = {
+  def write(df: DataFrame, payloadCol: String, dir: String): Long =
+    export(df, payloadCol, dir).map(_.records).sum
+
+  /** Per-shard stats from one [[export]] pass — the manifest row for
+    * one part-file. `hash64` folds the per-record payload hashes
+    * ([[payloadHash64]]) with XOR, so the shard fingerprint is
+    * order-independent and mergeable: the DATASET fingerprint is the
+    * XOR of its shard fingerprints. */
+  case class Shard(file: String, records: Long, payloadBytes: Long,
+                   hash64: Long)
+
+  private def export(df: DataFrame, payloadCol: String,
+                     dir: String): Seq[Shard] = {
     val spark = df.sparkSession
     // Configuration is not serializable; ship its explicit entries and
     // rebuild per executor (defaults reload from the classpath there)
@@ -189,25 +201,70 @@ object TfRecord {
       confEntries.foreach { case (k, v) => c.set(k, v) }
       c
     }
-    val written = spark.sparkContext.longAccumulator("tfrecords_written")
     val dirPath = new org.apache.hadoop.fs.Path(dir)
     dirPath.getFileSystem(hadoopConf).mkdirs(dirPath)
+    // Collecting the per-shard stats is O(#partitions), not data-sized;
+    // a retried task rewrites the same file with the same bytes and
+    // reports the same stats, so the collected rows are replay-stable.
     df.select(col(payloadCol)).rdd.mapPartitionsWithIndex { (pid, it) =>
       if (it.isEmpty) Iterator.empty
       else {
         val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(rebuild())
-        val f = new org.apache.hadoop.fs.Path(dir, f"part-$pid%05d.tfrecord")
-        val out = fs.create(f, true)
-        var n = 0L
+        val name = f"part-$pid%05d.tfrecord"
+        val out = fs.create(new org.apache.hadoop.fs.Path(dir, name), true)
+        var n = 0L; var bytes = 0L; var h = 0L
         try it.foreach { row =>
-          out.write(encodeRecord(row.getAs[Array[Byte]](0)))
-          n += 1
+          val payload = row.getAs[Array[Byte]](0)
+          out.write(encodeRecord(payload))
+          n += 1; bytes += payload.length; h ^= payloadHash64(payload)
         } finally out.close()
-        written.add(n)
-        Iterator.single(n)
+        Iterator.single(Shard(name, n, bytes, h))
       }
-    }.count() // force the job
-    written.value
+    }.collect().toSeq.sortBy(_.file)
+  }
+
+  /** 64-bit payload fingerprint: first 8 bytes of the md5, big-endian —
+    * engine-portable (any reader with an md5 can recompute it) and
+    * exposed so the spec's independent decode verifies the manifest
+    * from first principles. */
+  private[sources] def payloadHash64(payload: Array[Byte]): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5").digest(payload)
+    var h = 0L
+    var i = 0
+    while (i < 8) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+    h
+  }
+
+  /** [[write]] plus a `_MANIFEST.json` dataset card in the same
+    * directory — the auditable handoff a trainer-side loader checks
+    * before touching 100 TB of shards: total records, payload bytes,
+    * an order-independent content fingerprint (XOR of per-record
+    * [[payloadHash64]]), and per-shard rows of the same three numbers.
+    * Everything is recomputable from the shards alone, so a reader can
+    * verify delivery without trusting the writer (TfRecordSpec does
+    * exactly that via an independent decode). The manifest is written
+    * AFTER every shard closes, so its presence marks a complete
+    * export — the `_SUCCESS`-with-teeth convention. Re-exporting the
+    * same data rewrites byte-identical shards and manifest (idempotent
+    * like [[writeBatch]] replay). */
+  def writeWithManifest(df: DataFrame, payloadCol: String,
+                        dir: String): Seq[Shard] = {
+    val shards = export(df, payloadCol, dir)
+    val total = shards.map(_.records).sum
+    val bytes = shards.map(_.payloadBytes).sum
+    val hash = shards.map(_.hash64).foldLeft(0L)(_ ^ _)
+    val shardJson = shards.map(s =>
+      f"""{"file":"${s.file}","records":${s.records},""" +
+        f""""payload_bytes":${s.payloadBytes},"hash64":"${s.hash64}%016x"}""")
+    val json =
+      s"""{"records":$total,"payload_bytes":$bytes,""" +
+        f""""hash64":"$hash%016x","shards":[${shardJson.mkString(",")}]}"""
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    val out = fs.create(new org.apache.hadoop.fs.Path(dir, "_MANIFEST.json"), true)
+    try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    shards
   }
 
   /** Streaming export: one batch-addressed shard directory per

@@ -101,6 +101,40 @@ class TfRecordSpec extends SparkSpec {
     assert(idx0.forall(_ == 0L))
   }
 
+  test("manifest: independently recomputable from the shards, idempotent") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-tfr-m").toString + "/export"
+    val docs = (0 until 60).map(i => (i.toLong, s"manifest doc $i"))
+      .toDF("doc_id", "text")
+      .repartition(3, col("doc_id"))
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+    val shards = TfRecord.writeWithManifest(docs, "payload", dir)
+    assert(shards.map(_.records).sum == 60L)
+
+    // The dataset card must be verifiable from the shards alone:
+    // independent decode, recompute every number, compare.
+    val manifest = new String(Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "_MANIFEST.json")), "UTF-8")
+    val back = TfRecord.read(spark, dir)
+    assert(back.corrupt.count() == 0)
+    val payloads = back.records.select("payload").as[Array[Byte]].collect()
+    val n = payloads.length.toLong
+    val bytes = payloads.map(_.length.toLong).sum
+    val hash = payloads.map(TfRecord.payloadHash64).foldLeft(0L)(_ ^ _)
+    assert(manifest.contains(s""""records":$n"""), manifest)
+    assert(manifest.contains(s""""payload_bytes":$bytes"""), manifest)
+    assert(manifest.contains(f""""hash64":"$hash%016x""""), manifest)
+    // per-shard rows present, and the shard fingerprints XOR to the total
+    assert(shards.forall(s => manifest.contains(s""""file":"${s.file}"""")))
+    assert(shards.map(_.hash64).foldLeft(0L)(_ ^ _) == hash)
+
+    // idempotent re-export: same data, byte-identical manifest
+    TfRecord.writeWithManifest(docs, "payload", dir)
+    val manifest2 = new String(Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "_MANIFEST.json")), "UTF-8")
+    assert(manifest2 == manifest)
+  }
+
   test("streaming export: batch-addressed shards, replay rewrites in place") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
