@@ -188,6 +188,16 @@ object ExtQueries {
           k = 3, numHashes = 16, bands = 4, minMatches = 4))
         .orderBy("doc_id")),
 
+    // The apply endpoint over the same clustering: the surviving corpus.
+    "dedup_keep" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.minhashLsh(docs, col("text"), col("doc_id"),
+        k = 3, numHashes = 16, bands = 4, minMatches = 4)
+      Dedup.keepRepresentatives(docs, pairs, col("doc_id"),
+          expectedDups = 10000)
+        .select("doc_id").orderBy("doc_id")
+    }),
+
     "decon_split" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val pairs = Dedup.minhashLsh(docs, col("text"), col("doc_id"),
@@ -767,6 +777,27 @@ ORDER BY doc_a, doc_b"""),
 )
 SELECT id AS doc_id, min(r) AS component
 FROM reach GROUP BY 1 ORDER BY doc_id"""),
+
+    "dedup_keep" -> (MinhashCte.replaceFirst("WITH ", "WITH RECURSIVE ") + """, pairs AS (
+  SELECT doc_a, doc_b
+  FROM cand JOIN sig sa ON doc_a = sa.doc_id
+            JOIN sig sb ON doc_b = sb.doc_id
+  WHERE len(list_filter(range(16), i -> sa.sig[i+1] = sb.sig[i+1])) >= 4
+), und AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+), reach AS (
+  SELECT u AS id, u AS r FROM und
+  UNION
+  SELECT und.u, reach.r FROM und JOIN reach ON und.v = reach.id
+), comp AS (
+  SELECT id, min(r) AS component FROM reach GROUP BY 1
+)
+SELECT d.doc_id FROM documents d
+WHERE NOT EXISTS (
+  SELECT 1 FROM comp WHERE comp.id = d.doc_id AND comp.component <> comp.id)
+ORDER BY doc_id"""),
 
     "decon_split" -> (MinhashCte + s""", pairs AS (
   SELECT doc_a, doc_b,

@@ -480,6 +480,29 @@ object Dedup {
       hist, col("content_hash"), expectedHistory, fpp)
   }
 
+  /** The APPLY endpoint of near-dup clustering — produce the deduped
+    * corpus itself: every unclustered document survives, and each
+    * near-dup cluster keeps exactly its min-id representative
+    * ([[components]]' labels ARE the cluster minima, so "keeper" is
+    * `doc_id == component` with no extra pass). The drop set is the
+    * size of the DUPLICATES — tiny against a well-curated corpus — so
+    * the subtraction runs as a [[graft.operators.BloomAntiJoin]]: the
+    * corpus side is bloom-pruned before the exchange instead of
+    * shuffling 100 TB to discard a few percent of it.
+    *
+    * `pairs` is any near-dup pair frame ((doc_a, doc_b) ids) —
+    * [[minhashLsh]], [[simhashPairs]], or a verified subset of them —
+    * so the clustering policy stays the caller's choice. */
+  def keepRepresentatives(df: DataFrame, pairs: DataFrame, id: Column,
+                          expectedDups: Long = 1L << 20,
+                          fpp: Double = 0.01): DataFrame = {
+    val dropped = components(pairs)
+      .where(col("doc_id") =!= col("component"))
+      .select(col("doc_id").as("__drop_id"))
+    graft.operators.BloomAntiJoin(df, id, dropped, col("__drop_id"),
+      expectedDups, fpp)
+  }
+
   /** Serialized history bloom for the STREAMING tier of incremental
     * dedup: one partial-aggregated pass over the accumulated corpus,
     * collected to the driver. The collect is the single-row filter —

@@ -98,6 +98,68 @@ class TrainingPipelineSpec extends SparkSpec {
     CacheScope.release()
   }
 
+  test("day two: url + content incremental dedup against history, manifest export") {
+    graft.functions.GraftFunctions.register(spark)
+
+    // Day 1 (the accumulated corpus): three distinct pages.
+    val day1Dir = Files.createTempDirectory("graft-e2e-d1")
+    Files.write(day1Dir.resolve("seg.warc"),
+      rec("http://a.example/page", "<p>the newest lowest rates</p>") ++
+      rec("http://c.example/contact", "<p>write for the newest rates</p>") ++
+      rec("http://d.example/4", "<p>the lowest newest widest rates</p>"))
+    val history = sources.WarcCorpus.webDocuments(
+      sources.WarcCorpus.readWarc(spark, day1Dir.toString).records)
+      .select(col("doc_id"), col("url"), col("text"))
+
+    // Day 2: a re-crawl of page a under a tracking URL, a NEW url whose
+    // body duplicates day-1 content, and one genuinely new page.
+    val day2Dir = Files.createTempDirectory("graft-e2e-d2")
+    Files.write(day2Dir.resolve("seg.warc"),
+      rec("https://www.a.example/page?utm_source=feed",
+        "<p>the newest lowest rates (v2)</p>") ++
+      rec("http://m.example/mirror", "<p>the lowest newest widest rates</p>") ++
+      rec("http://n.example/fresh", "<p>entirely fresh reporting</p>"))
+    val day2 = sources.WarcCorpus.webDocuments(
+      sources.WarcCorpus.readWarc(spark, day2Dir.toString).records)
+      .select(col("doc_id"), col("url"), col("text"))
+
+    // Streaming-tier tag on CONTENT: the body dup is flagged, the
+    // fresh page is not (tag, never drop).
+    val bloom = ext.Dedup.historyFilter(history, col("text"), 1000)
+    val tags = ext.Dedup.tagAgainstHistory(day2, col("text"), bloom)
+      .select("url", "maybe_in_history").collect()
+      .map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(tags("http://m.example/mirror"))
+    assert(!tags("http://n.example/fresh"))
+
+    // Batch tier 1 — URL identity: "already crawled" drops the utm
+    // re-crawl even though its BODY changed (the crawl-frontier rule).
+    val newUrls = ext.Dedup.newAgainst(history, day2,
+      ext.Curation.canonicalUrl(col("url")), col("doc_id"), 1000)
+      .select(col("doc_id"))
+    val urlSurvivors = day2.join(newUrls, "doc_id")
+    assert(urlSurvivors.select("url").as[String].collect().toSet ==
+      Set("http://m.example/mirror", "http://n.example/fresh"))
+
+    // Batch tier 2 — content identity: the mirrored body folds.
+    val fresh = ext.Dedup.newAgainst(history, urlSurvivors,
+      col("text"), col("doc_id"), 1000)
+    val freshDocs = urlSurvivors.join(fresh.select("doc_id"), "doc_id")
+    assert(freshDocs.select("url").as[String].collect().toSeq ==
+      Seq("http://n.example/fresh"))
+
+    // Export the day's novelty with its dataset card.
+    val outDir = Files.createTempDirectory("graft-e2e-d2out").toString + "/shards"
+    val payloads = freshDocs.coalesce(1).select(
+      expr("tf_feat_bytes('text', CAST(text AS BINARY))").as("ex"))
+    val shards = sources.TfRecord.writeWithManifest(payloads, "ex", outDir)
+    assert(shards.map(_.records).sum == 1L)
+    val manifest = new String(Files.readAllBytes(
+      java.nio.file.Paths.get(outDir, "_MANIFEST.json")), "UTF-8")
+    assert(manifest.contains("\"records\":1"), manifest)
+    CacheScope.release()
+  }
+
   // independent minimal protobuf walk (same approach as TfExampleSpec,
   // reduced to name → list-payload)
   private def decodeExample(b: Array[Byte]): Map[String, Array[Byte]] = {

@@ -84,6 +84,16 @@ class DedupSpec extends SparkSpec {
     assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("keepRepresentatives: cluster minima and singletons survive") {
+    // corpus 1..6; clusters {1,2,3} and {4,5}; 6 unclustered
+    val docs = (1L to 6L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("doc_a", "doc_b")
+    val kept = Dedup.keepRepresentatives(docs, pairs, col("doc_id"),
+        expectedDups = 100)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(1L, 4L, 6L))
+  }
+
   test("components: long chain converges to the global min label") {
     // a 16-node path ordered so min-label needs several propagation
     // rounds to reach the far end
