@@ -250,6 +250,12 @@ object TfRecord {
   def writeWithManifest(df: DataFrame, payloadCol: String,
                         dir: String): Seq[Shard] = {
     val shards = export(df, payloadCol, dir)
+    writeManifest(df, shards, dir)
+    shards
+  }
+
+  private def writeManifest(df: DataFrame, shards: Seq[Shard],
+                            dir: String): Unit = {
     val total = shards.map(_.records).sum
     val bytes = shards.map(_.payloadBytes).sum
     val hash = shards.map(_.hash64).foldLeft(0L)(_ ^ _)
@@ -264,6 +270,65 @@ object TfRecord {
     val out = fs.create(new org.apache.hadoop.fs.Path(dir, "_MANIFEST.json"), true)
     try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+  }
+
+  /** BYTE-BALANCED export — [[write]]'s shard layout is whatever the
+    * DataFrame's partitioning happens to be, which at 100 TB means
+    * shard sizes track partition skew, and the trainer's data loader
+    * inherits a straggler per oversized shard. This writer sizes the
+    * shards itself:
+    *
+    *  1. global byte prefix sum over (id, payload length) in id order —
+    *     [[graft.ext.Packing.packSequences]]'s two-level formulation
+    *     (range partition → narrow running sums → partition-count base
+    *     offsets), with bytes as the token count and `targetBytes` as
+    *     the window budget, so `first_bin` IS the shard id: shards are
+    *     CONTIGUOUS id ranges of ~targetBytes of payload (a record
+    *     never splits; each shard overhangs by at most one record);
+    *  2. payloads meet their shard assignment with one id-keyed join,
+    *     then `repartitionAndSortWithinPartitions` on (shard, id) — the
+    *     classic secondary sort: one shuffle placing every record in
+    *     its shard's task, streamed in id order, spillable (records
+    *     are never buffered whole-shard in memory);
+    *  3. the same per-partition writer as [[write]], one
+    *     `part-NNNNN.tfrecord` per shard, plus the [[writeWithManifest]]
+    *     dataset card.
+    *
+    * Deterministic: shard boundaries are a pure function of
+    * (ids, payload lengths, targetBytes), so re-export is byte-identical
+    * — same idempotence class as [[writeBatch]] replay. */
+  def writeBalanced(df: DataFrame, payloadCol: String, id: org.apache.spark.sql.Column,
+                    dir: String, targetBytes: Long): Seq[Shard] = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val spark = df.sparkSession
+    val sized = df.select(id.cast("long").as("__id"),
+      col(payloadCol).as("__p"))
+    val assignment = graft.ext.Packing.packSequences(
+        sized, col("__id"), length(col("__p")), targetBytes)
+      .select(col("doc_id").as("__id"), col("first_bin").as("__shard"))
+    val numShards = assignment.agg(max("__shard")).collect()(0) match {
+      case r if r.isNullAt(0) => 0
+      case r => r.getLong(0).toInt + 1
+    }
+    if (numShards == 0) {
+      val empty = Seq.empty[Shard]
+      writeManifest(df, empty, dir)
+      return empty
+    }
+    val placed = sized.join(assignment, "__id")
+      .select(col("__shard"), col("__id"), col("__p"))
+      .rdd.map(r => ((r.getLong(0), r.getLong(1)), r.getAs[Array[Byte]](2)))
+      .repartitionAndSortWithinPartitions(
+        new org.apache.spark.Partitioner {
+          override def numPartitions: Int = numShards
+          override def getPartition(key: Any): Int =
+            key.asInstanceOf[(Long, Long)]._1.toInt
+        })
+      .map(_._2)
+    import spark.implicits._
+    val shardDf = spark.createDataset(placed).toDF("payload")
+    val shards = export(shardDf, "payload", dir)
+    writeManifest(df, shards, dir)
     shards
   }
 

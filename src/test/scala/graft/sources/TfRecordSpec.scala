@@ -135,6 +135,68 @@ class TfRecordSpec extends SparkSpec {
     assert(manifest2 == manifest)
   }
 
+  test("balanced export: targetBytes shards in contiguous id order") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-tfr-b").toString + "/export"
+    // 40 records x 100 bytes, deliberately SKEWED input partitioning
+    // (everything in one partition); target 1000 bytes -> 10 records
+    // per shard regardless of input layout
+    val docs = (0 until 40).map(i => (i.toLong, f"doc-$i%03d".padTo(100, 'x')))
+      .toDF("doc_id", "text").coalesce(1)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+    try {
+      val shards = TfRecord.writeBalanced(docs, "payload", col("doc_id"),
+        dir, targetBytes = 1000L)
+      assert(shards.length == 4, shards.mkString(","))
+      assert(shards.forall(s => s.records == 10 && s.payloadBytes == 1000),
+        shards.mkString(","))
+
+      // contiguous id ranges in id order: part-00000 = 0..9, etc.
+      val back = TfRecord.read(spark, dir)
+      assert(back.corrupt.count() == 0)
+      val byFile = back.records.collect()
+        .map(r => (r.getString(0), r.getLong(1),
+          new String(r.getAs[Array[Byte]](2), "UTF-8").take(7)))
+        .groupBy(_._1).toSeq.sortBy(_._1)
+      assert(byFile.size == 4)
+      byFile.zipWithIndex.foreach { case ((_, rows), f) =>
+        val ids = rows.sortBy(_._2).map(_._3).toSeq
+        assert(ids == (f * 10 until f * 10 + 10).map(i => f"doc-$i%03d"), ids)
+      }
+
+      // manifest covers the balanced layout
+      val manifest = new String(Files.readAllBytes(
+        java.nio.file.Paths.get(dir, "_MANIFEST.json")), "UTF-8")
+      assert(manifest.contains("\"records\":40"), manifest)
+
+      // deterministic: re-export is byte-identical
+      val again = TfRecord.writeBalanced(docs, "payload", col("doc_id"),
+        dir, targetBytes = 1000L)
+      assert(again == shards)
+    } finally graft.CacheScope.release()
+  }
+
+  test("balanced export: odd sizes overhang by at most one record") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-tfr-b2").toString + "/export"
+    val rng = new scala.util.Random(7)
+    val sizes = (0 until 30).map(i => i.toLong -> (20 + rng.nextInt(180)))
+    val docs = sizes.map { case (i, n) => (i, "x" * n) }.toDF("doc_id", "text")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+    try {
+      val target = 500L
+      val shards = TfRecord.writeBalanced(docs, "payload", col("doc_id"),
+        dir, targetBytes = target)
+      val maxRec = sizes.map(_._2).max
+      assert(shards.map(_.records).sum == 30)
+      assert(shards.forall(_.payloadBytes <= target + maxRec),
+        shards.mkString(","))
+      // no empty shards: every bin in the contiguous byte stream has
+      // at least the record that starts in it
+      assert(shards.forall(_.records > 0))
+    } finally graft.CacheScope.release()
+  }
+
   test("streaming export: batch-addressed shards, replay rewrites in place") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
