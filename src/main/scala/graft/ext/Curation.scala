@@ -169,6 +169,19 @@ object Curation {
       when(normQ === "", lit("")).otherwise(concat(lit("?"), normQ)))
   }
 
+  /** Unicode normalization as a composable Column — the
+    * pre-tokenization pass that makes byte-identical MEANING
+    * byte-identical TEXT (composed vs decomposed accents hash, shingle,
+    * and dedup apart otherwise); NFKC additionally folds compatibility
+    * forms (ligatures, full-width letters, superscripts) the way
+    * tokenizer vocabularies expect. A zero-shuffle codegen projection
+    * ([[graft.functions.UnicodeNorm]], JDK UAX #15 implementation, with
+    * an allocation-free already-normalized fast path), so it composes
+    * into streaming ingest like [[redactText]]. Callers must have
+    * [[graft.functions.GraftFunctions]] registered. */
+  def normalizeText(content: Column, form: String = "NFC"): Column =
+    call_function("unicode_norm", content, lit(form))
+
   /** URL-level crawl dedup over [[canonicalUrl]] — same shape and
     * scale story as [[Dedup.exact]]: one shuffle on the canonical-url
     * md5 (uniform), map-side partial aggregation, keeper = min id. */

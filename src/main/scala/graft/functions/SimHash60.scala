@@ -138,6 +138,11 @@ object GraftFunctions {
     (FunctionIdentifier("html_text"),
       new ExpressionInfo(classOf[HtmlText].getName, "html_text"),
       (exprs: Seq[Expression]) => HtmlText(exprs.head)),
+    (FunctionIdentifier("unicode_norm"),
+      new ExpressionInfo(classOf[UnicodeNorm].getName, "unicode_norm"),
+      (exprs: Seq[Expression]) => UnicodeNorm(exprs.head,
+        exprs(1).eval().asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+          .toString)),
     (FunctionIdentifier("tf_feat_i64"),
       new ExpressionInfo(classOf[TfFeatI64].getName, "tf_feat_i64"),
       (exprs: Seq[Expression]) => TfFeatI64(exprs(0), exprs(1))),
