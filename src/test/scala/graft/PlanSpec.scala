@@ -134,6 +134,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("dedup apply: drop-set subtraction is bloom-pruned, no data cartesian") {
+    val p = plan("dedup_keep")
+    assert(count(p, "bloom_might_contain") >= 2,
+      s"expected the corpus-side and drop-side bloom probes:\n$p")
+    assert(p.contains("LeftAnti"),
+      s"expected the exact anti join scrubbing false positives:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("top terms: df broadcast (no term-keyed shuffle join) and top-k group limit") {
     val p = plan("text_top_terms")
     assert(p.contains("BroadcastHashJoin"),

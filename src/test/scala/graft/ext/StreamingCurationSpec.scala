@@ -39,4 +39,35 @@ class StreamingCurationSpec extends SparkSpec {
       assert(got.sorted.toSeq == Seq(1L, 3L))
     } finally q.stop()
   }
+
+  test("crawl-frontier dedup: first fetch per canonical url wins, live") {
+    implicit val sq = spark.sqlContext
+    graft.functions.GraftFunctions.register(spark)
+    val input = MemoryStream[(Long, Long, String)]
+    val feed = input.toDF().toDF("doc_id", "ms", "url")
+      .withColumn("event_time", timestamp_millis(col("ms")))
+      // normalizeText first: a frontier feed mixes encodings; then the
+      // canonical key — both stateless zero-shuffle projections
+      .withColumn("curl",
+        Curation.canonicalUrl(Curation.normalizeText(col("url"))))
+    val q = feed
+      .withWatermark("event_time", "10 minutes")
+      .dropDuplicatesWithinWatermark("curl")
+      .writeStream.format("memory").queryName("sfrontier")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, 1000L, "https://www.example.com/page?x=1"))
+      q.processAllAvailable()
+      // cosmetic re-discoveries of the same page are dropped; a truly
+      // different page passes
+      input.addData(
+        (2L, 2000L, "http://example.com/page/?x=1&utm_source=tw"),
+        (3L, 3000L, "https://example.com:443/page?x=1#sec"),
+        (4L, 4000L, "https://example.com/other"))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT doc_id FROM sfrontier")
+        .as[Long].collect().sorted
+      assert(got.toSeq == Seq(1L, 4L))
+    } finally q.stop()
+  }
 }

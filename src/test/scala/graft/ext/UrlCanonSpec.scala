@@ -53,6 +53,27 @@ class UrlCanonSpec extends SparkSpec {
       ("other.org/page?x=1", 5L, 1L)))
   }
 
+  test("property: canonicalization is idempotent") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val scheme = Gen.oneOf("http://", "https://", "//", "")
+    val host = Gen.oneOf("www.Example.COM", "a.example", "example.com.",
+      "user@example.com:443", "example.com:8080")
+    val path = Gen.oneOf("", "/", "/a/b/", "//x//y", "/A%20B")
+    val query = Gen.oneOf("", "?b=2&a=1", "?utm_source=x&z=1&", "?fbclid=q")
+    val frag = Gen.oneOf("", "#f", "#a?b=1")
+    val urls = for { s <- scheme; h <- host; p <- path; q <- query; f <- frag }
+      yield s + h + p + q + f
+    val prop = Prop.forAll(Gen.listOfN(20, urls)) { us =>
+      us.isEmpty || {
+        val once = canon(us: _*)
+        canon(once: _*) == once
+      }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(20),
+      prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("canonicalUrl composes into the WARC document stream as a projection") {
     // Same composition contract as redactText: a plain Column over the
     // webDocuments url — no shuffle, so it is streaming-safe.
