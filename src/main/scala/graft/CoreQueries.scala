@@ -168,7 +168,7 @@ object CoreQueries {
     // `events` (details type tag, sender, events array / tagged
     // protocol event), then runs it through decodeRowsDeep's FAILFAST +
     // hard-stop pipeline; the oracle computes the projections directly.
-    "b5_decode_deep" -> ((s, d) => {
+    "b5_deep" -> ((s, d) => {
       val feed = Tables.events(s, d).selectExpr(
         "(event_id div 8) * 1048576 + (event_id % 8) as id",
         """CASE WHEN event_type = 'error' THEN
@@ -304,7 +304,7 @@ SELECT s.id, s.block, s."timestamp", s.height, s.summary
 FROM cti JOIN summaries s ON cti.summary = s.id
 WHERE cti."index" = $CIdx AND cti.subindex = $CSub AND cti.summary >= 0
 ORDER BY s.id ASC"""),
-    "b5_decode_deep" -> """
+    "b5_deep" -> """
 SELECT (event_id // 8) * 1048576 + (event_id % 8) AS id,
   CASE WHEN event_type = 'error' THEN 'Right' ELSE 'Left' END AS variant,
   CASE WHEN event_type = 'error' THEN NULL ELSE event_id END AS tx_index,

@@ -394,6 +394,13 @@ object ExtQueries {
       Sampling.split(Tables.documents(s, d), col("doc_id"))
         .select("doc_id", "split").orderBy("doc_id")),
 
+    // quality-proportional keep rate: 1000 ppm per char, saturating at
+    // 500 chars — longer docs always survive, shorter ones pro rata
+    "sample_wt" -> ((s, d) =>
+      Sampling.weighted(Tables.documents(s, d), col("doc_id"),
+          col("n_chars") * 2000L)
+        .select("doc_id").orderBy("doc_id")),
+
     "sample_strat" -> ((s, d) =>
       Sampling.stratified(Tables.events(s, d), col("event_type"),
           col("event_id"),
@@ -514,7 +521,7 @@ object ExtQueries {
 
     // C4-style line dedup over CONSTRUCTED multi-line text — the fixture
     // corpus has no newlines, so the row wraps each document's words into
-    // 4-word lines first (the encode-then-run pattern of b5_decode_deep /
+    // 4-word lines first (the encode-then-run pattern of b5_deep /
     // cis2_log_decode); ~340 lines are shared across documents at both
     // test scales, so the filter actually discriminates.
     "dedup_lines" -> ((s, d) =>
@@ -1146,6 +1153,12 @@ SELECT doc_id,
             WHEN ${h60("CAST(doc_id AS VARCHAR)")} % 1000000 < 100000 THEN 'test'
             ELSE 'train' END AS split
 FROM documents ORDER BY doc_id"""),
+
+    "sample_wt" -> (s"""
+SELECT doc_id FROM documents
+WHERE ${h60("'wt0:' || CAST(doc_id AS VARCHAR)")} % 1000000
+      < least(greatest(n_chars * 2000, 0), 1000000)
+ORDER BY doc_id"""),
 
     // pipe_curation's gates as cumulative per-stage counts
     "pipe_funnel" -> (s"""WITH w AS (

@@ -268,7 +268,7 @@ object RelationalQueries {
     // shuffles every row into per-key sorted windows; the histogram
     // needs one uniform (key,bin) partial-agg shuffle and then windows
     // over ≤256 rows per key, at binWidth-bounded error
-    "q_hist_quantile" -> ((s, d) =>
+    "q_hist" -> ((s, d) =>
       graft.operators.HistogramQuantile.quantiles(Tables.events(s, d),
           col("event_type"), round(col("value") * 100), binWidth = 128,
           pcts = Seq(50, 90, 99))
@@ -540,7 +540,7 @@ FROM events
 WHERE user_id IN (SELECT DISTINCT user_id FROM events WHERE event_type = 'signup')
 GROUP BY 1 ORDER BY 1""",
 
-    "q_hist_quantile" -> """
+    "q_hist" -> """
 WITH b AS (
   SELECT event_type AS k,
          CAST(round(value * 100) AS BIGINT) // 128 AS bin,

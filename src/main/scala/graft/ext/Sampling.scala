@@ -49,6 +49,24 @@ object Sampling {
     df.where(ppmOf(id) < rate)
   }
 
+  /** SCORE-WEIGHTED deterministic sample — keep probability
+    * proportional to a per-document quality score (the
+    * "sample-by-quality" step between scoring and mixture: keep the
+    * best content at a higher rate without a hard threshold's cliff).
+    * `scorePpm` is the per-row keep rate in parts-per-million, clamped
+    * to [0, 1e6] — callers derive it from any integer scoring
+    * ([[TextAnalysis.qualityScore]] terms, length buckets, …), keeping
+    * the arithmetic engine-portable. Same determinism contract as
+    * [[sampleByHash]]: membership is a pure function of (seed, id,
+    * score), a narrow zero-shuffle filter, re-drawable with a new
+    * seed, and stable under corpus growth. */
+  def weighted(df: DataFrame, id: Column, scorePpm: Column,
+               seed: String = "wt0"): DataFrame = {
+    val rate = least(greatest(scorePpm.cast("long"), lit(0L)), lit(1000000L))
+    df.where(Text.hash60(concat_ws(":", lit(seed), id.cast("string")))
+      % 1000000L < rate)
+  }
+
   /** Per-group ABSOLUTE cap — the "at most n documents per domain/
     * source/language" curation rule ([[stratified]] caps by RATE; this
     * caps by COUNT, which is what mixture recipes specify). The kept n

@@ -253,7 +253,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("histogram quantile: one data-sized shuffle, windows over bins only") {
-    val p = plan("q_hist_quantile")
+    val p = plan("q_hist")
     // (key,bin) partial+final count pair, then per-key windows over at
     // most #bins rows, then the tiny final groupBy — no join, no sort
     // of the raw data
@@ -264,7 +264,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("deep decode: narrow projection — no join, no window, no shuffle but the sort") {
-    val p = plan("b5_decode_deep")
+    val p = plan("b5_deep")
     assert(!p.contains("Join") && !p.contains("Window"),
       s"encode→decode must stay per-row:\n$p")
     assert(count(p, "Exchange") == 1, // the final orderBy only

@@ -76,6 +76,33 @@ class SamplingSpec extends SparkSpec {
       s"expected the group-limit pushdown in:\n$p")
   }
 
+  test("weighted keeps by score rate: clamps both ends, deterministic, re-drawable") {
+    val docs = (0L until 3000L).map { i =>
+      val score = i % 3 match {
+        case 0 => 2000000L // over-clamp: always kept
+        case 1 => -5L      // under-clamp: never kept
+        case 2 => 500000L  // fair coin
+      }
+      (i, score)
+    }.toDF("doc_id", "score")
+    val kept = Sampling.weighted(docs, $"doc_id", $"score")
+      .select("doc_id").as[Long].collect().toSet
+    assert((0L until 3000L by 3).forall(kept.contains), "rate 1e6 must keep all")
+    assert(!(1L until 3000L by 3).exists(kept.contains), "rate <=0 must drop all")
+    val half = (2L until 3000L by 3).count(kept.contains)
+    assert(half > 350 && half < 650, s"~500 of 1000 expected at 50%, got $half")
+
+    // pure function of (seed, id, score): same call, same set; new seed,
+    // a genuinely different draw of the coin-flip stratum
+    val again = Sampling.weighted(docs, $"doc_id", $"score")
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == kept)
+    val redraw = Sampling.weighted(docs, $"doc_id", $"score", seed = "wt1")
+      .select("doc_id").as[Long].collect().toSet
+    assert(redraw != kept)
+    assert((0L until 3000L by 3).forall(redraw.contains))
+  }
+
   test("stratified keeps per-stratum rates and drops unknown strata") {
     val ev = (0L until 3000L).map(i =>
       (i, Seq("view", "click", "other")(i.toInt % 3))).toDF("event_id", "event_type")
