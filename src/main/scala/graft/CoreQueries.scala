@@ -79,7 +79,7 @@ object CoreQueries {
     "a5_summaries" -> ((s, d) => Tables.summaries(s, d).orderBy("id")),
     "a6_ati" -> ((s, d) => Tables.ati(s, d).orderBy("account", "summary")),
     "a6_cti" -> ((s, d) => Tables.cti(s, d).orderBy("index", "subindex", "summary")),
-    "a7_cis2_tokens" -> ((s, d) =>
+    "a7_cis2" -> ((s, d) =>
       Tables.cis2Tokens(s, d).orderBy("index", "subindex", "token_id")),
     "a8_key_bindings" -> ((s, d) =>
       Tables.keyBindings(s, d).orderBy("address", "key_index")),
@@ -236,7 +236,7 @@ object CoreQueries {
       "SELECT account, summary FROM ati ORDER BY account, summary"),
     "a6_cti" -> (cte +
       """SELECT "index", subindex, summary FROM cti ORDER BY "index", subindex, summary"""),
-    "a7_cis2_tokens" -> (cte +
+    "a7_cis2" -> (cte +
       """SELECT "index", subindex, token_id, total_supply FROM cis2_tokens ORDER BY "index", subindex, token_id"""),
     "a8_key_bindings" -> (cte +
       "SELECT address, public_key, credential_index, key_index, is_simple_account FROM bindings ORDER BY address, key_index"),

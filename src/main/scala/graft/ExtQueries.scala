@@ -229,7 +229,7 @@ object ExtQueries {
           maxDist = 16)
         .orderBy("doc_a", "doc_b")),
 
-    "ann_bruteforce" -> ((s, d) =>
+    "ann_brute" -> ((s, d) =>
       Similarity.bruteForceTopK(Tables.embeddings(s, d), "vec_id", "embedding",
         queryId = 0L, k = 10)),
 
@@ -306,6 +306,25 @@ object ExtQueries {
     "emb_neardup" -> ((s, d) =>
       Similarity.nearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding",
         k = 20)),
+
+    // threshold 0.35, not a deployment's 0.9+: the synthetic embeddings
+    // carry no true near-dups (max same-cell cosine ≈ 0.49 at every SF),
+    // so a realistic threshold would make the row vacuous — at 0.35 the
+    // keep-first rule actually drops 86/84/551 docs at
+    // sf0.001/0.01/0.1 (checked in DuckDB) and the compare exercises
+    // the full cell-blocked pair search
+    "semdedup" -> ((s, d) =>
+      Similarity.semDedup(Tables.embeddings(s, d), "vec_id", "embedding",
+          threshold = 0.35)
+        .orderBy("vec_id")),
+
+    // 25 < every cell's population at both SFs (cells run 76-122
+    // members), so the cap bites in every cell and the row verifies the
+    // per-cell ranking, not a pass-through
+    "sample_cell" -> ((s, d) =>
+      Similarity.cellBalanced(Tables.embeddings(s, d), "vec_id", "embedding",
+          n = 25)
+        .orderBy("vec_id")),
 
     "ann_knn_graph" -> ((s, d) =>
       Similarity.knnGraph(Tables.embeddings(s, d), "vec_id", "embedding",
@@ -704,6 +723,37 @@ GROUP BY 1
 ORDER BY pq_dist ASC, vec_id ASC
 LIMIT 10"""
 
+  /** DuckDB mirror of the stride-100 cell assignment
+    * (Similarity.{centroidsOf, assignCells}) carrying qe/n2 through for
+    * in-cell cosine math — shared by semdedup and sample_cell. Same
+    * argmax-rounded-cosine, ties-to-smallest-cid rule as AnnIvfSql. */
+  private val CellsCte = """WITH qz AS (
+  SELECT vec_id AS vid,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS qe
+  FROM embeddings
+), n AS (
+  SELECT vid, qe,
+         list_sum(list_transform(range(64), i -> qe[i+1] * qe[i+1])) AS n2
+  FROM qz
+), cents AS (
+  SELECT vid AS cid, qe AS ce, n2 AS cn2 FROM n WHERE vid % 100 = 0
+), cscored AS (
+  SELECT n.vid, cents.cid,
+         round(
+           CAST(list_sum(list_transform(range(64), i -> qe[i+1] * ce[i+1])) AS DOUBLE)
+           / sqrt(CAST(n2 AS DOUBLE) * CAST(cn2 AS DOUBLE)), 6) AS ccos
+  FROM n CROSS JOIN cents
+), cq AS (
+  SELECT c.vid, c.cid, n.qe, n.n2
+  FROM (SELECT vid, cid FROM (
+          SELECT vid, cid,
+                 row_number() OVER (PARTITION BY vid
+                   ORDER BY ccos DESC, cid ASC) AS rnk
+          FROM cscored) WHERE rnk = 1) c
+  JOIN n ON c.vid = n.vid
+)"""
+
   private val AnnIvfSql = """WITH qz AS (
   SELECT vec_id,
          list_transform(embedding,
@@ -902,7 +952,7 @@ ORDER BY doc_a, doc_b"""),
 
     "ann_ivfpq" -> AnnIvfPqSql,
 
-    "ann_bruteforce" -> """
+    "ann_brute" -> """
 WITH qz AS (
   SELECT vec_id,
          list_transform(embedding,
@@ -1093,6 +1143,28 @@ SELECT id_a, id_b,
          6) AS cosine
 FROM cand JOIN qz a ON id_a = a.vec_id JOIN qz b ON id_b = b.vec_id
 ORDER BY cosine DESC, id_a ASC, id_b ASC LIMIT 20"""),
+
+    // keep-first semantic dedup over CellsCte's shared assignment: a
+    // doc drops iff a smaller-id same-cell neighbour clears the
+    // threshold (see the declared row for why 0.35 on this corpus)
+    "semdedup" -> (CellsCte + """, dropped AS (
+  SELECT DISTINCT a.vid
+  FROM cq a JOIN cq b ON a.cid = b.cid AND b.vid < a.vid
+  WHERE round(
+    CAST(list_sum(list_transform(range(64), i -> a.qe[i+1] * b.qe[i+1])) AS DOUBLE)
+    / sqrt(CAST(a.n2 AS DOUBLE) * CAST(b.n2 AS DOUBLE)), 6) >= 0.35
+)
+SELECT vid AS vec_id FROM cq
+WHERE vid NOT IN (SELECT vid FROM dropped)
+ORDER BY vec_id"""),
+
+    // capPerGroup's seeded-hash rank, with the IVF cell as the group
+    "sample_cell" -> (CellsCte + s""", ranked AS (
+  SELECT vid, cid,
+         row_number() OVER (PARTITION BY cid
+           ORDER BY ${h60("'cell0:' || CAST(vid AS VARCHAR)")} ASC, vid ASC) AS rn
+  FROM cq)
+SELECT vid AS vec_id, cid FROM ranked WHERE rn <= 25 ORDER BY vec_id"""),
 
     "cms_counts" -> (s"""
 WITH cells AS (

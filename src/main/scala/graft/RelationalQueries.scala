@@ -213,7 +213,7 @@ object RelationalQueries {
         .orderBy("user_id", "session_id")
     }),
 
-    "q_daily_active" -> ((s, d) =>
+    "q_dau" -> ((s, d) =>
       Tables.events(s, d)
         .groupBy(to_date(col("ts")).as("day"))
         .agg(countDistinct(col("user_id")).as("users"), count(lit(1)).as("n"))
@@ -486,7 +486,7 @@ SELECT user_id, CAST(session_id AS BIGINT) AS session_id, count(*) AS n_events,
        min(event_id) AS first_event, max(event_id) AS last_event
 FROM sess GROUP BY 1, 2 ORDER BY 1, 2""",
 
-    "q_daily_active" -> """
+    "q_dau" -> """
 SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
        count(DISTINCT user_id) AS users, count(*) AS n
 FROM events GROUP BY 1 ORDER BY 1""",

@@ -627,6 +627,53 @@ object Similarity {
     } finally if (refineIters > 0) qz.unpersist()
   }
 
+  /** INCREMENTAL cell-index append — the ANN-index analog of
+    * [[graft.sources.BucketedMirror.appendOnce]]: a fresh embedding
+    * micro-batch (new crawl segment, new documents) is assigned against
+    * the STORED codebook — the index's centroids never move, so the
+    * existing cell partitions stay valid and every probe path keeps its
+    * pruning — and appended into its `cid=` partitions. Only the
+    * appended rows shuffle; rebuilding the corpus-sized cells because
+    * 0.1% of vectors arrived would be the mirror-overwrite mistake
+    * [[graft.sources.BucketedMirror.append]] exists to avoid.
+    *
+    * Replay-safe for `foreachBatch`: an `_applied_batches/<batchId>`
+    * marker under the index root (appendOnce's exact contract,
+    * including the honest at-least-once tail — the marker commits
+    * AFTER the data files, so a crash between the two replays one
+    * batch; the probe's top-k dedups nothing, so a deployment needing
+    * exactness anti-joins the batch on vid first). Returns false on a
+    * replayed batch. Codebook drift is the caller's maintenance
+    * policy: appends never move centroids, so when the corpus
+    * distribution walks away from the codebook, recall decays and an
+    * offline [[writeCellIndex]] relearn (the btree-rebuild analog)
+    * resets it. */
+  def appendCellIndex(embeddings: DataFrame, idCol: String, embCol: String,
+                      path: String, batchId: Long): Boolean = {
+    val spark = embeddings.sparkSession
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val markers = new org.apache.hadoop.fs.Path(root, "_applied_batches")
+    val marker = new org.apache.hadoop.fs.Path(markers, batchId.toString)
+    if (fs.exists(marker)) false
+    else {
+      val qz = embeddings.select(col(idCol).as("vid"),
+          quantize(col(embCol)).as("qe"))
+        .withColumn("n2", dotQ(col("qe"), col("qe")))
+      // assign against the codebook AS STORED (stored == used, the
+      // writeCellIndex invariant — a batch must never see a codebook
+      // the index's existing cells were not assigned with)
+      val stored = spark.read.parquet(s"$path/centroids")
+      assignCells(qz, stored)
+        .repartition(col("cid"))
+        .sortWithinPartitions("vid")
+        .write.mode("append").partitionBy("cid").parquet(s"$path/cells")
+      fs.mkdirs(markers)
+      fs.create(marker, false).close()
+      true
+    }
+  }
+
   /** Probe a [[writeCellIndex]] index with a caller-supplied QUERY
     * VECTOR — the real serving shape (the query is usually a freshly
     * embedded text, not a corpus member): rank the (small, stored)
@@ -859,5 +906,74 @@ object Similarity {
         cosineQNormed(col("a.qe"), col("b.qe"), col("a.n2"), col("b.n2")).as("cosine"))
       .orderBy(col("cosine").desc, col("id_a").asc, col("id_b").asc)
       .limit(k)
+  }
+
+  /** SemDeDup-style SEMANTIC dedup — the embedding-space analog of
+    * [[graft.ext.Dedup.keepRepresentatives]]: drop every document whose
+    * embedding is within `threshold` cosine of an EARLIER (smaller-id)
+    * document in the same coarse IVF cell, keep everything else. Cells
+    * come from THE shared assignment rule ([[assignCells]] over the
+    * stride codebook — stored == probed == deduped), so the pair search
+    * is blocked per cell instead of corpus-wide: the self-join shuffles
+    * on the cell id and each cell's candidate set is ~stride vectors,
+    * never data×data. The keep rule is keep-first (a doc survives iff
+    * no smaller-id in-cell neighbour clears the threshold) — one
+    * distinct + one LeftAnti, no connected components: semantic
+    * near-duplication is not meaningfully transitive across a 0.9+
+    * threshold the way minhash clusters are, and keep-first is the rule
+    * the published pipelines apply per cluster.
+    *
+    * Blind spot, by construction: a near-dup pair STRADDLING a cell
+    * boundary is not considered (same recall<1 trade as every blocked
+    * method here; the text-side LSH family has the same property per
+    * band). `maxCell` caps the per-cell quadratic on degenerate
+    * codebooks — an over-`maxCell` cell contributes no pairs and keeps
+    * all members (same skip-and-keep semantics as [[capBuckets]]).
+    * Output: the kept ids as `idCol`, one row per surviving document. */
+  def semDedup(embeddings: DataFrame, idCol: String, embCol: String,
+               threshold: Double, centroidStride: Int = 100,
+               maxCell: Int = Int.MaxValue): DataFrame = {
+    val qz = graft.CacheScope.persistTracked(
+      embeddings.select(col(idCol).as("vid"),
+          quantize(col(embCol)).as("qe"))
+        .withColumn("n2", dotQ(col("qe"), col("qe"))))
+    // consumed three times (both pair sides + the keep anti-join)
+    val cells = graft.CacheScope.persistTracked(
+      assignCells(qz, centroidsOf(qz, centroidStride)))
+    val eligible =
+      if (maxCell == Int.MaxValue) cells
+      else cells.join(
+        cells.groupBy("cid").agg(count(lit(1)).as("__n"))
+          .where(col("__n") <= maxCell).select("cid"),
+        Seq("cid"))
+    val dropped = eligible.as("a").join(eligible.as("b"),
+        col("a.cid") === col("b.cid") && col("b.vid") < col("a.vid"))
+      .where(cosineQNormed(col("a.qe"), col("b.qe"),
+        col("a.n2"), col("b.n2")) >= threshold)
+      .select(col("a.vid")).distinct()
+    cells.join(dropped, Seq("vid"), "left_anti")
+      .select(col("vid").as(idCol))
+  }
+
+  /** Cluster-BALANCED diversity sample — at most `n` documents per
+    * semantic cell, the embedding-space analog of
+    * [[Sampling.capPerGroup]]'s per-domain cap (and exactly it, once
+    * the cell is the group): the corpus-curation move that flattens
+    * over-represented semantic regions (boilerplate clusters, template
+    * farms) instead of over-represented DOMAINS. Assignment is the
+    * shared [[assignCells]] rule; the kept n per cell are the smallest
+    * seeded-hash ranks, deterministic and re-drawable, with the
+    * rank<=n predicate pushing into WindowGroupLimit (bounded buffers,
+    * no whole-cell sorts). Output: (idCol, cid). */
+  def cellBalanced(embeddings: DataFrame, idCol: String, embCol: String,
+                   n: Int, centroidStride: Int = 100,
+                   seed: String = "cell0"): DataFrame = {
+    val qz = embeddings.select(col(idCol).as("vid"),
+        quantize(col(embCol)).as("qe"))
+      .withColumn("n2", dotQ(col("qe"), col("qe")))
+    val cells = assignCells(qz, centroidsOf(qz, centroidStride))
+      .select(col("vid"), col("cid"))
+    Sampling.capPerGroup(cells, col("cid"), col("vid"), n, seed)
+      .select(col("vid").as(idCol), col("cid"))
   }
 }

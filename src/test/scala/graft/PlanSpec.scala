@@ -177,6 +177,22 @@ class PlanSpec extends SparkSpec {
       s"expected the validity filter pushed to the scan in:\n$p")
   }
 
+  test("semdedup: cell-blocked pair join + keep-first anti join, no cartesian") {
+    val p = plan("semdedup")
+    // the drop set subtracts via LeftAnti; candidate pairs come from the
+    // cid-keyed self-join (cells are ~stride vectors), never data×data
+    assert(p.contains("LeftAnti"),
+      s"expected the keep-first anti join in:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"the pair search must stay cell-blocked:\n$p")
+  }
+
+  test("sample_cell: the per-cell cap pushes into WindowGroupLimit") {
+    val p = plan("sample_cell")
+    assert(p.contains("WindowGroupLimit"),
+      s"expected the rank<=n group-limit pushdown in:\n$p")
+  }
+
   test("ann_ivf_idx declared row probes a partition-pruned index scan") {
     // SimilaritySpec pins the API on its own tmp index; this ties the
     // DECLARED row (through ExtQueries.ivfIndexFor's memoized build) to
@@ -406,10 +422,10 @@ class PlanSpec extends SparkSpec {
   }
 
   test("no inventory query plans a cartesian product") {
-    // ann_bruteforce/ann_lsh intentionally broadcast-cross-join ONE query
+    // ann_brute/ann_lsh intentionally broadcast-cross-join ONE query
     // row against the corpus — a bounded nested loop, not an all-pairs
     // blowup — so they are exempt.
-    val exempt = Set("ann_bruteforce", "ann_lsh")
+    val exempt = Set("ann_brute", "ann_lsh")
     SparkEntry.queries.keys.filterNot(exempt).foreach { name =>
       val p = plan(name)
       assert(!p.contains("CartesianProduct"),

@@ -114,6 +114,59 @@ class SimilaritySpec extends SparkSpec {
     assert(top._3 > 0.999999)
   }
 
+  test("semDedup drops in-cell copies keep-first; cap skips oversized cells") {
+    // stride 4 → centroids at vids 0 (direction (1,0)) and 4 ((0,1)).
+    // Cell A: 1 and 2 are (near-)copies of 0 → dropped; 3 sits between
+    // the clusters (cosine 0.707 to both centroids — the tie breaks to
+    // the smaller cid) but clears no in-cell neighbour at 0.95 → kept.
+    // Cell B: 5 is a scaled copy of 4 → dropped; 6 and 7 are distinct
+    // directions below threshold → kept.
+    def v(x: Float, y: Float) = Array(x, y, 0f, 0f)
+    val docs = Seq(
+      0L -> v(1f, 0f), 1L -> v(2f, 0f), 2L -> v(0.99f, 0.2f),
+      3L -> v(0.7f, 0.7f),
+      4L -> v(0f, 1f), 5L -> v(0f, 0.5f), 6L -> v(0.3f, 0.9f),
+      7L -> v(-0.3f, 0.85f)
+    ).toDF("vec_id", "embedding")
+    val kept = Similarity.semDedup(docs, "vec_id", "embedding",
+        threshold = 0.95, centroidStride = 4)
+      .as[Long].collect().toSet
+    assert(kept == Set(0L, 3L, 4L, 6L, 7L),
+      s"keep-first should drop 1, 2, 5; got $kept")
+
+    // both 4-member cells exceed a cap of 3 → no pairs form, all kept
+    // (skip-and-keep, the capBuckets contract)
+    val capped = Similarity.semDedup(docs, "vec_id", "embedding",
+        threshold = 0.95, centroidStride = 4, maxCell = 3)
+      .as[Long].collect().toSet
+    assert(capped == (0L to 7L).toSet)
+  }
+
+  test("cellBalanced caps per semantic cell with the shared assignment") {
+    def v(x: Float, y: Float) = Array(x, y, 0f, 0f)
+    // two clean direction clusters of 20; stride 20 → centroids 0 and 20
+    val docs = ((0L until 20L).map(i => i -> v(1f, i * 0.01f)) ++
+      (20L until 40L).map(i => i -> v((i - 20) * 0.01f, 1f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.cellBalanced(docs, "vec_id", "embedding", n = 3,
+        centroidStride = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // exactly n survivors per cell, each assigned to its true cluster
+    assert(out.length == 6)
+    val byCell = out.groupBy(_._2)
+    assert(byCell.keySet == Set(0L, 20L))
+    byCell.foreach { case (_, rows) => assert(rows.length == 3) }
+    out.foreach { case (vid, cid) =>
+      assert(if (vid < 20) cid == 0L else cid == 20L,
+        s"vector $vid assigned to wrong cell $cid")
+    }
+    // deterministic: same call, same survivors
+    val again = Similarity.cellBalanced(docs, "vec_id", "embedding", n = 3,
+        centroidStride = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(again.sorted.sameElements(out.sorted))
+  }
+
   test("IVF ANN: finds the colinear copy via its cell; scores match brute force") {
     // stride 2 → centroids {0, 2, 4}; vector 1 (same direction as 0)
     // lands in centroid 0's cell, which the query (vec 0) probes first
@@ -151,6 +204,34 @@ class SimilaritySpec extends SparkSpec {
         excludeVid = Some(0L))
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(byVec == byId)
+  }
+
+  test("appendCellIndex: batch joins its stored cell, replay no-ops, pruning survives") {
+    val root = java.nio.file.Files.createTempDirectory("graft-ivf-app").toString
+    Similarity.writeCellIndex(vecs, "vec_id", "embedding", root,
+      centroidStride = 2)
+    // vec 10 is a scaled copy of vec 0's direction → the stored codebook
+    // (centroids 0, 2, 4) must put it in centroid 0's cell
+    val batch = Seq((10L, vecs.collect()
+      .find(_.getLong(0) == 0L).get.getSeq[Float](1).toArray.map(_ * 3f)))
+      .toDF("vec_id", "embedding")
+    assert(Similarity.appendCellIndex(batch, "vec_id", "embedding", root,
+      batchId = 1L))
+    val cells = spark.read.parquet(s"$root/cells")
+    assert(cells.count() == 6)
+    assert(cells.where($"vid" === 10L).select("cid")
+      .collect().map(_.get(0).toString) sameElements Array("0"))
+    // the probe serves the appended vector through the same pruned scan
+    val probe = Similarity.annIvfIndexed(spark, root, 0L, 5, nprobe = 2)
+    val ids = probe.collect().map(_.getLong(0))
+    assert(ids.contains(10L), s"appended vector missing from ${ids.toSeq}")
+    val p = probe.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters") && p.contains("cid"),
+      s"pruning must survive the append:\n$p")
+    // replayed micro-batch: marker already applied → no-op, count stable
+    assert(!Similarity.appendCellIndex(batch, "vec_id", "embedding", root,
+      batchId = 1L))
+    assert(spark.read.parquet(s"$root/cells").count() == 6)
   }
 
   test("precomputed cell index: the probe scan is partition-pruned on cid") {
