@@ -97,7 +97,7 @@ object CoreQueries {
     }),
     "a11_resume" -> ((s, d) =>
       BlockIngest.resumeHeight(Tables.summaries(s, d))),
-    "cis2_log_decode" -> ((s, d) => {
+    "cis2_decode" -> ((s, d) => {
       // CIS-2 binary log parse (§2.C): events → wire-format log bytes via
       // cis2_encode, then decoded back through the raw-log feed path
       // (Cis2Decode + reference drop semantics). The oracle computes the
@@ -162,7 +162,7 @@ object CoreQueries {
         CIdx, CSub, 0L, None, ascending = true)),
     "b5_row_decode" -> ((s, d) =>
       QueryApi.decodeRows(Tables.summaries(s, d)).orderBy("id")),
-    // DEEP envelope decode, exercised end-to-end like cis2_log_decode:
+    // DEEP envelope decode, exercised end-to-end like cis2_decode:
     // the driver fixture's payloads are shallow, so the query first
     // ENCODES the reference-shaped nested BlockItemSummary JSON from
     // `events` (details type tag, sender, events array / tagged
@@ -247,7 +247,7 @@ FROM ati a LEFT JOIN dim d ON a.account // 4 = d.prefix
 GROUP BY 1 ORDER BY 1"""),
     "a11_resume" -> (cte +
       "SELECT max_by(height, id) AS height FROM summaries"),
-    "cis2_log_decode" -> """
+    "cis2_decode" -> """
 SELECT event_id // 8 AS height,
        CAST(event_id % 8 AS INT) AS seq_in_block,
        user_id % 50 AS "index",

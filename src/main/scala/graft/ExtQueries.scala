@@ -507,6 +507,11 @@ object ExtQueries {
       TextAnalysis.vocabHead(Tables.documents(s, d), col("text"), k = 50)
         .orderBy("rank")),
 
+    "text_ppl" -> ((s, d) =>
+      TextAnalysis.lmSurprisal(Tables.documents(s, d), col("text"),
+          col("doc_id"))
+        .orderBy("doc_id")),
+
     "dedup_prefix" -> ((s, d) =>
       Dedup.prefixDups(Tables.documents(s, d), col("text"), col("doc_id"),
         n = 64).orderBy("doc_id")),
@@ -541,7 +546,7 @@ object ExtQueries {
     // C4-style line dedup over CONSTRUCTED multi-line text — the fixture
     // corpus has no newlines, so the row wraps each document's words into
     // 4-word lines first (the encode-then-run pattern of b5_deep /
-    // cis2_log_decode); ~340 lines are shared across documents at both
+    // cis2_decode); ~340 lines are shared across documents at both
     // test scales, so the filter actually discriminates.
     "dedup_lines" -> ((s, d) =>
       Curation.dedupLines(linedDocs(Tables.documents(s, d)),
@@ -1444,6 +1449,31 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
        CAST(sum(rar) AS BIGINT) AS rarity_sum,
        CAST(sum(rar) * 1000 // count(*) AS BIGINT) AS rarity_pm
 FROM d GROUP BY doc_id ORDER BY doc_id"""),
+
+    // bigram-LM surprisal: word 2-shingles, counts by (prefix, bigram)
+    // hash, denominator re-aggregated from the bigram table, surprisal =
+    // bit length of the truncated inverse conditional frequency
+    "text_ppl" -> (WordsCte + s""", bg AS (
+  SELECT doc_id, unnest(CASE WHEN len(words) >= 2
+           THEN list_transform(range(len(words)-1),
+                i -> array_to_string(words[i+1:i+2], ' '))
+           ELSE [] END) AS b0
+  FROM w
+), ex AS (
+  SELECT doc_id, ${h60("b0")} AS bh,
+         ${h60("split_part(b0, ' ', 1)")} AS wh
+  FROM bg
+), big AS (SELECT wh, bh, count(*) AS c12 FROM ex GROUP BY 1, 2),
+uni AS (SELECT wh, sum(c12) AS c1 FROM big GROUP BY 1),
+model AS (
+  SELECT bh, CAST(length(bin(c1 // c12)) AS BIGINT) AS s
+  FROM big JOIN uni USING (wh)
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(sum(s) AS BIGINT) AS bits_sum,
+       CAST(sum(s) * 1000 // count(*) AS BIGINT) AS ppl_pm
+FROM ex JOIN model USING (bh)
+GROUP BY doc_id ORDER BY doc_id"""),
 
     "text_top_terms" -> ("""WITH t AS (
   SELECT doc_id, unnest(string_split_regex(trim(lower(text)), ' +')) AS term

@@ -220,6 +220,58 @@ object TextAnalysis {
       .withColumn("rarity_pm", expr("rarity_sum * 1000 div n_terms"))
   }
 
+  /** CCNet-style LANGUAGE-MODEL quality score: train a bigram LM on the
+    * corpus itself, score each document by its mean conditional
+    * surprisal under that model. Fluent, corpus-typical text compresses
+    * well (low bits per bigram); gibberish, boilerplate-free keyboard
+    * mash, and wrong-language fragments surprise the model (high bits).
+    * This is the model-based slot of a curation stack — [[qualityScore]]
+    * is per-row heuristics, [[rarityScore]] is DF-weighted vocabulary
+    * rarity; this conditions each token on its predecessor with
+    * TF-weighted corpus statistics, the n-gram analog of the
+    * perplexity-filtering step the published pipelines run with KenLM.
+    *
+    * Exact integer arithmetic, engine-portable: the surprisal of bigram
+    * (w1,w2) is `bitlen(c(w1,·) div c(w1,w2))` — the bit length of the
+    * truncated inverse conditional frequency, an integer ceiling of
+    * -log2 p(w2|w1) — summed per doc and averaged in parts-per-thousand
+    * (no float ever). Smoothing-free by construction: every scored
+    * bigram exists in the model (it was trained on this corpus), so the
+    * count is never zero. Scoring a FOREIGN corpus against this model
+    * needs add-k smoothing — out of scope here, the corpus-self-scoring
+    * is what the filtering step runs.
+    *
+    * Scale shape ([[rarityScore]]'s, one level up): bigram counts are a
+    * partial-aggregating `groupBy(wh, bh)` (map-side combine absorbs
+    * "of the"); the unigram DENOMINATOR re-aggregates the
+    * vocabulary-sized bigram table by prefix — never a second corpus
+    * pass — and attaches to it (vocabulary × vocabulary-sized join on
+    * the prefix hash), so the corpus-sized probe joins the finished
+    * model on the single uniform bigram hash (one row per key on the
+    * build side; AQE splits residual hot probe partitions), then the
+    * per-doc partial-agg regroup. Documents under two words score no
+    * bigrams and are dropped, as in [[rarityScore]].
+    *
+    * Output: (doc_id, n_bigrams, bits_sum, ppl_pm = mean bits per
+    * bigram, parts-per-thousand). */
+  def lmSurprisal(df: DataFrame, content: Column, id: Column): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val ex = df.select(id.as("doc_id"),
+        explode(Text.shingles(content, 2)).as("bg"))
+      .select(col("doc_id"),
+        Text.hash60(col("bg")).as("bh"),
+        Text.hash60(substring_index(col("bg"), " ", 1)).as("wh"))
+    val big = ex.groupBy("wh", "bh").agg(count(lit(1)).as("c12"))
+    val uni = big.groupBy("wh").agg(sum("c12").as("c1"))
+    val model = big.join(uni, "wh")
+      .select(col("bh"),
+        length(bin(expr("c1 div c12"))).cast("long").as("s"))
+    ex.select("doc_id", "bh").join(model, "bh")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("s").as("bits_sum"))
+      .withColumn("ppl_pm", expr("bits_sum * 1000 div n_bigrams"))
+  }
+
   def fingerprint(df: DataFrame, content: Column, id: Column,
                   k: Int = 3): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)

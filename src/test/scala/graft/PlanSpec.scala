@@ -42,7 +42,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("cis2 log decode: one list-key window, no joins, codegen'd decode") {
-    val p = plan("cis2_log_decode")
+    val p = plan("cis2_decode")
     assert(count(p, "Window") == 1, s"expected exactly the drop-semantics window in:\n$p")
     assert(!p.contains("Join"), s"decode path must not join:\n$p")
     // the event-type filter must reach the parquet scan under the codec

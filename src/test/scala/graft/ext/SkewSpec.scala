@@ -98,6 +98,28 @@ class SkewSpec extends SparkSpec with org.scalatest.BeforeAndAfterEach {
     }
   }
 
+  test("lmSurprisal: a bigram in every doc aggregates map-side, bits exact") {
+    // "the cat" opens all 240 docs — the hot bigram AND hot prefix; both
+    // count layers must be partial aggregates, never hash windows
+    val docs = (0L until 240L)
+      .map(i => (i, s"the cat a$i b$i"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.lmSurprisal(docs, $"text", $"doc_id")
+    val p = physical(out)
+    assertNoHashWindow(p, "bh")
+    assertNoHashWindow(p, "wh")
+    assert(p.contains("HashAggregate"), s"expected partial aggregation in:\n$p")
+    val rows = out.orderBy("doc_id").collect()
+    assert(rows.length == 240)
+    // per doc: (the,cat) c12=240, prefix the·=240 -> s=bitlen(1)=1;
+    // (cat,aI) c12=1, cat·=240 -> s=bitlen(240)=8;
+    // (aI,bI) c12=1, aI·=1 -> s=bitlen(1)=1. bits 10 over 3 -> 3333
+    rows.foreach { r =>
+      assert((r.getLong(1), r.getLong(2), r.getLong(3)) == ((3L, 10L, 3333L)),
+        s"unexpected surprisal ${r.mkString(",")}")
+    }
+  }
+
   test("ngramContamination: a train-wide shingle stays one distinct row, shares exact") {
     val docs = (0L until 240L)
       .map(i => (i, s"the quick brown fox a$i b$i c$i"))

@@ -1,0 +1,98 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.streaming.Trigger
+import java.nio.file.Files
+
+/** The ANN-index analog of StreamingSoakSpec's mirror story: a LIVE
+  * embedding feed (file source) appends into a prebuilt cell index via
+  * [[Similarity.appendCellIndex]] in `foreachBatch`, across a mid-stream
+  * stop/restart. Pins: (a) every streamed vector lands in the cell the
+  * STORED codebook assigns — the index never desyncs from its own
+  * assignment rule even when batches replay; (b) an explicitly
+  * re-delivered batchId no-ops; (c) the vector probe serves appended
+  * vectors through the same partition-pruned scan. */
+class StreamingAnnIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def v(x: Float, y: Float) = Array(x, y, 0f, 0f)
+
+  test("streamed appends survive a restart; cells match the stored codebook") {
+    val root = Files.createTempDirectory("graft-ann-stream").toString
+    val feedDir = s"$root/feed"
+    val ckpt = s"$root/ckpt"
+    val index = s"$root/index"
+
+    // base corpus: ids 0-4 cluster on (1,0), 5-9 on (0,1); stride 5 →
+    // stored centroids are vids 0 (direction A) and 5 (direction B)
+    val base = ((0L until 5L).map(i => i -> v(1f, i * 0.01f)) ++
+      (5L until 10L).map(i => i -> v((i - 5) * 0.01f, 1f)))
+      .toDF("vec_id", "embedding")
+    Similarity.writeCellIndex(base, "vec_id", "embedding", index,
+      centroidStride = 5)
+
+    // 4 feed files → 4 micro-batches; each vector is colinear with one
+    // centroid, so its expected cell is known by construction
+    val expected = (0 until 4).flatMap { f =>
+      Seq((100L + 2 * f, 0L), (101L + 2 * f, 5L))
+    }.toSet
+    (0 until 4).foreach { f =>
+      Seq(100L + 2 * f -> v(2f + f, 0f), 101L + 2 * f -> v(0f, 2f + f))
+        .toDF("vec_id", "embedding")
+        .coalesce(1).write.mode(SaveMode.Append).parquet(feedDir)
+    }
+
+    def start() = spark.readStream
+      .schema(base.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(feedDir)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        Similarity.appendCellIndex(batch, "vec_id", "embedding", index,
+          batchId)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+    // stop after the first committed batch — wherever the stream is,
+    // graceful or mid-batch, the marker layer must absorb the replay
+    val q1 = start()
+    val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+    while (q1.lastProgress == null && q1.isActive &&
+      System.nanoTime() < deadline) Thread.sleep(50)
+    q1.stop()
+    q1.awaitTermination(120000)
+    val q2 = start()
+    q2.awaitTermination(120000)
+    assert(!q2.isActive)
+
+    // every streamed vector in exactly the cell the stored codebook
+    // assigns (set equality: a replayed file generation may duplicate a
+    // row, never move or lose one)
+    val got = spark.read.parquet(s"$index/cells")
+      .where($"vid" >= 100L)
+      .select($"vid", $"cid".cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected, s"streamed cells diverged: $got")
+
+    // explicit re-delivery of an applied batch: marker makes it a no-op
+    val before = spark.read.parquet(s"$index/cells").count()
+    assert(!Similarity.appendCellIndex(
+      Seq(999L -> v(1f, 1f)).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", index, batchId = 0L))
+    assert(spark.read.parquet(s"$index/cells").count() == before)
+
+    // the serving probe sees the streamed vectors through pruned scans
+    val probe = Similarity.annIvfIndexedVec(spark, index,
+      Seq(1f, 0f, 0f, 0f), k = 5, nprobe = 1)
+    val ids = probe.collect().map(_.getLong(0)).toSet
+    assert(Set(100L, 102L, 104L, 106L).subsetOf(ids),
+      s"probe missed streamed A-cluster vectors: $ids")
+    val p = probe.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters") && p.contains("cid"),
+      s"pruning must survive streamed appends:\n$p")
+  }
+}

@@ -133,6 +133,29 @@ class TextAnalysisSpec extends SparkSpec {
     assert(again.toSeq == out.toSeq)
   }
 
+  test("lmSurprisal: bigram-LM bits match hand arithmetic; short docs drop") {
+    // corpus bigram counts: ab=3 (d0 twice + d1), ba=2, ac=1, bx=1
+    // prefixes: a·=4, b·=3
+    // s(ab)=bitlen(4 div 3)=1, s(ba)=bitlen(3 div 2)=1,
+    // s(ac)=bitlen(4 div 1)=3, s(bx)=bitlen(3 div 1)=2
+    val df = Seq(
+      (0L, "a b a b a c"), // bits 1+1+1+1+3=7 over 5 bigrams -> 1400
+      (1L, "a b x"),       // bits 1+2=3 over 2 -> 1500
+      (2L, "z")            // one word, no bigrams -> absent
+    ).toDF("id", "text")
+    val out = TextAnalysis.lmSurprisal(df, $"text", $"id")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (0L, 5L, 7L, 1400L),
+      (1L, 2L, 3L, 1500L)))
+    // partitioning-independent (exact integer bits, no float drift)
+    val again = TextAnalysis.lmSurprisal(df.repartition(3), $"text", $"id")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(again.toSeq == out.toSeq)
+  }
+
   test("fingerprint: spacing-insensitive content fp, local-edit-stable winnow fp") {
     val df = Seq(
       (1L, "alpha beta  gamma delta epsilon"),
