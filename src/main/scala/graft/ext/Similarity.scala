@@ -674,6 +674,60 @@ object Similarity {
     }
   }
 
+  /** STREAMING-tier semantic dedup — the embedding-space mirror of
+    * [[graft.ext.Dedup.tagAgainstHistory]]'s tag-don't-drop contract: a
+    * fresh micro-batch is TAGGED `near_index` where some vector already
+    * IN the index clears the cosine threshold, and left untouched
+    * otherwise. The batch assigns against the stored codebook (small,
+    * broadcast), its cell set collects to a LITERAL `cid IN (…)`
+    * partition predicate — the probe scan touches only the batch's own
+    * cells, the [[annIvfIndexedVec]] pruning shape, never the corpus —
+    * and the in-cell pair search is bounded by batch × cell size.
+    *
+    * Compose with [[appendCellIndex]] in one `foreachBatch` (tag
+    * against the CURRENT index, then append the novel rows) for
+    * incremental SemDeDup over a live feed: each batch dedups against
+    * everything accumulated before it. Stateless per batch — replay
+    * re-derives the same tags against whatever the index then holds;
+    * since tagging only ANNOTATES, a replay can re-tag but never lose a
+    * document (the text tier's exact argument). Cross-batch dups inside
+    * one un-appended batch are [[semDedup]]'s batch job, not this
+    * probe's. `nprobe` > 1 widens each batch vector's probe beyond its
+    * home cell — the boundary-straddling recall knob. */
+  def tagNearIndex(batch: DataFrame, idCol: String, embCol: String,
+                   path: String, threshold: Double,
+                   nprobe: Int = 1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = batch.sparkSession
+    val qz = graft.CacheScope.persistTracked(
+      batch.select(col(idCol).as("vid"),
+          quantize(col(embCol)).as("qe"))
+        .withColumn("n2", dotQ(col("qe"), col("qe"))))
+    val cents = spark.read.parquet(s"$path/centroids")
+    val byVec = Window.partitionBy("vid")
+      .orderBy(col("ccos").desc, col("cid").asc)
+    val probes = qz.crossJoin(broadcast(cents))
+      .select(col("vid"), col("qe"), col("n2"), col("cid"),
+        cosineQNormed(col("qe"), col("ce"), col("n2"), col("cn2")).as("ccos"))
+      .withColumn("rnk", row_number().over(byVec))
+      .where(col("rnk") <= nprobe)
+      .select(col("vid"), col("qe"), col("n2"), col("cid"))
+    // batch-sized driver collect of the CELL SET (bounded by the
+    // codebook, not the batch): the literal is what Catalyst prunes on
+    val cids = probes.select("cid").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val stored = readCells(spark, path).where(col("cid").isin(cids: _*))
+    val dup = probes.as("b").join(stored.as("s"),
+        col("b.cid") === col("s.cid") && col("b.vid") =!= col("s.vid"))
+      .where(cosineQNormed(col("b.qe"), col("s.qe"),
+        col("b.n2"), col("s.n2")) >= threshold)
+      .select(col("b.vid")).distinct()
+      .withColumn("near_index", lit(true))
+    batch.join(dup, batch(idCol) === dup("vid"), "left")
+      .drop("vid")
+      .na.fill(false, Seq("near_index"))
+  }
+
   /** Probe a [[writeCellIndex]] index with a caller-supplied QUERY
     * VECTOR — the real serving shape (the query is usually a freshly
     * embedded text, not a corpus member): rank the (small, stored)

@@ -95,4 +95,47 @@ class StreamingAnnIndexSpec extends SparkSpec {
     assert(p.contains("PartitionFilters") && p.contains("cid"),
       s"pruning must survive streamed appends:\n$p")
   }
+
+  test("tagNearIndex + appendCellIndex compose into incremental semantic dedup") {
+    val index = Files.createTempDirectory("graft-ann-tag").toString
+    val base = ((0L until 5L).map(i => i -> v(1f, i * 0.01f)) ++
+      (5L until 10L).map(i => i -> v((i - 5) * 0.01f, 1f)))
+      .toDF("vec_id", "embedding")
+    Similarity.writeCellIndex(base, "vec_id", "embedding", index,
+      centroidStride = 5)
+
+    def tagsOf(df: org.apache.spark.sql.DataFrame): Map[Long, Boolean] =
+      df.select("vec_id", "near_index").collect()
+        .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+
+    // batch 0: 200 is a scaled A-cluster member (near an INDEXED vector);
+    // 201 is the diagonal — ~0.707 to both clusters, novel
+    val b0 = Seq(200L -> v(2f, 0f), 201L -> v(0.7f, 0.7f))
+      .toDF("vec_id", "embedding")
+    val t0 = Similarity.tagNearIndex(b0, "vec_id", "embedding", index,
+      threshold = 0.99)
+    assert(tagsOf(t0) == Map(200L -> true, 201L -> false))
+    // the stored-cells probe scan must be partition-pruned to the
+    // batch's own cells — the plan carries the literal cid predicate
+    val p = t0.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters") && p.contains("cid"),
+      s"tag probe must prune to the batch's cells:\n$p")
+    graft.CacheScope.release()
+
+    // the foreachBatch body: append only the novel rows
+    assert(Similarity.appendCellIndex(
+      t0.where(!$"near_index").select("vec_id", "embedding"),
+      "vec_id", "embedding", index, batchId = 10L))
+
+    // batch 1: 300 repeats batch 0's novel diagonal — a near-dup of
+    // something appended EARLIER IN THE STREAM, not of the base corpus;
+    // 301 points away from everything
+    val b1 = Seq(300L -> v(1.4f, 1.4f), 301L -> v(-1f, 0.2f))
+      .toDF("vec_id", "embedding")
+    val t1 = Similarity.tagNearIndex(b1, "vec_id", "embedding", index,
+      threshold = 0.99)
+    assert(tagsOf(t1) == Map(300L -> true, 301L -> false),
+      "the batch must dedup against vectors accumulated from prior batches")
+    graft.CacheScope.release()
+  }
 }
