@@ -89,6 +89,39 @@ object Sampling {
       .drop("__rn")
   }
 
+  /** [[mixture]] with the recipe weights in TOKENS, not documents — the
+    * unit real mixture recipes are actually written in (a training run
+    * budgets "300B tokens, 60% web / 30% code / 10% books"; the
+    * document-count formulation only matches it when every domain's
+    * docs are the same length, which web vs books never are). Per-group
+    * supply is `sum(tokens)` (one tiny partial-agg, #groups rows,
+    * broadcast back — the [[mixture]] shape exactly), the keep rate is
+    * `min(1e6, w_g * targetTokens div tokens_g)` ppm, and thinning is
+    * the same seeded uniform id hash — docs are kept or dropped whole,
+    * so the expected SURVIVING TOKEN mass per group is
+    * `w_g * targetTokens` regardless of the doc-length distribution
+    * (uniform thinning is unbiased in any per-doc weight). A group
+    * whose token demand exceeds supply clamps to keep-everything;
+    * unweighted groups drop. */
+  def mixtureByTokens(df: DataFrame, group: Column, id: Column,
+                      tokens: Column, weightsPpm: Map[String, Int],
+                      targetTokens: Long,
+                      seed: String = "mixt0"): DataFrame = {
+    val wcol = weightsPpm.foldLeft(lit(0L)) { case (acc, (k, v)) =>
+      when(col("__g") === k, lit(v.toLong)).otherwise(acc)
+    }
+    val rates = df.groupBy(group.as("__g"))
+      .agg(sum(tokens.cast("long")).as("__n"))
+      .withColumn("__w", wcol)
+      .withColumn("__rate",
+        least(lit(1000000L), expr(s"__w * $targetTokens div __n")))
+    val u = Text.hash60(concat_ws(":", lit(seed), id.cast("string"))) %
+      1000000L
+    df.join(broadcast(rates), group === col("__g"))
+      .where(u < col("__rate"))
+      .drop("__g", "__n", "__w", "__rate")
+  }
+
   /** Weighted corpus MIXTURE — the domain-reweighting step of a
     * training recipe (Pile/DoReMi-style): given target output weights
     * per group (ppm) and a target output size, DERIVE each group's keep

@@ -33,6 +33,36 @@ class SamplingSpec extends SparkSpec {
     half.foreach { case (id, s) => assert(full(id) == s) }
   }
 
+  test("mixtureByTokens: rates from token mass, long docs don't distort the budget") {
+    // "web": 1000 docs x 100 tokens = 100k tokens; "books": 10 docs x
+    // 10k tokens = 100k tokens — equal token supply, wildly different
+    // doc counts (the case the doc-count mixture gets wrong by 100x)
+    val docs = ((0L until 1000L).map(i => (i, "web", 100L)) ++
+      (1000L until 1010L).map(i => (i, "books", 10000L)) ++
+      (1010L until 1020L).map(i => (i, "unweighted", 100L)))
+      .toDF("doc_id", "g", "n_tok")
+    val out = Sampling.mixtureByTokens(docs, $"g", $"doc_id", $"n_tok",
+      Map("web" -> 500000, "books" -> 500000), targetTokens = 20000)
+    val byG = out.collect().map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._2).view.mapValues(_.length).toMap
+    // both groups get rate 0.5*20000/100000 = 10% — web keeps ~100 of
+    // 1000 docs (~10k tokens), books ~1 of 10 (~10k tokens): the TOKEN
+    // budgets match even though the doc counts differ 100x
+    assert(byG("web") > 60 && byG("web") < 140, byG)
+    assert(byG.getOrElse("books", 0) <= 4, byG)
+    assert(!byG.contains("unweighted"), byG)
+    // clamp: books demand above supply keeps every book
+    val clamped = Sampling.mixtureByTokens(docs, $"g", $"doc_id", $"n_tok",
+      Map("books" -> 1000000), targetTokens = 1000000)
+    assert(clamped.where($"g" === "books").count() == 10)
+    // deterministic under repartitioning
+    val again = Sampling.mixtureByTokens(docs.repartition(7), $"g",
+      $"doc_id", $"n_tok",
+      Map("web" -> 500000, "books" -> 500000), targetTokens = 20000)
+      .collect().map(_.getLong(0)).sorted
+    assert(again.toSeq == out.collect().map(_.getLong(0)).sorted.toSeq)
+  }
+
   test("mixture derives rates from counts: thins, clamps, and drops per group") {
     val docs = ((0L until 1000L).map(i => (i, "big")) ++
       (1000L until 1010L).map(i => (i, "small")) ++
