@@ -255,18 +255,68 @@ object TextAnalysis {
     * Output: (doc_id, n_bigrams, bits_sum, ppl_pm = mean bits per
     * bigram, parts-per-thousand). */
   def lmSurprisal(df: DataFrame, content: Column, id: Column): DataFrame = {
+    val ex = bigramHashes(df, content, id)
+    val model = lmModelFrom(ex)
+      .select(col("bh"),
+        length(bin(expr("c1 div c12"))).cast("long").as("s"))
+    ex.select("doc_id", "bh").join(model, "bh")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("s").as("bits_sum"))
+      .withColumn("ppl_pm", expr("bits_sum * 1000 div n_bigrams"))
+  }
+
+  /** Per-occurrence bigram rows: (doc_id, bh = bigram hash, wh = prefix
+    * hash) — the shared extraction under [[lmSurprisal]] / [[lmModel]] /
+    * [[lmScore]]. */
+  private def bigramHashes(df: DataFrame, content: Column,
+                           id: Column): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
-    val ex = df.select(id.as("doc_id"),
+    df.select(id.as("doc_id"),
         explode(Text.shingles(content, 2)).as("bg"))
       .select(col("doc_id"),
         Text.hash60(col("bg")).as("bh"),
         Text.hash60(substring_index(col("bg"), " ", 1)).as("wh"))
+  }
+
+  private def lmModelFrom(ex: DataFrame): DataFrame = {
     val big = ex.groupBy("wh", "bh").agg(count(lit(1)).as("c12"))
     val uni = big.groupBy("wh").agg(sum("c12").as("c1"))
-    val model = big.join(uni, "wh")
-      .select(col("bh"),
-        length(bin(expr("c1 div c12"))).cast("long").as("s"))
-    ex.select("doc_id", "bh").join(model, "bh")
+    big.join(uni, "wh")
+  }
+
+  /** The TRAINED bigram model as a frame — (wh, bh, c12 = bigram count,
+    * c1 = prefix count), vocabulary-sized. Materialize it once (write
+    * to parquet beside the corpus, like the ANN codebook) and feed it
+    * to [[lmScore]]: the CCNet deployment shape is "train the LM on the
+    * CLEAN reference corpus, score every incoming crawl batch against
+    * it", and the model artifact is what crosses that boundary. */
+  def lmModel(df: DataFrame, content: Column, id: Column): DataFrame =
+    lmModelFrom(bigramHashes(df, content, id))
+
+  /** Score a FOREIGN corpus (or stream micro-batch) against a
+    * pre-trained [[lmModel]] with add-one smoothing — unlike
+    * [[lmSurprisal]]'s corpus-self-scoring, the scored text here can
+    * contain bigrams the model never saw, so the zero-count case must
+    * price in: smoothed surprisal is
+    * `bitlen((c1 + vocab) div (c12 + 1))` with `c12 = 0` for an unseen
+    * bigram and `c1 = 0` for an unseen prefix (`vocab` = the model's
+    * distinct-bigram count, `model.count()` — caller-supplied so this
+    * stays a pure plan). Two left joins against the vocabulary-sized
+    * model (bigram hash, then prefix hash for the misses' denominator);
+    * build side one row per key, AQE splits residual hot probe
+    * partitions. Stateless per input frame — streaming-composable in
+    * `foreachBatch` as the perplexity gate before the dedup tiers.
+    * Output: [[lmSurprisal]]'s (doc_id, n_bigrams, bits_sum, ppl_pm). */
+  def lmScore(df: DataFrame, content: Column, id: Column,
+              model: DataFrame, vocab: Long): DataFrame = {
+    val bigrams = model.select(col("bh"), col("c12"), col("c1").as("cb1"))
+    val prefixes = model.select(col("wh"), col("c1")).distinct()
+    bigramHashes(df, content, id)
+      .join(bigrams, Seq("bh"), "left")
+      .join(prefixes, Seq("wh"), "left")
+      .withColumn("__c1", coalesce(col("cb1"), col("c1"), lit(0L)) + lit(vocab))
+      .withColumn("__c12", coalesce(col("c12"), lit(0L)) + lit(1L))
+      .withColumn("s", length(bin(expr("__c1 div __c12"))).cast("long"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"), sum("s").as("bits_sum"))
       .withColumn("ppl_pm", expr("bits_sum * 1000 div n_bigrams"))

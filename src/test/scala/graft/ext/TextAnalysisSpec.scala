@@ -156,6 +156,29 @@ class TextAnalysisSpec extends SparkSpec {
     assert(again.toSeq == out.toSeq)
   }
 
+  test("lmScore: foreign text priced by add-one smoothing, exact bits") {
+    // model from ["a b", "a b", "a c"]: c(ab)=2, c(ac)=1, a·=3, vocab=2
+    val train = Seq((0L, "a b"), (1L, "a b"), (2L, "a c")).toDF("id", "text")
+    val model = TextAnalysis.lmModel(train, $"text", $"id")
+    val vocab = model.count()
+    assert(vocab == 2L)
+    val foreign = Seq(
+      (10L, "a b"), // seen bigram:  bitlen((3+2) div (2+1)) = bitlen(1) = 1
+      (11L, "a z"), // seen prefix:  bitlen((3+2) div (0+1)) = bitlen(5) = 3
+      (12L, "q r")  // unseen prefix: bitlen((0+2) div 1)    = bitlen(2) = 2
+    ).toDF("id", "text")
+    val out = TextAnalysis.lmScore(foreign, $"text", $"id", model, vocab)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (10L, 1L, 1L, 1000L),
+      (11L, 1L, 3L, 3000L),
+      (12L, 1L, 2L, 2000L)))
+    // in-distribution text scores strictly below out-of-distribution —
+    // the filtering property the gate exists for
+    assert(out(0)._4 < out(2)._4 && out(2)._4 < out(1)._4)
+  }
+
   test("fingerprint: spacing-insensitive content fp, local-edit-stable winnow fp") {
     val df = Seq(
       (1L, "alpha beta  gamma delta epsilon"),
