@@ -20,13 +20,27 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = read(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = read(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = read(s, d, "lineitem")
-  /** `events.parquet` stores ts as TIMESTAMP(NANOS), which Spark's parquet
-    * reader rejects by default; read it as a long (nanosAsLong) and floor to
-    * microseconds (Spark timestamp precision). All downstream ms-level
-    * derivations floor identically to DuckDB's epoch_ms on TIMESTAMP_NS. */
+  /** `events.parquet`'s `ts` encoding has CHANGED between driver testdata
+    * generations — TIMESTAMP(NANOS) (read by Spark as a long under
+    * nanosAsLong) in rounds ≤9, plain timestamp[us] `isAdjustedToUTC=false`
+    * (read as TIMESTAMP_NTZ) from round 10 — so branch on the dtype the
+    * scan actually reports instead of assuming either. Every branch
+    * normalizes to TimestampType at microsecond precision: with the
+    * session time zone pinned UTC (Verify/Bench/specs all do), the NTZ →
+    * TZ cast is a bitwise no-op on the stored micros, and downstream
+    * `unix_millis` matches DuckDB's `epoch_ms` on the same naive values. */
   def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampType, TimestampNTZType}
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    read(s, d, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = read(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType         => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampType    => raw
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case other => throw new IllegalStateException(
+        s"testdata schema changed: events.ts is $other, expected " +
+          "long (legacy nanos), timestamp, or timestamp_ntz")
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = read(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = read(s, d, "embeddings")

@@ -14,6 +14,10 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Testdata-drift canary FIRST: if the driver regenerated the parquet
+    // with new encodings (the r10 round-killer), say so once, loudly,
+    // before any per-query failure noise.
+    Preflight.check(spark, sfDir).foreach(w => System.err.println(s"[verify] $w"))
     // Start from an empty outDir: a reused directory keeps per-query
     // subdirs whose names are no longer declared (e.g. after a key
     // rename), and those stale dumps would surface as phantom

@@ -1,28 +1,27 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
+import com.fasterxml.jackson.databind.ObjectMapper
 
 /** The driver parses Bench's single JSON line from a bounded (2000-char)
   * tail of captured stdout. Round 4's line was 2224 chars and silently
-  * failed to parse (`BENCH_r04.json: parsed: null`). This spec rebuilds
-  * the worst-case line shape from the real query inventory and pins it
-  * under the window, so adding queries can't re-break the bench without
-  * failing the suite.
+  * failed to parse; round 10 lost its bench number AGAIN when 42 analysis
+  * exceptions × ~200 chars each overflowed the window. This spec drives
+  * the REAL [[Bench.buildLine]] through the zero-error worst case and the
+  * r10 error-storm shape and pins both under the window, so neither
+  * adding queries nor a broken-table round can re-break the parse.
   */
 class BenchLineSpec extends AnyFunSuite {
 
+  private val mapper = new ObjectMapper()
+  private val names = SparkEntry.queries.keys.toSeq
+
   test("worst-case bench JSON line fits the driver's 2000-char tail window") {
-    val names = SparkEntry.queries.keys.toSeq
     assert(names.nonEmpty)
     // Worst-case value rendering under Bench's adaptive formatting for
     // any sane per-query timing (<1000s): 3 chars — "9.9" under the
     // 9.95 guard, "999" above it.
-    val qs = names.map(n => s""""$n":9.9""").mkString("{", ",", "}")
-    // Worst-case happy-path total: <1000 s formats as 3 chars ("999");
-    // a query failure blows the line with 1e9 penalties + an errors map
-    // regardless, so the budget pins the zero-error shape only.
-    val line =
-      s"""{"metric":"total","value":999,"unit":"sec","queries":$qs,"cpus":32,"sf":"sf0.1"}"""
+    val line = Bench.buildLine(names.map(_ -> 9.9), Seq.empty, "32", "sf0.1")
     // Round 10 shortened the 21 longest names to reclaim headroom (the
     // line sat at 1,978/2,000 — one more query would have silently
     // broken the driver's tail parse). Keep >=150 chars spare so the
@@ -35,5 +34,38 @@ class BenchLineSpec extends AnyFunSuite {
       s"bench JSON line would be ${line.length} chars with ${names.size} queries " +
         "(need >=150 chars spare under the driver's 2000-char tail); " +
         "shorten query names or tighten Bench.scala's encoding before adding more")
+    val node = mapper.readTree(line)
+    assert(node.get("queries").size() === names.size)
+    assert(node.get("n_err") == null)
+  }
+
+  test("r10 error-storm shape: 42 erroring queries still parse under 2000 chars") {
+    assume(names.size > 42)
+    // The r10 blast radius exactly: 42 queries error with the same long
+    // analysis exception (truncated to 40 chars at capture, as
+    // Bench.main now does), the rest time normally.
+    val (broken, healthy) = names.splitAt(42)
+    val msg = ("[DATATYPE_MISMATCH.BINARY_OP_DIFF_TYPES] Cannot resolve " +
+      "\"(ts div 1000)\" due to data type mismatch").replaceAll("\\s+", " ").take(40)
+    val line = Bench.buildLine(healthy.map(_ -> 9.9), broken.map(_ -> msg),
+      "32", "sf0.1")
+    assert(line.length <= 2000,
+      s"error-storm line is ${line.length} chars — driver tail would drop it")
+    val node = mapper.readTree(line)
+    assert(node.get("n_err").asInt() === 42)
+    assert(node.get("errors").size() <= 3)
+    // the 1e9-per-error poison reflects ALL 42 errors, not the 3 sampled
+    assert(node.get("value").asDouble() >= 42e9)
+    assert(node.get("queries").size() === healthy.size)
+  }
+
+  test("every declared query erroring still yields a parseable line") {
+    val line = Bench.buildLine(Seq.empty,
+      names.map(_ -> "java.lang.IllegalStateException: testdata schema ch"),
+      "32", "sf0.1")
+    assert(line.length <= 2000)
+    val node = mapper.readTree(line)
+    assert(node.get("n_err").asInt() === names.size)
+    assert(node.get("value").asDouble() >= names.size * 1e9)
   }
 }
