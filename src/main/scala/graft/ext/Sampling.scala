@@ -110,11 +110,23 @@ object Sampling {
     val wcol = weightsPpm.foldLeft(lit(0L)) { case (acc, (k, v)) =>
       when(col("__g") === k, lit(v.toLong)).otherwise(acc)
     }
+    // Rate arithmetic in DECIMAL(38,0), not Long: `w * targetTokens` at
+    // frontier-scale budgets (w ppm up to 1e6 × a multi-trillion-token
+    // target) exceeds Long.MaxValue around 9.2e12 tokens at full weight,
+    // and non-ANSI Long multiply would wrap NEGATIVE — silently dropping
+    // the group instead of clamping to keep-everything. A zero-token
+    // group (demand > 0, supply 0) clamps to keep-everything explicitly
+    // rather than riding a null division into a silent drop.
+    val dec38 = "decimal(38,0)"
+    val demand = col("__w").cast(dec38) * lit(targetTokens).cast(dec38)
+    val supplyPpm = col("__n").cast(dec38) * lit(1000000L).cast(dec38)
     val rates = df.groupBy(group.as("__g"))
       .agg(sum(tokens.cast("long")).as("__n"))
       .withColumn("__w", wcol)
       .withColumn("__rate",
-        least(lit(1000000L), expr(s"__w * $targetTokens div __n")))
+        when(col("__w") <= 0L, lit(0L))
+          .when(col("__n") <= 0L || demand >= supplyPpm, lit(1000000L))
+          .otherwise((demand / col("__n").cast(dec38)).cast("long")))
     val u = Text.hash60(concat_ws(":", lit(seed), id.cast("string"))) %
       1000000L
     df.join(broadcast(rates), group === col("__g"))

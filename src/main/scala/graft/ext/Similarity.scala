@@ -637,13 +637,16 @@ object Similarity {
     * 0.1% of vectors arrived would be the mirror-overwrite mistake
     * [[graft.sources.BucketedMirror.append]] exists to avoid.
     *
-    * Replay-safe for `foreachBatch`: an `_applied_batches/<batchId>`
-    * marker under the index root (appendOnce's exact contract,
-    * including the honest at-least-once tail — the marker commits
-    * AFTER the data files, so a crash between the two replays one
-    * batch; the probe's top-k dedups nothing, so a deployment needing
-    * exactness anti-joins the batch on vid first). Returns false on a
-    * replayed batch. Codebook drift is the caller's maintenance
+    * Replay-safe for `foreachBatch` at TWO granularities: an
+    * `_applied_batches/<batchId>` marker under the index root
+    * (appendOnce's exact contract — the marker commits AFTER the data
+    * files, so a crash between the two replays one batch) catches
+    * whole-batch replays, and a vid-level anti join against the batch's
+    * own cell partitions catches the replays the marker can't see — a
+    * file source re-delivering the same rows under a NEW batchId. No
+    * probe path dedups, so without the second guard every such replay
+    * would permanently add one duplicate row per vid. Returns false on
+    * a marker-replayed batch. Codebook drift is the caller's maintenance
     * policy: appends never move centroids, so when the corpus
     * distribution walks away from the codebook, recall decays and an
     * offline [[writeCellIndex]] relearn (the btree-rebuild analog)
@@ -664,10 +667,33 @@ object Similarity {
       // writeCellIndex invariant — a batch must never see a codebook
       // the index's existing cells were not assigned with)
       val stored = spark.read.parquet(s"$path/centroids")
-      assignCells(qz, stored)
+      // local persist (NOT CacheScope: the write below materializes
+      // eagerly inside this call, so the cache's life is this method —
+      // a scoped release here would wrongly drop an enclosing query's
+      // tracked frames)
+      val assigned = assignCells(qz, stored)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // vid-level anti join against the index BEFORE appending: a
+      // re-delivered document (same vid under a NEW batchId — the
+      // file-source replay case the batch marker can't see) would
+      // otherwise accumulate one duplicate row per replay, and no probe
+      // path dedups. Pruned to the batch's own cell set (deterministic
+      // assignment against the frozen codebook puts a replayed vid in
+      // the same cell as its stored copy), so the guard scans only the
+      // partitions the append would touch anyway.
+      val cids = assigned.select("cid").distinct()
+        .collect().map(_.getLong(0)).toSeq
+      val novel =
+        if (cids.isEmpty) assigned
+        else assigned.join(
+          readCells(spark, path).where(col("cid").isin(cids: _*))
+            .select("vid"),
+          Seq("vid"), "left_anti")
+      novel
         .repartition(col("cid"))
         .sortWithinPartitions("vid")
         .write.mode("append").partitionBy("cid").parquet(s"$path/cells")
+      assigned.unpersist(blocking = false)
       fs.mkdirs(markers)
       fs.create(marker, false).close()
       true

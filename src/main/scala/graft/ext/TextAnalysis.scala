@@ -233,9 +233,14 @@ object TextAnalysis {
     *
     * Exact integer arithmetic, engine-portable: the surprisal of bigram
     * (w1,w2) is `bitlen(c(w1,·) div c(w1,w2))` — the bit length of the
-    * truncated inverse conditional frequency, an integer ceiling of
-    * -log2 p(w2|w1) — summed per doc and averaged in parts-per-thousand
-    * (no float ever). Smoothing-free by construction: every scored
+    * truncated inverse conditional frequency, i.e.
+    * `floor(log2(floor(1/p))) + 1` for p = p(w2|w1). That tracks
+    * -log2 p within one bit and is monotone in p, but is NOT its exact
+    * ceiling: at exact powers of two it is one high (p = 1 scores 1
+    * bit where ceil(-log2 1) = 0; p = 1/4 scores 3 bits where the ceil
+    * is 2) — calibrate any absolute ppl_pm threshold against THIS
+    * integer scale, not a float -log2. Summed per doc and averaged in
+    * parts-per-thousand (no float ever). Smoothing-free by construction: every scored
     * bigram exists in the model (it was trained on this corpus), so the
     * count is never zero. Scoring a FOREIGN corpus against this model
     * needs add-k smoothing — out of scope here, the corpus-self-scoring
@@ -294,14 +299,20 @@ object TextAnalysis {
     lmModelFrom(bigramHashes(df, content, id))
 
   /** Score a FOREIGN corpus (or stream micro-batch) against a
-    * pre-trained [[lmModel]] with add-one smoothing — unlike
+    * pre-trained [[lmModel]] with Laplace-STYLE smoothing — unlike
     * [[lmSurprisal]]'s corpus-self-scoring, the scored text here can
     * contain bigrams the model never saw, so the zero-count case must
     * price in: smoothed surprisal is
     * `bitlen((c1 + vocab) div (c12 + 1))` with `c12 = 0` for an unseen
-    * bigram and `c1 = 0` for an unseen prefix (`vocab` = the model's
-    * distinct-bigram count, `model.count()` — caller-supplied so this
-    * stays a pure plan). Two left joins against the vocabulary-sized
+    * bigram and `c1 = 0` for an unseen prefix. `vocab` is the
+    * CALLER-CHOSEN smoothing mass added to every prefix denominator
+    * (caller-supplied so this stays a pure plan): textbook add-one over
+    * successor TYPES would use the unigram vocabulary size
+    * (`model.select("wh").distinct().count()`); passing the model's
+    * distinct-BIGRAM count (`model.count()`) is a harsher prior that
+    * deflates seen-bigram probabilities more when bigram types far
+    * exceed word types — fine for RANKING crawl batches (monotone per
+    * prefix), wrong for absolute-probability readings. Two left joins against the vocabulary-sized
     * model (bigram hash, then prefix hash for the misses' denominator);
     * build side one row per key, AQE splits residual hot probe
     * partitions. Stateless per input frame — streaming-composable in

@@ -63,6 +63,26 @@ class SamplingSpec extends SparkSpec {
     assert(again.toSeq == out.collect().map(_.getLong(0)).sorted.toSeq)
   }
 
+  test("mixtureByTokens: frontier-scale budget doesn't wrap, zero supply keeps") {
+    // 15T-token budget at 60% weight: 600000 * 15e12 = 9e18 — over
+    // Long.MaxValue (9.22e18) once multiplied as ppm Longs. Before the
+    // DECIMAL(38,0) rate arithmetic the product wrapped negative and the
+    // group was silently DROPPED instead of clamped to keep-everything.
+    val docs = ((0L until 100L).map(i => (i, "web", 1000L)) ++
+      (100L until 110L).map(i => (i, "empty", 0L)) ++
+      (110L until 120L).map(i => (i, "noweight", 0L)))
+      .toDF("doc_id", "g", "n_tok")
+    val out = Sampling.mixtureByTokens(docs, $"g", $"doc_id", $"n_tok",
+      Map("web" -> 600000, "empty" -> 400000), targetTokens = 15000000000000L)
+    // demand (9e18 token-ppm) dwarfs supply (100k tokens): keep ALL web
+    assert(out.where($"g" === "web").count() === 100)
+    // zero token supply with positive weight: explicit keep-everything,
+    // not a null-rate silent drop
+    assert(out.where($"g" === "empty").count() === 10)
+    // zero supply with NO weight still drops
+    assert(out.where($"g" === "noweight").count() === 0)
+  }
+
   test("mixture derives rates from counts: thins, clamps, and drops per group") {
     val docs = ((0L until 1000L).map(i => (i, "big")) ++
       (1000L until 1010L).map(i => (i, "small")) ++

@@ -138,4 +138,39 @@ class StreamingAnnIndexSpec extends SparkSpec {
       "the batch must dedup against vectors accumulated from prior batches")
     graft.CacheScope.release()
   }
+
+  test("re-delivered rows under a NEW batchId don't accumulate duplicate vids") {
+    // The replay the batch marker CANNOT see: a file source re-delivers
+    // the same rows with a fresh batchId (checkpoint loss, manual
+    // reprocess). tagNearIndex's self-guard (b.vid =!= s.vid) means the
+    // replayed copy is never tagged against its own indexed row, so
+    // before the vid-level anti join in appendCellIndex the compose
+    // appended one duplicate per replay — and no probe path dedups.
+    val index = Files.createTempDirectory("graft-ann-replay").toString
+    val base = ((0L until 5L).map(i => i -> v(1f, i * 0.01f)) ++
+      (5L until 10L).map(i => i -> v((i - 5) * 0.01f, 1f)))
+      .toDF("vec_id", "embedding")
+    Similarity.writeCellIndex(base, "vec_id", "embedding", index,
+      centroidStride = 5)
+
+    val batch = Seq(400L -> v(0.7f, 0.7f), 401L -> v(-1f, 0.1f))
+      .toDF("vec_id", "embedding")
+    def applyOnce(batchId: Long): Unit = {
+      val tagged = Similarity.tagNearIndex(batch, "vec_id", "embedding",
+        index, threshold = 0.99)
+      Similarity.appendCellIndex(
+        tagged.where(!$"near_index").select("vec_id", "embedding"),
+        "vec_id", "embedding", index, batchId)
+      graft.CacheScope.release()
+    }
+    applyOnce(batchId = 0L)
+    applyOnce(batchId = 1L) // same rows, new batchId — marker can't help
+    applyOnce(batchId = 2L)
+
+    val counts = spark.read.parquet(s"$index/cells")
+      .where($"vid" >= 400L).groupBy("vid").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts == Map(400L -> 1L, 401L -> 1L),
+      s"replays must not accumulate duplicate index rows: $counts")
+  }
 }
