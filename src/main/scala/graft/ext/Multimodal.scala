@@ -221,14 +221,19 @@ object Multimodal {
                          height: Int, n_pixels: Long, mean_luma: Int)
 
   /** Decoded-PCM statistics: the REAL audio path, the WAV analog of
-    * [[pixelsBatched]] — RIFF/`fmt `/`data` chunk walk plus an exact
-    * integer pass over every sample
-    * ([[graft.functions.MediaHeaderUtil.wavStats]]; no floats, so the
-    * result is engine- and platform-exact). One output row per payload
-    * that parses as uncompressed 8/16-bit PCM WAV — compressed codecs,
-    * truncated chunks, and non-audio bytes are dropped, the same
-    * quarantine contract as the pixel path. Same partition-batch
-    * execution shape as [[featuresBatched]]. */
+    * [[pixelsBatched]] — uncompressed 8/16-bit PCM WAV via the
+    * RIFF/`fmt `/`data` chunk walk
+    * ([[graft.functions.MediaHeaderUtil.wavStats]]), and COMPRESSED
+    * audio via the pure-JVM FLAC frame decoder
+    * ([[graft.functions.FlacCodec.decode]]: fixed/LPC subframes, rice
+    * residuals, stereo decorrelation, CRC-8/16 + STREAMINFO MD5
+    * verified) — both exact integer passes over every decoded sample,
+    * no floats, so the result is engine- and platform-exact, and the
+    * SAME PCM yields the SAME stats row through either container
+    * (AudioDecodeSpec pins this). Payloads that are neither — other
+    * codecs, truncated chunks, checksum failures, non-audio bytes —
+    * are dropped, the quarantine contract of the pixel path. Same
+    * partition-batch execution shape as [[featuresBatched]]. */
   def audioBatched(ds: Dataset[MediaRow], batchSize: Int = 64): Dataset[MediaAudio] = {
     implicit val enc = Encoders.product[MediaAudio]
     ds.mapPartitions { it =>
@@ -237,6 +242,21 @@ object Multimodal {
           graft.functions.MediaHeaderUtil.wavStats(r.payload).map { s =>
             MediaAudio(r.media_id, "wav", s.channels, s.sampleRate,
               s.bitsPerSample, s.nFrames, s.durationMs, s.meanAbsAmp)
+          }.orElse {
+            graft.functions.FlacCodec.decode(r.payload).map { f =>
+              val n = if (f.samples.isEmpty) 0 else f.samples(0).length
+              var sum = 0L
+              var c = 0
+              while (c < f.channels) {
+                var i = 0
+                while (i < n) { sum += math.abs(f.samples(c)(i).toLong); i += 1 }
+                c += 1
+              }
+              val total = n.toLong * f.channels
+              MediaAudio(r.media_id, "flac", f.channels, f.sampleRate,
+                f.bits, n.toLong, n.toLong * 1000L / f.sampleRate,
+                if (total == 0) 0L else sum / total)
+            }
           }
         }
       }

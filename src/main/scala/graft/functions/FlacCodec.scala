@@ -1,0 +1,609 @@
+package graft.functions
+
+/** Pure-JVM FLAC frame codec — closes the one remaining sample-decode
+  * stub behind the [[graft.ext.Multimodal]] audio seam (the reference
+  * pipeline treats audio as opaque payloads; a training-data pipeline
+  * needs the PCM). Implemented from the PUBLIC format specification
+  * (RFC 9639 / the published FLAC format document) with no codec
+  * dependency:
+  *
+  *   - [[decode]]: the full frame layer — constant / verbatim / fixed
+  *     (orders 0–4) / LPC (orders 1–32) subframes, 4- and 5-bit rice
+  *     partitions with escape codes, wasted-bits shifts, all four
+  *     channel assignments (independent, left/side, right/side,
+  *     mid/side), frame-header CRC-8, frame CRC-16, and the STREAMINFO
+  *     MD5 of the unencoded PCM verified when present. Any structural
+  *     or checksum violation returns None — the quarantine contract of
+  *     the other media paths, never a best-effort partial decode.
+  *   - [[encode]]: a spec-compliant SUBSET encoder (independent
+  *     channels, fixed predictors, single-partition rice, verbatim
+  *     fallback) used to build round-trip fixtures in FlacCodecSpec —
+  *     the container has no FLAC tooling, so fixture bytes are
+  *     generated from the same published arithmetic the spec's own
+  *     examples use and cross-checked frame-field-by-field there.
+  *
+  * Scale shape: this runs inside `mapPartitions` batches (the
+  * [[graft.ext.Multimodal.audioBatched]] seam) — per-payload CPU work
+  * with no shuffle implications; a 100 TB audio corpus parallelizes by
+  * payload exactly like the image path.
+  */
+object FlacCodec {
+
+  /** Decoded stream: `samples(channel)(i)`, `bits`-bit signed PCM. */
+  final case class FlacPcm(sampleRate: Int, channels: Int, bits: Int,
+                           samples: Array[Array[Int]])
+
+  // ---------------------------------------------------------------- CRCs
+
+  /** CRC-8, poly x^8+x^2+x+1 (0x07), init 0, MSB-first — the FLAC
+    * frame-header checksum. Check value: crc8("123456789") == 0xF4. */
+  private[graft] def crc8(b: Array[Byte], from: Int, until: Int): Int = {
+    var crc = 0
+    var i = from
+    while (i < until) {
+      crc ^= (b(i) & 0xff)
+      var k = 0
+      while (k < 8) {
+        crc = if ((crc & 0x80) != 0) ((crc << 1) ^ 0x07) & 0xff else (crc << 1) & 0xff
+        k += 1
+      }
+      i += 1
+    }
+    crc
+  }
+
+  /** CRC-16, poly x^16+x^15+x^2+1 (0x8005), init 0, MSB-first — the
+    * FLAC frame checksum. Check value: crc16("123456789") == 0xFEE8. */
+  private[graft] def crc16(b: Array[Byte], from: Int, until: Int): Int = {
+    var crc = 0
+    var i = from
+    while (i < until) {
+      crc ^= (b(i) & 0xff) << 8
+      var k = 0
+      while (k < 8) {
+        crc = if ((crc & 0x8000) != 0) ((crc << 1) ^ 0x8005) & 0xffff
+              else (crc << 1) & 0xffff
+        k += 1
+      }
+      i += 1
+    }
+    crc
+  }
+
+  // ------------------------------------------------------------ bit I/O
+
+  /** MSB-first bit reader. Throws Malformed on overrun; decode()
+    * catches it into the quarantine None. */
+  private final class Malformed extends RuntimeException
+  private def bad(): Nothing = throw new Malformed
+
+  private final class BitReader(b: Array[Byte]) {
+    var bytePos = 0
+    var bitPos = 0 // 0..7, bits already consumed of b(bytePos)
+
+    def aligned: Boolean = bitPos == 0
+    def alignToByte(): Unit = if (bitPos != 0) { bitPos = 0; bytePos += 1 }
+
+    def readBit(): Int = {
+      if (bytePos >= b.length) bad()
+      val v = (b(bytePos) >> (7 - bitPos)) & 1
+      bitPos += 1
+      if (bitPos == 8) { bitPos = 0; bytePos += 1 }
+      v
+    }
+
+    /** n ≤ 57 unsigned bits. */
+    def readBits(n: Int): Long = {
+      var left = n
+      var acc = 0L
+      while (left > 0) {
+        if (bytePos >= b.length) bad()
+        val avail = 8 - bitPos
+        val take = math.min(avail, left)
+        val chunk = ((b(bytePos) & 0xff) >> (avail - take)) & ((1 << take) - 1)
+        acc = (acc << take) | chunk
+        bitPos += take
+        if (bitPos == 8) { bitPos = 0; bytePos += 1 }
+        left -= take
+      }
+      acc
+    }
+
+    /** n-bit two's-complement signed value (n ≤ 33 needed: 32-bit bps
+      * side channel). */
+    def readSigned(n: Int): Long = {
+      if (n == 0) return 0L
+      val u = readBits(n)
+      if ((u & (1L << (n - 1))) != 0) u - (1L << n) else u
+    }
+
+    /** Unary: count of 0 bits before the first 1 bit. */
+    def readUnary(): Int = {
+      var q = 0
+      while (readBit() == 0) {
+        q += 1
+        if (q > (1 << 24)) bad() // corrupt stream, not a real quotient
+      }
+      q
+    }
+  }
+
+  private final class BitWriter {
+    private val out = new java.io.ByteArrayOutputStream()
+    private var cur = 0
+    private var nBits = 0
+
+    def writeBit(v: Int): Unit = {
+      cur = (cur << 1) | (v & 1)
+      nBits += 1
+      if (nBits == 8) { out.write(cur); cur = 0; nBits = 0 }
+    }
+    def writeBits(v: Long, n: Int): Unit = {
+      var i = n - 1
+      while (i >= 0) { writeBit(((v >> i) & 1L).toInt); i -= 1 }
+    }
+    def writeUnary(q: Int): Unit = {
+      var i = 0
+      while (i < q) { writeBit(0); i += 1 }
+      writeBit(1)
+    }
+    def alignToByte(): Unit = while (nBits != 0) writeBit(0)
+    def toBytes: Array[Byte] = { require(nBits == 0); out.toByteArray }
+  }
+
+  // ------------------------------------------------------------- decode
+
+  private val FixedCoefs: Array[Array[Long]] = Array(
+    Array(), Array(1L), Array(2L, -1L), Array(3L, -3L, 1L),
+    Array(4L, -6L, 4L, -1L))
+
+  /** Decode a complete FLAC stream to PCM. None on anything malformed:
+    * bad magic/STREAMINFO, reserved codes, CRC-8/CRC-16 mismatch,
+    * truncated frames, or (when STREAMINFO carries one) an MD5 that
+    * does not match the decoded PCM. */
+  def decode(b: Array[Byte]): Option[FlacPcm] =
+    try decodeOrThrow(b) catch { case _: Malformed => None }
+
+  private def decodeOrThrow(b: Array[Byte]): Option[FlacPcm] = {
+    val info = MediaHeaderUtil.parseFlac(b).getOrElse(return None)
+    // walk the metadata blocks to the first audio frame
+    var p = 4
+    var last = false
+    while (!last) {
+      if (p + 4 > b.length) return None
+      last = (b(p) & 0x80) != 0
+      val len = ((b(p + 1) & 0xff) << 16) | ((b(p + 2) & 0xff) << 8) | (b(p + 3) & 0xff)
+      p += 4 + len
+      if (p > b.length) return None
+    }
+    if (info.nSamples > (1L << 31)) return None // per-channel Int index
+    val total = info.nSamples.toInt
+    val chans = Array.fill(info.channels)(new Array[Int](total))
+    var done = 0
+    while (done < total) {
+      val r = new BitReader(b)
+      r.bytePos = p
+      val frameStart = p
+      // ---- frame header
+      if (r.readBits(14) != 0x3ffe) bad()
+      if (r.readBit() != 0) bad()
+      r.readBit() // blocking strategy: both handled (number unused here)
+      val bsCode = r.readBits(4).toInt
+      val srCode = r.readBits(4).toInt
+      val chCode = r.readBits(4).toInt
+      val bpsCode = r.readBits(3).toInt
+      if (r.readBit() != 0) bad()
+      readUtf8Number(r)
+      val blockSize = bsCode match {
+        case 0 => bad()
+        case 1 => 192
+        case c if c >= 2 && c <= 5 => 576 << (c - 2)
+        case 6 => r.readBits(8).toInt + 1
+        case 7 => r.readBits(16).toInt + 1
+        case c => 256 << (c - 8)
+      }
+      srCode match { // value itself comes from STREAMINFO; codes must parse
+        case 12 => r.readBits(8)
+        case 13 | 14 => r.readBits(16)
+        case 15 => bad()
+        case _ => ()
+      }
+      val bps = bpsCode match {
+        case 0 => info.bits
+        case 1 => 8
+        case 2 => 12
+        case 4 => 16
+        case 5 => 20
+        case 6 => 24
+        case 7 => 32
+        case _ => bad()
+      }
+      if (bps != info.bits) bad() // one stream, one STREAMINFO bps
+      val nCh = if (chCode <= 7) chCode + 1 else if (chCode <= 10) 2 else bad()
+      if (nCh != info.channels) bad()
+      // CRC-8 covers the header bytes up to (not including) its own byte
+      if (!r.aligned) bad()
+      if (crc8(b, frameStart, r.bytePos) != (b(r.bytePos) & 0xff)) bad()
+      r.readBits(8)
+      // ---- subframes (side channel carries one extra bit)
+      val raw = Array.ofDim[Array[Long]](nCh)
+      var c = 0
+      while (c < nCh) {
+        val extra = chCode match {
+          case 8 => if (c == 1) 1 else 0  // left/side
+          case 9 => if (c == 0) 1 else 0  // right(=c1)/side(=c0)
+          case 10 => if (c == 1) 1 else 0 // mid/side
+          case _ => 0
+        }
+        raw(c) = decodeSubframe(r, blockSize, bps + extra)
+        c += 1
+      }
+      r.alignToByte()
+      if (r.bytePos + 2 > b.length) bad()
+      val crc = ((b(r.bytePos) & 0xff) << 8) | (b(r.bytePos + 1) & 0xff)
+      if (crc16(b, frameStart, r.bytePos) != crc) bad()
+      r.readBits(16)
+      // ---- stereo un-decorrelation
+      val frame: Array[Array[Long]] = chCode match {
+        case 8 => // left/side: R = L - side
+          val l = raw(0); val s = raw(1)
+          Array(l, Array.tabulate(blockSize)(i => l(i) - s(i)))
+        case 9 => // side/right: L = R + side
+          val s = raw(0); val rr = raw(1)
+          Array(Array.tabulate(blockSize)(i => rr(i) + s(i)), rr)
+        case 10 => // mid/side
+          val m = raw(0); val s = raw(1)
+          val l = new Array[Long](blockSize)
+          val rr = new Array[Long](blockSize)
+          var i = 0
+          while (i < blockSize) {
+            val mm = (m(i) << 1) | (s(i) & 1L)
+            l(i) = (mm + s(i)) >> 1
+            rr(i) = (mm - s(i)) >> 1
+            i += 1
+          }
+          Array(l, rr)
+        case _ => raw
+      }
+      val take = math.min(blockSize, total - done)
+      var cc = 0
+      while (cc < nCh) {
+        var i = 0
+        while (i < take) { chans(cc)(done + i) = frame(cc)(i).toInt; i += 1 }
+        cc += 1
+      }
+      done += take
+      p = r.bytePos
+    }
+    // ---- STREAMINFO MD5 of the unencoded PCM (when present and the
+    // sample size is byte-aligned — fractional widths skip the check)
+    if (info.md5Hex.exists(_ != '0') && info.bits % 8 == 0) {
+      if (pcmMd5(chans, info.bits) != info.md5Hex) return None
+    }
+    Some(FlacPcm(info.sampleRate, info.channels, info.bits, chans))
+  }
+
+  private def readUtf8Number(r: BitReader): Long = {
+    val first = r.readBits(8).toInt
+    val extra =
+      if ((first & 0x80) == 0) 0
+      else if ((first & 0xe0) == 0xc0) 1
+      else if ((first & 0xf0) == 0xe0) 2
+      else if ((first & 0xf8) == 0xf0) 3
+      else if ((first & 0xfc) == 0xf8) 4
+      else if ((first & 0xfe) == 0xfc) 5
+      else if (first == 0xfe) 6
+      else bad()
+    var v: Long = if (extra == 0) first else first & (0x7f >> extra)
+    var i = 0
+    while (i < extra) {
+      val c = r.readBits(8).toInt
+      if ((c & 0xc0) != 0x80) bad()
+      v = (v << 6) | (c & 0x3f)
+      i += 1
+    }
+    v
+  }
+
+  private def decodeSubframe(r: BitReader, blockSize: Int, bps: Int): Array[Long] = {
+    if (r.readBit() != 0) bad()
+    val tpe = r.readBits(6).toInt
+    val wasted = if (r.readBit() == 1) r.readUnary() + 1 else 0
+    val eff = bps - wasted
+    if (eff <= 0) bad()
+    val out: Array[Long] =
+      if (tpe == 0) { // constant
+        val v = r.readSigned(eff)
+        Array.fill(blockSize)(v)
+      } else if (tpe == 1) { // verbatim
+        Array.fill(blockSize)(r.readSigned(eff))
+      } else if (tpe >= 8 && tpe <= 12) { // fixed, order 0-4
+        val order = tpe & 7
+        if (order > blockSize) bad()
+        val x = new Array[Long](blockSize)
+        var i = 0
+        while (i < order) { x(i) = r.readSigned(eff); i += 1 }
+        val res = decodeResidual(r, blockSize, order)
+        val cs = FixedCoefs(order)
+        while (i < blockSize) {
+          var acc = 0L
+          var j = 0
+          while (j < order) { acc += cs(j) * x(i - 1 - j); j += 1 }
+          x(i) = acc + res(i - order)
+          i += 1
+        }
+        x
+      } else if (tpe >= 32) { // LPC, order 1-32
+        val order = (tpe & 31) + 1
+        if (order > blockSize) bad()
+        val x = new Array[Long](blockSize)
+        var i = 0
+        while (i < order) { x(i) = r.readSigned(eff); i += 1 }
+        val precM1 = r.readBits(4).toInt
+        if (precM1 == 15) bad()
+        val prec = precM1 + 1
+        val shift = r.readSigned(5)
+        if (shift < 0) bad()
+        val coefs = Array.fill(order)(r.readSigned(prec))
+        val res = decodeResidual(r, blockSize, order)
+        while (i < blockSize) {
+          var acc = 0L
+          var j = 0
+          while (j < order) { acc += coefs(j) * x(i - 1 - j); j += 1 }
+          x(i) = (acc >> shift) + res(i - order)
+          i += 1
+        }
+        x
+      } else bad()
+    if (wasted > 0) {
+      var i = 0
+      while (i < blockSize) { out(i) = out(i) << wasted; i += 1 }
+    }
+    out
+  }
+
+  private def decodeResidual(r: BitReader, blockSize: Int, order: Int): Array[Long] = {
+    val method = r.readBits(2).toInt
+    if (method > 1) bad()
+    val pBits = if (method == 0) 4 else 5
+    val escape = (1 << pBits) - 1
+    val partOrder = r.readBits(4).toInt
+    val nParts = 1 << partOrder
+    if (blockSize % nParts != 0) bad()
+    val perPart = blockSize >> partOrder
+    val out = new Array[Long](blockSize - order)
+    var idx = 0
+    var part = 0
+    while (part < nParts) {
+      val n = if (part == 0) perPart - order else perPart
+      if (n < 0) bad()
+      val param = r.readBits(pBits).toInt
+      if (param == escape) {
+        val nbits = r.readBits(5).toInt
+        var i = 0
+        while (i < n) { out(idx) = r.readSigned(nbits); idx += 1; i += 1 }
+      } else {
+        var i = 0
+        while (i < n) {
+          val q = r.readUnary().toLong
+          val z = (q << param) | r.readBits(param)
+          out(idx) = (z >>> 1) ^ -(z & 1L) // zigzag → signed
+          idx += 1
+          i += 1
+        }
+      }
+      part += 1
+    }
+    out
+  }
+
+  private def pcmMd5(chans: Array[Array[Int]], bits: Int): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val bytes = bits / 8
+    val n = if (chans.isEmpty) 0 else chans(0).length
+    val buf = new Array[Byte](chans.length * bytes)
+    var i = 0
+    while (i < n) {
+      var c = 0
+      while (c < chans.length) {
+        var k = 0
+        while (k < bytes) { // little-endian per sample, channels interleaved
+          buf(c * bytes + k) = ((chans(c)(i) >> (8 * k)) & 0xff).toByte
+          k += 1
+        }
+        c += 1
+      }
+      md.update(buf)
+      i += 1
+    }
+    md.digest().map("%02x".format(_)).mkString
+  }
+
+  // ------------------------------------------------------------- encode
+
+  /** Spec-compliant SUBSET encoder for fixtures and round-trip proofs:
+    * independent channels, constant / fixed(0–4) / verbatim subframes
+    * (chosen per channel by exact coded-bits cost), one rice partition,
+    * fixed blocking strategy, explicit 16-bit block size, bps from the
+    * standard code table (8/16/24 supported). Emits fLaC + STREAMINFO
+    * (with the PCM MD5) + frames — everything [[decode]] and any
+    * conforming decoder accepts. */
+  def encode(pcm: FlacPcm, blockSize: Int = 4096): Array[Byte] = {
+    require(pcm.bits == 8 || pcm.bits == 16 || pcm.bits == 24,
+      "subset encoder supports 8/16/24-bit PCM")
+    require(pcm.channels >= 1 && pcm.channels <= 8 &&
+      pcm.samples.length == pcm.channels)
+    require(blockSize >= 16 && blockSize <= 65535)
+    val n = if (pcm.samples.isEmpty) 0 else pcm.samples(0).length
+    val out = new java.io.ByteArrayOutputStream()
+    out.write('f'); out.write('L'); out.write('a'); out.write('C')
+    // STREAMINFO (last metadata block, type 0, 34 bytes)
+    val si = new BitWriter
+    si.writeBits(blockSize.toLong, 16) // min block size
+    si.writeBits(blockSize.toLong, 16) // max block size
+    si.writeBits(0L, 24) // min frame size unknown
+    si.writeBits(0L, 24) // max frame size unknown
+    si.writeBits(pcm.sampleRate.toLong, 20)
+    si.writeBits((pcm.channels - 1).toLong, 3)
+    si.writeBits((pcm.bits - 1).toLong, 5)
+    si.writeBits(n.toLong, 36)
+    val md5 = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val bytes = pcm.bits / 8
+      val buf = new Array[Byte](pcm.channels * bytes)
+      var i = 0
+      while (i < n) {
+        var c = 0
+        while (c < pcm.channels) {
+          var k = 0
+          while (k < bytes) {
+            buf(c * bytes + k) = ((pcm.samples(c)(i) >> (8 * k)) & 0xff).toByte
+            k += 1
+          }
+          c += 1
+        }
+        md.update(buf)
+        i += 1
+      }
+      md.digest()
+    }
+    md5.foreach(byte => si.writeBits(byte & 0xffL, 8))
+    val siBytes = si.toBytes
+    out.write(0x80) // last-metadata-block flag | type 0
+    out.write(0); out.write(0); out.write(siBytes.length) // u24 = 34
+    out.write(siBytes, 0, siBytes.length)
+
+    val bpsCode = pcm.bits match { case 8 => 1; case 16 => 4; case 24 => 6 }
+    var frameNo = 0L
+    var pos = 0
+    while (pos < n) { // a zero-sample stream is just fLaC + STREAMINFO
+      val bs = math.min(blockSize, n - pos)
+      val w = new BitWriter
+      w.writeBits(0x3ffeL, 14) // sync
+      w.writeBit(0) // reserved
+      w.writeBit(0) // fixed blocking strategy
+      w.writeBits(7L, 4) // block size: explicit 16-bit at end of header
+      w.writeBits(0L, 4) // sample rate: from STREAMINFO
+      w.writeBits((pcm.channels - 1).toLong, 4) // independent channels
+      w.writeBits(bpsCode.toLong, 3)
+      w.writeBit(0) // reserved
+      writeUtf8Number(w, frameNo)
+      w.writeBits((bs - 1).toLong, 16)
+      w.alignToByte()
+      val headBytes = w.toBytes
+      val w2 = new BitWriter
+      headBytes.foreach(byte => w2.writeBits(byte & 0xffL, 8))
+      w2.writeBits(crc8(headBytes, 0, headBytes.length).toLong, 8)
+      var c = 0
+      while (c < pcm.channels) {
+        encodeSubframe(w2, pcm.samples(c), pos, bs, pcm.bits)
+        c += 1
+      }
+      w2.alignToByte()
+      val frameNoCrc = w2.toBytes
+      val full = new BitWriter
+      frameNoCrc.foreach(byte => full.writeBits(byte & 0xffL, 8))
+      full.writeBits(crc16(frameNoCrc, 0, frameNoCrc.length).toLong, 16)
+      val frameBytes = full.toBytes
+      out.write(frameBytes, 0, frameBytes.length)
+      pos += bs
+      frameNo += 1
+    }
+    out.toByteArray
+  }
+
+  private def writeUtf8Number(w: BitWriter, v: Long): Unit = {
+    if (v < 0x80) w.writeBits(v, 8)
+    else {
+      // count payload bits → bytes (UTF-8 shape extended to 36 bits)
+      val nBytes =
+        if (v < 0x800) 2 else if (v < 0x10000) 3 else if (v < 0x200000) 4
+        else if (v < 0x4000000) 5 else if (v < 0x80000000L) 6 else 7
+      val lead =
+        if (nBytes == 7) 0xfe
+        else (0xff << (8 - nBytes)) & 0xff | ((v >> (6 * (nBytes - 1))).toInt &
+          (0x7f >> nBytes))
+      w.writeBits(lead.toLong, 8)
+      var i = nBytes - 2
+      while (i >= 0) {
+        w.writeBits(0x80L | ((v >> (6 * i)) & 0x3f), 8)
+        i -= 1
+      }
+    }
+  }
+
+  /** Cost-based subframe choice: constant when flat, else the best of
+    * fixed orders 0–4 under single-partition rice, else verbatim. */
+  private def encodeSubframe(w: BitWriter, x: Array[Int], from: Int,
+                             bs: Int, bps: Int): Unit = {
+    var allSame = true
+    var i = 1
+    while (i < bs && allSame) { allSame = x(from + i) == x(from); i += 1 }
+    if (allSame) {
+      w.writeBit(0); w.writeBits(0L, 6); w.writeBit(0) // constant
+      w.writeBits(x(from).toLong & ((1L << bps) - 1), bps)
+      return
+    }
+    // residuals for fixed orders 0..4 (order ≤ bs-1 so ≥1 coded residual)
+    val maxOrder = math.min(4, bs - 1)
+    var best = -1
+    var bestBits = Long.MaxValue
+    var bestParam = 0
+    var bestRes: Array[Long] = null
+    var o = 0
+    while (o <= maxOrder) {
+      val res = new Array[Long](bs - o)
+      var k = o
+      while (k < bs) {
+        var acc = x(from + k).toLong
+        var j = 0
+        while (j < o) { acc -= FixedCoefs(o)(j) * x(from + k - 1 - j); j += 1 }
+        res(k - o) = acc
+        k += 1
+      }
+      // best 4-bit rice parameter for a single partition
+      var p = 0
+      while (p <= 14) {
+        var bits = 0L
+        var t = 0
+        while (t < res.length && bits < Long.MaxValue / 2) {
+          val z = (res(t) << 1) ^ (res(t) >> 63)
+          bits += (z >>> p) + 1 + p
+          t += 1
+        }
+        val totalBits = bits + o.toLong * bps + 8 + 2 + 4 + 4
+        if (totalBits < bestBits) {
+          bestBits = totalBits; best = o; bestParam = p; bestRes = res
+        }
+        p += 1
+      }
+      o += 1
+    }
+    val verbatimBits = bs.toLong * bps + 8
+    if (verbatimBits <= bestBits) {
+      w.writeBit(0); w.writeBits(1L, 6); w.writeBit(0) // verbatim
+      var k = 0
+      while (k < bs) {
+        w.writeBits(x(from + k).toLong & ((1L << bps) - 1), bps)
+        k += 1
+      }
+    } else {
+      w.writeBit(0); w.writeBits((8 + best).toLong, 6); w.writeBit(0) // fixed
+      var k = 0
+      while (k < best) {
+        w.writeBits(x(from + k).toLong & ((1L << bps) - 1), bps)
+        k += 1
+      }
+      w.writeBits(0L, 2) // 4-bit rice method
+      w.writeBits(0L, 4) // partition order 0
+      w.writeBits(bestParam.toLong, 4)
+      var t = 0
+      while (t < bestRes.length) {
+        val z = (bestRes(t) << 1) ^ (bestRes(t) >> 63)
+        w.writeUnary((z >>> bestParam).toInt)
+        w.writeBits(z & ((1L << bestParam) - 1), bestParam)
+        t += 1
+      }
+    }
+  }
+}

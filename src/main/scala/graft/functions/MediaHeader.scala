@@ -182,9 +182,10 @@ object MediaHeaderUtil {
     * u16 min/max block size, u24 min/max frame size, then a packed
     * 64-bit field of 20-bit sample rate, 3-bit channels-1, 5-bit
     * bits-per-sample-1, 36-bit total samples, and the 128-bit MD5 of
-    * the unencoded audio. SAMPLE decode is out of scope (no FLAC
-    * codec ships with the JVM) — like [[parseMp4]] this is the
-    * routing/stats metadata a pipeline reads before a decoder fleet. */
+    * the unencoded audio. This is the routing/stats pass
+    * ([[parseMp4]]'s role for video); SAMPLE decode lives in
+    * [[FlacCodec.decode]], a pure-JVM frame decoder built on this
+    * same STREAMINFO parse. */
   case class FlacInfo(sampleRate: Int, channels: Int, bits: Int,
                       nSamples: Long, durationMs: Long, md5Hex: String)
 

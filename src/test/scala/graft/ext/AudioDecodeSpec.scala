@@ -134,4 +134,30 @@ class AudioDecodeSpec extends SparkSpec {
     val f = Multimodal.featuresBatched(ds).collect().head
     assert(f.width == 0 && f.height == 0 && f.n_frames == 6)
   }
+
+  test("the SAME PCM yields the SAME stats row through WAV and FLAC containers") {
+    import graft.functions.FlacCodec
+    // the mono16 fixture's exact samples, re-encoded as FLAC — the
+    // compressed tier must land on the identical integer statistics
+    val pcm = FlacCodec.FlacPcm(1000, 1, 16,
+      Array(Array(0, 1000, -1000, 32767, -32768, 500)))
+    val flacBytes = FlacCodec.encode(pcm, blockSize = 16)
+    val ds = Seq(
+      MediaRow(1L, mono16, "audio/wav"),
+      MediaRow(2L, flacBytes, "audio/flac"),
+      MediaRow(3L, flacBytes.take(20), "audio/flac")). // truncated → dropped
+      toDS().repartition(2)
+    val rows = Multimodal.audioBatched(ds, batchSize = 2)
+      .collect().sortBy(_.media_id)
+    assert(rows.map(_.media_id).toSeq == Seq(1L, 2L))
+    val Seq(wav, flac) = rows.toSeq
+    assert(wav.format == "wav" && flac.format == "flac")
+    // every numeric field identical: channels, rate, bits, frames,
+    // duration, and the exact integer mean |amplitude| (68035/6 = 11339)
+    assert((flac.channels, flac.sample_rate, flac.bits, flac.n_frames,
+        flac.duration_ms, flac.mean_abs_amp) ===
+      ((wav.channels, wav.sample_rate, wav.bits, wav.n_frames,
+        wav.duration_ms, wav.mean_abs_amp)))
+    assert(flac.mean_abs_amp === 11339L)
+  }
 }
