@@ -81,7 +81,7 @@ object CoreQueries {
     "a6_cti" -> ((s, d) => Tables.cti(s, d).orderBy("index", "subindex", "summary")),
     "a7_cis2" -> ((s, d) =>
       Tables.cis2Tokens(s, d).orderBy("index", "subindex", "token_id")),
-    "a8_key_bindings" -> ((s, d) =>
+    "a8_keys" -> ((s, d) =>
       Tables.keyBindings(s, d).orderBy("address", "key_index")),
     "a4_canon" -> ((s, d) => {
       // alias-class canonicalization: dimension (prefix → canonical) built
@@ -208,10 +208,10 @@ object CoreQueries {
       QueryApi.decodeRowsStrict(Tables.summaries(s, d)).orderBy("id")),
     "b6_topk" -> ((s, d) =>
       QueryApi.topKPerAccount(Tables.ati(s, d), 3).orderBy("account", "rn")),
-    "b7_change_feed" -> ((s, d) =>
+    "b7_feed" -> ((s, d) =>
       QueryApi.changeFeed(Tables.ati(s, d), Tables.summariesWithSender(s, d),
         lit(Account), 0L, 100)),
-    "b8_max_height" -> ((s, d) =>
+    "b8_maxh" -> ((s, d) =>
       Tables.summaries(s, d).agg(max("height").as("max_height"))),
     "b10_tokens" -> ((s, d) =>
       Tables.cis2Tokens(s, d)
@@ -238,7 +238,7 @@ object CoreQueries {
       """SELECT "index", subindex, summary FROM cti ORDER BY "index", subindex, summary"""),
     "a7_cis2" -> (cte +
       """SELECT "index", subindex, token_id, total_supply FROM cis2_tokens ORDER BY "index", subindex, token_id"""),
-    "a8_key_bindings" -> (cte +
+    "a8_keys" -> (cte +
       "SELECT address, public_key, credential_index, key_index, is_simple_account FROM bindings ORDER BY address, key_index"),
     "a4_canon" -> (cte +
       """, dim AS (SELECT user_id // 4 AS prefix, min(user_id) AS canonical FROM events GROUP BY 1)
@@ -344,13 +344,13 @@ SELECT account, summary, CAST(rn AS INT) AS rn FROM (
   SELECT account, summary,
          row_number() OVER (PARTITION BY account ORDER BY summary DESC) AS rn
   FROM ati) WHERE rn <= 3 ORDER BY account, rn"""),
-    "b7_change_feed" -> (cte + s"""
+    "b7_feed" -> (cte + s"""
 SELECT s.id, s.block, s."timestamp", s.height, s.summary, s.sender
 FROM ati JOIN summaries s ON ati.summary = s.id
 WHERE ati.account = $Account AND ati.summary > 0
   AND (s.sender IS NULL OR s.sender <> $Account)
 ORDER BY s.id LIMIT 100"""),
-    "b8_max_height" -> (cte +
+    "b8_maxh" -> (cte +
       "SELECT max(height) AS max_height FROM summaries"),
     "b10_tokens" -> (cte + s"""
 SELECT "index", subindex, token_id, total_supply FROM cis2_tokens

@@ -438,7 +438,7 @@ object ExtQueries {
     // weights, fr's demand exceeds its supply (rate clamps to 1e6 —
     // keep all), unweighted es drops entirely. All three regimes of
     // Sampling.mixture exercised by one row.
-    "sample_mixture" -> ((s, d) =>
+    "sample_mix" -> ((s, d) =>
       Sampling.mixture(Tables.documents(s, d), col("lang"), col("doc_id"),
           Map("en" -> 200000, "fr" -> 400000, "de" -> 200000,
             "zh" -> 200000), targetRows = 300)
@@ -448,7 +448,7 @@ object ExtQueries {
       TextAnalysis.tokenStats(Tables.documents(s, d), col("text"), col("doc_id"))
         .orderBy("doc_id")),
 
-    "pack_sequences" -> ((s, d) => {
+    "pack_seq" -> ((s, d) => {
       val toks = TextAnalysis
         .tokenStats(Tables.documents(s, d), col("text"), col("doc_id"))
         .select(col("doc_id"), col("n_tokens"))
@@ -494,7 +494,7 @@ object ExtQueries {
       TextAnalysis.rarityScore(Tables.documents(s, d), col("text"),
         col("doc_id")).orderBy("doc_id")),
 
-    "text_top_terms" -> ((s, d) =>
+    "text_top" -> ((s, d) =>
       TextAnalysis.topTerms(Tables.documents(s, d), col("text"),
           col("doc_id"), k = 5)
         .orderBy("doc_id", "rn")),
@@ -542,6 +542,23 @@ object ExtQueries {
         Multimodal.featuresCols(Tables.documents(s, d),
           col("text").cast("binary"), col("doc_id")),
         maxW = 512, maxH = 512).orderBy("media_id")),
+
+    // REAL audio decode on the correctness surface: per document a
+    // closed-form PCM signal is containerized as genuine WAV bytes
+    // (even ids) or genuine FLAC bytes (odd ids), then decoded by the
+    // byte-level chunk walk / FLAC frame layer in audioBatched — the
+    // oracle recomputes the stats from the closed form, container-blind,
+    // so a decoder bug in EITHER container breaks the row.
+    "mm_audio" -> ((s, d) => {
+      import s.implicits._
+      val rows = Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars"))
+        .as[(Long, Long)]
+        .map { case (id, nch) =>
+          Multimodal.MediaRow(id, Multimodal.synthAudioPayload(id, nch),
+            if (id % 2 == 0) "audio/wav" else "audio/flac") }
+      Multimodal.audioBatched(rows).toDF().orderBy("media_id")
+    }),
 
     // C4-style line dedup over CONSTRUCTED multi-line text — the fixture
     // corpus has no newlines, so the row wraps each document's words into
@@ -1279,7 +1296,7 @@ SELECT doc_id, lang FROM (
   FROM documents)
 WHERE rn <= 40 ORDER BY doc_id"""),
 
-    "sample_mixture" -> (s"""
+    "sample_mix" -> (s"""
 WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
 r AS (
   SELECT lang, least(1000000,
@@ -1302,7 +1319,7 @@ SELECT doc_id,
          AS sum_word_len
 FROM w ORDER BY doc_id"""),
 
-    "pack_sequences" -> (s"""WITH t AS (
+    "pack_seq" -> (s"""WITH t AS (
   SELECT doc_id,
          CAST(len(regexp_extract_all(text, '$TokRe')) AS BIGINT) AS n_tokens
   FROM documents
@@ -1475,7 +1492,7 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
 FROM ex JOIN model USING (bh)
 GROUP BY doc_id ORDER BY doc_id"""),
 
-    "text_top_terms" -> ("""WITH t AS (
+    "text_top" -> ("""WITH t AS (
   SELECT doc_id, unnest(string_split_regex(trim(lower(text)), ' +')) AS term
   FROM documents
 ), tf AS (
@@ -1561,6 +1578,27 @@ SELECT media_id, width, height,
                  WHEN 512 * height <= 512 * width THEN (height * 512) // width
                  ELSE 512 END AS INT) AS target_h
 FROM f WHERE width > 0 AND height > 0 ORDER BY media_id"""),
+
+    // Mirror of mm_audio's closed-form synth: samples
+    // (id*31 + i*7) % 200 - 100 over n = n_chars % 50 + 1 frames, mono
+    // 16-bit 8 kHz. The oracle never touches the container bytes — it
+    // prices the PCM arithmetic the Spark side must recover through a
+    // real WAV or FLAC decode.
+    "mm_audio" -> ("""WITH f AS (
+  SELECT doc_id AS media_id, n_chars % 50 + 1 AS n FROM documents
+), s AS (
+  SELECT media_id, n, unnest(range(0, n)) AS i FROM f
+), a AS (
+  SELECT media_id, n, sum(abs((media_id * 31 + i * 7) % 200 - 100)) AS sabs
+  FROM s GROUP BY media_id, n
+)
+SELECT media_id,
+       CASE WHEN media_id % 2 = 0 THEN 'wav' ELSE 'flac' END AS format,
+       CAST(1 AS INT) AS channels, CAST(8000 AS INT) AS sample_rate,
+       CAST(16 AS INT) AS bits, CAST(n AS BIGINT) AS n_frames,
+       CAST(n * 1000 // 8000 AS BIGINT) AS duration_ms,
+       CAST(sabs // n AS BIGINT) AS mean_abs_amp
+FROM a ORDER BY media_id"""),
 
     // Mirror of linedDocs (4-word lines) + Curation.dedupLines: doc
     // frequency per exact line, drop lines in >= 2 docs, reassemble in

@@ -268,6 +268,38 @@ object Multimodal {
                         sample_rate: Int, bits: Int, n_frames: Long,
                         duration_ms: Long, mean_abs_amp: Long)
 
+  /** Deterministic audio-payload synthesis for the `mm_audio` oracle row
+    * — the encode-then-run pattern of `dedup_lines`/`pii_redact`: the
+    * driver testdata has no audio column, so each document gets a
+    * synthetic mono 16-bit 8 kHz signal whose samples follow a CLOSED
+    * FORM DuckDB can compute (`(id*31 + i*7) % 200 - 100` over
+    * `n = n_chars % 50 + 1` frames), containerized as real RIFF/WAV
+    * bytes for even ids and real FLAC bytes (via
+    * [[graft.functions.FlacCodec.encode]]) for odd ids. The query then
+    * exercises the genuine byte-level decoders end to end —
+    * chunk walk, frame layer, CRCs, MD5 — while the oracle checks the
+    * arithmetic the PCM was built from, container-blind. */
+  def synthAudioPayload(id: Long, nChars: Long): Array[Byte] = {
+    val n = (nChars % 50 + 1).toInt
+    val pcm = Array.tabulate(n)(i => ((id * 31 + i * 7) % 200 - 100).toInt)
+    if (id % 2 == 0) synthWav(pcm)
+    else graft.functions.FlacCodec.encode(
+      graft.functions.FlacCodec.FlacPcm(8000, 1, 16, Array(pcm)), 4096)
+  }
+
+  /** Minimal RIFF/WAV container for mono 16-bit 8 kHz PCM. */
+  private def synthWav(pcm: Array[Int]): Array[Byte] = {
+    def le16(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def le32(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    val data = pcm.flatMap(le16)
+    val fmt = "fmt ".getBytes("US-ASCII") ++ le32(16) ++
+      le16(1) ++ le16(1) ++ le32(8000) ++ le32(16000) ++ le16(2) ++ le16(16)
+    val body = "WAVE".getBytes("US-ASCII") ++ fmt ++
+      "data".getBytes("US-ASCII") ++ le32(data.length) ++ data
+    "RIFF".getBytes("US-ASCII") ++ le32(body.length) ++ body
+  }
+
   /** Container-metadata statistics for MP4/ISO-BMFF video: brand,
     * movie timescale/duration, track count, the video track's display
     * dimensions, and its `stts` sample (frame) count — everything the

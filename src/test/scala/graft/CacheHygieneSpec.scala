@@ -15,7 +15,7 @@ class CacheHygieneSpec extends SparkSpec {
   private val cacheUsers = Seq(
     "dedup_jaccard", "dedup_lsh", "dedup_cc",
     "decon_split", "ann_knn_graph", "emb_neardup",
-    "pack_sequences", "pack_slices", "pack_shuffle",
+    "pack_seq", "pack_slices", "pack_shuffle",
     "ann_kmeans", "ann_recall")
 
   test("each cache-using query leaves no net persistent RDDs after release") {

@@ -144,7 +144,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("top terms: df broadcast (no term-keyed shuffle join) and top-k group limit") {
-    val p = plan("text_top_terms")
+    val p = plan("text_top")
     assert(p.contains("BroadcastHashJoin"),
       s"document-frequency side must broadcast, not shuffle on term:\n$p")
     assert(p.contains("WindowGroupLimit"),
@@ -401,7 +401,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("mixture: tiny rate table broadcast, corpus side stays a narrow filter") {
-    val p = plan("sample_mixture")
+    val p = plan("sample_mix")
     assert(p.contains("BroadcastHashJoin"),
       s"expected the per-group rates broadcast back in:\n$p")
     assert(!p.contains("Window") && !p.contains("SortMergeJoin"),
