@@ -176,7 +176,13 @@ object FlacCodec {
       p += 4 + len
       if (p > b.length) return None
     }
-    if (info.nSamples > (1L << 31)) return None // per-channel Int index
+    // Allocation bound BEFORE trusting the header: a constant-subframe
+    // stream legitimately packs ~65k samples into ~20 bytes, so sample
+    // count can't be bounded by payload size — but a 50-byte hostile
+    // header claiming 2^36 samples must not force a multi-GB allocation
+    // inside a mapPartitions batch. 2^27 samples × channels (≥512 MB of
+    // PCM) is beyond any sane document-pipeline payload → quarantine.
+    if (info.nSamples * info.channels > (1L << 27)) return None
     val total = info.nSamples.toInt
     val chans = Array.fill(info.channels)(new Array[Int](total))
     var done = 0

@@ -209,6 +209,38 @@ class FlacCodecSpec extends AnyFunSuite {
     roundTrip(FlacPcm(44100, 4, 16, four), 100)
   }
 
+  test("property: arbitrary and mutated bytes never throw — None or a valid parse") {
+    val rnd = new scala.util.Random(1234)
+    // pure noise with a plausible prefix mix
+    (0 until 1500).foreach { i =>
+      val len = rnd.nextInt(200)
+      val b = Array.fill(len)(rnd.nextInt().toByte)
+      if (i % 3 == 0 && len >= 4) { b(0) = 'f'; b(1) = 'L'; b(2) = 'a'; b(3) = 'C' }
+      FlacCodec.decode(b) // must not throw; value irrelevant
+    }
+    // every single-byte corruption of a REAL stream: decode() must
+    // come back (almost always None via a checksum; never an exception)
+    val pcm = FlacPcm(8000, 1, 16,
+      Array(lcg(77L).map(v => (v % 900 - 450).toInt).take(120).toArray))
+    val good = FlacCodec.encode(pcm, 64)
+    (0 until good.length).foreach { pos =>
+      val m = good.clone
+      m(pos) = (m(pos) ^ (1 << (pos % 8))).toByte
+      FlacCodec.decode(m).foreach { d =>
+        // a surviving parse (flip in an ignored field) must still be shaped
+        assert(d.channels == 1 && d.bits == 16)
+      }
+    }
+    // random multi-byte shredding of the same stream
+    (0 until 500).foreach { _ =>
+      val m = good.clone
+      (0 until 1 + rnd.nextInt(6)).foreach { _ =>
+        m(rnd.nextInt(m.length)) = rnd.nextInt().toByte
+      }
+      FlacCodec.decode(m)
+    }
+  }
+
   test("corruption quarantines: CRC-8, CRC-16, MD5, truncation all return None") {
     val pcm = FlacPcm(44100, 1, 16,
       Array(lcg(21L).map(v => (v % 5000 - 2500).toInt).take(400).toArray))
