@@ -139,7 +139,7 @@ object MediaHeaderUtil {
     for {
       (af, ch, rate, ba, bits) <- fmt
       (off, len) <- data
-      if af == 1 && (bits == 8 || bits == 16) && ch > 0 &&
+      if af == 1 && (bits == 8 || bits == 16 || bits == 24) && ch > 0 &&
         rate > 0 && rate <= Int.MaxValue &&
         ba == ch * (bits / 8) && len % ba == 0
     } yield WavPcm(ch, rate.toInt, bits, ba, off, len)
@@ -149,8 +149,8 @@ object MediaHeaderUtil {
     * pixel-luma pass: exact integer sample arithmetic, no floats.
     * `durationMs` is `frames * 1000 div sampleRate`; `meanAbsAmp` is
     * the integer mean of |sample| over every sample of every channel
-    * (8-bit samples are unsigned around a 128 bias per the format; 16-bit
-    * are signed little-endian). */
+    * (8-bit samples are unsigned around a 128 bias per the format;
+    * 16- and 24-bit are signed little-endian). */
   case class WavStats(channels: Int, sampleRate: Int, bitsPerSample: Int,
                       nFrames: Long, durationMs: Long, meanAbsAmp: Long)
 
@@ -163,10 +163,16 @@ object MediaHeaderUtil {
     val end = w.dataOffset + w.dataLen
     if (w.bitsPerSample == 8) {
       while (i < end) { sum += math.abs((b(i) & 0xff) - 128); i += 1 }
-    } else {
+    } else if (w.bitsPerSample == 16) {
       while (i + 1 < end) {
         sum += math.abs((b(i) & 0xff) | (b(i + 1).toInt << 8))
         i += 2
+      }
+    } else { // 24-bit: little-endian, sign from the top byte
+      while (i + 2 < end) {
+        sum += math.abs(
+          (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) | (b(i + 2).toInt << 16))
+        i += 3
       }
     }
     WavStats(w.channels, w.sampleRate, w.bitsPerSample, nFrames,

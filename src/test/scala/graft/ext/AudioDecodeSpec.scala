@@ -84,14 +84,25 @@ class AudioDecodeSpec extends SparkSpec {
     assert(s.nFrames == 2L && s.meanAbsAmp == 100L)
   }
 
+  test("24-bit PCM: signed little-endian triplets, exact integer mean") {
+    // samples 2^20, -2^20, 70000: LE bytes hand-packed below;
+    // sum|s| = 1048576 + 1048576 + 70000 = 2167152 → mean 722384
+    def le24(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte)
+    val s = MediaHeaderUtil.wavStats(wavBytes(1, 48000, 24,
+      le24(1048576) ++ le24(-1048576) ++ le24(70000))).get
+    assert(s.bitsPerSample == 24 && s.nFrames == 3L)
+    assert(s.meanAbsAmp == 722384L)
+  }
+
   test("rejects what it cannot decode exactly, instead of guessing") {
-    // IEEE-float audioFormat (3), 24-bit PCM, blockAlign inconsistent
+    // IEEE-float audioFormat (3), 20-bit PCM, blockAlign inconsistent
     // with channels*bits, a data size that is not a whole frame count,
     // a truncated data chunk, RIFF-but-not-WAVE, and non-RIFF bytes
     assert(MediaHeaderUtil.parseWav(
       wavBytes(1, 1000, 16, pcm16(1), audioFormat = 3)).isEmpty)
     assert(MediaHeaderUtil.parseWav(
-      wavBytes(1, 1000, 24, Array.fill(6)(0.toByte))).isEmpty)
+      wavBytes(1, 1000, 20, Array.fill(6)(0.toByte))).isEmpty)
     assert(MediaHeaderUtil.parseWav(
       wavBytes(2, 1000, 16, pcm16(1, 2), blockAlignOverride = 3)).isEmpty)
     assert(MediaHeaderUtil.parseWav(
