@@ -160,7 +160,7 @@ object CoreQueries {
     "b4_iter_con" -> ((s, d) =>
       QueryApi.contractTransactions(Tables.cti(s, d), Tables.summaries(s, d),
         CIdx, CSub, 0L, None, ascending = true)),
-    "b5_row_decode" -> ((s, d) =>
+    "b5_rows" -> ((s, d) =>
       QueryApi.decodeRows(Tables.summaries(s, d)).orderBy("id")),
     // DEEP envelope decode, exercised end-to-end like cis2_decode:
     // the driver fixture's payloads are shallow, so the query first
@@ -325,7 +325,7 @@ SELECT (event_id // 8) * 1048576 + (event_id % 8) AS id,
        END AS protocol_amount
 FROM events ORDER BY id""",
 
-    "b5_row_decode" -> (cte + """
+    "b5_rows" -> (cte + """
 SELECT id, summary->>'$.Left.k' AS left_k, summary->>'$.Right.k' AS right_k
 FROM summaries
 WHERE json_valid(summary)

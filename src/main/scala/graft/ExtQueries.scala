@@ -560,6 +560,45 @@ object ExtQueries {
       Multimodal.audioBatched(rows).toDF().orderBy("media_id")
     }),
 
+    // REAL URL canonicalization on the correctness surface (the fixture
+    // corpus has no URL column): eight synthesized templates per doc_id
+    // cover every canon rule — scheme/userinfo/fragment drop, host
+    // case/trailing-dot/default-port/www, path slash collapse + trailing
+    // strip, tracking-param drop, param sort, non-default port kept.
+    // The oracle states each template's EXPECTED canonical form as a
+    // literal — it never re-implements the canonicalizer.
+    "url_canon" -> ((s, d) => {
+      val h = (col("doc_id") % 100).cast("string")
+      val t = col("doc_id") % 8
+      val synth = when(t === 0, concat(lit("HTTP://Example.COM/a/b?x="), h))
+        .when(t === 1, lit("https://WWW.Example.com:443//a//b/"))
+        .when(t === 2, concat(lit("//cdn.site.org./img/"), h, lit(".png#frag")))
+        .when(t === 3, concat(lit("http://user:pw@Host.NET:80/p?b=2&a="), h))
+        .when(t === 4, concat(lit("https://news.example.org/story?utm_source=x&id="), h))
+        .when(t === 5, concat(lit("http://shop.example.com/item//"), h, lit("/")))
+        .when(t === 6, lit("HTTPS://Example.com/?"))
+        .otherwise(concat(lit("http://a.b.c:8080/x?b="), h, lit("&a=1")))
+      Tables.documents(s, d).select(col("doc_id"),
+        Curation.canonicalUrl(synth).as("canonical_url")).orderBy("doc_id")
+    }),
+
+    // REAL Unicode NFC normalization against an INDEPENDENT
+    // implementation: Spark runs the codegen unicode_norm expression
+    // (JDK UAX #15); the oracle runs DuckDB's nfc_normalize (utf8proc)
+    // on the same synthesized decomposed text — two unrelated codebases
+    // must agree on every composed codepoint and length.
+    "uni_norm" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val deco = concat(
+        lit("cafe\u0301 nai\u0308ve Ange\u0301lique #"),
+        (col("doc_id") % 100).cast("string"), lit(" A\u030A"))
+      Tables.documents(s, d).select(col("doc_id"),
+        Curation.normalizeText(deco, "NFC").as("norm_text"),
+        length(deco).as("len_decomposed"),
+        length(Curation.normalizeText(deco, "NFC")).as("len_nfc"))
+        .orderBy("doc_id")
+    }),
+
     // C4-style line dedup over CONSTRUCTED multi-line text — the fixture
     // corpus has no newlines, so the row wraps each document's words into
     // 4-word lines first (the encode-then-run pattern of b5_deep /
@@ -1578,6 +1617,38 @@ SELECT media_id, width, height,
                  WHEN 512 * height <= 512 * width THEN (height * 512) // width
                  ELSE 512 END AS INT) AS target_h
 FROM f WHERE width > 0 AND height > 0 ORDER BY media_id"""),
+
+    // Each url_canon template's EXPECTED canonical form, stated as a
+    // literal — independent of the Spark-side canonicalizer.
+    "url_canon" -> ("""WITH f AS (
+  SELECT doc_id, doc_id % 8 AS t, CAST(doc_id % 100 AS VARCHAR) AS h
+  FROM documents
+)
+SELECT doc_id,
+  CASE t
+    WHEN 0 THEN 'example.com/a/b?x=' || h
+    WHEN 1 THEN 'example.com/a/b'
+    WHEN 2 THEN 'cdn.site.org/img/' || h || '.png'
+    WHEN 3 THEN 'host.net/p?a=' || h || '&b=2'
+    WHEN 4 THEN 'news.example.org/story?id=' || h
+    WHEN 5 THEN 'shop.example.com/item/' || h
+    WHEN 6 THEN 'example.com'
+    ELSE 'a.b.c:8080/x?a=1&b=' || h
+  END AS canonical_url
+FROM f ORDER BY doc_id"""),
+
+    // DuckDB's utf8proc NFC vs Spark's JDK Normalizer on the same
+    // decomposed text — two independent implementations must agree.
+    "uni_norm" -> ("""WITH f AS (
+  SELECT doc_id,
+         'cafe' || chr(769) || ' nai' || chr(776) || 've Ange' || chr(769) ||
+         'lique #' || CAST(doc_id % 100 AS VARCHAR) || ' A' || chr(778) AS deco
+  FROM documents
+)
+SELECT doc_id, nfc_normalize(deco) AS norm_text,
+       CAST(length(deco) AS INT) AS len_decomposed,
+       CAST(length(nfc_normalize(deco)) AS INT) AS len_nfc
+FROM f ORDER BY doc_id"""),
 
     // Mirror of mm_audio's closed-form synth: samples
     // (id*31 + i*7) % 200 - 100 over n = n_chars % 50 + 1 frames, mono

@@ -164,7 +164,7 @@ object RelationalQueries {
         .orderBy("o_custkey", "o_orderkey")
     }),
 
-    "q_brand_stats" -> ((s, d) =>
+    "q_brands" -> ((s, d) =>
       Tables.lineitem(s, d)
         .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
         .groupBy("p_brand")
@@ -454,7 +454,7 @@ SELECT o_custkey, o_orderkey,
                ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running
 FROM orders ORDER BY o_custkey, o_orderkey""",
 
-    "q_brand_stats" -> """
+    "q_brands" -> """
 SELECT p_brand, count(DISTINCT l_suppkey) AS n_supp,
        CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS qty
 FROM lineitem JOIN part ON l_partkey = p_partkey

@@ -165,7 +165,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("b5 row decode: typed schema parse, validity filter at the scan") {
-    val p = plan("b5_row_decode")
+    val p = plan("b5_rows")
     // typed from_json only — the old formulation string-extracted each
     // field with its own get_json_object full parse. (OptimizeJsonExprs
     // splits the validity filter into schema-PRUNED parses and pushes
