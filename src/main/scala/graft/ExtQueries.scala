@@ -330,7 +330,7 @@ object ExtQueries {
       Similarity.knnGraph(Tables.embeddings(s, d), "vec_id", "embedding",
         k = 3).orderBy("src", "rn")),
 
-    "kmv_distinct" -> ((s, d) =>
+    "kmv_nd" -> ((s, d) =>
       Tables.events(s, d).groupBy("event_type")
         .agg(graft.functions.KMV.distinctEst(
           graft.ext.Text.hash60(col("user_id").cast("string")), 64)
@@ -580,6 +580,34 @@ object ExtQueries {
         .otherwise(concat(lit("http://a.b.c:8080/x?b="), h, lit("&a=1")))
       Tables.documents(s, d).select(col("doc_id"),
         Curation.canonicalUrl(synth).as("canonical_url")).orderBy("doc_id")
+    }),
+
+    // REAL HTML→text extraction on the correctness surface (no HTML in
+    // the fixture corpus): four synthesized page templates cover tag
+    // stripping, title/block/inline boundaries, script/style raw-text
+    // skipping (with a decoy tag inside a JS string), the five named +
+    // numeric entities, unknown-entity passthrough, quoted '>' inside
+    // attributes, and self-closed <br/>. The oracle states each
+    // template's expected extraction as a literal.
+    "html_text" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val h = (col("doc_id") % 100).cast("string")
+      val t = col("doc_id") % 4
+      val html = when(t === 0, concat(
+          lit("<html><head><title>Doc "), h,
+          lit("</title><style>p{color:red}</style></head><body><h1>Heading "),
+          h, lit("</h1><p>First <b>bold</b> para.</p></body></html>")))
+        .when(t === 1,
+          lit("<p>A &amp; B &lt;x&gt; &#65;&#x42; &nbsp; C&unknown;D</p>"))
+        .when(t === 2, concat(
+          lit("<ul><li>one "), h,
+          lit("</li><li>two</li></ul><script>var x = \"<p>ignored</p>\";</script><p>tail "),
+          h, lit("</p>")))
+        .otherwise(concat(
+          lit("<div class=\"a>b\"><a href=\"/x?y=1\">link "), h,
+          lit("</a><br/>next &#233;</div>")))
+      Tables.documents(s, d).select(col("doc_id"),
+        call_function("html_text", html).as("page_text")).orderBy("doc_id")
     }),
 
     // REAL Unicode NFC normalization against an INDEPENDENT
@@ -1242,7 +1270,7 @@ SELECT probes.k AS user_id, CAST(min(coalesce(cells.n, 0)) AS BIGINT) AS est_cou
 FROM probes LEFT JOIN cells ON probes.r = cells.r AND probes.c = cells.c
 GROUP BY 1 ORDER BY 1"""),
 
-    "kmv_distinct" -> (s"""
+    "kmv_nd" -> (s"""
 WITH h AS (
   SELECT event_type, ${h60("CAST(user_id AS VARCHAR)")} AS hv
   FROM events
@@ -1635,6 +1663,22 @@ SELECT doc_id,
     WHEN 6 THEN 'example.com'
     ELSE 'a.b.c:8080/x?a=1&b=' || h
   END AS canonical_url
+FROM f ORDER BY doc_id"""),
+
+    // Each html_text template's EXPECTED extraction, stated as a
+    // literal (chr(10) = the block-boundary newline, chr(233) = é).
+    "html_text" -> ("""WITH f AS (
+  SELECT doc_id, doc_id % 4 AS t, CAST(doc_id % 100 AS VARCHAR) AS h
+  FROM documents
+)
+SELECT doc_id,
+  CASE t
+    WHEN 0 THEN 'Doc ' || h || chr(10) || 'Heading ' || h || chr(10) ||
+                'First bold para.'
+    WHEN 1 THEN 'A & B <x> AB C&unknown;D'
+    WHEN 2 THEN 'one ' || h || chr(10) || 'two' || chr(10) || 'tail ' || h
+    ELSE 'link ' || h || chr(10) || 'next ' || chr(233)
+  END AS page_text
 FROM f ORDER BY doc_id"""),
 
     // DuckDB's utf8proc NFC vs Spark's JDK Normalizer on the same

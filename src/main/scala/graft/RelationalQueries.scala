@@ -198,7 +198,7 @@ object RelationalQueries {
     // 100 TB needs a time-bounded pre-split (sessionize per day, then
     // stitch boundary sessions), which changes semantics and is a
     // caller decision, not a default.
-    "q_sessionize" -> ((s, d) => {
+    "q_sess" -> ((s, d) => {
       val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
       val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
       Tables.events(s, d)
@@ -316,7 +316,7 @@ object RelationalQueries {
         .na.fill(0)
         .orderBy("day")),
 
-    "q_range_join" -> ((s, d) => {
+    "q_range" -> ((s, d) => {
       // banded point-in-interval join: each user's events inside their
       // first-3-days window, joined on (user, day-bucket) — uniform
       // shuffle keys, no theta join (operators.RangeJoin).
@@ -470,7 +470,7 @@ FROM events e ASOF LEFT JOIN orders_d o
   ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
 ORDER BY e.event_id""",
 
-    "q_sessionize" -> """
+    "q_sess" -> """
 WITH x AS (
   SELECT user_id, event_id, ts,
          CASE WHEN lag(ts) OVER w IS NULL
@@ -591,7 +591,7 @@ SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
        count(*) FILTER (event_type = 'error') AS error
 FROM events GROUP BY 1 ORDER BY 1""",
 
-    "q_range_join" -> """
+    "q_range" -> """
 WITH ev AS (SELECT user_id, epoch_ms(ts) AS ts_ms FROM events),
 f AS (SELECT user_id AS f_user, min(ts_ms) AS start_ms FROM ev GROUP BY 1)
 SELECT ev.user_id, count(*) AS n_early_events
