@@ -143,6 +143,21 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("synthesized-payload rows stay single-Exchange: only the output sort shuffles") {
+    // url_canon / uni_norm / html_text are zero-shuffle projections over
+    // the documents scan (codegen expressions, no join, no agg) — the
+    // ONLY Exchange allowed is the final orderBy's range partitioning.
+    // A second Exchange would mean the synth or the transform started
+    // shuffling data it never needs to move.
+    for (q <- Seq("url_canon", "uni_norm", "html_text")) {
+      val p = plan(q)
+      assert(count(p, "Exchange") <= 1,
+        s"$q must shuffle only for its output sort:\n$p")
+      assert(!p.contains("Join") && !p.contains("HashAggregate"),
+        s"$q is a pure projection — no join/agg belongs in:\n$p")
+    }
+  }
+
   test("top terms: df broadcast (no term-keyed shuffle join) and top-k group limit") {
     val p = plan("text_top")
     assert(p.contains("BroadcastHashJoin"),
