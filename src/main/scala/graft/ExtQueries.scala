@@ -220,11 +220,11 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
-    "dedup_simhash" -> ((s, d) =>
+    "simhash" -> ((s, d) =>
       Dedup.simhash(Tables.documents(s, d), col("text"), col("doc_id"))
         .orderBy("doc_id")),
 
-    "dedup_sh_pairs" -> ((s, d) =>
+    "sh_pairs" -> ((s, d) =>
       Dedup.simhashPairs(Tables.documents(s, d), col("text"), col("doc_id"),
           maxDist = 16)
         .orderBy("doc_a", "doc_b")),
@@ -363,7 +363,7 @@ object ExtQueries {
     // (uniq_pm >= 400, n_words >= 25) so the check is DISCRIMINATING —
     // on the synthetic corpus everything passes the base gate and a
     // pass-through pipeline would prove nothing.
-    "pipe_curation" -> ((s, d) => {
+    "pipe_cur" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val quality = TextAnalysis.qualityScore(docs, col("text"), col("doc_id"))
         .where(col("quality_ok") && col("uniq_pm") >= 400 && col("n_words") >= 25)
@@ -525,6 +525,19 @@ object ExtQueries {
         docs.where(col("doc_id") % 10 >= 8),
         col("text"), col("doc_id"), expectedHistory = 10000)
         .orderBy("doc_id")
+    }),
+
+    // SEMANTIC decontamination: eval split = vec_id % 200 == 0 (the
+    // benchmark-sized sliver), train = the rest; flag train vectors
+    // whose max cosine against ANY eval vector clears 0.3 (the fixture
+    // embeddings' contaminated tail — ~2% of rows at both test SFs).
+    "decon_sem" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.decontaminate(
+        emb.where(col("vec_id") % 200 =!= 0),
+        emb.where(col("vec_id") % 200 === 0),
+        "vec_id", "embedding", threshold = 0.3)
+        .orderBy("vec_id")
     }),
 
     "mm_features" -> ((s, d) =>
@@ -993,7 +1006,7 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
 FROM (SELECT doc_id, count(*) OVER (PARTITION BY s) AS nd FROM sh)
 GROUP BY doc_id ORDER BY doc_id"""),
 
-    "dedup_simhash" -> (s"""WITH toks AS (
+    "simhash" -> (s"""WITH toks AS (
   SELECT doc_id, unnest(regexp_extract_all(text, '$TokRe')) AS tok
   FROM documents
 ), votes AS (
@@ -1007,7 +1020,7 @@ SELECT doc_id,
                 ELSE 0 END) AS BIGINT) AS simhash
 FROM votes GROUP BY 1 ORDER BY doc_id"""),
 
-    "dedup_sh_pairs" -> (s"""WITH toks AS (
+    "sh_pairs" -> (s"""WITH toks AS (
   SELECT doc_id, unnest(regexp_extract_all(text, '$TokRe')) AS tok
   FROM documents
 ), votes AS (
@@ -1283,7 +1296,7 @@ SELECT event_type,
             END AS BIGINT) AS distinct_est
 FROM g ORDER BY 1"""),
 
-    "pipe_curation" -> (s"""WITH w AS (
+    "pipe_cur" -> (s"""WITH w AS (
   SELECT doc_id, text,
          string_split_regex(trim(lower(text)), ' +') AS words
   FROM documents
@@ -1645,6 +1658,27 @@ SELECT media_id, width, height,
                  WHEN 512 * height <= 512 * width THEN (height * 512) // width
                  ELSE 512 END AS INT) AS target_h
 FROM f WHERE width > 0 AND height > 0 ORDER BY media_id"""),
+
+    // Same quantized-integer cosine arithmetic as the ann_* oracles;
+    // max over the eval sliver, threshold 0.3.
+    "decon_sem" -> ("""WITH qz AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS qe
+  FROM embeddings
+), ev AS (SELECT qe FROM qz WHERE vec_id % 200 = 0),
+tr AS (SELECT vec_id, qe FROM qz WHERE vec_id % 200 <> 0),
+scored AS (
+  SELECT tr.vec_id,
+         max(round(
+           CAST(list_sum(list_transform(range(64), i -> tr.qe[i+1] * ev.qe[i+1])) AS DOUBLE)
+           / sqrt(CAST(list_sum(list_transform(range(64), i -> tr.qe[i+1] * tr.qe[i+1])) AS DOUBLE)
+                  * CAST(list_sum(list_transform(range(64), i -> ev.qe[i+1] * ev.qe[i+1])) AS DOUBLE)),
+           6)) AS max_eval_cosine
+  FROM tr CROSS JOIN ev GROUP BY tr.vec_id
+)
+SELECT vec_id, max_eval_cosine, max_eval_cosine >= 0.3 AS contaminated
+FROM scored ORDER BY vec_id"""),
 
     // Each url_canon template's EXPECTED canonical form, stated as a
     // literal — independent of the Spark-side canonicalizer.

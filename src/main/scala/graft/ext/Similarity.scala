@@ -58,6 +58,40 @@ object Similarity {
       .limit(k)
   }
 
+  /** SEMANTIC decontamination — the embedding-space mirror of the
+    * n-gram decontamination in [[graft.ext.Dedup]]: flag every TRAIN
+    * document whose embedding is close to ANY eval/benchmark embedding
+    * (test-set leakage that survives surface rewording defeats n-gram
+    * checks; embedding proximity catches the paraphrase tier).
+    *
+    * Plan shape: the EVAL side — tiny by construction, benchmarks are
+    * thousands of rows against a corpus of billions — is quantized,
+    * norm-precomputed, collapsed to ONE array row and broadcast; the
+    * train side is a single zero-shuffle scan computing
+    * `max_eval_cosine` per row with a higher-order `aggregate` over the
+    * broadcast array (exact integer dots, one rounded IEEE division per
+    * pair — the [[cosineQNormed]] arithmetic, so the DuckDB oracle
+    * reproduces it bit-for-bit). No Exchange anywhere: this is the
+    * exact-verify tier; at 100 TB the same contract runs incrementally
+    * as [[tagNearIndex]] probes against a prebuilt eval cell index, and
+    * this full-scan tier prices the recall audit. */
+  def decontaminate(train: DataFrame, eval: DataFrame, idCol: String,
+                    embCol: String, threshold: Double): DataFrame = {
+    val evalArr = eval
+      .select(quantize(col(embCol)).as("qe"))
+      .withColumn("n2", dotQ(col("qe"), col("qe")))
+      .agg(collect_list(struct(col("qe"), col("n2"))).as("__evals"))
+    train.select(col(idCol), quantize(col(embCol)).as("__e"))
+      .withColumn("__n2", dotQ(col("__e"), col("__e")))
+      .crossJoin(broadcast(evalArr))
+      .select(col(idCol),
+        aggregate(col("__evals"), lit(-1.0d),
+          (acc, ev) => greatest(acc,
+            cosineQNormed(col("__e"), ev.getField("qe"),
+              col("__n2"), ev.getField("n2")))).as("max_eval_cosine"))
+      .withColumn("contaminated", col("max_eval_cosine") >= threshold)
+  }
+
   /** Multi-band random-hyperplane LSH bucket ids: `bands` buckets per
     * vector, each `planes` sign bits, via the native codegen Expression
     * [[graft.functions.RhpLsh]] (md5-derived integer plane weights,
