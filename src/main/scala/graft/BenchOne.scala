@@ -9,7 +9,7 @@ import org.apache.spark.sql.SparkSession
   * full [[Bench]] sweep interleaves 90+ queries whose memory pressure and
   * GC cross-contaminate per-query numbers — attributing a single query's
   * regression needs a clean repeated measurement (VERDICT r8: is
-  * dedup_cc 17 s real or sandbox noise?). */
+  * dd_cc 17 s real or sandbox noise?). */
 object BenchOne {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
@@ -49,7 +49,10 @@ object BenchOne {
         (System.nanoTime() - t0) / 1e9
       } finally CacheScope.release()
     }
+    // Same tail armor as [[Bench]]: quiet the loggers and stop Spark
+    // BEFORE the result line so it is the last output a bounded tail sees.
+    spark.sparkContext.setLogLevel("ERROR")
+    try spark.stop() catch { case _: Throwable => () }
     println(f"[benchone] $name @ $sfDir: ${times.map(t => f"$t%.2f").mkString(", ")} sec (min ${times.min}%.2f)")
-    spark.stop()
   }
 }

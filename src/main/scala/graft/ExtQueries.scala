@@ -168,28 +168,28 @@ object ExtQueries {
     }
 
   val queries: Map[String, Q] = Map(
-    "dedup_exact" -> ((s, d) =>
+    "dd_exact" -> ((s, d) =>
       Dedup.exact(Tables.documents(s, d), col("text"), col("doc_id"))
         .orderBy("content_hash")),
 
-    "dedup_jaccard" -> ((s, d) =>
+    "dd_jaccard" -> ((s, d) =>
       Dedup.ngramJaccard(Tables.documents(s, d), col("text"), col("doc_id"),
           k = 3, minJaccard = 0.2)
         .orderBy("doc_a", "doc_b")),
 
-    "dedup_lsh" -> ((s, d) =>
+    "dd_lsh" -> ((s, d) =>
       Dedup.minhashLsh(Tables.documents(s, d), col("text"), col("doc_id"),
           k = 3, numHashes = 16, bands = 4, minMatches = 4)
         .orderBy("doc_a", "doc_b")),
 
-    "dedup_cc" -> ((s, d) =>
+    "dd_cc" -> ((s, d) =>
       Dedup.components(Dedup.minhashLsh(Tables.documents(s, d),
           col("text"), col("doc_id"),
           k = 3, numHashes = 16, bands = 4, minMatches = 4))
         .orderBy("doc_id")),
 
     // The apply endpoint over the same clustering: the surviving corpus.
-    "dedup_keep" -> ((s, d) => {
+    "dd_keep" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val pairs = Dedup.minhashLsh(docs, col("text"), col("doc_id"),
         k = 3, numHashes = 16, bands = 4, minMatches = 4)
@@ -208,7 +208,7 @@ object ExtQueries {
         .orderBy("doc_a", "doc_b")
     }),
 
-    "dedup_shared" -> ((s, d) =>
+    "dd_shared" -> ((s, d) =>
       Dedup.sharedShingleStats(Tables.documents(s, d), col("text"),
           col("doc_id"), k = 3)
         .orderBy("doc_id")),
@@ -321,7 +321,7 @@ object ExtQueries {
     // 25 < every cell's population at both SFs (cells run 76-122
     // members), so the cap bites in every cell and the row verifies the
     // per-cell ranking, not a pass-through
-    "sample_cell" -> ((s, d) =>
+    "smp_cell" -> ((s, d) =>
       Similarity.cellBalanced(Tables.embeddings(s, d), "vec_id", "embedding",
           n = 25)
         .orderBy("vec_id")),
@@ -409,18 +409,18 @@ object ExtQueries {
         .orderBy("stage")
     }),
 
-    "sample_split" -> ((s, d) =>
+    "smp_split" -> ((s, d) =>
       Sampling.split(Tables.documents(s, d), col("doc_id"))
         .select("doc_id", "split").orderBy("doc_id")),
 
     // quality-proportional keep rate: 1000 ppm per char, saturating at
     // 500 chars — longer docs always survive, shorter ones pro rata
-    "sample_wt" -> ((s, d) =>
+    "smp_wt" -> ((s, d) =>
       Sampling.weighted(Tables.documents(s, d), col("doc_id"),
           col("n_chars") * 2000L)
         .select("doc_id").orderBy("doc_id")),
 
-    "sample_strat" -> ((s, d) =>
+    "smp_strat" -> ((s, d) =>
       Sampling.stratified(Tables.events(s, d), col("event_type"),
           col("event_id"),
           Map("view" -> 100000, "click" -> 500000, "purchase" -> 1000000))
@@ -429,7 +429,7 @@ object ExtQueries {
     // per-language absolute cap (40 < the smallest language group at
     // both test scales, so every group is actually truncated and the
     // hash ranking — not a pass-through — is what the oracle checks)
-    "sample_cap" -> ((s, d) =>
+    "smp_cap" -> ((s, d) =>
       Sampling.capPerGroup(Tables.documents(s, d), col("lang"),
           col("doc_id"), n = 40)
         .select("doc_id", "lang").orderBy("doc_id")),
@@ -438,7 +438,7 @@ object ExtQueries {
     // weights, fr's demand exceeds its supply (rate clamps to 1e6 —
     // keep all), unweighted es drops entirely. All three regimes of
     // Sampling.mixture exercised by one row.
-    "sample_mix" -> ((s, d) =>
+    "smp_mix" -> ((s, d) =>
       Sampling.mixture(Tables.documents(s, d), col("lang"), col("doc_id"),
           Map("en" -> 200000, "fr" -> 400000, "de" -> 200000,
             "zh" -> 200000), targetRows = 300)
@@ -512,13 +512,13 @@ object ExtQueries {
           col("doc_id"))
         .orderBy("doc_id")),
 
-    "dedup_prefix" -> ((s, d) =>
+    "dd_prefix" -> ((s, d) =>
       Dedup.prefixDups(Tables.documents(s, d), col("text"), col("doc_id"),
         n = 64).orderBy("doc_id")),
 
     // New-vs-history incremental dedup: docs with doc_id % 10 >= 8 play
     // the fresh crawl batch, the rest the accumulated corpus.
-    "dedup_incr" -> ((s, d) => {
+    "dd_incr" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       Dedup.newAgainst(
         docs.where(col("doc_id") % 10 < 8),
@@ -645,7 +645,7 @@ object ExtQueries {
     // 4-word lines first (the encode-then-run pattern of b5_deep /
     // cis2_decode); ~340 lines are shared across documents at both
     // test scales, so the filter actually discriminates.
-    "dedup_lines" -> ((s, d) =>
+    "dd_lines" -> ((s, d) =>
       Curation.dedupLines(linedDocs(Tables.documents(s, d)),
           col("text"), col("doc_id"))
         .orderBy("doc_id")),
@@ -827,7 +827,7 @@ LIMIT 10"""
 
   /** DuckDB mirror of the stride-100 cell assignment
     * (Similarity.{centroidsOf, assignCells}) carrying qe/n2 through for
-    * in-cell cosine math — shared by semdedup and sample_cell. Same
+    * in-cell cosine math — shared by semdedup and smp_cell. Same
     * argmax-rounded-cosine, ties-to-smallest-cid rule as AnnIvfSql. */
   private val CellsCte = """WITH qz AS (
   SELECT vec_id AS vid,
@@ -892,12 +892,12 @@ WHERE qz.vec_id <> 0
 ORDER BY cosine DESC, qz.vec_id ASC LIMIT 10"""
 
   val oracles: Map[String, String] = Map(
-    "dedup_exact" -> """
+    "dd_exact" -> """
 SELECT md5(text) AS content_hash, min(doc_id) AS keeper_doc_id,
        count(*) AS n_copies
 FROM documents GROUP BY 1 ORDER BY 1""",
 
-    "dedup_jaccard" -> (hashedShinglesCte + """, sizes AS (
+    "dd_jaccard" -> (hashedShinglesCte + """, sizes AS (
   SELECT doc_id, count(*) AS n FROM sh GROUP BY 1
 ), pairs AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
@@ -911,7 +911,7 @@ FROM pairs JOIN sizes sa ON doc_a = sa.doc_id
 WHERE round(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 6) >= 0.2
 ORDER BY doc_a, doc_b"""),
 
-    "dedup_lsh" -> (MinhashCte + """
+    "dd_lsh" -> (MinhashCte + """
 SELECT doc_a, doc_b,
        CAST(len(list_filter(range(16), i -> sa.sig[i+1] = sb.sig[i+1])) AS INT)
          AS n_matching
@@ -920,7 +920,7 @@ FROM cand JOIN sig sa ON doc_a = sa.doc_id
 WHERE len(list_filter(range(16), i -> sa.sig[i+1] = sb.sig[i+1])) >= 4
 ORDER BY doc_a, doc_b"""),
 
-    "dedup_cc" -> (MinhashCte.replaceFirst("WITH ", "WITH RECURSIVE ") + """, pairs AS (
+    "dd_cc" -> (MinhashCte.replaceFirst("WITH ", "WITH RECURSIVE ") + """, pairs AS (
   SELECT doc_a, doc_b
   FROM cand JOIN sig sa ON doc_a = sa.doc_id
             JOIN sig sb ON doc_b = sb.doc_id
@@ -937,7 +937,7 @@ ORDER BY doc_a, doc_b"""),
 SELECT id AS doc_id, min(r) AS component
 FROM reach GROUP BY 1 ORDER BY doc_id"""),
 
-    "dedup_keep" -> (MinhashCte.replaceFirst("WITH ", "WITH RECURSIVE ") + """, pairs AS (
+    "dd_keep" -> (MinhashCte.replaceFirst("WITH ", "WITH RECURSIVE ") + """, pairs AS (
   SELECT doc_a, doc_b
   FROM cand JOIN sig sa ON doc_a = sa.doc_id
             JOIN sig sb ON doc_b = sb.doc_id
@@ -998,7 +998,7 @@ FROM tagged t LEFT JOIN ts ON t.s = ts.s
 WHERE t.split <> 'train'
 GROUP BY 1, 2 ORDER BY doc_id"""),
 
-    "dedup_shared" -> (hashedShinglesCte + """
+    "dd_shared" -> (hashedShinglesCte + """
 SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
        CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
        CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) * 1000
@@ -1261,7 +1261,7 @@ WHERE vid NOT IN (SELECT vid FROM dropped)
 ORDER BY vec_id"""),
 
     // capPerGroup's seeded-hash rank, with the IVF cell as the group
-    "sample_cell" -> (CellsCte + s""", ranked AS (
+    "smp_cell" -> (CellsCte + s""", ranked AS (
   SELECT vid, cid,
          row_number() OVER (PARTITION BY cid
            ORDER BY ${h60("'cell0:' || CAST(vid AS VARCHAR)")} ASC, vid ASC) AS rn
@@ -1321,14 +1321,14 @@ JOIN k ON d.doc_id = k.doc_id
 JOIN sp ON d.doc_id = sp.doc_id
 ORDER BY d.doc_id"""),
 
-    "sample_split" -> (s"""
+    "smp_split" -> (s"""
 SELECT doc_id,
        CASE WHEN ${h60("CAST(doc_id AS VARCHAR)")} % 1000000 < 50000 THEN 'val'
             WHEN ${h60("CAST(doc_id AS VARCHAR)")} % 1000000 < 100000 THEN 'test'
             ELSE 'train' END AS split
 FROM documents ORDER BY doc_id"""),
 
-    "sample_wt" -> (s"""
+    "smp_wt" -> (s"""
 SELECT doc_id FROM documents
 WHERE ${h60("'wt0:' || CAST(doc_id AS VARCHAR)")} % 1000000
       < least(greatest(n_chars * 2000, 0), 1000000)
@@ -1360,7 +1360,7 @@ SELECT stage, n_docs FROM (
   SELECT '3_train', CAST(sum(CASE WHEN q AND k AND tr THEN 1 ELSE 0 END) AS BIGINT) FROM f
 ) ORDER BY stage"""),
 
-    "sample_strat" -> (s"""
+    "smp_strat" -> (s"""
 SELECT event_id, event_type
 FROM events
 WHERE ${h60("CAST(event_id AS VARCHAR)")} % 1000000 <
@@ -1368,7 +1368,7 @@ WHERE ${h60("CAST(event_id AS VARCHAR)")} % 1000000 <
            WHEN 'purchase' THEN 1000000 ELSE 0 END
 ORDER BY event_id"""),
 
-    "sample_cap" -> (s"""
+    "smp_cap" -> (s"""
 SELECT doc_id, lang FROM (
   SELECT doc_id, lang,
          row_number() OVER (PARTITION BY lang
@@ -1376,7 +1376,7 @@ SELECT doc_id, lang FROM (
   FROM documents)
 WHERE rn <= 40 ORDER BY doc_id"""),
 
-    "sample_mix" -> (s"""
+    "smp_mix" -> (s"""
 WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
 r AS (
   SELECT lang, least(1000000,
@@ -1608,14 +1608,14 @@ SELECT term, n,
        CAST(row_number() OVER (ORDER BY n DESC, term ASC) AS INT) AS rank
 FROM k ORDER BY rank"""),
 
-    "dedup_prefix" -> (s"""WITH p AS (
+    "dd_prefix" -> (s"""WITH p AS (
   SELECT doc_id, ${h60("substr(text,1,64)")} AS ph FROM documents
 ), c AS (
   SELECT ph, CAST(count(*) AS BIGINT) AS n_share FROM p GROUP BY 1
 )
 SELECT p.doc_id, c.n_share FROM p JOIN c USING (ph) ORDER BY doc_id"""),
 
-    "dedup_incr" -> """
+    "dd_incr" -> """
 SELECT doc_id, md5(text) AS content_hash
 FROM documents d
 WHERE doc_id % 10 >= 8 AND NOT EXISTS (
@@ -1752,7 +1752,7 @@ FROM a ORDER BY media_id"""),
     // Mirror of linedDocs (4-word lines) + Curation.dedupLines: doc
     // frequency per exact line, drop lines in >= 2 docs, reassemble in
     // original order. chr(10) == the '\n' Spark joins/splits on.
-    "dedup_lines" -> (s"""WITH w AS (
+    "dd_lines" -> (s"""WITH w AS (
   SELECT doc_id, string_split_regex(trim(text), ' +') AS words FROM documents
 ), ld AS (
   SELECT doc_id,

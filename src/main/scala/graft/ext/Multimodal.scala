@@ -269,7 +269,7 @@ object Multimodal {
                         duration_ms: Long, mean_abs_amp: Long)
 
   /** Deterministic audio-payload synthesis for the `mm_audio` oracle row
-    * — the encode-then-run pattern of `dedup_lines`/`pii_redact`: the
+    * — the encode-then-run pattern of `dd_lines`/`pii_redact`: the
     * driver testdata has no audio column, so each document gets a
     * synthetic mono 16-bit 8 kHz signal whose samples follow a CLOSED
     * FORM DuckDB can compute (`(id*31 + i*7) % 200 - 100` over

@@ -45,8 +45,10 @@ class BenchLineSpec extends AnyFunSuite {
     // analysis exception (truncated to 40 chars at capture, as
     // Bench.main now does), the rest time normally.
     val (broken, healthy) = names.splitAt(42)
-    val msg = ("[DATATYPE_MISMATCH.BINARY_OP_DIFF_TYPES] Cannot resolve " +
-      "\"(ts div 1000)\" due to data type mismatch").replaceAll("\\s+", " ").take(40)
+    val msg = Bench.errMsg(new RuntimeException(
+      "[DATATYPE_MISMATCH.BINARY_OP_DIFF_TYPES] Cannot resolve " +
+        "\"(ts div 1000)\" due to data type mismatch ... long analysis trailer " +
+        "with plan fragments and suggestions attached by Spark 4"))
     val line = Bench.buildLine(healthy.map(_ -> 9.9), broken.map(_ -> msg),
       "32", "sf0.1")
     assert(line.length <= 2000,
@@ -57,6 +59,28 @@ class BenchLineSpec extends AnyFunSuite {
     // the 1e9-per-error poison reflects ALL 42 errors, not the 3 sampled
     assert(node.get("value").asDouble() >= 42e9)
     assert(node.get("queries").size() === healthy.size)
+  }
+
+  test("errMsg strips the error-class prefix before truncating (ADVICE r11)") {
+    val a = Bench.errMsg(new RuntimeException(
+      "[DATATYPE_MISMATCH.BINARY_OP_DIFF_TYPES] Cannot resolve \"(a + b)\""))
+    val b = Bench.errMsg(new RuntimeException(
+      "[DATATYPE_MISMATCH.BINARY_OP_WRONG_TYPE] Cannot resolve \"(a + b)\""))
+    // before the fix both rendered as the identical 40-char class prefix;
+    // after it the distinguishing payload survives the truncation
+    assert(!a.startsWith("["))
+    assert(a.startsWith("Cannot resolve"))
+    assert(a.length <= 60 && b.length <= 60)
+    // no-prefix and null-message throwables still capture something
+    assert(Bench.errMsg(new RuntimeException("plain failure")) === "plain failure")
+    assert(Bench.errMsg(new RuntimeException()).nonEmpty)
+  }
+
+  test("rerun threshold sits above every healthy isolated minimum band") {
+    // the guard must never trigger on the recurring healthy readings
+    // (<= ~3.2 s isolated across r3-r11) yet must catch the 7-18 s
+    // phantom outliers the r11 driver sweep recorded
+    assert(Bench.RerunThresholdSec >= 2.5 && Bench.RerunThresholdSec <= 4.0)
   }
 
   test("every declared query erroring still yields a parseable line") {

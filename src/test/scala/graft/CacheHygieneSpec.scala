@@ -13,7 +13,7 @@ class CacheHygieneSpec extends SparkSpec {
 
   /** Every declared query built on a persist/checkpoint-using operator. */
   private val cacheUsers = Seq(
-    "dedup_jaccard", "dedup_lsh", "dedup_cc",
+    "dd_jaccard", "dd_lsh", "dd_cc",
     "decon_split", "ann_knn_graph", "emb_neardup",
     "pack_seq", "pack_slices", "pack_shuffle",
     "ann_kmeans", "ann_recall")
@@ -33,7 +33,7 @@ class CacheHygieneSpec extends SparkSpec {
   test("tracking engages: the persisted intermediate exists until release") {
     CacheScope.release()
     val before = spark.sparkContext.getPersistentRDDs.keySet
-    SparkEntry.queries("dedup_lsh")(spark, sf)
+    SparkEntry.queries("dd_lsh")(spark, sf)
       .queryExecution.toRdd.foreach(_ => ())
     val during = spark.sparkContext.getPersistentRDDs.keySet -- before
     assert(during.nonEmpty,

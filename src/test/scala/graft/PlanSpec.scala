@@ -87,7 +87,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("prefix dups: partial-agg share counts, no window over the prefix hash") {
-    val p = plan("dedup_prefix")
+    val p = plan("dd_prefix")
     assert(!p.contains("Window"), s"no window may partition on the prefix hash:\n$p")
     assert(p.contains("HashAggregate") && p.contains("Join"),
       s"expected the partial-agg + rejoin shape in:\n$p")
@@ -122,7 +122,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("incremental dedup: both sides bloom-pruned before the exact anti join") {
-    val p = plan("dedup_incr")
+    val p = plan("dd_incr")
     // two probes: history-bloom over the incoming batch, candidate-bloom
     // over the history scan — both sides of the exact join pre-pruned
     assert(count(p, "bloom_might_contain") >= 2,
@@ -135,7 +135,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("dedup apply: drop-set subtraction is bloom-pruned, no data cartesian") {
-    val p = plan("dedup_keep")
+    val p = plan("dd_keep")
     assert(count(p, "bloom_might_contain") >= 2,
       s"expected the corpus-side and drop-side bloom probes:\n$p")
     assert(p.contains("LeftAnti"),
@@ -171,7 +171,7 @@ class PlanSpec extends SparkSpec {
     // boilerplate shingle shared by most of the corpus) joined back on
     // the hash key — a count window over the hash would put every
     // occurrence of the hot key into one partition
-    val p = plan("dedup_shared")
+    val p = plan("dd_shared")
     assert(!p.contains("Window"), s"no window may partition on the shingle hash:\n$p")
     assert(count(p, "HashAggregate") >= 4,
       s"expected partial+final pairs for doc counts and the per-doc fold in:\n$p")
@@ -202,8 +202,8 @@ class PlanSpec extends SparkSpec {
       s"the pair search must stay cell-blocked:\n$p")
   }
 
-  test("sample_cell: the per-cell cap pushes into WindowGroupLimit") {
-    val p = plan("sample_cell")
+  test("smp_cell: the per-cell cap pushes into WindowGroupLimit") {
+    val p = plan("smp_cell")
     assert(p.contains("WindowGroupLimit"),
       s"expected the rank<=n group-limit pushdown in:\n$p")
   }
@@ -336,7 +336,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("group cap: rank predicate pushed into WindowGroupLimit at the declared row") {
-    val p = plan("sample_cap")
+    val p = plan("smp_cap")
     assert(p.contains("WindowGroupLimit"),
       s"expected the per-group limit below the window sort in:\n$p")
   }
@@ -350,7 +350,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("line dedup: partial-agg distinct-doc counts, no window over the line hash") {
-    val p = plan("dedup_lines")
+    val p = plan("dd_lines")
     // document frequency = groupBy(lh).count_distinct(doc_id): Spark
     // plans it as two partial-aggregating phases ((lh, doc_id) then
     // lh), so a line in half the corpus collapses map-side instead of
@@ -416,7 +416,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("mixture: tiny rate table broadcast, corpus side stays a narrow filter") {
-    val p = plan("sample_mix")
+    val p = plan("smp_mix")
     assert(p.contains("BroadcastHashJoin"),
       s"expected the per-group rates broadcast back in:\n$p")
     assert(!p.contains("Window") && !p.contains("SortMergeJoin"),
