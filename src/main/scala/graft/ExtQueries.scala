@@ -573,6 +573,25 @@ object ExtQueries {
       Multimodal.audioBatched(rows).toDF().orderBy("media_id")
     }),
 
+    // REAL video sample decode on the correctness surface: per document
+    // an MJPEG-in-AVI clip of closed-form constant gray frames is
+    // synthesized as genuine container bytes, then videoFramesBatched
+    // walks the RIFF chunks and entropy-decodes each sampled frame's
+    // JPEG — the oracle prices the frame arithmetic container-blind, so
+    // a bug in the AVI walk, the frame sampling, OR the JPEG decode
+    // breaks the row.
+    "mm_video" -> ((s, d) => {
+      import s.implicits._
+      val rows = Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars"))
+        .as[(Long, Long)]
+        .map { case (id, nch) =>
+          Multimodal.MediaRow(id, Multimodal.synthVideoPayload(id, nch),
+            "video/avi") }
+      Multimodal.videoFramesBatched(rows, maxFrames = 4)
+        .toDF().orderBy("media_id", "frame_idx")
+    }),
+
     // REAL URL canonicalization on the correctness surface (the fixture
     // corpus has no URL column): eight synthesized templates per doc_id
     // cover every canon rule — scheme/userinfo/fragment drop, host
@@ -1748,6 +1767,22 @@ SELECT media_id,
        CAST(n * 1000 // 8000 AS BIGINT) AS duration_ms,
        CAST(sabs // n AS BIGINT) AS mean_abs_amp
 FROM a ORDER BY media_id"""),
+
+    // Mirror of mm_video's closed-form synth: n = n_chars % 9 + 2
+    // constant 16x16 gray frames of value (id*37 + f*11) % 256, sampled
+    // at stride ceil(n/4). The oracle never touches AVI or JPEG bytes —
+    // it prices the pixel arithmetic the Spark side must recover through
+    // a real chunk walk + entropy decode.
+    "mm_video" -> ("""WITH f AS (
+  SELECT doc_id AS media_id, n_chars % 9 + 2 AS n FROM documents
+), s AS (
+  SELECT media_id, unnest(range(0, n, CAST(ceil(n / 4.0) AS INT))) AS i FROM f
+)
+SELECT media_id, CAST(i AS INT) AS frame_idx,
+       CAST(16 AS INT) AS width, CAST(16 AS INT) AS height,
+       CAST(256 AS BIGINT) AS n_pixels,
+       CAST((media_id * 37 + i * 11) % 256 AS INT) AS mean_luma
+FROM s ORDER BY media_id, frame_idx"""),
 
     // Mirror of linedDocs (4-word lines) + Curation.dedupLines: doc
     // frequency per exact line, drop lines in >= 2 docs, reassemble in

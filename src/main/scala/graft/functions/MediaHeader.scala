@@ -329,6 +329,78 @@ object MediaHeaderUtil {
       nTracks, width, height, nSamples))
   }
 
+  /** RIFF/AVI container fields (a public Microsoft format, the video
+    * analog of [[parseWav]]'s chunk walk): `RIFF <size> AVI `, then
+    * word-aligned chunks `[4cc id][LE u32 size][data]`, where `LIST`
+    * chunks carry a 4cc list type and nest further chunks. Extracted:
+    * the `avih` main header (µs per frame, declared total frames,
+    * stream count, width, height), the first `vids` stream's `strh`
+    * rate/scale/length, and every frame chunk inside the `movi` list
+    * (`##dc`/`##db` — compressed/uncompressed DIB data; for the MJPEG
+    * fourcc each `##dc` payload is one complete baseline JPEG that
+    * `javax.imageio` decodes). Frame PIXEL decode lives in
+    * [[graft.ext.Multimodal.videoFramesBatched]], built on this parse —
+    * the seam [[parseMp4]] leaves open is closed for this container. */
+  case class AviInfo(width: Int, height: Int, usPerFrame: Long,
+                     nFramesDeclared: Long, rate: Long, scale: Long,
+                     nStreams: Int, frames: Vector[(Int, Int)])
+
+  def parseAvi(b: Array[Byte]): Option[AviInfo] = {
+    if (b.length < 12 ||
+        b(0) != 'R' || b(1) != 'I' || b(2) != 'F' || b(3) != 'F' ||
+        b(8) != 'A' || b(9) != 'V' || b(10) != 'I' || b(11) != ' ') return None
+    val riffSize = le32(b, 4)
+    if (riffSize < 4 || 8 + riffSize > b.length) return None
+    var usPerFrame = 0L; var totalFrames = -1L; var nStreams = 0
+    var width = 0; var height = 0
+    var rate = 0L; var scale = 0L; var strLen = 0L
+    var vids = false // the NEXT strh seen decides; latched once found
+    val frames = Vector.newBuilder[(Int, Int)]
+
+    /** Iterate sibling chunks in [from, to); false on structural error. */
+    def chunks(from: Int, to: Int, depth: Int): Boolean = {
+      if (depth > 8) return false
+      var i = from
+      while (i + 8 <= to) {
+        val size = le32(b, i + 4)
+        if (size < 0 || size > Int.MaxValue - 8 || i + 8 + size > to)
+          return false
+        val sz = size.toInt
+        val id = new String(b, i, 4, "US-ASCII")
+        if (id == "LIST") {
+          if (sz < 4) return false
+          if (!chunks(i + 12, i + 8 + sz, depth + 1)) return false
+        } else id match {
+          case "avih" if sz >= 40 =>
+            usPerFrame = le32(b, i + 8)
+            totalFrames = le32(b, i + 24)
+            nStreams = le32(b, i + 32).toInt
+            width = le32(b, i + 40).toInt
+            height = le32(b, i + 44).toInt
+          case "strh" if sz >= 40 =>
+            val fccType = new String(b, i + 8, 4, "US-ASCII")
+            if (fccType == "vids" && !vids) {
+              vids = true
+              scale = le32(b, i + 28)
+              rate = le32(b, i + 32)
+              strLen = le32(b, i + 40)
+            }
+          case fid if fid.length == 4 && fid(0).isDigit && fid(1).isDigit &&
+              (fid.endsWith("dc") || fid.endsWith("db")) =>
+            frames += ((i + 8, sz))
+          case _ => ()
+        }
+        i += 8 + sz + (sz & 1) // word alignment, as in the WAV walk
+      }
+      true
+    }
+
+    if (!chunks(12, math.min(b.length, 8 + riffSize.toInt), 0)) return None
+    if (totalFrames < 0 || width <= 0 || height <= 0) return None
+    Some(AviInfo(width, height, usPerFrame, totalFrames, rate, scale,
+      nStreams, frames.result()))
+  }
+
   /** Expression-facing wrapper: result row, or null when unrecognized. */
   def parse(b: Array[Byte]): InternalRow = parseDims(b) match {
     case Some((f, w, h)) =>

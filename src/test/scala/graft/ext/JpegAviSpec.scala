@@ -1,0 +1,98 @@
+package graft.ext
+
+import graft.SparkSpec
+import graft.ext.Multimodal.MediaRow
+import graft.functions.{JpegGray, MediaHeaderUtil}
+
+/** The MJPEG-in-AVI sample-decode path, fixture-verified at every layer:
+  * the hand-rolled constant-gray baseline JPEG must decode BIT-EXACTLY
+  * through the independent `javax.imageio` decoder (the whole exactness
+  * argument of the mm_video oracle row), the RIFF/AVI chunk walk must
+  * recover the header fields and the exact frame byte ranges, and
+  * videoFramesBatched must produce the closed-form luminance stats the
+  * DuckDB oracle prices. Hostile-byte fuzzing pins the no-throw
+  * contract of the parser. */
+class JpegAviSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("constant-gray JPEG decodes bit-exactly via ImageIO for all 256 values") {
+    (0 to 255).foreach { v =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(JpegGray.encodeConst(16, 8, v)))
+      assert(img != null, s"v=$v did not decode")
+      assert(img.getWidth == 16 && img.getHeight == 8)
+      val r = img.getRaster
+      for (y <- 0 until 8; x <- 0 until 16)
+        assert(r.getSample(x, y, 0) == v, s"v=$v pixel ($x,$y)")
+    }
+  }
+
+  test("synthAvi round-trips through parseAvi: header fields + frame ranges") {
+    val frames = (0 until 5).map(f => JpegGray.encodeConst(16, 16, 40 * f))
+    val avi = Multimodal.synthAvi(frames, 16, 16, fps = 10)
+    val info = MediaHeaderUtil.parseAvi(avi).get
+    assert(info.width == 16 && info.height == 16)
+    assert(info.usPerFrame == 100000L) // 1e6 / 10 fps
+    assert(info.nFramesDeclared == 5L && info.frames.length == 5)
+    assert(info.rate == 10L && info.scale == 1L && info.nStreams == 1)
+    // the recovered byte ranges ARE the encoded frames (odd-length
+    // frames exercise the word-alignment padding of the chunk walk)
+    info.frames.zip(frames).foreach { case ((off, len), orig) =>
+      assert(len == orig.length)
+      assert(java.util.Arrays.equals(
+        java.util.Arrays.copyOfRange(avi, off, off + len), orig))
+    }
+  }
+
+  test("rejects non-AVI, truncated containers, and overrunning chunks") {
+    assert(MediaHeaderUtil.parseAvi("plainly not a video".getBytes).isEmpty)
+    val avi = Multimodal.synthAvi(
+      Seq(JpegGray.encodeConst(8, 8, 7)), 8, 8, fps = 5)
+    assert(MediaHeaderUtil.parseAvi(avi.dropRight(4)).isEmpty)
+    // WAV is RIFF too — the 'AVI ' form type must gate
+    assert(MediaHeaderUtil.parseAvi(
+      Multimodal.synthAudioPayload(2L, 10L)).isEmpty)
+  }
+
+  test("property: arbitrary bytes never throw, accepted parses are consistent") {
+    val rnd = new scala.util.Random(11)
+    (0 until 2000).foreach { _ =>
+      val b = Array.fill(rnd.nextInt(96))(rnd.nextInt().toByte)
+      MediaHeaderUtil.parseAvi(b).foreach { v =>
+        assert(v.width > 0 && v.height > 0 && v.nFramesDeclared >= 0)
+      }
+    }
+  }
+
+  test("videoFramesBatched: strided sampling, exact luma, quarantine") {
+    // 10 frames, maxFrames 4 → stride ceil(10/4)=3 → indices 0,3,6,9
+    val vals = (0 until 10).map(f => (17 * f + 3) % 256)
+    val clip = Multimodal.synthAvi(
+      vals.map(JpegGray.encodeConst(16, 16, _)), 16, 16, fps = 10)
+    val ds = Seq(
+      MediaRow(1L, clip, "video/avi"),
+      MediaRow(2L, "not a clip".getBytes, "text/plain")).toDS()
+    val rows = Multimodal.videoFramesBatched(ds, maxFrames = 4)
+      .collect().sortBy(_.frame_idx)
+    assert(rows.map(_.media_id).distinct.toSeq == Seq(1L))
+    assert(rows.map(_.frame_idx).toSeq == Seq(0, 3, 6, 9))
+    rows.foreach { r =>
+      assert(r.width == 16 && r.height == 16 && r.n_pixels == 256L)
+      assert(r.mean_luma == vals(r.frame_idx))
+    }
+  }
+
+  test("synthVideoPayload matches the mm_video closed form end to end") {
+    for ((id, nch) <- Seq((0L, 0L), (7L, 123L), (400L, 999L))) {
+      val n = (nch % 9 + 2).toInt
+      val ds = Seq(MediaRow(id, Multimodal.synthVideoPayload(id, nch),
+        "video/avi")).toDS()
+      val rows = Multimodal.videoFramesBatched(ds, maxFrames = 4)
+        .collect().sortBy(_.frame_idx)
+      val stride = (n + 3) / 4
+      assert(rows.map(_.frame_idx).toSeq == (0 until n by stride).toSeq)
+      rows.foreach(r =>
+        assert(r.mean_luma == ((id * 37 + r.frame_idx * 11) % 256).toInt))
+    }
+  }
+}
