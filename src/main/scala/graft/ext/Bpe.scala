@@ -30,13 +30,21 @@ import org.apache.spark.storage.StorageLevel
   * first, all its occurrences, repeat) per whitespace word with an
   * end-of-word marker — one `mapPartitions` over the corpus, merge
   * ranks and vocab shipped in the closure (a few hundred KB), no
-  * shuffle. Out-of-vocabulary symbols (characters never seen in
-  * training) get id -1 — visible, not silently dropped, same policy as
-  * the decode quarantines.
+  * shuffle. The encoder is TOTAL: the vocabulary is seeded with 256
+  * reserved byte symbols (`<0x00>`..`<0xFF>`, the SentencePiece
+  * byte-fallback convention; GPT-2's byte-level BPE makes the same
+  * totality guarantee), so a character never seen in training encodes
+  * as its UTF-8 bytes instead of a lossy sentinel — no -1, no dropped
+  * text, and the ids stay valid embedding-table indices.
   */
 object Bpe {
 
   val EndOfWord = "</w>"
+
+  /** The 256 reserved byte-fallback symbols, always present in a
+    * learned vocabulary: any symbol outside the vocab decomposes into
+    * its UTF-8 bytes, each of which maps to one of these. */
+  val ByteSymbols: IndexedSeq[String] = (0 until 256).map(b => f"<0x$b%02X>")
 
   /** A learned tokenizer: ordered merge list + id-indexed vocabulary
     * (every symbol reachable by encoding: base characters seen in
@@ -46,11 +54,39 @@ object Bpe {
     lazy val ranks: Map[(String, String), Int] =
       merges.zipWithIndex.toMap
     lazy val ids: Map[String, Int] = vocab.zipWithIndex.toMap
+
+    /** Total id lookup: an in-vocab symbol is one id; anything else
+      * decomposes into its UTF-8 bytes' reserved byte-symbol ids. Never
+      * emits -1 for a vocabulary holding [[ByteSymbols]] (every vocab
+      * [[learn]] produces); a hand-built vocab without them falls back
+      * to -1 rather than inventing ids. */
+    def idsFor(sym: String): Seq[Int] = ids.get(sym) match {
+      case Some(i) => Seq(i)
+      case None =>
+        sym.getBytes(java.nio.charset.StandardCharsets.UTF_8).toSeq
+          .map(b => ids.getOrElse(ByteSymbols(b & 0xff), -1))
+    }
   }
 
   // codegen'd deserializers instantiate this from generated classes —
   // it must not be java-private (private[ext] compiles to public)
   private[ext] final case class WordSyms(freq: Long, syms: Seq[String])
+
+  /** Split a word into per-code-point symbols. Char-level `.map` would
+    * split astral-plane characters (emoji, rare CJK) into lone UTF-16
+    * surrogates, whose UTF-8 encoding is the replacement character —
+    * the byte fallback would then encode garbage instead of the
+    * character's real bytes. */
+  private def codePointSyms(w: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var i = 0
+    while (i < w.length) {
+      val cp = w.codePointAt(i)
+      out += new String(Character.toChars(cp))
+      i += Character.charCount(cp)
+    }
+    out.result()
+  }
 
   /** Merge every adjacent (a,b) occurrence in one pass, left to right. */
   private def applyMerge(syms: Seq[String], a: String, b: String): Seq[String] = {
@@ -75,7 +111,7 @@ object Bpe {
       .where(length(col("w")) > 0)
       .groupBy("w").agg(count(lit(1)).as("freq"))
       .as[(String, Long)]
-      .map { case (w, f) => WordSyms(f, w.map(_.toString) :+ EndOfWord) }
+      .map { case (w, f) => WordSyms(f, codePointSyms(w) :+ EndOfWord) }
       .persist(StorageLevel.MEMORY_AND_DISK)
     words.count()
 
@@ -104,27 +140,34 @@ object Bpe {
           round += 1
       }
     }
-    val vocab = words.flatMap(_.syms).distinct().collect().sorted.toSeq
+    // seed the byte-fallback symbols so encode is total over any input,
+    // not just characters the training corpus happened to contain; the
+    // union stays sorted, so ids remain deterministic
+    val vocab = (words.flatMap(_.syms).distinct().collect() ++ ByteSymbols)
+      .distinct.sorted.toSeq
     words.unpersist()
     Model(merges.result(), vocab)
   }
 
   /** Tokenize a corpus with a learned model: greedy merge application
-    * per word, ids from the model vocabulary, -1 for symbols outside
-    * it. One narrow pass — no shuffle, no join. */
+    * per word, ids from the model vocabulary with UTF-8 byte fallback
+    * for symbols outside it ([[Model.idsFor]]) — total over any input,
+    * like the public byte-level tokenizers. One narrow pass — no
+    * shuffle, no join. `n_tokens` counts EMITTED ids (a fallen-back
+    * character contributes one per UTF-8 byte — the length the packer
+    * and the embedding table actually see). */
   def encode(docs: DataFrame, id: Column, text: Column, model: Model): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val ranks = model.ranks
-    val ids = model.ids
     docs.select(id.cast("long").as("doc_id"), lower(text).as("t"))
       .as[(Long, String)]
       .mapPartitions { it =>
         it.map { case (docId, t) =>
           val toks = t.split("\\s+").iterator.filter(_.nonEmpty)
-            .flatMap(encodeWord(_, ranks)).toSeq
-          (docId, toks.map(s => ids.getOrElse(s, -1).toLong),
-            toks.length.toLong)
+            .flatMap(encodeWord(_, ranks))
+            .flatMap(model.idsFor).map(_.toLong).toSeq
+          (docId, toks, toks.length.toLong)
         }
       }
       .toDF("doc_id", "input_ids", "n_tokens")
@@ -134,7 +177,7 @@ object Bpe {
     * pair (all occurrences) until none is mergeable. */
   private[ext] def encodeWord(w: String,
                               ranks: Map[(String, String), Int]): Seq[String] = {
-    var syms: Seq[String] = w.map(_.toString) :+ EndOfWord
+    var syms: Seq[String] = codePointSyms(w) :+ EndOfWord
     var done = false
     while (!done && syms.length > 1) {
       var best = Int.MaxValue

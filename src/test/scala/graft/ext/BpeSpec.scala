@@ -32,11 +32,13 @@ class BpeSpec extends SparkSpec {
     // round 5: (lo,w)=7
     assert(m.merges == Seq("e" -> "s", "es" -> "t", "est" -> "</w>",
       "l" -> "o", "lo" -> "w"))
-    // vocabulary: every symbol in the final word table, sorted
+    // vocabulary: every symbol in the final word table + the 256
+    // reserved byte-fallback symbols, sorted ("</w>" < "<0x..>" because
+    // '/' < '0'; letters sort after '<')
     // low -> [low </w>]; lower -> [low e r </w>]; newest -> [n e w est</w>];
     // widest -> [w i d est</w>]
-    assert(m.vocab == Seq("</w>", "d", "e", "est</w>", "i", "low", "n",
-      "r", "w"))
+    assert(m.vocab == Seq("</w>") ++ Bpe.ByteSymbols ++
+      Seq("d", "e", "est</w>", "i", "low", "n", "r", "w"))
   }
 
   test("encode: seen, composed-unseen, and OOV words") {
@@ -53,9 +55,29 @@ class BpeSpec extends SparkSpec {
     // low</w> -> [low, </w>]; lowest -> [low, est</w>]
     assert(ids.take(4) == Seq(vocabIdx("low").toLong, vocabIdx("</w>").toLong,
       vocabIdx("low").toLong, vocabIdx("est</w>").toLong))
-    // "quiz": q/u/z never seen in training -> -1 (visible OOV), i seen
+    // "quiz": q/u/z never seen in training -> byte fallback (one id per
+    // UTF-8 byte, never -1), i seen -> its vocab id
     val tail = ids.drop(4)
-    assert(tail == Seq(-1L, -1L, vocabIdx("i").toLong, -1L,
+    assert(tail == Seq(vocabIdx("<0x71>").toLong, vocabIdx("<0x75>").toLong,
+      vocabIdx("i").toLong, vocabIdx("<0x7A>").toLong,
+      vocabIdx("</w>").toLong))
+    assert(out.getAs[Long]("n_tokens") == ids.length.toLong)
+  }
+
+  test("byte fallback is total: CJK and astral emoji never emit -1") {
+    val m = Bpe.learn(corpus, col("text"), nMerges = 5)
+    val out = Bpe.encode(Seq((9L, "低 a😀b")).toDF("id", "txt"),
+      col("id"), col("txt"), m)
+      .collect()(0)
+    val ids = out.getSeq[Long](out.fieldIndex("input_ids")).toSeq
+    assert(!ids.contains(-1L))
+    val vocabIdx = m.vocab.zipWithIndex.toMap
+    def bid(b: Int) = vocabIdx(f"<0x$b%02X>").toLong
+    // 低 = UTF-8 E4 BD 8E; the astral 😀 (U+1F600, a SURROGATE PAIR in
+    // UTF-16) = F0 9F 98 80 — code-point splitting must keep the pair
+    // together or the fallback would encode two replacement chars
+    assert(ids == Seq(bid(0xE4), bid(0xBD), bid(0x8E), vocabIdx("</w>").toLong,
+      bid(0x61), bid(0xF0), bid(0x9F), bid(0x98), bid(0x80), bid(0x62),
       vocabIdx("</w>").toLong))
     assert(out.getAs[Long]("n_tokens") == ids.length.toLong)
   }
@@ -64,7 +86,7 @@ class BpeSpec extends SparkSpec {
     val tiny = Seq((1L, "ab cd")).toDF("doc_id", "text")
     val m = Bpe.learn(tiny, col("text"), nMerges = 10)
     assert(m.merges.isEmpty) // every pair occurs once
-    assert(m.vocab == Seq("</w>", "a", "b", "c", "d"))
+    assert(m.vocab == Seq("</w>") ++ Bpe.ByteSymbols ++ Seq("a", "b", "c", "d"))
   }
 
   test("real corpus: merges learn, encode covers training text, determinism") {
