@@ -60,6 +60,7 @@ object Bench {
     warm(graft.sources.ServingMirrors.atiSummaries(spark, sfDir))
     warm(graft.sources.ServingMirrors.ctiSummaries(spark, sfDir))
     warm(ExtQueries.ivfIndexFor(spark, sfDir))
+    warm(ExtQueries.ivfLabelIndexFor(spark, sfDir))
     warm(ExtQueries.pqIndexFor(spark, sfDir))
     warm(ExtQueries.ivfPqIndexFor(spark, sfDir))
     val timings = scala.collection.mutable.LinkedHashMap.empty[String, Double]

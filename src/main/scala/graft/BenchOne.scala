@@ -37,6 +37,7 @@ object BenchOne {
     warm(graft.sources.ServingMirrors.atiSummaries(spark, sfDir))
     warm(graft.sources.ServingMirrors.ctiSummaries(spark, sfDir))
     warm(ExtQueries.ivfIndexFor(spark, sfDir))
+    warm(ExtQueries.ivfLabelIndexFor(spark, sfDir))
     warm(ExtQueries.pqIndexFor(spark, sfDir))
     warm(ExtQueries.ivfPqIndexFor(spark, sfDir))
     val fn = SparkEntry.queries(name)

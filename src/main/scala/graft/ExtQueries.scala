@@ -138,6 +138,22 @@ object ExtQueries {
       path
     }
 
+  /** Precomputed IVF cell index CARRYING the `label` attribute column —
+    * the filtered-ANN serving artifact ("neighbors among label = X"):
+    * the predicate pushes into the pruned cell scan as an ordinary
+    * parquet filter. Kept separate from [[ivfIndexFor]] so the
+    * unfiltered rows keep their attribute-free artifact; same
+    * build-once contract, data-fingerprint keying, and race guard. */
+  private[graft] def ivfLabelIndexFor(s: SparkSession, sfDir: String): String =
+    synchronized {
+      val path = graft.sources.Scratch.dir("ivfl",
+        graft.sources.Scratch.key(sfDir))
+      if (!new java.io.File(s"$path/cells/_SUCCESS").exists())
+        Similarity.writeCellIndex(Tables.embeddings(s, sfDir), "vec_id",
+          "embedding", path, centroidStride = 100, attrCols = Seq("label"))
+      path
+    }
+
   /** Precomputed PQ code index for `sfDir` — same build-once contract,
     * data-fingerprint keying, and race guard as [[ivfIndexFor]]. The
     * codebook is written before the codes, so codes/_SUCCESS marks both
@@ -290,6 +306,19 @@ object ExtQueries {
     "ann_ivf_idx" -> ((s, d) =>
       Similarity.annIvfIndexed(s, ivfIndexFor(s, d), queryId = 0L, k = 10,
           nprobe = 2)
+        .select(col("vid").as("vec_id"), col("cosine"))),
+
+    // FILTERED ANN — the deployment query ("nearest neighbors among
+    // docs where label = 3"): probes the attribute-carrying cell index
+    // with the predicate pushed INSIDE the cid-pruned scan, top-k still
+    // fused. Label 3 keeps ~20 candidates in query 0's two probed cells
+    // at both SFs, so the row verifies a real constrained ranking.
+    "ann_filtered" -> ((s, d) =>
+      Similarity.annIvfIndexed(s, ivfLabelIndexFor(s, d), queryId = 0L,
+          k = 10, nprobe = 2,
+          predicate = Some(col("label") === 3),
+          attrFields = Seq(org.apache.spark.sql.types.StructField("label",
+            org.apache.spark.sql.types.IntegerType)))
         .select(col("vid").as("vec_id"), col("cosine"))),
 
     // Lloyd-refined IVF codebook: one assign+mean round, then the final
@@ -875,7 +904,11 @@ LIMIT 10"""
   JOIN n ON c.vid = n.vid
 )"""
 
-  private val AnnIvfSql = """WITH qz AS (
+  /** The IVF unroll with an optional candidate predicate injected into
+    * the final WHERE — `ann_filtered` shares every stage (assignment,
+    * probe, scoring) with the unfiltered rows, differing only in the
+    * constraint, exactly like the Spark side. */
+  private def annIvfSqlWhere(candFilter: String) = s"""WITH qz AS (
   SELECT vec_id,
          list_transform(embedding,
            x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS qe
@@ -907,8 +940,10 @@ FROM cells
 JOIN qcells ON cells.cid = qcells.cid
 JOIN qz ON qz.vec_id = cells.vec_id
 CROSS JOIN q
-WHERE qz.vec_id <> 0
+WHERE qz.vec_id <> 0$candFilter
 ORDER BY cosine DESC, qz.vec_id ASC LIMIT 10"""
+
+  private val AnnIvfSql = annIvfSqlWhere("")
 
   val oracles: Map[String, String] = Map(
     "dd_exact" -> """
@@ -1191,6 +1226,12 @@ ORDER BY 1, 2"""),
     // identical by construction: the index stores the same assignment
     // the per-query formulation computes (ExtQueries.ivfIndexFor)
     "ann_ivf_idx" -> AnnIvfSql,
+
+    // the same IVF unroll constrained to label-3 candidates — the
+    // filter applies to CANDIDATES only, never to cell assignment or
+    // the query's probed cells, mirroring the Spark plan exactly
+    "ann_filtered" -> annIvfSqlWhere(
+      " AND qz.vec_id IN (SELECT vec_id FROM embeddings WHERE label = 3)"),
 
     // kmeansRefine with iters=1 unrolled: seed codebook -> assignment
     // a1 -> per-(cell, dim) integer means (the sign trick mirrors

@@ -388,10 +388,11 @@ object Similarity {
   def writeIvfPqIndex(embeddings: DataFrame, idCol: String, embCol: String,
                       path: String, coarseStride: Int = 100, m: Int = 8,
                       subDim: Int = 8, pqStride: Int = 50,
-                      refineIters: Int = 0): Unit = {
+                      refineIters: Int = 0, attrCols: Seq[String] = Nil): Unit = {
     val spark = embeddings.sparkSession
-    val qzPlan = embeddings.select(col(idCol).as("vid"),
-        quantize(col(embCol)).as("qe"))
+    val qzPlan = embeddings.select(
+        col(idCol).as("vid") +: quantize(col(embCol)).as("qe") +:
+          attrCols.map(col): _*)
       .withColumn("n2", dotQ(col("qe"), col("qe")))
     // refineIters > 0 stores the Lloyd-learned coarse quantizer
     // ([[kmeansRefine]]) instead of the raw stride sample — the probe
@@ -402,22 +403,24 @@ object Similarity {
     try {
       refineCents(qz, centroidsOf(qz, coarseStride), refineIters)
         .write.mode("overwrite").parquet(s"$path/centroids")
-      writeIvfPqCodes(spark, qz, path, m, subDim, pqStride)
+      writeIvfPqCodes(spark, qz, path, m, subDim, pqStride, attrCols)
     } finally if (refineIters > 0) qz.unpersist()
   }
 
   private def writeIvfPqCodes(spark: org.apache.spark.sql.SparkSession,
                               qz: DataFrame, path: String, m: Int,
-                              subDim: Int, pqStride: Int): Unit = {
+                              subDim: Int, pqStride: Int,
+                              attrCols: Seq[String] = Nil): Unit = {
     import org.apache.spark.sql.expressions.Window
     val cents = spark.read.parquet(s"$path/centroids")
     // residual = vector − its cell's centroid, exact integer subtract;
     // persisted for the build's scope (codebook sample + encode both
     // read it), the writeCellIndex refinement pattern
-    val res = assignCells(qz, cents)
+    val res = assignCells(qz, cents, attrCols)
       .join(broadcast(cents.select(col("cid"), col("ce"))), "cid")
-      .select(col("vid"), col("cid"),
-        zip_with(col("qe"), col("ce"), (x, y) => x - y).as("re"))
+      .select(col("vid") +: col("cid") +:
+        zip_with(col("qe"), col("ce"), (x, y) => x - y).as("re") +:
+        attrCols.map(col): _*)
       .persist()
     try {
       // dense code = rank of the sampled vid (single-partition window is
@@ -437,14 +440,14 @@ object Similarity {
       // ties to the smallest code — pqEncode's rule on the residual
       // frame, partial-agg absorbing the m·|codebook| candidate fan-out
       res.crossJoin(broadcast(storedCb))
-        .select(col("vid"), col("cid"), col("s"), col("code"),
+        .select(Seq(col("vid"), col("cid"), col("s"), col("code"),
           l2Q(slice(col("re"), col("s") * subDim + 1, lit(subDim)),
-            col("rse")).as("d"))
-        .groupBy("vid", "cid", "s")
+            col("rse")).as("d")) ++ attrCols.map(col): _*)
+        .groupBy(col("vid") +: col("cid") +: col("s") +: attrCols.map(col): _*)
         .agg(min(struct(col("d"), col("code"))).as("best"))
-        .select(col("vid"), col("cid"), col("s"),
-          col("best.code").as("code"))
-        .groupBy("vid", "cid")
+        .select(Seq(col("vid"), col("cid"), col("s"),
+          col("best.code").as("code")) ++ attrCols.map(col): _*)
+        .groupBy(col("vid") +: col("cid") +: attrCols.map(col): _*)
         .agg(transform(
           array_sort(collect_list(struct(col("s"), col("code")))),
           x => x.getField("code")).as("codes"))
@@ -469,7 +472,10 @@ object Similarity {
   def annIvfPqIndexedVec(spark: org.apache.spark.sql.SparkSession,
                          path: String, queryVec: Seq[Float], k: Int,
                          nprobe: Int = 2,
-                         excludeVid: Option[Long] = None): DataFrame = {
+                         excludeVid: Option[Long] = None,
+                         predicate: Option[Column] = None,
+                         attrFields: Seq[org.apache.spark.sql.types.StructField] = Nil)
+      : DataFrame = {
     // same HALF_UP rounding as [[quantize]] (Spark's round), which
     // math.round would get wrong for negative half-way values
     val qe = queryVec.map(x => java.math.BigDecimal.valueOf(x.toDouble * 1e6)
@@ -501,8 +507,12 @@ object Similarity {
       ((cid * m + s) * ncb + code) -> d
     }).toMap
     val tblLit = typedlit(tbl)
-    val scored = readIvfPqCodes(spark, path)
-      .where(col("cid").isin(qres.keys.toSeq: _*))
+    // attribute predicate inside the pruned compressed-code scan — the
+    // filtered-ANN contract of [[annIvfIndexedVec]] on the PQ tier
+    val pruned = predicate.foldLeft(
+      readIvfPqCodes(spark, path, attrFields)
+        .where(col("cid").isin(qres.keys.toSeq: _*)))((df, p) => df.where(p))
+    val scored = pruned
       .select(col("vid"),
         aggregate(
           zip_with(col("codes"), sequence(lit(0L), lit((m - 1).toLong)),
@@ -521,17 +531,23 @@ object Similarity {
   def annIvfPqIndexed(spark: org.apache.spark.sql.SparkSession,
                       path: String, embeddings: DataFrame, idCol: String,
                       embCol: String, queryId: Long, k: Int,
-                      nprobe: Int = 2): DataFrame = {
+                      nprobe: Int = 2,
+                      predicate: Option[Column] = None,
+                      attrFields: Seq[org.apache.spark.sql.types.StructField] = Nil)
+      : DataFrame = {
     val qRows = embeddings.where(col(idCol) === queryId)
       .select(col(embCol)).take(1)
     require(qRows.nonEmpty,
       s"query vector $queryId is not in the source table")
     annIvfPqIndexedVec(spark, path, qRows(0).getSeq[Float](0), k, nprobe,
-      excludeVid = Some(queryId))
+      excludeVid = Some(queryId), predicate = predicate,
+      attrFields = attrFields)
   }
 
   private def readIvfPqCodes(spark: org.apache.spark.sql.SparkSession,
-                             path: String): DataFrame = {
+                             path: String,
+                             attrFields: Seq[org.apache.spark.sql.types.StructField] = Nil)
+      : DataFrame = {
     // Explicit schema: the cid PARTITION column must stay LongType so
     // the pruning predicate needs no cast (readCells discipline)
     val schema = org.apache.spark.sql.types.StructType(Seq(
@@ -539,7 +555,7 @@ object Similarity {
         org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("codes",
         org.apache.spark.sql.types.ArrayType(
-          org.apache.spark.sql.types.LongType)),
+          org.apache.spark.sql.types.LongType))) ++ attrFields ++ Seq(
       org.apache.spark.sql.types.StructField("cid",
         org.apache.spark.sql.types.LongType)))
     spark.read.schema(schema).parquet(s"$path/codes")
@@ -549,16 +565,18 @@ object Similarity {
     * (small, broadcast) codebook: argmax quantized cosine, ties to the
     * smallest cid — the rule shared by [[annIvf]], [[writeCellIndex]]
     * and [[kmeansRefine]]. */
-  private def assignCells(qz: DataFrame, cents: DataFrame): DataFrame = {
+  private def assignCells(qz: DataFrame, cents: DataFrame,
+                          attrs: Seq[String] = Nil): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byVec = Window.partitionBy("vid")
       .orderBy(col("ccos").desc, col("cid").asc)
+    val base = Seq(col("vid"), col("qe"), col("n2"), col("cid"))
     qz.crossJoin(broadcast(cents))
-      .select(col("vid"), col("qe"), col("n2"), col("cid"),
-        cosineQNormed(col("qe"), col("ce"), col("n2"), col("cn2")).as("ccos"))
+      .select(base ++ attrs.map(col) :+
+        cosineQNormed(col("qe"), col("ce"), col("n2"), col("cn2")).as("ccos"): _*)
       .withColumn("rnk", row_number().over(byVec))
       .where(col("rnk") === 1)
-      .select(col("vid"), col("qe"), col("n2"), col("cid"))
+      .select(base ++ attrs.map(col): _*)
   }
 
   /** Lloyd (k-means) REFINEMENT of the coarse IVF codebook — turns the
@@ -629,9 +647,10 @@ object Similarity {
     * returns identical results. */
   def writeCellIndex(embeddings: DataFrame, idCol: String, embCol: String,
                      path: String, centroidStride: Int = 100,
-                     refineIters: Int = 0): Unit = {
-    val qzPlan = embeddings.select(col(idCol).as("vid"),
-        quantize(col(embCol)).as("qe"))
+                     refineIters: Int = 0, attrCols: Seq[String] = Nil): Unit = {
+    val qzPlan = embeddings.select(
+        col(idCol).as("vid") +: quantize(col(embCol)).as("qe") +:
+          attrCols.map(col): _*)
       .withColumn("n2", dotQ(col("qe"), col("qe")))
     // Refinement re-reads qz once per assignment round plus the final
     // cells pass — persist it for the build's scope (unpersisted in the
@@ -654,7 +673,11 @@ object Similarity {
       // ties to smallest cid) shared with annIvf/kmeansRefine — the
       // stored index must never desync from the in-memory assignment.
       val stored = embeddings.sparkSession.read.parquet(s"$path/centroids")
-      assignCells(qz, stored)
+      // attrCols ride the cells as FILTERABLE columns — the deployment
+      // shape of attribute-constrained ("filtered") ANN: a predicate on
+      // them pushes into the pruned cell scan as an ordinary parquet
+      // filter, so "neighbors among label = X" never rescans the corpus
+      assignCells(qz, stored, attrCols)
         .repartition(col("cid"))
         .sortWithinPartitions("vid")
         .write.mode("overwrite").partitionBy("cid").parquet(s"$path/cells")
@@ -798,7 +821,10 @@ object Similarity {
     * codebook size and nprobe, never by the corpus. */
   def annIvfIndexedVec(spark: org.apache.spark.sql.SparkSession, path: String,
                        queryVec: Seq[Float], k: Int, nprobe: Int = 2,
-                       excludeVid: Option[Long] = None): DataFrame = {
+                       excludeVid: Option[Long] = None,
+                       predicate: Option[Column] = None,
+                       attrFields: Seq[org.apache.spark.sql.types.StructField] = Nil)
+      : DataFrame = {
     // same HALF_UP rounding as [[quantize]] (Spark's round), which
     // math.round would get wrong for negative half-way values
     val qe = queryVec.map(x => java.math.BigDecimal.valueOf(x.toDouble * 1e6)
@@ -812,8 +838,14 @@ object Similarity {
       .orderBy(col("ccos").desc, col("cid").asc)
       .limit(nprobe)
       .select("cid").collect().map(_.getLong(0)).toSeq
-    val cells = readCells(spark, path)
-    val probed = cells.where(col("cid").isin(qcids: _*))
+    val cells = readCells(spark, path, attrFields)
+    // FILTERED ANN: the attribute predicate applies INSIDE the pruned
+    // cell scan — cid partition pruning AND the attr filter both reach
+    // the parquet reader (PlanSpec pins PartitionFilters + PushedFilters
+    // together on this plan), and the top-k stays fused. The alternative
+    // — top-k first, filter after — silently under-fills k.
+    val probed = predicate.foldLeft(
+      cells.where(col("cid").isin(qcids: _*)))((df, p) => df.where(p))
     excludeVid.fold(probed)(v => probed.where(col("vid") =!= v))
       .select(col("vid"),
         cosineQNormed(col("qe"), qLit, col("n2"), lit(qn2)).as("cosine"))
@@ -822,9 +854,15 @@ object Similarity {
   }
 
   private def readCells(spark: org.apache.spark.sql.SparkSession,
-                        path: String): DataFrame = {
+                        path: String,
+                        attrFields: Seq[org.apache.spark.sql.types.StructField] = Nil)
+      : DataFrame = {
     // Explicit schema so the cid PARTITION column is LongType (inference
     // would shrink it to int and force a cast into the pruning predicate).
+    // attrFields name any attribute columns the index was built with
+    // (writeCellIndex attrCols) that this read needs — parquet resolves
+    // fields by name, so an attr-carrying index read without them simply
+    // prunes the attrs at the scan.
     val cellSchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("vid",
         org.apache.spark.sql.types.LongType),
@@ -832,7 +870,7 @@ object Similarity {
         org.apache.spark.sql.types.ArrayType(
           org.apache.spark.sql.types.LongType)),
       org.apache.spark.sql.types.StructField("n2",
-        org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.LongType)) ++ attrFields ++ Seq(
       org.apache.spark.sql.types.StructField("cid",
         org.apache.spark.sql.types.LongType)))
     spark.read.schema(cellSchema).parquet(s"$path/cells")
@@ -847,8 +885,11 @@ object Similarity {
     * [[annIvfIndexedVec]]), then delegates. Prefer the vector variant
     * on a serving path. */
   def annIvfIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
-                    queryId: Long, k: Int, nprobe: Int = 2): DataFrame = {
-    val cells = readCells(spark, path)
+                    queryId: Long, k: Int, nprobe: Int = 2,
+                    predicate: Option[Column] = None,
+                    attrFields: Seq[org.apache.spark.sql.types.StructField] = Nil)
+      : DataFrame = {
+    val cells = readCells(spark, path, attrFields)
     val cents = spark.read.parquet(s"$path/centroids")
     val qRows = cells.where(col("vid") === queryId)
       .select(col("qe"), col("n2")).take(1)
@@ -863,7 +904,13 @@ object Similarity {
       .orderBy(col("ccos").desc, col("cid").asc)
       .limit(nprobe)
       .select("cid").collect().map(_.getLong(0)).toSeq
-    cells.where(col("cid").isin(qcids: _*) && col("vid") =!= queryId)
+    // predicate inside the pruned scan — [[annIvfIndexedVec]]'s
+    // filtered-ANN contract (the query row itself is NOT subject to it:
+    // "neighbors of q among label = X" doesn't require q to carry X)
+    val probed = predicate.foldLeft(
+      cells.where(col("cid").isin(qcids: _*) && col("vid") =!= queryId))(
+      (df, p) => df.where(p))
+    probed
       .select(col("vid"),
         cosineQNormed(col("qe"), qLit, col("n2"), lit(qn2)).as("cosine"))
       .orderBy(col("cosine").desc, col("vid").asc)

@@ -220,6 +220,22 @@ class PlanSpec extends SparkSpec {
       s"the indexed probe must not re-rank the corpus per query:\n$p")
   }
 
+  test("ann_filtered: attribute predicate inside the cid-pruned cell scan") {
+    // filtered ANN must push the label constraint INTO the same scan
+    // the cid partition pruning runs on — filter-after-topk would
+    // under-fill k, filter-in-a-second-scan would double the IO — and
+    // the top-k must stay fused (no global sort, no window).
+    val p = plan("ann_filtered")
+    assert(p.contains("PartitionFilters") && p.contains("cid"),
+      s"expected cid partition pruning on the filtered probe:\n$p")
+    assert(p.contains("PushedFilters") && p.contains("EqualTo(label,3)"),
+      s"expected the label predicate pushed to the cell scan:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"expected the fused top-k to survive the predicate:\n$p")
+    assert(!p.contains("Window"),
+      s"the filtered probe must not re-rank the corpus per query:\n$p")
+  }
+
   test("pq adc: broadcast codebook and table, partial-agg codes, fused top-k") {
     // both wide exchanges carry CODES (m small ints per vector), never
     // the raw float vectors: the argmin encoding aggregates partially

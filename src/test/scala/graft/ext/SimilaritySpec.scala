@@ -106,6 +106,50 @@ class SimilaritySpec extends SparkSpec {
     assert(near.toSet == Set(1L, 2L, 3L), near.toSeq)
   }
 
+  test("filtered ANN: predicate constrains the probe on both index tiers") {
+    import org.apache.spark.sql.functions.col
+    def v(x: Float, y: Float) = Array(x, y, 0f, 0f, 0f, 0f, 0f, 0f)
+    // one tight cluster around (1,0) with alternating labels, so the
+    // unfiltered top-k and the label-constrained top-k genuinely differ
+    val rows = (0L until 12L).map { i =>
+      (i, v(1f, 0.02f * i), (i % 2).toInt)
+    }
+    val docs = rows.toDF("vec_id", "embedding", "label")
+    val root = java.nio.file.Files.createTempDirectory("graft-fann").toString
+    val attrs = Seq(org.apache.spark.sql.types.StructField("label",
+      org.apache.spark.sql.types.IntegerType))
+    Similarity.writeCellIndex(docs, "vec_id", "embedding", root,
+      centroidStride = 12, attrCols = Seq("label"))
+    val filtered = Similarity.annIvfIndexed(spark, root, 0L, 3, nprobe = 1,
+        predicate = Some(col("label") === 1), attrFields = attrs)
+      .collect().map(_.getLong(0)).toSeq
+    // exact expectation: among odd vids, nearest to vid 0 by cosine are
+    // the smallest angles — 1, 3, 5
+    assert(filtered == Seq(1L, 3L, 5L), filtered)
+    // the unfiltered probe would have returned 1,2,3 — the predicate
+    // changed the RANKING SET, not just annotated it
+    val unfiltered = Similarity.annIvfIndexed(spark, root, 0L, 3, nprobe = 1)
+      .collect().map(_.getLong(0)).toSeq
+    assert(unfiltered == Seq(1L, 2L, 3L), unfiltered)
+    // the PQ tier honors the same contract: every returned vid matches
+    // the predicate and the set equals the unfiltered ADC ranking
+    // restricted to label 1 (same codes, same distances, same order)
+    val pqRoot = java.nio.file.Files.createTempDirectory("graft-fpq").toString
+    Similarity.writeIvfPqIndex(docs, "vec_id", "embedding", pqRoot,
+      coarseStride = 12, m = 4, subDim = 2, pqStride = 3,
+      attrCols = Seq("label"))
+    val pqAll = Similarity.annIvfPqIndexed(spark, pqRoot, docs, "vec_id",
+        "embedding", queryId = 0L, k = 12, nprobe = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val pqFiltered = Similarity.annIvfPqIndexed(spark, pqRoot, docs,
+        "vec_id", "embedding", queryId = 0L, k = 3, nprobe = 1,
+        predicate = Some(col("label") === 1), attrFields = attrs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSeq
+    assert(pqFiltered == pqAll.filter(_._1 % 2 == 1).take(3).toSeq,
+      s"filtered $pqFiltered vs all ${pqAll.toSeq}")
+    graft.CacheScope.release()
+  }
+
   test("near-dup pairs finds the colinear pair with cosine ~1") {
     val out = Similarity.nearDupPairs(vecs, "vec_id", "embedding", k = 5)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
