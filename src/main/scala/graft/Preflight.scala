@@ -59,13 +59,19 @@ object Preflight {
   /** Number of driver tables under watch (spec convenience). */
   def tableCount: Int = expected.size
 
-  /** All drift warnings for the tables under `sfDir`; empty = no drift. */
-  def check(spark: SparkSession, sfDir: String): Seq[String] =
-    expected.toSeq.sortBy(_._1).flatMap { case (table, cols) =>
+  /** All drift warnings for the tables under `sfDir`; empty = no drift.
+    * Read-only in effect as well as intent: the nanosAsLong flag the
+    * footer reads need (the canary must observe the RAW scan encoding —
+    * routing through Tables.events would hide exactly the drift it
+    * exists to catch) is restored to its prior value afterwards, so a
+    * diagnostic never changes read semantics for anything after it
+    * (ADVICE r11). */
+  def check(spark: SparkSession, sfDir: String): Seq[String] = {
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key, "true")
+    try expected.toSeq.sortBy(_._1).flatMap { case (table, cols) =>
       try {
-        // Tables.events so the ts branch sees exactly what queries see is
-        // WRONG here — the canary must observe the RAW scan encoding.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         val seen = spark.read.parquet(s"$sfDir/$table.parquet")
           .schema.map(f => f.name -> f.dataType.simpleString).toMap
         val missing = cols.collect { case (c, _) if !seen.contains(c) =>
@@ -80,5 +86,9 @@ object Preflight {
         case e: Throwable => Seq(s"testdata schema changed: $table unreadable " +
           s"at $sfDir (${Option(e.getMessage).getOrElse(e.getClass.getName).take(60)})")
       }
+    } finally prior match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
     }
+  }
 }

@@ -352,12 +352,18 @@ object RelationalQueries {
       // runtime-filter semi join: events of users who ever signed up.
       // The bloom pre-filter drops non-signup users' rows before the
       // exact semi join's shuffle; the result is row-identical to the
-      // plain semi join (which is what the oracle computes).
+      // plain semi join (which is what the oracle computes). The filter
+      // is SIZED FROM THE DATA (KMV NDV estimate of the dim side, not a
+      // hardcoded guess that silently degrades to pass-through at 100x
+      // the assumed dim); dim is persisted because sized() passes over
+      // it twice (NDV sketch, then bloom build) and its derivation
+      // scans events.
       val ev = Tables.events(s, d)
-      val dim = ev.where(col("event_type") === "signup")
-        .select(col("user_id").as("uid")).distinct()
-      graft.operators.BloomSemiJoin(ev, col("user_id"), dim, col("uid"),
-          expectedItems = 1 << 16, fpp = 0.01)
+      val dim = graft.CacheScope.persistTracked(
+        ev.where(col("event_type") === "signup")
+          .select(col("user_id").as("uid")).distinct())
+      graft.operators.BloomSemiJoin.sized(ev, col("user_id"), dim,
+          col("uid"), fpp = 0.01)
         .groupBy("user_id").agg(count(lit(1)).as("n"))
         .orderBy("user_id")
     })

@@ -76,7 +76,20 @@ object Similarity {
     * as [[tagNearIndex]] probes against a prebuilt eval cell index, and
     * this full-scan tier prices the recall audit. */
   def decontaminate(train: DataFrame, eval: DataFrame, idCol: String,
-                    embCol: String, threshold: Double): DataFrame = {
+                    embCol: String, threshold: Double,
+                    maxEvalRows: Long = 200000L): DataFrame = {
+    // Contract guard (ADVICE r11): the eval side collapses to ONE
+    // collect_list row that is then broadcast — a miscalled corpus-sized
+    // eval would hit the single-row/2 GB array limit as an opaque
+    // executor OOM deep in the exchange. Fail the misuse at the API
+    // instead: 200k rows × (64-dim qe + n2) ≈ 110 MB, comfortably
+    // broadcastable; genuinely larger eval suites belong on the
+    // [[tagNearIndex]] tier.
+    val nEval = eval.count()
+    require(nEval <= maxEvalRows,
+      s"decontaminate() broadcasts the whole eval split as one array row; " +
+        s"got $nEval eval rows (max $maxEvalRows). Use tagNearIndex against " +
+        "a prebuilt eval cell index for eval sets this large.")
     val evalArr = eval
       .select(quantize(col(embCol)).as("qe"))
       .withColumn("n2", dotQ(col("qe"), col("qe")))
@@ -1089,11 +1102,16 @@ object Similarity {
     * method here; the text-side LSH family has the same property per
     * band). `maxCell` caps the per-cell quadratic on degenerate
     * codebooks — an over-`maxCell` cell contributes no pairs and keeps
-    * all members (same skip-and-keep semantics as [[capBuckets]]).
-    * Output: the kept ids as `idCol`, one row per surviving document. */
+    * all members (same skip-and-keep semantics as [[capBuckets]]). The
+    * guard is ON BY DEFAULT (opt-out via `Int.MaxValue`, not opt-in —
+    * VERDICT r11): a healthy stride-`centroidStride` codebook yields
+    * ~stride-sized cells, far under the default cap, so the default
+    * only ever bites on the degenerate codebook that would otherwise go
+    * quadratic. Output: the kept ids as `idCol`, one row per surviving
+    * document. */
   def semDedup(embeddings: DataFrame, idCol: String, embCol: String,
                threshold: Double, centroidStride: Int = 100,
-               maxCell: Int = Int.MaxValue): DataFrame = {
+               maxCell: Int = 4096): DataFrame = {
     val qz = graft.CacheScope.persistTracked(
       embeddings.select(col(idCol).as("vid"),
           quantize(col(embCol)).as("qe"))

@@ -286,15 +286,24 @@ object TextAnalysis {
   private def lmModelFrom(ex: DataFrame): DataFrame = {
     val big = ex.groupBy("wh", "bh").agg(count(lit(1)).as("c12"))
     val uni = big.groupBy("wh").agg(sum("c12").as("c1"))
-    big.join(uni, "wh")
+    // the textbook Laplace mass — add-one over successor types uses the
+    // unigram vocabulary (distinct-prefix) size — stamped on every row:
+    // one count over the already-vocabulary-sized unigram table, never
+    // a second corpus pass, and a model persisted to parquet carries
+    // its own smoothing mass across the train/score boundary
+    val nPref = uni.agg(count(lit(1)).as("vocab"))
+    big.join(uni, "wh").crossJoin(broadcast(nPref))
   }
 
   /** The TRAINED bigram model as a frame — (wh, bh, c12 = bigram count,
-    * c1 = prefix count), vocabulary-sized. Materialize it once (write
+    * c1 = prefix count, vocab = distinct-prefix count, constant across
+    * rows), vocabulary-sized. Materialize it once (write
     * to parquet beside the corpus, like the ANN codebook) and feed it
     * to [[lmScore]]: the CCNet deployment shape is "train the LM on the
     * CLEAN reference corpus, score every incoming crawl batch against
-    * it", and the model artifact is what crosses that boundary. */
+    * it", and the model artifact is what crosses that boundary —
+    * including `vocab`, so the scoring side needs no access to the
+    * training corpus to recover the textbook add-one denominator. */
   def lmModel(df: DataFrame, content: Column, id: Column): DataFrame =
     lmModelFrom(bigramHashes(df, content, id))
 
@@ -318,6 +327,16 @@ object TextAnalysis {
     * partitions. Stateless per input frame — streaming-composable in
     * `foreachBatch` as the perplexity gate before the dedup tiers.
     * Output: [[lmSurprisal]]'s (doc_id, n_bigrams, bits_sum, ppl_pm). */
+  /** [[lmScore]] with the smoothing mass read from the model's own
+    * `vocab` column — the textbook add-one call shape (r10/r11 ADVICE):
+    * the caller trains with [[lmModel]] and scores with no extra
+    * aggregation and no judgment call. The one-row lookup is
+    * model-bounded, never corpus-bounded. */
+  def lmScore(df: DataFrame, content: Column, id: Column,
+              model: DataFrame): DataFrame =
+    lmScore(df, content, id, model,
+      model.select(col("vocab")).head.getLong(0))
+
   def lmScore(df: DataFrame, content: Column, id: Column,
               model: DataFrame, vocab: Long): DataFrame = {
     val bigrams = model.select(col("bh"), col("c12"), col("c1").as("cb1"))

@@ -160,7 +160,9 @@ object FlacCodec {
   /** Decode a complete FLAC stream to PCM. None on anything malformed:
     * bad magic/STREAMINFO, reserved codes, CRC-8/CRC-16 mismatch,
     * truncated frames, or (when STREAMINFO carries one) an MD5 that
-    * does not match the decoded PCM. */
+    * does not match the decoded PCM. A STREAMINFO total-samples of 0
+    * is the spec's "unknown length": frames decode until EOF under the
+    * same allocation cap as the declared path. */
   def decode(b: Array[Byte]): Option[FlacPcm] =
     try decodeOrThrow(b) catch { case _: Malformed => None }
 
@@ -183,10 +185,21 @@ object FlacCodec {
     // inside a mapPartitions batch. 2^27 samples × channels (≥512 MB of
     // PCM) is beyond any sane document-pipeline payload → quarantine.
     if (info.nSamples * info.channels > (1L << 27)) return None
+    // STREAMINFO total-samples = 0 means UNKNOWN length per the spec
+    // (ADVICE r11), not an empty stream: when frame data follows the
+    // metadata blocks, decode frames until the bytes run out, growing
+    // the buffers under the same hostile-allocation cap as the declared
+    // path. A genuinely empty stream (no frame bytes) still decodes to
+    // zero samples.
+    val unknownLen = info.nSamples == 0 && p < b.length
     val total = info.nSamples.toInt
     val chans = Array.fill(info.channels)(new Array[Int](total))
+    val grow: Array[scala.collection.mutable.ArrayBuffer[Int]] =
+      if (unknownLen)
+        Array.fill(info.channels)(scala.collection.mutable.ArrayBuffer.empty[Int])
+      else null
     var done = 0
-    while (done < total) {
+    while (if (unknownLen) p < b.length else done < total) {
       val r = new BitReader(b)
       r.bytePos = p
       val frameStart = p
@@ -271,22 +284,36 @@ object FlacCodec {
           Array(l, rr)
         case _ => raw
       }
-      val take = math.min(blockSize, total - done)
-      var cc = 0
-      while (cc < nCh) {
-        var i = 0
-        while (i < take) { chans(cc)(done + i) = frame(cc)(i).toInt; i += 1 }
-        cc += 1
+      if (unknownLen) {
+        // same 2^27-sample allocation bound as the declared path — a
+        // hostile unknown-length stream must not grow without limit
+        if ((done.toLong + blockSize) * nCh > (1L << 27)) bad()
+        var cc = 0
+        while (cc < nCh) {
+          var i = 0
+          while (i < blockSize) { grow(cc) += frame(cc)(i).toInt; i += 1 }
+          cc += 1
+        }
+        done += blockSize
+      } else {
+        val take = math.min(blockSize, total - done)
+        var cc = 0
+        while (cc < nCh) {
+          var i = 0
+          while (i < take) { chans(cc)(done + i) = frame(cc)(i).toInt; i += 1 }
+          cc += 1
+        }
+        done += take
       }
-      done += take
       p = r.bytePos
     }
     // ---- STREAMINFO MD5 of the unencoded PCM (when present and the
     // sample size is byte-aligned — fractional widths skip the check)
+    val outChans = if (unknownLen) grow.map(_.toArray) else chans
     if (info.md5Hex.exists(_ != '0') && info.bits % 8 == 0) {
-      if (pcmMd5(chans, info.bits) != info.md5Hex) return None
+      if (pcmMd5(outChans, info.bits) != info.md5Hex) return None
     }
-    Some(FlacPcm(info.sampleRate, info.channels, info.bits, chans))
+    Some(FlacPcm(info.sampleRate, info.channels, info.bits, outChans))
   }
 
   private def readUtf8Number(r: BitReader): Long = {

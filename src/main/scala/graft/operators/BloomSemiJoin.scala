@@ -33,6 +33,33 @@ import graft.functions.{Bloom, GraftFunctions}
   */
 object BloomSemiJoin {
 
+  /** KMV-estimated distinct-key count of the dim side — the sizing
+    * input [[sized]] feeds to [[apply]]. One bounded-state aggregation
+    * pass (k longs of sketch state, standard error ≈ 1/sqrt(k-2)); the
+    * one-row collect is sketch-bounded, never data-bounded. */
+  def estimateItems(dim: DataFrame, dimKey: Column, k: Int = 1024): Long =
+    // hash60 is md5-based and needs string/binary input; the cast is
+    // deterministic and injective for the key types a join uses
+    dim.select(graft.ext.Text.hash60(dimKey.cast("string")).as("__h"))
+      .agg(graft.functions.KMV.distinctEst(col("__h"), k).as("__ndv"))
+      .collect()(0).getLong(0)
+
+  /** [[apply]] with the filter sized FROM THE DATA instead of a caller
+    * guess: a KMV pass estimates the dim side's NDV, doubled as safety
+    * margin against sketch error and floored at 1024. A hardcoded
+    * `expectedItems` that undersizes by 100x silently degrades the
+    * bloom to pass-through (correct rows, but the pre-shuffle pruning
+    * vanishes — the failure VERDICT r11 flagged); the derived size
+    * tracks the actual dim, so the target fpp holds at any scale. Costs
+    * one extra pass over the dim side — persist `dim` when its
+    * derivation is itself expensive. */
+  def sized(fact: DataFrame, factKey: Column,
+            dim: DataFrame, dimKey: Column,
+            fpp: Double = 0.01): DataFrame =
+    apply(fact, factKey, dim, dimKey,
+      expectedItems = math.max(2L * estimateItems(dim, dimKey), 1L << 10),
+      fpp = fpp)
+
   def apply(fact: DataFrame, factKey: Column,
             dim: DataFrame, dimKey: Column,
             expectedItems: Long, fpp: Double = 0.01): DataFrame = {

@@ -41,4 +41,20 @@ class PreflightSpec extends SparkSpec {
     assert(warnings.size === Preflight.tableCount)
     assert(warnings.forall(_.contains("unreadable")))
   }
+
+  test("check() restores nanosAsLong — a diagnostic must not mutate the session") {
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    // default state before (getOption reports the default "false"): the
+    // EFFECTIVE value must survive check(), even though the footer reads
+    // need it true (ADVICE r11 — the canary was leaving the flag set,
+    // changing read semantics for everything after it)
+    spark.conf.unset(key)
+    Preflight.check(spark, "/root/testdata/sf0.001")
+    assert(spark.conf.get(key) === "false")
+    // explicitly true before: stays true after
+    spark.conf.set(key, "true")
+    Preflight.check(spark, "/root/testdata/sf0.001")
+    assert(spark.conf.get(key) === "true")
+    spark.conf.unset(key)
+  }
 }

@@ -209,6 +209,29 @@ class FlacCodecSpec extends AnyFunSuite {
     roundTrip(FlacPcm(44100, 4, 16, four), 100)
   }
 
+  test("unknown-length stream (STREAMINFO total-samples = 0) decodes to EOF") {
+    // the FLAC spec defines total-samples 0 as UNKNOWN length, not
+    // empty (ADVICE r11): an externally encoded live-capture stream
+    // carries frames the decoder must walk to EOF. Patch the encoded
+    // STREAMINFO: zero the 36-bit total (low nibble of byte 21 + bytes
+    // 22-25); the MD5 stays and must still verify the decoded PCM.
+    val samples = Array.tabulate(700)(i => (i * 13 % 4000) - 2000)
+    val enc = FlacCodec.encode(FlacPcm(8000, 1, 16, Array(samples)), 256)
+    val patched = enc.clone()
+    patched(21) = (patched(21) & 0xf0).toByte
+    for (i <- 22 to 25) patched(i) = 0
+    val out = FlacCodec.decode(patched)
+    assert(out.nonEmpty, "unknown-length stream must decode, not quarantine")
+    assert(out.get.samples(0).toSeq == samples.toSeq)
+    // an actually-empty unknown-length stream (no frame bytes) still
+    // decodes to zero samples
+    val emptyEnc = FlacCodec.encode(FlacPcm(8000, 1, 16, Array(Array.empty[Int])), 256)
+    val emptyPatched = emptyEnc.clone()
+    emptyPatched(21) = (emptyPatched(21) & 0xf0).toByte
+    val emptyOut = FlacCodec.decode(emptyPatched)
+    assert(emptyOut.nonEmpty && emptyOut.get.samples(0).isEmpty)
+  }
+
   test("property: arbitrary and mutated bytes never throw — None or a valid parse") {
     val rnd = new scala.util.Random(1234)
     // pure noise with a plausible prefix mix

@@ -186,6 +186,34 @@ class SimilaritySpec extends SparkSpec {
     assert(capped == (0L to 7L).toSet)
   }
 
+  test("semDedup DEFAULT cap is bounded: a degenerate codebook skips, not quadratic") {
+    // VERDICT r11: the guard must be opt-out, not opt-in. A stride
+    // larger than the corpus leaves ONE centroid (vid 0) — every vector
+    // lands in one cell of 4100 > the 4096 default cap, so the pair
+    // join forms ZERO pairs (skip-and-keep) instead of 16.8M, and all
+    // members survive. With the old Int.MaxValue default this corpus of
+    // identical vectors would go quadratic by default.
+    def v(x: Float) = Array(x, 0f, 0f, 0f)
+    val docs = (0L until 4100L).map(i => i -> v(1f + (i % 7) * 1e-6f))
+      .toDF("vec_id", "embedding")
+    val kept = Similarity.semDedup(docs, "vec_id", "embedding",
+        threshold = 0.95, centroidStride = 100000)
+      .as[Long].collect()
+    graft.CacheScope.release()
+    assert(kept.length == 4100, s"skip-and-keep must keep all, got ${kept.length}")
+  }
+
+  test("decontaminate rejects a corpus-sized eval side with a contract error") {
+    def v(x: Float) = Array(x, 0f, 0f, 0f)
+    val train = (0L until 4L).map(i => i -> v(1f)).toDF("vec_id", "embedding")
+    val eval = (0L until 8L).map(i => i -> v(0.5f)).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.decontaminate(train, eval, "vec_id", "embedding",
+        threshold = 0.3, maxEvalRows = 5L).collect()
+    }
+    assert(e.getMessage.contains("tagNearIndex"))
+  }
+
   test("cellBalanced caps per semantic cell with the shared assignment") {
     def v(x: Float, y: Float) = Array(x, y, 0f, 0f)
     // two clean direction clusters of 20; stride 20 → centroids 0 and 20

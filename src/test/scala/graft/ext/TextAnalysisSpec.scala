@@ -179,6 +179,30 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(0)._4 < out(2)._4 && out(2)._4 < out(1)._4)
   }
 
+  test("lmScore derived vocab: model carries the textbook add-one mass") {
+    // train ["a b","a b","a c","b c"]: bigrams ab(2) ac(1) bc(1);
+    // prefixes a (c1=3), b (c1=1) -> unigram vocab = 2, stamped on the
+    // model itself so scoring needs no second aggregation
+    val train = Seq((0L, "a b"), (1L, "a b"), (2L, "a c"), (3L, "b c"))
+      .toDF("id", "text")
+    val model = TextAnalysis.lmModel(train, $"text", $"id")
+    assert(model.select("vocab").distinct().as[Long].collect().toSeq == Seq(2L))
+    val foreign = Seq(
+      (10L, "a b"), // bitlen((3+2) div (2+1)) = bitlen(1) = 1
+      (11L, "a z"), // bitlen((3+2) div (0+1)) = bitlen(5) = 3
+      (12L, "b c"), // bitlen((1+2) div (1+1)) = bitlen(1) = 1
+      (13L, "q r")  // bitlen((0+2) div (0+1)) = bitlen(2) = 2
+    ).toDF("id", "text")
+    val derived = TextAnalysis.lmScore(foreign, $"text", $"id", model)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    assert(derived.toSeq == Seq((10L, 1L), (11L, 3L), (12L, 1L), (13L, 2L)))
+    // the derived-vocab overload IS the explicit call with that vocab
+    val explicit = TextAnalysis.lmScore(foreign, $"text", $"id", model, 2L)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(derived.toSeq == explicit.toSeq)
+  }
+
   test("fingerprint: spacing-insensitive content fp, local-edit-stable winnow fp") {
     val df = Seq(
       (1L, "alpha beta  gamma delta epsilon"),

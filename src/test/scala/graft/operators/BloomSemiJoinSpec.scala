@@ -43,6 +43,51 @@ class BloomSemiJoinSpec extends SparkSpec {
     assert(Bloom.optimalHashes(64, 1L << 40) == 1) // clamped low
   }
 
+  test("sized(): KMV-derived filter keeps pruning when the dim is 100x a stale guess") {
+    // the VERDICT r11 scenario: a caller's hardcoded expectedItems
+    // assumed ~200 keys, the real dim has 20000 — the undersized bloom
+    // saturates (every probe hits, pruning silently vanishes), while
+    // the data-derived size keeps the fpp near target.
+    val nDim = 20000
+    val dimKeys = (0 until nDim).map(i => i.toLong * 7919L + 13L)
+    val est = BloomSemiJoin.estimateItems(
+      dimKeys.map(Tuple1(_)).toDF("dkey").repartition(5), col("dkey"))
+    // KMV k=1024 → standard error ~3%; 15% is a loose 5-sigma band
+    assert(math.abs(est - nDim).toDouble / nDim < 0.15, s"estimate $est")
+
+    // pruning survives: the derived size keeps false positives rare,
+    // the stale 200-key size saturates into pass-through
+    val derivedBits = Bloom.optimalBits(math.max(2L * est, 1L << 10), 0.01)
+    val derivedBloom = buildFilter(dimKeys, derivedBits,
+      Bloom.optimalHashes(derivedBits, math.max(2L * est, 1L << 10)))
+    val staleBits = Bloom.optimalBits(200, 0.01)
+    val staleBloom = buildFilter(dimKeys, staleBits,
+      Bloom.optimalHashes(staleBits, 200))
+    GraftFunctions.register(spark)
+    val absent = (1 to 20000).map(_.toLong * 104729L + 3L)
+      .filterNot(dimKeys.toSet)
+    def fpRate(bloom: Array[Byte]) =
+      absent.map(Tuple1(_)).toDF("k").select(
+        call_function("bloom_might_contain",
+          typedLit(bloom), xxhash64(col("k"))).as("hit"))
+        .as[Boolean].collect().count(identity).toDouble / absent.size
+    assert(fpRate(derivedBloom) < 0.03,
+      "derived sizing must hold the design fpp at the real dim size")
+    assert(fpRate(staleBloom) > 0.9,
+      "the stale guess should saturate (the degradation sized() removes)")
+
+    // and end to end, sized() stays row-identical to the exact semi join
+    val fact = (0L until 3000L).map(i => (dimKeys(i.toInt % nDim), s"r$i"))
+      .toDF("key", "payload")
+    val viaSized = BloomSemiJoin.sized(fact, col("key"),
+        dimKeys.map(Tuple1(_)).toDF("dkey"), col("dkey"))
+      .orderBy("key", "payload").collect().toSeq
+    val exact = fact.join(dimKeys.map(Tuple1(_)).toDF("dkey"),
+        col("key") === col("dkey"), "left_semi")
+      .orderBy("key", "payload").collect().toSeq
+    assert(viaSized == exact && viaSized.nonEmpty)
+  }
+
   test("bloomSemiJoin is row-identical to the exact left-semi join") {
     val fact = (0L until 3000L).map(i => (i % 997, s"row$i"))
       .toDF("key", "payload")
