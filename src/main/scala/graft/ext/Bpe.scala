@@ -173,6 +173,61 @@ object Bpe {
       .toDF("doc_id", "input_ids", "n_tokens")
   }
 
+  private val ByteSymRe = "<0x([0-9A-F]{2})>".r
+
+  /** Invert one id sequence back to text — the detokenization side every
+    * deployed tokenizer ships (inspection, eval harnesses, loss-masking
+    * audits). In-vocab symbols emit verbatim, [[EndOfWord]] (bare or as
+    * a merged suffix) closes a word, and RUNS of byte-fallback symbols
+    * reassemble into UTF-8 — a fallen-back emoji round-trips to itself,
+    * not to four mojibake chars. Lossy exactly where [[encode]] is
+    * (lowercasing, whitespace normalization) and nowhere else:
+    * `decode(encode(t)) == t.toLowerCase.split("\\s+").mkString(" ")`
+    * for any input, the property BpeSpec pins. Ids outside the
+    * vocabulary are skipped (encode never emits them). Known edge shared
+    * with string-keyed BPE vocabularies: literal corpus text that merges
+    * into exactly `<0xNN>` would alias the reserved symbol (byte-level
+    * BPEs avoid this with a byte→unicode remap; the fixture and web
+    * corpora never produce the 6-char merge chain). */
+  def decodeIds(ids: Seq[Long], model: Model): String = {
+    val words = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    val pend = new java.io.ByteArrayOutputStream
+    def flushBytes(): Unit = if (pend.size() > 0) {
+      cur.append(new String(pend.toByteArray,
+        java.nio.charset.StandardCharsets.UTF_8))
+      pend.reset()
+    }
+    def endWord(): Unit = { flushBytes(); words += cur.toString; cur.clear() }
+    ids.foreach { id =>
+      if (id >= 0 && id < model.vocab.length) model.vocab(id.toInt) match {
+        case ByteSymRe(hex) => pend.write(Integer.parseInt(hex, 16))
+        case EndOfWord => endWord()
+        case s if s.endsWith(EndOfWord) =>
+          flushBytes(); cur.append(s.dropRight(EndOfWord.length)); endWord()
+        case s => flushBytes(); cur.append(s)
+      }
+    }
+    flushBytes()
+    if (cur.nonEmpty) words += cur.toString // unterminated tail
+    words.result().mkString(" ")
+  }
+
+  /** Corpus-wide [[decodeIds]]: (doc_id, input_ids) → (doc_id, text),
+    * one shuffle-free `mapPartitions` with the vocab in the closure —
+    * the mirror of [[encode]]'s execution shape. */
+  def decode(docs: DataFrame, id: Column, idsCol: Column,
+             model: Model): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(id.cast("long").as("doc_id"), idsCol.as("ids"))
+      .as[(Long, Seq[Long])]
+      .mapPartitions(_.map { case (docId, ids) =>
+        (docId, decodeIds(ids, model))
+      })
+      .toDF("doc_id", "text")
+  }
+
   /** Greedy BPE on one word: repeatedly merge the lowest-rank adjacent
     * pair (all occurrences) until none is mergeable. */
   private[ext] def encodeWord(w: String,

@@ -109,6 +109,27 @@ class BpeSpec extends SparkSpec {
     assert(stats.getLong(2) == 0L)
   }
 
+  test("decode inverts encode exactly up to encode's own normalization") {
+    val m = Bpe.learn(corpus, col("text"), nMerges = 5)
+    // seen words, composed-unseen subwords, pure-ASCII fallback, CJK and
+    // astral-emoji byte runs — every decode branch in one pass
+    val texts = Seq(
+      "low lower lowest newest widest",
+      "  Mixed   CASE\twhitespace  ",
+      "quiz 低 a😀b café")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "txt")
+    val encoded = Bpe.encode(df, col("id"), col("txt"), m)
+    val back = Bpe.decode(encoded, col("doc_id"), col("input_ids"), m)
+      .orderBy("doc_id").as[(Long, String)].collect().map(_._2)
+    val expected = texts.map(_.toLowerCase.trim.split("\\s+").mkString(" "))
+    assert(back.toSeq == expected)
+    // single-sequence helper agrees with the corpus path
+    val ids = encoded.orderBy("doc_id").as[(Long, Seq[Long], Long)]
+      .collect()(2)._2
+    assert(Bpe.decodeIds(ids, m) == expected(2))
+  }
+
   test("tokens feed pack_sequences and the tf.Example export") {
     graft.functions.GraftFunctions.register(spark)
     val m = Bpe.learn(corpus, col("text"), nMerges = 5)
