@@ -621,6 +621,24 @@ object ExtQueries {
         .toDF().orderBy("media_id", "frame_idx")
     }),
 
+    // A/V DEMUX on the correctness surface: per document a real AVI
+    // muxing an MJPEG video stream AND a chunked PCM audio stream
+    // (mm_audio's closed-form samples, split across 01wb chunks); the
+    // query demuxes the audio back out through the RIFF walk and prices
+    // it with the same verified wavStats integer arithmetic — the
+    // oracle recomputes the closed form, demux-blind, so a bug in
+    // stream routing, chunk reassembly, OR the stats pass breaks it.
+    "mm_av" -> ((s, d) => {
+      import s.implicits._
+      val rows = Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars"))
+        .as[(Long, Long)]
+        .map { case (id, nch) =>
+          Multimodal.MediaRow(id, Multimodal.synthAvPayload(id, nch),
+            "video/avi") }
+      Multimodal.avAudioBatched(rows).toDF().orderBy("media_id")
+    }),
+
     // REAL URL canonicalization on the correctness surface (the fixture
     // corpus has no URL column): eight synthesized templates per doc_id
     // cover every canon rule — scheme/userinfo/fragment drop, host
@@ -1824,6 +1842,24 @@ SELECT media_id, CAST(i AS INT) AS frame_idx,
        CAST(256 AS BIGINT) AS n_pixels,
        CAST((media_id * 37 + i * 11) % 256 AS INT) AS mean_luma
 FROM s ORDER BY media_id, frame_idx"""),
+
+    // mm_audio's closed form recovered through the AVI demux: the
+    // oracle never touches the container — same PCM arithmetic, format
+    // pinned to the demux path.
+    "mm_av" -> ("""WITH f AS (
+  SELECT doc_id AS media_id, n_chars % 50 + 1 AS n FROM documents
+), s AS (
+  SELECT media_id, n, unnest(range(0, n)) AS i FROM f
+), a AS (
+  SELECT media_id, n, sum(abs((media_id * 31 + i * 7) % 200 - 100)) AS sabs
+  FROM s GROUP BY media_id, n
+)
+SELECT media_id, 'avi' AS format,
+       CAST(1 AS INT) AS channels, CAST(8000 AS INT) AS sample_rate,
+       CAST(16 AS INT) AS bits, CAST(n AS BIGINT) AS n_frames,
+       CAST(n * 1000 // 8000 AS BIGINT) AS duration_ms,
+       CAST(sabs // n AS BIGINT) AS mean_abs_amp
+FROM a ORDER BY media_id"""),
 
     // Mirror of linedDocs (4-word lines) + Curation.dedupLines: doc
     // frequency per exact line, drop lines in >= 2 docs, reassemble in

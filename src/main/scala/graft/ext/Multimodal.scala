@@ -288,17 +288,89 @@ object Multimodal {
   }
 
   /** Minimal RIFF/WAV container for mono 16-bit 8 kHz PCM. */
-  private def synthWav(pcm: Array[Int]): Array[Byte] = {
+  private def synthWav(pcm: Array[Int]): Array[Byte] =
+    wavWrap(1, 8000, 16, pcm.flatMap(v =>
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)))
+
+  /** RIFF/WAV wrapper around raw interleaved PCM bytes — also the
+    * reassembly container [[avAudioBatched]] routes demuxed AVI audio
+    * through, so the stats arithmetic stays the single verified
+    * [[graft.functions.MediaHeaderUtil.wavStats]] pass. */
+  private def wavWrap(channels: Int, rate: Int, bits: Int,
+                      data: Array[Byte]): Array[Byte] = {
     def le16(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
     def le32(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
       ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
-    val data = pcm.flatMap(le16)
+    val blockAlign = channels * (bits / 8)
     val fmt = "fmt ".getBytes("US-ASCII") ++ le32(16) ++
-      le16(1) ++ le16(1) ++ le32(8000) ++ le32(16000) ++ le16(2) ++ le16(16)
+      le16(1) ++ le16(channels) ++ le32(rate) ++ le32(rate * blockAlign) ++
+      le16(blockAlign) ++ le16(bits)
     val body = "WAVE".getBytes("US-ASCII") ++ fmt ++
       "data".getBytes("US-ASCII") ++ le32(data.length) ++ data
     "RIFF".getBytes("US-ASCII") ++ le32(body.length) ++ body
   }
+
+  /** A/V DEMUX, audio side: extract the PCM audio STREAM out of an AVI
+    * container — the routing pass that feeds ASR/captioning data
+    * pipelines from video corpora. The RIFF walk
+    * ([[graft.functions.MediaHeaderUtil.parseAvi]]) yields the `auds`
+    * stream's WAVEFORMATEX and its `##wb` chunk byte ranges; the chunks
+    * concatenate back into the raw PCM (lossless for formatTag 1),
+    * which re-wraps as WAV and flows through the SAME verified
+    * integer-stats pass as standalone audio ([[audioBatched]]'s
+    * `wavStats`) — one arithmetic, every container. Non-PCM audio
+    * codecs, chunkless streams, and non-AVI payloads are dropped:
+    * the standing quarantine contract. */
+  def avAudioBatched(ds: Dataset[MediaRow], batchSize: Int = 64): Dataset[MediaAudio] = {
+    implicit val enc = Encoders.product[MediaAudio]
+    ds.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.flatMap { r =>
+          graft.functions.MediaHeaderUtil.parseAvi(r.payload).flatMap { avi =>
+            avi.audio.filter(a => a.formatTag == 1 && a.chunks.nonEmpty)
+              .flatMap { a =>
+                val data = new java.io.ByteArrayOutputStream()
+                a.chunks.foreach { case (off, len) =>
+                  data.write(r.payload, off, len) }
+                graft.functions.MediaHeaderUtil
+                  .wavStats(wavWrap(a.channels, a.sampleRate, a.bits,
+                    data.toByteArray))
+                  .map { s =>
+                    MediaAudio(r.media_id, "avi", s.channels, s.sampleRate,
+                      s.bitsPerSample, s.nFrames, s.durationMs, s.meanAbsAmp)
+                  }
+              }
+          }
+        }
+      }
+    }
+  }
+
+  /** Deterministic A/V payload for the `mm_av` oracle row: a real AVI
+    * carrying BOTH a 2-frame MJPEG video stream (the [[synthVideoPayload]]
+    * gray-frame form) and a mono 16-bit 8 kHz PCM audio stream holding
+    * exactly [[synthAudioPayload]]'s closed-form samples, split into
+    * 80-byte `01wb` chunks so the demux genuinely reassembles across
+    * chunk boundaries. The oracle prices the PCM arithmetic
+    * container-blind — the same closed form as `mm_audio`, recovered
+    * here through the AVI demux path instead of a bare container. */
+  def synthAvPayload(id: Long, nChars: Long): Array[Byte] = {
+    val n = (nChars % 50 + 1).toInt
+    val pcm = Array.tabulate(n)(i => ((id * 31 + i * 7) % 200 - 100).toInt)
+    val pcmBytes = pcm.flatMap(v =>
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte))
+    val frames = (0 until 2).map { f =>
+      graft.functions.JpegGray.encodeConst(16, 16,
+        (((id * 37 + f * 11) % 256 + 256) % 256).toInt)
+    }
+    synthAvi(frames, 16, 16, fps = 10,
+      audio = Some((8000, pcmBytes, 80)))
+  }
+
+  /** [[synthAvi]] without an audio stream (the `mm_video` fixture). */
+  private[ext] def synthAvi(frames: Seq[Array[Byte]], w: Int, h: Int,
+                            fps: Int): Array[Byte] =
+    synthAvi(frames, w, h, fps, audio = None)
 
   /** Container-metadata statistics for MP4/ISO-BMFF video: brand,
     * movie timescale/duration, track count, the video track's display
@@ -417,9 +489,13 @@ object Multimodal {
 
   /** Minimal RIFF/AVI container for an MJPEG frame sequence: LIST hdrl
     * (avih + LIST strl (strh 'vids'/'MJPG' + strf BITMAPINFOHEADER)),
-    * LIST movi of one `00dc` chunk per frame. */
+    * LIST movi of one `00dc` chunk per frame. `audio` adds a second
+    * stream — strl (strh 'auds' + strf WAVEFORMATEX, mono 16-bit PCM at
+    * the given rate) and `01wb` movi chunks of at most `chunkBytes`
+    * each — making the fixture a true A/V mux. */
   private[ext] def synthAvi(frames: Seq[Array[Byte]], w: Int, h: Int,
-                            fps: Int): Array[Byte] = {
+                            fps: Int,
+                            audio: Option[(Int, Array[Byte], Int)]): Array[Byte] = {
     def le16(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
     def le32(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
       ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
@@ -430,17 +506,34 @@ object Multimodal {
     def list(tpe: String, body: Array[Byte]): Array[Byte] =
       chunk("LIST", fcc(tpe) ++ body)
     val n = frames.length
+    val nStreams = 1 + audio.size
     val avih = le32(1000000 / fps) ++ le32(0) ++ le32(0) ++ le32(0) ++
-      le32(n) ++ le32(0) ++ le32(1) ++ le32(0) ++ le32(w) ++ le32(h) ++
+      le32(n) ++ le32(0) ++ le32(nStreams) ++ le32(0) ++ le32(w) ++ le32(h) ++
       le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
     val strh = fcc("vids") ++ fcc("MJPG") ++ le32(0) ++ le16(0) ++ le16(0) ++
       le32(0) ++ le32(1) ++ le32(fps) ++ le32(0) ++ le32(n) ++ le32(0) ++
       le32(0) ++ le32(0) ++ le16(0) ++ le16(0) ++ le16(w) ++ le16(h)
     val strf = le32(40) ++ le32(w) ++ le32(h) ++ le16(1) ++ le16(24) ++
       fcc("MJPG") ++ le32(w * h * 3) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
+    val audStrl = audio.toSeq.map { case (rate, pcm, _) =>
+      val nSamp = pcm.length / 2
+      val astrh = fcc("auds") ++ le32(0) ++ le32(0) ++ le16(0) ++ le16(0) ++
+        le32(0) ++ le32(1) ++ le32(rate) ++ le32(0) ++ le32(nSamp) ++
+        le32(0) ++ le32(0) ++ le32(2) ++ le16(0) ++ le16(0) ++ le16(0) ++ le16(0)
+      val astrf = le16(1) ++ le16(1) ++ le32(rate) ++ le32(rate * 2) ++
+        le16(2) ++ le16(16)
+      list("strl", chunk("strh", astrh) ++ chunk("strf", astrf))
+    }
     val hdrl = list("hdrl",
-      chunk("avih", avih) ++ list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
-    val movi = list("movi", frames.toArray.flatMap(f => chunk("00dc", f)))
+      chunk("avih", avih) ++
+        list("strl", chunk("strh", strh) ++ chunk("strf", strf)) ++
+        audStrl.toArray.flatten)
+    val audChunks = audio.toSeq.flatMap { case (_, pcm, chunkBytes) =>
+      pcm.grouped(chunkBytes).map(part => chunk("01wb", part))
+    }
+    val movi = list("movi",
+      frames.toArray.flatMap(f => chunk("00dc", f)) ++
+        audChunks.toArray.flatten)
     val body = fcc("AVI ") ++ hdrl ++ movi
     fcc("RIFF") ++ le32(body.length) ++ body
   }

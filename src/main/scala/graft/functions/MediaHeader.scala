@@ -341,9 +341,18 @@ object MediaHeaderUtil {
     * `javax.imageio` decodes). Frame PIXEL decode lives in
     * [[graft.ext.Multimodal.videoFramesBatched]], built on this parse —
     * the seam [[parseMp4]] leaves open is closed for this container. */
+  /** The AVI container's audio stream — `auds` strh + WAVEFORMATEX strf
+    * fields plus the byte ranges of that stream's `##wb` data chunks in
+    * movi order. PCM (formatTag 1) reassembles losslessly by
+    * concatenating the chunk payloads. */
+  case class AviAudio(formatTag: Int, channels: Int, sampleRate: Int,
+                      bits: Int, blockAlign: Int,
+                      chunks: Vector[(Int, Int)])
+
   case class AviInfo(width: Int, height: Int, usPerFrame: Long,
                      nFramesDeclared: Long, rate: Long, scale: Long,
-                     nStreams: Int, frames: Vector[(Int, Int)])
+                     nStreams: Int, frames: Vector[(Int, Int)],
+                     audio: Option[AviAudio])
 
   def parseAvi(b: Array[Byte]): Option[AviInfo] = {
     if (b.length < 12 ||
@@ -355,7 +364,14 @@ object MediaHeaderUtil {
     var width = 0; var height = 0
     var rate = 0L; var scale = 0L; var strLen = 0L
     var vids = false // the NEXT strh seen decides; latched once found
+    // stream bookkeeping: strh order assigns stream numbers, which the
+    // movi chunk ids ("NNwb"/"NNdc") reference as two decimal digits
+    var streamNo = -1
+    var curType = ""
+    var audStream = -1
+    var audFmt: Option[(Int, Int, Int, Int, Int)] = None
     val frames = Vector.newBuilder[(Int, Int)]
+    val audChunks = Vector.newBuilder[(Int, Int)]
 
     /** Iterate sibling chunks in [from, to); false on structural error. */
     def chunks(from: Int, to: Int, depth: Int): Boolean = {
@@ -378,16 +394,25 @@ object MediaHeaderUtil {
             width = le32(b, i + 40).toInt
             height = le32(b, i + 44).toInt
           case "strh" if sz >= 40 =>
-            val fccType = new String(b, i + 8, 4, "US-ASCII")
-            if (fccType == "vids" && !vids) {
+            streamNo += 1
+            curType = new String(b, i + 8, 4, "US-ASCII")
+            if (curType == "vids" && !vids) {
               vids = true
               scale = le32(b, i + 28)
               rate = le32(b, i + 32)
               strLen = le32(b, i + 40)
             }
-          case fid if fid.length == 4 && fid(0).isDigit && fid(1).isDigit &&
-              (fid.endsWith("dc") || fid.endsWith("db")) =>
-            frames += ((i + 8, sz))
+          case "strf" if curType == "auds" && audStream < 0 && sz >= 16 =>
+            // WAVEFORMATEX: wFormatTag, nChannels, nSamplesPerSec,
+            // nAvgBytesPerSec, nBlockAlign, wBitsPerSample
+            audStream = streamNo
+            audFmt = Some((le16(b, i + 8), le16(b, i + 10),
+              le32(b, i + 12).toInt, le16(b, i + 22), le16(b, i + 20)))
+          case fid if fid.length == 4 && fid(0).isDigit && fid(1).isDigit =>
+            val sn = (fid(0) - '0') * 10 + (fid(1) - '0')
+            if (fid.endsWith("dc") || fid.endsWith("db")) frames += ((i + 8, sz))
+            else if (fid.endsWith("wb") && sn == audStream)
+              audChunks += ((i + 8, sz))
           case _ => ()
         }
         i += 8 + sz + (sz & 1) // word alignment, as in the WAV walk
@@ -397,8 +422,11 @@ object MediaHeaderUtil {
 
     if (!chunks(12, math.min(b.length, 8 + riffSize.toInt), 0)) return None
     if (totalFrames < 0 || width <= 0 || height <= 0) return None
+    val audio = audFmt.map { case (tag, ch, sr, bits, ba) =>
+      AviAudio(tag, ch, sr, bits, ba, audChunks.result())
+    }
     Some(AviInfo(width, height, usPerFrame, totalFrames, rate, scale,
-      nStreams, frames.result()))
+      nStreams, frames.result(), audio))
   }
 
   /** Expression-facing wrapper: result row, or null when unrecognized. */

@@ -82,6 +82,53 @@ class JpegAviSpec extends SparkSpec {
     }
   }
 
+  test("A/V demux: audio stream fields, chunk reassembly, exact PCM stats") {
+    // 101 samples (202 bytes) chunked at 80 bytes -> 01wb chunks of
+    // 80/80/42: reassembly must cross chunk boundaries, and the video
+    // frames must be untouched by the audio walk
+    val pcm = Array.tabulate(101)(i => (i * 37 % 4000) - 2000)
+    val pcmBytes = pcm.flatMap(v =>
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte))
+    val frames = (0 until 3).map(f => JpegGray.encodeConst(16, 16, 50 * f))
+    val avi = Multimodal.synthAvi(frames, 16, 16, fps = 10,
+      audio = Some((8000, pcmBytes, 80)))
+    val info = MediaHeaderUtil.parseAvi(avi).get
+    assert(info.nStreams == 2 && info.frames.length == 3)
+    val a = info.audio.get
+    assert(a.formatTag == 1 && a.channels == 1 && a.sampleRate == 8000 &&
+      a.bits == 16 && a.blockAlign == 2)
+    assert(a.chunks.map(_._2) == Vector(80, 80, 42))
+    val ds = Seq(Multimodal.MediaRow(5L, avi, "video/avi")).toDS()
+    val out = Multimodal.avAudioBatched(ds).collect()
+    assert(out.length == 1)
+    val expAbs = pcm.map(v => math.abs(v.toLong)).sum / pcm.length
+    assert(out(0) == Multimodal.MediaAudio(5L, "avi", 1, 8000, 16, 101L,
+      101L * 1000 / 8000, expAbs))
+    // a video-only AVI yields no audio row; the video path still works
+    val videoOnly = Multimodal.synthAvi(frames, 16, 16, fps = 10)
+    assert(MediaHeaderUtil.parseAvi(videoOnly).get.audio.isEmpty)
+    val none = Multimodal.avAudioBatched(
+      Seq(Multimodal.MediaRow(6L, videoOnly, "video/avi")).toDS()).collect()
+    assert(none.isEmpty)
+  }
+
+  test("synthAvPayload matches the mm_av closed form (mm_audio's PCM via demux)") {
+    for ((id, nch) <- Seq((0L, 0L), (7L, 123L), (400L, 999L))) {
+      val n = (nch % 50 + 1).toInt
+      val ds = Seq(Multimodal.MediaRow(id,
+        Multimodal.synthAvPayload(id, nch), "video/avi")).toDS()
+      val out = Multimodal.avAudioBatched(ds).collect()(0)
+      val exp = (0 until n).map(i => math.abs((id * 31 + i * 7) % 200 - 100))
+      assert(out.n_frames == n.toLong && out.sample_rate == 8000)
+      assert(out.mean_abs_amp == exp.sum / n)
+      // and the video stream still frame-decodes from the same payload
+      val vf = Multimodal.videoFramesBatched(ds, maxFrames = 4).collect()
+      assert(vf.map(_.frame_idx).sorted.toSeq == Seq(0, 1))
+      vf.foreach(r =>
+        assert(r.mean_luma == ((id * 37 + r.frame_idx * 11) % 256).toInt))
+    }
+  }
+
   test("synthVideoPayload matches the mm_video closed form end to end") {
     for ((id, nch) <- Seq((0L, 0L), (7L, 123L), (400L, 999L))) {
       val n = (nch % 9 + 2).toInt
