@@ -42,7 +42,7 @@ object Bench {
     // Untimed FULL materialization of the base scans every query family
     // reads (events / documents / lineitem / embeddings). The r11 driver
     // sweep charged whichever query touched a cold file first with its
-    // page-cache + footer-decode cost (a5_summaries 18 s vs 0.63 s
+    // page-cache + footer-decode cost (a5_sum 18 s vs 0.63 s
     // isolated on identical code+data); the reference's own numbers are
     // warm-cache. toRdd drains every column so column chunks are paged
     // in, not just footers.
@@ -82,7 +82,7 @@ object Bench {
       try {
         val t1 = once()
         // Attribution guard: a 112-query sweep on a contended box shows
-        // 10-30x phantom outliers (r11 driver: a5_summaries 18 s vs 0.63 s
+        // 10-30x phantom outliers (r11 driver: a5_sum 18 s vs 0.63 s
         // isolated, same code+data). Any reading past the threshold gets
         // ONE in-sweep re-run and reports the min — seconds of extra cost,
         // paid only on outliers, and a genuinely slow query stays slow on

@@ -76,7 +76,7 @@ object CoreQueries {
 
   val queries: Map[String, Q] = Map(
     // — A. write-path derivations (SURVEY §2.A) —
-    "a5_summaries" -> ((s, d) => Tables.summaries(s, d).orderBy("id")),
+    "a5_sum" -> ((s, d) => Tables.summaries(s, d).orderBy("id")),
     "a6_ati" -> ((s, d) => Tables.ati(s, d).orderBy("account", "summary")),
     "a6_cti" -> ((s, d) => Tables.cti(s, d).orderBy("index", "subindex", "summary")),
     "a7_cis2" -> ((s, d) =>
@@ -230,7 +230,7 @@ object CoreQueries {
   )
 
   val oracles: Map[String, String] = Map(
-    "a5_summaries" -> (cte +
+    "a5_sum" -> (cte +
       """SELECT id, block, "timestamp", height, summary FROM summaries ORDER BY id"""),
     "a6_ati" -> (cte +
       "SELECT account, summary FROM ati ORDER BY account, summary"),

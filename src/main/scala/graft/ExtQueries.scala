@@ -355,7 +355,7 @@ object ExtQueries {
           n = 25)
         .orderBy("vec_id")),
 
-    "ann_knn_graph" -> ((s, d) =>
+    "ann_knng" -> ((s, d) =>
       Similarity.knnGraph(Tables.embeddings(s, d), "vec_id", "embedding",
         k = 3).orderBy("src", "rn")),
 
@@ -569,6 +569,14 @@ object ExtQueries {
         .orderBy("vec_id")
     }),
 
+    // Sliding-window chunking: 32-word windows every 24 words (8-word
+    // overlap) — the long-doc → context-window splitter; closed-form
+    // integer chunk arithmetic, oracle reproduces it exactly.
+    "chunks" -> ((s, d) =>
+      Curation.chunkByWords(Tables.documents(s, d), col("text"),
+          col("doc_id"), sizeWords = 32, strideWords = 24)
+        .orderBy("doc_id", "chunk_idx")),
+
     "mm_features" -> ((s, d) =>
       Multimodal.featuresCols(Tables.documents(s, d),
         col("text").cast("binary"), col("doc_id")).orderBy("media_id")),
@@ -735,7 +743,7 @@ object ExtQueries {
     // The rewrite endpoint of exact-substring dedup: the same spans,
     // cut out of the text (71 spans over 56 documents at sf0.01 — the
     // other documents pass through untouched).
-    "dup_spans_cut" -> ((s, d) =>
+    "dup_cut" -> ((s, d) =>
       Curation.cutSpans(Tables.documents(s, d), col("text"),
           col("doc_id"), k = 5, minCount = 2)
         .orderBy("doc_id"))
@@ -767,7 +775,7 @@ object ExtQueries {
   /** Shared by ann_ivf and ann_ivf_idx: both formulations compute
     * the same cells/probe result; only the Spark-side physical shape
     * differs (per-query reassignment vs partition-pruned index scan). */
-  /** Shared CTE chain of dup_spans / dup_spans_cut: positioned
+  /** Shared CTE chain of dup_spans / dup_cut: positioned
     * 5-shingles, global occurrence count, gaps-and-islands (`isl`). */
   private def DupSpansCte = s"""WITH w AS (
   SELECT doc_id, string_split_regex(trim(text), ' +') AS words FROM documents
@@ -1291,7 +1299,7 @@ SELECT vid AS vec_id, cid FROM (
   FROM qz CROSS JOIN c1)
 WHERE rnk = 1 ORDER BY vec_id"""),
 
-    "ann_knn_graph" -> (rhpBucketsCte(8, 16) + """, cand AS (
+    "ann_knng" -> (rhpBucketsCte(8, 16) + """, cand AS (
   SELECT DISTINCT x.vec_id AS src, y.vec_id AS dst
   FROM buckets x JOIN buckets y
     ON x.b = y.b AND x.bucket = y.bucket AND x.vec_id <> y.vec_id
@@ -1701,6 +1709,23 @@ WHERE doc_id % 10 >= 8 AND NOT EXISTS (
   WHERE h.doc_id % 10 < 8 AND md5(h.text) = md5(d.text))
 ORDER BY doc_id""",
 
+    // chunk count 1 + ceil(max(0, n-32)/24); DuckDB's inclusive list
+    // slice words[a : a+31] mirrors Spark's slice(words, a, 32)
+    "chunks" -> ("""WITH w AS (
+  SELECT doc_id, string_split_regex(trim(text), ' +') AS words
+  FROM documents WHERE length(trim(text)) > 0
+), c AS (
+  SELECT doc_id, len(words) AS n,
+         1 + (greatest(len(words) - 32, 0) + 23) // 24 AS nc, words
+  FROM w
+), s AS (
+  SELECT doc_id, n, words, unnest(range(0, nc)) AS i FROM c
+)
+SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+       array_to_string(words[i*24+1 : i*24+32], ' ') AS chunk_text,
+       CAST(least(32, n - i*24) AS INT) AS n_words
+FROM s ORDER BY doc_id, chunk_idx"""),
+
     "mm_features" -> (s"""
 SELECT doc_id AS media_id,
        CAST(octet_length(encode(text)) AS INT) AS byte_len,
@@ -1918,7 +1943,7 @@ FROM p ORDER BY doc_id"""),
     // Mirror of Curation.duplicateSpans: positioned 5-shingles, global
     // occurrence count, gaps-and-islands merge (gap > 5 starts a new
     // island; CASE WHEN NULL>5 THEN.. ELSE 0 matches Spark's first-row
-    // semantics). Shared verbatim by dup_spans and dup_spans_cut so the
+    // semantics). Shared verbatim by dup_spans and dup_cut so the
     // two can never desync (the AnnIvfSql convention).
     "dup_spans" -> (DupSpansCte + """
 SELECT doc_id, CAST(min(pos) AS INT) AS span_start,
@@ -1928,7 +1953,7 @@ FROM isl GROUP BY doc_id, island ORDER BY doc_id, span_start"""),
 
     // DupSpansCte + span expansion to covered positions, word
     // re-explode, and order-preserving reassembly of the survivors.
-    "dup_spans_cut" -> (DupSpansCte + """, spans AS (
+    "dup_cut" -> (DupSpansCte + """, spans AS (
   SELECT doc_id, min(pos) AS span_start, max(pos) + 4 AS span_end
   FROM isl GROUP BY doc_id, island
 ), covered AS (

@@ -248,6 +248,41 @@ object Curation {
     * mirroring [[dedupLines]].
     *
     * Output: (doc_id, n_words, n_cut, clean_text). */
+  /** Sliding-window document CHUNKING — the long-document →
+    * context-window splitter between curation and tokenize/pack (and
+    * the chunker RAG ingestion runs): windows of `sizeWords` words
+    * starting every `strideWords` (stride < size ⇒ overlap, the
+    * standard boundary-context hedge), the last window short if the
+    * document doesn't divide. Chunk count is closed-form
+    * `1 + ceil(max(0, n - size) / stride)` — a document at or under
+    * one window emits exactly one chunk; empty documents emit none
+    * (the quarantine-free drop, callers union them back if an empty
+    * chunk row is wanted).
+    *
+    * Scale shape: a pure narrow projection — `transform(sequence(...))`
+    * + `posexplode`, no shuffle, no join, bounded fan-out n/stride per
+    * document; the arithmetic is all integer so the DuckDB oracle
+    * (`chunks`) reproduces it exactly.
+    *
+    * Output: (doc_id, chunk_idx, chunk_text, n_words). */
+  def chunkByWords(df: DataFrame, content: Column, id: Column,
+                   sizeWords: Int, strideWords: Int): DataFrame = {
+    require(sizeWords > 0 && strideWords > 0 && strideWords <= sizeWords,
+      s"need 0 < stride <= size, got size=$sizeWords stride=$strideWords")
+    df.where(length(trim(content)) > 0)
+      .select(id.as("doc_id"), Text.words(content).as("__w"))
+      .withColumn("__n", size(col("__w")))
+      .withColumn("__nc",
+        lit(1) + expr(s"(greatest(__n - $sizeWords, 0) + $strideWords - 1) div $strideWords"))
+      .select(col("doc_id"), col("__n"),
+        posexplode(expr(
+          s"transform(sequence(0, __nc - 1), i -> array_join(slice(__w, i * $strideWords + 1, $sizeWords), ' '))")))
+      .select(col("doc_id"), col("pos").cast("int").as("chunk_idx"),
+        col("col").as("chunk_text"),
+        least(lit(sizeWords),
+          col("__n") - col("pos") * strideWords).cast("int").as("n_words"))
+  }
+
   def cutSpans(df: DataFrame, content: Column, id: Column,
                k: Int = 5, minCount: Int = 2): DataFrame = {
     val covered = duplicateSpans(df, content, id, k, minCount)

@@ -14,7 +14,7 @@ class CacheHygieneSpec extends SparkSpec {
   /** Every declared query built on a persist/checkpoint-using operator. */
   private val cacheUsers = Seq(
     "dd_jaccard", "dd_lsh", "dd_cc",
-    "decon_split", "ann_knn_graph", "emb_neardup",
+    "decon_split", "ann_knng", "emb_neardup",
     "pack_seq", "pack_slices", "pack_shuffle",
     "ann_kmeans", "ann_recall")
 

@@ -98,6 +98,35 @@ class CurationSpec extends SparkSpec with org.scalatest.BeforeAndAfterEach {
       (5L, 4L, 0L, "all unique words here")))
   }
 
+  test("chunkByWords: overlap, short tail, one-window and empty docs by hand") {
+    // size 4, stride 3 over hand-sized docs:
+    //  doc 1: 10 words -> nc = 1 + ceil(6/3) = 3 chunks, tail n_words 4
+    //  doc 2: 4 words  -> exactly one window, 1 chunk
+    //  doc 3: 2 words  -> under one window, 1 chunk of 2
+    //  doc 4: empty    -> dropped
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"w$i").mkString(" ")),
+      (2L, "a b c d"),
+      (3L, "x y"),
+      (4L, "   ")).toDF("doc_id", "text")
+    val out = Curation.chunkByWords(docs, col("text"), col("doc_id"),
+        sizeWords = 4, strideWords = 3)
+      .orderBy("doc_id", "chunk_idx")
+      .as[(Long, Int, String, Int)].collect().toSeq
+    assert(out == Seq(
+      (1L, 0, "w1 w2 w3 w4", 4),
+      (1L, 1, "w4 w5 w6 w7", 4), // stride 3 < size 4: one-word overlap
+      (1L, 2, "w7 w8 w9 w10", 4),
+      (2L, 0, "a b c d", 4),
+      (3L, 0, "x y", 2)))
+    // partitioning-independent (pure narrow projection)
+    val again = Curation.chunkByWords(docs.repartition(5), col("text"),
+        col("doc_id"), sizeWords = 4, strideWords = 3)
+      .orderBy("doc_id", "chunk_idx")
+      .as[(Long, Int, String, Int)].collect().toSeq
+    assert(again == out)
+  }
+
   test("duplicateSpans: a unique corpus yields no spans") {
     val docs = Seq((1L, "p q r s t"), (2L, "u v w x y")).toDF("doc_id", "text")
     assert(Curation.duplicateSpans(docs, $"text", $"doc_id", k = 2).count() == 0)
