@@ -149,7 +149,12 @@ class PlanSpec extends SparkSpec {
     // ONLY Exchange allowed is the final orderBy's range partitioning.
     // A second Exchange would mean the synth or the transform started
     // shuffling data it never needs to move.
-    for (q <- Seq("url_canon", "uni_norm", "html_text")) {
+    // chunks (sliding-window chunking), mm_video (AVI frame decode) and
+    // mm_av (AVI audio demux) hold the same contract: per-document
+    // narrow work, the output sort's range partitioning is the only
+    // data movement.
+    for (q <- Seq("url_canon", "uni_norm", "html_text", "chunks",
+        "mm_video", "mm_av")) {
       val p = plan(q)
       assert(count(p, "Exchange") <= 1,
         s"$q must shuffle only for its output sort:\n$p")

@@ -47,6 +47,38 @@ class CurationPropsSpec extends SparkSpec {
     }, cases = 8)
   }
 
+  test("chunkByWords: full coverage, contiguous indices, exact window content") {
+    val sized = for {
+      size <- Gen.chooseNum(2, 6)
+      stride <- Gen.chooseNum(1, size)
+      docs <- corpus
+    } yield (size, stride, docs)
+    checkProp(Prop.forAll(sized) { case (size, stride, docs) =>
+      val df = docs.toDF("doc_id", "text")
+      val out = Curation.chunkByWords(df, $"text", $"doc_id", size, stride)
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3)))
+        .groupBy(_._1)
+      docs.forall { case (id, text) =>
+        val words = text.split(" ").toSeq
+        val chunks = out.getOrElse(id, Array.empty).sortBy(_._2)
+        val nc = 1 + (math.max(words.length - size, 0) + stride - 1) / stride
+        // chunk_idx contiguous from 0; every chunk is EXACTLY the
+        // declared window of the original words; n_words reconciles;
+        // the union of windows covers every word position
+        chunks.length == nc &&
+          chunks.map(_._2).toSeq == (0 until nc) &&
+          chunks.forall { case (_, i, txt, nw) =>
+            val w = words.slice(i * stride, i * stride + size)
+            txt == w.mkString(" ") && nw == w.length
+          } &&
+          chunks.flatMap { case (_, i, _, _) =>
+            i * stride until math.min(i * stride + size, words.length)
+          }.toSet == words.indices.toSet
+      }
+    }, cases = 10)
+  }
+
   test("duplicateSpans: spans are disjoint, in bounds, at least k long") {
     checkProp(Prop.forAll(corpus) { docs =>
       val df = docs.toDF("doc_id", "text")
