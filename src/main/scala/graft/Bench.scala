@@ -87,7 +87,13 @@ object Bench {
         // ONE in-sweep re-run and reports the min — seconds of extra cost,
         // paid only on outliers, and a genuinely slow query stays slow on
         // the re-run so real regressions still surface.
-        timings(name) = if (t1 > RerunThresholdSec) math.min(t1, once()) else t1
+        // the re-run is individually guarded: a transient failure on the
+        // SECOND run must not turn a measured query into a phantom error
+        // (the first run already produced a valid timing)
+        timings(name) =
+          if (t1 > RerunThresholdSec)
+            try math.min(t1, once()) catch { case _: Throwable => t1 }
+          else t1
       } catch {
         case e: Throwable =>
           // Hard-truncate: in r10, 42 × ~200-char analysis exceptions put

@@ -141,9 +141,16 @@ object Bpe {
       }
     }
     // seed the byte-fallback symbols so encode is total over any input,
-    // not just characters the training corpus happened to contain; the
-    // union stays sorted, so ids remain deterministic
-    val vocab = (words.flatMap(_.syms).distinct().collect() ++ ByteSymbols)
+    // not just characters the training corpus happened to contain, and
+    // ALWAYS seed the bare EndOfWord marker: the final word table holds
+    // only post-merge symbols, so a corpus whose every word fully
+    // merges (e.g. one repeated word) would otherwise drop "</w>" from
+    // the vocab — and an unseen word's bare end marker would then
+    // byte-fall-back into literal '<','/','w','>' text, silently gluing
+    // words together on decode. The union stays sorted, so ids remain
+    // deterministic.
+    val vocab = (words.flatMap(_.syms).distinct().collect() ++
+      ByteSymbols :+ EndOfWord)
       .distinct.sorted.toSeq
     words.unpersist()
     Model(merges.result(), vocab)

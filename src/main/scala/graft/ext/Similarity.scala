@@ -85,10 +85,14 @@ object Similarity {
     // instead: 200k rows × (64-dim qe + n2) ≈ 110 MB, comfortably
     // broadcastable; genuinely larger eval suites belong on the
     // [[tagNearIndex]] tier.
-    val nEval = eval.count()
+    // limit+count, not a bare count: the guard only needs to know
+    // whether the bound is EXCEEDED, so the probe job stops accumulating
+    // at maxEvalRows+1 instead of counting a miscalled corpus to the end
+    val probe = math.min(maxEvalRows + 1, Int.MaxValue.toLong).toInt
+    val nEval = eval.limit(probe).count()
     require(nEval <= maxEvalRows,
       s"decontaminate() broadcasts the whole eval split as one array row; " +
-        s"got $nEval eval rows (max $maxEvalRows). Use tagNearIndex against " +
+        s"got > $maxEvalRows eval rows. Use tagNearIndex against " +
         "a prebuilt eval cell index for eval sets this large.")
     val evalArr = eval
       .select(quantize(col(embCol)).as("qe"))
@@ -1107,8 +1111,15 @@ object Similarity {
     * VERDICT r11): a healthy stride-`centroidStride` codebook yields
     * ~stride-sized cells, far under the default cap, so the default
     * only ever bites on the degenerate codebook that would otherwise go
-    * quadratic. Output: the kept ids as `idCol`, one row per surviving
-    * document. */
+    * quadratic. CAVEAT when the cap bites, dedup is silently DISABLED
+    * inside that cell (all members kept) — on a skewed corpus whose
+    * dominant cluster exceeds the cap, audit cell sizes first
+    * (`assignCells` via [[cellBalanced]]'s grouping, or
+    * `cells.groupBy("cid").count()`) and either refine the codebook
+    * ([[kmeansRefine]] splits dense regions) or raise `maxCell`
+    * deliberately; the cap trades per-cell recall for a bounded worst
+    * case, never correctness. Output: the kept ids as `idCol`, one row
+    * per surviving document. */
   def semDedup(embeddings: DataFrame, idCol: String, embCol: String,
                threshold: Double, centroidStride: Int = 100,
                maxCell: Int = 4096): DataFrame = {

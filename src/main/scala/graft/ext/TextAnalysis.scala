@@ -286,13 +286,7 @@ object TextAnalysis {
   private def lmModelFrom(ex: DataFrame): DataFrame = {
     val big = ex.groupBy("wh", "bh").agg(count(lit(1)).as("c12"))
     val uni = big.groupBy("wh").agg(sum("c12").as("c1"))
-    // the textbook Laplace mass — add-one over successor types uses the
-    // unigram vocabulary (distinct-prefix) size — stamped on every row:
-    // one count over the already-vocabulary-sized unigram table, never
-    // a second corpus pass, and a model persisted to parquet carries
-    // its own smoothing mass across the train/score boundary
-    val nPref = uni.agg(count(lit(1)).as("vocab"))
-    big.join(uni, "wh").crossJoin(broadcast(nPref))
+    big.join(uni, "wh")
   }
 
   /** The TRAINED bigram model as a frame — (wh, bh, c12 = bigram count,
@@ -304,8 +298,20 @@ object TextAnalysis {
     * it", and the model artifact is what crosses that boundary —
     * including `vocab`, so the scoring side needs no access to the
     * training corpus to recover the textbook add-one denominator. */
-  def lmModel(df: DataFrame, content: Column, id: Column): DataFrame =
-    lmModelFrom(bigramHashes(df, content, id))
+  def lmModel(df: DataFrame, content: Column, id: Column): DataFrame = {
+    val base = lmModelFrom(bigramHashes(df, content, id))
+    // the textbook Laplace mass — add-one over successor types uses the
+    // unigram vocabulary (distinct-prefix) size — stamped on every row:
+    // one count over the already-vocabulary-sized model frame, never a
+    // second corpus pass, and a model persisted to parquet carries its
+    // own smoothing mass across the train/score boundary. Stamped HERE
+    // rather than in lmModelFrom: lmSurprisal shares that helper and
+    // discards the column, and Catalyst has no single-row-join
+    // elimination, so stamping there would re-execute the corpus
+    // aggregation a third time inside the benched self-scoring path.
+    val nPref = base.select("wh").distinct().agg(count(lit(1)).as("vocab"))
+    base.crossJoin(broadcast(nPref))
+  }
 
   /** Score a FOREIGN corpus (or stream micro-batch) against a
     * pre-trained [[lmModel]] with Laplace-STYLE smoothing — unlike

@@ -362,12 +362,16 @@ object MediaHeaderUtil {
     if (riffSize < 4 || 8 + riffSize > b.length) return None
     var usPerFrame = 0L; var totalFrames = -1L; var nStreams = 0
     var width = 0; var height = 0
-    var rate = 0L; var scale = 0L; var strLen = 0L
+    var rate = 0L; var scale = 0L
     var vids = false // the NEXT strh seen decides; latched once found
     // stream bookkeeping: strh order assigns stream numbers, which the
-    // movi chunk ids ("NNwb"/"NNdc") reference as two decimal digits
+    // movi chunk ids ("NNwb"/"NNdc") reference as two decimal digits;
+    // BOTH chunk families filter on their matched stream, so a second
+    // video stream (or any stranger emitting dc chunks) can't leak
+    // foreign frames into the first stream's frame list
     var streamNo = -1
     var curType = ""
+    var vidStream = -1
     var audStream = -1
     var audFmt: Option[(Int, Int, Int, Int, Int)] = None
     val frames = Vector.newBuilder[(Int, Int)]
@@ -398,9 +402,9 @@ object MediaHeaderUtil {
             curType = new String(b, i + 8, 4, "US-ASCII")
             if (curType == "vids" && !vids) {
               vids = true
+              vidStream = streamNo
               scale = le32(b, i + 28)
               rate = le32(b, i + 32)
-              strLen = le32(b, i + 40)
             }
           case "strf" if curType == "auds" && audStream < 0 && sz >= 16 =>
             // WAVEFORMATEX: wFormatTag, nChannels, nSamplesPerSec,
@@ -410,7 +414,8 @@ object MediaHeaderUtil {
               le32(b, i + 12).toInt, le16(b, i + 22), le16(b, i + 20)))
           case fid if fid.length == 4 && fid(0).isDigit && fid(1).isDigit =>
             val sn = (fid(0) - '0') * 10 + (fid(1) - '0')
-            if (fid.endsWith("dc") || fid.endsWith("db")) frames += ((i + 8, sz))
+            if ((fid.endsWith("dc") || fid.endsWith("db")) && sn == vidStream)
+              frames += ((i + 8, sz))
             else if (fid.endsWith("wb") && sn == audStream)
               audChunks += ((i + 8, sz))
           case _ => ()

@@ -109,6 +109,24 @@ class BpeSpec extends SparkSpec {
     assert(stats.getLong(2) == 0L)
   }
 
+  test("bare EndOfWord survives a fully-merging corpus; word breaks hold") {
+    // one repeated word: merges (c,d) then (cd,</w>) leave ONLY the
+    // fully-merged symbol in the word table — the bare "</w>" must be
+    // seeded explicitly or an unseen word's end marker byte-falls-back
+    // into literal '<','/','w','>' text and decode glues words together
+    val tiny = Seq((1L, "cd cd cd")).toDF("doc_id", "text")
+    val m = Bpe.learn(tiny, col("text"), nMerges = 5)
+    assert(m.merges == Seq("c" -> "d", "cd" -> "</w>"))
+    assert(m.ids.contains(Bpe.EndOfWord))
+    val enc = Bpe.encode(Seq((5L, "cx cy")).toDF("id", "txt"),
+      col("id"), col("txt"), m)
+    val ids = enc.collect()(0).getSeq[Long](1)
+    assert(!ids.contains(-1L))
+    val back = Bpe.decode(enc, col("doc_id"), col("input_ids"), m)
+      .as[(Long, String)].collect()(0)._2
+    assert(back == "cx cy")
+  }
+
   test("decode inverts encode exactly up to encode's own normalization") {
     val m = Bpe.learn(corpus, col("text"), nMerges = 5)
     // seen words, composed-unseen subwords, pure-ASCII fallback, CJK and

@@ -82,6 +82,44 @@ class JpegAviSpec extends SparkSpec {
     }
   }
 
+  test("frame chunks filter by the matched vids stream (second stream can't leak)") {
+    // hand-built AVI with TWO video streams: the strh/strf pair for
+    // stream 0 and stream 1, then movi interleaving 00dc and 01dc
+    // chunks — frames must come ONLY from the first (matched) stream
+    def le16(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def le32(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def fcc(s: String) = s.getBytes("US-ASCII")
+    def chunk(id: String, body: Array[Byte]): Array[Byte] =
+      fcc(id) ++ le32(body.length) ++ body ++
+        (if ((body.length & 1) == 1) Array(0.toByte) else Array.empty[Byte])
+    def list(tpe: String, body: Array[Byte]): Array[Byte] =
+      chunk("LIST", fcc(tpe) ++ body)
+    val avih = le32(100000) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(2) ++
+      le32(0) ++ le32(2) ++ le32(0) ++ le32(16) ++ le32(16) ++
+      le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
+    def vstrh = fcc("vids") ++ fcc("MJPG") ++ le32(0) ++ le16(0) ++ le16(0) ++
+      le32(0) ++ le32(1) ++ le32(10) ++ le32(0) ++ le32(2) ++ le32(0) ++
+      le32(0) ++ le32(0) ++ le16(0) ++ le16(0) ++ le16(16) ++ le16(16)
+    def vstrf = le32(40) ++ le32(16) ++ le32(16) ++ le16(1) ++ le16(24) ++
+      fcc("MJPG") ++ le32(16 * 16 * 3) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
+    val strl = list("strl", chunk("strh", vstrh) ++ chunk("strf", vstrf))
+    val f0a = JpegGray.encodeConst(16, 16, 10)
+    val f0b = JpegGray.encodeConst(16, 16, 20)
+    val foreign = JpegGray.encodeConst(16, 16, 99)
+    val movi = list("movi",
+      chunk("00dc", f0a) ++ chunk("01dc", foreign) ++ chunk("00dc", f0b))
+    val body = fcc("AVI ") ++ list("hdrl", chunk("avih", avih) ++ strl ++ strl) ++ movi
+    val avi = fcc("RIFF") ++ le32(body.length) ++ body
+    val info = MediaHeaderUtil.parseAvi(avi).get
+    assert(info.nStreams == 2)
+    assert(info.frames.length == 2, s"stream-1 frame leaked: ${info.frames}")
+    val lumas = Multimodal.videoFramesBatched(
+        Seq(Multimodal.MediaRow(9L, avi, "video/avi")).toDS(), maxFrames = 4)
+      .collect().sortBy(_.frame_idx).map(_.mean_luma).toSeq
+    assert(lumas == Seq(10, 20)) // never 99
+  }
+
   test("A/V demux: audio stream fields, chunk reassembly, exact PCM stats") {
     // 101 samples (202 bytes) chunked at 80 bytes -> 01wb chunks of
     // 80/80/42: reassembly must cross chunk boundaries, and the video
