@@ -70,4 +70,27 @@ class StreamingCurationSpec extends SparkSpec {
       assert(got.toSeq == Seq(1L, 4L))
     } finally q.stop()
   }
+
+  test("chunking composes in a streaming query (pure narrow projection, live)") {
+    // chunkByWords is a stateless narrow projection, so a live feed can
+    // be window-split per micro-batch — the context-window splitter
+    // running where the documents arrive, no batch re-pass
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val q = Curation.chunkByWords(input.toDF().toDF("doc_id", "text"),
+        col("text"), col("doc_id"), sizeWords = 3, strideWords = 2)
+      .writeStream.format("memory").queryName("schunk")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, "a b c d e"), (2L, ""))
+      q.processAllAvailable()
+      input.addData((3L, "x y"))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT * FROM schunk ORDER BY doc_id, chunk_idx")
+        .as[(Long, Int, String, Int)].collect().toSeq
+      // doc 1: 5 words, size 3 stride 2 -> nc = 1 + ceil(2/2) = 2
+      assert(got == Seq(
+        (1L, 0, "a b c", 3), (1L, 1, "c d e", 3), (3L, 0, "x y", 2)))
+    } finally q.stop()
+  }
 }
