@@ -44,11 +44,16 @@ object Similarity {
     * baseline; use [[annLsh]] (or an IVF variant of it) as the serving
     * path. */
   def bruteForceTopK(embeddings: DataFrame, idCol: String, embCol: String,
-                     queryId: Long, k: Int): DataFrame = {
+                     queryId: Long, k: Int,
+                     predicate: Option[Column] = None): DataFrame = {
     val q = embeddings.where(col(idCol) === queryId)
       .select(quantize(col(embCol)).as("__q"))
       .withColumn("__qn2", dotQ(col("__q"), col("__q")))
-    embeddings.where(col(idCol) =!= queryId)
+    // filtered-ANN contract (the exact-baseline side): the candidate
+    // predicate applies before scoring, so this is the recall oracle
+    // for the filtered indexed probes
+    predicate.foldLeft(embeddings.where(col(idCol) =!= queryId))(
+        (df, p) => df.where(p))
       .crossJoin(broadcast(q))
       .select(col(idCol), quantize(col(embCol)).as("__e"), col("__q"), col("__qn2"))
       .select(col(idCol),
@@ -127,15 +132,25 @@ object Similarity {
     * genuinely close vectors — see [[graft.functions.RhpLsh]]); pair
     * with [[bruteForceTopK]] on a sample for recall measurement. */
   def annLsh(embeddings: DataFrame, idCol: String, embCol: String,
-             queryId: Long, k: Int, bands: Int = 8, planes: Int = 16): DataFrame = {
-    val base = embeddings.select(col(idCol),
-        quantize(col(embCol)).as("__qe"))
+             queryId: Long, k: Int, bands: Int = 8, planes: Int = 16,
+             predicate: Option[Column] = None): DataFrame = {
+    // withColumn, not a narrowing select: the source's attribute
+    // columns ride `base` so a candidate predicate can reference them;
+    // Catalyst prunes them from the scan when no predicate needs them
+    val base = embeddings
+      .withColumn("__qe", quantize(col(embCol)))
       .withColumn("__n2", dotQ(col("__qe"), col("__qe")))
       .withColumn("__bb", lshBuckets(embeddings, "__qe", bands, planes))
     val q = base.where(col(idCol) === queryId)
       .select(col("__qe").as("__q"), col("__n2").as("__qn2"),
         col("__bb").as("__qbb"))
-    base.where(col(idCol) =!= queryId)
+    // filtered-ANN contract on the LSH tier: the predicate (over the
+    // SOURCE columns, which ride `base` untouched) prunes candidates
+    // before the band-intersection filter and the fused top-k — the
+    // query row itself is exempt, as on the indexed tiers
+    val cands = predicate.foldLeft(base.where(col(idCol) =!= queryId))(
+      (df, p) => df.where(p))
+    cands
       .crossJoin(broadcast(q))
       .where(exists(zip_with(col("__bb"), col("__qbb"), (x, y) => x === y),
         b => b))

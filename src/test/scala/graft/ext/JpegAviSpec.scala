@@ -167,6 +167,36 @@ class JpegAviSpec extends SparkSpec {
     }
   }
 
+  test("mutation fuzz: bit-flipped A/V payloads decode or quarantine, never throw") {
+    // 300 single-bit mutations of one valid muxed clip, pushed through
+    // BOTH batch decoders in one job each — the corrupted-crawl
+    // contract: any row may drop (quarantine) or still decode (the flip
+    // hit entropy data the walk tolerates), but nothing may throw and
+    // whatever decodes must be structurally sane
+    val clip = Multimodal.synthAvPayload(3L, 123L)
+    val rnd = new scala.util.Random(23)
+    val mutated = (0 until 300).map { i =>
+      val m = clip.clone()
+      val k = rnd.nextInt(m.length)
+      m(k) = (m(k) ^ (1 << rnd.nextInt(8))).toByte
+      Multimodal.MediaRow(i.toLong, m, "video/avi")
+    }
+    val ds = mutated.toDS()
+    val vf = Multimodal.videoFramesBatched(ds, maxFrames = 4).collect()
+    vf.foreach { r =>
+      assert(r.width > 0 && r.height > 0 &&
+        r.n_pixels == r.width.toLong * r.height &&
+        r.mean_luma >= 0 && r.mean_luma <= 255)
+    }
+    val av = Multimodal.avAudioBatched(ds).collect()
+    av.foreach { r =>
+      assert(r.channels > 0 && r.sample_rate > 0 && r.n_frames >= 0 &&
+        r.mean_abs_amp >= 0)
+    }
+    // the fuzz must actually exercise surviving decodes, not just drops
+    assert(vf.nonEmpty && av.nonEmpty)
+  }
+
   test("synthVideoPayload matches the mm_video closed form end to end") {
     for ((id, nch) <- Seq((0L, 0L), (7L, 123L), (400L, 999L))) {
       val n = (nch % 9 + 2).toInt

@@ -150,6 +150,28 @@ class SimilaritySpec extends SparkSpec {
     graft.CacheScope.release()
   }
 
+  test("filtered ANN: brute-force and LSH tiers honor the candidate predicate") {
+    import org.apache.spark.sql.functions.col
+    def v(x: Float, y: Float) = Array(x, y, 0f, 0f, 0f, 0f, 0f, 0f)
+    val rows = (0L until 12L).map(i => (i, v(1f, 0.02f * i), (i % 2).toInt))
+    val docs = rows.toDF("vec_id", "embedding", "label")
+    // exact baseline under the predicate: odd vids nearest to 0 are 1,3,5
+    val bf = Similarity.bruteForceTopK(docs, "vec_id", "embedding",
+        queryId = 0L, k = 3, predicate = Some(col("label") === 1))
+      .collect().map(_.getLong(0)).toSeq
+    assert(bf == Seq(1L, 3L, 5L), bf)
+    // LSH tier: one band of one plane puts this tight cluster in one
+    // bucket (recall 1 here), so the filtered result equals brute force
+    val lsh = Similarity.annLsh(docs, "vec_id", "embedding", queryId = 0L,
+        k = 3, bands = 1, planes = 1, predicate = Some(col("label") === 1))
+      .collect().map(_.getLong(0)).toSeq
+    assert(lsh == bf, s"lsh $lsh vs brute $bf")
+    // and both return their unfiltered answers with no predicate
+    val bfAll = Similarity.bruteForceTopK(docs, "vec_id", "embedding", 0L, 3)
+      .collect().map(_.getLong(0)).toSeq
+    assert(bfAll == Seq(1L, 2L, 3L), bfAll)
+  }
+
   test("near-dup pairs finds the colinear pair with cosine ~1") {
     val out = Similarity.nearDupPairs(vecs, "vec_id", "embedding", k = 5)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
