@@ -444,6 +444,16 @@ object ExtQueries {
 
     // quality-proportional keep rate: 1000 ppm per char, saturating at
     // 500 chars — longer docs always survive, shorter ones pro rata
+    // Multi-epoch repetition: rates 0.4 / 1.3 / 2.2 epochs by doc_id
+    // class — whole copies + a hash-decided fractional copy, the
+    // upsampling half of a published mixture recipe.
+    "smp_rep" -> ((s, d) =>
+      Sampling.repeatByRate(
+          Tables.documents(s, d).select(col("doc_id")),
+          col("doc_id"),
+          (col("doc_id") % 3) * 900000L + 400000L)
+        .orderBy("doc_id", "copy_idx")),
+
     "smp_wt" -> ((s, d) =>
       Sampling.weighted(Tables.documents(s, d), col("doc_id"),
           col("n_chars") * 2000L)
@@ -1419,6 +1429,21 @@ SELECT doc_id FROM documents
 WHERE ${h60("'wt0:' || CAST(doc_id AS VARCHAR)")} % 1000000
       < least(greatest(n_chars * 2000, 0), 1000000)
 ORDER BY doc_id"""),
+
+    // whole copies = rate // 1e6; the fractional copy lands iff the
+    // seeded hash is under rate % 1e6 — identical arithmetic, no RNG
+    "smp_rep" -> (s"""WITH f AS (
+  SELECT doc_id, (doc_id % 3) * 900000 + 400000 AS rate FROM documents
+), c AS (
+  SELECT doc_id,
+         rate // 1000000 +
+         CASE WHEN ${h60("'rep0:' || CAST(doc_id AS VARCHAR)")} % 1000000
+                   < rate % 1000000 THEN 1 ELSE 0 END AS n
+  FROM f
+)
+SELECT doc_id, CAST(i AS BIGINT) AS copy_idx
+FROM (SELECT doc_id, unnest(range(0, n)) AS i FROM c WHERE n > 0)
+ORDER BY doc_id, copy_idx"""),
 
     // pipe_curation's gates as cumulative per-stage counts
     "pipe_funnel" -> (s"""WITH w AS (

@@ -147,7 +147,7 @@ object RelationalQueries {
         .select("c_custkey", "c_name")
         .orderBy("c_custkey")),
 
-    "q_intersect" -> ((s, d) => {
+    "q_isect" -> ((s, d) => {
       val o = Tables.orders(s, d)
       val y96 = o.where(year(col("o_orderdate")) === 1996).select("o_custkey")
       val y97 = o.where(year(col("o_orderdate")) === 1997).select("o_custkey")
@@ -447,7 +447,7 @@ SELECT c_custkey, c_name FROM customer
 WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
 ORDER BY c_custkey""",
 
-    "q_intersect" -> """
+    "q_isect" -> """
 SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
 INTERSECT
 SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997

@@ -67,6 +67,32 @@ object Sampling {
       % 1000000L < rate)
   }
 
+  /** UPSAMPLING / multi-epoch repetition — the other half of mixture
+    * recipes that [[sampleByHash]]-style thinning can't express: a
+    * published mix repeats its highest-quality domains MORE than once
+    * per epoch (e.g. Wikipedia at 2.5 epochs), so `ratePpm` here may
+    * exceed 1e6. A row emits `rate div 1e6` whole copies plus one more
+    * iff its seeded hash lands under `rate % 1e6` — the corpus-level
+    * expectation is exactly rate/1e6 epochs, decided per document, no
+    * RNG. `copy_idx` (0-based) distinguishes the copies so downstream
+    * shuffling/packing can spread them across the training order
+    * instead of training on back-to-back duplicates. Rates ≤ 1e6
+    * degenerate to [[weighted]]'s keep/drop (0 or 1 copy). Narrow
+    * zero-shuffle explode with fan-out rate/1e6 per row; deterministic,
+    * re-drawable by seed, stable under corpus growth. */
+  def repeatByRate(df: DataFrame, id: Column, ratePpm: Column,
+                   seed: String = "rep0"): DataFrame = {
+    val inCols = df.columns.map(col).toSeq
+    df.withColumn("__rate", greatest(ratePpm.cast("long"), lit(0L)))
+      .withColumn("__copies",
+        expr("__rate div 1000000L") +
+          when(Text.hash60(concat_ws(":", lit(seed), id.cast("string")))
+            % 1000000L < col("__rate") % 1000000L, 1L).otherwise(0L))
+      .where(col("__copies") > 0)
+      .select(inCols :+
+        explode(sequence(lit(0L), col("__copies") - 1)).as("copy_idx"): _*)
+  }
+
   /** Per-group ABSOLUTE cap — the "at most n documents per domain/
     * source/language" curation rule ([[stratified]] caps by RATE; this
     * caps by COUNT, which is what mixture recipes specify). The kept n

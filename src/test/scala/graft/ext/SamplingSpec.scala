@@ -153,6 +153,40 @@ class SamplingSpec extends SparkSpec {
     assert((0L until 3000L by 3).forall(redraw.contains))
   }
 
+  test("repeatByRate: whole copies exact, fractional copy near rate, deterministic") {
+    // rate 2.5e6: every id gets >= 2 copies, ~half get a third
+    val out = Sampling.repeatByRate(docs, $"doc_id", lit(2500000L))
+      .groupBy("doc_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.size == 2000) // no document vanishes at rate >= 1e6
+    assert(out.values.forall(n => n == 2L || n == 3L))
+    val thirds = out.values.count(_ == 3L)
+    assert(thirds > 800 && thirds < 1200, s"fractional copy rate off: $thirds")
+    // copy_idx is a clean 0..n-1 per id
+    val idx = Sampling.repeatByRate(docs.where($"doc_id" < 5), $"doc_id",
+        lit(2500000L))
+      .select("doc_id", "copy_idx")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).groupBy(_._1)
+    idx.values.foreach(c =>
+      assert(c.map(_._2).sorted.toSeq == (0L until c.length)))
+    // rate exactly 1e6 -> exactly one copy each; rate 0 -> nothing
+    assert(Sampling.repeatByRate(docs, $"doc_id", lit(1000000L)).count() == 2000)
+    assert(Sampling.repeatByRate(docs, $"doc_id", lit(0L)).count() == 0)
+    // deterministic and partitioning-independent; a new seed re-draws
+    // only the fractional copies
+    val a = Sampling.repeatByRate(docs, $"doc_id", lit(1300000L))
+      .groupBy("doc_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = Sampling.repeatByRate(docs.repartition(7), $"doc_id", lit(1300000L))
+      .groupBy("doc_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b)
+    val re = Sampling.repeatByRate(docs, $"doc_id", lit(1300000L), seed = "rep1")
+      .groupBy("doc_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(re != a && re.values.forall(n => n == 1L || n == 2L))
+  }
+
   test("stratified keeps per-stratum rates and drops unknown strata") {
     val ev = (0L until 3000L).map(i =>
       (i, Seq("view", "click", "other")(i.toInt % 3))).toDF("event_id", "event_type")
