@@ -442,8 +442,6 @@ object ExtQueries {
       Sampling.split(Tables.documents(s, d), col("doc_id"))
         .select("doc_id", "split").orderBy("doc_id")),
 
-    // quality-proportional keep rate: 1000 ppm per char, saturating at
-    // 500 chars — longer docs always survive, shorter ones pro rata
     // Multi-epoch repetition: rates 0.4 / 1.3 / 2.2 epochs by doc_id
     // class — whole copies + a hash-decided fractional copy, the
     // upsampling half of a published mixture recipe.
@@ -454,6 +452,8 @@ object ExtQueries {
           (col("doc_id") % 3) * 900000L + 400000L)
         .orderBy("doc_id", "copy_idx")),
 
+    // quality-proportional keep rate: 1000 ppm per char, saturating at
+    // 500 chars — longer docs always survive, shorter ones pro rata
     "smp_wt" -> ((s, d) =>
       Sampling.weighted(Tables.documents(s, d), col("doc_id"),
           col("n_chars") * 2000L)

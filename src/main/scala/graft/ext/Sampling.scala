@@ -82,6 +82,14 @@ object Sampling {
     * re-drawable by seed, stable under corpus growth. */
   def repeatByRate(df: DataFrame, id: Column, ratePpm: Column,
                    seed: String = "rep0"): DataFrame = {
+    // contract: the output column and the internal scratch names must
+    // not collide with input columns — a pre-existing copy_idx would
+    // yield an ambiguous duplicate, and a pre-existing __rate/__copies
+    // would be silently clobbered by the withColumns below. Rename
+    // before chaining a second repetition stage.
+    Seq("copy_idx", "__rate", "__copies").foreach(c =>
+      require(!df.columns.contains(c),
+        s"repeatByRate reserves column name '$c'; rename it in the input"))
     val inCols = df.columns.map(col).toSeq
     df.withColumn("__rate", greatest(ratePpm.cast("long"), lit(0L)))
       .withColumn("__copies",

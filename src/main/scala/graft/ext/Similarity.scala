@@ -92,9 +92,13 @@ object Similarity {
     // [[tagNearIndex]] tier.
     // limit+count, not a bare count: the guard only needs to know
     // whether the bound is EXCEEDED, so the probe job stops accumulating
-    // at maxEvalRows+1 instead of counting a miscalled corpus to the end
-    val probe = math.min(maxEvalRows + 1, Int.MaxValue.toLong).toInt
-    val nEval = eval.limit(probe).count()
+    // at maxEvalRows+1 instead of counting a miscalled corpus to the
+    // end. A bound at or above Int.MaxValue can't be probed via limit
+    // (the clamp would make the guard vacuous) — fall back to the exact
+    // count so the contract holds for ANY bound.
+    val nEval =
+      if (maxEvalRows >= Int.MaxValue - 1L) eval.count()
+      else eval.limit(maxEvalRows.toInt + 1).count()
     require(nEval <= maxEvalRows,
       s"decontaminate() broadcasts the whole eval split as one array row; " +
         s"got > $maxEvalRows eval rows. Use tagNearIndex against " +

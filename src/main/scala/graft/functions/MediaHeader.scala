@@ -335,7 +335,7 @@ object MediaHeaderUtil {
     * chunks carry a 4cc list type and nest further chunks. Extracted:
     * the `avih` main header (µs per frame, declared total frames,
     * stream count, width, height), the first `vids` stream's `strh`
-    * rate/scale/length, and every frame chunk inside the `movi` list
+    * rate/scale, and every frame chunk inside the `movi` list
     * (`##dc`/`##db` — compressed/uncompressed DIB data; for the MJPEG
     * fourcc each `##dc` payload is one complete baseline JPEG that
     * `javax.imageio` decodes). Frame PIXEL decode lives in
@@ -344,7 +344,10 @@ object MediaHeaderUtil {
   /** The AVI container's audio stream — `auds` strh + WAVEFORMATEX strf
     * fields plus the byte ranges of that stream's `##wb` data chunks in
     * movi order. PCM (formatTag 1) reassembles losslessly by
-    * concatenating the chunk payloads. */
+    * concatenating the chunk payloads. (The video side surfaces the
+    * matched `vids` stream's rate/scale; the strh dwLength is not
+    * carried — `frames.length`/`nFramesDeclared` are the frame
+    * counts.) */
   case class AviAudio(formatTag: Int, channels: Int, sampleRate: Int,
                       bits: Int, blockAlign: Int,
                       chunks: Vector[(Int, Int)])
