@@ -325,4 +325,25 @@ object WarcCorpus {
         col("warc_date").as("fetched"),
         expr("html_text(__page)").as("text"))
   }
+
+  /** The WET (extracted-text) composition — Common Crawl's
+    * pre-extracted sibling of [[webDocuments]] and the most common
+    * corpus input of public text pipelines: `conversion` records carry
+    * the crawl's OWN text extraction as a UTF-8 `text/plain` payload,
+    * so the documents shape needs no HTTP split and no html_text pass —
+    * type filter, UTF-8 decode, stable URI-hash ids. The per-file
+    * `warcinfo` preamble record filters out on type. Same streaming
+    * parse, quarantine contract, and zero-shuffle projection shape as
+    * [[webDocuments]] (WET segments are record-gzipped like WARC; the
+    * default `readWarc` glob `*.warc*` matches `*.warc.wet.gz`). */
+  def wetDocuments(records: DataFrame): DataFrame =
+    records
+      .where(col("warc_type") === "conversion" &&
+        col("content_type").startsWith("text/plain") &&
+        col("target_uri").isNotNull)
+      .select(
+        graft.ext.Text.hash60(col("target_uri")).as("doc_id"),
+        col("target_uri").as("url"),
+        col("warc_date").as("fetched"),
+        decode(col("payload"), "UTF-8").as("text"))
 }

@@ -223,6 +223,39 @@ class WarcSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  test("wetDocuments: conversion records to the documents shape, warcinfo skipped") {
+    // a Common-Crawl-shaped WET segment: warcinfo preamble, then one
+    // conversion record per page with the crawl's own text extraction
+    // as a UTF-8 text/plain payload — including a non-ASCII char to pin
+    // the decode
+    val dir = Files.createTempDirectory("graft-wet")
+    val wet =
+      rec("warcinfo", None, "application/warc-fields",
+        "software: fixture\r\n".getBytes("ISO-8859-1"), "<urn:uuid:w>") ++
+      rec("conversion", Some("http://example.org/a"), "text/plain",
+        "Extracted text of page A é".getBytes("UTF-8"), "<urn:uuid:a>") ++
+      rec("conversion", Some("http://example.org/b"), "text/plain",
+        "Page B text".getBytes("UTF-8"), "<urn:uuid:b>") ++
+      // a response record mixed in (not WET's shape) must not leak
+      rec("response", Some("http://example.org/c"),
+        "application/http; msgtype=response",
+        httpResp("200 OK", "text/html", "<p>html</p>"), "<urn:uuid:c>")
+    Files.write(dir.resolve("seg.warc.wet.gz"), gzMember(wet))
+
+    val res = readWarc(spark, dir.toString)
+    assert(res.corrupt.count() == 0)
+    val docs = WarcCorpus.wetDocuments(res.records).orderBy("url").collect()
+    assert(docs.map(_.getAs[String]("url")).toSeq ==
+      Seq("http://example.org/a", "http://example.org/b"))
+    assert(docs(0).getAs[String]("text") == "Extracted text of page A é")
+    assert(docs(1).getAs[String]("text") == "Page B text")
+    assert(docs.map(_.getAs[Long]("doc_id")).distinct.length == 2)
+    // same zero-shuffle narrow contract as webDocuments
+    val plan = WarcCorpus.wetDocuments(res.records)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   test("extracted web documents flow into the curation operators") {
     val dir = Files.createTempDirectory("graft-warc2")
     // two near-identical pages: the pipeline's exact dedup must fold them
