@@ -120,7 +120,7 @@ object CoreQueries {
       graft.ingest.BlockFeed.decodeRawLogs(raw)
         .orderBy("height", "seq_in_block")
     }),
-    "a12_snapshot" -> ((s, d) =>
+    "a12_snap" -> ((s, d) =>
       Tables.ati(s, d).select("account").distinct().orderBy("account")),
 
     // — B. read surface (SURVEY §2.B) —
@@ -257,7 +257,7 @@ SELECT event_id // 8 AS height,
        CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR) AS amount
 FROM events WHERE event_type IN ('purchase', 'click')
 ORDER BY height, seq_in_block""",
-    "a12_snapshot" -> (cte +
+    "a12_snap" -> (cte +
       "SELECT DISTINCT account FROM ati ORDER BY account"),
     "b1_asc" -> (cte + s"""
 SELECT s.id, s.block, s."timestamp", s.height, s.summary

@@ -551,6 +551,22 @@ object ExtQueries {
           col("doc_id"))
         .orderBy("doc_id")),
 
+    // Stupid-backoff trigram scoring against a FOREIGN variant of the
+    // corpus (every 7th word swapped for an OOV token, so all three
+    // backoff tiers genuinely fire): train on documents, score the
+    // perturbed stream — the web-scale n-gram gate one order above
+    // text_ppl's bigram model.
+    "lm3" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val perturbed = docs.select(col("doc_id"),
+        concat_ws(" ", expr(
+          "transform(split(trim(text), ' +'), " +
+            "(w, i) -> CASE WHEN i % 7 = 3 THEN 'zzqq' ELSE w END)"))
+          .as("text"))
+      TextAnalysis.lm3Score(docs, perturbed, col("text"), col("doc_id"))
+        .orderBy("doc_id")
+    }),
+
     "dd_prefix" -> ((s, d) =>
       Dedup.prefixDups(Tables.documents(s, d), col("text"), col("doc_id"),
         n = 64).orderBy("doc_id")),
@@ -1661,6 +1677,52 @@ FROM d GROUP BY doc_id ORDER BY doc_id"""),
     // bigram-LM surprisal: word 2-shingles, counts by (prefix, bigram)
     // hash, denominator re-aggregated from the bigram table, surprisal =
     // bit length of the truncated inverse conditional frequency
+    // Mirror of lm3Score: positional trigram-stream counts from the
+    // train corpus, the same i%7==3 -> 'zzqq' perturbation, and the
+    // three-tier integer-ppm stupid-backoff pricing.
+    "lm3" -> (s"""WITH w AS (
+  SELECT doc_id, string_split_regex(trim(text), ' +') AS words FROM documents
+), tri AS (
+  SELECT ${h60("array_to_string(words[i+1:i+3], ' ')")} AS t123,
+         ${h60("array_to_string(words[i+1:i+2], ' ')")} AS h12,
+         ${h60("array_to_string(words[i+2:i+3], ' ')")} AS b23,
+         ${h60("words[i+2]")} AS h2,
+         ${h60("words[i+3]")} AS u3
+  FROM (SELECT doc_id, words, unnest(range(len(words)-2)) AS i
+        FROM w WHERE len(words) >= 3)
+), ct AS (SELECT t123, count(*) AS c123 FROM tri GROUP BY 1),
+c12t AS (SELECT h12, count(*) AS c12 FROM tri GROUP BY 1),
+c23t AS (SELECT b23, count(*) AS c23 FROM tri GROUP BY 1),
+c2t AS (SELECT h2, count(*) AS c2 FROM tri GROUP BY 1),
+c3t AS (SELECT u3, count(*) AS c3 FROM tri GROUP BY 1),
+nt AS (SELECT count(*) AS n FROM tri),
+sw AS (
+  SELECT doc_id, list_transform(range(len(words)), i ->
+           CASE WHEN i % 7 = 3 THEN 'zzqq' ELSE words[i+1] END) AS words
+  FROM w
+), stri AS (
+  SELECT doc_id,
+         ${h60("array_to_string(words[i+1:i+3], ' ')")} AS t123,
+         ${h60("array_to_string(words[i+1:i+2], ' ')")} AS h12,
+         ${h60("array_to_string(words[i+2:i+3], ' ')")} AS b23,
+         ${h60("words[i+2]")} AS h2,
+         ${h60("words[i+3]")} AS u3
+  FROM (SELECT doc_id, words, unnest(range(len(words)-2)) AS i
+        FROM sw WHERE len(words) >= 3)
+), priced AS (
+  SELECT s.doc_id,
+         CASE WHEN ct.c123 IS NOT NULL THEN ct.c123 * 1000000 // c12t.c12
+              WHEN c23t.c23 IS NOT NULL THEN c23t.c23 * 400000 // c2t.c2
+              ELSE coalesce(c3t.c3, 0) * 160000 // nt.n END AS s
+  FROM stri s
+  LEFT JOIN ct USING (t123) LEFT JOIN c12t USING (h12)
+  LEFT JOIN c23t USING (b23) LEFT JOIN c2t USING (h2)
+  LEFT JOIN c3t USING (u3) CROSS JOIN nt
+)
+SELECT doc_id, count(*) AS n_trigrams,
+       CAST(sum(s) // count(*) AS BIGINT) AS sb_ppm
+FROM priced GROUP BY doc_id ORDER BY doc_id"""),
+
     "text_ppl" -> (WordsCte + s""", bg AS (
   SELECT doc_id, unnest(CASE WHEN len(words) >= 2
            THEN list_transform(range(len(words)-1),

@@ -58,7 +58,7 @@ object RelationalQueries {
         .limit(10)
     }),
 
-    "q10_returns" -> ((s, d) => {
+    "q10_ret" -> ((s, d) => {
       // TPC-H Q10 shape: revenue lost to returned items, per customer.
       // The only big shuffle is lineitem⋈orders on orderkey; customer is
       // broadcast after its own nation-dim broadcast.
@@ -111,7 +111,7 @@ object RelationalQueries {
 
     // Correlated EXISTS (the TPC-H Q4 shape) → decorrelated semi join
     // under an aggregation.
-    "q_discount" -> ((s, d) => {
+    "q_disc" -> ((s, d) => {
       Tables.orders(s, d).createOrReplaceTempView("ord_corr")
       Tables.lineitem(s, d).createOrReplaceTempView("li_corr2")
       s.sql("""
@@ -393,7 +393,7 @@ WHERE c_mktsegment = 'BUILDING'
 GROUP BY l_orderkey, o_orderdate, o_orderpriority
 ORDER BY revenue DESC, l_orderkey LIMIT 10""",
 
-    "q10_returns" -> s"""
+    "q10_ret" -> s"""
 SELECT c_custkey, c_name, SUM($rev) AS revenue, c_acctbal, n_name
 FROM customer JOIN orders ON c_custkey = o_custkey
               JOIN lineitem ON l_orderkey = o_orderkey
@@ -421,7 +421,7 @@ WHERE l_extendedprice = (SELECT min(l_extendedprice)
                          WHERE l2.l_partkey = l1.l_partkey)
 ORDER BY l_partkey, l_orderkey""",
 
-    "q_discount" -> """
+    "q_disc" -> """
 SELECT o_orderpriority, count(*) AS n
 FROM orders o
 WHERE EXISTS (SELECT 1 FROM lineitem l

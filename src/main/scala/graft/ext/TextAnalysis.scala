@@ -358,6 +358,83 @@ object TextAnalysis {
       .withColumn("ppl_pm", expr("bits_sum * 1000 div n_bigrams"))
   }
 
+  /** Per-trigram-occurrence hash pieces: (doc_id, t123 = trigram, h12 =
+    * leading bigram, b23 = trailing bigram, h2 = middle word, u3 = last
+    * word) — the shared extraction under [[lm3Score]]'s model build and
+    * scoring sides. Documents under three words contribute nothing. */
+  private def trigramPieces(df: DataFrame, content: Column,
+                            id: Column): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    df.select(id.as("doc_id"), Text.words(content).as("__w"))
+      .where(size(col("__w")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(0, size(__w) - 3), i -> struct(
+             concat_ws(' ', __w[i], __w[i+1], __w[i+2]) as tg,
+             concat_ws(' ', __w[i], __w[i+1]) as g12,
+             concat_ws(' ', __w[i+1], __w[i+2]) as g23,
+             __w[i+1] as w2, __w[i+2] as w3))""")).as("__t"))
+      .select(col("doc_id"),
+        Text.hash60(col("__t.tg")).as("t123"),
+        Text.hash60(col("__t.g12")).as("h12"),
+        Text.hash60(col("__t.g23")).as("b23"),
+        Text.hash60(col("__t.w2")).as("h2"),
+        Text.hash60(col("__t.w3")).as("u3"))
+  }
+
+  /** STUPID-BACKOFF trigram scoring (Brants et al. 2007, "Large
+    * Language Models in Machine Translation" — the inexpensive backoff
+    * that replaced Kneser-Ney at web scale): score a corpus against a
+    * trigram model of the TRAIN corpus, per trigram occurrence
+    *
+    *  - seen trigram:        `c123 * 1e6  div c12`  (relative freq)
+    *  - else seen trailing
+    *    bigram:              `c23 * 400000 div c2`  (0.4 backoff)
+    *  - else:                `c3 * 160000 div N`    (0.4² to unigrams)
+    *
+    * — all counts POSITIONAL over the train corpus's trigram stream
+    * (c12 = context occurrences, c2 = middle-word occurrences, c3 =
+    * last-word occurrences, N = total trigrams), which keeps every
+    * denominator provably nonzero when its tier fires and the whole
+    * computation exact-integer ppm — engine-portable like [[lmScore]].
+    * Unlike normalized smoothing, stupid backoff returns SCORES, not
+    * probabilities — monotone for ranking/filtering, which is all the
+    * quality gate needs.
+    *
+    * Scale shape ([[lmScore]]'s, one order up): five vocabulary-sized
+    * count tables built by partial-agg `groupBy(hash)`, the
+    * corpus-sized scored stream left-joins them on uniform hashes
+    * (build side one row per key; AQE splits residual hot probe
+    * partitions), one-row N broadcast, then the per-doc regroup.
+    * Output: (doc_id, n_trigrams, sb_ppm = mean score per trigram,
+    * ppm). */
+  def lm3Score(train: DataFrame, scored: DataFrame, content: Column,
+               id: Column): DataFrame = {
+    val tri = trigramPieces(train, content, id)
+    val ct = tri.groupBy("t123").agg(count(lit(1)).as("c123"))
+    val c12t = tri.groupBy("h12").agg(count(lit(1)).as("c12"))
+    val c23t = tri.groupBy("b23").agg(count(lit(1)).as("c23"))
+    val c2t = tri.groupBy("h2").agg(count(lit(1)).as("c2"))
+    val c3t = tri.groupBy("u3").agg(count(lit(1)).as("c3"))
+    val n = tri.agg(count(lit(1)).as("nn"))
+    trigramPieces(scored, content, id)
+      .join(ct, Seq("t123"), "left")
+      .join(c12t, Seq("h12"), "left")
+      .join(c23t, Seq("b23"), "left")
+      .join(c2t, Seq("h2"), "left")
+      .join(c3t, Seq("u3"), "left")
+      .crossJoin(broadcast(n))
+      .withColumn("__s",
+        when(col("c123").isNotNull,
+          expr("c123 * 1000000L div c12"))
+          .when(col("c23").isNotNull,
+            expr("c23 * 400000L div c2"))
+          .otherwise(expr("coalesce(c3, 0L) * 160000L div nn")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_trigrams"), sum("__s").as("__sum"))
+      .withColumn("sb_ppm", expr("__sum div n_trigrams"))
+      .drop("__sum")
+  }
+
   def fingerprint(df: DataFrame, content: Column, id: Column,
                   k: Int = 3): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)

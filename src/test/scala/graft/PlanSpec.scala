@@ -154,7 +154,7 @@ class PlanSpec extends SparkSpec {
     // narrow work, the output sort's range partitioning is the only
     // data movement.
     for (q <- Seq("url_canon", "uni_norm", "html_text", "chunks",
-        "mm_video", "mm_av")) {
+        "mm_video", "mm_av", "smp_rep")) {
       val p = plan(q)
       assert(count(p, "Exchange") <= 1,
         s"$q must shuffle only for its output sort:\n$p")

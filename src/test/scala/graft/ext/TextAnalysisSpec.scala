@@ -203,6 +203,36 @@ class TextAnalysisSpec extends SparkSpec {
     assert(derived.toSeq == explicit.toSeq)
   }
 
+  test("lm3Score: all three stupid-backoff tiers priced by hand arithmetic") {
+    // train "a b c a b d": trigrams abc, bca, cab, abd (N=4)
+    //   contexts  c12: "a b"=2, "b c"=1, "c a"=1
+    //   trailing  c23: "b c"=1, "c a"=1, "a b"=1, "b d"=1
+    //   middles    c2: b=2, c=1, a=1;  lasts c3: c=1, a=1, b=1, d=1
+    val train = Seq((0L, "a b c a b d")).toDF("id", "text")
+    val foreign = Seq(
+      (1L, "a b c"),   // tier 1: 1 * 1e6 div c12("a b")=2 -> 500000
+      (2L, "x b c"),   // tier 2: c23("b c")=1 * 4e5 div c2(b)=2 -> 200000
+      (3L, "x y c"),   // tier 3: c3(c)=1 * 16e4 div N=4 -> 40000
+      (4L, "x y z"),   // tier 3, unseen last word -> 0
+      (5L, "a b c a")  // (500000 + bca: 1e6 div c12("b c")=1) div 2 -> 750000
+    ).toDF("id", "text")
+    val out = TextAnalysis.lm3Score(train, foreign, $"text", $"id")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq(
+      (1L, 1L, 500000L), (2L, 1L, 200000L), (3L, 1L, 40000L),
+      (4L, 1L, 0L), (5L, 2L, 750000L)))
+    // in-distribution text scores strictly above every backoff tier —
+    // the ranking property the filter uses (higher = more in-model)
+    assert(out(0)._3 > out(1)._3 && out(1)._3 > out(2)._3 && out(2)._3 > out(3)._3)
+    // partitioning-independent (exact integer ppm end to end)
+    val again = TextAnalysis.lm3Score(train.repartition(3),
+        foreign.repartition(5), $"text", $"id")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(again.toSeq == out.toSeq)
+  }
+
   test("fingerprint: spacing-insensitive content fp, local-edit-stable winnow fp") {
     val df = Seq(
       (1L, "alpha beta  gamma delta epsilon"),
