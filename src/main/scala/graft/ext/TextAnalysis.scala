@@ -409,7 +409,12 @@ object TextAnalysis {
     * ppm). */
   def lm3Score(train: DataFrame, scored: DataFrame, content: Column,
                id: Column): DataFrame = {
-    val tri = trigramPieces(train, content, id)
+    // the train trigram stream feeds SIX aggregations (five count
+    // tables + N); unpersisted, each one would re-explode and re-hash
+    // the whole corpus (BenchOne showed 4.3-19 s at sf0.1; persisted it
+    // is one pass). Query-scoped: released by CacheScope with the query.
+    val tri = graft.CacheScope.persistTracked(
+      trigramPieces(train, content, id))
     val ct = tri.groupBy("t123").agg(count(lit(1)).as("c123"))
     val c12t = tri.groupBy("h12").agg(count(lit(1)).as("c12"))
     val c23t = tri.groupBy("b23").agg(count(lit(1)).as("c23"))

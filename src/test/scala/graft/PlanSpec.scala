@@ -225,6 +225,16 @@ class PlanSpec extends SparkSpec {
       s"the indexed probe must not re-rank the corpus per query:\n$p")
   }
 
+  test("lm3: partial-agg count tables, no data cartesian") {
+    // five vocabulary-sized count tables built with map-side combine;
+    // the only nested-loop is the broadcast one-row N — never data x data
+    val p = plan("lm3")
+    assert(count(p, "HashAggregate") >= 10, // partial+final per count table
+      s"expected partial+final pairs for the trigram count tables in:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"lm3 must not cartesian on data:\n$p")
+  }
+
   test("ann_filtered: attribute predicate inside the cid-pruned cell scan") {
     // filtered ANN must push the label constraint INTO the same scan
     // the cid partition pruning runs on — filter-after-topk would
