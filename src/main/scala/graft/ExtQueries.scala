@@ -1680,9 +1680,7 @@ FROM d GROUP BY doc_id ORDER BY doc_id"""),
     // Mirror of lm3Score: positional trigram-stream counts from the
     // train corpus, the same i%7==3 -> 'zzqq' perturbation, and the
     // three-tier integer-ppm stupid-backoff pricing.
-    "lm3" -> (s"""WITH w AS (
-  SELECT doc_id, string_split_regex(trim(text), ' +') AS words FROM documents
-), tri AS (
+    "lm3" -> (WordsCte + s""", tri AS (
   SELECT ${h60("array_to_string(words[i+1:i+3], ' ')")} AS t123,
          ${h60("array_to_string(words[i+1:i+2], ' ')")} AS h12,
          ${h60("array_to_string(words[i+2:i+3], ' ')")} AS b23,

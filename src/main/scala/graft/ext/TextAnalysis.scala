@@ -365,20 +365,18 @@ object TextAnalysis {
   private def trigramPieces(df: DataFrame, content: Column,
                             id: Column): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
-    df.select(id.as("doc_id"), Text.words(content).as("__w"))
-      .where(size(col("__w")) >= 3)
-      .select(col("doc_id"), explode(expr(
-        """transform(sequence(0, size(__w) - 3), i -> struct(
-             concat_ws(' ', __w[i], __w[i+1], __w[i+2]) as tg,
-             concat_ws(' ', __w[i], __w[i+1]) as g12,
-             concat_ws(' ', __w[i+1], __w[i+2]) as g23,
-             __w[i+1] as w2, __w[i+2] as w3))""")).as("__t"))
+    // the codegen word_shingles pass (the idiom bigramHashes set), then
+    // every piece derived by substring_index — exact because words are
+    // split ON spaces and so cannot contain one; an interpreted
+    // transform-into-struct HOF here dominated the heaviest text row
+    df.select(id.as("doc_id"), explode(Text.shingles(content, 3)).as("tg"))
+      .withColumn("__g23", substring_index(col("tg"), " ", -2))
       .select(col("doc_id"),
-        Text.hash60(col("__t.tg")).as("t123"),
-        Text.hash60(col("__t.g12")).as("h12"),
-        Text.hash60(col("__t.g23")).as("b23"),
-        Text.hash60(col("__t.w2")).as("h2"),
-        Text.hash60(col("__t.w3")).as("u3"))
+        Text.hash60(col("tg")).as("t123"),
+        Text.hash60(substring_index(col("tg"), " ", 2)).as("h12"),
+        Text.hash60(col("__g23")).as("b23"),
+        Text.hash60(substring_index(col("__g23"), " ", 1)).as("h2"),
+        Text.hash60(substring_index(col("tg"), " ", -1)).as("u3"))
   }
 
   /** STUPID-BACKOFF trigram scoring (Brants et al. 2007, "Large
@@ -413,8 +411,10 @@ object TextAnalysis {
     // tables + N); unpersisted, each one would re-explode and re-hash
     // the whole corpus (BenchOne showed 4.3-19 s at sf0.1; persisted it
     // is one pass). Query-scoped: released by CacheScope with the query.
+    // doc_id dropped before caching: none of the six consumers below
+    // reads it, and the cache holds the corpus's whole trigram stream
     val tri = graft.CacheScope.persistTracked(
-      trigramPieces(train, content, id))
+      trigramPieces(train, content, id).drop("doc_id"))
     val ct = tri.groupBy("t123").agg(count(lit(1)).as("c123"))
     val c12t = tri.groupBy("h12").agg(count(lit(1)).as("c12"))
     val c23t = tri.groupBy("b23").agg(count(lit(1)).as("c23"))
@@ -433,7 +433,12 @@ object TextAnalysis {
           expr("c123 * 1000000L div c12"))
           .when(col("c23").isNotNull,
             expr("c23 * 400000L div c2"))
-          .otherwise(expr("coalesce(c3, 0L) * 160000L div nn")))
+          // greatest(nn, 1): with a trigram-less train corpus every
+          // count is null and the numerator is already 0, but ANSI
+          // division would throw on nn = 0 before noticing — the guard
+          // keeps the documented every-denominator-nonzero contract
+          // total (score 0, not a job failure)
+          .otherwise(expr("coalesce(c3, 0L) * 160000L div greatest(nn, 1L)")))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_trigrams"), sum("__s").as("__sum"))
       .withColumn("sb_ppm", expr("__sum div n_trigrams"))

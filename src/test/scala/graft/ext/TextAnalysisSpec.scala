@@ -231,6 +231,13 @@ class TextAnalysisSpec extends SparkSpec {
       .orderBy("doc_id").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(again.toSeq == out.toSeq)
+    // a trigram-less train corpus (all docs under 3 words) must score
+    // everything 0, not throw on the empty model's N = 0 denominator
+    val thin = Seq((0L, "a b")).toDF("id", "text")
+    val zeroed = TextAnalysis.lm3Score(thin, foreign, $"text", $"id")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    assert(zeroed.map(_._2).forall(_ == 0L) && zeroed.length == 5)
   }
 
   test("fingerprint: spacing-insensitive content fp, local-edit-stable winnow fp") {
