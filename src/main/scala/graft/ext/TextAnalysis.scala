@@ -415,13 +415,21 @@ object TextAnalysis {
     // reads it, and the cache holds the corpus's whole trigram stream
     val tri = graft.CacheScope.persistTracked(
       trigramPieces(train, content, id).drop("doc_id"))
-    val ct = tri.groupBy("t123").agg(count(lit(1)).as("c123"))
-    val c12t = tri.groupBy("h12").agg(count(lit(1)).as("c12"))
-    val c23t = tri.groupBy("b23").agg(count(lit(1)).as("c23"))
-    val c2t = tri.groupBy("h2").agg(count(lit(1)).as("c2"))
-    val c3t = tri.groupBy("u3").agg(count(lit(1)).as("c3"))
-    val n = tri.agg(count(lit(1)).as("nn"))
-    trigramPieces(scored, content, id)
+    lm3Price(trigramPieces(scored, content, id), lm3Tables(tri))
+  }
+
+  private def lm3Tables(tri: DataFrame): Seq[DataFrame] = Seq(
+    tri.groupBy("t123").agg(count(lit(1)).as("c123")),
+    tri.groupBy("h12").agg(count(lit(1)).as("c12")),
+    tri.groupBy("b23").agg(count(lit(1)).as("c23")),
+    tri.groupBy("h2").agg(count(lit(1)).as("c2")),
+    tri.groupBy("u3").agg(count(lit(1)).as("c3")),
+    tri.agg(count(lit(1)).as("nn")))
+
+  private def lm3Price(scoredTri: DataFrame,
+                       tables: Seq[DataFrame]): DataFrame = {
+    val Seq(ct, c12t, c23t, c2t, c3t, n) = tables
+    scoredTri
       .join(ct, Seq("t123"), "left")
       .join(c12t, Seq("h12"), "left")
       .join(c23t, Seq("b23"), "left")
@@ -443,6 +451,32 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_trigrams"), sum("__s").as("__sum"))
       .withColumn("sb_ppm", expr("__sum div n_trigrams"))
       .drop("__sum")
+  }
+
+  private val Lm3Parts = Seq("ct", "c12t", "c23t", "c2t", "c3t", "n")
+
+  /** Materialize the [[lm3Score]] model — the train/score boundary
+    * artifact ([[lmModel]]'s role one order up, the ANN-codebook
+    * pattern): the five positional count tables + N written beside the
+    * corpus, so scoring a crawl batch (or a stream micro-batch) never
+    * touches the training corpus again. */
+  def writeLm3Model(train: DataFrame, content: Column, id: Column,
+                    path: String): Unit = {
+    val tri = trigramPieces(train, content, id).drop("doc_id").persist()
+    try Lm3Parts.zip(lm3Tables(tri)).foreach { case (part, t) =>
+      t.write.mode("overwrite").parquet(s"$path/$part")
+    } finally tri.unpersist()
+  }
+
+  /** Score a corpus against a STORED [[writeLm3Model]] artifact —
+    * identical results to the two-frame [[lm3Score]] by shared pricing
+    * ([[lm3Price]]); stateless per input frame, so it composes into
+    * `foreachBatch` as the trigram-tier perplexity gate. */
+  def lm3ScoreStored(scored: DataFrame, content: Column, id: Column,
+                     path: String): DataFrame = {
+    val spark = scored.sparkSession
+    lm3Price(trigramPieces(scored, content, id),
+      Lm3Parts.map(part => spark.read.parquet(s"$path/$part")))
   }
 
   def fingerprint(df: DataFrame, content: Column, id: Column,

@@ -238,6 +238,14 @@ class TextAnalysisSpec extends SparkSpec {
       .orderBy("doc_id").collect()
       .map(r => (r.getLong(0), r.getLong(2)))
     assert(zeroed.map(_._2).forall(_ == 0L) && zeroed.length == 5)
+    // the stored-model path prices identically to the two-frame call —
+    // the train/score deployment boundary artifact
+    val path = java.nio.file.Files.createTempDirectory("graft-lm3").toString
+    TextAnalysis.writeLm3Model(train, $"text", $"id", path)
+    val stored = TextAnalysis.lm3ScoreStored(foreign, $"text", $"id", path)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(stored.toSeq == out.toSeq)
   }
 
   test("fingerprint: spacing-insensitive content fp, local-edit-stable winnow fp") {
