@@ -26,6 +26,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    quietSweepLoggers()
     Preflight.check(spark, sfDir).foreach(w => System.err.println(s"[bench] $w"))
     // Untimed warmup: JVM startup, codegen compilation, and parquet
     // reader classloading shouldn't be charged to whichever query
@@ -65,6 +66,7 @@ object Bench {
     warm(ExtQueries.ivfPqIndexFor(spark, sfDir))
     val timings = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val reruns = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     SparkEntry.queries.foreach { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
@@ -89,11 +91,15 @@ object Bench {
         // the re-run so real regressions still surface.
         // the re-run is individually guarded: a transient failure on the
         // SECOND run must not turn a measured query into a phantom error
-        // (the first run already produced a valid timing)
+        // (the first run already produced a valid timing).
+        // BOTH readings are kept (ADVICE r12): the published value is the
+        // min, and the discarded first reading lands in "rerun" so the
+        // min is auditable instead of silently replacing the measurement.
         timings(name) =
-          if (t1 > RerunThresholdSec)
+          if (t1 > RerunThresholdSec) {
+            reruns(name) = t1
             try math.min(t1, once()) catch { case _: Throwable => t1 }
-          else t1
+          } else t1
       } catch {
         case e: Throwable =>
           // Hard-truncate: in r10, 42 × ~200-char analysis exceptions put
@@ -109,7 +115,7 @@ object Bench {
     // basename, not the full path: the stdout line competes for the
     // driver's bounded tail window and the scale factor is the signal
     val line = buildLine(timings.toSeq, errors.toSeq, cpus,
-      new java.io.File(sfDir).getName)
+      new java.io.File(sfDir).getName, reruns.toSeq)
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     Files.writeString(Paths.get(outFile), line + "\n")
     // Tail armor: the driver parses this line from a bounded stdout tail,
@@ -123,6 +129,17 @@ object Bench {
     try spark.stop() catch { case _: Throwable => () }
     println(line)
   }
+
+  /** Silence the known mid-sweep WARN sources for the WHOLE sweep, not
+    * just the tail (VERDICT r12: the WindowExec "No Partition Defined"
+    * WARN from the documented bounded global windows fires mid-sweep,
+    * BEFORE the tail-time log-level drop, and its multi-line text spends
+    * budget the driver's bounded tail window doesn't have). The global
+    * level stays WARN — real warnings elsewhere still surface. */
+  def quietSweepLoggers(): Unit =
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window",
+      org.apache.logging.log4j.Level.ERROR)
 
   /** In-sweep re-run trigger, in seconds. Every healthy query's isolated
     * minimum across r3-r11 sits at or under ~3.2 s at sf0.1; the phantom
@@ -170,12 +187,13 @@ object Bench {
     * poison on "value" is computed from the REAL error count, never the
     * sampled one. Exposed for BenchLineSpec. */
   def buildLine(timings: Seq[(String, Double)], errors: Seq[(String, String)],
-      cpus: String, sfName: String): String = {
+      cpus: String, sfName: String,
+      reruns: Seq[(String, Double)] = Seq.empty): String = {
     val qs = timings.map { case (k, v) => s"${jstr(k)}:${jnum(v)}" }.mkString("{", ",", "}")
     // A failed query must never make the bench look faster: each one adds
     // a 1e9-sec penalty to the headline value.
     val total = timings.map(_._2).sum + errors.size * 1e9
-    def assemble(sampled: Int): String = {
+    def assemble(sampled: Int, withReruns: Boolean): String = {
       val errPart =
         if (errors.isEmpty) ""
         else {
@@ -183,9 +201,22 @@ object Bench {
             .map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
           s""","errors":$es,"n_err":${errors.size}"""
         }
-      s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs$errPart,"cpus":$cpus,"sf":${jstr(sfName)}}"""
+      // the outlier guard's discarded FIRST readings (ADVICE r12): the
+      // per-query value is the min of two runs, and this object says what
+      // the min replaced, so downward bias is auditable from the line
+      // itself. Rare by construction (only readings past the threshold),
+      // and the first casualty when the budget tightens — audit detail,
+      // never at the expense of the measurements.
+      val rerunPart =
+        if (!withReruns || reruns.isEmpty) ""
+        else reruns.map { case (k, v) => s"${jstr(k)}:${jnum(v)}" }
+          .mkString(""","rerun":{""", ",", "}")
+      s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs$errPart$rerunPart,"cpus":$cpus,"sf":${jstr(sfName)}}"""
     }
-    (3 to 0 by -1).iterator.map(assemble)
-      .find(_.length <= 1990).getOrElse(assemble(0))
+    // degrade order: drop the rerun audit FIRST, then the error samples
+    // one by one — measurements and the error blast radius always win
+    (Iterator((3, true)) ++ (3 to 0 by -1).iterator.map((_, false)))
+      .map { case (s, wr) => assemble(s, wr) }
+      .find(_.length <= 1990).getOrElse(assemble(0, withReruns = false))
   }
 }

@@ -23,6 +23,7 @@ object BenchOne {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    Bench.quietSweepLoggers()
     // Every warm-up statement individually guarded: in r10 the summaries
     // warm-up threw (broken events encoding) OUTSIDE any try and killed
     // the whole tool — exactly when an isolated probe of the surviving

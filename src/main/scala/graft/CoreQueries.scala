@@ -97,7 +97,7 @@ object CoreQueries {
     }),
     "a11_resume" -> ((s, d) =>
       BlockIngest.resumeHeight(Tables.summaries(s, d))),
-    "cis2_decode" -> ((s, d) => {
+    "cis2_dec" -> ((s, d) => {
       // CIS-2 binary log parse (§2.C): events → wire-format log bytes via
       // cis2_encode, then decoded back through the raw-log feed path
       // (Cis2Decode + reference drop semantics). The oracle computes the
@@ -154,10 +154,10 @@ object CoreQueries {
     "b3_desc" -> ((s, d) =>
       QueryApi.contractTransactions(Tables.cti(s, d), Tables.summaries(s, d),
         CIdx, CSub, MaxId, Some(50), ascending = false)),
-    "b4_iter_acc" -> ((s, d) =>
+    "b4_ita" -> ((s, d) =>
       QueryApi.accountTransactions(Tables.ati(s, d), Tables.summaries(s, d),
         lit(Account), 0L, None, ascending = true)),
-    "b4_iter_con" -> ((s, d) =>
+    "b4_itc" -> ((s, d) =>
       QueryApi.contractTransactions(Tables.cti(s, d), Tables.summaries(s, d),
         CIdx, CSub, 0L, None, ascending = true)),
     "b5_rows" -> ((s, d) =>
@@ -213,11 +213,11 @@ object CoreQueries {
         lit(Account), 0L, 100)),
     "b8_maxh" -> ((s, d) =>
       Tables.summaries(s, d).agg(max("height").as("max_height"))),
-    "b10_tokens" -> ((s, d) =>
+    "b10_tok" -> ((s, d) =>
       Tables.cis2Tokens(s, d)
         .where(col("index") === CIdx && col("subindex") === 0L)
         .orderBy("token_id")),
-    "b11_by_key" -> ((s, d) => {
+    "b11_key" -> ((s, d) => {
       val b = Tables.keyBindings(s, d)
       val keys = b.where(col("address") === Account).select("public_key")
       b.join(keys, Seq("public_key"), "left_semi")
@@ -247,7 +247,7 @@ FROM ati a LEFT JOIN dim d ON a.account // 4 = d.prefix
 GROUP BY 1 ORDER BY 1"""),
     "a11_resume" -> (cte +
       "SELECT max_by(height, id) AS height FROM summaries"),
-    "cis2_decode" -> """
+    "cis2_dec" -> """
 SELECT event_id // 8 AS height,
        CAST(event_id % 8 AS INT) AS seq_in_block,
        user_id % 50 AS "index",
@@ -294,12 +294,12 @@ SELECT s.id, s.block, s."timestamp", s.height, s.summary
 FROM cti JOIN summaries s ON cti.summary = s.id
 WHERE cti."index" = $CIdx AND cti.subindex = $CSub AND cti.summary <= $MaxId
 ORDER BY s.id DESC LIMIT 50"""),
-    "b4_iter_acc" -> (cte + s"""
+    "b4_ita" -> (cte + s"""
 SELECT s.id, s.block, s."timestamp", s.height, s.summary
 FROM ati JOIN summaries s ON ati.summary = s.id
 WHERE ati.account = $Account AND ati.summary >= 0
 ORDER BY s.id ASC"""),
-    "b4_iter_con" -> (cte + s"""
+    "b4_itc" -> (cte + s"""
 SELECT s.id, s.block, s."timestamp", s.height, s.summary
 FROM cti JOIN summaries s ON cti.summary = s.id
 WHERE cti."index" = $CIdx AND cti.subindex = $CSub AND cti.summary >= 0
@@ -352,10 +352,10 @@ WHERE ati.account = $Account AND ati.summary > 0
 ORDER BY s.id LIMIT 100"""),
     "b8_maxh" -> (cte +
       "SELECT max(height) AS max_height FROM summaries"),
-    "b10_tokens" -> (cte + s"""
+    "b10_tok" -> (cte + s"""
 SELECT "index", subindex, token_id, total_supply FROM cis2_tokens
 WHERE "index" = $CIdx AND subindex = 0 ORDER BY token_id"""),
-    "b11_by_key" -> (cte + s"""
+    "b11_key" -> (cte + s"""
 SELECT b.address, b.public_key, b.key_index
 FROM bindings b
 WHERE b.public_key IN (SELECT public_key FROM bindings WHERE address = $Account)

@@ -188,7 +188,7 @@ object ExtQueries {
       Dedup.exact(Tables.documents(s, d), col("text"), col("doc_id"))
         .orderBy("content_hash")),
 
-    "dd_jaccard" -> ((s, d) =>
+    "dd_jac" -> ((s, d) =>
       Dedup.ngramJaccard(Tables.documents(s, d), col("text"), col("doc_id"),
           k = 3, minJaccard = 0.2)
         .orderBy("doc_a", "doc_b")),
@@ -214,7 +214,7 @@ object ExtQueries {
         .select("doc_id").orderBy("doc_id")
     }),
 
-    "decon_split" -> ((s, d) => {
+    "dec_split" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val pairs = Dedup.minhashLsh(docs, col("text"), col("doc_id"),
         k = 3, numHashes = 16, bands = 4, minMatches = 4)
@@ -229,7 +229,7 @@ object ExtQueries {
           col("doc_id"), k = 3)
         .orderBy("doc_id")),
 
-    "decon_ngram" -> ((s, d) => {
+    "dec_ngram" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       Dedup.ngramContamination(docs, col("text"), col("doc_id"),
           Sampling.split(docs, col("doc_id")).select("doc_id", "split"))
@@ -313,7 +313,7 @@ object ExtQueries {
     // with the predicate pushed INSIDE the cid-pruned scan, top-k still
     // fused. Label 3 keeps ~20 candidates in query 0's two probed cells
     // at both SFs, so the row verifies a real constrained ranking.
-    "ann_filtered" -> ((s, d) =>
+    "ann_filt" -> ((s, d) =>
       Similarity.annIvfIndexed(s, ivfLabelIndexFor(s, d), queryId = 0L,
           k = 10, nprobe = 2,
           predicate = Some(col("label") === 3),
@@ -332,7 +332,7 @@ object ExtQueries {
         .select(col("vid").as("vec_id"), col("cid"))
         .orderBy("vec_id")),
 
-    "emb_neardup" -> ((s, d) =>
+    "emb_near" -> ((s, d) =>
       Similarity.nearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding",
         k = 20)),
 
@@ -371,7 +371,7 @@ object ExtQueries {
     // (the shuffle moves one sketch per partition, never keys). The
     // probed cells are plan-time constants; the oracle rebuilds the
     // identical counters cell by cell.
-    "cms_counts" -> ((s, d) => {
+    "cms_cnt" -> ((s, d) => {
       import graft.functions.CountMin
       val sk = Tables.events(s, d)
         .agg(CountMin.sketch(col("user_id").cast("string"), depth = 4,
@@ -412,7 +412,7 @@ object ExtQueries {
     // before anyone trains on its output). Same gates as
     // pipe_curation, folded to one pass: per-doc flags, one
     // aggregate, unpivoted to (stage, n_docs) rows.
-    "pipe_funnel" -> ((s, d) => {
+    "pipe_fnl" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val quality = TextAnalysis.qualityScore(docs, col("text"), col("doc_id"))
         .where(col("quality_ok") && col("uniq_pm") >= 400 && col("n_words") >= 25)
@@ -483,7 +483,7 @@ object ExtQueries {
             "zh" -> 200000), targetRows = 300)
         .select("doc_id", "lang").orderBy("doc_id")),
 
-    "text_tokens" -> ((s, d) =>
+    "txt_toks" -> ((s, d) =>
       TextAnalysis.tokenStats(Tables.documents(s, d), col("text"), col("doc_id"))
         .orderBy("doc_id")),
 
@@ -496,12 +496,12 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
-    "pack_shuffle" -> ((s, d) =>
+    "pack_shuf" -> ((s, d) =>
       Packing.shuffledOrdinal(Tables.documents(s, d), col("doc_id"),
           seed = "epoch0")
         .orderBy("doc_id")),
 
-    "pack_slices" -> ((s, d) => {
+    "pack_slc" -> ((s, d) => {
       val toks = TextAnalysis
         .tokenStats(Tables.documents(s, d), col("text"), col("doc_id"))
         .select(col("doc_id"), col("n_tokens"))
@@ -512,11 +512,11 @@ object ExtQueries {
         .orderBy("bin", "bin_off")
     }),
 
-    "text_lang_id" -> ((s, d) =>
+    "txt_lang" -> ((s, d) =>
       TextAnalysis.langId(Tables.documents(s, d), col("text"), col("doc_id"))
         .orderBy("doc_id")),
 
-    "text_quality" -> ((s, d) =>
+    "txt_qual" -> ((s, d) =>
       TextAnalysis.qualityScore(Tables.documents(s, d), col("text"), col("doc_id"))
         .orderBy("doc_id")),
 
@@ -529,7 +529,7 @@ object ExtQueries {
         .orderBy("doc_id")),
 
     // corpus-level IDF-shaped rarity (integer bit-length surprisal)
-    "text_rarity" -> ((s, d) =>
+    "txt_rare" -> ((s, d) =>
       TextAnalysis.rarityScore(Tables.documents(s, d), col("text"),
         col("doc_id")).orderBy("doc_id")),
 
@@ -603,7 +603,7 @@ object ExtQueries {
           col("doc_id"), sizeWords = 32, strideWords = 24)
         .orderBy("doc_id", "chunk_idx")),
 
-    "mm_features" -> ((s, d) =>
+    "mm_feat" -> ((s, d) =>
       Multimodal.featuresCols(Tables.documents(s, d),
         col("text").cast("binary"), col("doc_id")).orderBy("media_id")),
 
@@ -754,7 +754,7 @@ object ExtQueries {
     // for 2/3 of documents (the fixture has no digits at all — an
     // unsalted row would be a vacuous zero-count pass-through); the
     // remaining third exercises the untouched path.
-    "pii_redact" -> ((s, d) =>
+    "pii_red" -> ((s, d) =>
       Curation.redactPii(piiDocs(Tables.documents(s, d)), col("text"),
         col("doc_id")).orderBy("doc_id")),
 
@@ -1003,7 +1003,7 @@ SELECT md5(text) AS content_hash, min(doc_id) AS keeper_doc_id,
        count(*) AS n_copies
 FROM documents GROUP BY 1 ORDER BY 1""",
 
-    "dd_jaccard" -> (hashedShinglesCte + """, sizes AS (
+    "dd_jac" -> (hashedShinglesCte + """, sizes AS (
   SELECT doc_id, count(*) AS n FROM sh GROUP BY 1
 ), pairs AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
@@ -1064,7 +1064,7 @@ WHERE NOT EXISTS (
   SELECT 1 FROM comp WHERE comp.id = d.doc_id AND comp.component <> comp.id)
 ORDER BY doc_id"""),
 
-    "decon_split" -> (MinhashCte + s""", pairs AS (
+    "dec_split" -> (MinhashCte + s""", pairs AS (
   SELECT doc_a, doc_b,
          CAST(len(list_filter(range(16), i -> sa.sig[i+1] = sb.sig[i+1])) AS INT)
            AS n_matching
@@ -1083,7 +1083,7 @@ FROM pairs JOIN sp a ON doc_a = a.doc_id JOIN sp b ON doc_b = b.doc_id
 WHERE a.split <> b.split
 ORDER BY doc_a, doc_b"""),
 
-    "decon_ngram" -> (hashedShinglesCte + s""", sp AS (
+    "dec_ngram" -> (hashedShinglesCte + s""", sp AS (
   SELECT doc_id,
        CASE WHEN ${h60("CAST(doc_id AS VARCHAR)")} % 1000000 < 50000 THEN 'val'
             WHEN ${h60("CAST(doc_id AS VARCHAR)")} % 1000000 < 100000 THEN 'test'
@@ -1282,7 +1282,7 @@ ORDER BY 1, 2"""),
     // the same IVF unroll constrained to label-3 candidates — the
     // filter applies to CANDIDATES only, never to cell assignment or
     // the query's probed cells, mirroring the Spark plan exactly
-    "ann_filtered" -> annIvfSqlWhere(
+    "ann_filt" -> annIvfSqlWhere(
       " AND qz.vec_id IN (SELECT vec_id FROM embeddings WHERE label = 3)"),
 
     // kmeansRefine with iters=1 unrolled: seed codebook -> assignment
@@ -1344,7 +1344,7 @@ SELECT src, dst, cosine, CAST(rn AS INT) AS rn FROM (
   FROM scored)
 WHERE rn <= 3 ORDER BY src, rn"""),
 
-    "emb_neardup" -> (rhpBucketsCte(8, 16) + """, cand AS (
+    "emb_near" -> (rhpBucketsCte(8, 16) + """, cand AS (
   SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
   FROM buckets x JOIN buckets y
     ON x.b = y.b AND x.bucket = y.bucket AND x.vec_id < y.vec_id
@@ -1380,7 +1380,7 @@ ORDER BY vec_id"""),
   FROM cq)
 SELECT vid AS vec_id, cid FROM ranked WHERE rn <= 25 ORDER BY vec_id"""),
 
-    "cms_counts" -> (s"""
+    "cms_cnt" -> (s"""
 WITH cells AS (
   SELECT r, ${h60("CAST(r AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)")} % 256 AS c,
          count(*) AS n
@@ -1462,7 +1462,7 @@ FROM (SELECT doc_id, unnest(range(0, n)) AS i FROM c WHERE n > 0)
 ORDER BY doc_id, copy_idx"""),
 
     // pipe_curation's gates as cumulative per-stage counts
-    "pipe_funnel" -> (s"""WITH w AS (
+    "pipe_fnl" -> (s"""WITH w AS (
   SELECT doc_id, text,
          string_split_regex(trim(lower(text)), ' +') AS words
   FROM documents
@@ -1516,7 +1516,7 @@ SELECT doc_id, lang FROM documents JOIN r USING (lang)
 WHERE ${h60("'mix0:' || CAST(doc_id AS VARCHAR)")} % 1000000 < rate
 ORDER BY doc_id"""),
 
-    "text_tokens" -> (WordsCte + s"""
+    "txt_toks" -> (WordsCte + s"""
 SELECT doc_id,
        CAST(length(text) AS INT) AS n_chars,
        CAST(len(regexp_extract_all(text, '$TokRe')) AS INT) AS n_tokens,
@@ -1545,7 +1545,7 @@ SELECT doc_id, n_tokens,
        (end_off - 1) // 512 - (end_off - n_tokens) // 512 + 1 AS n_bins
 FROM c ORDER BY doc_id"""),
 
-    "pack_slices" -> (s"""WITH t AS (
+    "pack_slc" -> (s"""WITH t AS (
   SELECT doc_id,
          CAST(len(regexp_extract_all(text, '$TokRe')) AS BIGINT) AS n_tokens
   FROM documents
@@ -1571,7 +1571,7 @@ SELECT bin, doc_id,
        least(end_off, (bin + 1) * 512) - greatest(start_off, bin * 512) AS len
 FROM e ORDER BY bin, bin_off"""),
 
-    "pack_shuffle" -> (s"""WITH t AS (
+    "pack_shuf" -> (s"""WITH t AS (
   SELECT doc_id,
          ${h60("'epoch0:' || CAST(doc_id AS VARCHAR)")} AS h
   FROM documents
@@ -1580,7 +1580,7 @@ SELECT doc_id, h,
        CAST(ROW_NUMBER() OVER (ORDER BY h, doc_id) AS BIGINT) - 1 AS ord
 FROM t ORDER BY doc_id"""),
 
-    "text_lang_id" -> """
+    "txt_lang" -> """
 WITH w AS (
   SELECT doc_id, string_split_regex(trim(lower(text)), ' +') AS words
   FROM documents
@@ -1599,7 +1599,7 @@ SELECT doc_id, s_en, s_es, s_fr, s_de,
             ELSE 'de' END AS lang_pred
 FROM sc ORDER BY doc_id""",
 
-    "text_quality" -> (s"""WITH w AS (
+    "txt_qual" -> (s"""WITH w AS (
   SELECT doc_id, text,
          string_split_regex(trim(lower(text)), ' +') AS words,
          regexp_extract_all(text, '$TokRe') AS toks
@@ -1660,7 +1660,7 @@ ORDER BY b.doc_id"""),
     // after, matching the Spark order of operations), document
     // frequency as a row-count window over the hash, bit-length
     // surprisal folded per document.
-    "text_rarity" -> (s"""WITH t AS (
+    "txt_rare" -> (s"""WITH t AS (
   SELECT doc_id, ${h60("tok")} AS th
   FROM (SELECT DISTINCT doc_id, tok
         FROM (SELECT doc_id, unnest(regexp_extract_all(text, '$TokRe')) AS tok
@@ -1811,7 +1811,7 @@ SELECT doc_id, CAST(i AS INT) AS chunk_idx,
        CAST(least(32, n - i*24) AS INT) AS n_words
 FROM s ORDER BY doc_id, chunk_idx"""),
 
-    "mm_features" -> (s"""
+    "mm_feat" -> (s"""
 SELECT doc_id AS media_id,
        CAST(octet_length(encode(text)) AS INT) AS byte_len,
        md5(text) AS content_hash,
@@ -2001,7 +2001,7 @@ GROUP BY doc_id ORDER BY doc_id"""),
     // Mirror of piiDocs + Curation.redactPii. Counts on the original
     // text; replacements email -> ip -> phone with the 'g' flag (DuckDB
     // replaces only the first match otherwise).
-    "pii_redact" -> (s"""WITH p AS (
+    "pii_red" -> (s"""WITH p AS (
   SELECT doc_id,
          text || CASE WHEN doc_id % 3 <> 0
            THEN ' reach u' || CAST(doc_id AS VARCHAR)

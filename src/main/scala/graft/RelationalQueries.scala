@@ -33,7 +33,7 @@ object RelationalQueries {
   private def revenue = price2 * disc1m
 
   val queries: Map[String, Q] = Map(
-    "q1_pricing" -> ((s, d) =>
+    "q1_price" -> ((s, d) =>
       Tables.lineitem(s, d)
         .where(col("l_shipdate") <= lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
@@ -45,7 +45,7 @@ object RelationalQueries {
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")),
 
-    "q3_shipping" -> ((s, d) => {
+    "q3_ship" -> ((s, d) => {
       val cust = Tables.customer(s, d).where(col("c_mktsegment") === "BUILDING")
       val ord = Tables.orders(s, d).where(col("o_orderdate") < lit("1998-03-15"))
       val li = Tables.lineitem(s, d).where(col("l_shipdate") > lit("1998-03-15"))
@@ -98,7 +98,7 @@ object RelationalQueries {
     // Correlated SCALAR subquery (the TPC-H Q2 shape): Catalyst
     // decorrelates it into an aggregate + join, not a per-row probe —
     // the SQL is deliberately written subquery-style to pin that path.
-    "q_minprice" -> ((s, d) => {
+    "q_minp" -> ((s, d) => {
       Tables.lineitem(s, d).createOrReplaceTempView("li_corr")
       s.sql("""
         SELECT l_partkey, l_orderkey, l_extendedprice
@@ -348,7 +348,7 @@ object RelationalQueries {
         .orderBy("event_type")
     }),
 
-    "q_bloom_semi" -> ((s, d) => {
+    "q_bsemi" -> ((s, d) => {
       // runtime-filter semi join: events of users who ever signed up.
       // The bloom pre-filter drops non-signup users' rows before the
       // exact semi join's shuffle; the result is row-identical to the
@@ -374,7 +374,7 @@ object RelationalQueries {
     "CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))"
 
   val oracles: Map[String, String] = Map(
-    "q1_pricing" -> s"""
+    "q1_price" -> s"""
 SELECT l_returnflag, l_linestatus,
        CAST(SUM(CAST(l_quantity AS $dec)) AS DOUBLE) AS sum_qty,
        CAST(SUM(CAST(l_extendedprice AS $dec)) AS DOUBLE) AS sum_base_price,
@@ -384,7 +384,7 @@ SELECT l_returnflag, l_linestatus,
 FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
 GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",
 
-    "q3_shipping" -> s"""
+    "q3_ship" -> s"""
 SELECT l_orderkey, SUM($rev) AS revenue, o_orderdate, o_orderpriority
 FROM customer JOIN orders ON c_custkey = o_custkey
               JOIN lineitem ON l_orderkey = o_orderkey
@@ -413,7 +413,7 @@ WHERE r_name = 'ASIA'
   AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
 GROUP BY n_name ORDER BY revenue DESC, n_name""",
 
-    "q_minprice" -> """
+    "q_minp" -> """
 SELECT l_partkey, l_orderkey, l_extendedprice
 FROM lineitem l1
 WHERE l_extendedprice = (SELECT min(l_extendedprice)
@@ -540,7 +540,7 @@ SELECT e.event_type, d.type_first, count(*) AS n,
 FROM events e JOIN dim d ON e.event_type = d.event_type
 GROUP BY 1, 2 ORDER BY 1""",
 
-    "q_bloom_semi" -> """
+    "q_bsemi" -> """
 SELECT user_id, count(*) AS n
 FROM events
 WHERE user_id IN (SELECT DISTINCT user_id FROM events WHERE event_type = 'signup')

@@ -149,8 +149,20 @@ object Bpe {
     // byte-fall-back into literal '<','/','w','>' text, silently gluing
     // words together on decode. The union stays sorted, so ids remain
     // deterministic.
-    val vocab = (words.flatMap(_.syms).distinct().collect() ++
-      ByteSymbols :+ EndOfWord)
+    val corpusSyms = words.flatMap(_.syms).distinct().collect()
+    // collision fence (ADVICE r12): a corpus-derived symbol whose literal
+    // text is exactly '<0xNN>' would alias the reserved byte-fallback
+    // symbol — ids would collide and decode would emit the BYTE where the
+    // corpus had literal text. Reject at learn() time with the colliding
+    // symbols named (such a symbol only arises when the corpus itself
+    // contains '<0xNN>' strings AND enough merges rebuild one; pre-escape
+    // the corpus — e.g. space out the '<' — and relearn).
+    val collisions = corpusSyms.filter(ByteSymRe.matches).sorted
+    require(collisions.isEmpty,
+      s"Bpe.learn: corpus-derived symbol(s) ${collisions.mkString(", ")} " +
+        "collide with the reserved byte-fallback vocabulary <0x00>..<0xFF>; " +
+        "escape these literals in the corpus before learning")
+    val vocab = (corpusSyms ++ ByteSymbols :+ EndOfWord)
       .distinct.sorted.toSeq
     words.unpersist()
     Model(merges.result(), vocab)
@@ -191,11 +203,10 @@ object Bpe {
     * (lowercasing, whitespace normalization) and nowhere else:
     * `decode(encode(t)) == t.toLowerCase.split("\\s+").mkString(" ")`
     * for any input, the property BpeSpec pins. Ids outside the
-    * vocabulary are skipped (encode never emits them). Known edge shared
-    * with string-keyed BPE vocabularies: literal corpus text that merges
-    * into exactly `<0xNN>` would alias the reserved symbol (byte-level
-    * BPEs avoid this with a byte→unicode remap; the fixture and web
-    * corpora never produce the 6-char merge chain). */
+    * vocabulary are skipped (encode never emits them). The one aliasing
+    * edge of string-keyed BPE vocabularies — literal corpus text merging
+    * into exactly `<0xNN>` — is REJECTED at [[learn]] time (ADVICE r12),
+    * so a learned model can never reach it here. */
   def decodeIds(ids: Seq[Long], model: Model): String = {
     val words = Seq.newBuilder[String]
     val cur = new StringBuilder

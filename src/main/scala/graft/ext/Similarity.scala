@@ -1151,10 +1151,21 @@ object Similarity {
       assignCells(qz, centroidsOf(qz, centroidStride)))
     val eligible =
       if (maxCell == Int.MaxValue) cells
-      else cells.join(
-        cells.groupBy("cid").agg(count(lit(1)).as("__n"))
-          .where(col("__n") <= maxCell).select("cid"),
-        Seq("cid"))
+      else {
+        val sizes = cells.groupBy("cid").agg(count(lit(1)).as("__n"))
+        // observability when the cap bites (ADVICE r12): skip-and-keep
+        // inside an over-cap cell is a deliberate recall trade, but it
+        // must not be SILENT — one cell-count-sized action over the
+        // already-persisted cells frame, only on the capped path.
+        val over = sizes.where(col("__n") > maxCell).count()
+        if (over > 0)
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"semDedup: $over cell(s) exceed maxCell=$maxCell — dedup is " +
+              "skipped inside them (all members kept); refine the codebook " +
+              "(kmeansRefine) or raise maxCell deliberately")
+        cells.join(sizes.where(col("__n") <= maxCell).select("cid"),
+          Seq("cid"))
+      }
     val dropped = eligible.as("a").join(eligible.as("b"),
         col("a.cid") === col("b.cid") && col("b.vid") < col("a.vid"))
       .where(cosineQNormed(col("a.qe"), col("b.qe"),

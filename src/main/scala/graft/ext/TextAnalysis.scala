@@ -339,9 +339,19 @@ object TextAnalysis {
     * aggregation and no judgment call. The one-row lookup is
     * model-bounded, never corpus-bounded. */
   def lmScore(df: DataFrame, content: Column, id: Column,
-              model: DataFrame): DataFrame =
-    lmScore(df, content, id, model,
-      model.select(col("vocab")).head.getLong(0))
+              model: DataFrame): DataFrame = {
+    // contract guards (ADVICE r12), decontaminate's style: a stored
+    // pre-vocab model or an empty/sub-bigram train corpus must name the
+    // contract, not surface as an opaque NoSuchElement/AnalysisException
+    require(model.columns.contains("vocab"),
+      "lmScore: model frame has no 'vocab' column — train with lmModel " +
+        "(a stored pre-vocab model needs the explicit-vocab overload)")
+    val head = model.select(col("vocab")).head(1)
+    require(head.nonEmpty,
+      "lmScore: empty model frame — lmModel needs a train corpus with " +
+        "at least one two-word document (no bigrams were observed)")
+    lmScore(df, content, id, model, head(0).getLong(0))
+  }
 
   def lmScore(df: DataFrame, content: Column, id: Column,
               model: DataFrame, vocab: Long): DataFrame = {

@@ -76,6 +76,26 @@ class BenchLineSpec extends AnyFunSuite {
     assert(Bench.errMsg(new RuntimeException()).nonEmpty)
   }
 
+  test("rerun audit: discarded first readings ride the line, dropped first under pressure") {
+    // a handful of outlier reruns must serialize and parse (ADVICE r12:
+    // the min is auditable from the line itself)
+    val line = Bench.buildLine(names.map(_ -> 0.9), Seq.empty, "32", "sf0.1",
+      reruns = Seq("lm3" -> 5.3, "dd_keep" -> 4.1))
+    val node = mapper.readTree(line)
+    assert(node.get("rerun").size() === 2)
+    assert(node.get("rerun").get("lm3").asDouble() === 5.3)
+    // under budget pressure the rerun object is the FIRST casualty —
+    // measurements and the error blast radius always survive it
+    val storm = Bench.buildLine(names.map(_ -> 9.9),
+      names.take(42).map(_ -> ("x" * 60)), "32", "sf0.1",
+      reruns = names.map(_ -> 9.9))
+    assert(storm.length <= 2000)
+    val sn = mapper.readTree(storm)
+    assert(sn.get("rerun") == null)
+    assert(sn.get("n_err").asInt() === 42)
+    assert(sn.get("queries").size() === names.size)
+  }
+
   test("rerun threshold sits above every healthy isolated minimum band") {
     // the guard must never trigger on the recurring healthy readings
     // (<= ~3.2 s isolated across r3-r11) yet must catch the 7-18 s

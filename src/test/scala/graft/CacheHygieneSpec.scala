@@ -13,9 +13,9 @@ class CacheHygieneSpec extends SparkSpec {
 
   /** Every declared query built on a persist/checkpoint-using operator. */
   private val cacheUsers = Seq(
-    "dd_jaccard", "dd_lsh", "dd_cc",
-    "decon_split", "ann_knng", "emb_neardup",
-    "pack_seq", "pack_slices", "pack_shuffle",
+    "dd_jac", "dd_lsh", "dd_cc",
+    "dec_split", "ann_knng", "emb_near",
+    "pack_seq", "pack_slc", "pack_shuf",
     "ann_kmeans", "ann_recall")
 
   test("each cache-using query leaves no net persistent RDDs after release") {

@@ -36,13 +36,13 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q1 pricing summary: partial aggregation before the exchange") {
-    val p = plan("q1_pricing")
+    val p = plan("q1_price")
     assert(count(p, "HashAggregate") >= 2,
       s"expected partial+final HashAggregate pair in:\n$p")
   }
 
   test("cis2 log decode: one list-key window, no joins, codegen'd decode") {
-    val p = plan("cis2_decode")
+    val p = plan("cis2_dec")
     assert(count(p, "Window") == 1, s"expected exactly the drop-semantics window in:\n$p")
     assert(!p.contains("Join"), s"decode path must not join:\n$p")
     // the event-type filter must reach the parquet scan under the codec
@@ -109,7 +109,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("bloom semi join: membership filter sits under the exact join") {
-    val p = plan("q_bloom_semi")
+    val p = plan("q_bsemi")
     assert(p.contains("bloom_might_contain"),
       s"expected the bloom probe in the fact-side filter:\n$p")
     // the probe must run BEFORE the semi join it is pruning for: in the
@@ -240,7 +240,7 @@ class PlanSpec extends SparkSpec {
     // the cid partition pruning runs on — filter-after-topk would
     // under-fill k, filter-in-a-second-scan would double the IO — and
     // the top-k must stay fused (no global sort, no window).
-    val p = plan("ann_filtered")
+    val p = plan("ann_filt")
     assert(p.contains("PartitionFilters") && p.contains("cid"),
       s"expected cid partition pruning on the filtered probe:\n$p")
     assert(p.contains("PushedFilters") && p.contains("EqualTo(label,3)"),
@@ -305,7 +305,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("cms sketch: partial sketches move through the exchange, not keys") {
-    val p = plan("cms_counts")
+    val p = plan("cms_cnt")
     // partial + final aggregate pair over the long[] buffer — the only
     // data-sized exchange carries one sketch per partition
     assert(count(p, "Aggregate") >= 2,
@@ -373,7 +373,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("pii redaction: narrow per-row map — no join, no window, only the sort exchange") {
-    val p = plan("pii_redact")
+    val p = plan("pii_red")
     assert(!p.contains("Join") && !p.contains("Window"),
       s"redaction must stay per-row:\n$p")
     assert(count(p, "Exchange") == 1, // the final orderBy only
@@ -394,7 +394,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("ngram contamination: partial-agg train set, no window over the shingle hash") {
-    val p = plan("decon_ngram")
+    val p = plan("dec_ngram")
     // the train shingle set is a groupBy-distinct on the uniform hash
     // (map-side combine absorbs boilerplate shingles) and membership is
     // an equi-join probe — a window-over-s formulation would funnel a
@@ -438,7 +438,7 @@ class PlanSpec extends SparkSpec {
   test("token rarity: partial-agg doc-frequency, no window over the token hash") {
     // "the" occurs in ~every document — the hot key a count window
     // over th cannot absorb; the groupBy(th) pair collapses it map-side
-    val p = plan("text_rarity")
+    val p = plan("txt_rare")
     assert(!p.contains("Window"), s"no window may partition on the token hash:\n$p")
     assert(count(p, "HashAggregate") >= 4,
       s"expected partial+final pairs for doc frequency and the per-doc fold in:\n$p")

@@ -148,6 +148,27 @@ class BpeSpec extends SparkSpec {
     assert(Bpe.decodeIds(ids, m) == expected(2))
   }
 
+  test("learn rejects a corpus-derived <0xNN> byte-symbol collision (ADVICE r12)") {
+    // merge order by hand (count desc, then lex asc): the count-4 chain
+    // (0,x)->(0x,4)->(0x4,1)->(0x41,>) builds "0x41>", and merge 5 is
+    // (<,0x41>) at count 4 over the count-2 successors -> the symbol
+    // "<0x41>" aliases the reserved byte-fallback vocabulary entry
+    val hostile = Seq((1L, "<0x41>a <0x41>b"), (2L, "<0x41>a <0x41>b"))
+      .toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException](
+      Bpe.learn(hostile, col("text"), nMerges = 5))
+    assert(e.getMessage.contains("<0x41>") &&
+      e.getMessage.contains("byte-fallback"))
+    // one merge short of the collision, the same corpus learns fine and
+    // round-trips (the fence triggers on actual aliasing, not on '<0x'
+    // substrings in text)
+    val m = Bpe.learn(hostile, col("text"), nMerges = 4)
+    assert(m.vocab.contains("0x41>"))
+    val ids = Bpe.encode(hostile, col("doc_id"), col("text"), m)
+      .orderBy("doc_id").select("input_ids").as[Seq[Long]].head
+    assert(Bpe.decodeIds(ids, m) == "<0x41>a <0x41>b")
+  }
+
   test("tokens feed pack_sequences and the tf.Example export") {
     graft.functions.GraftFunctions.register(spark)
     val m = Bpe.learn(corpus, col("text"), nMerges = 5)

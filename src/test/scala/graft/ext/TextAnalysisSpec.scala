@@ -203,6 +203,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(derived.toSeq == explicit.toSeq)
   }
 
+  test("lmScore derived vocab: guard messages name the contract (ADVICE r12)") {
+    val scored = Seq((0L, "a b")).toDF("id", "text")
+    // empty model frame (sub-bigram train corpus) -> named contract error
+    val empty = TextAnalysis.lmModel(Seq((0L, "a")).toDF("id", "text"),
+      $"text", $"id")
+    val e1 = intercept[IllegalArgumentException](
+      TextAnalysis.lmScore(scored, $"text", $"id", empty))
+    assert(e1.getMessage.contains("lmModel") &&
+      e1.getMessage.contains("empty model"))
+    // stored pre-vocab model (no vocab column) -> named contract error
+    val preVocab = Seq((1L, 2L, 3L, 4L)).toDF("wh", "bh", "c12", "c1")
+    val e2 = intercept[IllegalArgumentException](
+      TextAnalysis.lmScore(scored, $"text", $"id", preVocab))
+    assert(e2.getMessage.contains("vocab") &&
+      e2.getMessage.contains("explicit-vocab"))
+  }
+
   test("lm3Score: all three stupid-backoff tiers priced by hand arithmetic") {
     // train "a b c a b d": trigrams abc, bca, cab, abd (N=4)
     //   contexts  c12: "a b"=2, "b c"=1, "c a"=1
