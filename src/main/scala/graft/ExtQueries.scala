@@ -567,6 +567,26 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    // DSIR importance weighting: target distribution = the English
+    // slice, raw = the whole corpus — every raw doc scored by the
+    // hashed-n-gram LM log-ratio (bits), the resampling weight's sign.
+    "dsir" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      TextAnalysis.dsirWeights(docs.where(col("lang") === "en"), docs,
+        col("text"), col("doc_id")).orderBy("doc_id")
+    }),
+
+    // Trained quality classifier: naive-Bayes log-odds, good = the
+    // English slice, bad = the zh slice, every document scored —
+    // the fastText-classifier slot with exact-integer training.
+    "nb_quality" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val model = TextAnalysis.nbTrain(docs.where(col("lang") === "en"),
+        docs.where(col("lang") === "zh"), col("text"))
+      TextAnalysis.nbScore(docs, col("text"), col("doc_id"), model)
+        .orderBy("doc_id")
+    }),
+
     "dd_prefix" -> ((s, d) =>
       Dedup.prefixDups(Tables.documents(s, d), col("text"), col("doc_id"),
         n = 64).orderBy("doc_id")),
@@ -1720,6 +1740,76 @@ sw AS (
 SELECT doc_id, count(*) AS n_trigrams,
        CAST(sum(s) // count(*) AS BIGINT) AS sb_ppm
 FROM priced GROUP BY doc_id ORDER BY doc_id"""),
+
+    // Mirror of dsirWeights: lowercased unigram+bigram grams hashed
+    // into 10000 buckets, per-corpus bucket counts (target = the
+    // English slice, raw = everything), add-one bit-length surprisal,
+    // per-doc log-ratio.
+    "dsir" -> (s"""WITH w AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), ' +') AS words
+  FROM documents
+), g AS (
+  SELECT doc_id, unnest(
+    words || CASE WHEN len(words) >= 2
+      THEN list_transform(range(len(words)-1),
+           i -> array_to_string(words[i+1:i+2], ' '))
+      ELSE [] END) AS g
+  FROM w
+), b AS (
+  SELECT doc_id, ${h60("g")} % 10000 AS bk FROM g
+), tc AS (
+  SELECT bk, count(*) AS ct FROM b JOIN documents USING (doc_id)
+  WHERE lang = 'en' GROUP BY 1
+), rc AS (
+  SELECT bk, count(*) AS cr FROM b GROUP BY 1
+), nt AS (SELECT sum(ct) AS nt FROM tc),
+nr AS (SELECT sum(cr) AS nr FROM rc),
+s AS (
+  SELECT doc_id,
+         length(bin((nt.nt + 10000) // (coalesce(tc.ct, 0) + 1))) AS st,
+         length(bin((nr.nr + 10000) // (coalesce(rc.cr, 0) + 1))) AS sr
+  FROM b LEFT JOIN tc USING (bk) LEFT JOIN rc USING (bk)
+  CROSS JOIN nt CROSS JOIN nr
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(sum(st) AS BIGINT) AS bits_target,
+       CAST(sum(sr) AS BIGINT) AS bits_raw,
+       CAST(sum(sr) - sum(st) AS BIGINT) AS dsir_bits
+FROM s GROUP BY doc_id ORDER BY doc_id"""),
+
+    // Mirror of nbTrain + nbScore: per-class word-hash counts (good =
+    // en, bad = zh), add-one stamps (totals + union vocabulary), exact
+    // log-odds in bits per document.
+    "nb_quality" -> (s"""WITH h AS (
+  SELECT doc_id, ${h60("wd")} AS wh
+  FROM (SELECT doc_id,
+          unnest(string_split_regex(trim(lower(text)), ' +')) AS wd
+        FROM documents)
+), gc AS (
+  SELECT wh, count(*) AS cg FROM h JOIN documents USING (doc_id)
+  WHERE lang = 'en' GROUP BY 1
+), bc AS (
+  SELECT wh, count(*) AS cb FROM h JOIN documents USING (doc_id)
+  WHERE lang = 'zh' GROUP BY 1
+), m AS (
+  SELECT coalesce(gc.wh, bc.wh) AS wh,
+         coalesce(cg, 0) AS cg, coalesce(cb, 0) AS cb
+  FROM gc FULL JOIN bc ON gc.wh = bc.wh
+), st AS (
+  SELECT coalesce(sum(cg), 0) AS ng, coalesce(sum(cb), 0) AS nb,
+         count(*) AS vocab
+  FROM m
+), s AS (
+  SELECT h.doc_id,
+         length(bin((st.ng + st.vocab) // (coalesce(m.cg, 0) + 1))) AS sg,
+         length(bin((st.nb + st.vocab) // (coalesce(m.cb, 0) + 1))) AS sb
+  FROM h LEFT JOIN m USING (wh) CROSS JOIN st
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(sg) AS BIGINT) AS bits_good,
+       CAST(sum(sb) AS BIGINT) AS bits_bad,
+       CAST(sum(sb) - sum(sg) AS BIGINT) AS nb_bits
+FROM s GROUP BY doc_id ORDER BY doc_id"""),
 
     "text_ppl" -> (WordsCte + s""", bg AS (
   SELECT doc_id, unnest(CASE WHEN len(words) >= 2

@@ -489,6 +489,152 @@ object TextAnalysis {
       Lm3Parts.map(part => spark.read.parquet(s"$path/$part")))
   }
 
+  /** Per-occurrence hashed n-gram feature buckets — DSIR's featurizer
+    * (Xie et al. 2023, "Data Selection for Language Models via
+    * Importance Resampling"): lowercased word unigrams + bigrams,
+    * hashed into `buckets` buckets. Bucketing is the whole trick: the
+    * count tables are BUCKET-bounded (10⁴ rows at the published
+    * default), not vocabulary-bounded — they broadcast at any corpus
+    * size. */
+  private def gramBuckets(df: DataFrame, content: Column, id: Column,
+                          buckets: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val t = lower(content)
+    df.select(id.as("doc_id"),
+        explode(concat(Text.words(t), Text.shingles(t, 2))).as("g"))
+      .select(col("doc_id"), (Text.hash60(col("g")) % buckets).as("bk"))
+  }
+
+  /** DSIR-style IMPORTANCE WEIGHTS — the data-selection step that
+    * TARGETS a distribution (Xie et al. 2023): score every raw-corpus
+    * document by the log-ratio of two hashed-n-gram bag-of-words LMs,
+    * log p_target(x) - log p_raw(x), then resample the raw corpus
+    * proportionally (feed `dsir_bits` through a caller-chosen monotone
+    * ppm map into [[Sampling.weighted]]). Completes the selection triad:
+    * [[qualityScore]] is heuristic, [[lmSurprisal]]/[[lm3Score]] absolute
+    * fluency — this is RELATIVE typicality against a target corpus.
+    *
+    * Exact-integer surprisal, [[lmScore]]'s idiom: a bucket's bits under
+    * a corpus are `bitlen((N + buckets) div (c + 1))` (add-one over
+    * buckets; the divisor is ≥1 because c ≤ N, so the bit length is
+    * always well-defined), and
+    * `dsir_bits = bits_raw - bits_target` — positive ⇔ the document is
+    * more target-typical than raw-typical, the published weight's sign
+    * up to the shared bitlen truncation. No float ever; the DuckDB
+    * oracle reproduces every row.
+    *
+    * Scale shape, one step BETTER than [[lmScore]]'s: both count tables
+    * are partial-aggregating `groupBy(bk)` collapsing to ≤`buckets`
+    * rows — broadcast onto the corpus-sized probe (no shuffle on the
+    * probe side at all), totals are one-row broadcasts re-aggregated
+    * from the bucket tables (never a second corpus pass), then the
+    * per-doc regroup. Documents with no words are dropped.
+    *
+    * Output: (doc_id, n_grams, bits_target, bits_raw, dsir_bits), one
+    * row per `raw` document. */
+  def dsirWeights(target: DataFrame, raw: DataFrame, content: Column,
+                  id: Column, buckets: Int = 10000): DataFrame = {
+    require(buckets > 0, s"dsirWeights: buckets must be positive, got $buckets")
+    def counts(df: DataFrame, c: String) =
+      gramBuckets(df, content, id, buckets)
+        .groupBy("bk").agg(count(lit(1)).as(c))
+    val tc = counts(target, "ct")
+    val rc = counts(raw, "cr")
+    val nt = tc.agg(sum("ct").as("nt"))
+    val nr = rc.agg(sum("cr").as("nr"))
+    gramBuckets(raw, content, id, buckets)
+      .join(broadcast(tc), Seq("bk"), "left")
+      .join(broadcast(rc), Seq("bk"), "left")
+      .crossJoin(broadcast(nt)).crossJoin(broadcast(nr))
+      .withColumn("__st",
+        length(bin(expr(s"(nt + $buckets) div (coalesce(ct, 0L) + 1)")))
+          .cast("long"))
+      .withColumn("__sr",
+        length(bin(expr(s"(nr + $buckets) div (coalesce(cr, 0L) + 1)")))
+          .cast("long"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum("__st").as("bits_target"), sum("__sr").as("bits_raw"))
+      .withColumn("dsir_bits", col("bits_raw") - col("bits_target"))
+  }
+
+  /** Train the NAIVE-BAYES quality classifier — the public shape of the
+    * "fastText quality classifier" slot in published pipelines (GPT-3 /
+    * LLaMA / CCNet curation all gate on a linear classifier trained
+    * good-reference-vs-crawl; multinomial NB over word counts IS a
+    * linear log-odds scorer, and unlike gradient-trained weights its
+    * training is two exact count tables — fully oracle-checkable).
+    *
+    * The model frame: one row per word-hash seen in EITHER class,
+    * `(wh, cg, cb)` counts, with the smoothing constants stamped on
+    * every row ([[lmModel]]'s artifact pattern — persist to parquet and
+    * the score side never touches the training corpora): `ng`/`nb` =
+    * total token occurrences per class, `vocab` = distinct-word count
+    * across the union (the textbook add-one denominator). All
+    * partial-aggregating `groupBy(wh)`; the outer join and the stamps
+    * are vocabulary-sized. */
+  def nbTrain(good: DataFrame, bad: DataFrame, content: Column): DataFrame = {
+    graft.functions.GraftFunctions.register(good.sparkSession)
+    def counts(df: DataFrame, c: String) =
+      df.select(explode(Text.words(lower(content))).as("w"))
+        .groupBy(Text.hash60(col("w")).as("wh"))
+        .agg(count(lit(1)).as(c))
+    val base = counts(good, "cg").join(counts(bad, "cb"), Seq("wh"), "full")
+      .select(col("wh"), coalesce(col("cg"), lit(0L)).as("cg"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
+    // coalesce: on an empty (wordless) train pair the sums are null —
+    // stamp zeros so nbScore stays total (everything prices to the
+    // same constant and nb_bits is 0, not a null column)
+    val stamps = base.agg(coalesce(sum("cg"), lit(0L)).as("ng"),
+      coalesce(sum("cb"), lit(0L)).as("nb"), count(lit(1)).as("vocab"))
+    base.crossJoin(broadcast(stamps))
+  }
+
+  /** Score documents against an [[nbTrain]] model: exact-integer
+    * add-one log-odds,
+    * `nb_bits = Σ_w [bitlen((nb+vocab) div (cb+1)) - bitlen((ng+vocab)
+    * div (cg+1))]` — positive ⇔ the document's vocabulary is more
+    * good-class-typical (each term is bits-under-bad minus
+    * bits-under-good, the -log₂ likelihood ratio up to the shared
+    * truncation). The class PRIOR is one additive constant per corpus —
+    * deliberately the caller's threshold knob rather than baked in
+    * (published gates tune the operating point anyway, Pareto-style).
+    *
+    * Scale shape = [[lmScore]]: vocabulary-sized build side joined on
+    * the uniform word hash (one row per key; AQE splits residual hot
+    * probe partitions), per-doc partial-agg regroup. Stateless per
+    * input frame — composes into `foreachBatch` as the classifier gate.
+    * Wordless documents are dropped. Output: (doc_id, n_words,
+    * bits_good, bits_bad, nb_bits). */
+  def nbScore(df: DataFrame, content: Column, id: Column,
+              model: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    require(Seq("wh", "cg", "cb", "ng", "nb", "vocab")
+        .forall(model.columns.contains),
+      "nbScore: model frame must carry (wh, cg, cb, ng, nb, vocab) — " +
+        "train with nbTrain (or read its stored parquet artifact)")
+    // the smoothing stamps ride a ONE-ROW broadcast, not the per-word
+    // join: a word absent from the model must still be priced with the
+    // true (n + vocab) denominator, which the left join's nulls would
+    // lose (the stamps are constant across model rows by construction)
+    val stamps = model.select("ng", "nb", "vocab").limit(1)
+    df.select(id.as("doc_id"),
+        explode(Text.words(lower(content))).as("w"))
+      .select(col("doc_id"), Text.hash60(col("w")).as("wh"))
+      .join(model.select("wh", "cg", "cb"), Seq("wh"), "left")
+      .crossJoin(broadcast(stamps))
+      .withColumn("__sg",
+        length(bin(expr("(ng + vocab) div (coalesce(cg, 0L) + 1)")))
+          .cast("long"))
+      .withColumn("__sb",
+        length(bin(expr("(nb + vocab) div (coalesce(cb, 0L) + 1)")))
+          .cast("long"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum("__sg").as("bits_good"), sum("__sb").as("bits_bad"))
+      .withColumn("nb_bits", col("bits_bad") - col("bits_good"))
+  }
+
   def fingerprint(df: DataFrame, content: Column, id: Column,
                   k: Int = 3): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)

@@ -291,6 +291,75 @@ class TextAnalysisSpec extends SparkSpec {
       ("web", 3L, 12L, 2L, 6L)))
   }
 
+  test("dsirWeights: degenerate one-bucket arithmetic, identity, and ordering") {
+    import org.apache.spark.sql.functions._
+    // buckets=1: every gram lands in bucket 0, so ct=nt and cr=nr —
+    // st = bitlen((nt+1) div (nt+1)) = 1 bit per gram, ditto sr, and
+    // n_grams = 2*words - 1 (unigrams + bigrams). Pins the totals,
+    // smoothing, and per-doc fold without depending on hash values.
+    val target = Seq((0L, "aa bb"), (1L, "aa bb aa")).toDF("id", "text")
+    val raw = Seq((10L, "aa bb"), (11L, "zz qq yy")).toDF("id", "text")
+    val one = TextAnalysis.dsirWeights(target, raw, $"text", $"id", buckets = 1)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(one.toSeq == Seq(
+      (10L, 3L, 3L, 3L, 0L),
+      (11L, 5L, 5L, 5L, 0L)))
+    // target == raw => both models identical => dsir_bits = 0 everywhere
+    // (any bucket count)
+    val self = TextAnalysis.dsirWeights(raw, raw, $"text", $"id")
+      .select("dsir_bits").as[Long].collect()
+    assert(self.forall(_ == 0L))
+    // a target-typical raw doc outscores an off-target one; exact-integer
+    // arithmetic is partitioning-independent
+    val out = TextAnalysis.dsirWeights(target, raw, $"text", $"id")
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(4)))
+    assert(out(0)._2 > out(1)._2)
+    val again = TextAnalysis
+      .dsirWeights(target.repartition(3), raw.repartition(5), $"text", $"id")
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(4)))
+    assert(again.toSeq == out.toSeq)
+  }
+
+  test("nbTrain/nbScore: add-one log-odds by hand arithmetic; stored artifact") {
+    import org.apache.spark.sql.functions._
+    // good "a a b", bad "b c": cg a=2 b=1; cb b=1 c=1; ng=3 nb=2 vocab=3
+    val good = Seq((0L, "a a b")).toDF("id", "text")
+    val bad = Seq((1L, "b c")).toDF("id", "text")
+    val model = TextAnalysis.nbTrain(good, bad, $"text")
+    assert(model.select("ng", "nb", "vocab").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((3L, 2L, 3L)))
+    val scored = Seq(
+      (10L, "a a"),    // a: sg=bitlen(6 div 3)=2, sb=bitlen(5 div 1)=3 -> +1 each
+      (11L, "c c"),    // c: sg=bitlen(6 div 1)=3, sb=bitlen(5 div 2)=2 -> -1 each
+      (12L, "a b c z") // +1 (a), 0 (b: 2 vs 2), -1 (c), 0 (z unseen: 3 vs 3)
+    ).toDF("id", "text")
+    val out = TextAnalysis.nbScore(scored, $"text", $"id", model)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(out.toSeq == Seq(
+      (10L, 2L, 4L, 6L, 2L),
+      (11L, 2L, 6L, 4L, -2L),
+      (12L, 4L, 10L, 10L, 0L)))
+    // the model is a train/score boundary artifact: parquet round-trip
+    // scores identically (the lmModel/ANN-codebook pattern)
+    val dir = java.nio.file.Files.createTempDirectory("nbm").toString
+    model.write.mode("overwrite").parquet(dir)
+    val re = TextAnalysis.nbScore(scored, $"text", $"id",
+      spark.read.parquet(dir)).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(re.toSeq == out.toSeq)
+    // contract guard: a frame without the stamps names nbTrain
+    val e = intercept[IllegalArgumentException](
+      TextAnalysis.nbScore(scored, $"text", $"id",
+        Seq((1L, 2L)).toDF("wh", "cg")))
+    assert(e.getMessage.contains("nbTrain"))
+  }
+
   test("vocab head: top-k terms by count, lexicographic ties, 1-based rank") {
     val df = Seq(
       (1L, "the cat and the dog"),
