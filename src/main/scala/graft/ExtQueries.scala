@@ -792,6 +792,14 @@ object ExtQueries {
     "dup_cut" -> ((s, d) =>
       Curation.cutSpans(Tables.documents(s, d), col("text"),
           col("doc_id"), k = 5, minCount = 2)
+        .orderBy("doc_id")),
+
+    // Variable-length LONGEST-match dedup (ExactSubstr semantics via
+    // diagonal seed-chaining): each document's single longest exactly
+    // duplicated word run >= 5 words, against any partner or itself.
+    "dup_max" -> ((s, d) =>
+      Curation.longestDuplicatePerDoc(Tables.documents(s, d), col("text"),
+          col("doc_id"), k = 5)
         .orderBy("doc_id"))
   )
 
@@ -2125,6 +2133,59 @@ SELECT doc_id, CAST(min(pos) AS INT) AS span_start,
        CAST(max(pos) + 4 AS INT) AS span_end,
        CAST(max(pos) + 4 - min(pos) + 1 AS INT) AS n_tokens
 FROM isl GROUP BY doc_id, island ORDER BY doc_id, span_start"""),
+
+    // Mirror of maximalMatches + longestDuplicatePerDoc: positioned
+    // 5-shingles, 2..256-occurrence seeds, ordered-pair self-join,
+    // gaps-and-islands along each (doc_a, doc_b, diag) alignment,
+    // both sides unioned, per-doc top-1 by (len DESC, start ASC).
+    "dup_max" -> (s"""WITH w AS (
+  SELECT doc_id, string_split_regex(trim(text), ' +') AS words FROM documents
+), s0 AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(words) >= 5
+           THEN list_transform(range(len(words)-4),
+                i -> {'pos': i, 's': array_to_string(words[i+1:i+5], ' ')})
+           ELSE [] END, recursive := true)
+  FROM w
+), sh AS (
+  SELECT doc_id, pos, ${h60("s")} AS sh FROM s0
+), dup AS (
+  SELECT sh FROM (SELECT sh, count(*) AS n FROM sh GROUP BY 1)
+  WHERE n >= 2 AND n <= 256
+), sd AS (
+  SELECT s.doc_id, s.pos, s.sh FROM sh s JOIN dup USING (sh)
+), p AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pos_a,
+         b.pos - a.pos AS diag
+  FROM sd a JOIN sd b ON a.sh = b.sh
+  WHERE a.doc_id < b.doc_id OR (a.doc_id = b.doc_id AND a.pos < b.pos)
+), lg AS (
+  SELECT doc_a, doc_b, diag, pos_a,
+         lag(pos_a) OVER (PARTITION BY doc_a, doc_b, diag
+           ORDER BY pos_a) AS prev
+  FROM p
+), isl AS (
+  SELECT doc_a, doc_b, diag, pos_a,
+         sum(CASE WHEN pos_a - prev > 1 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_a, doc_b, diag ORDER BY pos_a) AS isl
+  FROM lg
+), g AS (
+  SELECT doc_a, doc_b, diag, min(pos_a) AS a_start,
+         max(pos_a) - min(pos_a) + 5 AS len_words
+  FROM isl GROUP BY doc_a, doc_b, diag, isl
+), sides AS (
+  SELECT doc_a AS doc_id, a_start AS span_start, len_words FROM g
+  UNION ALL
+  SELECT doc_b, a_start + diag, len_words FROM g
+), r AS (
+  SELECT doc_id, span_start, len_words,
+         row_number() OVER (PARTITION BY doc_id
+           ORDER BY len_words DESC, span_start ASC) AS rn
+  FROM sides
+)
+SELECT doc_id, CAST(span_start AS INT) AS span_start,
+       CAST(len_words AS INT) AS len_words
+FROM r WHERE rn = 1 ORDER BY doc_id"""),
 
     // DupSpansCte + span expansion to covered positions, word
     // re-explode, and order-preserving reassembly of the survivors.

@@ -234,6 +234,88 @@ object Curation {
         (col("span_end") - col("span_start") + lit(1)).as("n_tokens"))
   }
 
+  /** All MAXIMAL exact duplicated word runs of length ≥ `k` between
+    * document pairs — the LONGEST-match semantics of exact-substring
+    * dedup (Lee et al.'s ExactSubstr finds maximal repeated substrings
+    * with a suffix array; [[duplicateSpans]] only merges over-threshold
+    * windows, which can fuse runs duplicated against DIFFERENT partners
+    * into one span). Re-expressed for a distributed engine as DIAGONAL
+    * SEED-CHAINING (the seed-and-extend idiom of genome aligners, which
+    * face the same problem at the same scale): two k-shingle windows at
+    * positions pA in doc A and pB in doc B match with alignment
+    * `diag = pB - pA`; a maximal run of CONSECUTIVE matching windows
+    * along one (A, B, diag) is exactly a maximal matching substring of
+    * length `run + k - 1` words — every window inside a true match
+    * matches, and a window just past either end doesn't, so chaining
+    * k-seeds loses nothing and adds nothing (no heuristic, unlike the
+    * island merge).
+    *
+    * Plan: positioned shingles (narrow), occurrence counts by
+    * partial-agg `groupBy(sh)` kept to `2 ≤ n ≤ maxOccur` — n < 2
+    * cannot match, and `maxOccur` is the stop-shingle cap bounding the
+    * self-join's fan-out at n² per shingle (the [[Dedup]] `maxBucket`
+    * recall trade: a boilerplate shingle in 10⁸ documents would
+    * otherwise emit 10¹⁶ pairs; capped shingles are skipped and
+    * documented as such). The self-join shuffles on the uniform shingle
+    * hash sized by the DUPLICATE set, then one window keyed by
+    * (doc_a, doc_b, diag) — bounded per pair by text length — chains
+    * runs. Nothing touches the driver.
+    *
+    * Output: (doc_a, doc_b, a_start, b_start, len_words), ordered pairs
+    * (doc_a < doc_b, or doc_a = doc_b with a_start < b_start — a
+    * self-plagiarized passage is a pair with itself), one row per
+    * maximal run. */
+  def maximalMatches(df: DataFrame, content: Column, id: Column,
+                     k: Int = 5, maxOccur: Int = 256): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val sh = df.select(id.as("doc_id"), posexplode(Text.shingles(content, k)))
+      .toDF("doc_id", "pos", "s")
+      .select(col("doc_id"), col("pos"), Text.hash60(col("s")).as("sh"))
+    val dup = sh.groupBy("sh").agg(count(lit(1)).as("n"))
+      .where(col("n") >= 2 && col("n") <= maxOccur)
+      .select("sh")
+    val seeds = sh.join(dup, "sh")
+    val a = seeds.select(col("sh"), col("doc_id").as("doc_a"),
+      col("pos").as("pos_a"))
+    val b = seeds.select(col("sh"), col("doc_id").as("doc_b"),
+      col("pos").as("pos_b"))
+    val w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pos_a")
+    a.join(b, Seq("sh"))
+      .where(col("doc_a") < col("doc_b") ||
+        (col("doc_a") === col("doc_b") && col("pos_a") < col("pos_b")))
+      .withColumn("diag", col("pos_b") - col("pos_a"))
+      .withColumn("newi",
+        when(col("pos_a") - lag("pos_a", 1).over(w) > 1, 1).otherwise(0))
+      .withColumn("isl", sum("newi").over(w))
+      .groupBy("doc_a", "doc_b", "diag", "isl")
+      .agg(min("pos_a").as("a_start"), max(col("pos_a")).as("__m"))
+      .select(col("doc_a"), col("doc_b"),
+        col("a_start").cast("int").as("a_start"),
+        (col("a_start") + col("diag")).cast("int").as("b_start"),
+        (col("__m") - col("a_start") + lit(k)).cast("int").as("len_words"))
+  }
+
+  /** Per-document LONGEST duplicated run — [[maximalMatches]] folded to
+    * the per-doc answer the curation report wants ("what is this doc's
+    * worst duplication?"): both sides of every pair contribute, the
+    * winner is longest first, then smallest start (ties beyond that are
+    * value-identical rows, so the pick is deterministic). One union +
+    * one per-doc top-1 window (WindowGroupLimit keeps a 1-row buffer
+    * per task). Documents with no duplicated run ≥ k emit nothing.
+    * Output: (doc_id, span_start, len_words). */
+  def longestDuplicatePerDoc(df: DataFrame, content: Column, id: Column,
+                             k: Int = 5, maxOccur: Int = 256): DataFrame = {
+    val m = maximalMatches(df, content, id, k, maxOccur)
+    val sides = m.select(col("doc_a").as("doc_id"),
+        col("a_start").as("span_start"), col("len_words"))
+      .unionAll(m.select(col("doc_b").as("doc_id"),
+        col("b_start").as("span_start"), col("len_words")))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("len_words").desc, col("span_start").asc)
+    sides.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1).drop("__rn")
+  }
+
   /** The REWRITE companion to [[duplicateSpans]] — exact-substring
     * dedup's endpoint: cut every duplicated span out of the text and
     * return what survives (Lee et al. remove one-side duplicated text

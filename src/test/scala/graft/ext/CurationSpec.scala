@@ -131,4 +131,49 @@ class CurationSpec extends SparkSpec with org.scalatest.BeforeAndAfterEach {
     val docs = Seq((1L, "p q r s t"), (2L, "u v w x y")).toDF("doc_id", "text")
     assert(Curation.duplicateSpans(docs, $"text", $"doc_id", k = 2).count() == 0)
   }
+
+  test("maximalMatches: nested and overlapping duplicates of different lengths") {
+    // doc1+doc2 share the 7-word run "a b c d e f g" (at 0 and 1);
+    // doc3 shares only the NESTED 5-word "c d e f g" with both; doc4
+    // self-repeats "m n o p q" (pos 0 and 7). Every expected row is
+    // hand-derived from the diagonal-chaining definition — including
+    // the maximality boundaries (the windows just past each run end
+    // occur once and match nothing).
+    val docs = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "x a b c d e f g y"),
+      (3L, "c d e f g q r s t"),
+      (4L, "m n o p q z w m n o p q")).toDF("doc_id", "text")
+    val m = Curation.maximalMatches(docs, $"text", $"doc_id", k = 5)
+      .orderBy("doc_a", "doc_b", "a_start").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3),
+        r.getInt(4)))
+    assert(m.toSeq == Seq(
+      (1L, 2L, 0, 1, 7),  // the full 7-word run, chained from 3 windows
+      (1L, 3L, 2, 0, 5),  // the nested 5-word run, both directions of id
+      (2L, 3L, 3, 0, 5),
+      (4L, 4L, 0, 7, 5))) // self-match: ordered by position within doc
+    // per-doc fold: longest wins, ties by smallest start
+    val top = Curation.longestDuplicatePerDoc(docs, $"text", $"doc_id", k = 5)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(top.toSeq == Seq(
+      (1L, 0, 7), (2L, 1, 7), (3L, 0, 5), (4L, 0, 5)))
+    // partitioning-independent (window keys + exact integers only)
+    val again = Curation
+      .longestDuplicatePerDoc(docs.repartition(5), $"text", $"doc_id", k = 5)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(again.toSeq == top.toSeq)
+    // the stop-shingle cap skips over-cap seeds: with maxOccur = 2 the
+    // thrice-occurring "c d e f g" window is dropped, which SPLITS the
+    // doc1/doc2 chain around it — the two survivors re-chain to a
+    // shorter maximal run and doc3's runs disappear entirely
+    val capped = Curation.maximalMatches(docs, $"text", $"doc_id", k = 5,
+        maxOccur = 2)
+      .orderBy("doc_a", "doc_b", "a_start").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3),
+        r.getInt(4)))
+    assert(capped.toSeq == Seq((1L, 2L, 0, 1, 6), (4L, 4L, 0, 7, 5)))
+  }
 }
