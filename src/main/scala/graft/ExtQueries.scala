@@ -715,6 +715,29 @@ object ExtQueries {
         Curation.canonicalUrl(synth).as("canonical_url")).orderBy("doc_id")
     }),
 
+    // URL-scope compliance over the same eight canon templates: an
+    // anchored host allowlist (admits t0/1/4/5/6), a cdn host denylist
+    // and an /a/ path denylist (kick t0/t1 back out) — in_scope lands
+    // true only for t4/t5/t6, exercising all three predicate slots.
+    "url_scope" -> ((s, d) => {
+      val h = (col("doc_id") % 100).cast("string")
+      val t = col("doc_id") % 8
+      val synth = when(t === 0, concat(lit("HTTP://Example.COM/a/b?x="), h))
+        .when(t === 1, lit("https://WWW.Example.com:443//a//b/"))
+        .when(t === 2, concat(lit("//cdn.site.org./img/"), h, lit(".png#frag")))
+        .when(t === 3, concat(lit("http://user:pw@Host.NET:80/p?b=2&a="), h))
+        .when(t === 4, concat(lit("https://news.example.org/story?utm_source=x&id="), h))
+        .when(t === 5, concat(lit("http://shop.example.com/item//"), h, lit("/")))
+        .when(t === 6, lit("HTTPS://Example.com/?"))
+        .otherwise(concat(lit("http://a.b.c:8080/x?b="), h, lit("&a=1")))
+      Curation.urlScope(Tables.documents(s, d), synth, col("doc_id"),
+          allowHostRe =
+            "^(example\\.com|news\\.example\\.org|shop\\.example\\.com)$",
+          denyHostRe = "^cdn\\.",
+          denyPathRe = "^/a/")
+        .orderBy("doc_id")
+    }),
+
     // REAL HTML→text extraction on the correctness surface (no HTML in
     // the fixture corpus): four synthesized page templates cover tag
     // stripping, title/block/inline boundaries, script/style raw-text
@@ -1983,6 +2006,47 @@ SELECT doc_id,
     WHEN 6 THEN 'example.com'
     ELSE 'a.b.c:8080/x?a=1&b=' || h
   END AS canonical_url
+FROM f ORDER BY doc_id"""),
+
+    // Each template's expected host/path split and scope verdict stated
+    // as literals (url_canon's convention — the oracle never
+    // re-implements the canonicalizer or the regex predicates): the
+    // allowlist admits t0/1/4/5/6, the /a/ path denylist kicks t0/t1,
+    // so only t4/t5/t6 land in scope.
+    "url_scope" -> ("""WITH f AS (
+  SELECT doc_id, doc_id % 8 AS t, CAST(doc_id % 100 AS VARCHAR) AS h
+  FROM documents
+)
+SELECT doc_id,
+  CASE t
+    WHEN 0 THEN 'example.com/a/b?x=' || h
+    WHEN 1 THEN 'example.com/a/b'
+    WHEN 2 THEN 'cdn.site.org/img/' || h || '.png'
+    WHEN 3 THEN 'host.net/p?a=' || h || '&b=2'
+    WHEN 4 THEN 'news.example.org/story?id=' || h
+    WHEN 5 THEN 'shop.example.com/item/' || h
+    WHEN 6 THEN 'example.com'
+    ELSE 'a.b.c:8080/x?a=1&b=' || h
+  END AS canonical_url,
+  CASE t
+    WHEN 2 THEN 'cdn.site.org'
+    WHEN 3 THEN 'host.net'
+    WHEN 4 THEN 'news.example.org'
+    WHEN 5 THEN 'shop.example.com'
+    WHEN 7 THEN 'a.b.c:8080'
+    ELSE 'example.com'
+  END AS host,
+  CASE t
+    WHEN 0 THEN '/a/b'
+    WHEN 1 THEN '/a/b'
+    WHEN 2 THEN '/img/' || h || '.png'
+    WHEN 3 THEN '/p'
+    WHEN 4 THEN '/story'
+    WHEN 5 THEN '/item/' || h
+    WHEN 6 THEN ''
+    ELSE '/x'
+  END AS path,
+  t IN (4, 5, 6) AS in_scope
 FROM f ORDER BY doc_id"""),
 
     // Each html_text template's EXPECTED extraction, stated as a

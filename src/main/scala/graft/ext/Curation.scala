@@ -189,6 +189,43 @@ object Curation {
     df.groupBy(canonicalUrl(url).as("canonical_url"))
       .agg(min(id).as("keeper_doc_id"), count(lit(1)).as("n_copies"))
 
+  /** URL-SCOPE compliance filter — the allow/deny pass between crawl
+    * ingest and dedup (robots/blocklist/domain-scope policies are
+    * expressed over hosts and paths; crawl pipelines apply them per
+    * RECORD before any content work so out-of-scope bytes never enter
+    * the corpus). Splits [[canonicalUrl]] into host and path and flags
+    * each document:
+    *
+    * `in_scope = (allowHostRe empty | host matches) & !(host matches
+    * denyHostRe) & !(path matches denyPathRe)` — an empty allow list
+    * admits every host, an empty deny never fires, and matching is
+    * UNANCHORED find-anywhere in both engines (anchor with ^$ in the
+    * pattern for exact-host policies). Patterns must stay in the shared
+    * Java-regex ∩ RE2 dialect ([[EmailRe]]'s constraint) so the DuckDB
+    * oracle matches byte-identically.
+    *
+    * FLAGS, not drops ([[redactPii]]'s convention): the caller filters
+    * on `in_scope`, keeps the rejects for a quarantine audit, or joins
+    * the flag onto the raw bytes. A pure zero-shuffle codegen
+    * projection — at 100 TB this runs at scan speed ahead of every
+    * shuffle-bearing pass. Output: (doc_id, canonical_url, host, path,
+    * in_scope). */
+  def urlScope(df: DataFrame, url: Column, id: Column,
+               allowHostRe: String = "", denyHostRe: String = "",
+               denyPathRe: String = ""): DataFrame = {
+    def denies(c: Column, re: String) =
+      if (re.isEmpty) lit(false) else c.rlike(re)
+    val allowed =
+      if (allowHostRe.isEmpty) lit(true) else col("host").rlike(allowHostRe)
+    df.select(id.as("doc_id"), canonicalUrl(url).as("canonical_url"))
+      .withColumn("host", regexp_extract(col("canonical_url"), "^([^/?]*)", 1))
+      .withColumn("path",
+        regexp_extract(col("canonical_url"), "^[^/?]*([^?]*)", 1))
+      .withColumn("in_scope",
+        allowed && !denies(col("host"), denyHostRe) &&
+          !denies(col("path"), denyPathRe))
+  }
+
   /** Duplicated-substring SPANS (exact-substring dedup, Lee et al.):
     * every maximal word range whose every `k`-word window occurs at
     * least `minCount` times corpus-wide (counting repeats within the

@@ -74,6 +74,33 @@ class UrlCanonSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("urlScope: allow/deny slots, empty defaults, zero-shuffle projection") {
+    val docs = Seq(
+      (1L, "https://www.Example.com/a/b?x=1"),    // allowed host, denied path
+      (2L, "http://cdn.site.org/img/p.png"),      // denied host
+      (3L, "https://news.example.org/story?id=2"),// in scope
+      (4L, "http://other.net/ok")                 // not on the allowlist
+    ).toDF("doc_id", "url")
+    val out = Curation.urlScope(docs, col("url"), col("doc_id"),
+        allowHostRe = "^(example\\.com|news\\.example\\.org)$",
+        denyHostRe = "^cdn\\.", denyPathRe = "^/a/")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(2), r.getString(3), r.getBoolean(4)))
+    assert(out.toSeq == Seq(
+      (1L, "example.com", "/a/b", false),
+      (2L, "cdn.site.org", "/img/p.png", false),
+      (3L, "news.example.org", "/story", true),
+      (4L, "other.net", "/ok", false)))
+    // empty allow admits every host; empty denies never fire
+    val open = Curation.urlScope(docs, col("url"), col("doc_id"))
+      .select("in_scope").collect().map(_.getBoolean(0))
+    assert(open.forall(identity))
+    // pure projection: composes into streaming ingest like canonicalUrl
+    val plan = Curation.urlScope(docs, col("url"), col("doc_id"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"urlScope must not shuffle:\n$plan")
+  }
+
   test("canonicalUrl composes into the WARC document stream as a projection") {
     // Same composition contract as redactText: a plain Column over the
     // webDocuments url — no shuffle, so it is streaming-safe.
