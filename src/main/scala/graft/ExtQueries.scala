@@ -645,6 +645,12 @@ object ExtQueries {
     // byte-level chunk walk / FLAC frame layer in audioBatched — the
     // oracle recomputes the stats from the closed form, container-blind,
     // so a decoder bug in EITHER container breaks the row.
+    // REAL audio decode across FOUR container/codec variants by
+    // doc_id % 4: linear-PCM WAV, FLAC, G.711 μ-law WAV (closed-form
+    // bytes — the oracle prices the published expansion formula
+    // independently), and mono IMA-ADPCM WAV (constant signal through
+    // the real block/header/fact machinery; the stateful nibble
+    // arithmetic is spec-pinned).
     "mm_audio" -> ((s, d) => {
       import s.implicits._
       val rows = Tables.documents(s, d)
@@ -652,7 +658,7 @@ object ExtQueries {
         .as[(Long, Long)]
         .map { case (id, nch) =>
           Multimodal.MediaRow(id, Multimodal.synthAudioPayload(id, nch),
-            if (id % 2 == 0) "audio/wav" else "audio/flac") }
+            if (id % 4 == 1) "audio/flac" else "audio/wav") }
       Multimodal.audioBatched(rows).toDF().orderBy("media_id")
     }),
 
@@ -2078,25 +2084,38 @@ SELECT doc_id, nfc_normalize(deco) AS norm_text,
        CAST(length(nfc_normalize(deco)) AS INT) AS len_nfc
 FROM f ORDER BY doc_id"""),
 
-    // Mirror of mm_audio's closed-form synth: samples
-    // (id*31 + i*7) % 200 - 100 over n = n_chars % 50 + 1 frames, mono
-    // 16-bit 8 kHz. The oracle never touches the container bytes — it
-    // prices the PCM arithmetic the Spark side must recover through a
-    // real WAV or FLAC decode.
+    // Mirror of mm_audio's closed-form synth by media_id % 4: PCM/FLAC
+    // price samples (id*31 + i*7) % 200 - 100; the μ-law variant prices
+    // bytes (id*31 + i*7) % 256 through the PUBLISHED G.711 expansion
+    // (complement, sign/exponent/mantissa split, ((m*8+132)<<e)-132 —
+    // the |sample| is the magnitude, so the sign bit drops out of the
+    // mean); the ADPCM variant's constant signal prices to |c|. The
+    // oracle never touches container bytes; n = n_chars % 50 + 1, mono
+    // 8 kHz, decoded width 16 everywhere.
     "mm_audio" -> ("""WITH f AS (
   SELECT doc_id AS media_id, n_chars % 50 + 1 AS n FROM documents
 ), s AS (
   SELECT media_id, n, unnest(range(0, n)) AS i FROM f
+), u AS (
+  SELECT media_id, n, i,
+         xor((media_id * 31 + i * 7) % 256, 255) AS ub
+  FROM s
 ), a AS (
-  SELECT media_id, n, sum(abs((media_id * 31 + i * 7) % 200 - 100)) AS sabs
-  FROM s GROUP BY media_id, n
+  SELECT media_id, n,
+         sum(abs((media_id * 31 + i * 7) % 200 - 100)) AS sabs,
+         sum((((ub % 16) * 8 + 132) << ((ub // 16) % 8)) - 132) AS usabs
+  FROM u GROUP BY media_id, n
 )
 SELECT media_id,
-       CASE WHEN media_id % 2 = 0 THEN 'wav' ELSE 'flac' END AS format,
+       CASE media_id % 4 WHEN 0 THEN 'wav' WHEN 1 THEN 'flac'
+            WHEN 2 THEN 'ulaw' ELSE 'adpcm' END AS format,
        CAST(1 AS INT) AS channels, CAST(8000 AS INT) AS sample_rate,
        CAST(16 AS INT) AS bits, CAST(n AS BIGINT) AS n_frames,
        CAST(n * 1000 // 8000 AS BIGINT) AS duration_ms,
-       CAST(sabs // n AS BIGINT) AS mean_abs_amp
+       CAST(CASE media_id % 4
+         WHEN 2 THEN usabs // n
+         WHEN 3 THEN abs((media_id * 31) % 200 - 100)
+         ELSE sabs // n END AS BIGINT) AS mean_abs_amp
 FROM a ORDER BY media_id"""),
 
     // Mirror of mm_video's closed-form synth: n = n_chars % 9 + 2

@@ -239,9 +239,10 @@ object Multimodal {
     ds.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         batch.flatMap { r =>
-          graft.functions.MediaHeaderUtil.wavStats(r.payload).map { s =>
-            MediaAudio(r.media_id, "wav", s.channels, s.sampleRate,
-              s.bitsPerSample, s.nFrames, s.durationMs, s.meanAbsAmp)
+          graft.functions.MediaHeaderUtil.wavStatsAny(r.payload).map {
+            case (codec, s) =>
+              MediaAudio(r.media_id, codec, s.channels, s.sampleRate,
+                s.bitsPerSample, s.nFrames, s.durationMs, s.meanAbsAmp)
           }.orElse {
             graft.functions.FlacCodec.decode(r.payload).map { f =>
               val n = if (f.samples.isEmpty) 0 else f.samples(0).length
@@ -282,9 +283,50 @@ object Multimodal {
   def synthAudioPayload(id: Long, nChars: Long): Array[Byte] = {
     val n = (nChars % 50 + 1).toInt
     val pcm = Array.tabulate(n)(i => ((id * 31 + i * 7) % 200 - 100).toInt)
-    if (id % 2 == 0) synthWav(pcm)
-    else graft.functions.FlacCodec.encode(
-      graft.functions.FlacCodec.FlacPcm(8000, 1, 16, Array(pcm)), 4096)
+    id % 4 match {
+      case 0 => synthWav(pcm)
+      case 1 => graft.functions.FlacCodec.encode(
+        graft.functions.FlacCodec.FlacPcm(8000, 1, 16, Array(pcm)), 4096)
+      case 2 =>
+        // G.711 μ-law: closed-form BYTES (id*31 + i*7) % 256 — the
+        // oracle prices the published expansion formula per byte, so
+        // the real decoder is checked against independent arithmetic
+        synthCompressedWav(7, 1, 8000, 8, blockAlign = 1, fact = n,
+          Array.tabulate(n)(i => (((id * 31 + i * 7) % 256) & 0xff).toByte))
+      case _ =>
+        // mono IMA-ADPCM, constant signal c: block header carries c as
+        // the initial predictor, every nibble is 0 (diff = step>>3 = 0
+        // at step index 0), so decode reproduces c exactly — the
+        // container/header/fact plumbing is oracle-checked here; the
+        // stateful nibble arithmetic is pinned by AudioDecodeSpec's
+        // hand-walked vectors
+        val c = ((id * 31) % 200 - 100).toInt
+        val nibbleBytes = n / 2 // ceil((n-1)/2)
+        val data = Array((c & 0xff).toByte, ((c >> 8) & 0xff).toByte,
+          0.toByte, 0.toByte) ++ Array.fill(nibbleBytes)(0.toByte)
+        synthCompressedWav(17, 1, 8000, 4, blockAlign = 4 + nibbleBytes,
+          fact = n, data)
+    }
+  }
+
+  /** RIFF/WAV wrapper for a COMPRESSED codec payload: arbitrary
+    * formatTag/bits/blockAlign plus the `fact` chunk (the canonical
+    * format requires `fact` for non-PCM, and the decoder trims the
+    * final partial block by it). */
+  private def synthCompressedWav(tag: Int, channels: Int, rate: Int,
+                                 bits: Int, blockAlign: Int, fact: Int,
+                                 data: Array[Byte]): Array[Byte] = {
+    def le16(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def le32(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    val fmt = "fmt ".getBytes("US-ASCII") ++ le32(16) ++
+      le16(tag) ++ le16(channels) ++ le32(rate) ++ le32(rate * blockAlign) ++
+      le16(blockAlign) ++ le16(bits)
+    val padded = if (data.length % 2 == 1) data :+ 0.toByte else data
+    val body = "WAVE".getBytes("US-ASCII") ++ fmt ++
+      "fact".getBytes("US-ASCII") ++ le32(4) ++ le32(fact) ++
+      "data".getBytes("US-ASCII") ++ le32(data.length) ++ padded
+    "RIFF".getBytes("US-ASCII") ++ le32(body.length) ++ body
   }
 
   /** Minimal RIFF/WAV container for mono 16-bit 8 kHz PCM. */

@@ -109,19 +109,24 @@ object MediaHeaderUtil {
   case class WavPcm(channels: Int, sampleRate: Int, bitsPerSample: Int,
                     blockAlign: Int, dataOffset: Int, dataLen: Int)
 
-  /** Parse a PCM WAV header — the audio analog of [[parseDims]].
-    * Only linear PCM at 8 or 16 bits is accepted (the two shapes the
-    * canonical format defines without an extension chunk); compressed
-    * audioFormat codes, truncated chunks, or a blockAlign inconsistent
-    * with channels×bits are rejected, not guessed at. */
-  def parseWav(b: Array[Byte]): Option[WavPcm] = {
+  /** Raw RIFF/WAVE chunk-walk result, codec-agnostic: the `fmt ` fields
+    * as written, the `data` extent, and the `fact` chunk's declared
+    * sample-frame count when present (the canonical format REQUIRES
+    * `fact` for compressed codecs, where frames are not derivable from
+    * byte length alone). */
+  private case class WavRaw(audioFormat: Int, channels: Int, sampleRate: Int,
+                            blockAlign: Int, bits: Int, dataOffset: Int,
+                            dataLen: Int, factFrames: Option[Long])
+
+  private def wavChunks(b: Array[Byte]): Option[WavRaw] = {
     if (b.length < 12 ||
         b(0) != 'R' || b(1) != 'I' || b(2) != 'F' || b(3) != 'F' ||
         b(8) != 'W' || b(9) != 'A' || b(10) != 'V' || b(11) != 'E') return None
     var i = 12
     var fmt: Option[(Int, Int, Long, Int, Int)] = None
     var data: Option[(Int, Int)] = None
-    while (i + 8 <= b.length && (fmt.isEmpty || data.isEmpty)) {
+    var fact: Option[Long] = None
+    while (i + 8 <= b.length && (fmt.isEmpty || data.isEmpty || fact.isEmpty)) {
       val size = le32(b, i + 4)
       if (size < 0 || size > Int.MaxValue - 8 || i + 8 + size > b.length)
         return None // truncated or absurd chunk
@@ -133,17 +138,34 @@ object MediaHeaderUtil {
       } else if (b(i) == 'd' && b(i + 1) == 'a' && b(i + 2) == 't' &&
                  b(i + 3) == 'a') {
         data = Some((i + 8, sz))
+      } else if (b(i) == 'f' && b(i + 1) == 'a' && b(i + 2) == 'c' &&
+                 b(i + 3) == 't' && sz >= 4) {
+        fact = Some(le32(b, i + 8))
       }
       i += 8 + sz + (sz & 1) // chunks are word-aligned
     }
     for {
       (af, ch, rate, ba, bits) <- fmt
       (off, len) <- data
-      if af == 1 && (bits == 8 || bits == 16 || bits == 24) && ch > 0 &&
-        rate > 0 && rate <= Int.MaxValue &&
-        ba == ch * (bits / 8) && len % ba == 0
-    } yield WavPcm(ch, rate.toInt, bits, ba, off, len)
+      if ch > 0 && rate > 0 && rate <= Int.MaxValue && ba > 0
+    } yield WavRaw(af, ch, rate.toInt, ba, bits, off, len, fact)
   }
+
+  /** Parse a PCM WAV header — the audio analog of [[parseDims]].
+    * Only linear PCM at 8 or 16 bits is accepted (the two shapes the
+    * canonical format defines without an extension chunk); compressed
+    * audioFormat codes, truncated chunks, or a blockAlign inconsistent
+    * with channels×bits are rejected, not guessed at (the G.711 and
+    * IMA-ADPCM codecs have their own decode path, [[wavStatsAny]]). */
+  def parseWav(b: Array[Byte]): Option[WavPcm] =
+    wavChunks(b).collect {
+      case w if w.audioFormat == 1 &&
+        (w.bits == 8 || w.bits == 16 || w.bits == 24) &&
+        w.blockAlign == w.channels * (w.bits / 8) &&
+        w.dataLen % w.blockAlign == 0 =>
+        WavPcm(w.channels, w.sampleRate, w.bits, w.blockAlign,
+          w.dataOffset, w.dataLen)
+    }
 
   /** Decoded PCM statistics of a WAV payload — the audio analog of the
     * pixel-luma pass: exact integer sample arithmetic, no floats.
@@ -179,6 +201,115 @@ object MediaHeaderUtil {
       nFrames * 1000L / w.sampleRate,
       if (nSamples == 0) 0L else sum / nSamples)
   }
+
+  // ---- Compressed-WAV sample codecs: G.711 μ-law and IMA/DVI ADPCM.
+  // Both are published, table-driven, integer-exact — the two codecs
+  // real telephony/speech corpora actually ship inside WAV (formatTag
+  // 7 and 17); everything here is from the public ITU-T G.711 and IMA
+  // ADPCM specifications, no float ever. ----
+
+  /** One G.711 μ-law byte → 16-bit linear sample (closed form):
+    * complement, split sign(1)/exponent(3)/mantissa(4), expand
+    * `((m·8 + 0x84) << e) - 0x84`. Byte 0xFF decodes to 0, byte 0x00
+    * to -32124 (the format's full-scale magnitude). */
+  def ulawToPcm(b0: Int): Int = {
+    val u = (~b0) & 0xff
+    val mag = ((((u & 0x0f) << 3) + 0x84) << ((u >> 4) & 7)) - 0x84
+    if ((u & 0x80) != 0) -mag else mag
+  }
+
+  /** IMA/DVI ADPCM quantizer step table (89 entries) and index
+    * adaptation table — the published constants every IMA decoder
+    * shares. */
+  val ImaStep: Array[Int] = Array(
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767)
+  val ImaIndex: Array[Int] = Array(-1, -1, -1, -1, 2, 4, 6, 8)
+
+  /** Advance the IMA decoder state by one nibble: returns the new
+    * (predictor, stepIndex). The predictor update is the published
+    * `diff = step>>3 (+ step>>2 | + step>>1 | + step by mantissa bits)`
+    * with sign bit 8, clamped to s16; the index moves by [[ImaIndex]],
+    * clamped to the table. */
+  def imaDecodeNibble(n: Int, pred: Int, index: Int): (Int, Int) = {
+    val step = ImaStep(index)
+    var diff = step >> 3
+    if ((n & 1) != 0) diff += step >> 2
+    if ((n & 2) != 0) diff += step >> 1
+    if ((n & 4) != 0) diff += step
+    val p = if ((n & 8) != 0) pred - diff else pred + diff
+    (math.max(-32768, math.min(32767, p)),
+      math.max(0, math.min(88, index + ImaIndex(n & 7))))
+  }
+
+  /** [[wavStats]] generalized over the compressed codecs: returns the
+    * codec name with the decoded-sample statistics —
+    *
+    *  - `("wav", …)`: linear PCM, [[wavStats]] verbatim;
+    *  - `("ulaw", …)`: formatTag 7, one byte per sample expanded
+    *    through [[ulawToPcm]]; reported `bitsPerSample` is 16, the
+    *    decoded width (pipelines consume G.711 as 16-bit linear);
+    *  - `("adpcm", …)`: formatTag 17, MONO IMA-ADPCM — per `blockAlign`
+    *    block: a 4-byte header (initial predictor s16-LE = sample 0,
+    *    step index u8, reserved), then low-nibble-first sample nibbles;
+    *    the `fact` chunk trims the final partial block (without it,
+    *    decode runs to the container's capacity). Stereo ADPCM (4-byte
+    *    channel interleave) is quarantined, not guessed at.
+    *
+    * Anything else returns None — the standing quarantine contract. */
+  def wavStatsAny(b: Array[Byte]): Option[(String, WavStats)] =
+    wavStats(b).map(("wav", _)).orElse(wavChunks(b).flatMap { w =>
+      if (w.audioFormat == 7 && w.bits == 8 && w.blockAlign == w.channels &&
+          w.dataLen % w.channels == 0) {
+        var sum = 0L
+        var i = w.dataOffset
+        val end = w.dataOffset + w.dataLen
+        while (i < end) { sum += math.abs(ulawToPcm(b(i) & 0xff)); i += 1 }
+        val frames = w.dataLen.toLong / w.channels
+        Some(("ulaw", WavStats(w.channels, w.sampleRate, 16, frames,
+          frames * 1000L / w.sampleRate,
+          if (w.dataLen == 0) 0L else sum / w.dataLen)))
+      } else if (w.audioFormat == 17 && w.channels == 1 && w.bits == 4 &&
+                 w.blockAlign >= 4) {
+        val want = w.factFrames.getOrElse(Long.MaxValue)
+        val end = w.dataOffset + w.dataLen
+        var off = w.dataOffset
+        var produced = 0L
+        var sum = 0L
+        var bad = false
+        while (!bad && off + 4 <= end && produced < want) {
+          var pred = (le16(b, off) << 16) >> 16 // sign-extend s16
+          var idx = u8(b, off + 2)
+          if (idx > 88) bad = true
+          else {
+            sum += math.abs(pred); produced += 1
+            var j = off + 4
+            val bend = math.min(off + w.blockAlign, end)
+            while (j < bend && produced < want) {
+              val by = u8(b, j)
+              var k = 0
+              while (k < 2 && produced < want) {
+                val st = imaDecodeNibble(if (k == 0) by & 0x0f
+                  else (by >> 4) & 0x0f, pred, idx)
+                pred = st._1; idx = st._2
+                sum += math.abs(pred); produced += 1
+                k += 1
+              }
+              j += 1
+            }
+            off += w.blockAlign
+          }
+        }
+        if (bad || produced == 0) None
+        else Some(("adpcm", WavStats(1, w.sampleRate, 16, produced,
+          produced * 1000L / w.sampleRate, sum / produced)))
+      } else None
+    })
 
   /** FLAC STREAMINFO fields — the compressed-audio analog of
     * [[parseWav]], read from the public container structure: the

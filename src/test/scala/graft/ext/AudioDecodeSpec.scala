@@ -123,6 +123,11 @@ class AudioDecodeSpec extends SparkSpec {
           w.blockAlign == w.channels * (w.bitsPerSample / 8) &&
           w.dataOffset + w.dataLen <= b.length)
       }
+      // the compressed-codec walk holds the same total-function contract
+      MediaHeaderUtil.wavStatsAny(b).foreach { case (codec, s) =>
+        assert(Seq("wav", "ulaw", "adpcm").contains(codec))
+        assert(s.nFrames >= 0 && s.meanAbsAmp >= 0)
+      }
     }
   }
 
@@ -144,6 +149,129 @@ class AudioDecodeSpec extends SparkSpec {
     val ds = Seq(MediaRow(1L, mono16, "audio/wav")).toDS()
     val f = Multimodal.featuresBatched(ds).collect().head
     assert(f.width == 0 && f.height == 0 && f.n_frames == 6)
+  }
+
+  /** Assemble a compressed-codec WAV with a `fact` chunk. */
+  private def compWav(tag: Int, channels: Int, rate: Int, bits: Int,
+                      blockAlign: Int, fact: Int,
+                      data: Array[Byte]): Array[Byte] = {
+    val fmt = chunk("fmt ", le16(tag) ++ le16(channels) ++ le32(rate) ++
+      le32(rate * blockAlign) ++ le16(blockAlign) ++ le16(bits))
+    val body = "WAVE".getBytes("US-ASCII") ++ fmt ++
+      chunk("fact", le32(fact)) ++ chunk("data", data)
+    "RIFF".getBytes("US-ASCII") ++ le32(body.length) ++ body
+  }
+
+  test("ulawToPcm agrees with the JDK's independent G.711 converter, all 256 bytes") {
+    import javax.sound.sampled._
+    // one stream of every possible u-law byte, converted to 16-bit
+    // linear by javax.sound (an independent G.711 implementation that
+    // ships with the JDK) and compared value-by-value
+    val ulawFmt = new AudioFormat(AudioFormat.Encoding.ULAW,
+      8000f, 8, 1, 1, 8000f, false)
+    val pcmFmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+      8000f, 16, 1, 2, 8000f, false)
+    val raw = Array.tabulate(256)(_.toByte)
+    val converted = AudioSystem.getAudioInputStream(pcmFmt,
+      new AudioInputStream(new java.io.ByteArrayInputStream(raw), ulawFmt,
+        256L))
+    val out = converted.readAllBytes()
+    converted.close()
+    assert(out.length == 512)
+    (0 until 256).foreach { b =>
+      val jdk = ((out(2 * b) & 0xff) | (out(2 * b + 1).toInt << 8))
+      assert(MediaHeaderUtil.ulawToPcm(b) == jdk,
+        s"byte $b: graft ${MediaHeaderUtil.ulawToPcm(b)} vs JDK $jdk")
+    }
+    // the published boundary values, stated directly
+    assert(MediaHeaderUtil.ulawToPcm(0xff) == 0)      // positive silence
+    assert(MediaHeaderUtil.ulawToPcm(0x7f) == 0)      // negative silence
+    assert(MediaHeaderUtil.ulawToPcm(0x00) == -32124) // full negative scale
+    assert(MediaHeaderUtil.ulawToPcm(0x80) == 32124)  // full positive scale
+  }
+
+  test("ulaw WAV: per-byte expansion, frames = bytes, decoded width 16") {
+    // bytes 0x00, 0xff, 0x80, 0x2a: |samples| 32124, 0, 32124,
+    // 0x2a -> u = 0xd5: sign 1, e 5, m 5 -> ((40+132)<<5)-132 = 5372
+    // sum = 69620 -> mean 69620/4 = 17405
+    val b = compWav(7, 1, 8000, 8, blockAlign = 1, fact = 4,
+      Array(0x00, 0xff, 0x80, 0x2a).map(_.toByte))
+    val (codec, s) = MediaHeaderUtil.wavStatsAny(b).get
+    assert(codec == "ulaw")
+    assert(s.channels == 1 && s.sampleRate == 8000 && s.bitsPerSample == 16)
+    assert(s.nFrames == 4L && s.durationMs == 0L)
+    assert(s.meanAbsAmp == 17405L)
+    // PCM files still take the PCM path through wavStatsAny
+    assert(MediaHeaderUtil.wavStatsAny(mono16).get._1 == "wav")
+  }
+
+  test("IMA-ADPCM: hand-walked nibble state machine, fact trim, block header") {
+    // block: predictor 0, step index 0, nibbles [2, 9, 15, 0] packed
+    // low-first as bytes 0x92, 0x0f. Hand walk (step table [7,8,...,16@8]):
+    //  n=2: diff = 7>>1 = 3          -> pred 3,  idx 0 (clamped -1)
+    //  n=9: diff = 7>>2 = 1, sign    -> pred 2,  idx 0
+    //  n=15: diff = 7>>3+7>>2+7>>1+7 = 11, sign -> pred -9, idx 8
+    //  n=0: step=16, diff = 16>>3 = 2 -> pred -7, idx 7
+    // samples [0, 3, 2, -9, -7]: sum|s| = 21 -> mean 21/5 = 4
+    val data = Array[Byte](0, 0, 0, 0, 0x92.toByte, 0x0f)
+    val b = compWav(17, 1, 8000, 4, blockAlign = 6, fact = 5, data)
+    val (codec, s) = MediaHeaderUtil.wavStatsAny(b).get
+    assert(codec == "adpcm")
+    assert(s.channels == 1 && s.bitsPerSample == 16 && s.nFrames == 5L)
+    assert(s.meanAbsAmp == 4L)
+    // fact trims the final nibbles: fact=3 stops after [0, 3, 2]
+    val trimmed = compWav(17, 1, 8000, 4, blockAlign = 6, fact = 3, data)
+    val (_, t) = MediaHeaderUtil.wavStatsAny(trimmed).get
+    assert(t.nFrames == 3L && t.meanAbsAmp == (0 + 3 + 2) / 3)
+    // a nonzero initial predictor with all-zero nibbles decodes to the
+    // constant (diff = step>>3 = 0 at index 0) — the mm_audio variant
+    val const = compWav(17, 1, 8000, 4, blockAlign = 7,
+      fact = 7, Array[Byte]((-77 & 0xff).toByte, 0xff.toByte, 0, 0, 0, 0, 0))
+    val (_, c) = MediaHeaderUtil.wavStatsAny(const).get
+    assert(c.nFrames == 7L && c.meanAbsAmp == 77L)
+    // quarantine: stereo ADPCM, a step index past the table, and a
+    // headerless (truncated) block are rejected, not guessed at
+    assert(MediaHeaderUtil.wavStatsAny(
+      compWav(17, 2, 8000, 4, 6, 5, data)).isEmpty)
+    assert(MediaHeaderUtil.wavStatsAny(
+      compWav(17, 1, 8000, 4, 6, 5,
+        Array[Byte](0, 0, 90, 0, 0x92.toByte, 0x0f))).isEmpty)
+    assert(MediaHeaderUtil.wavStatsAny(
+      compWav(17, 1, 8000, 4, 6, 5, Array[Byte](0, 0))).isEmpty)
+  }
+
+  test("IMA-ADPCM: clamping at both rails and multi-block decode") {
+    // two blocks of blockAlign 5: each starts a fresh (predictor,
+    // index) from its own header — block 2's state must NOT leak from
+    // block 1. Block 1: predictor 32760, nibbles [7, 7]: step 7 ->
+    // diff 7>>3+7>>2+7>>1+7 = 11 -> 32767 (clamp), idx 8; step 16 ->
+    // diff 2+4+8+16 = 30 -> 32767 (clamp at rail), idx 16.
+    // Block 2: predictor -32760, nibbles [15, 15]: diff 11 sign ->
+    // -32768 (clamp), idx 8; step 16, diff 30, sign -> -32768, idx 16.
+    val b1 = Array[Byte]((32760 & 0xff).toByte, (32760 >> 8).toByte, 0, 0,
+      0x77.toByte)
+    val b2 = Array[Byte]((-32760 & 0xff).toByte, ((-32760 >> 8) & 0xff).toByte,
+      0, 0, 0xff.toByte)
+    val b = compWav(17, 1, 8000, 4, blockAlign = 5, fact = 6, b1 ++ b2)
+    val (_, s) = MediaHeaderUtil.wavStatsAny(b).get
+    assert(s.nFrames == 6L)
+    // sum|s| = 32760 + 32767 + 32767 + 32760 + 32768 + 32768 = 196590
+    assert(s.meanAbsAmp == 196590L / 6)
+  }
+
+  test("audioBatched spans all four codecs with exact per-codec stats") {
+    val ulaw = compWav(7, 1, 8000, 8, 1, 4,
+      Array(0x00, 0xff, 0x80, 0x2a).map(_.toByte))
+    val adpcm = compWav(17, 1, 8000, 4, 6, 5,
+      Array[Byte](0, 0, 0, 0, 0x92.toByte, 0x0f))
+    val ds = Seq(
+      MediaRow(1L, mono16, "audio/wav"),
+      MediaRow(2L, ulaw, "audio/wav"),
+      MediaRow(3L, adpcm, "audio/wav")).toDS().repartition(2)
+    val rows = Multimodal.audioBatched(ds, batchSize = 2)
+      .collect().sortBy(_.media_id)
+    assert(rows.map(r => (r.media_id, r.format, r.mean_abs_amp)).toSeq ==
+      Seq((1L, "wav", 11339L), (2L, "ulaw", 17405L), (3L, "adpcm", 4L)))
   }
 
   test("the SAME PCM yields the SAME stats row through WAV and FLAC containers") {
