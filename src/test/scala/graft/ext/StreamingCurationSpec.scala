@@ -71,6 +71,45 @@ class StreamingCurationSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("lm3 gate: a live stream scores against the stored trigram model, stateless per batch") {
+    implicit val sq = spark.sqlContext
+    // train once, materialize the artifact (the writeLm3Model boundary:
+    // the scoring side never touches the training corpus again)
+    val train = Seq((0L, "a b c a b d a b c")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("lm3m").toString
+    TextAnalysis.writeLm3Model(train, $"text", $"doc_id", dir)
+    val input = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    val q = input.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        got.synchronized {
+          got ++= TextAnalysis
+            .lm3ScoreStored(batch, col("text"), col("doc_id"), dir)
+            .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        }
+        ()
+      }.start()
+    try {
+      input.addData((10L, "a b c"), (11L, "a b x"))
+      q.processAllAvailable()
+      input.addData((12L, "z z z"))
+      q.processAllAvailable()
+    } finally q.stop()
+    // batch truth: the identical docs through the two-frame lm3Score
+    val scored = Seq((10L, "a b c"), (11L, "a b x"), (12L, "z z z"))
+      .toDF("doc_id", "text")
+    val expect = TextAnalysis.lm3Score(train, scored, $"text", $"doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.sortBy(_._1).toSeq == expect.sortBy(_._1).toSeq)
+    // the gate is stateless per batch: replaying a batch re-scores
+    // identically (no state advanced by the first pass)
+    val replay = TextAnalysis
+      .lm3ScoreStored(Seq((10L, "a b c")).toDF("doc_id", "text"),
+        col("text"), col("doc_id"), dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(replay.toSeq == got.sortBy(_._1).take(1).toSeq)
+  }
+
   test("chunking composes in a streaming query (pure narrow projection, live)") {
     // chunkByWords is a stateless narrow projection, so a live feed can
     // be window-split per micro-batch — the context-window splitter
