@@ -98,6 +98,46 @@ class TrainingPipelineSpec extends SparkSpec {
     CacheScope.release()
   }
 
+  test("selection triad wiring: NB and DSIR scores drive score-proportional sampling") {
+    import spark.implicits._
+    // good reference = fluent "english"; crawl = a mix of good-typical,
+    // bad-typical, and neutral docs. Train the classifier on the two
+    // slices, score the crawl, map log-odds bits into a ppm keep rate
+    // (clamped affine — proportional in the middle, saturating at the
+    // ends), and thin with Sampling.weighted: the published gate shape.
+    val good = Seq((0L, "the quick brown fox jumps the lazy dog")).toDF("id", "text")
+    val bad = Seq((1L, "zz qq xx vv kk zz qq xx")).toDF("id", "text")
+    val crawl = Seq(
+      (10L, "the quick brown fox"), // good-typical -> rate saturates high
+      (11L, "zz qq xx vv"),         // bad-typical  -> rate saturates low
+      (12L, "jumps kk lazy kk")     // mixed        -> hash-decided
+    ).toDF("doc_id", "text")
+    // hand arithmetic: nb_bits(10) = +5, nb_bits(11) = -7; the affine
+    // map saturates both ends (1e6-clamped high, 0-clamped low)
+    val rate = lit(500000L) + col("nb_bits") * 600000L
+    val nb = ext.TextAnalysis.nbScore(crawl, col("text"), col("doc_id"),
+      ext.TextAnalysis.nbTrain(good, bad, col("text")))
+    val kept = ext.Sampling.weighted(nb, col("doc_id"), rate)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept.contains(10L) && !kept.contains(11L))
+    // DSIR takes the same seat: importance bits -> ppm rate -> weighted
+    // (dsir_bits(10) = +1 from the doubled target "the"; (11) = -7)
+    val dsir = ext.TextAnalysis.dsirWeights(good.toDF("doc_id", "text"),
+      crawl, col("text"), col("doc_id"))
+    val resampled = ext.Sampling.weighted(dsir, col("doc_id"),
+        (lit(500000L) + col("dsir_bits") * 600000L), seed = "dsir0")
+      .select("doc_id").as[Long].collect().toSet
+    assert(resampled.contains(10L) && !resampled.contains(11L))
+    // the whole composition is deterministic under repartitioning
+    val again = ext.Sampling.weighted(
+        ext.TextAnalysis.nbScore(crawl.repartition(4), col("text"),
+          col("doc_id"),
+          ext.TextAnalysis.nbTrain(good.repartition(2), bad, col("text"))),
+        col("doc_id"), rate)
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == kept)
+  }
+
   test("day two: url + content incremental dedup against history, manifest export") {
     graft.functions.GraftFunctions.register(spark)
 
