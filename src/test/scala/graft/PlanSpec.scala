@@ -56,6 +56,37 @@ class PlanSpec extends SparkSpec {
       s"expected a single (sort) exchange in:\n$p")
   }
 
+  test("dsir: bucket-bounded count tables broadcast; the probe never shuffle-joins") {
+    val p = plan("dsir")
+    // both LM count tables are <= buckets rows — they must reach the
+    // corpus-sized probe as broadcasts (plus the two one-row totals);
+    // a sort-merge or shuffled-hash join here would shuffle the probe
+    assert(count(p, "BroadcastHashJoin") >= 2,
+      s"expected both bucket count tables broadcast in:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"the dsir probe side must not shuffle for its joins:\n$p")
+  }
+
+  test("nb_quality: smoothing stamps ride a broadcast, the model joins once") {
+    val p = plan("nb_quality")
+    // the one-row stamps frame must be a broadcast (nested-loop on one
+    // row), never a shuffle; and no cartesian anywhere
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      count(p, "BroadcastHashJoin") >= 1,
+      s"expected the stamps broadcast in:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian in:\n$p")
+  }
+
+  test("dup_max: every window is pair-keyed — no unpartitioned window, no cartesian") {
+    val p = plan("dup_max")
+    assert(!p.contains("CartesianProduct"),
+      s"the seed self-join must stay keyed on the shingle hash:\n$p")
+    // gaps-and-islands runs per (doc_a, doc_b, diag); a window without
+    // a partition spec would funnel the corpus into one task
+    assert(!p.contains("Window [") || !p.contains("windowspecdefinition()"),
+      s"expected only partitioned windows in:\n$p")
+  }
+
   test("knn graph: per-source window top-k, no global sort") {
     val p = plan("ann_knng")
     assert(p.contains("Window"), s"expected the per-source top-k window in:\n$p")
