@@ -516,6 +516,23 @@ object ExtQueries {
       TextAnalysis.langId(Tables.documents(s, d), col("text"), col("doc_id"))
         .orderBy("doc_id")),
 
+    // Unicode script census on the correctness surface (the fixture
+    // corpus is ASCII): three synthesized templates per doc_id mix
+    // Latin+space, Cyrillic+punct, and Han+digit text with an
+    // id-derived repeat factor — the oracle states every count and the
+    // dominance verdict in closed form, never touching a codepoint.
+    "txt_script" -> ((s, d) => {
+      val h = (col("doc_id") % 7 + 1).cast("int")
+      val t = col("doc_id") % 3
+      val synth = when(t === 0, concat(repeat(lit("ab "), h), lit("xyz")))
+        .when(t === 1, concat(repeat(lit("да"), h), lit("!")))
+        .otherwise(repeat(lit("漢字7"), h))
+      TextAnalysis.scriptProfile(
+          Tables.documents(s, d).select(col("doc_id"), synth.as("text")),
+          col("text"), col("doc_id"))
+        .orderBy("doc_id")
+    }),
+
     "txt_qual" -> ((s, d) =>
       TextAnalysis.qualityScore(Tables.documents(s, d), col("text"), col("doc_id"))
         .orderBy("doc_id")),
@@ -1636,6 +1653,34 @@ FROM e ORDER BY bin, bin_off"""),
 SELECT doc_id, h,
        CAST(ROW_NUMBER() OVER (ORDER BY h, doc_id) AS BIGINT) - 1 AS ord
 FROM t ORDER BY doc_id"""),
+
+    // txt_script's three templates priced in closed form: repeat factor
+    // h = doc_id % 7 + 1, template t = doc_id % 3 — every script count,
+    // the dominance verdict, and the ppt share stated as arithmetic
+    // over (h, t); the oracle never inspects a codepoint.
+    "txt_script" -> ("""WITH f AS (
+  SELECT doc_id, CAST(doc_id % 7 + 1 AS INT) AS h, doc_id % 3 AS t
+  FROM documents
+)
+SELECT doc_id,
+  CAST(CASE t WHEN 0 THEN 3*h + 3 WHEN 1 THEN 2*h + 1 ELSE 3*h END AS INT)
+    AS n_cp,
+  CAST(CASE t WHEN 0 THEN 2*h + 3 ELSE 0 END AS INT) AS n_latin,
+  CAST(CASE t WHEN 1 THEN 2*h ELSE 0 END AS INT) AS n_cyrillic,
+  CAST(0 AS INT) AS n_greek,
+  CAST(0 AS INT) AS n_arabic,
+  CAST(0 AS INT) AS n_devanagari,
+  CAST(CASE t WHEN 2 THEN 2*h ELSE 0 END AS INT) AS n_han,
+  CAST(0 AS INT) AS n_kana,
+  CAST(0 AS INT) AS n_hangul,
+  CAST(CASE t WHEN 2 THEN h ELSE 0 END AS INT) AS n_digit,
+  CAST(CASE t WHEN 0 THEN h ELSE 0 END AS INT) AS n_space,
+  CAST(CASE t WHEN 1 THEN 1 ELSE 0 END AS INT) AS n_other,
+  CASE t WHEN 0 THEN 'latin' WHEN 1 THEN 'cyrillic' ELSE 'han' END AS script,
+  CAST(CASE t WHEN 0 THEN (2*h + 3) * 1000 // (3*h + 3)
+         WHEN 1 THEN 2*h * 1000 // (2*h + 1)
+         ELSE 666 END AS BIGINT) AS script_pm
+FROM f ORDER BY doc_id"""),
 
     "txt_lang" -> """
 WITH w AS (

@@ -146,11 +146,13 @@ object Multimodal {
             .map(i => (i.getWidth, i.getHeight)).getOrElse((w, h))
           MediaFeatures(r.media_id, r.payload.length.toLong, hex, rw, rh, 1)
         case None =>
-          graft.functions.MediaHeaderUtil.parseWav(r.payload) match {
-            case Some(wav) =>
-              val frames = wav.dataLen.toLong / wav.blockAlign
+          // wavStatsAny, not parseWav: a compressed (ulaw/adpcm) WAV
+          // gets its REAL decoded frame count here too, one arithmetic
+          // with the audio path
+          graft.functions.MediaHeaderUtil.wavStatsAny(r.payload) match {
+            case Some((_, wav)) =>
               MediaFeatures(r.media_id, r.payload.length.toLong, hex, 0, 0,
-                math.min(frames, Int.MaxValue.toLong).toInt)
+                math.min(wav.nFrames, Int.MaxValue.toLong).toInt)
             case None =>
               graft.functions.MediaHeaderUtil.parseMp4(r.payload) match {
                 case Some(v) =>

@@ -151,7 +151,10 @@ object GraftFunctions {
       (exprs: Seq[Expression]) => TfFeatF32(exprs(0), exprs(1))),
     (FunctionIdentifier("tf_feat_bytes"),
       new ExpressionInfo(classOf[TfFeatBytes].getName, "tf_feat_bytes"),
-      (exprs: Seq[Expression]) => TfFeatBytes(exprs(0), exprs(1))))
+      (exprs: Seq[Expression]) => TfFeatBytes(exprs(0), exprs(1))),
+    (FunctionIdentifier("script_profile"),
+      new ExpressionInfo(classOf[ScriptProfile].getName, "script_profile"),
+      (exprs: Seq[Expression]) => ScriptProfile(exprs.head)))
 
   /** Registers only if absent, so a user's own temp function of the same
     * name is never silently replaced and repeated calls are no-ops. */

@@ -291,6 +291,43 @@ class TextAnalysisSpec extends SparkSpec {
       ("web", 3L, 12L, 2L, 6L)))
   }
 
+  test("scriptProfile: eight scripts, digits/space split, astral, ties, none") {
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      (1L, "hello мир"),      // latin 5, cyr 3, space 1 -> latin, 5000/9
+      (2L, "こんにちは漢字"),   // kana 5, han 2 -> kana
+      (3L, "한국어 텍스트"),    // hangul 6, space 1 -> hangul
+      (4L, "αβγ عربي हिंदी"),  // greek 3, arabic 4, devanagari 5, space 2
+      (5L, "12 34"),          // digits only -> no script -> none
+      (6L, "ab да"),          // latin 2 == cyr 2 -> fixed-order tie: latin
+      (7L, "𝄞😀a"), // astral clef+emoji count ONCE each
+      (8L, "")                // empty -> all zero, none
+    ).toDF("id", "text")
+    val out = TextAnalysis.scriptProfile(docs, $"text", $"id")
+      .orderBy("doc_id")
+      .select("doc_id", "n_cp", "n_latin", "n_cyrillic", "n_greek",
+        "n_arabic", "n_devanagari", "n_han", "n_kana", "n_hangul",
+        "n_digit", "n_space", "n_other", "script", "script_pm")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getInt(4), r.getInt(5), r.getInt(6), r.getInt(7), r.getInt(8),
+        r.getInt(9), r.getInt(10), r.getInt(11), r.getInt(12),
+        r.getString(13), r.getLong(14)))
+    assert(out.toSeq == Seq(
+      (1L, 9, 5, 3, 0, 0, 0, 0, 0, 0, 0, 1, 0, "latin", 555L),
+      (2L, 7, 0, 0, 0, 0, 0, 2, 5, 0, 0, 0, 0, "kana", 714L),
+      (3L, 7, 0, 0, 0, 0, 0, 0, 0, 6, 0, 1, 0, "hangul", 857L),
+      (4L, 14, 0, 0, 3, 4, 5, 0, 0, 0, 0, 2, 0, "devanagari", 357L),
+      (5L, 5, 0, 0, 0, 0, 0, 0, 0, 0, 4, 1, 0, "none", 0L),
+      (6L, 5, 2, 2, 0, 0, 0, 0, 0, 0, 0, 1, 0, "latin", 400L),
+      (7L, 3, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 2, "latin", 333L),
+      (8L, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, "none", 0L)))
+    // pure narrow projection: no Exchange anywhere
+    val plan = TextAnalysis.scriptProfile(docs, $"text", $"id")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"scriptProfile must not shuffle:\n$plan")
+  }
+
   test("dsirWeights: degenerate one-bucket arithmetic, identity, and ordering") {
     import org.apache.spark.sql.functions._
     // buckets=1: every gram lands in bucket 0, so ct=nt and cr=nr —
