@@ -95,7 +95,7 @@ object CoreQueries {
         Tables.ati(s, d), "account", dim, a => shiftright(a, 2))
       canon.groupBy(col("account")).agg(count(lit(1)).as("n")).orderBy("account")
     }),
-    "a11_resume" -> ((s, d) =>
+    "a11_res" -> ((s, d) =>
       BlockIngest.resumeHeight(Tables.summaries(s, d))),
     "cis2_dec" -> ((s, d) => {
       // CIS-2 binary log parse (§2.C): events → wire-format log bytes via
@@ -133,17 +133,17 @@ object CoreQueries {
     // B1/B2 through the SERVING mirrors (bucketed btree analog) — same
     // oracle as the scan-based rows; the spec-level pruning/zero-Exchange
     // claims live in ServingPageSpec.
-    "b1_served" -> ((s, d) => {
+    "b1_srv" -> ((s, d) => {
       val (atiM, sumM) = graft.sources.ServingMirrors.atiSummaries(s, d)
       QueryApi.accountPageServed(atiM, sumM, lit(Account), 0L, 50,
         ascending = true)
     }),
-    "b2_served" -> ((s, d) => {
+    "b2_srv" -> ((s, d) => {
       val (atiM, sumM) = graft.sources.ServingMirrors.atiSummaries(s, d)
       QueryApi.accountPageServed(atiM, sumM, lit(Account), MaxId, 50,
         ascending = false)
     }),
-    "b3_served" -> ((s, d) => {
+    "b3_srv" -> ((s, d) => {
       val (ctiM, sumM) = graft.sources.ServingMirrors.ctiSummaries(s, d)
       QueryApi.contractPageServed(ctiM, sumM, CIdx, CSub, 0L, 50,
         ascending = true)
@@ -224,7 +224,7 @@ object CoreQueries {
         .select("address", "public_key", "key_index")
         .orderBy("address", "key_index")
     }),
-    "b12_range" -> ((s, d) =>
+    "b12_rng" -> ((s, d) =>
       QueryApi.accountTransactionsInRange(Tables.ati(s, d), Tables.summaries(s, d),
         lit(Account), lit(TsLo), lit(TsHi), "timestamp"))
   )
@@ -245,7 +245,7 @@ object CoreQueries {
 SELECT coalesce(d.canonical, a.account) AS account, count(*) AS n
 FROM ati a LEFT JOIN dim d ON a.account // 4 = d.prefix
 GROUP BY 1 ORDER BY 1"""),
-    "a11_resume" -> (cte +
+    "a11_res" -> (cte +
       "SELECT max_by(height, id) AS height FROM summaries"),
     "cis2_dec" -> """
 SELECT event_id // 8 AS height,
@@ -269,12 +269,12 @@ SELECT s.id, s.block, s."timestamp", s.height, s.summary
 FROM ati JOIN summaries s ON ati.summary = s.id
 WHERE ati.account = $Account AND ati.summary <= $MaxId
 ORDER BY s.id DESC LIMIT 50"""),
-    "b1_served" -> (cte + s"""
+    "b1_srv" -> (cte + s"""
 SELECT s.id, s.block, s."timestamp", s.height, s.summary
 FROM ati JOIN summaries s ON ati.summary = s.id
 WHERE ati.account = $Account AND ati.summary >= 0
 ORDER BY s.id ASC LIMIT 50"""),
-    "b2_served" -> (cte + s"""
+    "b2_srv" -> (cte + s"""
 SELECT s.id, s.block, s."timestamp", s.height, s.summary
 FROM ati JOIN summaries s ON ati.summary = s.id
 WHERE ati.account = $Account AND ati.summary <= $MaxId
@@ -284,7 +284,7 @@ SELECT s.id, s.block, s."timestamp", s.height, s.summary
 FROM cti JOIN summaries s ON cti.summary = s.id
 WHERE cti."index" = $CIdx AND cti.subindex = $CSub AND cti.summary >= 0
 ORDER BY s.id ASC LIMIT 50"""),
-    "b3_served" -> (cte + s"""
+    "b3_srv" -> (cte + s"""
 SELECT s.id, s.block, s."timestamp", s.height, s.summary
 FROM cti JOIN summaries s ON cti.summary = s.id
 WHERE cti."index" = $CIdx AND cti.subindex = $CSub AND cti.summary >= 0
@@ -360,7 +360,7 @@ SELECT b.address, b.public_key, b.key_index
 FROM bindings b
 WHERE b.public_key IN (SELECT public_key FROM bindings WHERE address = $Account)
 ORDER BY b.address, b.key_index"""),
-    "b12_range" -> (cte + s"""
+    "b12_rng" -> (cte + s"""
 SELECT s.id, s.block, s."timestamp", s.height, s.summary
 FROM ati JOIN summaries s ON ati.summary = s.id
 WHERE ati.account = $Account AND s."timestamp" BETWEEN $TsLo AND $TsHi

@@ -68,6 +68,31 @@ object ExtQueries {
   // Tokens: word runs or single non-word chars (see Text.TokenRe).
   private val TokRe = "[0-9A-Za-z_]+|[^0-9A-Za-z_ ]"
 
+  /** Shared chain of text_ppl / ppl_cut: bigram self-scoring surprisal
+    * per document (`pp` = (doc_id, n_bigrams, bits_sum, ppl_pm)). */
+  private def PplCte = WordsCte + s""", bg AS (
+  SELECT doc_id, unnest(CASE WHEN len(words) >= 2
+           THEN list_transform(range(len(words)-1),
+                i -> array_to_string(words[i+1:i+2], ' '))
+           ELSE [] END) AS b0
+  FROM w
+), ex AS (
+  SELECT doc_id, ${h60("b0")} AS bh,
+         ${h60("split_part(b0, ' ', 1)")} AS wh
+  FROM bg
+), big AS (SELECT wh, bh, count(*) AS c12 FROM ex GROUP BY 1, 2),
+uni AS (SELECT wh, sum(c12) AS c1 FROM big GROUP BY 1),
+model AS (
+  SELECT bh, CAST(length(bin(c1 // c12)) AS BIGINT) AS s
+  FROM big JOIN uni USING (wh)
+), pp AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         CAST(sum(s) AS BIGINT) AS bits_sum,
+         CAST(sum(s) * 1000 // count(*) AS BIGINT) AS ppl_pm
+  FROM ex JOIN model USING (bh)
+  GROUP BY doc_id
+)"""
+
   /** DuckDB mirror of the minhash→band→bucket candidate chain
     * (Dedup.minhashSignatures + minhashLsh banding), shared by the pair
     * query and the components query. */
@@ -224,7 +249,7 @@ object ExtQueries {
         .orderBy("doc_a", "doc_b")
     }),
 
-    "dd_shared" -> ((s, d) =>
+    "dd_shr" -> ((s, d) =>
       Dedup.sharedShingleStats(Tables.documents(s, d), col("text"),
           col("doc_id"), k = 3)
         .orderBy("doc_id")),
@@ -290,7 +315,7 @@ object ExtQueries {
     // planes = 8 matches ann_lsh's tuned banding: at 2^16 buckets over
     // this corpus LSH candidate sets are empty and every lsh row would
     // be a true-but-vacuous hits=0.
-    "ann_recall" -> ((s, d) =>
+    "ann_rec" -> ((s, d) =>
       Similarity.recallAtK(Tables.embeddings(s, d), "vec_id", "embedding",
         queryIds = Seq(0L, 32L, 100L, 250L, 400L), k = 10, planes = 8)),
 
@@ -326,7 +351,7 @@ object ExtQueries {
     // cells over the 500-vector corpus; every vector gets a cell, so
     // the row checks the full assignment, not a sample). The oracle
     // unrolls the identical round in SQL.
-    "ann_kmeans" -> ((s, d) =>
+    "ann_km" -> ((s, d) =>
       Similarity.kmeansRefine(Tables.embeddings(s, d), "vec_id",
           "embedding", centroidStride = 50, iters = 1)
         .select(col("vid").as("vec_id"), col("cid"))
@@ -459,7 +484,7 @@ object ExtQueries {
           col("n_chars") * 2000L)
         .select("doc_id").orderBy("doc_id")),
 
-    "smp_strat" -> ((s, d) =>
+    "smp_str" -> ((s, d) =>
       Sampling.stratified(Tables.events(s, d), col("event_type"),
           col("event_id"),
           Map("view" -> 100000, "click" -> 500000, "purchase" -> 1000000))
@@ -568,6 +593,14 @@ object ExtQueries {
           col("doc_id"))
         .orderBy("doc_id")),
 
+    // CCNet's head/middle/tail perplexity split per language — value
+    // thresholds at the 1/3 and 2/3 cumulative cuts of each language's
+    // integer ppl distribution.
+    "ppl_cut" -> ((s, d) =>
+      TextAnalysis.pplBuckets(Tables.documents(s, d), col("text"),
+          col("doc_id"), col("lang"))
+        .orderBy("doc_id")),
+
     // Stupid-backoff trigram scoring against a FOREIGN variant of the
     // corpus (every 7th word swapped for an OOV token, so all three
     // backoff tiers genuinely fire): train on documents, score the
@@ -623,7 +656,7 @@ object ExtQueries {
     // benchmark-sized sliver), train = the rest; flag train vectors
     // whose max cosine against ANY eval vector clears 0.3 (the fixture
     // embeddings' contaminated tail — ~2% of rows at both test SFs).
-    "decon_sem" -> ((s, d) => {
+    "dec_sem" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       Similarity.decontaminate(
         emb.where(col("vec_id") % 200 =!= 0),
@@ -644,13 +677,13 @@ object ExtQueries {
       Multimodal.featuresCols(Tables.documents(s, d),
         col("text").cast("binary"), col("doc_id")).orderBy("media_id")),
 
-    "mm_frames" -> ((s, d) =>
+    "mm_frm" -> ((s, d) =>
       Multimodal.frameSample(
         Multimodal.featuresCols(Tables.documents(s, d),
           col("text").cast("binary"), col("doc_id")),
         maxFrames = 4).orderBy("media_id", "frame_idx")),
 
-    "mm_resize" -> ((s, d) =>
+    "mm_rsz" -> ((s, d) =>
       Multimodal.resizePlan(
         Multimodal.featuresCols(Tables.documents(s, d),
           col("text").cast("binary"), col("doc_id")),
@@ -1178,7 +1211,7 @@ FROM tagged t LEFT JOIN ts ON t.s = ts.s
 WHERE t.split <> 'train'
 GROUP BY 1, 2 ORDER BY doc_id"""),
 
-    "dd_shared" -> (hashedShinglesCte + """
+    "dd_shr" -> (hashedShinglesCte + """
 SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
        CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
        CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) * 1000
@@ -1276,7 +1309,7 @@ ORDER BY cosine DESC, vec_id ASC LIMIT 10"""),
     // sample: one pairs CTE scores every (query, corpus) pair, each
     // method takes its per-query windowed top-10, and the explicit
     // (method x query) base emits hits=0 rows for empty candidate sets.
-    "ann_recall" -> (rhpBucketsCte(8, 8) + """, qset AS (
+    "ann_rec" -> (rhpBucketsCte(8, 8) + """, qset AS (
   SELECT vec_id AS qid, qe AS qv FROM qz WHERE vec_id IN (0, 32, 100, 250, 400)
 ), pairs AS (
   SELECT q.qid, z.vec_id,
@@ -1362,7 +1395,7 @@ ORDER BY 1, 2"""),
     // kmeansRefine with iters=1 unrolled: seed codebook -> assignment
     // a1 -> per-(cell, dim) integer means (the sign trick mirrors
     // Spark's truncating `div`; DuckDB's // floors) -> final assignment.
-    "ann_kmeans" -> ("""WITH qz AS (
+    "ann_km" -> ("""WITH qz AS (
   SELECT vec_id AS vid,
          list_transform(embedding,
            x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS qe
@@ -1561,7 +1594,7 @@ SELECT stage, n_docs FROM (
   SELECT '3_train', CAST(sum(CASE WHEN q AND k AND tr THEN 1 ELSE 0 END) AS BIGINT) FROM f
 ) ORDER BY stage"""),
 
-    "smp_strat" -> (s"""
+    "smp_str" -> (s"""
 SELECT event_id, event_type
 FROM events
 WHERE ${h60("CAST(event_id AS VARCHAR)")} % 1000000 <
@@ -1893,27 +1926,34 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
        CAST(sum(sb) - sum(sg) AS BIGINT) AS nb_bits
 FROM s GROUP BY doc_id ORDER BY doc_id"""),
 
-    "text_ppl" -> (WordsCte + s""", bg AS (
-  SELECT doc_id, unnest(CASE WHEN len(words) >= 2
-           THEN list_transform(range(len(words)-1),
-                i -> array_to_string(words[i+1:i+2], ' '))
-           ELSE [] END) AS b0
-  FROM w
-), ex AS (
-  SELECT doc_id, ${h60("b0")} AS bh,
-         ${h60("split_part(b0, ' ', 1)")} AS wh
-  FROM bg
-), big AS (SELECT wh, bh, count(*) AS c12 FROM ex GROUP BY 1, 2),
-uni AS (SELECT wh, sum(c12) AS c1 FROM big GROUP BY 1),
-model AS (
-  SELECT bh, CAST(length(bin(c1 // c12)) AS BIGINT) AS s
-  FROM big JOIN uni USING (wh)
+    "text_ppl" -> (PplCte + """
+SELECT doc_id, n_bigrams, bits_sum, ppl_pm
+FROM pp ORDER BY doc_id"""),
+
+    // Mirror of pplBuckets: the text_ppl chain, per-(lang, ppl_pm)
+    // frequency table, cumulative cuts at 1/3 and 2/3 of each
+    // language, value-threshold tier assignment.
+    "ppl_cut" -> (PplCte + """, sc AS (
+  SELECT pp.doc_id, d.lang, pp.ppl_pm
+  FROM pp JOIN documents d USING (doc_id)
+), fr AS (
+  SELECT lang, ppl_pm, count(*) AS f FROM sc GROUP BY 1, 2
+), cu AS (
+  SELECT lang, ppl_pm,
+         sum(f) OVER (PARTITION BY lang ORDER BY ppl_pm) AS cum,
+         sum(f) OVER (PARTITION BY lang) AS n
+  FROM fr
+), th AS (
+  SELECT lang,
+         min(CASE WHEN cum * 3 >= n THEN ppl_pm END) AS t33,
+         min(CASE WHEN cum * 3 >= 2 * n THEN ppl_pm END) AS t66
+  FROM cu GROUP BY 1
 )
-SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-       CAST(sum(s) AS BIGINT) AS bits_sum,
-       CAST(sum(s) * 1000 // count(*) AS BIGINT) AS ppl_pm
-FROM ex JOIN model USING (bh)
-GROUP BY doc_id ORDER BY doc_id"""),
+SELECT sc.doc_id, sc.lang, sc.ppl_pm,
+       CASE WHEN sc.ppl_pm <= th.t33 THEN 'head'
+            WHEN sc.ppl_pm <= th.t66 THEN 'middle'
+            ELSE 'tail' END AS tier
+FROM sc JOIN th USING (lang) ORDER BY sc.doc_id"""),
 
     "text_top" -> ("""WITH t AS (
   SELECT doc_id, unnest(string_split_regex(trim(lower(text)), ' +')) AS term
@@ -1992,7 +2032,7 @@ SELECT doc_id AS media_id,
        CAST(octet_length(encode(text)) % 30 AS INT) AS n_frames
 FROM documents ORDER BY media_id"""),
 
-    "mm_frames" -> ("""WITH f AS (
+    "mm_frm" -> ("""WITH f AS (
   SELECT doc_id AS media_id, md5(text) AS content_hash,
          CAST(octet_length(encode(text)) % 30 AS INT) AS n_frames
   FROM documents
@@ -2004,7 +2044,7 @@ FROM (SELECT media_id, content_hash,
       FROM f WHERE n_frames > 0)
 ORDER BY media_id, frame_idx"""),
 
-    "mm_resize" -> (s"""WITH f AS (
+    "mm_rsz" -> (s"""WITH f AS (
   SELECT doc_id AS media_id,
          CAST(${h60("text")} % 1280 AS INT) AS width,
          CAST(${h60("md5(text)")} % 720 AS INT) AS height
@@ -2021,7 +2061,7 @@ FROM f WHERE width > 0 AND height > 0 ORDER BY media_id"""),
 
     // Same quantized-integer cosine arithmetic as the ann_* oracles;
     // max over the eval sliver, threshold 0.3.
-    "decon_sem" -> ("""WITH qz AS (
+    "dec_sem" -> ("""WITH qz AS (
   SELECT vec_id,
          list_transform(embedding,
            x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS qe

@@ -75,7 +75,7 @@ object RelationalQueries {
         .limit(20)
     }),
 
-    "q5_volume" -> ((s, d) => {
+    "q5_vol" -> ((s, d) => {
       // dims (region→nation→customer) broadcast down the join chain; the
       // only shuffle joins lineitem⋈orders on orderkey.
       val nr = Tables.nation(s, d)
@@ -402,7 +402,7 @@ WHERE l_returnflag = 'R'
 GROUP BY c_custkey, c_name, c_acctbal, n_name
 ORDER BY revenue DESC, c_custkey LIMIT 20""",
 
-    "q5_volume" -> s"""
+    "q5_vol" -> s"""
 SELECT n_name, SUM($rev) AS revenue
 FROM customer JOIN orders ON c_custkey = o_custkey
               JOIN lineitem ON l_orderkey = o_orderkey

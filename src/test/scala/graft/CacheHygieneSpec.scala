@@ -16,7 +16,7 @@ class CacheHygieneSpec extends SparkSpec {
     "dd_jac", "dd_lsh", "dd_cc",
     "dec_split", "ann_knng", "emb_near",
     "pack_seq", "pack_slc", "pack_shuf",
-    "ann_kmeans", "ann_recall")
+    "ann_km", "ann_rec")
 
   test("each cache-using query leaves no net persistent RDDs after release") {
     CacheScope.release() // drain whatever earlier suites left tracked

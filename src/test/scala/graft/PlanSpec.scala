@@ -29,7 +29,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q5 local supplier volume: dimension joins broadcast") {
-    val p = plan("q5_volume")
+    val p = plan("q5_vol")
     assert(count(p, "BroadcastHashJoin") >= 3,
       s"expected >=3 broadcast joins for the dimension chain in:\n$p")
     assert(!p.contains("CartesianProduct"))
@@ -128,7 +128,7 @@ class PlanSpec extends SparkSpec {
     // recallAtK ranks three candidate families (brute force, LSH, IVF)
     // with the same row_number <= k shape; all of them must keep the
     // map-side partial limit, not just the first
-    val p = plan("ann_recall")
+    val p = plan("ann_rec")
     val partials = p.split('\n').count(l =>
       l.contains("WindowGroupLimit") && l.contains("Partial"))
     assert(partials >= 3,
@@ -207,7 +207,7 @@ class PlanSpec extends SparkSpec {
     // boilerplate shingle shared by most of the corpus) joined back on
     // the hash key — a count window over the hash would put every
     // occurrence of the hot key into one partition
-    val p = plan("dd_shared")
+    val p = plan("dd_shr")
     assert(!p.contains("Window"), s"no window may partition on the shingle hash:\n$p")
     assert(count(p, "HashAggregate") >= 4,
       s"expected partial+final pairs for doc counts and the per-doc fold in:\n$p")
@@ -486,7 +486,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("kmeans: codebook broadcast for assignment, means aggregate partially") {
-    val p = plan("ann_kmeans")
+    val p = plan("ann_km")
     // both assignment passes broadcast the (bounded) codebook; the
     // corpus never shuffles to meet it
     assert(count(p, "BroadcastNestedLoopJoin") >= 2,

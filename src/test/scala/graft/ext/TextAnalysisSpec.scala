@@ -220,6 +220,50 @@ class TextAnalysisSpec extends SparkSpec {
       e2.getMessage.contains("explicit-vocab"))
   }
 
+  test("pplBuckets: per-language value thresholds, ties share a tier, 1-doc lang is head") {
+    import org.apache.spark.sql.functions._
+    // en: six docs of varying fluency (identical twins 15/16 pin the
+    // ties-share-a-tier contract); zz: a single doc — its only value IS
+    // the 1/3 cut, so it lands head
+    val docs = Seq(
+      (10L, "en", "a b a b a b a b"),
+      (11L, "en", "a b a b c d c d"),
+      (12L, "en", "a c b d a d b c"),
+      (13L, "en", "d c b a d c b a"),
+      (15L, "en", "a b c d q q q q"),
+      (16L, "en", "a b c d q q q q"),
+      (20L, "zz", "x y x y")).toDF("id", "lang", "text")
+    val out = TextAnalysis.pplBuckets(docs, $"text", $"id", $"lang")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))
+    // independent threshold derivation from the scores themselves
+    val byLang = out.groupBy(_._2)
+    byLang.foreach { case (_, rows) =>
+      val vals = rows.map(_._3).sorted
+      val n = vals.length
+      def cut(k: Int) = vals.find(v => vals.count(_ <= v) * 3 >= k * n).get
+      val (t33, t66) = (cut(1), cut(2))
+      rows.foreach { case (id, _, v, tier) =>
+        val want = if (v <= t33) "head" else if (v <= t66) "middle" else "tail"
+        assert(tier == want, s"doc $id: ppl $v -> $tier, expected $want")
+      }
+    }
+    // the twins share a value, so they must share a tier
+    val twins = out.filter(r => r._1 == 15L || r._1 == 16L)
+    assert(twins.map(_._3).distinct.length == 1 &&
+      twins.map(_._4).distinct.length == 1)
+    // the one-doc language's only value reaches the 1/3 cut -> head
+    assert(out.find(_._1 == 20L).get._4 == "head")
+    // every language surfaces a head (the tier CCNet keeps)
+    assert(byLang.forall(_._2.exists(_._4 == "head")))
+    // deterministic under repartitioning
+    val again = TextAnalysis.pplBuckets(docs.repartition(5), $"text", $"id",
+        $"lang")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))
+    assert(again.toSeq == out.toSeq)
+  }
+
   test("lm3Score: all three stupid-backoff tiers priced by hand arithmetic") {
     // train "a b c a b d": trigrams abc, bca, cab, abd (N=4)
     //   contexts  c12: "a b"=2, "b c"=1, "c a"=1
