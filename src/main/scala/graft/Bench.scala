@@ -64,6 +64,7 @@ object Bench {
     warm(ExtQueries.ivfLabelIndexFor(spark, sfDir))
     warm(ExtQueries.pqIndexFor(spark, sfDir))
     warm(ExtQueries.ivfPqIndexFor(spark, sfDir))
+    warm(ExtQueries.lshIndexFor(spark, sfDir))
     val timings = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val reruns = scala.collection.mutable.LinkedHashMap.empty[String, Double]

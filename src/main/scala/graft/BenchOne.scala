@@ -41,6 +41,7 @@ object BenchOne {
     warm(ExtQueries.ivfLabelIndexFor(spark, sfDir))
     warm(ExtQueries.pqIndexFor(spark, sfDir))
     warm(ExtQueries.ivfPqIndexFor(spark, sfDir))
+    warm(ExtQueries.lshIndexFor(spark, sfDir))
     val fn = SparkEntry.queries(name)
     val times = (1 to runs).map { _ =>
       val t0 = System.nanoTime()

@@ -153,6 +153,22 @@ model AS (
     * centroids are written first, so its presence means both halves are
     * complete. Synchronized so concurrent first probes can't race
     * overlapping writes to one path. */
+  /** Precomputed MinHash-LSH history index over the history slice
+    * (doc_id % 10 < 8 — dd_incr's split) — same build-once contract,
+    * data-fingerprint keying, and race guard as [[ivfIndexFor]]; the
+    * index parameters are stored in its meta frame, so the dd_nidx
+    * probe reproduces the declared banding exactly. */
+  private[graft] def lshIndexFor(s: SparkSession, sfDir: String): String =
+    synchronized {
+      val path = graft.sources.Scratch.dir("lsh",
+        graft.sources.Scratch.key(sfDir))
+      if (!new java.io.File(s"$path/buckets/_SUCCESS").exists())
+        Dedup.writeLshIndex(
+          Tables.documents(s, sfDir).where(col("doc_id") % 10 < 8),
+          col("text"), col("doc_id"), path)
+      path
+    }
+
   private[graft] def ivfIndexFor(s: SparkSession, sfDir: String): String =
     synchronized {
       val path = graft.sources.Scratch.dir("ivf",
@@ -640,6 +656,17 @@ model AS (
     "dd_prefix" -> ((s, d) =>
       Dedup.prefixDups(Tables.documents(s, d), col("text"), col("doc_id"),
         n = 64).orderBy("doc_id")),
+
+    // NEAR-dup incremental dedup against the STORED LSH history index
+    // (dd_incr's exact tier one level up): the fresh batch probes only
+    // its own bucket-group partitions of the index built from the
+    // history slice, and near_history tags docs matching >= 8 of 16
+    // signature rows with any indexed doc.
+    "dd_nidx" -> ((s, d) =>
+      Dedup.tagNearLshIndex(
+          Tables.documents(s, d).where(col("doc_id") % 10 >= 8),
+          col("text"), col("doc_id"), lshIndexFor(s, d))
+        .select("doc_id", "near_history").orderBy("doc_id")),
 
     // New-vs-history incremental dedup: docs with doc_id % 10 >= 8 play
     // the fresh crawl batch, the rest the accumulated corpus.
@@ -1132,6 +1159,26 @@ FROM cand JOIN sig sa ON doc_a = sa.doc_id
           JOIN sig sb ON doc_b = sb.doc_id
 WHERE len(list_filter(range(16), i -> sa.sig[i+1] = sb.sig[i+1])) >= 4
 ORDER BY doc_a, doc_b"""),
+
+    // Mirror of tagNearLshIndex over the dd_incr split: band-bucket
+    // collisions BETWEEN history (doc_id%10 < 8) and batch (>= 8),
+    // best signature-match count per batch doc, tag at >= 8 of 16;
+    // batch docs with no collision (or no shingles at all) tag false.
+    "dd_nidx" -> (MinhashCte + """, xc AS (
+  SELECT DISTINCT h.doc_id AS hid, n.doc_id AS nid
+  FROM bands h JOIN bands n ON h.b = n.b AND h.bucket = n.bucket
+  WHERE h.doc_id % 10 < 8 AND n.doc_id % 10 >= 8
+), mm AS (
+  SELECT xc.nid,
+         max(len(list_filter(range(16),
+             i -> sh2.sig[i+1] = sn.sig[i+1]))) AS best
+  FROM xc JOIN sig sh2 ON sh2.doc_id = xc.hid
+          JOIN sig sn ON sn.doc_id = xc.nid
+  GROUP BY xc.nid
+)
+SELECT d.doc_id, coalesce(mm.best >= 8, false) AS near_history
+FROM documents d LEFT JOIN mm ON mm.nid = d.doc_id
+WHERE d.doc_id % 10 >= 8 ORDER BY d.doc_id"""),
 
     "dd_cc" -> (MinhashCte.replaceFirst("WITH ", "WITH RECURSIVE ") + """, pairs AS (
   SELECT doc_a, doc_b

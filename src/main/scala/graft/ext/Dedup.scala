@@ -537,4 +537,149 @@ object Dedup {
       call_function("bloom_might_contain",
         lit(historyBloom), xxhash64(md5(content))))
   }
+
+  // ---- The NEAR-dup HISTORY INDEX — the text-side sibling of the
+  // embedding family [[graft.ext.Similarity.writeCellIndex]] /
+  // appendCellIndex / tagNearIndex, completing the (exact | near) ×
+  // (batch | incremental | streaming) matrix: [[newAgainst]] settles
+  // exact incremental dedup and [[tagAgainstHistory]] its streaming
+  // tag; these give the NEAR tier the same accumulated-history shape
+  // (minhashLsh alone is batch-only — it can't ask "is this batch
+  // near-duplicate of anything we already kept?" without re-banding
+  // the corpus). ----
+
+  /** Band-bucket rows with the signature inline and the BOUNDED
+    * partition column `pb` (bucket md5 folded into `parts` groups — the
+    * [[graft.sources.BucketedMirror]] idiom): an incoming batch's
+    * distinct `pb` set is ≤ `parts` values, so the probe scan prunes to
+    * those partitions as a literal predicate instead of reading the
+    * corpus-sized index. */
+  private def lshBuckets(df: DataFrame, content: Column, id: Column,
+                         k: Int, numHashes: Int, bands: Int,
+                         parts: Int): DataFrame = {
+    val r = numHashes / bands
+    minhashSignatures(df, content, id, k, numHashes)
+      .select(col("doc_id"), col("sig"),
+        explode(transform(sequence(lit(0), lit(bands - 1)),
+          b => struct(b.as("band"),
+            md5(concat_ws("|", slice(col("sig"), b * r + 1, lit(r))
+              .cast("array<string>"))).as("bucket"))))
+          .as("bb"))
+      .select(col("doc_id"), col("sig"), col("bb.band"), col("bb.bucket"))
+      .withColumn("pb",
+        (conv(substring(col("bucket"), 1, 4), 16, 10).cast("long")
+          % parts).cast("int"))
+  }
+
+  /** Materialize the LSH history index: every document's band buckets
+    * with its signature inline, hive-partitioned by the bounded `pb`
+    * group and sorted within partitions for footer skipping, plus a
+    * one-row `meta` frame pinning the hash parameters — a probe against
+    * an index banded differently would silently miss everything, so the
+    * probe reads its parameters FROM the index, never from the caller. */
+  def writeLshIndex(df: DataFrame, content: Column, id: Column, path: String,
+                    k: Int = 3, numHashes: Int = 16, bands: Int = 4,
+                    parts: Int = 64): Unit = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq((k, numHashes, bands, parts)).toDF("k", "num_hashes", "bands", "parts")
+      .write.mode("overwrite").parquet(s"$path/meta")
+    lshBuckets(df, content, id, k, numHashes, bands, parts)
+      .repartition(col("pb"))
+      .sortWithinPartitions("band", "bucket", "doc_id")
+      .write.mode("overwrite").partitionBy("pb").parquet(s"$path/buckets")
+  }
+
+  /** TAG a batch against the accumulated LSH index — tag-don't-drop
+    * ([[tagAgainstHistory]]'s contract, one tier up): `near_history` is
+    * true iff some INDEXED document shares a band bucket AND matches at
+    * least `minMatches` of the batch document's `numHashes` signature
+    * rows. A replay can re-tag but never lose a document, and unlike
+    * the bloom tier there are no hash false positives to settle — the
+    * signature comparison IS the near-dup score.
+    *
+    * Scale shape: the batch's distinct `pb` set (≤ `parts` values)
+    * collects to a literal partition predicate — the probe scans only
+    * the batch's own bucket-group partitions, never the corpus-sized
+    * index ([[graft.ext.Similarity.tagNearIndex]]'s pruning shape in
+    * text space). `maxBucket` caps a giant stored bucket's fan-out
+    * (an exact-dup CLUSTER in the index — the [[minhashLsh]] trade,
+    * bounded BY DEFAULT like semDedup): its members stop generating
+    * candidates through that bucket; other bands still can. */
+  def tagNearLshIndex(batch: DataFrame, content: Column, id: Column,
+                      path: String, minMatches: Int = 8,
+                      maxBucket: Int = 4096): DataFrame = {
+    val spark = batch.sparkSession
+    val meta = spark.read.parquet(s"$path/meta").head
+    val (k, nh, bands, parts) = (meta.getInt(0), meta.getInt(1),
+      meta.getInt(2), meta.getInt(3))
+    val bb = graft.CacheScope.persistTracked(
+      lshBuckets(batch, content, id, k, nh, bands, parts))
+    // bounded driver collect: <= parts values, the partition literal
+    val pbs = bb.select("pb").distinct().collect().map(_.getInt(0)).toSeq
+    val prunedAll = spark.read.parquet(s"$path/buckets")
+      .where(col("pb").isin(pbs: _*))
+    val pruned =
+      if (maxBucket == Int.MaxValue) prunedAll
+      else prunedAll.join(
+        prunedAll.groupBy("band", "bucket").agg(count(lit(1)).as("__n"))
+          .where(col("__n") <= maxBucket).select("band", "bucket"),
+        Seq("band", "bucket"))
+    val near = bb.as("b").join(pruned.as("s"),
+        col("b.pb") === col("s.pb") && col("b.band") === col("s.band") &&
+          col("b.bucket") === col("s.bucket") &&
+          col("b.doc_id") =!= col("s.doc_id"))
+      .where(aggregate(zip_with(col("b.sig"), col("s.sig"),
+          (x, y) => when(x === y, 1).otherwise(0)),
+        lit(0), (acc, v) => acc + v) >= minMatches)
+      .select(col("b.doc_id").as("__nid")).distinct()
+      .withColumn("near_history", lit(true))
+    batch.join(near, id === col("__nid"), "left")
+      .drop("__nid")
+      .na.fill(false, Seq("near_history"))
+  }
+
+  /** INCREMENTAL index append — [[graft.ext.Similarity.appendCellIndex]]'s
+    * exact replay contract in text space: an `_applied_batches/<batchId>`
+    * marker (committed AFTER the data files) catches whole-batch
+    * replays, and a doc-level anti join against the batch's own pruned
+    * `pb` partitions catches re-delivery under a NEW batchId (banding
+    * against the frozen meta parameters is deterministic, so a replayed
+    * document lands in the same partitions as its stored copy). Hash
+    * parameters never change on append — relearning them is an explicit
+    * offline [[writeLshIndex]], the codebook-relearn analog. Returns
+    * false on a marker-replayed batch. Compose with [[tagNearLshIndex]]
+    * in one `foreachBatch` (tag against the CURRENT index, append the
+    * novel rows) for incremental near-dedup over a live feed. */
+  def appendLshIndex(batch: DataFrame, content: Column, id: Column,
+                     path: String, batchId: Long): Boolean = {
+    val spark = batch.sparkSession
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val markers = new org.apache.hadoop.fs.Path(root, "_applied_batches")
+    val marker = new org.apache.hadoop.fs.Path(markers, batchId.toString)
+    if (fs.exists(marker)) false
+    else {
+      val meta = spark.read.parquet(s"$path/meta").head
+      // local persist, not CacheScope: the write below materializes
+      // inside this call (appendCellIndex's reasoning)
+      val bb = lshBuckets(batch, content, id, meta.getInt(0), meta.getInt(1),
+          meta.getInt(2), meta.getInt(3))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val pbs = bb.select("pb").distinct().collect().map(_.getInt(0)).toSeq
+      val novel =
+        if (pbs.isEmpty) bb
+        else bb.join(
+          spark.read.parquet(s"$path/buckets")
+            .where(col("pb").isin(pbs: _*)).select("doc_id").distinct(),
+          Seq("doc_id"), "left_anti")
+      novel.repartition(col("pb"))
+        .sortWithinPartitions("band", "bucket", "doc_id")
+        .write.mode("append").partitionBy("pb").parquet(s"$path/buckets")
+      bb.unpersist(blocking = false)
+      fs.mkdirs(markers)
+      fs.create(marker, false).close()
+      true
+    }
+  }
 }
