@@ -657,6 +657,14 @@ model AS (
       Dedup.prefixDups(Tables.documents(s, d), col("text"), col("doc_id"),
         n = 64).orderBy("doc_id")),
 
+    // Cross-source shingle-overlap census: distinct-3-shingle Jaccard
+    // for every observed source pair — the between-dumps overlap
+    // report a mixture designer reads before weighting sources.
+    "src_ovl" -> ((s, d) =>
+      Dedup.sourceOverlap(Tables.documents(s, d), col("text"),
+          col("source"))
+        .orderBy("src_a", "src_b")),
+
     // NEAR-dup incremental dedup against the STORED LSH history index
     // (dd_incr's exact tier one level up): the fresh batch probes only
     // its own bucket-group partitions of the index built from the
@@ -1159,6 +1167,24 @@ FROM cand JOIN sig sa ON doc_a = sa.doc_id
           JOIN sig sb ON doc_b = sb.doc_id
 WHERE len(list_filter(range(16), i -> sa.sig[i+1] = sb.sig[i+1])) >= 4
 ORDER BY doc_a, doc_b"""),
+
+    // Mirror of sourceOverlap: per-source distinct hashed 3-shingles,
+    // pairwise intersection counts, exact integer Jaccard ppt.
+    "src_ovl" -> (hashedShinglesCte + """, s2 AS (
+  SELECT DISTINCT d.source, s.s FROM sh s JOIN documents d USING (doc_id)
+), tot AS (
+  SELECT source, count(*) AS n FROM s2 GROUP BY 1
+), ov AS (
+  SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_shared
+  FROM s2 a JOIN s2 b ON a.s = b.s AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT ov.src_a, ov.src_b, CAST(n_shared AS BIGINT) AS n_shared,
+       CAST(ta.n AS BIGINT) AS n_a, CAST(tb.n AS BIGINT) AS n_b,
+       CAST(n_shared * 1000 // (ta.n + tb.n - n_shared) AS BIGINT) AS jac_pm
+FROM ov JOIN tot ta ON ta.source = ov.src_a
+        JOIN tot tb ON tb.source = ov.src_b
+ORDER BY src_a, src_b"""),
 
     // Mirror of tagNearLshIndex over the dd_incr split: band-bucket
     // collisions BETWEEN history (doc_id%10 < 8) and batch (>= 8),

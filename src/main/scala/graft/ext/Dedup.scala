@@ -538,6 +538,47 @@ object Dedup {
         lit(historyBloom), xxhash64(md5(content))))
   }
 
+  /** Cross-SOURCE shingle-overlap census — the corpus-overlap report a
+    * mixture designer runs BETWEEN sources (how much of crawl dump N
+    * re-crawls dump N-1? how much of a "books" source is already inside
+    * the web slice?), the aggregate complement of the per-document
+    * [[sharedShingleStats]]: for every observed source pair, the count
+    * of distinct k-shingles they share and the exact integer Jaccard in
+    * parts-per-thousand. Pairs with zero overlap emit no row (no
+    * #sources² cross join materializes absences).
+    *
+    * Scale shape: the distinct (source, shingle-hash) frame is one
+    * partial-aggregating distinct on uniform keys (a boilerplate
+    * shingle present in every source collapses map-side to #sources
+    * rows); the self-join per shingle hash fans out at most
+    * C(#sources, 2) pairs per DISTINCT shingle — bounded by the source
+    * inventory, not the corpus — and the per-source totals frame is
+    * #sources rows, broadcast. Persisted query-scoped: three consumers
+    * (totals + both join sides).
+    *
+    * Output: (src_a, src_b, n_shared, n_a, n_b, jac_pm), src_a < src_b. */
+  def sourceOverlap(df: DataFrame, content: Column, source: Column,
+                    k: Int = 3): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val sh = graft.CacheScope.persistTracked(
+      df.select(source.as("source"),
+          explode(Text.shingles(content, k)).as("s0"))
+        .select(col("source"), Text.hash60(col("s0")).as("h"))
+        .distinct())
+    val tot = sh.groupBy("source").agg(count(lit(1)).as("n"))
+    sh.as("a").join(sh.as("b"),
+        col("a.h") === col("b.h") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(broadcast(tot.select(col("source").as("src_a"),
+        col("n").as("n_a"))), "src_a")
+      .join(broadcast(tot.select(col("source").as("src_b"),
+        col("n").as("n_b"))), "src_b")
+      .select(col("src_a"), col("src_b"), col("n_shared"), col("n_a"),
+        col("n_b"),
+        expr("n_shared * 1000 div (n_a + n_b - n_shared)").as("jac_pm"))
+  }
+
   // ---- The NEAR-dup HISTORY INDEX — the text-side sibling of the
   // embedding family [[graft.ext.Similarity.writeCellIndex]] /
   // appendCellIndex / tagNearIndex, completing the (exact | near) ×

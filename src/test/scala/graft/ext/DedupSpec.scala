@@ -168,6 +168,29 @@ class DedupSpec extends SparkSpec {
       (3L, 1L, 0L, 0L))) // within-doc repetition is repetitionStats' job
   }
 
+  test("sourceOverlap: pairwise distinct-shingle Jaccard by hand, zero pairs absent") {
+    import org.apache.spark.sql.functions._
+    // A: {abc,bcd,cde} (the second doc repeats a shingle — distinct per
+    // source), B: {bcd,cde,def}, C: {xyz,yzw} — A∩B = 2, A∩C = B∩C = ∅
+    val docs = Seq(
+      (1L, "A", "a b c d e"),
+      (2L, "A", "a b c"),
+      (3L, "B", "b c d e f"),
+      (4L, "C", "x y z w")).toDF("doc_id", "source", "text")
+    val out = Dedup.sourceOverlap(docs, $"text", $"source")
+      .orderBy("src_a", "src_b").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    // jac = 2*1000 div (3 + 3 - 2) = 500; no row for the empty overlaps
+    assert(out.toSeq == Seq(("A", "B", 2L, 3L, 3L, 500L)))
+    val again = Dedup.sourceOverlap(docs.repartition(5), $"text", $"source")
+      .orderBy("src_a", "src_b").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(again.toSeq == out.toSeq)
+    graft.CacheScope.release()
+  }
+
   test("simhash: identical docs at distance 0, unrelated docs far") {
     val fp = Dedup.simhash(docs, $"text", $"doc_id")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
