@@ -371,18 +371,33 @@ object Multimodal {
       it.grouped(batchSize).flatMap { batch =>
         batch.flatMap { r =>
           graft.functions.MediaHeaderUtil.parseAvi(r.payload).flatMap { avi =>
-            avi.audio.filter(a => a.formatTag == 1 && a.chunks.nonEmpty)
+            // PCM (tag 1) reassembles losslessly; G.711 mu-law (tag 7,
+            // one byte per sample) routes through the same verified
+            // compressed-WAV decode as standalone audio — real AVIs
+            // from telephony corpora mux exactly this pair. Other audio
+            // codecs stay quarantined.
+            avi.audio.filter(a =>
+                (a.formatTag == 1 || a.formatTag == 7) && a.chunks.nonEmpty)
               .flatMap { a =>
                 val data = new java.io.ByteArrayOutputStream()
                 a.chunks.foreach { case (off, len) =>
                   data.write(r.payload, off, len) }
-                graft.functions.MediaHeaderUtil
-                  .wavStats(wavWrap(a.channels, a.sampleRate, a.bits,
-                    data.toByteArray))
-                  .map { s =>
-                    MediaAudio(r.media_id, "avi", s.channels, s.sampleRate,
-                      s.bitsPerSample, s.nFrames, s.durationMs, s.meanAbsAmp)
-                  }
+                val bytes = data.toByteArray
+                val stats =
+                  if (a.formatTag == 1)
+                    graft.functions.MediaHeaderUtil
+                      .wavStats(wavWrap(a.channels, a.sampleRate, a.bits,
+                        bytes))
+                      .map(("avi", _))
+                  else graft.functions.MediaHeaderUtil
+                    .wavStatsAny(synthCompressedWav(7, a.channels,
+                      a.sampleRate, 8, blockAlign = a.channels,
+                      fact = bytes.length / math.max(a.channels, 1), bytes))
+                    .map { case (_, s) => ("avi-ulaw", s) }
+                stats.map { case (fmt, s) =>
+                  MediaAudio(r.media_id, fmt, s.channels, s.sampleRate,
+                    s.bitsPerSample, s.nFrames, s.durationMs, s.meanAbsAmp)
+                }
               }
           }
         }
@@ -539,7 +554,8 @@ object Multimodal {
     * each — making the fixture a true A/V mux. */
   private[ext] def synthAvi(frames: Seq[Array[Byte]], w: Int, h: Int,
                             fps: Int,
-                            audio: Option[(Int, Array[Byte], Int)]): Array[Byte] = {
+                            audio: Option[(Int, Array[Byte], Int)],
+                            audioTag: Int = 1): Array[Byte] = {
     def le16(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
     def le32(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
       ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
@@ -560,12 +576,17 @@ object Multimodal {
     val strf = le32(40) ++ le32(w) ++ le32(h) ++ le16(1) ++ le16(24) ++
       fcc("MJPG") ++ le32(w * h * 3) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
     val audStrl = audio.toSeq.map { case (rate, pcm, _) =>
-      val nSamp = pcm.length / 2
+      // mono 16-bit PCM (tag 1) or mono 8-bit G.711 mu-law (tag 7 —
+      // one byte per sample, blockAlign 1)
+      val bytesPerSample = if (audioTag == 7) 1 else 2
+      val bits = if (audioTag == 7) 8 else 16
+      val nSamp = pcm.length / bytesPerSample
       val astrh = fcc("auds") ++ le32(0) ++ le32(0) ++ le16(0) ++ le16(0) ++
         le32(0) ++ le32(1) ++ le32(rate) ++ le32(0) ++ le32(nSamp) ++
-        le32(0) ++ le32(0) ++ le32(2) ++ le16(0) ++ le16(0) ++ le16(0) ++ le16(0)
-      val astrf = le16(1) ++ le16(1) ++ le32(rate) ++ le32(rate * 2) ++
-        le16(2) ++ le16(16)
+        le32(0) ++ le32(0) ++ le32(bytesPerSample) ++
+        le16(0) ++ le16(0) ++ le16(0) ++ le16(0)
+      val astrf = le16(audioTag) ++ le16(1) ++ le32(rate) ++
+        le32(rate * bytesPerSample) ++ le16(bytesPerSample) ++ le16(bits)
       list("strl", chunk("strh", astrh) ++ chunk("strf", astrf))
     }
     val hdrl = list("hdrl",

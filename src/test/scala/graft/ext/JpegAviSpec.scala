@@ -150,6 +150,29 @@ class JpegAviSpec extends SparkSpec {
     assert(none.isEmpty)
   }
 
+  test("A/V demux routes a mu-law audio stream through the verified G.711 decode") {
+    // bytes 0x00, 0xff, 0x80, 0x2a: |samples| 32124, 0, 32124, 5372
+    // (AudioDecodeSpec's hand vector) -> mean 69620/4 = 17405; split
+    // into 3-byte chunks so reassembly crosses chunk boundaries
+    val ulawBytes = Array(0x00, 0xff, 0x80, 0x2a).map(_.toByte)
+    val frames = (0 until 2).map(f => JpegGray.encodeConst(16, 16, 40 * f))
+    val avi = Multimodal.synthAvi(frames, 16, 16, fps = 10,
+      audio = Some((8000, ulawBytes, 3)), audioTag = 7)
+    val a = MediaHeaderUtil.parseAvi(avi).get.audio.get
+    assert(a.formatTag == 7 && a.bits == 8 && a.blockAlign == 1)
+    val out = Multimodal.avAudioBatched(
+      Seq(Multimodal.MediaRow(9L, avi, "video/avi")).toDS()).collect()
+    assert(out.toSeq == Seq(Multimodal.MediaAudio(9L, "avi-ulaw", 1, 8000,
+      16, 4L, 0L, 17405L)))
+    // an unsupported audio codec (tag 2, MS-ADPCM framing we don't
+    // decode) quarantines: no audio row, the video path unharmed
+    val other = Multimodal.synthAvi(frames, 16, 16, fps = 10,
+      audio = Some((8000, ulawBytes, 3)), audioTag = 2)
+    assert(Multimodal.avAudioBatched(
+      Seq(Multimodal.MediaRow(10L, other, "video/avi")).toDS())
+      .collect().isEmpty)
+  }
+
   test("synthAvPayload matches the mm_av closed form (mm_audio's PCM via demux)") {
     for ((id, nch) <- Seq((0L, 0L), (7L, 123L), (400L, 999L))) {
       val n = (nch % 50 + 1).toInt
