@@ -286,7 +286,7 @@ model AS (
           maxDist = 16)
         .orderBy("doc_a", "doc_b")),
 
-    "ann_brute" -> ((s, d) =>
+    "ann_bf" -> ((s, d) =>
       Similarity.bruteForceTopK(Tables.embeddings(s, d), "vec_id", "embedding",
         queryId = 0L, k = 10)),
 
@@ -514,6 +514,14 @@ model AS (
           col("doc_id"), n = 40)
         .select("doc_id", "lang").orderBy("doc_id")),
 
+    // Temperature-smoothed (alpha = 0.5) per-language sampling: rates
+    // derived from the corpus's own counts via sqrt flattening — the
+    // published mBERT/XLM-R low-resource upweighting.
+    "smp_temp" -> ((s, d) =>
+      Sampling.temperatureMix(Tables.documents(s, d), col("lang"),
+          col("doc_id"), targetRows = 200)
+        .select("doc_id", "lang").orderBy("doc_id")),
+
     // Corpus-derived mixture rates: en/de/zh thin toward the target
     // weights, fr's demand exceeds its supply (rate clamps to 1e6 —
     // keep all), unweighted es drops entirely. All three regimes of
@@ -653,7 +661,7 @@ model AS (
         .orderBy("doc_id")
     }),
 
-    "dd_prefix" -> ((s, d) =>
+    "dd_pfx" -> ((s, d) =>
       Dedup.prefixDups(Tables.documents(s, d), col("text"), col("doc_id"),
         n = 64).orderBy("doc_id")),
 
@@ -836,7 +844,7 @@ model AS (
     // numeric entities, unknown-entity passthrough, quoted '>' inside
     // attributes, and self-closed <br/>. The oracle states each
     // template's expected extraction as a literal.
-    "html_text" -> ((s, d) => {
+    "html" -> ((s, d) => {
       graft.functions.GraftFunctions.register(s)
       val h = (col("doc_id") % 100).cast("string")
       val t = col("doc_id") % 4
@@ -895,7 +903,7 @@ model AS (
     // Exact-substring duplicate spans over the REAL corpus text: 5-word
     // windows occurring >= 2 times corpus-wide (~1100 duplicated windows
     // at sf0.01), merged into maximal per-document spans.
-    "dup_spans" -> ((s, d) =>
+    "dup_sp" -> ((s, d) =>
       Curation.duplicateSpans(Tables.documents(s, d), col("text"),
           col("doc_id"), k = 5, minCount = 2)
         .orderBy("doc_id", "span_start")),
@@ -1340,7 +1348,7 @@ ORDER BY doc_a, doc_b"""),
 
     "ann_ivfpq" -> AnnIvfPqSql,
 
-    "ann_brute" -> """
+    "ann_bf" -> """
 WITH qz AS (
   SELECT vec_id,
          list_transform(embedding,
@@ -1624,6 +1632,22 @@ FROM documents ORDER BY doc_id"""),
 SELECT doc_id FROM documents
 WHERE ${h60("'wt0:' || CAST(doc_id AS VARCHAR)")} % 1000000
       < least(greatest(n_chars * 2000, 0), 1000000)
+ORDER BY doc_id"""),
+
+    // Mirror of temperatureMix: per-language counts, sqrt smoothing,
+    // derived ppm rates, the same seeded hash thinning.
+    "smp_temp" -> (s"""WITH c AS (
+  SELECT lang, count(*) AS n FROM documents GROUP BY 1
+), s AS (
+  SELECT lang, n, CAST(floor(sqrt(n)) AS BIGINT) AS sg FROM c
+), t AS (SELECT sum(sg) AS st FROM s),
+r AS (
+  SELECT lang, least(1000000, 200 * sg * 1000000 // (t.st * n)) AS rate
+  FROM s CROSS JOIN t
+)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN r USING (lang)
+WHERE ${h60("'temp0:' || CAST(doc_id AS VARCHAR)")} % 1000000 < r.rate
 ORDER BY doc_id"""),
 
     // whole copies = rate // 1e6; the fractional copy lands iff the
@@ -2064,7 +2088,7 @@ SELECT term, n,
        CAST(row_number() OVER (ORDER BY n DESC, term ASC) AS INT) AS rank
 FROM k ORDER BY rank"""),
 
-    "dd_prefix" -> (s"""WITH p AS (
+    "dd_pfx" -> (s"""WITH p AS (
   SELECT doc_id, ${h60("substr(text,1,64)")} AS ph FROM documents
 ), c AS (
   SELECT ph, CAST(count(*) AS BIGINT) AS n_share FROM p GROUP BY 1
@@ -2215,7 +2239,7 @@ FROM f ORDER BY doc_id"""),
 
     // Each html_text template's EXPECTED extraction, stated as a
     // literal (chr(10) = the block-boundary newline, chr(233) = é).
-    "html_text" -> ("""WITH f AS (
+    "html" -> ("""WITH f AS (
   SELECT doc_id, doc_id % 4 AS t, CAST(doc_id % 100 AS VARCHAR) AS h
   FROM documents
 )
@@ -2369,7 +2393,7 @@ FROM p ORDER BY doc_id"""),
     // island; CASE WHEN NULL>5 THEN.. ELSE 0 matches Spark's first-row
     // semantics). Shared verbatim by dup_spans and dup_cut so the
     // two can never desync (the AnnIvfSql convention).
-    "dup_spans" -> (DupSpansCte + """
+    "dup_sp" -> (DupSpansCte + """
 SELECT doc_id, CAST(min(pos) AS INT) AS span_start,
        CAST(max(pos) + 4 AS INT) AS span_end,
        CAST(max(pos) + 4 - min(pos) + 1 AS INT) AS n_tokens

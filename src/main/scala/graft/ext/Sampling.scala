@@ -168,6 +168,44 @@ object Sampling {
       .drop("__g", "__n", "__w", "__rate")
   }
 
+  /** TEMPERATURE-smoothed source sampling — the exponential smoothing
+    * of the multilingual pretraining recipes (mBERT's and XLM-R's
+    * published α-smoothing): sample groups proportionally to `n_g^α`
+    * with α = 0.5, the square-root flattening that upweights
+    * low-resource languages without letting any one language dominate.
+    * Where [[mixture]] takes DESIGNER weights, this DERIVES them from
+    * the corpus itself: `s_g = floor(sqrt(n_g))`, keep rate
+    * `min(1e6, targetRows·s_g·1e6 div (Σs·n_g))` ppm, thinning by the
+    * same seeded id hash — expected output proportions are exactly
+    * `s_g / Σs`, the smoothed distribution.
+    *
+    * Exactness note: `floor(sqrt(n))` over IEEE doubles is
+    * deterministic and engine-identical for n < 2⁵² (sqrt is correctly
+    * rounded in both engines); the rate arithmetic runs in
+    * DECIMAL(38,0) with integral division ([[mixtureByTokens]]'s
+    * overflow discipline) so frontier-scale counts cannot wrap. Scale
+    * shape = [[mixture]]: one #groups-row partial-agg count + one-row
+    * total, broadcast back; the corpus side stays a narrow filter. */
+  def temperatureMix(df: DataFrame, group: Column, id: Column,
+                     targetRows: Long, seed: String = "temp0"): DataFrame = {
+    val counts = df.groupBy(group.as("__g")).agg(count(lit(1)).as("__n"))
+      .withColumn("__s", floor(sqrt(col("__n"))).cast("long"))
+    // "__sum", not "__S": Spark resolution is case-insensitive by
+    // default, so "__S" would be ambiguous against "__s"
+    val tot = counts.agg(sum("__s").as("__sum"))
+    val rates = counts.crossJoin(broadcast(tot))
+      .withColumn("__rate",
+        least(lit(1000000L), expr(
+          s"cast($targetRows as decimal(38,0)) * cast(__s as decimal(38,0))" +
+            " * cast(1000000 as decimal(38,0)) div" +
+            " (cast(__sum as decimal(38,0)) * cast(__n as decimal(38,0)))")))
+    val u = Text.hash60(concat_ws(":", lit(seed), id.cast("string"))) %
+      1000000L
+    df.join(broadcast(rates), group === col("__g"))
+      .where(u < col("__rate"))
+      .drop("__g", "__n", "__s", "__sum", "__rate")
+  }
+
   /** Weighted corpus MIXTURE — the domain-reweighting step of a
     * training recipe (Pile/DoReMi-style): given target output weights
     * per group (ppm) and a target output size, DERIVE each group's keep

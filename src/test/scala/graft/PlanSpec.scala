@@ -118,7 +118,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("prefix dups: partial-agg share counts, no window over the prefix hash") {
-    val p = plan("dd_prefix")
+    val p = plan("dd_pfx")
     assert(!p.contains("Window"), s"no window may partition on the prefix hash:\n$p")
     assert(p.contains("HashAggregate") && p.contains("Join"),
       s"expected the partial-agg + rejoin shape in:\n$p")
@@ -184,7 +184,7 @@ class PlanSpec extends SparkSpec {
     // mm_av (AVI audio demux) hold the same contract: per-document
     // narrow work, the output sort's range partitioning is the only
     // data movement.
-    for (q <- Seq("url_canon", "uni_norm", "html_text", "chunks",
+    for (q <- Seq("url_canon", "uni_norm", "html", "chunks",
         "mm_video", "mm_av", "smp_rep")) {
       val p = plan(q)
       assert(count(p, "Exchange") <= 1,
@@ -438,7 +438,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("duplicate spans: partial-agg shingle counts, doc-keyed island windows only") {
-    val p = plan("dup_spans")
+    val p = plan("dup_sp")
     // occurrence counts are a groupBy(sh) joined back (skew-safe); the
     // only windows left are the per-document lag + running-sum island
     // pass (a window partitioned on sh, or an unpartitioned global
@@ -502,7 +502,7 @@ class PlanSpec extends SparkSpec {
     // ann_brute/ann_lsh intentionally broadcast-cross-join ONE query
     // row against the corpus — a bounded nested loop, not an all-pairs
     // blowup — so they are exempt.
-    val exempt = Set("ann_brute", "ann_lsh")
+    val exempt = Set("ann_bf", "ann_lsh")
     SparkEntry.queries.keys.filterNot(exempt).foreach { name =>
       val p = plan(name)
       assert(!p.contains("CartesianProduct"),

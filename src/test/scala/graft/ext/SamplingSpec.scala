@@ -187,6 +187,31 @@ class SamplingSpec extends SparkSpec {
     assert(re != a && re.values.forall(n => n == 1L || n == 2L))
   }
 
+  test("temperatureMix: sqrt-flattened rates, low-resource kept whole, monotone in target") {
+    import org.apache.spark.sql.functions._
+    // A n=9 (s=3), B n=4 (s=2), C n=1 (s=1): S=6. targetRows=6 ->
+    // rates 333333 / 500000 / 1000000 ppm — the sqrt flattening gives
+    // the small group a HIGHER rate than its share (1e6 vs A's 1/3),
+    // and C is kept whole (rate clamps exactly at 1e6, no hash luck)
+    val docs = (1L to 9L).map((_, "A")) ++ (10L to 13L).map((_, "B")) ++
+      Seq((20L, "C"))
+    val df = docs.toDF("id", "g")
+    val kept6 = Sampling.temperatureMix(df, $"g", $"id", targetRows = 6)
+      .select("id").as[Long].collect().toSet
+    assert(kept6.contains(20L)) // C fully kept
+    // a target beyond supply clamps every rate to keep-everything
+    val keptAll = Sampling.temperatureMix(df, $"g", $"id", targetRows = 1000)
+      .select("id").as[Long].collect().toSet
+    assert(keptAll == docs.map(_._1).toSet)
+    // rates are monotone in targetRows, so membership is too
+    assert(kept6.subsetOf(keptAll))
+    // deterministic under repartitioning
+    val again = Sampling.temperatureMix(df.repartition(5), $"g", $"id",
+        targetRows = 6)
+      .select("id").as[Long].collect().toSet
+    assert(again == kept6)
+  }
+
   test("stratified keeps per-stratum rates and drops unknown strata") {
     val ev = (0L until 3000L).map(i =>
       (i, Seq("view", "click", "other")(i.toInt % 3))).toDF("event_id", "event_type")
