@@ -204,7 +204,7 @@ object CoreQueries {
            END as summary""")
       QueryApi.decodeRowsDeep(feed).orderBy("id")
     }),
-    "b5_strict" -> ((s, d) =>
+    "b5_str" -> ((s, d) =>
       QueryApi.decodeRowsStrict(Tables.summaries(s, d)).orderBy("id")),
     "b6_topk" -> ((s, d) =>
       QueryApi.topKPerAccount(Tables.ati(s, d), 3).orderBy("account", "rn")),
@@ -332,7 +332,7 @@ WHERE json_valid(summary)
   AND (json_extract(summary, '$.Left') IS NOT NULL
        OR json_extract(summary, '$.Right') IS NOT NULL)
 ORDER BY id"""),
-    "b5_strict" -> (cte + """
+    "b5_str" -> (cte + """
 SELECT id,
        CASE WHEN json_extract(summary, '$.Left') IS NOT NULL THEN 'Left'
             ELSE 'Right' END AS variant,

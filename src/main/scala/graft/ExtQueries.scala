@@ -68,6 +68,33 @@ object ExtQueries {
   // Tokens: word runs or single non-word chars (see Text.TokenRe).
   private val TokRe = "[0-9A-Za-z_]+|[^0-9A-Za-z_ ]"
 
+  /** Shared chain of mm_phash / mm_near: the synthetic raster's
+    * closed-form gray value, 2×2 block means, dHash bits, and the
+    * packed 64-bit hash (`hh` = (media_id, h)). Bit 63 uses the
+    * min-long literal — DuckDB's `<<` refuses 1 << 63. */
+  private val DhashCte = """WITH f AS (
+  SELECT doc_id AS media_id FROM documents
+), px AS (
+  SELECT media_id, x, y, (media_id * 7 + x * 11 + y * 3) % 256 AS v
+  FROM f CROSS JOIN (SELECT unnest(range(18)) AS x)
+         CROSS JOIN (SELECT unnest(range(16)) AS y)
+), cells AS (
+  SELECT media_id, x // 2 AS gx, y // 2 AS gy, sum(3 * v) // 12 AS m
+  FROM px GROUP BY 1, 2, 3
+), bits AS (
+  SELECT a.media_id, a.gy * 8 + a.gx AS i
+  FROM cells a JOIN cells b
+    ON a.media_id = b.media_id AND a.gy = b.gy AND b.gx = a.gx + 1
+  WHERE a.gx < 8 AND a.m > b.m
+), hh AS (
+  SELECT f.media_id,
+         CAST(coalesce(bit_or(CASE WHEN i = 63
+               THEN (-9223372036854775807 - 1)
+               ELSE (1::BIGINT << CAST(i AS INT)) END), 0) AS BIGINT) AS h
+  FROM f LEFT JOIN bits USING (media_id)
+  GROUP BY f.media_id
+)"""
+
   /** Shared chain of text_ppl / ppl_cut: bigram self-scoring surprisal
     * per document (`pp` = (doc_id, n_bigrams, bits_sum, ppl_pm)). */
   private def PplCte = WordsCte + s""", bg AS (
@@ -225,7 +252,7 @@ model AS (
     }
 
   val queries: Map[String, Q] = Map(
-    "dd_exact" -> ((s, d) =>
+    "dd_ex" -> ((s, d) =>
       Dedup.exact(Tables.documents(s, d), col("text"), col("doc_id"))
         .orderBy("content_hash")),
 
@@ -296,7 +323,7 @@ model AS (
 
     // probes the stored code index; same codebook, encoding rule, and
     // parameters as ann_pq → identical results, oracle is its verbatim
-    "ann_pq_idx" -> ((s, d) =>
+    "ann_pqx" -> ((s, d) =>
       Similarity.annPqIndexed(s, pqIndexFor(s, d), Tables.embeddings(s, d),
           "vec_id", "embedding", queryId = 0L, k = 10)
         .select(col("vid").as("vec_id"), col("pq_dist"))),
@@ -344,7 +371,7 @@ model AS (
     // re-assigning the whole corpus per query as ann_ivf does. Same
     // assignment rule, same parameters → identical results, and the
     // oracle is ann_ivf's verbatim.
-    "ann_ivf_idx" -> ((s, d) =>
+    "ann_ivfx" -> ((s, d) =>
       Similarity.annIvfIndexed(s, ivfIndexFor(s, d), queryId = 0L, k = 10,
           nprobe = 2)
         .select(col("vid").as("vec_id"), col("cosine"))),
@@ -479,7 +506,7 @@ model AS (
         .orderBy("stage")
     }),
 
-    "smp_split" -> ((s, d) =>
+    "smp_spl" -> ((s, d) =>
       Sampling.split(Tables.documents(s, d), col("doc_id"))
         .select("doc_id", "split").orderBy("doc_id")),
 
@@ -719,6 +746,32 @@ model AS (
     "mm_feat" -> ((s, d) =>
       Multimodal.featuresCols(Tables.documents(s, d),
         col("text").cast("binary"), col("doc_id")).orderBy("media_id")),
+
+    // REAL image perceptual hashing: per doc an 18x16 closed-form-gray
+    // PNG is synthesized as genuine (lossless) image bytes, decoded,
+    // and dHashed — the oracle prices the block-mean/bit arithmetic
+    // from the raster's closed form, image-blind.
+    "mm_phash" -> ((s, d) => {
+      import s.implicits._
+      val rows = Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .map(id => Multimodal.MediaRow(id, Multimodal.synthPngPayload(id),
+          "image/png"))
+      Multimodal.dhashBatched(rows).toDF().orderBy("media_id")
+    }),
+
+    // Image near-dup pairs over the same fingerprints: band-bucket
+    // candidates + exact Hamming verify at <= 3 bits (ids congruent
+    // mod 256 render identical rasters -> the exact-dup backbone, plus
+    // whatever genuinely near pairs the gradient pattern yields).
+    "mm_near" -> ((s, d) => {
+      import s.implicits._
+      val rows = Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .map(id => Multimodal.MediaRow(id, Multimodal.synthPngPayload(id),
+          "image/png"))
+      Multimodal.nearDupImages(Multimodal.dhashBatched(rows).toDF(),
+          col("media_id"), col("dhash"))
+        .orderBy("id_a", "id_b")
+    }),
 
     "mm_frm" -> ((s, d) =>
       Multimodal.frameSample(
@@ -1148,7 +1201,7 @@ ORDER BY cosine DESC, qz.vec_id ASC LIMIT 10"""
   private val AnnIvfSql = annIvfSqlWhere("")
 
   val oracles: Map[String, String] = Map(
-    "dd_exact" -> """
+    "dd_ex" -> """
 SELECT md5(text) AS content_hash, min(doc_id) AS keeper_doc_id,
        count(*) AS n_copies
 FROM documents GROUP BY 1 ORDER BY 1""",
@@ -1344,7 +1397,7 @@ ORDER BY doc_a, doc_b"""),
     // per-query and precomputed-index PQ share the build rule and
     // parameters, so the oracle is verbatim (the ann_ivf_idx
     // pattern)
-    "ann_pq_idx" -> AnnPqSql,
+    "ann_pqx" -> AnnPqSql,
 
     "ann_ivfpq" -> AnnIvfPqSql,
 
@@ -1465,7 +1518,7 @@ ORDER BY 1, 2"""),
 
     // identical by construction: the index stores the same assignment
     // the per-query formulation computes (ExtQueries.ivfIndexFor)
-    "ann_ivf_idx" -> AnnIvfSql,
+    "ann_ivfx" -> AnnIvfSql,
 
     // the same IVF unroll constrained to label-3 candidates — the
     // filter applies to CANDIDATES only, never to cell assignment or
@@ -1621,7 +1674,7 @@ JOIN k ON d.doc_id = k.doc_id
 JOIN sp ON d.doc_id = sp.doc_id
 ORDER BY d.doc_id"""),
 
-    "smp_split" -> (s"""
+    "smp_spl" -> (s"""
 SELECT doc_id,
        CASE WHEN ${h60("CAST(doc_id AS VARCHAR)")} % 1000000 < 50000 THEN 'val'
             WHEN ${h60("CAST(doc_id AS VARCHAR)")} % 1000000 < 100000 THEN 'test'
@@ -2319,6 +2372,29 @@ FROM s ORDER BY media_id, frame_idx"""),
     // mm_audio's closed form recovered through the AVI demux: the
     // oracle never touches the container — same PCM arithmetic, format
     // pinned to the demux path.
+    // Mirror of synthPngPayload + dhashOf: the raster's closed form
+    // through block means and bit packing — no image bytes touched.
+    "mm_phash" -> (DhashCte + """
+SELECT media_id, CAST(18 AS INT) AS width, CAST(16 AS INT) AS height,
+       h AS dhash
+FROM hh ORDER BY media_id"""),
+
+    // Mirror of nearDupImages over the same hashes: 16-bit band-bucket
+    // candidates (arithmetic shift + mask, both engines agree on
+    // negative hashes), exact Hamming verify at <= 3.
+    "mm_near" -> (DhashCte + """, bb AS (
+  SELECT media_id, h, b, (h >> (b * 16)) & 65535 AS bucket
+  FROM hh CROSS JOIN (SELECT unnest(range(4)) AS b)
+), cand AS (
+  SELECT DISTINCT x.media_id AS id_a, y.media_id AS id_b,
+         x.h AS ha, y.h AS hb
+  FROM bb x JOIN bb y
+    ON x.b = y.b AND x.bucket = y.bucket AND x.media_id < y.media_id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS INT) AS dist
+FROM cand WHERE bit_count(xor(ha, hb)) <= 3
+ORDER BY id_a, id_b"""),
+
     "mm_av" -> ("""WITH f AS (
   SELECT doc_id AS media_id, n_chars % 50 + 1 AS n FROM documents
 ), s AS (

@@ -154,7 +154,7 @@ object RelationalQueries {
       y96.intersect(y97).orderBy("o_custkey")
     }),
 
-    "q_window" -> ((s, d) => {
+    "q_win" -> ((s, d) => {
       val w = Window.partitionBy(col("o_custkey"))
         .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -164,7 +164,7 @@ object RelationalQueries {
         .orderBy("o_custkey", "o_orderkey")
     }),
 
-    "q_brands" -> ((s, d) =>
+    "q_brnd" -> ((s, d) =>
       Tables.lineitem(s, d)
         .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
         .groupBy("p_brand")
@@ -237,7 +237,7 @@ object RelationalQueries {
     // it, first purchase strictly after that, per user — stage counts.
     // Three dependent full-partition windows share ONE user-keyed
     // exchange, then a per-user fold and a tiny final aggregate.
-    "q_funnel" -> ((s, d) => {
+    "q_fun" -> ((s, d) => {
       val byUser = Window.partitionBy("user_id")
       val staged = Tables.events(s, d)
         .select(col("user_id"), col("event_type"),
@@ -275,7 +275,7 @@ object RelationalQueries {
         .withColumnRenamed("k", "event_type")
         .orderBy("event_type")),
 
-    "q_median" -> ((s, d) => {
+    "q_med" -> ((s, d) => {
       // exact lower median, spelled out (row_number + count) so both
       // engines agree bit-for-bit — built-in percentile/quantile
       // functions interpolate with engine-specific semantics. The value
@@ -453,14 +453,14 @@ INTERSECT
 SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
 ORDER BY o_custkey""",
 
-    "q_window" -> """
+    "q_win" -> """
 SELECT o_custkey, o_orderkey,
        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
          OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running
 FROM orders ORDER BY o_custkey, o_orderkey""",
 
-    "q_brands" -> """
+    "q_brnd" -> """
 SELECT p_brand, count(DISTINCT l_suppkey) AS n_supp,
        CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS qty
 FROM lineitem JOIN part ON l_partkey = p_partkey
@@ -504,7 +504,7 @@ SELECT user_id, event_id, event_type,
          ORDER BY epoch_ms(ts), event_id) AS valid_to_ms
 FROM events ORDER BY user_id, valid_from_ms, event_id""",
 
-    "q_funnel" -> """
+    "q_fun" -> """
 WITH s1 AS (
   SELECT user_id, event_type, epoch_ms(ts) AS ms,
          min(CASE WHEN event_type = 'view' THEN epoch_ms(ts) END)
@@ -564,7 +564,7 @@ SELECT k AS event_type,
        CAST((min(CASE WHEN cum * 100 >= total * 99 THEN bin END) + 1) * 128 AS BIGINT) AS p99_hi
 FROM c GROUP BY 1 ORDER BY 1""",
 
-    "q_median" -> """
+    "q_med" -> """
 WITH r AS (
   SELECT event_type, value,
          row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,

@@ -603,6 +603,144 @@ object Multimodal {
     fcc("RIFF") ++ le32(body.length) ++ body
   }
 
+  /** Perceptual-hash row of [[dhashBatched]]. */
+  case class MediaHash(media_id: Long, width: Int, height: Int, dhash: Long)
+
+  /** Difference-hash (dHash) of a decoded image — the perceptual
+    * fingerprint of IMAGE near-dedup (the published LAION-style
+    * curation pass: a re-encoded, resized, or lightly edited copy of a
+    * picture hashes within a few bits of the original where its bytes
+    * and even its pixels differ): partition the raster into a 9×8 grid
+    * of cells (floor boundaries — no resampling kernel, so the value is
+    * engine- and platform-exact, unlike interpolated thumbnails),
+    * take each cell's truncated integer mean of (r+g+b), and set bit
+    * `gy·8 + gx` iff cell (gx, gy) is strictly brighter than its right
+    * neighbour — 8 comparisons across 9 columns × 8 rows = 64 bits.
+    * All integer arithmetic over exact decoded pixels; the `mm_phash`
+    * oracle reproduces it from a closed-form raster without touching
+    * image bytes. Images narrower than the grid are quarantined. */
+  private[ext] def dhashOf(img: java.awt.image.BufferedImage): Option[Long] = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    if (w < 9 || h < 8) None
+    else {
+      val mean = Array.ofDim[Long](8, 9)
+      var gy = 0
+      while (gy < 8) {
+        var gx = 0
+        while (gx < 9) {
+          val x0 = gx * w / 9; val x1 = (gx + 1) * w / 9
+          val y0 = gy * h / 8; val y1 = (gy + 1) * h / 8
+          var sum = 0L
+          var y = y0
+          while (y < y1) {
+            var x = x0
+            while (x < x1) {
+              val rgb = img.getRGB(x, y)
+              sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+              x += 1
+            }
+            y += 1
+          }
+          mean(gy)(gx) = sum / (3L * (x1 - x0) * (y1 - y0))
+          gx += 1
+        }
+        gy += 1
+      }
+      var hash = 0L
+      gy = 0
+      while (gy < 8) {
+        var gx = 0
+        while (gx < 8) {
+          if (mean(gy)(gx) > mean(gy)(gx + 1)) hash |= 1L << (gy * 8 + gx)
+          gx += 1
+        }
+        gy += 1
+      }
+      Some(hash)
+    }
+  }
+
+  /** Corpus-wide [[dhashOf]] — same decode gate, quarantine contract,
+    * and batch shape as [[pixelsBatched]]; one narrow pass, the hash is
+    * the 8-byte key every downstream image-dedup step joins on. */
+  def dhashBatched(ds: Dataset[MediaRow], batchSize: Int = 64): Dataset[MediaHash] = {
+    implicit val enc = Encoders.product[MediaHash]
+    ds.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.flatMap { r =>
+          graft.functions.MediaHeaderUtil.parseDims(r.payload).flatMap { _ =>
+            decodeImage(r.payload).flatMap { img =>
+              dhashOf(img).map(h =>
+                MediaHash(r.media_id, img.getWidth, img.getHeight, h))
+            }
+          }
+        }
+      }
+    }
+  }
+
+  /** Image NEAR-DUP pairs over [[dhashBatched]] fingerprints — the
+    * banding trick of the text `simhashPairs` in image space: two
+    * hashes within Hamming distance ≤ 3 must agree on at least one of
+    * the four 16-bit bands (pigeonhole — 3 flipped bits cannot touch
+    * all 4), so candidates come from band-bucket collisions (uniform
+    * shuffle keys), never all pairs, and the exact `bit_count(xor)`
+    * verify touches candidates only. COMPLETE for `maxDist` ≤ 3; a
+    * larger threshold inherits the LSH recall trade (a pair with one
+    * flipped bit in every band is never a candidate). `maxBucket` caps
+    * a degenerate bucket (an exact-dup image cluster) at the usual
+    * skip-and-keep trade. Output: (id_a, id_b, dist), id_a < id_b. */
+  def nearDupImages(hashes: DataFrame, id: Column, hash: Column,
+                    maxDist: Int = 3, maxBucket: Int = 4096): DataFrame = {
+    val base = hashes.select(id.as("mid"), hash.as("h"))
+    // persisted query-scoped: three consumers (the bucket-cap count and
+    // both self-join sides) — unpersisted, the caller's hash lineage
+    // (often a full image decode pass) would execute three times
+    val allB = graft.CacheScope.persistTracked(
+      base.select(col("mid"), col("h"),
+          explode(sequence(lit(0), lit(3))).as("band"))
+        .withColumn("bucket",
+          expr("(h >> (band * 16)) & 65535"))) // mask keeps the 16 real bits
+    val b =
+      if (maxBucket == Int.MaxValue) allB
+      else allB.join(
+        allB.groupBy("band", "bucket").agg(count(lit(1)).as("__n"))
+          .where(col("__n") <= maxBucket).select("band", "bucket"),
+        Seq("band", "bucket"))
+    b.as("x").join(b.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket")
+          && col("x.mid") < col("y.mid"))
+      .select(col("x.mid").as("id_a"), col("y.mid").as("id_b"),
+        bit_count(col("x.h").bitwiseXOR(col("y.h"))).as("dist"))
+      .distinct()
+      .where(col("dist") <= maxDist)
+  }
+
+  /** Deterministic PNG payload for the `mm_phash`/`mm_near` oracle
+    * rows: an 18×16 RGB raster with the closed-form gray value
+    * `v(x, y) = (id·7 + 11x + 3y) mod 256` on all three channels, PNG
+    * being lossless so decode recovers it exactly — the JpegGray
+    * pattern with a stock encoder. 18×16 divides the 9×8 grid into
+    * 2×2 cells, so the oracle's block means are a 4-pixel integer
+    * average of the same closed form. */
+  def synthPngPayload(id: Long): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(18, 16,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < 16) {
+      var x = 0
+      while (x < 18) {
+        val v = ((id * 7 + x * 11 + y * 3) % 256).toInt
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
   private def decodeImage(payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
     try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
     catch { case _: Exception => None }

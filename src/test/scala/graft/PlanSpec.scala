@@ -249,7 +249,7 @@ class PlanSpec extends SparkSpec {
     // DECLARED row (through ExtQueries.ivfIndexFor's memoized build) to
     // the same pruned-scan shape: a literal cid partition predicate and
     // no per-query full-corpus re-assignment (no Window in the probe).
-    val p = plan("ann_ivf_idx")
+    val p = plan("ann_ivfx")
     assert(p.contains("PartitionFilters") && p.contains("cid"),
       s"expected cid partition pruning on the declared probe:\n$p")
     assert(!p.contains("Window"),
@@ -310,7 +310,7 @@ class PlanSpec extends SparkSpec {
     // the ADC distance table is a collected literal map, so serving is
     // ONE distributed pass over the compressed codes — no join, no
     // window, no aggregation exchange, top-k fused into the scan
-    val p = plan("ann_pq_idx")
+    val p = plan("ann_pqx")
     assert(p.contains("TakeOrderedAndProject"),
       s"expected limit+sort fusion in:\n$p")
     assert(count(p, "Exchange hashpartitioning") == 0,
@@ -371,7 +371,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("strict decode: exactly one FAILFAST parse feeds guards and projection") {
-    val p = plan("b5_strict")
+    val p = plan("b5_str")
     assert(count(p, "from_json") == 1,
       s"expected exactly one envelope parse in:\n$p")
     assert(!p.contains("Join") && !p.contains("Window"))
@@ -459,7 +459,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("event funnel: dependent stage windows share one user exchange") {
-    val p = plan("q_funnel")
+    val p = plan("q_fun")
     assert(!p.contains("Join"), s"funnel must not join:\n$p")
     // three dependent min-windows + the per-user fold; only ONE
     // data-sized exchange (user_id) feeds them all
