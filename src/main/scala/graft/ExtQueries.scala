@@ -282,7 +282,7 @@ model AS (
         .select("doc_id").orderBy("doc_id")
     }),
 
-    "dec_split" -> ((s, d) => {
+    "dec_sp" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val pairs = Dedup.minhashLsh(docs, col("text"), col("doc_id"),
         k = 3, numHashes = 16, bands = 4, minMatches = 4)
@@ -297,7 +297,7 @@ model AS (
           col("doc_id"), k = 3)
         .orderBy("doc_id")),
 
-    "dec_ngram" -> ((s, d) => {
+    "dec_ng" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       Dedup.ngramContamination(docs, col("text"), col("doc_id"),
           Sampling.split(docs, col("doc_id")).select("doc_id", "split"))
@@ -331,7 +331,7 @@ model AS (
     // IVF-PQ: coarse cells (ann_ivf's assignment) + product-quantized
     // residual codes (ann_pq's encoding) probed from the stored index —
     // the partition-pruned compressed-codes serving shape
-    "ann_ivfpq" -> ((s, d) =>
+    "ann_ipq" -> ((s, d) =>
       Similarity.annIvfPqIndexed(s, ivfPqIndexFor(s, d),
           Tables.embeddings(s, d), "vec_id", "embedding", queryId = 0L,
           k = 10, nprobe = 2)
@@ -747,6 +747,20 @@ model AS (
       Multimodal.featuresCols(Tables.documents(s, d),
         col("text").cast("binary"), col("doc_id")).orderBy("media_id")),
 
+    // REAL audio fingerprinting: long-form closed-form PCM decoded and
+    // envelope-hashed (33 windows, 32 louder-than-next bits) — the
+    // audio near-dup key; the oracle prices the window arithmetic from
+    // the sample closed form, container-blind.
+    "mm_afp" -> ((s, d) => {
+      import s.implicits._
+      val rows = Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+        .map { case (id, nch) =>
+          Multimodal.MediaRow(id, Multimodal.synthLongAudioPayload(id, nch),
+            "audio/wav") }
+      Multimodal.audioFingerprintBatched(rows).toDF().orderBy("media_id")
+    }),
+
     // REAL image perceptual hashing: per doc an 18x16 closed-form-gray
     // PNG is synthesized as genuine (lossless) image bytes, decoded,
     // and dHashed — the oracle prices the block-mean/bit arithmetic
@@ -852,7 +866,7 @@ model AS (
     // strip, tracking-param drop, param sort, non-default port kept.
     // The oracle states each template's EXPECTED canonical form as a
     // literal — it never re-implements the canonicalizer.
-    "url_canon" -> ((s, d) => {
+    "url_can" -> ((s, d) => {
       val h = (col("doc_id") % 100).cast("string")
       val t = col("doc_id") % 8
       val synth = when(t === 0, concat(lit("HTTP://Example.COM/a/b?x="), h))
@@ -940,7 +954,7 @@ model AS (
     // 4-word lines first (the encode-then-run pattern of b5_deep /
     // cis2_decode); ~340 lines are shared across documents at both
     // test scales, so the filter actually discriminates.
-    "dd_lines" -> ((s, d) =>
+    "dd_ln" -> ((s, d) =>
       Curation.dedupLines(linedDocs(Tables.documents(s, d)),
           col("text"), col("doc_id"))
         .orderBy("doc_id")),
@@ -1305,7 +1319,7 @@ WHERE NOT EXISTS (
   SELECT 1 FROM comp WHERE comp.id = d.doc_id AND comp.component <> comp.id)
 ORDER BY doc_id"""),
 
-    "dec_split" -> (MinhashCte + s""", pairs AS (
+    "dec_sp" -> (MinhashCte + s""", pairs AS (
   SELECT doc_a, doc_b,
          CAST(len(list_filter(range(16), i -> sa.sig[i+1] = sb.sig[i+1])) AS INT)
            AS n_matching
@@ -1324,7 +1338,7 @@ FROM pairs JOIN sp a ON doc_a = a.doc_id JOIN sp b ON doc_b = b.doc_id
 WHERE a.split <> b.split
 ORDER BY doc_a, doc_b"""),
 
-    "dec_ngram" -> (hashedShinglesCte + s""", sp AS (
+    "dec_ng" -> (hashedShinglesCte + s""", sp AS (
   SELECT doc_id,
        CASE WHEN ${h60("CAST(doc_id AS VARCHAR)")} % 1000000 < 50000 THEN 'val'
             WHEN ${h60("CAST(doc_id AS VARCHAR)")} % 1000000 < 100000 THEN 'test'
@@ -1399,7 +1413,7 @@ ORDER BY doc_a, doc_b"""),
     // pattern)
     "ann_pqx" -> AnnPqSql,
 
-    "ann_ivfpq" -> AnnIvfPqSql,
+    "ann_ipq" -> AnnIvfPqSql,
 
     "ann_bf" -> """
 WITH qz AS (
@@ -2232,7 +2246,7 @@ FROM scored ORDER BY vec_id"""),
 
     // Each url_canon template's EXPECTED canonical form, stated as a
     // literal — independent of the Spark-side canonicalizer.
-    "url_canon" -> ("""WITH f AS (
+    "url_can" -> ("""WITH f AS (
   SELECT doc_id, doc_id % 8 AS t, CAST(doc_id % 100 AS VARCHAR) AS h
   FROM documents
 )
@@ -2372,6 +2386,33 @@ FROM s ORDER BY media_id, frame_idx"""),
     // mm_audio's closed form recovered through the AVI demux: the
     // oracle never touches the container — same PCM arithmetic, format
     // pinned to the demux path.
+    // Mirror of synthLongAudioPayload + audioFingerprintBatched: the
+    // sample closed form |(id*31 + i*7) % 200 - 100| over n =
+    // n_chars % 200 + 64 frames, 33 floor-boundary windows (exact via
+    // the range join, never an inverse-index formula), truncated
+    // window means, 32 louder-than-next bits.
+    "mm_afp" -> ("""WITH f AS (
+  SELECT doc_id AS media_id, n_chars % 200 + 64 AS n FROM documents
+), v AS (
+  SELECT media_id, n, i, abs((media_id * 31 + i * 7) % 200 - 100) AS v
+  FROM (SELECT media_id, n, unnest(range(0, n)) AS i FROM f)
+), wm AS (
+  SELECT media_id, n, w, sum(v) // count(*) AS m
+  FROM v JOIN (SELECT unnest(range(33)) AS w) wt
+    ON v.i >= w * v.n // 33 AND v.i < (w + 1) * v.n // 33
+  GROUP BY 1, 2, 3
+), bits AS (
+  SELECT a.media_id, a.w
+  FROM wm a JOIN wm b ON a.media_id = b.media_id AND b.w = a.w + 1
+  WHERE a.w < 32 AND a.m > b.m
+)
+SELECT f.media_id, 'wav' AS codec, CAST(8000 AS INT) AS sample_rate,
+       CAST(f.n AS BIGINT) AS n_frames,
+       CAST(coalesce(bit_or(1::BIGINT << CAST(w AS INT)), 0) AS BIGINT)
+         AS afp
+FROM f LEFT JOIN bits USING (media_id)
+GROUP BY f.media_id, f.n ORDER BY f.media_id"""),
+
     // Mirror of synthPngPayload + dhashOf: the raster's closed form
     // through block means and bit packing — no image bytes touched.
     "mm_phash" -> (DhashCte + """
@@ -2413,7 +2454,7 @@ FROM a ORDER BY media_id"""),
     // Mirror of linedDocs (4-word lines) + Curation.dedupLines: doc
     // frequency per exact line, drop lines in >= 2 docs, reassemble in
     // original order. chr(10) == the '\n' Spark joins/splits on.
-    "dd_lines" -> (s"""WITH w AS (
+    "dd_ln" -> (s"""WITH w AS (
   SELECT doc_id, string_split_regex(trim(text), ' +') AS words FROM documents
 ), ld AS (
   SELECT doc_id,

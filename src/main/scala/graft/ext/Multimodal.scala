@@ -603,6 +603,94 @@ object Multimodal {
     fcc("RIFF") ++ le32(body.length) ++ body
   }
 
+  /** Acoustic-fingerprint row of [[audioFingerprintBatched]]. */
+  case class MediaAfp(media_id: Long, codec: String, sample_rate: Int,
+                      n_frames: Long, afp: Long)
+
+  /** Energy-envelope FINGERPRINT of decoded audio — [[dhashOf]]'s
+    * construction in the time domain, the near-dup key for AUDIO
+    * corpora (a re-encoded or re-containered copy of a recording
+    * fingerprints identically; a lightly clipped one lands a few bits
+    * away — the simplified shape of published acoustic fingerprinting,
+    * kept integer-exact instead of spectral so the oracle can price
+    * it): per-frame energy `v_f = Σ_channels |sample|`, 33 equal
+    * floor-boundary windows over the frames, truncated integer window
+    * means, bit `w` set iff window `w` is louder than window `w+1` —
+    * 32 bits. Clips under 33 frames are quarantined (no window may be
+    * empty). Codec routing = the audio stats path: PCM / μ-law / IMA
+    * WAV via [[graft.functions.MediaHeaderUtil.wavSamplesAny]], FLAC
+    * via the frame decoder. Fingerprint PAIRS come from
+    * [[nearDupImages]] verbatim — it pairs any (id, 64-bit hash)
+    * frame; the constant upper bands collide universally and the
+    * bucket cap skips them, leaving the two signal-bearing bands. */
+  def audioFingerprintBatched(ds: Dataset[MediaRow],
+                              batchSize: Int = 64): Dataset[MediaAfp] = {
+    implicit val enc = Encoders.product[MediaAfp]
+    ds.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.flatMap { r =>
+          val decoded: Option[(String, Int, Long, Array[Long])] =
+            graft.functions.MediaHeaderUtil.wavSamplesAny(r.payload).map {
+              case (codec, rate, ch, samples) =>
+                val n = samples.length / ch
+                val v = new Array[Long](n)
+                var f = 0
+                while (f < n) {
+                  var c = 0
+                  var s = 0L
+                  while (c < ch) { s += math.abs(samples(f * ch + c).toLong); c += 1 }
+                  v(f) = s; f += 1
+                }
+                (codec, rate, n.toLong, v)
+            }.orElse {
+              graft.functions.FlacCodec.decode(r.payload).map { fl =>
+                val n = if (fl.samples.isEmpty) 0 else fl.samples(0).length
+                val v = new Array[Long](n)
+                var f = 0
+                while (f < n) {
+                  var c = 0
+                  var s = 0L
+                  while (c < fl.channels) { s += math.abs(fl.samples(c)(f).toLong); c += 1 }
+                  v(f) = s; f += 1
+                }
+                ("flac", fl.sampleRate, n.toLong, v)
+              }
+            }
+          decoded.flatMap { case (codec, rate, n, v) =>
+            if (n < 33) None
+            else {
+              val mean = new Array[Long](33)
+              var w = 0
+              while (w < 33) {
+                val f0 = (w * n / 33).toInt
+                val f1 = ((w + 1) * n / 33).toInt
+                var s = 0L
+                var f = f0
+                while (f < f1) { s += v(f); f += 1 }
+                mean(w) = s / (f1 - f0)
+                w += 1
+              }
+              var afp = 0L
+              w = 0
+              while (w < 32) {
+                if (mean(w) > mean(w + 1)) afp |= 1L << w
+                w += 1
+              }
+              Some(MediaAfp(r.media_id, codec, rate, n, afp))
+            }
+          }
+        }
+      }
+    }
+  }
+
+  /** Long-form PCM WAV for the `mm_afp` oracle row: the mm_audio
+    * closed-form samples at `n = n_chars % 200 + 64` frames (always ≥
+    * the 33-window floor). */
+  def synthLongAudioPayload(id: Long, nChars: Long): Array[Byte] =
+    synthWav(Array.tabulate((nChars % 200 + 64).toInt)(i =>
+      ((id * 31 + i * 7) % 200 - 100).toInt))
+
   /** Perceptual-hash row of [[dhashBatched]]. */
   case class MediaHash(media_id: Long, width: Int, height: Int, dhash: Long)
 

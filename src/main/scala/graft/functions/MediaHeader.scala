@@ -262,6 +262,83 @@ object MediaHeaderUtil {
     *    channel interleave) is quarantined, not guessed at.
     *
     * Anything else returns None — the standing quarantine contract. */
+  /** Decoded interleaved SAMPLES of any supported WAV codec — the
+    * sample-level sibling of [[wavStatsAny]] for consumers that need
+    * the waveform itself (fingerprinting, resampling seams), sharing
+    * the same codec routing and quarantine contract: ("wav", rate,
+    * channels, samples) for linear PCM, ("ulaw", …) expanded through
+    * [[ulawToPcm]], ("adpcm", …) through the mono IMA state machine
+    * with the `fact` trim. Memory is payload-bounded (one Int per
+    * sample). */
+  def wavSamplesAny(b: Array[Byte])
+      : Option[(String, Int, Int, Array[Int])] =
+    wavChunks(b).flatMap { w =>
+      if (w.audioFormat == 1 &&
+          (w.bits == 8 || w.bits == 16 || w.bits == 24) &&
+          w.blockAlign == w.channels * (w.bits / 8) &&
+          w.dataLen % w.blockAlign == 0) {
+        val bps = w.bits / 8
+        val n = w.dataLen / bps
+        val out = new Array[Int](n)
+        var i = 0
+        while (i < n) {
+          val o = w.dataOffset + i * bps
+          out(i) =
+            if (w.bits == 8) (b(o) & 0xff) - 128
+            else if (w.bits == 16) (b(o) & 0xff) | (b(o + 1).toInt << 8)
+            else (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+              (b(o + 2).toInt << 16)
+          i += 1
+        }
+        Some(("wav", w.sampleRate, w.channels, out))
+      } else if (w.audioFormat == 7 && w.bits == 8 &&
+                 w.blockAlign == w.channels && w.dataLen % w.channels == 0) {
+        val out = new Array[Int](w.dataLen)
+        var i = 0
+        while (i < w.dataLen) {
+          out(i) = ulawToPcm(b(w.dataOffset + i) & 0xff); i += 1
+        }
+        Some(("ulaw", w.sampleRate, w.channels, out))
+      } else if (w.audioFormat == 17 && w.channels == 1 && w.bits == 4 &&
+                 w.blockAlign >= 4) {
+        val want = w.factFrames.getOrElse(Long.MaxValue)
+        val end = w.dataOffset + w.dataLen
+        val buf = new java.util.ArrayList[Integer]()
+        var off = w.dataOffset
+        var bad = false
+        while (!bad && off + 4 <= end && buf.size < want) {
+          var pred = (le16(b, off) << 16) >> 16
+          var idx = u8(b, off + 2)
+          if (idx > 88) bad = true
+          else {
+            buf.add(pred)
+            var j = off + 4
+            val bend = math.min(off + w.blockAlign, end)
+            while (j < bend && buf.size < want) {
+              val by = u8(b, j)
+              var k = 0
+              while (k < 2 && buf.size < want) {
+                val st = imaDecodeNibble(if (k == 0) by & 0x0f
+                  else (by >> 4) & 0x0f, pred, idx)
+                pred = st._1; idx = st._2
+                buf.add(pred)
+                k += 1
+              }
+              j += 1
+            }
+            off += w.blockAlign
+          }
+        }
+        if (bad || buf.isEmpty) None
+        else {
+          val out = new Array[Int](buf.size)
+          var i = 0
+          while (i < out.length) { out(i) = buf.get(i); i += 1 }
+          Some(("adpcm", w.sampleRate, 1, out))
+        }
+      } else None
+    }
+
   def wavStatsAny(b: Array[Byte]): Option[(String, WavStats)] =
     wavStats(b).map(("wav", _)).orElse(wavChunks(b).flatMap { w =>
       if (w.audioFormat == 7 && w.bits == 8 && w.blockAlign == w.channels &&

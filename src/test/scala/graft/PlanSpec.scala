@@ -87,6 +87,34 @@ class PlanSpec extends SparkSpec {
       s"expected only partitioned windows in:\n$p")
   }
 
+  test("dd_nidx: the history-index probe scans only the batch's bucket-group partitions") {
+    val p = plan("dd_nidx")
+    // the stored LSH index is hive-partitioned by pb; the batch's
+    // distinct pb set must reach the scan as a PARTITION filter (the
+    // ann_ivfx pruning discipline in text space), or every probe
+    // would read the corpus-sized index
+    assert(p.contains("PartitionFilters: [") && p.contains("pb#"),
+      s"expected pb partition pruning on the index scan in:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("ppl_cut: thresholds broadcast; no corpus-keyed window anywhere") {
+    val p = plan("ppl_cut")
+    // the #languages-row thresholds frame joins the scored stream as a
+    // broadcast; the only windows run over the bounded (lang, ppl_pm)
+    // frequency table — lang-keyed ntile over the corpus would be a
+    // single-reducer-per-language plan
+    assert(p.contains("BroadcastHashJoin"),
+      s"expected the thresholds broadcast in:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("mm_near: banded candidates only — no cartesian over the hash frame") {
+    val p = plan("mm_near")
+    assert(!p.contains("CartesianProduct"),
+      s"image near-dup candidates must come from band buckets:\n$p")
+  }
+
   test("knn graph: per-source window top-k, no global sort") {
     val p = plan("ann_knng")
     assert(p.contains("Window"), s"expected the per-source top-k window in:\n$p")
@@ -184,7 +212,7 @@ class PlanSpec extends SparkSpec {
     // mm_av (AVI audio demux) hold the same contract: per-document
     // narrow work, the output sort's range partitioning is the only
     // data movement.
-    for (q <- Seq("url_canon", "uni_norm", "html", "chunks",
+    for (q <- Seq("url_can", "uni_norm", "html", "chunks",
         "mm_video", "mm_av", "smp_rep")) {
       val p = plan(q)
       assert(count(p, "Exchange") <= 1,
@@ -324,7 +352,7 @@ class PlanSpec extends SparkSpec {
     // per-cell ADC tables are a collected literal map, so scoring is
     // one pass over the pruned compressed codes — no join, no window,
     // no aggregation exchange, top-k fused into the scan
-    val p = plan("ann_ivfpq")
+    val p = plan("ann_ipq")
     assert(p.contains("PartitionFilters") && p.contains("cid"),
       s"expected cid partition pruning on the codes scan:\n$p")
     assert(p.contains("TakeOrderedAndProject"),
@@ -412,7 +440,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("line dedup: partial-agg distinct-doc counts, no window over the line hash") {
-    val p = plan("dd_lines")
+    val p = plan("dd_ln")
     // document frequency = groupBy(lh).count_distinct(doc_id): Spark
     // plans it as two partial-aggregating phases ((lh, doc_id) then
     // lh), so a line in half the corpus collapses map-side instead of
@@ -425,7 +453,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("ngram contamination: partial-agg train set, no window over the shingle hash") {
-    val p = plan("dec_ngram")
+    val p = plan("dec_ng")
     // the train shingle set is a groupBy-distinct on the uniform hash
     // (map-side combine absorbs boilerplate shingles) and membership is
     // an equi-join probe — a window-over-s formulation would funnel a

@@ -274,6 +274,61 @@ class AudioDecodeSpec extends SparkSpec {
       Seq((1L, "wav", 11339L), (2L, "ulaw", 17405L), (3L, "adpcm", 4L)))
   }
 
+  test("wavSamplesAny agrees with wavStatsAny across every codec fixture") {
+    // the stats and samples decoders are separate loops — this pins
+    // them against drift: recomputing the stats from the samples must
+    // land on the identical row for PCM, mu-law, and ADPCM
+    val ulaw = compWav(7, 1, 8000, 8, 1, 4,
+      Array(0x00, 0xff, 0x80, 0x2a).map(_.toByte))
+    val adpcm = compWav(17, 1, 8000, 4, 6, 5,
+      Array[Byte](0, 0, 0, 0, 0x92.toByte, 0x0f))
+    for (bytes <- Seq(mono16, stereo8, ulaw, adpcm)) {
+      val (c1, s) = MediaHeaderUtil.wavStatsAny(bytes).get
+      val (c2, rate, ch, samples) = MediaHeaderUtil.wavSamplesAny(bytes).get
+      assert(c1 == c2 && rate == s.sampleRate && ch == s.channels)
+      assert(samples.length / ch == s.nFrames)
+      val mean = samples.map(v => math.abs(v.toLong)).sum / samples.length
+      assert(mean == s.meanAbsAmp, s"codec $c1: $mean vs ${s.meanAbsAmp}")
+    }
+    assert(MediaHeaderUtil.wavSamplesAny("junk".getBytes).isEmpty)
+  }
+
+  test("audio fingerprint: monotone envelopes by hand, container-invariant, quarantine") {
+    import graft.ext.Multimodal
+    import graft.functions.FlacCodec
+    // 33 samples = exactly one frame per window: a strictly falling
+    // envelope sets all 32 bits, a rising one none
+    val falling = Array.tabulate(33)(f => 330 - 10 * f)
+    val rising = Array.tabulate(33)(f => 10 * f)
+    def wavOf(pcm: Array[Int]) = wavBytes(1, 8000, 16,
+      pcm.flatMap(v => Seq((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)))
+    val rows = Seq(
+      Multimodal.MediaRow(1L, wavOf(falling), "audio/wav"),
+      Multimodal.MediaRow(2L, wavOf(rising), "audio/wav"),
+      Multimodal.MediaRow(3L,
+        FlacCodec.encode(FlacCodec.FlacPcm(8000, 1, 16, Array(falling)), 16),
+        "audio/flac"),
+      Multimodal.MediaRow(4L, wavOf(Array.tabulate(10)(identity)), "a"),
+      Multimodal.MediaRow(5L, "noise".getBytes, "text/plain"))
+    val out = Multimodal.audioFingerprintBatched(rows.toDS())
+      .collect().sortBy(_.media_id)
+    // 4 (under 33 frames) and 5 (not audio) quarantine
+    assert(out.map(_.media_id).toSeq == Seq(1L, 2L, 3L))
+    assert(out(0).afp == 0xffffffffL && out(1).afp == 0L)
+    // the fingerprint is a property of the SAMPLES, not the container
+    assert(out(2).afp == out(0).afp && out(2).codec == "flac")
+    // fingerprint pairing rides nearDupImages unchanged: identical
+    // envelopes at distance 0, opposite ones far apart
+    val pairs = Multimodal.nearDupImages(
+        out.toSeq.toDF("media_id", "codec", "sample_rate", "n_frames", "afp")
+          .select("media_id", "afp"),
+        org.apache.spark.sql.functions.col("media_id"),
+        org.apache.spark.sql.functions.col("afp"), maxDist = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.toSeq == Seq((1L, 3L, 0)))
+    graft.CacheScope.release()
+  }
+
   test("the SAME PCM yields the SAME stats row through WAV and FLAC containers") {
     import graft.functions.FlacCodec
     // the mono16 fixture's exact samples, re-encoded as FLAC — the
