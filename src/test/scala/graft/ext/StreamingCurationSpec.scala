@@ -110,6 +110,45 @@ class StreamingCurationSpec extends SparkSpec {
     assert(replay.toSeq == got.sortBy(_._1).take(1).toSeq)
   }
 
+  test("nb gate: the stored classifier scores live micro-batches statelessly") {
+    implicit val sq = spark.sqlContext
+    // train once, store the model frame (it carries its own smoothing
+    // stamps), gate a live crawl stream through nbScore per batch
+    val model = TextAnalysis.nbTrain(
+      Seq((0L, "good fluent text here")).toDF("id", "text"),
+      Seq((1L, "zz qq zz qq")).toDF("id", "text"), $"text")
+    val dir = java.nio.file.Files.createTempDirectory("nbm").toString
+    model.write.mode("overwrite").parquet(dir)
+    val stored = spark.read.parquet(dir)
+    val input = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val q = input.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        got.synchronized {
+          got ++= TextAnalysis.nbScore(batch, col("text"), col("doc_id"),
+              stored)
+            .collect().map(r => (r.getLong(0), r.getLong(4)))
+        }
+        ()
+      }.start()
+    try {
+      input.addData((10L, "good fluent text"), (11L, "zz qq zz"))
+      q.processAllAvailable()
+      input.addData((12L, "fluent good zz"))
+      q.processAllAvailable()
+    } finally q.stop()
+    // batch truth through the same stored model
+    val expect = TextAnalysis.nbScore(
+        Seq((10L, "good fluent text"), (11L, "zz qq zz"),
+          (12L, "fluent good zz")).toDF("doc_id", "text"),
+        col("text"), col("doc_id"), stored)
+      .collect().map(r => (r.getLong(0), r.getLong(4)))
+    assert(got.sortBy(_._1).toSeq == expect.sortBy(_._1).toSeq)
+    // and the gate discriminates: good-typical above bad-typical
+    val m = got.toMap
+    assert(m(10L) > 0 && m(11L) < 0)
+  }
+
   test("chunking composes in a streaming query (pure narrow projection, live)") {
     // chunkByWords is a stateless narrow projection, so a live feed can
     // be window-split per micro-batch — the context-window splitter
