@@ -224,7 +224,7 @@ object CoreQueries {
         .select("address", "public_key", "key_index")
         .orderBy("address", "key_index")
     }),
-    "b12_rng" -> ((s, d) =>
+    "b12r" -> ((s, d) =>
       QueryApi.accountTransactionsInRange(Tables.ati(s, d), Tables.summaries(s, d),
         lit(Account), lit(TsLo), lit(TsHi), "timestamp"))
   )
@@ -360,7 +360,7 @@ SELECT b.address, b.public_key, b.key_index
 FROM bindings b
 WHERE b.public_key IN (SELECT public_key FROM bindings WHERE address = $Account)
 ORDER BY b.address, b.key_index"""),
-    "b12_rng" -> (cte + s"""
+    "b12r" -> (cte + s"""
 SELECT s.id, s.block, s."timestamp", s.height, s.summary
 FROM ati JOIN summaries s ON ati.summary = s.id
 WHERE ati.account = $Account AND s."timestamp" BETWEEN $TsLo AND $TsHi

@@ -366,6 +366,15 @@ model AS (
       Similarity.annIvf(Tables.embeddings(s, d), "vec_id", "embedding",
         queryId = 0L, k = 10, centroidStride = 100, nprobe = 2)),
 
+    // BATCH indexed probe: a 10-query frame (vec_id % 50 == 10) against
+    // the stored cell index in ONE job — per-query nprobe cells, union
+    // of cells as a single pruned scan, per-query fused top-5.
+    "ann_bq" -> ((s, d) =>
+      Similarity.annIvfIndexedBatch(
+          Tables.embeddings(s, d).where(col("vec_id") % 50 === 10),
+          "vec_id", "embedding", ivfIndexFor(s, d), k = 5, nprobe = 2)
+        .orderBy("query_id", "rank")),
+
     // The scale-safe IVF formulation: probe the PRECOMPUTED cell index
     // (partition-pruned scan of nprobe cell directories) instead of
     // re-assigning the whole corpus per query as ann_ivf does. Same
@@ -423,7 +432,7 @@ model AS (
           n = 25)
         .orderBy("vec_id")),
 
-    "ann_knng" -> ((s, d) =>
+    "ann_kg" -> ((s, d) =>
       Similarity.knnGraph(Tables.embeddings(s, d), "vec_id", "embedding",
         k = 3).orderBy("src", "rn")),
 
@@ -460,7 +469,7 @@ model AS (
     // (uniq_pm >= 400, n_words >= 25) so the check is DISCRIMINATING —
     // on the synthetic corpus everything passes the base gate and a
     // pass-through pipeline would prove nothing.
-    "pipe_cur" -> ((s, d) => {
+    "pipe_c" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val quality = TextAnalysis.qualityScore(docs, col("text"), col("doc_id"))
         .where(col("quality_ok") && col("uniq_pm") >= 400 && col("n_words") >= 25)
@@ -480,7 +489,7 @@ model AS (
     // before anyone trains on its output). Same gates as
     // pipe_curation, folded to one pass: per-doc flags, one
     // aggregate, unpivoted to (stage, n_docs) rows.
-    "pipe_fnl" -> ((s, d) => {
+    "pipe_f" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val quality = TextAnalysis.qualityScore(docs, col("text"), col("doc_id"))
         .where(col("quality_ok") && col("uniq_pm") >= 400 && col("n_words") >= 25)
@@ -1214,6 +1223,55 @@ ORDER BY cosine DESC, qz.vec_id ASC LIMIT 10"""
 
   private val AnnIvfSql = annIvfSqlWhere("")
 
+  /** Mirror of annIvfIndexedBatch: the AnnIvfSql assignment chain
+    * generalized from one query id to the vec_id % 50 = 10 frame —
+    * per-query nprobe=2 home cells, candidates = vectors whose home
+    * cell is probed by that query, per-query top-5. */
+  private val AnnBatchSql = """WITH qz AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS qe
+  FROM embeddings
+), cents AS (
+  SELECT vec_id AS cid, qe AS ce FROM qz WHERE vec_id % 100 = 0
+), scored AS (
+  SELECT qz.vec_id, cents.cid,
+         round(
+           CAST(list_sum(list_transform(range(64), i -> qe[i+1] * ce[i+1])) AS DOUBLE)
+           / sqrt(CAST(list_sum(list_transform(range(64), i -> qe[i+1] * qe[i+1])) AS DOUBLE)
+                  * CAST(list_sum(list_transform(range(64), i -> ce[i+1] * ce[i+1])) AS DOUBLE)),
+           6) AS ccos
+  FROM qz CROSS JOIN cents
+), ranked AS (
+  SELECT vec_id, cid,
+         row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS rnk
+  FROM scored
+), cells AS (SELECT vec_id, cid FROM ranked WHERE rnk = 1),
+qs AS (SELECT vec_id AS qid, qe AS qv FROM qz WHERE vec_id % 50 = 10),
+qcells AS (
+  SELECT r.vec_id AS qid, r.cid FROM ranked r JOIN qs ON r.vec_id = qs.qid
+  WHERE r.rnk <= 2
+), cand AS (
+  SELECT qs.qid, qz.vec_id,
+         round(
+           CAST(list_sum(list_transform(range(64), i -> qe[i+1] * qv[i+1])) AS DOUBLE)
+           / sqrt(CAST(list_sum(list_transform(range(64), i -> qe[i+1] * qe[i+1])) AS DOUBLE)
+                  * CAST(list_sum(list_transform(range(64), i -> qv[i+1] * qv[i+1])) AS DOUBLE)),
+           6) AS cosine
+  FROM qcells
+  JOIN cells ON cells.cid = qcells.cid
+  JOIN qz ON qz.vec_id = cells.vec_id
+  JOIN qs ON qs.qid = qcells.qid
+  WHERE qz.vec_id <> qs.qid
+), rk AS (
+  SELECT qid, vec_id, cosine,
+         row_number() OVER (PARTITION BY qid
+           ORDER BY cosine DESC, vec_id ASC) AS rn
+  FROM cand
+)
+SELECT qid AS query_id, CAST(rn AS INT) AS rank, vec_id AS vid, cosine
+FROM rk WHERE rn <= 5 ORDER BY query_id, rank"""
+
   val oracles: Map[String, String] = Map(
     "dd_ex" -> """
 SELECT md5(text) AS content_hash, min(doc_id) AS keeper_doc_id,
@@ -1529,6 +1587,7 @@ FROM base LEFT JOIN hits ON base.method = hits.method AND base.qid = hits.qid
 ORDER BY 1, 2"""),
 
     "ann_ivf" -> AnnIvfSql,
+    "ann_bq" -> AnnBatchSql,
 
     // identical by construction: the index stores the same assignment
     // the per-query formulation computes (ExtQueries.ivfIndexFor)
@@ -1580,7 +1639,7 @@ SELECT vid AS vec_id, cid FROM (
   FROM qz CROSS JOIN c1)
 WHERE rnk = 1 ORDER BY vec_id"""),
 
-    "ann_knng" -> (rhpBucketsCte(8, 16) + """, cand AS (
+    "ann_kg" -> (rhpBucketsCte(8, 16) + """, cand AS (
   SELECT DISTINCT x.vec_id AS src, y.vec_id AS dst
   FROM buckets x JOIN buckets y
     ON x.b = y.b AND x.bucket = y.bucket AND x.vec_id <> y.vec_id
@@ -1663,7 +1722,7 @@ SELECT event_type,
             END AS BIGINT) AS distinct_est
 FROM g ORDER BY 1"""),
 
-    "pipe_cur" -> (s"""WITH w AS (
+    "pipe_c" -> (s"""WITH w AS (
   SELECT doc_id, text,
          string_split_regex(trim(lower(text)), ' +') AS words
   FROM documents
@@ -1733,7 +1792,7 @@ FROM (SELECT doc_id, unnest(range(0, n)) AS i FROM c WHERE n > 0)
 ORDER BY doc_id, copy_idx"""),
 
     // pipe_curation's gates as cumulative per-stage counts
-    "pipe_fnl" -> (s"""WITH w AS (
+    "pipe_f" -> (s"""WITH w AS (
   SELECT doc_id, text,
          string_split_regex(trim(lower(text)), ' +') AS words
   FROM documents

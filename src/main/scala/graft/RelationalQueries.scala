@@ -58,7 +58,7 @@ object RelationalQueries {
         .limit(10)
     }),
 
-    "q10_ret" -> ((s, d) => {
+    "q10r" -> ((s, d) => {
       // TPC-H Q10 shape: revenue lost to returned items, per customer.
       // The only big shuffle is lineitem⋈orders on orderkey; customer is
       // broadcast after its own nation-dim broadcast.
@@ -333,7 +333,7 @@ object RelationalQueries {
         .orderBy("user_id")
     }),
 
-    "q_salted" -> ((s, d) => {
+    "q_salt" -> ((s, d) => {
       // events.event_type has ~5 values — the canonical skewed join key:
       // an unsalted shuffle join sends every 'view' row to one reducer.
       // SaltedJoin spreads each type over 8 sub-keys (deterministic salt
@@ -393,7 +393,7 @@ WHERE c_mktsegment = 'BUILDING'
 GROUP BY l_orderkey, o_orderdate, o_orderpriority
 ORDER BY revenue DESC, l_orderkey LIMIT 10""",
 
-    "q10_ret" -> s"""
+    "q10r" -> s"""
 SELECT c_custkey, c_name, SUM($rev) AS revenue, c_acctbal, n_name
 FROM customer JOIN orders ON c_custkey = o_custkey
               JOIN lineitem ON l_orderkey = o_orderkey
@@ -533,7 +533,7 @@ SELECT stage, n_users FROM (
   UNION ALL SELECT '3_purchase', n_purchase FROM f
 ) ORDER BY stage""",
 
-    "q_salted" -> s"""
+    "q_salt" -> s"""
 WITH dim AS (SELECT event_type, min(event_id) AS type_first FROM events GROUP BY 1)
 SELECT e.event_type, d.type_first, count(*) AS n,
        CAST(SUM(CAST(e.value AS $dec)) AS DOUBLE) AS sum_value

@@ -912,6 +912,55 @@ object Similarity {
     spark.read.schema(cellSchema).parquet(s"$path/cells")
   }
 
+  /** BATCH top-k probe of a [[writeCellIndex]] index with a QUERY FRAME
+    * — the offline serving shape single-vector probes can't cover
+    * (RAG-eval batches, hard-negative mining, re-ranking sweeps: one
+    * job answers thousands of fresh queries): every query ranks the
+    * broadcast centroids, takes its `nprobe` home cells, and the UNION
+    * of probed cells collects to one literal partition predicate
+    * ([[tagNearIndex]]'s pruning shape with top-k instead of a
+    * threshold tag) — the index scan reads each touched cell once for
+    * the WHOLE batch, never once per query. Candidates join on cid
+    * (bounded by batch × cell size), and the per-query top-k runs as a
+    * partial WindowGroupLimit (≤ k rows per query per task before the
+    * exchange). Driver-side work is bounded by the codebook, never the
+    * corpus or the batch. A query id that also lives in the index is
+    * excluded from its own neighbours (the [[annIvfIndexed]]
+    * convention). Output: (query_id, rank, vid, cosine). */
+  def annIvfIndexedBatch(queries: DataFrame, idCol: String, embCol: String,
+                         path: String, k: Int, nprobe: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = queries.sparkSession
+    val qz = graft.CacheScope.persistTracked(
+      queries.select(col(idCol).as("query_id"),
+          quantize(col(embCol)).as("qv"))
+        .withColumn("qn2", dotQ(col("qv"), col("qv"))))
+    val cents = spark.read.parquet(s"$path/centroids")
+    val byVec = Window.partitionBy("query_id")
+      .orderBy(col("ccos").desc, col("cid").asc)
+    val probes = qz.crossJoin(broadcast(cents))
+      .select(col("query_id"), col("qv"), col("qn2"), col("cid"),
+        cosineQNormed(col("qv"), col("ce"), col("qn2"), col("cn2")).as("ccos"))
+      .withColumn("rnk", row_number().over(byVec))
+      .where(col("rnk") <= nprobe)
+      .select("query_id", "qv", "qn2", "cid")
+    // codebook-bounded driver collect: the literal Catalyst prunes on
+    val cids = probes.select("cid").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val stored = readCells(spark, path).where(col("cid").isin(cids: _*))
+    val byQ = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("vid").asc)
+    probes.as("q").join(stored.as("s"),
+        col("q.cid") === col("s.cid") && col("s.vid") =!= col("q.query_id"))
+      .select(col("q.query_id"), col("s.vid"),
+        cosineQNormed(col("q.qv"), col("s.qe"),
+          col("q.qn2"), col("s.n2")).as("cosine"))
+      .withColumn("rank", row_number().over(byQ))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("int").as("rank"),
+        col("vid"), col("cosine"))
+  }
+
   /** By-id convenience probe: looks the query row up IN THE INDEX (a
     * full-corpus scan mitigated only by vid row-group sorting — the
     * lookup predicate is pushed to the parquet reader and the cell

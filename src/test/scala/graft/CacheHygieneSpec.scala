@@ -14,7 +14,7 @@ class CacheHygieneSpec extends SparkSpec {
   /** Every declared query built on a persist/checkpoint-using operator. */
   private val cacheUsers = Seq(
     "dd_jac", "dd_lsh", "dd_cc",
-    "dec_sp", "ann_knng", "emb_near",
+    "dec_sp", "ann_kg", "emb_near",
     "pack_seq", "pack_slc", "pack_shuf",
     "ann_km", "ann_rec")
 

@@ -116,7 +116,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("knn graph: per-source window top-k, no global sort") {
-    val p = plan("ann_knng")
+    val p = plan("ann_kg")
     assert(p.contains("Window"), s"expected the per-source top-k window in:\n$p")
     assert(!p.contains("CartesianProduct"))
     // same hot-key bound as b6: each map task forwards at most k rows

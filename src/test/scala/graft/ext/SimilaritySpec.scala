@@ -300,6 +300,33 @@ class SimilaritySpec extends SparkSpec {
     assert(byVec == byId)
   }
 
+  test("batch indexed probe: each query's rows equal its single-vector probe") {
+    val root = java.nio.file.Files.createTempDirectory("graft-ivf-bq").toString
+    Similarity.writeCellIndex(vecs, "vec_id", "embedding", root,
+      centroidStride = 2)
+    val queries = vecs.where($"vec_id".isin(0L, 3L))
+    val batch = Similarity.annIvfIndexedBatch(queries, "vec_id", "embedding",
+        root, k = 3, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3)))
+    for (qid <- Seq(0L, 3L)) {
+      val qv = vecs.where($"vec_id" === qid).select("embedding")
+        .collect()(0).getSeq[Float](0)
+      val single = Similarity.annIvfIndexedVec(spark, root, qv, 3,
+          nprobe = 2, excludeVid = Some(qid))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val mine = batch.filter(_._1 == qid).sortBy(_._2)
+        .map(r => (r._3, r._4)).toSeq
+      assert(mine == single, s"query $qid: $mine vs $single")
+    }
+    // the probe scan is partition-pruned for the whole batch
+    val plan = Similarity.annIvfIndexedBatch(queries, "vec_id", "embedding",
+      root, k = 3, nprobe = 2).queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") && plan.contains("cid#"),
+      s"expected cid pruning on the batch probe scan:\n$plan")
+    graft.CacheScope.release()
+  }
+
   test("appendCellIndex: batch joins its stored cell, replay no-ops, pruning survives") {
     val root = java.nio.file.Files.createTempDirectory("graft-ivf-app").toString
     Similarity.writeCellIndex(vecs, "vec_id", "embedding", root,
