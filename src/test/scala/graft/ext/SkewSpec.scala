@@ -273,4 +273,43 @@ class SkewSpec extends SparkSpec with org.scalatest.BeforeAndAfterEach {
         s"unexpected rarity ${r.mkString(",")}")
     }
   }
+
+  test("maximalMatches stop-shingle cap skips the boilerplate seed blowup") {
+    // 40 docs share a boilerplate window (n=40 -> 780 ordered pairs per
+    // seed, the n^2 hazard the cap exists for); docs 100/101 share a
+    // RARE 6-word run. With the cap at 5 the boilerplate seed is
+    // skipped entirely and only the rare run's maximal match survives.
+    val docs = ((0L until 40L).map(i =>
+        (i, s"accept all our cookies now please x$i y$i z$i")) ++
+      Seq((100L, "p q rare alpha beta gamma delta zz"),
+          (101L, "rare alpha beta gamma delta qq")))
+      .toDF("doc_id", "text")
+    val out = Curation.maximalMatches(docs, $"text", $"doc_id", k = 5,
+        maxOccur = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getInt(3), r.getInt(4)))
+    assert(out.toSeq == Seq((100L, 101L, 2, 0, 5)))
+    // uncapped, the boilerplate pairs flood in (sanity on the hazard)
+    val all = Curation.maximalMatches(docs, $"text", $"doc_id", k = 5)
+      .count()
+    assert(all == 40L * 39 / 2 + 1)
+  }
+
+  test("sourceOverlap: a corpus-wide shingle fans out per source pair, not per doc") {
+    // one boilerplate shingle in EVERY doc of 3 sources contributes
+    // exactly C(3,2) = 3 pair rows' worth of intersection — one per
+    // source pair — because the frame is DISTINCT (source, hash); a
+    // per-occurrence formulation would fan out |docs|^2
+    val docs = (0L until 60L).map(i =>
+      (i, s"src${i % 3}", s"the same banner here u$i v$i")).toDF(
+      "doc_id", "source", "text")
+    val out = Dedup.sourceOverlap(docs, $"text", $"source")
+      .orderBy("src_a", "src_b").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    // shared distinct shingles between any two sources: the 3 banner
+    // windows ("the same banner", "same banner here") — per-doc suffix
+    // shingles are unique (u$i v$i)
+    assert(out.length == 3)
+    assert(out.forall(_._3 == 2L), s"expected 2 shared shingles: ${out.toSeq}")
+  }
 }
