@@ -68,6 +68,25 @@ object ExtQueries {
   // Tokens: word runs or single non-word chars (see Text.TokenRe).
   private val TokRe = "[0-9A-Za-z_]+|[^0-9A-Za-z_ ]"
 
+  // DuckDB mirror of pageDocs — the synthesized multi-line pages the
+  // gopher / c4 rows filter (6-word lines, bullet/suffix rotations,
+  // boilerplate tails). `pg(doc_id, text)` is the page frame.
+  private val PageCte = """WITH pw AS (
+  SELECT doc_id, string_split_regex(trim(text), ' +') AS w0 FROM documents
+), pg AS (
+  SELECT doc_id, concat_ws(chr(10),
+    array_to_string(list_transform(range((len(w0) + 5) // 6),
+      i -> concat(
+        CASE WHEN (doc_id + i) % 5 = 0 THEN '- ' ELSE '' END,
+        array_to_string(w0[i*6+1:i*6+6], ' '),
+        CASE WHEN (doc_id + i) % 3 = 0 THEN '.'
+             WHEN (doc_id + i) % 3 = 1 THEN '...' ELSE '' END)), chr(10)),
+    CASE WHEN doc_id % 2 = 0 THEN 'for sure we have more of that to be.' END,
+    CASE WHEN doc_id % 11 = 0 THEN 'lorem ipsum dolor sit amet.' END,
+    CASE WHEN doc_id % 13 = 0 THEN 'try { javascript.eval() }' END) AS text
+  FROM pw
+)"""
+
   /** Shared chain of mm_phash / mm_near: the synthetic raster's
     * closed-form gray value, 2×2 block means, dHash bits, and the
     * packed 64-bit hash (`hh` = (media_id, h)). Bit 63 uses the
@@ -282,6 +301,18 @@ model AS (
         .select("doc_id").orderBy("doc_id")
     }),
 
+    // Quality-aware retention: same clusters as dd_keep, but each
+    // keeps its LONGEST member (n_chars, ties to min id) — the
+    // RefinedWeb/SlimPajama "don't throw away the best copy" policy.
+    "dd_keepb" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.minhashLsh(docs, col("text"), col("doc_id"),
+        k = 3, numHashes = 16, bands = 4, minMatches = 4)
+      Dedup.keepBest(docs, pairs, col("doc_id"), col("n_chars"),
+          expectedDups = 10000)
+        .select("doc_id").orderBy("doc_id")
+    }),
+
     "dec_sp" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val pairs = Dedup.minhashLsh(docs, col("text"), col("doc_id"),
@@ -308,7 +339,7 @@ model AS (
       Dedup.simhash(Tables.documents(s, d), col("text"), col("doc_id"))
         .orderBy("doc_id")),
 
-    "sh_pairs" -> ((s, d) =>
+    "shp" -> ((s, d) =>
       Dedup.simhashPairs(Tables.documents(s, d), col("text"), col("doc_id"),
           maxDist = 16)
         .orderBy("doc_a", "doc_b")),
@@ -419,7 +450,7 @@ model AS (
     // keep-first rule actually drops 86/84/551 docs at
     // sf0.001/0.01/0.1 (checked in DuckDB) and the compare exercises
     // the full cell-blocked pair search
-    "semdedup" -> ((s, d) =>
+    "semdd" -> ((s, d) =>
       Similarity.semDedup(Tables.embeddings(s, d), "vec_id", "embedding",
           threshold = 0.35)
         .orderBy("vec_id")),
@@ -427,7 +458,7 @@ model AS (
     // 25 < every cell's population at both SFs (cells run 76-122
     // members), so the cap bites in every cell and the row verifies the
     // per-cell ranking, not a pass-through
-    "smp_cell" -> ((s, d) =>
+    "s_cell" -> ((s, d) =>
       Similarity.cellBalanced(Tables.embeddings(s, d), "vec_id", "embedding",
           n = 25)
         .orderBy("vec_id")),
@@ -515,14 +546,14 @@ model AS (
         .orderBy("stage")
     }),
 
-    "smp_spl" -> ((s, d) =>
+    "s_spl" -> ((s, d) =>
       Sampling.split(Tables.documents(s, d), col("doc_id"))
         .select("doc_id", "split").orderBy("doc_id")),
 
     // Multi-epoch repetition: rates 0.4 / 1.3 / 2.2 epochs by doc_id
     // class — whole copies + a hash-decided fractional copy, the
     // upsampling half of a published mixture recipe.
-    "smp_rep" -> ((s, d) =>
+    "s_rep" -> ((s, d) =>
       Sampling.repeatByRate(
           Tables.documents(s, d).select(col("doc_id")),
           col("doc_id"),
@@ -531,12 +562,12 @@ model AS (
 
     // quality-proportional keep rate: 1000 ppm per char, saturating at
     // 500 chars — longer docs always survive, shorter ones pro rata
-    "smp_wt" -> ((s, d) =>
+    "s_wt" -> ((s, d) =>
       Sampling.weighted(Tables.documents(s, d), col("doc_id"),
           col("n_chars") * 2000L)
         .select("doc_id").orderBy("doc_id")),
 
-    "smp_str" -> ((s, d) =>
+    "s_str" -> ((s, d) =>
       Sampling.stratified(Tables.events(s, d), col("event_type"),
           col("event_id"),
           Map("view" -> 100000, "click" -> 500000, "purchase" -> 1000000))
@@ -545,7 +576,7 @@ model AS (
     // per-language absolute cap (40 < the smallest language group at
     // both test scales, so every group is actually truncated and the
     // hash ranking — not a pass-through — is what the oracle checks)
-    "smp_cap" -> ((s, d) =>
+    "s_cap" -> ((s, d) =>
       Sampling.capPerGroup(Tables.documents(s, d), col("lang"),
           col("doc_id"), n = 40)
         .select("doc_id", "lang").orderBy("doc_id")),
@@ -553,7 +584,7 @@ model AS (
     // Temperature-smoothed (alpha = 0.5) per-language sampling: rates
     // derived from the corpus's own counts via sqrt flattening — the
     // published mBERT/XLM-R low-resource upweighting.
-    "smp_temp" -> ((s, d) =>
+    "s_temp" -> ((s, d) =>
       Sampling.temperatureMix(Tables.documents(s, d), col("lang"),
           col("doc_id"), targetRows = 200)
         .select("doc_id", "lang").orderBy("doc_id")),
@@ -562,17 +593,17 @@ model AS (
     // weights, fr's demand exceeds its supply (rate clamps to 1e6 —
     // keep all), unweighted es drops entirely. All three regimes of
     // Sampling.mixture exercised by one row.
-    "smp_mix" -> ((s, d) =>
+    "s_mix" -> ((s, d) =>
       Sampling.mixture(Tables.documents(s, d), col("lang"), col("doc_id"),
           Map("en" -> 200000, "fr" -> 400000, "de" -> 200000,
             "zh" -> 200000), targetRows = 300)
         .select("doc_id", "lang").orderBy("doc_id")),
 
-    "txt_toks" -> ((s, d) =>
+    "toks" -> ((s, d) =>
       TextAnalysis.tokenStats(Tables.documents(s, d), col("text"), col("doc_id"))
         .orderBy("doc_id")),
 
-    "pack_seq" -> ((s, d) => {
+    "p_seq" -> ((s, d) => {
       val toks = TextAnalysis
         .tokenStats(Tables.documents(s, d), col("text"), col("doc_id"))
         .select(col("doc_id"), col("n_tokens"))
@@ -581,12 +612,12 @@ model AS (
         .orderBy("doc_id")
     }),
 
-    "pack_shuf" -> ((s, d) =>
+    "p_shuf" -> ((s, d) =>
       Packing.shuffledOrdinal(Tables.documents(s, d), col("doc_id"),
           seed = "epoch0")
         .orderBy("doc_id")),
 
-    "pack_slc" -> ((s, d) => {
+    "p_slc" -> ((s, d) => {
       val toks = TextAnalysis
         .tokenStats(Tables.documents(s, d), col("text"), col("doc_id"))
         .select(col("doc_id"), col("n_tokens"))
@@ -597,7 +628,7 @@ model AS (
         .orderBy("bin", "bin_off")
     }),
 
-    "txt_lang" -> ((s, d) =>
+    "lang" -> ((s, d) =>
       TextAnalysis.langId(Tables.documents(s, d), col("text"), col("doc_id"))
         .orderBy("doc_id")),
 
@@ -606,7 +637,7 @@ model AS (
     // Latin+space, Cyrillic+punct, and Han+digit text with an
     // id-derived repeat factor — the oracle states every count and the
     // dominance verdict in closed form, never touching a codepoint.
-    "txt_script" -> ((s, d) => {
+    "scr" -> ((s, d) => {
       val h = (col("doc_id") % 7 + 1).cast("int")
       val t = col("doc_id") % 3
       val synth = when(t === 0, concat(repeat(lit("ab "), h), lit("xyz")))
@@ -618,37 +649,54 @@ model AS (
         .orderBy("doc_id")
     }),
 
-    "txt_qual" -> ((s, d) =>
+    "tqual" -> ((s, d) =>
       TextAnalysis.qualityScore(Tables.documents(s, d), col("text"), col("doc_id"))
         .orderBy("doc_id")),
+
+    // The Gopher rule battery over the synthesized multi-line pages
+    // (pageDocs): every rule fires on an id-derived slice — short docs
+    // fail the word-count floor, bullet/ellipsis decorations move the
+    // line ratios, the `- ` tokens dent alpha_pm, and only the even-id
+    // stopword tail reaches stop_hits >= 2.
+    "gopher" -> ((s, d) =>
+      TextAnalysis.gopherRules(pageDocs(Tables.documents(s, d)),
+        col("text"), col("doc_id")).orderBy("doc_id")),
+
+    // C4 page cleaning over the same pages: the mod-3 suffix rotation
+    // decides terminal punctuation per line, short final chunks fail
+    // the 5-word floor, and the lorem-ipsum / brace tails nuke whole
+    // pages (clean_text = '') while still reporting n_kept.
+    "c4" -> ((s, d) =>
+      Curation.c4Clean(pageDocs(Tables.documents(s, d)),
+        col("text"), col("doc_id")).orderBy("doc_id")),
 
     "text_fp" -> ((s, d) =>
       TextAnalysis.fingerprint(Tables.documents(s, d), col("text"), col("doc_id"))
         .orderBy("doc_id")),
 
-    "text_rep" -> ((s, d) =>
+    "t_rep" -> ((s, d) =>
       TextAnalysis.repetitionStats(Tables.documents(s, d), col("text"), col("doc_id"))
         .orderBy("doc_id")),
 
     // corpus-level IDF-shaped rarity (integer bit-length surprisal)
-    "txt_rare" -> ((s, d) =>
+    "rare" -> ((s, d) =>
       TextAnalysis.rarityScore(Tables.documents(s, d), col("text"),
         col("doc_id")).orderBy("doc_id")),
 
-    "text_top" -> ((s, d) =>
+    "t_top" -> ((s, d) =>
       TextAnalysis.topTerms(Tables.documents(s, d), col("text"),
           col("doc_id"), k = 5)
         .orderBy("doc_id", "rn")),
 
-    "src_stats" -> ((s, d) =>
+    "src_st" -> ((s, d) =>
       TextAnalysis.sourceStats(Tables.documents(s, d), col("source"),
         col("text"), col("lang"), col("doc_id")).orderBy("source")),
 
-    "text_zipf" -> ((s, d) =>
+    "zipf" -> ((s, d) =>
       TextAnalysis.vocabHead(Tables.documents(s, d), col("text"), k = 50)
         .orderBy("rank")),
 
-    "text_ppl" -> ((s, d) =>
+    "ppl" -> ((s, d) =>
       TextAnalysis.lmSurprisal(Tables.documents(s, d), col("text"),
           col("doc_id"))
         .orderBy("doc_id")),
@@ -689,7 +737,7 @@ model AS (
     // Trained quality classifier: naive-Bayes log-odds, good = the
     // English slice, bad = the zh slice, every document scored —
     // the fastText-classifier slot with exact-integer training.
-    "nb_quality" -> ((s, d) => {
+    "nb_q" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val model = TextAnalysis.nbTrain(docs.where(col("lang") === "en"),
         docs.where(col("lang") === "zh"), col("text"))
@@ -774,7 +822,7 @@ model AS (
     // PNG is synthesized as genuine (lossless) image bytes, decoded,
     // and dHashed — the oracle prices the block-mean/bit arithmetic
     // from the raster's closed form, image-blind.
-    "mm_phash" -> ((s, d) => {
+    "phash" -> ((s, d) => {
       import s.implicits._
       val rows = Tables.documents(s, d).select(col("doc_id")).as[Long]
         .map(id => Multimodal.MediaRow(id, Multimodal.synthPngPayload(id),
@@ -894,7 +942,7 @@ model AS (
     // anchored host allowlist (admits t0/1/4/5/6), a cdn host denylist
     // and an /a/ path denylist (kick t0/t1 back out) — in_scope lands
     // true only for t4/t5/t6, exercising all three predicate slots.
-    "url_scope" -> ((s, d) => {
+    "uscope" -> ((s, d) => {
       val h = (col("doc_id") % 100).cast("string")
       val t = col("doc_id") % 8
       val synth = when(t === 0, concat(lit("HTTP://Example.COM/a/b?x="), h))
@@ -946,7 +994,7 @@ model AS (
     // (JDK UAX #15); the oracle runs DuckDB's nfc_normalize (utf8proc)
     // on the same synthesized decomposed text — two unrelated codebases
     // must agree on every composed codepoint and length.
-    "uni_norm" -> ((s, d) => {
+    "unorm" -> ((s, d) => {
       graft.functions.GraftFunctions.register(s)
       val deco = concat(
         lit("cafe\u0301 nai\u0308ve Ange\u0301lique #"),
@@ -1008,6 +1056,29 @@ model AS (
     docs.select(col("doc_id"), concat_ws("\n", expr(
       "transform(sequence(0, (size(split(trim(text), ' +')) + 3) div 4 - 1)," +
         " i -> concat_ws(' ', slice(split(trim(text), ' +'), i*4+1, 4)))"))
+      .as("text"))
+
+  /** Multi-line "web page" variant of the fixture corpus shared by the
+    * gopher / c4 rows (the fixture text itself has no newlines): 6-word
+    * lines with id-deterministic bullet prefixes (`- ` on every 5th
+    * line) and terminal/ellipsis suffixes (`.`/`...` on a mod-3
+    * rotation), plus boilerplate tail lines — a stopword sentence on
+    * even ids, `lorem ipsum` on id%11=0, a javascript-with-brace line
+    * on id%13=0 — so every rule of both filters fires on some slice
+    * and stays off on another. Mirrored verbatim in the oracle CTE
+    * ([[PageCte]]). */
+  private def pageDocs(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), concat_ws("\n",
+      expr("transform(sequence(0, (size(split(trim(text), ' +')) + 5)" +
+        " div 6 - 1), i -> concat(" +
+        "case when (doc_id + i) % 5 = 0 then '- ' else '' end, " +
+        "concat_ws(' ', slice(split(trim(text), ' +'), i * 6 + 1, 6)), " +
+        "case when (doc_id + i) % 3 = 0 then '.' " +
+        "when (doc_id + i) % 3 = 1 then '...' else '' end))"),
+      expr("case when doc_id % 2 = 0" +
+        " then 'for sure we have more of that to be.' end"),
+      expr("case when doc_id % 11 = 0 then 'lorem ipsum dolor sit amet.' end"),
+      expr("case when doc_id % 13 = 0 then 'try { javascript.eval() }' end"))
       .as("text"))
 
   /** Appends a deterministic contact tail (email + IPv4 + phone, all
@@ -1377,6 +1448,32 @@ WHERE NOT EXISTS (
   SELECT 1 FROM comp WHERE comp.id = d.doc_id AND comp.component <> comp.id)
 ORDER BY doc_id"""),
 
+    "dd_keepb" -> (MinhashCte.replaceFirst("WITH ", "WITH RECURSIVE ") + """, pairs AS (
+  SELECT doc_a, doc_b
+  FROM cand JOIN sig sa ON doc_a = sa.doc_id
+            JOIN sig sb ON doc_b = sb.doc_id
+  WHERE len(list_filter(range(16), i -> sa.sig[i+1] = sb.sig[i+1])) >= 4
+), und AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+), reach AS (
+  SELECT u AS id, u AS r FROM und
+  UNION
+  SELECT und.u, reach.r FROM und JOIN reach ON und.v = reach.id
+), comp AS (
+  SELECT id, min(r) AS component FROM reach GROUP BY 1
+), best AS (
+  SELECT comp.id,
+         row_number() OVER (PARTITION BY comp.component
+           ORDER BY d.n_chars DESC, comp.id ASC) AS rn
+  FROM comp JOIN documents d ON d.doc_id = comp.id
+)
+SELECT d.doc_id FROM documents d
+WHERE NOT EXISTS (
+  SELECT 1 FROM best WHERE best.id = d.doc_id AND best.rn > 1)
+ORDER BY doc_id"""),
+
     "dec_sp" -> (MinhashCte + s""", pairs AS (
   SELECT doc_a, doc_b,
          CAST(len(list_filter(range(16), i -> sa.sig[i+1] = sb.sig[i+1])) AS INT)
@@ -1439,7 +1536,7 @@ SELECT doc_id,
                 ELSE 0 END) AS BIGINT) AS simhash
 FROM votes GROUP BY 1 ORDER BY doc_id"""),
 
-    "sh_pairs" -> (s"""WITH toks AS (
+    "shp" -> (s"""WITH toks AS (
   SELECT doc_id, unnest(regexp_extract_all(text, '$TokRe')) AS tok
   FROM documents
 ), votes AS (
@@ -1675,7 +1772,7 @@ ORDER BY cosine DESC, id_a ASC, id_b ASC LIMIT 20"""),
     // keep-first semantic dedup over CellsCte's shared assignment: a
     // doc drops iff a smaller-id same-cell neighbour clears the
     // threshold (see the declared row for why 0.35 on this corpus)
-    "semdedup" -> (CellsCte + """, dropped AS (
+    "semdd" -> (CellsCte + """, dropped AS (
   SELECT DISTINCT a.vid
   FROM cq a JOIN cq b ON a.cid = b.cid AND b.vid < a.vid
   WHERE round(
@@ -1687,7 +1784,7 @@ WHERE vid NOT IN (SELECT vid FROM dropped)
 ORDER BY vec_id"""),
 
     // capPerGroup's seeded-hash rank, with the IVF cell as the group
-    "smp_cell" -> (CellsCte + s""", ranked AS (
+    "s_cell" -> (CellsCte + s""", ranked AS (
   SELECT vid, cid,
          row_number() OVER (PARTITION BY cid
            ORDER BY ${h60("'cell0:' || CAST(vid AS VARCHAR)")} ASC, vid ASC) AS rn
@@ -1747,14 +1844,14 @@ JOIN k ON d.doc_id = k.doc_id
 JOIN sp ON d.doc_id = sp.doc_id
 ORDER BY d.doc_id"""),
 
-    "smp_spl" -> (s"""
+    "s_spl" -> (s"""
 SELECT doc_id,
        CASE WHEN ${h60("CAST(doc_id AS VARCHAR)")} % 1000000 < 50000 THEN 'val'
             WHEN ${h60("CAST(doc_id AS VARCHAR)")} % 1000000 < 100000 THEN 'test'
             ELSE 'train' END AS split
 FROM documents ORDER BY doc_id"""),
 
-    "smp_wt" -> (s"""
+    "s_wt" -> (s"""
 SELECT doc_id FROM documents
 WHERE ${h60("'wt0:' || CAST(doc_id AS VARCHAR)")} % 1000000
       < least(greatest(n_chars * 2000, 0), 1000000)
@@ -1762,7 +1859,7 @@ ORDER BY doc_id"""),
 
     // Mirror of temperatureMix: per-language counts, sqrt smoothing,
     // derived ppm rates, the same seeded hash thinning.
-    "smp_temp" -> (s"""WITH c AS (
+    "s_temp" -> (s"""WITH c AS (
   SELECT lang, count(*) AS n FROM documents GROUP BY 1
 ), s AS (
   SELECT lang, n, CAST(floor(sqrt(n)) AS BIGINT) AS sg FROM c
@@ -1778,7 +1875,7 @@ ORDER BY doc_id"""),
 
     // whole copies = rate // 1e6; the fractional copy lands iff the
     // seeded hash is under rate % 1e6 — identical arithmetic, no RNG
-    "smp_rep" -> (s"""WITH f AS (
+    "s_rep" -> (s"""WITH f AS (
   SELECT doc_id, (doc_id % 3) * 900000 + 400000 AS rate FROM documents
 ), c AS (
   SELECT doc_id,
@@ -1817,7 +1914,7 @@ SELECT stage, n_docs FROM (
   SELECT '3_train', CAST(sum(CASE WHEN q AND k AND tr THEN 1 ELSE 0 END) AS BIGINT) FROM f
 ) ORDER BY stage"""),
 
-    "smp_str" -> (s"""
+    "s_str" -> (s"""
 SELECT event_id, event_type
 FROM events
 WHERE ${h60("CAST(event_id AS VARCHAR)")} % 1000000 <
@@ -1825,7 +1922,7 @@ WHERE ${h60("CAST(event_id AS VARCHAR)")} % 1000000 <
            WHEN 'purchase' THEN 1000000 ELSE 0 END
 ORDER BY event_id"""),
 
-    "smp_cap" -> (s"""
+    "s_cap" -> (s"""
 SELECT doc_id, lang FROM (
   SELECT doc_id, lang,
          row_number() OVER (PARTITION BY lang
@@ -1833,7 +1930,7 @@ SELECT doc_id, lang FROM (
   FROM documents)
 WHERE rn <= 40 ORDER BY doc_id"""),
 
-    "smp_mix" -> (s"""
+    "s_mix" -> (s"""
 WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
 r AS (
   SELECT lang, least(1000000,
@@ -1846,7 +1943,7 @@ SELECT doc_id, lang FROM documents JOIN r USING (lang)
 WHERE ${h60("'mix0:' || CAST(doc_id AS VARCHAR)")} % 1000000 < rate
 ORDER BY doc_id"""),
 
-    "txt_toks" -> (WordsCte + s"""
+    "toks" -> (WordsCte + s"""
 SELECT doc_id,
        CAST(length(text) AS INT) AS n_chars,
        CAST(len(regexp_extract_all(text, '$TokRe')) AS INT) AS n_tokens,
@@ -1856,7 +1953,7 @@ SELECT doc_id,
          AS sum_word_len
 FROM w ORDER BY doc_id"""),
 
-    "pack_seq" -> (s"""WITH t AS (
+    "p_seq" -> (s"""WITH t AS (
   SELECT doc_id,
          CAST(len(regexp_extract_all(text, '$TokRe')) AS BIGINT) AS n_tokens
   FROM documents
@@ -1875,7 +1972,7 @@ SELECT doc_id, n_tokens,
        (end_off - 1) // 512 - (end_off - n_tokens) // 512 + 1 AS n_bins
 FROM c ORDER BY doc_id"""),
 
-    "pack_slc" -> (s"""WITH t AS (
+    "p_slc" -> (s"""WITH t AS (
   SELECT doc_id,
          CAST(len(regexp_extract_all(text, '$TokRe')) AS BIGINT) AS n_tokens
   FROM documents
@@ -1901,7 +1998,7 @@ SELECT bin, doc_id,
        least(end_off, (bin + 1) * 512) - greatest(start_off, bin * 512) AS len
 FROM e ORDER BY bin, bin_off"""),
 
-    "pack_shuf" -> (s"""WITH t AS (
+    "p_shuf" -> (s"""WITH t AS (
   SELECT doc_id,
          ${h60("'epoch0:' || CAST(doc_id AS VARCHAR)")} AS h
   FROM documents
@@ -1914,7 +2011,7 @@ FROM t ORDER BY doc_id"""),
     // h = doc_id % 7 + 1, template t = doc_id % 3 — every script count,
     // the dominance verdict, and the ppt share stated as arithmetic
     // over (h, t); the oracle never inspects a codepoint.
-    "txt_script" -> ("""WITH f AS (
+    "scr" -> ("""WITH f AS (
   SELECT doc_id, CAST(doc_id % 7 + 1 AS INT) AS h, doc_id % 3 AS t
   FROM documents
 )
@@ -1938,7 +2035,7 @@ SELECT doc_id,
          ELSE 666 END AS BIGINT) AS script_pm
 FROM f ORDER BY doc_id"""),
 
-    "txt_lang" -> """
+    "lang" -> """
 WITH w AS (
   SELECT doc_id, string_split_regex(trim(lower(text)), ' +') AS words
   FROM documents
@@ -1957,7 +2054,7 @@ SELECT doc_id, s_en, s_es, s_fr, s_de,
             ELSE 'de' END AS lang_pred
 FROM sc ORDER BY doc_id""",
 
-    "txt_qual" -> (s"""WITH w AS (
+    "tqual" -> (s"""WITH w AS (
   SELECT doc_id, text,
          string_split_regex(trim(lower(text)), ' +') AS words,
          regexp_extract_all(text, '$TokRe') AS toks
@@ -1975,6 +2072,52 @@ SELECT doc_id,
         AND len(list_distinct(words)) * 1000 // len(words) >= 200) AS quality_ok
 FROM w ORDER BY doc_id"""),
 
+    "gopher" -> (PageCte + """, gw AS (
+  SELECT doc_id, text,
+         string_split_regex(trim(lower(text)), '[ \n]+') AS ws,
+         string_split(text, chr(10)) AS ls,
+         length(text) - length(replace(text, '#', ''))
+           + len(regexp_extract_all(text, '\.\.\.')) AS sym
+  FROM pg
+), gm AS (
+  SELECT doc_id,
+    CAST(len(ws) AS INT) AS n_words,
+    CAST(len(ls) AS INT) AS n_lines,
+    CAST(list_sum(list_transform(ws, w -> length(w))) * 1000 // len(ws) AS BIGINT) AS wlen_pm,
+    CAST(sym * 1000 // len(ws) AS BIGINT) AS sym_pm,
+    CAST(len(list_filter(ls, l -> starts_with(l, '- ') OR starts_with(l, '* ')
+      OR starts_with(l, '• '))) * 1000 // len(ls) AS BIGINT) AS bullet_pm,
+    CAST(len(list_filter(ls, l -> ends_with(l, '...') OR ends_with(l, '…')))
+      * 1000 // len(ls) AS BIGINT) AS ellipsis_pm,
+    CAST(len(list_filter(ws, w -> regexp_matches(w, '[a-z]')))
+      * 1000 // len(ws) AS BIGINT) AS alpha_pm,
+    CAST(len(list_filter(['the','be','to','of','and','that','have','with'],
+      sw -> list_contains(ws, sw))) AS INT) AS stop_hits
+  FROM gw
+)
+SELECT *, (n_words BETWEEN 50 AND 100000
+  AND wlen_pm BETWEEN 3000 AND 10000 AND sym_pm <= 100
+  AND bullet_pm <= 900 AND ellipsis_pm <= 300
+  AND alpha_pm >= 800 AND stop_hits >= 2) AS gopher_ok
+FROM gm ORDER BY doc_id"""),
+
+    "c4" -> (PageCte + """, cw AS (
+  SELECT doc_id, string_split(text, chr(10)) AS ls,
+    NOT (contains(lower(text), 'lorem ipsum') OR contains(text, '{')) AS page_ok
+  FROM pg
+), ck AS (
+  SELECT doc_id, ls, page_ok,
+    list_filter(ls, l -> (ends_with(l, '.') OR ends_with(l, '!')
+        OR ends_with(l, '?') OR ends_with(l, '"'))
+      AND len(string_split_regex(trim(l), ' +')) >= 5
+      AND NOT contains(lower(l), 'javascript')) AS keep
+  FROM cw
+)
+SELECT doc_id, CAST(len(ls) AS INT) AS n_lines,
+       CAST(len(keep) AS INT) AS n_kept, page_ok,
+       CASE WHEN page_ok THEN array_to_string(keep, chr(10)) ELSE '' END AS clean_text
+FROM ck ORDER BY doc_id"""),
+
     "text_fp" -> (WordsCte + """
 SELECT doc_id,
        md5(regexp_replace(lower(trim(text)), ' +', ' ', 'g')) AS content_fp,
@@ -1984,7 +2127,7 @@ SELECT doc_id,
            ELSE [] END, s -> md5(s))) AS winnow_fp
 FROM w ORDER BY doc_id"""),
 
-    "text_rep" -> (WordsCte + """, bg AS (
+    "t_rep" -> (WordsCte + """, bg AS (
   SELECT doc_id, unnest(CASE WHEN len(words) >= 2
     THEN list_transform(range(len(words)-1),
          i -> array_to_string(words[i+1:i+2], ' '))
@@ -2018,7 +2161,7 @@ ORDER BY b.doc_id"""),
     // after, matching the Spark order of operations), document
     // frequency as a row-count window over the hash, bit-length
     // surprisal folded per document.
-    "txt_rare" -> (s"""WITH t AS (
+    "rare" -> (s"""WITH t AS (
   SELECT doc_id, ${h60("tok")} AS th
   FROM (SELECT DISTINCT doc_id, tok
         FROM (SELECT doc_id, unnest(regexp_extract_all(text, '$TokRe')) AS tok
@@ -2118,7 +2261,7 @@ FROM s GROUP BY doc_id ORDER BY doc_id"""),
     // Mirror of nbTrain + nbScore: per-class word-hash counts (good =
     // en, bad = zh), add-one stamps (totals + union vocabulary), exact
     // log-odds in bits per document.
-    "nb_quality" -> (s"""WITH h AS (
+    "nb_q" -> (s"""WITH h AS (
   SELECT doc_id, ${h60("wd")} AS wh
   FROM (SELECT doc_id,
           unnest(string_split_regex(trim(lower(text)), ' +')) AS wd
@@ -2149,7 +2292,7 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
        CAST(sum(sb) - sum(sg) AS BIGINT) AS nb_bits
 FROM s GROUP BY doc_id ORDER BY doc_id"""),
 
-    "text_ppl" -> (PplCte + """
+    "ppl" -> (PplCte + """
 SELECT doc_id, n_bigrams, bits_sum, ppl_pm
 FROM pp ORDER BY doc_id"""),
 
@@ -2178,7 +2321,7 @@ SELECT sc.doc_id, sc.lang, sc.ppl_pm,
             ELSE 'tail' END AS tier
 FROM sc JOIN th USING (lang) ORDER BY sc.doc_id"""),
 
-    "text_top" -> ("""WITH t AS (
+    "t_top" -> ("""WITH t AS (
   SELECT doc_id, unnest(string_split_regex(trim(lower(text)), ' +')) AS term
   FROM documents
 ), tf AS (
@@ -2194,7 +2337,7 @@ FROM sc JOIN th USING (lang) ORDER BY sc.doc_id"""),
 SELECT doc_id, CAST(rn AS INT) AS rn, term, tf, df
 FROM r WHERE rn <= 5 ORDER BY doc_id, rn"""),
 
-    "src_stats" -> ("""
+    "src_st" -> ("""
 SELECT source,
        CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(length(text)) AS BIGINT) AS sum_chars,
@@ -2202,7 +2345,7 @@ SELECT source,
        CAST(max(length(text)) AS BIGINT) AS max_chars
 FROM documents GROUP BY source ORDER BY source"""),
 
-    "text_zipf" -> ("""WITH t AS (
+    "zipf" -> ("""WITH t AS (
   SELECT unnest(string_split_regex(trim(lower(text)), ' +')) AS term
   FROM documents
 ), c AS (
@@ -2327,7 +2470,7 @@ FROM f ORDER BY doc_id"""),
     // re-implements the canonicalizer or the regex predicates): the
     // allowlist admits t0/1/4/5/6, the /a/ path denylist kicks t0/t1,
     // so only t4/t5/t6 land in scope.
-    "url_scope" -> ("""WITH f AS (
+    "uscope" -> ("""WITH f AS (
   SELECT doc_id, doc_id % 8 AS t, CAST(doc_id % 100 AS VARCHAR) AS h
   FROM documents
 )
@@ -2381,7 +2524,7 @@ FROM f ORDER BY doc_id"""),
 
     // DuckDB's utf8proc NFC vs Spark's JDK Normalizer on the same
     // decomposed text — two independent implementations must agree.
-    "uni_norm" -> ("""WITH f AS (
+    "unorm" -> ("""WITH f AS (
   SELECT doc_id,
          'cafe' || chr(769) || ' nai' || chr(776) || 've Ange' || chr(769) ||
          'lique #' || CAST(doc_id % 100 AS VARCHAR) || ' A' || chr(778) AS deco
@@ -2406,23 +2549,27 @@ FROM f ORDER BY doc_id"""),
   SELECT media_id, n, unnest(range(0, n)) AS i FROM f
 ), u AS (
   SELECT media_id, n, i,
-         xor((media_id * 31 + i * 7) % 256, 255) AS ub
+         xor((media_id * 31 + i * 7) % 256, 255) AS ub,
+         xor((media_id * 31 + i * 7) % 256, 85) AS ab
   FROM s
 ), a AS (
   SELECT media_id, n,
          sum(abs((media_id * 31 + i * 7) % 200 - 100)) AS sabs,
-         sum((((ub % 16) * 8 + 132) << ((ub // 16) % 8)) - 132) AS usabs
+         sum((((ub % 16) * 8 + 132) << ((ub // 16) % 8)) - 132) AS usabs,
+         sum(CASE WHEN (ab // 16) % 8 = 0 THEN (ab % 16) * 16 + 8
+             ELSE ((ab % 16) * 16 + 264) << ((ab // 16) % 8 - 1) END) AS asabs
   FROM u GROUP BY media_id, n
 )
 SELECT media_id,
-       CASE media_id % 4 WHEN 0 THEN 'wav' WHEN 1 THEN 'flac'
-            WHEN 2 THEN 'ulaw' ELSE 'adpcm' END AS format,
+       CASE WHEN media_id % 8 = 4 THEN 'alaw'
+            WHEN media_id % 4 = 0 THEN 'wav' WHEN media_id % 4 = 1 THEN 'flac'
+            WHEN media_id % 4 = 2 THEN 'ulaw' ELSE 'adpcm' END AS format,
        CAST(1 AS INT) AS channels, CAST(8000 AS INT) AS sample_rate,
        CAST(16 AS INT) AS bits, CAST(n AS BIGINT) AS n_frames,
        CAST(n * 1000 // 8000 AS BIGINT) AS duration_ms,
-       CAST(CASE media_id % 4
-         WHEN 2 THEN usabs // n
-         WHEN 3 THEN abs((media_id * 31) % 200 - 100)
+       CAST(CASE WHEN media_id % 8 = 4 THEN asabs // n
+         WHEN media_id % 4 = 2 THEN usabs // n
+         WHEN media_id % 4 = 3 THEN abs((media_id * 31) % 200 - 100)
          ELSE sabs // n END AS BIGINT) AS mean_abs_amp
 FROM a ORDER BY media_id"""),
 
@@ -2474,7 +2621,7 @@ GROUP BY f.media_id, f.n ORDER BY f.media_id"""),
 
     // Mirror of synthPngPayload + dhashOf: the raster's closed form
     // through block means and bit packing — no image bytes touched.
-    "mm_phash" -> (DhashCte + """
+    "phash" -> (DhashCte + """
 SELECT media_id, CAST(18 AS INT) AS width, CAST(16 AS INT) AS height,
        h AS dhash
 FROM hh ORDER BY media_id"""),

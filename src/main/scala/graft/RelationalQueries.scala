@@ -124,7 +124,7 @@ object RelationalQueries {
         ORDER BY o_orderpriority""")
     }),
 
-    "q_rollup" -> ((s, d) =>
+    "q_roll" -> ((s, d) =>
       Tables.orders(s, d)
         .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
         .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
@@ -429,7 +429,7 @@ WHERE EXISTS (SELECT 1 FROM lineitem l
 GROUP BY o_orderpriority
 ORDER BY o_orderpriority""",
 
-    "q_rollup" -> """
+    "q_roll" -> """
 SELECT r_name, n_name, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total, count(*) AS n_orders
 FROM orders JOIN customer ON o_custkey = c_custkey
             JOIN nation ON c_nationkey = n_nationkey

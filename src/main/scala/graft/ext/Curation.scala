@@ -402,6 +402,39 @@ object Curation {
           col("__n") - col("pos") * strideWords).cast("int").as("n_words"))
   }
 
+  /** The C4 page-cleaning pass (Raffel et al. 2020, "Exploring the
+    * Limits of Transfer Learning with a Unified Text-to-Text
+    * Transformer", §2.2): keep only lines that end in a terminal
+    * punctuation mark (`.` `!` `?` `"`), carry at least `minWords`
+    * whitespace words, and don't mention "javascript"
+    * (case-insensitive); drop the ENTIRE page — clean_text becomes ""
+    * — when it contains "lorem ipsum" or a curly bracket `{` anywhere
+    * (C4's placeholder/code tells). Line and page verdicts are both
+    * reported so callers can audit what a drop cost.
+    *
+    * A pure NARROW projection — one `split` + one `filter` HOF per
+    * row, zero shuffles (unlike [[dedupLines]], no corpus-wide count
+    * is needed: every rule is local to the page), scan speed at
+    * 100 TB.
+    *
+    * Output: (doc_id, n_lines, n_kept, page_ok, clean_text) —
+    * `n_kept` counts rule-surviving lines even on dropped pages
+    * (page_ok=false), where clean_text is "". */
+  def c4Clean(df: DataFrame, content: Column, id: Column,
+              minWords: Int = 5): DataFrame =
+    df.select(id.as("doc_id"), split(content, "\n").as("__ls"),
+        (!lower(content).contains("lorem ipsum") &&
+          !content.contains("{")).as("page_ok"))
+      .withColumn("__keep", expr(
+        "filter(__ls, l -> (endswith(l, '.') or endswith(l, '!') or " +
+          "endswith(l, '?') or endswith(l, '\"')) " +
+          s"and size(split(trim(l), ' +')) >= $minWords " +
+          "and not contains(lower(l), 'javascript'))"))
+      .select(col("doc_id"), size(col("__ls")).as("n_lines"),
+        size(col("__keep")).as("n_kept"), col("page_ok"),
+        when(col("page_ok"), concat_ws("\n", col("__keep")))
+          .otherwise(lit("")).as("clean_text"))
+
   def cutSpans(df: DataFrame, content: Column, id: Column,
                k: Int = 5, minCount: Int = 2): DataFrame = {
     val covered = duplicateSpans(df, content, id, k, minCount)

@@ -503,6 +503,35 @@ object Dedup {
       expectedDups, fpp)
   }
 
+  /** Quality-aware sibling of [[keepRepresentatives]] — the
+    * RefinedWeb/SlimPajama retention policy: each near-dup cluster
+    * keeps its best-SCORING member (ties broken by min doc_id) instead
+    * of blindly the min-id one, so dedup stops discarding the longest
+    * or cleanest copy of a page. The per-cluster argmax is a
+    * partial-aggregating `max(struct(score, -id))` — cluster-count-
+    * sized, hub-safe, no window over the corpus — and the subtraction
+    * stays the bloom-pruned anti join (both exchange sides are sized
+    * by the DUPLICATE set, never the corpus). `score` is evaluated
+    * against `df`'s columns (chars, quality_ok, lm bits — caller's
+    * policy). */
+  def keepBest(df: DataFrame, pairs: DataFrame, id: Column, score: Column,
+               expectedDups: Long = 1L << 20,
+               fpp: Double = 0.01): DataFrame = {
+    val members = components(pairs) // (doc_id, component); label = min id
+    val scored = df.select(id.as("__kb_id"), score.as("__kb_s"))
+    val withScore = members
+      .join(scored, members("doc_id") === scored("__kb_id"))
+    val winners = withScore.groupBy("component")
+      .agg(max(struct(col("__kb_s"), (-col("doc_id")).as("__neg")))
+        .as("__w"))
+      .select(col("component"), (-col("__w.__neg")).as("__keep_id"))
+    val dropped = withScore.join(winners, "component")
+      .where(col("doc_id") =!= col("__keep_id"))
+      .select(col("doc_id").as("__drop_id"))
+    graft.operators.BloomAntiJoin(df, id, dropped, col("__drop_id"),
+      expectedDups, fpp)
+  }
+
   /** Serialized history bloom for the STREAMING tier of incremental
     * dedup: one partial-aggregated pass over the accumulated corpus,
     * collected to the driver. The collect is the single-row filter —

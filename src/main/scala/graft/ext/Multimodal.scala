@@ -286,6 +286,12 @@ object Multimodal {
     val n = (nChars % 50 + 1).toInt
     val pcm = Array.tabulate(n)(i => ((id * 31 + i * 7) % 200 - 100).toInt)
     id % 4 match {
+      case 0 if id % 8 == 4 =>
+        // G.711 A-law (formatTag 6): same closed-form byte stream as
+        // the μ-law arm — the oracle prices the published segmented
+        // expansion per byte, independent of the real decoder
+        synthCompressedWav(6, 1, 8000, 8, blockAlign = 1, fact = n,
+          Array.tabulate(n)(i => (((id * 31 + i * 7) % 256) & 0xff).toByte))
       case 0 => synthWav(pcm)
       case 1 => graft.functions.FlacCodec.encode(
         graft.functions.FlacCodec.FlacPcm(8000, 1, 16, Array(pcm)), 4096)

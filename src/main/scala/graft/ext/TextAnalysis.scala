@@ -723,6 +723,55 @@ object TextAnalysis {
       .withColumn("nb_bits", col("bits_bad") - col("bits_good"))
   }
 
+  /** The Gopher rule-set document filter (Rae et al. 2021, "Scaling
+    * Language Models: Methods, Analysis & Insights from Training
+    * Gopher", App. A1.1 — the rule battery RedPajama/Dolma/FineWeb
+    * reuse): per-document structural signals plus the composite
+    * keep/drop verdict. All ratios are integer parts-per-thousand
+    * (`div`, never `/`) so the DuckDB oracle agrees bit-for-bit:
+    *
+    *  - `n_words` in [50, 100 000] (words = whitespace split of the
+    *    lowercased text, newlines included — multi-line pages);
+    *  - mean word length in [3, 10] chars (`wlen_pm` in [3000, 10000]);
+    *  - symbol-to-word ratio ≤ 0.1 (`#` plus `...` occurrences);
+    *  - ≤ 90% of lines start with a bullet (`- `, `* `, `• `);
+    *  - ≤ 30% of lines end with an ellipsis (`...` or `…`);
+    *  - ≥ 80% of words contain at least one alphabetic character;
+    *  - at least 2 of Gopher's 8 required stop words present
+    *    (the/be/to/of/and/that/have/with).
+    *
+    * A pure NARROW projection — built-in higher-order functions over
+    * the split arrays, zero shuffles, scan speed at 100 TB. Empty/
+    * whitespace-only documents are the caller's quarantine (ANSI `div`
+    * would fault on zero words, by design, not mask it).
+    *
+    * Output: (doc_id, n_words, n_lines, wlen_pm, sym_pm, bullet_pm,
+    * ellipsis_pm, alpha_pm, stop_hits, gopher_ok). */
+  def gopherRules(df: DataFrame, content: Column, id: Column): DataFrame =
+    df.select(id.as("doc_id"),
+        split(lower(trim(content)), "[ \\n]+").as("__ws"),
+        split(content, "\n").as("__ls"),
+        (regexp_count(content, lit("#")) +
+          regexp_count(content, lit("\\.\\.\\."))).as("__sym"))
+      .selectExpr("doc_id",
+        "size(__ws) as n_words",
+        "size(__ls) as n_lines",
+        "aggregate(__ws, 0L, (a, w) -> a + length(w)) * 1000 div size(__ws)" +
+          " as wlen_pm",
+        "__sym * 1000 div size(__ws) as sym_pm",
+        "size(filter(__ls, l -> startswith(l, '- ') or startswith(l, '* ')" +
+          " or startswith(l, '• '))) * 1000 div size(__ls) as bullet_pm",
+        "size(filter(__ls, l -> endswith(l, '...') or endswith(l," +
+          " '…'))) * 1000 div size(__ls) as ellipsis_pm",
+        "size(filter(__ws, w -> w rlike '[a-z]')) * 1000 div size(__ws)" +
+          " as alpha_pm",
+        "size(filter(array('the','be','to','of','and','that','have'," +
+          "'with'), sw -> array_contains(__ws, sw))) as stop_hits")
+      .withColumn("gopher_ok", expr(
+        "n_words between 50 and 100000 and wlen_pm between 3000 and 10000" +
+          " and sym_pm <= 100 and bullet_pm <= 900 and ellipsis_pm <= 300" +
+          " and alpha_pm >= 800 and stop_hits >= 2"))
+
   def fingerprint(df: DataFrame, content: Column, id: Column,
                   k: Int = 3): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)

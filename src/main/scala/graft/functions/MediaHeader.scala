@@ -218,6 +218,20 @@ object MediaHeaderUtil {
     if ((u & 0x80) != 0) -mag else mag
   }
 
+  /** One G.711 A-law byte → 16-bit linear sample (closed form, ITU-T
+    * G.711 / the public-domain Sun `g711.c` arithmetic): XOR 0x55,
+    * split sign(1)/segment(3)/mantissa(4); segment 0 decodes to
+    * `m·16 + 8`, segment s ≥ 1 to `(m·16 + 0x108) << (s-1)`. Unlike
+    * μ-law the sign bit SET means positive; full scale is ±32256 and
+    * "silence" (±8) is bytes 0x55/0xD5. */
+  def alawToPcm(b0: Int): Int = {
+    val a = (b0 ^ 0x55) & 0xff
+    val seg = (a >> 4) & 7
+    val m = a & 0x0f
+    val mag = if (seg == 0) (m << 4) + 8 else ((m << 4) + 0x108) << (seg - 1)
+    if ((a & 0x80) != 0) mag else -mag
+  }
+
   /** IMA/DVI ADPCM quantizer step table (89 entries) and index
     * adaptation table — the published constants every IMA decoder
     * shares. */
@@ -299,6 +313,14 @@ object MediaHeaderUtil {
           out(i) = ulawToPcm(b(w.dataOffset + i) & 0xff); i += 1
         }
         Some(("ulaw", w.sampleRate, w.channels, out))
+      } else if (w.audioFormat == 6 && w.bits == 8 &&
+                 w.blockAlign == w.channels && w.dataLen % w.channels == 0) {
+        val out = new Array[Int](w.dataLen)
+        var i = 0
+        while (i < w.dataLen) {
+          out(i) = alawToPcm(b(w.dataOffset + i) & 0xff); i += 1
+        }
+        Some(("alaw", w.sampleRate, w.channels, out))
       } else if (w.audioFormat == 17 && w.channels == 1 && w.bits == 4 &&
                  w.blockAlign >= 4) {
         val want = w.factFrames.getOrElse(Long.MaxValue)
@@ -349,6 +371,16 @@ object MediaHeaderUtil {
         while (i < end) { sum += math.abs(ulawToPcm(b(i) & 0xff)); i += 1 }
         val frames = w.dataLen.toLong / w.channels
         Some(("ulaw", WavStats(w.channels, w.sampleRate, 16, frames,
+          frames * 1000L / w.sampleRate,
+          if (w.dataLen == 0) 0L else sum / w.dataLen)))
+      } else if (w.audioFormat == 6 && w.bits == 8 &&
+                 w.blockAlign == w.channels && w.dataLen % w.channels == 0) {
+        var sum = 0L
+        var i = w.dataOffset
+        val end = w.dataOffset + w.dataLen
+        while (i < end) { sum += math.abs(alawToPcm(b(i) & 0xff)); i += 1 }
+        val frames = w.dataLen.toLong / w.channels
+        Some(("alaw", WavStats(w.channels, w.sampleRate, 16, frames,
           frames * 1000L / w.sampleRate,
           if (w.dataLen == 0) 0L else sum / w.dataLen)))
       } else if (w.audioFormat == 17 && w.channels == 1 && w.bits == 4 &&

@@ -15,7 +15,7 @@ class CacheHygieneSpec extends SparkSpec {
   private val cacheUsers = Seq(
     "dd_jac", "dd_lsh", "dd_cc",
     "dec_sp", "ann_kg", "emb_near",
-    "pack_seq", "pack_slc", "pack_shuf",
+    "p_seq", "p_slc", "p_shuf",
     "ann_km", "ann_rec")
 
   test("each cache-using query leaves no net persistent RDDs after release") {

@@ -50,7 +50,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("text repetition: narrow per-document map — no joins, only the sort exchange") {
-    val p = plan("text_rep")
+    val p = plan("t_rep")
     assert(!p.contains("Join"), s"repetition must stay per-document:\n$p")
     assert(count(p, "Exchange") == 1, // the final orderBy only
       s"expected a single (sort) exchange in:\n$p")
@@ -68,7 +68,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("nb_quality: smoothing stamps ride a broadcast, the model joins once") {
-    val p = plan("nb_quality")
+    val p = plan("nb_q")
     // the one-row stamps frame must be a broadcast (nested-loop on one
     // row), never a shuffle; and no cartesian anywhere
     assert(p.contains("BroadcastNestedLoopJoin") ||
@@ -132,7 +132,7 @@ class PlanSpec extends SparkSpec {
     // the ranking window is single-partition by construction, so it may
     // only ever see the k limited rows — a plan that windows the whole
     // vocabulary would serialize it through one task
-    val p = plan("text_zipf")
+    val p = plan("zipf")
     assert(p.contains("TakeOrderedAndProject"),
       s"expected heap top-k (not a global sort) over the term counts in:\n$p")
     assert(p.contains("HashAggregate"),
@@ -212,8 +212,10 @@ class PlanSpec extends SparkSpec {
     // mm_av (AVI audio demux) hold the same contract: per-document
     // narrow work, the output sort's range partitioning is the only
     // data movement.
-    for (q <- Seq("url_can", "uni_norm", "html", "chunks",
-        "mm_video", "mm_av", "smp_rep")) {
+    // gopher (rule-battery filter) and c4 (line cleaning) are likewise
+    // per-document: split + HOF filters, nothing corpus-wide.
+    for (q <- Seq("url_can", "unorm", "html", "chunks",
+        "mm_video", "mm_av", "s_rep", "gopher", "c4")) {
       val p = plan(q)
       assert(count(p, "Exchange") <= 1,
         s"$q must shuffle only for its output sort:\n$p")
@@ -223,7 +225,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("top terms: df broadcast (no term-keyed shuffle join) and top-k group limit") {
-    val p = plan("text_top")
+    val p = plan("t_top")
     assert(p.contains("BroadcastHashJoin"),
       s"document-frequency side must broadcast, not shuffle on term:\n$p")
     assert(p.contains("WindowGroupLimit"),
@@ -257,7 +259,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("semdedup: cell-blocked pair join + keep-first anti join, no cartesian") {
-    val p = plan("semdedup")
+    val p = plan("semdd")
     // the drop set subtracts via LeftAnti; candidate pairs come from the
     // cid-keyed self-join (cells are ~stride vectors), never data×data
     assert(p.contains("LeftAnti"),
@@ -267,7 +269,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("smp_cell: the per-cell cap pushes into WindowGroupLimit") {
-    val p = plan("smp_cell")
+    val p = plan("s_cell")
     assert(p.contains("WindowGroupLimit"),
       s"expected the rank<=n group-limit pushdown in:\n$p")
   }
@@ -426,7 +428,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("group cap: rank predicate pushed into WindowGroupLimit at the declared row") {
-    val p = plan("smp_cap")
+    val p = plan("s_cap")
     assert(p.contains("WindowGroupLimit"),
       s"expected the per-group limit below the window sort in:\n$p")
   }
@@ -497,7 +499,7 @@ class PlanSpec extends SparkSpec {
   test("token rarity: partial-agg doc-frequency, no window over the token hash") {
     // "the" occurs in ~every document — the hot key a count window
     // over th cannot absorb; the groupBy(th) pair collapses it map-side
-    val p = plan("txt_rare")
+    val p = plan("rare")
     assert(!p.contains("Window"), s"no window may partition on the token hash:\n$p")
     assert(count(p, "HashAggregate") >= 4,
       s"expected partial+final pairs for doc frequency and the per-doc fold in:\n$p")
@@ -506,7 +508,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("mixture: tiny rate table broadcast, corpus side stays a narrow filter") {
-    val p = plan("smp_mix")
+    val p = plan("s_mix")
     assert(p.contains("BroadcastHashJoin"),
       s"expected the per-group rates broadcast back in:\n$p")
     assert(!p.contains("Window") && !p.contains("SortMergeJoin"),

@@ -125,7 +125,7 @@ class AudioDecodeSpec extends SparkSpec {
       }
       // the compressed-codec walk holds the same total-function contract
       MediaHeaderUtil.wavStatsAny(b).foreach { case (codec, s) =>
-        assert(Seq("wav", "ulaw", "adpcm").contains(codec))
+        assert(Seq("wav", "ulaw", "alaw", "adpcm").contains(codec))
         assert(s.nFrames >= 0 && s.meanAbsAmp >= 0)
       }
     }
@@ -203,6 +203,48 @@ class AudioDecodeSpec extends SparkSpec {
     assert(s.meanAbsAmp == 17405L)
     // PCM files still take the PCM path through wavStatsAny
     assert(MediaHeaderUtil.wavStatsAny(mono16).get._1 == "wav")
+  }
+
+  test("alawToPcm agrees with the JDK's independent G.711 converter, all 256 bytes") {
+    import javax.sound.sampled._
+    val alawFmt = new AudioFormat(AudioFormat.Encoding.ALAW,
+      8000f, 8, 1, 1, 8000f, false)
+    val pcmFmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+      8000f, 16, 1, 2, 8000f, false)
+    val raw = Array.tabulate(256)(_.toByte)
+    val converted = AudioSystem.getAudioInputStream(pcmFmt,
+      new AudioInputStream(new java.io.ByteArrayInputStream(raw), alawFmt,
+        256L))
+    val out = converted.readAllBytes()
+    converted.close()
+    assert(out.length == 512)
+    (0 until 256).foreach { b =>
+      val jdk = ((out(2 * b) & 0xff) | (out(2 * b + 1).toInt << 8))
+      assert(MediaHeaderUtil.alawToPcm(b) == jdk,
+        s"byte $b: graft ${MediaHeaderUtil.alawToPcm(b)} vs JDK $jdk")
+    }
+    // the published boundary values, stated directly (sign bit SET is
+    // positive in A-law — the opposite of μ-law)
+    assert(MediaHeaderUtil.alawToPcm(0xd5) == 8)       // positive silence
+    assert(MediaHeaderUtil.alawToPcm(0x55) == -8)      // negative silence
+    assert(MediaHeaderUtil.alawToPcm(0xaa) == 32256)   // full positive scale
+    assert(MediaHeaderUtil.alawToPcm(0x2a) == -32256)  // full negative scale
+  }
+
+  test("alaw WAV: per-byte expansion, frames = bytes, decoded width 16") {
+    // bytes 0x2a, 0xaa, 0xd5, 0x00: |samples| 32256, 32256, 8,
+    // 0x00 -> a = 0x55: seg 5, m 5 -> (80+264)<<4 = 5504 (negative)
+    // sum = 70024 -> mean 70024/4 = 17506
+    val b = compWav(6, 1, 8000, 8, blockAlign = 1, fact = 4,
+      Array(0x2a, 0xaa, 0xd5, 0x00).map(_.toByte))
+    val (codec, s) = MediaHeaderUtil.wavStatsAny(b).get
+    assert(codec == "alaw")
+    assert(s.channels == 1 && s.sampleRate == 8000 && s.bitsPerSample == 16)
+    assert(s.nFrames == 4L && s.meanAbsAmp == 17506L)
+    // the sample-level sibling routes identically
+    val (c2, rate, ch, samples) = MediaHeaderUtil.wavSamplesAny(b).get
+    assert(c2 == "alaw" && rate == 8000 && ch == 1)
+    assert(samples.toSeq == Seq(-32256, 32256, 8, -5504))
   }
 
   test("IMA-ADPCM: hand-walked nibble state machine, fact trim, block header") {

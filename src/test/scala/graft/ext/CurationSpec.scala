@@ -127,6 +127,41 @@ class CurationSpec extends SparkSpec with org.scalatest.BeforeAndAfterEach {
     assert(again == out)
   }
 
+  test("c4Clean: line keep rules and page-level drops by hand") {
+    val docs = Seq(
+      // keep lines 1 (6 words, '.') and 5 (5 words, '!'); drop 2 (2
+      // words), 3 (no terminal), 4 (mentions Javascript)
+      (1L, "we all agree this works fine.\nshort one.\n" +
+        "no terminal here at all\nthe Javascript engine is quite fast.\n" +
+        "ok really good line indeed!"),
+      // page contains "lorem ipsum" -> page dropped; n_kept still
+      // reports the 2 rule-surviving lines
+      (2L, "this page uses lorem ipsum filler text here today.\n" +
+        "another good line with five words."),
+      // '{' anywhere nukes the page; line 1 also fails the 5-word floor
+      (3L, "code block { inside.\na perfectly fine sentence right here."),
+      // terminal '"' counts (C4 keeps quoted sentence ends)
+      (4L, "he said \"this is fine\"")).toDF("doc_id", "text")
+    val out = Curation.c4Clean(docs, $"text", $"doc_id")
+      .orderBy("doc_id")
+      .as[(Long, Int, Int, Boolean, String)].collect().toSeq
+    assert(out == Seq(
+      (1L, 5, 2, true,
+        "we all agree this works fine.\nok really good line indeed!"),
+      (2L, 2, 2, false, ""),
+      (3L, 2, 1, false, ""),
+      (4L, 1, 1, true, "he said \"this is fine\"")))
+  }
+
+  test("c4Clean: minWords floor is a parameter") {
+    val docs = Seq((1L, "tiny line.\nbig enough line here today.")).toDF("doc_id", "text")
+    val strict = Curation.c4Clean(docs, $"text", $"doc_id")
+      .select("n_kept").as[Int].head()
+    val loose = Curation.c4Clean(docs, $"text", $"doc_id", minWords = 2)
+      .select("n_kept").as[Int].head()
+    assert(strict == 1 && loose == 2)
+  }
+
   test("duplicateSpans: a unique corpus yields no spans") {
     val docs = Seq((1L, "p q r s t"), (2L, "u v w x y")).toDF("doc_id", "text")
     assert(Curation.duplicateSpans(docs, $"text", $"doc_id", k = 2).count() == 0)

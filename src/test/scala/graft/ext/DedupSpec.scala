@@ -94,6 +94,26 @@ class DedupSpec extends SparkSpec {
     assert(kept == Seq(1L, 4L, 6L))
   }
 
+  test("keepBest: per-cluster argmax by score, ties to min id, singletons survive") {
+    // clusters {1,2,3} and {4,5}; 6 unclustered. Scores (text length):
+    // cluster 1: doc 2 and 3 tie at the max -> min id 2 wins, NOT the
+    // min-id member 1; cluster 2: doc 5 strictly longest.
+    val docs = Seq(
+      (1L, "a b c"), (2L, "a b c d"), (3L, "a b c e"),
+      (4L, "x"), (5L, "x y z w"), (6L, "solo")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("doc_a", "doc_b")
+    val kept = Dedup.keepBest(docs, pairs, col("doc_id"),
+        length(col("text")), expectedDups = 100)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(2L, 5L, 6L))
+    // degenerate score (constant): falls back to pure min-id — the
+    // keepRepresentatives answer
+    val const = Dedup.keepBest(docs, pairs, col("doc_id"), lit(1),
+        expectedDups = 100)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(const == Seq(1L, 4L, 6L))
+  }
+
   test("components: long chain converges to the global min label") {
     // a 16-node path ordered so min-label needs several propagation
     // rounds to reach the far end

@@ -171,4 +171,36 @@ class StreamingCurationSpec extends SparkSpec {
         (1L, 0, "a b c", 3), (1L, 1, "c d e", 3), (3L, 0, "x y", 2)))
     } finally q.stop()
   }
+
+  test("quality gate composes live: c4-clean then gopher-rules per micro-batch") {
+    // both passes are stateless narrow projections, so the standard
+    // crawl triage (clean lines -> drop bad pages -> score what's
+    // left) runs where the pages arrive, no batch re-pass; the
+    // page_ok/n_kept filter also keeps zero-word pages away from
+    // gopherRules' ANSI division contract
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val cleaned = Curation.c4Clean(input.toDF().toDF("doc_id", "text"),
+      col("text"), col("doc_id"), minWords = 3)
+    val gated = TextAnalysis.gopherRules(
+      cleaned.where(col("page_ok") && col("n_kept") > 0),
+      col("clean_text"), col("doc_id"))
+    val q = gated.select("doc_id", "n_words", "stop_hits")
+      .writeStream.format("memory").queryName("sgate")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (1L, "the and good line here today.\nno terminal so dropped"),
+        (2L, "has lorem ipsum somewhere.\nfine line here."))
+      q.processAllAvailable()
+      input.addData((3L, "one two three.\nfour five six."))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT * FROM sgate ORDER BY doc_id")
+        .as[(Long, Int, Int)].collect().toSeq
+      // doc 2's lorem-ipsum page never reaches the scorer; doc 1 keeps
+      // its one terminal line (6 words, stop words {the, and}); doc 3
+      // keeps both lines (6 words, no stop words)
+      assert(got == Seq((1L, 6, 2), (3L, 6, 0)))
+    } finally q.stop()
+  }
 }

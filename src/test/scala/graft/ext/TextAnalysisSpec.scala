@@ -451,4 +451,39 @@ class TextAnalysisSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
     assert(out.toSeq == Seq(("the", 3L, 1), ("cat", 2L, 2), ("and", 1L, 3)))
   }
+
+  test("gopherRules: every rule by hand arithmetic, composite verdict") {
+    // doc 1: 5x a 10-word sentence with 45 letters -> 50 words, 225
+    // chars, wlen_pm = 4500, all-alpha, stop words {the, and} -> PASSES
+    // every Gopher rule.
+    val good = Seq.fill(5)(
+      "the and wise crews build large stone walls near rivers")
+      .mkString(" ")
+    // doc 2: 3 bulleted ellipsis lines -> bullet_pm/ellipsis_pm 1000,
+    // the '- ' tokens dent alpha_pm (6 of 9), '...' x3 -> sym_pm
+    // 3000 div 9 = 333, word chars 40 -> wlen_pm 4444.
+    val listy = "- first item...\n- second item...\n- third item..."
+    // doc 3: '#' x3 in 6 words -> sym_pm 500, wlen_pm 2000 (below the
+    // mean-word-length floor), alpha_pm 500.
+    val taggy = "# tag # tag # tag"
+    val out = TextAnalysis.gopherRules(
+        Seq((1L, good), (2L, listy), (3L, taggy)).toDF("doc_id", "text"),
+        $"text", $"doc_id")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7),
+        r.getInt(8), r.getBoolean(9)))
+    assert(out.toSeq == Seq(
+      (1L, 50, 1, 4500L, 0L, 0L, 0L, 1000L, 2, true),
+      (2L, 9, 3, 4444L, 333L, 1000L, 1000L, 666L, 0, false),
+      (3L, 6, 1, 2000L, 500L, 0L, 0L, 500L, 0, false)))
+  }
+
+  test("gopherRules: word-count floor alone fails an otherwise-clean doc") {
+    val out = TextAnalysis.gopherRules(
+        Seq((1L, "the and quick brown foxes jump over walls"))
+          .toDF("doc_id", "text"), $"text", $"doc_id")
+      .collect().map(r => (r.getInt(1), r.getBoolean(9)))
+    assert(out.toSeq == Seq((8, false))) // 8 words < 50, all else green
+  }
 }
