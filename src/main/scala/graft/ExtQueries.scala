@@ -662,6 +662,13 @@ model AS (
       TextAnalysis.gopherRules(pageDocs(Tables.documents(s, d)),
         col("text"), col("doc_id")).orderBy("doc_id")),
 
+    // Gopher's repetition half over paragraph-structured pages
+    // (parDocs): id-sliced exact duplicates of paragraph 0 / line 0
+    // move the four dup fractions across the 300/200 ppt thresholds.
+    "g_rep" -> ((s, d) =>
+      TextAnalysis.gopherRepetition(parDocs(Tables.documents(s, d)),
+        col("text"), col("doc_id")).orderBy("doc_id")),
+
     // C4 page cleaning over the same pages: the mod-3 suffix rotation
     // decides terminal punctuation per line, short final chunks fail
     // the 5-word floor, and the lorem-ipsum / brace tails nuke whole
@@ -1080,6 +1087,30 @@ model AS (
       expr("case when doc_id % 11 = 0 then 'lorem ipsum dolor sit amet.' end"),
       expr("case when doc_id % 13 = 0 then 'try { javascript.eval() }' end"))
       .as("text"))
+
+  /** Paragraph-structured variant for the g_rep row: two-line
+    * paragraphs of 6-word lines joined by blank lines, with an exact
+    * duplicate of paragraph 0 appended on id%3=0 and of line 0 (as its
+    * own single-line paragraph) on id%5=0 — so line-dup and
+    * paragraph-dup fire on overlapping-but-different slices. Mirrored
+    * verbatim in the oracle CTE. */
+  private def parDocs(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), expr(
+      "array_join(concat(" +
+        "transform(sequence(0, (size(split(trim(text), ' +')) + 11)" +
+        " div 12 - 1), j -> concat(" +
+        "concat_ws(' ', slice(split(trim(text), ' +'), j*12+1, 6)), " +
+        "case when size(split(trim(text), ' +')) > j*12+6 then" +
+        " concat(chr(10), concat_ws(' ', slice(split(trim(text), ' +')," +
+        " j*12+7, 6))) else '' end)), " +
+        "filter(array(concat(" +
+        "concat_ws(' ', slice(split(trim(text), ' +'), 1, 6)), " +
+        "case when size(split(trim(text), ' +')) > 6 then" +
+        " concat(chr(10), concat_ws(' ', slice(split(trim(text), ' +')," +
+        " 7, 6))) else '' end)), p -> doc_id % 3 = 0), " +
+        "filter(array(concat_ws(' ', slice(split(trim(text), ' +'), 1," +
+        " 6))), p -> doc_id % 5 = 0)), " +
+        "concat(chr(10), chr(10)))").as("text"))
 
   /** Appends a deterministic contact tail (email + IPv4 + phone, all
     * derived from doc_id) to 2/3 of documents. Mirrored in the oracle. */
@@ -2099,6 +2130,46 @@ SELECT *, (n_words BETWEEN 50 AND 100000
   AND wlen_pm BETWEEN 3000 AND 10000 AND sym_pm <= 100
   AND bullet_pm <= 900 AND ellipsis_pm <= 300
   AND alpha_pm >= 800 AND stop_hits >= 2) AS gopher_ok
+FROM gm ORDER BY doc_id"""),
+
+    "g_rep" -> ("""WITH pw AS (
+  SELECT doc_id, string_split_regex(trim(text), ' +') AS w0 FROM documents
+), pp AS (
+  SELECT doc_id, w0,
+    list_transform(range((len(w0) + 11) // 12),
+      j -> concat(array_to_string(w0[j*12+1:j*12+6], ' '),
+                  CASE WHEN len(w0) > j*12+6
+                       THEN chr(10) || array_to_string(w0[j*12+7:j*12+12], ' ')
+                       ELSE '' END)) AS pt
+  FROM pw
+), pg AS (
+  SELECT doc_id, array_to_string(
+    list_concat(list_concat(pt,
+      CASE WHEN doc_id % 3 = 0 THEN [pt[1]] ELSE [] END),
+      CASE WHEN doc_id % 5 = 0 THEN [array_to_string(w0[1:6], ' ')] ELSE [] END),
+    chr(10)||chr(10)) AS text
+  FROM pp
+), gr AS (
+  SELECT doc_id,
+    list_filter(string_split(text, chr(10)), l -> l <> '') AS ls,
+    list_filter(string_split(text, chr(10)||chr(10)), p -> p <> '') AS ps
+  FROM pg
+), gm AS (
+  SELECT doc_id,
+    CAST(len(ls) AS INT) AS n_lines,
+    CAST(len(ps) AS INT) AS n_pars,
+    CAST((len(ls) - len(list_distinct(ls))) * 1000 // len(ls) AS BIGINT) AS dupline_pm,
+    CAST((list_sum(list_transform(ls, x -> length(x))) -
+          list_sum(list_transform(list_distinct(ls), x -> length(x)))) * 1000
+      // greatest(list_sum(list_transform(ls, x -> length(x))), 1) AS BIGINT) AS dupline_char_pm,
+    CAST((len(ps) - len(list_distinct(ps))) * 1000 // len(ps) AS BIGINT) AS duppar_pm,
+    CAST((list_sum(list_transform(ps, x -> length(x))) -
+          list_sum(list_transform(list_distinct(ps), x -> length(x)))) * 1000
+      // greatest(list_sum(list_transform(ps, x -> length(x))), 1) AS BIGINT) AS duppar_char_pm
+  FROM gr
+)
+SELECT *, (dupline_pm <= 300 AND duppar_pm <= 300
+  AND dupline_char_pm <= 200 AND duppar_char_pm <= 200) AS rep_ok
 FROM gm ORDER BY doc_id"""),
 
     "c4" -> (PageCte + """, cw AS (

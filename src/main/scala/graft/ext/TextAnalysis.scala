@@ -772,6 +772,47 @@ object TextAnalysis {
           " and sym_pm <= 100 and bullet_pm <= 900 and ellipsis_pm <= 300" +
           " and alpha_pm >= 800 and stop_hits >= 2"))
 
+  /** The other half of Gopher's repetition battery (Rae et al. 2021,
+    * App. A1.1 — [[repetitionStats]] covers the n-gram half): the
+    * fraction of LINES and PARAGRAPHS that are within-document
+    * duplicates, by occurrence count and by character mass. Lines
+    * split on `\n`, paragraphs on `\n\n`, empties excluded; a
+    * duplicate is any occurrence beyond a string's first, so the
+    * count fraction is `(n - n_distinct) / n` and the char fraction
+    * weights the same occurrences by length (a doc whose one repeated
+    * line is its longest fails the char rule long before the count
+    * rule). Integer parts-per-thousand throughout; verdict thresholds
+    * are the published ones (≤ 30% duplicate count, ≤ 20% duplicate
+    * characters, both granularities). Pure narrow HOF projection,
+    * zero shuffles; documents with no non-empty line hit the ANSI
+    * `div` fault by design — quarantine empties upstream.
+    *
+    * Output: (doc_id, n_lines, n_pars, dupline_pm, dupline_char_pm,
+    * duppar_pm, duppar_char_pm, rep_ok). */
+  def gopherRepetition(df: DataFrame, content: Column,
+                       id: Column): DataFrame =
+    df.select(id.as("doc_id"),
+        filter(split(content, "\n"), l => l =!= "").as("__ls"),
+        filter(split(content, "\n\n"), p => p =!= "").as("__ps"))
+      .selectExpr("doc_id",
+        "size(__ls) as n_lines",
+        "size(__ps) as n_pars",
+        "(size(__ls) - size(array_distinct(__ls))) * 1000 div size(__ls)" +
+          " as dupline_pm",
+        "(aggregate(__ls, 0L, (a, x) -> a + length(x)) -" +
+          " aggregate(array_distinct(__ls), 0L, (a, x) -> a + length(x)))" +
+          " * 1000 div greatest(aggregate(__ls, 0L, (a, x) -> a +" +
+          " length(x)), 1L) as dupline_char_pm",
+        "(size(__ps) - size(array_distinct(__ps))) * 1000 div size(__ps)" +
+          " as duppar_pm",
+        "(aggregate(__ps, 0L, (a, x) -> a + length(x)) -" +
+          " aggregate(array_distinct(__ps), 0L, (a, x) -> a + length(x)))" +
+          " * 1000 div greatest(aggregate(__ps, 0L, (a, x) -> a +" +
+          " length(x)), 1L) as duppar_char_pm")
+      .withColumn("rep_ok", expr(
+        "dupline_pm <= 300 and duppar_pm <= 300 and" +
+          " dupline_char_pm <= 200 and duppar_char_pm <= 200"))
+
   def fingerprint(df: DataFrame, content: Column, id: Column,
                   k: Int = 3): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)

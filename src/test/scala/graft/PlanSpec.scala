@@ -194,12 +194,19 @@ class PlanSpec extends SparkSpec {
   }
 
   test("dedup apply: drop-set subtraction is bloom-pruned, no data cartesian") {
-    val p = plan("dd_keep")
-    assert(count(p, "bloom_might_contain") >= 2,
-      s"expected the corpus-side and drop-side bloom probes:\n$p")
-    assert(p.contains("LeftAnti"),
-      s"expected the exact anti join scrubbing false positives:\n$p")
-    assert(!p.contains("CartesianProduct"))
+    // dd_keepb (best-copy retention) must hold the same shape: its
+    // extra argmax is a cluster-sized partial agg, not a corpus window
+    for (q <- Seq("dd_keep", "dd_keepb")) {
+      val p = plan(q)
+      assert(count(p, "bloom_might_contain") >= 2,
+        s"$q: expected the corpus-side and drop-side bloom probes:\n$p")
+      assert(p.contains("LeftAnti"),
+        s"$q: expected the exact anti join scrubbing false positives:\n$p")
+      assert(!p.contains("CartesianProduct"))
+    }
+    val pb = plan("dd_keepb")
+    assert(!pb.contains("Window"),
+      s"dd_keepb's per-cluster argmax must be an aggregate, not a window:\n$pb")
   }
 
   test("synthesized-payload rows stay single-Exchange: only the output sort shuffles") {
@@ -215,7 +222,7 @@ class PlanSpec extends SparkSpec {
     // gopher (rule-battery filter) and c4 (line cleaning) are likewise
     // per-document: split + HOF filters, nothing corpus-wide.
     for (q <- Seq("url_can", "unorm", "html", "chunks",
-        "mm_video", "mm_av", "s_rep", "gopher", "c4")) {
+        "mm_video", "mm_av", "s_rep", "gopher", "c4", "g_rep")) {
       val p = plan(q)
       assert(count(p, "Exchange") <= 1,
         s"$q must shuffle only for its output sort:\n$p")

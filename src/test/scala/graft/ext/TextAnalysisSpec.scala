@@ -479,6 +479,25 @@ class TextAnalysisSpec extends SparkSpec {
       (3L, 6, 1, 2000L, 500L, 0L, 0L, 500L, 0, false)))
   }
 
+  test("gopherRepetition: dup line/paragraph fractions by hand, both rules") {
+    val docs = Seq(
+      // two identical 2-line paragraphs: everything duplicates at 500
+      (1L, "aa bb\ncc\n\naa bb\ncc"),
+      // all unique
+      (2L, "one two\nthree four"),
+      // one repeated 1-char line of 4: count 250 passes (<=300) but
+      // char 250 fails (>200) — the char rule bites first
+      (3L, "x\ny\nx\nz")).toDF("doc_id", "text")
+    val out = TextAnalysis.gopherRepetition(docs, $"text", $"doc_id")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getBoolean(7)))
+    assert(out.toSeq == Seq(
+      (1L, 4, 2, 500L, 500L, 500L, 500L, false),
+      (2L, 2, 1, 0L, 0L, 0L, 0L, true),
+      (3L, 4, 1, 250L, 250L, 0L, 0L, false)))
+  }
+
   test("gopherRules: word-count floor alone fails an otherwise-clean doc") {
     val out = TextAnalysis.gopherRules(
         Seq((1L, "the and quick brown foxes jump over walls"))
