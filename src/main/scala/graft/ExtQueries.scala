@@ -869,11 +869,13 @@ model AS (
     // byte-level chunk walk / FLAC frame layer in audioBatched — the
     // oracle recomputes the stats from the closed form, container-blind,
     // so a decoder bug in EITHER container breaks the row.
-    // REAL audio decode across FOUR container/codec variants by
-    // doc_id % 4: linear-PCM WAV, FLAC, G.711 μ-law WAV (closed-form
-    // bytes — the oracle prices the published expansion formula
-    // independently), and mono IMA-ADPCM WAV (constant signal through
-    // the real block/header/fact machinery; the stateful nibble
+    // REAL audio decode across FIVE container/codec variants —
+    // doc_id % 4 routes linear-PCM WAV / FLAC / G.711 μ-law WAV /
+    // mono IMA-ADPCM WAV, with the % 8 == 4 half of the PCM slice
+    // carved out for G.711 A-law: both G.711 arms ship closed-form
+    // bytes the oracle prices through the published expansion
+    // formulas independently; ADPCM sends a constant signal through
+    // the real block/header/fact machinery (the stateful nibble
     // arithmetic is spec-pinned).
     "mm_audio" -> ((s, d) => {
       import s.implicits._
@@ -1075,18 +1077,24 @@ model AS (
     * and stays off on another. Mirrored verbatim in the oracle CTE
     * ([[PageCte]]). */
   private def pageDocs(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), concat_ws("\n",
-      expr("transform(sequence(0, (size(split(trim(text), ' +')) + 5)" +
-        " div 6 - 1), i -> concat(" +
-        "case when (doc_id + i) % 5 = 0 then '- ' else '' end, " +
-        "concat_ws(' ', slice(split(trim(text), ' +'), i * 6 + 1, 6)), " +
-        "case when (doc_id + i) % 3 = 0 then '.' " +
-        "when (doc_id + i) % 3 = 1 then '...' else '' end))"),
-      expr("case when doc_id % 2 = 0" +
-        " then 'for sure we have more of that to be.' end"),
-      expr("case when doc_id % 11 = 0 then 'lorem ipsum dolor sit amet.' end"),
-      expr("case when doc_id % 13 = 0 then 'try { javascript.eval() }' end"))
-      .as("text"))
+    // split ONCE into a named column before the lambdas — Spark does no
+    // common-subexpression elimination inside HOF lambda bodies, so
+    // inlining the split would re-split the text per generated line
+    // (O(W²) characters per row); this two-step select mirrors the
+    // oracle's `pw` CTE
+    docs.select(col("doc_id"), split(trim(col("text")), " +").as("__w"))
+      .select(col("doc_id"), concat_ws("\n",
+        expr("transform(sequence(0, (size(__w) + 5)" +
+          " div 6 - 1), i -> concat(" +
+          "case when (doc_id + i) % 5 = 0 then '- ' else '' end, " +
+          "concat_ws(' ', slice(__w, i * 6 + 1, 6)), " +
+          "case when (doc_id + i) % 3 = 0 then '.' " +
+          "when (doc_id + i) % 3 = 1 then '...' else '' end))"),
+        expr("case when doc_id % 2 = 0" +
+          " then 'for sure we have more of that to be.' end"),
+        expr("case when doc_id % 11 = 0 then 'lorem ipsum dolor sit amet.' end"),
+        expr("case when doc_id % 13 = 0 then 'try { javascript.eval() }' end"))
+        .as("text"))
 
   /** Paragraph-structured variant for the g_rep row: two-line
     * paragraphs of 6-word lines joined by blank lines, with an exact
@@ -1095,22 +1103,24 @@ model AS (
     * paragraph-dup fire on overlapping-but-different slices. Mirrored
     * verbatim in the oracle CTE. */
   private def parDocs(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), expr(
-      "array_join(concat(" +
-        "transform(sequence(0, (size(split(trim(text), ' +')) + 11)" +
-        " div 12 - 1), j -> concat(" +
-        "concat_ws(' ', slice(split(trim(text), ' +'), j*12+1, 6)), " +
-        "case when size(split(trim(text), ' +')) > j*12+6 then" +
-        " concat(chr(10), concat_ws(' ', slice(split(trim(text), ' +')," +
-        " j*12+7, 6))) else '' end)), " +
-        "filter(array(concat(" +
-        "concat_ws(' ', slice(split(trim(text), ' +'), 1, 6)), " +
-        "case when size(split(trim(text), ' +')) > 6 then" +
-        " concat(chr(10), concat_ws(' ', slice(split(trim(text), ' +')," +
-        " 7, 6))) else '' end)), p -> doc_id % 3 = 0), " +
-        "filter(array(concat_ws(' ', slice(split(trim(text), ' +'), 1," +
-        " 6))), p -> doc_id % 5 = 0)), " +
-        "concat(chr(10), chr(10)))").as("text"))
+    // same one-split discipline as pageDocs (see comment there)
+    docs.select(col("doc_id"), split(trim(col("text")), " +").as("__w"))
+      .select(col("doc_id"), expr(
+        "array_join(concat(" +
+          "transform(sequence(0, (size(__w) + 11)" +
+          " div 12 - 1), j -> concat(" +
+          "concat_ws(' ', slice(__w, j*12+1, 6)), " +
+          "case when size(__w) > j*12+6 then" +
+          " concat(chr(10), concat_ws(' ', slice(__w," +
+          " j*12+7, 6))) else '' end)), " +
+          "filter(array(concat(" +
+          "concat_ws(' ', slice(__w, 1, 6)), " +
+          "case when size(__w) > 6 then" +
+          " concat(chr(10), concat_ws(' ', slice(__w," +
+          " 7, 6))) else '' end)), p -> doc_id % 3 = 0), " +
+          "filter(array(concat_ws(' ', slice(__w, 1," +
+          " 6))), p -> doc_id % 5 = 0)), " +
+          "concat(chr(10), chr(10)))").as("text"))
 
   /** Appends a deterministic contact tail (email + IPv4 + phone, all
     * derived from doc_id) to 2/3 of documents. Mirrored in the oracle. */
@@ -2606,9 +2616,10 @@ SELECT doc_id, nfc_normalize(deco) AS norm_text,
        CAST(length(nfc_normalize(deco)) AS INT) AS len_nfc
 FROM f ORDER BY doc_id"""),
 
-    // Mirror of mm_audio's closed-form synth by media_id % 4: PCM/FLAC
-    // price samples (id*31 + i*7) % 200 - 100; the μ-law variant prices
-    // bytes (id*31 + i*7) % 256 through the PUBLISHED G.711 expansion
+    // Mirror of mm_audio's closed-form synth (media_id % 4 routing
+    // with the % 8 == 4 A-law carve-out): PCM/FLAC
+    // price samples (id*31 + i*7) % 200 - 100; the G.711 variants price
+    // bytes (id*31 + i*7) % 256 through the PUBLISHED expansions
     // (complement, sign/exponent/mantissa split, ((m*8+132)<<e)-132 —
     // the |sample| is the magnitude, so the sign bit drops out of the
     // mean); the ADPCM variant's constant signal prices to |c|. The

@@ -25,12 +25,18 @@ object Verify {
     // Start from an empty outDir: a reused directory keeps per-query
     // subdirs whose names are no longer declared (e.g. after a key
     // rename), and those stale dumps would surface as phantom
-    // no-oracle rows in the downstream compare.
-    val root = Paths.get(outDir)
-    if (Files.exists(root)) {
-      import scala.jdk.CollectionConverters._
-      Files.walk(root).iterator().asScala.toSeq.reverse
-        .foreach(p => Files.deleteIfExists(p))
+    // no-oracle rows in the downstream compare. In SUBSET mode delete
+    // only the named subdirs — wiping everything would leave a full
+    // oracle_sql.json pointing at 1 result dir, and the previous full
+    // dump could never be reused incrementally (the flag's purpose).
+    import scala.jdk.CollectionConverters._
+    def wipe(p: java.nio.file.Path): Unit =
+      if (Files.exists(p))
+        Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(q => Files.deleteIfExists(q))
+    only match {
+      case None => wipe(Paths.get(outDir))
+      case Some(names) => names.foreach(n => wipe(Paths.get(outDir, n)))
     }
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries

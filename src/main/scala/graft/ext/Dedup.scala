@@ -518,7 +518,14 @@ object Dedup {
                expectedDups: Long = 1L << 20,
                fpp: Double = 0.01): DataFrame = {
     val members = components(pairs) // (doc_id, component); label = min id
-    val scored = df.select(id.as("__kb_id"), score.as("__kb_s"))
+    // Score fetch for the cluster MEMBERS only: bloom-semi-prune the
+    // corpus to the member set before the join, so this exchange is
+    // also duplicate-sized (a plain join here would sort-merge the
+    // whole corpus once `members` outgrows the broadcast threshold —
+    // exactly the shuffle this operator exists to avoid).
+    val scored = graft.operators.BloomSemiJoin(
+      df.select(id.as("__kb_id"), score.as("__kb_s")), col("__kb_id"),
+      members.select(col("doc_id")), col("doc_id"), expectedDups, fpp)
     val withScore = members
       .join(scored, members("doc_id") === scored("__kb_id"))
     val winners = withScore.groupBy("component")

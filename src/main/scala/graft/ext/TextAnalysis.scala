@@ -756,14 +756,17 @@ object TextAnalysis {
       .selectExpr("doc_id",
         "size(__ws) as n_words",
         "size(__ls) as n_lines",
+        // 1000L: the int-typed counts must widen BEFORE the multiply —
+        // a pathological page (>2^31/1000 symbols or lines) would
+        // otherwise overflow Int where the BIGINT oracle doesn't
         "aggregate(__ws, 0L, (a, w) -> a + length(w)) * 1000 div size(__ws)" +
           " as wlen_pm",
-        "__sym * 1000 div size(__ws) as sym_pm",
+        "__sym * 1000L div size(__ws) as sym_pm",
         "size(filter(__ls, l -> startswith(l, '- ') or startswith(l, '* ')" +
-          " or startswith(l, '• '))) * 1000 div size(__ls) as bullet_pm",
+          " or startswith(l, '• '))) * 1000L div size(__ls) as bullet_pm",
         "size(filter(__ls, l -> endswith(l, '...') or endswith(l," +
-          " '…'))) * 1000 div size(__ls) as ellipsis_pm",
-        "size(filter(__ws, w -> w rlike '[a-z]')) * 1000 div size(__ws)" +
+          " '…'))) * 1000L div size(__ls) as ellipsis_pm",
+        "size(filter(__ws, w -> w rlike '[a-z]')) * 1000L div size(__ws)" +
           " as alpha_pm",
         "size(filter(array('the','be','to','of','and','that','have'," +
           "'with'), sw -> array_contains(__ws, sw))) as stop_hits")
@@ -797,13 +800,14 @@ object TextAnalysis {
       .selectExpr("doc_id",
         "size(__ls) as n_lines",
         "size(__ps) as n_pars",
-        "(size(__ls) - size(array_distinct(__ls))) * 1000 div size(__ls)" +
+        // 1000L as in gopherRules: widen the int counts pre-multiply
+        "(size(__ls) - size(array_distinct(__ls))) * 1000L div size(__ls)" +
           " as dupline_pm",
         "(aggregate(__ls, 0L, (a, x) -> a + length(x)) -" +
           " aggregate(array_distinct(__ls), 0L, (a, x) -> a + length(x)))" +
           " * 1000 div greatest(aggregate(__ls, 0L, (a, x) -> a +" +
           " length(x)), 1L) as dupline_char_pm",
-        "(size(__ps) - size(array_distinct(__ps))) * 1000 div size(__ps)" +
+        "(size(__ps) - size(array_distinct(__ps))) * 1000L div size(__ps)" +
           " as duppar_pm",
         "(aggregate(__ps, 0L, (a, x) -> a + length(x)) -" +
           " aggregate(array_distinct(__ps), 0L, (a, x) -> a + length(x)))" +

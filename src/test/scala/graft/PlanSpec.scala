@@ -207,6 +207,11 @@ class PlanSpec extends SparkSpec {
     val pb = plan("dd_keepb")
     assert(!pb.contains("Window"),
       s"dd_keepb's per-cluster argmax must be an aggregate, not a window:\n$pb")
+    // the member-score fetch must ALSO be bloom-pruned (corpus side
+    // filtered to the member set before its exchange): two probes for
+    // the drop-set subtraction + at least one for the score semi join
+    assert(count(pb, "bloom_might_contain") >= 3,
+      s"dd_keepb's score fetch must bloom-prune the corpus first:\n$pb")
   }
 
   test("synthesized-payload rows stay single-Exchange: only the output sort shuffles") {
