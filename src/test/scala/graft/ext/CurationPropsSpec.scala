@@ -122,6 +122,44 @@ class CurationPropsSpec extends SparkSpec {
     }, cases = 8)
   }
 
+  test("gopherRepetition matches an independent per-doc model on random pages") {
+    val line = Gen.chooseNum(1, 3).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("aa", "bb", "c", "dd ee")).map(_.mkString(" ")))
+    val page = Gen.chooseNum(1, 6)
+      .flatMap(n => Gen.listOfN(n, line))
+      // join with a mix of single and double newlines so paragraphs
+      // and lines genuinely differ
+      .flatMap(ls => Gen.listOfN(math.max(ls.length - 1, 0),
+          Gen.oneOf("\n", "\n\n"))
+        .map(seps => ls.zipAll(seps, "", "").map { case (l, s) => l + s }
+          .mkString))
+    checkProp(Prop.forAll(Gen.listOfN(10, page)) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val df = docs.toDF("doc_id", "text")
+      val out = TextAnalysis.gopherRepetition(df, $"text", $"doc_id")
+        .collect().map(r => r.getLong(0) ->
+          (r.getInt(1), r.getInt(2), r.getLong(3), r.getLong(4),
+            r.getLong(5), r.getLong(6))).toMap
+      def model(t: String) = {
+        def pm(xs: Seq[String]) = {
+          val n = xs.length
+          val d = xs.distinct
+          val ct = xs.map(_.length.toLong).sum
+          val cd = d.map(_.length.toLong).sum
+          ((n - d.length) * 1000L / n, (ct - cd) * 1000L / math.max(ct, 1L), n)
+        }
+        val ls = t.split("\n", -1).filter(_.nonEmpty).toSeq
+        val ps = t.split("\n\n", -1).filter(_.nonEmpty).toSeq
+        (pm(ls), pm(ps))
+      }
+      docs.filter { case (_, t) => t.split("\n", -1).exists(_.nonEmpty) }
+        .forall { case (id, t) =>
+          val ((lp, lc, ln), (pp, pc, pn)) = model(t)
+          out(id) == ((ln, pn, lp, lc, pp, pc))
+        }
+    }, cases = 8)
+  }
+
   test("redactText is idempotent and leaves PII-free text alone (expression-level)") {
     val noise = Gen.listOfN(6, Gen.oneOf("lorem", "ipsum", "x", "-", "."))
       .map(_.mkString(" "))

@@ -312,4 +312,22 @@ class SkewSpec extends SparkSpec with org.scalatest.BeforeAndAfterEach {
     assert(out.length == 3)
     assert(out.forall(_._3 == 2L), s"expected 2 shared shingles: ${out.toSeq}")
   }
+
+  test("keepBest: one 200-doc hot cluster resolves via partial-agg argmax, exact") {
+    // every doc near-dups every other (star pairs onto doc 0): ONE
+    // component key carries the whole corpus — the argmax must stay an
+    // aggregate (partial per map task), never a component-keyed window
+    val docs = (0L until 200L)
+      .map(i => (i, "x" * (if (i == 137L) 50 else (i % 7 + 1).toInt)))
+      .toDF("doc_id", "text")
+    val pairs = (1L until 200L).map(i => (0L, i)).toDF("doc_a", "doc_b")
+    val kept = Dedup.keepBest(docs, pairs, col("doc_id"),
+        length(col("text")), expectedDups = 1000)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(kept == Seq(137L), s"longest member must win: $kept")
+    val p = Dedup.keepBest(docs, pairs, col("doc_id"), length(col("text")),
+      expectedDups = 1000).queryExecution.executedPlan.toString
+    assert(!p.contains("Window"),
+      s"hot-cluster argmax must be partial-agg, not a window:\n$p")
+  }
 }
