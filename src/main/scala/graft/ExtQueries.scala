@@ -285,6 +285,14 @@ model AS (
           k = 3, numHashes = 16, bands = 4, minMatches = 4)
         .orderBy("doc_a", "doc_b")),
 
+    // Measured LSH recall vs exact Jaccard at the dd_jac/dd_lsh
+    // parameters — the text-side ann_rec: banding quality is a number,
+    // not a formula taken on faith.
+    "dd_rec" -> ((s, d) =>
+      Dedup.lshRecall(Tables.documents(s, d), col("text"), col("doc_id"),
+        k = 3, minJaccard = 0.2, numHashes = 16, bands = 4,
+        minMatches = 4)),
+
     "dd_cc" -> ((s, d) =>
       Dedup.components(Dedup.minhashLsh(Tables.documents(s, d),
           col("text"), col("doc_id"),
@@ -1450,6 +1458,33 @@ ORDER BY src_a, src_b"""),
 SELECT d.doc_id, coalesce(mm.best >= 8, false) AS near_history
 FROM documents d LEFT JOIN mm ON mm.nid = d.doc_id
 WHERE d.doc_id % 10 >= 8 ORDER BY d.doc_id"""),
+
+    // exact side: DISTINCT shingles derived from MinhashCte's
+    // per-occurrence sh (same strings hashedShinglesCte would hash),
+    // Jaccard >= 0.2 as in dd_jac; lsh side: the dd_lsh filter.
+    "dd_rec" -> (MinhashCte + """, dsh AS (
+  SELECT DISTINCT doc_id, s FROM sh
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM dsh GROUP BY 1
+), epairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM dsh a JOIN dsh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), ex AS (
+  SELECT doc_a, doc_b
+  FROM epairs JOIN sizes sa ON doc_a = sa.doc_id
+              JOIN sizes sb ON doc_b = sb.doc_id
+  WHERE round(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 6) >= 0.2
+), lshp AS (
+  SELECT doc_a, doc_b
+  FROM cand JOIN sig sa2 ON doc_a = sa2.doc_id
+            JOIN sig sb2 ON doc_b = sb2.doc_id
+  WHERE len(list_filter(range(16), i -> sa2.sig[i+1] = sb2.sig[i+1])) >= 4
+)
+SELECT CAST(count(*) AS BIGINT) AS n_true,
+       CAST(count(l.doc_a) AS BIGINT) AS n_found,
+       CAST(count(l.doc_a) * 1000 // greatest(count(*), 1) AS BIGINT) AS recall_pm
+FROM ex LEFT JOIN lshp l ON ex.doc_a = l.doc_a AND ex.doc_b = l.doc_b"""),
 
     "dd_cc" -> (MinhashCte.replaceFirst("WITH ", "WITH RECURSIVE ") + """, pairs AS (
   SELECT doc_a, doc_b

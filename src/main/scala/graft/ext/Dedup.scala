@@ -503,6 +503,33 @@ object Dedup {
       expectedDups, fpp)
   }
 
+  /** MEASURED recall of the banded MinHash-LSH candidate generator
+    * against exact n-gram Jaccard — the text-side sibling of the
+    * embedding stack's `recallAtK` (`ann_rec`), so the banding
+    * parameters' recall is a number on the correctness surface, not a
+    * probability formula taken on faith. Ground truth = [[ngramJaccard]]
+    * pairs at `minJaccard`; candidates = [[minhashLsh]] pairs at the
+    * given banding; one output row: (n_true, n_found, recall_pm).
+    * Both pair frames are the operators' own bucket-capped, hub-safe
+    * plans; the final join is pair-keyed and the aggregate is global
+    * over the (tiny) true-pair set. `greatest(n_true, 1)` keeps a
+    * pair-free corpus at recall 0 instead of an ANSI division fault —
+    * mirrored in the oracle. */
+  def lshRecall(df: DataFrame, content: Column, id: Column,
+                k: Int = 3, minJaccard: Double = 0.2,
+                numHashes: Int = 16, bands: Int = 4,
+                minMatches: Int = 4): DataFrame = {
+    val exact = ngramJaccard(df, content, id, k, minJaccard)
+      .select("doc_a", "doc_b")
+    val lsh = minhashLsh(df, content, id, k, numHashes, bands, minMatches)
+      .select(col("doc_a"), col("doc_b"), lit(1L).as("__hit"))
+    exact.join(lsh, Seq("doc_a", "doc_b"), "left")
+      .agg(count(lit(1)).as("n_true"),
+        sum(when(col("__hit").isNotNull, 1L).otherwise(0L)).as("n_found"))
+      .selectExpr("n_true", "n_found",
+        "n_found * 1000 div greatest(n_true, 1L) as recall_pm")
+  }
+
   /** Quality-aware sibling of [[keepRepresentatives]] — the
     * RefinedWeb/SlimPajama retention policy: each near-dup cluster
     * keeps its best-SCORING member (ties broken by min doc_id) instead

@@ -114,6 +114,32 @@ class DedupSpec extends SparkSpec {
     assert(const == Seq(1L, 4L, 6L))
   }
 
+  test("lshRecall: identical docs are always recalled; looser minMatches can't lose pairs") {
+    // docs 1/2 identical (jaccard 1.0 -> identical signatures -> same
+    // band buckets, guaranteed candidate); 3/4 unrelated fillers
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "the quick brown fox jumps over the lazy dog today"),
+      (3L, "completely different words in this one here now"),
+      (4L, "and yet another unrelated document about spark plans"))
+      .toDF("doc_id", "text")
+    val r = Dedup.lshRecall(docs, $"text", $"doc_id",
+        k = 3, minJaccard = 0.5, numHashes = 16, bands = 4, minMatches = 4)
+      .as[(Long, Long, Long)].head()
+    graft.CacheScope.release()
+    assert(r == ((1L, 1L, 1000L)), s"identical pair must be recalled: $r")
+    // monotonicity: minMatches = 1 accepts a superset of minMatches = 8
+    def found(mm: Int) = {
+      val f = Dedup.lshRecall(docs, $"text", $"doc_id",
+          k = 3, minJaccard = 0.5, numHashes = 16, bands = 4,
+          minMatches = mm)
+        .as[(Long, Long, Long)].head()._2
+      graft.CacheScope.release()
+      f
+    }
+    assert(found(1) >= found(8))
+  }
+
   test("components: long chain converges to the global min label") {
     // a 16-node path ordered so min-label needs several propagation
     // rounds to reach the far end
