@@ -1482,8 +1482,11 @@ WHERE d.doc_id % 10 >= 8 ORDER BY d.doc_id"""),
   WHERE len(list_filter(range(16), i -> sa2.sig[i+1] = sb2.sig[i+1])) >= 4
 )
 SELECT CAST(count(*) AS BIGINT) AS n_true,
+       (SELECT CAST(count(*) AS BIGINT) FROM lshp) AS n_cand,
        CAST(count(l.doc_a) AS BIGINT) AS n_found,
-       CAST(count(l.doc_a) * 1000 // greatest(count(*), 1) AS BIGINT) AS recall_pm
+       CAST(count(l.doc_a) * 1000 // greatest(count(*), 1) AS BIGINT) AS recall_pm,
+       CAST(count(l.doc_a) * 1000
+         // greatest((SELECT count(*) FROM lshp), 1) AS BIGINT) AS precision_pm
 FROM ex LEFT JOIN lshp l ON ex.doc_a = l.doc_a AND ex.doc_b = l.doc_b"""),
 
     "dd_cc" -> (MinhashCte.replaceFirst("WITH ", "WITH RECURSIVE ") + """, pairs AS (

@@ -509,25 +509,31 @@ object Dedup {
     * parameters' recall is a number on the correctness surface, not a
     * probability formula taken on faith. Ground truth = [[ngramJaccard]]
     * pairs at `minJaccard`; candidates = [[minhashLsh]] pairs at the
-    * given banding; one output row: (n_true, n_found, recall_pm).
-    * Both pair frames are the operators' own bucket-capped, hub-safe
-    * plans; the final join is pair-keyed and the aggregate is global
-    * over the (tiny) true-pair set. `greatest(n_true, 1)` keeps a
-    * pair-free corpus at recall 0 instead of an ANSI division fault —
-    * mirrored in the oracle. */
+    * given banding; one output row: (n_true, n_cand, n_found,
+    * recall_pm, precision_pm) — recall says what the banding LOSES,
+    * precision what the downstream exact-verify pass PAYS per true
+    * pair. Both pair frames are the operators' own bucket-capped,
+    * hub-safe plans; the final join is pair-keyed, the aggregates run
+    * over the (tiny) pair sets, and the one-row candidate count rides
+    * a broadcast. `greatest(n, 1)` keeps a pair-free corpus at 0
+    * instead of an ANSI division fault — mirrored in the oracle. */
   def lshRecall(df: DataFrame, content: Column, id: Column,
                 k: Int = 3, minJaccard: Double = 0.2,
                 numHashes: Int = 16, bands: Int = 4,
                 minMatches: Int = 4): DataFrame = {
     val exact = ngramJaccard(df, content, id, k, minJaccard)
       .select("doc_a", "doc_b")
-    val lsh = minhashLsh(df, content, id, k, numHashes, bands, minMatches)
-      .select(col("doc_a"), col("doc_b"), lit(1L).as("__hit"))
-    exact.join(lsh, Seq("doc_a", "doc_b"), "left")
+    val lsh = graft.CacheScope.persistTracked(
+      minhashLsh(df, content, id, k, numHashes, bands, minMatches)
+        .select(col("doc_a"), col("doc_b")))
+    val hits = exact.join(lsh.withColumn("__hit", lit(1L)),
+        Seq("doc_a", "doc_b"), "left")
       .agg(count(lit(1)).as("n_true"),
         sum(when(col("__hit").isNotNull, 1L).otherwise(0L)).as("n_found"))
-      .selectExpr("n_true", "n_found",
-        "n_found * 1000 div greatest(n_true, 1L) as recall_pm")
+    hits.crossJoin(broadcast(lsh.agg(count(lit(1)).as("n_cand"))))
+      .selectExpr("n_true", "n_cand", "n_found",
+        "n_found * 1000 div greatest(n_true, 1L) as recall_pm",
+        "n_found * 1000 div greatest(n_cand, 1L) as precision_pm")
   }
 
   /** Quality-aware sibling of [[keepRepresentatives]] — the

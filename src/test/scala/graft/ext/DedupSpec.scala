@@ -125,15 +125,16 @@ class DedupSpec extends SparkSpec {
       .toDF("doc_id", "text")
     val r = Dedup.lshRecall(docs, $"text", $"doc_id",
         k = 3, minJaccard = 0.5, numHashes = 16, bands = 4, minMatches = 4)
-      .as[(Long, Long, Long)].head()
+      .as[(Long, Long, Long, Long, Long)].head()
     graft.CacheScope.release()
-    assert(r == ((1L, 1L, 1000L)), s"identical pair must be recalled: $r")
+    assert(r == ((1L, 1L, 1L, 1000L, 1000L)),
+      s"identical pair must be recalled at full precision: $r")
     // monotonicity: minMatches = 1 accepts a superset of minMatches = 8
     def found(mm: Int) = {
       val f = Dedup.lshRecall(docs, $"text", $"doc_id",
           k = 3, minJaccard = 0.5, numHashes = 16, bands = 4,
           minMatches = mm)
-        .as[(Long, Long, Long)].head()._2
+        .as[(Long, Long, Long, Long, Long)].head()._3
       graft.CacheScope.release()
       f
     }
