@@ -402,6 +402,54 @@ object Curation {
           col("__n") - col("pos") * strideWords).cast("int").as("n_words"))
   }
 
+  /** Credential-shaped token regexes shared with the DuckDB oracle —
+    * the detect-secrets / gitleaks pattern families every corpus
+    * release scans for, kept inside the Java-regex ∩ RE2 dialect
+    * (inline `(?i)`, classes, bounded repetition; no lookaround). */
+  val AwsKeyRe = "AKIA[0-9A-Z]{16}"
+  val PemRe = "-----BEGIN [A-Z ]{0,20}PRIVATE KEY-----"
+  val GithubTokenRe = "ghp_[A-Za-z0-9]{36}"
+  val SlackTokenRe = "xox[baprs]-[A-Za-z0-9-]{10,48}"
+  val KvSecretRe =
+    "(?i)(password|passwd|secret|api_key|apikey|token)(\\s*[=:]\\s*)[^\\s]{6,}"
+
+  /** Secret/credential scan — the pre-release pass between PII
+    * masking and publication (training corpora MEMORIZE leaked keys;
+    * every public pipeline scrubs them): per-class occurrence counts
+    * for AWS access-key ids, PEM private-key headers, GitHub personal
+    * access tokens, Slack tokens, and `password=...`-style
+    * assignments, a `has_secret` verdict, and the scrubbed text with
+    * each hit replaced by `<SECRET>` (key-value hits keep their key
+    * and separator, so the scrub is a FIXED POINT: re-running replaces
+    * `<SECRET>` with itself). Counts are measured on the ORIGINAL
+    * text, like [[redactPii]]. A NARROW zero-shuffle regexp map —
+    * scan speed at 100 TB.
+    *
+    * Output: (doc_id, n_aws, n_pem, n_github, n_slack, n_kv,
+    * has_secret, scrubbed). */
+  def flagSecrets(df: DataFrame, content: Column, id: Column): DataFrame = {
+    val scrub = regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(content, lit(AwsKeyRe), lit("<SECRET>")),
+            lit(PemRe), lit("<SECRET>")),
+          lit(GithubTokenRe), lit("<SECRET>")),
+        lit(SlackTokenRe), lit("<SECRET>")),
+      lit(KvSecretRe), lit("$1$2<SECRET>"))
+    df.select(id.as("doc_id"),
+        regexp_count(content, lit(AwsKeyRe)).as("n_aws"),
+        regexp_count(content, lit(PemRe)).as("n_pem"),
+        regexp_count(content, lit(GithubTokenRe)).as("n_github"),
+        regexp_count(content, lit(SlackTokenRe)).as("n_slack"),
+        regexp_count(content, lit(KvSecretRe)).as("n_kv"),
+        scrub.as("scrubbed"))
+      .withColumn("has_secret",
+        expr("n_aws + n_pem + n_github + n_slack + n_kv > 0"))
+      .select("doc_id", "n_aws", "n_pem", "n_github", "n_slack", "n_kv",
+        "has_secret", "scrubbed")
+  }
+
   /** The C4 page-cleaning pass (Raffel et al. 2020, "Exploring the
     * Limits of Transfer Learning with a Unified Text-to-Text
     * Transformer", §2.2): keep only lines that end in a terminal
