@@ -227,7 +227,8 @@ class PlanSpec extends SparkSpec {
     // gopher (rule-battery filter) and c4 (line cleaning) are likewise
     // per-document: split + HOF filters, nothing corpus-wide.
     for (q <- Seq("url_can", "unorm", "html", "chunks",
-        "mm_video", "mm_av", "s_rep", "gopher", "c4", "g_rep")) {
+        "mm_video", "mm_av", "s_rep", "gopher", "c4", "g_rep",
+        "secrets")) {
       val p = plan(q)
       assert(count(p, "Exchange") <= 1,
         s"$q must shuffle only for its output sort:\n$p")
