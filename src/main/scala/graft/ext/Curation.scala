@@ -427,8 +427,11 @@ object Curation {
     *
     * Output: (doc_id, n_aws, n_pem, n_github, n_slack, n_kv,
     * has_secret, scrubbed). */
-  def flagSecrets(df: DataFrame, content: Column, id: Column): DataFrame = {
-    val scrub = regexp_replace(
+  /** The scrub chain as a composable Column (the [[redactText]]
+    * pattern), so a streaming projection can scrub without
+    * re-stating the five families and their fixed-point ordering. */
+  def scrubSecrets(content: Column): Column =
+    regexp_replace(
       regexp_replace(
         regexp_replace(
           regexp_replace(
@@ -437,6 +440,9 @@ object Curation {
           lit(GithubTokenRe), lit("<SECRET>")),
         lit(SlackTokenRe), lit("<SECRET>")),
       lit(KvSecretRe), lit("$1$2<SECRET>"))
+
+  def flagSecrets(df: DataFrame, content: Column, id: Column): DataFrame = {
+    val scrub = scrubSecrets(content)
     df.select(id.as("doc_id"),
         regexp_count(content, lit(AwsKeyRe)).as("n_aws"),
         regexp_count(content, lit(PemRe)).as("n_pem"),

@@ -512,24 +512,32 @@ object Dedup {
     * given banding; one output row: (n_true, n_cand, n_found,
     * recall_pm, precision_pm) — recall says what the banding LOSES,
     * precision what the downstream exact-verify pass PAYS per true
-    * pair. Both pair frames are the operators' own bucket-capped,
-    * hub-safe plans; the final join is pair-keyed, the aggregates run
-    * over the (tiny) pair sets, and the one-row candidate count rides
-    * a broadcast. `greatest(n, 1)` keeps a pair-free corpus at 0
-    * instead of an ANSI division fault — mirrored in the oracle. */
+    * pair. Both pair frames are the operators' own plans, and their
+    * quadratic guards pass through (`maxDocFreq` caps the exact
+    * side's hot-shingle self-join, `maxBucket` the banded buckets —
+    * both default uncapped like the underlying operators, so a
+    * boilerplate-heavy corpus should set them); the final join is
+    * pair-keyed, the aggregates run over the (tiny) pair sets, and
+    * the one-row candidate count rides a broadcast. `greatest(n, 1)`
+    * keeps a pair-free corpus at 0 instead of an ANSI division fault
+    * — mirrored in the oracle. */
   def lshRecall(df: DataFrame, content: Column, id: Column,
                 k: Int = 3, minJaccard: Double = 0.2,
                 numHashes: Int = 16, bands: Int = 4,
-                minMatches: Int = 4): DataFrame = {
-    val exact = ngramJaccard(df, content, id, k, minJaccard)
+                minMatches: Int = 4,
+                maxDocFreq: Int = Int.MaxValue,
+                maxBucket: Int = Int.MaxValue): DataFrame = {
+    val exact = ngramJaccard(df, content, id, k, minJaccard, maxDocFreq)
       .select("doc_a", "doc_b")
     val lsh = graft.CacheScope.persistTracked(
-      minhashLsh(df, content, id, k, numHashes, bands, minMatches)
+      minhashLsh(df, content, id, k, numHashes, bands, minMatches,
+          maxBucket)
         .select(col("doc_a"), col("doc_b")))
+    // count(__hit), not sum(when(...)): over an EMPTY exact side the
+    // global sum is NULL where the oracle's count(l.doc_a) is 0
     val hits = exact.join(lsh.withColumn("__hit", lit(1L)),
         Seq("doc_a", "doc_b"), "left")
-      .agg(count(lit(1)).as("n_true"),
-        sum(when(col("__hit").isNotNull, 1L).otherwise(0L)).as("n_found"))
+      .agg(count(lit(1)).as("n_true"), count(col("__hit")).as("n_found"))
     hits.crossJoin(broadcast(lsh.agg(count(lit(1)).as("n_cand"))))
       .selectExpr("n_true", "n_cand", "n_found",
         "n_found * 1000 div greatest(n_true, 1L) as recall_pm",

@@ -13,7 +13,7 @@ class CacheHygieneSpec extends SparkSpec {
 
   /** Every declared query built on a persist/checkpoint-using operator. */
   private val cacheUsers = Seq(
-    "dd_jac", "dd_lsh", "dd_cc",
+    "dd_jac", "dd_lsh", "dd_cc", "dd_rec",
     "dec_sp", "ann_kg", "emb_near",
     "p_seq", "p_slc", "p_shuf",
     "ann_km", "ann_rec")

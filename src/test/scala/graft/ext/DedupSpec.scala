@@ -141,6 +141,19 @@ class DedupSpec extends SparkSpec {
     assert(found(1) >= found(8))
   }
 
+  test("lshRecall: a pair-free corpus reads zeros, never NULL metrics") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon words"),
+      (2L, "totally different content in this document"))
+      .toDF("doc_id", "text")
+    val r = Dedup.lshRecall(docs, $"text", $"doc_id",
+        k = 3, minJaccard = 0.9, numHashes = 16, bands = 4, minMatches = 4)
+      .as[(Long, Long, Long, Long, Long)].head()
+    graft.CacheScope.release()
+    assert(r._1 == 0L && r._3 == 0L && r._4 == 0L && r._5 == 0L,
+      s"empty exact side must yield zeros (the oracle's count(col)): $r")
+  }
+
   test("components: long chain converges to the global min label") {
     // a 16-node path ordered so min-label needs several propagation
     // rounds to reach the far end
