@@ -452,6 +452,13 @@ model AS (
       Similarity.nearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding",
         k = 20)),
 
+    // Embedding hygiene: the validation pass before any index build —
+    // width/zero/nonfinite checks plus the exact quantized norm.
+    "emb_chk" -> ((s, d) =>
+      Similarity.embeddingCheck(Tables.embeddings(s, d),
+          col("embedding"), col("vec_id"), expectedDims = 64)
+        .orderBy("vec_id")),
+
     // threshold 0.35, not a deployment's 0.9+: the synthetic embeddings
     // carry no true near-dups (max same-cell cosine ≈ 0.49 at every SF),
     // so a realistic threshold would make the row vacuous — at 0.35 the
@@ -1856,6 +1863,23 @@ SELECT src, dst, cosine, CAST(rn AS INT) AS rn FROM (
          row_number() OVER (PARTITION BY src ORDER BY cosine DESC, dst ASC) AS rn
   FROM scored)
 WHERE rn <= 3 ORDER BY src, rn"""),
+
+    "emb_chk" -> ("""WITH q AS (
+  SELECT vec_id, embedding,
+    list_transform(embedding, x -> CAST(round(
+      CASE WHEN isnan(CAST(x AS DOUBLE)) OR isinf(CAST(x AS DOUBLE))
+           THEN 0 ELSE CAST(x AS DOUBLE) END * 1e6) AS BIGINT)) AS qe
+  FROM embeddings
+)
+SELECT vec_id,
+  CAST(len(embedding) AS INT) AS n_dims,
+  (len(embedding) = 64) AS dims_ok,
+  CAST(len(list_filter(embedding, x -> isnan(CAST(x AS DOUBLE))
+    OR isinf(CAST(x AS DOUBLE)))) AS INT) AS n_nonfinite,
+  CAST(len(list_filter(qe, v -> v = 0)) AS INT) AS n_zero,
+  (len(list_filter(qe, v -> v <> 0)) = 0) AS is_zero,
+  CAST(list_sum(list_transform(qe, v -> v * v)) AS BIGINT) AS norm2_q
+FROM q ORDER BY vec_id"""),
 
     "emb_near" -> (rhpBucketsCte(8, 16) + """, cand AS (
   SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b

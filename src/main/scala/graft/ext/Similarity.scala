@@ -18,6 +18,44 @@ object Similarity {
   def quantize(emb: Column): Column =
     transform(emb, x => round(x.cast("double") * 1e6).cast("long"))
 
+  /** Embedding HYGIENE — the validation pass every corpus runs before
+    * feeding vectors to an index build (a single wrong-width, zero, or
+    * non-finite vector poisons codebook training and distance ranking
+    * silently): per-vector dimension count, non-finite component
+    * count, zero-component count, an `is_zero` verdict (all
+    * components quantize to 0 at the repo's 1e-6 grid — such a vector
+    * has no direction, so cosine against it is undefined), and the
+    * exact quantized squared norm (`norm2_q`, integer at the shared
+    * [[quantize]] grid — engine-exact where a float norm isn't).
+    * `dims_ok` compares against the caller's expected width. A pure
+    * narrow projection — scan speed at any corpus size.
+    *
+    * Output: (vec_id, n_dims, dims_ok, n_nonfinite, n_zero, is_zero,
+    * norm2_q). */
+  def embeddingCheck(df: DataFrame, emb: Column, id: Column,
+                     expectedDims: Int): DataFrame = {
+    def bad(x: Column): Column = {
+      val d = x.cast("double")
+      isnan(d) || d === Double.PositiveInfinity ||
+        d === Double.NegativeInfinity
+    }
+    // nonfinite components quantize to 0 here (counted separately) —
+    // the hygiene pass must REPORT a NaN, not fault on the ANSI
+    // double->long cast the plain quantize would hit
+    val q = transform(emb, x =>
+      round(when(bad(x), lit(0.0)).otherwise(x.cast("double")) * 1e6)
+        .cast("long"))
+    df.select(id.as("vec_id"), q.as("__q"),
+        size(emb).as("n_dims"),
+        size(filter(emb, x => bad(x))).as("n_nonfinite"))
+      .selectExpr("vec_id", "n_dims",
+        s"n_dims = $expectedDims as dims_ok",
+        "n_nonfinite",
+        "size(filter(__q, v -> v = 0L)) as n_zero",
+        "size(filter(__q, v -> v != 0L)) = 0 as is_zero",
+        "aggregate(__q, 0L, (a, v) -> a + v * v) as norm2_q")
+  }
+
   /** Exact integer dot product of two quantized vectors. */
   def dotQ(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)

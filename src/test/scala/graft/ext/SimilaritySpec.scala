@@ -616,4 +616,26 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(byVec == byId, s"vector probe $byVec vs by-id $byId")
   }
+
+  test("embeddingCheck: width, zero, nonfinite and sub-grid vectors by hand") {
+    val vecs = Seq(
+      (1L, Array(0.5f, -0.25f)),            // healthy: 500000^2 + 250000^2
+      (2L, Array(0.0f, 0.0f)),              // true zero vector
+      (3L, Array(Float.NaN, 1.0f)),         // NaN reported, norm from rest
+      (4L, Array(1.0f)),                    // wrong width
+      (5L, Array(4e-7f, 0.0f)),             // sub-grid: zero AT the 1e-6 grid
+      (6L, Array(Float.PositiveInfinity, -1.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.embeddingCheck(vecs, $"embedding", $"vec_id",
+        expectedDims = 2)
+      .orderBy("vec_id")
+      .as[(Long, Int, Boolean, Int, Int, Boolean, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, 2, true, 0, 0, false, 312500000000L),
+      (2L, 2, true, 0, 2, true, 0L),
+      (3L, 2, true, 1, 1, false, 1000000000000L),
+      (4L, 1, false, 0, 0, false, 1000000000000L),
+      (5L, 2, true, 0, 2, true, 0L),
+      (6L, 2, true, 1, 1, false, 1000000000000L)))
+  }
 }
