@@ -202,7 +202,7 @@ object Bench {
     // A failed query must never make the bench look faster: each one adds
     // a 1e9-sec penalty to the headline value.
     val total = timings.map(_._2).sum + errors.size * 1e9
-    def assemble(sampled: Int, withReruns: Boolean): String = {
+    def assemble(sampled: Int, keepReruns: Int): String = {
       val errPart =
         if (errors.isEmpty) ""
         else {
@@ -213,19 +213,24 @@ object Bench {
       // the outlier guard's discarded FIRST readings (ADVICE r12): the
       // per-query value is the min of two runs, and this object says what
       // the min replaced, so downward bias is auditable from the line
-      // itself. Rare by construction (only readings past the threshold),
-      // and the first casualty when the budget tightens — audit detail,
-      // never at the expense of the measurements.
+      // itself. Under budget pressure the audit degrades GRADUALLY —
+      // worst discarded readings kept first (r13: a 136-query sweep
+      // dropped the whole audit exactly when a 44 s phantom made it
+      // matter) — and is still the first casualty before error samples
+      // or measurements.
+      val kept = reruns.sortBy(-_._2).take(keepReruns)
       val rerunPart =
-        if (!withReruns || reruns.isEmpty) ""
-        else reruns.map { case (k, v) => s"${jstr(k)}:${jnum(v)}" }
+        if (kept.isEmpty) ""
+        else kept.map { case (k, v) => s"${jstr(k)}:${jnum(v)}" }
           .mkString(""","rerun":{""", ",", "}")
       s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs$errPart$rerunPart,"cpus":$cpus,"sf":${jstr(sfName)}}"""
     }
-    // degrade order: drop the rerun audit FIRST, then the error samples
-    // one by one — measurements and the error blast radius always win
-    (Iterator((3, true)) ++ (3 to 0 by -1).iterator.map((_, false)))
-      .map { case (s, wr) => assemble(s, wr) }
-      .find(_.length <= 1990).getOrElse(assemble(0, withReruns = false))
+    // degrade order: shrink the rerun audit first (all -> 5 -> 2 -> 0),
+    // then the error samples one by one — measurements and the error
+    // blast radius always win
+    (Iterator(reruns.size, 5, 2, 0).map((3, _)) ++
+        (3 to 0 by -1).iterator.map((_, 0)))
+      .map { case (s, kr) => assemble(s, kr) }
+      .find(_.length <= 1990).getOrElse(assemble(0, 0))
   }
 }
