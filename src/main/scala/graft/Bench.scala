@@ -199,6 +199,7 @@ object Bench {
       cpus: String, sfName: String,
       reruns: Seq[(String, Double)] = Seq.empty): String = {
     val qs = timings.map { case (k, v) => s"${jstr(k)}:${jnum(v)}" }.mkString("{", ",", "}")
+    val sortedReruns = reruns.sortBy(-_._2) // worst discarded first
     // A failed query must never make the bench look faster: each one adds
     // a 1e9-sec penalty to the headline value.
     val total = timings.map(_._2).sum + errors.size * 1e9
@@ -218,17 +219,17 @@ object Bench {
       // dropped the whole audit exactly when a 44 s phantom made it
       // matter) — and is still the first casualty before error samples
       // or measurements.
-      val kept = reruns.sortBy(-_._2).take(keepReruns)
+      val kept = sortedReruns.take(keepReruns)
       val rerunPart =
         if (kept.isEmpty) ""
         else kept.map { case (k, v) => s"${jstr(k)}:${jnum(v)}" }
           .mkString(""","rerun":{""", ",", "}")
       s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs$errPart$rerunPart,"cpus":$cpus,"sf":${jstr(sfName)}}"""
     }
-    // degrade order: shrink the rerun audit first (all -> 5 -> 2 -> 0),
-    // then the error samples one by one — measurements and the error
-    // blast radius always win
-    (Iterator(reruns.size, 5, 2, 0).map((3, _)) ++
+    // degrade order: shrink the rerun audit first (all -> 5 -> 2),
+    // then the error samples one by one (rerun-free) — measurements
+    // and the error blast radius always win
+    (Iterator(reruns.size, 5, 2).map((3, _)) ++
         (3 to 0 by -1).iterator.map((_, 0)))
       .map { case (s, kr) => assemble(s, kr) }
       .find(_.length <= 1990).getOrElse(assemble(0, 0))

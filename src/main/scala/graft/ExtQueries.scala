@@ -1867,14 +1867,14 @@ WHERE rn <= 3 ORDER BY src, rn"""),
     "emb_chk" -> ("""WITH q AS (
   SELECT vec_id, embedding,
     list_transform(embedding, x -> CAST(round(
-      CASE WHEN isnan(CAST(x AS DOUBLE)) OR isinf(CAST(x AS DOUBLE))
+      CASE WHEN x IS NULL OR isnan(CAST(x AS DOUBLE)) OR isinf(CAST(x AS DOUBLE))
            THEN 0 ELSE CAST(x AS DOUBLE) END * 1e6) AS BIGINT)) AS qe
   FROM embeddings
 )
 SELECT vec_id,
   CAST(len(embedding) AS INT) AS n_dims,
   (len(embedding) = 64) AS dims_ok,
-  CAST(len(list_filter(embedding, x -> isnan(CAST(x AS DOUBLE))
+  CAST(len(list_filter(embedding, x -> x IS NULL OR isnan(CAST(x AS DOUBLE))
     OR isinf(CAST(x AS DOUBLE)))) AS INT) AS n_nonfinite,
   CAST(len(list_filter(qe, v -> v = 0)) AS INT) AS n_zero,
   (len(list_filter(qe, v -> v <> 0)) = 0) AS is_zero,

@@ -36,7 +36,11 @@ object Similarity {
                      expectedDims: Int): DataFrame = {
     def bad(x: Column): Column = {
       val d = x.cast("double")
-      isnan(d) || d === Double.PositiveInfinity ||
+      // null components count as nonfinite: they are exactly the dirt
+      // this pass exists to catch, and a propagated null would both
+      // pass every check and null out norm2_q (diverging from the
+      // oracle's null-skipping list_sum)
+      x.isNull || isnan(d) || d === Double.PositiveInfinity ||
         d === Double.NegativeInfinity
     }
     // nonfinite components quantize to 0 here (counted separately) —

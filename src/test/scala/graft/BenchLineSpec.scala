@@ -106,6 +106,12 @@ class BenchLineSpec extends AnyFunSuite {
     assert(sn.get("rerun") == null || sn.get("rerun").size() <= 5)
     assert(sn.get("n_err").asInt() === 42)
     assert(sn.get("queries").size() === names.size)
+    // ordering proof: error samples OUTLIVE the rerun audit — under a
+    // pressure level that killed the audit entirely, at least one
+    // sampled error message still rides the line
+    assert(sn.get("rerun") != null || (sn.get("errors") != null &&
+      sn.get("errors").size() >= 1),
+      s"errors must degrade after the rerun audit: $storm")
   }
 
   test("rerun threshold sits above every healthy isolated minimum band") {

@@ -626,6 +626,10 @@ class SimilaritySpec extends SparkSpec {
       (5L, Array(4e-7f, 0.0f)),             // sub-grid: zero AT the 1e-6 grid
       (6L, Array(Float.PositiveInfinity, -1.0f)))
       .toDF("vec_id", "embedding")
+      // a NULL component: exactly the dirt the pass exists to catch —
+      // counted nonfinite, quantized 0, norm from the healthy rest
+      .union(spark.sql(
+        "select 7L, array(cast(0.5 as float), cast(null as float))"))
     val out = Similarity.embeddingCheck(vecs, $"embedding", $"vec_id",
         expectedDims = 2)
       .orderBy("vec_id")
@@ -636,6 +640,7 @@ class SimilaritySpec extends SparkSpec {
       (3L, 2, true, 1, 1, false, 1000000000000L),
       (4L, 1, false, 0, 0, false, 1000000000000L),
       (5L, 2, true, 0, 2, true, 0L),
-      (6L, 2, true, 1, 1, false, 1000000000000L)))
+      (6L, 2, true, 1, 1, false, 1000000000000L),
+      (7L, 2, true, 1, 1, false, 250000000000L)))
   }
 }
