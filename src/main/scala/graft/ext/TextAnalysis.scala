@@ -740,40 +740,37 @@ object TextAnalysis {
     *  - at least 2 of Gopher's 8 required stop words present
     *    (the/be/to/of/and/that/have/with).
     *
-    * A pure NARROW projection — built-in higher-order functions over
-    * the split arrays, zero shuffles, scan speed at 100 TB. Empty/
-    * whitespace-only documents are the caller's quarantine (ANSI `div`
-    * would fault on zero words, by design, not mask it).
+    * A pure NARROW projection over the one-pass native
+    * [[graft.functions.GopherProfile]] expression (the HOF
+    * formulation walked the split word/line arrays six times through
+    * interpreted lambdas; the counters now come from two codegen'd
+    * scans and no arrays) — zero shuffles, scan speed at 100 TB. An
+    * empty/whitespace-only page is ONE empty word under Java split
+    * semantics, so the ratios never divide by zero; it simply fails
+    * the word-count floor.
     *
     * Output: (doc_id, n_words, n_lines, wlen_pm, sym_pm, bullet_pm,
     * ellipsis_pm, alpha_pm, stop_hits, gopher_ok). */
-  def gopherRules(df: DataFrame, content: Column, id: Column): DataFrame =
+  def gopherRules(df: DataFrame, content: Column, id: Column): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
     df.select(id.as("doc_id"),
-        split(lower(trim(content)), "[ \\n]+").as("__ws"),
-        split(content, "\n").as("__ls"),
-        (regexp_count(content, lit("#")) +
-          regexp_count(content, lit("\\.\\.\\."))).as("__sym"))
+        call_function("gopher_profile", content).as("__g"))
       .selectExpr("doc_id",
-        "size(__ws) as n_words",
-        "size(__ls) as n_lines",
-        // 1000L: the int-typed counts must widen BEFORE the multiply —
-        // a pathological page (>2^31/1000 symbols or lines) would
-        // otherwise overflow Int where the BIGINT oracle doesn't
-        "aggregate(__ws, 0L, (a, w) -> a + length(w)) * 1000 div size(__ws)" +
-          " as wlen_pm",
-        "__sym * 1000L div size(__ws) as sym_pm",
-        "size(filter(__ls, l -> startswith(l, '- ') or startswith(l, '* ')" +
-          " or startswith(l, '• '))) * 1000L div size(__ls) as bullet_pm",
-        "size(filter(__ls, l -> endswith(l, '...') or endswith(l," +
-          " '…'))) * 1000L div size(__ls) as ellipsis_pm",
-        "size(filter(__ws, w -> w rlike '[a-z]')) * 1000L div size(__ws)" +
-          " as alpha_pm",
-        "size(filter(array('the','be','to','of','and','that','have'," +
-          "'with'), sw -> array_contains(__ws, sw))) as stop_hits")
+        "__g.n_words as n_words",
+        "__g.n_lines as n_lines",
+        // the struct counters are already Long where the multiply
+        // could overflow Int; the rest widen via 1000L
+        "__g.wchars * 1000 div __g.n_words as wlen_pm",
+        "__g.sym * 1000 div __g.n_words as sym_pm",
+        "__g.bullets * 1000L div __g.n_lines as bullet_pm",
+        "__g.ellipsis * 1000L div __g.n_lines as ellipsis_pm",
+        "__g.alpha * 1000L div __g.n_words as alpha_pm",
+        "__g.stop_hits as stop_hits")
       .withColumn("gopher_ok", expr(
         "n_words between 50 and 100000 and wlen_pm between 3000 and 10000" +
           " and sym_pm <= 100 and bullet_pm <= 900 and ellipsis_pm <= 300" +
           " and alpha_pm >= 800 and stop_hits >= 2"))
+  }
 
   /** The other half of Gopher's repetition battery (Rae et al. 2021,
     * App. A1.1 — [[repetitionStats]] covers the n-gram half): the

@@ -1,0 +1,149 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `gopher_profile(text)` — every raw counter of the Gopher rule
+  * battery ([[graft.ext.TextAnalysis.gopherRules]]) in ONE native pass
+  * over the page.
+  *
+  * Semantically pinned to the HOF formulation it replaces (and to the
+  * unchanged DuckDB oracle): words are `split(lower(trim(text)),
+  * "[ \n]+")` — Java regex-split semantics, so a page starting or
+  * ending with a separator run contributes an empty word and an empty
+  * page is ONE empty word (never a division hazard downstream); lines
+  * are `split(text, "\n")` with empties preserved. The HOF version
+  * materialized the word and line arrays and walked them up to six
+  * times through interpreted lambdas; this is two scans (lowered words
+  * pass, original lines/symbols pass), no arrays, inside whole-stage
+  * codegen.
+  *
+  * Output struct: (n_words, n_lines, wchars = summed word chars,
+  * sym = `#` + non-overlapping `...` occurrences, bullets = lines
+  * starting `- `/`* `/`• `, ellipsis = lines ending `...`/`…`,
+  * alpha = words containing an ASCII letter (post-lowercase),
+  * stop_hits = DISTINCT Gopher stop words present of the published 8).
+  */
+case class GopherProfile(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"gopher_profile requires string, got ${other.catalogString}")
+  }
+  override def dataType: DataType = GopherProfileUtil.schema
+  override def prettyName: String = "gopher_profile"
+
+  override def nullSafeEval(input: Any): Any =
+    GopherProfileUtil.profile(input.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.GopherProfileUtil.profile($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): GopherProfile =
+    copy(child = newChild)
+}
+
+/** Static helper referenced from generated code. */
+object GopherProfileUtil {
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+  import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
+
+  val schema: StructType = StructType(Seq(
+    StructField("n_words", IntegerType, nullable = false),
+    StructField("n_lines", IntegerType, nullable = false),
+    StructField("wchars", LongType, nullable = false),
+    StructField("sym", LongType, nullable = false),
+    StructField("bullets", IntegerType, nullable = false),
+    StructField("ellipsis", IntegerType, nullable = false),
+    StructField("alpha", IntegerType, nullable = false),
+    StructField("stop_hits", IntegerType, nullable = false)))
+
+  // Gopher's published required-stop-word list (Rae et al. 2021 A1.1).
+  private val Stops = Array("the", "be", "to", "of", "and", "that",
+    "have", "with")
+
+  private def isSep(c: Char): Boolean = c == ' ' || c == '\n'
+
+  def profile(text: UTF8String): GenericInternalRow = {
+    // words operate on lower(trim(text)) — UTF8String's own trim
+    // (spaces only) and toLowerCase, the exact Spark Lower/StringTrim
+    // semantics the HOF formulation inherited
+    val low = text.trim().toLowerCase.toString
+    var nWords = 0
+    var wchars = 0L
+    var alpha = 0
+    var stopMask = 0
+    var start = 0
+    var i = 0
+    val L = low.length
+    def emit(s: Int, e: Int): Unit = {
+      nWords += 1
+      wchars += low.codePointCount(s, e)
+      var hasAlpha = false
+      var j = s
+      while (j < e && !hasAlpha) {
+        val c = low.charAt(j)
+        if (c >= 'a' && c <= 'z') hasAlpha = true
+        j += 1
+      }
+      if (hasAlpha) alpha += 1
+      val len = e - s
+      if (len >= 2 && len <= 4) {
+        var k = 0
+        while (k < Stops.length) {
+          if ((stopMask & (1 << k)) == 0 && low.regionMatches(s, Stops(k), 0, len) &&
+              Stops(k).length == len) stopMask |= 1 << k
+          k += 1
+        }
+      }
+    }
+    while (i < L) {
+      if (isSep(low.charAt(i))) {
+        emit(start, i)
+        while (i < L && isSep(low.charAt(i))) i += 1
+        start = i
+      } else i += 1
+    }
+    emit(start, L) // final token; "" when the page ends in a separator
+
+    // lines + symbols operate on the ORIGINAL text
+    val orig = text.toString
+    var nLines = 0
+    var bullets = 0
+    var ellipsis = 0
+    var sym = 0L
+    var ls = 0
+    var p = 0
+    val OL = orig.length
+    def line(s: Int, e: Int): Unit = {
+      nLines += 1
+      val len = e - s
+      if (len >= 2) {
+        val c0 = orig.charAt(s)
+        if ((c0 == '-' || c0 == '*' || c0 == '•') &&
+            orig.charAt(s + 1) == ' ') bullets += 1
+      }
+      if ((len >= 3 && orig.charAt(e - 1) == '.' && orig.charAt(e - 2) == '.' &&
+            orig.charAt(e - 3) == '.') ||
+          (len >= 1 && orig.charAt(e - 1) == '…')) ellipsis += 1
+    }
+    while (p < OL) {
+      val c = orig.charAt(p)
+      if (c == '\n') { line(ls, p); ls = p + 1; p += 1 }
+      else if (c == '#') { sym += 1; p += 1 }
+      else if (c == '.' && p + 2 < OL && orig.charAt(p + 1) == '.' &&
+               orig.charAt(p + 2) == '.') {
+        // non-overlapping "..." exactly like regexp_count's scan
+        sym += 1; p += 3
+      } else p += 1
+    }
+    line(ls, OL)
+
+    new GenericInternalRow(Array[Any](nWords, nLines, wchars, sym,
+      bullets, ellipsis, alpha, Integer.bitCount(stopMask)))
+  }
+}

@@ -154,7 +154,10 @@ object GraftFunctions {
       (exprs: Seq[Expression]) => TfFeatBytes(exprs(0), exprs(1))),
     (FunctionIdentifier("script_profile"),
       new ExpressionInfo(classOf[ScriptProfile].getName, "script_profile"),
-      (exprs: Seq[Expression]) => ScriptProfile(exprs.head)))
+      (exprs: Seq[Expression]) => ScriptProfile(exprs.head)),
+    (FunctionIdentifier("gopher_profile"),
+      new ExpressionInfo(classOf[GopherProfile].getName, "gopher_profile"),
+      (exprs: Seq[Expression]) => GopherProfile(exprs.head)))
 
   /** Registers only if absent, so a user's own temp function of the same
     * name is never silently replaced and repeated calls are no-ops. */

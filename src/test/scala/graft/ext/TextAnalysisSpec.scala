@@ -1,5 +1,7 @@
 package graft.ext
 
+import org.apache.spark.sql.functions._
+
 import graft.SparkSpec
 
 class TextAnalysisSpec extends SparkSpec {
@@ -496,6 +498,47 @@ class TextAnalysisSpec extends SparkSpec {
       (1L, 4, 2, 500L, 500L, 500L, 500L, false),
       (2L, 2, 1, 0L, 0L, 0L, 0L, true),
       (3L, 4, 1, 250L, 250L, 0L, 0L, false)))
+  }
+
+  test("gopher_profile: native pass equals the HOF formulation on hostile pages") {
+    // the one-pass expression must reproduce Java split semantics
+    // (leading/trailing separator runs -> empty words), non-overlapping
+    // '...' counting, unicode lowercasing, and '…'/'•' handling exactly
+    // as the interpreted formulation it replaced
+    val nasty = Seq(
+      "", " ", "\n", "word", " lead", "trail ", "a\n\nb",
+      "....", ".....", "......", "#.#..#...",
+      "- b c...\n* d e…\n• f g\n-x not bullet",
+      "THE And OF that\nbe to have with",
+      "İstanbul ΣΣ mixed\nCase...",
+      "the  the\n\n  \nthe").zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    val df = nasty.toDF("doc_id", "text")
+    val native = TextAnalysis.gopherRules(df, $"text", $"doc_id")
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    // the pre-native formulation, stated inline as the reference model
+    val hof = df.select(col("doc_id").as("doc_id"),
+        split(lower(trim(col("text"))), "[ \\n]+").as("__ws"),
+        split(col("text"), "\n").as("__ls"),
+        (regexp_count(col("text"), lit("#")) +
+          regexp_count(col("text"), lit("\\.\\.\\."))).as("__sym"))
+      .selectExpr("doc_id",
+        "size(__ws) as n_words", "size(__ls) as n_lines",
+        "aggregate(__ws, 0L, (a, w) -> a + length(w)) * 1000 div size(__ws) as wlen_pm",
+        "__sym * 1000L div size(__ws) as sym_pm",
+        "size(filter(__ls, l -> startswith(l, '- ') or startswith(l, '* ')" +
+          " or startswith(l, '• '))) * 1000L div size(__ls) as bullet_pm",
+        "size(filter(__ls, l -> endswith(l, '...') or endswith(l, '…')))" +
+          " * 1000L div size(__ls) as ellipsis_pm",
+        "size(filter(__ws, w -> w rlike '[a-z]')) * 1000L div size(__ws) as alpha_pm",
+        "size(filter(array('the','be','to','of','and','that','have','with')," +
+          " sw -> array_contains(__ws, sw))) as stop_hits")
+      .withColumn("gopher_ok", expr(
+        "n_words between 50 and 100000 and wlen_pm between 3000 and 10000" +
+          " and sym_pm <= 100 and bullet_pm <= 900 and ellipsis_pm <= 300" +
+          " and alpha_pm >= 800 and stop_hits >= 2"))
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(native == hof)
   }
 
   test("gopherRules: word-count floor alone fails an otherwise-clean doc") {
