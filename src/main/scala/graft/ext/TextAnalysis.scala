@@ -783,36 +783,32 @@ object TextAnalysis {
     * line is its longest fails the char rule long before the count
     * rule). Integer parts-per-thousand throughout; verdict thresholds
     * are the published ones (≤ 30% duplicate count, ≤ 20% duplicate
-    * characters, both granularities). Pure narrow HOF projection,
-    * zero shuffles; documents with no non-empty line hit the ANSI
+    * characters, both granularities). A pure narrow projection over
+    * the one-pass native [[graft.functions.LineRepProfile]] (the HOF
+    * version split twice and walked each array three times); zero
+    * shuffles. Documents with no non-empty line hit the ANSI
     * `div` fault by design — quarantine empties upstream.
     *
     * Output: (doc_id, n_lines, n_pars, dupline_pm, dupline_char_pm,
     * duppar_pm, duppar_char_pm, rep_ok). */
   def gopherRepetition(df: DataFrame, content: Column,
-                       id: Column): DataFrame =
+                       id: Column): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
     df.select(id.as("doc_id"),
-        filter(split(content, "\n"), l => l =!= "").as("__ls"),
-        filter(split(content, "\n\n"), p => p =!= "").as("__ps"))
+        call_function("line_rep_profile", content).as("__r"))
       .selectExpr("doc_id",
-        "size(__ls) as n_lines",
-        "size(__ps) as n_pars",
-        // 1000L as in gopherRules: widen the int counts pre-multiply
-        "(size(__ls) - size(array_distinct(__ls))) * 1000L div size(__ls)" +
-          " as dupline_pm",
-        "(aggregate(__ls, 0L, (a, x) -> a + length(x)) -" +
-          " aggregate(array_distinct(__ls), 0L, (a, x) -> a + length(x)))" +
-          " * 1000 div greatest(aggregate(__ls, 0L, (a, x) -> a +" +
-          " length(x)), 1L) as dupline_char_pm",
-        "(size(__ps) - size(array_distinct(__ps))) * 1000L div size(__ps)" +
-          " as duppar_pm",
-        "(aggregate(__ps, 0L, (a, x) -> a + length(x)) -" +
-          " aggregate(array_distinct(__ps), 0L, (a, x) -> a + length(x)))" +
-          " * 1000 div greatest(aggregate(__ps, 0L, (a, x) -> a +" +
-          " length(x)), 1L) as duppar_char_pm")
+        "__r.n_lines as n_lines",
+        "__r.n_pars as n_pars",
+        "__r.dup_lines * 1000L div __r.n_lines as dupline_pm",
+        "__r.dup_line_chars * 1000 div greatest(__r.line_chars, 1L)" +
+          " as dupline_char_pm",
+        "__r.dup_pars * 1000L div __r.n_pars as duppar_pm",
+        "__r.dup_par_chars * 1000 div greatest(__r.par_chars, 1L)" +
+          " as duppar_char_pm")
       .withColumn("rep_ok", expr(
         "dupline_pm <= 300 and duppar_pm <= 300 and" +
           " dupline_char_pm <= 200 and duppar_char_pm <= 200"))
+  }
 
   def fingerprint(df: DataFrame, content: Column, id: Column,
                   k: Int = 3): DataFrame = {

@@ -47,6 +47,39 @@ case class GopherProfile(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `line_rep_profile(text)` — the raw counters of Gopher's
+  * duplicate-line/paragraph repetition rules
+  * ([[graft.ext.TextAnalysis.gopherRepetition]]) in one native pass:
+  * non-empty `\n` lines and non-empty `\n\n` paragraphs (Java
+  * regex-split segmentation), each granularity's total count, total
+  * chars, duplicate-occurrence count (occurrences beyond a string's
+  * first) and duplicate-occurrence chars, via one hash map per
+  * granularity. Replaces two split arrays walked through
+  * `array_distinct` + two `aggregate` lambdas each. A page with no
+  * non-empty line reports n_lines = 0 — the caller's ratio division
+  * faults under ANSI exactly as the HOF formulation did (contract
+  * unchanged). */
+case class LineRepProfile(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"line_rep_profile requires string, got ${other.catalogString}")
+  }
+  override def dataType: DataType = GopherProfileUtil.repSchema
+  override def prettyName: String = "line_rep_profile"
+
+  override def nullSafeEval(input: Any): Any =
+    GopherProfileUtil.repProfile(input.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.GopherProfileUtil.repProfile($c)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): LineRepProfile = copy(child = newChild)
+}
+
 /** Static helper referenced from generated code. */
 object GopherProfileUtil {
   import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
@@ -61,6 +94,54 @@ object GopherProfileUtil {
     StructField("ellipsis", IntegerType, nullable = false),
     StructField("alpha", IntegerType, nullable = false),
     StructField("stop_hits", IntegerType, nullable = false)))
+
+  val repSchema: StructType = StructType(Seq(
+    StructField("n_lines", IntegerType, nullable = false),
+    StructField("n_pars", IntegerType, nullable = false),
+    StructField("line_chars", LongType, nullable = false),
+    StructField("par_chars", LongType, nullable = false),
+    StructField("dup_lines", IntegerType, nullable = false),
+    StructField("dup_line_chars", LongType, nullable = false),
+    StructField("dup_pars", IntegerType, nullable = false),
+    StructField("dup_par_chars", LongType, nullable = false)))
+
+  /** One granularity's pass: segment on the separator (1 = `\n`,
+    * 2 = `\n\n`, Java regex-split boundaries), keep non-empty
+    * segments, and return (n, chars, dupN, dupChars). */
+  private def repPass(s: String, sepLen: Int): (Int, Long, Int, Long) = {
+    val seen = new java.util.HashMap[String, Integer]()
+    var n = 0
+    var chars = 0L
+    var distinctChars = 0L
+    var start = 0
+    var i = 0
+    val L = s.length
+    def seg(a: Int, b: Int): Unit =
+      if (b > a) {
+        val t = s.substring(a, b)
+        n += 1
+        val c = s.codePointCount(a, b)
+        chars += c
+        if (seen.putIfAbsent(t, 1) == null) distinctChars += c
+      }
+    while (i < L) {
+      if (s.charAt(i) == '\n' &&
+          (sepLen == 1 || (i + 1 < L && s.charAt(i + 1) == '\n'))) {
+        seg(start, i)
+        i += sepLen
+        start = i
+      } else i += 1
+    }
+    seg(start, L)
+    (n, chars, n - seen.size, chars - distinctChars)
+  }
+
+  def repProfile(text: UTF8String): GenericInternalRow = {
+    val s = text.toString
+    val (nl, lc, dl, dlc) = repPass(s, 1)
+    val (np, pc, dp, dpc) = repPass(s, 2)
+    new GenericInternalRow(Array[Any](nl, np, lc, pc, dl, dlc, dp, dpc))
+  }
 
   // Gopher's published required-stop-word list (Rae et al. 2021 A1.1).
   private val Stops = Array("the", "be", "to", "of", "and", "that",

@@ -157,7 +157,10 @@ object GraftFunctions {
       (exprs: Seq[Expression]) => ScriptProfile(exprs.head)),
     (FunctionIdentifier("gopher_profile"),
       new ExpressionInfo(classOf[GopherProfile].getName, "gopher_profile"),
-      (exprs: Seq[Expression]) => GopherProfile(exprs.head)))
+      (exprs: Seq[Expression]) => GopherProfile(exprs.head)),
+    (FunctionIdentifier("line_rep_profile"),
+      new ExpressionInfo(classOf[LineRepProfile].getName, "line_rep_profile"),
+      (exprs: Seq[Expression]) => LineRepProfile(exprs.head)))
 
   /** Registers only if absent, so a user's own temp function of the same
     * name is never silently replaced and repeated calls are no-ops. */
