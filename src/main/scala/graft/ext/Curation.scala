@@ -475,19 +475,18 @@ object Curation {
     * `n_kept` counts rule-surviving lines even on dropped pages
     * (page_ok=false), where clean_text is "". */
   def c4Clean(df: DataFrame, content: Column, id: Column,
-              minWords: Int = 5): DataFrame =
-    df.select(id.as("doc_id"), split(content, "\n").as("__ls"),
-        (!lower(content).contains("lorem ipsum") &&
-          !content.contains("{")).as("page_ok"))
-      .withColumn("__keep", expr(
-        "filter(__ls, l -> (endswith(l, '.') or endswith(l, '!') or " +
-          "endswith(l, '?') or endswith(l, '\"')) " +
-          s"and size(split(trim(l), ' +')) >= $minWords " +
-          "and not contains(lower(l), 'javascript'))"))
-      .select(col("doc_id"), size(col("__ls")).as("n_lines"),
-        size(col("__keep")).as("n_kept"), col("page_ok"),
-        when(col("page_ok"), concat_ws("\n", col("__keep")))
-          .otherwise(lit("")).as("clean_text"))
+              minWords: Int = 5): DataFrame = {
+    // one native pass ([[graft.functions.C4Profile]]) — the HOF
+    // formulation split + filtered + re-joined through interpreted
+    // lambdas and lowercased every line twice; semantics pinned equal
+    // by the hostile-page equivalence spec, oracle unchanged
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    df.select(id.as("doc_id"),
+        call_function("c4_profile", content, lit(minWords)).as("__c"))
+      .select(col("doc_id"), col("__c.n_lines").as("n_lines"),
+        col("__c.n_kept").as("n_kept"), col("__c.page_ok").as("page_ok"),
+        col("__c.clean_text").as("clean_text"))
+  }
 
   def cutSpans(df: DataFrame, content: Column, id: Column,
                k: Int = 5, minCount: Int = 2): DataFrame = {

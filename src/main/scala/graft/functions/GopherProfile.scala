@@ -80,6 +80,36 @@ case class LineRepProfile(child: Expression) extends UnaryExpression {
       newChild: Expression): LineRepProfile = copy(child = newChild)
 }
 
+/** `c4_profile(text, minWords)` — the whole C4 page-cleaning pass
+  * ([[graft.ext.Curation.c4Clean]]) in one native pass: line keep
+  * rules (terminal `.` `!` `?` `"`, at least minWords whitespace
+  * words, no case-insensitive "javascript"), the page-level
+  * lorem-ipsum / `{` drop, and the reassembled clean text. Semantics
+  * pinned byte-exact to the HOF formulation (Java split, Spark
+  * `lower()` via UTF8String.toLowerCase) by the equivalence spec;
+  * the DuckDB oracle is unchanged. */
+case class C4Profile(child: Expression, minWords: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"c4_profile requires string, got ${other.catalogString}")
+  }
+  override def dataType: DataType = GopherProfileUtil.c4Schema
+  override def prettyName: String = "c4_profile"
+
+  override def nullSafeEval(input: Any): Any =
+    GopherProfileUtil.c4Profile(input.asInstanceOf[UTF8String], minWords)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.GopherProfileUtil.c4Profile($c, $minWords)")
+
+  override protected def withNewChildInternal(newChild: Expression): C4Profile =
+    copy(child = newChild)
+}
+
 /** Static helper referenced from generated code. */
 object GopherProfileUtil {
   import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
@@ -104,6 +134,70 @@ object GopherProfileUtil {
     StructField("dup_line_chars", LongType, nullable = false),
     StructField("dup_pars", IntegerType, nullable = false),
     StructField("dup_par_chars", LongType, nullable = false)))
+
+  val c4Schema: StructType = StructType(Seq(
+    StructField("n_lines", IntegerType, nullable = false),
+    StructField("n_kept", IntegerType, nullable = false),
+    StructField("page_ok", org.apache.spark.sql.types.BooleanType,
+      nullable = false),
+    StructField("clean_text", StringType, nullable = false)))
+
+  /** Spark `lower()` semantics exactly (UTF8String.toLowerCase — the
+    * HOF formulation's `contains(lower(x), …)` path). */
+  private def low(s: String): String =
+    UTF8String.fromString(s).toLowerCase.toString
+
+  /** `size(split(trim(l), ' +'))` under Java regex-split semantics:
+    * an empty trimmed line is ONE empty token; otherwise the count of
+    * space-run-separated tokens. */
+  private def wordCount(l: String): Int = {
+    var a = 0
+    var b = l.length
+    while (a < b && l.charAt(a) == ' ') a += 1
+    while (b > a && l.charAt(b - 1) == ' ') b -= 1
+    if (a == b) return 1
+    var n = 1
+    var i = a
+    var inRun = false
+    while (i < b) {
+      if (l.charAt(i) == ' ') { if (!inRun) { n += 1; inRun = true } }
+      else inRun = false
+      i += 1
+    }
+    n
+  }
+
+  def c4Profile(text: UTF8String, minWords: Int): GenericInternalRow = {
+    val s = text.toString
+    val lowAll = low(s)
+    val pageOk = !lowAll.contains("lorem ipsum") && !s.contains("{")
+    val sb = new java.lang.StringBuilder
+    var nLines = 0
+    var nKept = 0
+    def line(a: Int, b: Int): Unit = {
+      nLines += 1
+      val len = b - a
+      if (len > 0) {
+        val last = s.charAt(b - 1)
+        if ((last == '.' || last == '!' || last == '?' || last == '"') &&
+            wordCount(s.substring(a, b)) >= minWords &&
+            !low(s.substring(a, b)).contains("javascript")) {
+          nKept += 1
+          if (sb.length > 0) sb.append('\n')
+          sb.append(s, a, b)
+        }
+      }
+    }
+    var start = 0
+    var i = 0
+    while (i < s.length) {
+      if (s.charAt(i) == '\n') { line(start, i); start = i + 1 }
+      i += 1
+    }
+    line(start, s.length)
+    new GenericInternalRow(Array[Any](nLines, nKept, pageOk,
+      UTF8String.fromString(if (pageOk) sb.toString else "")))
+  }
 
   /** One granularity's pass: segment on the separator (1 = `\n`,
     * 2 = `\n\n`, Java regex-split boundaries), keep non-empty

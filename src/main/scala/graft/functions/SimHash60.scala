@@ -160,7 +160,11 @@ object GraftFunctions {
       (exprs: Seq[Expression]) => GopherProfile(exprs.head)),
     (FunctionIdentifier("line_rep_profile"),
       new ExpressionInfo(classOf[LineRepProfile].getName, "line_rep_profile"),
-      (exprs: Seq[Expression]) => LineRepProfile(exprs.head)))
+      (exprs: Seq[Expression]) => LineRepProfile(exprs.head)),
+    (FunctionIdentifier("c4_profile"),
+      new ExpressionInfo(classOf[C4Profile].getName, "c4_profile"),
+      (exprs: Seq[Expression]) => C4Profile(exprs.head,
+        exprs(1).eval().asInstanceOf[Number].intValue)))
 
   /** Registers only if absent, so a user's own temp function of the same
     * name is never silently replaced and repeated calls are no-ops. */

@@ -185,6 +185,36 @@ class CurationSpec extends SparkSpec with org.scalatest.BeforeAndAfterEach {
     assert(again == out.map(_._8))
   }
 
+  test("c4_profile: native pass equals the HOF formulation on hostile pages") {
+    val nasty = Seq(
+      "", "\n", "\n\n", "only line no terminal",
+      "ends with dot but short.", "one two three four five six.",
+      "  leading and trailing spaces in a line here .  \nnext line ok.",
+      "JavaScript is CASE insensitive here today.",
+      "brace { kills\na perfectly good sentence right here.",
+      "lorem IPSUM mixed case\nanother fine line right here today.",
+      "quote end here we go now\"\nbang end here we go now!",
+      "multi\n\n\nempty\nlines between these words here today.")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val df = nasty.toDF("doc_id", "text")
+    val native = Curation.c4Clean(df, $"text", $"doc_id", minWords = 5)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val hof = df.select(col("doc_id"), split(col("text"), "\n").as("__ls"),
+        (!lower(col("text")).contains("lorem ipsum") &&
+          !col("text").contains("{")).as("page_ok"))
+      .withColumn("__keep", expr(
+        "filter(__ls, l -> (endswith(l, '.') or endswith(l, '!') or " +
+          "endswith(l, '?') or endswith(l, '\"')) " +
+          "and size(split(trim(l), ' +')) >= 5 " +
+          "and not contains(lower(l), 'javascript'))"))
+      .select(col("doc_id"), size(col("__ls")).as("n_lines"),
+        size(col("__keep")).as("n_kept"), col("page_ok"),
+        when(col("page_ok"), concat_ws("\n", col("__keep")))
+          .otherwise(lit("")).as("clean_text"))
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(native == hof)
+  }
+
   test("c4Clean: minWords floor is a parameter") {
     val docs = Seq((1L, "tiny line.\nbig enough line here today.")).toDF("doc_id", "text")
     val strict = Curation.c4Clean(docs, $"text", $"doc_id")
