@@ -194,7 +194,9 @@ class CurationSpec extends SparkSpec with org.scalatest.BeforeAndAfterEach {
       "brace { kills\na perfectly good sentence right here.",
       "lorem IPSUM mixed case\nanother fine line right here today.",
       "quote end here we go now\"\nbang end here we go now!",
-      "multi\n\n\nempty\nlines between these words here today.")
+      "multi\n\n\nempty\nlines between these words here today.",
+      "   \nall spaces line above and this one keeps going fine.",
+      "\t.\ntab only line above then this good line survives here.")
       .zipWithIndex.map { case (t, i) => (i.toLong, t) }
     val df = nasty.toDF("doc_id", "text")
     val native = Curation.c4Clean(df, $"text", $"doc_id", minWords = 5)
