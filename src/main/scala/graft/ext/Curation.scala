@@ -485,7 +485,10 @@ object Curation {
         call_function("c4_profile", content, lit(minWords)).as("__c"))
       .select(col("doc_id"), col("__c.n_lines").as("n_lines"),
         col("__c.n_kept").as("n_kept"), col("__c.page_ok").as("page_ok"),
-        col("__c.clean_text").as("clean_text"))
+        // coalesce: a NULL page null-propagates through the struct,
+        // but the contract (and the HOF formulation's otherwise(""))
+        // guarantees clean_text is never null
+        coalesce(col("__c.clean_text"), lit("")).as("clean_text"))
   }
 
   def cutSpans(df: DataFrame, content: Column, id: Column,

@@ -147,20 +147,21 @@ object GopherProfileUtil {
   private def low(s: String): String =
     UTF8String.fromString(s).toLowerCase.toString
 
-  /** `size(split(trim(l), ' +'))` under Java regex-split semantics:
-    * an empty trimmed line is ONE empty token; otherwise the count of
-    * space-run-separated tokens. */
-  private def wordCount(l: String): Int = {
-    var a = 0
-    var b = l.length
-    while (a < b && l.charAt(a) == ' ') a += 1
-    while (b > a && l.charAt(b - 1) == ' ') b -= 1
+  /** `size(split(trim(l), ' +'))` under Java regex-split semantics
+    * over s[from, until): an empty trimmed line is ONE empty token;
+    * otherwise the count of space-run-separated tokens. Offset-based —
+    * no substring allocation in the per-line hot path. */
+  private def wordCount(s: String, from: Int, until: Int): Int = {
+    var a = from
+    var b = until
+    while (a < b && s.charAt(a) == ' ') a += 1
+    while (b > a && s.charAt(b - 1) == ' ') b -= 1
     if (a == b) return 1
     var n = 1
     var i = a
     var inRun = false
     while (i < b) {
-      if (l.charAt(i) == ' ') { if (!inRun) { n += 1; inRun = true } }
+      if (s.charAt(i) == ' ') { if (!inRun) { n += 1; inRun = true } }
       else inRun = false
       i += 1
     }
@@ -180,11 +181,15 @@ object GopherProfileUtil {
       if (len > 0) {
         val last = s.charAt(b - 1)
         if ((last == '.' || last == '!' || last == '?' || last == '"') &&
-            wordCount(s.substring(a, b)) >= minWords &&
+            wordCount(s, a, b) >= minWords &&
             !low(s.substring(a, b)).contains("javascript")) {
           nKept += 1
-          if (sb.length > 0) sb.append('\n')
-          sb.append(s, a, b)
+          // n_kept is reported even on dropped pages, but the thrown-
+          // away clean text of a dropped page is not worth building
+          if (pageOk) {
+            if (sb.length > 0) sb.append('\n')
+            sb.append(s, a, b)
+          }
         }
       }
     }

@@ -196,7 +196,8 @@ class CurationSpec extends SparkSpec with org.scalatest.BeforeAndAfterEach {
       "quote end here we go now\"\nbang end here we go now!",
       "multi\n\n\nempty\nlines between these words here today.",
       "   \nall spaces line above and this one keeps going fine.",
-      "\t.\ntab only line above then this good line survives here.")
+      "\t.\ntab only line above then this good line survives here.",
+      null) // NULL page: struct null-propagates, clean_text coalesces to ""
       .zipWithIndex.map { case (t, i) => (i.toLong, t) }
     val df = nasty.toDF("doc_id", "text")
     val native = Curation.c4Clean(df, $"text", $"doc_id", minWords = 5)
