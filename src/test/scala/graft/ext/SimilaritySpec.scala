@@ -643,4 +643,32 @@ class SimilaritySpec extends SparkSpec {
       (6L, 2, true, 1, 1, false, 1000000000000L),
       (7L, 2, true, 1, 1, false, 250000000000L)))
   }
+
+  test("embeddingCheck gates a live embedding stream statelessly") {
+    // the hygiene pass is a pure narrow projection, so it runs as the
+    // admission filter where the vectors ARRIVE — before any index
+    // append sees a zero, wrong-width, or NaN vector
+    implicit val sq = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Array[Float])]
+    val gated = Similarity.embeddingCheck(
+        input.toDF().toDF("vec_id", "embedding"),
+        $"embedding", $"vec_id", expectedDims = 2)
+      .where($"dims_ok" && !$"is_zero" && $"n_nonfinite" === 0)
+    val q = gated.select("vec_id").writeStream.format("memory")
+      .queryName("semb").outputMode("append").start()
+    try {
+      input.addData(
+        (1L, Array(0.5f, -0.25f)),           // healthy -> admitted
+        (2L, Array(0.0f, 0.0f)),             // zero vector -> rejected
+        (3L, Array(Float.NaN, 1.0f)))        // NaN -> rejected
+      q.processAllAvailable()
+      input.addData((4L, Array(1.0f)),       // wrong width -> rejected
+        (5L, Array(0.25f, 0.75f)))           // healthy -> admitted
+      q.processAllAvailable()
+      val got = spark.sql("SELECT vec_id FROM semb")
+        .as[Long].collect().sorted.toSeq
+      assert(got == Seq(1L, 5L))
+    } finally q.stop()
+  }
 }
