@@ -1864,10 +1864,14 @@ SELECT src, dst, cosine, CAST(rn AS INT) AS rn FROM (
   FROM scored)
 WHERE rn <= 3 ORDER BY src, rn"""),
 
+    // outlier components (|x| > 10, the n_outlier signal) zero out of
+    // the norm exactly as in Similarity.embeddingCheck — the exact-norm
+    // contract only covers inlier magnitudes (ADVICE r13 overflow fix)
     "emb_chk" -> ("""WITH q AS (
   SELECT vec_id, embedding,
     list_transform(embedding, x -> CAST(round(
       CASE WHEN x IS NULL OR isnan(CAST(x AS DOUBLE)) OR isinf(CAST(x AS DOUBLE))
+           OR abs(CAST(x AS DOUBLE)) > 10.0
            THEN 0 ELSE CAST(x AS DOUBLE) END * 1e6) AS BIGINT)) AS qe
   FROM embeddings
 )
@@ -1876,6 +1880,9 @@ SELECT vec_id,
   (len(embedding) = 64) AS dims_ok,
   CAST(len(list_filter(embedding, x -> x IS NULL OR isnan(CAST(x AS DOUBLE))
     OR isinf(CAST(x AS DOUBLE)))) AS INT) AS n_nonfinite,
+  CAST(len(list_filter(embedding, x -> x IS NOT NULL
+    AND NOT isnan(CAST(x AS DOUBLE)) AND NOT isinf(CAST(x AS DOUBLE))
+    AND abs(CAST(x AS DOUBLE)) > 10.0)) AS INT) AS n_outlier,
   CAST(len(list_filter(qe, v -> v = 0)) AS INT) AS n_zero,
   (len(list_filter(qe, v -> v <> 0)) = 0) AS is_zero,
   CAST(list_sum(list_transform(qe, v -> v * v)) AS BIGINT) AS norm2_q

@@ -527,18 +527,26 @@ object Dedup {
                 minMatches: Int = 4,
                 maxDocFreq: Int = Int.MaxValue,
                 maxBucket: Int = Int.MaxValue): DataFrame = {
-    val exact = ngramJaccard(df, content, id, k, minJaccard, maxDocFreq)
-      .select("doc_a", "doc_b")
+    // persisted: n_true and the semi-join probe both read it, and the
+    // exact frame embeds the shingle self-join — the expensive half
+    val exact = graft.CacheScope.persistTracked(
+      ngramJaccard(df, content, id, k, minJaccard, maxDocFreq)
+        .select("doc_a", "doc_b"))
     val lsh = graft.CacheScope.persistTracked(
       minhashLsh(df, content, id, k, numHashes, bands, minMatches,
           maxBucket)
         .select(col("doc_a"), col("doc_b")))
-    // count(__hit), not sum(when(...)): over an EMPTY exact side the
-    // global sum is NULL where the oracle's count(l.doc_a) is 0
-    val hits = exact.join(lsh.withColumn("__hit", lit(1L)),
-        Seq("doc_a", "doc_b"), "left")
-      .agg(count(lit(1)).as("n_true"), count(col("__hit")).as("n_found"))
-    hits.crossJoin(broadcast(lsh.agg(count(lit(1)).as("n_cand"))))
+    // n_true counts the EXACT frame itself and n_found goes through a
+    // LEFT SEMI join (ADVICE r13): the previous left-join-then-count was
+    // correct only because minhashLsh ends in .distinct() and
+    // ngramJaccard aggregates per pair — if either ever emitted
+    // duplicate (doc_a, doc_b) rows the join would fan out and silently
+    // inflate both counters. A semi join cannot fan out regardless of
+    // right-side multiplicity, and n_true never touches the join.
+    val hits = exact.join(lsh, Seq("doc_a", "doc_b"), "left_semi")
+      .agg(count(lit(1)).as("n_found"))
+    hits.crossJoin(broadcast(exact.agg(count(lit(1)).as("n_true"))))
+      .crossJoin(broadcast(lsh.agg(count(lit(1)).as("n_cand"))))
       .selectExpr("n_true", "n_cand", "n_found",
         "n_found * 1000 div greatest(n_true, 1L) as recall_pm",
         "n_found * 1000 div greatest(n_cand, 1L) as precision_pm")

@@ -30,8 +30,8 @@ object Similarity {
     * `dims_ok` compares against the caller's expected width. A pure
     * narrow projection — scan speed at any corpus size.
     *
-    * Output: (vec_id, n_dims, dims_ok, n_nonfinite, n_zero, is_zero,
-    * norm2_q). */
+    * Output: (vec_id, n_dims, dims_ok, n_nonfinite, n_outlier, n_zero,
+    * is_zero, norm2_q). */
   def embeddingCheck(df: DataFrame, emb: Column, id: Column,
                      expectedDims: Int): DataFrame = {
     def bad(x: Column): Column = {
@@ -43,22 +43,38 @@ object Similarity {
       x.isNull || isnan(d) || d === Double.PositiveInfinity ||
         d === Double.NegativeInfinity
     }
-    // nonfinite components quantize to 0 here (counted separately) —
-    // the hygiene pass must REPORT a NaN, not fault on the ANSI
-    // double->long cast the plain quantize would hit
+    // out-of-range magnitudes are a SIGNAL, not arithmetic (ADVICE r13):
+    // |x| > 10 is already corrupt for an embedding component (normalized
+    // embeddings sit in [-1, 1]), and squaring its 1e6-quantized long
+    // would overflow Long at |x| ≳ 3034 — the hygiene pass would fault
+    // under ANSI on exactly the vectors it exists to report. Outliers
+    // are counted in n_outlier and contribute 0 to norm2_q (like
+    // nonfinite); inliers cap at 1e7, so the squared sum stays ≤ 1e14·d
+    // — overflow-free past 90k dims.
+    def outlier(x: Column): Column =
+      !bad(x) && abs(x.cast("double")) > lit(OutlierAbsMax)
+    // nonfinite/outlier components quantize to 0 here (counted
+    // separately) — the pass must REPORT the dirt, not fault on the ANSI
+    // double->long cast or the long multiply the plain quantize would hit
     val q = transform(emb, x =>
-      round(when(bad(x), lit(0.0)).otherwise(x.cast("double")) * 1e6)
-        .cast("long"))
+      round(when(bad(x) || outlier(x), lit(0.0))
+        .otherwise(x.cast("double")) * 1e6).cast("long"))
     df.select(id.as("vec_id"), q.as("__q"),
         size(emb).as("n_dims"),
-        size(filter(emb, x => bad(x))).as("n_nonfinite"))
+        size(filter(emb, x => bad(x))).as("n_nonfinite"),
+        size(filter(emb, x => outlier(x))).as("n_outlier"))
       .selectExpr("vec_id", "n_dims",
         s"n_dims = $expectedDims as dims_ok",
-        "n_nonfinite",
+        "n_nonfinite", "n_outlier",
         "size(filter(__q, v -> v = 0L)) as n_zero",
         "size(filter(__q, v -> v != 0L)) = 0 as is_zero",
         "aggregate(__q, 0L, (a, v) -> a + v * v) as norm2_q")
   }
+
+  /** Component-magnitude ceiling for [[embeddingCheck]]'s exact norm:
+    * larger magnitudes are reported in `n_outlier` instead of squared
+    * (Long overflow at |x| ≳ 3034 after 1e6 quantization). */
+  val OutlierAbsMax: Double = 10.0
 
   /** Exact integer dot product of two quantized vectors. */
   def dotQ(a: Column, b: Column): Column =

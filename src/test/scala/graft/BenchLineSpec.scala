@@ -114,6 +114,52 @@ class BenchLineSpec extends AnyFunSuite {
       s"errors must degrade after the rerun audit: $storm")
   }
 
+  test("family sharding covers every declared query with bounded shards") {
+    // VERDICT r13 task 1: the sweep shards per family across fresh JVMs.
+    // Every query must land in a declared family, and no shard may grow
+    // back toward the 136-in-one-JVM shape the sharding exists to kill.
+    val byFam = names.groupBy(Bench.familyOf)
+    byFam.keys.foreach(f => assert(Bench.Families.contains(f),
+      s"familyOf produced undeclared shard '$f'"))
+    assert(byFam.values.map(_.size).sum === names.size)
+    byFam.foreach { case (f, qs) =>
+      assert(qs.size <= 40,
+        s"shard '$f' has ${qs.size} queries — rebalance familyOf before it " +
+          "re-accumulates single-JVM sweep debt")
+    }
+    // the core serving rows and the ANN rows must not share a JVM with
+    // the heavy dedup self-joins (the r13 phantom pattern)
+    assert(Bench.familyOf("b2_srv") === "core")
+    assert(Bench.familyOf("ann_ivf") === "ann")
+    assert(Bench.familyOf("a5_sum") === "core") // "a" prefix, not "ann_"
+    assert(Bench.familyOf("dd_keepb") === "dedup")
+    assert(Bench.familyOf("semdd") === "dedup")
+    assert(Bench.familyOf("mm_video") === "mm")
+    assert(Bench.familyOf("s_temp") === "pack")
+    assert(Bench.familyOf("secrets") === "text") // "s" but not "s_"
+    assert(Bench.familyOf("q_roll") === "rel")
+    assert(Bench.familyOf("lm3") === "text")
+  }
+
+  test("shard partial TSV round-trips timings, errors and torn tails") {
+    val f = java.io.File.createTempFile("bench_partial", ".tsv")
+    f.deleteOnExit()
+    java.nio.file.Files.writeString(f.toPath,
+      "T\tq1_price\t0.731\n" +
+        "R\tsemdd\t11.2\n" +
+        "T\tsemdd\t2.4\n" +
+        "E\tmm_video\tcodec fixture missing\n" +
+        "T\tq_roll") // torn final line: child crashed mid-write
+    val out = Bench.readPartial(f.getAbsolutePath)
+    assert(out("q1_price") === Right(0.731))
+    assert(out("semdd") === Right(2.4)) // terminal T wins; R is audit-only
+    assert(out("mm_video") === Left("codec fixture missing"))
+    assert(!out.contains("q_roll"), "a torn line must read as 'shard died'")
+    // a missing partial (child died before its first query) is empty, not
+    // an exception — the parent charges those names as shard-death errors
+    assert(Bench.readPartial(f.getAbsolutePath + ".does-not-exist").isEmpty)
+  }
+
   test("rerun threshold sits above every healthy isolated minimum band") {
     // the guard must never trigger on the recurring healthy readings
     // (<= ~3.2 s isolated across r3-r11) yet must catch the 7-18 s

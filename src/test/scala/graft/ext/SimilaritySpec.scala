@@ -630,18 +630,24 @@ class SimilaritySpec extends SparkSpec {
       // counted nonfinite, quantized 0, norm from the healthy rest
       .union(spark.sql(
         "select 7L, array(cast(0.5 as float), cast(null as float))"))
+      // out-of-range magnitude (ADVICE r13): 5000 > the 10.0 inlier cap,
+      // and squaring its quantized long (5e9^2 = 2.5e19) would overflow
+      // Long and FAULT under ANSI — the pass must report it as a signal
+      // (n_outlier), zero it out of the norm, and keep running
+      .union(Seq((8L, Array(5000.0f, 1.0f))).toDF("vec_id", "embedding"))
     val out = Similarity.embeddingCheck(vecs, $"embedding", $"vec_id",
         expectedDims = 2)
       .orderBy("vec_id")
-      .as[(Long, Int, Boolean, Int, Int, Boolean, Long)].collect().toSeq
+      .as[(Long, Int, Boolean, Int, Int, Int, Boolean, Long)].collect().toSeq
     assert(out == Seq(
-      (1L, 2, true, 0, 0, false, 312500000000L),
-      (2L, 2, true, 0, 2, true, 0L),
-      (3L, 2, true, 1, 1, false, 1000000000000L),
-      (4L, 1, false, 0, 0, false, 1000000000000L),
-      (5L, 2, true, 0, 2, true, 0L),
-      (6L, 2, true, 1, 1, false, 1000000000000L),
-      (7L, 2, true, 1, 1, false, 250000000000L)))
+      (1L, 2, true, 0, 0, 0, false, 312500000000L),
+      (2L, 2, true, 0, 0, 2, true, 0L),
+      (3L, 2, true, 1, 0, 1, false, 1000000000000L),
+      (4L, 1, false, 0, 0, 0, false, 1000000000000L),
+      (5L, 2, true, 0, 0, 2, true, 0L),
+      (6L, 2, true, 1, 0, 1, false, 1000000000000L),
+      (7L, 2, true, 1, 0, 1, false, 250000000000L),
+      (8L, 2, true, 0, 1, 1, false, 1000000000000L)))
   }
 
   test("embeddingCheck gates a live embedding stream statelessly") {
@@ -654,7 +660,8 @@ class SimilaritySpec extends SparkSpec {
     val gated = Similarity.embeddingCheck(
         input.toDF().toDF("vec_id", "embedding"),
         $"embedding", $"vec_id", expectedDims = 2)
-      .where($"dims_ok" && !$"is_zero" && $"n_nonfinite" === 0)
+      .where($"dims_ok" && !$"is_zero" && $"n_nonfinite" === 0 &&
+        $"n_outlier" === 0)
     val q = gated.select("vec_id").writeStream.format("memory")
       .queryName("semb").outputMode("append").start()
     try {
