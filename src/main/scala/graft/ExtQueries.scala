@@ -767,6 +767,18 @@ model AS (
         .orderBy("doc_id")
     }),
 
+    // Unigram-LM (SentencePiece-style) tokenizer: learn the top-2000
+    // piece table from the corpus, Viterbi-segment every document, and
+    // emit the exact integer segmentation statistics (token count,
+    // quarter-bit cost, position-weighted piece fingerprint) — the
+    // cross-engine-checkable surface of learn+encode.
+    "uni_tok" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val model = Unigram.learn(docs, col("text"), vocabSize = 2000)
+      Unigram.tokStats(docs, col("doc_id"), col("text"), model)
+        .orderBy("doc_id")
+    }),
+
     "dd_pfx" -> ((s, d) =>
       Dedup.prefixDups(Tables.documents(s, d), col("text"), col("doc_id"),
         n = 64).orderBy("doc_id")),
