@@ -109,7 +109,19 @@ object Bench {
       val proc = pb.start()
       val done = proc.waitFor(ShardTimeoutSec, java.util.concurrent.TimeUnit.SECONDS)
       if (!done) { proc.destroyForcibly(); proc.waitFor() }
-      readPartial(partialFile)
+      val partial = readPartial(partialFile)
+      // a child that LAUNCHED but died before reporting anything (bad
+      // inherited JVM flag, Spark init failure) would otherwise charge
+      // every query in the family as "shard died" — treat a nonzero
+      // exit with an empty partial like a failed spawn and run the
+      // family in-process instead, pointing at the child log
+      if (done && proc.exitValue() != 0 && partial.isEmpty) {
+        System.err.println(s"[bench] $fam child exited ${proc.exitValue()} " +
+          s"with no partial (log: ${logFile.getAbsolutePath}); " +
+          "falling back in-process")
+        runShardInProcess(famNames, sfDir, cpus, partialFile)
+        readPartial(partialFile)
+      } else partial
     } catch {
       case _: java.io.IOException =>
         // JVM spawn impossible in this environment — degrade to the
@@ -257,9 +269,14 @@ object Bench {
     val out = scala.collection.mutable.LinkedHashMap.empty[String, Either[String, Double]]
     Files.readAllLines(Paths.get(file)).forEach { raw =>
       raw.split("\t", 3) match {
-        case Array("T", name, v) => out(name) = Right(v.toDouble)
+        // numeric payloads via Try: a torn T/R line from a forcible
+        // kill can truncate mid-number, and that must degrade like the
+        // missing-field case below, not crash the parent's whole sweep
+        case Array("T", name, v) =>
+          scala.util.Try(v.toDouble).foreach(d => out(name) = Right(d))
         case Array("E", name, m) => out(name) = Left(m)
-        case Array("R", name, v) => rerunReadings(name) = v.toDouble
+        case Array("R", name, v) =>
+          scala.util.Try(v.toDouble).foreach(d => rerunReadings(name) = d)
         case _                   => () // torn final line from a crash
       }
     }
@@ -283,7 +300,7 @@ object Bench {
     else if (name.startsWith("mm_") || name == "phash") "mm"
     else if (name.startsWith("dd_") || name.startsWith("dup_") ||
       name.startsWith("src_") ||
-      Set("semdd", "simhash", "kmv_nd", "cms_cnt").contains(name)) "dedup"
+      Set("semdd", "simh", "kmv_nd", "cms").contains(name)) "dedup"
     else if (name.startsWith("p_") || name.startsWith("s_") ||
       name.startsWith("pipe_") || name.startsWith("wds")) "pack"
     else if (name.startsWith("q") || Set("zipf", "shp", "rare").contains(name)) "rel"

@@ -79,11 +79,11 @@ object CoreQueries {
     "a5_sum" -> ((s, d) => Tables.summaries(s, d).orderBy("id")),
     "a6_ati" -> ((s, d) => Tables.ati(s, d).orderBy("account", "summary")),
     "a6_cti" -> ((s, d) => Tables.cti(s, d).orderBy("index", "subindex", "summary")),
-    "a7_cis2" -> ((s, d) =>
+    "a7c" -> ((s, d) =>
       Tables.cis2Tokens(s, d).orderBy("index", "subindex", "token_id")),
-    "a8_keys" -> ((s, d) =>
+    "a8k" -> ((s, d) =>
       Tables.keyBindings(s, d).orderBy("address", "key_index")),
-    "a4_canon" -> ((s, d) => {
+    "a4c" -> ((s, d) => {
       // alias-class canonicalization: dimension (prefix → canonical) built
       // from the account snapshot, broadcast-joined to the fan-out
       // (main.rs:133-146, 762-784; prefix here = id div 4 instead of the
@@ -95,9 +95,9 @@ object CoreQueries {
         Tables.ati(s, d), "account", dim, a => shiftright(a, 2))
       canon.groupBy(col("account")).agg(count(lit(1)).as("n")).orderBy("account")
     }),
-    "a11_res" -> ((s, d) =>
+    "a11r" -> ((s, d) =>
       BlockIngest.resumeHeight(Tables.summaries(s, d))),
-    "cis2_dec" -> ((s, d) => {
+    "c2dec" -> ((s, d) => {
       // CIS-2 binary log parse (§2.C): events → wire-format log bytes via
       // cis2_encode, then decoded back through the raw-log feed path
       // (Cis2Decode + reference drop semantics). The oracle computes the
@@ -120,14 +120,14 @@ object CoreQueries {
       graft.ingest.BlockFeed.decodeRawLogs(raw)
         .orderBy("height", "seq_in_block")
     }),
-    "a12_snap" -> ((s, d) =>
+    "a12s" -> ((s, d) =>
       Tables.ati(s, d).select("account").distinct().orderBy("account")),
 
     // — B. read surface (SURVEY §2.B) —
     "b1_asc" -> ((s, d) =>
       QueryApi.accountTransactions(Tables.ati(s, d), Tables.summaries(s, d),
         lit(Account), 0L, Some(50), ascending = true)),
-    "b2_desc" -> ((s, d) =>
+    "b2d" -> ((s, d) =>
       QueryApi.accountTransactions(Tables.ati(s, d), Tables.summaries(s, d),
         lit(Account), MaxId, Some(50), ascending = false)),
     // B1/B2 through the SERVING mirrors (bucketed btree analog) — same
@@ -151,7 +151,7 @@ object CoreQueries {
     "b3_asc" -> ((s, d) =>
       QueryApi.contractTransactions(Tables.cti(s, d), Tables.summaries(s, d),
         CIdx, CSub, 0L, Some(50), ascending = true)),
-    "b3_desc" -> ((s, d) =>
+    "b3d" -> ((s, d) =>
       QueryApi.contractTransactions(Tables.cti(s, d), Tables.summaries(s, d),
         CIdx, CSub, MaxId, Some(50), ascending = false)),
     "b4_ita" -> ((s, d) =>
@@ -160,7 +160,7 @@ object CoreQueries {
     "b4_itc" -> ((s, d) =>
       QueryApi.contractTransactions(Tables.cti(s, d), Tables.summaries(s, d),
         CIdx, CSub, 0L, None, ascending = true)),
-    "b5_rows" -> ((s, d) =>
+    "b5r" -> ((s, d) =>
       QueryApi.decodeRows(Tables.summaries(s, d)).orderBy("id")),
     // DEEP envelope decode, exercised end-to-end like cis2_decode:
     // the driver fixture's payloads are shallow, so the query first
@@ -168,7 +168,7 @@ object CoreQueries {
     // `events` (details type tag, sender, events array / tagged
     // protocol event), then runs it through decodeRowsDeep's FAILFAST +
     // hard-stop pipeline; the oracle computes the projections directly.
-    "b5_deep" -> ((s, d) => {
+    "b5d" -> ((s, d) => {
       val feed = Tables.events(s, d).selectExpr(
         "(event_id div 8) * 1048576 + (event_id % 8) as id",
         """CASE WHEN event_type = 'error' THEN
@@ -206,18 +206,18 @@ object CoreQueries {
     }),
     "b5_str" -> ((s, d) =>
       QueryApi.decodeRowsStrict(Tables.summaries(s, d)).orderBy("id")),
-    "b6_topk" -> ((s, d) =>
+    "b6k" -> ((s, d) =>
       QueryApi.topKPerAccount(Tables.ati(s, d), 3).orderBy("account", "rn")),
-    "b7_feed" -> ((s, d) =>
+    "b7f" -> ((s, d) =>
       QueryApi.changeFeed(Tables.ati(s, d), Tables.summariesWithSender(s, d),
         lit(Account), 0L, 100)),
-    "b8_maxh" -> ((s, d) =>
+    "b8m" -> ((s, d) =>
       Tables.summaries(s, d).agg(max("height").as("max_height"))),
-    "b10_tok" -> ((s, d) =>
+    "b10t" -> ((s, d) =>
       Tables.cis2Tokens(s, d)
         .where(col("index") === CIdx && col("subindex") === 0L)
         .orderBy("token_id")),
-    "b11_key" -> ((s, d) => {
+    "b11k" -> ((s, d) => {
       val b = Tables.keyBindings(s, d)
       val keys = b.where(col("address") === Account).select("public_key")
       b.join(keys, Seq("public_key"), "left_semi")
@@ -236,18 +236,18 @@ object CoreQueries {
       "SELECT account, summary FROM ati ORDER BY account, summary"),
     "a6_cti" -> (cte +
       """SELECT "index", subindex, summary FROM cti ORDER BY "index", subindex, summary"""),
-    "a7_cis2" -> (cte +
+    "a7c" -> (cte +
       """SELECT "index", subindex, token_id, total_supply FROM cis2_tokens ORDER BY "index", subindex, token_id"""),
-    "a8_keys" -> (cte +
+    "a8k" -> (cte +
       "SELECT address, public_key, credential_index, key_index, is_simple_account FROM bindings ORDER BY address, key_index"),
-    "a4_canon" -> (cte +
+    "a4c" -> (cte +
       """, dim AS (SELECT user_id // 4 AS prefix, min(user_id) AS canonical FROM events GROUP BY 1)
 SELECT coalesce(d.canonical, a.account) AS account, count(*) AS n
 FROM ati a LEFT JOIN dim d ON a.account // 4 = d.prefix
 GROUP BY 1 ORDER BY 1"""),
-    "a11_res" -> (cte +
+    "a11r" -> (cte +
       "SELECT max_by(height, id) AS height FROM summaries"),
-    "cis2_dec" -> """
+    "c2dec" -> """
 SELECT event_id // 8 AS height,
        CAST(event_id % 8 AS INT) AS seq_in_block,
        user_id % 50 AS "index",
@@ -257,14 +257,14 @@ SELECT event_id // 8 AS height,
        CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR) AS amount
 FROM events WHERE event_type IN ('purchase', 'click')
 ORDER BY height, seq_in_block""",
-    "a12_snap" -> (cte +
+    "a12s" -> (cte +
       "SELECT DISTINCT account FROM ati ORDER BY account"),
     "b1_asc" -> (cte + s"""
 SELECT s.id, s.block, s."timestamp", s.height, s.summary
 FROM ati JOIN summaries s ON ati.summary = s.id
 WHERE ati.account = $Account AND ati.summary >= 0
 ORDER BY s.id ASC LIMIT 50"""),
-    "b2_desc" -> (cte + s"""
+    "b2d" -> (cte + s"""
 SELECT s.id, s.block, s."timestamp", s.height, s.summary
 FROM ati JOIN summaries s ON ati.summary = s.id
 WHERE ati.account = $Account AND ati.summary <= $MaxId
@@ -289,7 +289,7 @@ SELECT s.id, s.block, s."timestamp", s.height, s.summary
 FROM cti JOIN summaries s ON cti.summary = s.id
 WHERE cti."index" = $CIdx AND cti.subindex = $CSub AND cti.summary >= 0
 ORDER BY s.id ASC LIMIT 50"""),
-    "b3_desc" -> (cte + s"""
+    "b3d" -> (cte + s"""
 SELECT s.id, s.block, s."timestamp", s.height, s.summary
 FROM cti JOIN summaries s ON cti.summary = s.id
 WHERE cti."index" = $CIdx AND cti.subindex = $CSub AND cti.summary <= $MaxId
@@ -304,7 +304,7 @@ SELECT s.id, s.block, s."timestamp", s.height, s.summary
 FROM cti JOIN summaries s ON cti.summary = s.id
 WHERE cti."index" = $CIdx AND cti.subindex = $CSub AND cti.summary >= 0
 ORDER BY s.id ASC"""),
-    "b5_deep" -> """
+    "b5d" -> """
 SELECT (event_id // 8) * 1048576 + (event_id % 8) AS id,
   CASE WHEN event_type = 'error' THEN 'Right' ELSE 'Left' END AS variant,
   CASE WHEN event_type = 'error' THEN NULL ELSE event_id END AS tx_index,
@@ -325,7 +325,7 @@ SELECT (event_id // 8) * 1048576 + (event_id % 8) AS id,
        END AS protocol_amount
 FROM events ORDER BY id""",
 
-    "b5_rows" -> (cte + """
+    "b5r" -> (cte + """
 SELECT id, summary->>'$.Left.k' AS left_k, summary->>'$.Right.k' AS right_k
 FROM summaries
 WHERE json_valid(summary)
@@ -339,23 +339,23 @@ SELECT id,
        CAST(summary->>'$.Left.k' AS BIGINT) AS left_k,
        CAST(summary->>'$.Right.k' AS BIGINT) AS right_k
 FROM summaries ORDER BY id"""),
-    "b6_topk" -> (cte + """
+    "b6k" -> (cte + """
 SELECT account, summary, CAST(rn AS INT) AS rn FROM (
   SELECT account, summary,
          row_number() OVER (PARTITION BY account ORDER BY summary DESC) AS rn
   FROM ati) WHERE rn <= 3 ORDER BY account, rn"""),
-    "b7_feed" -> (cte + s"""
+    "b7f" -> (cte + s"""
 SELECT s.id, s.block, s."timestamp", s.height, s.summary, s.sender
 FROM ati JOIN summaries s ON ati.summary = s.id
 WHERE ati.account = $Account AND ati.summary > 0
   AND (s.sender IS NULL OR s.sender <> $Account)
 ORDER BY s.id LIMIT 100"""),
-    "b8_maxh" -> (cte +
+    "b8m" -> (cte +
       "SELECT max(height) AS max_height FROM summaries"),
-    "b10_tok" -> (cte + s"""
+    "b10t" -> (cte + s"""
 SELECT "index", subindex, token_id, total_supply FROM cis2_tokens
 WHERE "index" = $CIdx AND subindex = 0 ORDER BY token_id"""),
-    "b11_key" -> (cte + s"""
+    "b11k" -> (cte + s"""
 SELECT b.address, b.public_key, b.key_index
 FROM bindings b
 WHERE b.public_key IN (SELECT public_key FROM bindings WHERE address = $Account)

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Curation, Dedup, Multimodal, Packing, Sampling, Similarity, TextAnalysis}
+import graft.ext.{Curation, Dedup, Multimodal, Packing, Sampling, Similarity, TextAnalysis, Unigram}
 
 /** LLM-data-pipeline extensions over `documents` / `embeddings`:
   * dedup (exact, n-gram Jaccard, MinHash+LSH, SimHash), similarity
@@ -300,7 +300,7 @@ model AS (
         .orderBy("doc_id")),
 
     // The apply endpoint over the same clustering: the surviving corpus.
-    "dd_keep" -> ((s, d) => {
+    "dd_k" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val pairs = Dedup.minhashLsh(docs, col("text"), col("doc_id"),
         k = 3, numHashes = 16, bands = 4, minMatches = 4)
@@ -312,7 +312,7 @@ model AS (
     // Quality-aware retention: same clusters as dd_keep, but each
     // keeps its LONGEST member (n_chars, ties to min id) — the
     // RefinedWeb/SlimPajama "don't throw away the best copy" policy.
-    "dd_keepb" -> ((s, d) => {
+    "dd_kb" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val pairs = Dedup.minhashLsh(docs, col("text"), col("doc_id"),
         k = 3, numHashes = 16, bands = 4, minMatches = 4)
@@ -343,7 +343,7 @@ model AS (
         .orderBy("doc_id")
     }),
 
-    "simhash" -> ((s, d) =>
+    "simh" -> ((s, d) =>
       Dedup.simhash(Tables.documents(s, d), col("text"), col("doc_id"))
         .orderBy("doc_id")),
 
@@ -362,7 +362,7 @@ model AS (
 
     // probes the stored code index; same codebook, encoding rule, and
     // parameters as ann_pq → identical results, oracle is its verbatim
-    "ann_pqx" -> ((s, d) =>
+    "ann_px" -> ((s, d) =>
       Similarity.annPqIndexed(s, pqIndexFor(s, d), Tables.embeddings(s, d),
           "vec_id", "embedding", queryId = 0L, k = 10)
         .select(col("vid").as("vec_id"), col("pq_dist"))),
@@ -370,7 +370,7 @@ model AS (
     // IVF-PQ: coarse cells (ann_ivf's assignment) + product-quantized
     // residual codes (ann_pq's encoding) probed from the stored index —
     // the partition-pruned compressed-codes serving shape
-    "ann_ipq" -> ((s, d) =>
+    "ann_q" -> ((s, d) =>
       Similarity.annIvfPqIndexed(s, ivfPqIndexFor(s, d),
           Tables.embeddings(s, d), "vec_id", "embedding", queryId = 0L,
           k = 10, nprobe = 2)
@@ -385,7 +385,7 @@ model AS (
     // vectors — collisions vanish), so the compare exercised almost none
     // of the banding chain; at 8 the candidate set is 30/16 vectors at
     // sf0.001/sf0.01 and the row verifies a full scored top-10 page.
-    "ann_lsh" -> ((s, d) =>
+    "ann_l" -> ((s, d) =>
       Similarity.annLsh(Tables.embeddings(s, d), "vec_id", "embedding",
         queryId = 32L, k = 10, bands = 8, planes = 8)),
 
@@ -397,11 +397,11 @@ model AS (
     // planes = 8 matches ann_lsh's tuned banding: at 2^16 buckets over
     // this corpus LSH candidate sets are empty and every lsh row would
     // be a true-but-vacuous hits=0.
-    "ann_rec" -> ((s, d) =>
+    "ann_r" -> ((s, d) =>
       Similarity.recallAtK(Tables.embeddings(s, d), "vec_id", "embedding",
         queryIds = Seq(0L, 32L, 100L, 250L, 400L), k = 10, planes = 8)),
 
-    "ann_ivf" -> ((s, d) =>
+    "ann_v" -> ((s, d) =>
       Similarity.annIvf(Tables.embeddings(s, d), "vec_id", "embedding",
         queryId = 0L, k = 10, centroidStride = 100, nprobe = 2)),
 
@@ -419,7 +419,7 @@ model AS (
     // re-assigning the whole corpus per query as ann_ivf does. Same
     // assignment rule, same parameters → identical results, and the
     // oracle is ann_ivf's verbatim.
-    "ann_ivfx" -> ((s, d) =>
+    "ann_ix" -> ((s, d) =>
       Similarity.annIvfIndexed(s, ivfIndexFor(s, d), queryId = 0L, k = 10,
           nprobe = 2)
         .select(col("vid").as("vec_id"), col("cosine"))),
@@ -429,7 +429,7 @@ model AS (
     // with the predicate pushed INSIDE the cid-pruned scan, top-k still
     // fused. Label 3 keeps ~20 candidates in query 0's two probed cells
     // at both SFs, so the row verifies a real constrained ranking.
-    "ann_filt" -> ((s, d) =>
+    "ann_f" -> ((s, d) =>
       Similarity.annIvfIndexed(s, ivfLabelIndexFor(s, d), queryId = 0L,
           k = 10, nprobe = 2,
           predicate = Some(col("label") === 3),
@@ -448,13 +448,13 @@ model AS (
         .select(col("vid").as("vec_id"), col("cid"))
         .orderBy("vec_id")),
 
-    "emb_near" -> ((s, d) =>
+    "emb_nr" -> ((s, d) =>
       Similarity.nearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding",
         k = 20)),
 
     // Embedding hygiene: the validation pass before any index build —
     // width/zero/nonfinite checks plus the exact quantized norm.
-    "emb_chk" -> ((s, d) =>
+    "emb_c" -> ((s, d) =>
       Similarity.embeddingCheck(Tables.embeddings(s, d),
           col("embedding"), col("vec_id"), expectedDims = 64)
         .orderBy("vec_id")),
@@ -494,7 +494,7 @@ model AS (
     // (the shuffle moves one sketch per partition, never keys). The
     // probed cells are plan-time constants; the oracle rebuilds the
     // identical counters cell by cell.
-    "cms_cnt" -> ((s, d) => {
+    "cms" -> ((s, d) => {
       import graft.functions.CountMin
       val sk = Tables.events(s, d)
         .agg(CountMin.sketch(col("user_id").cast("string"), depth = 4,
@@ -692,7 +692,7 @@ model AS (
       Curation.c4Clean(pageDocs(Tables.documents(s, d)),
         col("text"), col("doc_id")).orderBy("doc_id")),
 
-    "text_fp" -> ((s, d) =>
+    "t_fp" -> ((s, d) =>
       TextAnalysis.fingerprint(Tables.documents(s, d), col("text"), col("doc_id"))
         .orderBy("doc_id")),
 
@@ -726,7 +726,7 @@ model AS (
     // CCNet's head/middle/tail perplexity split per language — value
     // thresholds at the 1/3 and 2/3 cumulative cuts of each language's
     // integer ppl distribution.
-    "ppl_cut" -> ((s, d) =>
+    "pplc" -> ((s, d) =>
       TextAnalysis.pplBuckets(Tables.documents(s, d), col("text"),
           col("doc_id"), col("lang"))
         .orderBy("doc_id")),
@@ -772,7 +772,7 @@ model AS (
     // emit the exact integer segmentation statistics (token count,
     // quarter-bit cost, position-weighted piece fingerprint) — the
     // cross-engine-checkable surface of learn+encode.
-    "uni_tok" -> ((s, d) => {
+    "uni" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val model = Unigram.learn(docs, col("text"), vocabSize = 2000)
       Unigram.tokStats(docs, col("doc_id"), col("text"), model)
@@ -786,7 +786,7 @@ model AS (
     // Cross-source shingle-overlap census: distinct-3-shingle Jaccard
     // for every observed source pair — the between-dumps overlap
     // report a mixture designer reads before weighting sources.
-    "src_ovl" -> ((s, d) =>
+    "src_o" -> ((s, d) =>
       Dedup.sourceOverlap(Tables.documents(s, d), col("text"),
           col("source"))
         .orderBy("src_a", "src_b")),
@@ -796,7 +796,7 @@ model AS (
     // its own bucket-group partitions of the index built from the
     // history slice, and near_history tags docs matching >= 8 of 16
     // signature rows with any indexed doc.
-    "dd_nidx" -> ((s, d) =>
+    "dd_nx" -> ((s, d) =>
       Dedup.tagNearLshIndex(
           Tables.documents(s, d).where(col("doc_id") % 10 >= 8),
           col("text"), col("doc_id"), lshIndexFor(s, d))
@@ -804,7 +804,7 @@ model AS (
 
     // New-vs-history incremental dedup: docs with doc_id % 10 >= 8 play
     // the fresh crawl batch, the rest the accumulated corpus.
-    "dd_incr" -> ((s, d) => {
+    "dd_in" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       Dedup.newAgainst(
         docs.where(col("doc_id") % 10 < 8),
@@ -817,7 +817,7 @@ model AS (
     // benchmark-sized sliver), train = the rest; flag train vectors
     // whose max cosine against ANY eval vector clears 0.3 (the fixture
     // embeddings' contaminated tail — ~2% of rows at both test SFs).
-    "dec_sem" -> ((s, d) => {
+    "dsem" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       Similarity.decontaminate(
         emb.where(col("vec_id") % 200 =!= 0),
@@ -834,7 +834,7 @@ model AS (
           col("doc_id"), sizeWords = 32, strideWords = 24)
         .orderBy("doc_id", "chunk_idx")),
 
-    "mm_feat" -> ((s, d) =>
+    "mm_ft" -> ((s, d) =>
       Multimodal.featuresCols(Tables.documents(s, d),
         col("text").cast("binary"), col("doc_id")).orderBy("media_id")),
 
@@ -868,7 +868,7 @@ model AS (
     // candidates + exact Hamming verify at <= 3 bits (ids congruent
     // mod 256 render identical rasters -> the exact-dup backbone, plus
     // whatever genuinely near pairs the gradient pattern yields).
-    "mm_near" -> ((s, d) => {
+    "mm_nr" -> ((s, d) => {
       import s.implicits._
       val rows = Tables.documents(s, d).select(col("doc_id")).as[Long]
         .map(id => Multimodal.MediaRow(id, Multimodal.synthPngPayload(id),
@@ -904,7 +904,7 @@ model AS (
     // formulas independently; ADPCM sends a constant signal through
     // the real block/header/fact machinery (the stateful nibble
     // arithmetic is spec-pinned).
-    "mm_audio" -> ((s, d) => {
+    "mm_aud" -> ((s, d) => {
       import s.implicits._
       val rows = Tables.documents(s, d)
         .select(col("doc_id"), col("n_chars"))
@@ -922,7 +922,7 @@ model AS (
     // JPEG — the oracle prices the frame arithmetic container-blind, so
     // a bug in the AVI walk, the frame sampling, OR the JPEG decode
     // breaks the row.
-    "mm_video" -> ((s, d) => {
+    "mm_vid" -> ((s, d) => {
       import s.implicits._
       val rows = Tables.documents(s, d)
         .select(col("doc_id"), col("n_chars"))
@@ -959,7 +959,7 @@ model AS (
     // strip, tracking-param drop, param sort, non-default port kept.
     // The oracle states each template's EXPECTED canonical form as a
     // literal — it never re-implements the canonicalizer.
-    "url_can" -> ((s, d) => {
+    "urlc" -> ((s, d) => {
       val h = (col("doc_id") % 100).cast("string")
       val t = col("doc_id") % 8
       val synth = when(t === 0, concat(lit("HTTP://Example.COM/a/b?x="), h))
@@ -1056,14 +1056,14 @@ model AS (
     // for 2/3 of documents (the fixture has no digits at all — an
     // unsalted row would be a vacuous zero-count pass-through); the
     // remaining third exercises the untouched path.
-    "pii_red" -> ((s, d) =>
+    "pii" -> ((s, d) =>
       Curation.redactPii(piiDocs(Tables.documents(s, d)), col("text"),
         col("doc_id")).orderBy("doc_id")),
 
     // Secret scan over text salted with deterministic credential
     // shapes on id slices (AWS key / PEM+password / GitHub token on
     // id%4, Slack token on id%6=0; the id%4=3 slice stays clean).
-    "secrets" -> ((s, d) =>
+    "secr" -> ((s, d) =>
       Curation.flagSecrets(secretDocs(Tables.documents(s, d)), col("text"),
         col("doc_id")).orderBy("doc_id")),
 
@@ -1078,7 +1078,7 @@ model AS (
     // The rewrite endpoint of exact-substring dedup: the same spans,
     // cut out of the text (71 spans over 56 documents at sf0.01 — the
     // other documents pass through untouched).
-    "dup_cut" -> ((s, d) =>
+    "dup_c" -> ((s, d) =>
       Curation.cutSpans(Tables.documents(s, d), col("text"),
           col("doc_id"), k = 5, minCount = 2)
         .orderBy("doc_id")),
@@ -1086,7 +1086,7 @@ model AS (
     // Variable-length LONGEST-match dedup (ExactSubstr semantics via
     // diagonal seed-chaining): each document's single longest exactly
     // duplicated word run >= 5 words, against any partner or itself.
-    "dup_max" -> ((s, d) =>
+    "dup_m" -> ((s, d) =>
       Curation.longestDuplicatePerDoc(Tables.documents(s, d), col("text"),
           col("doc_id"), k = 5)
         .orderBy("doc_id"))
@@ -1465,7 +1465,7 @@ ORDER BY doc_a, doc_b"""),
 
     // Mirror of sourceOverlap: per-source distinct hashed 3-shingles,
     // pairwise intersection counts, exact integer Jaccard ppt.
-    "src_ovl" -> (hashedShinglesCte + """, s2 AS (
+    "src_o" -> (hashedShinglesCte + """, s2 AS (
   SELECT DISTINCT d.source, s.s FROM sh s JOIN documents d USING (doc_id)
 ), tot AS (
   SELECT source, count(*) AS n FROM s2 GROUP BY 1
@@ -1485,7 +1485,7 @@ ORDER BY src_a, src_b"""),
     // collisions BETWEEN history (doc_id%10 < 8) and batch (>= 8),
     // best signature-match count per batch doc, tag at >= 8 of 16;
     // batch docs with no collision (or no shingles at all) tag false.
-    "dd_nidx" -> (MinhashCte + """, xc AS (
+    "dd_nx" -> (MinhashCte + """, xc AS (
   SELECT DISTINCT h.doc_id AS hid, n.doc_id AS nid
   FROM bands h JOIN bands n ON h.b = n.b AND h.bucket = n.bucket
   WHERE h.doc_id % 10 < 8 AND n.doc_id % 10 >= 8
@@ -1548,7 +1548,7 @@ FROM ex LEFT JOIN lshp l ON ex.doc_a = l.doc_a AND ex.doc_b = l.doc_b"""),
 SELECT id AS doc_id, min(r) AS component
 FROM reach GROUP BY 1 ORDER BY doc_id"""),
 
-    "dd_keep" -> (MinhashCte.replaceFirst("WITH ", "WITH RECURSIVE ") + """, pairs AS (
+    "dd_k" -> (MinhashCte.replaceFirst("WITH ", "WITH RECURSIVE ") + """, pairs AS (
   SELECT doc_a, doc_b
   FROM cand JOIN sig sa ON doc_a = sa.doc_id
             JOIN sig sb ON doc_b = sb.doc_id
@@ -1569,7 +1569,7 @@ WHERE NOT EXISTS (
   SELECT 1 FROM comp WHERE comp.id = d.doc_id AND comp.component <> comp.id)
 ORDER BY doc_id"""),
 
-    "dd_keepb" -> (MinhashCte.replaceFirst("WITH ", "WITH RECURSIVE ") + """, pairs AS (
+    "dd_kb" -> (MinhashCte.replaceFirst("WITH ", "WITH RECURSIVE ") + """, pairs AS (
   SELECT doc_a, doc_b
   FROM cand JOIN sig sa ON doc_a = sa.doc_id
             JOIN sig sb ON doc_b = sb.doc_id
@@ -1643,7 +1643,7 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
 FROM (SELECT doc_id, count(*) OVER (PARTITION BY s) AS nd FROM sh)
 GROUP BY doc_id ORDER BY doc_id"""),
 
-    "simhash" -> (s"""WITH toks AS (
+    "simh" -> (s"""WITH toks AS (
   SELECT doc_id, unnest(regexp_extract_all(text, '$TokRe')) AS tok
   FROM documents
 ), votes AS (
@@ -1687,9 +1687,9 @@ ORDER BY doc_a, doc_b"""),
     // per-query and precomputed-index PQ share the build rule and
     // parameters, so the oracle is verbatim (the ann_ivf_idx
     // pattern)
-    "ann_pqx" -> AnnPqSql,
+    "ann_px" -> AnnPqSql,
 
-    "ann_ipq" -> AnnIvfPqSql,
+    "ann_q" -> AnnIvfPqSql,
 
     "ann_bf" -> """
 WITH qz AS (
@@ -1710,7 +1710,7 @@ scored AS (
 SELECT vec_id, cosine FROM scored
 ORDER BY cosine DESC, vec_id ASC LIMIT 10""",
 
-    "ann_lsh" -> (rhpBucketsCte(8, 8) + """, qb AS (
+    "ann_l" -> (rhpBucketsCte(8, 8) + """, qb AS (
   SELECT b, bucket FROM buckets WHERE vec_id = 32
 ), cand AS (
   SELECT DISTINCT buckets.vec_id
@@ -1733,7 +1733,7 @@ ORDER BY cosine DESC, vec_id ASC LIMIT 10"""),
     // sample: one pairs CTE scores every (query, corpus) pair, each
     // method takes its per-query windowed top-10, and the explicit
     // (method x query) base emits hits=0 rows for empty candidate sets.
-    "ann_rec" -> (rhpBucketsCte(8, 8) + """, qset AS (
+    "ann_r" -> (rhpBucketsCte(8, 8) + """, qset AS (
   SELECT vec_id AS qid, qe AS qv FROM qz WHERE vec_id IN (0, 32, 100, 250, 400)
 ), pairs AS (
   SELECT q.qid, z.vec_id,
@@ -1804,17 +1804,17 @@ SELECT base.method, CAST(base.qid AS BIGINT) AS query_id,
 FROM base LEFT JOIN hits ON base.method = hits.method AND base.qid = hits.qid
 ORDER BY 1, 2"""),
 
-    "ann_ivf" -> AnnIvfSql,
+    "ann_v" -> AnnIvfSql,
     "ann_bq" -> AnnBatchSql,
 
     // identical by construction: the index stores the same assignment
     // the per-query formulation computes (ExtQueries.ivfIndexFor)
-    "ann_ivfx" -> AnnIvfSql,
+    "ann_ix" -> AnnIvfSql,
 
     // the same IVF unroll constrained to label-3 candidates — the
     // filter applies to CANDIDATES only, never to cell assignment or
     // the query's probed cells, mirroring the Spark plan exactly
-    "ann_filt" -> annIvfSqlWhere(
+    "ann_f" -> annIvfSqlWhere(
       " AND qz.vec_id IN (SELECT vec_id FROM embeddings WHERE label = 3)"),
 
     // kmeansRefine with iters=1 unrolled: seed codebook -> assignment
@@ -1879,7 +1879,7 @@ WHERE rn <= 3 ORDER BY src, rn"""),
     // outlier components (|x| > 10, the n_outlier signal) zero out of
     // the norm exactly as in Similarity.embeddingCheck — the exact-norm
     // contract only covers inlier magnitudes (ADVICE r13 overflow fix)
-    "emb_chk" -> ("""WITH q AS (
+    "emb_c" -> ("""WITH q AS (
   SELECT vec_id, embedding,
     list_transform(embedding, x -> CAST(round(
       CASE WHEN x IS NULL OR isnan(CAST(x AS DOUBLE)) OR isinf(CAST(x AS DOUBLE))
@@ -1900,7 +1900,7 @@ SELECT vec_id,
   CAST(list_sum(list_transform(qe, v -> v * v)) AS BIGINT) AS norm2_q
 FROM q ORDER BY vec_id"""),
 
-    "emb_near" -> (rhpBucketsCte(8, 16) + """, cand AS (
+    "emb_nr" -> (rhpBucketsCte(8, 16) + """, cand AS (
   SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
   FROM buckets x JOIN buckets y
     ON x.b = y.b AND x.bucket = y.bucket AND x.vec_id < y.vec_id
@@ -1936,7 +1936,7 @@ ORDER BY vec_id"""),
   FROM cq)
 SELECT vid AS vec_id, cid FROM ranked WHERE rn <= 25 ORDER BY vec_id"""),
 
-    "cms_cnt" -> (s"""
+    "cms" -> (s"""
 WITH cells AS (
   SELECT r, ${h60("CAST(r AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)")} % 256 AS c,
          count(*) AS n
@@ -2303,7 +2303,7 @@ SELECT doc_id, CAST(len(ls) AS INT) AS n_lines,
        CASE WHEN page_ok THEN array_to_string(keep, chr(10)) ELSE '' END AS clean_text
 FROM ck ORDER BY doc_id"""),
 
-    "text_fp" -> (WordsCte + """
+    "t_fp" -> (WordsCte + """
 SELECT doc_id,
        md5(regexp_replace(lower(trim(text)), ' +', ' ', 'g')) AS content_fp,
        list_min(list_transform(CASE WHEN len(words) >= 3
@@ -2477,6 +2477,98 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
        CAST(sum(sb) - sum(sg) AS BIGINT) AS nb_bits
 FROM s GROUP BY doc_id ORDER BY doc_id"""),
 
+    // Mirror of Unigram.learn + tokStats. Learn: candidate pieces are
+    // the ≤8-cp substrings of the ≤10-cp chunks of the distinct-word
+    // table (each in-chunk occurrence counts, weighted by word freq),
+    // top-2000 by (count DESC, piece ASC); quarter-bit cost
+    // bitlen(q⁴) with q = 10⁹ // max(cnt·10⁶ // total, 1), HUGEINT
+    // pow + bin() replaying BigInt.pow + bitLength. Segment: the DP's
+    // lexicographic (cost, nTokens, cutMask) minimum equals the global
+    // minimum over all 2^(L-1) cut masks (the order is additive-
+    // monotone), so the oracle ENUMERATES masks per distinct chunk —
+    // L ≤ 10 bounds that at 512 — marking any >1-cp piece outside the
+    // vocabulary invalid (the DP never proposes one) and costing 1-cp
+    // misses at 160 qb per UTF-8 byte. fp = Σ (h60(piece) mod 10⁶)·pi
+    // over the winner's pieces, pi 1-based within the chunk.
+    "uni" -> (s"""WITH dw AS (
+  SELECT doc_id, wd
+  FROM (SELECT doc_id,
+          unnest(string_split_regex(lower(text), '\\s+')) AS wd
+        FROM documents)
+  WHERE len(wd) > 0
+), wf AS (
+  SELECT wd, count(*) AS freq FROM dw GROUP BY wd
+), wch AS (
+  SELECT wd, freq, substring(wd, 1 + 10*g, 10) AS chunk
+  FROM (SELECT wd, freq, unnest(range((length(wd)+9)//10)) AS g FROM wf)
+), cand AS (
+  SELECT substring(chunk, s+1, l) AS piece, freq
+  FROM (SELECT chunk, freq, unnest(range(length(chunk))) AS s FROM wch) cs
+  CROSS JOIN (SELECT unnest(range(1,9)) AS l) ls
+  WHERE s + l <= length(chunk)
+), vocab AS (
+  SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt
+  FROM cand
+  WHERE NOT contains(piece, '▁')
+    AND NOT regexp_matches(piece, '^<0x[0-9A-F]{2}>$$')
+  GROUP BY piece ORDER BY cnt DESC, piece ASC LIMIT 2000
+), tot AS (SELECT sum(cnt) AS total FROM vocab),
+pcost AS (
+  SELECT piece, CAST(length(bin(
+    (1000000000::HUGEINT // greatest((CAST(cnt AS HUGEINT) * 1000000) // total, 1))
+    * (1000000000::HUGEINT // greatest((CAST(cnt AS HUGEINT) * 1000000) // total, 1))
+    * (1000000000::HUGEINT // greatest((CAST(cnt AS HUGEINT) * 1000000) // total, 1))
+    * (1000000000::HUGEINT // greatest((CAST(cnt AS HUGEINT) * 1000000) // total, 1))
+  )) AS BIGINT) AS qb
+  FROM vocab CROSS JOIN tot
+), dch AS (SELECT DISTINCT chunk FROM wch),
+segm AS (
+  SELECT chunk, length(chunk) AS L, unnest(range(1 << (length(chunk)-1))) AS m
+  FROM dch
+), segp AS (
+  SELECT chunk, L, m,
+    [0] || [j for j in range(1, L) if ((m >> (L-1-j)) & 1) = 1] || [L] AS cuts
+  FROM segm
+), pz AS (
+  SELECT chunk, m, pi,
+         substring(chunk, cuts[pi]+1, cuts[pi+1]-cuts[pi]) AS piece
+  FROM (SELECT chunk, m, cuts, unnest(range(1, len(cuts))) AS pi FROM segp)
+), pe AS (
+  SELECT p.chunk, p.m, p.pi, p.piece,
+    CASE WHEN c.qb IS NOT NULL THEN c.qb
+         WHEN length(p.piece) = 1 THEN 160 * strlen(p.piece)
+         END AS ec,
+    CASE WHEN c.qb IS NOT NULL THEN 1
+         WHEN length(p.piece) = 1 THEN strlen(p.piece)
+         END AS en
+  FROM pz p LEFT JOIN pcost c ON p.piece = c.piece
+), segstat AS (
+  SELECT chunk, m,
+    CAST(sum(ec) AS BIGINT) AS cost, CAST(sum(en) AS BIGINT) AS ntok,
+    CAST(sum((${h60("piece")} % 1000000) * pi) AS BIGINT) AS fp,
+    bool_and(ec IS NOT NULL) AS valid
+  FROM pe GROUP BY chunk, m
+), best AS (
+  SELECT chunk, cost, ntok, fp
+  FROM segstat WHERE valid
+  QUALIFY row_number() OVER (PARTITION BY chunk ORDER BY cost, ntok, m) = 1
+), docch AS (
+  SELECT doc_id, substring(wd, 1 + 10*g, 10) AS chunk
+  FROM (SELECT doc_id, wd, unnest(range((length(wd)+9)//10)) AS g FROM dw)
+), wcount AS (
+  SELECT doc_id, count(*) AS nwords FROM dw GROUP BY doc_id
+), agg AS (
+  SELECT dc.doc_id, sum(b.ntok) AS snt, sum(b.cost) AS scq, sum(b.fp) AS sfp
+  FROM docch dc JOIN best b USING (chunk) GROUP BY dc.doc_id
+)
+SELECT d.doc_id,
+  CAST(coalesce(w.nwords, 0) + coalesce(a.snt, 0) AS BIGINT) AS n_tokens,
+  CAST(coalesce(a.scq, 0) AS BIGINT) AS cost_q,
+  CAST(coalesce(a.sfp, 0) AS BIGINT) AS fp
+FROM documents d
+LEFT JOIN wcount w USING (doc_id) LEFT JOIN agg a USING (doc_id)
+ORDER BY d.doc_id"""),
+
     "ppl" -> (PplCte + """
 SELECT doc_id, n_bigrams, bits_sum, ppl_pm
 FROM pp ORDER BY doc_id"""),
@@ -2484,7 +2576,7 @@ FROM pp ORDER BY doc_id"""),
     // Mirror of pplBuckets: the text_ppl chain, per-(lang, ppl_pm)
     // frequency table, cumulative cuts at 1/3 and 2/3 of each
     // language, value-threshold tier assignment.
-    "ppl_cut" -> (PplCte + """, sc AS (
+    "pplc" -> (PplCte + """, sc AS (
   SELECT pp.doc_id, d.lang, pp.ppl_pm
   FROM pp JOIN documents d USING (doc_id)
 ), fr AS (
@@ -2549,7 +2641,7 @@ FROM k ORDER BY rank"""),
 )
 SELECT p.doc_id, c.n_share FROM p JOIN c USING (ph) ORDER BY doc_id"""),
 
-    "dd_incr" -> """
+    "dd_in" -> """
 SELECT doc_id, md5(text) AS content_hash
 FROM documents d
 WHERE doc_id % 10 >= 8 AND NOT EXISTS (
@@ -2574,7 +2666,7 @@ SELECT doc_id, CAST(i AS INT) AS chunk_idx,
        CAST(least(32, n - i*24) AS INT) AS n_words
 FROM s ORDER BY doc_id, chunk_idx"""),
 
-    "mm_feat" -> (s"""
+    "mm_ft" -> (s"""
 SELECT doc_id AS media_id,
        CAST(octet_length(encode(text)) AS INT) AS byte_len,
        md5(text) AS content_hash,
@@ -2612,7 +2704,7 @@ FROM f WHERE width > 0 AND height > 0 ORDER BY media_id"""),
 
     // Same quantized-integer cosine arithmetic as the ann_* oracles;
     // max over the eval sliver, threshold 0.3.
-    "dec_sem" -> ("""WITH qz AS (
+    "dsem" -> ("""WITH qz AS (
   SELECT vec_id,
          list_transform(embedding,
            x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS qe
@@ -2633,7 +2725,7 @@ FROM scored ORDER BY vec_id"""),
 
     // Each url_canon template's EXPECTED canonical form, stated as a
     // literal — independent of the Spark-side canonicalizer.
-    "url_can" -> ("""WITH f AS (
+    "urlc" -> ("""WITH f AS (
   SELECT doc_id, doc_id % 8 AS t, CAST(doc_id % 100 AS VARCHAR) AS h
   FROM documents
 )
@@ -2729,7 +2821,7 @@ FROM f ORDER BY doc_id"""),
     // mean); the ADPCM variant's constant signal prices to |c|. The
     // oracle never touches container bytes; n = n_chars % 50 + 1, mono
     // 8 kHz, decoded width 16 everywhere.
-    "mm_audio" -> ("""WITH f AS (
+    "mm_aud" -> ("""WITH f AS (
   SELECT doc_id AS media_id, n_chars % 50 + 1 AS n FROM documents
 ), s AS (
   SELECT media_id, n, unnest(range(0, n)) AS i FROM f
@@ -2764,7 +2856,7 @@ FROM a ORDER BY media_id"""),
     // at stride ceil(n/4). The oracle never touches AVI or JPEG bytes —
     // it prices the pixel arithmetic the Spark side must recover through
     // a real chunk walk + entropy decode.
-    "mm_video" -> ("""WITH f AS (
+    "mm_vid" -> ("""WITH f AS (
   SELECT doc_id AS media_id, n_chars % 9 + 2 AS n FROM documents
 ), s AS (
   SELECT media_id, unnest(range(0, n, CAST(ceil(n / 4.0) AS INT))) AS i FROM f
@@ -2815,7 +2907,7 @@ FROM hh ORDER BY media_id"""),
     // Mirror of nearDupImages over the same hashes: 16-bit band-bucket
     // candidates (arithmetic shift + mask, both engines agree on
     // negative hashes), exact Hamming verify at <= 3.
-    "mm_near" -> (DhashCte + """, bb AS (
+    "mm_nr" -> (DhashCte + """, bb AS (
   SELECT media_id, h, b, (h >> (b * 16)) & 65535 AS bucket
   FROM hh CROSS JOIN (SELECT unnest(range(4)) AS b)
 ), cand AS (
@@ -2873,7 +2965,7 @@ GROUP BY doc_id ORDER BY doc_id"""),
     // Mirror of piiDocs + Curation.redactPii. Counts on the original
     // text; replacements email -> ip -> phone with the 'g' flag (DuckDB
     // replaces only the first match otherwise).
-    "pii_red" -> (s"""WITH p AS (
+    "pii" -> (s"""WITH p AS (
   SELECT doc_id,
          text || CASE WHEN doc_id % 3 <> 0
            THEN ' reach u' || CAST(doc_id AS VARCHAR)
@@ -2899,7 +2991,7 @@ FROM p ORDER BY doc_id"""),
 
     // \1\2 is RE2's backreference syntax (Spark-side $1$2); both keep
     // the kv key+separator so the scrub is a fixed point.
-    "secrets" -> (s"""WITH p AS (
+    "secr" -> (s"""WITH p AS (
   SELECT doc_id,
          text || CASE doc_id % 4
            WHEN 0 THEN ' key AKIA' || lpad(CAST(doc_id AS VARCHAR), 16, '0')
@@ -2946,7 +3038,7 @@ FROM isl GROUP BY doc_id, island ORDER BY doc_id, span_start"""),
     // 5-shingles, 2..256-occurrence seeds, ordered-pair self-join,
     // gaps-and-islands along each (doc_a, doc_b, diag) alignment,
     // both sides unioned, per-doc top-1 by (len DESC, start ASC).
-    "dup_max" -> (s"""WITH w AS (
+    "dup_m" -> (s"""WITH w AS (
   SELECT doc_id, string_split_regex(trim(text), ' +') AS words FROM documents
 ), s0 AS (
   SELECT doc_id,
@@ -2997,7 +3089,7 @@ FROM r WHERE rn = 1 ORDER BY doc_id"""),
 
     // DupSpansCte + span expansion to covered positions, word
     // re-explode, and order-preserving reassembly of the survivors.
-    "dup_cut" -> (DupSpansCte + """, spans AS (
+    "dup_c" -> (DupSpansCte + """, spans AS (
   SELECT doc_id, min(pos) AS span_start, max(pos) + 4 AS span_end
   FROM isl GROUP BY doc_id, island
 ), covered AS (

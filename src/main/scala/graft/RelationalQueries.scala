@@ -33,7 +33,7 @@ object RelationalQueries {
   private def revenue = price2 * disc1m
 
   val queries: Map[String, Q] = Map(
-    "q1_price" -> ((s, d) =>
+    "q1p" -> ((s, d) =>
       Tables.lineitem(s, d)
         .where(col("l_shipdate") <= lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
@@ -45,7 +45,7 @@ object RelationalQueries {
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")),
 
-    "q3_ship" -> ((s, d) => {
+    "q3s" -> ((s, d) => {
       val cust = Tables.customer(s, d).where(col("c_mktsegment") === "BUILDING")
       val ord = Tables.orders(s, d).where(col("o_orderdate") < lit("1998-03-15"))
       val li = Tables.lineitem(s, d).where(col("l_shipdate") > lit("1998-03-15"))
@@ -147,7 +147,7 @@ object RelationalQueries {
         .select("c_custkey", "c_name")
         .orderBy("c_custkey")),
 
-    "q_isect" -> ((s, d) => {
+    "q_is" -> ((s, d) => {
       val o = Tables.orders(s, d)
       val y96 = o.where(year(col("o_orderdate")) === 1996).select("o_custkey")
       val y97 = o.where(year(col("o_orderdate")) === 1997).select("o_custkey")
@@ -305,7 +305,7 @@ object RelationalQueries {
           col("n"), col("sum_value"))
         .orderBy("event_type", "day")),
 
-    "q_pivot" -> ((s, d) =>
+    "q_pv" -> ((s, d) =>
       // wide daily counts per event type: pivot with an explicit value
       // list (no extra distinct pass; stable output schema).
       Tables.events(s, d)
@@ -316,7 +316,7 @@ object RelationalQueries {
         .na.fill(0)
         .orderBy("day")),
 
-    "q_range" -> ((s, d) => {
+    "q_rg" -> ((s, d) => {
       // banded point-in-interval join: each user's events inside their
       // first-3-days window, joined on (user, day-bucket) — uniform
       // shuffle keys, no theta join (operators.RangeJoin).
@@ -348,7 +348,7 @@ object RelationalQueries {
         .orderBy("event_type")
     }),
 
-    "q_bsemi" -> ((s, d) => {
+    "q_bs" -> ((s, d) => {
       // runtime-filter semi join: events of users who ever signed up.
       // The bloom pre-filter drops non-signup users' rows before the
       // exact semi join's shuffle; the result is row-identical to the
@@ -374,7 +374,7 @@ object RelationalQueries {
     "CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))"
 
   val oracles: Map[String, String] = Map(
-    "q1_price" -> s"""
+    "q1p" -> s"""
 SELECT l_returnflag, l_linestatus,
        CAST(SUM(CAST(l_quantity AS $dec)) AS DOUBLE) AS sum_qty,
        CAST(SUM(CAST(l_extendedprice AS $dec)) AS DOUBLE) AS sum_base_price,
@@ -384,7 +384,7 @@ SELECT l_returnflag, l_linestatus,
 FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
 GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",
 
-    "q3_ship" -> s"""
+    "q3s" -> s"""
 SELECT l_orderkey, SUM($rev) AS revenue, o_orderdate, o_orderpriority
 FROM customer JOIN orders ON c_custkey = o_custkey
               JOIN lineitem ON l_orderkey = o_orderkey
@@ -447,7 +447,7 @@ SELECT c_custkey, c_name FROM customer
 WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
 ORDER BY c_custkey""",
 
-    "q_isect" -> """
+    "q_is" -> """
 SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
 INTERSECT
 SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
@@ -540,7 +540,7 @@ SELECT e.event_type, d.type_first, count(*) AS n,
 FROM events e JOIN dim d ON e.event_type = d.event_type
 GROUP BY 1, 2 ORDER BY 1""",
 
-    "q_bsemi" -> """
+    "q_bs" -> """
 SELECT user_id, count(*) AS n
 FROM events
 WHERE user_id IN (SELECT DISTINCT user_id FROM events WHERE event_type = 'signup')
@@ -588,7 +588,7 @@ SELECT coalesce(event_type, '(all)') AS event_type,
 FROM e GROUP BY CUBE (event_type, day)
 ORDER BY 1, 2""",
 
-    "q_pivot" -> """
+    "q_pv" -> """
 SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
        count(*) FILTER (event_type = 'view') AS "view",
        count(*) FILTER (event_type = 'click') AS click,
@@ -597,7 +597,7 @@ SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
        count(*) FILTER (event_type = 'error') AS error
 FROM events GROUP BY 1 ORDER BY 1""",
 
-    "q_range" -> """
+    "q_rg" -> """
 WITH ev AS (SELECT user_id, epoch_ms(ts) AS ts_ms FROM events),
 f AS (SELECT user_id AS f_user, min(ts_ms) AS start_ms FROM ev GROUP BY 1)
 SELECT ev.user_id, count(*) AS n_early_events

@@ -13,7 +13,7 @@ object SparkEntry {
     * "most recent N transactions affecting account X"
     * (wallet-proxy-indexer/README.md:113-122); driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    CoreQueries.queries("b2_desc")(spark, "/root/testdata/sf0.001")
+    CoreQueries.queries("b2d")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

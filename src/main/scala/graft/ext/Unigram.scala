@@ -225,7 +225,7 @@ object Unigram {
       .toDF("doc_id", "input_ids", "n_tokens")
   }
 
-  /** The oracle-checkable segmentation statistics row (`uni_tok`):
+  /** The oracle-checkable segmentation statistics row (`uni`):
     * per document — emitted token count (word markers + pieces, a
     * fallen-back code point counting one per UTF-8 byte), total
     * quarter-bit Viterbi cost, and a position-weighted piece

@@ -36,13 +36,13 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q1 pricing summary: partial aggregation before the exchange") {
-    val p = plan("q1_price")
+    val p = plan("q1p")
     assert(count(p, "HashAggregate") >= 2,
       s"expected partial+final HashAggregate pair in:\n$p")
   }
 
   test("cis2 log decode: one list-key window, no joins, codegen'd decode") {
-    val p = plan("cis2_dec")
+    val p = plan("c2dec")
     assert(count(p, "Window") == 1, s"expected exactly the drop-semantics window in:\n$p")
     assert(!p.contains("Join"), s"decode path must not join:\n$p")
     // the event-type filter must reach the parquet scan under the codec
@@ -78,7 +78,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("dup_max: every window is pair-keyed — no unpartitioned window, no cartesian") {
-    val p = plan("dup_max")
+    val p = plan("dup_m")
     assert(!p.contains("CartesianProduct"),
       s"the seed self-join must stay keyed on the shingle hash:\n$p")
     // gaps-and-islands runs per (doc_a, doc_b, diag); a window without
@@ -88,7 +88,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("dd_nidx: the history-index probe scans only the batch's bucket-group partitions") {
-    val p = plan("dd_nidx")
+    val p = plan("dd_nx")
     // the stored LSH index is hive-partitioned by pb; the batch's
     // distinct pb set must reach the scan as a PARTITION filter (the
     // ann_ivfx pruning discipline in text space), or every probe
@@ -99,7 +99,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("ppl_cut: thresholds broadcast; no corpus-keyed window anywhere") {
-    val p = plan("ppl_cut")
+    val p = plan("pplc")
     // the #languages-row thresholds frame joins the scored stream as a
     // broadcast; the only windows run over the bounded (lang, ppl_pm)
     // frequency table — lang-keyed ntile over the corpus would be a
@@ -110,7 +110,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("mm_near: banded candidates only — no cartesian over the hash frame") {
-    val p = plan("mm_near")
+    val p = plan("mm_nr")
     assert(!p.contains("CartesianProduct"),
       s"image near-dup candidates must come from band buckets:\n$p")
   }
@@ -156,7 +156,7 @@ class PlanSpec extends SparkSpec {
     // recallAtK ranks three candidate families (brute force, LSH, IVF)
     // with the same row_number <= k shape; all of them must keep the
     // map-side partial limit, not just the first
-    val p = plan("ann_rec")
+    val p = plan("ann_r")
     val partials = p.split('\n').count(l =>
       l.contains("WindowGroupLimit") && l.contains("Partial"))
     assert(partials >= 3,
@@ -168,7 +168,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("bloom semi join: membership filter sits under the exact join") {
-    val p = plan("q_bsemi")
+    val p = plan("q_bs")
     assert(p.contains("bloom_might_contain"),
       s"expected the bloom probe in the fact-side filter:\n$p")
     // the probe must run BEFORE the semi join it is pruning for: in the
@@ -181,7 +181,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("incremental dedup: both sides bloom-pruned before the exact anti join") {
-    val p = plan("dd_incr")
+    val p = plan("dd_in")
     // two probes: history-bloom over the incoming batch, candidate-bloom
     // over the history scan — both sides of the exact join pre-pruned
     assert(count(p, "bloom_might_contain") >= 2,
@@ -196,7 +196,7 @@ class PlanSpec extends SparkSpec {
   test("dedup apply: drop-set subtraction is bloom-pruned, no data cartesian") {
     // dd_keepb (best-copy retention) must hold the same shape: its
     // extra argmax is a cluster-sized partial agg, not a corpus window
-    for (q <- Seq("dd_keep", "dd_keepb")) {
+    for (q <- Seq("dd_k", "dd_kb")) {
       val p = plan(q)
       assert(count(p, "bloom_might_contain") >= 2,
         s"$q: expected the corpus-side and drop-side bloom probes:\n$p")
@@ -204,7 +204,7 @@ class PlanSpec extends SparkSpec {
         s"$q: expected the exact anti join scrubbing false positives:\n$p")
       assert(!p.contains("CartesianProduct"))
     }
-    val pb = plan("dd_keepb")
+    val pb = plan("dd_kb")
     assert(!pb.contains("Window"),
       s"dd_keepb's per-cluster argmax must be an aggregate, not a window:\n$pb")
     // the member-score fetch must ALSO be bloom-pruned (corpus side
@@ -226,9 +226,9 @@ class PlanSpec extends SparkSpec {
     // data movement.
     // gopher (rule-battery filter) and c4 (line cleaning) are likewise
     // per-document: split + HOF filters, nothing corpus-wide.
-    for (q <- Seq("url_can", "unorm", "html", "chunks",
-        "mm_video", "mm_av", "s_rep", "gopher", "c4", "g_rep",
-        "secrets")) {
+    for (q <- Seq("urlc", "unorm", "html", "chunks",
+        "mm_vid", "mm_av", "s_rep", "gopher", "c4", "g_rep",
+        "secr")) {
       val p = plan(q)
       assert(count(p, "Exchange") <= 1,
         s"$q must shuffle only for its output sort:\n$p")
@@ -259,7 +259,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("b5 row decode: typed schema parse, validity filter at the scan") {
-    val p = plan("b5_rows")
+    val p = plan("b5r")
     // typed from_json only — the old formulation string-extracted each
     // field with its own get_json_object full parse. (OptimizeJsonExprs
     // splits the validity filter into schema-PRUNED parses and pushes
@@ -292,7 +292,7 @@ class PlanSpec extends SparkSpec {
     // DECLARED row (through ExtQueries.ivfIndexFor's memoized build) to
     // the same pruned-scan shape: a literal cid partition predicate and
     // no per-query full-corpus re-assignment (no Window in the probe).
-    val p = plan("ann_ivfx")
+    val p = plan("ann_ix")
     assert(p.contains("PartitionFilters") && p.contains("cid"),
       s"expected cid partition pruning on the declared probe:\n$p")
     assert(!p.contains("Window"),
@@ -314,7 +314,7 @@ class PlanSpec extends SparkSpec {
     // the cid partition pruning runs on — filter-after-topk would
     // under-fill k, filter-in-a-second-scan would double the IO — and
     // the top-k must stay fused (no global sort, no window).
-    val p = plan("ann_filt")
+    val p = plan("ann_f")
     assert(p.contains("PartitionFilters") && p.contains("cid"),
       s"expected cid partition pruning on the filtered probe:\n$p")
     assert(p.contains("PushedFilters") && p.contains("EqualTo(label,3)"),
@@ -353,7 +353,7 @@ class PlanSpec extends SparkSpec {
     // the ADC distance table is a collected literal map, so serving is
     // ONE distributed pass over the compressed codes — no join, no
     // window, no aggregation exchange, top-k fused into the scan
-    val p = plan("ann_pqx")
+    val p = plan("ann_px")
     assert(p.contains("TakeOrderedAndProject"),
       s"expected limit+sort fusion in:\n$p")
     assert(count(p, "Exchange hashpartitioning") == 0,
@@ -367,7 +367,7 @@ class PlanSpec extends SparkSpec {
     // per-cell ADC tables are a collected literal map, so scoring is
     // one pass over the pruned compressed codes — no join, no window,
     // no aggregation exchange, top-k fused into the scan
-    val p = plan("ann_ipq")
+    val p = plan("ann_q")
     assert(p.contains("PartitionFilters") && p.contains("cid"),
       s"expected cid partition pruning on the codes scan:\n$p")
     assert(p.contains("TakeOrderedAndProject"),
@@ -379,7 +379,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("cms sketch: partial sketches move through the exchange, not keys") {
-    val p = plan("cms_cnt")
+    val p = plan("cms")
     // partial + final aggregate pair over the long[] buffer — the only
     // data-sized exchange carries one sketch per partition
     assert(count(p, "Aggregate") >= 2,
@@ -400,7 +400,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("deep decode: narrow projection — no join, no window, no shuffle but the sort") {
-    val p = plan("b5_deep")
+    val p = plan("b5d")
     assert(!p.contains("Join") && !p.contains("Window"),
       s"encode→decode must stay per-row:\n$p")
     assert(count(p, "Exchange") == 1, // the final orderBy only
@@ -425,7 +425,7 @@ class PlanSpec extends SparkSpec {
     // account, so one account owning most of the corpus cannot flood a
     // single window partition — losing the Partial phase here would be
     // the b6 scale bug
-    val p = plan("b6_topk")
+    val p = plan("b6k")
     val lines = p.split('\n')
     // anchor to the WindowGroupLimit line itself: a bare indexOf("Partial")
     // would match any Partial-mode operator elsewhere in the plan text
@@ -447,7 +447,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("pii redaction: narrow per-row map — no join, no window, only the sort exchange") {
-    val p = plan("pii_red")
+    val p = plan("pii")
     assert(!p.contains("Join") && !p.contains("Window"),
       s"redaction must stay per-row:\n$p")
     assert(count(p, "Exchange") == 1, // the final orderBy only
@@ -545,7 +545,7 @@ class PlanSpec extends SparkSpec {
     // ann_brute/ann_lsh intentionally broadcast-cross-join ONE query
     // row against the corpus — a bounded nested loop, not an all-pairs
     // blowup — so they are exempt.
-    val exempt = Set("ann_bf", "ann_lsh")
+    val exempt = Set("ann_bf", "ann_l")
     SparkEntry.queries.keys.filterNot(exempt).foreach { name =>
       val p = plan(name)
       assert(!p.contains("CartesianProduct"),

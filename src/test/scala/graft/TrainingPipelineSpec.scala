@@ -70,6 +70,17 @@ class TrainingPipelineSpec extends SparkSpec {
     val encoded = ext.Bpe.encode(unique, col("doc_id"), col("text"), model)
     // nothing out-of-vocabulary when encoding the training corpus itself
     assert(encoded.where(array_contains(col("input_ids"), -1L)).count() == 0)
+    // the Unigram-LM tokenizer is a drop-in for the same seat: learn on
+    // the surviving corpus, encode it, and the decode round-trips up to
+    // encode's own normalization — both tokenizer families run the e2e
+    val uni = ext.Unigram.learn(unique, col("text"), vocabSize = 200)
+    val uniEnc = ext.Unigram.encode(unique, col("doc_id"), col("text"), uni)
+    val uniBack = ext.Unigram.decode(uniEnc, col("doc_id"),
+      col("input_ids"), uni)
+    val norm = unique.select(col("doc_id"), regexp_replace(
+      trim(lower(col("text"))), "\\s+", " ").as("expect"))
+    assert(uniBack.join(norm, "doc_id")
+      .where(col("text") =!= col("expect")).count() == 0)
 
     // 4. pack into fixed context windows
     val packed = ext.Packing.packSequences(encoded, col("doc_id"),
