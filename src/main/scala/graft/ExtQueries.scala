@@ -1052,6 +1052,16 @@ model AS (
           col("text"), col("doc_id"))
         .orderBy("doc_id")),
 
+    // Dolma-style PARAGRAPH dedup: multi-line paragraphs (two 3-word
+    // lines each, '\n\n'-joined), with a shared two-line footer
+    // paragraph appended to even ids so a multi-line block repeats
+    // across half the corpus — the case line-level dedup shreds and
+    // paragraph-level dedup drops as a unit.
+    "dd_par" -> ((s, d) =>
+      Curation.dedupParagraphs(paraDocs(Tables.documents(s, d)),
+          col("text"), col("doc_id"))
+        .orderBy("doc_id")),
+
     // PII redaction over text salted with deterministic contact strings
     // for 2/3 of documents (the fixture has no digits at all — an
     // unsalted row would be a vacuous zero-count pass-through); the
@@ -1100,6 +1110,25 @@ model AS (
       "transform(sequence(0, (size(split(trim(text), ' +')) + 3) div 4 - 1)," +
         " i -> concat_ws(' ', slice(split(trim(text), ' +'), i*4+1, 4)))"))
       .as("text"))
+
+  /** Paragraph-structured variant for [[Curation.dedupParagraphs]]:
+    * 3-word '\n'-joined lines grouped two per '\n\n'-joined paragraph,
+    * plus a shared two-line footer paragraph on even doc_ids (the
+    * multi-line boilerplate block the paragraph pass exists to catch).
+    * Mirrored verbatim in the oracle CTE. */
+  private def paraDocs(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("lns", expr(
+        "transform(sequence(0, (size(split(trim(text), ' +')) + 2) div 3 - 1)," +
+          " i -> concat_ws(' ', slice(split(trim(text), ' +'), i*3+1, 3)))"))
+      .select(col("doc_id"),
+        concat(
+          concat_ws("\n\n", expr(
+            "transform(sequence(0, (size(lns) + 1) div 2 - 1)," +
+              " p -> concat_ws('\\n', slice(lns, p*2+1, 2)))")),
+          when(col("doc_id") % 2 === 0,
+            lit("\n\nsubscribe to our newsletter\nall rights reserved"))
+            .otherwise(lit(""))).as("text"))
 
   /** Multi-line "web page" variant of the fixture corpus shared by the
     * gopher / c4 rows (the fixture text itself has no newlines): 6-word
@@ -2960,6 +2989,40 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
        coalesce(string_agg(CASE WHEN nd < 2 THEN line END, chr(10)
          ORDER BY pos), '') AS clean_text
 FROM lh JOIN df USING (lh)
+GROUP BY doc_id ORDER BY doc_id"""),
+
+    // Mirror of paraDocs (3-word lines, two per paragraph, shared
+    // footer paragraph on even ids) + Curation.dedupParagraphs: doc
+    // frequency per exact paragraph, drop paragraphs in >= 2 docs,
+    // reassemble '\n\n'-joined in original order.
+    "dd_par" -> (s"""WITH w AS (
+  SELECT doc_id, string_split_regex(trim(text), ' +') AS words FROM documents
+), l AS (
+  SELECT doc_id, list_transform(range((len(words)+2)//3),
+    i -> array_to_string(words[i*3+1:i*3+3], ' ')) AS lns FROM w
+), pd AS (
+  SELECT doc_id,
+    array_to_string(list_transform(range((len(lns)+1)//2),
+      p -> array_to_string(lns[p*2+1:p*2+2], chr(10))), chr(10)||chr(10))
+    || CASE WHEN doc_id % 2 = 0
+         THEN chr(10)||chr(10)||'subscribe to our newsletter'
+              ||chr(10)||'all rights reserved'
+         ELSE '' END AS text
+  FROM l
+), p0 AS (
+  SELECT doc_id, unnest(list_transform(range(len(ps)),
+    i -> {'pos': i, 'para': ps[i+1]}), recursive := true)
+  FROM (SELECT doc_id, string_split(text, chr(10)||chr(10)) AS ps FROM pd)
+), ph AS (
+  SELECT doc_id, pos, para, ${h60("para")} AS lh FROM p0
+), pf AS (
+  SELECT lh, count(DISTINCT doc_id) AS nd FROM ph GROUP BY 1
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_paras,
+       CAST(sum(CASE WHEN nd < 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       coalesce(string_agg(CASE WHEN nd < 2 THEN para END, chr(10)||chr(10)
+         ORDER BY pos), '') AS clean_text
+FROM ph JOIN pf USING (lh)
 GROUP BY doc_id ORDER BY doc_id"""),
 
     // Mirror of piiDocs + Curation.redactPii. Counts on the original

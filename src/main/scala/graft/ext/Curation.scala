@@ -57,25 +57,50 @@ object Curation {
     * pass cleans text; whole-document removal is a [[Dedup]] decision).
     */
   def dedupLines(df: DataFrame, content: Column, id: Column,
-                 minDocs: Int = 2): DataFrame = {
-    val lines = df
-      .select(id.as("doc_id"), posexplode(split(content, "\n")))
-      .toDF("doc_id", "pos", "line")
-      .withColumn("lh", Text.hash60(col("line")))
+                 minDocs: Int = 2): DataFrame =
+    dedupSegments(df, content, id, minDocs, sep = "\n", nCol = "n_lines")
+
+  /** PARAGRAPH-granularity corpus dedup (the Dolma formulation): same
+    * document-frequency drop rule as [[dedupLines]], but the unit of
+    * repetition is the blank-line-separated paragraph. Boilerplate that
+    * spans several lines (a footer block, a licence notice, a cookie
+    * dialog) repeats as a unit across a crawl; line-level dedup would
+    * only catch it if every individual line also cleared the threshold,
+    * and would shred partially-unique paragraphs. Same skew-safe
+    * `groupBy(hash)`+rejoin plan; output
+    * (doc_id, n_paras, n_kept, clean_text). */
+  def dedupParagraphs(df: DataFrame, content: Column, id: Column,
+                      minDocs: Int = 2): DataFrame =
+    dedupSegments(df, content, id, minDocs, sep = "\n\n", nCol = "n_paras")
+
+  /** Shared segment-dedup core: split on `sep` (kept as a literal-safe
+    * regex; both uses are newline runs), count per-segment document
+    * frequency with the partial-aggregating groupBy described in
+    * [[dedupLines]], drop segments in >= minDocs documents, reassemble
+    * with `sep` in original order. Spark's `split` (limit -1) and the
+    * oracle's `string_split` both KEEP trailing empty segments, so the
+    * reassembly round-trips byte-exactly when nothing is dropped. */
+  private def dedupSegments(df: DataFrame, content: Column, id: Column,
+                            minDocs: Int, sep: String,
+                            nCol: String): DataFrame = {
+    val segs = df
+      .select(id.as("doc_id"), posexplode(split(content, sep)))
+      .toDF("doc_id", "pos", "seg")
+      .withColumn("lh", Text.hash60(col("seg")))
     // Not persisted: the lineage is a narrow scan+explode, and at corpus
     // scale re-running it is cheaper than caching the exploded frame.
-    val docFreq = lines.groupBy("lh")
+    val docFreq = segs.groupBy("lh")
       .agg(count_distinct(col("doc_id")).as("nd"))
-    lines.join(docFreq, "lh")
+    segs.join(docFreq, "lh")
       .withColumn("kept", col("nd") < minDocs)
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_lines"),
+      .agg(count(lit(1)).as(nCol),
         sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
-        concat_ws("\n",
+        concat_ws(sep,
           transform(
             array_sort(collect_list(when(col("kept"),
-              struct(col("pos"), col("line"))))),
-            s => s.getField("line"))).as("clean_text"))
+              struct(col("pos"), col("seg"))))),
+            s => s.getField("seg"))).as("clean_text"))
   }
 
   /** Email / IPv4 / US-phone regexes shared with the DuckDB oracle —

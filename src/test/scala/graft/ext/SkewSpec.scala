@@ -60,6 +60,25 @@ class SkewSpec extends SparkSpec with org.scalatest.BeforeAndAfterEach {
     }
   }
 
+  test("dedupParagraphs: a multi-line paragraph in 100% of docs collapses via partial agg") {
+    // the hot unit is a two-LINE block: line dedup would leave a
+    // window/hot-partition story per line; the paragraph pass counts
+    // the block as ONE key, still via groupBy partial aggregation
+    val docs = (0L until 300L)
+      .map(i => (i, s"accept our cookies\nall rights reserved\n\nunique payload $i\nsecond line $i"))
+      .toDF("doc_id", "text")
+    val out = Curation.dedupParagraphs(docs, $"text", $"doc_id")
+    val p = physical(out)
+    assertNoHashWindow(p, "lh")
+    assert(p.contains("HashAggregate"), s"expected partial aggregation in:\n$p")
+    val rows = out.orderBy("doc_id").collect()
+    assert(rows.length == 300)
+    rows.foreach { r =>
+      assert(r.getLong(1) == 2L && r.getLong(2) == 1L &&
+        r.getString(3) == s"unique payload ${r.getLong(0)}\nsecond line ${r.getLong(0)}")
+    }
+  }
+
   test("duplicateSpans: a shingle in every doc counts via groupBy, islands stay doc-keyed") {
     val docs = (0L until 200L)
       .map(i => (i, s"accept all our cookies now w$i x$i y$i z$i"))
