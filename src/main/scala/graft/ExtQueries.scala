@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.ext.{Curation, Dedup, Multimodal, Packing, Sampling, Similarity, TextAnalysis, Unigram}
@@ -978,24 +978,34 @@ model AS (
     // anchored host allowlist (admits t0/1/4/5/6), a cdn host denylist
     // and an /a/ path denylist (kick t0/t1 back out) — in_scope lands
     // true only for t4/t5/t6, exercising all three predicate slots.
-    "uscope" -> ((s, d) => {
-      val h = (col("doc_id") % 100).cast("string")
-      val t = col("doc_id") % 8
-      val synth = when(t === 0, concat(lit("HTTP://Example.COM/a/b?x="), h))
-        .when(t === 1, lit("https://WWW.Example.com:443//a//b/"))
-        .when(t === 2, concat(lit("//cdn.site.org./img/"), h, lit(".png#frag")))
-        .when(t === 3, concat(lit("http://user:pw@Host.NET:80/p?b=2&a="), h))
-        .when(t === 4, concat(lit("https://news.example.org/story?utm_source=x&id="), h))
-        .when(t === 5, concat(lit("http://shop.example.com/item//"), h, lit("/")))
-        .when(t === 6, lit("HTTPS://Example.com/?"))
-        .otherwise(concat(lit("http://a.b.c:8080/x?b="), h, lit("&a=1")))
-      Curation.urlScope(Tables.documents(s, d), synth, col("doc_id"),
+    "uscope" -> ((s, d) =>
+      Curation.urlScope(Tables.documents(s, d), synthCrawlUrl, col("doc_id"),
           allowHostRe =
             "^(example\\.com|news\\.example\\.org|shop\\.example\\.com)$",
           denyHostRe = "^cdn\\.",
           denyPathRe = "^/a/")
-        .orderBy("doc_id")
-    }),
+        .orderBy("doc_id")),
+
+    // robots.txt-driven scoping over the same templates, agent "graft":
+    // longest-match precedence (/a/b allow beats /a/ disallow on t0/t1),
+    // * + $ wildcards (cdn *.png$ kills t2; shop /*9$ kills only h
+    // ending in 9), exact-agent group selection (host.net's graft group
+    // disallows /p where its * group allows everything), and
+    // no-robots-file default allow (t4, t7).
+    "robots" -> ((s, d) =>
+      Curation.urlScopeRobots(Tables.documents(s, d), synthCrawlUrl,
+          col("doc_id"),
+          robotsByHost = Map(
+            "example.com" ->
+              "User-agent: *\nDisallow: /a/\nAllow: /a/b\n",
+            "cdn.site.org" ->
+              "# static assets\nUser-Agent: *\nDisallow: /img/*.png$\n",
+            "host.net" ->
+              "User-agent: graft\nDisallow: /p\n\nUser-agent: *\nAllow: /\n",
+            "shop.example.com" ->
+              "User-agent: *\nDisallow: /*9$\nSitemap: http://shop.example.com/s.xml\n"),
+          agent = "Graft")
+        .orderBy("doc_id")),
 
     // REAL HTML→text extraction on the correctness surface (no HTML in
     // the fixture corpus): four synthesized page templates cover tag
@@ -1105,6 +1115,26 @@ model AS (
   /** Wraps each document's words into 4-word '\n'-joined lines — the
     * fixture corpus is single-line, and [[Curation.dedupLines]] needs
     * line structure to act on. Mirrored verbatim in the oracle CTE. */
+  /** Eight messy-URL canon templates shared by the `uscope` and
+    * `robots` rows: scheme/host case, default ports, userinfo,
+    * duplicate slashes, tracking params, fragments, trailing dots —
+    * every normalization [[Curation.canonicalUrl]] performs. Hosts
+    * after canon: example.com (t0/1/6), cdn.site.org (t2), host.net
+    * (t3), news.example.org (t4), shop.example.com (t5), a.b.c:8080
+    * (t7). Mirrored as literals in both oracles. */
+  private def synthCrawlUrl: Column = {
+    val h = (col("doc_id") % 100).cast("string")
+    val t = col("doc_id") % 8
+    when(t === 0, concat(lit("HTTP://Example.COM/a/b?x="), h))
+      .when(t === 1, lit("https://WWW.Example.com:443//a//b/"))
+      .when(t === 2, concat(lit("//cdn.site.org./img/"), h, lit(".png#frag")))
+      .when(t === 3, concat(lit("http://user:pw@Host.NET:80/p?b=2&a="), h))
+      .when(t === 4, concat(lit("https://news.example.org/story?utm_source=x&id="), h))
+      .when(t === 5, concat(lit("http://shop.example.com/item//"), h, lit("/")))
+      .when(t === 6, lit("HTTPS://Example.com/?"))
+      .otherwise(concat(lit("http://a.b.c:8080/x?b="), h, lit("&a=1")))
+  }
+
   private def linedDocs(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), concat_ws("\n", expr(
       "transform(sequence(0, (size(split(trim(text), ' +')) + 3) div 4 - 1)," +
@@ -2810,6 +2840,53 @@ SELECT doc_id,
     ELSE '/x'
   END AS path,
   t IN (4, 5, 6) AS in_scope
+FROM f ORDER BY doc_id"""),
+
+    // Per-template robots verdicts from the embedded fixtures, agent
+    // "graft". t0/t1: Allow /a/b (4 octets) outranks Disallow /a/ (3).
+    // t2: /img/*.png$ matches. t3: the exact-agent group's Disallow /p
+    // (the * group's Allow / never applies). t5: /*9$ matches exactly
+    // when the canonical path /item/<h> ends in 9, i.e. doc_id%10=9.
+    // t4/t7: no robots file -> allow. t6: empty path, no rule matches.
+    "robots" -> ("""WITH f AS (
+  SELECT doc_id, doc_id % 8 AS t, CAST(doc_id % 100 AS VARCHAR) AS h
+  FROM documents
+)
+SELECT doc_id,
+  CASE t
+    WHEN 0 THEN 'example.com/a/b?x=' || h
+    WHEN 1 THEN 'example.com/a/b'
+    WHEN 2 THEN 'cdn.site.org/img/' || h || '.png'
+    WHEN 3 THEN 'host.net/p?a=' || h || '&b=2'
+    WHEN 4 THEN 'news.example.org/story?id=' || h
+    WHEN 5 THEN 'shop.example.com/item/' || h
+    WHEN 6 THEN 'example.com'
+    ELSE 'a.b.c:8080/x?a=1&b=' || h
+  END AS canonical_url,
+  CASE t
+    WHEN 2 THEN 'cdn.site.org'
+    WHEN 3 THEN 'host.net'
+    WHEN 4 THEN 'news.example.org'
+    WHEN 5 THEN 'shop.example.com'
+    WHEN 7 THEN 'a.b.c:8080'
+    ELSE 'example.com'
+  END AS host,
+  CASE t
+    WHEN 0 THEN '/a/b'
+    WHEN 1 THEN '/a/b'
+    WHEN 2 THEN '/img/' || h || '.png'
+    WHEN 3 THEN '/p'
+    WHEN 4 THEN '/story'
+    WHEN 5 THEN '/item/' || h
+    WHEN 6 THEN ''
+    ELSE '/x'
+  END AS path,
+  CASE t
+    WHEN 2 THEN false
+    WHEN 3 THEN false
+    WHEN 5 THEN doc_id % 10 <> 9
+    ELSE true
+  END AS robots_ok
 FROM f ORDER BY doc_id"""),
 
     // Each html_text template's EXPECTED extraction, stated as a
