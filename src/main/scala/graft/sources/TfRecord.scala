@@ -254,7 +254,7 @@ object TfRecord {
     shards
   }
 
-  private def writeManifest(df: DataFrame, shards: Seq[Shard],
+  private[sources] def writeManifest(df: DataFrame, shards: Seq[Shard],
                             dir: String): Unit = {
     val total = shards.map(_.records).sum
     val bytes = shards.map(_.payloadBytes).sum

@@ -208,6 +208,25 @@ class TrainingPipelineSpec extends SparkSpec {
     val manifest = new String(Files.readAllBytes(
       java.nio.file.Paths.get(outDir, "_MANIFEST.json")), "UTF-8")
     assert(manifest.contains("\"records\":1"), manifest)
+
+    // Same novelty as a WebDataset shard (the multimodal trainer
+    // handoff): one sample, text + url-metadata parts, independently
+    // decoded from the raw tar bytes.
+    val wdsDir = Files.createTempDirectory("graft-e2e-wds").toString + "/shards"
+    val wdsSamples = freshDocs.coalesce(1).select(
+      format_string("%06d", pmod(col("doc_id"), lit(1000000))).as("key"),
+      array(
+        struct(lit("txt").as("ext"), col("text").cast("binary").as("data")),
+        struct(lit("url.txt").as("ext"), col("url").cast("binary").as("data"))
+      ).as("parts"))
+    val wds = sources.WebDataset.writeWithManifest(wdsSamples, "key", "parts", wdsDir)
+    assert(wds.map(_.records).sum == 1L)
+    val tarBytes = Files.readAllBytes(
+      java.nio.file.Paths.get(wdsDir, wds.head.file))
+    val Right(entries) = sources.WebDataset.decodeEntries(tarBytes)
+    assert(entries.map(_._1).forall(_.endsWith(".txt")))
+    assert(entries.exists { case (n, d) =>
+      n.endsWith(".url.txt") && new String(d, "UTF-8") == "http://n.example/fresh" })
     CacheScope.release()
   }
 
