@@ -934,6 +934,24 @@ model AS (
         .toDF().orderBy("media_id", "frame_idx")
     }),
 
+    // Scene-cut segmentation over the same synthesized clips: frame f's
+    // luma is (id*37 + f*11) % 256, so consecutive frames differ by 11
+    // except across the mod-256 wrap (|diff| = 245) — threshold 64 cuts
+    // exactly at the wraps, and the oracle states the segmentation from
+    // the closed form while the query earns it through the real AVI
+    // walk + JPEG decode + per-pixel mean-abs-diff.
+    "mm_sc" -> ((s, d) => {
+      import s.implicits._
+      val rows = Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars"))
+        .as[(Long, Long)]
+        .map { case (id, nch) =>
+          Multimodal.MediaRow(id, Multimodal.synthVideoPayload(id, nch),
+            "video/avi") }
+      Multimodal.sceneCutsBatched(rows, threshold = 64)
+        .toDF().orderBy("media_id", "scene_idx")
+    }),
+
     // A/V DEMUX on the correctness surface: per document a real AVI
     // muxing an MJPEG video stream AND a chunked PCM audio stream
     // (mm_audio's closed-form samples, split across 01wb chunks); the
@@ -2972,6 +2990,30 @@ SELECT media_id, CAST(i AS INT) AS frame_idx,
        CAST(256 AS BIGINT) AS n_pixels,
        CAST((media_id * 37 + i * 11) % 256 AS INT) AS mean_luma
 FROM s ORDER BY media_id, frame_idx"""),
+
+    // mm_vid's closed form segmented: cut where the consecutive luma
+    // diff reaches 64 (the mod-256 wrap), scenes numbered by a running
+    // cut count, keyframe = first frame of each scene. The oracle never
+    // touches container or JPEG bytes.
+    "mm_sc" -> ("""WITH f AS (
+  SELECT doc_id AS media_id, n_chars % 9 + 2 AS n FROM documents
+), v AS (
+  SELECT media_id, i, (media_id * 37 + i * 11) % 256 AS v
+  FROM (SELECT media_id, unnest(range(0, n)) AS i FROM f)
+), c AS (
+  SELECT media_id, i, v,
+         CASE WHEN i = 0 OR abs(v - lag(v) OVER
+           (PARTITION BY media_id ORDER BY i)) >= 64 THEN 1 ELSE 0 END AS cut
+  FROM v
+), s AS (
+  SELECT media_id, i, v,
+         sum(cut) OVER (PARTITION BY media_id ORDER BY i) - 1 AS sc
+  FROM c
+)
+SELECT media_id, CAST(sc AS INT) AS scene_idx,
+       CAST(min(i) AS INT) AS start_frame, CAST(max(i) AS INT) AS end_frame,
+       CAST(arg_min(v, i) AS INT) AS key_luma
+FROM s GROUP BY media_id, sc ORDER BY media_id, scene_idx"""),
 
     // mm_audio's closed form recovered through the AVI demux: the
     // oracle never touches the container — same PCM arithmetic, format

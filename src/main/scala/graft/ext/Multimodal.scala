@@ -533,6 +533,104 @@ object Multimodal {
   case class VideoFrame(media_id: Long, frame_idx: Int, width: Int,
                         height: Int, n_pixels: Long, mean_luma: Int)
 
+  /** One detected scene of [[sceneCutsBatched]]: inclusive frame range
+    * and the scene's keyframe luma (its FIRST frame — the standard
+    * keyframe pick, the frame that triggered the cut). */
+  case class SceneRow(media_id: Long, scene_idx: Int, start_frame: Int,
+                      end_frame: Int, key_luma: Int)
+
+  /** Scene-cut / keyframe selection — the clip-segmentation step a
+    * video pipeline runs before frame dedup: decode the MJPEG frame
+    * sequence, score each consecutive-frame transition with the exact
+    * integer per-pixel mean absolute difference
+    * `sum(|a_p - b_p|) / n_pixels` over the luma rasters, and open a
+    * new scene wherever the score reaches `threshold` (a dimension
+    * change between frames is always a cut). Frame 0 opens scene 0.
+    * Output: one row per scene with its inclusive frame range and
+    * keyframe luma.
+    *
+    * Same distribution shape as [[videoFramesBatched]]: a clip is ONE
+    * row (the container blob), so the whole pass is a narrow
+    * `mapPartitions` — per-task decode, zero shuffles, and at 100 TB
+    * the cost is the decode itself, paid once per frame with only two
+    * luma rasters held at a time. Integer arithmetic end to end keeps
+    * the row oracle-expressible through the synth closed form. */
+  def sceneCutsBatched(ds: Dataset[MediaRow], threshold: Int = 64,
+                       batchSize: Int = 64): Dataset[SceneRow] = {
+    implicit val enc = Encoders.product[SceneRow]
+    ds.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.flatMap { r =>
+          graft.functions.MediaHeaderUtil.parseAvi(r.payload).toSeq.flatMap { avi =>
+            val lumas = avi.frames.flatMap { case (off, len) =>
+              decodeImage(java.util.Arrays.copyOfRange(r.payload, off, off + len))
+                .map(lumaRaster)
+            }
+            if (lumas.isEmpty) Seq.empty
+            else {
+              val cuts = Array.newBuilder[Int]
+              cuts += 0
+              var f = 1
+              while (f < lumas.length) {
+                val (pw, ph, pa) = lumas(f - 1)
+                val (w, h, a) = lumas(f)
+                val cut =
+                  if (w != pw || h != ph) true
+                  else {
+                    var sum = 0L; var i = 0
+                    while (i < a.length) { sum += math.abs(a(i) - pa(i)); i += 1 }
+                    (sum / a.length) >= threshold
+                  }
+                if (cut) cuts += f
+                f += 1
+              }
+              val starts = cuts.result()
+              starts.indices.map { s =>
+                val start = starts(s)
+                val end = if (s + 1 < starts.length) starts(s + 1) - 1
+                          else lumas.length - 1
+                val (kw, kh, ka) = lumas(start)
+                var sum = 0L; var i = 0
+                while (i < ka.length) { sum += ka(i); i += 1 }
+                SceneRow(r.media_id, s, start, end, (sum / (kw.toLong * kh)).toInt)
+              }
+            }
+          }
+        }
+      }
+    }
+  }
+
+  /** Per-pixel luma raster of a decoded frame: the gray sample for
+    * single-band images, the integer mean of (r+g+b)/3 otherwise —
+    * the same luma definition [[videoFramesBatched]] aggregates. */
+  private def lumaRaster(img: java.awt.image.BufferedImage): (Int, Int, Array[Int]) = {
+    val w = img.getWidth; val h = img.getHeight
+    val out = new Array[Int](w * h)
+    val raster = img.getRaster
+    if (raster.getNumBands == 1) {
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { out(y * w + x) = raster.getSample(x, y, 0); x += 1 }
+        y += 1
+      }
+    } else {
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          out(y * w + x) =
+            (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
+          x += 1
+        }
+        y += 1
+      }
+    }
+    (w, h, out)
+  }
+
   /** Deterministic video-payload synthesis for the `mm_video` oracle row
     * — the [[synthAudioPayload]] pattern one modality over: each
     * document gets an MJPEG-in-AVI clip of `n = n_chars % 9 + 2` frames,

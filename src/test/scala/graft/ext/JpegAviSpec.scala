@@ -82,6 +82,35 @@ class JpegAviSpec extends SparkSpec {
     }
   }
 
+  test("sceneCutsBatched: cuts at the MAD threshold, keyframes, dims change") {
+    // frame lumas 10,20,200,210,90 → consecutive MADs 10,180,10,120;
+    // threshold 64 cuts at frames 2 and 4 → scenes [0,1] [2,3] [4,4]
+    val vals = Seq(10, 20, 200, 210, 90)
+    val clip = Multimodal.synthAvi(
+      vals.map(JpegGray.encodeConst(16, 16, _)), 16, 16, fps = 10)
+    val ds = Seq(
+      MediaRow(1L, clip, "video/avi"),
+      MediaRow(2L, "not a clip".getBytes, "text/plain")).toDS()
+    val scenes = Multimodal.sceneCutsBatched(ds, threshold = 64)
+      .collect().sortBy(_.scene_idx)
+    assert(scenes.map(s => (s.media_id, s.scene_idx, s.start_frame,
+      s.end_frame, s.key_luma)).toSeq ==
+      Seq((1L, 0, 0, 1, 10), (1L, 1, 2, 3, 200), (1L, 2, 4, 4, 90)))
+    // threshold is a parameter: at 200 nothing clears the bar
+    val one = Multimodal.sceneCutsBatched(Seq(MediaRow(1L, clip, "video/avi"))
+      .toDS(), threshold = 200).collect()
+    assert(one.toSeq.map(s => (s.scene_idx, s.start_frame, s.end_frame)) ==
+      Seq((0, 0, 4)))
+    // a frame-dimension change is always a cut, even with equal lumas
+    val mixed = Multimodal.synthAvi(
+      Seq(JpegGray.encodeConst(16, 16, 50), JpegGray.encodeConst(8, 8, 50)),
+      16, 16, fps = 10)
+    val md = Multimodal.sceneCutsBatched(
+      Seq(MediaRow(3L, mixed, "video/avi")).toDS(), threshold = 64).collect()
+    assert(md.map(s => (s.scene_idx, s.start_frame, s.end_frame)).toSeq ==
+      Seq((0, 0, 0), (1, 1, 1)))
+  }
+
   test("frame chunks filter by the matched vids stream (second stream can't leak)") {
     // hand-built AVI with TWO video streams: the strh/strf pair for
     // stream 0 and stream 1, then movi interleaving 00dc and 01dc
