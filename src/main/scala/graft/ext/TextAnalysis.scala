@@ -646,6 +646,58 @@ object TextAnalysis {
       .withColumn("dsir_bits", col("bits_raw") - col("bits_target"))
   }
 
+  /** Materialize the DSIR artifact: the two hashed-n-gram bucket count
+    * tables estimated ONCE from a target sample and a raw-crawl sample
+    * (Xie et al. fit both distributions up front; scoring never
+    * re-estimates). One row per bucket seen in either corpus,
+    * `(bk, ct, cr)`, with the totals and bucket count stamped on every
+    * row — [[nbTrain]]/[[lmModel]]'s self-describing artifact pattern,
+    * so the parquet frame alone reconstructs the exact
+    * [[dsirWeights]] arithmetic. Bucket-bounded (≤ `buckets` rows):
+    * broadcastable at ANY corpus size. */
+  def writeDsirModel(target: DataFrame, raw: DataFrame, content: Column,
+                     id: Column, dir: String, buckets: Int = 10000): Unit = {
+    require(buckets > 0, s"writeDsirModel: buckets must be positive, got $buckets")
+    def counts(df: DataFrame, c: String) =
+      gramBuckets(df, content, id, buckets)
+        .groupBy("bk").agg(count(lit(1)).as(c))
+    counts(target, "ct").join(counts(raw, "cr"), Seq("bk"), "full")
+      .na.fill(0L, Seq("ct", "cr"))
+      .crossJoin(broadcast(counts(target, "ct").agg(sum("ct").as("nt"))))
+      .crossJoin(broadcast(counts(raw, "cr").agg(sum("cr").as("nr"))))
+      .withColumn("buckets", lit(buckets))
+      .write.mode("overwrite").parquet(dir)
+  }
+
+  /** Score documents against a STORED DSIR artifact — the streaming
+    * seat of the resampling gate: both count tables are frozen in the
+    * model frame, so scoring a micro-batch is a pure function of the
+    * batch and the artifact (stateless per batch, replay-identical).
+    * Identical arithmetic to [[dsirWeights]]: when the model was
+    * written from (target, raw), scoring any subset of `raw` returns
+    * that subset's [[dsirWeights]] rows. The model join is
+    * bucket-bounded hence broadcast; the metadata read is one
+    * parameter-sized driver row. */
+  def dsirScoreStored(df: DataFrame, content: Column, id: Column,
+                      modelDir: String): DataFrame = {
+    val model = df.sparkSession.read.parquet(modelDir)
+    val meta = model.select("buckets", "nt", "nr").head
+    val buckets = meta.getInt(0)
+    val nt = meta.getLong(1); val nr = meta.getLong(2)
+    gramBuckets(df, content, id, buckets)
+      .join(broadcast(model.select("bk", "ct", "cr")), Seq("bk"), "left")
+      .withColumn("__st",
+        length(bin(expr(s"($nt + $buckets) div (coalesce(ct, 0L) + 1)")))
+          .cast("long"))
+      .withColumn("__sr",
+        length(bin(expr(s"($nr + $buckets) div (coalesce(cr, 0L) + 1)")))
+          .cast("long"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum("__st").as("bits_target"), sum("__sr").as("bits_raw"))
+      .withColumn("dsir_bits", col("bits_raw") - col("bits_target"))
+  }
+
   /** Train the NAIVE-BAYES quality classifier — the public shape of the
     * "fastText quality classifier" slot in published pipelines (GPT-3 /
     * LLaMA / CCNet curation all gate on a linear classifier trained

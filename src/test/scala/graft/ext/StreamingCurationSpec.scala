@@ -149,6 +149,64 @@ class StreamingCurationSpec extends SparkSpec {
     assert(m(10L) > 0 && m(11L) < 0)
   }
 
+  test("dsir resampling seat: stored importance model gates live batches score-then-sample") {
+    implicit val sq = spark.sqlContext
+    // fit BOTH distributions once (target sample + raw-crawl sample),
+    // freeze the artifact, then run the full published gate per
+    // micro-batch: dsir_bits -> affine ppm rate -> Sampling.weighted
+    val target = Seq((0L, "the quick brown fox jumps the lazy dog"))
+      .toDF("doc_id", "text")
+    val crawl = Seq(
+      (10L, "the quick brown fox"), // target-typical -> keep
+      (11L, "zz qq xx vv"),         // raw-typical    -> drop
+      (12L, "jumps kk lazy kk")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("dsirm").toString
+    TextAnalysis.writeDsirModel(target, crawl, $"text", $"doc_id", dir)
+    val input = MemoryStream[(Long, String)]
+    val gotScores = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val gotKept = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = input.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val scored = TextAnalysis.dsirScoreStored(batch, col("text"),
+          col("doc_id"), dir)
+        val kept = Sampling.weighted(scored, col("doc_id"),
+          lit(500000L) + col("dsir_bits") * 600000L, seed = "dsir0")
+        gotScores.synchronized {
+          gotScores ++= scored.collect().map(r => (r.getLong(0), r.getLong(3)))
+          gotKept ++= kept.select("doc_id").as[Long].collect()
+        }
+        ()
+      }.start()
+    try {
+      input.addData((10L, "the quick brown fox"), (11L, "zz qq xx vv"))
+      q.processAllAvailable()
+      input.addData((12L, "jumps kk lazy kk"))
+      q.processAllAvailable()
+    } finally q.stop()
+    // batch truth: the two-frame dsirWeights over the same corpora
+    // restricted to the streamed ids — the stored artifact must price
+    // identically
+    val expect = TextAnalysis.dsirWeights(target, crawl, $"text", $"doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(3)))
+    assert(gotScores.sortBy(_._1).toSeq == expect.sortBy(_._1).toSeq)
+    // the sampling decision matches the batch composition and
+    // discriminates the saturating ends
+    val expectKept = Sampling.weighted(
+        TextAnalysis.dsirWeights(target, crawl, $"text", $"doc_id"),
+        col("doc_id"), lit(500000L) + col("dsir_bits") * 600000L,
+        seed = "dsir0")
+      .select("doc_id").as[Long].collect().toSet
+    assert(gotKept.toSet == expectKept)
+    assert(gotKept.contains(10L) && !gotKept.contains(11L))
+    // stateless per batch: replaying one batch re-scores and re-decides
+    // identically (nothing advanced by the first pass)
+    val replay = TextAnalysis.dsirScoreStored(
+        Seq((10L, "the quick brown fox")).toDF("doc_id", "text"),
+        col("text"), col("doc_id"), dir)
+      .collect().map(r => (r.getLong(0), r.getLong(3)))
+    assert(replay.toSeq == gotScores.sortBy(_._1).take(1).toSeq)
+  }
+
   test("chunking composes in a streaming query (pure narrow projection, live)") {
     // chunkByWords is a stateless narrow projection, so a live feed can
     // be window-split per micro-batch — the context-window splitter
