@@ -336,6 +336,54 @@ model AS (
           col("doc_id"), k = 3)
         .orderBy("doc_id")),
 
+    // DEDUP CENSUS: the per-source drop-reason rollup over five
+    // composed tiers — prefix-exact, 3-shingle Jaccard near-dup,
+    // embedding decontamination, canonical-URL identity, and the
+    // shared-shingle repetition cut — attributed first-tier-wins so the
+    // reason counts sum to n_docs. Every tier is an operator with its
+    // own verified oracle row; the census row verifies the COMPOSITION.
+    "dd_cns" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val emb = Tables.embeddings(s, d)
+      val pref = docs.select(col("doc_id").as("__id"),
+        substring(col("text"), 1, 64).as("__pf"))
+      val exactDrop = pref.join(
+          pref.groupBy("__pf").agg(min("__id").as("__keep")), "__pf")
+        .where(col("__id") =!= col("__keep"))
+        .select(col("__id").as("ex_id"), lit(true).as("__ex"))
+      val nearDrop = Dedup.ngramJaccard(docs, col("text"), col("doc_id"),
+          k = 3, minJaccard = 0.2)
+        .select(col("doc_b").as("nr_id")).distinct()
+        .select(col("nr_id"), lit(true).as("__nr"))
+      val semDrop = Similarity.decontaminate(
+          emb.where(col("vec_id") % 200 =!= 0),
+          emb.where(col("vec_id") % 200 === 0),
+          "vec_id", "embedding", threshold = 0.3)
+        .where(col("contaminated"))
+        .select(col("vec_id").as("sm_id"), lit(true).as("__sm"))
+      val urls = docs.select(col("doc_id").as("__id"),
+        Curation.canonicalUrl(synthCrawlUrl).as("__u"))
+      val urlDrop = urls.join(
+          urls.groupBy("__u").agg(min("__id").as("__keep")), "__u")
+        .where(col("__id") =!= col("__keep"))
+        .select(col("__id").as("ur_id"), lit(true).as("__ur"))
+      val spanDrop = Dedup.sharedShingleStats(docs, col("text"),
+          col("doc_id"), k = 3)
+        .where(col("shared_pm") >= 500)
+        .select(col("doc_id").as("sp_id"), lit(true).as("__sp"))
+      val flagged = docs.select(col("doc_id"), col("source"))
+        .join(exactDrop, col("doc_id") === col("ex_id"), "left")
+        .join(nearDrop, col("doc_id") === col("nr_id"), "left")
+        .join(semDrop, col("doc_id") === col("sm_id"), "left")
+        .join(urlDrop, col("doc_id") === col("ur_id"), "left")
+        .join(spanDrop, col("doc_id") === col("sp_id"), "left")
+      Dedup.dedupCensus(flagged, col("source"), Seq(
+          "exact" -> col("__ex"), "near" -> col("__nr"),
+          "sem" -> col("__sm"), "url" -> col("__ur"),
+          "span" -> col("__sp")))
+        .orderBy("source")
+    }),
+
     "dec_ng" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       Dedup.ngramContamination(docs, col("text"), col("doc_id"),
@@ -1719,6 +1767,82 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
          // CAST(count(*) AS BIGINT) AS shared_pm
 FROM (SELECT doc_id, count(*) OVER (PARTITION BY s) AS nd FROM sh)
 GROUP BY doc_id ORDER BY doc_id"""),
+
+    // Census composition: each tier CTE mirrors its own verified oracle
+    // (dd_pfx's 64-char prefix, dd_jac's pairs, dsem's scaled cosine,
+    // urlc's canonical literals, dd_shr's shared per-mille), verdicts
+    // attributed first-tier-wins, rolled up per source.
+    "dd_cns" -> (hashedShinglesCte + """, sizes AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY 1
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), nr AS (
+  SELECT DISTINCT doc_b AS doc_id
+  FROM pairs JOIN sizes sa ON doc_a = sa.doc_id
+             JOIN sizes sb ON doc_b = sb.doc_id
+  WHERE round(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 6) >= 0.2
+), pe AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, min(doc_id) OVER (PARTITION BY substr(text,1,64)) AS k
+    FROM documents) WHERE doc_id <> k
+), qz AS (
+  SELECT vec_id, list_transform(embedding,
+    x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS qe
+  FROM embeddings
+), ev AS (SELECT qe FROM qz WHERE vec_id % 200 = 0),
+tr AS (SELECT vec_id, qe FROM qz WHERE vec_id % 200 <> 0),
+sm AS (
+  SELECT tr.vec_id AS doc_id
+  FROM tr CROSS JOIN ev GROUP BY tr.vec_id
+  HAVING max(round(
+    CAST(list_sum(list_transform(range(64), i -> tr.qe[i+1] * ev.qe[i+1])) AS DOUBLE)
+    / sqrt(CAST(list_sum(list_transform(range(64), i -> tr.qe[i+1] * tr.qe[i+1])) AS DOUBLE)
+           * CAST(list_sum(list_transform(range(64), i -> ev.qe[i+1] * ev.qe[i+1])) AS DOUBLE)),
+    6)) >= 0.3
+), uc AS (
+  SELECT doc_id,
+    CASE doc_id % 8
+      WHEN 0 THEN 'example.com/a/b?x=' || CAST(doc_id % 100 AS VARCHAR)
+      WHEN 1 THEN 'example.com/a/b'
+      WHEN 2 THEN 'cdn.site.org/img/' || CAST(doc_id % 100 AS VARCHAR) || '.png'
+      WHEN 3 THEN 'host.net/p?a=' || CAST(doc_id % 100 AS VARCHAR) || '&b=2'
+      WHEN 4 THEN 'news.example.org/story?id=' || CAST(doc_id % 100 AS VARCHAR)
+      WHEN 5 THEN 'shop.example.com/item/' || CAST(doc_id % 100 AS VARCHAR)
+      WHEN 6 THEN 'example.com'
+      ELSE 'a.b.c:8080/x?a=1&b=' || CAST(doc_id % 100 AS VARCHAR)
+    END AS cu
+  FROM documents
+), ur AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, min(doc_id) OVER (PARTITION BY cu) AS k FROM uc)
+  WHERE doc_id <> k
+), sp AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, count(*) AS ns,
+           sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS nshr
+    FROM (SELECT doc_id, count(*) OVER (PARTITION BY s) AS nd FROM sh)
+    GROUP BY doc_id)
+  WHERE nshr * 1000 // ns >= 500
+), v AS (
+  SELECT d.source, CASE
+    WHEN d.doc_id IN (SELECT doc_id FROM pe) THEN 'exact'
+    WHEN d.doc_id IN (SELECT doc_id FROM nr) THEN 'near'
+    WHEN d.doc_id IN (SELECT doc_id FROM sm) THEN 'sem'
+    WHEN d.doc_id IN (SELECT doc_id FROM ur) THEN 'url'
+    WHEN d.doc_id IN (SELECT doc_id FROM sp) THEN 'span'
+    ELSE 'kept' END AS verdict
+  FROM documents d
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(CASE WHEN verdict = 'exact' THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+  CAST(sum(CASE WHEN verdict = 'near' THEN 1 ELSE 0 END) AS BIGINT) AS n_near,
+  CAST(sum(CASE WHEN verdict = 'sem' THEN 1 ELSE 0 END) AS BIGINT) AS n_sem,
+  CAST(sum(CASE WHEN verdict = 'url' THEN 1 ELSE 0 END) AS BIGINT) AS n_url,
+  CAST(sum(CASE WHEN verdict = 'span' THEN 1 ELSE 0 END) AS BIGINT) AS n_span,
+  CAST(sum(CASE WHEN verdict = 'kept' THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM v GROUP BY source ORDER BY source"""),
 
     "simh" -> (s"""WITH toks AS (
   SELECT doc_id, unnest(regexp_extract_all(text, '$TokRe')) AS tok

@@ -808,4 +808,37 @@ object Dedup {
       true
     }
   }
+
+  /** DEDUP CENSUS — the observability artifact a curation run
+    * publishes: per-source counts of WHY documents were dropped, one
+    * row per source. `tiers` is the ordered (name, flag) list of the
+    * pipeline's drop tiers; a document flagged by several tiers is
+    * attributed to the FIRST (the pipeline applies tiers in order, so
+    * the first to fire is the one that actually dropped the doc —
+    * without this rule the per-reason counts would double-count and
+    * not sum to n_docs). Null flags read as false, so tier frames can
+    * be attached with left joins of their drop sets.
+    *
+    * Output: (source, n_docs, n_<tier>..., n_kept) with
+    * `n_docs = Σ n_<tier> + n_kept` by construction.
+    *
+    * Scale shape: one partial-aggregating `groupBy(source)` over a
+    * narrow verdict projection — the rollup itself adds one
+    * source-cardinality exchange regardless of corpus size. The flag
+    * columns are the caller's tier outputs; each drop set is
+    * duplicate-sized, so attaching them is the cheap side of the
+    * pipeline that produced them. */
+  def dedupCensus(df: DataFrame, source: Column,
+                  tiers: Seq[(String, Column)]): DataFrame = {
+    require(tiers.nonEmpty, "dedupCensus: at least one tier required")
+    val verdict = tiers.foldRight(lit("kept")) { case ((n, c), acc) =>
+      when(coalesce(c, lit(false)), lit(n)).otherwise(acc)
+    }
+    val counts = tiers.map { case (n, _) =>
+      sum(when(col("__verdict") === n, 1L).otherwise(0L)).as(s"n_$n")
+    } :+ sum(when(col("__verdict") === "kept", 1L).otherwise(0L)).as("n_kept")
+    df.select(source.as("source"), verdict.as("__verdict"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), counts: _*)
+  }
 }

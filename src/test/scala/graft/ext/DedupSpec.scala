@@ -260,4 +260,26 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
     assert(pairs.contains((1L, 4L, 0)))
   }
+
+  test("dedupCensus: first-tier attribution, null flags, counts sum to n_docs") {
+    // doc 1 fires exact AND near -> attributed exact only; doc 2 near
+    // only; doc 3 nothing (null flags read false); doc 4 url only
+    val flagged = Seq(
+      (1L, "cc", Some(true), Some(true), None),
+      (2L, "cc", None, Some(true), None),
+      (3L, "cc", None, None, None),
+      (4L, "web", None, None, Some(true)),
+      (5L, "web", None, None, None)
+    ).toDF("doc_id", "source", "f_exact", "f_near", "f_url")
+    val out = Dedup.dedupCensus(flagged, $"source", Seq(
+        "exact" -> $"f_exact", "near" -> $"f_near", "url" -> $"f_url"))
+      .orderBy("source")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(out.toSeq == Seq(
+      ("cc", 3L, 1L, 1L, 0L, 1L),
+      ("web", 2L, 0L, 0L, 1L, 1L)))
+    // invariant: per-reason counts plus kept always sum to n_docs
+    out.foreach { case (_, n, e, nr, u, k) => assert(e + nr + u + k == n) }
+  }
 }
