@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Curation, Dedup, Multimodal, Packing, Sampling, Similarity, TextAnalysis, Unigram}
+import graft.ext.{Curation, Dedup, Multimodal, Packing, Sampling, Similarity, TextAnalysis, Unigram, WordPiece}
 
 /** LLM-data-pipeline extensions over `documents` / `embeddings`:
   * dedup (exact, n-gram Jaccard, MinHash+LSH, SimHash), similarity
@@ -824,6 +824,19 @@ model AS (
       val docs = Tables.documents(s, d)
       val model = Unigram.learn(docs, col("text"), vocabSize = 2000)
       Unigram.tokStats(docs, col("doc_id"), col("text"), model)
+        .orderBy("doc_id")
+    }),
+
+    // WordPiece greedy longest-match over the frequency-threshold
+    // vocabulary (60 pieces: at both test scales that leaves some words
+    // whole, splits others 2-6 ways, and [UNK]s the rest — every branch
+    // of the published BERT inference algorithm fires). The oracle
+    // precomputes the per-position greedy piece (greedy from a position
+    // is path-independent) and walks it with a linear recursive CTE.
+    "wp" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val model = WordPiece.fromCounts(docs, col("text"), vocabSize = 60)
+      WordPiece.tokStats(docs, col("doc_id"), col("text"), model)
         .orderBy("doc_id")
     }),
 
@@ -2769,6 +2782,66 @@ SELECT d.doc_id,
 FROM documents d
 LEFT JOIN wcount w USING (doc_id) LEFT JOIN agg a USING (doc_id)
 ORDER BY d.doc_id"""),
+
+    // Mirror of WordPiece.fromCounts + greedy tokStats: candidates are
+    // word-initial / ##-continuation substrings (corpus is ASCII, so
+    // character positions = code points), vocab = top 60 by (count
+    // desc, piece asc); the per-position greedy piece is precomputed
+    // (path-independent) and walked with a linear recursive CTE; any
+    // stuck position [UNK]s the whole word.
+    "wp" -> (s"""WITH RECURSIVE dw AS (
+  SELECT doc_id, wd
+  FROM (SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS wd
+        FROM documents)
+  WHERE len(wd) > 0
+), wf AS (
+  SELECT wd, count(*) AS freq FROM dw GROUP BY wd
+), cand AS (
+  SELECT CASE WHEN s = 0 THEN substring(wd, 1, l)
+         ELSE '##' || substring(wd, s + 1, l) END AS piece, freq
+  FROM (SELECT wd, freq, unnest(range(length(wd))) AS s FROM wf) cs
+  CROSS JOIN (SELECT unnest(range(1, 9)) AS l) ls
+  WHERE s + l <= length(cs.wd) AND NOT contains(cs.wd, '#')
+    AND cs.wd <> '[unk]'
+), vocab AS (
+  SELECT piece FROM (
+    SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt FROM cand GROUP BY piece
+    ORDER BY cnt DESC, piece ASC LIMIT 60)
+), gm AS (
+  SELECT wd, s, arg_max(piece, l) AS piece, max(l) AS g
+  FROM (
+    SELECT cs.wd, cs.s, ls.l,
+           CASE WHEN cs.s = 0 THEN substring(cs.wd, 1, ls.l)
+           ELSE '##' || substring(cs.wd, cs.s + 1, ls.l) END AS piece
+    FROM (SELECT wd, unnest(range(length(wd))) AS s FROM wf) cs
+    CROSS JOIN (SELECT unnest(range(1, 9)) AS l) ls
+    WHERE cs.s + ls.l <= length(cs.wd)
+  ) m
+  WHERE piece IN (SELECT piece FROM vocab)
+  GROUP BY wd, s
+), walk AS (
+  SELECT wf.wd, 0 AS pos, 0 AS j, CAST(NULL AS VARCHAR) AS piece,
+         false AS stuck
+  FROM wf
+  UNION ALL
+  SELECT w.wd, CAST(w.pos + coalesce(g.g, length(w.wd)) AS INT),
+         w.j + 1, g.piece, g.piece IS NULL
+  FROM walk w LEFT JOIN gm g ON g.wd = w.wd AND g.s = w.pos
+  WHERE w.pos < length(w.wd) AND NOT w.stuck
+), wstat AS (
+  SELECT wd,
+    CASE WHEN bool_or(stuck) THEN 1 ELSE CAST(max(j) AS BIGINT) END AS np,
+    CASE WHEN bool_or(stuck) THEN 1 ELSE 0 END AS unk,
+    CASE WHEN bool_or(stuck) THEN ${h60("'[UNK]'")} % 1000000
+         ELSE CAST(sum((${h60("piece")} % 1000000) * j) AS BIGINT)
+         END AS wfp
+  FROM walk WHERE j > 0 GROUP BY wd
+)
+SELECT dw.doc_id, CAST(sum(np) AS BIGINT) AS n_tokens,
+       CAST(sum(unk) AS BIGINT) AS n_unk,
+       CAST(sum(wfp) AS BIGINT) AS fp
+FROM dw JOIN wstat USING (wd)
+GROUP BY dw.doc_id ORDER BY dw.doc_id"""),
 
     "ppl" -> (PplCte + """
 SELECT doc_id, n_bigrams, bits_sum, ppl_pm

@@ -82,6 +82,16 @@ class TrainingPipelineSpec extends SparkSpec {
     assert(uniBack.join(norm, "doc_id")
       .where(col("text") =!= col("expect")).count() == 0)
 
+    // WordPiece takes the same seat: a covering frequency vocabulary
+    // (large enough for zero [UNK]s on this corpus) encodes the
+    // survivors and decode round-trips identically
+    val wpm = ext.WordPiece.fromCounts(unique, col("text"), vocabSize = 500)
+    val wpEnc = ext.WordPiece.encode(unique, col("doc_id"), col("text"), wpm)
+    val wpBack = ext.WordPiece.decode(wpEnc, col("doc_id"),
+      col("input_ids"), wpm)
+    assert(wpBack.join(norm, "doc_id")
+      .where(col("text") =!= col("expect")).count() == 0)
+
     // 4. pack into fixed context windows
     val packed = ext.Packing.packSequences(encoded, col("doc_id"),
       col("n_tokens"), budget = 8)
