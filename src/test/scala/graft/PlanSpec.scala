@@ -226,15 +226,38 @@ class PlanSpec extends SparkSpec {
     // data movement.
     // gopher (rule-battery filter) and c4 (line cleaning) are likewise
     // per-document: split + HOF filters, nothing corpus-wide.
+    // robots (per-host rule chain) and mm_sc (scene-cut decode) join
+    // the family: the verdict/segmentation is computed per document.
     for (q <- Seq("urlc", "unorm", "html", "chunks",
         "mm_vid", "mm_av", "s_rep", "gopher", "c4", "g_rep",
-        "secr")) {
+        "secr", "robots", "mm_sc")) {
       val p = plan(q)
       assert(count(p, "Exchange") <= 1,
         s"$q must shuffle only for its output sort:\n$p")
       assert(!p.contains("Join") && !p.contains("HashAggregate"),
         s"$q is a pure projection — no join/agg belongs in:\n$p")
     }
+  }
+
+  test("dd_cns census: no cartesian, flag attachment stays id-keyed") {
+    val p = plan("dd_cns")
+    assert(!p.contains("CartesianProduct"), s"no cartesian in:\n$p")
+    assert(p.contains("HashAggregate"),
+      s"the source rollup must aggregate partially:\n$p")
+  }
+
+  test("dsirScoreStored: frozen model broadcasts, the probe never shuffle-joins") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("dsirplan").toString
+    ext.TextAnalysis.writeDsirModel(docs.limit(50), docs.limit(200),
+      col("text"), col("doc_id"), dir)
+    val p = ext.TextAnalysis.dsirScoreStored(docs, col("text"),
+      col("doc_id"), dir).queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"the stored bucket table must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"the probe side must not shuffle for the model join:\n$p")
   }
 
   test("top terms: df broadcast (no term-keyed shuffle join) and top-k group limit") {
