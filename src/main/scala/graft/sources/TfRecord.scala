@@ -1,7 +1,7 @@
 package graft.sources
 
-import java.io.{BufferedInputStream, ByteArrayInputStream, InputStream}
-import java.util.zip.{CRC32C, GZIPInputStream}
+import java.io.InputStream
+import java.util.zip.CRC32C
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -22,8 +22,8 @@ import org.apache.spark.sql.functions._
   * serialization of those is the caller's schema decision).
   *
   * Read side: same distribution and quarantine contract as
-  * [[WarcCorpus]] — one file per task via binaryFile, whole-file gzip
-  * sniffed, one streaming pass, a CRC/truncation failure stops THAT
+  * [[WarcCorpus]] — one file per task via binaryFile, whole-file gzip/zstd
+  * sniffed ([[Unpack]]), one streaming pass, a CRC/truncation failure stops THAT
   * file and emits a `_corrupt` row (bit rot in a 100 TB corpus is a
   * statistical certainty; the checksums exist to be checked).
   *
@@ -93,11 +93,7 @@ object TfRecord {
   /** Parse all records of one file; `Right` = payloads, `Left` =
     * (payloads up to the damage, reason). */
   def decodeRecords(bytes: Array[Byte]): Either[(Seq[Array[Byte]], String), Seq[Array[Byte]]] = {
-    val raw = new ByteArrayInputStream(bytes)
-    val in: InputStream =
-      if (bytes.length >= 2 && (bytes(0) & 0xff) == 0x1f && (bytes(1) & 0xff) == 0x8b)
-        new BufferedInputStream(new GZIPInputStream(raw))
-      else new BufferedInputStream(raw)
+    val in: InputStream = Unpack.stream(bytes)
     val out = Seq.newBuilder[Array[Byte]]
     var idx = 0L
     while (true) {

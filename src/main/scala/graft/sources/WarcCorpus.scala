@@ -1,7 +1,6 @@
 package graft.sources
 
-import java.io.{BufferedInputStream, ByteArrayInputStream, ByteArrayOutputStream, EOFException, InputStream}
-import java.util.zip.GZIPInputStream
+import java.io.{ByteArrayOutputStream, EOFException, InputStream}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -57,14 +56,11 @@ object WarcCorpus {
     * a desynced scan otherwise "reads headers" through gigabytes. */
   private val MaxHeaderBytes = 1 << 20
 
-  /** Parse every record of one WARC file (plain or record-gzipped).
+  /** Parse every record of one WARC file (plain, record-gzipped, or
+    * whole-file gzip/zstd — [[Unpack]] sniffs the magic).
     * Streaming: safe for payloads up to single-record memory. */
   def parseRecords(path: String, bytes: Array[Byte]): Seq[WarcRow] = {
-    val raw = new ByteArrayInputStream(bytes)
-    val in: InputStream =
-      if (bytes.length >= 2 && (bytes(0) & 0xff) == 0x1f && (bytes(1) & 0xff) == 0x8b)
-        new BufferedInputStream(new GZIPInputStream(raw))
-      else new BufferedInputStream(raw)
+    val in: InputStream = Unpack.stream(bytes)
     val out = Seq.newBuilder[WarcRow]
     val counted = new CountingStream(in)
     var done = false

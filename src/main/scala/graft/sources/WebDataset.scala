@@ -1,7 +1,6 @@
 package graft.sources
 
-import java.io.{BufferedInputStream, ByteArrayInputStream, InputStream}
-import java.util.zip.GZIPInputStream
+import java.io.InputStream
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -31,8 +30,8 @@ import org.apache.spark.sql.functions._
   * the 100-byte ustar name field.
   *
   * Read side: same distribution and quarantine contract as [[TfRecord]]
-  * / [[WarcCorpus]] — one file per task via binaryFile, whole-file gzip
-  * sniffed, one streaming pass; a header-checksum/truncation failure
+  * / [[WarcCorpus]] — one file per task via binaryFile, whole-file gzip/zstd
+  * sniffed ([[Unpack]]), one streaming pass; a header-checksum/truncation failure
   * stops THAT file and emits a `_corrupt` row, keeping every entry
   * parsed before the damage.
   *
@@ -97,11 +96,7 @@ object WebDataset {
   /** Parse all entries of one shard; `Right` = (name, payload) in
     * archive order, `Left` = (entries up to the damage, reason). */
   def decodeEntries(bytes: Array[Byte]): Either[(Seq[(String, Array[Byte])], String), Seq[(String, Array[Byte])]] = {
-    val raw = new ByteArrayInputStream(bytes)
-    val in: InputStream =
-      if (bytes.length >= 2 && (bytes(0) & 0xff) == 0x1f && (bytes(1) & 0xff) == 0x8b)
-        new BufferedInputStream(new GZIPInputStream(raw))
-      else new BufferedInputStream(raw)
+    val in: InputStream = Unpack.stream(bytes)
     val out = Seq.newBuilder[(String, Array[Byte])]
     var idx = 0L
     while (true) {
@@ -151,8 +146,8 @@ object WebDataset {
   final case class WdResult(entries: DataFrame, samples: DataFrame,
                             corrupt: DataFrame)
 
-  /** Read a directory of WebDataset shards (`*.tar*`, whole-file gzip
-    * sniffed). `entries` = (path, idx, key, ext, payload) in archive
+  /** Read a directory of WebDataset shards (`*.tar*`, whole-file
+    * gzip/zstd sniffed). `entries` = (path, idx, key, ext, payload) in archive
     * order; `samples` regroups parts per (path, key) into an
     * ext→payload map (consecutive in a well-formed shard, but grouped
     * by key so a damaged producer interleaving parts still reassembles);

@@ -35,6 +35,12 @@ class TfRecordSpec extends SparkSpec {
     val g = new GZIPOutputStream(bos); g.write(bytes); g.close()
     val Right(gz) = decodeRecords(bos.toByteArray)
     assert(gz.map(_.toSeq) == out.map(_.toSeq))
+    // and whole-file zstd (the other corpus-distribution codec)
+    val zb = new ByteArrayOutputStream()
+    val z = new com.github.luben.zstd.ZstdOutputStream(zb)
+    z.write(bytes); z.close()
+    val Right(zs) = decodeRecords(zb.toByteArray)
+    assert(zs.map(_.toSeq) == out.map(_.toSeq))
   }
 
   test("corruption is localized: records before the damage survive") {

@@ -100,6 +100,18 @@ class WarcSpec extends SparkSpec {
         new String(r.payload, "UTF-8"))))
   }
 
+  test("whole-file zstd parses identically to the plain file") {
+    val plain = parseRecords("f", fileBytes)
+    val bos = new java.io.ByteArrayOutputStream()
+    val z = new com.github.luben.zstd.ZstdOutputStream(bos)
+    z.write(fileBytes); z.close()
+    val zs = parseRecords("f", bos.toByteArray)
+    assert(zs.map(r => (r.warc_type, r.target_uri, r.http_status,
+      new String(r.payload, "UTF-8"))) ==
+      plain.map(r => (r.warc_type, r.target_uri, r.http_status,
+        new String(r.payload, "UTF-8"))))
+  }
+
   test("structural corruption quarantines the file tail, keeps the head") {
     // valid record, then garbage where a version line should be
     val bytes = rec("warcinfo", None, "application/warc-fields",

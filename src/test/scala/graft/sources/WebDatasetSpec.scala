@@ -57,6 +57,16 @@ class WebDatasetSpec extends SparkSpec {
     val g = new GZIPOutputStream(bos); g.write(bytes); g.close()
     val Right(gz) = decodeEntries(bos.toByteArray)
     assert(gz.map(_._2.toSeq) == out.map(_._2.toSeq))
+    // zstd sniffed too, including concatenated frames
+    val zb = new ByteArrayOutputStream()
+    val z1 = new com.github.luben.zstd.ZstdOutputStream(zb)
+    z1.write(bytes.take(1024)); z1.close()
+    val frame1 = zb.toByteArray
+    zb.reset()
+    val z2 = new com.github.luben.zstd.ZstdOutputStream(zb)
+    z2.write(bytes.drop(1024)); z2.close()
+    val Right(zs) = decodeEntries(frame1 ++ zb.toByteArray)
+    assert(zs.map(_._2.toSeq) == out.map(_._2.toSeq))
   }
 
   test("corruption localizes: entries before the damage survive") {
