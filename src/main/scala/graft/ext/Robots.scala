@@ -49,11 +49,10 @@ object Robots {
     * in file order. */
   final case class Group(agents: Seq[String], rules: Seq[Rule])
 
-  /** Parse a robots.txt body into groups. Tolerant of the usual
-    * real-world noise: blank lines, comments, BOM, mixed-case keys,
-    * rules before any user-agent line (ignored, per spec). */
-  def parse(txt: String): Seq[Group] = {
-    val lines = txt.stripPrefix("﻿").split("\n", -1).iterator
+  /** Comment-stripped, trimmed `key: value` lines (keys lowercased) —
+    * the shared line grammar of [[parse]] and [[sitemaps]]. */
+  private def keyValues(txt: String): Seq[(String, String)] =
+    txt.stripPrefix("﻿").split("\n", -1).iterator
       .map(l => l.takeWhile(_ != '#').trim)
       .filter(_.nonEmpty)
       .flatMap { l =>
@@ -62,6 +61,19 @@ object Robots {
         else Some((l.substring(0, i).trim.toLowerCase, l.substring(i + 1).trim))
       }
       .toSeq
+
+  /** The `Sitemap:` URLs of a robots.txt body, in file order — the
+    * crawl-seeding side of the protocol (RFC 9309 carries them as
+    * group-independent records; every real frontier reads them before
+    * fetching a host). Same tolerant line handling as [[parse]]. */
+  def sitemaps(txt: String): Seq[String] =
+    keyValues(txt).collect { case ("sitemap", url) if url.nonEmpty => url }
+
+  /** Parse a robots.txt body into groups. Tolerant of the usual
+    * real-world noise: blank lines, comments, BOM, mixed-case keys,
+    * rules before any user-agent line (ignored, per spec). */
+  def parse(txt: String): Seq[Group] = {
+    val lines = keyValues(txt)
     val groups = Seq.newBuilder[Group]
     var agents = Vector.empty[String]
     var rules = Vector.empty[Rule]

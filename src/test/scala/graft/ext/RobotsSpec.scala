@@ -79,6 +79,20 @@ class RobotsSpec extends SparkSpec {
     assert(Robots.policyFor(txt, "bot").isEmpty)
   }
 
+  test("sitemaps: group-independent records in file order, URL colon intact") {
+    val txt =
+      """Sitemap: https://example.com/sitemap.xml
+        |User-agent: *
+        |Disallow: /x
+        |SITEMAP: https://example.com/news.xml
+        |Sitemap:
+        |""".stripMargin
+    assert(Robots.sitemaps(txt) ==
+      Seq("https://example.com/sitemap.xml", "https://example.com/news.xml"))
+    // sitemap lines never leak into the rule groups
+    assert(Robots.policyFor(txt, "bot").map(_.pattern) == Seq("/x"))
+  }
+
   test("no matching group and no * group means crawl allowed") {
     val txt = "User-agent: othercrawler\nDisallow: /\n"
     assert(ok(txt, "graft", "/x"))

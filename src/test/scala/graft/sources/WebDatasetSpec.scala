@@ -153,6 +153,46 @@ class WebDatasetSpec extends SparkSpec {
     assert(before == after)
   }
 
+  test("streaming export: batch-addressed shards, replay rewrites in place") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-wds-s").toString + "/stream"
+    val input = MemoryStream[(String, String)]
+    var lastRows: Seq[(String, String)] = Nil
+    var lastId = -1L
+    def toSamples(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("key"),
+        array(struct(lit("txt").as("ext"),
+          col("text").cast("binary").as("data"))).as("parts"))
+    val q = input.toDF().toDF("key", "text")
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        writeBatch(toSamples(batch), "key", "parts", dir, id)
+        lastRows = batch.collect().map(r => (r.getString(0), r.getString(1))).toSeq
+        lastId = id
+        ()
+      }.start()
+    try {
+      input.addData("k1" -> "first", "k2" -> "second")
+      q.processAllAvailable()
+      input.addData("k3" -> "third")
+      q.processAllAvailable()
+      def readAll(): Seq[(String, String)] = {
+        val res = read(spark, s"$dir/batch-*")
+        assert(res.corrupt.count() == 0)
+        res.entries.select("key", "payload").collect()
+          .map(r => (r.getString(0), new String(r.getAs[Array[Byte]](1), "UTF-8")))
+          .toSeq.sortBy(_._1)
+      }
+      assert(readAll() == Seq("k1" -> "first", "k2" -> "second", "k3" -> "third"))
+      // replay the last micro-batch: same id, same data -> the batch
+      // directory is rewritten in place, never duplicated
+      writeBatch(toSamples(lastRows.toDF("key", "text")), "key", "parts",
+        dir, lastId)
+      assert(readAll() == Seq("k1" -> "first", "k2" -> "second", "k3" -> "third"))
+    } finally q.stop()
+  }
+
   test("read quarantines a rotted shard but keeps its intact prefix") {
     val outDir = Files.createTempDirectory("wdsrot").toString
     // NIO-written shard (no Hadoop .crc sidecar to trip on the rot)
