@@ -878,6 +878,14 @@ model AS (
     // benchmark-sized sliver), train = the rest; flag train vectors
     // whose max cosine against ANY eval vector clears 0.3 (the fixture
     // embeddings' contaminated tail — ~2% of rows at both test SFs).
+    // INT8 symmetric per-vector quantization over the embeddings table:
+    // scale, position-weighted code fingerprint, saturation census, and
+    // total reconstruction error — all on the shared 1e-6 integer grid.
+    "emb_q8" -> ((s, d) =>
+      Similarity.quantizeInt8(Tables.embeddings(s, d), col("vec_id"),
+          col("embedding"))
+        .orderBy("vec_id")),
+
     "dsem" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       Similarity.decontaminate(
@@ -1150,6 +1158,21 @@ model AS (
       Curation.dedupParagraphs(paraDocs(Tables.documents(s, d)),
           col("text"), col("doc_id"))
         .orderBy("doc_id")),
+
+    // The WITHIN-document half of the paragraph pass: every third doc
+    // re-appends its own first paragraph (the scraper double-render),
+    // and the keep-first-occurrence projection drops the repeat while
+    // cross-document sharing is deliberately left alone.
+    "dd_wd" -> ((s, d) => {
+      val docs = paraDocs(Tables.documents(s, d))
+      val withDup = docs.withColumn("text",
+        when(col("doc_id") % 3 === 0,
+          concat(col("text"), lit("\n\n"),
+            element_at(split(col("text"), "\n\n"), 1)))
+          .otherwise(col("text")))
+      Curation.dedupWithinDoc(withDup, col("text"), col("doc_id"))
+        .orderBy("doc_id")
+    }),
 
     // PII redaction over text salted with deterministic contact strings
     // for 2/3 of documents (the fixture has no digits at all — an
@@ -2978,6 +3001,34 @@ FROM f WHERE width > 0 AND height > 0 ORDER BY media_id"""),
 
     // Same quantized-integer cosine arithmetic as the ann_* oracles;
     // max over the eval sliver, threshold 0.3.
+    // Mirror of quantizeInt8: the 1e-6 grid, round-half-up magnitudes
+    // (all division operands non-negative, so DuckDB's floor // equals
+    // Spark's truncating div), sign reapplied outside.
+    "emb_q8" -> ("""WITH qz AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS xq
+  FROM embeddings
+), mm AS (
+  SELECT vec_id, xq,
+         coalesce(list_max(list_transform(xq, x -> abs(x))), 0) AS mu
+  FROM qz
+), q AS (
+  SELECT vec_id, mu, xq,
+    list_transform(xq, x -> CASE WHEN mu = 0 THEN 0
+      ELSE (CASE WHEN x < 0 THEN -1 ELSE 1 END)
+           * ((abs(x) * 127 + mu // 2) // mu) END) AS q8
+  FROM mm
+)
+SELECT vec_id, CAST(mu AS BIGINT) AS max_um,
+  CAST(coalesce(list_sum(list_transform(range(len(q8)),
+    i -> q8[i+1] * (i+1))), 0) AS BIGINT) AS q8_fp,
+  CAST(len(list_filter(q8, x -> abs(x) = 127)) AS BIGINT) AS n_sat,
+  CAST(coalesce(list_sum(list_transform(xq, x -> CASE WHEN mu = 0 THEN 0
+    ELSE abs(abs(x) - (((abs(x) * 127 + mu // 2) // mu) * mu) // 127)
+    END)), 0) AS BIGINT) AS err_um
+FROM q ORDER BY vec_id"""),
+
     "dsem" -> ("""WITH qz AS (
   SELECT vec_id,
          list_transform(embedding,
@@ -3340,6 +3391,40 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_paras,
          ORDER BY pos), '') AS clean_text
 FROM ph JOIN pf USING (lh)
 GROUP BY doc_id ORDER BY doc_id"""),
+
+    // Mirror of paraDocs + the %3 self-duplication + dedupWithinDoc:
+    // list_filter's 1-based index lambda against list_position is the
+    // keep-first-occurrence rule.
+    "dd_wd" -> (s"""WITH w AS (
+  SELECT doc_id, string_split_regex(trim(text), ' +') AS words FROM documents
+), l AS (
+  SELECT doc_id, list_transform(range((len(words)+2)//3),
+    i -> array_to_string(words[i*3+1:i*3+3], ' ')) AS lns FROM w
+), pd AS (
+  SELECT doc_id,
+    array_to_string(list_transform(range((len(lns)+1)//2),
+      p -> array_to_string(lns[p*2+1:p*2+2], chr(10))), chr(10)||chr(10))
+    || CASE WHEN doc_id % 2 = 0
+         THEN chr(10)||chr(10)||'subscribe to our newsletter'
+              ||chr(10)||'all rights reserved'
+         ELSE '' END AS text
+  FROM l
+), dup AS (
+  SELECT doc_id, CASE WHEN doc_id % 3 = 0
+    THEN text || chr(10)||chr(10)
+         || string_split(text, chr(10)||chr(10))[1]
+    ELSE text END AS text
+  FROM pd
+), segs AS (
+  SELECT doc_id, string_split(text, chr(10)||chr(10)) AS ps FROM dup
+)
+SELECT doc_id, CAST(len(ps) AS BIGINT) AS n_segs,
+       CAST(len(kept) AS BIGINT) AS n_kept,
+       array_to_string(kept, chr(10)||chr(10)) AS clean_text
+FROM (SELECT doc_id, ps,
+        list_filter(ps, (s, i) -> list_position(ps, s) = i) AS kept
+      FROM segs)
+ORDER BY doc_id"""),
 
     // Mirror of piiDocs + Curation.redactPii. Counts on the original
     // text; replacements email -> ip -> phone with the 'g' flag (DuckDB

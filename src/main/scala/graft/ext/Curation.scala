@@ -73,6 +73,27 @@ object Curation {
                       minDocs: Int = 2): DataFrame =
     dedupSegments(df, content, id, minDocs, sep = "\n\n", nCol = "n_paras")
 
+  /** WITHIN-document paragraph dedup — the other half of the Dolma
+    * paragraph pass: [[dedupParagraphs]] drops blocks shared ACROSS
+    * documents; this drops repeats of a block INSIDE one document
+    * (scraper artifacts duplicating a nav block or article body on one
+    * page), keeping each distinct paragraph's FIRST occurrence in
+    * order. Because the unit of work is one row, this is a pure narrow
+    * projection — `filter` with an index lambda against
+    * `array_position` (the first-occurrence test), fully inside
+    * whole-stage codegen, zero shuffles at any corpus size.
+    * Output: (doc_id, n_segs, n_kept, clean_text). */
+  def dedupWithinDoc(df: DataFrame, content: Column, id: Column,
+                     sep: String = "\n\n"): DataFrame =
+    df.select(id.as("doc_id"), split(content, sep).as("__segs"))
+      .select(col("doc_id"),
+        size(col("__segs")).cast("long").as("n_segs"),
+        expr("filter(__segs, (s, i) -> array_position(__segs, s) = " +
+          "CAST(i AS BIGINT) + 1)").as("__kept"))
+      .select(col("doc_id"), col("n_segs"),
+        size(col("__kept")).cast("long").as("n_kept"),
+        concat_ws(sep, col("__kept")).as("clean_text"))
+
   /** Shared segment-dedup core: split on `sep` (kept as a literal-safe
     * regex; both uses are newline runs), count per-segment document
     * frequency with the partial-aggregating groupBy described in

@@ -18,6 +18,41 @@ object Similarity {
   def quantize(emb: Column): Column =
     transform(emb, x => round(x.cast("double") * 1e6).cast("long"))
 
+  /** INT8 symmetric per-vector quantization — the standard 4× storage /
+    * bandwidth compression applied to an embedding corpus before
+    * serving (each vector carries one scale: `q_i = round(127·x_i/m)`,
+    * `m = max|x|`). Computed entirely on the shared 1e-6 integer grid
+    * so both engines agree bit-for-bit: `xq = round(x·1e6)`,
+    * `m = max|xq|`, magnitudes quantize as
+    * `qa = (127·|xq| + m div 2) div m` (round-half-up on non-negative
+    * integers — floor = truncation in both engines), sign reapplied
+    * outside the division. A zero vector quantizes to zeros.
+    *
+    * Output per vector: `max_um` (the scale, 1e-6 units), `q8_fp` (the
+    * position-weighted code fingerprint `Σ q_i·(i+1)` — pins every code
+    * exactly without shipping the array through the oracle compare),
+    * `n_sat` (codes at ±127 — the saturation census), and `err_um`
+    * (total reconstruction error `Σ | |xq| − (qa·m) div 127 |` in 1e-6
+    * units — the quality number a deployment tracks per corpus slice).
+    * A pure narrow projection: HOF arithmetic inside whole-stage
+    * codegen, zero shuffles, scan-speed at any corpus size. */
+  def quantizeInt8(df: DataFrame, id: Column, emb: Column): DataFrame =
+    df.select(id.as("vec_id"), quantize(emb).as("__xq"))
+      .withColumn("max_um",
+        coalesce(array_max(transform(col("__xq"), x => abs(x))), lit(0L)))
+      .withColumn("__q8", expr(
+        "transform(__xq, x -> CASE WHEN max_um = 0 THEN 0L ELSE " +
+          "(CASE WHEN x < 0 THEN -1L ELSE 1L END) * " +
+          "((abs(x) * 127 + max_um div 2) div max_um) END)"))
+      .select(col("vec_id"), col("max_um"),
+        expr("aggregate(transform(__q8, (q, i) -> q * (CAST(i AS BIGINT) + 1))," +
+          " 0L, (a, x) -> a + x)").as("q8_fp"),
+        expr("CAST(size(filter(__q8, q -> abs(q) = 127)) AS BIGINT)")
+          .as("n_sat"),
+        expr("aggregate(__xq, 0L, (a, x) -> a + CASE WHEN max_um = 0 THEN 0L " +
+          "ELSE abs(abs(x) - (((abs(x) * 127 + max_um div 2) div max_um) " +
+          "* max_um) div 127) END)").as("err_um"))
+
   /** Embedding HYGIENE — the validation pass every corpus runs before
     * feeding vectors to an index build (a single wrong-width, zero, or
     * non-finite vector poisons codebook training and distance ranking

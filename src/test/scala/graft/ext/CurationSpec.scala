@@ -9,6 +9,25 @@ class CurationSpec extends SparkSpec with org.scalatest.BeforeAndAfterEach {
 
   override def afterEach(): Unit = graft.CacheScope.release()
 
+  test("dedupWithinDoc keeps first occurrences in order, cross-doc repeats untouched") {
+    val docs = Seq(
+      (1L, "a b\n\nc d\n\na b\n\ne"), // repeat of its own first block
+      (2L, "a b\n\nx"),               // shares "a b" with doc 1: kept (not within-doc)
+      (3L, "x\n\n\n\nx")              // empty middle segment, repeat tail
+    ).toDF("doc_id", "text")
+    val out = Curation.dedupWithinDoc(docs, $"text", $"doc_id")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out.toSeq == Seq(
+      (1L, 4L, 3L, "a b\n\nc d\n\ne"),
+      (2L, 2L, 2L, "a b\n\nx"),
+      (3L, 3L, 2L, "x\n\n")))
+    // narrow: the whole pass is a projection
+    val p = Curation.dedupWithinDoc(docs, $"text", $"doc_id")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange") && !p.contains("Join"), p)
+  }
+
   test("dedupLines drops corpus-shared lines, keeps order, survives empties") {
     val docs = Seq(
       (1L, "shared line\nunique one"),

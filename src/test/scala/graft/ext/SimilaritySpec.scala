@@ -678,4 +678,27 @@ class SimilaritySpec extends SparkSpec {
       assert(got == Seq(1L, 5L))
     } finally q.stop()
   }
+
+  test("quantizeInt8: hand arithmetic, saturation, zero vector, plan narrow") {
+    import org.apache.spark.sql.functions.col
+    // xq = [500000, -1000000, 250000, 0], m = 1e6:
+    //   qa(500000)  = (63500000 + 500000) div 1e6 = 64, recon 503937, err 3937
+    //   qa(1000000) = 127 (saturated), recon exact
+    //   qa(250000)  = (31750000 + 500000) div 1e6 = 32, recon 251968, err 1968
+    // fp = 64*1 - 127*2 + 32*3 + 0*4 = -94
+    val df = Seq(
+      (1L, Seq(0.5f, -1.0f, 0.25f, 0.0f)),
+      (2L, Seq(0.0f, 0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.quantizeInt8(df, col("vec_id"), col("embedding"))
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(out.toSeq == Seq(
+      (1L, 1000000L, -94L, 1L, 3937L + 1968L),
+      (2L, 0L, 0L, 0L, 0L))) // zero vector: all-zero codes, no error
+    // narrow: no exchange, no join — scan-speed compression
+    val plan = Similarity.quantizeInt8(df, col("vec_id"), col("embedding"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Join"), plan)
+  }
 }
