@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Curation, Dedup, Multimodal, Packing, Sampling, Similarity, TextAnalysis, Unigram, WordPiece}
+import graft.ext.{Curation, Dedup, Graph, Multimodal, Packing, Sampling, Similarity, TextAnalysis, Unigram, WordPiece}
 
 /** LLM-data-pipeline extensions over `documents` / `embeddings`:
   * dedup (exact, n-gram Jaccard, MinHash+LSH, SimHash), similarity
@@ -885,6 +885,42 @@ model AS (
       Similarity.quantizeInt8(Tables.embeddings(s, d), col("vec_id"),
           col("embedding"))
         .orderBy("vec_id")),
+
+    // 1-bit binary-quantized retrieval: sign-binarize the corpus, then
+    // Hamming top-3 for the probe slice (vec_id % 100 == 0) against the
+    // rest — the 32x-compressed coarse-ranking tier below emb_q8.
+    "emb_b1" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.hammingTopK(emb.where(col("vec_id") % 100 =!= 0),
+          emb.where(col("vec_id") % 100 === 0), "vec_id", "embedding",
+          k = 3)
+        .orderBy("q_id", "rnk")
+    }),
+
+    // BM25 lexical retrieval: four fixed 3-term queries over the
+    // corpus vocabulary, top-10 documents each, exact-integer scoring
+    // (bit-length idf, cross-multiplied k1/b saturation term).
+    "t_bm25" -> ((s, d) =>
+      TextAnalysis.bm25TopK(Tables.documents(s, d), col("text"),
+          col("doc_id"),
+          Seq(0L -> "spark window join", 1L -> "hash table scan",
+            2L -> "stream batch merge", 3L -> "vector query filter"),
+          k = 10)
+        .orderBy("q_id", "rnk")),
+
+    // Integer PageRank over the synthetic crawl graph (4 out-links per
+    // doc via fixed LCG-style maps, each a permutation of the id space
+    // at the fixture sizes): 5 synchronous sweeps on the 1e12 grid.
+    "prank" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      val edges = docs.crossJoin(
+          broadcast(docs.agg(count(lit(1)).as("__n"))))
+        .select(col("doc_id").as("src"), explode(expr(
+          "transform(sequence(0, 3), k -> " +
+            "(doc_id * 48271 + 1299721 * CAST(k AS BIGINT) + 17) % __n)"))
+          .as("dst"))
+      Graph.pageRank(edges, iters = 5).orderBy("node")
+    }),
 
     "dsem" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
@@ -3028,6 +3064,127 @@ SELECT vec_id, CAST(mu AS BIGINT) AS max_um,
     ELSE abs(abs(x) - (((abs(x) * 127 + mu // 2) // mu) * mu) // 127)
     END)), 0) AS BIGINT) AS err_um
 FROM q ORDER BY vec_id"""),
+
+    // Mirror of Similarity.binarize1Bit + hammingTopK: sign bits on the
+    // 1e-6 grid packed little-endian into two non-negative 32-bit
+    // halves, probe slice vec_id % 100 = 0 vs the rest, Hamming top-3
+    // per probe with vec_id tie-break.
+    "emb_b1" -> ("""WITH qz AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS xq
+  FROM embeddings
+), bits AS (
+  SELECT vec_id,
+    CAST(coalesce(list_sum(list_transform(range(32, 64),
+      i -> CASE WHEN xq[i+1] > 0 THEN CAST(1 AS BIGINT) << (i - 32)
+           ELSE 0 END)), 0) AS BIGINT) AS b_hi,
+    CAST(coalesce(list_sum(list_transform(range(32),
+      i -> CASE WHEN xq[i+1] > 0 THEN CAST(1 AS BIGINT) << i
+           ELSE 0 END)), 0) AS BIGINT) AS b_lo
+  FROM qz
+), pr AS (
+  SELECT vec_id AS q_id, b_hi AS qhi, b_lo AS qlo
+  FROM bits WHERE vec_id % 100 = 0
+), hm AS (
+  SELECT pr.q_id, tr.vec_id,
+         CAST(bit_count(xor(tr.b_hi, pr.qhi))
+            + bit_count(xor(tr.b_lo, pr.qlo)) AS BIGINT) AS ham
+  FROM (SELECT * FROM bits WHERE vec_id % 100 <> 0) tr
+  CROSS JOIN pr
+)
+SELECT q_id, rnk, vec_id, ham FROM (
+  SELECT q_id, vec_id, ham,
+         row_number() OVER (PARTITION BY q_id ORDER BY ham, vec_id) AS rnk
+  FROM hm)
+WHERE rnk <= 3 ORDER BY q_id, rnk"""),
+
+    // Mirror of TextAnalysis.bm25TopK: bit-length Robertson idf,
+    // cross-multiplied k1=1.2 / b=0.75 saturation term in exact
+    // micro-units, top-10 per query with doc_id tie-break.
+    "t_bm25" -> ("""WITH qt AS (
+  SELECT CAST(q_id AS BIGINT) AS q_id, term FROM (VALUES
+    (0, 'spark'), (0, 'window'), (0, 'join'),
+    (1, 'hash'), (1, 'table'), (1, 'scan'),
+    (2, 'stream'), (2, 'batch'), (2, 'merge'),
+    (3, 'vector'), (3, 'query'), (3, 'filter')) AS t(q_id, term)
+), w AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), ' +') AS ws
+  FROM documents
+), d AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl FROM w),
+st AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(dl) AS BIGINT) AS s_len
+  FROM d
+), tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(ws) AS term FROM w)
+  WHERE term IN (SELECT term FROM qt)
+  GROUP BY 1, 2
+), dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+sc AS (
+  SELECT qt.q_id, tf.doc_id,
+    sum( CAST(length(bin((2*st.n_docs - 2*dfq.df + 1) // (2*dfq.df + 1)))
+           AS BIGINT)
+       * ((2200000000 * st.s_len * tf.tf) //
+          (1000 * st.s_len * tf.tf + 300 * st.s_len
+           + 900 * d.dl * st.n_docs)) ) AS score
+  FROM tf JOIN dfq USING (term) JOIN qt USING (term)
+  JOIN d USING (doc_id) CROSS JOIN st
+  GROUP BY 1, 2
+)
+SELECT q_id, rnk, doc_id, CAST(score AS BIGINT) AS score FROM (
+  SELECT q_id, doc_id, score,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY score DESC, doc_id) AS rnk
+  FROM sc)
+WHERE rnk <= 10 ORDER BY q_id, rnk"""),
+
+    // Mirror of Graph.pageRank over the synthetic 4-out-link crawl
+    // graph: five unrolled synchronous sweeps, all-integer (teleport
+    // 15% of the 1e12 grid, damped in-mass (x*85)//100, per-edge
+    // contribution rank//outdeg).
+    "prank" -> ("""WITH n AS (SELECT count(*) AS n FROM documents),
+e AS (
+  SELECT doc_id AS src,
+         (doc_id * 48271 + 1299721 * k + 17) % n.n AS dst
+  FROM documents CROSS JOIN n
+  CROSS JOIN (SELECT unnest(range(4)) AS k) ks
+), od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
+nd AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+r0 AS (SELECT node, CAST(1000000000000 AS BIGINT) AS r FROM nd),
+r1 AS (
+  SELECT nd.node, 150000000000 + coalesce(s.inm, 0) * 85 // 100 AS r
+  FROM nd LEFT JOIN (
+    SELECT e.dst AS node, sum(r0.r // od.outdeg) AS inm
+    FROM e JOIN od USING (src) JOIN r0 ON r0.node = e.src
+    GROUP BY 1) s USING (node)
+), r2 AS (
+  SELECT nd.node, 150000000000 + coalesce(s.inm, 0) * 85 // 100 AS r
+  FROM nd LEFT JOIN (
+    SELECT e.dst AS node, sum(r1.r // od.outdeg) AS inm
+    FROM e JOIN od USING (src) JOIN r1 ON r1.node = e.src
+    GROUP BY 1) s USING (node)
+), r3 AS (
+  SELECT nd.node, 150000000000 + coalesce(s.inm, 0) * 85 // 100 AS r
+  FROM nd LEFT JOIN (
+    SELECT e.dst AS node, sum(r2.r // od.outdeg) AS inm
+    FROM e JOIN od USING (src) JOIN r2 ON r2.node = e.src
+    GROUP BY 1) s USING (node)
+), r4 AS (
+  SELECT nd.node, 150000000000 + coalesce(s.inm, 0) * 85 // 100 AS r
+  FROM nd LEFT JOIN (
+    SELECT e.dst AS node, sum(r3.r // od.outdeg) AS inm
+    FROM e JOIN od USING (src) JOIN r3 ON r3.node = e.src
+    GROUP BY 1) s USING (node)
+), r5 AS (
+  SELECT nd.node, 150000000000 + coalesce(s.inm, 0) * 85 // 100 AS r
+  FROM nd LEFT JOIN (
+    SELECT e.dst AS node, sum(r4.r // od.outdeg) AS inm
+    FROM e JOIN od USING (src) JOIN r4 ON r4.node = e.src
+    GROUP BY 1) s USING (node)
+)
+SELECT node, CAST(r AS BIGINT) AS rank_pu FROM r5 ORDER BY node"""),
 
     "dsem" -> ("""WITH qz AS (
   SELECT vec_id,

@@ -1,0 +1,68 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Link-graph analytics over edge frames — the crawl-graph side of a
+  * corpus curation pipeline (page authority feeds source weighting and
+  * frontier prioritization alongside the text-quality gates).
+  *
+  * Integer discipline: ranks live on a fixed per-unit grid (`scale`
+  * micro-units of mass per node at t=0) and every update is integer
+  * arithmetic — `div` for the out-degree split and the damping ratio —
+  * so the result is EXACT under any partitioning, any engine, any
+  * summation order, and a DuckDB oracle can replay it term-for-term.
+  */
+object Graph {
+
+  /** PageRank with damping d = 85/100 over `iters` synchronous sweeps,
+    * entirely on the integer grid.
+    *
+    * Update rule per node v:
+    * {{{
+    *   r₀(v)    = scale
+    *   r₊(v)    = scale·15/100  +  (Σ_{u→v} r(u) div outdeg(u)) · 85 div 100
+    * }}}
+    * Nodes with no in-links keep the bare teleport term; out-degree-0
+    * (dangling) nodes contribute nothing — their mass decays toward the
+    * teleport floor rather than being redistributed (the sink-drop
+    * variant; deterministic, and the variant a SQL oracle can replay
+    * without a global dangling-mass broadcast term).
+    *
+    * Scale shape: `edges` shuffles ONCE onto `src` for the out-degree
+    * join, and that co-partitioned frame drives every iteration; each
+    * sweep is then one shuffle-join rank⋈edges (both sides keyed) plus
+    * one partial-aggregated `groupBy(dst)` — the canonical distributed
+    * PageRank step, no driver-side state, no per-iteration re-read of
+    * the edge list. `scale` bounds the arithmetic: with in-mass ≤
+    * N·scale, `N·scale·85` must fit a signed 64-bit long — the default
+    * 10¹² grid is good to ~10⁵ nodes per strongly-connected mass
+    * concentration; drop to 10⁹ for billion-node graphs.
+    *
+    * Output: (node BIGINT, rank_pu BIGINT) — rank in `scale`-units.
+    */
+  def pageRank(edges: DataFrame, iters: Int = 5,
+      scale: Long = 1000000000000L): DataFrame = {
+    require(iters >= 0 && scale >= 100L && scale % 100L == 0L,
+      "scale must be a positive multiple of 100 (exact damping split)")
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"))
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    // out-degree rides WITH the edge rows (one co-partitioned join,
+    // reused by every sweep) so the per-iteration work is join + agg
+    val ed = e.join(e.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
+    val teleport = scale / 100L * 15L
+    var ranks = nodes.select(col("node"), lit(scale).as("rank_pu"))
+    for (_ <- 1 to iters) {
+      val contrib = ed.join(ranks, ed("src") === ranks("node"))
+        .select(col("dst").as("node"), expr("rank_pu div outdeg").as("c"))
+        .groupBy("node").agg(sum("c").as("inm"))
+      ranks = nodes.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (lit(teleport) + expr("coalesce(inm, CAST(0 AS BIGINT)) * 85 div 100"))
+            .as("rank_pu"))
+    }
+    ranks
+  }
+}

@@ -53,6 +53,63 @@ object Similarity {
           "ELSE abs(abs(x) - (((abs(x) * 127 + max_um div 2) div max_um) " +
           "* max_um) div 127) END)").as("err_um"))
 
+  /** 1-BIT sign binarization — the 32× compression tier below
+    * [[quantizeInt8]] (binary-quantized retrieval: Hamming distance
+    * over sign bits ranks by approximate angle, the standard coarse
+    * pass before an exact or int8 rerank). Signs are taken on the
+    * shared 1e-6 integer grid (`round(x·1e6) > 0` — a component that
+    * rounds to 0 binarizes to 0), and the bit-vector packs LITTLE-
+    * ENDIAN into two non-negative 32-bit halves so no arithmetic ever
+    * touches a long's sign bit in either engine:
+    * `b_lo = Σ_{i<32} bit_i·2^i`, `b_hi = Σ_{32≤i<64} bit_i·2^(i−32)`.
+    * Dimensions beyond 64 are rejected; shorter vectors leave the high
+    * bits 0. A pure narrow projection — HOF arithmetic in whole-stage
+    * codegen, zero shuffles, scan-speed at any corpus size.
+    *
+    * Output: (vec_id, b_hi, b_lo, n_pos) — n_pos the popcount, the
+    * balance census a deployment tracks (sign bits near 50/50 keep
+    * Hamming distances discriminative). */
+  def binarize1Bit(df: DataFrame, id: Column, emb: Column): DataFrame =
+    df.select(id.cast("long").as("vec_id"), quantize(emb).as("__xq"))
+      .select(col("vec_id"),
+        expr("CASE WHEN size(__xq) > 64 THEN " +
+          "raise_error('binarize1Bit: dim > 64') ELSE " +
+          "aggregate(transform(slice(__xq, 33, 32), (x, i) -> " +
+          "CASE WHEN x > 0 THEN shiftleft(CAST(1 AS BIGINT), i) " +
+          "ELSE CAST(0 AS BIGINT) END), CAST(0 AS BIGINT), (a, b) -> a + b) " +
+          "END").as("b_hi"),
+        expr("aggregate(transform(slice(__xq, 1, 32), (x, i) -> " +
+          "CASE WHEN x > 0 THEN shiftleft(CAST(1 AS BIGINT), i) " +
+          "ELSE CAST(0 AS BIGINT) END), CAST(0 AS BIGINT), (a, b) -> a + b)")
+          .as("b_lo"),
+        expr("CAST(size(filter(__xq, x -> x > 0)) AS BIGINT)").as("n_pos"))
+
+  /** Brute-force HAMMING top-k over [[binarize1Bit]] codes — binary-
+    * quantized retrieval's coarse ranking pass. Both frames binarize
+    * first (64 bits = 16 bytes/vector), the query batch rides a
+    * BROADCAST nested loop against the corpus scan — at 10⁹ corpus
+    * vectors the probe side streams 16-byte codes at memory bandwidth
+    * with two XOR+popcount ops per pair, no shuffle of the corpus —
+    * and the per-query top-k is a `row_number` window Spark executes
+    * as a partial WindowGroupLimit. Ties break by vec_id, so the
+    * result is total. Output: (q_id, rnk, vec_id, ham). */
+  def hammingTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      embCol: String, k: Int = 10): DataFrame = {
+    val tb = binarize1Bit(corpus, col(idCol), col(embCol))
+    val qb = binarize1Bit(queries, col(idCol), col(embCol))
+      .select(col("vec_id").as("q_id"), col("b_hi").as("__qhi"),
+        col("b_lo").as("__qlo"))
+    val ham = tb.crossJoin(org.apache.spark.sql.functions.broadcast(qb))
+      .select(col("q_id"), col("vec_id"),
+        expr("CAST(bit_count(b_hi ^ __qhi) + bit_count(b_lo ^ __qlo) " +
+          "AS BIGINT)").as("ham"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("ham").asc, col("vec_id").asc)
+    ham.withColumn("rnk", row_number().over(win).cast("long"))
+      .where(col("rnk") <= k)
+      .select("q_id", "rnk", "vec_id", "ham")
+  }
+
   /** Embedding HYGIENE — the validation pass every corpus runs before
     * feeding vectors to an index build (a single wrong-width, zero, or
     * non-finite vector poisons codebook training and distance ranking

@@ -862,6 +862,74 @@ object TextAnalysis {
           " dupline_char_pm <= 200 and duppar_char_pm <= 200"))
   }
 
+  /** BM25 top-k retrieval for a fixed query batch — the lexical-search
+    * workhorse (Robertson & Spärck Jones probabilistic relevance; the
+    * Lucene/Elasticsearch default) recast on the exact-integer grid so
+    * a DuckDB oracle replays every term:
+    *
+    *  - `idf_bits(t) = bitlen((2N − 2df + 1) div (2df + 1))` — the
+    *    Robertson idf's log₂ taken as a bit length (the same
+    *    `length(bin(..))` surprisal quantization [[nbScore]] and
+    *    [[lmScore]] use), never negative, 0 for terms in over half the
+    *    corpus;
+    *  - `tfq(t,d) = 2 200 000 000·S·tf div (1000·S·tf + 300·S +
+    *    900·dl·N)` — the k₁=1.2, b=0.75 saturation term with
+    *    `avgdl = S/N` cleared of division by cross-multiplying (S =
+    *    total corpus words, dl = document words), in exact micro-units;
+    *  - `score(q,d) = Σ_t idf_bits·tfq`, ties broken by doc_id.
+    *
+    * Scale shape: the query batch is caller-provided and tiny, so its
+    * term table rides a BROADCAST and the corpus-side explode filters
+    * to query terms with a literal `isin` BEFORE any shuffle — the
+    * "postings" frame is (matched term, doc) sized, not corpus-word
+    * sized. df and the (N, S) stamps are one partial-agg each; the
+    * final top-k is a `row_number` window Spark executes as a partial
+    * WindowGroupLimit (per-partition top-k before the per-query
+    * shuffle). Long bounds: 2 200 000 000·S·tf must fit 2⁶³ — good to
+    * ~10⁸ corpus words per retrieval shard at tf ≤ 40; shard or drop
+    * the micro-scale one decade for larger corpora.
+    *
+    * Output: (q_id, rnk, doc_id, score) — `rnk` 1-based per query. */
+  def bm25TopK(docs: DataFrame, content: Column, id: Column,
+      queries: Seq[(Long, String)], k: Int = 10): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    require(queries.nonEmpty, "bm25TopK: empty query batch")
+    val qt = queries.flatMap { case (qid, q) =>
+      q.trim.toLowerCase.split("\\s+").toSeq.filter(_.nonEmpty)
+        .distinct.map(t => (qid, t))
+    }.toDF("q_id", "term")
+    val termSet = queries.flatMap(_._2.trim.toLowerCase.split("\\s+"))
+      .filter(_.nonEmpty).distinct
+    val w = docs.select(id.cast("long").as("doc_id"),
+        split(trim(lower(content)), " +").as("__ws"))
+      .select(col("doc_id"), size(col("__ws")).cast("long").as("dl"),
+        col("__ws"))
+    val stamps = w.agg(count(lit(1)).as("n_docs"), sum("dl").as("s_len"))
+    val tf = w.select(col("doc_id"), col("dl"),
+        explode(col("__ws")).as("term"))
+      .where(col("term").isin(termSet: _*))
+      .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = tf
+      .join(broadcast(dfreq), "term")
+      .join(broadcast(qt), "term")
+      .crossJoin(broadcast(stamps))
+      .withColumn("__idfb",
+        length(bin(expr("(2*n_docs - 2*df + 1) div (2*df + 1)")))
+          .cast("long"))
+      .withColumn("__tfq", expr(
+        "2200000000 * s_len * tf div " +
+          "(1000 * s_len * tf + 300 * s_len + 900 * dl * n_docs)"))
+      .groupBy("q_id", "doc_id")
+      .agg(sum(expr("__idfb * __tfq")).as("score"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("score").desc, col("doc_id").asc)
+    scored.withColumn("rnk", row_number().over(win).cast("long"))
+      .where(col("rnk") <= k)
+      .select("q_id", "rnk", "doc_id", "score")
+  }
+
   def fingerprint(df: DataFrame, content: Column, id: Column,
                   k: Int = 3): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)

@@ -701,4 +701,50 @@ class SimilaritySpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange") && !plan.contains("Join"), plan)
   }
+
+  test("binarize1Bit packs sign bits little-endian into two safe halves") {
+    // dim 34: component 31 sets the TOP bit of b_lo (2^31 — still
+    // positive in a long), component 33 sets bit 1 of b_hi; a +1e-7
+    // component rounds to 0 on the 1e-6 grid and binarizes to 0.
+    val v34 = Array.fill(34)(-1.0f)
+    v34(31) = 1.0f; v34(33) = 0.3f
+    val df = Seq(
+      (1L, Seq(0.5f, -0.2f, 1e-7f)),
+      (2L, v34.toSeq)).toDF("vec_id", "embedding")
+    val out = Similarity.binarize1Bit(df, $"vec_id", $"embedding")
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (1L, 0L, 1L, 1L),
+      (2L, 2L, 2147483648L, 2L)))
+    // narrow: no exchange, no join — scan-speed binarization
+    val plan = Similarity.binarize1Bit(df, $"vec_id", $"embedding")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Join"), plan)
+  }
+
+  test("binarize1Bit rejects > 64 dimensions") {
+    val df = Seq((1L, Seq.fill(65)(1.0f))).toDF("vec_id", "embedding")
+    intercept[Exception] {
+      Similarity.binarize1Bit(df, $"vec_id", $"embedding").collect()
+    }
+  }
+
+  test("hammingTopK ranks by exact popcount distance, vec_id tie-break") {
+    // q = (+,+,-,-) → lo=3. c1 identical (ham 0), c2 = (+,-,-,+) →
+    // lo=9, 3^9=10 → ham 2, c3 = (-,-,+,+) → lo=12 → ham 4.
+    def v(s: Int*) = s.map(_.toFloat)
+    val corpus = Seq((1L, v(1, 1, -1, -1)), (2L, v(1, -1, -1, 1)),
+      (3L, v(-1, -1, 1, 1))).toDF("vec_id", "embedding")
+    val probes = Seq((9L, v(1, 1, -1, -1))).toDF("vec_id", "embedding")
+    val out = Similarity.hammingTopK(corpus, probes, "vec_id", "embedding",
+        k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(out.toSeq == Seq((9L, 1L, 1L, 0L), (9L, 2L, 2L, 2L)))
+    // the corpus side never shuffles: probe batch broadcasts
+    val plan = Similarity.hammingTopK(corpus, probes, "vec_id",
+      "embedding", k = 2).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
 }

@@ -558,4 +558,47 @@ class TextAnalysisSpec extends SparkSpec {
       .collect().map(r => (r.getInt(1), r.getBoolean(9)))
     assert(out.toSeq == Seq((8, false))) // 8 words < 50, all else green
   }
+
+  // --- bm25TopK: N=5, S=12; every score hand-computed on the grid.
+  //   df(apple)=1 → idf_bits = bitlen(9 div 3 = 3)  = 2
+  //   df(cherry)=2 → idf_bits = bitlen(7 div 5 = 1) = 1
+  //   df(banana)=3 → idf_bits = bitlen(5 div 7 = 0) = 1  (len(bin(0)))
+  //   tfq(d0,apple,tf2,dl3) = 52 800 000 000 div 41 100 = 1 284 671
+  //   tfq(d1,cherry,tf1,dl2) = 26 400 000 000 div 24 600 = 1 073 170
+  //   tfq(d2,cherry,tf3,dl3) = 79 200 000 000 div 53 100 = 1 491 525
+  //   tfq(d0,banana,tf1,dl3) = 26 400 000 000 div 29 100 =   907 216
+  private def bm25Docs = Seq(
+    (0L, "apple banana apple"), (1L, "banana cherry"),
+    (2L, "cherry cherry cherry"), (3L, "banana date"), (4L, "date fig"))
+    .toDF("doc_id", "text")
+
+  test("bm25TopK replays the hand-computed integer scores and ranking") {
+    val out = TextAnalysis.bm25TopK(bm25Docs, $"text", $"doc_id",
+        Seq(7L -> "apple cherry"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(out.toSeq === Seq(
+      (7L, 1L, 0L, 2L * 1284671L),
+      (7L, 2L, 2L, 1491525L),
+      (7L, 3L, 1L, 1073170L)))
+  }
+
+  test("bm25TopK: k caps per query and score ties break by doc_id") {
+    // banana: d1 and d3 tie exactly (tf 1, dl 2) → doc_id order; d0's
+    // longer doc scores lower; k=2 cuts it.
+    val out = TextAnalysis.bm25TopK(bm25Docs, $"text", $"doc_id",
+        Seq(8L -> "banana"), k = 2)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq === Seq((1L, 1L, 1073170L), (2L, 3L, 1073170L)))
+  }
+
+  test("bm25TopK scores multiple queries independently in one pass") {
+    val out = TextAnalysis.bm25TopK(bm25Docs, $"text", $"doc_id",
+        Seq(7L -> "apple cherry", 8L -> "banana"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.count(_._1 == 7L) === 3)
+    assert(out.count(_._1 == 8L) === 3)
+    assert(out.filter(_._1 == 8L).map(x => (x._2, x._3)).toSeq ===
+      Seq((1L, 1L), (2L, 3L), (3L, 0L)))
+  }
 }
