@@ -402,7 +402,10 @@ object Bench {
         if (kept.isEmpty) ""
         else kept.map { case (k, v) => s"${jstr(k)}:${jnum(v)}" }
           .mkString(""","rerun":{""", ",", "}")
-      s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs$errPart$rerunPart,"cpus":$cpus,"sf":${jstr(sfName)}}"""
+      // "cpus" dropped from the line (r15): the driver stamps its own
+      // cpus field on the artifact, and the 10 chars buy ~1 query of
+      // name budget under the 2000-char tail window
+      s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs$errPart$rerunPart,"sf":${jstr(sfName)}}"""
     }
     // degrade order: shrink the rerun audit first (all -> 5 -> 2),
     // then the error samples one by one (rerun-free) — measurements

@@ -76,9 +76,9 @@ object CoreQueries {
 
   val queries: Map[String, Q] = Map(
     // — A. write-path derivations (SURVEY §2.A) —
-    "a5_sum" -> ((s, d) => Tables.summaries(s, d).orderBy("id")),
-    "a6_ati" -> ((s, d) => Tables.ati(s, d).orderBy("account", "summary")),
-    "a6_cti" -> ((s, d) => Tables.cti(s, d).orderBy("index", "subindex", "summary")),
+    "a5s" -> ((s, d) => Tables.summaries(s, d).orderBy("id")),
+    "a6a" -> ((s, d) => Tables.ati(s, d).orderBy("account", "summary")),
+    "a6c" -> ((s, d) => Tables.cti(s, d).orderBy("index", "subindex", "summary")),
     "a7c" -> ((s, d) =>
       Tables.cis2Tokens(s, d).orderBy("index", "subindex", "token_id")),
     "a8k" -> ((s, d) =>
@@ -124,7 +124,7 @@ object CoreQueries {
       Tables.ati(s, d).select("account").distinct().orderBy("account")),
 
     // — B. read surface (SURVEY §2.B) —
-    "b1_asc" -> ((s, d) =>
+    "b1a" -> ((s, d) =>
       QueryApi.accountTransactions(Tables.ati(s, d), Tables.summaries(s, d),
         lit(Account), 0L, Some(50), ascending = true)),
     "b2d" -> ((s, d) =>
@@ -133,31 +133,31 @@ object CoreQueries {
     // B1/B2 through the SERVING mirrors (bucketed btree analog) — same
     // oracle as the scan-based rows; the spec-level pruning/zero-Exchange
     // claims live in ServingPageSpec.
-    "b1_srv" -> ((s, d) => {
+    "b1s" -> ((s, d) => {
       val (atiM, sumM) = graft.sources.ServingMirrors.atiSummaries(s, d)
       QueryApi.accountPageServed(atiM, sumM, lit(Account), 0L, 50,
         ascending = true)
     }),
-    "b2_srv" -> ((s, d) => {
+    "b2s" -> ((s, d) => {
       val (atiM, sumM) = graft.sources.ServingMirrors.atiSummaries(s, d)
       QueryApi.accountPageServed(atiM, sumM, lit(Account), MaxId, 50,
         ascending = false)
     }),
-    "b3_srv" -> ((s, d) => {
+    "b3s" -> ((s, d) => {
       val (ctiM, sumM) = graft.sources.ServingMirrors.ctiSummaries(s, d)
       QueryApi.contractPageServed(ctiM, sumM, CIdx, CSub, 0L, 50,
         ascending = true)
     }),
-    "b3_asc" -> ((s, d) =>
+    "b3a" -> ((s, d) =>
       QueryApi.contractTransactions(Tables.cti(s, d), Tables.summaries(s, d),
         CIdx, CSub, 0L, Some(50), ascending = true)),
     "b3d" -> ((s, d) =>
       QueryApi.contractTransactions(Tables.cti(s, d), Tables.summaries(s, d),
         CIdx, CSub, MaxId, Some(50), ascending = false)),
-    "b4_ita" -> ((s, d) =>
+    "b4a" -> ((s, d) =>
       QueryApi.accountTransactions(Tables.ati(s, d), Tables.summaries(s, d),
         lit(Account), 0L, None, ascending = true)),
-    "b4_itc" -> ((s, d) =>
+    "b4c" -> ((s, d) =>
       QueryApi.contractTransactions(Tables.cti(s, d), Tables.summaries(s, d),
         CIdx, CSub, 0L, None, ascending = true)),
     "b5r" -> ((s, d) =>
@@ -204,7 +204,7 @@ object CoreQueries {
            END as summary""")
       QueryApi.decodeRowsDeep(feed).orderBy("id")
     }),
-    "b5_str" -> ((s, d) =>
+    "b5s" -> ((s, d) =>
       QueryApi.decodeRowsStrict(Tables.summaries(s, d)).orderBy("id")),
     "b6k" -> ((s, d) =>
       QueryApi.topKPerAccount(Tables.ati(s, d), 3).orderBy("account", "rn")),
@@ -230,11 +230,11 @@ object CoreQueries {
   )
 
   val oracles: Map[String, String] = Map(
-    "a5_sum" -> (cte +
+    "a5s" -> (cte +
       """SELECT id, block, "timestamp", height, summary FROM summaries ORDER BY id"""),
-    "a6_ati" -> (cte +
+    "a6a" -> (cte +
       "SELECT account, summary FROM ati ORDER BY account, summary"),
-    "a6_cti" -> (cte +
+    "a6c" -> (cte +
       """SELECT "index", subindex, summary FROM cti ORDER BY "index", subindex, summary"""),
     "a7c" -> (cte +
       """SELECT "index", subindex, token_id, total_supply FROM cis2_tokens ORDER BY "index", subindex, token_id"""),
@@ -259,7 +259,7 @@ FROM events WHERE event_type IN ('purchase', 'click')
 ORDER BY height, seq_in_block""",
     "a12s" -> (cte +
       "SELECT DISTINCT account FROM ati ORDER BY account"),
-    "b1_asc" -> (cte + s"""
+    "b1a" -> (cte + s"""
 SELECT s.id, s.block, s."timestamp", s.height, s.summary
 FROM ati JOIN summaries s ON ati.summary = s.id
 WHERE ati.account = $Account AND ati.summary >= 0
@@ -269,22 +269,22 @@ SELECT s.id, s.block, s."timestamp", s.height, s.summary
 FROM ati JOIN summaries s ON ati.summary = s.id
 WHERE ati.account = $Account AND ati.summary <= $MaxId
 ORDER BY s.id DESC LIMIT 50"""),
-    "b1_srv" -> (cte + s"""
+    "b1s" -> (cte + s"""
 SELECT s.id, s.block, s."timestamp", s.height, s.summary
 FROM ati JOIN summaries s ON ati.summary = s.id
 WHERE ati.account = $Account AND ati.summary >= 0
 ORDER BY s.id ASC LIMIT 50"""),
-    "b2_srv" -> (cte + s"""
+    "b2s" -> (cte + s"""
 SELECT s.id, s.block, s."timestamp", s.height, s.summary
 FROM ati JOIN summaries s ON ati.summary = s.id
 WHERE ati.account = $Account AND ati.summary <= $MaxId
 ORDER BY s.id DESC LIMIT 50"""),
-    "b3_asc" -> (cte + s"""
+    "b3a" -> (cte + s"""
 SELECT s.id, s.block, s."timestamp", s.height, s.summary
 FROM cti JOIN summaries s ON cti.summary = s.id
 WHERE cti."index" = $CIdx AND cti.subindex = $CSub AND cti.summary >= 0
 ORDER BY s.id ASC LIMIT 50"""),
-    "b3_srv" -> (cte + s"""
+    "b3s" -> (cte + s"""
 SELECT s.id, s.block, s."timestamp", s.height, s.summary
 FROM cti JOIN summaries s ON cti.summary = s.id
 WHERE cti."index" = $CIdx AND cti.subindex = $CSub AND cti.summary >= 0
@@ -294,12 +294,12 @@ SELECT s.id, s.block, s."timestamp", s.height, s.summary
 FROM cti JOIN summaries s ON cti.summary = s.id
 WHERE cti."index" = $CIdx AND cti.subindex = $CSub AND cti.summary <= $MaxId
 ORDER BY s.id DESC LIMIT 50"""),
-    "b4_ita" -> (cte + s"""
+    "b4a" -> (cte + s"""
 SELECT s.id, s.block, s."timestamp", s.height, s.summary
 FROM ati JOIN summaries s ON ati.summary = s.id
 WHERE ati.account = $Account AND ati.summary >= 0
 ORDER BY s.id ASC"""),
-    "b4_itc" -> (cte + s"""
+    "b4c" -> (cte + s"""
 SELECT s.id, s.block, s."timestamp", s.height, s.summary
 FROM cti JOIN summaries s ON cti.summary = s.id
 WHERE cti."index" = $CIdx AND cti.subindex = $CSub AND cti.summary >= 0
@@ -332,7 +332,7 @@ WHERE json_valid(summary)
   AND (json_extract(summary, '$.Left') IS NOT NULL
        OR json_extract(summary, '$.Right') IS NOT NULL)
 ORDER BY id"""),
-    "b5_str" -> (cte + """
+    "b5s" -> (cte + """
 SELECT id,
        CASE WHEN json_extract(summary, '$.Left') IS NOT NULL THEN 'Left'
             ELSE 'Right' END AS variant,

@@ -69,7 +69,7 @@ object ExtQueries {
   private val TokRe = "[0-9A-Za-z_]+|[^0-9A-Za-z_ ]"
 
   // DuckDB mirror of pageDocs — the synthesized multi-line pages the
-  // gopher / c4 rows filter (6-word lines, bullet/suffix rotations,
+  // goph / c4 rows filter (6-word lines, bullet/suffix rotations,
   // boilerplate tails). `pg(doc_id, text)` is the page frame.
   private val PageCte = """WITH pw AS (
   SELECT doc_id, string_split_regex(trim(text), ' +') AS w0 FROM documents
@@ -321,7 +321,7 @@ model AS (
         .select("doc_id").orderBy("doc_id")
     }),
 
-    "dec_sp" -> ((s, d) => {
+    "decs" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val pairs = Dedup.minhashLsh(docs, col("text"), col("doc_id"),
         k = 3, numHashes = 16, bands = 4, minMatches = 4)
@@ -563,7 +563,7 @@ model AS (
     // (uniq_pm >= 400, n_words >= 25) so the check is DISCRIMINATING —
     // on the synthetic corpus everything passes the base gate and a
     // pass-through pipeline would prove nothing.
-    "pipe_c" -> ((s, d) => {
+    "p_pc" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val quality = TextAnalysis.qualityScore(docs, col("text"), col("doc_id"))
         .where(col("quality_ok") && col("uniq_pm") >= 400 && col("n_words") >= 25)
@@ -583,7 +583,7 @@ model AS (
     // before anyone trains on its output). Same gates as
     // pipe_curation, folded to one pass: per-doc flags, one
     // aggregate, unpivoted to (stage, n_docs) rows.
-    "pipe_f" -> ((s, d) => {
+    "p_pf" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val quality = TextAnalysis.qualityScore(docs, col("text"), col("doc_id"))
         .where(col("quality_ok") && col("uniq_pm") >= 400 && col("n_words") >= 25)
@@ -647,7 +647,7 @@ model AS (
     // Temperature-smoothed (alpha = 0.5) per-language sampling: rates
     // derived from the corpus's own counts via sqrt flattening — the
     // published mBERT/XLM-R low-resource upweighting.
-    "s_temp" -> ((s, d) =>
+    "s_tp" -> ((s, d) =>
       Sampling.temperatureMix(Tables.documents(s, d), col("lang"),
           col("doc_id"), targetRows = 200)
         .select("doc_id", "lang").orderBy("doc_id")),
@@ -675,7 +675,7 @@ model AS (
         .orderBy("doc_id")
     }),
 
-    "p_shuf" -> ((s, d) =>
+    "p_sh" -> ((s, d) =>
       Packing.shuffledOrdinal(Tables.documents(s, d), col("doc_id"),
           seed = "epoch0")
         .orderBy("doc_id")),
@@ -721,7 +721,7 @@ model AS (
     // fail the word-count floor, bullet/ellipsis decorations move the
     // line ratios, the `- ` tokens dent alpha_pm, and only the even-id
     // stopword tail reaches stop_hits >= 2.
-    "gopher" -> ((s, d) =>
+    "goph" -> ((s, d) =>
       TextAnalysis.gopherRules(pageDocs(Tables.documents(s, d)),
         col("text"), col("doc_id")).orderBy("doc_id")),
 
@@ -733,7 +733,7 @@ model AS (
         col("text"), col("doc_id")).orderBy("doc_id")),
 
     // C4 page cleaning over the same pages: the mod-3 suffix rotation
-    // decides terminal punctuation per line, short final chunks fail
+    // decides terminal punctuation per line, short final chnk fail
     // the 5-word floor, and the lorem-ipsum / brace tails nuke whole
     // pages (clean_text = '') while still reporting n_kept.
     "c4" -> ((s, d) =>
@@ -900,7 +900,7 @@ model AS (
     // BM25 lexical retrieval: four fixed 3-term queries over the
     // corpus vocabulary, top-10 documents each, exact-integer scoring
     // (bit-length idf, cross-multiplied k1/b saturation term).
-    "t_bm25" -> ((s, d) =>
+    "bm25" -> ((s, d) =>
       TextAnalysis.bm25TopK(Tables.documents(s, d), col("text"),
           col("doc_id"),
           Seq(0L -> "spark window join", 1L -> "hash table scan",
@@ -922,6 +922,40 @@ model AS (
       Graph.pageRank(edges, iters = 5).orderBy("node")
     }),
 
+    // HITS authority/hub over a VARIABLE-out-degree variant of the
+    // crawl graph (1 + doc_id % 4 out-links — the regular prank graph
+    // would normalize to the uniform fixed point): 2 sweeps, L-inf
+    // integer normalization on the 1e6 grid.
+    "hits" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      val edges = docs.crossJoin(
+          broadcast(docs.agg(count(lit(1)).as("__n"))))
+        .select(col("doc_id").as("src"), explode(expr(
+          "transform(sequence(0, CAST(doc_id % 4 AS INT)), k -> " +
+            "(doc_id * 48271 + 1299721 * CAST(k AS BIGINT) + 17) % __n)"))
+          .as("dst"))
+      Graph.hits(edges, iters = 2).orderBy("node")
+    }),
+
+    // Matryoshka truncation recall: 16-dim-prefix cosine top-5 vs the
+    // full 64-dim top-5 for the probe slice (vec_id % 100 == 0) — the
+    // serve-short-prefix evaluation, in parts-per-thousand.
+    "mrl" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.matryoshkaRecall(emb.where(col("vec_id") % 100 =!= 0),
+          emb.where(col("vec_id") % 100 === 0), "vec_id", "embedding",
+          prefixDim = 16, k = 5)
+        .orderBy("q_id")
+    }),
+
+    // MMR diverse top-5 for probe vec 0 over its relevance-top-20 pool
+    // (lambda = 0.70): greedy argmax of 70*rel_micro - 30*maxsim_micro,
+    // engine-exact integer scores.
+    "mmr" -> ((s, d) =>
+      Similarity.mmrSelect(Tables.embeddings(s, d), "vec_id", "embedding",
+          queryId = 0L, poolSize = 20, k = 5, lambdaPct = 70)
+        .orderBy("step")),
+
     "dsem" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       Similarity.decontaminate(
@@ -934,7 +968,7 @@ model AS (
     // Sliding-window chunking: 32-word windows every 24 words (8-word
     // overlap) — the long-doc → context-window splitter; closed-form
     // integer chunk arithmetic, oracle reproduces it exactly.
-    "chunks" -> ((s, d) =>
+    "chnk" -> ((s, d) =>
       Curation.chunkByWords(Tables.documents(s, d), col("text"),
           col("doc_id"), sizeWords = 32, strideWords = 24)
         .orderBy("doc_id", "chunk_idx")),
@@ -1023,7 +1057,7 @@ model AS (
     // REAL video sample decode on the correctness surface: per document
     // an MJPEG-in-AVI clip of closed-form constant gray frames is
     // synthesized as genuine container bytes, then videoFramesBatched
-    // walks the RIFF chunks and entropy-decodes each sampled frame's
+    // walks the RIFF chnk and entropy-decodes each sampled frame's
     // JPEG — the oracle prices the frame arithmetic container-blind, so
     // a bug in the AVI walk, the frame sampling, OR the JPEG decode
     // breaks the row.
@@ -1059,7 +1093,7 @@ model AS (
 
     // A/V DEMUX on the correctness surface: per document a real AVI
     // muxing an MJPEG video stream AND a chunked PCM audio stream
-    // (mm_audio's closed-form samples, split across 01wb chunks); the
+    // (mm_audio's closed-form samples, split across 01wb chnk); the
     // query demuxes the audio back out through the RIFF walk and prices
     // it with the same verified wavStats integer arithmetic — the
     // oracle recomputes the closed form, demux-blind, so a bug in
@@ -1101,7 +1135,7 @@ model AS (
     // anchored host allowlist (admits t0/1/4/5/6), a cdn host denylist
     // and an /a/ path denylist (kick t0/t1 back out) — in_scope lands
     // true only for t4/t5/t6, exercising all three predicate slots.
-    "uscope" -> ((s, d) =>
+    "uscp" -> ((s, d) =>
       Curation.urlScope(Tables.documents(s, d), synthCrawlUrl, col("doc_id"),
           allowHostRe =
             "^(example\\.com|news\\.example\\.org|shop\\.example\\.com)$",
@@ -1253,7 +1287,7 @@ model AS (
   /** Wraps each document's words into 4-word '\n'-joined lines — the
     * fixture corpus is single-line, and [[Curation.dedupLines]] needs
     * line structure to act on. Mirrored verbatim in the oracle CTE. */
-  /** Eight messy-URL canon templates shared by the `uscope` and
+  /** Eight messy-URL canon templates shared by the `uscp` and
     * `robots` rows: scheme/host case, default ports, userinfo,
     * duplicate slashes, tracking params, fragments, trailing dots —
     * every normalization [[Curation.canonicalUrl]] performs. Hosts
@@ -1299,7 +1333,7 @@ model AS (
             .otherwise(lit(""))).as("text"))
 
   /** Multi-line "web page" variant of the fixture corpus shared by the
-    * gopher / c4 rows (the fixture text itself has no newlines): 6-word
+    * goph / c4 rows (the fixture text itself has no newlines): 6-word
     * lines with id-deterministic bullet prefixes (`- ` on every 5th
     * line) and terminal/ellipsis suffixes (`.`/`...` on a mod-3
     * rotation), plus boilerplate tail lines — a stopword sentence on
@@ -1792,7 +1826,7 @@ WHERE NOT EXISTS (
   SELECT 1 FROM best WHERE best.id = d.doc_id AND best.rn > 1)
 ORDER BY doc_id"""),
 
-    "dec_sp" -> (MinhashCte + s""", pairs AS (
+    "decs" -> (MinhashCte + s""", pairs AS (
   SELECT doc_a, doc_b,
          CAST(len(list_filter(range(16), i -> sa.sig[i+1] = sb.sig[i+1])) AS INT)
            AS n_matching
@@ -2237,7 +2271,7 @@ SELECT event_type,
             END AS BIGINT) AS distinct_est
 FROM g ORDER BY 1"""),
 
-    "pipe_c" -> (s"""WITH w AS (
+    "p_pc" -> (s"""WITH w AS (
   SELECT doc_id, text,
          string_split_regex(trim(lower(text)), ' +') AS words
   FROM documents
@@ -2277,7 +2311,7 @@ ORDER BY doc_id"""),
 
     // Mirror of temperatureMix: per-language counts, sqrt smoothing,
     // derived ppm rates, the same seeded hash thinning.
-    "s_temp" -> (s"""WITH c AS (
+    "s_tp" -> (s"""WITH c AS (
   SELECT lang, count(*) AS n FROM documents GROUP BY 1
 ), s AS (
   SELECT lang, n, CAST(floor(sqrt(n)) AS BIGINT) AS sg FROM c
@@ -2307,7 +2341,7 @@ FROM (SELECT doc_id, unnest(range(0, n)) AS i FROM c WHERE n > 0)
 ORDER BY doc_id, copy_idx"""),
 
     // pipe_curation's gates as cumulative per-stage counts
-    "pipe_f" -> (s"""WITH w AS (
+    "p_pf" -> (s"""WITH w AS (
   SELECT doc_id, text,
          string_split_regex(trim(lower(text)), ' +') AS words
   FROM documents
@@ -2416,7 +2450,7 @@ SELECT bin, doc_id,
        least(end_off, (bin + 1) * 512) - greatest(start_off, bin * 512) AS len
 FROM e ORDER BY bin, bin_off"""),
 
-    "p_shuf" -> (s"""WITH t AS (
+    "p_sh" -> (s"""WITH t AS (
   SELECT doc_id,
          ${h60("'epoch0:' || CAST(doc_id AS VARCHAR)")} AS h
   FROM documents
@@ -2490,7 +2524,7 @@ SELECT doc_id,
         AND len(list_distinct(words)) * 1000 // len(words) >= 200) AS quality_ok
 FROM w ORDER BY doc_id"""),
 
-    "gopher" -> (PageCte + """, gw AS (
+    "goph" -> (PageCte + """, gw AS (
   SELECT doc_id, text,
          string_split_regex(trim(lower(text)), '[ \n]+') AS ws,
          string_split(text, chr(10)) AS ls,
@@ -2751,7 +2785,7 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
 FROM s GROUP BY doc_id ORDER BY doc_id"""),
 
     // Mirror of Unigram.learn + tokStats. Learn: candidate pieces are
-    // the ≤8-cp substrings of the ≤10-cp chunks of the distinct-word
+    // the ≤8-cp substrings of the ≤10-cp chnk of the distinct-word
     // table (each in-chunk occurrence counts, weighted by word freq),
     // top-2000 by (count DESC, piece ASC); quarter-bit cost
     // bitlen(q⁴) with q = 10⁹ // max(cnt·10⁶ // total, 1), HUGEINT
@@ -2984,7 +3018,7 @@ ORDER BY doc_id""",
 
     // chunk count 1 + ceil(max(0, n-32)/24); DuckDB's inclusive list
     // slice words[a : a+31] mirrors Spark's slice(words, a, 32)
-    "chunks" -> ("""WITH w AS (
+    "chnk" -> ("""WITH w AS (
   SELECT doc_id, string_split_regex(trim(text), ' +') AS words
   FROM documents WHERE length(trim(text)) > 0
 ), c AS (
@@ -3102,7 +3136,7 @@ WHERE rnk <= 3 ORDER BY q_id, rnk"""),
     // Mirror of TextAnalysis.bm25TopK: bit-length Robertson idf,
     // cross-multiplied k1=1.2 / b=0.75 saturation term in exact
     // micro-units, top-10 per query with doc_id tie-break.
-    "t_bm25" -> ("""WITH qt AS (
+    "bm25" -> ("""WITH qt AS (
   SELECT CAST(q_id AS BIGINT) AS q_id, term FROM (VALUES
     (0, 'spark'), (0, 'window'), (0, 'join'),
     (1, 'hash'), (1, 'table'), (1, 'scan'),
@@ -3186,6 +3220,163 @@ r1 AS (
 )
 SELECT node, CAST(r AS BIGINT) AS rank_pu FROM r5 ORDER BY node"""),
 
+    // Mirror of Graph.hits over the variable-out-degree crawl graph
+    // (k <= doc_id % 4): two unrolled sweeps, each an in-mass (or
+    // out-mass) sum followed by exact L-inf rescale onto the 1e6 grid.
+    "hits" -> ("""WITH n AS (SELECT count(*) AS n FROM documents),
+e AS (
+  SELECT doc_id AS src,
+         (doc_id * 48271 + 1299721 * k + 17) % n.n AS dst
+  FROM documents CROSS JOIN n
+  CROSS JOIN (SELECT unnest(range(4)) AS k) ks
+  WHERE k <= doc_id % 4
+), nd AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+h0 AS (SELECT node, CAST(1000000 AS BIGINT) AS h FROM nd),
+a1r AS (SELECT e.dst AS node, sum(h0.h) AS r
+        FROM e JOIN h0 ON h0.node = e.src GROUP BY 1),
+a1 AS (SELECT nd.node,
+         coalesce(a1r.r, 0) * 1000000 // (SELECT max(r) FROM a1r) AS a
+       FROM nd LEFT JOIN a1r USING (node)),
+h1r AS (SELECT e.src AS node, sum(a1.a) AS r
+        FROM e JOIN a1 ON a1.node = e.dst GROUP BY 1),
+h1 AS (SELECT nd.node,
+         coalesce(h1r.r, 0) * 1000000 // (SELECT max(r) FROM h1r) AS h
+       FROM nd LEFT JOIN h1r USING (node)),
+a2r AS (SELECT e.dst AS node, sum(h1.h) AS r
+        FROM e JOIN h1 ON h1.node = e.src GROUP BY 1),
+a2 AS (SELECT nd.node,
+         coalesce(a2r.r, 0) * 1000000 // (SELECT max(r) FROM a2r) AS a
+       FROM nd LEFT JOIN a2r USING (node)),
+h2r AS (SELECT e.src AS node, sum(a2.a) AS r
+        FROM e JOIN a2 ON a2.node = e.dst GROUP BY 1),
+h2 AS (SELECT nd.node,
+         coalesce(h2r.r, 0) * 1000000 // (SELECT max(r) FROM h2r) AS h
+       FROM nd LEFT JOIN h2r USING (node))
+SELECT a2.node, CAST(a2.a AS BIGINT) AS auth_pu, CAST(h2.h AS BIGINT) AS hub_pu
+FROM a2 JOIN h2 USING (node) ORDER BY node"""),
+
+    // Mirror of Similarity.matryoshkaRecall: 16-dim-prefix cosine
+    // top-5 vs full 64-dim top-5 (same rounded-double cosine, vec_id
+    // tie-breaks), probe slice vec_id % 100 = 0, ppt recall.
+    "mrl" -> ("""WITH qz AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS qe
+  FROM embeddings
+), v AS (
+  SELECT vec_id, qe, qe[1:16] AS qp,
+    list_sum(list_transform(range(64), i -> qe[i+1]*qe[i+1])) AS n2,
+    list_sum(list_transform(range(16), i -> qe[i+1]*qe[i+1])) AS p2
+  FROM qz
+), pr AS (
+  SELECT vec_id AS q_id, qe AS qv, qp AS pv, n2 AS qn2, p2 AS qp2
+  FROM v WHERE vec_id % 100 = 0
+), tr AS (SELECT * FROM v WHERE vec_id % 100 <> 0),
+pairs AS (
+  SELECT pr.q_id, tr.vec_id,
+    round(CAST(list_sum(list_transform(range(64),
+            i -> tr.qe[i+1]*pr.qv[i+1])) AS DOUBLE)
+          / sqrt(CAST(tr.n2 AS DOUBLE) * CAST(pr.qn2 AS DOUBLE)), 6) AS cf,
+    round(CAST(list_sum(list_transform(range(16),
+            i -> tr.qp[i+1]*pr.pv[i+1])) AS DOUBLE)
+          / sqrt(CAST(tr.p2 AS DOUBLE) * CAST(pr.qp2 AS DOUBLE)), 6) AS cp
+  FROM tr CROSS JOIN pr
+),
+fullk AS (SELECT q_id, vec_id FROM (
+  SELECT q_id, vec_id,
+         row_number() OVER (PARTITION BY q_id ORDER BY cf DESC, vec_id) AS rn
+  FROM pairs) WHERE rn <= 5),
+prefk AS (SELECT q_id, vec_id FROM (
+  SELECT q_id, vec_id,
+         row_number() OVER (PARTITION BY q_id ORDER BY cp DESC, vec_id) AS rn
+  FROM pairs) WHERE rn <= 5),
+h AS (SELECT q_id, count(*) AS hits
+      FROM fullk JOIN prefk USING (q_id, vec_id) GROUP BY 1)
+SELECT pr.q_id, CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
+       CAST(coalesce(h.hits, 0) * 1000 // 5 AS BIGINT) AS recall_pm
+FROM pr LEFT JOIN h USING (q_id) ORDER BY q_id"""),
+
+    // Mirror of Similarity.mmrSelect for probe vec 0: relevance pool =
+    // top-20 by micro-cosine (HALF_UP round(cos*1e6), the engines'
+    // shared rounding), then five unrolled greedy picks of
+    // 70*rel - 30*max-sim-to-selected with vec_id tie-breaks.
+    "mmr" -> ("""WITH qz AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS qe
+  FROM embeddings
+), v AS (
+  SELECT vec_id, qe,
+    list_sum(list_transform(range(64), i -> qe[i+1]*qe[i+1])) AS n2
+  FROM qz
+), q AS (SELECT qe AS qv, n2 AS qn2 FROM v WHERE vec_id = 0),
+scored AS (
+  SELECT v.vec_id, v.qe, v.n2,
+    CAST(round(CAST(list_sum(list_transform(range(64),
+           i -> v.qe[i+1]*q.qv[i+1])) AS DOUBLE)
+         / sqrt(CAST(v.n2 AS DOUBLE) * CAST(q.qn2 AS DOUBLE)) * 1e6)
+      AS BIGINT) AS relq
+  FROM v CROSS JOIN q WHERE v.vec_id <> 0
+),
+pool AS (SELECT vec_id, qe, n2, relq FROM (
+  SELECT *, row_number() OVER (ORDER BY relq DESC, vec_id) AS rn
+  FROM scored) WHERE rn <= 20),
+pp AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb,
+    CAST(round(CAST(list_sum(list_transform(range(64),
+           i -> a.qe[i+1]*b.qe[i+1])) AS DOUBLE)
+         / sqrt(CAST(a.n2 AS DOUBLE) * CAST(b.n2 AS DOUBLE)) * 1e6)
+      AS BIGINT) AS simq
+  FROM pool a JOIN pool b ON a.vec_id <> b.vec_id
+),
+s1 AS (SELECT vec_id, 70*relq AS sc FROM pool
+       ORDER BY sc DESC, vec_id LIMIT 1),
+s2 AS (
+  SELECT p.vec_id, 70*p.relq - 30*max(pp.simq) AS sc
+  FROM pool p JOIN pp ON pp.va = p.vec_id
+    AND pp.vb IN (SELECT vec_id FROM s1)
+  WHERE p.vec_id NOT IN (SELECT vec_id FROM s1)
+  GROUP BY p.vec_id, p.relq
+  ORDER BY sc DESC, p.vec_id LIMIT 1
+),
+s3 AS (
+  SELECT p.vec_id, 70*p.relq - 30*max(pp.simq) AS sc
+  FROM pool p JOIN pp ON pp.va = p.vec_id
+    AND pp.vb IN (SELECT vec_id FROM s1 UNION SELECT vec_id FROM s2)
+  WHERE p.vec_id NOT IN (SELECT vec_id FROM s1 UNION SELECT vec_id FROM s2)
+  GROUP BY p.vec_id, p.relq
+  ORDER BY sc DESC, p.vec_id LIMIT 1
+),
+s4 AS (
+  SELECT p.vec_id, 70*p.relq - 30*max(pp.simq) AS sc
+  FROM pool p JOIN pp ON pp.va = p.vec_id
+    AND pp.vb IN (SELECT vec_id FROM s1 UNION SELECT vec_id FROM s2
+                  UNION SELECT vec_id FROM s3)
+  WHERE p.vec_id NOT IN (SELECT vec_id FROM s1 UNION SELECT vec_id FROM s2
+                         UNION SELECT vec_id FROM s3)
+  GROUP BY p.vec_id, p.relq
+  ORDER BY sc DESC, p.vec_id LIMIT 1
+),
+s5 AS (
+  SELECT p.vec_id, 70*p.relq - 30*max(pp.simq) AS sc
+  FROM pool p JOIN pp ON pp.va = p.vec_id
+    AND pp.vb IN (SELECT vec_id FROM s1 UNION SELECT vec_id FROM s2
+                  UNION SELECT vec_id FROM s3 UNION SELECT vec_id FROM s4)
+  WHERE p.vec_id NOT IN (SELECT vec_id FROM s1 UNION SELECT vec_id FROM s2
+                         UNION SELECT vec_id FROM s3
+                         UNION SELECT vec_id FROM s4)
+  GROUP BY p.vec_id, p.relq
+  ORDER BY sc DESC, p.vec_id LIMIT 1
+)
+SELECT * FROM (
+  SELECT CAST(1 AS BIGINT) AS step, vec_id, CAST(sc AS BIGINT) AS mmr_score
+  FROM s1
+  UNION ALL SELECT 2, vec_id, CAST(sc AS BIGINT) FROM s2
+  UNION ALL SELECT 3, vec_id, CAST(sc AS BIGINT) FROM s3
+  UNION ALL SELECT 4, vec_id, CAST(sc AS BIGINT) FROM s4
+  UNION ALL SELECT 5, vec_id, CAST(sc AS BIGINT) FROM s5
+) ORDER BY step"""),
+
     "dsem" -> ("""WITH qz AS (
   SELECT vec_id,
          list_transform(embedding,
@@ -3229,7 +3420,7 @@ FROM f ORDER BY doc_id"""),
     // re-implements the canonicalizer or the regex predicates): the
     // allowlist admits t0/1/4/5/6, the /a/ path denylist kicks t0/t1,
     // so only t4/t5/t6 land in scope.
-    "uscope" -> ("""WITH f AS (
+    "uscp" -> ("""WITH f AS (
   SELECT doc_id, doc_id % 8 AS t, CAST(doc_id % 100 AS VARCHAR) AS h
   FROM documents
 )

@@ -75,7 +75,7 @@ object RelationalQueries {
         .limit(20)
     }),
 
-    "q5_vol" -> ((s, d) => {
+    "q5v" -> ((s, d) => {
       // dims (region→nation→customer) broadcast down the join chain; the
       // only shuffle joins lineitem⋈orders on orderkey.
       val nr = Tables.nation(s, d)
@@ -98,7 +98,7 @@ object RelationalQueries {
     // Correlated SCALAR subquery (the TPC-H Q2 shape): Catalyst
     // decorrelates it into an aggregate + join, not a per-row probe —
     // the SQL is deliberately written subquery-style to pin that path.
-    "q_minp" -> ((s, d) => {
+    "qmnp" -> ((s, d) => {
       Tables.lineitem(s, d).createOrReplaceTempView("li_corr")
       s.sql("""
         SELECT l_partkey, l_orderkey, l_extendedprice
@@ -111,7 +111,7 @@ object RelationalQueries {
 
     // Correlated EXISTS (the TPC-H Q4 shape) → decorrelated semi join
     // under an aggregation.
-    "q_disc" -> ((s, d) => {
+    "qdsc" -> ((s, d) => {
       Tables.orders(s, d).createOrReplaceTempView("ord_corr")
       Tables.lineitem(s, d).createOrReplaceTempView("li_corr2")
       s.sql("""
@@ -124,7 +124,7 @@ object RelationalQueries {
         ORDER BY o_orderpriority""")
     }),
 
-    "q_roll" -> ((s, d) =>
+    "qrol" -> ((s, d) =>
       Tables.orders(s, d)
         .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
         .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
@@ -140,7 +140,7 @@ object RelationalQueries {
         .select("c_custkey", "c_name")
         .orderBy("c_custkey")),
 
-    "q_semi" -> ((s, d) =>
+    "qsem" -> ((s, d) =>
       Tables.customer(s, d)
         .join(Tables.orders(s, d).where(col("o_totalprice") > 400000.0),
           col("c_custkey") === col("o_custkey"), "left_semi")
@@ -164,7 +164,7 @@ object RelationalQueries {
         .orderBy("o_custkey", "o_orderkey")
     }),
 
-    "q_brnd" -> ((s, d) =>
+    "qbrd" -> ((s, d) =>
       Tables.lineitem(s, d)
         .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
         .groupBy("p_brand")
@@ -172,7 +172,7 @@ object RelationalQueries {
           sum(col("l_quantity").cast(Dec)).cast("double").as("qty"))
         .orderBy("p_brand")),
 
-    "q_asof" -> ((s, d) => {
+    "qaso" -> ((s, d) => {
       // point-in-time: each event gets the customer's most recent order
       // as of the event time. Orders deduped to one per (custkey, date)
       // so the match is unique in both engines.
@@ -190,7 +190,7 @@ object RelationalQueries {
         .orderBy("event_id")
     }),
 
-    // The per-user lag/running-sum windows here (and in q_scd2 /
+    // The per-user lag/running-sum windows here (and in qsc2 /
     // q_funnel) are inherently sequential per key — unlike the
     // occurrence COUNTS reformulated as partial aggregates (Curation/
     // TextAnalysis), gap detection cannot pre-combine map-side. The
@@ -198,7 +198,7 @@ object RelationalQueries {
     // 100 TB needs a time-bounded pre-split (sessionize per day, then
     // stitch boundary sessions), which changes semantics and is a
     // caller decision, not a default.
-    "q_sess" -> ((s, d) => {
+    "qses" -> ((s, d) => {
       val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
       val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
       Tables.events(s, d)
@@ -223,7 +223,7 @@ object RelationalQueries {
     // interval the NEXT event of the same key closes (null = current) —
     // the slowly-changing-dimension shape a warehouse derives from CDC.
     // One user-keyed window; millisecond longs out (engine-portable).
-    "q_scd2" -> ((s, d) => {
+    "qsc2" -> ((s, d) => {
       val byUser = Window.partitionBy("user_id")
         .orderBy(col("valid_from_ms").asc, col("event_id").asc)
       Tables.events(s, d)
@@ -268,7 +268,7 @@ object RelationalQueries {
     // shuffles every row into per-key sorted windows; the histogram
     // needs one uniform (key,bin) partial-agg shuffle and then windows
     // over ≤256 rows per key, at binWidth-bounded error
-    "q_hist" -> ((s, d) =>
+    "qhst" -> ((s, d) =>
       graft.operators.HistogramQuantile.quantiles(Tables.events(s, d),
           col("event_type"), round(col("value") * 100), binWidth = 128,
           pcts = Seq(50, 90, 99))
@@ -291,7 +291,7 @@ object RelationalQueries {
         .orderBy("event_type")
     }),
 
-    "q_cube" -> ((s, d) =>
+    "qcub" -> ((s, d) =>
       // full cube over (type, day): every subtotal combination in one
       // pass (Expand + single aggregation). Null group keys are
       // relabeled '(all)' so ordering is engine-independent.
@@ -333,7 +333,7 @@ object RelationalQueries {
         .orderBy("user_id")
     }),
 
-    "q_salt" -> ((s, d) => {
+    "qslt" -> ((s, d) => {
       // events.event_type has ~5 values — the canonical skewed join key:
       // an unsalted shuffle join sends every 'view' row to one reducer.
       // SaltedJoin spreads each type over 8 sub-keys (deterministic salt
@@ -402,7 +402,7 @@ WHERE l_returnflag = 'R'
 GROUP BY c_custkey, c_name, c_acctbal, n_name
 ORDER BY revenue DESC, c_custkey LIMIT 20""",
 
-    "q5_vol" -> s"""
+    "q5v" -> s"""
 SELECT n_name, SUM($rev) AS revenue
 FROM customer JOIN orders ON c_custkey = o_custkey
               JOIN lineitem ON l_orderkey = o_orderkey
@@ -413,7 +413,7 @@ WHERE r_name = 'ASIA'
   AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
 GROUP BY n_name ORDER BY revenue DESC, n_name""",
 
-    "q_minp" -> """
+    "qmnp" -> """
 SELECT l_partkey, l_orderkey, l_extendedprice
 FROM lineitem l1
 WHERE l_extendedprice = (SELECT min(l_extendedprice)
@@ -421,7 +421,7 @@ WHERE l_extendedprice = (SELECT min(l_extendedprice)
                          WHERE l2.l_partkey = l1.l_partkey)
 ORDER BY l_partkey, l_orderkey""",
 
-    "q_disc" -> """
+    "qdsc" -> """
 SELECT o_orderpriority, count(*) AS n
 FROM orders o
 WHERE EXISTS (SELECT 1 FROM lineitem l
@@ -429,7 +429,7 @@ WHERE EXISTS (SELECT 1 FROM lineitem l
 GROUP BY o_orderpriority
 ORDER BY o_orderpriority""",
 
-    "q_roll" -> """
+    "qrol" -> """
 SELECT r_name, n_name, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total, count(*) AS n_orders
 FROM orders JOIN customer ON o_custkey = c_custkey
             JOIN nation ON c_nationkey = n_nationkey
@@ -442,7 +442,7 @@ SELECT c_custkey, c_name FROM customer
 WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
 ORDER BY c_custkey""",
 
-    "q_semi" -> """
+    "qsem" -> """
 SELECT c_custkey, c_name FROM customer
 WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
 ORDER BY c_custkey""",
@@ -460,13 +460,13 @@ SELECT o_custkey, o_orderkey,
                ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running
 FROM orders ORDER BY o_custkey, o_orderkey""",
 
-    "q_brnd" -> """
+    "qbrd" -> """
 SELECT p_brand, count(DISTINCT l_suppkey) AS n_supp,
        CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS qty
 FROM lineitem JOIN part ON l_partkey = p_partkey
 GROUP BY p_brand ORDER BY p_brand""",
 
-    "q_asof" -> """
+    "qaso" -> """
 WITH orders_d AS (
   SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
   FROM orders GROUP BY 1, 2
@@ -476,7 +476,7 @@ FROM events e ASOF LEFT JOIN orders_d o
   ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
 ORDER BY e.event_id""",
 
-    "q_sess" -> """
+    "qses" -> """
 WITH x AS (
   SELECT user_id, event_id, ts,
          CASE WHEN lag(ts) OVER w IS NULL
@@ -497,7 +497,7 @@ SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
        count(DISTINCT user_id) AS users, count(*) AS n
 FROM events GROUP BY 1 ORDER BY 1""",
 
-    "q_scd2" -> """
+    "qsc2" -> """
 SELECT user_id, event_id, event_type,
        epoch_ms(ts) AS valid_from_ms,
        lead(epoch_ms(ts)) OVER (PARTITION BY user_id
@@ -533,7 +533,7 @@ SELECT stage, n_users FROM (
   UNION ALL SELECT '3_purchase', n_purchase FROM f
 ) ORDER BY stage""",
 
-    "q_salt" -> s"""
+    "qslt" -> s"""
 WITH dim AS (SELECT event_type, min(event_id) AS type_first FROM events GROUP BY 1)
 SELECT e.event_type, d.type_first, count(*) AS n,
        CAST(SUM(CAST(e.value AS $dec)) AS DOUBLE) AS sum_value
@@ -546,7 +546,7 @@ FROM events
 WHERE user_id IN (SELECT DISTINCT user_id FROM events WHERE event_type = 'signup')
 GROUP BY 1 ORDER BY 1""",
 
-    "q_hist" -> """
+    "qhst" -> """
 WITH b AS (
   SELECT event_type AS k,
          CAST(round(value * 100) AS BIGINT) // 128 AS bin,
@@ -575,7 +575,7 @@ SELECT event_type, value AS median_value
 FROM r WHERE rn = (cnt + 1) // 2
 ORDER BY event_type""",
 
-    "q_cube" -> s"""
+    "qcub" -> s"""
 WITH e AS (
   SELECT event_type,
          CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR) AS day, value

@@ -65,4 +65,56 @@ object Graph {
     }
     ranks
   }
+
+  /** HITS (Kleinberg 1999) authority/hub scores over `iters` synchronous
+    * sweeps on the integer grid — the OTHER classic link-analysis signal
+    * (PageRank rewards being linked; HITS separates "linked by good
+    * hubs" from "links to good authorities", the pair a crawl
+    * prioritizer reads together).
+    *
+    * Per sweep, with max-normalization kept exact by integer rescale:
+    * {{{
+    *   auth'(v) = Σ_{u→v} hub(u);   auth(v) = auth'(v)·scale div max(auth')
+    *   hub'(u)  = Σ_{u→v} auth(v);  hub(u)  = hub'(u)·scale div max(hub')
+    * }}}
+    * (the standard L∞ normalization — a max, not a vector norm, so it
+    * stays in integer arithmetic; both scores start at `scale`).
+    * Requires at least one edge (max-normalization is undefined on an
+    * empty graph). Nodes without in-links hold authority 0; without
+    * out-links, hub 0.
+    *
+    * Scale shape: same join skeleton as [[pageRank]] — edges shuffle
+    * once and drive every sweep; each normalization max is a one-row
+    * broadcast, never a data-sized collect. Long bound:
+    * `max(auth')·scale ≤ N·scale²` must fit 2⁶³ — the 10⁶ default grid
+    * is good to ~10⁶-node neighborhoods; shrink `scale` for larger
+    * graphs. Output: (node, auth_pu, hub_pu). */
+  def hits(edges: DataFrame, iters: Int = 2,
+      scale: Long = 1000000L): DataFrame = {
+    require(iters >= 1 && scale >= 1L, "hits: iters >= 1, scale >= 1")
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"))
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    var hub = nodes.select(col("node"), lit(scale).as("hub_pu"))
+    var auth = nodes.select(col("node"), lit(scale).as("auth_pu"))
+    def normalize(raw: DataFrame, c: String): DataFrame =
+      nodes.join(raw, Seq("node"), "left")
+        .select(col("node"),
+          coalesce(col("__raw"), lit(0L)).as("__raw"))
+        .crossJoin(broadcast(raw.agg(max("__raw").as("__mx"))))
+        .select(col("node"),
+          expr(s"__raw * $scale div __mx").as(c))
+    for (_ <- 1 to iters) {
+      auth = normalize(
+        e.join(hub, e("src") === hub("node"))
+          .groupBy(col("dst").as("node")).agg(sum("hub_pu").as("__raw")),
+        "auth_pu")
+      hub = normalize(
+        e.join(auth, e("dst") === auth("node"))
+          .groupBy(col("src").as("node")).agg(sum("auth_pu").as("__raw")),
+        "hub_pu")
+    }
+    auth.join(hub, "node")
+  }
 }

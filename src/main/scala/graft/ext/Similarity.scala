@@ -110,6 +110,125 @@ object Similarity {
       .select("q_id", "rnk", "vec_id", "ham")
   }
 
+  /** MATRYOSHKA truncation recall — the evaluation every deployment of
+    * MRL-style embeddings (Kusupati et al. 2022: models trained so
+    * informative dimensions come first) runs before serving the short
+    * prefix: per probe, how much of the full-dimension cosine top-k the
+    * `prefixDim`-prefix top-k retains. Both rankings use the shared
+    * quantized-integer dot products with one rounded double cosine
+    * ([[cosineQNormed]]) and vec_id tie-breaks, so the recall numbers
+    * are engine-exact.
+    *
+    * Scale shape: probe batch broadcasts against one corpus scan (the
+    * prefix slice is computed in the same projection — no second
+    * pass); both top-k windows are partial WindowGroupLimits; the
+    * overlap join is k·|probes| rows. Output: (q_id, hits, recall_pm)
+    * — hits = |prefix∩full|, recall in parts-per-thousand of k. */
+  def matryoshkaRecall(corpus: DataFrame, probes: DataFrame, idCol: String,
+      embCol: String, prefixDim: Int, k: Int): DataFrame = {
+    require(prefixDim >= 1, "matryoshkaRecall: prefixDim must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    def prep(df: DataFrame) = df
+      .select(col(idCol).cast("long").as("vid"),
+        quantize(col(embCol)).as("qe"))
+      .withColumn("qp", expr(s"slice(qe, 1, $prefixDim)"))
+      .withColumn("n2", dotQ(col("qe"), col("qe")))
+      .withColumn("p2", dotQ(col("qp"), col("qp")))
+    val tb = prep(corpus)
+    val qb = broadcast(prep(probes).select(col("vid").as("q_id"),
+      col("qe").as("__qv"), col("qp").as("__pv"),
+      col("n2").as("__qn2"), col("p2").as("__qp2")))
+    val pairs = tb.crossJoin(qb)
+    def topk(scored: DataFrame, c: String) = {
+      val w = Window.partitionBy("q_id").orderBy(col(c).desc, col("vid").asc)
+      scored.withColumn("rn", row_number().over(w)).where(col("rn") <= k)
+        .select("q_id", "vid")
+    }
+    val full = topk(pairs.select(col("q_id"), col("vid"),
+      cosineQNormed(col("qe"), col("__qv"), col("n2"), col("__qn2"))
+        .as("cf")), "cf")
+    val pref = topk(pairs.select(col("q_id"), col("vid"),
+      cosineQNormed(col("qp"), col("__pv"), col("p2"), col("__qp2"))
+        .as("cp")), "cp")
+    qb.select("q_id")
+      .join(full.join(pref, Seq("q_id", "vid"))
+        .groupBy("q_id").agg(count(lit(1)).as("hits")), Seq("q_id"), "left")
+      .select(col("q_id"), coalesce(col("hits"), lit(0L)).as("hits"))
+      .withColumn("recall_pm", expr(s"hits * 1000 div $k"))
+  }
+
+  /** MMR (Maximal Marginal Relevance, Carbonell & Goldstein 1998)
+    * diverse top-k selection — the diversity gate training-data and
+    * retrieval pipelines run after similarity ranking so the k picks
+    * don't all say the same thing: greedily pick
+    * `argmax λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s)`.
+    *
+    * Exactness: relevance and pairwise similarity are micro-cosines —
+    * `round(dot/sqrt(n2a·n2b) · 1e6)` on the quantized grid, HALF_UP
+    * like both engines' `round` — so the greedy score
+    * `λ%·rel − (100−λ%)·maxsim` is pure integer arithmetic and the
+    * selection path is engine-exact (ties break by vec_id at both the
+    * pool cut and every pick).
+    *
+    * Scale shape: the DISTRIBUTED part is the pool cut — one broadcast
+    * probe pass + TakeOrdered top-`poolSize` by relevance; the greedy
+    * loop then runs on that bounded pool (`poolSize` rows collected —
+    * the page-size-bounded-collect pattern, poolSize·dim longs), which
+    * is the standard two-stage MMR at corpus scale: O(corpus) scan +
+    * O(poolSize·k) driver arithmetic. Output: (step, vec_id,
+    * mmr_score) — step 1-based, score in λ-weighted micro-units. */
+  def mmrSelect(corpus: DataFrame, idCol: String, embCol: String,
+      queryId: Long, poolSize: Int, k: Int, lambdaPct: Int = 70): DataFrame = {
+    require(k >= 1 && poolSize >= k && lambdaPct >= 0 && lambdaPct <= 100,
+      "mmrSelect: need k >= 1, poolSize >= k, lambdaPct in [0, 100]")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val qz = corpus.select(col(idCol).cast("long").as("vid"),
+        quantize(col(embCol)).as("qe"))
+      .withColumn("n2", dotQ(col("qe"), col("qe")))
+    val qv = broadcast(qz.where(col("vid") === queryId)
+      .select(col("qe").as("__qv"), col("n2").as("__qn2")))
+    val pool = qz.where(col("vid") =!= queryId).crossJoin(qv)
+      .select(col("vid"), col("qe"), col("n2"),
+        round(dotQ(col("qe"), col("__qv")).cast("double") /
+          sqrt(col("n2").cast("double") * col("__qn2").cast("double"))
+          * 1e6).cast("long").as("relq"))
+      .orderBy(col("relq").desc, col("vid").asc)
+      .limit(poolSize)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray, r.getLong(2),
+        r.getLong(3)))
+    // micro-cosine between pool members: the same op sequence as the
+    // relq expression above (int dot, one double divide+multiply,
+    // HALF_UP round), so a SQL replay agrees bit-for-bit
+    def simq(a: (Long, Array[Long], Long, Long),
+        b: (Long, Array[Long], Long, Long)): Long = {
+      var dot = 0L
+      var i = 0
+      val (xa, xb) = (a._2, b._2)
+      val n = math.min(xa.length, xb.length)
+      while (i < n) { dot += xa(i) * xb(i); i += 1 }
+      java.math.BigDecimal.valueOf(
+        dot.toDouble / math.sqrt(a._3.toDouble * b._3.toDouble) * 1e6)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+    }
+    val selected = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long)] // (step, vid, score)
+    val remaining = scala.collection.mutable.ArrayBuffer(pool: _*)
+    for (step <- 1L to math.min(k.toLong, pool.length.toLong)) {
+      val best = remaining.map { c =>
+        val maxsim =
+          if (selected.isEmpty) 0L
+          else selected.map(s =>
+            simq(c, pool.find(_._1 == s._2).get)).max
+        (c, lambdaPct * c._4 - (100L - lambdaPct) * maxsim)
+      }.minBy { case (c, sc) => (-sc, c._1) }
+      selected += ((step, best._1._1, best._2))
+      remaining -= best._1
+    }
+    selected.toSeq.toDF("step", "vec_id", "mmr_score")
+  }
+
   /** Embedding HYGIENE — the validation pass every corpus runs before
     * feeding vectors to an index build (a single wrong-width, zero, or
     * non-finite vector poisons codebook training and distance ranking

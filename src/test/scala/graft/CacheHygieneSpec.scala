@@ -14,8 +14,8 @@ class CacheHygieneSpec extends SparkSpec {
   /** Every declared query built on a persist/checkpoint-using operator. */
   private val cacheUsers = Seq(
     "dd_jac", "dd_lsh", "dd_cc", "dd_rec",
-    "dec_sp", "ann_kg", "emb_nr",
-    "p_seq", "p_slc", "p_shuf",
+    "decs", "ann_kg", "emb_nr",
+    "p_seq", "p_slc", "p_sh",
     "ann_km", "ann_r")
 
   test("each cache-using query leaves no net persistent RDDs after release") {

@@ -17,7 +17,7 @@ class PlanSpec extends SparkSpec {
     p.sliding(needle.length).count(_ == needle)
 
   test("b1 account page: top-k via TakeOrderedAndProject, cursor pushed to scan") {
-    val p = plan("b1_asc")
+    val p = plan("b1a")
     assert(p.contains("TakeOrderedAndProject"), s"expected limit+sort fusion in:\n$p")
     // ati here is DERIVED from events (explode of affected_accounts), so
     // the account predicate can't reach storage — but Catalyst must push
@@ -29,7 +29,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q5 local supplier volume: dimension joins broadcast") {
-    val p = plan("q5_vol")
+    val p = plan("q5v")
     assert(count(p, "BroadcastHashJoin") >= 3,
       s"expected >=3 broadcast joins for the dimension chain in:\n$p")
     assert(!p.contains("CartesianProduct"))
@@ -220,16 +220,16 @@ class PlanSpec extends SparkSpec {
     // ONLY Exchange allowed is the final orderBy's range partitioning.
     // A second Exchange would mean the synth or the transform started
     // shuffling data it never needs to move.
-    // chunks (sliding-window chunking), mm_video (AVI frame decode) and
+    // chnk (sliding-window chunking), mm_video (AVI frame decode) and
     // mm_av (AVI audio demux) hold the same contract: per-document
     // narrow work, the output sort's range partitioning is the only
     // data movement.
-    // gopher (rule-battery filter) and c4 (line cleaning) are likewise
+    // goph (rule-battery filter) and c4 (line cleaning) are likewise
     // per-document: split + HOF filters, nothing corpus-wide.
     // robots (per-host rule chain) and mm_sc (scene-cut decode) join
     // the family: the verdict/segmentation is computed per document.
-    for (q <- Seq("urlc", "unorm", "html", "chunks",
-        "mm_vid", "mm_av", "s_rep", "gopher", "c4", "g_rep",
+    for (q <- Seq("urlc", "unorm", "html", "chnk",
+        "mm_vid", "mm_av", "s_rep", "goph", "c4", "g_rep",
         "secr", "robots", "mm_sc")) {
       val p = plan(q)
       assert(count(p, "Exchange") <= 1,
@@ -412,7 +412,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("histogram quantile: one data-sized shuffle, windows over bins only") {
-    val p = plan("q_hist")
+    val p = plan("qhst")
     // (key,bin) partial+final count pair, then per-key windows over at
     // most #bins rows, then the tiny final groupBy — no join, no sort
     // of the raw data
@@ -437,7 +437,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("strict decode: exactly one FAILFAST parse feeds guards and projection") {
-    val p = plan("b5_str")
+    val p = plan("b5s")
     assert(count(p, "from_json") == 1,
       s"expected exactly one envelope parse in:\n$p")
     assert(!p.contains("Join") && !p.contains("Window"))
@@ -519,7 +519,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("scd2: one user-keyed lead window, no join") {
-    val p = plan("q_scd2")
+    val p = plan("qsc2")
     assert(!p.contains("Join"), s"scd2 must not join:\n$p")
     assert(count(p, "Window") == 1, s"expected the single lead window in:\n$p")
   }

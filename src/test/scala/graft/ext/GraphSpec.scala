@@ -46,4 +46,32 @@ class GraphSpec extends SparkSpec {
       Graph.pageRank(edges, iters = 1, scale = 1050L)
     }
   }
+
+  // 1→{2,3}, 2→3 on the scale=100 grid — hand-computed L∞ sweeps:
+  //   sweep 1: auth' = (–, 100, 200), max 200 → a = (0, 50, 100)
+  //            hub'  = (150, 100, –), max 150 → h = (100, 66, 0)
+  //   sweep 2: auth' = (–, 100, 166), max 166 → a = (0, 60, 100)
+  //            hub'  = (160, 100, –), max 160 → h = (100, 62, 0)
+  private def hitsEdges = Seq((1L, 2L), (1L, 3L), (2L, 3L))
+    .toDF("src", "dst")
+
+  test("hits replays the hand-computed integer sweeps") {
+    val r1 = Graph.hits(hitsEdges, iters = 1, scale = 100L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(r1 === Map(1L -> (0L, 100L), 2L -> (50L, 66L),
+      3L -> (100L, 0L)))
+    val r2 = Graph.hits(hitsEdges, iters = 2, scale = 100L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(r2 === Map(1L -> (0L, 100L), 2L -> (60L, 62L),
+      3L -> (100L, 0L)))
+  }
+
+  test("hits: a regular permutation cycle normalizes to the uniform point") {
+    val e = Seq((0L, 1L), (1L, 2L), (2L, 0L)).toDF("src", "dst")
+    val r = Graph.hits(e, iters = 3, scale = 100L)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(r === Set((100L, 100L)))
+  }
 }

@@ -730,6 +730,55 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("matryoshkaRecall counts prefix-vs-full top-k overlap per probe") {
+    // probe 9 = (1,0,0,0): full ranks c1 (1.0) > c3 (.992) > c2 (.196),
+    // but on the 2-dim prefix c2 ties c1 at 1.0 and beats c3 → top-2
+    // sets {1,3} vs {1,2} overlap in exactly one. probe 8 = (0,1,0,0):
+    // both rankings agree (c3 then the c1/c2 zero-tie by vec_id) → 2.
+    val corpus = Seq(
+      (1L, Seq(1f, 0f, 0f, 0f)),
+      (2L, Seq(1f, 0f, 5f, 0f)),
+      (3L, Seq(0.8f, 0.1f, 0f, 0f))).toDF("vec_id", "embedding")
+    val probes = Seq(
+      (8L, Seq(0f, 1f, 0f, 0f)),
+      (9L, Seq(1f, 0f, 0f, 0f))).toDF("vec_id", "embedding")
+    val out = Similarity.matryoshkaRecall(corpus, probes, "vec_id",
+        "embedding", prefixDim = 2, k = 2)
+      .orderBy("q_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((8L, 2L, 1000L), (9L, 1L, 500L)))
+  }
+
+  test("mmrSelect greedily trades relevance for diversity, integer-exact") {
+    // q = (1,0); c1 = (1,0) rel 1 000 000; c2 = (1,.01) rel 999 950
+    // (1/√1.0001 → 999 950.004); c3 = (0,1) rel 0. Pick 1: c1, score
+    // 70·1e6. Pick 2: c2 scores 70·999950 − 30·sim(c2,c1 = 999 950) =
+    // 40·999950 = 39 998 000, c3 scores 0 → c2.
+    val df = Seq(
+      (0L, Seq(1f, 0f)), (1L, Seq(1f, 0f)),
+      (2L, Seq(1f, 0.01f)), (3L, Seq(0f, 1f))).toDF("vec_id", "embedding")
+    val out = Similarity.mmrSelect(df, "vec_id", "embedding", queryId = 0L,
+        poolSize = 3, k = 2, lambdaPct = 70)
+      .orderBy("step").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq(
+      (1L, 1L, 70000000L),
+      (2L, 2L, 39998000L)))
+  }
+
+  test("mmrSelect: pure-diversity lambda picks the orthogonal vector") {
+    // lambdaPct = 0: every first-pick score is 0 (maxsim 0 for all) →
+    // vec_id tie-break seeds c1; then c3 (sim to c1 = 0, score 0)
+    // beats c2 (sim 999 950, score −99 995 000).
+    val df = Seq(
+      (0L, Seq(1f, 0f)), (1L, Seq(1f, 0f)),
+      (2L, Seq(1f, 0.01f)), (3L, Seq(0f, 1f))).toDF("vec_id", "embedding")
+    val out = Similarity.mmrSelect(df, "vec_id", "embedding", queryId = 0L,
+        poolSize = 3, k = 2, lambdaPct = 0)
+      .orderBy("step").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((1L, 1L), (2L, 3L)))
+  }
+
   test("hammingTopK ranks by exact popcount distance, vec_id tie-break") {
     // q = (+,+,-,-) → lo=3. c1 identical (ham 0), c2 = (+,-,-,+) →
     // lo=9, 3^9=10 → ham 2, c3 = (-,-,+,+) → lo=12 → ham 4.
