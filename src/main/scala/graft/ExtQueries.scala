@@ -215,6 +215,17 @@ model AS (
       path
     }
 
+  private[graft] def b1CodesFor(s: SparkSession, sfDir: String): String =
+    synchronized {
+      val path = graft.sources.Scratch.dir("b1c",
+        graft.sources.Scratch.key(sfDir))
+      if (!new java.io.File(s"$path/codes/_SUCCESS").exists())
+        Similarity.writeB1Codes(
+          Tables.embeddings(s, sfDir).where(col("vec_id") % 10 < 8),
+          "vec_id", "embedding", path)
+      path
+    }
+
   private[graft] def ivfIndexFor(s: SparkSession, sfDir: String): String =
     synchronized {
       val path = graft.sources.Scratch.dir("ivf",
@@ -896,6 +907,26 @@ model AS (
           k = 3)
         .orderBy("q_id", "rnk")
     }),
+
+    // Two-stage binary serving: coarse Hamming top-20 shortlist, exact
+    // quantized-cosine rerank to top-3 — the pattern that makes 1-bit
+    // codes usable (code-scan recall, exact-arithmetic precision).
+    "hamr" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.hammingRerank(emb.where(col("vec_id") % 100 =!= 0),
+          emb.where(col("vec_id") % 100 === 0), "vec_id", "embedding",
+          coarseK = 20, k = 3)
+        .orderBy("q_id", "rnk")
+    }),
+
+    // Incremental near-dup tag against the STORED binary-code history
+    // (emb_b1's incremental seat): fresh batch = vec_id % 10 >= 8,
+    // history codes = the rest, suspect radius 20 sign-bit flips.
+    "hamx" -> ((s, d) =>
+      Similarity.tagNearB1Codes(
+          Tables.embeddings(s, d).where(col("vec_id") % 10 >= 8),
+          "vec_id", "embedding", b1CodesFor(s, d), maxHam = 20)
+        .select("vec_id", "near_history").orderBy("vec_id")),
 
     // BM25 lexical retrieval: four fixed 3-term queries over the
     // corpus vocabulary, top-10 documents each, exact-integer scoring
@@ -3132,6 +3163,77 @@ SELECT q_id, rnk, vec_id, ham FROM (
          row_number() OVER (PARTITION BY q_id ORDER BY ham, vec_id) AS rnk
   FROM hm)
 WHERE rnk <= 3 ORDER BY q_id, rnk"""),
+
+    // Mirror of Similarity.hammingRerank: the emb_b1 coarse ranking
+    // widened to top-20, reranked by the exact quantized cosine, cut
+    // to 3 (vec_id tie-breaks at both stages).
+    "hamr" -> ("""WITH qz AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS xq
+  FROM embeddings
+), v AS (
+  SELECT vec_id, xq,
+    list_sum(list_transform(range(64), i -> xq[i+1]*xq[i+1])) AS n2,
+    CAST(coalesce(list_sum(list_transform(range(32, 64),
+      i -> CASE WHEN xq[i+1] > 0 THEN CAST(1 AS BIGINT) << (i - 32)
+           ELSE 0 END)), 0) AS BIGINT) AS b_hi,
+    CAST(coalesce(list_sum(list_transform(range(32),
+      i -> CASE WHEN xq[i+1] > 0 THEN CAST(1 AS BIGINT) << i
+           ELSE 0 END)), 0) AS BIGINT) AS b_lo
+  FROM qz
+), pr AS (SELECT * FROM v WHERE vec_id % 100 = 0),
+tr AS (SELECT * FROM v WHERE vec_id % 100 <> 0),
+coarse AS (
+  SELECT q_id, vec_id, ham FROM (
+    SELECT pr.vec_id AS q_id, tr.vec_id,
+           CAST(bit_count(xor(tr.b_hi, pr.b_hi))
+              + bit_count(xor(tr.b_lo, pr.b_lo)) AS BIGINT) AS ham,
+           row_number() OVER (PARTITION BY pr.vec_id
+             ORDER BY bit_count(xor(tr.b_hi, pr.b_hi))
+                    + bit_count(xor(tr.b_lo, pr.b_lo)), tr.vec_id) AS rn
+    FROM tr CROSS JOIN pr)
+  WHERE rn <= 20
+), rr AS (
+  SELECT c.q_id, c.vec_id, c.ham,
+    round(CAST(list_sum(list_transform(range(64),
+            i -> t.xq[i+1]*p.xq[i+1])) AS DOUBLE)
+          / sqrt(CAST(t.n2 AS DOUBLE) * CAST(p.n2 AS DOUBLE)), 6) AS cosine
+  FROM coarse c
+  JOIN v t ON t.vec_id = c.vec_id
+  JOIN v p ON p.vec_id = c.q_id
+)
+SELECT q_id, rnk, vec_id, ham, cosine FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id
+    ORDER BY cosine DESC, vec_id) AS rnk FROM rr)
+WHERE rnk <= 3 ORDER BY q_id, rnk"""),
+
+    // Mirror of Similarity.tagNearB1Codes against the stored history
+    // codes (vec_id % 10 < 8): a fresh vector tags near_history iff
+    // some history code sits within 20 sign-bit flips.
+    "hamx" -> ("""WITH qz AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS xq
+  FROM embeddings
+), bits AS (
+  SELECT vec_id,
+    CAST(coalesce(list_sum(list_transform(range(32, 64),
+      i -> CASE WHEN xq[i+1] > 0 THEN CAST(1 AS BIGINT) << (i - 32)
+           ELSE 0 END)), 0) AS BIGINT) AS b_hi,
+    CAST(coalesce(list_sum(list_transform(range(32),
+      i -> CASE WHEN xq[i+1] > 0 THEN CAST(1 AS BIGINT) << i
+           ELSE 0 END)), 0) AS BIGINT) AS b_lo
+  FROM qz
+), bt AS (SELECT * FROM bits WHERE vec_id % 10 >= 8),
+hs AS (SELECT * FROM bits WHERE vec_id % 10 < 8),
+nr AS (
+  SELECT DISTINCT bt.vec_id FROM bt JOIN hs
+    ON bit_count(xor(bt.b_hi, hs.b_hi))
+     + bit_count(xor(bt.b_lo, hs.b_lo)) <= 20
+)
+SELECT bt.vec_id, (nr.vec_id IS NOT NULL) AS near_history
+FROM bt LEFT JOIN nr USING (vec_id) ORDER BY vec_id"""),
 
     // Mirror of TextAnalysis.bm25TopK: bit-length Robertson idf,
     // cross-multiplied k1=1.2 / b=0.75 saturation term in exact

@@ -110,6 +110,110 @@ object Similarity {
       .select("q_id", "rnk", "vec_id", "ham")
   }
 
+  /** Coarse-Hamming + exact rerank — the standard two-stage serving
+    * pattern for binary-quantized retrieval (rank everything by 16-byte
+    * code distance, then spend exact arithmetic only on the shortlist):
+    * per probe, the [[hammingTopK]] top-`coarseK` shortlist is reranked
+    * by the exact quantized cosine and cut to `k`. Ties break by vec_id
+    * at both stages, so the result is engine-exact.
+    *
+    * Scale shape: stage 1 is the broadcast code scan (no corpus
+    * shuffle); stage 2 touches `coarseK·|probes|` full vectors — the
+    * shortlist joins BACK to the corpus by id (broadcast, probe-sized)
+    * rather than dragging every 64-dim vector through the window.
+    * Output: (q_id, rnk, vec_id, ham, cosine). */
+  def hammingRerank(corpus: DataFrame, probes: DataFrame, idCol: String,
+      embCol: String, coarseK: Int = 20, k: Int = 3): DataFrame = {
+    require(coarseK >= k, "hammingRerank: coarseK must be >= k")
+    val coarse = hammingTopK(corpus, probes, idCol, embCol, coarseK)
+    def vecs(df: DataFrame, idAs: String, pre: String) =
+      df.select(col(idCol).cast("long").as(idAs),
+          quantize(col(embCol)).as(s"${pre}qe"))
+        .withColumn(s"${pre}n2", dotQ(col(s"${pre}qe"), col(s"${pre}qe")))
+    val scored = coarse
+      .join(broadcast(vecs(probes, "q_id", "q_")), "q_id")
+      .join(broadcast(vecs(corpus, "vec_id", "c_")), "vec_id")
+      .select(col("q_id"), col("vec_id"), col("ham"),
+        cosineQNormed(col("c_qe"), col("q_qe"), col("c_n2"), col("q_n2"))
+          .as("cosine"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id").asc)
+    scored.withColumn("rnk", row_number().over(win).cast("long"))
+      .where(col("rnk") <= k)
+      .select("q_id", "rnk", "vec_id", "ham", "cosine")
+  }
+
+  /** Materialize the binary-code HISTORY file: every vector's
+    * [[binarize1Bit]] code — 16 bytes of payload per vector — plus a
+    * one-row `meta` frame pinning the code width. Unlike the LSH/IVF
+    * indexes there is deliberately NO partition pruning: at the Hamming
+    * radii real embedding corpora need (the fixture's closest pair sits
+    * at distance 15 of 64), multi-index pigeonhole pruning admits
+    * nearly every pair, so the honest scale design is the flat code
+    * scan — that IS binarization's value: the probe streams 16-byte
+    * codes at memory bandwidth instead of 256-byte vectors. */
+  def writeB1Codes(embeddings: DataFrame, idCol: String, embCol: String,
+      path: String): Unit = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    Seq(64).toDF("bits").write.mode("overwrite").parquet(s"$path/meta")
+    binarize1Bit(embeddings, col(idCol), col(embCol))
+      .write.mode("overwrite").parquet(s"$path/codes")
+  }
+
+  /** TAG a batch against the stored code history — tag-don't-drop: a
+    * batch vector gets `near_history = true` iff some stored code sits
+    * within `maxHam` sign-bit flips. The code frames meet in a
+    * broadcast nested loop (batch-side codes broadcast, history codes
+    * scanned once); XOR+popcount per pair, no shuffle of the history.
+    * Compose with [[appendB1Codes]] in one `foreachBatch` for the
+    * incremental near-duplicate gate over a live embedding feed. */
+  def tagNearB1Codes(batch: DataFrame, idCol: String, embCol: String,
+      path: String, maxHam: Int = 20): DataFrame = {
+    val spark = batch.sparkSession
+    val codes = graft.CacheScope.persistTracked(
+      binarize1Bit(batch, col(idCol), col(embCol)))
+    val hist = spark.read.parquet(s"$path/codes")
+      .select(col("vec_id").as("__hid"), col("b_hi").as("__hhi"),
+        col("b_lo").as("__hlo"))
+    val near = hist.crossJoin(broadcast(codes))
+      .where(expr(s"bit_count(b_hi ^ __hhi) + bit_count(b_lo ^ __hlo)" +
+        s" <= $maxHam") && col("vec_id") =!= col("__hid"))
+      .select(col("vec_id").as("__nid")).distinct()
+      .withColumn("near_history", lit(true))
+    batch.join(near, col(idCol).cast("long") === col("__nid"), "left")
+      .drop("__nid")
+      .na.fill(false, Seq("near_history"))
+  }
+
+  /** INCREMENTAL code append — [[appendCellIndex]]'s exact replay
+    * contract for the code history: an `_applied_batches/<batchId>`
+    * marker (committed AFTER the data files) catches whole-batch
+    * replays, and an id-level anti join against the stored codes
+    * catches re-delivery under a NEW batchId. Returns false on a
+    * marker-replayed batch. */
+  def appendB1Codes(batch: DataFrame, idCol: String, embCol: String,
+      path: String, batchId: Long): Boolean = {
+    val spark = batch.sparkSession
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val markers = new org.apache.hadoop.fs.Path(root, "_applied_batches")
+    val marker = new org.apache.hadoop.fs.Path(markers, batchId.toString)
+    if (fs.exists(marker)) false
+    else {
+      val codes = binarize1Bit(batch, col(idCol), col(embCol))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val novel = codes.join(
+        spark.read.parquet(s"$path/codes").select("vec_id"),
+        Seq("vec_id"), "left_anti")
+      novel.write.mode("append").parquet(s"$path/codes")
+      codes.unpersist()
+      fs.mkdirs(markers)
+      fs.create(marker, true).close()
+      true
+    }
+  }
+
   /** MATRYOSHKA truncation recall — the evaluation every deployment of
     * MRL-style embeddings (Kusupati et al. 2022: models trained so
     * informative dimensions come first) runs before serving the short
@@ -150,9 +254,12 @@ object Similarity {
     val pref = topk(pairs.select(col("q_id"), col("vid"),
       cosineQNormed(col("qp"), col("__pv"), col("p2"), col("__qp2"))
         .as("cp")), "cp")
+    // the overlap aggregate is probe-sized — broadcast it so the final
+    // left join never plans a probe-frame shuffle (AQE would fix it at
+    // runtime, but the static plan should already be right)
     qb.select("q_id")
-      .join(full.join(pref, Seq("q_id", "vid"))
-        .groupBy("q_id").agg(count(lit(1)).as("hits")), Seq("q_id"), "left")
+      .join(broadcast(full.join(pref, Seq("q_id", "vid"))
+        .groupBy("q_id").agg(count(lit(1)).as("hits"))), Seq("q_id"), "left")
       .select(col("q_id"), coalesce(col("hits"), lit(0L)).as("hits"))
       .withColumn("recall_pm", expr(s"hits * 1000 div $k"))
   }

@@ -564,6 +564,52 @@ class PlanSpec extends SparkSpec {
       s"expected partial+final mean aggregation in:\n$p")
   }
 
+  test("bm25: query terms and df broadcast, top-k fused into WindowGroupLimit") {
+    val p = plan("bm25")
+    // the postings frame meets the term table and the (N,S) stamps via
+    // broadcast only — no term-keyed shuffle join of the corpus side
+    assert(count(p, "BroadcastHashJoin") >= 2,
+      s"expected broadcast df/query-term joins in:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"expected the one-row (N,S) stamp broadcast in:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the corpus side must never shuffle to meet the query batch in:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"expected partial top-k before the per-query exchange in:\n$p")
+  }
+
+  test("pagerank: co-partitioned sweeps — shuffle joins on keys, no broadcast of ranks") {
+    val p = plan("prank")
+    // the N stamp broadcasts; the rank⋈edge joins are key-keyed shuffle
+    // joins (rank frames are data-sized — broadcasting them would be
+    // the 100 TB mistake), and nothing plans a cartesian
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"expected the one-row count stamp broadcast in:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
+    // per-sweep in-mass aggregation is partial+final
+    assert(count(p, "HashAggregate") >= 10,
+      s"expected partial+final agg per sweep in:\n$p")
+  }
+
+  test("hits: normalization maxima ride one-row broadcasts, never a collect") {
+    val p = plan("hits")
+    // 2 sweeps x 2 normalizations = 4 max stamps, each a one-row
+    // broadcast nested loop against the node frame
+    assert(count(p, "BroadcastNestedLoopJoin") >= 4,
+      s"expected broadcast L-inf maxima in:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
+  }
+
+  test("mrl: probe batch broadcasts; both rankings keep the partial group limit") {
+    val p = plan("mrl")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"expected broadcast probe batch in:\n$p")
+    assert(count(p, "WindowGroupLimit") >= 2,
+      s"expected partial top-k on both the full and prefix rankings in:\n$p")
+    assert(!p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin"),
+      s"corpus must not shuffle to meet probes in:\n$p")
+  }
+
   test("no inventory query plans a cartesian product") {
     // ann_brute/ann_lsh intentionally broadcast-cross-join ONE query
     // row against the corpus — a bounded nested loop, not an all-pairs
