@@ -968,6 +968,27 @@ model AS (
       Graph.hits(edges, iters = 2).orderBy("node")
     }),
 
+    // Per-node triangle counts over the undirected view of the same
+    // 4-out-link crawl graph (30 triangles at sf0.01) — the local
+    // clustering census that flags link rings.
+    "tri" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      val edges = docs.crossJoin(
+          broadcast(docs.agg(count(lit(1)).as("__n"))))
+        .select(col("doc_id").as("src"), explode(expr(
+          "transform(sequence(0, 3), k -> " +
+            "(doc_id * 48271 + 1299721 * CAST(k AS BIGINT) + 17) % __n)"))
+          .as("dst"))
+      Graph.triangles(edges).orderBy("node")
+    }),
+
+    // PMI collocations: top-30 adjacent word pairs by integer-bit
+    // pointwise mutual information (joint-vs-independent ratio on the
+    // exact count grid), pairs seen >= 5 times.
+    "pmi" -> ((s, d) =>
+      TextAnalysis.pmiCollocations(Tables.documents(s, d), col("text"),
+        k = 30, minCount = 5L)),
+
     // Matryoshka truncation recall: 16-dim-prefix cosine top-5 vs the
     // full 64-dim top-5 for the probe slice (vec_id % 100 == 0) — the
     // serve-short-prefix evaluation, in parts-per-thousand.
@@ -3356,6 +3377,52 @@ h2 AS (SELECT nd.node,
        FROM nd LEFT JOIN h2r USING (node))
 SELECT a2.node, CAST(a2.a AS BIGINT) AS auth_pu, CAST(h2.h AS BIGINT) AS hub_pu
 FROM a2 JOIN h2 USING (node) ORDER BY node"""),
+
+    // Mirror of Graph.triangles over the undirected crawl graph: edges
+    // canonicalized to a < b, oriented wedge join, closing-edge join,
+    // one count per triangle corner.
+    "tri" -> ("""WITH n AS (SELECT count(*) AS n FROM documents),
+e0 AS (
+  SELECT doc_id AS src,
+         (doc_id * 48271 + 1299721 * k + 17) % n.n AS dst
+  FROM documents CROSS JOIN n
+  CROSS JOIN (SELECT unnest(range(4)) AS k) ks
+), e AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM e0 WHERE src <> dst
+), tr AS (
+  SELECT e1.a, e1.b, e2.b AS c
+  FROM e e1 JOIN e e2 ON e1.b = e2.a
+  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+)
+SELECT node, CAST(count(*) AS BIGINT) AS n_tri
+FROM (SELECT unnest([a, b, c]) AS node FROM tr)
+GROUP BY node ORDER BY node"""),
+
+    // Mirror of TextAnalysis.pmiCollocations: adjacent pairs by
+    // position join, integer-bit PMI, (pmi, count, pair) total order.
+    "pmi" -> ("""WITH w AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), ' +') AS ws
+  FROM documents
+), pos AS (
+  SELECT doc_id, i, ws[i+1] AS wd
+  FROM (SELECT doc_id, ws, unnest(range(len(ws))) AS i FROM w)
+), uni AS (SELECT wd, CAST(count(*) AS BIGINT) AS c FROM pos GROUP BY 1),
+bi AS (
+  SELECT l.wd AS wa, r.wd AS wb, CAST(count(*) AS BIGINT) AS cab
+  FROM pos l JOIN pos r ON l.doc_id = r.doc_id AND r.i = l.i + 1
+  GROUP BY 1, 2
+), st AS (
+  SELECT (SELECT CAST(sum(c) AS BIGINT) FROM uni) AS t_words,
+         (SELECT CAST(sum(cab) AS BIGINT) FROM bi) AS s_bi
+)
+SELECT wa, wb, cab,
+  CAST(length(bin(cab * t_words * t_words // (ca.c * cb.c * s_bi)))
+    AS BIGINT) AS pmi_bits
+FROM bi JOIN uni ca ON ca.wd = bi.wa JOIN uni cb ON cb.wd = bi.wb
+CROSS JOIN st
+WHERE cab >= 5
+ORDER BY pmi_bits DESC, cab DESC, wa, wb LIMIT 30"""),
 
     // Mirror of Similarity.matryoshkaRecall: 16-dim-prefix cosine
     // top-5 vs full 64-dim top-5 (same rounded-double cosine, vec_id

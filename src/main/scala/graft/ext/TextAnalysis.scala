@@ -930,6 +930,51 @@ object TextAnalysis {
       .select("q_id", "rnk", "doc_id", "score")
   }
 
+  /** PMI collocation mining — the corpus-analysis pass that surfaces
+    * multiword units ("new york", "machine learning") before tokenizer
+    * training or stop-phrase curation: adjacent word pairs ranked by
+    * pointwise mutual information, quantized to the engines' shared
+    * bit-length log (`pmi_bits = bitlen((c_ab·T²) div (c_a·c_b·S))`,
+    * the integer part of log₂ of the joint-vs-independent ratio plus
+    * one, with T = total words, S = total bigrams — exact integer
+    * arithmetic end to end).
+    *
+    * Scale shape: bigrams come from one zip of each document's word
+    * array against its own tail (no self-join of the corpus); unigram
+    * and bigram counts are partial-agg `groupBy`s over uniform word
+    * keys; the two count stamps ride one-row broadcasts; the final
+    * top-k is a global TakeOrdered over the (pmi, count, pair) total
+    * order — never a full sort. Long bound: `c_ab·T²` must fit 2⁶³ —
+    * good to ~10⁷ corpus words per shard at c_ab ≤ 10⁴.
+    *
+    * Output: (wa, wb, cab, pmi_bits) — top `k` by
+    * (pmi_bits DESC, cab DESC, wa, wb), pairs seen ≥ `minCount`. */
+  def pmiCollocations(docs: DataFrame, content: Column, k: Int = 30,
+      minCount: Long = 5L): DataFrame = {
+    val w = docs.select(split(trim(lower(content)), " +").as("__ws"))
+    val uni = w.select(explode(col("__ws")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val bi = w.select(explode(expr(
+        "zip_with(slice(__ws, 1, size(__ws) - 1)," +
+          " slice(__ws, 2, size(__ws) - 1)," +
+          " (x, y) -> named_struct('wa', x, 'wb', y))")).as("__bg"))
+      .select(col("__bg.wa").as("wa"), col("__bg.wb").as("wb"))
+      .groupBy("wa", "wb").agg(count(lit(1)).as("cab"))
+    val tStamp = uni.agg(sum("c").as("t_words"))
+    val sStamp = bi.agg(sum("cab").as("s_bi"))
+    bi.where(col("cab") >= minCount)
+      .join(broadcast(uni.select(col("w").as("wa"), col("c").as("ca"))), "wa")
+      .join(broadcast(uni.select(col("w").as("wb"), col("c").as("cb"))), "wb")
+      .crossJoin(broadcast(tStamp)).crossJoin(broadcast(sStamp))
+      .withColumn("pmi_bits",
+        length(bin(expr("cab * t_words * t_words div (ca * cb * s_bi)")))
+          .cast("long"))
+      .select("wa", "wb", "cab", "pmi_bits")
+      .orderBy(col("pmi_bits").desc, col("cab").desc, col("wa").asc,
+        col("wb").asc)
+      .limit(k)
+  }
+
   def fingerprint(df: DataFrame, content: Column, id: Column,
                   k: Int = 3): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)

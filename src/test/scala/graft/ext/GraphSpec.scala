@@ -74,4 +74,20 @@ class GraphSpec extends SparkSpec {
       .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
     assert(r === Set((100L, 100L)))
   }
+
+  test("triangles: canonicalization kills self-loops/dups, corners count once each") {
+    // clean triangles {1,2,3} and {1,3,4}; (2,1) duplicates (1,2)
+    // reversed, (5,5) is a self-loop, (4,3) re-delivers (3,4) — none
+    // may change the counts, and node 5 never appears
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (1L, 4L),
+      (2L, 1L), (5L, 5L), (4L, 3L)).toDF("src", "dst")
+    val out = Graph.triangles(e)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 2L, 2L -> 1L, 3L -> 2L, 4L -> 1L))
+  }
+
+  test("triangles: a triangle-free cycle yields no rows") {
+    val e = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L)).toDF("src", "dst")
+    assert(Graph.triangles(e).count() === 0L)
+  }
 }

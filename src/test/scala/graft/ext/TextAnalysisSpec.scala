@@ -592,6 +592,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.toSeq === Seq((1L, 1L, 1073170L), (2L, 3L, 1073170L)))
   }
 
+  test("pmiCollocations: hand-computed integer-bit PMI, full tie order") {
+    // T = 9 words (a:3 b:3 c:3), S = 6 bigrams; ab seen 3x:
+    //   pmi(a,b) = bitlen(3·81 div 54 = 4) = 3
+    //   pmi(b,a) = pmi(b,c) = pmi(c,c) = bitlen(81 div 54 = 1) = 1
+    val docs = Seq((1L, "a b a b"), (2L, "a b c"), (3L, "c c"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.pmiCollocations(docs, $"text", k = 10,
+        minCount = 1L)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3)))
+    assert(out.toSeq === Seq(
+      ("a", "b", 3L, 3L),
+      ("b", "a", 1L, 1L), ("b", "c", 1L, 1L), ("c", "c", 1L, 1L)))
+    // the count floor prunes the singletons
+    assert(TextAnalysis.pmiCollocations(docs, $"text", k = 10,
+      minCount = 2L).count() === 1L)
+  }
+
   test("bm25TopK scores multiple queries independently in one pass") {
     val out = TextAnalysis.bm25TopK(bm25Docs, $"text", $"doc_id",
         Seq(7L -> "apple cherry", 8L -> "banana"), k = 10)
