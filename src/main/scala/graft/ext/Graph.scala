@@ -12,6 +12,16 @@ import org.apache.spark.sql.functions._
   * arithmetic — `div` for the out-degree split and the damping ratio —
   * so the result is EXACT under any partitioning, any engine, any
   * summation order, and a DuckDB oracle can replay it term-for-term.
+  *
+  * Caching note: the loop-invariant frames (nodes, degree-annotated
+  * edges) are deliberately NOT persisted here. Measured on the bench
+  * fixture, caching them made `hits` 3.5× slower (isolated min 3.3 s →
+  * 11.6 s): the cached plan's frozen output partitioning forces extra
+  * exchanges into every sweep's join, and at these sizes recompute is
+  * cheaper than the memory-store round trip. On a cluster where the
+  * edge list is a multi-TB scan, persist it at the CALL SITE
+  * (`edges.persist()` before invoking) — the operators compose with a
+  * pre-cached input, they just don't impose the cost by default.
   */
 object Graph {
 
