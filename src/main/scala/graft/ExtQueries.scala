@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Curation, Dedup, Graph, Multimodal, Packing, Sampling, Similarity, TextAnalysis, Unigram, WordPiece}
+import graft.ext.{Chat, Curation, Dedup, Graph, Multimodal, Packing, Sampling, Similarity, TextAnalysis, Unigram, WordPiece}
 
 /** LLM-data-pipeline extensions over `documents` / `embeddings`:
   * dedup (exact, n-gram Jaccard, MinHash+LSH, SimHash), similarity
@@ -980,6 +980,33 @@ model AS (
             "(doc_id * 48271 + 1299721 * CAST(k AS BIGINT) + 17) % __n)"))
           .as("dst"))
       Graph.triangles(edges).orderBy("node")
+    }),
+
+    // SFT conversation curation: deterministic role/content JSON is
+    // synthesized from each document (5-word turns, optional system
+    // head on doc_id % 3, a doubled-user defect on % 13, TRUNCATED
+    // JSON on % 17 — trailing garbage after the root value wouldn't
+    // break Jackson), then REALLY parsed back and validated — the
+    // oracle prices the closed form, JSON-blind (the mm_vid move).
+    "chat" -> ((s, d) => {
+      val conv = Tables.documents(s, d)
+        .select(col("doc_id"), split(trim(col("text")), " +").as("__w"))
+        .select(col("doc_id"), expr(
+          ("CASE WHEN doc_id % 17 = 0 THEN" +
+            " substring(__j, 1, length(__j) - 2) ELSE __j END")
+            .replace("__j",
+              "to_json(concat(" +
+                "slice(array(named_struct('role', 'system', 'content', " +
+                "'you are a helpful assistant')), 1, " +
+                "CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END), " +
+                "slice(array(named_struct('role', 'user', 'content', 'hi'))," +
+                " 1, CASE WHEN doc_id % 13 = 0 THEN 1 ELSE 0 END), " +
+                "transform(sequence(0, CAST((size(__w) + 4) div 5 AS INT) - 1)," +
+                " t -> named_struct(" +
+                "'role', CASE WHEN t % 2 = 0 THEN 'user' ELSE 'assistant' END," +
+                " 'content', concat_ws(' ', slice(__w, t * 5 + 1, 5))))))"))
+          .as("conv"))
+      Chat.stats(conv, col("conv"), col("doc_id")).orderBy("doc_id")
     }),
 
     // PMI collocations: top-30 adjacent word pairs by integer-bit
@@ -3398,6 +3425,54 @@ e0 AS (
 SELECT node, CAST(count(*) AS BIGINT) AS n_tri
 FROM (SELECT unnest([a, b, c]) AS node FROM tr)
 GROUP BY node ORDER BY node"""),
+
+    // Mirror of Chat.stats over the synthesized conversations, priced
+    // from the word closed form without touching JSON: turn counts by
+    // ceil-div, roles by parity, content chars = word chars + intra-turn
+    // spaces (+27 system / +2 'hi'), render_fp = md5 of the template
+    // string rebuilt turn-by-turn; % 17 rows quarantine to nulls.
+    "chat" -> ("""WITH w AS (
+  SELECT doc_id, string_split_regex(trim(text), ' +') AS ws FROM documents
+), base AS (
+  SELECT doc_id, ws, CAST(len(ws) AS BIGINT) AS nw,
+         CAST((len(ws) + 4) // 5 AS BIGINT) AS nt,
+         (doc_id % 3 = 0) AS sys, (doc_id % 13 = 0) AS brk,
+         (doc_id % 17 = 0) AS bad
+  FROM w
+), chars AS (
+  SELECT doc_id, CAST(sum(len(wd)) AS BIGINT) AS wchars
+  FROM (SELECT doc_id, unnest(ws) AS wd FROM w) GROUP BY 1
+), tl AS (
+  SELECT doc_id,
+    '<|' || CASE WHEN t % 2 = 0 THEN 'user' ELSE 'assistant' END
+      || '|>' || array_to_string(ws[t*5+1 : t*5+5], ' ') AS line, t
+  FROM (SELECT doc_id, ws, unnest(range(nt)) AS t FROM base)
+), body AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY t) AS b FROM tl
+  GROUP BY 1
+), rend AS (
+  SELECT base.doc_id, concat_ws(chr(10),
+    CASE WHEN sys THEN '<|system|>you are a helpful assistant'
+         ELSE NULL END,
+    CASE WHEN brk THEN '<|user|>hi' ELSE NULL END,
+    body.b) AS rendered
+  FROM base JOIN body USING (doc_id)
+)
+SELECT b.doc_id,
+  NOT bad AS parse_ok,
+  CASE WHEN bad THEN NULL ELSE nt + CASE WHEN sys THEN 1 ELSE 0 END
+    + CASE WHEN brk THEN 1 ELSE 0 END END AS n_turns,
+  CASE WHEN bad THEN NULL ELSE (nt + 1) // 2
+    + CASE WHEN brk THEN 1 ELSE 0 END END AS n_user,
+  CASE WHEN bad THEN NULL ELSE nt // 2 END AS n_asst,
+  CASE WHEN bad THEN NULL ELSE sys END AS has_system,
+  CASE WHEN bad THEN NULL ELSE NOT brk END AS alternation_ok,
+  CASE WHEN bad THEN NULL ELSE c.wchars + (nw - nt)
+    + CASE WHEN sys THEN 27 ELSE 0 END
+    + CASE WHEN brk THEN 2 ELSE 0 END END AS content_chars,
+  CASE WHEN bad THEN NULL ELSE md5(r.rendered) END AS render_fp
+FROM base b JOIN chars c USING (doc_id) JOIN rend r USING (doc_id)
+ORDER BY doc_id"""),
 
     // Mirror of TextAnalysis.pmiCollocations: adjacent pairs by
     // position join, integer-bit PMI, (pmi, count, pair) total order.

@@ -1,0 +1,66 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, StringType, StructField, StructType}
+
+/** Conversation (SFT/chat) data curation — the validation and
+  * flattening passes an instruction-tuning pipeline runs over
+  * role/content message arrays before tokenization: structural parse
+  * with quarantine, role-sequence validation, per-conversation stats,
+  * and the template render that turns a conversation into the plain
+  * text the tokenizer/packing stages consume.
+  */
+object Chat {
+
+  /** The wire schema: a JSON array of `{"role": …, "content": …}`. */
+  val MessageSchema: ArrayType = ArrayType(StructType(Seq(
+    StructField("role", StringType), StructField("content", StringType))))
+
+  /** Parse + validate one JSON conversation column. Malformed JSON
+    * quarantines (`parse_ok = false`, stats null) rather than erroring
+    * — the corpus-reader contract. Validation is structural, not
+    * semantic: `alternation_ok` is false iff any two CONSECUTIVE
+    * messages share a role (covers the doubled-user and
+    * assistant-first-after-system defects the SFT trainers reject).
+    *
+    * A pure narrow projection — `from_json` plus array HOFs inside
+    * whole-stage codegen, zero shuffles, scan-speed at any corpus
+    * size. Output: (doc_id, parse_ok, n_turns, n_user, n_asst,
+    * has_system, alternation_ok, content_chars, render_fp) —
+    * `render_fp` = md5 of [[render]]'s flattened text, the
+    * cross-engine fingerprint of the template pass. */
+  def stats(df: DataFrame, conv: Column, id: Column): DataFrame =
+    df.select(id.cast("long").as("doc_id"),
+        from_json(conv, MessageSchema).as("__c"))
+      .select(col("doc_id"),
+        col("__c").isNotNull.as("parse_ok"),
+        expr("CAST(size(__c) AS BIGINT)").as("n_turns"),
+        expr("CAST(size(filter(__c, t -> t.role = 'user')) AS BIGINT)")
+          .as("n_user"),
+        expr("CAST(size(filter(__c, t -> t.role = 'assistant')) AS BIGINT)")
+          .as("n_asst"),
+        expr("exists(__c, t -> t.role = 'system')").as("has_system"),
+        expr("aggregate(zip_with(slice(__c, 1, size(__c) - 1)," +
+          " slice(__c, 2, size(__c) - 1)," +
+          " (a, b) -> a.role <> b.role), true, (acc, x) -> acc AND x)")
+          .as("alternation_ok"),
+        expr("aggregate(__c, CAST(0 AS BIGINT)," +
+          " (acc, t) -> acc + length(t.content))").as("content_chars"),
+        md5(renderCol(col("__c"))).as("render_fp"))
+
+  /** The flattening template: `<|role|>content` per message, joined by
+    * newlines — the deterministic text the tokenizer sees. Null for
+    * unparseable conversations. */
+  def render(df: DataFrame, conv: Column, id: Column): DataFrame =
+    df.select(id.cast("long").as("doc_id"),
+      renderCol(from_json(conv, MessageSchema)).as("text"))
+
+  private def renderCol(parsed: Column): Column =
+    // concat_ws turns a NULL array into '' — keep quarantined rows null
+    // instead of fingerprinting the empty string
+    when(parsed.isNull, lit(null).cast("string"))
+      .otherwise(concat_ws("\n", transform(parsed,
+        t => concat(lit("<|"), t.getField("role"), lit("|>"),
+          t.getField("content")))))
+}

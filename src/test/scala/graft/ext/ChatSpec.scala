@@ -1,0 +1,61 @@
+package graft.ext
+
+import graft.SparkSpec
+
+class ChatSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val good =
+    """[{"role":"system","content":"be brief"},""" +
+      """{"role":"user","content":"hi there"},""" +
+      """{"role":"assistant","content":"hello"}]"""
+
+  test("stats: hand-computed counts, alternation, chars, render fp") {
+    val df = Seq((1L, good)).toDF("doc_id", "conv")
+    val r = Chat.stats(df, $"conv", $"doc_id").collect().head
+    assert(r.getBoolean(1))                    // parse_ok
+    assert(r.getLong(2) === 3L)                // n_turns
+    assert(r.getLong(3) === 1L)                // n_user
+    assert(r.getLong(4) === 1L)                // n_asst
+    assert(r.getBoolean(5))                    // has_system
+    assert(r.getBoolean(6))                    // alternation_ok
+    assert(r.getLong(7) === 21L)               // 8 + 8 + 5
+    val rendered =
+      "<|system|>be brief\n<|user|>hi there\n<|assistant|>hello"
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(rendered.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(r.getString(8) === md)
+    assert(Chat.render(df, $"conv", $"doc_id")
+      .collect().head.getString(1) === rendered)
+  }
+
+  test("stats: a doubled role breaks alternation; a single turn passes") {
+    val doubled = """[{"role":"user","content":"a"},""" +
+      """{"role":"user","content":"b"}]"""
+    val single = """[{"role":"user","content":"a"}]"""
+    val out = Chat.stats(
+        Seq((1L, doubled), (2L, single)).toDF("doc_id", "conv"),
+        $"conv", $"doc_id")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getBoolean(6)))
+    assert(out.toSeq === Seq((1L, false), (2L, true)))
+  }
+
+  test("stats: malformed JSON quarantines to nulls, never errors") {
+    val out = Chat.stats(
+        Seq((1L, good.dropRight(2)), (2L, "not json at all"))
+          .toDF("doc_id", "conv"),
+        $"conv", $"doc_id").collect()
+    out.foreach { r =>
+      assert(!r.getBoolean(1))
+      assert(r.isNullAt(2) && r.isNullAt(6) && r.isNullAt(8))
+    }
+  }
+
+  test("stats is a narrow zero-shuffle projection") {
+    val df = Seq((1L, good)).toDF("doc_id", "conv")
+    val plan = Chat.stats(df, $"conv", $"doc_id")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Join"), plan)
+  }
+}
