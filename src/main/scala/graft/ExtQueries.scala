@@ -215,6 +215,29 @@ model AS (
       path
     }
 
+  /** Deterministic conversation JSON for the chat/csp rows: 5-word
+    * turns alternating user/assistant, a system head on doc_id % 3, a
+    * doubled-user defect on % 13, and TRUNCATED JSON on % 17 (trailing
+    * garbage after the root value wouldn't break Jackson). Mirrored
+    * closed-form in both oracles. */
+  private def synthChatConv(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), split(trim(col("text")), " +").as("__w"))
+      .select(col("doc_id"), expr(
+        ("CASE WHEN doc_id % 17 = 0 THEN" +
+          " substring(__j, 1, length(__j) - 2) ELSE __j END")
+          .replace("__j",
+            "to_json(concat(" +
+              "slice(array(named_struct('role', 'system', 'content', " +
+              "'you are a helpful assistant')), 1, " +
+              "CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END), " +
+              "slice(array(named_struct('role', 'user', 'content', 'hi'))," +
+              " 1, CASE WHEN doc_id % 13 = 0 THEN 1 ELSE 0 END), " +
+              "transform(sequence(0, CAST((size(__w) + 4) div 5 AS INT) - 1)," +
+              " t -> named_struct(" +
+              "'role', CASE WHEN t % 2 = 0 THEN 'user' ELSE 'assistant' END," +
+              " 'content', concat_ws(' ', slice(__w, t * 5 + 1, 5))))))"))
+        .as("conv"))
+
   private[graft] def b1CodesFor(s: SparkSession, sfDir: String): String =
     synchronized {
       val path = graft.sources.Scratch.dir("b1c",
@@ -988,26 +1011,16 @@ model AS (
     // JSON on % 17 — trailing garbage after the root value wouldn't
     // break Jackson), then REALLY parsed back and validated — the
     // oracle prices the closed form, JSON-blind (the mm_vid move).
-    "chat" -> ((s, d) => {
-      val conv = Tables.documents(s, d)
-        .select(col("doc_id"), split(trim(col("text")), " +").as("__w"))
-        .select(col("doc_id"), expr(
-          ("CASE WHEN doc_id % 17 = 0 THEN" +
-            " substring(__j, 1, length(__j) - 2) ELSE __j END")
-            .replace("__j",
-              "to_json(concat(" +
-                "slice(array(named_struct('role', 'system', 'content', " +
-                "'you are a helpful assistant')), 1, " +
-                "CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END), " +
-                "slice(array(named_struct('role', 'user', 'content', 'hi'))," +
-                " 1, CASE WHEN doc_id % 13 = 0 THEN 1 ELSE 0 END), " +
-                "transform(sequence(0, CAST((size(__w) + 4) div 5 AS INT) - 1)," +
-                " t -> named_struct(" +
-                "'role', CASE WHEN t % 2 = 0 THEN 'user' ELSE 'assistant' END," +
-                " 'content', concat_ws(' ', slice(__w, t * 5 + 1, 5))))))"))
-          .as("conv"))
-      Chat.stats(conv, col("conv"), col("doc_id")).orderBy("doc_id")
-    }),
+    "chat" -> ((s, d) =>
+      Chat.stats(synthChatConv(Tables.documents(s, d)), col("conv"),
+        col("doc_id")).orderBy("doc_id")),
+
+    // Loss-masking spans over the SAME synthesized conversations: the
+    // [start, end) character offsets of every assistant message inside
+    // the rendered template — what SFT packing masks loss against.
+    "csp" -> ((s, d) =>
+      Chat.assistantSpans(synthChatConv(Tables.documents(s, d)),
+        col("conv"), col("doc_id")).orderBy("doc_id", "turn_idx")),
 
     // PMI collocations: top-30 adjacent word pairs by integer-bit
     // pointwise mutual information (joint-vs-independent ratio on the
@@ -3473,6 +3486,41 @@ SELECT b.doc_id,
   CASE WHEN bad THEN NULL ELSE md5(r.rendered) END AS render_fp
 FROM base b JOIN chars c USING (doc_id) JOIN rend r USING (doc_id)
 ORDER BY doc_id"""),
+
+    // Mirror of Chat.assistantSpans: the closed-form turn list with
+    // window prefix sums over line lengths — span_start = previous
+    // lines + newlines + the '<|role|>' prefix.
+    "csp" -> ("""WITH w AS (
+  SELECT doc_id, string_split_regex(trim(text), ' +') AS ws FROM documents
+), base AS (
+  SELECT doc_id, ws, CAST((len(ws) + 4) // 5 AS BIGINT) AS nt,
+         (doc_id % 3 = 0) AS sys, (doc_id % 13 = 0) AS brk,
+         (doc_id % 17 = 0) AS bad
+  FROM w
+), tl AS (
+  SELECT doc_id, CAST(0 AS BIGINT) AS ord, 'system' AS role,
+         CAST(27 AS BIGINT) AS clen
+  FROM base WHERE sys AND NOT bad
+  UNION ALL
+  SELECT doc_id, 1, 'user', 2 FROM base WHERE brk AND NOT bad
+  UNION ALL
+  SELECT doc_id, 2 + t,
+         CASE WHEN t % 2 = 0 THEN 'user' ELSE 'assistant' END,
+         CAST(len(array_to_string(ws[t*5+1 : t*5+5], ' ')) AS BIGINT)
+  FROM (SELECT doc_id, ws, unnest(range(nt)) AS t FROM base WHERE NOT bad)
+), sp AS (
+  SELECT doc_id, role, clen,
+    row_number() OVER (PARTITION BY doc_id ORDER BY ord) - 1 AS turn_idx,
+    coalesce(sum(length(role) + 4 + clen) OVER (
+      PARTITION BY doc_id ORDER BY ord
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumprev
+  FROM tl
+)
+SELECT doc_id, CAST(turn_idx AS BIGINT) AS turn_idx,
+  CAST(cumprev + turn_idx + length(role) + 4 AS BIGINT) AS span_start,
+  CAST(cumprev + turn_idx + length(role) + 4 + clen AS BIGINT) AS span_end
+FROM sp WHERE role = 'assistant'
+ORDER BY doc_id, turn_idx"""),
 
     // Mirror of TextAnalysis.pmiCollocations: adjacent pairs by
     // position join, integer-bit PMI, (pmi, count, pair) total order.

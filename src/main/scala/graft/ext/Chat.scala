@@ -56,6 +56,37 @@ object Chat {
     df.select(id.cast("long").as("doc_id"),
       renderCol(from_json(conv, MessageSchema)).as("text"))
 
+  /** Assistant-turn LOSS-MASKING spans — the [start, end) character
+    * offsets of every assistant message's content inside [[render]]'s
+    * flattened text. SFT training masks loss outside these spans, so
+    * the offsets must be exact against the very template the tokenizer
+    * consumes: `start = Σ_{j<i} (len(line_j)) + i newlines +
+    * len("<|role|>")`, `end = start + len(content)`. Unparseable
+    * conversations produce no rows (quarantine upstream via [[stats]]).
+    *
+    * A narrow projection + explode — the per-turn prefix sums run
+    * inside the array world (turn counts are small), zero shuffles.
+    * Output: (doc_id, turn_idx, span_start, span_end). */
+  def assistantSpans(df: DataFrame, conv: Column, id: Column): DataFrame =
+    df.select(id.cast("long").as("doc_id"),
+        from_json(conv, MessageSchema).as("__c"))
+      .where(col("__c").isNotNull)
+      .withColumn("__lens", expr(
+        "transform(__c, t -> length(t.role) + 4 + length(t.content))"))
+      .select(col("doc_id"), explode(expr(
+        "filter(transform(__c, (t, i) -> named_struct(" +
+          "'turn_idx', CAST(i AS BIGINT), 'role', t.role," +
+          " 'span_start', aggregate(slice(__lens, 1, i)," +
+          " CAST(0 AS BIGINT), (a, x) -> a + x) + i" +
+          " + length(t.role) + 4," +
+          " 'span_end', aggregate(slice(__lens, 1, i)," +
+          " CAST(0 AS BIGINT), (a, x) -> a + x) + i" +
+          " + length(t.role) + 4 + length(t.content)))," +
+          " s -> s.role = 'assistant')")).as("__s"))
+      .select(col("doc_id"), col("__s.turn_idx").as("turn_idx"),
+        col("__s.span_start").as("span_start"),
+        col("__s.span_end").as("span_end"))
+
   private def renderCol(parsed: Column): Column =
     // concat_ws turns a NULL array into '' — keep quarantined rows null
     // instead of fingerprinting the empty string

@@ -52,6 +52,23 @@ class ChatSpec extends SparkSpec {
     }
   }
 
+  test("assistantSpans: offsets slice the exact content out of render") {
+    // lines: '<|system|>be brief' (18), '<|user|>hi there' (16),
+    // '<|assistant|>hello' (18) → assistant content starts at
+    // 18 + 16 + 2 newlines + 13-char prefix = 49, ends at 54
+    val df = Seq((1L, good)).toDF("doc_id", "conv")
+    val spans = Chat.assistantSpans(df, $"conv", $"doc_id").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(spans.toSeq === Seq((2L, 49L, 54L)))
+    val rendered = Chat.render(df, $"conv", $"doc_id")
+      .collect().head.getString(1)
+    assert(rendered.substring(49, 54) === "hello")
+    // malformed conversations yield no span rows
+    assert(Chat.assistantSpans(
+      Seq((1L, "not json")).toDF("doc_id", "conv"),
+      $"conv", $"doc_id").count() === 0L)
+  }
+
   test("stats is a narrow zero-shuffle projection") {
     val df = Seq((1L, good)).toDF("doc_id", "conv")
     val plan = Chat.stats(df, $"conv", $"doc_id")
