@@ -119,6 +119,46 @@ class TrainingPipelineSpec extends SparkSpec {
     CacheScope.release()
   }
 
+  test("SFT leg: conversations gate, flatten, and feed the tokenizer/packer") {
+    graft.functions.GraftFunctions.register(spark)
+    val clean =
+      """[{"role":"system","content":"be brief"},""" +
+        """{"role":"user","content":"hi there"},""" +
+        """{"role":"assistant","content":"hello"}]"""
+    val doubled = """[{"role":"user","content":"a"},""" +
+      """{"role":"user","content":"b"}]"""
+    val convs = Seq((1L, clean), (2L, doubled), (3L, clean.dropRight(2)))
+      .toDF("doc_id", "conv")
+
+    // 1. gate: quarantined and structurally-broken conversations drop
+    val st = ext.Chat.stats(convs, col("conv"), col("doc_id"))
+    val keep = st.where(col("parse_ok") && col("alternation_ok"))
+      .select("doc_id")
+    assert(keep.collect().map(_.getLong(0)).toSeq == Seq(1L))
+
+    // 2. flatten with the template the tokenizer will see
+    val flat = ext.Chat.render(convs, col("conv"), col("doc_id"))
+      .join(keep, "doc_id")
+
+    // 3. the loss-mask spans address that exact text
+    val spans = ext.Chat.assistantSpans(convs, col("conv"), col("doc_id"))
+      .join(keep, "doc_id").collect()
+      .map(r => (r.getLong(2).toInt, r.getLong(3).toInt))
+    val rendered = flat.collect().head.getString(1)
+    assert(spans.map { case (s, e) => rendered.substring(s, e) }.toSeq
+      == Seq("hello"))
+
+    // 4. tokenize + pack the flattened conversations — the same seats
+    // the document corpus uses, no chat-specific forks downstream
+    val model = ext.Bpe.learn(flat, col("text"), nMerges = 4)
+    val enc = ext.Bpe.encode(flat, col("doc_id"), col("text"), model)
+    assert(enc.where(array_contains(col("input_ids"), -1L)).count() == 0)
+    val packed = ext.Packing.packSequences(enc, col("doc_id"),
+      col("n_tokens"), budget = 64)
+    assert(packed.count() >= 1)
+    CacheScope.release()
+  }
+
   test("selection triad wiring: NB and DSIR scores drive score-proportional sampling") {
     import spark.implicits._
     // good reference = fluent "english"; crawl = a mix of good-typical,
