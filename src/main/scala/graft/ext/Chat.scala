@@ -74,18 +74,18 @@ object Chat {
       .withColumn("__lens", expr(
         "transform(__c, t -> length(t.role) + 4 + length(t.content))"))
       .select(col("doc_id"), explode(expr(
+        // one prefix-sum per turn; the end derives from the start
+        // after the explode (the quadratic lambda is the cost here)
         "filter(transform(__c, (t, i) -> named_struct(" +
           "'turn_idx', CAST(i AS BIGINT), 'role', t.role," +
           " 'span_start', aggregate(slice(__lens, 1, i)," +
           " CAST(0 AS BIGINT), (a, x) -> a + x) + i" +
           " + length(t.role) + 4," +
-          " 'span_end', aggregate(slice(__lens, 1, i)," +
-          " CAST(0 AS BIGINT), (a, x) -> a + x) + i" +
-          " + length(t.role) + 4 + length(t.content)))," +
+          " 'clen', CAST(length(t.content) AS BIGINT)))," +
           " s -> s.role = 'assistant')")).as("__s"))
       .select(col("doc_id"), col("__s.turn_idx").as("turn_idx"),
         col("__s.span_start").as("span_start"),
-        col("__s.span_end").as("span_end"))
+        (col("__s.span_start") + col("__s.clen")).as("span_end"))
 
   private def renderCol(parsed: Column): Column =
     // concat_ws turns a NULL array into '' — keep quarantined rows null
