@@ -119,8 +119,10 @@ object Similarity {
     *
     * Scale shape: stage 1 is the broadcast code scan (no corpus
     * shuffle); stage 2 touches `coarseK·|probes|` full vectors — the
-    * shortlist joins BACK to the corpus by id (broadcast, probe-sized)
-    * rather than dragging every 64-dim vector through the window.
+    * SHORTLIST broadcasts back onto one more corpus scan (a
+    * broadcast-hash semi-prune: the corpus side never shuffles and
+    * never broadcasts — at 10⁹ vectors only the shortlist is small),
+    * and the probe vectors ride a second probe-sized broadcast.
     * Output: (q_id, rnk, vec_id, ham, cosine). */
   def hammingRerank(corpus: DataFrame, probes: DataFrame, idCol: String,
       embCol: String, coarseK: Int = 20, k: Int = 3): DataFrame = {
@@ -130,9 +132,9 @@ object Similarity {
       df.select(col(idCol).cast("long").as(idAs),
           quantize(col(embCol)).as(s"${pre}qe"))
         .withColumn(s"${pre}n2", dotQ(col(s"${pre}qe"), col(s"${pre}qe")))
-    val scored = coarse
+    val scored = vecs(corpus, "vec_id", "c_")
+      .join(broadcast(coarse), "vec_id")
       .join(broadcast(vecs(probes, "q_id", "q_")), "q_id")
-      .join(broadcast(vecs(corpus, "vec_id", "c_")), "vec_id")
       .select(col("q_id"), col("vec_id"), col("ham"),
         cosineQNormed(col("c_qe"), col("q_qe"), col("c_n2"), col("q_n2"))
           .as("cosine"))

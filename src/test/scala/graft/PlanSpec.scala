@@ -610,6 +610,22 @@ class PlanSpec extends SparkSpec {
       s"corpus must not shuffle to meet probes in:\n$p")
   }
 
+  test("hamr rerank: shortlist broadcasts, the corpus never does") {
+    val p = plan("hamr")
+    // coarse stage: probe codes ride the nested-loop broadcast; rerank
+    // stage: the coarseK*|probes| shortlist and the probe vectors ride
+    // hash broadcasts onto one more corpus scan — the corpus side is
+    // never the build side anywhere
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"expected the broadcast code scan in:\n$p")
+    assert(count(p, "BroadcastHashJoin") >= 2,
+      s"expected broadcast shortlist + probe-vector joins in:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the corpus must never shuffle to meet the shortlist in:\n$p")
+    assert(count(p, "WindowGroupLimit") >= 2,
+      s"expected partial top-k at both stages in:\n$p")
+  }
+
   test("no inventory query plans a cartesian product") {
     // ann_brute/ann_lsh intentionally broadcast-cross-join ONE query
     // row against the corpus — a bounded nested loop, not an all-pairs
