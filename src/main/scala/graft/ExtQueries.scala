@@ -238,6 +238,38 @@ model AS (
               " 'content', concat_ws(' ', slice(__w, t * 5 + 1, 5))))))"))
         .as("conv"))
 
+  /** Deterministic (chosen, rejected) conversation pairs for the
+    * `pref` row: shared prompt = optional system head (doc_id % 3)
+    * plus one user turn of the first 5 words; chosen answers with the
+    * remaining words ('ok' when none), rejected answers 'no'. Defects:
+    * % 11 inserts an extra user turn into the REJECTED prompt (prompts
+    * diverge), % 7 makes the rejected side end on a user message, and
+    * % 17 truncates the rejected JSON. Mirrored closed-form in the
+    * oracle. */
+  private def synthPrefPairs(docs: DataFrame): DataFrame = {
+    val prompt =
+      "slice(array(named_struct('role', 'system', 'content', " +
+        "'you are a helpful assistant')), 1, " +
+        "CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END), " +
+        "array(named_struct('role', 'user', 'content', " +
+        "concat_ws(' ', slice(__w, 1, 5))))"
+    docs.select(col("doc_id"), split(trim(col("text")), " +").as("__w"))
+      .select(col("doc_id"),
+        expr("to_json(concat(" + prompt + ", " +
+          "array(named_struct('role', 'assistant', 'content', " +
+          "CASE WHEN size(__w) > 5 THEN concat_ws(' ', slice(__w, 6, " +
+          "2147483647)) ELSE 'ok' END))))").as("chosen"),
+        expr(("CASE WHEN doc_id % 17 = 0 THEN" +
+          " substring(__j, 1, length(__j) - 2) ELSE __j END")
+          .replace("__j",
+            "to_json(concat(" + prompt + ", " +
+              "slice(array(named_struct('role', 'user', 'content', 'more'))," +
+              " 1, CASE WHEN doc_id % 11 = 0 THEN 1 ELSE 0 END), " +
+              "array(named_struct('role', " +
+              "CASE WHEN doc_id % 7 = 0 THEN 'user' ELSE 'assistant' END, " +
+              "'content', 'no'))))")).as("rejected"))
+  }
+
   private[graft] def b1CodesFor(s: SparkSession, sfDir: String): String =
     synchronized {
       val path = graft.sources.Scratch.dir("b1c",
@@ -365,7 +397,7 @@ model AS (
         .orderBy("doc_a", "doc_b")
     }),
 
-    "dd_shr" -> ((s, d) =>
+    "dd_sh" -> ((s, d) =>
       Dedup.sharedShingleStats(Tables.documents(s, d), col("text"),
           col("doc_id"), k = 3)
         .orderBy("doc_id")),
@@ -792,7 +824,7 @@ model AS (
           col("doc_id"), k = 5)
         .orderBy("doc_id", "rn")),
 
-    "src_st" -> ((s, d) =>
+    "src_s" -> ((s, d) =>
       TextAnalysis.sourceStats(Tables.documents(s, d), col("source"),
         col("text"), col("lang"), col("doc_id")).orderBy("source")),
 
@@ -1022,6 +1054,13 @@ model AS (
       Chat.assistantSpans(synthChatConv(Tables.documents(s, d)),
         col("conv"), col("doc_id")).orderBy("doc_id", "turn_idx")),
 
+    // Preference-pair (DPO) validation over synthesized (chosen,
+    // rejected) pairs: shared-prompt defect on id % 11, rejected-ends-
+    // with-user defect on % 7, truncated rejected JSON on % 17.
+    "pref" -> ((s, d) =>
+      Chat.prefStats(synthPrefPairs(Tables.documents(s, d)),
+        col("chosen"), col("rejected"), col("doc_id")).orderBy("pair_id")),
+
     // PMI collocations: top-30 adjacent word pairs by integer-bit
     // pointwise mutual information (joint-vs-independent ratio on the
     // exact count grid), pairs seen >= 5 times.
@@ -1109,7 +1148,7 @@ model AS (
         .orderBy("id_a", "id_b")
     }),
 
-    "mm_frm" -> ((s, d) =>
+    "mm_fr" -> ((s, d) =>
       Multimodal.frameSample(
         Multimodal.featuresCols(Tables.documents(s, d),
           col("text").cast("binary"), col("doc_id")),
@@ -1135,7 +1174,7 @@ model AS (
     // formulas independently; ADPCM sends a constant signal through
     // the real block/header/fact machinery (the stateful nibble
     // arithmetic is spec-pinned).
-    "mm_aud" -> ((s, d) => {
+    "mm_au" -> ((s, d) => {
       import s.implicits._
       val rows = Tables.documents(s, d)
         .select(col("doc_id"), col("n_chars"))
@@ -1316,7 +1355,7 @@ model AS (
     // paragraph appended to even ids so a multi-line block repeats
     // across half the corpus — the case line-level dedup shreds and
     // paragraph-level dedup drops as a unit.
-    "dd_par" -> ((s, d) =>
+    "dd_pa" -> ((s, d) =>
       Curation.dedupParagraphs(paraDocs(Tables.documents(s, d)),
           col("text"), col("doc_id"))
         .orderBy("doc_id")),
@@ -1958,7 +1997,7 @@ FROM tagged t LEFT JOIN ts ON t.s = ts.s
 WHERE t.split <> 'train'
 GROUP BY 1, 2 ORDER BY doc_id"""),
 
-    "dd_shr" -> (hashedShinglesCte + """
+    "dd_sh" -> (hashedShinglesCte + """
 SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
        CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
        CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) * 1000
@@ -1968,7 +2007,7 @@ GROUP BY doc_id ORDER BY doc_id"""),
 
     // Census composition: each tier CTE mirrors its own verified oracle
     // (dd_pfx's 64-char prefix, dd_jac's pairs, dsem's scaled cosine,
-    // urlc's canonical literals, dd_shr's shared per-mille), verdicts
+    // urlc's canonical literals, dd_sh's shared per-mille), verdicts
     // attributed first-tier-wins, rolled up per source.
     "dd_cns" -> (hashedShinglesCte + """, sizes AS (
   SELECT doc_id, count(*) AS n FROM sh GROUP BY 1
@@ -3073,7 +3112,7 @@ FROM sc JOIN th USING (lang) ORDER BY sc.doc_id"""),
 SELECT doc_id, CAST(rn AS INT) AS rn, term, tf, df
 FROM r WHERE rn <= 5 ORDER BY doc_id, rn"""),
 
-    "src_st" -> ("""
+    "src_s" -> ("""
 SELECT source,
        CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(length(text)) AS BIGINT) AS sum_chars,
@@ -3134,7 +3173,7 @@ SELECT doc_id AS media_id,
        CAST(octet_length(encode(text)) % 30 AS INT) AS n_frames
 FROM documents ORDER BY media_id"""),
 
-    "mm_frm" -> ("""WITH f AS (
+    "mm_fr" -> ("""WITH f AS (
   SELECT doc_id AS media_id, md5(text) AS content_hash,
          CAST(octet_length(encode(text)) % 30 AS INT) AS n_frames
   FROM documents
@@ -3522,6 +3561,20 @@ SELECT doc_id, CAST(turn_idx AS BIGINT) AS turn_idx,
 FROM sp WHERE role = 'assistant'
 ORDER BY doc_id, turn_idx"""),
 
+    // Mirror of Chat.prefStats over the synthesized pairs: every
+    // verdict is a pure residue function of the pair id (chosen always
+    // parses and ends assistant; the defects are injected by modulus).
+    "pref" -> ("""SELECT doc_id AS pair_id,
+  NOT (doc_id % 17 = 0) AS pair_ok,
+  CASE WHEN doc_id % 17 = 0 THEN NULL
+       ELSE NOT (doc_id % 7 = 0) END AS ends_asst,
+  CASE WHEN doc_id % 17 = 0 THEN NULL
+       ELSE NOT (doc_id % 11 = 0) END AS prompt_shared,
+  CASE WHEN doc_id % 17 = 0 THEN NULL
+       ELSE CAST(CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END AS BIGINT)
+       END AS n_prompt_turns
+FROM documents ORDER BY pair_id"""),
+
     // Mirror of TextAnalysis.pmiCollocations: adjacent pairs by
     // position join, integer-bit PMI, (pmi, count, pair) total order.
     "pmi" -> ("""WITH w AS (
@@ -3833,7 +3886,7 @@ FROM f ORDER BY doc_id"""),
     // mean); the ADPCM variant's constant signal prices to |c|. The
     // oracle never touches container bytes; n = n_chars % 50 + 1, mono
     // 8 kHz, decoded width 16 everywhere.
-    "mm_aud" -> ("""WITH f AS (
+    "mm_au" -> ("""WITH f AS (
   SELECT doc_id AS media_id, n_chars % 50 + 1 AS n FROM documents
 ), s AS (
   SELECT media_id, n, unnest(range(0, n)) AS i FROM f
@@ -4002,7 +4055,7 @@ GROUP BY doc_id ORDER BY doc_id"""),
     // footer paragraph on even ids) + Curation.dedupParagraphs: doc
     // frequency per exact paragraph, drop paragraphs in >= 2 docs,
     // reassemble '\n\n'-joined in original order.
-    "dd_par" -> (s"""WITH w AS (
+    "dd_pa" -> (s"""WITH w AS (
   SELECT doc_id, string_split_regex(trim(text), ' +') AS words FROM documents
 ), l AS (
   SELECT doc_id, list_transform(range((len(words)+2)//3),

@@ -87,6 +87,37 @@ object Chat {
         col("__s.span_start").as("span_start"),
         (col("__s.span_start") + col("__s.clen")).as("span_end"))
 
+  /** Preference-pair (DPO/RLHF) validation — the structural checks a
+    * reward-model or DPO pipeline runs over (chosen, rejected)
+    * conversation pairs before training: both sides parse, both end on
+    * an assistant message (the turn being preferred), and the PROMPTS —
+    * everything before each side's final message — are identical
+    * (a pair whose prompts diverge isn't a preference signal, it's two
+    * unrelated conversations). Prompt equality compares the parsed
+    * role/content arrays element-wise, so whitespace-identical JSON
+    * with reordered keys still matches.
+    *
+    * A pure narrow projection (two `from_json` + array ops), zero
+    * shuffles. Output: (pair_id, pair_ok, ends_asst, prompt_shared,
+    * n_prompt_turns) — validation fields null when either side fails
+    * to parse. */
+  def prefStats(df: DataFrame, chosen: Column, rejected: Column,
+      id: Column): DataFrame =
+    df.select(id.cast("long").as("pair_id"),
+        from_json(chosen, MessageSchema).as("__c"),
+        from_json(rejected, MessageSchema).as("__r"))
+      .select(col("pair_id"),
+        (col("__c").isNotNull && col("__r").isNotNull).as("pair_ok"),
+        expr("CASE WHEN __c IS NULL OR __r IS NULL THEN NULL ELSE" +
+          " size(__c) > 0 AND size(__r) > 0 AND" +
+          " element_at(__c, -1).role = 'assistant' AND" +
+          " element_at(__r, -1).role = 'assistant' END").as("ends_asst"),
+        expr("CASE WHEN __c IS NULL OR __r IS NULL THEN NULL ELSE" +
+          " slice(__c, 1, size(__c) - 1) = slice(__r, 1, size(__r) - 1)" +
+          " END").as("prompt_shared"),
+        expr("CASE WHEN __c IS NULL OR __r IS NULL THEN NULL ELSE" +
+          " CAST(size(__c) - 1 AS BIGINT) END").as("n_prompt_turns"))
+
   private def renderCol(parsed: Column): Column =
     // concat_ws turns a NULL array into '' — keep quarantined rows null
     // instead of fingerprinting the empty string

@@ -273,7 +273,7 @@ class PlanSpec extends SparkSpec {
     // boilerplate shingle shared by most of the corpus) joined back on
     // the hash key — a count window over the hash would put every
     // occurrence of the hot key into one partition
-    val p = plan("dd_shr")
+    val p = plan("dd_sh")
     assert(!p.contains("Window"), s"no window may partition on the shingle hash:\n$p")
     assert(count(p, "HashAggregate") >= 4,
       s"expected partial+final pairs for doc counts and the per-doc fold in:\n$p")

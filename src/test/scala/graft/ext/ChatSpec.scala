@@ -69,6 +69,36 @@ class ChatSpec extends SparkSpec {
       $"conv", $"doc_id").count() === 0L)
   }
 
+  test("prefStats: every verdict covered by one hand pair each") {
+    def conv(last: String, prompt: String = "q") =
+      s"""[{"role":"user","content":"$prompt"},$last]"""
+    val asst = """{"role":"assistant","content":"a"}"""
+    val user = """{"role":"user","content":"a"}"""
+    val chosen = conv(asst)
+    val rows = Seq(
+      (1L, chosen, conv(asst)),            // clean pair
+      (2L, chosen, conv(user)),            // rejected ends on user
+      (3L, chosen, conv(asst, "other")),   // prompts diverge
+      (4L, chosen, "not json"))            // rejected quarantined
+      .toDF("pair_id", "chosen", "rejected")
+    val out = Chat.prefStats(rows, $"chosen", $"rejected", $"pair_id")
+      .orderBy("pair_id").collect()
+    def b(r: org.apache.spark.sql.Row, i: Int): Any =
+      if (r.isNullAt(i)) null else r.getBoolean(i)
+    assert(out.map(r => (r.getLong(0), b(r, 1), b(r, 2), b(r, 3))).toSeq
+      === Seq(
+        (1L, true, true, true),
+        (2L, true, false, true),
+        (3L, true, true, false),
+        (4L, false, null, null)))
+    assert(out(0).getLong(4) === 1L)
+    assert(out(3).isNullAt(4))
+    // narrow: zero shuffles
+    val plan = Chat.prefStats(rows, $"chosen", $"rejected", $"pair_id")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Join"), plan)
+  }
+
   test("stats is a narrow zero-shuffle projection") {
     val df = Seq((1L, good)).toDF("doc_id", "conv")
     val plan = Chat.stats(df, $"conv", $"doc_id")
