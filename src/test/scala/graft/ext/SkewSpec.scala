@@ -349,4 +349,30 @@ class SkewSpec extends SparkSpec with org.scalatest.BeforeAndAfterEach {
     assert(!p.contains("Window"),
       s"hot-cluster argmax must be partial-agg, not a window:\n$p")
   }
+
+  test("bm25TopK: a stop-word query term in 100% of docs stays partial-agg, scores exact") {
+    // 'the' occurs in every document — the postings explode funnels the
+    // whole corpus through one term key. tf must aggregate per
+    // (doc, term) with map-side partials (uniform doc keys), the hot
+    // term's df is ONE row in the broadcast, and the top-k stays a
+    // WindowGroupLimit — no term-keyed window over the corpus.
+    val docs = (0L until 300L)
+      .map(i => (i, s"the payload$i filler$i"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.bm25TopK(docs, $"text", $"doc_id",
+      Seq(0L -> "the payload7"), k = 5)
+    val rows = out.collect().map(r => (r.getLong(1), r.getLong(2)))
+    // doc 7 matches BOTH terms (rare 'payload7' idf 9 bits + hot 'the'
+    // idf bitlen(1 div 601)=1); everything else matches 'the' alone at
+    // identical tf/dl → doc_id tie-break fills ranks 2..5 with 0,1,2,3
+    assert(rows.head == (1L, 7L), s"two-term doc must rank first: ${rows.toSeq}")
+    assert(rows.map(_._2).toSeq == Seq(7L, 0L, 1L, 2L, 3L))
+    val p = out.queryExecution.executedPlan.toString
+    assert(p.split('\n').exists(l =>
+      l.contains("WindowGroupLimit") && l.contains("Partial")),
+      s"expected a Partial-mode WindowGroupLimit in:\n$p")
+    assert(!p.split('\n').exists(l =>
+      l.contains("Window") && l.contains("term#")),
+      s"no window may partition on the term key:\n$p")
+  }
 }
