@@ -71,7 +71,7 @@ object Bench {
     val line = buildLine(
       names.flatMap(n => timings.get(n).map(n -> _)),
       names.flatMap(n => errors.get(n).map(n -> _)),
-      cpus, new java.io.File(sfDir).getName,
+      new java.io.File(sfDir).getName,
       names.flatMap(n => reruns.get(n).map(n -> _)))
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     Files.writeString(Paths.get(outFile), line + "\n")
@@ -303,7 +303,16 @@ object Bench {
       Set("semdd", "simh", "kmv_nd", "cms").contains(name)) "dedup"
     else if (name.startsWith("p_") || name.startsWith("s_") ||
       name.startsWith("pipe_") || name.startsWith("wds")) "pack"
-    else if (name.startsWith("q") || Set("zipf", "shp", "rare").contains(name)) "rel"
+    // the r15 graph rows shard with the relational analytics (their
+    // iterative-join profile matches, and it keeps the text catch-all
+    // under the 40-query shard cap)
+    else if (name.startsWith("q") ||
+      Set("zipf", "shp", "rare", "prank", "hits", "tri").contains(name)) "rel"
+    // bm25 would hit the b-prefix core rule below — but core is the
+    // latency-sensitive serving shard, and a corpus-scale explode in
+    // that child JVM is exactly the cross-contamination sharding exists
+    // to prevent
+    else if (name == "bm25") "text"
     else if (name.startsWith("a") || name.startsWith("b")) "core"
     else "text"
 
@@ -374,7 +383,7 @@ object Bench {
     * poison on "value" is computed from the REAL error count, never the
     * sampled one. Exposed for BenchLineSpec. */
   def buildLine(timings: Seq[(String, Double)], errors: Seq[(String, String)],
-      cpus: String, sfName: String,
+      sfName: String,
       reruns: Seq[(String, Double)] = Seq.empty): String = {
     val qs = timings.map { case (k, v) => s"${jstr(k)}:${jnum(v)}" }.mkString("{", ",", "}")
     val sortedReruns = reruns.sortBy(-_._2) // worst discarded first

@@ -799,7 +799,7 @@ model AS (
         col("text"), col("doc_id")).orderBy("doc_id")),
 
     // C4 page cleaning over the same pages: the mod-3 suffix rotation
-    // decides terminal punctuation per line, short final chnk fail
+    // decides terminal punctuation per line, short final chunks fail
     // the 5-word floor, and the lorem-ipsum / brace tails nuke whole
     // pages (clean_text = '') while still reporting n_kept.
     "c4" -> ((s, d) =>
@@ -1188,7 +1188,7 @@ model AS (
     // REAL video sample decode on the correctness surface: per document
     // an MJPEG-in-AVI clip of closed-form constant gray frames is
     // synthesized as genuine container bytes, then videoFramesBatched
-    // walks the RIFF chnk and entropy-decodes each sampled frame's
+    // walks the RIFF chunks and entropy-decodes each sampled frame's
     // JPEG — the oracle prices the frame arithmetic container-blind, so
     // a bug in the AVI walk, the frame sampling, OR the JPEG decode
     // breaks the row.
@@ -1224,7 +1224,7 @@ model AS (
 
     // A/V DEMUX on the correctness surface: per document a real AVI
     // muxing an MJPEG video stream AND a chunked PCM audio stream
-    // (mm_audio's closed-form samples, split across 01wb chnk); the
+    // (mm_audio's closed-form samples, split across 01wb chunks); the
     // query demuxes the audio back out through the RIFF walk and prices
     // it with the same verified wavStats integer arithmetic — the
     // oracle recomputes the closed form, demux-blind, so a bug in
@@ -2916,7 +2916,7 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
 FROM s GROUP BY doc_id ORDER BY doc_id"""),
 
     // Mirror of Unigram.learn + tokStats. Learn: candidate pieces are
-    // the ≤8-cp substrings of the ≤10-cp chnk of the distinct-word
+    // the ≤8-cp substrings of the ≤10-cp chunks of the distinct-word
     // table (each in-chunk occurrence counts, weighted by word freq),
     // top-2000 by (count DESC, piece ASC); quarter-bit cost
     // bitlen(q⁴) with q = 10⁹ // max(cnt·10⁶ // total, 1), HUGEINT
@@ -3345,7 +3345,7 @@ FROM bt LEFT JOIN nr USING (vec_id) ORDER BY vec_id"""),
     (2, 'stream'), (2, 'batch'), (2, 'merge'),
     (3, 'vector'), (3, 'query'), (3, 'filter')) AS t(q_id, term)
 ), w AS (
-  SELECT doc_id, string_split_regex(trim(lower(text)), ' +') AS ws
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws
   FROM documents
 ), d AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl FROM w),
 st AS (

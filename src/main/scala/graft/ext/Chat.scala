@@ -41,8 +41,11 @@ object Chat {
         expr("CAST(size(filter(__c, t -> t.role = 'assistant')) AS BIGINT)")
           .as("n_asst"),
         expr("exists(__c, t -> t.role = 'system')").as("has_system"),
-        expr("aggregate(zip_with(slice(__c, 1, size(__c) - 1)," +
-          " slice(__c, 2, size(__c) - 1)," +
+        // greatest(…, 0): a WELL-FORMED empty conversation ("[]") must
+        // report vacuous truth, not hit Spark's negative-length slice
+        // error — the never-errors contract covers degenerate shapes too
+        expr("aggregate(zip_with(slice(__c, 1, greatest(size(__c) - 1, 0))," +
+          " slice(__c, 2, greatest(size(__c) - 1, 0))," +
           " (a, b) -> a.role <> b.role), true, (acc, x) -> acc AND x)")
           .as("alternation_ok"),
         expr("aggregate(__c, CAST(0 AS BIGINT)," +
@@ -112,11 +115,15 @@ object Chat {
           " size(__c) > 0 AND size(__r) > 0 AND" +
           " element_at(__c, -1).role = 'assistant' AND" +
           " element_at(__r, -1).role = 'assistant' END").as("ends_asst"),
+        // greatest(…, 0) guards the same negative-length slice as
+        // stats' alternation column: an empty side has an empty prompt
         expr("CASE WHEN __c IS NULL OR __r IS NULL THEN NULL ELSE" +
-          " slice(__c, 1, size(__c) - 1) = slice(__r, 1, size(__r) - 1)" +
-          " END").as("prompt_shared"),
+          " slice(__c, 1, greatest(size(__c) - 1, 0))" +
+          " = slice(__r, 1, greatest(size(__r) - 1, 0)) END")
+          .as("prompt_shared"),
         expr("CASE WHEN __c IS NULL OR __r IS NULL THEN NULL ELSE" +
-          " CAST(size(__c) - 1 AS BIGINT) END").as("n_prompt_turns"))
+          " CAST(greatest(size(__c) - 1, 0) AS BIGINT) END")
+          .as("n_prompt_turns"))
 
   private def renderCol(parsed: Column): Column =
     // concat_ws turns a NULL array into '' — keep quarantined rows null

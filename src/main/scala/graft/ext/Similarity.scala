@@ -256,11 +256,12 @@ object Similarity {
     val pref = topk(pairs.select(col("q_id"), col("vid"),
       cosineQNormed(col("qp"), col("__pv"), col("p2"), col("__qp2"))
         .as("cp")), "cp")
-    // the overlap aggregate is probe-sized — broadcast it so the final
-    // left join never plans a probe-frame shuffle (AQE would fix it at
-    // runtime, but the static plan should already be right)
+    // both top-k frames and the overlap aggregate are probe-sized —
+    // broadcast them so neither the overlap join nor the final left
+    // join ever plans a shortlist shuffle (AQE would fix it at runtime,
+    // but the static plan should already be right)
     qb.select("q_id")
-      .join(broadcast(full.join(pref, Seq("q_id", "vid"))
+      .join(broadcast(full.join(broadcast(pref), Seq("q_id", "vid"))
         .groupBy("q_id").agg(count(lit(1)).as("hits"))), Seq("q_id"), "left")
       .select(col("q_id"), coalesce(col("hits"), lit(0L)).as("hits"))
       .withColumn("recall_pm", expr(s"hits * 1000 div $k"))

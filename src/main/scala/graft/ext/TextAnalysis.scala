@@ -870,8 +870,10 @@ object TextAnalysis {
     *  - `idf_bits(t) = bitlen((2N − 2df + 1) div (2df + 1))` — the
     *    Robertson idf's log₂ taken as a bit length (the same
     *    `length(bin(..))` surprisal quantization [[nbScore]] and
-    *    [[lmScore]] use), never negative, 0 for terms in over half the
-    *    corpus;
+    *    [[lmScore]] use). Floor is 1, not 0: the ratio integer-divides
+    *    to 0 for terms in over half the corpus, but `bin(0)` is the
+    *    one-char string "0" — ubiquitous terms are discounted to the
+    *    minimum weight, never fully zeroed (SkewSpec pins this);
     *  - `tfq(t,d) = 2 200 000 000·S·tf div (1000·S·tf + 300·S +
     *    900·dl·N)` — the k₁=1.2, b=0.75 saturation term with
     *    `avgdl = S/N` cleared of division by cross-multiplying (S =
@@ -901,8 +903,11 @@ object TextAnalysis {
     }.toDF("q_id", "term")
     val termSet = queries.flatMap(_._2.trim.toLowerCase.split("\\s+"))
       .filter(_.nonEmpty).distinct
+    // \\s+ (not ' +'): the corpus side must tokenize exactly like the
+    // query side above, or a multi-line document never matches the
+    // word straddling its newline
     val w = docs.select(id.cast("long").as("doc_id"),
-        split(trim(lower(content)), " +").as("__ws"))
+        split(trim(lower(content)), "\\s+").as("__ws"))
       .select(col("doc_id"), size(col("__ws")).cast("long").as("dl"),
         col("__ws"))
     val stamps = w.agg(count(lit(1)).as("n_docs"), sum("dl").as("s_len"))
@@ -962,9 +967,12 @@ object TextAnalysis {
       .groupBy("wa", "wb").agg(count(lit(1)).as("cab"))
     val tStamp = uni.agg(sum("c").as("t_words"))
     val sStamp = bi.agg(sum("cab").as("s_bi"))
+    // no forced broadcast on the unigram side: the distinct-word table
+    // is vocabulary-sized (10^5-10^6 rows at the documented shard
+    // bound), not one-row — let the planner/AQE pick the build side
     bi.where(col("cab") >= minCount)
-      .join(broadcast(uni.select(col("w").as("wa"), col("c").as("ca"))), "wa")
-      .join(broadcast(uni.select(col("w").as("wb"), col("c").as("cb"))), "wb")
+      .join(uni.select(col("w").as("wa"), col("c").as("ca")), "wa")
+      .join(uni.select(col("w").as("wb"), col("c").as("cb")), "wb")
       .crossJoin(broadcast(tStamp)).crossJoin(broadcast(sStamp))
       .withColumn("pmi_bits",
         length(bin(expr("cab * t_words * t_words div (ca * cb * s_bi)")))

@@ -16,7 +16,8 @@ class CacheHygieneSpec extends SparkSpec {
     "dd_jac", "dd_lsh", "dd_cc", "dd_rec",
     "decs", "ann_kg", "emb_nr",
     "p_seq", "p_slc", "p_sh",
-    "ann_km", "ann_r")
+    "ann_km", "ann_r",
+    "hamx") // tagNearB1Codes persists the batch codes
 
   test("each cache-using query leaves no net persistent RDDs after release") {
     CacheScope.release() // drain whatever earlier suites left tracked

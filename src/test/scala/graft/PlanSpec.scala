@@ -606,7 +606,7 @@ class PlanSpec extends SparkSpec {
       s"expected broadcast probe batch in:\n$p")
     assert(count(p, "WindowGroupLimit") >= 2,
       s"expected partial top-k on both the full and prefix rankings in:\n$p")
-    assert(!p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin"),
+    assert(!p.contains("SortMergeJoin"),
       s"corpus must not shuffle to meet probes in:\n$p")
   }
 

@@ -41,6 +41,24 @@ class ChatSpec extends SparkSpec {
     assert(out.toSeq === Seq((1L, false), (2L, true)))
   }
 
+  test("a well-formed EMPTY conversation reports, never crashes the slice") {
+    // "[]" parses fine; the alternation zip and the pref prompt slices
+    // must take the greatest(0) guard, not Spark's negative-length error
+    val df = Seq((1L, "[]")).toDF("doc_id", "conv")
+    val r = Chat.stats(df, $"conv", $"doc_id").collect().head
+    assert(r.getBoolean(1))            // parse_ok
+    assert(r.getLong(2) === 0L)        // n_turns
+    assert(r.getBoolean(6))            // alternation vacuously true
+    val pr = Chat.prefStats(
+        Seq((1L, "[]", """[{"role":"assistant","content":"a"}]"""))
+          .toDF("pair_id", "chosen", "rejected"),
+        $"chosen", $"rejected", $"pair_id").collect().head
+    assert(pr.getBoolean(1))           // pair_ok
+    assert(!pr.getBoolean(2))          // empty side can't end assistant
+    assert(pr.getBoolean(3))           // both prompts empty → shared
+    assert(pr.getLong(4) === 0L)       // n_prompt_turns clamps at 0
+  }
+
   test("stats: malformed JSON quarantines to nulls, never errors") {
     val out = Chat.stats(
         Seq((1L, good.dropRight(2)), (2L, "not json at all"))
