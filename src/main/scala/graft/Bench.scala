@@ -296,11 +296,14 @@ object Bench {
     * query benchable before this table learns its family. Exposed for
     * BenchLineSpec (pins total coverage + shard balance). */
   def familyOf(name: String): String =
-    if (name.startsWith("ann_") || name.startsWith("emb_")) "ann"
-    else if (name.startsWith("mm_") || name == "phash") "mm"
+    // "v" = the vector family's short prefix after the r15 budget sweep
+    // (ann_* / emb_* keys renamed v*; mapping in BASELINE.md)
+    if (name.startsWith("ann_") || name.startsWith("emb_") ||
+      name.startsWith("v")) "ann"
+    else if (name.startsWith("mm_") || name == "ph") "mm"
     else if (name.startsWith("dd_") || name.startsWith("dup_") ||
       name.startsWith("src_") ||
-      Set("semdd", "simh", "kmv_nd", "cms").contains(name)) "dedup"
+      Set("sdd", "simh", "kmv", "cms").contains(name)) "dedup"
     else if (name.startsWith("p_") || name.startsWith("s_") ||
       name.startsWith("pipe_") || name.startsWith("wds")) "pack"
     // the r15 graph rows shard with the relational analytics (their

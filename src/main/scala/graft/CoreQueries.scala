@@ -97,7 +97,7 @@ object CoreQueries {
     }),
     "a11r" -> ((s, d) =>
       BlockIngest.resumeHeight(Tables.summaries(s, d))),
-    "c2dec" -> ((s, d) => {
+    "c2d" -> ((s, d) => {
       // CIS-2 binary log parse (§2.C): events → wire-format log bytes via
       // cis2_encode, then decoded back through the raw-log feed path
       // (Cis2Decode + reference drop semantics). The oracle computes the
@@ -247,7 +247,7 @@ FROM ati a LEFT JOIN dim d ON a.account // 4 = d.prefix
 GROUP BY 1 ORDER BY 1"""),
     "a11r" -> (cte +
       "SELECT max_by(height, id) AS height FROM summaries"),
-    "c2dec" -> """
+    "c2d" -> """
 SELECT event_id // 8 AS height,
        CAST(event_id % 8 AS INT) AS seq_in_block,
        user_id % 50 AS "index",

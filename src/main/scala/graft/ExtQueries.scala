@@ -310,7 +310,7 @@ model AS (
   /** Precomputed PQ code index for `sfDir` — same build-once contract,
     * data-fingerprint keying, and race guard as [[ivfIndexFor]]. The
     * codebook is written before the codes, so codes/_SUCCESS marks both
-    * halves complete. Same parameters as the `ann_pq` declared row →
+    * halves complete. Same parameters as the `vpq` declared row →
     * the probe must reproduce it exactly. */
   private[graft] def pqIndexFor(s: SparkSession, sfDir: String): String =
     synchronized {
@@ -341,20 +341,20 @@ model AS (
       Dedup.exact(Tables.documents(s, d), col("text"), col("doc_id"))
         .orderBy("content_hash")),
 
-    "dd_jac" -> ((s, d) =>
+    "dd_j" -> ((s, d) =>
       Dedup.ngramJaccard(Tables.documents(s, d), col("text"), col("doc_id"),
           k = 3, minJaccard = 0.2)
         .orderBy("doc_a", "doc_b")),
 
-    "dd_lsh" -> ((s, d) =>
+    "dd_l" -> ((s, d) =>
       Dedup.minhashLsh(Tables.documents(s, d), col("text"), col("doc_id"),
           k = 3, numHashes = 16, bands = 4, minMatches = 4)
         .orderBy("doc_a", "doc_b")),
 
-    // Measured LSH recall vs exact Jaccard at the dd_jac/dd_lsh
+    // Measured LSH recall vs exact Jaccard at the dd_j/dd_l
     // parameters — the text-side ann_rec: banding quality is a number,
     // not a formula taken on faith.
-    "dd_rec" -> ((s, d) =>
+    "dd_r" -> ((s, d) =>
       Dedup.lshRecall(Tables.documents(s, d), col("text"), col("doc_id"),
         k = 3, minJaccard = 0.2, numHashes = 16, bands = 4,
         minMatches = 4)),
@@ -466,25 +466,25 @@ model AS (
           maxDist = 16)
         .orderBy("doc_a", "doc_b")),
 
-    "ann_bf" -> ((s, d) =>
+    "vbf" -> ((s, d) =>
       Similarity.bruteForceTopK(Tables.embeddings(s, d), "vec_id", "embedding",
         queryId = 0L, k = 10)),
 
-    "ann_pq" -> ((s, d) =>
+    "vpq" -> ((s, d) =>
       Similarity.annPq(Tables.embeddings(s, d), "vec_id", "embedding",
         queryId = 0L, k = 10, m = 8, subDim = 8, centroidStride = 50)),
 
     // probes the stored code index; same codebook, encoding rule, and
-    // parameters as ann_pq → identical results, oracle is its verbatim
-    "ann_px" -> ((s, d) =>
+    // parameters as vpq → identical results, oracle is its verbatim
+    "vpx" -> ((s, d) =>
       Similarity.annPqIndexed(s, pqIndexFor(s, d), Tables.embeddings(s, d),
           "vec_id", "embedding", queryId = 0L, k = 10)
         .select(col("vid").as("vec_id"), col("pq_dist"))),
 
     // IVF-PQ: coarse cells (ann_ivf's assignment) + product-quantized
-    // residual codes (ann_pq's encoding) probed from the stored index —
+    // residual codes (vpq's encoding) probed from the stored index —
     // the partition-pruned compressed-codes serving shape
-    "ann_q" -> ((s, d) =>
+    "vq" -> ((s, d) =>
       Similarity.annIvfPqIndexed(s, ivfPqIndexFor(s, d),
           Tables.embeddings(s, d), "vec_id", "embedding", queryId = 0L,
           k = 10, nprobe = 2)
@@ -499,7 +499,7 @@ model AS (
     // vectors — collisions vanish), so the compare exercised almost none
     // of the banding chain; at 8 the candidate set is 30/16 vectors at
     // sf0.001/sf0.01 and the row verifies a full scored top-10 page.
-    "ann_l" -> ((s, d) =>
+    "vl" -> ((s, d) =>
       Similarity.annLsh(Tables.embeddings(s, d), "vec_id", "embedding",
         queryId = 32L, k = 10, bands = 8, planes = 8)),
 
@@ -511,18 +511,18 @@ model AS (
     // planes = 8 matches ann_lsh's tuned banding: at 2^16 buckets over
     // this corpus LSH candidate sets are empty and every lsh row would
     // be a true-but-vacuous hits=0.
-    "ann_r" -> ((s, d) =>
+    "vr" -> ((s, d) =>
       Similarity.recallAtK(Tables.embeddings(s, d), "vec_id", "embedding",
         queryIds = Seq(0L, 32L, 100L, 250L, 400L), k = 10, planes = 8)),
 
-    "ann_v" -> ((s, d) =>
+    "vv" -> ((s, d) =>
       Similarity.annIvf(Tables.embeddings(s, d), "vec_id", "embedding",
         queryId = 0L, k = 10, centroidStride = 100, nprobe = 2)),
 
     // BATCH indexed probe: a 10-query frame (vec_id % 50 == 10) against
     // the stored cell index in ONE job — per-query nprobe cells, union
     // of cells as a single pruned scan, per-query fused top-5.
-    "ann_bq" -> ((s, d) =>
+    "vbq" -> ((s, d) =>
       Similarity.annIvfIndexedBatch(
           Tables.embeddings(s, d).where(col("vec_id") % 50 === 10),
           "vec_id", "embedding", ivfIndexFor(s, d), k = 5, nprobe = 2)
@@ -533,7 +533,7 @@ model AS (
     // re-assigning the whole corpus per query as ann_ivf does. Same
     // assignment rule, same parameters → identical results, and the
     // oracle is ann_ivf's verbatim.
-    "ann_ix" -> ((s, d) =>
+    "vix" -> ((s, d) =>
       Similarity.annIvfIndexed(s, ivfIndexFor(s, d), queryId = 0L, k = 10,
           nprobe = 2)
         .select(col("vid").as("vec_id"), col("cosine"))),
@@ -543,7 +543,7 @@ model AS (
     // with the predicate pushed INSIDE the cid-pruned scan, top-k still
     // fused. Label 3 keeps ~20 candidates in query 0's two probed cells
     // at both SFs, so the row verifies a real constrained ranking.
-    "ann_f" -> ((s, d) =>
+    "vf" -> ((s, d) =>
       Similarity.annIvfIndexed(s, ivfLabelIndexFor(s, d), queryId = 0L,
           k = 10, nprobe = 2,
           predicate = Some(col("label") === 3),
@@ -556,19 +556,19 @@ model AS (
     // cells over the 500-vector corpus; every vector gets a cell, so
     // the row checks the full assignment, not a sample). The oracle
     // unrolls the identical round in SQL.
-    "ann_km" -> ((s, d) =>
+    "vkm" -> ((s, d) =>
       Similarity.kmeansRefine(Tables.embeddings(s, d), "vec_id",
           "embedding", centroidStride = 50, iters = 1)
         .select(col("vid").as("vec_id"), col("cid"))
         .orderBy("vec_id")),
 
-    "emb_nr" -> ((s, d) =>
+    "vnr" -> ((s, d) =>
       Similarity.nearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding",
         k = 20)),
 
     // Embedding hygiene: the validation pass before any index build —
     // width/zero/nonfinite checks plus the exact quantized norm.
-    "emb_c" -> ((s, d) =>
+    "vc" -> ((s, d) =>
       Similarity.embeddingCheck(Tables.embeddings(s, d),
           col("embedding"), col("vec_id"), expectedDims = 64)
         .orderBy("vec_id")),
@@ -579,7 +579,7 @@ model AS (
     // keep-first rule actually drops 86/84/551 docs at
     // sf0.001/0.01/0.1 (checked in DuckDB) and the compare exercises
     // the full cell-blocked pair search
-    "semdd" -> ((s, d) =>
+    "sdd" -> ((s, d) =>
       Similarity.semDedup(Tables.embeddings(s, d), "vec_id", "embedding",
           threshold = 0.35)
         .orderBy("vec_id")),
@@ -587,16 +587,16 @@ model AS (
     // 25 < every cell's population at both SFs (cells run 76-122
     // members), so the cap bites in every cell and the row verifies the
     // per-cell ranking, not a pass-through
-    "s_cell" -> ((s, d) =>
+    "s_cl" -> ((s, d) =>
       Similarity.cellBalanced(Tables.embeddings(s, d), "vec_id", "embedding",
           n = 25)
         .orderBy("vec_id")),
 
-    "ann_kg" -> ((s, d) =>
+    "vkg" -> ((s, d) =>
       Similarity.knnGraph(Tables.embeddings(s, d), "vec_id", "embedding",
         k = 3).orderBy("src", "rn")),
 
-    "kmv_nd" -> ((s, d) =>
+    "kmv" -> ((s, d) =>
       Tables.events(s, d).groupBy("event_type")
         .agg(graft.functions.KMV.distinctEst(
           graft.ext.Text.hash60(col("user_id").cast("string")), 64)
@@ -675,14 +675,14 @@ model AS (
         .orderBy("stage")
     }),
 
-    "s_spl" -> ((s, d) =>
+    "s_p" -> ((s, d) =>
       Sampling.split(Tables.documents(s, d), col("doc_id"))
         .select("doc_id", "split").orderBy("doc_id")),
 
     // Multi-epoch repetition: rates 0.4 / 1.3 / 2.2 epochs by doc_id
     // class — whole copies + a hash-decided fractional copy, the
     // upsampling half of a published mixture recipe.
-    "s_rep" -> ((s, d) =>
+    "s_r" -> ((s, d) =>
       Sampling.repeatByRate(
           Tables.documents(s, d).select(col("doc_id")),
           col("doc_id"),
@@ -705,7 +705,7 @@ model AS (
     // per-language absolute cap (40 < the smallest language group at
     // both test scales, so every group is actually truncated and the
     // hash ranking — not a pass-through — is what the oracle checks)
-    "s_cap" -> ((s, d) =>
+    "s_c" -> ((s, d) =>
       Sampling.capPerGroup(Tables.documents(s, d), col("lang"),
           col("doc_id"), n = 40)
         .select("doc_id", "lang").orderBy("doc_id")),
@@ -722,7 +722,7 @@ model AS (
     // weights, fr's demand exceeds its supply (rate clamps to 1e6 —
     // keep all), unweighted es drops entirely. All three regimes of
     // Sampling.mixture exercised by one row.
-    "s_mix" -> ((s, d) =>
+    "s_m" -> ((s, d) =>
       Sampling.mixture(Tables.documents(s, d), col("lang"), col("doc_id"),
           Map("en" -> 200000, "fr" -> 400000, "de" -> 200000,
             "zh" -> 200000), targetRows = 300)
@@ -732,7 +732,7 @@ model AS (
       TextAnalysis.tokenStats(Tables.documents(s, d), col("text"), col("doc_id"))
         .orderBy("doc_id")),
 
-    "p_seq" -> ((s, d) => {
+    "p_s" -> ((s, d) => {
       val toks = TextAnalysis
         .tokenStats(Tables.documents(s, d), col("text"), col("doc_id"))
         .select(col("doc_id"), col("n_tokens"))
@@ -778,7 +778,7 @@ model AS (
         .orderBy("doc_id")
     }),
 
-    "tqual" -> ((s, d) =>
+    "tq" -> ((s, d) =>
       TextAnalysis.qualityScore(Tables.documents(s, d), col("text"), col("doc_id"))
         .orderBy("doc_id")),
 
@@ -794,7 +794,7 @@ model AS (
     // Gopher's repetition half over paragraph-structured pages
     // (parDocs): id-sliced exact duplicates of paragraph 0 / line 0
     // move the four dup fractions across the 300/200 ppt thresholds.
-    "g_rep" -> ((s, d) =>
+    "gr" -> ((s, d) =>
       TextAnalysis.gopherRepetition(parDocs(Tables.documents(s, d)),
         col("text"), col("doc_id")).orderBy("doc_id")),
 
@@ -810,7 +810,7 @@ model AS (
       TextAnalysis.fingerprint(Tables.documents(s, d), col("text"), col("doc_id"))
         .orderBy("doc_id")),
 
-    "t_rep" -> ((s, d) =>
+    "tr" -> ((s, d) =>
       TextAnalysis.repetitionStats(Tables.documents(s, d), col("text"), col("doc_id"))
         .orderBy("doc_id")),
 
@@ -819,7 +819,7 @@ model AS (
       TextAnalysis.rarityScore(Tables.documents(s, d), col("text"),
         col("doc_id")).orderBy("doc_id")),
 
-    "t_top" -> ((s, d) =>
+    "tt" -> ((s, d) =>
       TextAnalysis.topTerms(Tables.documents(s, d), col("text"),
           col("doc_id"), k = 5)
         .orderBy("doc_id", "rn")),
@@ -947,15 +947,15 @@ model AS (
     // INT8 symmetric per-vector quantization over the embeddings table:
     // scale, position-weighted code fingerprint, saturation census, and
     // total reconstruction error — all on the shared 1e-6 integer grid.
-    "emb_q8" -> ((s, d) =>
+    "vq8" -> ((s, d) =>
       Similarity.quantizeInt8(Tables.embeddings(s, d), col("vec_id"),
           col("embedding"))
         .orderBy("vec_id")),
 
     // 1-bit binary-quantized retrieval: sign-binarize the corpus, then
     // Hamming top-3 for the probe slice (vec_id % 100 == 0) against the
-    // rest — the 32x-compressed coarse-ranking tier below emb_q8.
-    "emb_b1" -> ((s, d) => {
+    // rest — the 32x-compressed coarse-ranking tier below vq8.
+    "vb1" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       Similarity.hammingTopK(emb.where(col("vec_id") % 100 =!= 0),
           emb.where(col("vec_id") % 100 === 0), "vec_id", "embedding",
@@ -975,7 +975,7 @@ model AS (
     }),
 
     // Incremental near-dup tag against the STORED binary-code history
-    // (emb_b1's incremental seat): fresh batch = vec_id % 10 >= 8,
+    // (vb1's incremental seat): fresh batch = vec_id % 10 >= 8,
     // history codes = the rest, suspect radius 20 sign-bit flips.
     "hamx" -> ((s, d) =>
       Similarity.tagNearB1Codes(
@@ -1042,7 +1042,7 @@ model AS (
     // head on doc_id % 3, a doubled-user defect on % 13, TRUNCATED
     // JSON on % 17 — trailing garbage after the root value wouldn't
     // break Jackson), then REALLY parsed back and validated — the
-    // oracle prices the closed form, JSON-blind (the mm_vid move).
+    // oracle prices the closed form, JSON-blind (the mm_v move).
     "chat" -> ((s, d) =>
       Chat.stats(synthChatConv(Tables.documents(s, d)), col("conv"),
         col("doc_id")).orderBy("doc_id")),
@@ -1126,7 +1126,7 @@ model AS (
     // PNG is synthesized as genuine (lossless) image bytes, decoded,
     // and dHashed — the oracle prices the block-mean/bit arithmetic
     // from the raster's closed form, image-blind.
-    "phash" -> ((s, d) => {
+    "ph" -> ((s, d) => {
       import s.implicits._
       val rows = Tables.documents(s, d).select(col("doc_id")).as[Long]
         .map(id => Multimodal.MediaRow(id, Multimodal.synthPngPayload(id),
@@ -1154,7 +1154,7 @@ model AS (
           col("text").cast("binary"), col("doc_id")),
         maxFrames = 4).orderBy("media_id", "frame_idx")),
 
-    "mm_rsz" -> ((s, d) =>
+    "mm_r" -> ((s, d) =>
       Multimodal.resizePlan(
         Multimodal.featuresCols(Tables.documents(s, d),
           col("text").cast("binary"), col("doc_id")),
@@ -1192,7 +1192,7 @@ model AS (
     // JPEG — the oracle prices the frame arithmetic container-blind, so
     // a bug in the AVI walk, the frame sampling, OR the JPEG decode
     // breaks the row.
-    "mm_vid" -> ((s, d) => {
+    "mm_v" -> ((s, d) => {
       import s.implicits._
       val rows = Tables.documents(s, d)
         .select(col("doc_id"), col("n_chars"))
@@ -1492,7 +1492,7 @@ model AS (
         expr("case when doc_id % 13 = 0 then 'try { javascript.eval() }' end"))
         .as("text"))
 
-  /** Paragraph-structured variant for the g_rep row: two-line
+  /** Paragraph-structured variant for the gr row: two-line
     * paragraphs of 6-word lines joined by blank lines, with an exact
     * duplicate of paragraph 0 appended on id%3=0 and of line 0 (as its
     * own single-line paragraph) on id%5=0 — so line-dup and
@@ -1575,7 +1575,7 @@ model AS (
         FROM sh JOIN dup USING (sh))
 )"""
 
-  /** Shared by ann_pq and ann_pq_idx. PQ/ADC: stride-sampled
+  /** Shared by vpq and ann_pq_idx. PQ/ADC: stride-sampled
     * per-subspace codebooks (8 × 8 dims), argmin integer L2 encoding
     * with ties to the smallest id, query scored through the
     * (subspace, code) distance table — the exact mirror of
@@ -1802,7 +1802,7 @@ SELECT md5(text) AS content_hash, min(doc_id) AS keeper_doc_id,
        count(*) AS n_copies
 FROM documents GROUP BY 1 ORDER BY 1""",
 
-    "dd_jac" -> (hashedShinglesCte + """, sizes AS (
+    "dd_j" -> (hashedShinglesCte + """, sizes AS (
   SELECT doc_id, count(*) AS n FROM sh GROUP BY 1
 ), pairs AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
@@ -1816,7 +1816,7 @@ FROM pairs JOIN sizes sa ON doc_a = sa.doc_id
 WHERE round(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 6) >= 0.2
 ORDER BY doc_a, doc_b"""),
 
-    "dd_lsh" -> (MinhashCte + """
+    "dd_l" -> (MinhashCte + """
 SELECT doc_a, doc_b,
        CAST(len(list_filter(range(16), i -> sa.sig[i+1] = sb.sig[i+1])) AS INT)
          AS n_matching
@@ -1865,8 +1865,8 @@ WHERE d.doc_id % 10 >= 8 ORDER BY d.doc_id"""),
 
     // exact side: DISTINCT shingles derived from MinhashCte's
     // per-occurrence sh (same strings hashedShinglesCte would hash),
-    // Jaccard >= 0.2 as in dd_jac; lsh side: the dd_lsh filter.
-    "dd_rec" -> (MinhashCte + """, dsh AS (
+    // Jaccard >= 0.2 as in dd_j; lsh side: the dd_l filter.
+    "dd_r" -> (MinhashCte + """, dsh AS (
   SELECT DISTINCT doc_id, s FROM sh
 ), sizes AS (
   SELECT doc_id, count(*) AS n FROM dsh GROUP BY 1
@@ -2006,7 +2006,7 @@ FROM (SELECT doc_id, count(*) OVER (PARTITION BY s) AS nd FROM sh)
 GROUP BY doc_id ORDER BY doc_id"""),
 
     // Census composition: each tier CTE mirrors its own verified oracle
-    // (dd_pfx's 64-char prefix, dd_jac's pairs, dsem's scaled cosine,
+    // (dd_pfx's 64-char prefix, dd_j's pairs, dsem's scaled cosine,
     // urlc's canonical literals, dd_sh's shared per-mille), verdicts
     // attributed first-tier-wins, rolled up per source.
     "dd_cns" -> (hashedShinglesCte + """, sizes AS (
@@ -2120,16 +2120,16 @@ FROM blocked x JOIN blocked y
 WHERE bit_count(xor(x.simhash, y.simhash)) <= 16
 ORDER BY doc_a, doc_b"""),
 
-    "ann_pq" -> AnnPqSql,
+    "vpq" -> AnnPqSql,
 
     // per-query and precomputed-index PQ share the build rule and
     // parameters, so the oracle is verbatim (the ann_ivf_idx
     // pattern)
-    "ann_px" -> AnnPqSql,
+    "vpx" -> AnnPqSql,
 
-    "ann_q" -> AnnIvfPqSql,
+    "vq" -> AnnIvfPqSql,
 
-    "ann_bf" -> """
+    "vbf" -> """
 WITH qz AS (
   SELECT vec_id,
          list_transform(embedding,
@@ -2148,7 +2148,7 @@ scored AS (
 SELECT vec_id, cosine FROM scored
 ORDER BY cosine DESC, vec_id ASC LIMIT 10""",
 
-    "ann_l" -> (rhpBucketsCte(8, 8) + """, qb AS (
+    "vl" -> (rhpBucketsCte(8, 8) + """, qb AS (
   SELECT b, bucket FROM buckets WHERE vec_id = 32
 ), cand AS (
   SELECT DISTINCT buckets.vec_id
@@ -2171,7 +2171,7 @@ ORDER BY cosine DESC, vec_id ASC LIMIT 10"""),
     // sample: one pairs CTE scores every (query, corpus) pair, each
     // method takes its per-query windowed top-10, and the explicit
     // (method x query) base emits hits=0 rows for empty candidate sets.
-    "ann_r" -> (rhpBucketsCte(8, 8) + """, qset AS (
+    "vr" -> (rhpBucketsCte(8, 8) + """, qset AS (
   SELECT vec_id AS qid, qe AS qv FROM qz WHERE vec_id IN (0, 32, 100, 250, 400)
 ), pairs AS (
   SELECT q.qid, z.vec_id,
@@ -2242,23 +2242,23 @@ SELECT base.method, CAST(base.qid AS BIGINT) AS query_id,
 FROM base LEFT JOIN hits ON base.method = hits.method AND base.qid = hits.qid
 ORDER BY 1, 2"""),
 
-    "ann_v" -> AnnIvfSql,
-    "ann_bq" -> AnnBatchSql,
+    "vv" -> AnnIvfSql,
+    "vbq" -> AnnBatchSql,
 
     // identical by construction: the index stores the same assignment
     // the per-query formulation computes (ExtQueries.ivfIndexFor)
-    "ann_ix" -> AnnIvfSql,
+    "vix" -> AnnIvfSql,
 
     // the same IVF unroll constrained to label-3 candidates — the
     // filter applies to CANDIDATES only, never to cell assignment or
     // the query's probed cells, mirroring the Spark plan exactly
-    "ann_f" -> annIvfSqlWhere(
+    "vf" -> annIvfSqlWhere(
       " AND qz.vec_id IN (SELECT vec_id FROM embeddings WHERE label = 3)"),
 
     // kmeansRefine with iters=1 unrolled: seed codebook -> assignment
     // a1 -> per-(cell, dim) integer means (the sign trick mirrors
     // Spark's truncating `div`; DuckDB's // floors) -> final assignment.
-    "ann_km" -> ("""WITH qz AS (
+    "vkm" -> ("""WITH qz AS (
   SELECT vec_id AS vid,
          list_transform(embedding,
            x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS qe
@@ -2295,7 +2295,7 @@ SELECT vid AS vec_id, cid FROM (
   FROM qz CROSS JOIN c1)
 WHERE rnk = 1 ORDER BY vec_id"""),
 
-    "ann_kg" -> (rhpBucketsCte(8, 16) + """, cand AS (
+    "vkg" -> (rhpBucketsCte(8, 16) + """, cand AS (
   SELECT DISTINCT x.vec_id AS src, y.vec_id AS dst
   FROM buckets x JOIN buckets y
     ON x.b = y.b AND x.bucket = y.bucket AND x.vec_id <> y.vec_id
@@ -2317,7 +2317,7 @@ WHERE rn <= 3 ORDER BY src, rn"""),
     // outlier components (|x| > 10, the n_outlier signal) zero out of
     // the norm exactly as in Similarity.embeddingCheck — the exact-norm
     // contract only covers inlier magnitudes (ADVICE r13 overflow fix)
-    "emb_c" -> ("""WITH q AS (
+    "vc" -> ("""WITH q AS (
   SELECT vec_id, embedding,
     list_transform(embedding, x -> CAST(round(
       CASE WHEN x IS NULL OR isnan(CAST(x AS DOUBLE)) OR isinf(CAST(x AS DOUBLE))
@@ -2338,7 +2338,7 @@ SELECT vec_id,
   CAST(list_sum(list_transform(qe, v -> v * v)) AS BIGINT) AS norm2_q
 FROM q ORDER BY vec_id"""),
 
-    "emb_nr" -> (rhpBucketsCte(8, 16) + """, cand AS (
+    "vnr" -> (rhpBucketsCte(8, 16) + """, cand AS (
   SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
   FROM buckets x JOIN buckets y
     ON x.b = y.b AND x.bucket = y.bucket AND x.vec_id < y.vec_id
@@ -2355,7 +2355,7 @@ ORDER BY cosine DESC, id_a ASC, id_b ASC LIMIT 20"""),
     // keep-first semantic dedup over CellsCte's shared assignment: a
     // doc drops iff a smaller-id same-cell neighbour clears the
     // threshold (see the declared row for why 0.35 on this corpus)
-    "semdd" -> (CellsCte + """, dropped AS (
+    "sdd" -> (CellsCte + """, dropped AS (
   SELECT DISTINCT a.vid
   FROM cq a JOIN cq b ON a.cid = b.cid AND b.vid < a.vid
   WHERE round(
@@ -2367,7 +2367,7 @@ WHERE vid NOT IN (SELECT vid FROM dropped)
 ORDER BY vec_id"""),
 
     // capPerGroup's seeded-hash rank, with the IVF cell as the group
-    "s_cell" -> (CellsCte + s""", ranked AS (
+    "s_cl" -> (CellsCte + s""", ranked AS (
   SELECT vid, cid,
          row_number() OVER (PARTITION BY cid
            ORDER BY ${h60("'cell0:' || CAST(vid AS VARCHAR)")} ASC, vid ASC) AS rn
@@ -2389,7 +2389,7 @@ SELECT probes.k AS user_id, CAST(min(coalesce(cells.n, 0)) AS BIGINT) AS est_cou
 FROM probes LEFT JOIN cells ON probes.r = cells.r AND probes.c = cells.c
 GROUP BY 1 ORDER BY 1"""),
 
-    "kmv_nd" -> (s"""
+    "kmv" -> (s"""
 WITH h AS (
   SELECT event_type, ${h60("CAST(user_id AS VARCHAR)")} AS hv
   FROM events
@@ -2427,7 +2427,7 @@ JOIN k ON d.doc_id = k.doc_id
 JOIN sp ON d.doc_id = sp.doc_id
 ORDER BY d.doc_id"""),
 
-    "s_spl" -> (s"""
+    "s_p" -> (s"""
 SELECT doc_id,
        CASE WHEN ${h60("CAST(doc_id AS VARCHAR)")} % 1000000 < 50000 THEN 'val'
             WHEN ${h60("CAST(doc_id AS VARCHAR)")} % 1000000 < 100000 THEN 'test'
@@ -2458,7 +2458,7 @@ ORDER BY doc_id"""),
 
     // whole copies = rate // 1e6; the fractional copy lands iff the
     // seeded hash is under rate % 1e6 — identical arithmetic, no RNG
-    "s_rep" -> (s"""WITH f AS (
+    "s_r" -> (s"""WITH f AS (
   SELECT doc_id, (doc_id % 3) * 900000 + 400000 AS rate FROM documents
 ), c AS (
   SELECT doc_id,
@@ -2505,7 +2505,7 @@ WHERE ${h60("CAST(event_id AS VARCHAR)")} % 1000000 <
            WHEN 'purchase' THEN 1000000 ELSE 0 END
 ORDER BY event_id"""),
 
-    "s_cap" -> (s"""
+    "s_c" -> (s"""
 SELECT doc_id, lang FROM (
   SELECT doc_id, lang,
          row_number() OVER (PARTITION BY lang
@@ -2513,7 +2513,7 @@ SELECT doc_id, lang FROM (
   FROM documents)
 WHERE rn <= 40 ORDER BY doc_id"""),
 
-    "s_mix" -> (s"""
+    "s_m" -> (s"""
 WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
 r AS (
   SELECT lang, least(1000000,
@@ -2536,7 +2536,7 @@ SELECT doc_id,
          AS sum_word_len
 FROM w ORDER BY doc_id"""),
 
-    "p_seq" -> (s"""WITH t AS (
+    "p_s" -> (s"""WITH t AS (
   SELECT doc_id,
          CAST(len(regexp_extract_all(text, '$TokRe')) AS BIGINT) AS n_tokens
   FROM documents
@@ -2637,7 +2637,7 @@ SELECT doc_id, s_en, s_es, s_fr, s_de,
             ELSE 'de' END AS lang_pred
 FROM sc ORDER BY doc_id""",
 
-    "tqual" -> (s"""WITH w AS (
+    "tq" -> (s"""WITH w AS (
   SELECT doc_id, text,
          string_split_regex(trim(lower(text)), ' +') AS words,
          regexp_extract_all(text, '$TokRe') AS toks
@@ -2684,7 +2684,7 @@ SELECT *, (n_words BETWEEN 50 AND 100000
   AND alpha_pm >= 800 AND stop_hits >= 2) AS gopher_ok
 FROM gm ORDER BY doc_id"""),
 
-    "g_rep" -> ("""WITH pw AS (
+    "gr" -> ("""WITH pw AS (
   SELECT doc_id, string_split_regex(trim(text), ' +') AS w0 FROM documents
 ), pp AS (
   SELECT doc_id, w0,
@@ -2750,7 +2750,7 @@ SELECT doc_id,
            ELSE [] END, s -> md5(s))) AS winnow_fp
 FROM w ORDER BY doc_id"""),
 
-    "t_rep" -> (WordsCte + """, bg AS (
+    "tr" -> (WordsCte + """, bg AS (
   SELECT doc_id, unnest(CASE WHEN len(words) >= 2
     THEN list_transform(range(len(words)-1),
          i -> array_to_string(words[i+1:i+2], ' '))
@@ -3096,7 +3096,7 @@ SELECT sc.doc_id, sc.lang, sc.ppl_pm,
             ELSE 'tail' END AS tier
 FROM sc JOIN th USING (lang) ORDER BY sc.doc_id"""),
 
-    "t_top" -> ("""WITH t AS (
+    "tt" -> ("""WITH t AS (
   SELECT doc_id, unnest(string_split_regex(trim(lower(text)), ' +')) AS term
   FROM documents
 ), tf AS (
@@ -3185,7 +3185,7 @@ FROM (SELECT media_id, content_hash,
       FROM f WHERE n_frames > 0)
 ORDER BY media_id, frame_idx"""),
 
-    "mm_rsz" -> (s"""WITH f AS (
+    "mm_r" -> (s"""WITH f AS (
   SELECT doc_id AS media_id,
          CAST(${h60("text")} % 1280 AS INT) AS width,
          CAST(${h60("md5(text)")} % 720 AS INT) AS height
@@ -3205,7 +3205,7 @@ FROM f WHERE width > 0 AND height > 0 ORDER BY media_id"""),
     // Mirror of quantizeInt8: the 1e-6 grid, round-half-up magnitudes
     // (all division operands non-negative, so DuckDB's floor // equals
     // Spark's truncating div), sign reapplied outside.
-    "emb_q8" -> ("""WITH qz AS (
+    "vq8" -> ("""WITH qz AS (
   SELECT vec_id,
          list_transform(embedding,
            x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS xq
@@ -3234,7 +3234,7 @@ FROM q ORDER BY vec_id"""),
     // 1e-6 grid packed little-endian into two non-negative 32-bit
     // halves, probe slice vec_id % 100 = 0 vs the rest, Hamming top-3
     // per probe with vec_id tie-break.
-    "emb_b1" -> ("""WITH qz AS (
+    "vb1" -> ("""WITH qz AS (
   SELECT vec_id,
          list_transform(embedding,
            x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS xq
@@ -3264,7 +3264,7 @@ SELECT q_id, rnk, vec_id, ham FROM (
   FROM hm)
 WHERE rnk <= 3 ORDER BY q_id, rnk"""),
 
-    // Mirror of Similarity.hammingRerank: the emb_b1 coarse ranking
+    // Mirror of Similarity.hammingRerank: the vb1 coarse ranking
     // widened to top-20, reranked by the exact quantized cosine, cut
     // to 3 (vec_id tie-breaks at both stages).
     "hamr" -> ("""WITH qz AS (
@@ -3921,7 +3921,7 @@ FROM a ORDER BY media_id"""),
     // at stride ceil(n/4). The oracle never touches AVI or JPEG bytes —
     // it prices the pixel arithmetic the Spark side must recover through
     // a real chunk walk + entropy decode.
-    "mm_vid" -> ("""WITH f AS (
+    "mm_v" -> ("""WITH f AS (
   SELECT doc_id AS media_id, n_chars % 9 + 2 AS n FROM documents
 ), s AS (
   SELECT media_id, unnest(range(0, n, CAST(ceil(n / 4.0) AS INT))) AS i FROM f
@@ -3932,7 +3932,7 @@ SELECT media_id, CAST(i AS INT) AS frame_idx,
        CAST((media_id * 37 + i * 11) % 256 AS INT) AS mean_luma
 FROM s ORDER BY media_id, frame_idx"""),
 
-    // mm_vid's closed form segmented: cut where the consecutive luma
+    // mm_v's closed form segmented: cut where the consecutive luma
     // diff reaches 64 (the mod-256 wrap), scenes numbered by a running
     // cut count, keyframe = first frame of each scene. The oracle never
     // touches container or JPEG bytes.
@@ -3988,7 +3988,7 @@ GROUP BY f.media_id, f.n ORDER BY f.media_id"""),
 
     // Mirror of synthPngPayload + dhashOf: the raster's closed form
     // through block means and bit packing — no image bytes touched.
-    "phash" -> (DhashCte + """
+    "ph" -> (DhashCte + """
 SELECT media_id, CAST(18 AS INT) AS width, CAST(16 AS INT) AS height,
        h AS dhash
 FROM hh ORDER BY media_id"""),

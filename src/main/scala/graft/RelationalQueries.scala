@@ -134,7 +134,7 @@ object RelationalQueries {
           count(lit(1)).as("n_orders"))
         .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)),
 
-    "q_anti" -> ((s, d) =>
+    "qant" -> ((s, d) =>
       Tables.customer(s, d)
         .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
         .select("c_custkey", "c_name")
@@ -437,7 +437,7 @@ FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY ROLLUP(r_name, n_name)
 ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""",
 
-    "q_anti" -> """
+    "qant" -> """
 SELECT c_custkey, c_name FROM customer
 WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
 ORDER BY c_custkey""",

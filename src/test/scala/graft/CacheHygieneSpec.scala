@@ -13,10 +13,10 @@ class CacheHygieneSpec extends SparkSpec {
 
   /** Every declared query built on a persist/checkpoint-using operator. */
   private val cacheUsers = Seq(
-    "dd_jac", "dd_lsh", "dd_cc", "dd_rec",
-    "decs", "ann_kg", "emb_nr",
-    "p_seq", "p_slc", "p_sh",
-    "ann_km", "ann_r",
+    "dd_j", "dd_l", "dd_cc", "dd_r",
+    "decs", "vkg", "vnr",
+    "p_s", "p_slc", "p_sh",
+    "vkm", "vr",
     "hamx") // tagNearB1Codes persists the batch codes
 
   test("each cache-using query leaves no net persistent RDDs after release") {
@@ -34,7 +34,7 @@ class CacheHygieneSpec extends SparkSpec {
   test("tracking engages: the persisted intermediate exists until release") {
     CacheScope.release()
     val before = spark.sparkContext.getPersistentRDDs.keySet
-    SparkEntry.queries("dd_lsh")(spark, sf)
+    SparkEntry.queries("dd_l")(spark, sf)
       .queryExecution.toRdd.foreach(_ => ())
     val during = spark.sparkContext.getPersistentRDDs.keySet -- before
     assert(during.nonEmpty,

@@ -42,7 +42,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("cis2 log decode: one list-key window, no joins, codegen'd decode") {
-    val p = plan("c2dec")
+    val p = plan("c2d")
     assert(count(p, "Window") == 1, s"expected exactly the drop-semantics window in:\n$p")
     assert(!p.contains("Join"), s"decode path must not join:\n$p")
     // the event-type filter must reach the parquet scan under the codec
@@ -50,7 +50,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("text repetition: narrow per-document map — no joins, only the sort exchange") {
-    val p = plan("t_rep")
+    val p = plan("tr")
     assert(!p.contains("Join"), s"repetition must stay per-document:\n$p")
     assert(count(p, "Exchange") == 1, // the final orderBy only
       s"expected a single (sort) exchange in:\n$p")
@@ -116,7 +116,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("knn graph: per-source window top-k, no global sort") {
-    val p = plan("ann_kg")
+    val p = plan("vkg")
     assert(p.contains("Window"), s"expected the per-source top-k window in:\n$p")
     assert(!p.contains("CartesianProduct"))
     // same hot-key bound as b6: each map task forwards at most k rows
@@ -156,7 +156,7 @@ class PlanSpec extends SparkSpec {
     // recallAtK ranks three candidate families (brute force, LSH, IVF)
     // with the same row_number <= k shape; all of them must keep the
     // map-side partial limit, not just the first
-    val p = plan("ann_r")
+    val p = plan("vr")
     val partials = p.split('\n').count(l =>
       l.contains("WindowGroupLimit") && l.contains("Partial"))
     assert(partials >= 3,
@@ -229,7 +229,7 @@ class PlanSpec extends SparkSpec {
     // robots (per-host rule chain) and mm_sc (scene-cut decode) join
     // the family: the verdict/segmentation is computed per document.
     for (q <- Seq("urlc", "unorm", "html", "chnk",
-        "mm_vid", "mm_av", "s_rep", "goph", "c4", "g_rep",
+        "mm_v", "mm_av", "s_r", "goph", "c4", "gr",
         "secr", "robots", "mm_sc")) {
       val p = plan(q)
       assert(count(p, "Exchange") <= 1,
@@ -261,7 +261,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("top terms: df broadcast (no term-keyed shuffle join) and top-k group limit") {
-    val p = plan("t_top")
+    val p = plan("tt")
     assert(p.contains("BroadcastHashJoin"),
       s"document-frequency side must broadcast, not shuffle on term:\n$p")
     assert(p.contains("WindowGroupLimit"),
@@ -295,7 +295,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("semdedup: cell-blocked pair join + keep-first anti join, no cartesian") {
-    val p = plan("semdd")
+    val p = plan("sdd")
     // the drop set subtracts via LeftAnti; candidate pairs come from the
     // cid-keyed self-join (cells are ~stride vectors), never data×data
     assert(p.contains("LeftAnti"),
@@ -305,7 +305,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("smp_cell: the per-cell cap pushes into WindowGroupLimit") {
-    val p = plan("s_cell")
+    val p = plan("s_cl")
     assert(p.contains("WindowGroupLimit"),
       s"expected the rank<=n group-limit pushdown in:\n$p")
   }
@@ -315,7 +315,7 @@ class PlanSpec extends SparkSpec {
     // DECLARED row (through ExtQueries.ivfIndexFor's memoized build) to
     // the same pruned-scan shape: a literal cid partition predicate and
     // no per-query full-corpus re-assignment (no Window in the probe).
-    val p = plan("ann_ix")
+    val p = plan("vix")
     assert(p.contains("PartitionFilters") && p.contains("cid"),
       s"expected cid partition pruning on the declared probe:\n$p")
     assert(!p.contains("Window"),
@@ -337,7 +337,7 @@ class PlanSpec extends SparkSpec {
     // the cid partition pruning runs on — filter-after-topk would
     // under-fill k, filter-in-a-second-scan would double the IO — and
     // the top-k must stay fused (no global sort, no window).
-    val p = plan("ann_f")
+    val p = plan("vf")
     assert(p.contains("PartitionFilters") && p.contains("cid"),
       s"expected cid partition pruning on the filtered probe:\n$p")
     assert(p.contains("PushedFilters") && p.contains("EqualTo(label,3)"),
@@ -354,7 +354,7 @@ class PlanSpec extends SparkSpec {
     // before its (vid, s) exchange, the ADC distance table joins as a
     // broadcast, and the final ranking fuses into TakeOrderedAndProject
     // instead of a global sort or a window
-    val p = plan("ann_pq")
+    val p = plan("vpq")
     // the argmin's min(struct) buffer is not hash-aggregable, so the
     // encoding plans as a partial+final SortAggregate pair — still
     // map-side combined; the ADC sum gets the usual HashAggregate pair
@@ -376,7 +376,7 @@ class PlanSpec extends SparkSpec {
     // the ADC distance table is a collected literal map, so serving is
     // ONE distributed pass over the compressed codes — no join, no
     // window, no aggregation exchange, top-k fused into the scan
-    val p = plan("ann_px")
+    val p = plan("vpx")
     assert(p.contains("TakeOrderedAndProject"),
       s"expected limit+sort fusion in:\n$p")
     assert(count(p, "Exchange hashpartitioning") == 0,
@@ -390,7 +390,7 @@ class PlanSpec extends SparkSpec {
     // per-cell ADC tables are a collected literal map, so scoring is
     // one pass over the pruned compressed codes — no join, no window,
     // no aggregation exchange, top-k fused into the scan
-    val p = plan("ann_q")
+    val p = plan("vq")
     assert(p.contains("PartitionFilters") && p.contains("cid"),
       s"expected cid partition pruning on the codes scan:\n$p")
     assert(p.contains("TakeOrderedAndProject"),
@@ -464,7 +464,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("group cap: rank predicate pushed into WindowGroupLimit at the declared row") {
-    val p = plan("s_cap")
+    val p = plan("s_c")
     assert(p.contains("WindowGroupLimit"),
       s"expected the per-group limit below the window sort in:\n$p")
   }
@@ -544,7 +544,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("mixture: tiny rate table broadcast, corpus side stays a narrow filter") {
-    val p = plan("s_mix")
+    val p = plan("s_m")
     assert(p.contains("BroadcastHashJoin"),
       s"expected the per-group rates broadcast back in:\n$p")
     assert(!p.contains("Window") && !p.contains("SortMergeJoin"),
@@ -552,7 +552,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("kmeans: codebook broadcast for assignment, means aggregate partially") {
-    val p = plan("ann_km")
+    val p = plan("vkm")
     // both assignment passes broadcast the (bounded) codebook; the
     // corpus never shuffles to meet it
     assert(count(p, "BroadcastNestedLoopJoin") >= 2,
@@ -630,7 +630,7 @@ class PlanSpec extends SparkSpec {
     // ann_brute/ann_lsh intentionally broadcast-cross-join ONE query
     // row against the corpus — a bounded nested loop, not an all-pairs
     // blowup — so they are exempt.
-    val exempt = Set("ann_bf", "ann_l")
+    val exempt = Set("vbf", "vl")
     SparkEntry.queries.keys.filterNot(exempt).foreach { name =>
       val p = plan(name)
       assert(!p.contains("CartesianProduct"),
