@@ -1061,6 +1061,18 @@ model AS (
       Chat.prefStats(synthPrefPairs(Tables.documents(s, d)),
         col("chosen"), col("rejected"), col("doc_id")).orderBy("pair_id")),
 
+    // ROUGE-1/2 recall between XOR-paired documents (0<->1, 2<->3, ...)
+    // — the eval-side overlap metric in exact integer ppm; neighbor
+    // docs share vocabulary but not bigrams, so both orders spread.
+    "rouge" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val pairs = docs.join(
+        docs.select(expr("doc_id ^ 1").as("doc_id"),
+          col("text").as("__cand")), "doc_id")
+      TextAnalysis.rougeRecall(pairs, col("__cand"), col("text"),
+        col("doc_id")).orderBy("doc_id")
+    }),
+
     // PMI collocations: top-30 adjacent word pairs by integer-bit
     // pointwise mutual information (joint-vs-independent ratio on the
     // exact count grid), pairs seen >= 5 times.
@@ -3574,6 +3586,31 @@ ORDER BY doc_id, turn_idx"""),
        ELSE CAST(CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END AS BIGINT)
        END AS n_prompt_turns
 FROM documents ORDER BY pair_id"""),
+
+    // Mirror of TextAnalysis.rougeRecall over the XOR pairing: distinct
+    // word/bigram lists per doc, list_intersect sizes, integer ppm.
+    "rouge" -> ("""WITH w AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), ' +') AS ws
+  FROM documents
+), g AS (
+  SELECT doc_id,
+    list_distinct(ws) AS g1,
+    list_distinct(CASE WHEN len(ws) >= 2 THEN
+      list_transform(range(len(ws) - 1), i -> ws[i+1] || ' ' || ws[i+2])
+      ELSE [] END) AS g2
+  FROM w
+), p AS (
+  SELECT a.doc_id, a.g1 AS r1, a.g2 AS r2, b.g1 AS c1, b.g2 AS c2
+  FROM g a JOIN g b ON b.doc_id = xor(a.doc_id, 1)
+)
+SELECT doc_id,
+  CASE WHEN len(r1) = 0 THEN NULL
+       ELSE CAST(len(list_intersect(c1, r1)) * 1000000 // len(r1)
+         AS BIGINT) END AS r1_ppm,
+  CASE WHEN len(r2) = 0 THEN NULL
+       ELSE CAST(len(list_intersect(c2, r2)) * 1000000 // len(r2)
+         AS BIGINT) END AS r2_ppm
+FROM p ORDER BY doc_id"""),
 
     // Mirror of TextAnalysis.pmiCollocations: adjacent pairs by
     // position join, integer-bit PMI, (pmi, count, pair) total order.

@@ -983,6 +983,35 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** ROUGE-1/ROUGE-2 RECALL (distinct-n-gram variant) for paired texts
+    * — the summarization/eval-side overlap metric, run at corpus scale
+    * when scoring generated candidates against references (and as a
+    * cheap near-dup diagnostic between paired documents):
+    * `rN_ppm = |distinct n-grams(cand) ∩ distinct n-grams(ref)| · 10⁶
+    * div |distinct n-grams(ref)|`, exact integer parts-per-million.
+    * Texts lowercase before shingling; a reference too short for the
+    * n-gram order yields NULL (undefined recall), never a div fault.
+    *
+    * Both texts ride ONE row, so the whole metric is array arithmetic
+    * inside the row — a pure narrow projection, zero shuffles, no join
+    * of the corpus against itself. Output: (doc_id, r1_ppm, r2_ppm). */
+  def rougeRecall(pairs: DataFrame, cand: Column, ref: Column,
+      id: Column): DataFrame = {
+    graft.functions.GraftFunctions.register(pairs.sparkSession)
+    def dg(c: Column, k: Int) =
+      array_distinct(Text.shingles(lower(c), k))
+    pairs.select(id.cast("long").as("doc_id"),
+        dg(cand, 1).as("__c1"), dg(ref, 1).as("__r1"),
+        dg(cand, 2).as("__c2"), dg(ref, 2).as("__r2"))
+      .select(col("doc_id"),
+        expr("CASE WHEN size(__r1) = 0 THEN NULL ELSE " +
+          "CAST(size(array_intersect(__c1, __r1)) AS BIGINT) * 1000000 " +
+          "div size(__r1) END").as("r1_ppm"),
+        expr("CASE WHEN size(__r2) = 0 THEN NULL ELSE " +
+          "CAST(size(array_intersect(__c2, __r2)) AS BIGINT) * 1000000 " +
+          "div size(__r2) END").as("r2_ppm"))
+  }
+
   def fingerprint(df: DataFrame, content: Column, id: Column,
                   k: Int = 3): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)

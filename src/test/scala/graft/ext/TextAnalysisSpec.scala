@@ -610,6 +610,25 @@ class TextAnalysisSpec extends SparkSpec {
       minCount = 2L).count() === 1L)
   }
 
+  test("rougeRecall: hand-computed distinct-n-gram recall, short-ref nulls") {
+    // ref 'a b a c' → g1 {a,b,c}, g2 {'a b','b a','a c'};
+    // cand 'a c d' → g1 {a,c,d}, g2 {'a c','c d'}
+    //   r1 = 2/3 → 666 666 ppm, r2 = 1/3 → 333 333 ppm
+    // one-word ref: r1 defined (1/1), r2 NULL (no reference bigrams)
+    val pairs = Seq(
+      (1L, "a c d", "a b a c"),
+      (2L, "z", "z")).toDF("doc_id", "cand", "ref")
+    val out = TextAnalysis.rougeRecall(pairs, $"cand", $"ref", $"doc_id")
+      .orderBy("doc_id").collect()
+    assert((out(0).getLong(1), out(0).getLong(2)) === (666666L, 333333L))
+    assert(out(1).getLong(1) === 1000000L)
+    assert(out(1).isNullAt(2))
+    // pure narrow projection: no join, no exchange
+    val plan = TextAnalysis.rougeRecall(pairs, $"cand", $"ref", $"doc_id")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Join"), plan)
+  }
+
   test("bm25TopK scores multiple queries independently in one pass") {
     val out = TextAnalysis.bm25TopK(bm25Docs, $"text", $"doc_id",
         Seq(7L -> "apple cherry", 8L -> "banana"), k = 10)
