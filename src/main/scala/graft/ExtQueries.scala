@@ -963,6 +963,16 @@ model AS (
         .orderBy("q_id", "rnk")
     }),
 
+    // Per-label centroid drift between the even and odd vec_id halves
+    // (two "batches" of the same corpus) — the embedding-pipeline
+    // monitoring row; integer-mean centroids, round-6 cosine.
+    "vdrf" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.centroidDrift(emb.where(col("vec_id") % 2 === 0),
+          emb.where(col("vec_id") % 2 === 1), "label", "embedding")
+        .orderBy("label")
+    }),
+
     // Two-stage binary serving: coarse Hamming top-20 shortlist, exact
     // quantized-cosine rerank to top-3 — the pattern that makes 1-bit
     // codes usable (code-scan recall, exact-arithmetic precision).
@@ -3275,6 +3285,42 @@ SELECT q_id, rnk, vec_id, ham FROM (
          row_number() OVER (PARTITION BY q_id ORDER BY ham, vec_id) AS rnk
   FROM hm)
 WHERE rnk <= 3 ORDER BY q_id, rnk"""),
+
+    // Mirror of Similarity.centroidDrift over the even/odd halves:
+    // per-(label, half, dim) integer sums div group count, per-label
+    // dot and norms over the centroid dimensions, round-6 cosine.
+    "vdrf" -> ("""WITH qz AS (
+  SELECT vec_id, CAST(label AS BIGINT) AS label,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS qe
+  FROM embeddings
+), cnt AS (
+  SELECT label, (vec_id % 2 = 0) AS ea, CAST(count(*) AS BIGINT) AS n
+  FROM qz GROUP BY 1, 2
+), d AS (
+  SELECT label, (vec_id % 2 = 0) AS ea, i, qe[i+1] AS v
+  FROM (SELECT vec_id, label, qe, unnest(range(64)) AS i FROM qz)
+), c AS (
+  SELECT d.label, d.ea, d.i, CAST(sum(d.v) AS BIGINT) // cnt.n AS c
+  FROM d JOIN cnt ON cnt.label = d.label AND cnt.ea = d.ea
+  GROUP BY d.label, d.ea, d.i, cnt.n
+), j AS (
+  SELECT a.label, a.i, a.c AS ca, b.c AS cb
+  FROM (SELECT * FROM c WHERE ea) a
+  JOIN (SELECT * FROM c WHERE NOT ea) b
+    ON a.label = b.label AND a.i = b.i
+), s AS (
+  SELECT label, sum(ca*cb) AS dot, sum(ca*ca) AS n2a, sum(cb*cb) AS n2b
+  FROM j GROUP BY 1
+)
+SELECT s.label, na.n AS n_a, nb.n AS n_b,
+  CASE WHEN s.n2a = 0 OR s.n2b = 0 THEN NULL
+       ELSE round(CAST(s.dot AS DOUBLE)
+         / sqrt(CAST(s.n2a AS DOUBLE) * CAST(s.n2b AS DOUBLE)), 6)
+       END AS cos
+FROM s JOIN cnt na ON na.label = s.label AND na.ea
+JOIN cnt nb ON nb.label = s.label AND NOT nb.ea
+ORDER BY s.label"""),
 
     // Mirror of Similarity.hammingRerank: the vb1 coarse ranking
     // widened to top-20, reranked by the exact quantized cosine, cut

@@ -216,6 +216,46 @@ object Similarity {
     }
   }
 
+  /** Per-label CENTROID DRIFT between two embedding batches — the
+    * monitoring pass an embedding pipeline runs between model versions
+    * or crawl dumps (a label whose centroid swings is a re-embed or
+    * data-shift alarm): cosine between each label's integer-mean
+    * centroid in batch A and batch B.
+    *
+    * Exactness: centroids are integer means on the shared 1e-6 grid —
+    * `c_i = (Σ qe_i) div n` per dimension (div-by-n first also keeps
+    * every downstream square inside a long at any group size) — and
+    * the cosine is the usual one rounded double over exact integer
+    * dots. Shape: one posexplode + partial-agg `groupBy(label, dim)`
+    * per side (uniform keys, ≤ labels·dims rows out), then the dot and
+    * norms reduce per label from the joined dimension frame — no
+    * array reassembly, no driver collect. Output: (label, n_a, n_b,
+    * cos) — cos NULL if either side's centroid is the zero vector. */
+  def centroidDrift(a: DataFrame, b: DataFrame, labelCol: String,
+      embCol: String): DataFrame = {
+    def dims(df: DataFrame, pre: String) = {
+      val qz = df.select(col(labelCol).cast("long").as("label"),
+        quantize(col(embCol)).as("__qe"))
+      val n = qz.groupBy("label").agg(count(lit(1)).as(s"n_$pre"))
+      qz.select(col("label"), posexplode(col("__qe")).as(Seq("i", "v")))
+        .groupBy("label", "i").agg(sum("v").as("__s"))
+        .join(n, "label")
+        .select(col("label"), col("i"), col(s"n_$pre"),
+          expr(s"__s div n_$pre").as(s"c_$pre"))
+    }
+    dims(a, "a").join(dims(b, "b"), Seq("label", "i"))
+      .groupBy("label")
+      .agg(first(s"n_a").as("n_a"), first(s"n_b").as("n_b"),
+        sum(expr("c_a * c_b")).as("__dot"),
+        sum(expr("c_a * c_a")).as("__n2a"),
+        sum(expr("c_b * c_b")).as("__n2b"))
+      .select(col("label"), col("n_a"), col("n_b"),
+        expr("CASE WHEN __n2a = 0 OR __n2b = 0 THEN NULL ELSE " +
+          "round(CAST(__dot AS DOUBLE) / " +
+          "sqrt(CAST(__n2a AS DOUBLE) * CAST(__n2b AS DOUBLE)), 6) END")
+          .as("cos"))
+  }
+
   /** MATRYOSHKA truncation recall — the evaluation every deployment of
     * MRL-style embeddings (Kusupati et al. 2022: models trained so
     * informative dimensions come first) runs before serving the short

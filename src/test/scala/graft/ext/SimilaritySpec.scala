@@ -749,6 +749,23 @@ class SimilaritySpec extends SparkSpec {
     assert(out.toSeq == Seq((8L, 2L, 1000L), (9L, 1L, 500L)))
   }
 
+  test("centroidDrift: identical batches read 1.0, a rotated label reads lower") {
+    // label 0: batch B identical to A → integer-mean centroids equal →
+    // cos 1.0; label 1: B is A rotated 90° → cos 0.0. Counts per side 2.
+    val a = Seq(
+      (0L, 0L, Seq(1f, 0f)), (2L, 0L, Seq(1f, 0.2f)),
+      (4L, 1L, Seq(1f, 0f)), (6L, 1L, Seq(1f, 0f)))
+      .toDF("vec_id", "label", "embedding")
+    val b = Seq(
+      (1L, 0L, Seq(1f, 0f)), (3L, 0L, Seq(1f, 0.2f)),
+      (5L, 1L, Seq(0f, 1f)), (7L, 1L, Seq(0f, 1f)))
+      .toDF("vec_id", "label", "embedding")
+    val out = Similarity.centroidDrift(a, b, "label", "embedding")
+      .orderBy("label").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq === Seq((0L, 2L, 2L, 1.0), (1L, 2L, 2L, 0.0)))
+  }
+
   test("mmrSelect greedily trades relevance for diversity, integer-exact") {
     // q = (1,0); c1 = (1,0) rel 1 000 000; c2 = (1,.01) rel 999 950
     // (1/√1.0001 → 999 950.004); c3 = (0,1) rel 0. Pick 1: c1, score
