@@ -262,6 +262,35 @@ class StreamingCurationSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("SFT gate composes live: chat stats validate micro-batches statelessly") {
+    // Chat.stats is a pure projection, so the conversation gate (parse
+    // + alternation) runs per micro-batch with no state store — the
+    // same stateless-gate contract as the lm3/nb/dsir seats
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val q = Chat.stats(input.toDF().toDF("doc_id", "conv"),
+        col("conv"), col("doc_id"))
+      .select("doc_id", "parse_ok", "alternation_ok")
+      .writeStream.format("memory").queryName("chatgate")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (1L, """[{"role":"user","content":"q"},""" +
+          """{"role":"assistant","content":"a"}]"""),
+        (2L, """[{"role":"user","content":"q"},""" +
+          """{"role":"user","content":"q2"}]"""))
+      q.processAllAvailable()
+      input.addData((3L, "truncated ["))
+      q.processAllAvailable()
+      val got = spark.sql(
+          "SELECT doc_id, parse_ok, alternation_ok FROM chatgate ORDER BY doc_id")
+        .collect().map(r => (r.getLong(0), r.getBoolean(1),
+          if (r.isNullAt(2)) null else r.getBoolean(2)))
+      assert(got.toSeq == Seq(
+        (1L, true, true), (2L, true, false), (3L, false, null)))
+    } finally q.stop()
+  }
+
   test("secrets scrub composes live: scrubSecrets stacks on redactText per batch") {
     // the factored Column helpers make the full pre-release scrub
     // (PII + credentials) one stateless projection over a live feed
