@@ -450,7 +450,7 @@ model AS (
         .orderBy("source")
     }),
 
-    "dec_ng" -> ((s, d) => {
+    "dng" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       Dedup.ngramContamination(docs, col("text"), col("doc_id"),
           Sampling.split(docs, col("doc_id")).select("doc_id", "split"))
@@ -1074,11 +1074,14 @@ model AS (
     // ROUGE-1/2 recall between XOR-paired documents (0<->1, 2<->3, ...)
     // — the eval-side overlap metric in exact integer ppm; neighbor
     // docs share vocabulary but not bigrams, so both orders spread.
+    // LEFT join (ADVICE r15): a doc whose XOR partner id is absent
+    // (odd corpus size, id gaps) emits NULL recalls instead of
+    // silently vanishing from the output.
     "rouge" -> ((s, d) => {
       val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
       val pairs = docs.join(
         docs.select(expr("doc_id ^ 1").as("doc_id"),
-          col("text").as("__cand")), "doc_id")
+          col("text").as("__cand")), Seq("doc_id"), "left")
       TextAnalysis.rougeRecall(pairs, col("__cand"), col("text"),
         col("doc_id")).orderBy("doc_id")
     }),
@@ -1302,7 +1305,7 @@ model AS (
     // ending in 9), exact-agent group selection (host.net's graft group
     // disallows /p where its * group allows everything), and
     // no-robots-file default allow (t4, t7).
-    "robots" -> ((s, d) =>
+    "rob" -> ((s, d) =>
       Curation.urlScopeRobots(Tables.documents(s, d), synthCrawlUrl,
           col("doc_id"),
           robotsByHost = Map(
@@ -1350,7 +1353,7 @@ model AS (
     // (JDK UAX #15); the oracle runs DuckDB's nfc_normalize (utf8proc)
     // on the same synthesized decomposed text — two unrelated codebases
     // must agree on every composed codepoint and length.
-    "unorm" -> ((s, d) => {
+    "un" -> ((s, d) => {
       graft.functions.GraftFunctions.register(s)
       val deco = concat(
         lit("cafe\u0301 nai\u0308ve Ange\u0301lique #"),
@@ -1998,7 +2001,7 @@ FROM pairs JOIN sp a ON doc_a = a.doc_id JOIN sp b ON doc_b = b.doc_id
 WHERE a.split <> b.split
 ORDER BY doc_a, doc_b"""),
 
-    "dec_ng" -> (hashedShinglesCte + s""", sp AS (
+    "dng" -> (hashedShinglesCte + s""", sp AS (
   SELECT doc_id,
        CASE WHEN ${h60("CAST(doc_id AS VARCHAR)")} % 1000000 < 50000 THEN 'val'
             WHEN ${h60("CAST(doc_id AS VARCHAR)")} % 1000000 < 100000 THEN 'test'
@@ -3647,7 +3650,7 @@ FROM documents ORDER BY pair_id"""),
   FROM w
 ), p AS (
   SELECT a.doc_id, a.g1 AS r1, a.g2 AS r2, b.g1 AS c1, b.g2 AS c2
-  FROM g a JOIN g b ON b.doc_id = xor(a.doc_id, 1)
+  FROM g a LEFT JOIN g b ON b.doc_id = xor(a.doc_id, 1)
 )
 SELECT doc_id,
   CASE WHEN len(r1) = 0 THEN NULL
@@ -3661,7 +3664,7 @@ FROM p ORDER BY doc_id"""),
     // Mirror of TextAnalysis.pmiCollocations: adjacent pairs by
     // position join, integer-bit PMI, (pmi, count, pair) total order.
     "pmi" -> ("""WITH w AS (
-  SELECT doc_id, string_split_regex(trim(lower(text)), ' +') AS ws
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws
   FROM documents
 ), pos AS (
   SELECT doc_id, i, ws[i+1] AS wd
@@ -3890,7 +3893,7 @@ FROM f ORDER BY doc_id"""),
     // (the * group's Allow / never applies). t5: /*9$ matches exactly
     // when the canonical path /item/<h> ends in 9, i.e. doc_id%10=9.
     // t4/t7: no robots file -> allow. t6: empty path, no rule matches.
-    "robots" -> ("""WITH f AS (
+    "rob" -> ("""WITH f AS (
   SELECT doc_id, doc_id % 8 AS t, CAST(doc_id % 100 AS VARCHAR) AS h
   FROM documents
 )
@@ -3949,7 +3952,7 @@ FROM f ORDER BY doc_id"""),
 
     // DuckDB's utf8proc NFC vs Spark's JDK Normalizer on the same
     // decomposed text — two independent implementations must agree.
-    "unorm" -> ("""WITH f AS (
+    "un" -> ("""WITH f AS (
   SELECT doc_id,
          'cafe' || chr(769) || ' nai' || chr(776) || 've Ange' || chr(769) ||
          'lique #' || CAST(doc_id % 100 AS VARCHAR) || ' A' || chr(778) AS deco

@@ -552,50 +552,108 @@ object Multimodal {
     * Same distribution shape as [[videoFramesBatched]]: a clip is ONE
     * row (the container blob), so the whole pass is a narrow
     * `mapPartitions` — per-task decode, zero shuffles, and at 100 TB
-    * the cost is the decode itself, paid once per frame with only two
-    * luma rasters held at a time. Integer arithmetic end to end keeps
-    * the row oracle-expressible through the synth closed form. */
+    * the cost is the decode itself, paid once per frame. Memory shape
+    * (VERDICT r15): the frame walk is a LAZY iterator fold — at any
+    * moment the task holds the current decoded frame plus two luma
+    * rasters (previous + current) and the open scene's keyframe stat,
+    * never the clip's full raster sequence, so an hours-long clip
+    * streams in O(frame) memory instead of O(clip). Integer arithmetic
+    * end to end keeps the row oracle-expressible through the synth
+    * closed form. */
   def sceneCutsBatched(ds: Dataset[MediaRow], threshold: Int = 64,
                        batchSize: Int = 64): Dataset[SceneRow] = {
     implicit val enc = Encoders.product[SceneRow]
     ds.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         batch.flatMap { r =>
-          graft.functions.MediaHeaderUtil.parseAvi(r.payload).toSeq.flatMap { avi =>
-            val lumas = avi.frames.flatMap { case (off, len) =>
-              decodeImage(java.util.Arrays.copyOfRange(r.payload, off, off + len))
-                .map(lumaRaster)
-            }
-            if (lumas.isEmpty) Seq.empty
-            else {
-              val cuts = Array.newBuilder[Int]
-              cuts += 0
-              var f = 1
-              while (f < lumas.length) {
-                val (pw, ph, pa) = lumas(f - 1)
-                val (w, h, a) = lumas(f)
-                val cut =
-                  if (w != pw || h != ph) true
-                  else {
-                    var sum = 0L; var i = 0
-                    while (i < a.length) { sum += math.abs(a(i) - pa(i)); i += 1 }
-                    (sum / a.length) >= threshold
-                  }
-                if (cut) cuts += f
-                f += 1
-              }
-              val starts = cuts.result()
-              starts.indices.map { s =>
-                val start = starts(s)
-                val end = if (s + 1 < starts.length) starts(s + 1) - 1
-                          else lumas.length - 1
-                val (kw, kh, ka) = lumas(start)
-                var sum = 0L; var i = 0
-                while (i < ka.length) { sum += ka(i); i += 1 }
-                SceneRow(r.media_id, s, start, end, (sum / (kw.toLong * kh)).toInt)
-              }
-            }
+          sceneWalk(r.payload, threshold) { (_, w, h, a) =>
+            var sum = 0L; var i = 0
+            while (i < a.length) { sum += a(i); i += 1 }
+            (sum / (w.toLong * h)).toInt
+          }.map { case (s, start, end, key) =>
+            SceneRow(r.media_id, s, start, end, key)
           }
+        }
+      }
+    }
+  }
+
+  /** Single-pass lazy scene segmentation core shared by
+    * [[sceneCutsBatched]] and [[sceneKeyframeHashes]]: decode frames
+    * one at a time, diff consecutive luma rasters, open a scene at
+    * frame 0 and at every transition whose per-pixel mean absolute
+    * difference reaches `threshold` (or whose dimensions change), and
+    * compute `keyOf(img, w, h, luma)` ONCE at each scene open — the
+    * opening frame IS the keyframe. Holds the current frame, the
+    * previous raster, and the open scene's key; emits
+    * (scene_idx, start_frame, end_frame, key) per scene. Frame indices
+    * count DECODED frames (an undecodable chunk is skipped), matching
+    * the pre-r16 eager implementation bit for bit. */
+  private def sceneWalk[T](payload: Array[Byte], threshold: Int)(
+      keyOf: (java.awt.image.BufferedImage, Int, Int, Array[Int]) => T)
+      : Seq[(Int, Int, Int, T)] =
+    graft.functions.MediaHeaderUtil.parseAvi(payload).toSeq.flatMap { avi =>
+      val frames = avi.frames.iterator.flatMap { case (off, len) =>
+        decodeImage(java.util.Arrays.copyOfRange(payload, off, off + len))
+      }
+      if (!frames.hasNext) Seq.empty
+      else {
+        val out = Seq.newBuilder[(Int, Int, Int, T)]
+        val first = frames.next()
+        var prev = lumaRaster(first)
+        var sceneIdx = 0
+        var sceneStart = 0
+        var key = keyOf(first, prev._1, prev._2, prev._3)
+        var f = 1
+        while (frames.hasNext) {
+          val img = frames.next()
+          val cur = lumaRaster(img)
+          val cut =
+            if (cur._1 != prev._1 || cur._2 != prev._2) true
+            else {
+              val a = cur._3; val pa = prev._3
+              var sum = 0L; var i = 0
+              while (i < a.length) { sum += math.abs(a(i) - pa(i)); i += 1 }
+              (sum / a.length) >= threshold
+            }
+          if (cut) {
+            out += ((sceneIdx, sceneStart, f - 1, key))
+            sceneIdx += 1
+            sceneStart = f
+            key = keyOf(img, cur._1, cur._2, cur._3)
+          }
+          prev = cur
+          f += 1
+        }
+        out += ((sceneIdx, sceneStart, f - 1, key))
+        out.result()
+      }
+    }
+
+  /** Keyframe row of [[sceneKeyframeHashes]]: one per detected scene,
+    * carrying the keyframe's perceptual [[dhashOf]] fingerprint. */
+  case class SceneKeyframe(media_id: Long, scene_idx: Int, start_frame: Int,
+                           end_frame: Int, dhash: Long)
+
+  /** Scene keyframe FINGERPRINTS — the clip-side half of video
+    * near-dedup (segment each clip into scenes, dHash each scene's
+    * keyframe, then pair keyframes across clips the way still images
+    * pair in [[nearDupImages]]): the same lazy [[sceneWalk]] as
+    * [[sceneCutsBatched]] with `keyOf` = the 9×8-grid difference hash
+    * of the opening frame. Scenes whose keyframe is too small for the
+    * dHash grid (< 9×8 px) are quarantined, same contract as
+    * [[dhashBatched]]. One narrow mapPartitions, zero shuffles, O(frame)
+    * task memory at any clip length. */
+  def sceneKeyframeHashes(ds: Dataset[MediaRow], threshold: Int = 64,
+                          batchSize: Int = 64): Dataset[SceneKeyframe] = {
+    implicit val enc = Encoders.product[SceneKeyframe]
+    ds.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.flatMap { r =>
+          sceneWalk(r.payload, threshold)((img, _, _, _) => dhashOf(img))
+            .flatMap { case (s, start, end, key) =>
+              key.map(h => SceneKeyframe(r.media_id, s, start, end, h))
+            }
         }
       }
     }

@@ -70,14 +70,22 @@ object Similarity {
     * balance census a deployment tracks (sign bits near 50/50 keep
     * Hamming distances discriminative). */
   def binarize1Bit(df: DataFrame, id: Column, emb: Column): DataFrame =
-    df.select(id.cast("long").as("vec_id"), quantize(emb).as("__xq"))
+    df.select(id.cast("long").as("vec_id"), quantize(emb).as("__xq0"))
+      // The width guard wraps the SHARED input column, not any single
+      // output's CASE: every packed column derives from __xq, so even
+      // after Catalyst prunes outputs (a caller selecting only
+      // b_lo/n_pos) the surviving column still carries the
+      // raise_error — a >64-dim vector can never silently truncate to
+      // its low 32 bits (ADVICE r15).
       .select(col("vec_id"),
-        expr("CASE WHEN size(__xq) > 64 THEN " +
-          "raise_error('binarize1Bit: dim > 64') ELSE " +
-          "aggregate(transform(slice(__xq, 33, 32), (x, i) -> " +
+        expr("CASE WHEN size(__xq0) > 64 THEN " +
+          "raise_error('binarize1Bit: dim > 64') ELSE __xq0 END")
+          .as("__xq"))
+      .select(col("vec_id"),
+        expr("aggregate(transform(slice(__xq, 33, 32), (x, i) -> " +
           "CASE WHEN x > 0 THEN shiftleft(CAST(1 AS BIGINT), i) " +
-          "ELSE CAST(0 AS BIGINT) END), CAST(0 AS BIGINT), (a, b) -> a + b) " +
-          "END").as("b_hi"),
+          "ELSE CAST(0 AS BIGINT) END), CAST(0 AS BIGINT), (a, b) -> a + b)")
+          .as("b_hi"),
         expr("aggregate(transform(slice(__xq, 1, 32), (x, i) -> " +
           "CASE WHEN x > 0 THEN shiftleft(CAST(1 AS BIGINT), i) " +
           "ELSE CAST(0 AS BIGINT) END), CAST(0 AS BIGINT), (a, b) -> a + b)")
@@ -193,7 +201,10 @@ object Similarity {
     * marker (committed AFTER the data files) catches whole-batch
     * replays, and an id-level anti join against the stored codes
     * catches re-delivery under a NEW batchId. Returns false on a
-    * marker-replayed batch. */
+    * marker-replayed batch. A missing `codes` directory (first append
+    * on a fresh path, no prior [[writeB1Codes]]) reads as an EMPTY
+    * history, so batch 0 bootstraps the store instead of throwing a
+    * path-not-found AnalysisException (ADVICE r15). */
   def appendB1Codes(batch: DataFrame, idCol: String, embCol: String,
       path: String, batchId: Long): Boolean = {
     val spark = batch.sparkSession
@@ -205,9 +216,11 @@ object Similarity {
     else {
       val codes = binarize1Bit(batch, col(idCol), col(embCol))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val novel = codes.join(
-        spark.read.parquet(s"$path/codes").select("vec_id"),
-        Seq("vec_id"), "left_anti")
+      val novel =
+        if (!fs.exists(new org.apache.hadoop.fs.Path(root, "codes"))) codes
+        else codes.join(
+          spark.read.parquet(s"$path/codes").select("vec_id"),
+          Seq("vec_id"), "left_anti")
       novel.write.mode("append").parquet(s"$path/codes")
       codes.unpersist()
       fs.mkdirs(markers)

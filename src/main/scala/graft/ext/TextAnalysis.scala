@@ -956,7 +956,11 @@ object TextAnalysis {
     * (pmi_bits DESC, cab DESC, wa, wb), pairs seen ≥ `minCount`. */
   def pmiCollocations(docs: DataFrame, content: Column, k: Int = 30,
       minCount: Long = 5L): DataFrame = {
-    val w = docs.select(split(trim(lower(content)), " +").as("__ws"))
+    // \s+ like bm25TopK, NOT ' +': space-only splitting glues words
+    // across newlines into "word\nword" tokens on page-structured
+    // corpora, missing real bigrams and inventing phantom ones
+    // (ADVICE r15)
+    val w = docs.select(split(trim(lower(content)), "\\s+").as("__ws"))
     val uni = w.select(explode(col("__ws")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c"))
     val bi = w.select(explode(expr(

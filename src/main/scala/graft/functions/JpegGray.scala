@@ -29,10 +29,26 @@ object JpegGray {
   /** Encode a `w`×`h` frame of the constant gray value `v` (0..255).
     * Dimensions must be multiples of 8 so every MCU is a full block and
     * no edge-extension arithmetic enters the exactness argument. */
-  def encodeConst(w: Int, h: Int, v: Int): Array[Byte] = {
+  def encodeConst(w: Int, h: Int, v: Int): Array[Byte] =
+    encodeBlocks(w, h, Array.fill((w / 8) * (h / 8))(v))
+
+  /** Generalization of [[encodeConst]]: each 8×8 MCU gets its OWN
+    * constant gray value (`blocks` in MCU scan order — left to right,
+    * top to bottom, `(w/8)·(h/8)` entries). The exactness argument is
+    * per block, so it carries over unchanged: a block-constant frame
+    * has DC = 8·(v−128), all ACs 0, and any conforming decoder
+    * reconstructs every block's value bit-exactly. This is what makes
+    * a frame with SPATIAL STRUCTURE (a discriminative 9×8 dHash)
+    * representable on a hash-matched oracle surface — the decoded
+    * raster stays a closed form of the block grid. The DC-diff chain
+    * spans at most 8·255 = 2040 < 2¹¹, inside the 0..11 category table. */
+  def encodeBlocks(w: Int, h: Int, blocks: Seq[Int]): Array[Byte] = {
     require(w > 0 && h > 0 && w % 8 == 0 && h % 8 == 0,
       s"dims must be positive multiples of 8, got ${w}x$h")
-    require(v >= 0 && v <= 255, s"gray value out of range: $v")
+    require(blocks.length == (w / 8) * (h / 8),
+      s"need ${(w / 8) * (h / 8)} block values, got ${blocks.length}")
+    blocks.foreach(v =>
+      require(v >= 0 && v <= 255, s"gray value out of range: $v"))
     val out = new java.io.ByteArrayOutputStream(256)
     def u8(x: Int): Unit = out.write(x & 0xff)
     def u16(x: Int): Unit = { u8(x >> 8); u8(x) }
@@ -55,9 +71,12 @@ object JpegGray {
     marker(0xda); u16(8); u8(1); u8(1); u8(0x00); u8(0); u8(63); u8(0) // SOS
     val bw = new BitWriter(out)
     val nMcu = (w / 8) * (h / 8)
+    var prevDc = 0
     var m = 0
     while (m < nMcu) {
-      val diff = if (m == 0) 8 * (v - 128) else 0
+      val dc = 8 * (blocks(m) - 128)
+      val diff = dc - prevDc
+      prevDc = dc
       val t = category(diff)
       bw.put(t, 4) // canonical 4-bit DC code for symbol t is t itself
       if (t > 0) bw.put(if (diff >= 0) diff else diff + (1 << t) - 1, t)

@@ -228,9 +228,9 @@ class PlanSpec extends SparkSpec {
     // per-document: split + HOF filters, nothing corpus-wide.
     // robots (per-host rule chain) and mm_sc (scene-cut decode) join
     // the family: the verdict/segmentation is computed per document.
-    for (q <- Seq("urlc", "unorm", "html", "chnk",
+    for (q <- Seq("urlc", "un", "html", "chnk",
         "mm_v", "mm_av", "s_r", "goph", "c4", "gr",
-        "secr", "robots", "mm_sc")) {
+        "secr", "rob", "mm_sc")) {
       val p = plan(q)
       assert(count(p, "Exchange") <= 1,
         s"$q must shuffle only for its output sort:\n$p")
@@ -491,7 +491,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("ngram contamination: partial-agg train set, no window over the shingle hash") {
-    val p = plan("dec_ng")
+    val p = plan("dng")
     // the train shingle set is a groupBy-distinct on the uniform hash
     // (map-side combine absorbs boilerplate shingles) and membership is
     // an equi-join probe — a window-over-s formulation would funnel a
