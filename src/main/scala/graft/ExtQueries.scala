@@ -1247,6 +1247,34 @@ model AS (
         .toDF().orderBy("media_id", "scene_idx")
     }),
 
+    // VIDEO NEAR-DUP across clips — the standard keyframe recipe
+    // composed from the verified pieces: scene segmentation
+    // (sceneWalk, as mm_sc) -> per-keyframe dHash (dhashOf, as ph) ->
+    // banded Hamming pairing (nearDupImages, as mm_nr) -> clip-pair
+    // rollup. Fixture clips are block-patterned 72x64 MJPEG-in-AVI
+    // (synthVidDupPayload): id-div-4 groups share content up to a
+    // 0..3 base shift, so grouped clips pair within <=3 bits while
+    // unrelated clips scatter; the oracle prices segmentation, hash,
+    // and pairing from the closed form, container-blind.
+    "mm_vd" -> ((s, d) => {
+      import s.implicits._
+      val rows = Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars"))
+        .as[(Long, Long)]
+        .map { case (id, nch) =>
+          Multimodal.MediaRow(id, Multimodal.synthVidDupPayload(id, nch),
+            "video/avi") }
+      val kf = Multimodal.sceneKeyframeHashes(rows).toDF()
+        .select(expr("media_id * 8 + scene_idx").as("kid"), col("dhash"))
+      Multimodal.nearDupImages(kf, col("kid"), col("dhash"), maxDist = 3)
+        .select(expr("id_a div 8").as("clip_a"),
+          expr("id_b div 8").as("clip_b"), col("dist"))
+        .where(col("clip_a") =!= col("clip_b"))
+        .groupBy("clip_a", "clip_b")
+        .agg(min("dist").as("min_dist"), count(lit(1)).as("n_scenes"))
+        .orderBy("clip_a", "clip_b")
+    }),
+
     // A/V DEMUX on the correctness surface: per document a real AVI
     // muxing an MJPEG video stream AND a chunked PCM audio stream
     // (mm_audio's closed-form samples, split across 01wb chunks); the
@@ -4041,6 +4069,41 @@ SELECT media_id, CAST(sc AS INT) AS scene_idx,
        CAST(min(i) AS INT) AS start_frame, CAST(max(i) AS INT) AS end_frame,
        CAST(arg_min(v, i) AS INT) AS key_luma
 FROM s GROUP BY media_id, sc ORDER BY media_id, scene_idx"""),
+
+    // synthVidDupPayload's closed form through the whole video
+    // near-dup pipeline, container-blind: scenes are exactly f div 3
+    // (within-scene +5 steps wrap <=10 of 72 block phases
+    // [multiplicity <=2] -> mean diff <=39 < 64; boundary +87 steps
+    // diff every block >=64), keyframe dHash bit (gy*8+gx) set iff
+    // (kb + 29gx + 53gy) % 256 >= 227, pairing = exact Hamming <= 3
+    // (the band join is complete at that radius by pigeonhole, and at
+    // correctness scale no bucket can reach the 4096 cap), then the
+    // clip-pair rollup. The 64-bit hash is packed as two 32-bit halves
+    // (dlo = rows gy<4, dhi = gy>=4) to keep DuckDB's << off bit 63.
+    "mm_vd" -> ("""WITH d AS (
+  SELECT doc_id, n_chars % 5 + 2 AS n FROM documents
+), kf AS (
+  SELECT doc_id, s,
+    (doc_id // 4 * 53 + doc_id % 4 + 97 * s) % 256 AS kb
+  FROM (SELECT doc_id, unnest(range(CASE WHEN n >= 4 THEN 2 ELSE 1 END)) AS s
+        FROM d)
+), h AS (
+  SELECT doc_id * 8 + s AS kid, doc_id,
+    bit_or(CASE WHEN (kb + 29 * gx + 53 * gy) % 256 >= 227 AND gy < 4
+      THEN 1::BIGINT << CAST(gy * 8 + gx AS INT) ELSE 0 END) AS dlo,
+    bit_or(CASE WHEN (kb + 29 * gx + 53 * gy) % 256 >= 227 AND gy >= 4
+      THEN 1::BIGINT << CAST((gy - 4) * 8 + gx AS INT) ELSE 0 END) AS dhi
+  FROM kf, (SELECT unnest(range(8)) AS gx), (SELECT unnest(range(8)) AS gy)
+  GROUP BY 1, 2
+), p AS (
+  SELECT a.doc_id AS clip_a, b.doc_id AS clip_b,
+         bit_count(xor(a.dlo, b.dlo)) + bit_count(xor(a.dhi, b.dhi)) AS dist
+  FROM h a JOIN h b ON a.kid < b.kid AND a.doc_id <> b.doc_id
+  WHERE bit_count(xor(a.dlo, b.dlo)) + bit_count(xor(a.dhi, b.dhi)) <= 3
+)
+SELECT clip_a, clip_b, CAST(min(dist) AS INT) AS min_dist,
+       CAST(count(*) AS BIGINT) AS n_scenes
+FROM p GROUP BY 1, 2 ORDER BY 1, 2"""),
 
     // mm_audio's closed form recovered through the AVI demux: the
     // oracle never touches the container — same PCM arithmetic, format

@@ -708,6 +708,45 @@ object Multimodal {
     synthAvi(frames, 16, 16, fps = 10)
   }
 
+  /** Deterministic clip synthesis for the `mm_vd` VIDEO NEAR-DUP oracle
+    * row — [[synthVideoPayload]] with SPATIAL STRUCTURE, so scene
+    * keyframes carry a discriminative dHash: each document gets an
+    * MJPEG-in-AVI clip of `n = n_chars % 5 + 2` frames at 72×64 (9×8
+    * blocks of 8×8 px — exactly the dHash cell grid, so every hash
+    * cell mean IS one block's value), where frame `f`'s block `(i,j)`
+    * is the closed form `(base + 29i + 53j) mod 256` with
+    * `base = (53·(id div 4) + id mod 4 + 97·(f div 3) + 5·(f mod 3))
+    * mod 256` — real [[graft.functions.JpegGray.encodeBlocks]] bytes
+    * in a real RIFF container, bit-exact on decode.
+    *
+    * The closed form makes the whole downstream pipeline
+    * oracle-expressible:
+    *  - scenes are EXACTLY `f div 3`: a within-scene step (+5 per
+    *    block) wraps only blocks whose phase `29i + 53j mod 256` sits
+    *    in a 5-wide window, and phases have multiplicity ≤ 2
+    *    (29·7 + 53 = 256 is the only collision, chains of at most two
+    *    — pinned in JpegAviSpec), so ≤ 10 of 72 blocks wrap and the
+    *    mean |diff| is at most 5 + 246·10/72 = 39 < 64 — never a cut;
+    *    a scene-boundary step (+87) diffs every block by 87 or
+    *    169 ≥ 64 — always a cut;
+    *  - the keyframe dHash bit `(gy·8+gx)` is set iff
+    *    `(kb + 29gx + 53gy) mod 256 ≥ 227` (right-neighbour strictly
+    *    darker ⇔ the +29 step wraps), kb the keyframe's base — so
+    *    clips in the same id-div-4 group (bases 0–3 apart) hash within
+    *    a few bits while unrelated groups (53 apart) scatter. */
+  def synthVidDupPayload(id: Long, nChars: Long): Array[Byte] = {
+    val n = (nChars % 5 + 2).toInt
+    val g = id / 4
+    val m = (id % 4).toInt
+    val frames = (0 until n).map { f =>
+      val base = (((g * 53 + m + (f / 3) * 97 + (f % 3) * 5) % 256 + 256) % 256).toInt
+      val blocks = for (j <- 0 until 8; i <- 0 until 9)
+        yield (base + i * 29 + j * 53) % 256
+      graft.functions.JpegGray.encodeBlocks(72, 64, blocks)
+    }
+    synthAvi(frames, 72, 64, fps = 10)
+  }
+
   /** Minimal RIFF/AVI container for an MJPEG frame sequence: LIST hdrl
     * (avih + LIST strl (strh 'vids'/'MJPG' + strf BITMAPINFOHEADER)),
     * LIST movi of one `00dc` chunk per frame. `audio` adds a second

@@ -318,6 +318,44 @@ class JpegAviSpec extends SparkSpec {
       Seq(MediaRow(6L, small, "video/avi")).toDS()).collect().isEmpty)
   }
 
+  test("synthVidDupPayload: scenes are f div 3, keyframe hashes match the closed form") {
+    // the no-cut-within-scene argument needs the 72 block phases to
+    // have multiplicity <= 2 mod 256 (29·7 + 53 = 256, so (i,j) and
+    // (i+7, j+1) collide — a chain of at most two since i+14 > 8):
+    // then a 5-wide wrap window catches <= 10 blocks and the mean
+    // diff tops out at 5 + 246·10/72 = 39 < 64. Pin it.
+    val phases = for (j <- 0 until 8; i <- 0 until 9) yield (29 * i + 53 * j) % 256
+    assert(phases.groupBy(identity).values.map(_.size).max == 2)
+    assert(phases.distinct.size == 58)
+    def kbOf(id: Long, s: Int): Int =
+      ((id / 4 * 53 + id % 4 + 97L * s) % 256).toInt
+    def hashOf(kb: Int): Long = {
+      var h = 0L
+      for (gy <- 0 until 8; gx <- 0 until 8)
+        if ((kb + 29 * gx + 53 * gy) % 256 >= 227) h |= 1L << (gy * 8 + gx)
+      h
+    }
+    for ((id, nch) <- Seq((0L, 0L), (5L, 2L), (11L, 3L), (202L, 999L))) {
+      val n = (nch % 5 + 2).toInt
+      val got = Multimodal.sceneKeyframeHashes(
+        Seq(MediaRow(id, Multimodal.synthVidDupPayload(id, nch),
+          "video/avi")).toDS(), threshold = 64)
+        .collect().sortBy(_.scene_idx)
+      val nScenes = if (n >= 4) 2 else 1
+      assert(got.length == nScenes, s"id=$id n=$n: ${got.toSeq}")
+      got.foreach { k =>
+        assert(k.start_frame == 3 * k.scene_idx)
+        assert(k.end_frame == math.min(3 * k.scene_idx + 2, n - 1))
+        assert(k.dhash == hashOf(kbOf(id, k.scene_idx)),
+          s"id=$id scene=${k.scene_idx}")
+      }
+    }
+    // group structure: ids 40..43 (one id-div-4 group, same n) pair
+    // within a few bits; an unrelated group sits far away
+    val h40 = hashOf(kbOf(40L, 0)); val h43 = hashOf(kbOf(43L, 0))
+    assert(java.lang.Long.bitCount(h40 ^ h43) <= 3)
+  }
+
   test("synthVideoPayload matches the mm_video closed form end to end") {
     for ((id, nch) <- Seq((0L, 0L), (7L, 123L), (400L, 999L))) {
       val n = (nch % 9 + 2).toInt
