@@ -300,10 +300,14 @@ object Bench {
     // (ann_* / emb_* keys renamed v*; mapping in BASELINE.md)
     if (name.startsWith("ann_") || name.startsWith("emb_") ||
       name.startsWith("v")) "ann"
-    else if (name.startsWith("mm_") || name == "ph") "mm"
+    // "afp" = mm_afp after the r16 budget sweep (mapping in BASELINE.md)
+    else if (name.startsWith("mm_") || name == "ph" || name == "afp") "mm"
+    // dsp/dpx/cns = dup_sp/dd_pfx/dd_cns after the r16 budget sweep;
+    // chat_dd shards with dedup (it IS the dedup matrix over renders)
     else if (name.startsWith("dd_") || name.startsWith("dup_") ||
       name.startsWith("src_") ||
-      Set("sdd", "simh", "kmv", "cms").contains(name)) "dedup"
+      Set("sdd", "simh", "kmv", "cms", "dsp", "dpx", "cns",
+        "chat_dd").contains(name)) "dedup"
     else if (name.startsWith("p_") || name.startsWith("s_") ||
       name.startsWith("pipe_") || name.startsWith("wds")) "pack"
     // the r15 graph rows shard with the relational analytics (their
@@ -311,6 +315,9 @@ object Bench {
     // under the 40-query shard cap)
     else if (name.startsWith("q") ||
       Set("zipf", "shp", "rare", "prank", "hits", "tri").contains(name)) "rel"
+    // rrf fuses the bm25 and ANN top-k plans — it shards with ann (its
+    // dominant cost is the vector scan, and text is at the 40-row cap)
+    else if (name == "rrf") "ann"
     // bm25 would hit the b-prefix core rule below — but core is the
     // latency-sensitive serving shard, and a corpus-scale explode in
     // that child JVM is exactly the cross-contamination sharding exists

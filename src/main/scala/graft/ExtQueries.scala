@@ -408,7 +408,7 @@ model AS (
     // shared-shingle repetition cut — attributed first-tier-wins so the
     // reason counts sum to n_docs. Every tier is an operator with its
     // own verified oracle row; the census row verifies the COMPOSITION.
-    "dd_cns" -> ((s, d) => {
+    "cns" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val emb = Tables.embeddings(s, d)
       val pref = docs.select(col("doc_id").as("__id"),
@@ -906,7 +906,7 @@ model AS (
         .orderBy("doc_id")
     }),
 
-    "dd_pfx" -> ((s, d) =>
+    "dpx" -> ((s, d) =>
       Dedup.prefixDups(Tables.documents(s, d), col("text"), col("doc_id"),
         n = 64).orderBy("doc_id")),
 
@@ -1137,7 +1137,7 @@ model AS (
     // envelope-hashed (33 windows, 32 louder-than-next bits) — the
     // audio near-dup key; the oracle prices the window arithmetic from
     // the sample closed form, container-blind.
-    "mm_afp" -> ((s, d) => {
+    "afp" -> ((s, d) => {
       import s.implicits._
       val rows = Tables.documents(s, d)
         .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
@@ -1446,7 +1446,7 @@ model AS (
     // Exact-substring duplicate spans over the REAL corpus text: 5-word
     // windows occurring >= 2 times corpus-wide (~1100 duplicated windows
     // at sf0.01), merged into maximal per-document spans.
-    "dup_sp" -> ((s, d) =>
+    "dsp" -> ((s, d) =>
       Curation.duplicateSpans(Tables.documents(s, d), col("text"),
           col("doc_id"), k = 5, minCount = 2)
         .orderBy("doc_id", "span_start")),
@@ -2059,10 +2059,10 @@ FROM (SELECT doc_id, count(*) OVER (PARTITION BY s) AS nd FROM sh)
 GROUP BY doc_id ORDER BY doc_id"""),
 
     // Census composition: each tier CTE mirrors its own verified oracle
-    // (dd_pfx's 64-char prefix, dd_j's pairs, dsem's scaled cosine,
+    // (dpx's 64-char prefix, dd_j's pairs, dsem's scaled cosine,
     // urlc's canonical literals, dd_sh's shared per-mille), verdicts
     // attributed first-tier-wins, rolled up per source.
-    "dd_cns" -> (hashedShinglesCte + """, sizes AS (
+    "cns" -> (hashedShinglesCte + """, sizes AS (
   SELECT doc_id, count(*) AS n FROM sh GROUP BY 1
 ), pairs AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
@@ -3185,7 +3185,7 @@ SELECT term, n,
        CAST(row_number() OVER (ORDER BY n DESC, term ASC) AS INT) AS rank
 FROM k ORDER BY rank"""),
 
-    "dd_pfx" -> (s"""WITH p AS (
+    "dpx" -> (s"""WITH p AS (
   SELECT doc_id, ${h60("substr(text,1,64)")} AS ph FROM documents
 ), c AS (
   SELECT ph, CAST(count(*) AS BIGINT) AS n_share FROM p GROUP BY 1
@@ -4113,7 +4113,7 @@ FROM p GROUP BY 1, 2 ORDER BY 1, 2"""),
     // n_chars % 200 + 64 frames, 33 floor-boundary windows (exact via
     // the range join, never an inverse-index formula), truncated
     // window means, 32 louder-than-next bits.
-    "mm_afp" -> ("""WITH f AS (
+    "afp" -> ("""WITH f AS (
   SELECT doc_id AS media_id, n_chars % 200 + 64 AS n FROM documents
 ), v AS (
   SELECT media_id, n, i, abs((media_id * 31 + i * 7) % 200 - 100) AS v
@@ -4334,7 +4334,7 @@ FROM p ORDER BY doc_id"""),
     // island; CASE WHEN NULL>5 THEN.. ELSE 0 matches Spark's first-row
     // semantics). Shared verbatim by dup_spans and dup_cut so the
     // two can never desync (the AnnIvfSql convention).
-    "dup_sp" -> (DupSpansCte + """
+    "dsp" -> (DupSpansCte + """
 SELECT doc_id, CAST(min(pos) AS INT) AS span_start,
        CAST(max(pos) + 4 AS INT) AS span_end,
        CAST(max(pos) + 4 - min(pos) + 1 AS INT) AS n_tokens

@@ -885,7 +885,7 @@ object Multimodal {
     }
   }
 
-  /** Long-form PCM WAV for the `mm_afp` oracle row: the mm_audio
+  /** Long-form PCM WAV for the `afp` oracle row: the mm_audio
     * closed-form samples at `n = n_chars % 200 + 64` frames (always ≥
     * the 33-window floor). */
   def synthLongAudioPayload(id: Long, nChars: Long): Array[Byte] =

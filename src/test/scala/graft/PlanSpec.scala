@@ -146,7 +146,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("prefix dups: partial-agg share counts, no window over the prefix hash") {
-    val p = plan("dd_pfx")
+    val p = plan("dpx")
     assert(!p.contains("Window"), s"no window may partition on the prefix hash:\n$p")
     assert(p.contains("HashAggregate") && p.contains("Join"),
       s"expected the partial-agg + rejoin shape in:\n$p")
@@ -239,8 +239,8 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("dd_cns census: no cartesian, flag attachment stays id-keyed") {
-    val p = plan("dd_cns")
+  test("cns census: no cartesian, flag attachment stays id-keyed") {
+    val p = plan("cns")
     assert(!p.contains("CartesianProduct"), s"no cartesian in:\n$p")
     assert(p.contains("HashAggregate"),
       s"the source rollup must aggregate partially:\n$p")
@@ -504,7 +504,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("duplicate spans: partial-agg shingle counts, doc-keyed island windows only") {
-    val p = plan("dup_sp")
+    val p = plan("dsp")
     // occurrence counts are a groupBy(sh) joined back (skew-safe); the
     // only windows left are the per-document lag + running-sum island
     // pass (a window partitioned on sh, or an unpartitioned global
