@@ -806,6 +806,14 @@ model AS (
       Curation.c4Clean(pageDocs(Tables.documents(s, d)),
         col("text"), col("doc_id")).orderBy("doc_id")),
 
+    // StarCoder/BigCode code-data battery over the synthesized
+    // source-like files (codeDocs): every rule fires on an id-derived
+    // slice — %7 long lines, %9 comment floods, %5/%11 hex/base64
+    // blobs, %13 punctuation floods denting the alnum fraction.
+    "codeq" -> ((s, d) =>
+      TextAnalysis.codeQuality(codeDocs(Tables.documents(s, d)),
+        col("text"), col("doc_id")).orderBy("doc_id")),
+
     "t_fp" -> ((s, d) =>
       TextAnalysis.fingerprint(Tables.documents(s, d), col("text"), col("doc_id"))
         .orderBy("doc_id")),
@@ -1525,6 +1533,32 @@ model AS (
     * on id%13=0 — so every rule of both filters fires on some slice
     * and stays off on another. Mirrored verbatim in the oracle CTE
     * ([[PageCte]]). */
+  /** Source-file-like fixture for the codeq row, synthesized purely
+    * from doc_id so the oracle rebuilds it closed-form: n = id%6+4
+    * base lines alternating `// note i` comments ((id+i)%4=0) with
+    * `val vI = D;` code, then id-sliced rule triggers — %9 a 24-line
+    * comment flood (cmt_pct > 80), %5 a 32-char hex blob (>=16-run),
+    * %7 a 1211-char line (max_ll > 1000, and the mean with it), %11 a
+    * 48-char base64 blob (>=40-run), %13 a 390-char punctuation flood
+    * (alnum fraction < 25%). Every rule fires both ways across the id
+    * space. Mirrored verbatim in the oracle CTE. */
+  private def codeDocs(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), concat_ws("\n",
+      expr("array_join(transform(sequence(0, doc_id % 6 + 3), i -> " +
+        "case when (doc_id + i) % 4 = 0 then concat('// note ', i) " +
+        "else concat('val v', i, ' = ', (doc_id + i) % 10, ';') end), " +
+        "'\n')"),
+      expr("case when doc_id % 9 = 0 then array_join(" +
+        "transform(sequence(1, 24), j -> '// pad'), '\n') end"),
+      expr("case when doc_id % 5 = 0 then" +
+        " concat('val h = \"', repeat('deadBEEF', 4), '\";') end"),
+      expr("case when doc_id % 7 = 0 then" +
+        " concat('val s = \"', repeat('ab= ', 300), '\";') end"),
+      expr("case when doc_id % 11 = 0 then" +
+        " concat('val b = \"', repeat('QUJ+Dabc', 6), '\";') end"),
+      expr("case when doc_id % 13 = 0 then" +
+        " repeat('+-*/()[]{}; .', 30) end")).as("text"))
+
   private def pageDocs(docs: DataFrame): DataFrame =
     // split ONCE into a named column before the lambdas — Spark does no
     // common-subexpression elimination inside HOF lambda bodies, so
@@ -2793,6 +2827,54 @@ SELECT doc_id, CAST(len(ls) AS INT) AS n_lines,
        CAST(len(keep) AS INT) AS n_kept, page_ok,
        CASE WHEN page_ok THEN array_to_string(keep, chr(10)) ELSE '' END AS clean_text
 FROM ck ORDER BY doc_id"""),
+
+    // codeDocs rebuilt closed-form, counters via regex: comment lines
+    // by prefix after tab/space ltrim, blob chars as greedy maximal-run
+    // regex extracts (leftmost-greedy consumes each maximal run whole,
+    // exactly the expression's run scanner).
+    "codeq" -> ("""WITH c AS (
+  SELECT doc_id, concat_ws(chr(10),
+    array_to_string(list_transform(range(doc_id % 6 + 4), i ->
+      CASE WHEN (doc_id + i) % 4 = 0 THEN concat('// note ', i)
+      ELSE concat('val v', i, ' = ', (doc_id + i) % 10, ';') END), chr(10)),
+    CASE WHEN doc_id % 9 = 0 THEN array_to_string(
+      list_transform(range(24), j -> '// pad'), chr(10)) END,
+    CASE WHEN doc_id % 5 = 0 THEN
+      concat('val h = "', repeat('deadBEEF', 4), '";') END,
+    CASE WHEN doc_id % 7 = 0 THEN
+      concat('val s = "', repeat('ab= ', 300), '";') END,
+    CASE WHEN doc_id % 11 = 0 THEN
+      concat('val b = "', repeat('QUJ+Dabc', 6), '";') END,
+    CASE WHEN doc_id % 13 = 0 THEN
+      repeat('+-*/()[]{}; .', 30) END) AS text
+  FROM documents
+), p AS (
+  SELECT doc_id, string_split(text, chr(10)) AS ls,
+    length(regexp_replace(text, '[^0-9A-Za-z]', '', 'g')) AS n_alnum,
+    coalesce(list_sum(list_transform(
+      regexp_extract_all(text, '[0-9A-Fa-f]{16,}'), m -> length(m))), 0) AS hexc,
+    coalesce(list_sum(list_transform(
+      regexp_extract_all(text, '[A-Za-z0-9+/=]{40,}'), m -> length(m))), 0) AS b64c
+  FROM c
+), q AS (
+  SELECT doc_id, len(ls) AS n_lines,
+    list_max(list_transform(ls, l -> length(l))) AS max_ll,
+    list_sum(list_transform(ls, l -> length(l))) AS sum_ll,
+    len(list_filter(ls, l -> ltrim(l, ' ' || chr(9)) LIKE '//%'
+      OR ltrim(l, ' ' || chr(9)) LIKE '#%')) AS n_comment,
+    n_alnum, hexc, b64c
+  FROM p
+)
+SELECT doc_id, CAST(n_lines AS INT) AS n_lines, CAST(max_ll AS INT) AS max_ll,
+  CAST(sum_ll * 1000 // n_lines AS BIGINT) AS mean_ll_mil,
+  CAST(n_alnum * 1000000 // greatest(sum_ll, 1) AS BIGINT) AS alnum_ppm,
+  CAST((hexc + b64c) * 1000000 // greatest(sum_ll, 1) AS BIGINT) AS blob_ppm,
+  CAST(n_comment * 100 // n_lines AS BIGINT) AS cmt_pct,
+  (max_ll <= 1000 AND sum_ll * 1000 // n_lines <= 100000
+   AND n_alnum * 1000000 // greatest(sum_ll, 1) >= 250000
+   AND (hexc + b64c) * 1000000 // greatest(sum_ll, 1) <= 200000
+   AND n_comment * 100 // n_lines <= 80) AS code_ok
+FROM q ORDER BY doc_id"""),
 
     "t_fp" -> (WordsCte + """
 SELECT doc_id,

@@ -824,6 +824,38 @@ object TextAnalysis {
           " and alpha_pm >= 800 and stop_hits >= 2"))
   }
 
+  /** StarCoder/BigCode-style code-data quality battery (Li et al. 2023
+    * §3.1, Lozhkov et al. 2024 §4): training corpora are ~10% source
+    * code and every public pipeline gates it separately from prose.
+    * Rules (integer ratios, thresholds the published ballpark):
+    * longest line ≤ 1000 chars, mean line length ≤ 100, alphanumeric
+    * fraction ≥ 25%, hex/base64 blob share ≤ 20%, comment-line share
+    * ≤ 80%. One narrow projection over the one-pass native
+    * [[graft.functions.CodeProfile]] — zero shuffles, scan speed at
+    * 100 TB. An empty file is ONE empty line under Java split
+    * semantics and `sum_ll` guards through `greatest(..,1)`, so the
+    * ratios never divide by zero.
+    *
+    * Output: (doc_id, n_lines, max_ll, mean_ll_mil = mean line length
+    * in thousandths, alnum_ppm, blob_ppm = hex+base64 blob chars ppm,
+    * cmt_pct, code_ok). */
+  def codeQuality(df: DataFrame, content: Column, id: Column): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    df.select(id.as("doc_id"),
+        call_function("code_profile", content).as("__c"))
+      .selectExpr("doc_id",
+        "__c.n_lines as n_lines",
+        "__c.max_ll as max_ll",
+        "__c.sum_ll * 1000 div __c.n_lines as mean_ll_mil",
+        "__c.n_alnum * 1000000 div greatest(__c.sum_ll, 1L) as alnum_ppm",
+        "(__c.hex_chars + __c.b64_chars) * 1000000" +
+          " div greatest(__c.sum_ll, 1L) as blob_ppm",
+        "__c.n_comment * 100L div __c.n_lines as cmt_pct")
+      .withColumn("code_ok", expr(
+        "max_ll <= 1000 and mean_ll_mil <= 100000 and alnum_ppm >= 250000" +
+          " and blob_ppm <= 200000 and cmt_pct <= 80"))
+  }
+
   /** The other half of Gopher's repetition battery (Rae et al. 2021,
     * App. A1.1 — [[repetitionStats]] covers the n-gram half): the
     * fraction of LINES and PARAGRAPHS that are within-document

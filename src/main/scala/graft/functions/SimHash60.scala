@@ -164,7 +164,10 @@ object GraftFunctions {
     (FunctionIdentifier("c4_profile"),
       new ExpressionInfo(classOf[C4Profile].getName, "c4_profile"),
       (exprs: Seq[Expression]) => C4Profile(exprs.head,
-        exprs(1).eval().asInstanceOf[Number].intValue)))
+        exprs(1).eval().asInstanceOf[Number].intValue)),
+    (FunctionIdentifier("code_profile"),
+      new ExpressionInfo(classOf[CodeProfile].getName, "code_profile"),
+      (exprs: Seq[Expression]) => CodeProfile(exprs.head)))
 
   /** Registers only if absent, so a user's own temp function of the same
     * name is never silently replaced and repeated calls are no-ops. */

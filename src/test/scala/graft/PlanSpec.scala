@@ -230,7 +230,7 @@ class PlanSpec extends SparkSpec {
     // the family: the verdict/segmentation is computed per document.
     for (q <- Seq("urlc", "un", "html", "chnk",
         "mm_v", "mm_av", "s_r", "goph", "c4", "gr",
-        "secr", "rob", "mm_sc")) {
+        "secr", "rob", "mm_sc", "codeq")) {
       val p = plan(q)
       assert(count(p, "Exchange") <= 1,
         s"$q must shuffle only for its output sort:\n$p")

@@ -638,4 +638,63 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.filter(_._1 == 8L).map(x => (x._2, x._3)).toSeq ===
       Seq((1L, 1L), (2L, 3L), (3L, 0L)))
   }
+
+  test("code_profile: run boundaries, comments, codepoints, empty file") {
+    import graft.functions.CodeProfileUtil.profile
+    import org.apache.spark.unsafe.types.UTF8String
+    def p(s: String): (Int, Int, Long, Int, Long, Long, Long) = {
+      val r = profile(UTF8String.fromString(s))
+      (r.getInt(0), r.getInt(1), r.getLong(2), r.getInt(3), r.getLong(4),
+        r.getLong(5), r.getLong(6))
+    }
+    // empty file = ONE empty line (Java split boundary semantics)
+    assert(p("") == ((1, 0, 0L, 0, 0L, 0L, 0L)))
+    // maximal-run thresholds: 15 hex chars never a blob, 16 exactly is;
+    // a newline splits the run (15+15 -> no fire)
+    assert(p("a" * 15) == ((1, 15, 15L, 0, 15L, 0L, 0L)))
+    assert(p("0123456789abcdef") == ((1, 16, 16L, 0, 16L, 16L, 0L)))
+    assert(p("0123456789abcde\n0123456789abcde") ==
+      ((2, 15, 30L, 0, 30L, 0L, 0L)))
+    // base64 threshold at 40 — and a 40-char 'A' run is BOTH a hex run
+    // (>=16) and a base64 run, priced by each counter independently
+    assert(p("A" * 39) == ((1, 39, 39L, 0, 39L, 39L, 0L)))
+    assert(p("A" * 40) == ((1, 40, 40L, 0, 40L, 40L, 40L)))
+    // run closing at end-of-text (no trailing separator needed)
+    assert(p("xx DEADBEEFDEADBEEF") == ((1, 19, 19L, 0, 18L, 16L, 0L)))
+    // comment markers after space/tab indent; '//' mid-line is code
+    assert(p("  \t// x\n#y\n #z\n val // no") ==
+      ((4, 10, 22L, 3, 8L, 0L, 0L)))
+    // lengths are codepoints; only ASCII alnum counts
+    assert(p("é漢 a1") == ((1, 5, 5L, 0, 2L, 0L, 0L)))
+  }
+
+  test("codeQuality: every rule by hand arithmetic, composite verdict") {
+    val docs = Seq(
+      // clean: 4 short code lines + 1 comment -> passes everything
+      (1L, "val a = 1;\nval b = 2;\n// sum\nval c = a + b;"),
+      // one 1100-char line: max_ll AND the mean fire
+      (2L, "val s = \"" + "x" * 1100 + "\";"),
+      // pure punctuation: alnum fraction 0 fires
+      (3L, "+-*/ ()[]{};\n. , : !"),
+      // 4 comments of 5 lines = 80% passes; 5 of 5 = 100% fires
+      (4L, "// a\n// b\n// c\n// d\nval x = 1;"),
+      (5L, "// a\n// b\n// c\n// d\n// e"),
+      // a 32-char hex blob in a 40-char file: blob_ppm 800000 fires
+      (6L, "h=\"" + "deadBEEF" * 4 + "\";")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.codeQuality(docs, $"text", $"doc_id")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getBoolean(7)))
+    assert(out.toSeq == Seq(
+      (1L, 4, 14, 10000L, 475000L, 0L, 25L, true),
+      // the 1100 'x's are a base64-class run too: blob fires with max_ll
+      (2L, 1, 1111, 1111000L, 993699L, 990099L, 0L, false),
+      (3L, 2, 12, 9500L, 0L, 0L, 0L, false),
+      // 4 of 5 comments = 80% passes the bound exactly...
+      (4L, 5, 10, 5200L, 346153L, 0L, 80L, true),
+      // ...5 of 5 fires it, with alnum_ppm sitting exactly AT the floor
+      (5L, 5, 4, 4000L, 250000L, 0L, 100L, false),
+      (6L, 1, 37, 37000L, 891891L, 864864L, 0L, false)))
+  }
 }
