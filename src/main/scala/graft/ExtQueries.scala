@@ -1012,6 +1012,29 @@ model AS (
           k = 10)
         .orderBy("q_id", "rnk")),
 
+    // HYBRID RETRIEVAL FUSION: the bm25 lexical run and the indexed
+    // ANN dense run for the SAME four-query batch, fused by
+    // reciprocal rank (1e6 div (60+rank), integer-exact). The dense
+    // queries are embeddings 10/60/110/160 mapped to q_id 0..3 (the
+    // vbq probe's query family), dense doc space = vec_id — the
+    // standard hybrid serving shape where both runs are k-sized.
+    "rrf" -> ((s, d) => {
+      val lex = TextAnalysis.bm25TopK(Tables.documents(s, d), col("text"),
+        col("doc_id"),
+        Seq(0L -> "spark window join", 1L -> "hash table scan",
+          2L -> "stream batch merge", 3L -> "vector query filter"),
+        k = 10)
+      val dense = Similarity.annIvfIndexedBatch(
+          Tables.embeddings(s, d)
+            .where(col("vec_id").isin(10L, 60L, 110L, 160L)),
+          "vec_id", "embedding", ivfIndexFor(s, d), k = 5, nprobe = 2)
+        .select(expr("(query_id - 10) div 50").as("q_id"),
+          col("vid").as("doc_id"), col("rank").as("rnk"))
+      TextAnalysis.rrfFuse(
+          Seq(lex.select("q_id", "doc_id", "rnk"), dense), k = 10)
+        .orderBy("q_id", "rnk")
+    }),
+
     // Integer PageRank over the synthetic crawl graph (4 out-links per
     // doc via fixed LCG-style maps, each a permutation of the id space
     // at the fixture sizes): 5 synchronous sweeps on the 1e12 grid.
@@ -3545,6 +3568,104 @@ SELECT q_id, rnk, doc_id, CAST(score AS BIGINT) AS score FROM (
          row_number() OVER (PARTITION BY q_id
                             ORDER BY score DESC, doc_id) AS rnk
   FROM sc)
+WHERE rnk <= 10 ORDER BY q_id, rnk"""),
+
+    // The bm25 chain and the vbq ANN chain (qs restricted to the four
+    // query embeddings) verbatim, fused by integer reciprocal rank.
+    "rrf" -> ("""WITH qt AS (
+  SELECT CAST(q_id AS BIGINT) AS q_id, term FROM (VALUES
+    (0, 'spark'), (0, 'window'), (0, 'join'),
+    (1, 'hash'), (1, 'table'), (1, 'scan'),
+    (2, 'stream'), (2, 'batch'), (2, 'merge'),
+    (3, 'vector'), (3, 'query'), (3, 'filter')) AS t(q_id, term)
+), w AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws
+  FROM documents
+), d AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl FROM w),
+st AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(dl) AS BIGINT) AS s_len
+  FROM d
+), tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(ws) AS term FROM w)
+  WHERE term IN (SELECT term FROM qt)
+  GROUP BY 1, 2
+), dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+sc AS (
+  SELECT qt.q_id, tf.doc_id,
+    sum( CAST(length(bin((2*st.n_docs - 2*dfq.df + 1) // (2*dfq.df + 1)))
+           AS BIGINT)
+       * ((2200000000 * st.s_len * tf.tf) //
+          (1000 * st.s_len * tf.tf + 300 * st.s_len
+           + 900 * d.dl * st.n_docs)) ) AS score
+  FROM tf JOIN dfq USING (term) JOIN qt USING (term)
+  JOIN d USING (doc_id) CROSS JOIN st
+  GROUP BY 1, 2
+), lex AS (
+  SELECT q_id, doc_id, rnk FROM (
+    SELECT q_id, doc_id,
+           row_number() OVER (PARTITION BY q_id
+                              ORDER BY score DESC, doc_id) AS rnk
+    FROM sc)
+  WHERE rnk <= 10
+), qz AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS qe
+  FROM embeddings
+), cents AS (
+  SELECT vec_id AS cid, qe AS ce FROM qz WHERE vec_id % 100 = 0
+), scored AS (
+  SELECT qz.vec_id, cents.cid,
+         round(
+           CAST(list_sum(list_transform(range(64), i -> qe[i+1] * ce[i+1])) AS DOUBLE)
+           / sqrt(CAST(list_sum(list_transform(range(64), i -> qe[i+1] * qe[i+1])) AS DOUBLE)
+                  * CAST(list_sum(list_transform(range(64), i -> ce[i+1] * ce[i+1])) AS DOUBLE)),
+           6) AS ccos
+  FROM qz CROSS JOIN cents
+), ranked AS (
+  SELECT vec_id, cid,
+         row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS rnk
+  FROM scored
+), cells AS (SELECT vec_id, cid FROM ranked WHERE rnk = 1),
+qs AS (SELECT vec_id AS qid, qe AS qv FROM qz
+       WHERE vec_id IN (10, 60, 110, 160)),
+qcells AS (
+  SELECT r.vec_id AS qid, r.cid FROM ranked r JOIN qs ON r.vec_id = qs.qid
+  WHERE r.rnk <= 2
+), cand AS (
+  SELECT qs.qid, qz.vec_id,
+         round(
+           CAST(list_sum(list_transform(range(64), i -> qe[i+1] * qv[i+1])) AS DOUBLE)
+           / sqrt(CAST(list_sum(list_transform(range(64), i -> qe[i+1] * qe[i+1])) AS DOUBLE)
+                  * CAST(list_sum(list_transform(range(64), i -> qv[i+1] * qv[i+1])) AS DOUBLE)),
+           6) AS cosine
+  FROM qcells
+  JOIN cells ON cells.cid = qcells.cid
+  JOIN qz ON qz.vec_id = cells.vec_id
+  JOIN qs ON qs.qid = qcells.qid
+  WHERE qz.vec_id <> qs.qid
+), den AS (
+  SELECT (qid - 10) // 50 AS q_id, vec_id AS doc_id, rn AS rnk FROM (
+    SELECT qid, vec_id,
+           row_number() OVER (PARTITION BY qid
+             ORDER BY cosine DESC, vec_id ASC) AS rn
+    FROM cand)
+  WHERE rn <= 5
+), u AS (
+  SELECT q_id, doc_id, rnk FROM lex
+  UNION ALL SELECT q_id, doc_id, rnk FROM den
+), f AS (
+  SELECT q_id, doc_id,
+         CAST(sum(1000000 // (60 + rnk)) AS BIGINT) AS score
+  FROM u GROUP BY 1, 2
+)
+SELECT q_id, rnk, doc_id, score FROM (
+  SELECT q_id, doc_id, score,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY score DESC, doc_id) AS rnk
+  FROM f)
 WHERE rnk <= 10 ORDER BY q_id, rnk"""),
 
     // Mirror of Graph.pageRank over the synthetic 4-out-link crawl

@@ -967,6 +967,31 @@ object TextAnalysis {
       .select("q_id", "rnk", "doc_id", "score")
   }
 
+  /** Reciprocal-rank fusion (Cormack et al. 2009) — the textbook
+    * hybrid-retrieval composition: each input run contributes
+    * `1e6 div (c + rank)` per (query, doc) appearance (integer-exact —
+    * the engines never disagree on a float), fused docs re-ranked by
+    * summed score with doc_id as the deterministic tie-break. Every
+    * input is already a k-sized-per-query top-k frame (bm25TopK, an
+    * ANN probe), so the union, partial-agg sum, and per-query window
+    * are all bounded by q·k rows — the fusion costs nothing next to
+    * the retrieval that feeds it, at any corpus scale.
+    *
+    * Input runs: (q_id, doc_id, rnk); output (q_id, rnk, doc_id,
+    * score). */
+  def rrfFuse(runs: Seq[DataFrame], k: Int, c: Int = 60): DataFrame = {
+    require(runs.nonEmpty, "rrfFuse: no input runs")
+    val u = runs.map(_.selectExpr("q_id", "doc_id", "cast(rnk as long) as rnk"))
+      .reduce(_ unionByName _)
+    val fused = u.groupBy("q_id", "doc_id")
+      .agg(sum(expr(s"1000000L div ($c + rnk)")).as("score"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("score").desc, col("doc_id").asc)
+    fused.withColumn("rnk", row_number().over(win).cast("long"))
+      .where(col("rnk") <= k)
+      .select("q_id", "rnk", "doc_id", "score")
+  }
+
   /** PMI collocation mining — the corpus-analysis pass that surfaces
     * multiword units ("new york", "machine learning") before tokenizer
     * training or stop-phrase curation: adjacent word pairs ranked by

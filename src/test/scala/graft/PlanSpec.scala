@@ -260,6 +260,16 @@ class PlanSpec extends SparkSpec {
       s"the probe side must not shuffle for the model join:\n$p")
   }
 
+  test("rrf fusion: fused top-k group-limited, no cartesian") {
+    val p = plan("rrf")
+    assert(!p.contains("CartesianProduct"), s"no cartesian in:\n$p")
+    // the fusion window re-ranks q*k-bounded rows, and the limit still
+    // pushes below its sort so no task ever buffers an unbounded group
+    assert(p.split('\n').exists(l =>
+      l.contains("WindowGroupLimit") && l.contains("Partial")),
+      s"expected a Partial-mode WindowGroupLimit for the fused top-k:\n$p")
+  }
+
   test("top terms: df broadcast (no term-keyed shuffle join) and top-k group limit") {
     val p = plan("tt")
     assert(p.contains("BroadcastHashJoin"),

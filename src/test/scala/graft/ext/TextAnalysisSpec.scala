@@ -668,6 +668,28 @@ class TextAnalysisSpec extends SparkSpec {
     assert(p("é漢 a1") == ((1, 5, 5L, 0, 2L, 0L, 0L)))
   }
 
+  test("rrfFuse: overlap boosts, integer scores, doc_id tie-break") {
+    // run A ranks (1,2,3); run B ranks (3,2,9). doc 2 and 3 appear in
+    // both: 2 -> 1e6/62*2 = 32258; 3 -> 1e6/63 + 1e6/61 = 32265;
+    // singles 1 -> 16393, 9 -> 15873. Fused order: 3, 2, 1, 9.
+    val a = Seq((0L, 1L, 1L), (0L, 2L, 2L), (0L, 3L, 3L))
+      .toDF("q_id", "doc_id", "rnk")
+    val b = Seq((0L, 3L, 1L), (0L, 2L, 2L), (0L, 9L, 3L))
+      .toDF("q_id", "doc_id", "rnk")
+    val out = TextAnalysis.rrfFuse(Seq(a, b), k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (0L, 1L, 3L, 1000000L / 63 + 1000000L / 61),
+      (0L, 2L, 2L, 2 * (1000000L / 62)),
+      (0L, 3L, 1L, 1000000L / 61)))
+    // exact ties order by doc_id: two fresh docs at the same rank
+    val c = Seq((1L, 7L, 1L), (1L, 4L, 2L)).toDF("q_id", "doc_id", "rnk")
+    val e = Seq((1L, 5L, 1L), (1L, 6L, 2L)).toDF("q_id", "doc_id", "rnk")
+    val tied = TextAnalysis.rrfFuse(Seq(c, e), k = 4).collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    assert(tied.toSeq == Seq((1L, 5L), (2L, 7L), (3L, 4L), (4L, 6L)))
+  }
+
   test("codeQuality: every rule by hand arithmetic, composite verdict") {
     val docs = Seq(
       // clean: 4 short code lines + 1 comment -> passes everything
