@@ -746,6 +746,19 @@ model AS (
           seed = "epoch0")
         .orderBy("doc_id")),
 
+    // EPOCH SHARD LAYOUT: the seeded permutation feeding the packer —
+    // documents concatenate in hash(seed,id) order, so first_bin is
+    // each doc's trainer shard for THIS epoch; a different seed
+    // (epoch1 here vs p_sh's epoch0) is a fresh layout with zero state.
+    "p_ep" -> ((s, d) => {
+      val toks = TextAnalysis
+        .tokenStats(Tables.documents(s, d), col("text"), col("doc_id"))
+        .select(col("doc_id"), col("n_tokens"))
+      Packing.epochLayout(toks, col("doc_id"), col("n_tokens"),
+          seed = "epoch1", budget = 512)
+        .orderBy("ord")
+    }),
+
     "p_slc" -> ((s, d) => {
       val toks = TextAnalysis
         .tokenStats(Tables.documents(s, d), col("text"), col("doc_id"))
@@ -2699,6 +2712,36 @@ FROM e ORDER BY bin, bin_off"""),
 SELECT doc_id, h,
        CAST(ROW_NUMBER() OVER (ORDER BY h, doc_id) AS BIGINT) - 1 AS ord
 FROM t ORDER BY doc_id"""),
+
+    // p_s's packing arithmetic over the EPOCH order: ordinals from the
+    // seeded hash permutation (p_sh's closed form at seed epoch1),
+    // prefix sums over ord instead of doc_id.
+    "p_ep" -> (s"""WITH t AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '$TokRe')) AS BIGINT) AS n_tokens
+  FROM documents
+), hh AS (
+  SELECT doc_id,
+         ${h60("'epoch1:' || CAST(doc_id AS VARCHAR)")} AS h
+  FROM documents
+), o AS (
+  SELECT doc_id,
+         CAST(ROW_NUMBER() OVER (ORDER BY h, doc_id) AS BIGINT) - 1 AS ord
+  FROM hh
+), c AS (
+  SELECT t.doc_id, o.ord, t.n_tokens,
+         CAST(SUM(t.n_tokens) OVER (ORDER BY o.ord
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS end_off
+  FROM t JOIN o USING (doc_id) WHERE t.n_tokens > 0
+)
+SELECT doc_id, ord, n_tokens,
+       end_off - n_tokens AS start_off,
+       end_off,
+       (end_off - n_tokens) // 512 AS first_bin,
+       (end_off - 1) // 512 AS last_bin,
+       (end_off - 1) // 512 - (end_off - n_tokens) // 512 + 1 AS n_bins
+FROM c ORDER BY ord"""),
 
     // txt_script's three templates priced in closed form: repeat factor
     // h = doc_id % 7 + 1, template t = doc_id % 3 — every script count,

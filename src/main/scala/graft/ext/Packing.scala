@@ -140,4 +140,39 @@ object Packing {
       .select(col("doc_id"), col("h"),
         (col("base") + col("local_rank") - 1L).as("ord"))
   }
+
+  /** Epoch shard layout — the missing step between packing and export:
+    * the deterministic global permutation ([[shuffledOrdinal]]) feeds
+    * the prefix-sum packer ([[packSequences]]) keyed by `ord` instead
+    * of `doc_id`, so documents concatenate in EPOCH order and
+    * `first_bin` is the document's trainer shard for that epoch.
+    * Changing the seed is a fresh epoch layout with zero state; the
+    * whole layout is a pure function of (corpus, seed, budget) —
+    * engine-exact, reproducible, re-exportable byte-identically
+    * ([[graft.sources.TfRecord.writeEpoch]]).
+    *
+    * The doc_id rejoin after packing is ord-keyed over the narrow
+    * 3-long-column bookkeeping frame — metadata-sized at any corpus
+    * scale, and the packer's range partitioning by ord already
+    * co-locates one side.
+    *
+    * Output: (doc_id, ord, n_tokens, start_off, end_off, first_bin,
+    * last_bin, n_bins). */
+  def epochLayout(df: DataFrame, id: Column, nTokens: Column, seed: String,
+                  budget: Long, numParts: Int = 0): DataFrame = {
+    val toks = df.select(id.cast("long").as("__did"),
+      nTokens.cast("long").as("__nt"))
+    val ord = shuffledOrdinal(df.select(id.cast("long").as("doc_id")),
+        col("doc_id"), seed, numParts)
+      .select(col("doc_id").as("__did"), col("ord"))
+    val packed = packSequences(toks.join(ord, "__did"),
+      col("ord"), col("__nt"), budget, numParts)
+    // packSequences' doc_id column carries the ord key; rejoin doc ids
+    packed.select(col("doc_id").as("ord"), col("n_tokens"),
+        col("start_off"), col("end_off"), col("first_bin"),
+        col("last_bin"), col("n_bins"))
+      .join(ord.select(col("__did").as("doc_id"), col("ord")), "ord")
+      .select("doc_id", "ord", "n_tokens", "start_off", "end_off",
+        "first_bin", "last_bin", "n_bins")
+  }
 }

@@ -328,6 +328,27 @@ object TfRecord {
     shards
   }
 
+  /** Epoch export: [[writeBalanced]] riding the deterministic epoch
+    * permutation ([[graft.ext.Packing.shuffledOrdinal]]) — records are
+    * re-keyed by their seeded epoch ordinal before the balanced
+    * secondary-sort shuffle, so shards are contiguous ~targetBytes
+    * ranges of the EPOCH order, not the id order. A pure function of
+    * (corpus, seed, targetBytes): re-export at the same seed is
+    * byte-identical (writeBalanced's idempotence class), a new seed is
+    * a fresh epoch layout with zero state — the trainer just reads the
+    * next epoch's directory. */
+  def writeEpoch(df: DataFrame, payloadCol: String,
+                 id: org.apache.spark.sql.Column, dir: String,
+                 targetBytes: Long, seed: String): Seq[Shard] = {
+    val keyed = df.select(id.cast("long").as("__did0"),
+      col(payloadCol))
+    val ord = graft.ext.Packing.shuffledOrdinal(
+        keyed.select(col("__did0").as("doc_id")), col("doc_id"), seed)
+      .select(col("doc_id").as("__did0"), col("ord"))
+    writeBalanced(keyed.join(ord, "__did0"), payloadCol, col("ord"),
+      dir, targetBytes)
+  }
+
   /** Streaming export: one batch-addressed shard directory per
     * micro-batch (`dir/batch-NNNNNN/part-*.tfrecord`), for use inside
     * `foreachBatch`. Replay-idempotent the same way the serving

@@ -92,6 +92,34 @@ class PackingSpec extends SparkSpec {
     assert(run("epoch1", 4) != a)
   }
 
+  test("epochLayout: packs the permuted stream, seed is the only knob") {
+    def run(seed: String, parts: Int) =
+      Packing.epochLayout(docs, $"doc_id", $"n_tokens", seed,
+          budget = 512, numParts = parts)
+        .select("doc_id", "ord", "n_tokens", "start_off", "end_off",
+          "first_bin", "last_bin", "n_bins")
+        .as[(Long, Long, Long, Long, Long, Long, Long, Long)]
+        .collect().sortBy(_._2).toSeq
+    val a = run("e1", 4)
+    // single-machine truth: ord from shuffledOrdinal, then the same
+    // running-offset arithmetic as packSequences over ord order
+    val ord = Packing.shuffledOrdinal((1L to 10L).toDF("doc_id"),
+        $"doc_id", "e1", numParts = 4)
+      .select("doc_id", "ord").as[(Long, Long)].collect().toMap
+    var off = 0L
+    val want = lens.filter(_._2 > 0).sortBy(p => ord(p._1)).map { case (id, n) =>
+      val start = off; off += n
+      (id, ord(id), n, start, off, start / 512, (off - 1) / 512,
+        (off - 1) / 512 - start / 512 + 1)
+    }
+    assert(a == want)
+    // the zero-token doc holds an ordinal but packs nothing
+    assert(!a.exists(_._1 == 5L) && ord.contains(5L))
+    // partition-count independent; a new seed is a new layout
+    assert(run("e1", 13) == a)
+    assert(run("e2", 4) != a)
+  }
+
   test("no global single-partition window over the document frame") {
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
     val plan = Packing

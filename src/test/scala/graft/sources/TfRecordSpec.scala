@@ -4,6 +4,8 @@ import java.io.ByteArrayOutputStream
 import java.nio.file.Files
 import java.util.zip.GZIPOutputStream
 
+import scala.jdk.CollectionConverters._
+
 import graft.SparkSpec
 import org.apache.spark.sql.functions._
 
@@ -200,6 +202,38 @@ class TfRecordSpec extends SparkSpec {
       // no empty shards: every bin in the contiguous byte stream has
       // at least the record that starts in it
       assert(shards.forall(_.records > 0))
+    } finally graft.CacheScope.release()
+  }
+
+  test("epoch export: permuted shards, same-seed byte-identical, new seed reshuffles") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-tfr-e").toString
+    val docs = (0 until 40).map(i => (i.toLong, f"doc-$i%03d".padTo(100, 'x')))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+    def bytesOf(dir: String): Seq[(String, Seq[Byte])] =
+      Files.list(java.nio.file.Paths.get(dir)).iterator().asScala.toSeq
+        .filter(_.getFileName.toString.endsWith(".tfrecord"))
+        .sortBy(_.getFileName.toString)
+        .map(p => p.getFileName.toString -> Files.readAllBytes(p).toSeq)
+    try {
+      val s1 = TfRecord.writeEpoch(docs, "payload", col("doc_id"),
+        s"$base/e1", targetBytes = 1000L, seed = "epoch1")
+      assert(s1.map(_.records).sum == 40 &&
+        s1.forall(s => s.records == 10 && s.payloadBytes == 1000))
+      // shard contents follow the seeded permutation, not id order
+      val firstShard = TfRecord.read(spark, s"$base/e1").records
+        .collect().filter(_.getString(0).contains("part-00000"))
+        .map(r => new String(r.getAs[Array[Byte]](2), "UTF-8").take(7)).toSeq
+      assert(firstShard.toSet != (0 until 10).map(i => f"doc-$i%03d").toSet)
+      // re-export at the same seed: byte-identical files
+      TfRecord.writeEpoch(docs, "payload", col("doc_id"),
+        s"$base/e1b", targetBytes = 1000L, seed = "epoch1")
+      assert(bytesOf(s"$base/e1").map(_._2) == bytesOf(s"$base/e1b").map(_._2))
+      // a new seed is a different epoch layout
+      TfRecord.writeEpoch(docs, "payload", col("doc_id"),
+        s"$base/e2", targetBytes = 1000L, seed = "epoch2")
+      assert(bytesOf(s"$base/e1").map(_._2) != bytesOf(s"$base/e2").map(_._2))
     } finally graft.CacheScope.release()
   }
 
