@@ -238,6 +238,29 @@ model AS (
               " 'content', concat_ws(' ', slice(__w, t * 5 + 1, 5))))))"))
         .as("conv"))
 
+  /** Conversation fixture with PLANTED near-dup renders for the
+    * `chat_dd` row, purely doc_id-driven: id-div-4 groups share one
+    * two-turn conversation, member m = id%4 varies it — m0 and m1
+    * render IDENTICALLY (exact dup), m2 changes one mid-answer word
+    * (near dup, jaccard 13/17 over word 3-shingles of the render), m3
+    * answers about something else (jaccard ~0.17); cross-group pairs
+    * share the topic-free shingles only (~0.43). The render's
+    * `\n<|assistant|>` seam glues two words under the corpus
+    * space-split — both engines see the same glued token. */
+  private def synthChatDupConv(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), expr(
+      "to_json(array(" +
+        "named_struct('role', 'user', 'content', " +
+        "concat('please explain topic ', doc_id div 4," +
+        " ' in simple terms')), " +
+        "named_struct('role', 'assistant', 'content', " +
+        "CASE WHEN doc_id % 4 = 3 THEN concat(" +
+        "'totally different discussion of crops weather and markets '," +
+        " doc_id div 4) " +
+        "ELSE concat('topic ', doc_id div 4, ' works by rule one rule" +
+        " two rule ', CASE WHEN doc_id % 4 = 2 THEN 'four' ELSE 'three'" +
+        " END, ' done') END)))").as("conv"))
+
   /** Deterministic (chosen, rejected) conversation pairs for the
     * `pref` row: shared prompt = optional system head (doc_id % 3)
     * plus one user turn of the first 5 words; chosen answers with the
@@ -1107,6 +1130,24 @@ model AS (
     "csp" -> ((s, d) =>
       Chat.assistantSpans(synthChatConv(Tables.documents(s, d)),
         col("conv"), col("doc_id")).orderBy("doc_id", "turn_idx")),
+
+    // CONVERSATION-LEVEL DEDUP: the SFT set gets the same dedup matrix
+    // as pretraining text — public pipelines dedup on the flattened
+    // render, so Chat.render feeds Dedup.ngramJaccard (near tier) and
+    // the render fingerprint marks the exact tier on each pair.
+    "chat_dd" -> ((s, d) => {
+      val conv = synthChatDupConv(Tables.documents(s, d))
+      val r = Chat.render(conv, col("conv"), col("doc_id"))
+      val fp = Chat.stats(conv, col("conv"), col("doc_id"))
+        .select(col("doc_id"), col("render_fp"))
+      Dedup.ngramJaccard(r, col("text"), col("doc_id"), minJaccard = 0.6)
+        .join(fp.as("fa"), col("doc_a") === col("fa.doc_id"))
+        .join(fp.as("fb"), col("doc_b") === col("fb.doc_id"))
+        .select(col("doc_a"), col("doc_b"), col("inter"), col("union_n"),
+          col("jaccard"),
+          (col("fa.render_fp") === col("fb.render_fp")).as("exact"))
+        .orderBy("doc_a", "doc_b")
+    }),
 
     // Preference-pair (DPO) validation over synthesized (chosen,
     // rejected) pairs: shared-prompt defect on id % 11, rejected-ends-
@@ -3899,6 +3940,47 @@ ORDER BY doc_id, turn_idx"""),
     // Mirror of Chat.prefStats over the synthesized pairs: every
     // verdict is a pure residue function of the pair id (chosen always
     // parses and ends assistant; the defects are injected by modulus).
+    // synthChatDupConv's renders rebuilt closed-form, then the dd_j
+    // pair arithmetic over the render's word shingles plus the exact
+    // marker from the render md5.
+    "chat_dd" -> (s"""WITH c AS (
+  SELECT doc_id, doc_id // 4 AS g, doc_id % 4 AS m FROM documents
+), r AS (
+  SELECT doc_id, concat('<|user|>please explain topic ', g,
+    ' in simple terms', chr(10), '<|assistant|>',
+    CASE WHEN m = 3 THEN concat(
+      'totally different discussion of crops weather and markets ', g)
+    ELSE concat('topic ', g, ' works by rule one rule two rule ',
+      CASE WHEN m = 2 THEN 'four' ELSE 'three' END, ' done') END) AS text
+  FROM c
+), w AS (
+  SELECT doc_id, text, string_split_regex(trim(text), ' +') AS words
+  FROM r
+), sh AS (
+  SELECT doc_id, ${h60("s0")} AS s
+  FROM (SELECT doc_id,
+          unnest(list_distinct(CASE WHEN len(words) >= 3
+            THEN list_transform(range(len(words)-2),
+                 i -> array_to_string(words[i+1:i+3], ' '))
+            ELSE [] END)) AS s0
+        FROM w)
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY 1
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), fp AS (SELECT doc_id, md5(text) AS f FROM r)
+SELECT doc_a, doc_b, inter, sa.n + sb.n - inter AS union_n,
+       round(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 6) AS jaccard,
+       fa.f = fb.f AS exact
+FROM pairs JOIN sizes sa ON doc_a = sa.doc_id
+           JOIN sizes sb ON doc_b = sb.doc_id
+           JOIN fp fa ON doc_a = fa.doc_id
+           JOIN fp fb ON doc_b = fb.doc_id
+WHERE round(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 6) >= 0.6
+ORDER BY doc_a, doc_b"""),
+
     "pref" -> ("""SELECT doc_id AS pair_id,
   NOT (doc_id % 17 = 0) AS pair_ok,
   CASE WHEN doc_id % 17 = 0 THEN NULL

@@ -123,4 +123,33 @@ class ChatSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange") && !plan.contains("Join"), plan)
   }
+
+  test("render feeds the dedup matrix: exact and near dup renders pair") {
+    import org.apache.spark.sql.functions._
+    // 1 and 2 render identically; 3 differs by one word (near dup);
+    // 4 is a different conversation entirely
+    def conv(ans: String) =
+      s"""[{"role":"user","content":"explain the packing rules"},""" +
+        s"""{"role":"assistant","content":"$ans"}]"""
+    val same = "pack rules go by token budget and bin order every time"
+    val near = "pack rules go by token budget and bin order every epoch"
+    val other = "unrelated answer about completely different things here"
+    val df = Seq(1L -> conv(same), 2L -> conv(same), 3L -> conv(near),
+      4L -> conv(other)).toDF("doc_id", "conv")
+    try {
+      val r = Chat.render(df, $"conv", $"doc_id")
+      val pairs = Dedup.ngramJaccard(r, col("text"), col("doc_id"),
+          minJaccard = 0.5)
+        .orderBy("doc_a", "doc_b").collect()
+        .map(x => (x.getLong(0), x.getLong(1), x.getDouble(4)))
+      assert(pairs.map(p => (p._1, p._2)).toSeq ==
+        Seq((1L, 2L), (1L, 3L), (2L, 3L)))
+      assert(pairs.head._3 == 1.0 && pairs(1)._3 < 1.0 && pairs(1)._3 > 0.5)
+      // the exact tier by fingerprint: only 1-2 share a render_fp
+      val fps = Chat.stats(df, $"conv", $"doc_id")
+        .select("doc_id", "render_fp").collect()
+        .map(x => x.getLong(0) -> x.getString(1)).toMap
+      assert(fps(1L) == fps(2L) && fps(1L) != fps(3L) && fps(3L) != fps(4L))
+    } finally graft.CacheScope.release()
+  }
 }
