@@ -769,6 +769,34 @@ model AS (
           seed = "epoch0")
         .orderBy("doc_id")),
 
+    // WEBDATASET LAYOUT on the oracle surface: two-part samples
+    // (<key>.txt of id%700+1 'a's — exercising both one- and two-block
+    // padding — and <key>.json of '{"id":N}') run through the REAL
+    // ustar encoder; entry sizes, both stored header checksums, and
+    // the budgeted shard prefix-sum are each priced closed-form by the
+    // oracle (512-byte framing, octal fields, checksum = name ord sum
+    // + padded octal-size ord sum + fixed-field constant 2509).
+    "wds" -> ((s, d) => {
+      import s.implicits._
+      val meta = Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .map { id =>
+          val key = f"$id%06d"
+          val txt = Array.fill[Byte]((id % 700 + 1).toInt)('a'.toByte)
+          val js = s"""{"id":$id}""".getBytes("UTF-8")
+          val e1 = graft.sources.WebDataset.encodeEntry(s"$key.txt", txt)
+          val e2 = graft.sources.WebDataset.encodeEntry(s"$key.json", js)
+          (id, key, e1.length.toLong, e2.length.toLong,
+            graft.sources.WebDataset.headerChecksum(e1),
+            graft.sources.WebDataset.headerChecksum(e2))
+        }
+        .toDF("doc_id", "key", "txt_entry", "js_entry", "cks_txt", "cks_js")
+      val packed = Packing.packSequences(meta, col("doc_id"),
+          col("txt_entry") + col("js_entry"), budget = 65536)
+        .select(col("doc_id"), col("start_off"),
+          col("first_bin").as("shard"))
+      meta.join(packed, "doc_id").orderBy("doc_id")
+    }),
+
     // EPOCH SHARD LAYOUT: the seeded permutation feeding the packer —
     // documents concatenate in hash(seed,id) order, so first_bin is
     // each doc's trainer shard for THIS epoch; a different seed
@@ -2753,6 +2781,53 @@ FROM e ORDER BY bin, bin_off"""),
 SELECT doc_id, h,
        CAST(ROW_NUMBER() OVER (ORDER BY h, doc_id) AS BIGINT) - 1 AS ord
 FROM t ORDER BY doc_id"""),
+
+    // The ustar framing stated closed-form: entry = 512-byte header +
+    // payload padded to a block; the stored checksum is the ord sum of
+    // the name, the zero-padded 11-digit octal size, and the fixed
+    // fields (mode 0000644 -> 350, uid/gid 336 each, mtime 528, the
+    // 8 checksum-as-spaces 256, typeflag 48, "ustar\\0" 559, version
+    // 96 -> constant 2509); shards are 65536-byte prefix-sum bins.
+    "wds" -> ("""WITH m AS (
+  SELECT doc_id, lpad(CAST(doc_id AS VARCHAR), 6, '0') AS key,
+         doc_id % 700 + 1 AS s1,
+         7 + length(CAST(doc_id AS VARCHAR)) AS s2
+  FROM documents
+), e AS (
+  SELECT doc_id, key,
+         CAST(512 + (s1 + 511) // 512 * 512 AS BIGINT) AS txt_entry,
+         CAST(512 + (s2 + 511) // 512 * 512 AS BIGINT) AS js_entry,
+         key || '.txt' AS n1, key || '.json' AS n2,
+         to_base(s1, 8) AS o1, to_base(s2, 8) AS o2
+  FROM m
+), k AS (
+  SELECT doc_id, key, txt_entry, js_entry,
+         CAST(2509
+           + list_sum(list_transform(range(length(n1)),
+               i -> ord(substring(n1, CAST(i+1 AS INT), 1))))
+           + 48 * (11 - length(o1))
+           + list_sum(list_transform(range(length(o1)),
+               i -> ord(substring(o1, CAST(i+1 AS INT), 1))))
+           AS BIGINT) AS cks_txt,
+         CAST(2509
+           + list_sum(list_transform(range(length(n2)),
+               i -> ord(substring(n2, CAST(i+1 AS INT), 1))))
+           + 48 * (11 - length(o2))
+           + list_sum(list_transform(range(length(o2)),
+               i -> ord(substring(o2, CAST(i+1 AS INT), 1))))
+           AS BIGINT) AS cks_js
+  FROM e
+), c AS (
+  SELECT doc_id, key, txt_entry, js_entry, cks_txt, cks_js,
+         CAST(SUM(txt_entry + js_entry) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS end_off
+  FROM k
+)
+SELECT doc_id, key, txt_entry, js_entry, cks_txt, cks_js,
+       end_off - txt_entry - js_entry AS start_off,
+       (end_off - txt_entry - js_entry) // 65536 AS shard
+FROM c ORDER BY doc_id"""),
 
     // p_s's packing arithmetic over the EPOCH order: ordinals from the
     // seeded hash permutation (p_sh's closed form at seed epoch1),

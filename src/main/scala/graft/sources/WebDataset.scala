@@ -75,6 +75,13 @@ object WebDataset {
   /** Two zero blocks: the POSIX end-of-archive marker. */
   def endOfArchive: Array[Byte] = new Array[Byte](2 * Block)
 
+  /** The stored header checksum of an encoded entry — exposed so the
+    * layout can be priced against an independent closed form (the
+    * checksum is a pure function of name and payload size: name ord
+    * sum + zero-padded octal-size ord sum + the fixed-field constant;
+    * the wds oracle row states exactly that). */
+  def headerChecksum(entry: Array[Byte]): Long = parseOctal(entry, 148, 8)
+
   private def putOctal(out: Array[Byte], off: Int, digits: Int, v: Long): Unit = {
     val s = java.lang.Long.toOctalString(v)
     val pad = digits - s.length
