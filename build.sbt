@@ -34,4 +34,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Pre-size the heap: with the default tiny -Xms, the first
+  // memory-hungry query in each bench shard pays the whole heap
+  // expansion in full-GC pauses (r15 sweep: cns 29 s first reading vs
+  // 3.8 s re-run on a grown heap). Bench shard children inherit this
+  // via the parent's RuntimeMXBean args.
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

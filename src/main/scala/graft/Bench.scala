@@ -183,6 +183,10 @@ object Bench {
     warm(Tables.documents(spark, sfDir).queryExecution.toRdd.foreach(_ => ()))
     warm(Tables.lineitem(spark, sfDir).queryExecution.toRdd.foreach(_ => ()))
     warm(Tables.embeddings(spark, sfDir).queryExecution.toRdd.foreach(_ => ()))
+    // summaries was the one family base scan only schema-warmed: the
+    // first summaries-heavy core query (b5r in the r16 first sweep,
+    // 9.9 s vs 2.0 s re-run) was paying the whole cold columnar read
+    warm(Tables.summaries(spark, sfDir).queryExecution.toRdd.foreach(_ => ()))
     // Once-per-refresh serving artifacts, built UNTIMED: the bucketed
     // mirrors and the ANN indexes are the analog of the reference's
     // pre-built btree — its comparable numbers (<0.5 s account page)
@@ -214,6 +218,12 @@ object Bench {
             finally CacheScope.release()
           }
           try {
+            // untimed GC before every first reading, not only the
+            // re-run: the r15 sweep's >3x first readings (cns 7.6x,
+            // dd_wd 5.8x) charged earlier queries' heap debt to
+            // whichever heavy query ran next — collection is shard
+            // bookkeeping, not query cost
+            System.gc()
             val t1 = once()
             // Attribution guard: even inside a ~25-query family shard a
             // contended box can throw a phantom outlier. Any reading past

@@ -241,10 +241,17 @@ model AS (
   /** Conversation fixture with PLANTED near-dup renders for the
     * `chat_dd` row, purely doc_id-driven: id-div-4 groups share one
     * two-turn conversation, member m = id%4 varies it — m0 and m1
-    * render IDENTICALLY (exact dup), m2 changes one mid-answer word
-    * (near dup, jaccard 13/17 over word 3-shingles of the render), m3
-    * answers about something else (jaccard ~0.17); cross-group pairs
-    * share the topic-free shingles only (~0.43). The render's
+    * render IDENTICALLY (exact dup), m2 changes the verb right next to
+    * the topic token ('works' -> 'runs' — the change must sit INSIDE
+    * group-keyed shingles, because the topic-free shingles are
+    * corpus-wide stop shingles that the maxDocFreq cap removes), m3
+    * answers about something else. Under the df <= 8 cap the kept
+    * shingles are exactly the topic-bearing ones (df <= 4): per group
+    * the pairs are (m0,m1) jaccard 1.0 exact, (m0,m2)/(m1,m2) 4/8 =
+    * 0.5, m3 tops out at 3/7 = 0.43 below the 0.5 gate, and
+    * cross-group pairs share nothing. Without the cap the stop
+    * shingles join quadratically across 3/4 of the corpus — the r16
+    * first sweep measured exactly that (20 s). The render's
     * `\n<|assistant|>` seam glues two words under the corpus
     * space-split — both engines see the same glued token. */
   private def synthChatDupConv(docs: DataFrame): DataFrame =
@@ -257,9 +264,9 @@ model AS (
         "CASE WHEN doc_id % 4 = 3 THEN concat(" +
         "'totally different discussion of crops weather and markets '," +
         " doc_id div 4) " +
-        "ELSE concat('topic ', doc_id div 4, ' works by rule one rule" +
-        " two rule ', CASE WHEN doc_id % 4 = 2 THEN 'four' ELSE 'three'" +
-        " END, ' done') END)))").as("conv"))
+        "ELSE concat('topic ', doc_id div 4, ' ', " +
+        "CASE WHEN doc_id % 4 = 2 THEN 'runs' ELSE 'works' END, " +
+        "' by rule one rule two rule three done') END)))").as("conv"))
 
   /** Deterministic (chosen, rejected) conversation pairs for the
     * `pref` row: shared prompt = optional system head (doc_id % 3)
@@ -1168,7 +1175,12 @@ model AS (
       val r = Chat.render(conv, col("conv"), col("doc_id"))
       val fp = Chat.stats(conv, col("conv"), col("doc_id"))
         .select(col("doc_id"), col("render_fp"))
-      Dedup.ngramJaccard(r, col("text"), col("doc_id"), minJaccard = 0.6)
+      // maxDocFreq: chat templates make stop-shingles the RULE, not the
+      // exception — every rendered conversation shares the template's
+      // boilerplate runs, and an uncapped shingle join goes quadratic
+      // across the whole corpus (measured: 20 s vs 1 s at sf0.1)
+      Dedup.ngramJaccard(r, col("text"), col("doc_id"), minJaccard = 0.5,
+          maxDocFreq = 8)
         .join(fp.as("fa"), col("doc_a") === col("fa.doc_id"))
         .join(fp.as("fb"), col("doc_b") === col("fb.doc_id"))
         .select(col("doc_a"), col("doc_b"), col("inter"), col("union_n"),
@@ -4016,8 +4028,9 @@ ORDER BY doc_id, turn_idx"""),
     // verdict is a pure residue function of the pair id (chosen always
     // parses and ends assistant; the defects are injected by modulus).
     // synthChatDupConv's renders rebuilt closed-form, then the dd_j
-    // pair arithmetic over the render's word shingles plus the exact
-    // marker from the render md5.
+    // pair arithmetic over the render's word shingles — with the
+    // maxDocFreq <= 8 stop-shingle filter mirrored (shf) — plus the
+    // exact marker from the render md5.
     "chat_dd" -> (s"""WITH c AS (
   SELECT doc_id, doc_id // 4 AS g, doc_id % 4 AS m FROM documents
 ), r AS (
@@ -4025,8 +4038,9 @@ ORDER BY doc_id, turn_idx"""),
     ' in simple terms', chr(10), '<|assistant|>',
     CASE WHEN m = 3 THEN concat(
       'totally different discussion of crops weather and markets ', g)
-    ELSE concat('topic ', g, ' works by rule one rule two rule ',
-      CASE WHEN m = 2 THEN 'four' ELSE 'three' END, ' done') END) AS text
+    ELSE concat('topic ', g, ' ',
+      CASE WHEN m = 2 THEN 'runs' ELSE 'works' END,
+      ' by rule one rule two rule three done') END) AS text
   FROM c
 ), w AS (
   SELECT doc_id, text, string_split_regex(trim(text), ' +') AS words
@@ -4039,11 +4053,14 @@ ORDER BY doc_id, turn_idx"""),
                  i -> array_to_string(words[i+1:i+3], ' '))
             ELSE [] END)) AS s0
         FROM w)
+), shf AS (
+  SELECT doc_id, s FROM sh
+  WHERE s IN (SELECT s FROM sh GROUP BY s HAVING count(*) <= 8)
 ), sizes AS (
-  SELECT doc_id, count(*) AS n FROM sh GROUP BY 1
+  SELECT doc_id, count(*) AS n FROM shf GROUP BY 1
 ), pairs AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  FROM shf a JOIN shf b ON a.s = b.s AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 ), fp AS (SELECT doc_id, md5(text) AS f FROM r)
 SELECT doc_a, doc_b, inter, sa.n + sb.n - inter AS union_n,
@@ -4053,7 +4070,7 @@ FROM pairs JOIN sizes sa ON doc_a = sa.doc_id
            JOIN sizes sb ON doc_b = sb.doc_id
            JOIN fp fa ON doc_a = fa.doc_id
            JOIN fp fb ON doc_b = fb.doc_id
-WHERE round(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 6) >= 0.6
+WHERE round(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 6) >= 0.5
 ORDER BY doc_a, doc_b"""),
 
     "pref" -> ("""SELECT doc_id AS pair_id,
