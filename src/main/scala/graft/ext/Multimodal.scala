@@ -659,6 +659,21 @@ object Multimodal {
     }
   }
 
+  /** Adapter from scene keyframes to the packed-code layout the binary
+    * serving stack stores ([[graft.ext.Similarity.appendCodes]] /
+    * `tagNearCodes`): vec_id = media_id·8 + scene_idx (the mm_vd
+    * keyframe key), the 64-bit dHash split into 32-bit halves exactly
+    * like binarize1Bit's (b_hi, b_lo), n_pos = popcount. This is what
+    * makes INCREMENTAL video dedup a composition instead of new
+    * machinery: keyframe hashes of a live clip feed append/tag against
+    * the same stored history format as embedding codes
+    * (VideoDedupHistorySpec). */
+  def keyframeCodes(kf: DataFrame): DataFrame =
+    kf.select(expr("media_id * 8 + scene_idx").as("vec_id"),
+      expr("shiftright(dhash, 32) & 4294967295").as("b_hi"),
+      expr("dhash & 4294967295").as("b_lo"),
+      expr("CAST(bit_count(dhash) AS BIGINT)").as("n_pos"))
+
   /** Per-pixel luma raster of a decoded frame: the gray sample for
     * single-band images, the integer mean of (r+g+b)/3 otherwise —
     * the same luma definition [[videoFramesBatched]] aggregates. */

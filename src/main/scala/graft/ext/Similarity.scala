@@ -180,20 +180,38 @@ object Similarity {
     * incremental near-duplicate gate over a live embedding feed. */
   def tagNearB1Codes(batch: DataFrame, idCol: String, embCol: String,
       path: String, maxHam: Int = 20): DataFrame = {
-    val spark = batch.sparkSession
     val codes = graft.CacheScope.persistTracked(
       binarize1Bit(batch, col(idCol), col(embCol)))
-    val hist = spark.read.parquet(s"$path/codes")
-      .select(col("vec_id").as("__hid"), col("b_hi").as("__hhi"),
-        col("b_lo").as("__hlo"))
-    val near = hist.crossJoin(broadcast(codes))
-      .where(expr(s"bit_count(b_hi ^ __hhi) + bit_count(b_lo ^ __hlo)" +
-        s" <= $maxHam") && col("vec_id") =!= col("__hid"))
-      .select(col("vec_id").as("__nid")).distinct()
+    val near = tagNearCodes(codes, path, maxHam)
+      .where(col("near_history"))
+      .select(col("vec_id").as("__nid"))
       .withColumn("near_history", lit(true))
     batch.join(near, col(idCol).cast("long") === col("__nid"), "left")
       .drop("__nid")
       .na.fill(false, Seq("near_history"))
+  }
+
+  /** The code-frame core of [[tagNearB1Codes]]: tag a frame of packed
+    * codes (vec_id, b_hi, b_lo — [[binarize1Bit]]'s layout, or any
+    * 64-bit code split into 32-bit halves, e.g. a video keyframe dHash
+    * via [[Multimodal.keyframeCodes]]) against the stored history.
+    * Same scale shape: batch codes broadcast, history scanned once at
+    * code bandwidth, XOR+popcount per pair. Output: (vec_id,
+    * near_history). */
+  def tagNearCodes(codes: DataFrame, path: String,
+      maxHam: Int = 20): DataFrame = {
+    val spark = codes.sparkSession
+    val hist = spark.read.parquet(s"$path/codes")
+      .select(col("vec_id").as("__hid"), col("b_hi").as("__hhi"),
+        col("b_lo").as("__hlo"))
+    val c = codes.select("vec_id", "b_hi", "b_lo")
+    val near = hist.crossJoin(broadcast(c))
+      .where(expr(s"bit_count(b_hi ^ __hhi) + bit_count(b_lo ^ __hlo)" +
+        s" <= $maxHam") && col("vec_id") =!= col("__hid"))
+      .select(col("vec_id").as("__nid")).distinct()
+    c.select("vec_id")
+      .join(near, col("vec_id") === col("__nid"), "left")
+      .select(col("vec_id"), col("__nid").isNotNull.as("near_history"))
   }
 
   /** INCREMENTAL code append — [[appendCellIndex]]'s exact replay
@@ -206,15 +224,21 @@ object Similarity {
     * history, so batch 0 bootstraps the store instead of throwing a
     * path-not-found AnalysisException (ADVICE r15). */
   def appendB1Codes(batch: DataFrame, idCol: String, embCol: String,
-      path: String, batchId: Long): Boolean = {
-    val spark = batch.sparkSession
+      path: String, batchId: Long): Boolean =
+    appendCodes(binarize1Bit(batch, col(idCol), col(embCol)), path, batchId)
+
+  /** The code-frame core of [[appendB1Codes]] — same replay contract
+    * (batch marker + id-level anti join, missing `codes` bootstraps an
+    * empty history) over any packed-code frame. */
+  def appendCodes(codes0: DataFrame, path: String, batchId: Long): Boolean = {
+    val spark = codes0.sparkSession
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val markers = new org.apache.hadoop.fs.Path(root, "_applied_batches")
     val marker = new org.apache.hadoop.fs.Path(markers, batchId.toString)
     if (fs.exists(marker)) false
     else {
-      val codes = binarize1Bit(batch, col(idCol), col(embCol))
+      val codes = codes0
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val novel =
         if (!fs.exists(new org.apache.hadoop.fs.Path(root, "codes"))) codes

@@ -313,4 +313,28 @@ class StreamingCurationSpec extends SparkSpec {
         (2L, "password: <SECRET> from <IP>")))
     } finally q.stop()
   }
+
+  test("code gate composes live: codeQuality drops blobs per micro-batch") {
+    // the code battery is a stateless narrow projection like the prose
+    // gates, so the repo-crawl triage runs where the files arrive
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val gated = TextAnalysis.codeQuality(
+        input.toDF().toDF("doc_id", "text"), col("text"), col("doc_id"))
+      .where(col("code_ok"))
+    val q = gated.select("doc_id", "n_lines")
+      .writeStream.format("memory").queryName("scode")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (1L, "val a = 1;\n// sum\nval b = a + a;"),
+        (2L, "h=\"" + "deadBEEF" * 4 + "\";"))            // blob: dropped
+      q.processAllAvailable()
+      input.addData((3L, "x=\"" + "y" * 1200 + "\";"))    // long line: dropped
+      q.processAllAvailable()
+      val got = spark.sql("SELECT * FROM scode ORDER BY doc_id")
+        .as[(Long, Int)].collect().toSeq
+      assert(got == Seq((1L, 3)))
+    } finally q.stop()
+  }
 }

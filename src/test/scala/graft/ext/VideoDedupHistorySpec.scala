@@ -1,0 +1,72 @@
+package graft.ext
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import graft.ext.Multimodal.MediaRow
+
+/** Incremental VIDEO near-dup as a pure composition: scene keyframes
+  * (the mm_vd pipeline's segmentation + dHash) adapt into the binary
+  * serving stack's packed-code layout via [[Multimodal.keyframeCodes]]
+  * and ride the SAME stored history as embedding codes —
+  * [[Similarity.appendCodes]] for the replay-exact store,
+  * [[Similarity.tagNearCodes]] for the tag-don't-drop gate. A live
+  * clip feed gets video dedup against everything ever ingested with
+  * zero new storage machinery.
+  */
+class VideoDedupHistorySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def clip(id: Long, nch: Long) =
+    MediaRow(id, Multimodal.synthVidDupPayload(id, nch), "video/avi")
+
+  private def codesOf(rows: MediaRow*) =
+    Multimodal.keyframeCodes(
+      Multimodal.sceneKeyframeHashes(rows.toSeq.toDS()).toDF())
+
+  test("keyframeCodes packs the dHash exactly like binarize1Bit's halves") {
+    val got = codesOf(clip(40L, 0L)).collect().head
+    val h = Multimodal.sceneKeyframeHashes(Seq(clip(40L, 0L)).toDS())
+      .collect().head.dhash
+    assert(got.getLong(0) == 40L * 8)
+    assert(got.getLong(1) == ((h >>> 32) & 0xffffffffL))
+    assert(got.getLong(2) == (h & 0xffffffffL))
+    assert(got.getLong(3) == java.lang.Long.bitCount(h))
+    // halves reassemble the hash — no bit lost to sign or masking
+    assert((got.getLong(1) << 32 | got.getLong(2)) == h)
+  }
+
+  test("stored keyframe history: append, tag near clips, replay no-op") {
+    val path = Files.createTempDirectory("vidhist").toString + "/store"
+    // ingest batch 0: group-10 clips 40 and 41 (2-frame clips)
+    assert(Similarity.appendCodes(codesOf(clip(40L, 0L), clip(41L, 0L)),
+      path, batchId = 0L))
+    // clip 42 is the same group's near-dup (base shift 2 -> within 3
+    // bits of 40's keyframe); pick a far group for the negative case
+    // by CHECKING its actual distance first (kb collisions mod 256
+    // make a blind pick unsound)
+    val h40 = Multimodal.sceneKeyframeHashes(Seq(clip(40L, 0L)).toDS())
+      .collect().head.dhash
+    val far = (100L to 400L by 4).find { id =>
+      val h = Multimodal.sceneKeyframeHashes(Seq(clip(id, 0L)).toDS())
+        .collect().head.dhash
+      java.lang.Long.bitCount(h ^ h40) > 3
+    }.get
+    val tags = Similarity.tagNearCodes(
+        codesOf(clip(42L, 0L), clip(far, 0L)), path, maxHam = 3)
+      .collect().map(r => (r.getLong(0), r.getBoolean(1))).toMap
+    assert(tags(42L * 8) === true, s"near clip 42 must tag against 40/41")
+    assert(tags(far * 8) === false, s"far clip $far must not tag")
+    // append the new batch; a marker replay is a no-op
+    assert(Similarity.appendCodes(codesOf(clip(42L, 0L), clip(far, 0L)),
+      path, batchId = 1L))
+    assert(!Similarity.appendCodes(codesOf(clip(42L, 0L)), path, batchId = 1L))
+    // id-level dedup: re-delivery of clip 42 under a NEW batchId adds
+    // no second copy of its keyframe code
+    assert(Similarity.appendCodes(codesOf(clip(42L, 0L)), path, batchId = 2L))
+    val stored = spark.read.parquet(s"$path/codes")
+    assert(stored.where(s"vec_id = ${42L * 8}").count() == 1)
+    assert(stored.count() == 4)
+    graft.CacheScope.release()
+  }
+}
