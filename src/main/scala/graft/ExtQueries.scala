@@ -785,7 +785,10 @@ model AS (
     // + padded octal-size ord sum + fixed-field constant 2509).
     "wds" -> ((s, d) => {
       import s.implicits._
-      val meta = Tables.documents(s, d).select(col("doc_id")).as[Long]
+      // persisted: the encode map feeds BOTH the packer and the final
+      // join — unpersisted it would run the ustar encodes twice per doc
+      val meta = graft.CacheScope.persistTracked(
+        Tables.documents(s, d).select(col("doc_id")).as[Long]
         .map { id =>
           val key = f"$id%06d"
           val txt = Array.fill[Byte]((id % 700 + 1).toInt)('a'.toByte)
@@ -796,7 +799,7 @@ model AS (
             graft.sources.WebDataset.headerChecksum(e1),
             graft.sources.WebDataset.headerChecksum(e2))
         }
-        .toDF("doc_id", "key", "txt_entry", "js_entry", "cks_txt", "cks_js")
+        .toDF("doc_id", "key", "txt_entry", "js_entry", "cks_txt", "cks_js"))
       val packed = Packing.packSequences(meta, col("doc_id"),
           col("txt_entry") + col("js_entry"), budget = 65536)
         .select(col("doc_id"), col("start_off"),
@@ -1173,8 +1176,11 @@ model AS (
     "chat_dd" -> ((s, d) => {
       val conv = synthChatDupConv(Tables.documents(s, d))
       val r = Chat.render(conv, col("conv"), col("doc_id"))
-      val fp = Chat.stats(conv, col("conv"), col("doc_id"))
-        .select(col("doc_id"), col("render_fp"))
+      // persisted: fp's lineage (JSON synthesis -> parse -> render ->
+      // md5 over every document) is joined TWICE below (fa and fb)
+      val fp = graft.CacheScope.persistTracked(
+        Chat.stats(conv, col("conv"), col("doc_id"))
+          .select(col("doc_id"), col("render_fp")))
       // maxDocFreq: chat templates make stop-shingles the RULE, not the
       // exception — every rendered conversation shares the template's
       // boilerplate runs, and an uncapped shingle join goes quadratic
@@ -2801,7 +2807,9 @@ FROM t ORDER BY doc_id"""),
     // 8 checksum-as-spaces 256, typeflag 48, "ustar\\0" 559, version
     // 96 -> constant 2509); shards are 65536-byte prefix-sum bins.
     "wds" -> ("""WITH m AS (
-  SELECT doc_id, lpad(CAST(doc_id AS VARCHAR), 6, '0') AS key,
+  -- printf, not lpad: lpad TRUNCATES past 6 digits while the Spark
+  -- side's %06d widens — the row must stay exact at any corpus size
+  SELECT doc_id, printf('%06d', doc_id) AS key,
          doc_id % 700 + 1 AS s1,
          7 + length(CAST(doc_id AS VARCHAR)) AS s2
   FROM documents

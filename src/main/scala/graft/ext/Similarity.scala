@@ -182,9 +182,12 @@ object Similarity {
       path: String, maxHam: Int = 20): DataFrame = {
     val codes = graft.CacheScope.persistTracked(
       binarize1Bit(batch, col(idCol), col(embCol)))
+    // distinct: tagNearCodes emits one row per input ROW, so a batch
+    // re-delivering the same vec_id would otherwise multiply rows
+    // through the join below (output row count must equal batch's)
     val near = tagNearCodes(codes, path, maxHam)
       .where(col("near_history"))
-      .select(col("vec_id").as("__nid"))
+      .select(col("vec_id").as("__nid")).distinct()
       .withColumn("near_history", lit(true))
     batch.join(near, col(idCol).cast("long") === col("__nid"), "left")
       .drop("__nid")
