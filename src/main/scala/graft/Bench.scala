@@ -323,8 +323,11 @@ object Bench {
     // the r15 graph rows shard with the relational analytics (their
     // iterative-join profile matches, and it keeps the text catch-all
     // under the 40-query shard cap)
+    // dom is a per-host rollup — aggregation profile, and the text
+    // catch-all sits at its 40-query cap
     else if (name.startsWith("q") ||
-      Set("zipf", "shp", "rare", "prank", "hits", "tri").contains(name)) "rel"
+      Set("zipf", "shp", "rare", "prank", "hits", "tri",
+        "dom").contains(name)) "rel"
     // rrf fuses the bm25 and ANN top-k plans — it shards with ann (its
     // dominant cost is the vector scan, and text is at the 40-row cap)
     else if (name == "rrf") "ann"

@@ -1458,6 +1458,24 @@ model AS (
           denyPathRe = "^/a/")
         .orderBy("doc_id")),
 
+    // DOMAIN-LEVEL quality gate (FineWeb/CCNet tier): urlScope hosts
+    // joined with c4Clean's page verdicts, rolled up per host — the
+    // denylist makes cdn.site.org and a.b.c:8080 fail STRUCTURALLY
+    // (ok_pm 0) while content hosts sit near the ~839 lorem/brace base
+    // rate, so the 500-pm floor splits domains with wide margins.
+    "dom" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val hosts = Curation.urlScope(docs, synthCrawlUrl, col("doc_id"),
+          denyHostRe = "^a\\.b\\.c", denyPathRe = "^/img/")
+        .select(col("doc_id"), col("host"), col("in_scope"))
+      val pages = Curation.c4Clean(pageDocs(docs), col("text"),
+          col("doc_id"))
+        .select(col("doc_id"), col("page_ok"))
+      Curation.domainStats(hosts.join(pages, "doc_id"), col("host"),
+          col("in_scope") && col("page_ok"), minDocs = 10, minOkPm = 500)
+        .orderBy("host")
+    }),
+
     // robots.txt-driven scoping over the same templates, agent "graft":
     // longest-match precedence (/a/b allow beats /a/ disallow on t0/t1),
     // * + $ wildcards (cdn *.png$ kills t2; shop /*9$ kills only h
@@ -4307,6 +4325,28 @@ FROM f ORDER BY doc_id"""),
     // re-implements the canonicalizer or the regex predicates): the
     // allowlist admits t0/1/4/5/6, the /a/ path denylist kicks t0/t1,
     // so only t4/t5/t6 land in scope.
+    // Hosts and verdicts stated as literals (url_canon's convention):
+    // t2 (deny path /img/) and t7 (deny host a.b.c) fail in_scope for
+    // every doc; the rest fail only C4's lorem-ipsum/brace page drop
+    // (doc_id % 11 / % 13).
+    "dom" -> ("""WITH u AS (
+  SELECT doc_id, doc_id % 8 AS t FROM documents
+), p AS (
+  SELECT doc_id,
+    CASE t WHEN 2 THEN 'cdn.site.org' WHEN 3 THEN 'host.net'
+           WHEN 4 THEN 'news.example.org' WHEN 5 THEN 'shop.example.com'
+           WHEN 7 THEN 'a.b.c:8080' ELSE 'example.com' END AS host,
+    CASE WHEN t IN (2, 7) THEN 0
+         WHEN doc_id % 11 = 0 OR doc_id % 13 = 0 THEN 0
+         ELSE 1 END AS ok
+  FROM u
+)
+SELECT host, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(ok) AS BIGINT) AS n_ok,
+       CAST(sum(ok) * 1000 // count(*) AS BIGINT) AS ok_pm,
+       (count(*) >= 10 AND sum(ok) * 1000 // count(*) >= 500) AS domain_ok
+FROM p GROUP BY host ORDER BY host"""),
+
     "uscp" -> ("""WITH f AS (
   SELECT doc_id, doc_id % 8 AS t, CAST(doc_id % 100 AS VARCHAR) AS h
   FROM documents

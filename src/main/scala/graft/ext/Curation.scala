@@ -272,6 +272,28 @@ object Curation {
           !denies(col("path"), denyPathRe))
   }
 
+  /** DOMAIN-LEVEL quality gating (the FineWeb/CCNet convention): page
+    * verdicts aggregate per host, and a host whose pass rate or volume
+    * falls below the floor is gated WHOLE — crawl pipelines prune at
+    * the domain tier before spending per-page work on a spam host's
+    * long tail. Input is any (host, ok) page frame (e.g. [[urlScope]]'s
+    * host joined with [[c4Clean]]'s page_ok); output one row per host:
+    * (host, n_docs, n_ok, ok_pm, domain_ok) with
+    * `domain_ok = n_docs >= minDocs AND ok_pm >= minOkPm`.
+    *
+    * One partial-agg groupBy — hosts are the textbook heavy-hitter key
+    * (a big domain is millions of pages), and count/sum combine
+    * map-side so the hot host costs one row per task, not a skewed
+    * shuffle. */
+  def domainStats(df: DataFrame, host: Column, ok: Column,
+                  minDocs: Long = 1, minOkPm: Long = 700): DataFrame =
+    df.groupBy(host.as("host"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(ok, 1L).otherwise(0L)).as("n_ok"))
+      .withColumn("ok_pm", expr("n_ok * 1000 div n_docs"))
+      .withColumn("domain_ok",
+        col("n_docs") >= minDocs && col("ok_pm") >= minOkPm)
+
   /** robots.txt-driven crawl scoping: [[urlScope]]'s projection
     * (canonical_url, host, path) with the verdict column `robots_ok`
     * computed from each host's robots.txt via [[Robots]] — RFC 9309

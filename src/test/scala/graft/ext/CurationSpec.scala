@@ -295,4 +295,26 @@ class CurationSpec extends SparkSpec with org.scalatest.BeforeAndAfterEach {
         r.getInt(4)))
     assert(capped.toSeq == Seq((1L, 2L, 0, 1, 6), (4L, 4L, 0, 7, 5)))
   }
+
+  test("domainStats: volume floor, pass-rate floor, and a passing host") {
+    import org.apache.spark.sql.functions.col
+    val pages = Seq(
+      // good.com: 3 pages, 2 ok -> 666 pm, passes at floor 600
+      ("good.com", true), ("good.com", true), ("good.com", false),
+      // spam.net: 4 pages, 1 ok -> 250 pm, fails the rate floor
+      ("spam.net", false), ("spam.net", false), ("spam.net", false),
+      ("spam.net", true),
+      // tiny.org: 2 perfect pages, fails the volume floor
+      ("tiny.org", true), ("tiny.org", true)
+    ).toDF("host", "ok")
+    val out = Curation.domainStats(pages, col("host"), col("ok"),
+        minDocs = 3, minOkPm = 600)
+      .orderBy("host").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))
+    assert(out.toSeq == Seq(
+      ("good.com", 3L, 2L, 666L, true),
+      ("spam.net", 4L, 1L, 250L, false),
+      ("tiny.org", 2L, 2L, 1000L, false)))
+  }
 }
