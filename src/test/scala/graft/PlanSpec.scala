@@ -270,6 +270,42 @@ class PlanSpec extends SparkSpec {
       s"expected a Partial-mode WindowGroupLimit for the fused top-k:\n$p")
   }
 
+  test("dom rollup: partial-agg per host, no window, no cartesian") {
+    val p = plan("dom")
+    assert(!p.contains("CartesianProduct") && !p.contains("Window"),
+      s"domain rollup is a pure groupBy chain:\n$p")
+    // hosts are the textbook heavy-hitter key: the count/sum MUST
+    // combine map-side so a million-page domain costs one row per task
+    assert(p.split('\n').exists(l =>
+      l.contains("HashAggregate") && l.contains("partial")),
+      s"expected a partial-mode HashAggregate before the host exchange:\n$p")
+  }
+
+  test("p_ep epoch layout: every window sits above an aggregate") {
+    // the epoch permutation + packer compose two scalable prefix sums;
+    // each one's ONLY Window is the partition-count-sized base-offset
+    // frame (PackingSpec pins the single-op property — this pins the
+    // composition, where a regression could slip a corpus-sized global
+    // window between the stages)
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val lp = ext.Packing.epochLayout(
+        ext.TextAnalysis.tokenStats(docs,
+          org.apache.spark.sql.functions.col("text"),
+          org.apache.spark.sql.functions.col("doc_id"))
+          .select("doc_id", "n_tokens"),
+        org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("n_tokens"),
+        seed = "epoch1", budget = 512)
+      .queryExecution.optimizedPlan
+    val windows = lp.collect { case w: LWindow => w }
+    assert(windows.size == 2, lp.toString)
+    windows.foreach { w =>
+      assert(w.child.collectFirst { case a: Aggregate => a }.nonEmpty,
+        "global window over non-aggregated rows:\n" + lp)
+    }
+  }
+
   test("top terms: df broadcast (no term-keyed shuffle join) and top-k group limit") {
     val p = plan("tt")
     assert(p.contains("BroadcastHashJoin"),
