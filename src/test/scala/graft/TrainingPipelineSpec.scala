@@ -98,6 +98,17 @@ class TrainingPipelineSpec extends SparkSpec {
     val packedRows = packed.collect()
     assert(packedRows.nonEmpty)
 
+    // 4b. the epoch seat: the same token frame lays out per-epoch
+    // trainer shards through the seeded permutation — same documents,
+    // same stream length, shard order a pure function of the seed
+    val ep = ext.Packing.epochLayout(encoded, col("doc_id"),
+      col("n_tokens"), seed = "e2e-epoch0", budget = 8)
+    val epRows = ep.collect()
+    assert(epRows.map(_.getLong(0)).toSet ==
+      packedRows.map(_.getLong(0)).toSet)
+    assert(ep.agg(max("end_off")).collect()(0).getLong(0) ==
+      packed.agg(max("end_off")).collect()(0).getLong(0))
+
     // 5. export: tf.Example payloads into TFRecord shards
     val outDir = Files.createTempDirectory("graft-e2e-out").toString + "/shards"
     val payloads = encoded.select(concat(
