@@ -191,4 +191,49 @@ class CurationPropsSpec extends SparkSpec {
     ys.foreach { y => if (i < xs.length && xs(i) == y) i += 1 }
     i == xs.length
   }
+
+  // --- code_profile: the one-pass run scanner vs a naive reference ---
+
+  /** The obvious-but-slow formulation: Java split + regex findAllIn.
+    * Deliberately a DIFFERENT algorithm (regex maximal-run matching vs
+    * the scanner's incremental run tracking) so a disagreement means a
+    * real edge-case bug, not a shared blind spot. */
+  private def naiveCodeProfile(s: String): (Int, Int, Long, Int, Long, Long, Long) = {
+    val lines = s.split("\n", -1)
+    val nLines = lines.length
+    val maxLl = lines.map(l => l.codePointCount(0, l.length)).max
+    val sumLl = lines.map(l => l.codePointCount(0, l.length).toLong).sum
+    val nComment = lines.count { l =>
+      val t = l.dropWhile(c => c == ' ' || c == '\t')
+      t.startsWith("//") || t.startsWith("#")
+    }
+    val nAlnum = s.count(c => c < 128 && c.isLetterOrDigit).toLong
+    val hex = "[0-9A-Fa-f]{16,}".r.findAllIn(s).map(_.length.toLong).sum
+    val b64 = "[A-Za-z0-9+/=]{40,}".r.findAllIn(s).map(_.length.toLong).sum
+    (nLines, maxLl, sumLl, nComment, nAlnum, hex, b64)
+  }
+
+  test("code_profile equals the regex reference on random hostile strings") {
+    import graft.functions.CodeProfileUtil.profile
+    import org.apache.spark.unsafe.types.UTF8String
+    // alphabet tuned so runs straddle both thresholds often: hex chars
+    // dominate, with run-breakers (space, newline, quote), comment
+    // markers, base64-only chars, and a non-ASCII codepoint
+    val ch = Gen.frequency(
+      (8, Gen.oneOf('a', 'b', 'c', 'd', 'e', 'f', '0', '9', 'A', 'F')),
+      (3, Gen.oneOf('x', 'y', 'Z', '+', '/', '=')),
+      (2, Gen.oneOf(' ', '\n', '\t')),
+      (1, Gen.oneOf('#', '/', '"', ';', 'é')))
+    val str = Gen.chooseNum(0, 120)
+      .flatMap(n => Gen.listOfN(n, ch)).map(_.mkString)
+    checkProp(Prop.forAll(str) { s =>
+      val r = profile(UTF8String.fromString(s))
+      val got = (r.getInt(0), r.getInt(1), r.getLong(2), r.getInt(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))
+      val want = naiveCodeProfile(s)
+      if (got != want) println(s"MISMATCH on ${s.replace("\n", "\\n")}: " +
+        s"got $got want $want")
+      got == want
+    }, cases = 500)
+  }
 }
