@@ -102,4 +102,29 @@ class PhashSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
     assert(d.toSeq == Seq((7L, 263L, 0)))
   }
+
+  test("nearDupImages: pigeonhole completeness on random codes, <= 3 flips") {
+    // randomized version of the completeness contract above: any pair
+    // within Hamming distance 3 MUST surface (4 bands of 16 bits — 3
+    // flips can't touch all four), for arbitrary base codes and flip
+    // positions including the sign bit. Deterministic seed.
+    val rng = new scala.util.Random(20260815L)
+    val rows = (0 until 24).flatMap { g =>
+      val base = rng.nextLong()
+      val nFlips = rng.nextInt(4) // 0..3
+      val flipped = (0 until nFlips).foldLeft(base) { (h, _) =>
+        h ^ (1L << rng.nextInt(64))
+      }
+      Seq((g * 2L, base), (g * 2L + 1, flipped))
+    }
+    val pairs = Multimodal.nearDupImages(rows.toDF("id", "h"),
+        $"id", $"h", maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    rows.grouped(2).foreach { case Seq((a, ha), (b, hb)) =>
+      val d = java.lang.Long.bitCount(ha ^ hb)
+      assert(d <= 3)
+      assert(pairs.contains((a, b)),
+        f"planted pair ($a,$b) at distance $d missing (base $ha%016x)")
+    }
+  }
 }
