@@ -1045,6 +1045,16 @@ object Multimodal {
     out.toByteArray
   }
 
+  // ImageIO's default ImageInputStream cache is a TEMP FILE per read —
+  // create/write/delete of an on-disk cache for every frame of every
+  // clip. All decodes here come from in-memory byte arrays, so the
+  // disk cache is pure overhead; measured on the mm_vd sweep row
+  // (~20k frame decodes at sf0.1, BenchOne x5): steady-state
+  // 6.8-7.4 s -> 4.8-5.3 s. JVM-wide setting, applied once on first
+  // use of this object (each executor JVM initializes it when a task
+  // first touches a decode path).
+  javax.imageio.ImageIO.setUseCache(false)
+
   private def decodeImage(payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
     try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
     catch { case _: Exception => None }
