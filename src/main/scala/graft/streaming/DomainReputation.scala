@@ -1,12 +1,12 @@
 package graft.streaming
 
 import org.apache.spark.sql.{Dataset, Encoders}
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
 
 /** The STREAMING tier of the domain-level quality gate
   * ([[graft.ext.Curation.domainStats]] is the batch rollup): per-host
   * page-verdict counts accumulate across micro-batches via
-  * `flatMapGroupsWithState`, so a live crawl maintains each domain's
+  * `mapGroupsWithState`, so a live crawl maintains each domain's
   * running reputation — and the gate verdict reflects EVERYTHING ever
   * seen from the host, not just the current trigger's pages. Crawl
   * schedulers consume the emitted stream to throttle or drop domains
@@ -31,9 +31,12 @@ object DomainReputation {
     implicit val keyEnc = Encoders.STRING
     implicit val outEnc = Encoders.product[Reputation]
     implicit val stateEnc = Encoders.product[DomainCounts]
+    // mapGroupsWithState, not flatMap: exactly one row per touched
+    // host per trigger IS the map variant's contract (update-mode
+    // implied — one less knob to drift from the sink's output mode)
     pages
       .groupByKey(_.host)
-      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
         (host: String, rows: Iterator[PageVerdict],
          state: GroupState[DomainCounts]) =>
           val cur = state.getOption.getOrElse(DomainCounts(0L, 0L))
@@ -42,8 +45,8 @@ object DomainReputation {
           }
           state.update(next)
           val okPm = next.n_ok * 1000 / next.n_docs
-          Iterator(Reputation(host, next.n_docs, next.n_ok, okPm,
-            next.n_docs >= minDocs && okPm >= minOkPm))
+          Reputation(host, next.n_docs, next.n_ok, okPm,
+            next.n_docs >= minDocs && okPm >= minOkPm)
       }
   }
 }
