@@ -310,14 +310,20 @@ object Bench {
     // (ann_* / emb_* keys renamed v*; mapping in BASELINE.md)
     if (name.startsWith("ann_") || name.startsWith("emb_") ||
       name.startsWith("v")) "ann"
-    // "afp" = mm_afp after the r16 budget sweep (mapping in BASELINE.md)
-    else if (name.startsWith("mm_") || name == "ph" || name == "afp") "mm"
+    // "afp" = mm_afp after the r16 budget sweep; the r17 sweep dropped
+    // the mm_ prefix from the whole multimodal family (mau/mav/mfr/mft/
+    // mnr/msc/mvd/mv/mr — mappings in BASELINE.md); the prefix rule
+    // stays so a future mm_* key routes here without a table edit
+    else if (name.startsWith("mm_") || Set("ph", "afp", "mau", "mav",
+      "mfr", "mft", "mnr", "msc", "mvd", "mv", "mr").contains(name)) "mm"
     // dsp/dpx/cns = dup_sp/dd_pfx/dd_cns after the r16 budget sweep;
-    // chat_dd shards with dedup (it IS the dedup matrix over renders)
+    // dpc/dpm/sco/scs = dup_c/dup_m/src_o/src_s after the r17 sweep;
+    // cdd (chat_dd pre-r17) shards with dedup (it IS the dedup matrix
+    // over renders), as does chat_dc's decontamination sibling
     else if (name.startsWith("dd_") || name.startsWith("dup_") ||
-      name.startsWith("src_") ||
+      name.startsWith("src_") || name.startsWith("chat_d") ||
       Set("sdd", "simh", "kmv", "cms", "dsp", "dpx", "cns",
-        "chat_dd").contains(name)) "dedup"
+        "cdd", "dpc", "dpm", "sco", "scs").contains(name)) "dedup"
     else if (name.startsWith("p_") || name.startsWith("s_") ||
       name.startsWith("pipe_") || name.startsWith("wds")) "pack"
     // the r15 graph rows shard with the relational analytics (their
@@ -326,7 +332,7 @@ object Bench {
     // dom is a per-host rollup — aggregation profile, and the text
     // catch-all sits at its 40-query cap
     else if (name.startsWith("q") ||
-      Set("zipf", "shp", "rare", "prank", "hits", "tri",
+      Set("zipf", "shp", "rare", "prk", "hits", "tri",
         "dom").contains(name)) "rel"
     // rrf fuses the bm25 and ANN top-k plans — it shards with ann (its
     // dominant cost is the vector scan, and text is at the 40-row cap)

@@ -239,7 +239,7 @@ model AS (
         .as("conv"))
 
   /** Conversation fixture with PLANTED near-dup renders for the
-    * `chat_dd` row, purely doc_id-driven: id-div-4 groups share one
+    * `cdd` row, purely doc_id-driven: id-div-4 groups share one
     * two-turn conversation, member m = id%4 varies it — m0 and m1
     * render IDENTICALLY (exact dup), m2 changes the verb right next to
     * the topic token ('works' -> 'runs' — the change must sit INSIDE
@@ -884,7 +884,7 @@ model AS (
     // source-like files (codeDocs): every rule fires on an id-derived
     // slice — %7 long lines, %9 comment floods, %5/%11 hex/base64
     // blobs, %13 punctuation floods denting the alnum fraction.
-    "codeq" -> ((s, d) =>
+    "cq" -> ((s, d) =>
       TextAnalysis.codeQuality(codeDocs(Tables.documents(s, d)),
         col("text"), col("doc_id")).orderBy("doc_id")),
 
@@ -906,7 +906,7 @@ model AS (
           col("doc_id"), k = 5)
         .orderBy("doc_id", "rn")),
 
-    "src_s" -> ((s, d) =>
+    "scs" -> ((s, d) =>
       TextAnalysis.sourceStats(Tables.documents(s, d), col("source"),
         col("text"), col("lang"), col("doc_id")).orderBy("source")),
 
@@ -995,7 +995,7 @@ model AS (
     // Cross-source shingle-overlap census: distinct-3-shingle Jaccard
     // for every observed source pair — the between-dumps overlap
     // report a mixture designer reads before weighting sources.
-    "src_o" -> ((s, d) =>
+    "sco" -> ((s, d) =>
       Dedup.sourceOverlap(Tables.documents(s, d), col("text"),
           col("source"))
         .orderBy("src_a", "src_b")),
@@ -1112,7 +1112,7 @@ model AS (
     // Integer PageRank over the synthetic crawl graph (4 out-links per
     // doc via fixed LCG-style maps, each a permutation of the id space
     // at the fixture sizes): 5 synchronous sweeps on the 1e12 grid.
-    "prank" -> ((s, d) => {
+    "prk" -> ((s, d) => {
       val docs = Tables.documents(s, d).select(col("doc_id"))
       val edges = docs.crossJoin(
           broadcast(docs.agg(count(lit(1)).as("__n"))))
@@ -1124,7 +1124,7 @@ model AS (
     }),
 
     // HITS authority/hub over a VARIABLE-out-degree variant of the
-    // crawl graph (1 + doc_id % 4 out-links — the regular prank graph
+    // crawl graph (1 + doc_id % 4 out-links — the regular prk graph
     // would normalize to the uniform fixed point): 2 sweeps, L-inf
     // integer normalization on the 1e6 grid.
     "hits" -> ((s, d) => {
@@ -1157,7 +1157,7 @@ model AS (
     // head on doc_id % 3, a doubled-user defect on % 13, TRUNCATED
     // JSON on % 17 — trailing garbage after the root value wouldn't
     // break Jackson), then REALLY parsed back and validated — the
-    // oracle prices the closed form, JSON-blind (the mm_v move).
+    // oracle prices the closed form, JSON-blind (the mv move).
     "chat" -> ((s, d) =>
       Chat.stats(synthChatConv(Tables.documents(s, d)), col("conv"),
         col("doc_id")).orderBy("doc_id")),
@@ -1173,7 +1173,7 @@ model AS (
     // as pretraining text — public pipelines dedup on the flattened
     // render, so Chat.render feeds Dedup.ngramJaccard (near tier) and
     // the render fingerprint marks the exact tier on each pair.
-    "chat_dd" -> ((s, d) => {
+    "cdd" -> ((s, d) => {
       val conv = synthChatDupConv(Tables.documents(s, d))
       val r = Chat.render(conv, col("conv"), col("doc_id"))
       // persisted: fp's lineage (JSON synthesis -> parse -> render ->
@@ -1208,7 +1208,7 @@ model AS (
     // LEFT join (ADVICE r15): a doc whose XOR partner id is absent
     // (odd corpus size, id gaps) emits NULL recalls instead of
     // silently vanishing from the output.
-    "rouge" -> ((s, d) => {
+    "rg" -> ((s, d) => {
       val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
       val pairs = docs.join(
         docs.select(expr("doc_id ^ 1").as("doc_id"),
@@ -1260,7 +1260,7 @@ model AS (
           col("doc_id"), sizeWords = 32, strideWords = 24)
         .orderBy("doc_id", "chunk_idx")),
 
-    "mm_ft" -> ((s, d) =>
+    "mft" -> ((s, d) =>
       Multimodal.featuresCols(Tables.documents(s, d),
         col("text").cast("binary"), col("doc_id")).orderBy("media_id")),
 
@@ -1294,7 +1294,7 @@ model AS (
     // candidates + exact Hamming verify at <= 3 bits (ids congruent
     // mod 256 render identical rasters -> the exact-dup backbone, plus
     // whatever genuinely near pairs the gradient pattern yields).
-    "mm_nr" -> ((s, d) => {
+    "mnr" -> ((s, d) => {
       import s.implicits._
       val rows = Tables.documents(s, d).select(col("doc_id")).as[Long]
         .map(id => Multimodal.MediaRow(id, Multimodal.synthPngPayload(id),
@@ -1304,13 +1304,13 @@ model AS (
         .orderBy("id_a", "id_b")
     }),
 
-    "mm_fr" -> ((s, d) =>
+    "mfr" -> ((s, d) =>
       Multimodal.frameSample(
         Multimodal.featuresCols(Tables.documents(s, d),
           col("text").cast("binary"), col("doc_id")),
         maxFrames = 4).orderBy("media_id", "frame_idx")),
 
-    "mm_r" -> ((s, d) =>
+    "mr" -> ((s, d) =>
       Multimodal.resizePlan(
         Multimodal.featuresCols(Tables.documents(s, d),
           col("text").cast("binary"), col("doc_id")),
@@ -1330,7 +1330,7 @@ model AS (
     // formulas independently; ADPCM sends a constant signal through
     // the real block/header/fact machinery (the stateful nibble
     // arithmetic is spec-pinned).
-    "mm_au" -> ((s, d) => {
+    "mau" -> ((s, d) => {
       import s.implicits._
       val rows = Tables.documents(s, d)
         .select(col("doc_id"), col("n_chars"))
@@ -1348,7 +1348,7 @@ model AS (
     // JPEG — the oracle prices the frame arithmetic container-blind, so
     // a bug in the AVI walk, the frame sampling, OR the JPEG decode
     // breaks the row.
-    "mm_v" -> ((s, d) => {
+    "mv" -> ((s, d) => {
       import s.implicits._
       val rows = Tables.documents(s, d)
         .select(col("doc_id"), col("n_chars"))
@@ -1366,7 +1366,7 @@ model AS (
     // exactly at the wraps, and the oracle states the segmentation from
     // the closed form while the query earns it through the real AVI
     // walk + JPEG decode + per-pixel mean-abs-diff.
-    "mm_sc" -> ((s, d) => {
+    "msc" -> ((s, d) => {
       import s.implicits._
       val rows = Tables.documents(s, d)
         .select(col("doc_id"), col("n_chars"))
@@ -1380,14 +1380,14 @@ model AS (
 
     // VIDEO NEAR-DUP across clips — the standard keyframe recipe
     // composed from the verified pieces: scene segmentation
-    // (sceneWalk, as mm_sc) -> per-keyframe dHash (dhashOf, as ph) ->
-    // banded Hamming pairing (nearDupImages, as mm_nr) -> clip-pair
+    // (sceneWalk, as msc) -> per-keyframe dHash (dhashOf, as ph) ->
+    // banded Hamming pairing (nearDupImages, as mnr) -> clip-pair
     // rollup. Fixture clips are block-patterned 72x64 MJPEG-in-AVI
     // (synthVidDupPayload): id-div-4 groups share content up to a
     // 0..3 base shift, so grouped clips pair within <=3 bits while
     // unrelated clips scatter; the oracle prices segmentation, hash,
     // and pairing from the closed form, container-blind.
-    "mm_vd" -> ((s, d) => {
+    "mvd" -> ((s, d) => {
       import s.implicits._
       val rows = Tables.documents(s, d)
         .select(col("doc_id"), col("n_chars"))
@@ -1413,7 +1413,7 @@ model AS (
     // it with the same verified wavStats integer arithmetic — the
     // oracle recomputes the closed form, demux-blind, so a bug in
     // stream routing, chunk reassembly, OR the stats pass breaks it.
-    "mm_av" -> ((s, d) => {
+    "mav" -> ((s, d) => {
       import s.implicits._
       val rows = Tables.documents(s, d)
         .select(col("doc_id"), col("n_chars"))
@@ -1603,7 +1603,7 @@ model AS (
     // The rewrite endpoint of exact-substring dedup: the same spans,
     // cut out of the text (71 spans over 56 documents at sf0.01 — the
     // other documents pass through untouched).
-    "dup_c" -> ((s, d) =>
+    "dpc" -> ((s, d) =>
       Curation.cutSpans(Tables.documents(s, d), col("text"),
           col("doc_id"), k = 5, minCount = 2)
         .orderBy("doc_id")),
@@ -1611,7 +1611,7 @@ model AS (
     // Variable-length LONGEST-match dedup (ExactSubstr semantics via
     // diagonal seed-chaining): each document's single longest exactly
     // duplicated word run >= 5 words, against any partner or itself.
-    "dup_m" -> ((s, d) =>
+    "dpm" -> ((s, d) =>
       Curation.longestDuplicatePerDoc(Tables.documents(s, d), col("text"),
           col("doc_id"), k = 5)
         .orderBy("doc_id"))
@@ -1674,7 +1674,7 @@ model AS (
     * on id%13=0 — so every rule of both filters fires on some slice
     * and stays off on another. Mirrored verbatim in the oracle CTE
     * ([[PageCte]]). */
-  /** Source-file-like fixture for the codeq row, synthesized purely
+  /** Source-file-like fixture for the cq row, synthesized purely
     * from doc_id so the oracle rebuilds it closed-form: n = id%6+4
     * base lines alternating `// note i` comments ((id+i)%4=0) with
     * `val vI = D;` code, then id-sliced rule triggers — %9 a 24-line
@@ -2055,7 +2055,7 @@ ORDER BY doc_a, doc_b"""),
 
     // Mirror of sourceOverlap: per-source distinct hashed 3-shingles,
     // pairwise intersection counts, exact integer Jaccard ppt.
-    "src_o" -> (hashedShinglesCte + """, s2 AS (
+    "sco" -> (hashedShinglesCte + """, s2 AS (
   SELECT DISTINCT d.source, s.s FROM sh s JOIN documents d USING (doc_id)
 ), tot AS (
   SELECT source, count(*) AS n FROM s2 GROUP BY 1
@@ -3052,7 +3052,7 @@ FROM ck ORDER BY doc_id"""),
     // by prefix after tab/space ltrim, blob chars as greedy maximal-run
     // regex extracts (leftmost-greedy consumes each maximal run whole,
     // exactly the expression's run scanner).
-    "codeq" -> ("""WITH c AS (
+    "cq" -> ("""WITH c AS (
   SELECT doc_id, concat_ws(chr(10),
     array_to_string(list_transform(range(doc_id % 6 + 4), i ->
       CASE WHEN (doc_id + i) % 4 = 0 THEN concat('// note ', i)
@@ -3467,7 +3467,7 @@ FROM sc JOIN th USING (lang) ORDER BY sc.doc_id"""),
 SELECT doc_id, CAST(rn AS INT) AS rn, term, tf, df
 FROM r WHERE rn <= 5 ORDER BY doc_id, rn"""),
 
-    "src_s" -> ("""
+    "scs" -> ("""
 SELECT source,
        CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(length(text)) AS BIGINT) AS sum_chars,
@@ -3519,7 +3519,7 @@ SELECT doc_id, CAST(i AS INT) AS chunk_idx,
        CAST(least(32, n - i*24) AS INT) AS n_words
 FROM s ORDER BY doc_id, chunk_idx"""),
 
-    "mm_ft" -> (s"""
+    "mft" -> (s"""
 SELECT doc_id AS media_id,
        CAST(octet_length(encode(text)) AS INT) AS byte_len,
        md5(text) AS content_hash,
@@ -3528,7 +3528,7 @@ SELECT doc_id AS media_id,
        CAST(octet_length(encode(text)) % 30 AS INT) AS n_frames
 FROM documents ORDER BY media_id"""),
 
-    "mm_fr" -> ("""WITH f AS (
+    "mfr" -> ("""WITH f AS (
   SELECT doc_id AS media_id, md5(text) AS content_hash,
          CAST(octet_length(encode(text)) % 30 AS INT) AS n_frames
   FROM documents
@@ -3540,7 +3540,7 @@ FROM (SELECT media_id, content_hash,
       FROM f WHERE n_frames > 0)
 ORDER BY media_id, frame_idx"""),
 
-    "mm_r" -> (s"""WITH f AS (
+    "mr" -> (s"""WITH f AS (
   SELECT doc_id AS media_id,
          CAST(${h60("text")} % 1280 AS INT) AS width,
          CAST(${h60("md5(text)")} % 720 AS INT) AS height
@@ -3869,7 +3869,7 @@ WHERE rnk <= 10 ORDER BY q_id, rnk"""),
     // graph: five unrolled synchronous sweeps, all-integer (teleport
     // 15% of the 1e12 grid, damped in-mass (x*85)//100, per-edge
     // contribution rank//outdeg).
-    "prank" -> ("""WITH n AS (SELECT count(*) AS n FROM documents),
+    "prk" -> ("""WITH n AS (SELECT count(*) AS n FROM documents),
 e AS (
   SELECT doc_id AS src,
          (doc_id * 48271 + 1299721 * k + 17) % n.n AS dst
@@ -4057,7 +4057,7 @@ ORDER BY doc_id, turn_idx"""),
     // pair arithmetic over the render's word shingles — with the
     // maxDocFreq <= 8 stop-shingle filter mirrored (shf) — plus the
     // exact marker from the render md5.
-    "chat_dd" -> (s"""WITH c AS (
+    "cdd" -> (s"""WITH c AS (
   SELECT doc_id, doc_id // 4 AS g, doc_id % 4 AS m FROM documents
 ), r AS (
   SELECT doc_id, concat('<|user|>please explain topic ', g,
@@ -4112,7 +4112,7 @@ FROM documents ORDER BY pair_id"""),
 
     // Mirror of TextAnalysis.rougeRecall over the XOR pairing: distinct
     // word/bigram lists per doc, list_intersect sizes, integer ppm.
-    "rouge" -> ("""WITH w AS (
+    "rg" -> ("""WITH w AS (
   SELECT doc_id, string_split_regex(trim(lower(text)), ' +') AS ws
   FROM documents
 ), g AS (
@@ -4468,7 +4468,7 @@ FROM f ORDER BY doc_id"""),
     // mean); the ADPCM variant's constant signal prices to |c|. The
     // oracle never touches container bytes; n = n_chars % 50 + 1, mono
     // 8 kHz, decoded width 16 everywhere.
-    "mm_au" -> ("""WITH f AS (
+    "mau" -> ("""WITH f AS (
   SELECT doc_id AS media_id, n_chars % 50 + 1 AS n FROM documents
 ), s AS (
   SELECT media_id, n, unnest(range(0, n)) AS i FROM f
@@ -4503,7 +4503,7 @@ FROM a ORDER BY media_id"""),
     // at stride ceil(n/4). The oracle never touches AVI or JPEG bytes —
     // it prices the pixel arithmetic the Spark side must recover through
     // a real chunk walk + entropy decode.
-    "mm_v" -> ("""WITH f AS (
+    "mv" -> ("""WITH f AS (
   SELECT doc_id AS media_id, n_chars % 9 + 2 AS n FROM documents
 ), s AS (
   SELECT media_id, unnest(range(0, n, CAST(ceil(n / 4.0) AS INT))) AS i FROM f
@@ -4514,11 +4514,11 @@ SELECT media_id, CAST(i AS INT) AS frame_idx,
        CAST((media_id * 37 + i * 11) % 256 AS INT) AS mean_luma
 FROM s ORDER BY media_id, frame_idx"""),
 
-    // mm_v's closed form segmented: cut where the consecutive luma
+    // mv's closed form segmented: cut where the consecutive luma
     // diff reaches 64 (the mod-256 wrap), scenes numbered by a running
     // cut count, keyframe = first frame of each scene. The oracle never
     // touches container or JPEG bytes.
-    "mm_sc" -> ("""WITH f AS (
+    "msc" -> ("""WITH f AS (
   SELECT doc_id AS media_id, n_chars % 9 + 2 AS n FROM documents
 ), v AS (
   SELECT media_id, i, (media_id * 37 + i * 11) % 256 AS v
@@ -4548,7 +4548,7 @@ FROM s GROUP BY media_id, sc ORDER BY media_id, scene_idx"""),
     // correctness scale no bucket can reach the 4096 cap), then the
     // clip-pair rollup. The 64-bit hash is packed as two 32-bit halves
     // (dlo = rows gy<4, dhi = gy>=4) to keep DuckDB's << off bit 63.
-    "mm_vd" -> ("""WITH d AS (
+    "mvd" -> ("""WITH d AS (
   SELECT doc_id, n_chars % 5 + 2 AS n FROM documents
 ), kf AS (
   SELECT doc_id, s,
@@ -4613,7 +4613,7 @@ FROM hh ORDER BY media_id"""),
     // Mirror of nearDupImages over the same hashes: 16-bit band-bucket
     // candidates (arithmetic shift + mask, both engines agree on
     // negative hashes), exact Hamming verify at <= 3.
-    "mm_nr" -> (DhashCte + """, bb AS (
+    "mnr" -> (DhashCte + """, bb AS (
   SELECT media_id, h, b, (h >> (b * 16)) & 65535 AS bucket
   FROM hh CROSS JOIN (SELECT unnest(range(4)) AS b)
 ), cand AS (
@@ -4626,7 +4626,7 @@ SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS INT) AS dist
 FROM cand WHERE bit_count(xor(ha, hb)) <= 3
 ORDER BY id_a, id_b"""),
 
-    "mm_av" -> ("""WITH f AS (
+    "mav" -> ("""WITH f AS (
   SELECT doc_id AS media_id, n_chars % 50 + 1 AS n FROM documents
 ), s AS (
   SELECT media_id, n, unnest(range(0, n)) AS i FROM f
@@ -4812,7 +4812,7 @@ FROM isl GROUP BY doc_id, island ORDER BY doc_id, span_start"""),
     // 5-shingles, 2..256-occurrence seeds, ordered-pair self-join,
     // gaps-and-islands along each (doc_a, doc_b, diag) alignment,
     // both sides unioned, per-doc top-1 by (len DESC, start ASC).
-    "dup_m" -> (s"""WITH w AS (
+    "dpm" -> (s"""WITH w AS (
   SELECT doc_id, string_split_regex(trim(text), ' +') AS words FROM documents
 ), s0 AS (
   SELECT doc_id,
@@ -4863,7 +4863,7 @@ FROM r WHERE rn = 1 ORDER BY doc_id"""),
 
     // DupSpansCte + span expansion to covered positions, word
     // re-explode, and order-preserving reassembly of the survivors.
-    "dup_c" -> (DupSpansCte + """, spans AS (
+    "dpc" -> (DupSpansCte + """, spans AS (
   SELECT doc_id, min(pos) AS span_start, max(pos) + 4 AS span_end
   FROM isl GROUP BY doc_id, island
 ), covered AS (

@@ -411,7 +411,7 @@ object Multimodal {
     }
   }
 
-  /** Deterministic A/V payload for the `mm_av` oracle row: a real AVI
+  /** Deterministic A/V payload for the `mav` oracle row: a real AVI
     * carrying BOTH a 2-frame MJPEG video stream (the [[synthVideoPayload]]
     * gray-frame form) and a mono 16-bit 8 kHz PCM audio stream holding
     * exactly [[synthAudioPayload]]'s closed-form samples, split into
@@ -661,7 +661,7 @@ object Multimodal {
 
   /** Adapter from scene keyframes to the packed-code layout the binary
     * serving stack stores ([[graft.ext.Similarity.appendCodes]] /
-    * `tagNearCodes`): vec_id = media_id·8 + scene_idx (the mm_vd
+    * `tagNearCodes`): vec_id = media_id·8 + scene_idx (the mvd
     * keyframe key), the 64-bit dHash split into 32-bit halves exactly
     * like binarize1Bit's (b_hi, b_lo), n_pos = popcount. This is what
     * makes INCREMENTAL video dedup a composition instead of new
@@ -723,7 +723,7 @@ object Multimodal {
     synthAvi(frames, 16, 16, fps = 10)
   }
 
-  /** Deterministic clip synthesis for the `mm_vd` VIDEO NEAR-DUP oracle
+  /** Deterministic clip synthesis for the `mvd` VIDEO NEAR-DUP oracle
     * row — [[synthVideoPayload]] with SPATIAL STRUCTURE, so scene
     * keyframes carry a discriminative dHash: each document gets an
     * MJPEG-in-AVI clip of `n = n_chars % 5 + 2` frames at 72×64 (9×8
@@ -1048,7 +1048,7 @@ object Multimodal {
   // ImageIO's default ImageInputStream cache is a TEMP FILE per read —
   // create/write/delete of an on-disk cache for every frame of every
   // clip. All decodes here come from in-memory byte arrays, so the
-  // disk cache is pure overhead; measured on the mm_vd sweep row
+  // disk cache is pure overhead; measured on the mvd sweep row
   // (~20k frame decodes at sf0.1, BenchOne x5): steady-state
   // 6.8-7.4 s -> 4.8-5.3 s. JVM-wide setting, applied once on first
   // use of this object (each executor JVM initializes it when a task

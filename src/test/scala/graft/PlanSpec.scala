@@ -78,7 +78,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("dup_max: every window is pair-keyed — no unpartitioned window, no cartesian") {
-    val p = plan("dup_m")
+    val p = plan("dpm")
     assert(!p.contains("CartesianProduct"),
       s"the seed self-join must stay keyed on the shingle hash:\n$p")
     // gaps-and-islands runs per (doc_a, doc_b, diag); a window without
@@ -110,7 +110,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("mm_near: banded candidates only — no cartesian over the hash frame") {
-    val p = plan("mm_nr")
+    val p = plan("mnr")
     assert(!p.contains("CartesianProduct"),
       s"image near-dup candidates must come from band buckets:\n$p")
   }
@@ -221,16 +221,16 @@ class PlanSpec extends SparkSpec {
     // A second Exchange would mean the synth or the transform started
     // shuffling data it never needs to move.
     // chnk (sliding-window chunking), mm_video (AVI frame decode) and
-    // mm_av (AVI audio demux) hold the same contract: per-document
+    // mav (AVI audio demux) hold the same contract: per-document
     // narrow work, the output sort's range partitioning is the only
     // data movement.
     // goph (rule-battery filter) and c4 (line cleaning) are likewise
     // per-document: split + HOF filters, nothing corpus-wide.
-    // robots (per-host rule chain) and mm_sc (scene-cut decode) join
+    // robots (per-host rule chain) and msc (scene-cut decode) join
     // the family: the verdict/segmentation is computed per document.
     for (q <- Seq("urlc", "un", "html", "chnk",
-        "mm_v", "mm_av", "s_r", "goph", "c4", "gr",
-        "secr", "rob", "mm_sc", "codeq")) {
+        "mv", "mav", "s_r", "goph", "c4", "gr",
+        "secr", "rob", "msc", "cq")) {
       val p = plan(q)
       assert(count(p, "Exchange") <= 1,
         s"$q must shuffle only for its output sort:\n$p")
@@ -625,7 +625,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("pagerank: co-partitioned sweeps — shuffle joins on keys, no broadcast of ranks") {
-    val p = plan("prank")
+    val p = plan("prk")
     // the N stamp broadcasts; the rank⋈edge joins are key-keyed shuffle
     // joins (rank frames are data-sized — broadcasting them would be
     // the 100 TB mistake), and nothing plans a cartesian

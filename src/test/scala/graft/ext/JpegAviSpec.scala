@@ -202,7 +202,7 @@ class JpegAviSpec extends SparkSpec {
       .collect().isEmpty)
   }
 
-  test("synthAvPayload matches the mm_av closed form (mm_audio's PCM via demux)") {
+  test("synthAvPayload matches the mav closed form (mm_audio's PCM via demux)") {
     for ((id, nch) <- Seq((0L, 0L), (7L, 123L), (400L, 999L))) {
       val n = (nch % 50 + 1).toInt
       val ds = Seq(Multimodal.MediaRow(id,

@@ -6,7 +6,7 @@ import graft.SparkSpec
 import graft.ext.Multimodal.MediaRow
 
 /** Incremental VIDEO near-dup as a pure composition: scene keyframes
-  * (the mm_vd pipeline's segmentation + dHash) adapt into the binary
+  * (the mvd pipeline's segmentation + dHash) adapt into the binary
   * serving stack's packed-code layout via [[Multimodal.keyframeCodes]]
   * and ride the SAME stored history as embedding codes —
   * [[Similarity.appendCodes]] for the replay-exact store,
