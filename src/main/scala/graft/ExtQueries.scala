@@ -1395,11 +1395,19 @@ model AS (
         .map { case (id, nch) =>
           Multimodal.MediaRow(id, Multimodal.synthVidDupPayload(id, nch),
             "video/avi") }
+      // keyframe key uses the wide 2^20 stride (keyframeCodes'
+      // convention — r16's *8 packing aliased clips above 8 scenes);
+      // maxBucket is DISABLED rather than silently relied on: the
+      // fixture yields only 256 distinct hashes, so at a large enough
+      // sf the default 4096 cap would start skipping whole buckets and
+      // silently diverge from the cap-free oracle (ADVICE r16). The
+      // fixture bounds bucket sizes at correctness scale anyway.
       val kf = Multimodal.sceneKeyframeHashes(rows).toDF()
-        .select(expr("media_id * 8 + scene_idx").as("kid"), col("dhash"))
-      Multimodal.nearDupImages(kf, col("kid"), col("dhash"), maxDist = 3)
-        .select(expr("id_a div 8").as("clip_a"),
-          expr("id_b div 8").as("clip_b"), col("dist"))
+        .select(expr("media_id * 1048576 + scene_idx").as("kid"), col("dhash"))
+      Multimodal.nearDupImages(kf, col("kid"), col("dhash"), maxDist = 3,
+          maxBucket = Int.MaxValue)
+        .select(expr("id_a div 1048576").as("clip_a"),
+          expr("id_b div 1048576").as("clip_b"), col("dist"))
         .where(col("clip_a") =!= col("clip_b"))
         .groupBy("clip_a", "clip_b")
         .agg(min("dist").as("min_dist"), count(lit(1)).as("n_scenes"))
@@ -4556,7 +4564,7 @@ FROM s GROUP BY media_id, sc ORDER BY media_id, scene_idx"""),
   FROM (SELECT doc_id, unnest(range(CASE WHEN n >= 4 THEN 2 ELSE 1 END)) AS s
         FROM d)
 ), h AS (
-  SELECT doc_id * 8 + s AS kid, doc_id,
+  SELECT doc_id * 1048576 + s AS kid, doc_id,
     bit_or(CASE WHEN (kb + 29 * gx + 53 * gy) % 256 >= 227 AND gy < 4
       THEN 1::BIGINT << CAST(gy * 8 + gx AS INT) ELSE 0 END) AS dlo,
     bit_or(CASE WHEN (kb + 29 * gx + 53 * gy) % 256 >= 227 AND gy >= 4

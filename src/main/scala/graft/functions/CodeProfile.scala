@@ -10,9 +10,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * code-data quality battery ([[graft.ext.TextAnalysis.codeQuality]])
   * in ONE native pass over the file.
   *
-  * Counters (lines split on `\n`, empties preserved — Java split
-  * boundary semantics, so an empty file is ONE empty line and the
-  * downstream ratios never divide by zero; lengths in codepoints):
+  * Counters (lines split on `\n` with TRAILING empties preserved —
+  * Java `split` with limit -1 / DuckDB `string_split` semantics, NOT
+  * Java's default `split` which drops trailing empty strings
+  * ("a\n" → 2 lines here, 1 under the default) — so an empty file is
+  * ONE empty line and the downstream ratios never divide by zero;
+  * lengths in codepoints):
   *  - n_lines, max_ll (longest line), sum_ll (total line chars —
   *    the file's char count excluding newlines);
   *  - n_comment: lines whose first non-space/tab chars are `//` or

@@ -28,7 +28,7 @@ class VideoDedupHistorySpec extends SparkSpec {
     val got = codesOf(clip(40L, 0L)).collect().head
     val h = Multimodal.sceneKeyframeHashes(Seq(clip(40L, 0L)).toDS())
       .collect().head.dhash
-    assert(got.getLong(0) == 40L * 8)
+    assert(got.getLong(0) == 40L * 1048576)
     assert(got.getLong(1) == ((h >>> 32) & 0xffffffffL))
     assert(got.getLong(2) == (h & 0xffffffffL))
     assert(got.getLong(3) == java.lang.Long.bitCount(h))
@@ -55,8 +55,8 @@ class VideoDedupHistorySpec extends SparkSpec {
     val tags = Similarity.tagNearCodes(
         codesOf(clip(42L, 0L), clip(far, 0L)), path, maxHam = 3)
       .collect().map(r => (r.getLong(0), r.getBoolean(1))).toMap
-    assert(tags(42L * 8) === true, s"near clip 42 must tag against 40/41")
-    assert(tags(far * 8) === false, s"far clip $far must not tag")
+    assert(tags(42L * 1048576) === true, s"near clip 42 must tag against 40/41")
+    assert(tags(far * 1048576) === false, s"far clip $far must not tag")
     // append the new batch; a marker replay is a no-op
     assert(Similarity.appendCodes(codesOf(clip(42L, 0L), clip(far, 0L)),
       path, batchId = 1L))
@@ -65,8 +65,46 @@ class VideoDedupHistorySpec extends SparkSpec {
     // no second copy of its keyframe code
     assert(Similarity.appendCodes(codesOf(clip(42L, 0L)), path, batchId = 2L))
     val stored = spark.read.parquet(s"$path/codes")
-    assert(stored.where(s"vec_id = ${42L * 8}").count() == 1)
+    assert(stored.where(s"vec_id = ${42L * 1048576}").count() == 1)
     assert(stored.count() == 4)
+    graft.CacheScope.release()
+  }
+
+  test("a >8-scene clip never aliases into its neighbour's id space") {
+    // VERDICT r16 weak finding: the r16 *8 stride made clip m scene 8
+    // collide with clip m+1 scene 0 — appendCodes then dropped the
+    // neighbour's genuinely-new keyframe as "already stored" and
+    // tagNearCodes' vec_id self-exclusion suppressed a real cross-clip
+    // match. Fixture clips cap at 2 scenes, so this drives
+    // keyframeCodes over synthetic keyframe rows directly: clip 7 with
+    // 10 scenes (indices 0..9 — past the old stride) and clip 8 with
+    // scene 0 carrying a DISTINCT hash.
+    import Multimodal.SceneKeyframe
+    val many = (0 until 10).map(s =>
+      SceneKeyframe(7L, s, s * 3, s * 3 + 2, 0x0123456789abcdefL + s))
+    val neighbour = SceneKeyframe(8L, 0, 0, 2, -1L)
+    val codes = Multimodal.keyframeCodes((many :+ neighbour).toDS().toDF())
+    val ids = codes.select("vec_id").as[Long].collect().toSet
+    assert(ids.size == 11, "11 keyframes must pack to 11 distinct ids")
+    assert(ids.contains(7L * 1048576 + 9) && ids.contains(8L * 1048576))
+    // under the OLD packing 7*8+8 == 8*8+0; the wide stride keeps the
+    // append path storing both rows
+    val path = Files.createTempDirectory("vidalias").toString + "/store"
+    assert(Similarity.appendCodes(
+      Multimodal.keyframeCodes(many.toDS().toDF()), path, batchId = 0L))
+    assert(Similarity.appendCodes(
+      Multimodal.keyframeCodes(Seq(neighbour).toDS().toDF()),
+      path, batchId = 1L))
+    assert(spark.read.parquet(s"$path/codes").count() == 11)
+    // a clip past the 2^20 stride fails LOUDLY instead of corrupting
+    // the shared history
+    val over = Seq(SceneKeyframe(9L, 1048576, 0, 2, 1L)).toDS().toDF()
+    val e = intercept[Exception] {
+      Multimodal.keyframeCodes(over).collect()
+    }
+    assert(e.getMessage.contains("overflows the 2^20 packing stride")
+      || e.getCause != null &&
+        e.getCause.getMessage.contains("overflows the 2^20 packing stride"))
     graft.CacheScope.release()
   }
 }
