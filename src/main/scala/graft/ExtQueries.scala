@@ -65,6 +65,37 @@ object ExtQueries {
             ELSE [] END)) AS s0
         FROM w)
 )"""
+  // Mirror of synthChatDupConv → Chat.render → distinct word
+  // 3-shingles with the maxDocFreq ≤ 8 stop-shingle filter (shf) —
+  // the shared front of the cdd and chat_dc oracles. `r(doc_id, text)`
+  // is the render frame, `shf(doc_id, s)` the informative shingles.
+  private def chatRenderShinglesCte = s"""WITH c AS (
+  SELECT doc_id, doc_id // 4 AS g, doc_id % 4 AS m FROM documents
+), r AS (
+  SELECT doc_id, concat('<|user|>please explain topic ', g,
+    ' in simple terms', chr(10), '<|assistant|>',
+    CASE WHEN m = 3 THEN concat(
+      'totally different discussion of crops weather and markets ', g)
+    ELSE concat('topic ', g, ' ',
+      CASE WHEN m = 2 THEN 'runs' ELSE 'works' END,
+      ' by rule one rule two rule three done') END) AS text
+  FROM c
+), w AS (
+  SELECT doc_id, text, string_split_regex(trim(text), ' +') AS words
+  FROM r
+), sh AS (
+  SELECT doc_id, ${h60("s0")} AS s
+  FROM (SELECT doc_id,
+          unnest(list_distinct(CASE WHEN len(words) >= 3
+            THEN list_transform(range(len(words)-2),
+                 i -> array_to_string(words[i+1:i+3], ' '))
+            ELSE [] END)) AS s0
+        FROM w)
+), shf AS (
+  SELECT doc_id, s FROM sh
+  WHERE s IN (SELECT s FROM sh GROUP BY s HAVING count(*) <= 8)
+)"""
+
   // Tokens: word runs or single non-word chars (see Text.TokenRe).
   private val TokRe = "[0-9A-Za-z_]+|[^0-9A-Za-z_ ]"
 
@@ -1193,6 +1224,25 @@ model AS (
           col("jaccard"),
           (col("fa.render_fp") === col("fb.render_fp")).as("exact"))
         .orderBy("doc_a", "doc_b")
+    }),
+
+    // SFT EVAL DECONTAMINATION — the seat the chat wave left open
+    // (VERDICT r16 #3): an SFT set priced against an eval sliver the
+    // way pretraining text is. Rendered conversations (the exact text
+    // the tokenizer sees) ride ngramContamination with the planted
+    // val/test split; maxDocFreq = 8 because chat templates are
+    // boilerplate by construction (the chat_dd lesson) — without the
+    // stop-shingle cap every eval conversation "leaks" through the
+    // template's shared runs and the probe join concentrates on
+    // corpus-wide hot keys. Groups of 4 consecutive ids share topic
+    // shingles, so groups straddling the hash split carry real signal.
+    "chat_dc" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val r = Chat.render(synthChatDupConv(docs), col("conv"), col("doc_id"))
+      Dedup.ngramContamination(r, col("text"), col("doc_id"),
+          Sampling.split(docs, col("doc_id")).select("doc_id", "split"),
+          maxDocFreq = 8)
+        .orderBy("doc_id")
     }),
 
     // Preference-pair (DPO) validation over synthesized (chosen,
@@ -4064,33 +4114,9 @@ ORDER BY doc_id, turn_idx"""),
     // synthChatDupConv's renders rebuilt closed-form, then the dd_j
     // pair arithmetic over the render's word shingles — with the
     // maxDocFreq <= 8 stop-shingle filter mirrored (shf) — plus the
-    // exact marker from the render md5.
-    "cdd" -> (s"""WITH c AS (
-  SELECT doc_id, doc_id // 4 AS g, doc_id % 4 AS m FROM documents
-), r AS (
-  SELECT doc_id, concat('<|user|>please explain topic ', g,
-    ' in simple terms', chr(10), '<|assistant|>',
-    CASE WHEN m = 3 THEN concat(
-      'totally different discussion of crops weather and markets ', g)
-    ELSE concat('topic ', g, ' ',
-      CASE WHEN m = 2 THEN 'runs' ELSE 'works' END,
-      ' by rule one rule two rule three done') END) AS text
-  FROM c
-), w AS (
-  SELECT doc_id, text, string_split_regex(trim(text), ' +') AS words
-  FROM r
-), sh AS (
-  SELECT doc_id, ${h60("s0")} AS s
-  FROM (SELECT doc_id,
-          unnest(list_distinct(CASE WHEN len(words) >= 3
-            THEN list_transform(range(len(words)-2),
-                 i -> array_to_string(words[i+1:i+3], ' '))
-            ELSE [] END)) AS s0
-        FROM w)
-), shf AS (
-  SELECT doc_id, s FROM sh
-  WHERE s IN (SELECT s FROM sh GROUP BY s HAVING count(*) <= 8)
-), sizes AS (
+    // exact marker from the render md5. The render/shingle/cap front
+    // (chatRenderShinglesCte) is shared verbatim with chat_dc.
+    "cdd" -> (chatRenderShinglesCte + s""", sizes AS (
   SELECT doc_id, count(*) AS n FROM shf GROUP BY 1
 ), pairs AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
@@ -4106,6 +4132,30 @@ FROM pairs JOIN sizes sa ON doc_a = sa.doc_id
            JOIN fp fb ON doc_b = fb.doc_id
 WHERE round(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 6) >= 0.5
 ORDER BY doc_a, doc_b"""),
+
+    // SFT eval decontamination: the dng contamination arithmetic over
+    // the rendered conversations, with cdd's stop-shingle cap (shf)
+    // mirrored — doc-frequency over both splits, cap 8.
+    "chat_dc" -> (chatRenderShinglesCte + s""", sp AS (
+  SELECT doc_id,
+       CASE WHEN ${h60("CAST(doc_id AS VARCHAR)")} % 1000000 < 50000 THEN 'val'
+            WHEN ${h60("CAST(doc_id AS VARCHAR)")} % 1000000 < 100000 THEN 'test'
+            ELSE 'train' END AS split
+  FROM documents
+), tagged AS (
+  SELECT shf.doc_id, shf.s, sp.split FROM shf JOIN sp ON shf.doc_id = sp.doc_id
+), ts AS (
+  SELECT DISTINCT s FROM tagged WHERE split = 'train'
+)
+SELECT t.doc_id, t.split,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(sum(CASE WHEN ts.s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_contaminated,
+       CAST(sum(CASE WHEN ts.s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) * 1000
+         // CAST(count(*) AS BIGINT) AS contam_pm
+FROM tagged t LEFT JOIN ts ON t.s = ts.s
+WHERE t.split <> 'train'
+GROUP BY 1, 2 ORDER BY doc_id"""),
 
     "pref" -> ("""SELECT doc_id AS pair_id,
   NOT (doc_id % 17 = 0) AS pair_ok,

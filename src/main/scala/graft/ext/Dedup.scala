@@ -380,18 +380,47 @@ object Dedup {
     * big side; a bloom pre-filter ([[graft.operators.BloomSemiJoin]])
     * over the probe cuts the exact join's shuffle the way the serving
     * path's bloom semi join does — composable here because the exact
-    * join still decides membership. */
+    * join still decides membership.
+    *
+    * `maxDocFreq` is [[ngramJaccard]]'s STOP-SHINGLE guard transplanted
+    * to the contamination score, and it matters most for TEMPLATED
+    * corpora (the chat_dd lesson: rendered SFT conversations share the
+    * chat template's boilerplate runs by construction, so without the
+    * cap every eval conversation reads as "contaminated" by template
+    * shingles that carry zero leak signal, and the probe join
+    * concentrates on a handful of corpus-wide hot keys). Setting it
+    * drops shingles present in more than `maxDocFreq` documents —
+    * doc-frequency counted over BOTH splits of the joined frame, the
+    * same self-consistent rule as ngramJaccard — BEFORE sizes and
+    * membership, so contam_pm is scored over informative shingles
+    * only. Documents whose every shingle is capped away drop from the
+    * output (their score would be 0/0). When set, the exploded frame
+    * persists query-scoped (three consumers: the doc-frequency count
+    * and both split sides); the default keeps today's single-pass
+    * lineage and exact-textbook semantics. */
   def ngramContamination(df: DataFrame, content: Column, id: Column,
                          splits: DataFrame, trainSplit: String = "train",
                          k: Int = 3, idCol: String = "doc_id",
-                         splitCol: String = "split"): DataFrame = {
+                         splitCol: String = "split",
+                         maxDocFreq: Int = Int.MaxValue): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
     val sp = splits.select(col(idCol).as("__id"), col(splitCol).as("split"))
-    val ex = df.select(id.as("doc_id"), content.as("__text"))
+    val ex0 = df.select(id.as("doc_id"), content.as("__text"))
       .join(sp, col("doc_id") === col("__id")).drop("__id")
       .select(col("doc_id"), col("split"),
         explode(array_distinct(Text.shingles(col("__text"), k))).as("str"))
       .select(col("doc_id"), col("split"), Text.hash60(col("str")).as("s"))
+    val ex =
+      if (maxDocFreq == Int.MaxValue) ex0
+      else {
+        // rows are distinct per (doc, shingle): a row count per shingle
+        // IS its document frequency (partial agg — the hot key is the
+        // one being removed)
+        val cached = graft.CacheScope.persistTracked(ex0)
+        val keep = cached.groupBy("s").agg(count(lit(1)).as("__df"))
+          .where(col("__df") <= maxDocFreq).select("s")
+        cached.join(keep, Seq("s"))
+      }
     val trainS = ex.where(col("split") === trainSplit)
       .select("s").distinct().withColumn("__hit", lit(1L))
     ex.where(col("split") =!= trainSplit)

@@ -213,6 +213,44 @@ class DedupSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, "train", 2L, "test"), (5L, "val", 6L, "train")))
   }
 
+  test("ngramContamination: stop-shingle cap drops boilerplate from the score") {
+    // three train docs + one eval doc share the 5-word template head
+    // "shared template header words here" (its 3 shingles sit in 4 docs
+    // > cap 2); the eval doc ALSO leaks one genuinely-train trigram
+    // ("alpha beta gamma", df = 2 <= cap). With the cap the eval doc
+    // scores exactly that one informative hit; uncapped, the template
+    // shingles count too.
+    val corpus = Seq(
+      (1L, "shared template header words here alpha beta gamma"),
+      (2L, "shared template header words here totally other tail"),
+      (3L, "shared template header words here third body text"),
+      (10L, "shared template header words here alpha beta gamma extra")
+    ).toDF("doc_id", "text")
+    val splits = Seq(1L -> "train", 2L -> "train", 3L -> "train",
+      10L -> "val").toDF("doc_id", "split")
+    val capped = Dedup.ngramContamination(corpus, $"text", $"doc_id",
+        splits, maxDocFreq = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getLong(2), r.getLong(3))).toSeq
+    // eval doc 10's surviving shingles: every trigram touching the
+    // tail plus "alpha beta gamma" (df 2); template-only trigrams
+    // ("shared template header", "template header words",
+    // "header words here") sit in 4 docs and are capped away.
+    // 8-word+1 doc -> 7 trigrams, minus the 3 capped = 4 surviving, of
+    // which "alpha beta gamma" and "beta gamma extra"? no — "beta
+    // gamma extra" exists only in doc 10. Contaminated = shingles also
+    // in SOME train doc: "words here alpha" (doc 1), "here alpha beta"
+    // (doc 1), "alpha beta gamma" (doc 1) = 3 of 4.
+    assert(capped == Seq((10L, "val", 4L, 3L)))
+    // uncapped: all 7 shingles counted, 6 contaminated (everything but
+    // "beta gamma extra" occurs in a train doc)
+    val uncapped = Dedup.ngramContamination(corpus, $"text", $"doc_id", splits)
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getLong(2), r.getLong(3))).toSeq
+    assert(uncapped == Seq((10L, "val", 7L, 6L)))
+    graft.CacheScope.release()
+  }
+
   test("sharedShingleStats: cross-doc shared fraction; intra-doc repeats don't count") {
     val corpus = Seq(
       (1L, "a b c d"),     // distinct shingles: "a b c", "b c d"
