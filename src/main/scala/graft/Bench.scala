@@ -335,8 +335,13 @@ object Bench {
       Set("zipf", "shp", "rare", "prk", "hits", "tri",
         "dom").contains(name)) "rel"
     // rrf fuses the bm25 and ANN top-k plans — it shards with ann (its
-    // dominant cost is the vector scan, and text is at the 40-row cap)
-    else if (name == "rrf") "ann"
+    // dominant cost is the vector scan, and text is at the 40-row cap).
+    // r17 moved the other vector-profile rows out of the text
+    // catch-all with it: the binary serving family (hamr/hamx/hamq)
+    // and the embedding evals (mmr/mrl) are embeddings-table scans,
+    // and text sat AT the 40-query shard cap.
+    else if (Set("rrf", "hamq", "hamr", "hamx", "mmr", "mrl")
+      .contains(name)) "ann"
     // bm25 would hit the b-prefix core rule below — but core is the
     // latency-sensitive serving shard, and a corpus-scale explode in
     // that child JVM is exactly the cross-contamination sharding exists

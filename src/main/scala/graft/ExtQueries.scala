@@ -1106,6 +1106,18 @@ model AS (
           "vec_id", "embedding", b1CodesFor(s, d), maxHam = 20)
         .select("vec_id", "near_history").orderBy("vec_id")),
 
+    // BATCH INDEXED probe of the stored 1-bit code history — the vbq
+    // analog for the binary stack (store = the vec_id % 10 < 8 codes
+    // the hamx history holds, probe frame = the % 100 == 0 slice,
+    // fused per-query Hamming top-3 in one job). A probe vector that
+    // is itself stored self-matches at distance 0 — mirrored verbatim
+    // in the oracle.
+    "hamq" -> ((s, d) =>
+      Similarity.hammingTopKIndexed(s, b1CodesFor(s, d),
+          Tables.embeddings(s, d).where(col("vec_id") % 100 === 0),
+          "vec_id", "embedding", k = 3)
+        .orderBy("q_id", "rnk")),
+
     // BM25 lexical retrieval: four fixed 3-term queries over the
     // corpus vocabulary, top-10 documents each, exact-integer scoring
     // (bit-length idf, cross-multiplied k1/b saturation term).
@@ -3783,6 +3795,39 @@ nr AS (
 )
 SELECT bt.vec_id, (nr.vec_id IS NOT NULL) AS near_history
 FROM bt LEFT JOIN nr USING (vec_id) ORDER BY vec_id"""),
+
+    // Mirror of Similarity.hammingTopKIndexed: vb1's binarize/top-k
+    // arithmetic with hamx's store/probe split — store = % 10 < 8,
+    // probes = % 100 = 0 (self-matches included, distance 0).
+    "hamq" -> ("""WITH qz AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS xq
+  FROM embeddings
+), bits AS (
+  SELECT vec_id,
+    CAST(coalesce(list_sum(list_transform(range(32, 64),
+      i -> CASE WHEN xq[i+1] > 0 THEN CAST(1 AS BIGINT) << (i - 32)
+           ELSE 0 END)), 0) AS BIGINT) AS b_hi,
+    CAST(coalesce(list_sum(list_transform(range(32),
+      i -> CASE WHEN xq[i+1] > 0 THEN CAST(1 AS BIGINT) << i
+           ELSE 0 END)), 0) AS BIGINT) AS b_lo
+  FROM qz
+), pr AS (
+  SELECT vec_id AS q_id, b_hi AS qhi, b_lo AS qlo
+  FROM bits WHERE vec_id % 100 = 0
+), hm AS (
+  SELECT pr.q_id, hs.vec_id,
+         CAST(bit_count(xor(hs.b_hi, pr.qhi))
+            + bit_count(xor(hs.b_lo, pr.qlo)) AS BIGINT) AS ham
+  FROM (SELECT * FROM bits WHERE vec_id % 10 < 8) hs
+  CROSS JOIN pr
+)
+SELECT q_id, rnk, vec_id, ham FROM (
+  SELECT q_id, vec_id, ham,
+         row_number() OVER (PARTITION BY q_id ORDER BY ham, vec_id) AS rnk
+  FROM hm)
+WHERE rnk <= 3 ORDER BY q_id, rnk"""),
 
     // Mirror of TextAnalysis.bm25TopK: bit-length Robertson idf,
     // cross-multiplied k1=1.2 / b=0.75 saturation term in exact

@@ -153,6 +153,42 @@ object Similarity {
       .select("q_id", "rnk", "vec_id", "ham", "cosine")
   }
 
+  /** BATCH probe of the STORED code index — the (store | probe) seat
+    * the embedding family already has (vbq over the IVF store) filled
+    * for the 1-bit stack: a query FRAME of embeddings against the
+    * [[writeB1Codes]] artifact, per-query Hamming top-k fused into ONE
+    * job. Completes the binary matrix: [[hammingTopK]] is the brute
+    * in-memory pass, [[tagNearB1Codes]] the boolean gate, this the
+    * serving probe over the persisted history.
+    *
+    * Scale shape: the stored side is ONE parquet scan of 16-byte codes
+    * — never shuffled, never broadcast (at 10⁹ vectors the store is
+    * the big side); the binarized query batch rides a broadcast nested
+    * loop over it, two XOR+popcounts per pair; the per-query top-k is
+    * a `row_number` window Spark executes with a PARTIAL
+    * WindowGroupLimit, so each scan task emits at most k rows per
+    * query into the q_id exchange — k·|queries|·tasks rows shuffle, not
+    * |store|·|queries|. Ties break by vec_id; output
+    * (q_id, rnk, vec_id, ham). */
+  def hammingTopKIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: DataFrame, idCol: String, embCol: String,
+      k: Int = 10): DataFrame = {
+    val hist = spark.read.parquet(s"$path/codes")
+      .select(col("vec_id"), col("b_hi"), col("b_lo"))
+    val qb = binarize1Bit(queries, col(idCol), col(embCol))
+      .select(col("vec_id").as("q_id"), col("b_hi").as("__qhi"),
+        col("b_lo").as("__qlo"))
+    val ham = hist.crossJoin(broadcast(qb))
+      .select(col("q_id"), col("vec_id"),
+        expr("CAST(bit_count(b_hi ^ __qhi) + bit_count(b_lo ^ __qlo) " +
+          "AS BIGINT)").as("ham"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("ham").asc, col("vec_id").asc)
+    ham.withColumn("rnk", row_number().over(win).cast("long"))
+      .where(col("rnk") <= k)
+      .select("q_id", "rnk", "vec_id", "ham")
+  }
+
   /** Materialize the binary-code HISTORY file: every vector's
     * [[binarize1Bit]] code — 16 bytes of payload per vector — plus a
     * one-row `meta` frame pinning the code width. Unlike the LSH/IVF

@@ -270,6 +270,22 @@ class PlanSpec extends SparkSpec {
       s"expected a Partial-mode WindowGroupLimit for the fused top-k:\n$p")
   }
 
+  test("hamq: store scans unshuffled into a broadcast loop, top-k group-limited") {
+    val p = plan("hamq")
+    // the stored code side must stream into the probe join as a bare
+    // scan — broadcast nested loop with the QUERY side broadcast, the
+    // 10^9-vector store never shuffled or broadcast
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"expected the batch probe as a broadcast nested loop:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"the code store must not shuffle for the probe:\n$p")
+    // per-query top-k cuts each scan task to k rows per query BEFORE
+    // the q_id exchange
+    assert(p.split('\n').exists(l =>
+      l.contains("WindowGroupLimit") && l.contains("Partial")),
+      s"expected a Partial-mode WindowGroupLimit in:\n$p")
+  }
+
   test("dom rollup: partial-agg per host, no window, no cartesian") {
     val p = plan("dom")
     assert(!p.contains("CartesianProduct") && !p.contains("Window"),

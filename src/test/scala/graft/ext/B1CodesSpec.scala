@@ -62,6 +62,28 @@ class B1CodesSpec extends SparkSpec {
     assert(codes().where($"vec_id" === 3L).count() === 1)
   }
 
+  test("hammingTopKIndexed: hand-computed per-query top-k over the store") {
+    val root = Files.createTempDirectory("graft-b1q").toString
+    // store (little-endian sign bits): 1 → 1111, 2 → 0000, 3 → 1100,
+    // 4 → 1000
+    Similarity.writeB1Codes(
+      Seq((1L, v(1, 1, 1, 1)), (2L, v(-1, -1, -1, -1)),
+        (3L, v(1, 1, -1, -1)), (4L, v(1, -1, -1, -1)))
+        .toDF("vec_id", "embedding"),
+      "vec_id", "embedding", root)
+    // q10 = 1110: ham 1/3/1/2 to 1/2/3/4 → top-2 = (1,1),(3,1)
+    //   (ham tie at 1 breaks by vec_id: 1 before 3)
+    // q11 = 0000: ham 4/0/2/1 to 1/2/3/4 → top-2 = (2,0),(4,1)
+    val out = Similarity.hammingTopKIndexed(spark, root,
+        Seq((10L, v(1, 1, 1, -1)), (11L, v(-1, -1, -1, -1)))
+          .toDF("vec_id", "embedding"),
+        "vec_id", "embedding", k = 2)
+      .orderBy("q_id", "rnk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq((10L, 1L, 1L, 1L), (10L, 2L, 3L, 1L),
+      (11L, 1L, 2L, 0L), (11L, 2L, 4L, 1L)))
+  }
+
   test("streaming: each micro-batch tags against codes appended by the last") {
     val root = Files.createTempDirectory("graft-b1s").toString
     val feedDir = s"$root/feed"
