@@ -1322,6 +1322,17 @@ model AS (
           col("doc_id"), sizeWords = 32, strideWords = 24)
         .orderBy("doc_id", "chunk_idx")),
 
+    // Sentence-AWARE chunking on the same 32/24 grid — sentences never
+    // split, a window is a chunk of the whole sentences starting in it.
+    // The fixture plants terminal '.'s every 9+13·(doc_id%4) words, so
+    // docs with m = 35/48 carry sentences LONGER than the 32-word
+    // budget and exercise the sparse-chunk_idx case (a straddling
+    // sentence swallows the next window) at correctness scale.
+    "chnk_s" -> ((s, d) =>
+      Curation.chunkBySentences(sentDocs(Tables.documents(s, d)),
+          col("text"), col("doc_id"), sizeWords = 32, strideWords = 24)
+        .orderBy("doc_id", "chunk_idx")),
+
     "mft" -> ((s, d) =>
       Multimodal.featuresCols(Tables.documents(s, d),
         col("text").cast("binary"), col("doc_id")).orderBy("media_id")),
@@ -1769,6 +1780,21 @@ model AS (
         " concat('val b = \"', repeat('QUJ+Dabc', 6), '\";') end"),
       expr("case when doc_id % 13 = 0 then" +
         " repeat('+-*/()[]{}; .', 30) end")).as("text"))
+
+  /** Deterministic sentence-structured frame for the `chnk_s` row: the
+    * raw fixture text carries no punctuation, so a terminal '.' is
+    * planted on every word at position i (0-based) with
+    * `(i·13 + doc_id) % (9 + 13·(doc_id % 4)) = 0` — sentence stride
+    * m ∈ {9, 22, 35, 48} by doc residue (13 is coprime to each m, so
+    * boundaries land every m words exactly). m > 32 exceeds the chunk
+    * budget. Mirrored verbatim in the oracle CTE. */
+  private def sentDocs(docs: DataFrame): DataFrame =
+    // same one-split discipline as pageDocs (see comment there)
+    docs.select(col("doc_id"), split(trim(col("text")), " +").as("__w"))
+      .select(col("doc_id"), expr(
+        "array_join(transform(__w, (w, i) -> " +
+          "CASE WHEN (i * 13 + doc_id) % (9 + (doc_id % 4) * 13) = 0 " +
+          "THEN concat(w, '.') ELSE w END), ' ')").as("text"))
 
   private def pageDocs(docs: DataFrame): DataFrame =
     // split ONCE into a named column before the lambdas — Spark does no
@@ -3588,6 +3614,45 @@ SELECT doc_id, CAST(i AS INT) AS chunk_idx,
        array_to_string(words[i*24+1 : i*24+32], ' ') AS chunk_text,
        CAST(least(32, n - i*24) AS INT) AS n_words
 FROM s ORDER BY doc_id, chunk_idx"""),
+
+    // Mirror of sentDocs -> Curation.chunkBySentences on the 32/24
+    // grid: planted '.'s, word-level sentence ends (last char in
+    // .!? or final word), each sentence joins every window its start
+    // offset o falls in (truncating // only differs from floor below
+    // zero, where greatest(0, ..) clamps both).
+    "chnk_s" -> ("""WITH pw AS (
+  SELECT doc_id, string_split_regex(trim(text), ' +') AS w0 FROM documents
+), sd AS (
+  SELECT doc_id, array_to_string(list_transform(range(len(w0)),
+    i -> CASE WHEN (i * 13 + doc_id) % (9 + (doc_id % 4) * 13) = 0
+         THEN concat(w0[i+1], '.') ELSE w0[i+1] END), ' ') AS text
+  FROM pw
+), w AS (
+  SELECT doc_id, string_split_regex(trim(text), ' +') AS words
+  FROM sd WHERE length(trim(text)) > 0
+), b AS (
+  SELECT doc_id, words,
+    list_filter(range(1, len(words) + 1),
+      i -> i = len(words) OR words[i][-1] IN ('.', '!', '?')) AS bp
+  FROM w
+), s AS (
+  SELECT doc_id,
+    CASE WHEN k = 0 THEN 0 ELSE bp[k] END AS o,
+    bp[k+1] - CASE WHEN k = 0 THEN 0 ELSE bp[k] END AS c,
+    array_to_string(
+      words[(CASE WHEN k = 0 THEN 0 ELSE bp[k] END) + 1 : bp[k+1]],
+      ' ') AS t
+  FROM (SELECT doc_id, words, bp, unnest(range(len(bp))) AS k FROM b)
+), x AS (
+  SELECT doc_id, o, c, t,
+    unnest(range(greatest(0, (o - 32 + 24) // 24), o // 24 + 1)) AS ci
+  FROM s
+)
+SELECT doc_id, CAST(ci AS INT) AS chunk_idx,
+       string_agg(t, ' ' ORDER BY o) AS chunk_text,
+       CAST(count(*) AS INT) AS n_sents,
+       CAST(sum(c) AS INT) AS n_words
+FROM x GROUP BY 1, 2 ORDER BY doc_id, chunk_idx"""),
 
     "mft" -> (s"""
 SELECT doc_id AS media_id,

@@ -500,6 +500,83 @@ object Curation {
           col("__n") - col("pos") * strideWords).cast("int").as("n_words"))
   }
 
+  /** SENTENCE-AWARE chunking — [[chunkByWords]]'s sibling for the
+    * public long-document recipe: never split mid-sentence. The word
+    * grid is the same (`sizeWords`-word windows every `strideWords`),
+    * but a SENTENCE joins every window its first word falls in, whole —
+    * so chunks align to sentence boundaries, overlap is inherited from
+    * the grid, and a chunk can run past `sizeWords` when a sentence
+    * straddles its right edge (the defining trade of sentence-aware
+    * chunking). A window that no sentence STARTS in emits no chunk, so
+    * `chunk_idx` is sparse around sentences longer than the window —
+    * callers treat chunk_idx as a grid position, not a dense rank.
+    *
+    * Sentence boundaries are word-level and dialect-free (both engines
+    * agree without lookbehind, which RE2 lacks): a sentence ends at
+    * every word whose last character is `.`, `!` or `?`, and at the
+    * document's final word. An abbreviation like "etc." therefore
+    * cuts — the standard cheap-segmenter approximation; swap the
+    * boundary predicate for a model segmenter upstream if that
+    * matters.
+    *
+    * Scale shape: like [[chunkByWords]] a pure narrow projection —
+    * boundary positions, per-sentence offsets and window assignment
+    * all live in the array world (HOFs in whole-stage codegen), one
+    * explode at the end, no shuffle, no join; per-document work is
+    * O(sentences · windows), the overlap-factor-bounded fan-out.
+    *
+    * Output: (doc_id, chunk_idx, chunk_text, n_sents, n_words). */
+  def chunkBySentences(df: DataFrame, content: Column, id: Column,
+                       sizeWords: Int, strideWords: Int): DataFrame = {
+    require(sizeWords > 0 && strideWords > 0 && strideWords <= sizeWords,
+      s"need 0 < stride <= size, got size=$sizeWords stride=$strideWords")
+    // Plan-size fence between the HOF layers (QueryApi.parseOnce's
+    // documented always-true nondeterministic guard): the sentence
+    // layer references __bp six times and the window layer references
+    // __s twice, so with plain Projects CollapseProject would inline
+    // the whole chain into ONE expression whose size multiplies per
+    // layer — on a caller that stacks another synthesis transform
+    // under `content`, analysis+optimization of that mega-tree spun
+    // for MINUTES (caught live in r17 on the chnk_s row). The fence
+    // keeps each layer its own Project: the array materializes once
+    // per row — which is also the cheaper execution — and the
+    // always-true branch changes no value, under any partitioning.
+    def fence(c: Column): Column =
+      when(monotonically_increasing_id() >= -1, c)
+    df.where(length(trim(content)) > 0)
+      .select(id.as("doc_id"), Text.words(content).as("__w"))
+      .withColumn("__n", size(col("__w")))
+      // 1-based sentence END positions: terminal-punctuation words
+      // plus the final word
+      .withColumn("__bp", fence(expr(
+        "filter(sequence(1, __n), i -> i = __n OR " +
+          "right(element_at(__w, i), 1) IN ('.', '!', '?'))")))
+      // per-sentence struct: 0-based start offset o, word count c,
+      // text t (start = previous end + 1)
+      .withColumn("__s", fence(expr(
+        "transform(sequence(0, size(__bp) - 1), k -> named_struct(" +
+          "'o', CAST(CASE WHEN k = 0 THEN 0 ELSE element_at(__bp, k) END AS INT), " +
+          "'c', CAST(element_at(__bp, k + 1) - " +
+          "(CASE WHEN k = 0 THEN 0 ELSE element_at(__bp, k) END) AS INT), " +
+          "'t', array_join(slice(__w, " +
+          "(CASE WHEN k = 0 THEN 0 ELSE element_at(__bp, k) END) + 1, " +
+          "element_at(__bp, k + 1) - " +
+          "(CASE WHEN k = 0 THEN 0 ELSE element_at(__bp, k) END)), ' ')))")))
+      // grid windows up to the last sentence start; keep only windows
+      // some sentence starts in
+      .withColumn("__ch", expr(
+        s"filter(transform(sequence(0, element_at(__s, -1).o div $strideWords), " +
+          s"i -> named_struct('ci', i, 'ss', filter(__s, s -> " +
+          s"i * $strideWords <= s.o AND s.o < i * $strideWords + $sizeWords))), " +
+          "c -> size(c.ss) > 0)"))
+      .select(col("doc_id"), explode(col("__ch")).as("__c"))
+      .select(col("doc_id"), col("__c.ci").cast("int").as("chunk_idx"),
+        expr("array_join(transform(__c.ss, s -> s.t), ' ')").as("chunk_text"),
+        expr("CAST(size(__c.ss) AS INT)").as("n_sents"),
+        expr("CAST(aggregate(__c.ss, 0, (a, s) -> a + s.c) AS INT)")
+          .as("n_words"))
+  }
+
   /** Credential-shaped token regexes shared with the DuckDB oracle —
     * the detect-secrets / gitleaks pattern families every corpus
     * release scans for, kept inside the Java-regex ∩ RE2 dialect

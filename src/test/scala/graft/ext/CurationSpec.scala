@@ -146,6 +146,36 @@ class CurationSpec extends SparkSpec with org.scalatest.BeforeAndAfterEach {
     assert(again == out)
   }
 
+  test("chunkBySentences: boundaries, overlap, swallowed windows by hand") {
+    // size 4, stride 2; '.'/'!' end sentences, final word always does.
+    //  doc 1: "aa bb. cc dd ee. ff" -> sentences (o=0,c=2) (o=2,c=3)
+    //    (o=5,c=1); windows: ci0 gets o0+o2, ci1 gets o2+o5, ci2 o5
+    //  doc 2: 9 words, no punctuation -> ONE 9-word sentence at o=0:
+    //    a single chunk 0 RUNNING PAST the 4-word budget (never split),
+    //    later windows swallowed (no chunk 1)
+    //  doc 3: "hey! yo" -> two 1-word sentences, both start in window 0
+    val docs = Seq(
+      (1L, "aa bb. cc dd ee. ff"),
+      (2L, (1 to 9).map(i => s"w$i").mkString(" ")),
+      (3L, "hey! yo")).toDF("doc_id", "text")
+    val out = Curation.chunkBySentences(docs, col("text"), col("doc_id"),
+        sizeWords = 4, strideWords = 2)
+      .orderBy("doc_id", "chunk_idx")
+      .as[(Long, Int, String, Int, Int)].collect().toSeq
+    assert(out == Seq(
+      (1L, 0, "aa bb. cc dd ee.", 2, 5),
+      (1L, 1, "cc dd ee. ff", 2, 4),
+      (1L, 2, "ff", 1, 1),
+      (2L, 0, (1 to 9).map(i => s"w$i").mkString(" "), 1, 9),
+      (3L, 0, "hey! yo", 2, 2)))
+    // partitioning-independent (pure narrow projection)
+    val again = Curation.chunkBySentences(docs.repartition(5), col("text"),
+        col("doc_id"), sizeWords = 4, strideWords = 2)
+      .orderBy("doc_id", "chunk_idx")
+      .as[(Long, Int, String, Int, Int)].collect().toSeq
+    assert(again == out)
+  }
+
   test("c4Clean: line keep rules and page-level drops by hand") {
     val docs = Seq(
       // keep lines 1 (6 words, '.') and 5 (5 words, '!'); drop 2 (2
