@@ -838,6 +838,26 @@ object Dedup {
     }
   }
 
+  /** ONLINE compaction of the LSH bucket store — [[appendLshIndex]]'s
+    * per-batch generations squashed back to ONE file per `pb=`
+    * partition, the [[writeLshIndex]] layout verbatim (repartition on
+    * pb, sortWithinPartitions(band, bucket, doc_id) for footer
+    * skipping, hive `partitionBy(pb)` so [[tagNearLshIndex]]'s
+    * partition pruning survives — pinned in PlanSpec). Marker-race
+    * guarded generation swap ([[graft.sources.StoreCompaction]]);
+    * `meta` and the root-level batch markers never move, so replayed
+    * batches still no-op across the boundary. Returns the
+    * post-compaction file count. */
+  def compactLshIndex(spark: org.apache.spark.sql.SparkSession,
+                      path: String): Int =
+    graft.sources.StoreCompaction.swapCompact(spark, path, "buckets") {
+      (df, out) =>
+        df.repartition(col("pb"))
+          .sortWithinPartitions("band", "bucket", "doc_id")
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .partitionBy("pb").parquet(out)
+    }
+
   /** DEDUP CENSUS — the observability artifact a curation run
     * publishes: per-source counts of WHY documents were dropped, one
     * row per source. `tiers` is the ordered (name, flag) list of the

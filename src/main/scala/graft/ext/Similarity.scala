@@ -292,6 +292,40 @@ object Similarity {
     }
   }
 
+  /** ONLINE compaction of the code history — each [[appendCodes]]
+    * micro-batch lands one parquet generation, so a 24/7 feed degrades
+    * the [[tagNearCodes]] scan to thousands of small files. This
+    * squashes the store back to `files` data files via the
+    * [[graft.sources.StoreCompaction]] generation-swap (marker-race
+    * guarded; replayed batches still no-op on their root-level markers
+    * across the boundary). Flat store, so the rewrite is a plain
+    * repartition — there is no partition layout to preserve. Returns
+    * the post-compaction file count. */
+  def compactCodes(spark: org.apache.spark.sql.SparkSession, path: String,
+                   files: Int = 1): Int =
+    graft.sources.StoreCompaction.swapCompact(spark, path, "codes") {
+      (df, out) =>
+        df.repartition(files).write
+          .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(out)
+    }
+
+  /** ONLINE compaction of the IVF cell store — [[appendCellIndex]]'s
+    * per-batch generations squashed back to ONE file per `cid=`
+    * partition, the [[writeCellIndex]] layout verbatim (repartition on
+    * cid so each writer task holds exactly one cell, sortWithinPartitions
+    * for footer skipping, hive `partitionBy(cid)` so every probe
+    * path's partition pruning survives — pinned in PlanSpec). Returns
+    * the post-compaction file count. */
+  def compactCellIndex(spark: org.apache.spark.sql.SparkSession,
+                       path: String): Int =
+    graft.sources.StoreCompaction.swapCompact(spark, path, "cells") {
+      (df, out) =>
+        df.repartition(col("cid"))
+          .sortWithinPartitions("vid")
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .partitionBy("cid").parquet(out)
+    }
+
   /** Per-label CENTROID DRIFT between two embedding batches — the
     * monitoring pass an embedding pipeline runs between model versions
     * or crawl dumps (a label whose centroid swings is a re-embed or

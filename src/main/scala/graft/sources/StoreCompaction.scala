@@ -1,0 +1,106 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** ONLINE compaction for the path-based append-only index stores
+  * ([[graft.ext.Similarity.appendCodes]]'s code history,
+  * [[graft.ext.Similarity.appendCellIndex]]'s IVF cells,
+  * [[graft.ext.Dedup.appendLshIndex]]'s LSH buckets) — the
+  * [[BucketedMirror.compact]] contract re-expressed for stores whose
+  * readers resolve a LITERAL path instead of a catalog table.
+  *
+  * Why it exists: each `foreachBatch` append lands one parquet
+  * generation per micro-batch (per partition dir, for the
+  * hive-partitioned stores). A 24/7 deployment's probe degrades to
+  * thousands of small files — the btree page-split analog the mirror
+  * compactor solved in round 10; this closes the same hole for the
+  * three index stores (VERDICT r16 #4).
+  *
+  * The replay contract differs from the mirror's in one happy way: the
+  * `_applied_batches` markers live under the store ROOT, a SIBLING of
+  * the data subdir, so the swap never touches them — a batch replayed
+  * across the compaction finds its marker exactly where it was and
+  * no-ops without any marker-carrying step. What remains is the RACE
+  * guard: an append landing DURING the rewrite would put its rows into
+  * the old generation (and its marker into the shared set) and the
+  * swap would silently drop them. So, mirroring the mirror:
+  *
+  *  1. snapshot the marker set BEFORE reading any data;
+  *  2. rewrite the current snapshot, LAYOUT-PRESERVED (the caller's
+  *     `rewrite` re-states the store's own partitioning/sorting, so
+  *     partition pruning and footer skipping survive verbatim), into a
+  *     fresh `<sub>_compacting` directory beside the live one — the
+  *     store stays readable and appendable throughout;
+  *  3. re-list the markers and ABORT (delete the new directory, throw)
+  *     if an append landed during the rewrite;
+  *  4. swap via two renames (live → `<sub>_old`, new → live) and
+  *     delete the old generation.
+  *
+  * The rename pair is atomic per rename on HDFS/local but not jointly:
+  * a reader planning a scan exactly between them fails loudly
+  * (path-not-found), never silently reads half a store. Deployments
+  * call this from the same thread as the `foreachBatch` (between
+  * batches) — the mirror compactor's exact operating note — and defer
+  * old-generation deletion by a grace period if long-running
+  * concurrent readers exist. Object stores without atomic rename get
+  * the same guarantee only via their own rename semantics.
+  */
+object StoreCompaction {
+
+  /** Compact `path`/`sub` by `rewrite`, guarding against concurrent
+    * appends via the `path`/_applied_batches marker set. `rewrite`
+    * receives the live snapshot frame and the target directory and
+    * must write the SAME rows in the store's own layout. Returns the
+    * number of data files after compaction. */
+  def swapCompact(spark: SparkSession, path: String, sub: String)
+                 (rewrite: (DataFrame, String) => Unit): Int = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = new Path(root, sub)
+    require(fs.exists(live), s"nothing to compact: $live does not exist")
+    val markers = new Path(root, "_applied_batches")
+    def listMarkers(): Set[String] =
+      if (fs.exists(markers)) fs.listStatus(markers).map(_.getPath.getName).toSet
+      else Set.empty
+    val applied = listMarkers()
+    val tmp = new Path(root, s"${sub}_compacting")
+    fs.delete(tmp, true) // debris of an aborted prior attempt
+    rewrite(spark.read.parquet(live.toString), tmp.toString)
+    val now = listMarkers()
+    if (now != applied) {
+      fs.delete(tmp, true)
+      throw new IllegalStateException(
+        s"compaction of '$live' raced appends of batch(es) " +
+          s"${(now -- applied).toSeq.sorted.mkString(",")} — retry")
+    }
+    val old = new Path(root, s"${sub}_old")
+    fs.delete(old, true)
+    if (!fs.rename(live, old))
+      throw new IllegalStateException(s"compaction swap failed: $live -> $old")
+    if (!fs.rename(tmp, live)) {
+      // restore the live store before failing — the swap must never
+      // leave the path unreadable
+      fs.rename(old, live)
+      throw new IllegalStateException(s"compaction swap failed: $tmp -> $live")
+    }
+    fs.delete(old, true)
+    countDataFiles(fs, live)
+  }
+
+  /** Recursive parquet data-file count (excludes _SUCCESS and other
+    * metadata) — the "did compaction actually compact" observable the
+    * specs pin. */
+  def countDataFiles(spark: SparkSession, dir: String): Int = {
+    val p = new Path(dir)
+    countDataFiles(p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  private def countDataFiles(fs: org.apache.hadoop.fs.FileSystem,
+                             dir: Path): Int =
+    fs.listStatus(dir).map { st =>
+      if (st.isDirectory) countDataFiles(fs, st.getPath)
+      else if (st.getPath.getName.endsWith(".parquet")) 1
+      else 0
+    }.sum
+}

@@ -384,6 +384,38 @@ class PlanSpec extends SparkSpec {
       s"the indexed probe must not re-rank the corpus per query:\n$p")
   }
 
+  test("compaction preserves partition pruning on the cell and bucket probes") {
+    // VERDICT r16 #4's plan half: after the generation swap the probe
+    // scans must still prune — a compactor that lost the hive layout
+    // (e.g. a flat rewrite) would silently turn every probe into a
+    // corpus-sized index read and no row-level spec would notice.
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files.createTempDirectory("cmpplan").toString
+    val emb = ((0L until 5L).map(i => i -> Array(1f, i * 0.01f, 0f, 0f)) ++
+      (5L until 10L).map(i => i -> Array((i - 5) * 0.01f, 1f, 0f, 0f)))
+    ext.Similarity.writeCellIndex(
+      spark.createDataFrame(emb).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", s"$root/ann", centroidStride = 5)
+    ext.Similarity.compactCellIndex(spark, s"$root/ann")
+    val pc = ext.Similarity.tagNearIndex(
+        spark.createDataFrame(Seq(99L -> Array(3f, 0f, 0f, 0f)))
+          .toDF("vec_id", "embedding"),
+        "vec_id", "embedding", s"$root/ann", threshold = 0.9)
+      .queryExecution.executedPlan.toString
+    graft.CacheScope.release()
+    assert(pc.contains("PartitionFilters") && pc.contains("cid"),
+      s"expected cid partition pruning to survive compaction:\n$pc")
+    val docs = spark.read.parquet(s"$sf/documents.parquet").limit(50)
+    ext.Dedup.writeLshIndex(docs, col("text"), col("doc_id"), s"$root/lsh")
+    ext.Dedup.compactLshIndex(spark, s"$root/lsh")
+    val pl = ext.Dedup.tagNearLshIndex(docs.limit(3), col("text"),
+        col("doc_id"), s"$root/lsh")
+      .queryExecution.executedPlan.toString
+    graft.CacheScope.release()
+    assert(pl.contains("PartitionFilters: [") && pl.contains("pb#"),
+      s"expected pb partition pruning to survive compaction:\n$pl")
+  }
+
   test("lm3: partial-agg count tables, no data cartesian") {
     // five vocabulary-sized count tables built with map-side combine;
     // the only nested-loop is the broadcast one-row N — never data x data

@@ -1,0 +1,178 @@
+package graft.ext
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import graft.sources.StoreCompaction
+import org.apache.spark.sql.functions._
+
+/** Online compaction for the three append-only index stores
+  * ([[Similarity.compactCodes]] / [[Similarity.compactCellIndex]] /
+  * [[Dedup.compactLshIndex]]) — VERDICT r16 #4's done-criterion shape:
+  * build → append ×N → compact → probe equality, file count actually
+  * drops, a batch replayed ACROSS the compaction boundary still
+  * no-ops on its root-level marker, re-delivery under a new batchId
+  * still dedups at the id level, and a genuinely new append lands
+  * after the swap. Partition-pruning survival is PlanSpec's pin.
+  */
+class IndexCompactionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def v(s: Int*) = s.map(_.toFloat)
+  private def v2(x: Float, y: Float) = Array(x, y, 0f, 0f)
+
+  test("codes: probe-equal squash; replay no-ops across the boundary") {
+    val root = Files.createTempDirectory("graft-cmp-codes").toString + "/store"
+    Similarity.writeB1Codes(
+      Seq((1L, v(1, 1, 1, 1)), (2L, v(-1, -1, -1, -1)))
+        .toDF("vec_id", "embedding"),
+      "vec_id", "embedding", root)
+    // 3 appended generations
+    (0 until 3).foreach { b =>
+      assert(Similarity.appendB1Codes(
+        Seq((10L + b, v(1, -1, 1, -1))).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", root, batchId = b.toLong))
+    }
+    def probe() = Similarity.tagNearCodes(
+        Similarity.binarize1Bit(
+          Seq((50L, v(1, 1, 1, -1))).toDF("vec_id", "embedding"),
+          col("vec_id"), col("embedding")),
+        root, maxHam = 1)
+      .collect().map(r => (r.getLong(0), r.getBoolean(1))).toSeq
+    val before = probe()
+    val filesBefore = StoreCompaction.countDataFiles(spark, s"$root/codes")
+    val filesAfter = Similarity.compactCodes(spark, root)
+    assert(filesAfter === 1 && filesBefore > filesAfter,
+      s"expected a real squash, got $filesBefore -> $filesAfter")
+    assert(probe() === before)
+    assert(spark.read.parquet(s"$root/codes").count() === 5)
+    // batch 1 replayed ACROSS the compaction: marker survived the swap
+    assert(!Similarity.appendB1Codes(
+      Seq((11L, v(1, -1, 1, -1))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", root, batchId = 1L))
+    // re-delivery of a stored vid under a NEW batchId: id-level dedup
+    // still sees the compacted store
+    assert(Similarity.appendB1Codes(
+      Seq((10L, v(1, -1, 1, -1))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", root, batchId = 9L))
+    assert(spark.read.parquet(s"$root/codes").count() === 5)
+    // a genuinely new append lands on the swapped store
+    assert(Similarity.appendB1Codes(
+      Seq((60L, v(-1, 1, -1, 1))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", root, batchId = 10L))
+    assert(spark.read.parquet(s"$root/codes").count() === 6)
+  }
+
+  test("cells: layout-preserved squash, probe equality, replay no-op") {
+    val root = Files.createTempDirectory("graft-cmp-cells").toString + "/idx"
+    val base = ((0L until 5L).map(i => i -> v2(1f, i * 0.01f)) ++
+      (5L until 10L).map(i => i -> v2((i - 5) * 0.01f, 1f)))
+      .toDF("vec_id", "embedding")
+    Similarity.writeCellIndex(base, "vec_id", "embedding", root,
+      centroidStride = 5)
+    (0 until 3).foreach { b =>
+      assert(Similarity.appendCellIndex(
+        Seq(100L + b -> v2(2f + b, 0f), 200L + b -> v2(0f, 2f + b))
+          .toDF("vec_id", "embedding"),
+        "vec_id", "embedding", root, batchId = b.toLong))
+    }
+    def probe() = {
+      val out = Similarity.tagNearIndex(
+          Seq(500L -> v2(3f, 0f), 501L -> v2(0.5f, 0.5f))
+            .toDF("vec_id", "embedding"),
+          "vec_id", "embedding", root, threshold = 0.99)
+        .collect().map(r => (r.getLong(0), r.getBoolean(2))).toSeq.sorted
+      graft.CacheScope.release()
+      out
+    }
+    val before = probe()
+    assert(before === Seq((500L, true), (501L, false)))
+    val filesBefore = StoreCompaction.countDataFiles(spark, s"$root/cells")
+    val filesAfter = Similarity.compactCellIndex(spark, root)
+    // one file per non-empty cid partition (2 cells here)
+    assert(filesAfter === 2 && filesBefore > filesAfter,
+      s"expected one file per cell, got $filesBefore -> $filesAfter")
+    assert(probe() === before)
+    // replay across the boundary: marker survived
+    assert(!Similarity.appendCellIndex(
+      Seq(100L -> v2(2f, 0f)).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", root, batchId = 0L))
+    // vid re-delivery under a new batchId: anti join sees the
+    // compacted partitions
+    val n = spark.read.parquet(s"$root/cells").count()
+    assert(Similarity.appendCellIndex(
+      Seq(100L -> v2(2f, 0f)).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", root, batchId = 7L))
+    assert(spark.read.parquet(s"$root/cells").count() === n)
+  }
+
+  test("lsh buckets: layout-preserved squash, tag equality, replay no-op") {
+    val root = Files.createTempDirectory("graft-cmp-lsh").toString + "/idx"
+    val histText = "the quick brown fox jumps over the lazy dog again"
+    Dedup.writeLshIndex(Seq(
+        (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2L, histText)).toDF("doc_id", "text"),
+      $"text", $"doc_id", root)
+    val extra = Seq(
+      (10L, "one two three four five six seven eight nine"),
+      (11L, "completely novel words arriving today full of surprise"),
+      (12L, "some other honestly different text entirely unrelated"))
+    extra.zipWithIndex.foreach { case (row, b) =>
+      assert(Dedup.appendLshIndex(Seq(row).toDF("doc_id", "text"),
+        $"text", $"doc_id", root, batchId = b.toLong))
+    }
+    def probe() = {
+      val out = Dedup.tagNearLshIndex(
+          Seq((50L, histText),
+            (51L, "nothing like anything stored before at all today"))
+            .toDF("doc_id", "text"),
+          $"text", $"doc_id", root)
+        .collect().map(r => (r.getLong(0), r.getBoolean(2))).toSeq.sorted
+      graft.CacheScope.release()
+      out
+    }
+    val before = probe()
+    assert(before === Seq((50L, true), (51L, false)))
+    val filesBefore = StoreCompaction.countDataFiles(spark, s"$root/buckets")
+    val filesAfter = Dedup.compactLshIndex(spark, root)
+    assert(filesBefore > filesAfter,
+      s"expected a real squash, got $filesBefore -> $filesAfter")
+    assert(probe() === before)
+    val rows = spark.read.parquet(s"$root/buckets").count()
+    // replay across the boundary + doc re-delivery under a new batchId
+    assert(!Dedup.appendLshIndex(
+      Seq(extra(1)._1 -> extra(1)._2).toDF("doc_id", "text"),
+      $"text", $"doc_id", root, batchId = 1L))
+    assert(Dedup.appendLshIndex(
+      Seq(extra(1)._1 -> extra(1)._2).toDF("doc_id", "text"),
+      $"text", $"doc_id", root, batchId = 9L))
+    assert(spark.read.parquet(s"$root/buckets").count() === rows)
+  }
+
+  test("a concurrent append aborts the swap and leaves the store intact") {
+    val root = Files.createTempDirectory("graft-cmp-race").toString + "/store"
+    Similarity.writeB1Codes(
+      Seq((1L, v(1, 1, 1, 1))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", root)
+    assert(Similarity.appendB1Codes(
+      Seq((2L, v(-1, -1, -1, -1))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", root, batchId = 0L))
+    // simulate an append landing mid-rewrite: the rewrite callback
+    // appends a batch (data + marker) while compaction is reading
+    val e = intercept[IllegalStateException] {
+      StoreCompaction.swapCompact(spark, root, "codes") { (df, out) =>
+        df.repartition(1).write
+          .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(out)
+        assert(Similarity.appendB1Codes(
+          Seq((3L, v(1, -1, -1, 1))).toDF("vec_id", "embedding"),
+          "vec_id", "embedding", root, batchId = 1L))
+      }
+    }
+    assert(e.getMessage.contains("raced appends"))
+    // the racing batch's rows are exactly where it left them — nothing
+    // was swapped away, and the aborted generation is gone
+    assert(spark.read.parquet(s"$root/codes").count() === 3)
+    assert(!new java.io.File(
+      s"$root/codes_compacting").exists())
+  }
+}
