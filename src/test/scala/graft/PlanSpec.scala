@@ -384,6 +384,35 @@ class PlanSpec extends SparkSpec {
       s"the indexed probe must not re-rank the corpus per query:\n$p")
   }
 
+  test("chnk_s: narrow sentence chunking — no shuffle, no join, no window") {
+    val p = plan("chnk_s")
+    // the whole sentence/window machinery lives in the array world:
+    // any Exchange/join/window here means the per-doc work leaked into
+    // a corpus-wide operator
+    assert(!p.contains("Exchange") || p.contains("Exchange rangepartitioning"),
+      s"chunking must not shuffle (orderBy's range exchange aside):\n$p")
+    assert(!p.contains("Join") && !p.contains("Window [") &&
+      !p.contains("CartesianProduct"),
+      s"chunking is a pure projection chain:\n$p")
+    assert(p.contains("Generate explode"),
+      s"expected the single chunk explode:\n$p")
+  }
+
+  test("chat_dc: capped contamination stays partial-agg + hash joins") {
+    val p = plan("chat_dc")
+    assert(!p.contains("CartesianProduct"),
+      s"no cartesian in the probe join:\n$p")
+    // the stop-shingle doc-frequency count must combine map-side — the
+    // capped key is exactly the heavy one being removed
+    assert(p.split('\n').exists(l =>
+      l.contains("HashAggregate") && l.contains("partial_count")),
+      s"expected a partial-agg doc-frequency count in:\n$p")
+    // one InMemoryTableScan family: the exploded shingle frame persists
+    // once for its three consumers instead of re-running the render
+    assert(p.contains("InMemoryTableScan"),
+      s"expected the persisted shingle frame in:\n$p")
+  }
+
   test("compaction preserves partition pruning on the cell and bucket probes") {
     // VERDICT r16 #4's plan half: after the generation swap the probe
     // scans must still prune — a compactor that lost the hive layout
