@@ -299,8 +299,13 @@ object Similarity {
     * [[graft.sources.StoreCompaction]] generation-swap (marker-race
     * guarded; replayed batches still no-op on their root-level markers
     * across the boundary). Flat store, so the rewrite is a plain
-    * repartition — there is no partition layout to preserve. Returns
-    * the post-compaction file count. */
+    * repartition — there is no partition layout to preserve. The
+    * default squashes to ONE file (right at fixture-to-moderate scale:
+    * 16 bytes/vector keeps 10⁸ vectors under 2 GB); a 10⁹⁺-vector
+    * deployment passes a `files` sized to its scan parallelism —
+    * single-writer-task rewrites are the one way this default
+    * misbehaves at the top end. Returns the post-compaction file
+    * count. */
   def compactCodes(spark: org.apache.spark.sql.SparkSession, path: String,
                    files: Int = 1): Int =
     graft.sources.StoreCompaction.swapCompact(spark, path, "codes") {
