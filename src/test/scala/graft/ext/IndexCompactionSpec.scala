@@ -149,6 +149,57 @@ class IndexCompactionSpec extends SparkSpec {
     assert(spark.read.parquet(s"$root/buckets").count() === rows)
   }
 
+  test("live stream: compaction between micro-batches, replay across a restart") {
+    // The full StreamingSoakSpec shape for the code store: a file-source
+    // feed appends via foreachBatch, compaction runs FROM THE
+    // foreachBatch THREAD between batches (the documented safe point —
+    // no append can race it), the stream restarts, and the replayed
+    // batch no-ops on the marker that survived the swap.
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.streaming.Trigger
+    val root = Files.createTempDirectory("graft-cmp-soak").toString
+    val feedDir = s"$root/feed"
+    val index = s"$root/index"
+    val schema = Seq((1L, v(1, 1, 1, 1))).toDF("vec_id", "embedding").schema
+    Similarity.writeB1Codes(
+      Seq((1L, v(-1, -1, 1, 1))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", index)
+    (0 until 3).foreach { f =>
+      Seq(100L + f -> v(1, 1, 1, 1)).toDF("vec_id", "embedding")
+        .coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Append)
+        .parquet(feedDir)
+    }
+    def run(): Unit = {
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(feedDir)
+        .writeStream
+        .option("checkpointLocation", s"$root/ckpt")
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          Similarity.appendB1Codes(batch, "vec_id", "embedding", index,
+            batchId)
+          // compact mid-stream, after the second batch commits
+          if (batchId == 1L) Similarity.compactCodes(spark, index)
+          ()
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    run()
+    assert(spark.read.parquet(s"$index/codes").count() === 4)
+    assert(StoreCompaction.countDataFiles(spark, s"$index/codes") <= 2,
+      "the two pre-compaction generations must be squashed")
+    // wipe the checkpoint: the restarted stream re-delivers every file
+    // as replayed batchIds — each must no-op on the markers that
+    // survived the mid-stream swap (no duplicate codes)
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(s"$root/ckpt"))
+    run()
+    assert(spark.read.parquet(s"$index/codes").count() === 4)
+    assert(spark.read.parquet(s"$index/codes")
+      .select("vec_id").distinct().count() === 4)
+  }
+
   test("a concurrent append aborts the swap and leaves the store intact") {
     val root = Files.createTempDirectory("graft-cmp-race").toString + "/store"
     Similarity.writeB1Codes(
