@@ -415,11 +415,16 @@ object Dedup {
       else {
         // rows are distinct per (doc, shingle): a row count per shingle
         // IS its document frequency (partial agg — the hot key is the
-        // one being removed)
+        // one being removed). BOTH frames persist query-scoped: ex0
+        // covers the render/explode lineage against its two consumers
+        // (the frequency count and the join probe), and the capped
+        // join itself is consumed twice below (train side + probe
+        // side) — unpersisted, the corpus-wide frequency aggregate
+        // would run once per consumer
         val cached = graft.CacheScope.persistTracked(ex0)
         val keep = cached.groupBy("s").agg(count(lit(1)).as("__df"))
           .where(col("__df") <= maxDocFreq).select("s")
-        cached.join(keep, Seq("s"))
+        graft.CacheScope.persistTracked(cached.join(keep, Seq("s")))
       }
     val trainS = ex.where(col("split") === trainSplit)
       .select("s").distinct().withColumn("__hit", lit(1L))

@@ -102,12 +102,19 @@ object Similarity {
     * as a partial WindowGroupLimit. Ties break by vec_id, so the
     * result is total. Output: (q_id, rnk, vec_id, ham). */
   def hammingTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-      embCol: String, k: Int = 10): DataFrame = {
-    val tb = binarize1Bit(corpus, col(idCol), col(embCol))
-    val qb = binarize1Bit(queries, col(idCol), col(embCol))
-      .select(col("vec_id").as("q_id"), col("b_hi").as("__qhi"),
-        col("b_lo").as("__qlo"))
-    val ham = tb.crossJoin(org.apache.spark.sql.functions.broadcast(qb))
+      embCol: String, k: Int = 10): DataFrame =
+    hammingTopKCore(binarize1Bit(corpus, col(idCol), col(embCol)),
+      binarize1Bit(queries, col(idCol), col(embCol)), k)
+
+  /** The shared probe core of [[hammingTopK]] and [[hammingTopKIndexed]]
+    * — both must rank with the SAME distance, tie-break, and output
+    * types, so the broadcast + window block lives once. `store` and
+    * `qcodes` are packed-code frames (vec_id, b_hi, b_lo, ...). */
+  private def hammingTopKCore(store: DataFrame, qcodes: DataFrame,
+      k: Int): DataFrame = {
+    val qb = qcodes.select(col("vec_id").as("q_id"),
+      col("b_hi").as("__qhi"), col("b_lo").as("__qlo"))
+    val ham = store.crossJoin(org.apache.spark.sql.functions.broadcast(qb))
       .select(col("q_id"), col("vec_id"),
         expr("CAST(bit_count(b_hi ^ __qhi) + bit_count(b_lo ^ __qlo) " +
           "AS BIGINT)").as("ham"))
@@ -172,22 +179,11 @@ object Similarity {
     * (q_id, rnk, vec_id, ham). */
   def hammingTopKIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
       queries: DataFrame, idCol: String, embCol: String,
-      k: Int = 10): DataFrame = {
-    val hist = spark.read.parquet(s"$path/codes")
-      .select(col("vec_id"), col("b_hi"), col("b_lo"))
-    val qb = binarize1Bit(queries, col(idCol), col(embCol))
-      .select(col("vec_id").as("q_id"), col("b_hi").as("__qhi"),
-        col("b_lo").as("__qlo"))
-    val ham = hist.crossJoin(broadcast(qb))
-      .select(col("q_id"), col("vec_id"),
-        expr("CAST(bit_count(b_hi ^ __qhi) + bit_count(b_lo ^ __qlo) " +
-          "AS BIGINT)").as("ham"))
-    val win = org.apache.spark.sql.expressions.Window
-      .partitionBy("q_id").orderBy(col("ham").asc, col("vec_id").asc)
-    ham.withColumn("rnk", row_number().over(win).cast("long"))
-      .where(col("rnk") <= k)
-      .select("q_id", "rnk", "vec_id", "ham")
-  }
+      k: Int = 10): DataFrame =
+    hammingTopKCore(
+      spark.read.parquet(s"$path/codes")
+        .select(col("vec_id"), col("b_hi"), col("b_lo")),
+      binarize1Bit(queries, col(idCol), col(embCol)), k)
 
   /** Materialize the binary-code HISTORY file: every vector's
     * [[binarize1Bit]] code — 16 bytes of payload per vector — plus a

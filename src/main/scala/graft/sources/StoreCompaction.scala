@@ -80,9 +80,45 @@ object StoreCompaction {
       throw new IllegalStateException(s"compaction swap failed: $live -> $old")
     if (!fs.rename(tmp, live)) {
       // restore the live store before failing — the swap must never
-      // leave the path unreadable
-      fs.rename(old, live)
+      // leave the path unreadable; if even the restore fails, say
+      // exactly where the data sits instead of claiming only the
+      // forward rename broke
+      if (!fs.rename(old, live))
+        throw new IllegalStateException(
+          s"compaction swap failed AND restore failed: the store's data " +
+            s"is intact at $old but nothing is at $live — rename it back " +
+            "manually before retrying")
       throw new IllegalStateException(s"compaction swap failed: $tmp -> $live")
+    }
+    // THIRD marker check, before the only destructive step: an append
+    // that committed its data into the pre-swap directory after the
+    // second check would be destroyed by delete(old) while its marker
+    // (written after its data) survives — turning the replay into
+    // silent permanent loss. On mismatch nothing is deleted: the new
+    // generation steps aside, the original (holding the raced rows)
+    // comes back, and the caller retries. The residual window — a
+    // racing append whose data landed pre-swap but whose marker lands
+    // after this check — is why the operating contract remains
+    // single-writer (call from the foreachBatch thread); this check
+    // narrows the hole, the contract closes it.
+    val postSwap = listMarkers()
+    if (postSwap != applied) {
+      // the raced rows sit in whichever directory the append resolved
+      // at write time — either side of the swap — so NOTHING is
+      // deleted: the original comes back live, the new generation is
+      // kept aside for reconciliation, and the error names both
+      val orphan = new Path(root, s"${sub}_gen_orphan")
+      fs.delete(orphan, true)
+      if (!fs.rename(live, orphan) || !fs.rename(old, live))
+        throw new IllegalStateException(
+          s"compaction of '$live' raced appends of batch(es) " +
+            s"${(postSwap -- applied).toSeq.sorted.mkString(",")} and the " +
+            s"unwind failed — reconcile $old / $orphan manually")
+      throw new IllegalStateException(
+        s"compaction of '$live' raced appends of batch(es) " +
+          s"${(postSwap -- applied).toSeq.sorted.mkString(",")} — the raced " +
+          s"rows are in '$live' or '$orphan' (the set-aside compacted " +
+          "snapshot); reconcile, remove the orphan, and retry")
     }
     fs.delete(old, true)
     countDataFiles(fs, live)

@@ -388,8 +388,10 @@ class PlanSpec extends SparkSpec {
     val p = plan("chnk_s")
     // the whole sentence/window machinery lives in the array world:
     // any Exchange/join/window here means the per-doc work leaked into
-    // a corpus-wide operator
-    assert(!p.contains("Exchange") || p.contains("Exchange rangepartitioning"),
+    // a corpus-wide operator. Exactly ONE exchange is allowed — the
+    // declared row's orderBy (range partitioning); a second would be a
+    // leaked hash shuffle.
+    assert(count(p, "Exchange") <= 1 && !p.contains("hashpartitioning"),
       s"chunking must not shuffle (orderBy's range exchange aside):\n$p")
     assert(!p.contains("Join") && !p.contains("Window [") &&
       !p.contains("CartesianProduct"),
