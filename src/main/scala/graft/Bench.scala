@@ -340,7 +340,7 @@ object Bench {
     // catch-all with it: the binary serving family (hamr/hamx/hamq)
     // and the embedding evals (mmr/mrl) are embeddings-table scans,
     // and text sat AT the 40-query shard cap.
-    else if (Set("rrf", "hamq", "hamr", "hamx", "mmr", "mrl")
+    else if (Set("rrf", "hamq", "hamr", "hamx", "hrc", "mmr", "mrl")
       .contains(name)) "ann"
     // bm25 would hit the b-prefix core rule below — but core is the
     // latency-sensitive serving shard, and a corpus-scale explode in

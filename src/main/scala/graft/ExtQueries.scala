@@ -1106,6 +1106,14 @@ model AS (
           "vec_id", "embedding", b1CodesFor(s, d), maxHam = 20)
         .select("vec_id", "near_history").orderBy("vec_id")),
 
+    // Binary-tier measured recall (vr's convention for the 1-bit
+    // stack): of the exact cosine top-10, how many survive in the
+    // Hamming coarse top-20 — the design input for hamr's coarseK.
+    "hrc" -> ((s, d) =>
+      Similarity.binaryRecallAtK(Tables.embeddings(s, d), "vec_id",
+        "embedding", queryIds = Seq(0L, 32L, 100L, 250L, 400L),
+        k = 10, coarseK = 20)),
+
     // BATCH INDEXED probe of the stored 1-bit code history — the vbq
     // analog for the binary stack (store = the vec_id % 10 < 8 codes
     // the hamx history holds, probe frame = the % 100 == 0 slice,
@@ -3860,6 +3868,64 @@ nr AS (
 )
 SELECT bt.vec_id, (nr.vec_id IS NOT NULL) AS near_history
 FROM bt LEFT JOIN nr USING (vec_id) ORDER BY vec_id"""),
+
+    // Mirror of Similarity.binaryRecallAtK: vb1's binarize + Hamming
+    // ranking (self excluded, coarse top-20) intersected with vr's
+    // exact round-6 cosine top-10 per query.
+    "hrc" -> ("""WITH qz AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS qe
+  FROM embeddings
+), bits AS (
+  SELECT vec_id,
+    CAST(coalesce(list_sum(list_transform(range(32, 64),
+      i -> CASE WHEN qe[i+1] > 0 THEN CAST(1 AS BIGINT) << (i - 32)
+           ELSE 0 END)), 0) AS BIGINT) AS b_hi,
+    CAST(coalesce(list_sum(list_transform(range(32),
+      i -> CASE WHEN qe[i+1] > 0 THEN CAST(1 AS BIGINT) << i
+           ELSE 0 END)), 0) AS BIGINT) AS b_lo
+  FROM qz
+), qset AS (
+  SELECT vec_id AS qid, qe AS qv FROM qz WHERE vec_id IN (0, 32, 100, 250, 400)
+), pairs AS (
+  SELECT q.qid, z.vec_id,
+         round(
+           CAST(list_sum(list_transform(range(64), i -> z.qe[i+1] * q.qv[i+1])) AS DOUBLE)
+           / sqrt(CAST(list_sum(list_transform(range(64), i -> z.qe[i+1] * z.qe[i+1])) AS DOUBLE)
+                  * CAST(list_sum(list_transform(range(64), i -> q.qv[i+1] * q.qv[i+1])) AS DOUBLE)),
+           6) AS cosine
+  FROM qz z CROSS JOIN qset q WHERE z.vec_id <> q.qid
+), bf AS (
+  SELECT qid, vec_id FROM (
+    SELECT qid, vec_id,
+           row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id ASC) AS rn
+    FROM pairs)
+  WHERE rn <= 10
+), qb AS (
+  SELECT vec_id AS qid, b_hi AS qhi, b_lo AS qlo FROM bits
+  WHERE vec_id IN (0, 32, 100, 250, 400)
+), hm AS (
+  SELECT qb.qid, bits.vec_id,
+         bit_count(xor(bits.b_hi, qb.qhi))
+           + bit_count(xor(bits.b_lo, qb.qlo)) AS ham
+  FROM bits CROSS JOIN qb WHERE bits.vec_id <> qb.qid
+), coarse AS (
+  SELECT qid, vec_id FROM (
+    SELECT qid, vec_id,
+           row_number() OVER (PARTITION BY qid ORDER BY ham, vec_id) AS rn
+    FROM hm)
+  WHERE rn <= 20
+), hits AS (
+  SELECT bf.qid, count(*) AS h
+  FROM bf JOIN coarse ON bf.qid = coarse.qid AND bf.vec_id = coarse.vec_id
+  GROUP BY 1
+)
+SELECT CAST(q.qid AS BIGINT) AS query_id,
+       CAST(coalesce(h, 0) AS BIGINT) AS hits,
+       CAST(10 AS BIGINT) AS k, CAST(20 AS BIGINT) AS coarse_k
+FROM (SELECT unnest([0, 32, 100, 250, 400]) AS qid) q
+LEFT JOIN hits ON q.qid = hits.qid ORDER BY query_id"""),
 
     // Mirror of Similarity.hammingTopKIndexed: vb1's binarize/top-k
     // arithmetic with hamx's store/probe split — store = % 10 < 8,

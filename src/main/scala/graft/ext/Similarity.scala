@@ -106,18 +106,22 @@ object Similarity {
     hammingTopKCore(binarize1Bit(corpus, col(idCol), col(embCol)),
       binarize1Bit(queries, col(idCol), col(embCol)), k)
 
-  /** The shared probe core of [[hammingTopK]] and [[hammingTopKIndexed]]
-    * — both must rank with the SAME distance, tie-break, and output
-    * types, so the broadcast + window block lives once. `store` and
-    * `qcodes` are packed-code frames (vec_id, b_hi, b_lo, ...). */
+  /** The shared probe core of [[hammingTopK]], [[hammingTopKIndexed]]
+    * and [[binaryRecallAtK]] — all must rank with the SAME distance,
+    * tie-break, and output types, so the broadcast + window block
+    * lives once. `store` and `qcodes` are packed-code frames (vec_id,
+    * b_hi, b_lo, ...); `excludeSelf` drops a query's own stored code
+    * from its ranking (the recall evaluation's convention — serving
+    * probes keep it, a self-match at distance 0 is information). */
   private def hammingTopKCore(store: DataFrame, qcodes: DataFrame,
-      k: Int): DataFrame = {
+      k: Int, excludeSelf: Boolean = false): DataFrame = {
     val qb = qcodes.select(col("vec_id").as("q_id"),
       col("b_hi").as("__qhi"), col("b_lo").as("__qlo"))
-    val ham = store.crossJoin(org.apache.spark.sql.functions.broadcast(qb))
+    val all = store.crossJoin(org.apache.spark.sql.functions.broadcast(qb))
       .select(col("q_id"), col("vec_id"),
         expr("CAST(bit_count(b_hi ^ __qhi) + bit_count(b_lo ^ __qlo) " +
           "AS BIGINT)").as("ham"))
+    val ham = if (excludeSelf) all.where(col("vec_id") =!= col("q_id")) else all
     val win = org.apache.spark.sql.expressions.Window
       .partitionBy("q_id").orderBy(col("ham").asc, col("vec_id").asc)
     ham.withColumn("rnk", row_number().over(win).cast("long"))
@@ -1594,6 +1598,49 @@ object Similarity {
       .select(col("method"), col("qid").as("query_id"),
         coalesce(col("hits"), lit(0L)).as("hits"), lit(k).as("k"))
       .orderBy("method", "query_id")
+  }
+
+  /** Binary-tier recall@k — [[recallAtK]]'s measurement for the 1-bit
+    * stack, and the design input for [[hammingRerank]]'s `coarseK`
+    * knob: for each query, how many of the exact quantized-cosine
+    * top-`k` survive in the Hamming coarse top-`coarseK` shortlist.
+    * A coarseK whose recall plateaus is wide enough; paying rerank
+    * arithmetic past it buys nothing. Self-pairs are excluded on both
+    * sides (the recall convention). Queries ride ONE broadcast against
+    * each of two corpus scans (codes for the coarse pass, quantized
+    * vectors for the exact pass) — never a per-query loop. Output:
+    * (query_id, hits, k, coarse_k), hits = |coarse ∩ exact|. */
+  def binaryRecallAtK(embeddings: DataFrame, idCol: String, embCol: String,
+                      queryIds: Seq[Long], k: Int, coarseK: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val qz = graft.CacheScope.persistTracked(
+      embeddings.select(col(idCol).cast("long").as("vid"),
+          quantize(col(embCol)).as("qe"))
+        .withColumn("n2", dotQ(col("qe"), col("qe"))))
+    val qset = broadcast(qz.where(col("vid").isin(queryIds: _*))
+      .select(col("vid").as("qid"), col("qe").as("qv"), col("n2").as("qn2")))
+    val w = Window.partitionBy("qid")
+      .orderBy(col("cosine").desc, col("vid").asc)
+    val exact = qz.crossJoin(qset).where(col("vid") =!= col("qid"))
+      .select(col("qid"), col("vid"),
+        cosineQNormed(col("qe"), col("qv"), col("n2"), col("qn2"))
+          .as("cosine"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k).select("qid", "vid")
+    val codes = graft.CacheScope.persistTracked(
+      binarize1Bit(embeddings, col(idCol), col(embCol)))
+    val coarse = hammingTopKCore(codes,
+        codes.where(col("vec_id").isin(queryIds: _*)), coarseK,
+        excludeSelf = true)
+      .select(col("q_id").as("qid"), col("vec_id").as("vid"))
+    import embeddings.sparkSession.implicits._
+    queryIds.toDF("qid")
+      .join(exact.join(coarse, Seq("qid", "vid"))
+        .groupBy("qid").agg(count(lit(1)).as("hits")), Seq("qid"), "left")
+      .select(col("qid").as("query_id"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        lit(k.toLong).as("k"), lit(coarseK.toLong).as("coarse_k"))
+      .orderBy("query_id")
   }
 
   /** Oversize-bucket skip shared by [[knnGraph]]/[[nearDupPairs]]: a
