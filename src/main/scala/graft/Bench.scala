@@ -220,7 +220,7 @@ object Bench {
           try {
             // untimed GC before every first reading, not only the
             // re-run: the r15 sweep's >3x first readings (cns 7.6x,
-            // dd_wd 5.8x) charged earlier queries' heap debt to
+            // dwd 5.8x) charged earlier queries' heap debt to
             // whichever heavy query ran next — collection is shard
             // bookkeeping, not query cost
             System.gc()
@@ -318,12 +318,17 @@ object Bench {
       "mfr", "mft", "mnr", "msc", "mvd", "mv", "mr").contains(name)) "mm"
     // dsp/dpx/cns = dup_sp/dd_pfx/dd_cns after the r16 budget sweep;
     // dpc/dpm/sco/scs = dup_c/dup_m/src_o/src_s after the r17 sweep;
+    // dcc..dwd = the nine dd_* keys after the r17 second sweep (a bare
+    // "d" prefix rule would misroute dom/dsir/dng/dsem/decs, so the
+    // family stays an explicit set; mappings in BASELINE.md).
     // cdd (chat_dd pre-r17) shards with dedup (it IS the dedup matrix
     // over renders), as does chat_dc's decontamination sibling
     else if (name.startsWith("dd_") || name.startsWith("dup_") ||
       name.startsWith("src_") || name.startsWith("chat_d") ||
       Set("sdd", "simh", "kmv", "cms", "dsp", "dpx", "cns",
-        "cdd", "dpc", "dpm", "sco", "scs").contains(name)) "dedup"
+        "cdd", "dpc", "dpm", "sco", "scs",
+        "dcc", "dex", "din", "dkb", "dln", "dnx", "dpa", "dsh",
+        "dwd").contains(name)) "dedup"
     else if (name.startsWith("p_") || name.startsWith("s_") ||
       name.startsWith("pipe_") || name.startsWith("wds")) "pack"
     // the r15 graph rows shard with the relational analytics (their

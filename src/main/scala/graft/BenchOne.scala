@@ -9,7 +9,7 @@ import org.apache.spark.sql.SparkSession
   * full [[Bench]] sweep interleaves 90+ queries whose memory pressure and
   * GC cross-contaminate per-query numbers — attributing a single query's
   * regression needs a clean repeated measurement (VERDICT r8: is
-  * dd_cc 17 s real or sandbox noise?). */
+  * dcc 17 s real or sandbox noise?). */
 object BenchOne {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)

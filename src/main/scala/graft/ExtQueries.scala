@@ -398,7 +398,7 @@ model AS (
     }
 
   val queries: Map[String, Q] = Map(
-    "dd_ex" -> ((s, d) =>
+    "dex" -> ((s, d) =>
       Dedup.exact(Tables.documents(s, d), col("text"), col("doc_id"))
         .orderBy("content_hash")),
 
@@ -420,7 +420,7 @@ model AS (
         k = 3, minJaccard = 0.2, numHashes = 16, bands = 4,
         minMatches = 4)),
 
-    "dd_cc" -> ((s, d) =>
+    "dcc" -> ((s, d) =>
       Dedup.components(Dedup.minhashLsh(Tables.documents(s, d),
           col("text"), col("doc_id"),
           k = 3, numHashes = 16, bands = 4, minMatches = 4))
@@ -439,7 +439,7 @@ model AS (
     // Quality-aware retention: same clusters as dd_keep, but each
     // keeps its LONGEST member (n_chars, ties to min id) — the
     // RefinedWeb/SlimPajama "don't throw away the best copy" policy.
-    "dd_kb" -> ((s, d) => {
+    "dkb" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val pairs = Dedup.minhashLsh(docs, col("text"), col("doc_id"),
         k = 3, numHashes = 16, bands = 4, minMatches = 4)
@@ -458,7 +458,7 @@ model AS (
         .orderBy("doc_a", "doc_b")
     }),
 
-    "dd_sh" -> ((s, d) =>
+    "dsh" -> ((s, d) =>
       Dedup.sharedShingleStats(Tables.documents(s, d), col("text"),
           col("doc_id"), k = 3)
         .orderBy("doc_id")),
@@ -757,7 +757,7 @@ model AS (
           col("n_chars") * 2000L)
         .select("doc_id").orderBy("doc_id")),
 
-    "s_str" -> ((s, d) =>
+    "s_st" -> ((s, d) =>
       Sampling.stratified(Tables.events(s, d), col("event_type"),
           col("event_id"),
           Map("view" -> 100000, "click" -> 500000, "purchase" -> 1000000))
@@ -851,7 +851,7 @@ model AS (
         .orderBy("ord")
     }),
 
-    "p_slc" -> ((s, d) => {
+    "p_sl" -> ((s, d) => {
       val toks = TextAnalysis
         .tokenStats(Tables.documents(s, d), col("text"), col("doc_id"))
         .select(col("doc_id"), col("n_tokens"))
@@ -1036,7 +1036,7 @@ model AS (
     // its own bucket-group partitions of the index built from the
     // history slice, and near_history tags docs matching >= 8 of 16
     // signature rows with any indexed doc.
-    "dd_nx" -> ((s, d) =>
+    "dnx" -> ((s, d) =>
       Dedup.tagNearLshIndex(
           Tables.documents(s, d).where(col("doc_id") % 10 >= 8),
           col("text"), col("doc_id"), lshIndexFor(s, d))
@@ -1044,7 +1044,7 @@ model AS (
 
     // New-vs-history incremental dedup: docs with doc_id % 10 >= 8 play
     // the fresh crawl batch, the rest the accumulated corpus.
-    "dd_in" -> ((s, d) => {
+    "din" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       Dedup.newAgainst(
         docs.where(col("doc_id") % 10 < 8),
@@ -1636,7 +1636,7 @@ model AS (
     // 4-word lines first (the encode-then-run pattern of b5_deep /
     // cis2_decode); ~340 lines are shared across documents at both
     // test scales, so the filter actually discriminates.
-    "dd_ln" -> ((s, d) =>
+    "dln" -> ((s, d) =>
       Curation.dedupLines(linedDocs(Tables.documents(s, d)),
           col("text"), col("doc_id"))
         .orderBy("doc_id")),
@@ -1646,7 +1646,7 @@ model AS (
     // paragraph appended to even ids so a multi-line block repeats
     // across half the corpus — the case line-level dedup shreds and
     // paragraph-level dedup drops as a unit.
-    "dd_pa" -> ((s, d) =>
+    "dpa" -> ((s, d) =>
       Curation.dedupParagraphs(paraDocs(Tables.documents(s, d)),
           col("text"), col("doc_id"))
         .orderBy("doc_id")),
@@ -1655,7 +1655,7 @@ model AS (
     // re-appends its own first paragraph (the scraper double-render),
     // and the keep-first-occurrence projection drops the repeat while
     // cross-document sharing is deliberately left alone.
-    "dd_wd" -> ((s, d) => {
+    "dwd" -> ((s, d) => {
       val docs = paraDocs(Tables.documents(s, d))
       val withDup = docs.withColumn("text",
         when(col("doc_id") % 3 === 0,
@@ -2129,7 +2129,7 @@ SELECT qid AS query_id, CAST(rn AS INT) AS rank, vec_id AS vid, cosine
 FROM rk WHERE rn <= 5 ORDER BY query_id, rank"""
 
   val oracles: Map[String, String] = Map(
-    "dd_ex" -> """
+    "dex" -> """
 SELECT md5(text) AS content_hash, min(doc_id) AS keeper_doc_id,
        count(*) AS n_copies
 FROM documents GROUP BY 1 ORDER BY 1""",
@@ -2179,7 +2179,7 @@ ORDER BY src_a, src_b"""),
     // collisions BETWEEN history (doc_id%10 < 8) and batch (>= 8),
     // best signature-match count per batch doc, tag at >= 8 of 16;
     // batch docs with no collision (or no shingles at all) tag false.
-    "dd_nx" -> (MinhashCte + """, xc AS (
+    "dnx" -> (MinhashCte + """, xc AS (
   SELECT DISTINCT h.doc_id AS hid, n.doc_id AS nid
   FROM bands h JOIN bands n ON h.b = n.b AND h.bucket = n.bucket
   WHERE h.doc_id % 10 < 8 AND n.doc_id % 10 >= 8
@@ -2225,7 +2225,7 @@ SELECT CAST(count(*) AS BIGINT) AS n_true,
          // greatest((SELECT count(*) FROM lshp), 1) AS BIGINT) AS precision_pm
 FROM ex LEFT JOIN lshp l ON ex.doc_a = l.doc_a AND ex.doc_b = l.doc_b"""),
 
-    "dd_cc" -> (MinhashCte.replaceFirst("WITH ", "WITH RECURSIVE ") + """, pairs AS (
+    "dcc" -> (MinhashCte.replaceFirst("WITH ", "WITH RECURSIVE ") + """, pairs AS (
   SELECT doc_a, doc_b
   FROM cand JOIN sig sa ON doc_a = sa.doc_id
             JOIN sig sb ON doc_b = sb.doc_id
@@ -2263,7 +2263,7 @@ WHERE NOT EXISTS (
   SELECT 1 FROM comp WHERE comp.id = d.doc_id AND comp.component <> comp.id)
 ORDER BY doc_id"""),
 
-    "dd_kb" -> (MinhashCte.replaceFirst("WITH ", "WITH RECURSIVE ") + """, pairs AS (
+    "dkb" -> (MinhashCte.replaceFirst("WITH ", "WITH RECURSIVE ") + """, pairs AS (
   SELECT doc_a, doc_b
   FROM cand JOIN sig sa ON doc_a = sa.doc_id
             JOIN sig sb ON doc_b = sb.doc_id
@@ -2329,7 +2329,7 @@ FROM tagged t LEFT JOIN ts ON t.s = ts.s
 WHERE t.split <> 'train'
 GROUP BY 1, 2 ORDER BY doc_id"""),
 
-    "dd_sh" -> (hashedShinglesCte + """
+    "dsh" -> (hashedShinglesCte + """
 SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
        CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
        CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) * 1000
@@ -2339,7 +2339,7 @@ GROUP BY doc_id ORDER BY doc_id"""),
 
     // Census composition: each tier CTE mirrors its own verified oracle
     // (dpx's 64-char prefix, dd_j's pairs, dsem's scaled cosine,
-    // urlc's canonical literals, dd_sh's shared per-mille), verdicts
+    // urlc's canonical literals, dsh's shared per-mille), verdicts
     // attributed first-tier-wins, rolled up per source.
     "cns" -> (hashedShinglesCte + """, sizes AS (
   SELECT doc_id, count(*) AS n FROM sh GROUP BY 1
@@ -2829,7 +2829,7 @@ SELECT stage, n_docs FROM (
   SELECT '3_train', CAST(sum(CASE WHEN q AND k AND tr THEN 1 ELSE 0 END) AS BIGINT) FROM f
 ) ORDER BY stage"""),
 
-    "s_str" -> (s"""
+    "s_st" -> (s"""
 SELECT event_id, event_type
 FROM events
 WHERE ${h60("CAST(event_id AS VARCHAR)")} % 1000000 <
@@ -2887,7 +2887,7 @@ SELECT doc_id, n_tokens,
        (end_off - 1) // 512 - (end_off - n_tokens) // 512 + 1 AS n_bins
 FROM c ORDER BY doc_id"""),
 
-    "p_slc" -> (s"""WITH t AS (
+    "p_sl" -> (s"""WITH t AS (
   SELECT doc_id,
          CAST(len(regexp_extract_all(text, '$TokRe')) AS BIGINT) AS n_tokens
   FROM documents
@@ -3598,7 +3598,7 @@ FROM k ORDER BY rank"""),
 )
 SELECT p.doc_id, c.n_share FROM p JOIN c USING (ph) ORDER BY doc_id"""),
 
-    "dd_in" -> """
+    "din" -> """
 SELECT doc_id, md5(text) AS content_hash
 FROM documents d
 WHERE doc_id % 10 >= 8 AND NOT EXISTS (
@@ -4878,7 +4878,7 @@ FROM a ORDER BY media_id"""),
     // Mirror of linedDocs (4-word lines) + Curation.dedupLines: doc
     // frequency per exact line, drop lines in >= 2 docs, reassemble in
     // original order. chr(10) == the '\n' Spark joins/splits on.
-    "dd_ln" -> (s"""WITH w AS (
+    "dln" -> (s"""WITH w AS (
   SELECT doc_id, string_split_regex(trim(text), ' +') AS words FROM documents
 ), ld AS (
   SELECT doc_id,
@@ -4906,7 +4906,7 @@ GROUP BY doc_id ORDER BY doc_id"""),
     // footer paragraph on even ids) + Curation.dedupParagraphs: doc
     // frequency per exact paragraph, drop paragraphs in >= 2 docs,
     // reassemble '\n\n'-joined in original order.
-    "dd_pa" -> (s"""WITH w AS (
+    "dpa" -> (s"""WITH w AS (
   SELECT doc_id, string_split_regex(trim(text), ' +') AS words FROM documents
 ), l AS (
   SELECT doc_id, list_transform(range((len(words)+2)//3),
@@ -4939,7 +4939,7 @@ GROUP BY doc_id ORDER BY doc_id"""),
     // Mirror of paraDocs + the %3 self-duplication + dedupWithinDoc:
     // list_filter's 1-based index lambda against list_position is the
     // keep-first-occurrence rule.
-    "dd_wd" -> (s"""WITH w AS (
+    "dwd" -> (s"""WITH w AS (
   SELECT doc_id, string_split_regex(trim(text), ' +') AS words FROM documents
 ), l AS (
   SELECT doc_id, list_transform(range((len(words)+2)//3),

@@ -154,7 +154,7 @@ object RelationalQueries {
       y96.intersect(y97).orderBy("o_custkey")
     }),
 
-    "q_win" -> ((s, d) => {
+    "qwin" -> ((s, d) => {
       val w = Window.partitionBy(col("o_custkey"))
         .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -213,7 +213,7 @@ object RelationalQueries {
         .orderBy("user_id", "session_id")
     }),
 
-    "q_dau" -> ((s, d) =>
+    "qdau" -> ((s, d) =>
       Tables.events(s, d)
         .groupBy(to_date(col("ts")).as("day"))
         .agg(countDistinct(col("user_id")).as("users"), count(lit(1)).as("n"))
@@ -237,7 +237,7 @@ object RelationalQueries {
     // it, first purchase strictly after that, per user — stage counts.
     // Three dependent full-partition windows share ONE user-keyed
     // exchange, then a per-user fold and a tiny final aggregate.
-    "q_fun" -> ((s, d) => {
+    "qfun" -> ((s, d) => {
       val byUser = Window.partitionBy("user_id")
       val staged = Tables.events(s, d)
         .select(col("user_id"), col("event_type"),
@@ -275,7 +275,7 @@ object RelationalQueries {
         .withColumnRenamed("k", "event_type")
         .orderBy("event_type")),
 
-    "q_med" -> ((s, d) => {
+    "qmed" -> ((s, d) => {
       // exact lower median, spelled out (row_number + count) so both
       // engines agree bit-for-bit — built-in percentile/quantile
       // functions interpolate with engine-specific semantics. The value
@@ -453,7 +453,7 @@ INTERSECT
 SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
 ORDER BY o_custkey""",
 
-    "q_win" -> """
+    "qwin" -> """
 SELECT o_custkey, o_orderkey,
        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
          OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
@@ -492,7 +492,7 @@ SELECT user_id, CAST(session_id AS BIGINT) AS session_id, count(*) AS n_events,
        min(event_id) AS first_event, max(event_id) AS last_event
 FROM sess GROUP BY 1, 2 ORDER BY 1, 2""",
 
-    "q_dau" -> """
+    "qdau" -> """
 SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
        count(DISTINCT user_id) AS users, count(*) AS n
 FROM events GROUP BY 1 ORDER BY 1""",
@@ -504,7 +504,7 @@ SELECT user_id, event_id, event_type,
          ORDER BY epoch_ms(ts), event_id) AS valid_to_ms
 FROM events ORDER BY user_id, valid_from_ms, event_id""",
 
-    "q_fun" -> """
+    "qfun" -> """
 WITH s1 AS (
   SELECT user_id, event_type, epoch_ms(ts) AS ms,
          min(CASE WHEN event_type = 'view' THEN epoch_ms(ts) END)
@@ -564,7 +564,7 @@ SELECT k AS event_type,
        CAST((min(CASE WHEN cum * 100 >= total * 99 THEN bin END) + 1) * 128 AS BIGINT) AS p99_hi
 FROM c GROUP BY 1 ORDER BY 1""",
 
-    "q_med" -> """
+    "qmed" -> """
 WITH r AS (
   SELECT event_type, value,
          row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,

@@ -13,9 +13,9 @@ class CacheHygieneSpec extends SparkSpec {
 
   /** Every declared query built on a persist/checkpoint-using operator. */
   private val cacheUsers = Seq(
-    "dd_j", "dd_l", "dd_cc", "dd_r",
+    "dd_j", "dd_l", "dcc", "dd_r",
     "decs", "vkg", "vnr",
-    "p_s", "p_slc", "p_sh",
+    "p_s", "p_sl", "p_sh",
     "vkm", "vr",
     "hamx") // tagNearB1Codes persists the batch codes
 

@@ -88,7 +88,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("dd_nidx: the history-index probe scans only the batch's bucket-group partitions") {
-    val p = plan("dd_nx")
+    val p = plan("dnx")
     // the stored LSH index is hive-partitioned by pb; the batch's
     // distinct pb set must reach the scan as a PARTITION filter (the
     // ann_ivfx pruning discipline in text space), or every probe
@@ -181,7 +181,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("incremental dedup: both sides bloom-pruned before the exact anti join") {
-    val p = plan("dd_in")
+    val p = plan("din")
     // two probes: history-bloom over the incoming batch, candidate-bloom
     // over the history scan — both sides of the exact join pre-pruned
     assert(count(p, "bloom_might_contain") >= 2,
@@ -196,7 +196,7 @@ class PlanSpec extends SparkSpec {
   test("dedup apply: drop-set subtraction is bloom-pruned, no data cartesian") {
     // dd_keepb (best-copy retention) must hold the same shape: its
     // extra argmax is a cluster-sized partial agg, not a corpus window
-    for (q <- Seq("dd_k", "dd_kb")) {
+    for (q <- Seq("dd_k", "dkb")) {
       val p = plan(q)
       assert(count(p, "bloom_might_contain") >= 2,
         s"$q: expected the corpus-side and drop-side bloom probes:\n$p")
@@ -204,7 +204,7 @@ class PlanSpec extends SparkSpec {
         s"$q: expected the exact anti join scrubbing false positives:\n$p")
       assert(!p.contains("CartesianProduct"))
     }
-    val pb = plan("dd_kb")
+    val pb = plan("dkb")
     assert(!pb.contains("Window"),
       s"dd_keepb's per-cluster argmax must be an aggregate, not a window:\n$pb")
     // the member-score fetch must ALSO be bloom-pruned (corpus side
@@ -335,7 +335,7 @@ class PlanSpec extends SparkSpec {
     // boilerplate shingle shared by most of the corpus) joined back on
     // the hash key — a count window over the hash would put every
     // occurrence of the hot key into one partition
-    val p = plan("dd_sh")
+    val p = plan("dsh")
     assert(!p.contains("Window"), s"no window may partition on the shingle hash:\n$p")
     assert(count(p, "HashAggregate") >= 4,
       s"expected partial+final pairs for doc counts and the per-doc fold in:\n$p")
@@ -603,7 +603,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("line dedup: partial-agg distinct-doc counts, no window over the line hash") {
-    val p = plan("dd_ln")
+    val p = plan("dln")
     // document frequency = groupBy(lh).count_distinct(doc_id): Spark
     // plans it as two partial-aggregating phases ((lh, doc_id) then
     // lh), so a line in half the corpus collapses map-side instead of
@@ -650,7 +650,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("event funnel: dependent stage windows share one user exchange") {
-    val p = plan("q_fun")
+    val p = plan("qfun")
     assert(!p.contains("Join"), s"funnel must not join:\n$p")
     // three dependent min-windows + the per-user fold; only ONE
     // data-sized exchange (user_id) feeds them all
