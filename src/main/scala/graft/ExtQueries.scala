@@ -96,6 +96,42 @@ object ExtQueries {
   WHERE s IN (SELECT s FROM sh GROUP BY s HAVING count(*) <= 8)
 )"""
 
+  // Mirror of sentDocs → chunkBySentences on the 32/24 grid, up to the
+  // per-(doc, window) sentence frame `x(doc_id, o, c, t, ci)` — the
+  // shared front of the chnk_s and p_cs oracles. Planted '.'s,
+  // word-level sentence ends (last char in .!? or final word), each
+  // sentence joins every window its start offset o falls in
+  // (truncating // only differs from floor below zero, where
+  // greatest(0, ..) clamps both).
+  private val SentChunksCte = """WITH pw AS (
+  SELECT doc_id, string_split_regex(trim(text), ' +') AS w0 FROM documents
+), sd AS (
+  SELECT doc_id, array_to_string(list_transform(range(len(w0)),
+    i -> CASE WHEN (i * 13 + doc_id) % (9 + (doc_id % 4) * 13) = 0
+         THEN concat(w0[i+1], '.') ELSE w0[i+1] END), ' ') AS text
+  FROM pw
+), w AS (
+  SELECT doc_id, string_split_regex(trim(text), ' +') AS words
+  FROM sd WHERE length(trim(text)) > 0
+), b AS (
+  SELECT doc_id, words,
+    list_filter(range(1, len(words) + 1),
+      i -> i = len(words) OR words[i][-1] IN ('.', '!', '?')) AS bp
+  FROM w
+), s AS (
+  SELECT doc_id,
+    CASE WHEN k = 0 THEN 0 ELSE bp[k] END AS o,
+    bp[k+1] - CASE WHEN k = 0 THEN 0 ELSE bp[k] END AS c,
+    array_to_string(
+      words[(CASE WHEN k = 0 THEN 0 ELSE bp[k] END) + 1 : bp[k+1]],
+      ' ') AS t
+  FROM (SELECT doc_id, words, bp, unnest(range(len(bp))) AS k FROM b)
+), x AS (
+  SELECT doc_id, o, c, t,
+    unnest(range(greatest(0, (o - 32 + 24) // 24), o // 24 + 1)) AS ci
+  FROM s
+)"""
+
   // Tokens: word runs or single non-word chars (see Text.TokenRe).
   private val TokRe = "[0-9A-Za-z_]+|[^0-9A-Za-z_ ]"
 
@@ -1340,6 +1376,21 @@ model AS (
       Curation.chunkBySentences(sentDocs(Tables.documents(s, d)),
           col("text"), col("doc_id"), sizeWords = 32, strideWords = 24)
         .orderBy("doc_id", "chunk_idx")),
+
+    // The curation→tokenize SEAM end to end: the sentence chunks ride
+    // the prefix-sum packer as first-class sequences — chunk id on the
+    // 2^20 wide stride (the keyframeCodes convention; chunk_idx is
+    // bounded by n_words/stride, so the stride holds to 25M-word
+    // documents), word counts as the token proxy, 64-word bins.
+    "p_cs" -> ((s, d) => {
+      val chunks = Curation.chunkBySentences(sentDocs(Tables.documents(s, d)),
+          col("text"), col("doc_id"), sizeWords = 32, strideWords = 24)
+        .select(expr("doc_id * 1048576 + chunk_idx").as("chunk_id"),
+          col("n_words"))
+      Packing.packSequences(chunks, col("chunk_id"), col("n_words"),
+          budget = 64)
+        .orderBy("doc_id")
+    }),
 
     "mft" -> ((s, d) =>
       Multimodal.featuresCols(Tables.documents(s, d),
@@ -3628,39 +3679,32 @@ FROM s ORDER BY doc_id, chunk_idx"""),
     // .!? or final word), each sentence joins every window its start
     // offset o falls in (truncating // only differs from floor below
     // zero, where greatest(0, ..) clamps both).
-    "chnk_s" -> ("""WITH pw AS (
-  SELECT doc_id, string_split_regex(trim(text), ' +') AS w0 FROM documents
-), sd AS (
-  SELECT doc_id, array_to_string(list_transform(range(len(w0)),
-    i -> CASE WHEN (i * 13 + doc_id) % (9 + (doc_id % 4) * 13) = 0
-         THEN concat(w0[i+1], '.') ELSE w0[i+1] END), ' ') AS text
-  FROM pw
-), w AS (
-  SELECT doc_id, string_split_regex(trim(text), ' +') AS words
-  FROM sd WHERE length(trim(text)) > 0
-), b AS (
-  SELECT doc_id, words,
-    list_filter(range(1, len(words) + 1),
-      i -> i = len(words) OR words[i][-1] IN ('.', '!', '?')) AS bp
-  FROM w
-), s AS (
-  SELECT doc_id,
-    CASE WHEN k = 0 THEN 0 ELSE bp[k] END AS o,
-    bp[k+1] - CASE WHEN k = 0 THEN 0 ELSE bp[k] END AS c,
-    array_to_string(
-      words[(CASE WHEN k = 0 THEN 0 ELSE bp[k] END) + 1 : bp[k+1]],
-      ' ') AS t
-  FROM (SELECT doc_id, words, bp, unnest(range(len(bp))) AS k FROM b)
-), x AS (
-  SELECT doc_id, o, c, t,
-    unnest(range(greatest(0, (o - 32 + 24) // 24), o // 24 + 1)) AS ci
-  FROM s
-)
+    "chnk_s" -> (SentChunksCte + """
 SELECT doc_id, CAST(ci AS INT) AS chunk_idx,
        string_agg(t, ' ' ORDER BY o) AS chunk_text,
        CAST(count(*) AS INT) AS n_sents,
        CAST(sum(c) AS INT) AS n_words
 FROM x GROUP BY 1, 2 ORDER BY doc_id, chunk_idx"""),
+
+    // The curation→tokenize SEAM end to end: chnk_s's sentence chunks
+    // (wide-stride chunk ids, the keyframeCodes convention) priced
+    // through p_s's prefix-sum packer at a 64-word budget.
+    "p_cs" -> (SentChunksCte + """, ck AS (
+  SELECT doc_id * 1048576 + ci AS chunk_id, CAST(sum(c) AS BIGINT) AS nw
+  FROM x GROUP BY doc_id, ci
+), cc AS (
+  SELECT chunk_id, nw,
+         CAST(SUM(nw) OVER (ORDER BY chunk_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS end_off
+  FROM ck WHERE nw > 0
+)
+SELECT chunk_id AS doc_id, nw AS n_tokens,
+       end_off - nw AS start_off, end_off,
+       (end_off - nw) // 64 AS first_bin,
+       (end_off - 1) // 64 AS last_bin,
+       (end_off - 1) // 64 - (end_off - nw) // 64 + 1 AS n_bins
+FROM cc ORDER BY doc_id"""),
 
     "mft" -> (s"""
 SELECT doc_id AS media_id,
