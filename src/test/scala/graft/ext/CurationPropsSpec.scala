@@ -79,6 +79,53 @@ class CurationPropsSpec extends SparkSpec {
     }, cases = 10)
   }
 
+  test("chunkBySentences: exact match against an independent reference") {
+    // random corpora with random terminal punctuation, checked against
+    // a straight-line Scala re-implementation of the declared
+    // semantics (word-level boundaries, window membership by start
+    // offset, sparse chunk indices) — the CodeProfile property-test
+    // convention: the reference shares NO code with the operator.
+    val pword = for {
+      w <- word
+      p <- Gen.frequency(3 -> Gen.const(""), 1 -> Gen.oneOf(".", "!", "?"))
+    } yield w + p
+    val pdoc = Gen.chooseNum(1, 14)
+      .flatMap(n => Gen.listOfN(n, pword)).map(_.mkString(" "))
+    val sized = for {
+      size <- Gen.chooseNum(2, 6)
+      stride <- Gen.chooseNum(1, size)
+      n <- Gen.chooseNum(2, 6)
+      docs <- Gen.listOfN(n, pdoc)
+    } yield (size, stride, docs.zipWithIndex.map { case (t, i) => (i.toLong, t) })
+    def ref(text: String, size: Int, stride: Int): Seq[(Int, String, Int, Int)] = {
+      val words = text.trim.split(" +").toSeq
+      val ends = Set('.', '!', '?')
+      val bp = (1 to words.length).filter(i =>
+        i == words.length || ends.contains(words(i - 1).last))
+      val sents = bp.zipWithIndex.map { case (e, k) =>
+        val st = if (k == 0) 1 else bp(k - 1) + 1
+        (st - 1, e - st + 1, words.slice(st - 1, e).mkString(" "))
+      }
+      (0 to sents.last._1 / stride).flatMap { i =>
+        val ss = sents.filter(s => i * stride <= s._1 && s._1 < i * stride + size)
+        if (ss.isEmpty) None
+        else Some((i, ss.map(_._3).mkString(" "), ss.length, ss.map(_._2).sum))
+      }
+    }
+    checkProp(Prop.forAll(sized) { case (size, stride, docs) =>
+      val out = Curation.chunkBySentences(docs.toDF("doc_id", "text"),
+          $"text", $"doc_id", size, stride)
+        .collect()
+        .map(r => (r.getLong(0),
+          (r.getInt(1), r.getString(2), r.getInt(3), r.getInt(4))))
+        .groupBy(_._1)
+      docs.forall { case (id, text) =>
+        out.getOrElse(id, Array.empty).map(_._2).sortBy(_._1).toSeq ==
+          ref(text, size, stride)
+      }
+    }, cases = 10)
+  }
+
   test("duplicateSpans: spans are disjoint, in bounds, at least k long") {
     checkProp(Prop.forAll(corpus) { docs =>
       val df = docs.toDF("doc_id", "text")
