@@ -814,11 +814,8 @@ object Dedup {
   def appendLshIndex(batch: DataFrame, content: Column, id: Column,
                      path: String, batchId: Long): Boolean = {
     val spark = batch.sparkSession
-    val root = new org.apache.hadoop.fs.Path(path)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val markers = new org.apache.hadoop.fs.Path(root, "_applied_batches")
-    val marker = new org.apache.hadoop.fs.Path(markers, batchId.toString)
-    if (fs.exists(marker)) false
+    graft.sources.StoreCompaction.assertNotCompacting(spark, path)
+    if (graft.sources.StoreCompaction.isApplied(spark, path, batchId)) false
     else {
       val meta = spark.read.parquet(s"$path/meta").head
       // local persist, not CacheScope: the write below materializes
@@ -837,8 +834,7 @@ object Dedup {
         .sortWithinPartitions("band", "bucket", "doc_id")
         .write.mode("append").partitionBy("pb").parquet(s"$path/buckets")
       bb.unpersist(blocking = false)
-      fs.mkdirs(markers)
-      fs.create(marker, false).close()
+      graft.sources.StoreCompaction.commitMarker(spark, path, batchId)
       true
     }
   }

@@ -268,14 +268,18 @@ object Similarity {
 
   /** The code-frame core of [[appendB1Codes]] — same replay contract
     * (batch marker + id-level anti join, missing `codes` bootstraps an
-    * empty history) over any packed-code frame. */
+    * empty history) over any packed-code frame. Replay markers roll up
+    * into a watermark at compaction
+    * ([[graft.sources.StoreCompaction.isApplied]]), and the append
+    * REFUSES loudly while a compaction holds the store — without that,
+    * racing the rename window would read the absent live dir as an
+    * empty bootstrap history and silently re-append stored ids. */
   def appendCodes(codes0: DataFrame, path: String, batchId: Long): Boolean = {
     val spark = codes0.sparkSession
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val markers = new org.apache.hadoop.fs.Path(root, "_applied_batches")
-    val marker = new org.apache.hadoop.fs.Path(markers, batchId.toString)
-    if (fs.exists(marker)) false
+    graft.sources.StoreCompaction.assertNotCompacting(spark, path)
+    if (graft.sources.StoreCompaction.isApplied(spark, path, batchId)) false
     else {
       val codes = codes0
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -286,8 +290,7 @@ object Similarity {
           Seq("vec_id"), "left_anti")
       novel.write.mode("append").parquet(s"$path/codes")
       codes.unpersist()
-      fs.mkdirs(markers)
-      fs.create(marker, true).close()
+      graft.sources.StoreCompaction.commitMarker(spark, path, batchId)
       true
     }
   }
@@ -1281,11 +1284,8 @@ object Similarity {
   def appendCellIndex(embeddings: DataFrame, idCol: String, embCol: String,
                       path: String, batchId: Long): Boolean = {
     val spark = embeddings.sparkSession
-    val root = new org.apache.hadoop.fs.Path(path)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val markers = new org.apache.hadoop.fs.Path(root, "_applied_batches")
-    val marker = new org.apache.hadoop.fs.Path(markers, batchId.toString)
-    if (fs.exists(marker)) false
+    graft.sources.StoreCompaction.assertNotCompacting(spark, path)
+    if (graft.sources.StoreCompaction.isApplied(spark, path, batchId)) false
     else {
       val qz = embeddings.select(col(idCol).as("vid"),
           quantize(col(embCol)).as("qe"))
@@ -1321,8 +1321,7 @@ object Similarity {
         .sortWithinPartitions("vid")
         .write.mode("append").partitionBy("cid").parquet(s"$path/cells")
       assigned.unpersist(blocking = false)
-      fs.mkdirs(markers)
-      fs.create(marker, false).close()
+      graft.sources.StoreCompaction.commitMarker(spark, path, batchId)
       true
     }
   }

@@ -1,6 +1,8 @@
 package graft.sources
 
-import org.apache.hadoop.fs.Path
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** ONLINE compaction for the path-based append-only index stores
@@ -21,21 +23,41 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * `_applied_batches` markers live under the store ROOT, a SIBLING of
   * the data subdir, so the swap never touches them — a batch replayed
   * across the compaction finds its marker exactly where it was and
-  * no-ops without any marker-carrying step. What remains is the RACE
-  * guard: an append landing DURING the rewrite would put its rows into
-  * the old generation (and its marker into the shared set) and the
-  * swap would silently drop them. So, mirroring the mirror:
+  * no-ops without any marker-carrying step. The marker LEDGER itself is
+  * compacted here too: one file per micro-batch forever is ~3M files a
+  * year at 10 s batches — small-file pressure on exactly the
+  * maintenance path built for 24/7 deployments — so after a successful
+  * swap the contiguous batch-id prefix rolls up into a single
+  * `_watermark` file and the folded per-batch files are deleted; the
+  * replay check everywhere is `batchId <= watermark || exists(marker)`
+  * ([[isApplied]]). The roll-up runs inside the compaction's
+  * single-writer window and is crash-ordered (new watermark durable
+  * before any folded marker is deleted), so a crash at any point leaves
+  * the applied-set readable.
   *
-  *  1. snapshot the marker set BEFORE reading any data;
-  *  2. rewrite the current snapshot, LAYOUT-PRESERVED (the caller's
+  * What remains is the RACE guard: an append landing DURING the rewrite
+  * would put its rows into the old generation (and its marker into the
+  * shared set) and the swap would silently drop them. So, mirroring the
+  * mirror:
+  *
+  *  1. raise a `_compacting` SENTINEL at the store root — the append
+  *     paths refuse loudly while it exists ([[assertNotCompacting]]),
+  *     so an append STARTING inside the window is an error at its first
+  *     filesystem touch, not silent corruption (the r17 ADVICE hole:
+  *     an append racing the rename window used to read the absent live
+  *     dir as an empty bootstrap history and re-append stored ids);
+  *  2. snapshot the marker set BEFORE reading any data;
+  *  3. rewrite the current snapshot, LAYOUT-PRESERVED (the caller's
   *     `rewrite` re-states the store's own partitioning/sorting, so
   *     partition pruning and footer skipping survive verbatim), into a
   *     fresh `<sub>_compacting` directory beside the live one — the
-  *     store stays readable and appendable throughout;
-  *  3. re-list the markers and ABORT (delete the new directory, throw)
-  *     if an append landed during the rewrite;
-  *  4. swap via two renames (live → `<sub>_old`, new → live) and
-  *     delete the old generation.
+  *     store stays readable throughout;
+  *  4. re-list the markers and ABORT (delete the new directory, throw)
+  *     if an append ALREADY IN FLIGHT at sentinel-raise time landed
+  *     during the rewrite;
+  *  5. swap via two renames (live → `<sub>_old`, new → live), re-check
+  *     the markers a third time before the only destructive delete,
+  *     roll up the marker ledger, and drop the sentinel.
   *
   * The rename pair is atomic per rename on HDFS/local but not jointly:
   * a reader planning a scan exactly between them fails loudly
@@ -48,46 +70,164 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object StoreCompaction {
 
+  /** Root-level sentinel raised for the duration of a [[swapCompact]];
+    * the append paths throw while it exists. Left IN PLACE when a swap
+    * fails in a way that needs manual reconciliation — appends to a
+    * half-swapped store stay blocked until the operator resolves it. */
+  val CompactingSentinel = "_compacting_sentinel"
+
+  private val MarkerDir = "_applied_batches"
+  private val WatermarkFile = "_watermark"
+
+  private def hadoopFs(spark: SparkSession, p: Path): FileSystem =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** The replay check shared by every append path: a batch is applied
+    * if its id is at or below the rolled-up watermark OR its per-batch
+    * marker file exists. O(1) either way (one tiny read + one exists). */
+  def isApplied(spark: SparkSession, root: String, batchId: Long): Boolean = {
+    val rootP = new Path(root)
+    val fs = hadoopFs(spark, rootP)
+    val markers = new Path(rootP, MarkerDir)
+    batchId <= readWatermark(fs, markers) ||
+      fs.exists(new Path(markers, batchId.toString))
+  }
+
+  /** Commit a batch's marker — AFTER its data files, so a crash between
+    * the two replays one batch (the appendOnce contract). */
+  def commitMarker(spark: SparkSession, root: String, batchId: Long): Unit = {
+    val rootP = new Path(root)
+    val fs = hadoopFs(spark, rootP)
+    val markers = new Path(rootP, MarkerDir)
+    fs.mkdirs(markers)
+    fs.create(new Path(markers, batchId.toString), true).close()
+  }
+
+  /** Refuse an append while a compaction holds the store (r17 ADVICE):
+    * without this, an append racing the rename window reads the absent
+    * live dir as an EMPTY bootstrap history and silently re-appends
+    * already-stored ids. Loud beats silent: the documented contract is
+    * single-writer, so any append seeing the sentinel is a contract
+    * violation — or a crashed compaction's debris, which the message
+    * names the fix for. */
+  def assertNotCompacting(spark: SparkSession, root: String): Unit = {
+    val rootP = new Path(root)
+    val sentinel = new Path(rootP, CompactingSentinel)
+    if (hadoopFs(spark, rootP).exists(sentinel))
+      throw new IllegalStateException(
+        s"append refused: a compaction of '$root' is in flight " +
+          s"($sentinel exists). Appends and compaction share the " +
+          "single-writer foreachBatch thread; if a crashed compaction " +
+          "left the sentinel behind, re-run the compaction (which " +
+          "replaces it) or delete the sentinel file")
+  }
+
+  private def readWatermark(fs: FileSystem, markers: Path): Long = {
+    val wm = new Path(markers, WatermarkFile)
+    if (!fs.exists(wm)) -1L
+    else {
+      val in = fs.open(wm)
+      try {
+        val buf = new Array[Byte](32)
+        val n = in.read(buf)
+        if (n <= 0) -1L else new String(buf, 0, n, UTF_8).trim.toLong
+      } finally in.close()
+    }
+  }
+
+  /** Roll the contiguous batch-id prefix into the single `_watermark`
+    * file and delete the folded per-batch markers. Crash-ordered: the
+    * new watermark is durable (tmp write + rename) BEFORE any marker is
+    * deleted, and a crash between the watermark delete and the rename
+    * leaves every folded marker still present — the applied set is
+    * readable at every intermediate state. Only callable from the
+    * compaction's single-writer window. */
+  private def rollUpMarkers(fs: FileSystem, root: Path): Unit = {
+    val markers = new Path(root, MarkerDir)
+    if (!fs.exists(markers)) return
+    val ids = fs.listStatus(markers).map(_.getPath.getName)
+      .filter(n => n.nonEmpty && n.forall(_.isDigit)).map(_.toLong).toSet
+    val old = readWatermark(fs, markers)
+    var w = old
+    while (ids.contains(w + 1)) w += 1
+    if (w > old) {
+      val tmp = new Path(markers, WatermarkFile + "_tmp")
+      val out = fs.create(tmp, true)
+      out.write(w.toString.getBytes(UTF_8))
+      out.close()
+      val wm = new Path(markers, WatermarkFile)
+      fs.delete(wm, false)
+      if (!fs.rename(tmp, wm))
+        throw new IllegalStateException(
+          s"marker roll-up failed: could not rename $tmp -> $wm")
+      ids.filter(i => i > old && i <= w)
+        .foreach(i => fs.delete(new Path(markers, i.toString), false))
+    }
+  }
+
   /** Compact `path`/`sub` by `rewrite`, guarding against concurrent
-    * appends via the `path`/_applied_batches marker set. `rewrite`
-    * receives the live snapshot frame and the target directory and
-    * must write the SAME rows in the store's own layout. Returns the
-    * number of data files after compaction. */
+    * appends via the `path`/_applied_batches marker set and the
+    * [[CompactingSentinel]]. `rewrite` receives the live snapshot frame
+    * and the target directory and must write the SAME rows in the
+    * store's own layout. Returns the number of data files after
+    * compaction. */
   def swapCompact(spark: SparkSession, path: String, sub: String)
                  (rewrite: (DataFrame, String) => Unit): Int = {
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val live = new Path(root, sub)
     require(fs.exists(live), s"nothing to compact: $live does not exist")
-    val markers = new Path(root, "_applied_batches")
+    val markers = new Path(root, MarkerDir)
     def listMarkers(): Set[String] =
-      if (fs.exists(markers)) fs.listStatus(markers).map(_.getPath.getName).toSet
+      if (fs.exists(markers))
+        fs.listStatus(markers).map(_.getPath.getName)
+          .filterNot(_.startsWith("_")).toSet
       else Set.empty
+    // raise the sentinel FIRST: appends starting after this point fail
+    // loudly at their own first touch; appends already past their
+    // sentinel check are caught by the marker re-lists below. Overwrite
+    // is deliberate — a crashed prior attempt's sentinel (like its tmp
+    // debris) yields to the retry that supersedes it.
+    val sentinel = new Path(root, CompactingSentinel)
+    fs.create(sentinel, true).close()
     val applied = listMarkers()
     val tmp = new Path(root, s"${sub}_compacting")
     fs.delete(tmp, true) // debris of an aborted prior attempt
-    rewrite(spark.read.parquet(live.toString), tmp.toString)
+    try rewrite(spark.read.parquet(live.toString), tmp.toString)
+    catch {
+      case t: Throwable =>
+        fs.delete(tmp, true)
+        fs.delete(sentinel, false)
+        throw t
+    }
     val now = listMarkers()
     if (now != applied) {
       fs.delete(tmp, true)
+      fs.delete(sentinel, false)
       throw new IllegalStateException(
         s"compaction of '$live' raced appends of batch(es) " +
           s"${(now -- applied).toSeq.sorted.mkString(",")} — retry")
     }
     val old = new Path(root, s"${sub}_old")
     fs.delete(old, true)
-    if (!fs.rename(live, old))
+    if (!fs.rename(live, old)) {
+      fs.delete(tmp, true)
+      fs.delete(sentinel, false)
       throw new IllegalStateException(s"compaction swap failed: $live -> $old")
+    }
     if (!fs.rename(tmp, live)) {
       // restore the live store before failing — the swap must never
       // leave the path unreadable; if even the restore fails, say
       // exactly where the data sits instead of claiming only the
-      // forward rename broke
+      // forward rename broke. The sentinel stays up on the broken-store
+      // path (appends blocked until the operator reconciles) and drops
+      // on the restored path (the store is healthy again).
       if (!fs.rename(old, live))
         throw new IllegalStateException(
           s"compaction swap failed AND restore failed: the store's data " +
             s"is intact at $old but nothing is at $live — rename it back " +
             "manually before retrying")
+      fs.delete(sentinel, false)
       throw new IllegalStateException(s"compaction swap failed: $tmp -> $live")
     }
     // THIRD marker check, before the only destructive step: an append
@@ -99,8 +239,9 @@ object StoreCompaction {
     // comes back, and the caller retries. The residual window — a
     // racing append whose data landed pre-swap but whose marker lands
     // after this check — is why the operating contract remains
-    // single-writer (call from the foreachBatch thread); this check
-    // narrows the hole, the contract closes it.
+    // single-writer (call from the foreachBatch thread); the sentinel
+    // refuses appends STARTING in the window, this check catches ones
+    // already in flight, and the contract closes the rest.
     val postSwap = listMarkers()
     if (postSwap != applied) {
       // the raced rows sit in whichever directory the append resolved
@@ -114,6 +255,7 @@ object StoreCompaction {
           s"compaction of '$live' raced appends of batch(es) " +
             s"${(postSwap -- applied).toSeq.sorted.mkString(",")} and the " +
             s"unwind failed — reconcile $old / $orphan manually")
+      fs.delete(sentinel, false)
       throw new IllegalStateException(
         s"compaction of '$live' raced appends of batch(es) " +
           s"${(postSwap -- applied).toSeq.sorted.mkString(",")} — the raced " +
@@ -121,6 +263,11 @@ object StoreCompaction {
           "snapshot); reconcile, remove the orphan, and retry")
     }
     fs.delete(old, true)
+    // marker-ledger roll-up, still inside the single-writer window:
+    // the swap succeeded, so the snapshot's contiguous id prefix is
+    // final and folds into one watermark file
+    rollUpMarkers(fs, root)
+    fs.delete(sentinel, false)
     countDataFiles(fs, live)
   }
 

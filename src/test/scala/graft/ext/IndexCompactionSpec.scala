@@ -208,22 +208,109 @@ class IndexCompactionSpec extends SparkSpec {
     assert(Similarity.appendB1Codes(
       Seq((2L, v(-1, -1, -1, -1))).toDF("vec_id", "embedding"),
       "vec_id", "embedding", root, batchId = 0L))
-    // simulate an append landing mid-rewrite: the rewrite callback
-    // appends a batch (data + marker) while compaction is reading
+    // simulate an append ALREADY IN FLIGHT at sentinel-raise time
+    // landing mid-rewrite: its data files and marker appear while
+    // compaction is reading (the append API itself now refuses on the
+    // sentinel — see the loud-refusal test — so the in-flight tail is
+    // reproduced directly: parquet append + marker file, exactly what
+    // an append past its sentinel check does)
     val e = intercept[IllegalStateException] {
       StoreCompaction.swapCompact(spark, root, "codes") { (df, out) =>
         df.repartition(1).write
           .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(out)
-        assert(Similarity.appendB1Codes(
-          Seq((3L, v(1, -1, -1, 1))).toDF("vec_id", "embedding"),
-          "vec_id", "embedding", root, batchId = 1L))
+        Similarity.binarize1Bit(
+            Seq((3L, v(1, -1, -1, 1))).toDF("vec_id", "embedding"),
+            col("vec_id"), col("embedding"))
+          .write.mode(org.apache.spark.sql.SaveMode.Append)
+          .parquet(s"$root/codes")
+        java.nio.file.Files.createDirectories(
+          java.nio.file.Paths.get(root, "_applied_batches"))
+        java.nio.file.Files.createFile(
+          java.nio.file.Paths.get(root, "_applied_batches", "1"))
       }
     }
     assert(e.getMessage.contains("raced appends"))
     // the racing batch's rows are exactly where it left them — nothing
-    // was swapped away, and the aborted generation is gone
+    // was swapped away, and the aborted generation and sentinel are gone
     assert(spark.read.parquet(s"$root/codes").count() === 3)
+    assert(!new java.io.File(s"$root/codes_compacting").exists())
     assert(!new java.io.File(
-      s"$root/codes_compacting").exists())
+      s"$root/${StoreCompaction.CompactingSentinel}").exists())
+    // with the sentinel down, the next append proceeds normally
+    assert(Similarity.appendB1Codes(
+      Seq((4L, v(-1, 1, 1, -1))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", root, batchId = 2L))
+  }
+
+  test("an append STARTING during a compaction refuses loudly (r17 ADVICE)") {
+    val root = Files.createTempDirectory("graft-cmp-sent").toString + "/store"
+    Similarity.writeB1Codes(
+      Seq((1L, v(1, 1, 1, 1))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", root)
+    // the silent-corruption shape the sentinel closes: mid-swap the
+    // live dir is briefly absent, and the append's missing-subdir
+    // bootstrap would read an EMPTY history and re-append stored ids —
+    // now it throws at its first filesystem touch instead
+    val e = intercept[IllegalStateException] {
+      StoreCompaction.swapCompact(spark, root, "codes") { (df, out) =>
+        df.repartition(1).write
+          .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(out)
+        Similarity.appendB1Codes(
+          Seq((9L, v(1, -1, 1, -1))).toDF("vec_id", "embedding"),
+          "vec_id", "embedding", root, batchId = 5L)
+      }
+    }
+    assert(e.getMessage.contains("append refused"))
+    // the rewrite's failure cleaned up: sentinel and tmp gone, store
+    // intact and appendable
+    assert(!new java.io.File(
+      s"$root/${StoreCompaction.CompactingSentinel}").exists())
+    assert(!new java.io.File(s"$root/codes_compacting").exists())
+    assert(spark.read.parquet(s"$root/codes").count() === 1)
+    assert(Similarity.appendB1Codes(
+      Seq((9L, v(1, -1, 1, -1))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", root, batchId = 5L))
+  }
+
+  test("marker ledger rolls up into one watermark at compaction") {
+    val root = Files.createTempDirectory("graft-cmp-wm").toString + "/store"
+    Similarity.writeB1Codes(
+      Seq((1L, v(1, 1, 1, 1))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", root)
+    // contiguous batches 0..2 plus a GAP batch 7 (a restarted query's
+    // fresh checkpoint numbering) — only the contiguous prefix folds
+    (Seq(0L, 1L, 2L, 7L)).foreach { b =>
+      assert(Similarity.appendB1Codes(
+        Seq((10L + b, v(1, -1, 1, -1))).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", root, batchId = b))
+    }
+    // filterNot ".crc": RawLocalFileSystem checksum shadows, not markers
+    def markerNames() = new java.io.File(s"$root/_applied_batches")
+      .list().filterNot(_.startsWith(".")).toSet
+    assert(markerNames() === Set("0", "1", "2", "7"))
+    Similarity.compactCodes(spark, root)
+    // 0..2 folded into the watermark; the gapped 7 keeps its file
+    assert(markerNames() === Set("_watermark", "7"))
+    // replay below the watermark no-ops with no per-batch file
+    assert(!Similarity.appendB1Codes(
+      Seq((99L, v(1, 1, 1, 1))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", root, batchId = 1L))
+    assert(!Similarity.appendB1Codes(
+      Seq((99L, v(1, 1, 1, 1))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", root, batchId = 7L))
+    // new batches land per-batch files again; the next compaction
+    // advances the watermark through them (3 closes the gap up to 7
+    // only once 4..6 exist — here it folds 3 and stops at the gap)
+    assert(Similarity.appendB1Codes(
+      Seq((50L, v(-1, 1, -1, 1))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", root, batchId = 3L))
+    assert(markerNames() === Set("_watermark", "7", "3"))
+    Similarity.compactCodes(spark, root)
+    assert(markerNames() === Set("_watermark", "7"))
+    assert(!Similarity.appendB1Codes(
+      Seq((99L, v(1, 1, 1, 1))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", root, batchId = 3L))
+    // the store itself is unharmed: base + 4 appended + 1 post-roll-up
+    assert(spark.read.parquet(s"$root/codes").count() === 6)
   }
 }
