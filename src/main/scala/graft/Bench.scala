@@ -322,11 +322,12 @@ object Bench {
     // "d" prefix rule would misroute dom/dsir/dng/dsem/decs, so the
     // family stays an explicit set; mappings in BASELINE.md).
     // cdd (chat_dd pre-r17) shards with dedup (it IS the dedup matrix
-    // over renders), as does chat_dc's decontamination sibling
+    // over renders), as does cdc (chat_dc pre-r18), its
+    // decontamination sibling; smh = simh after the r18 sweep
     else if (name.startsWith("dd_") || name.startsWith("dup_") ||
       name.startsWith("src_") || name.startsWith("chat_d") ||
-      Set("sdd", "simh", "kmv", "cms", "dsp", "dpx", "cns",
-        "cdd", "dpc", "dpm", "sco", "scs",
+      Set("sdd", "smh", "kmv", "cms", "dsp", "dpx", "cns",
+        "cdd", "cdc", "dpc", "dpm", "sco", "scs",
         "dcc", "dex", "din", "dkb", "dln", "dnx", "dpa", "dsh",
         "dwd").contains(name)) "dedup"
     else if (name.startsWith("p_") || name.startsWith("s_") ||
@@ -337,7 +338,7 @@ object Bench {
     // dom is a per-host rollup — aggregation profile, and the text
     // catch-all sits at its 40-query cap
     else if (name.startsWith("q") ||
-      Set("zipf", "shp", "rare", "prk", "hits", "tri",
+      Set("zpf", "shp", "rare", "prk", "hits", "tri",
         "dom").contains(name)) "rel"
     // rrf fuses the bm25 and ANN top-k plans — it shards with ann (its
     // dominant cost is the vector scan, and text is at the 40-row cap).

@@ -67,7 +67,7 @@ object ExtQueries {
 )"""
   // Mirror of synthChatDupConv → Chat.render → distinct word
   // 3-shingles with the maxDocFreq ≤ 8 stop-shingle filter (shf) —
-  // the shared front of the cdd and chat_dc oracles. `r(doc_id, text)`
+  // the shared front of the cdd and cdc oracles. `r(doc_id, text)`
   // is the render frame, `shf(doc_id, s)` the informative shingles.
   private def chatRenderShinglesCte = s"""WITH c AS (
   SELECT doc_id, doc_id // 4 AS g, doc_id % 4 AS m FROM documents
@@ -98,7 +98,7 @@ object ExtQueries {
 
   // Mirror of sentDocs → chunkBySentences on the 32/24 grid, up to the
   // per-(doc, window) sentence frame `x(doc_id, o, c, t, ci)` — the
-  // shared front of the chnk_s and p_cs oracles. Planted '.'s,
+  // shared front of the cks and p_cs oracles. Planted '.'s,
   // word-level sentence ends (last char in .!? or final word), each
   // sentence joins every window its start offset o falls in
   // (truncating // only differs from floor below zero, where
@@ -136,7 +136,7 @@ object ExtQueries {
   private val TokRe = "[0-9A-Za-z_]+|[^0-9A-Za-z_ ]"
 
   // DuckDB mirror of pageDocs — the synthesized multi-line pages the
-  // goph / c4 rows filter (6-word lines, bullet/suffix rotations,
+  // gph / c4 rows filter (6-word lines, bullet/suffix rotations,
   // boilerplate tails). `pg(doc_id, text)` is the page frame.
   private val PageCte = """WITH pw AS (
   SELECT doc_id, string_split_regex(trim(text), ' +') AS w0 FROM documents
@@ -554,7 +554,7 @@ model AS (
         .orderBy("doc_id")
     }),
 
-    "simh" -> ((s, d) =>
+    "smh" -> ((s, d) =>
       Dedup.simhash(Tables.documents(s, d), col("text"), col("doc_id"))
         .orderBy("doc_id")),
 
@@ -928,7 +928,7 @@ model AS (
     // fail the word-count floor, bullet/ellipsis decorations move the
     // line ratios, the `- ` tokens dent alpha_pm, and only the even-id
     // stopword tail reaches stop_hits >= 2.
-    "goph" -> ((s, d) =>
+    "gph" -> ((s, d) =>
       TextAnalysis.gopherRules(pageDocs(Tables.documents(s, d)),
         col("text"), col("doc_id")).orderBy("doc_id")),
 
@@ -977,7 +977,7 @@ model AS (
       TextAnalysis.sourceStats(Tables.documents(s, d), col("source"),
         col("text"), col("lang"), col("doc_id")).orderBy("source")),
 
-    "zipf" -> ((s, d) =>
+    "zpf" -> ((s, d) =>
       TextAnalysis.vocabHead(Tables.documents(s, d), col("text"), k = 50)
         .orderBy("rank")),
 
@@ -989,7 +989,7 @@ model AS (
     // CCNet's head/middle/tail perplexity split per language — value
     // thresholds at the 1/3 and 2/3 cumulative cuts of each language's
     // integer ppl distribution.
-    "pplc" -> ((s, d) =>
+    "ppc" -> ((s, d) =>
       TextAnalysis.pplBuckets(Tables.documents(s, d), col("text"),
           col("doc_id"), col("lang"))
         .orderBy("doc_id")),
@@ -1292,7 +1292,7 @@ model AS (
     // template's shared runs and the probe join concentrates on
     // corpus-wide hot keys. Groups of 4 consecutive ids share topic
     // shingles, so groups straddling the hash split carry real signal.
-    "chat_dc" -> ((s, d) => {
+    "cdc" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val r = Chat.render(synthChatDupConv(docs), col("conv"), col("doc_id"))
       Dedup.ngramContamination(r, col("text"), col("doc_id"),
@@ -1361,7 +1361,7 @@ model AS (
     // Sliding-window chunking: 32-word windows every 24 words (8-word
     // overlap) — the long-doc → context-window splitter; closed-form
     // integer chunk arithmetic, oracle reproduces it exactly.
-    "chnk" -> ((s, d) =>
+    "chk" -> ((s, d) =>
       Curation.chunkByWords(Tables.documents(s, d), col("text"),
           col("doc_id"), sizeWords = 32, strideWords = 24)
         .orderBy("doc_id", "chunk_idx")),
@@ -1372,7 +1372,7 @@ model AS (
     // docs with m = 35/48 carry sentences LONGER than the 32-word
     // budget and exercise the sparse-chunk_idx case (a straddling
     // sentence swallows the next window) at correctness scale.
-    "chnk_s" -> ((s, d) =>
+    "cks" -> ((s, d) =>
       Curation.chunkBySentences(sentDocs(Tables.documents(s, d)),
           col("text"), col("doc_id"), sizeWords = 32, strideWords = 24)
         .orderBy("doc_id", "chunk_idx")),
@@ -1590,7 +1590,7 @@ model AS (
     // anchored host allowlist (admits t0/1/4/5/6), a cdn host denylist
     // and an /a/ path denylist (kick t0/t1 back out) — in_scope lands
     // true only for t4/t5/t6, exercising all three predicate slots.
-    "uscp" -> ((s, d) =>
+    "usc" -> ((s, d) =>
       Curation.urlScope(Tables.documents(s, d), synthCrawlUrl, col("doc_id"),
           allowHostRe =
             "^(example\\.com|news\\.example\\.org|shop\\.example\\.com)$",
@@ -1760,7 +1760,7 @@ model AS (
   /** Wraps each document's words into 4-word '\n'-joined lines — the
     * fixture corpus is single-line, and [[Curation.dedupLines]] needs
     * line structure to act on. Mirrored verbatim in the oracle CTE. */
-  /** Eight messy-URL canon templates shared by the `uscp` and
+  /** Eight messy-URL canon templates shared by the `usc` and
     * `robots` rows: scheme/host case, default ports, userinfo,
     * duplicate slashes, tracking params, fragments, trailing dots —
     * every normalization [[Curation.canonicalUrl]] performs. Hosts
@@ -1806,7 +1806,7 @@ model AS (
             .otherwise(lit(""))).as("text"))
 
   /** Multi-line "web page" variant of the fixture corpus shared by the
-    * goph / c4 rows (the fixture text itself has no newlines): 6-word
+    * gph / c4 rows (the fixture text itself has no newlines): 6-word
     * lines with id-deterministic bullet prefixes (`- ` on every 5th
     * line) and terminal/ellipsis suffixes (`.`/`...` on a mod-3
     * rotation), plus boilerplate tail lines — a stopword sentence on
@@ -1840,7 +1840,7 @@ model AS (
       expr("case when doc_id % 13 = 0 then" +
         " repeat('+-*/()[]{}; .', 30) end")).as("text"))
 
-  /** Deterministic sentence-structured frame for the `chnk_s` row: the
+  /** Deterministic sentence-structured frame for the `cks` row: the
     * raw fixture text carries no punctuation, so a terminal '.' is
     * planted on every word at position i (0-based) with
     * `(i·13 + doc_id) % (9 + 13·(doc_id % 4)) = 0` — sentence stride
@@ -2464,7 +2464,7 @@ SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
   CAST(sum(CASE WHEN verdict = 'kept' THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
 FROM v GROUP BY source ORDER BY source"""),
 
-    "simh" -> (s"""WITH toks AS (
+    "smh" -> (s"""WITH toks AS (
   SELECT doc_id, unnest(regexp_extract_all(text, '$TokRe')) AS tok
   FROM documents
 ), votes AS (
@@ -3117,7 +3117,7 @@ SELECT doc_id,
         AND len(list_distinct(words)) * 1000 // len(words) >= 200) AS quality_ok
 FROM w ORDER BY doc_id"""),
 
-    "goph" -> (PageCte + """, gw AS (
+    "gph" -> (PageCte + """, gw AS (
   SELECT doc_id, text,
          string_split_regex(trim(lower(text)), '[ \n]+') AS ws,
          string_split(text, chr(10)) AS ls,
@@ -3584,7 +3584,7 @@ FROM pp ORDER BY doc_id"""),
     // Mirror of pplBuckets: the text_ppl chain, per-(lang, ppl_pm)
     // frequency table, cumulative cuts at 1/3 and 2/3 of each
     // language, value-threshold tier assignment.
-    "pplc" -> (PplCte + """, sc AS (
+    "ppc" -> (PplCte + """, sc AS (
   SELECT pp.doc_id, d.lang, pp.ppl_pm
   FROM pp JOIN documents d USING (doc_id)
 ), fr AS (
@@ -3630,7 +3630,7 @@ SELECT source,
        CAST(max(length(text)) AS BIGINT) AS max_chars
 FROM documents GROUP BY source ORDER BY source"""),
 
-    "zipf" -> ("""WITH t AS (
+    "zpf" -> ("""WITH t AS (
   SELECT unnest(string_split_regex(trim(lower(text)), ' +')) AS term
   FROM documents
 ), c AS (
@@ -3659,7 +3659,7 @@ ORDER BY doc_id""",
 
     // chunk count 1 + ceil(max(0, n-32)/24); DuckDB's inclusive list
     // slice words[a : a+31] mirrors Spark's slice(words, a, 32)
-    "chnk" -> ("""WITH w AS (
+    "chk" -> ("""WITH w AS (
   SELECT doc_id, string_split_regex(trim(text), ' +') AS words
   FROM documents WHERE length(trim(text)) > 0
 ), c AS (
@@ -3679,14 +3679,14 @@ FROM s ORDER BY doc_id, chunk_idx"""),
     // .!? or final word), each sentence joins every window its start
     // offset o falls in (truncating // only differs from floor below
     // zero, where greatest(0, ..) clamps both).
-    "chnk_s" -> (SentChunksCte + """
+    "cks" -> (SentChunksCte + """
 SELECT doc_id, CAST(ci AS INT) AS chunk_idx,
        string_agg(t, ' ' ORDER BY o) AS chunk_text,
        CAST(count(*) AS INT) AS n_sents,
        CAST(sum(c) AS INT) AS n_words
 FROM x GROUP BY 1, 2 ORDER BY doc_id, chunk_idx"""),
 
-    // The curation→tokenize SEAM end to end: chnk_s's sentence chunks
+    // The curation→tokenize SEAM end to end: cks's sentence chunks
     // (wide-stride chunk ids, the keyframeCodes convention) priced
     // through p_s's prefix-sum packer at a 64-word budget.
     "p_cs" -> (SentChunksCte + """, ck AS (
@@ -4335,7 +4335,7 @@ ORDER BY doc_id, turn_idx"""),
     // pair arithmetic over the render's word shingles — with the
     // maxDocFreq <= 8 stop-shingle filter mirrored (shf) — plus the
     // exact marker from the render md5. The render/shingle/cap front
-    // (chatRenderShinglesCte) is shared verbatim with chat_dc.
+    // (chatRenderShinglesCte) is shared verbatim with cdc.
     "cdd" -> (chatRenderShinglesCte + s""", sizes AS (
   SELECT doc_id, count(*) AS n FROM shf GROUP BY 1
 ), pairs AS (
@@ -4356,7 +4356,7 @@ ORDER BY doc_a, doc_b"""),
     // SFT eval decontamination: the dng contamination arithmetic over
     // the rendered conversations, with cdd's stop-shingle cap (shf)
     // mirrored — doc-frequency over both splits, cap 8.
-    "chat_dc" -> (chatRenderShinglesCte + s""", sp AS (
+    "cdc" -> (chatRenderShinglesCte + s""", sp AS (
   SELECT doc_id,
        CASE WHEN ${h60("CAST(doc_id AS VARCHAR)")} % 1000000 < 50000 THEN 'val'
             WHEN ${h60("CAST(doc_id AS VARCHAR)")} % 1000000 < 100000 THEN 'test'
@@ -4625,7 +4625,7 @@ SELECT host, CAST(count(*) AS BIGINT) AS n_docs,
        (count(*) >= 10 AND sum(ok) * 1000 // count(*) >= 500) AS domain_ok
 FROM p GROUP BY host ORDER BY host"""),
 
-    "uscp" -> ("""WITH f AS (
+    "usc" -> ("""WITH f AS (
   SELECT doc_id, doc_id % 8 AS t, CAST(doc_id % 100 AS VARCHAR) AS h
   FROM documents
 )

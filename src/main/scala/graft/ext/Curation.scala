@@ -537,7 +537,7 @@ object Curation {
     // the whole chain into ONE expression whose size multiplies per
     // layer — on a caller that stacks another synthesis transform
     // under `content`, analysis+optimization of that mega-tree spun
-    // for MINUTES (caught live in r17 on the chnk_s row). The fence
+    // for MINUTES (caught live in r17 on the cks (née chnk_s) row). The fence
     // keeps each layer its own Project: the array materializes once
     // per row — which is also the cheaper execution — and the
     // always-true branch changes no value, under any partitioning.

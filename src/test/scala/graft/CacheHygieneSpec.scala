@@ -18,7 +18,7 @@ class CacheHygieneSpec extends SparkSpec {
     "p_s", "p_sl", "p_sh",
     "vkm", "vr",
     "hamx", // tagNearB1Codes persists the batch codes
-    "chat_dc", // capped ngramContamination persists the exploded + capped shingle frames
+    "cdc", // capped ngramContamination persists the exploded + capped shingle frames
     "hrc") // binaryRecallAtK persists qz and codes
 
   test("each cache-using query leaves no net persistent RDDs after release") {

@@ -99,7 +99,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("ppl_cut: thresholds broadcast; no corpus-keyed window anywhere") {
-    val p = plan("pplc")
+    val p = plan("ppc")
     // the #languages-row thresholds frame joins the scored stream as a
     // broadcast; the only windows run over the bounded (lang, ppl_pm)
     // frequency table — lang-keyed ntile over the corpus would be a
@@ -132,7 +132,7 @@ class PlanSpec extends SparkSpec {
     // the ranking window is single-partition by construction, so it may
     // only ever see the k limited rows — a plan that windows the whole
     // vocabulary would serialize it through one task
-    val p = plan("zipf")
+    val p = plan("zpf")
     assert(p.contains("TakeOrderedAndProject"),
       s"expected heap top-k (not a global sort) over the term counts in:\n$p")
     assert(p.contains("HashAggregate"),
@@ -220,16 +220,16 @@ class PlanSpec extends SparkSpec {
     // ONLY Exchange allowed is the final orderBy's range partitioning.
     // A second Exchange would mean the synth or the transform started
     // shuffling data it never needs to move.
-    // chnk (sliding-window chunking), mm_video (AVI frame decode) and
+    // chk (sliding-window chunking), mm_video (AVI frame decode) and
     // mav (AVI audio demux) hold the same contract: per-document
     // narrow work, the output sort's range partitioning is the only
     // data movement.
-    // goph (rule-battery filter) and c4 (line cleaning) are likewise
+    // gph (rule-battery filter) and c4 (line cleaning) are likewise
     // per-document: split + HOF filters, nothing corpus-wide.
     // robots (per-host rule chain) and msc (scene-cut decode) join
     // the family: the verdict/segmentation is computed per document.
-    for (q <- Seq("urlc", "un", "html", "chnk",
-        "mv", "mav", "s_r", "goph", "c4", "gr",
+    for (q <- Seq("urlc", "un", "html", "chk",
+        "mv", "mav", "s_r", "gph", "c4", "gr",
         "secr", "rob", "msc", "cq")) {
       val p = plan(q)
       assert(count(p, "Exchange") <= 1,
@@ -384,8 +384,8 @@ class PlanSpec extends SparkSpec {
       s"the indexed probe must not re-rank the corpus per query:\n$p")
   }
 
-  test("chnk_s: narrow sentence chunking — no shuffle, no join, no window") {
-    val p = plan("chnk_s")
+  test("cks: narrow sentence chunking — no shuffle, no join, no window") {
+    val p = plan("cks")
     // the whole sentence/window machinery lives in the array world:
     // any Exchange/join/window here means the per-doc work leaked into
     // a corpus-wide operator. Exactly ONE exchange is allowed — the
@@ -400,8 +400,8 @@ class PlanSpec extends SparkSpec {
       s"expected the single chunk explode:\n$p")
   }
 
-  test("chat_dc: capped contamination stays partial-agg + hash joins") {
-    val p = plan("chat_dc")
+  test("cdc: capped contamination stays partial-agg + hash joins") {
+    val p = plan("cdc")
     assert(!p.contains("CartesianProduct"),
       s"no cartesian in the probe join:\n$p")
     // the stop-shingle doc-frequency count must combine map-side — the
