@@ -96,19 +96,27 @@ object ExtQueries {
   WHERE s IN (SELECT s FROM sh GROUP BY s HAVING count(*) <= 8)
 )"""
 
+  // The operator's word-level terminal list, stated once for every
+  // sentence-chunk oracle — sourced from the operator's own constant
+  // so the two engines cannot drift.
+  private val SentTermsSql =
+    graft.ext.Curation.SentenceTerminals.map(t => s"'$t'").mkString(", ")
+
   // Mirror of sentDocs → chunkBySentences on the 32/24 grid, up to the
   // per-(doc, window) sentence frame `x(doc_id, o, c, t, ci)` — the
-  // shared front of the cks and p_cs oracles. Planted '.'s,
-  // word-level sentence ends (last char in .!? or final word), each
-  // sentence joins every window its start offset o falls in
-  // (truncating // only differs from floor below zero, where
+  // shared front of the cks / ckj / p_cs oracles. `plant` is the
+  // terminal expression appended at the planted positions ('.'
+  // for the Latin rows, the script-cycling pick for ckj); word-level
+  // sentence ends (last char in the shared terminal list, or final
+  // word), each sentence joins every window its start offset o falls
+  // in (truncating // only differs from floor below zero, where
   // greatest(0, ..) clamps both).
-  private val SentChunksCte = """WITH pw AS (
+  private def sentChunksCte(plant: String) = s"""WITH pw AS (
   SELECT doc_id, string_split_regex(trim(text), ' +') AS w0 FROM documents
 ), sd AS (
   SELECT doc_id, array_to_string(list_transform(range(len(w0)),
     i -> CASE WHEN (i * 13 + doc_id) % (9 + (doc_id % 4) * 13) = 0
-         THEN concat(w0[i+1], '.') ELSE w0[i+1] END), ' ') AS text
+         THEN concat(w0[i+1], $plant) ELSE w0[i+1] END), ' ') AS text
   FROM pw
 ), w AS (
   SELECT doc_id, string_split_regex(trim(text), ' +') AS words
@@ -116,7 +124,7 @@ object ExtQueries {
 ), b AS (
   SELECT doc_id, words,
     list_filter(range(1, len(words) + 1),
-      i -> i = len(words) OR words[i][-1] IN ('.', '!', '?')) AS bp
+      i -> i = len(words) OR words[i][-1] IN ($SentTermsSql)) AS bp
   FROM w
 ), s AS (
   SELECT doc_id,
@@ -131,6 +139,16 @@ object ExtQueries {
     unnest(range(greatest(0, (o - 32 + 24) // 24), o // 24 + 1)) AS ci
   FROM s
 )"""
+
+  private val SentChunksCte = sentChunksCte("'.'")
+
+  // ckj's planted terminal: cycle through the six non-Latin full-stop
+  // forms by (word position + doc_id) — every script family's
+  // terminal fires at correctness scale. Mirrored verbatim in
+  // sentDocsCjk.
+  private val CjkPlantSql =
+    "['。','！','？','؟','۔','।'][CAST((i + doc_id) % 6 AS INT) + 1]"
+  private val SentChunksCjkCte = sentChunksCte(CjkPlantSql)
 
   // Tokens: word runs or single non-word chars (see Text.TokenRe).
   private val TokRe = "[0-9A-Za-z_]+|[^0-9A-Za-z_ ]"
@@ -1377,6 +1395,17 @@ model AS (
           col("text"), col("doc_id"), sizeWords = 32, strideWords = 24)
         .orderBy("doc_id", "chunk_idx")),
 
+    // Sentence-aware chunking over the MIXED-SCRIPT fixture: the
+    // planted terminals cycle through the CJK fullwidth, Arabic, and
+    // Devanagari full-stop forms (。！？؟۔।), so every non-Latin entry
+    // of Curation.SentenceTerminals cuts a real boundary at
+    // correctness scale — before r18 these corpora chunked as one
+    // giant "sentence" whose straddle silently swallowed every window.
+    "ckj" -> ((s, d) =>
+      Curation.chunkBySentences(sentDocsCjk(Tables.documents(s, d)),
+          col("text"), col("doc_id"), sizeWords = 32, strideWords = 24)
+        .orderBy("doc_id", "chunk_idx")),
+
     // The curation→tokenize SEAM end to end: the sentence chunks ride
     // the prefix-sum packer as first-class sequences — chunk id on the
     // 2^20 wide stride (the keyframeCodes convention; chunk_idx is
@@ -1854,6 +1883,18 @@ model AS (
         "array_join(transform(__w, (w, i) -> " +
           "CASE WHEN (i * 13 + doc_id) % (9 + (doc_id % 4) * 13) = 0 " +
           "THEN concat(w, '.') ELSE w END), ' ')").as("text"))
+
+  /** sentDocs with the planted terminals cycling through the six
+    * non-Latin full-stop forms (CjkPlantSql's closed form) — the
+    * mixed-script fixture for the ckj row. */
+  private def sentDocsCjk(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), split(trim(col("text")), " +").as("__w"))
+      .select(col("doc_id"), expr(
+        "array_join(transform(__w, (w, i) -> " +
+          "CASE WHEN (i * 13 + doc_id) % (9 + (doc_id % 4) * 13) = 0 " +
+          "THEN concat(w, element_at(array('。','！','？','؟','۔','।'), " +
+          "CAST((i + doc_id) % 6 AS INT) + 1)) ELSE w END), ' ')")
+        .as("text"))
 
   private def pageDocs(docs: DataFrame): DataFrame =
     // split ONCE into a named column before the lambdas — Spark does no
@@ -3680,6 +3721,17 @@ FROM s ORDER BY doc_id, chunk_idx"""),
     // offset o falls in (truncating // only differs from floor below
     // zero, where greatest(0, ..) clamps both).
     "cks" -> (SentChunksCte + """
+SELECT doc_id, CAST(ci AS INT) AS chunk_idx,
+       string_agg(t, ' ' ORDER BY o) AS chunk_text,
+       CAST(count(*) AS INT) AS n_sents,
+       CAST(sum(c) AS INT) AS n_words
+FROM x GROUP BY 1, 2 ORDER BY doc_id, chunk_idx"""),
+
+    // cks over the mixed-script fixture: same grid, planted terminals
+    // cycling the non-Latin full-stop forms (shared CTE, different
+    // plant expression; the terminal list itself is the one constant
+    // both rows read).
+    "ckj" -> (SentChunksCjkCte + """
 SELECT doc_id, CAST(ci AS INT) AS chunk_idx,
        string_agg(t, ' ' ORDER BY o) AS chunk_text,
        CAST(count(*) AS INT) AS n_sents,

@@ -500,6 +500,17 @@ object Curation {
           col("__n") - col("pos") * strideWords).cast("int").as("n_words"))
   }
 
+  /** Word-level sentence-terminal characters shared with the DuckDB
+    * oracle: the Latin `.` `!` `?` plus the CJK fullwidth 。！？, the
+    * Arabic question mark ؟ and full stop ۔, and the Devanagari danda
+    * । / double danda ॥ — the full-stop forms of the bulk-of-web
+    * scripts [[graft.ext.TextAnalysis.scriptProfile]] censuses (Latin
+    * punctuation covers Cyrillic/Greek; Han/Kana share 。). A plain
+    * single-codepoint char list, no lookbehind — every entry works as
+    * a word-level `right(w, 1) IN (…)` rule in BOTH engines. */
+  val SentenceTerminals: Seq[String] =
+    Seq(".", "!", "?", "。", "！", "？", "؟", "۔", "।", "॥")
+
   /** SENTENCE-AWARE chunking — [[chunkByWords]]'s sibling for the
     * public long-document recipe: never split mid-sentence. The word
     * grid is the same (`sizeWords`-word windows every `strideWords`),
@@ -513,11 +524,14 @@ object Curation {
     *
     * Sentence boundaries are word-level and dialect-free (both engines
     * agree without lookbehind, which RE2 lacks): a sentence ends at
-    * every word whose last character is `.`, `!` or `?`, and at the
-    * document's final word. An abbreviation like "etc." therefore
-    * cuts — the standard cheap-segmenter approximation; swap the
-    * boundary predicate for a model segmenter upstream if that
-    * matters.
+    * every word whose last character is in [[SentenceTerminals]] —
+    * the Latin `.`/`!`/`?` plus the CJK, Arabic and Devanagari
+    * full-stop forms, so a CJK or Hindi corpus chunks at its real
+    * sentence ends instead of one giant "sentence" that silently
+    * swallows every window — and at the document's final word. An
+    * abbreviation like "etc." therefore cuts — the standard
+    * cheap-segmenter approximation; swap the boundary predicate for a
+    * model segmenter upstream if that matters.
     *
     * Scale shape: like [[chunkByWords]] a pure narrow projection —
     * boundary positions, per-sentence offsets and window assignment
@@ -528,6 +542,7 @@ object Curation {
     * Output: (doc_id, chunk_idx, chunk_text, n_sents, n_words). */
   def chunkBySentences(df: DataFrame, content: Column, id: Column,
                        sizeWords: Int, strideWords: Int): DataFrame = {
+    val terms = SentenceTerminals.map(t => s"'$t'").mkString(", ")
     require(sizeWords > 0 && strideWords > 0 && strideWords <= sizeWords,
       s"need 0 < stride <= size, got size=$sizeWords stride=$strideWords")
     // Plan-size fence between the HOF layers (QueryApi.parseOnce's
@@ -550,7 +565,7 @@ object Curation {
       // plus the final word
       .withColumn("__bp", fence(expr(
         "filter(sequence(1, __n), i -> i = __n OR " +
-          "right(element_at(__w, i), 1) IN ('.', '!', '?'))")))
+          s"right(element_at(__w, i), 1) IN ($terms))")))
       // per-sentence struct: 0-based start offset o, word count c,
       // text t (start = previous end + 1)
       .withColumn("__s", fence(expr(

@@ -85,9 +85,12 @@ class CurationPropsSpec extends SparkSpec {
     // semantics (word-level boundaries, window membership by start
     // offset, sparse chunk indices) — the CodeProfile property-test
     // convention: the reference shares NO code with the operator.
+    // terminal draw spans all three script families (Latin, CJK
+    // fullwidth, Arabic/Devanagari) — the r18 multilingual extension
     val pword = for {
       w <- word
-      p <- Gen.frequency(3 -> Gen.const(""), 1 -> Gen.oneOf(".", "!", "?"))
+      p <- Gen.frequency(3 -> Gen.const(""),
+        1 -> Gen.oneOf(".", "!", "?", "。", "！", "？", "؟", "۔", "।", "॥"))
     } yield w + p
     val pdoc = Gen.chooseNum(1, 14)
       .flatMap(n => Gen.listOfN(n, pword)).map(_.mkString(" "))
@@ -99,7 +102,9 @@ class CurationPropsSpec extends SparkSpec {
     } yield (size, stride, docs.zipWithIndex.map { case (t, i) => (i.toLong, t) })
     def ref(text: String, size: Int, stride: Int): Seq[(Int, String, Int, Int)] = {
       val words = text.trim.split(" +").toSeq
-      val ends = Set('.', '!', '?')
+      // stated independently of Curation.SentenceTerminals on purpose
+      // (the reference shares no code with the operator)
+      val ends = Set('.', '!', '?', '。', '！', '？', '؟', '۔', '।', '॥')
       val bp = (1 to words.length).filter(i =>
         i == words.length || ends.contains(words(i - 1).last))
       val sents = bp.zipWithIndex.map { case (e, k) =>
