@@ -352,7 +352,7 @@ object Bench {
     // latency-sensitive serving shard, and a corpus-scale explode in
     // that child JVM is exactly the cross-contamination sharding exists
     // to prevent
-    else if (name == "bm25") "text"
+    else if (name == "bm25" || name == "bpe") "text"
     else if (name.startsWith("a") || name.startsWith("b")) "core"
     else "text"
 

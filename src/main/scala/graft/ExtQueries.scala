@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Chat, Curation, Dedup, Graph, Multimodal, Packing, Sampling, Similarity, TextAnalysis, Unigram, WordPiece}
+import graft.ext.{Bpe, Chat, Curation, Dedup, Graph, Multimodal, Packing, Sampling, Similarity, TextAnalysis, Unigram, WordPiece}
 
 /** LLM-data-pipeline extensions over `documents` / `embeddings`:
   * dedup (exact, n-gram Jaccard, MinHash+LSH, SimHash), similarity
@@ -384,6 +384,24 @@ model AS (
               "CASE WHEN doc_id % 7 = 0 THEN 'user' ELSE 'assistant' END, " +
               "'content', 'no'))))")).as("rejected"))
   }
+
+  /** Stored BPE tokenizer for the `bpe` row — same build-once
+    * contract, data-fingerprint keying, and race guard as
+    * [[ivfIndexFor]]; `vocab/_SUCCESS` marks both halves complete
+    * (merges are written first). The train corpus is the closed-form
+    * three-word fixture whose merge outcome the oracle states
+    * verbatim (see the `bpe` query comment). */
+  private[graft] def bpeModelFor(s: SparkSession, sfDir: String): String =
+    synchronized {
+      val path = graft.sources.Scratch.dir("bpe",
+        graft.sources.Scratch.key(sfDir))
+      if (!new java.io.File(s"$path/vocab/_SUCCESS").exists()) {
+        val train = Tables.documents(s, sfDir)
+          .select(col("doc_id"), lit("bc bc bc de de fg").as("text"))
+        Bpe.writeModel(s, Bpe.learn(train, col("text"), nMerges = 5), path)
+      }
+      path
+    }
 
   private[graft] def b1CodesFor(s: SparkSession, sfDir: String): String =
     synchronized {
@@ -1070,6 +1088,34 @@ model AS (
       val docs = Tables.documents(s, d)
       val model = WordPiece.fromCounts(docs, col("text"), vocabSize = 60)
       WordPiece.tokStats(docs, col("doc_id"), col("text"), model)
+        .orderBy("doc_id")
+    }),
+
+    // STORED-artifact BPE (VERDICT r17 #3): learn 5 merges from the
+    // closed-form train fixture ("bc bc bc de de fg" per doc — pair
+    // frequencies 3N > 2N > N with lexicographic tie-breaks force the
+    // merge list [(b,c),(bc,</w>),(d,e),(de,</w>),(f,g)] and the vocab
+    // {</w>=0, <0x00>..<0xFF>=1..256, bc</w>=257, de</w>=258, fg=259}),
+    // persist it via writeModel, then encodeStored a FOREIGN corpus
+    // whose words exercise every encode branch: full merge (bc/de → 1
+    // id), partial merge (fg → [259, 0]), merge-miss byte fallback
+    // (cb → [<0x63>,<0x62>,</w>] = [100, 99, 0]), unseen-char fallback
+    // (zq → [123, 114, 0]). The oracle states those id sequences
+    // verbatim — the ID layer itself is cross-engine-pinned, one level
+    // stronger than uni/wp's piece-hash fingerprints.
+    "bpe" -> ((s, d) => {
+      val scored = Tables.documents(s, d).select(col("doc_id"), expr(
+        "array_join(transform(sequence(0, CAST(4 + doc_id % 5 AS INT)), " +
+          "i -> element_at(array('bc','de','fg','cb','zq'), " +
+          "CAST((i + doc_id) % 5 AS INT) + 1)), ' ')").as("text"))
+      Bpe.encodeStored(scored, col("doc_id"), col("text"), bpeModelFor(s, d))
+        .select(col("doc_id"), col("n_tokens"),
+          expr("aggregate(zip_with(input_ids, " +
+            "sequence(1, size(input_ids)), " +
+            "(x, k) -> x * CAST(k AS BIGINT)), 0L, (a, v) -> a + v)")
+            .as("ids_fp"),
+          expr("CAST(size(filter(input_ids, " +
+            "x -> x >= 1 AND x <= 256)) AS BIGINT)").as("n_fallback"))
         .orderBy("doc_id")
     }),
 
@@ -3617,6 +3663,32 @@ SELECT dw.doc_id, CAST(sum(np) AS BIGINT) AS n_tokens,
        CAST(sum(wfp) AS BIGINT) AS fp
 FROM dw JOIN wstat USING (wd)
 GROUP BY dw.doc_id ORDER BY dw.doc_id"""),
+
+    // Mirror of the bpe row's closed-form outcome: the scored corpus's
+    // word stream by (i + doc_id) % 5, each word's id sequence stated
+    // verbatim from the forced merge list / sorted vocab (see the
+    // query comment for the derivation), positions 1-based over the
+    // doc's whole id stream, fallback ids = the byte-symbol band
+    // 1..256.
+    "bpe" -> ("""WITH d AS (SELECT doc_id FROM documents),
+wseq AS (
+  SELECT doc_id, i, CASE CAST((i + doc_id) % 5 AS INT)
+    WHEN 0 THEN [257] WHEN 1 THEN [258] WHEN 2 THEN [259, 0]
+    WHEN 3 THEN [100, 99, 0] ELSE [123, 114, 0] END AS ids
+  FROM (SELECT doc_id, unnest(range(5 + doc_id % 5)) AS i FROM d)
+), tok AS (
+  SELECT doc_id, i, j, ids[j+1] AS id
+  FROM (SELECT doc_id, i, ids, unnest(range(len(ids))) AS j FROM wseq)
+), pos AS (
+  SELECT doc_id, id,
+    row_number() OVER (PARTITION BY doc_id ORDER BY i, j) AS k
+  FROM tok
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(id * k) AS BIGINT) AS ids_fp,
+       CAST(sum(CASE WHEN id BETWEEN 1 AND 256 THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_fallback
+FROM pos GROUP BY doc_id ORDER BY doc_id"""),
 
     "ppl" -> (PplCte + """
 SELECT doc_id, n_bigrams, bits_sum, ppl_pm

@@ -192,6 +192,60 @@ object Bpe {
       .toDF("doc_id", "input_ids", "n_tokens")
   }
 
+  /** Materialize a learned [[Model]] — the stored train/score boundary
+    * artifact ([[graft.ext.TextAnalysis.writeLm3Model]]'s role for the
+    * tokenizer; VERDICT r17 #3): the ordered merge list (rank, a, b)
+    * and the id-indexed vocabulary (id, sym) written as ONE parquet
+    * file each in canonical order (rank / id), so re-export of the
+    * same model is byte-identical and a crawl batch (or a stream
+    * micro-batch) encodes without ever touching the training corpus.
+    * Merges land before the vocab — `vocab/_SUCCESS` marks the whole
+    * artifact complete (the codebook build-order convention). Both
+    * frames are vocabulary-sized (a few hundred KB), never
+    * corpus-sized. */
+  def writeModel(spark: org.apache.spark.sql.SparkSession, model: Model,
+                 path: String): Unit = {
+    import spark.implicits._
+    spark.createDataset(model.merges.zipWithIndex
+        .map { case ((a, b), r) => (r, a, b) })
+      .toDF("rank", "a", "b")
+      .coalesce(1).sortWithinPartitions("rank")
+      .write.mode("overwrite").parquet(s"$path/merges")
+    spark.createDataset(model.vocab.zipWithIndex.map { case (s, i) => (i, s) })
+      .toDF("id", "sym")
+      .coalesce(1).sortWithinPartitions("id")
+      .write.mode("overwrite").parquet(s"$path/vocab")
+  }
+
+  /** Rehydrate a [[writeModel]] artifact. The collect is
+    * vocabulary-bounded (the PQ-codebook pattern) — the model ships in
+    * the encode closure anyway. Ranks and ids come back EXACTLY as
+    * written (positions re-sorted by the stored rank/id columns), so
+    * `readModel(write(m)) == m` structurally — the round-trip BpeSpec
+    * pins. */
+  def readModel(spark: org.apache.spark.sql.SparkSession,
+                path: String): Model = {
+    import spark.implicits._
+    val merges = spark.read.parquet(s"$path/merges")
+      .select("rank", "a", "b").as[(Int, String, String)]
+      .collect().sortBy(_._1).map(t => (t._2, t._3)).toSeq
+    val vocab = spark.read.parquet(s"$path/vocab")
+      .select("id", "sym").as[(Int, String)]
+      .collect().sortBy(_._1).map(_._2).toSeq
+    Model(merges, vocab)
+  }
+
+  /** Tokenize against a STORED [[writeModel]] artifact — identical
+    * results to [[encode]] BY SHARED CODE (this is `encode` itself,
+    * fed the rehydrated model; distance/merge semantics cannot drift),
+    * one shuffle-free `mapPartitions` with ranks and vocab in the
+    * closure. Stateless per input frame, so it composes into
+    * `foreachBatch` as the tokenizer stage of a streaming curation
+    * pipeline — the deployment shape StreamingCurationSpec drives. */
+  def encodeStored(docs: DataFrame, id: Column, text: Column,
+                   path: String): DataFrame =
+    encode(docs, id, text, readModel(docs.sparkSession, path))
+
   private val ByteSymRe = "<0x([0-9A-F]{2})>".r
 
   /** Invert one id sequence back to text — the detokenization side every

@@ -184,4 +184,36 @@ class BpeSpec extends SparkSpec {
     val ex = encoded.select(expr("tf_feat_i64('input_ids', input_ids)").as("p"))
     assert(ex.where(length(col("p")) > 0).count() == 3)
   }
+
+  test("stored artifact: round-trip, byte-identical re-export, encodeStored parity") {
+    val m = Bpe.learn(corpus, col("text"), nMerges = 5)
+    val dir = java.nio.file.Files.createTempDirectory("bpem").toString
+    Bpe.writeModel(spark, m, s"$dir/m1")
+    // structural round-trip: ranks and ids come back exactly
+    assert(Bpe.readModel(spark, s"$dir/m1") == m)
+    // re-export of the same model is byte-identical (canonical order,
+    // one file per frame) — the reproducibility-audit contract the
+    // lm3/DSIR/NB artifacts carry
+    Bpe.writeModel(spark, m, s"$dir/m2")
+    def bytesOf(sub: String, gen: String) = {
+      val fs = new java.io.File(s"$dir/$gen/$sub").listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+      assert(fs.length == 1, s"expected ONE $sub file, got ${fs.length}")
+      java.nio.file.Files.readAllBytes(fs.head.toPath).toSeq
+    }
+    Seq("merges", "vocab").foreach { sub =>
+      assert(bytesOf(sub, "m1") == bytesOf(sub, "m2"),
+        s"$sub re-export is not byte-identical")
+    }
+    // encodeStored == encode BY SHARED CODE on a foreign corpus that
+    // exercises merge hits, composed-unseen words, and byte fallback
+    val foreign = Seq((1L, "low lowest quiz"), (2L, "widest newest 低"))
+      .toDF("doc_id", "text")
+    val direct = Bpe.encode(foreign, col("doc_id"), col("text"), m)
+      .orderBy("doc_id").collect().toSeq
+    val stored = Bpe.encodeStored(foreign, col("doc_id"), col("text"),
+        s"$dir/m1")
+      .orderBy("doc_id").collect().toSeq
+    assert(stored == direct)
+  }
 }

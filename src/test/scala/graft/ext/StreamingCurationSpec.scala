@@ -110,6 +110,52 @@ class StreamingCurationSpec extends SparkSpec {
     assert(replay.toSeq == got.sortBy(_._1).take(1).toSeq)
   }
 
+  test("bpe gate: a live stream tokenizes with the stored model, stateless per batch") {
+    implicit val sq = spark.sqlContext
+    // train once, persist the tokenizer (the writeModel boundary) —
+    // the streaming side never sees the training corpus or the
+    // in-memory Model, only the artifact path
+    val train = Seq((0L, "low low low lower newest newest widest"))
+      .toDF("doc_id", "text")
+    val model = Bpe.learn(train, $"text", nMerges = 4)
+    val dir = java.nio.file.Files.createTempDirectory("bpes").toString
+    Bpe.writeModel(spark, model, dir)
+    val input = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[Long])]
+    val q = input.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        got.synchronized {
+          got ++= Bpe.encodeStored(batch, col("doc_id"), col("text"), dir)
+            .collect()
+            .map(r => (r.getLong(0),
+              r.getSeq[Long](r.fieldIndex("input_ids")).toSeq))
+        }
+        ()
+      }.start()
+    try {
+      input.addData((10L, "low lowest"), (11L, "newest quiz"))
+      q.processAllAvailable()
+      input.addData((12L, "widest 低"))
+      q.processAllAvailable()
+    } finally q.stop()
+    // batch truth: the identical docs through encode with the live model
+    val scored = Seq((10L, "low lowest"), (11L, "newest quiz"),
+      (12L, "widest 低")).toDF("doc_id", "text")
+    val expect = Bpe.encode(scored, $"doc_id", $"text", model)
+      .collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Long](r.fieldIndex("input_ids")).toSeq))
+    assert(got.sortBy(_._1).toSeq == expect.sortBy(_._1).toSeq)
+    // stateless per batch: a replayed batch re-tokenizes identically
+    val replay = Bpe.encodeStored(
+        Seq((10L, "low lowest")).toDF("doc_id", "text"),
+        col("doc_id"), col("text"), dir)
+      .collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Long](r.fieldIndex("input_ids")).toSeq))
+    assert(replay.toSeq == got.sortBy(_._1).take(1).toSeq)
+  }
+
   test("nb gate: the stored classifier scores live micro-batches statelessly") {
     implicit val sq = spark.sqlContext
     // train once, store the model frame (it carries its own smoothing
