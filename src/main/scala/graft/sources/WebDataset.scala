@@ -260,6 +260,72 @@ object WebDataset {
     shards
   }
 
+  /** BYTE-BALANCED export — [[TfRecord.writeBalanced]]'s rule for the
+    * tar side (VERDICT r17 #6): [[write]]'s shard layout is whatever
+    * the DataFrame's partitioning happens to be, so at 100 TB an
+    * oversized .tar shard is the data loader's straggler, exactly the
+    * TFRecord case. Same two-level recipe, verbatim:
+    *
+    *  1. [[graft.ext.Packing.packSequences]] over (id, sample payload
+    *     bytes) in id order — `first_bin` IS the shard id, shards are
+    *     contiguous ~targetBytes id ranges, a sample never splits
+    *     (each shard overhangs by at most one sample);
+    *  2. one id-keyed join + `repartitionAndSortWithinPartitions` on
+    *     (shard, id) — the secondary sort placing every sample in its
+    *     shard's task in id order, spillable;
+    *  3. [[write]]'s per-partition tar writer (partition id = shard
+    *     id), plus the [[TfRecord.writeManifest]] dataset card.
+    *
+    * `partsCol`'s struct fields must carry the documented (ext, data)
+    * names (the sizing pass reads `p.data` by name; the tar writer is
+    * positional). Sizes are payload bytes — the manifest's unit — so
+    * per-entry ustar framing (512-byte header + padding) rides as
+    * near-constant overhead. Deterministic: shard boundaries are a
+    * pure function of (ids, sizes, targetBytes); re-export is
+    * byte-identical, [[TfRecord.writeBatch]]'s idempotence class. */
+  def writeBalanced(df: DataFrame, keyCol: String, partsCol: String,
+                    id: org.apache.spark.sql.Column, dir: String,
+                    targetBytes: Long): Seq[TfRecord.Shard] = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val spark = df.sparkSession
+    val sized = df.select(id.cast("long").as("__id"),
+      col(keyCol).cast("string").as("__k"), col(partsCol).as("__parts"))
+    val assignment = graft.ext.Packing.packSequences(
+        sized, col("__id"),
+        expr("aggregate(__parts, 0L, (a, p) -> a + length(p.data))"),
+        targetBytes)
+      .select(col("doc_id").as("__id"), col("first_bin").as("__shard"))
+    val numShards = assignment.agg(max("__shard")).collect()(0) match {
+      case r if r.isNullAt(0) => 0
+      case r => r.getLong(0).toInt + 1
+    }
+    if (numShards == 0) {
+      val empty = Seq.empty[TfRecord.Shard]
+      TfRecord.writeManifest(df, empty, dir)
+      return empty
+    }
+    val partsType = sized.schema("__parts").dataType
+    val placed = sized.join(assignment, "__id")
+      .select(col("__shard"), col("__id"), col("__k"), col("__parts"))
+      .rdd.map(r => ((r.getLong(0), r.getLong(1)),
+        org.apache.spark.sql.Row(r.getString(2), r.get(3))))
+      .repartitionAndSortWithinPartitions(
+        new org.apache.spark.Partitioner {
+          override def numPartitions: Int = numShards
+          override def getPartition(key: Any): Int =
+            key.asInstanceOf[(Long, Long)]._1.toInt
+        })
+      .map(_._2)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("key",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("parts", partsType)))
+    val shards = write(spark.createDataFrame(placed, schema),
+      "key", "parts", dir)
+    TfRecord.writeManifest(df, shards, dir)
+    shards
+  }
+
   /** Streaming export for `foreachBatch`: one batch-addressed shard
     * directory per micro-batch, replay-idempotent like
     * [[TfRecord.writeBatch]]. */

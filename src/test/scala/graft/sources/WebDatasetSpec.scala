@@ -193,6 +193,89 @@ class WebDatasetSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("balanced export: targetBytes tar shards from a skewed one-partition input") {
+    val dir = Files.createTempDirectory("graft-wds-b").toString + "/export"
+    // 40 two-part samples x (80 + 20) payload bytes, everything in ONE
+    // partition (the skew write() would inherit verbatim — one giant
+    // shard); target 1000 bytes -> 10 samples per shard regardless of
+    // input layout
+    val docs = (0 until 40).map(i => (i.toLong, f"$i%06d"))
+      .toDF("doc_id", "key").coalesce(1)
+      .select(col("doc_id"), col("key"),
+        array(
+          struct(lit("txt").as("ext"),
+            encode(rpad(col("key"), 80, "x"), "UTF-8").as("data")),
+          struct(lit("json").as("ext"),
+            encode(rpad(lit("{}"), 20, " "), "UTF-8").as("data")))
+          .as("parts"))
+    try {
+      // the unbalanced writer on the same frame: ONE shard (the
+      // straggler this API exists to kill)
+      val skewDir = dir + "-skew"
+      assert(write(docs, "key", "parts", skewDir).length == 1)
+      val shards = writeBalanced(docs, "key", "parts", col("doc_id"),
+        dir, targetBytes = 1000L)
+      assert(shards.length == 4, shards.mkString(","))
+      assert(shards.forall(s => s.records == 10 && s.payloadBytes == 1000),
+        shards.mkString(","))
+      // contiguous id ranges in id order: part-00000 = 000000..000009
+      val back = read(spark, dir)
+      assert(back.corrupt.count() == 0)
+      val byFile = back.samples.collect()
+        .map(r => (r.getString(0), r.getString(1)))
+        .groupBy(_._1).toSeq.sortBy(_._1)
+      assert(byFile.size == 4)
+      byFile.zipWithIndex.foreach { case ((_, rows), f) =>
+        assert(rows.map(_._2).sorted.toSeq ==
+          (f * 10 until f * 10 + 10).map(i => f"$i%06d"), rows.toSeq)
+      }
+      // manifest counts recomputable from an independent decode
+      val manifest = new String(Files.readAllBytes(
+        Paths.get(dir, "_MANIFEST.json")), "UTF-8")
+      assert(manifest.contains("\"records\":40"), manifest)
+      val recomputed = shards.map { s =>
+        val Right(es) = decodeEntries(
+          Files.readAllBytes(Paths.get(dir, s.file)))
+        (es.map(_._1.takeWhile(_ != '.')).distinct.length,
+          es.map(_._2.length.toLong).sum,
+          es.map { case (n, d) =>
+            TfRecord.payloadHash64(n.getBytes("UTF-8") ++ d)
+          }.foldLeft(0L)(_ ^ _))
+      }
+      assert(recomputed == shards.map(s =>
+        (s.records.toInt, s.payloadBytes, s.hash64)))
+      // deterministic: re-export is byte-identical
+      val before = shards.map(s =>
+        Files.readAllBytes(Paths.get(dir, s.file)).toSeq)
+      val again = writeBalanced(docs, "key", "parts", col("doc_id"),
+        dir, targetBytes = 1000L)
+      assert(again == shards)
+      assert(shards.map(s =>
+        Files.readAllBytes(Paths.get(dir, s.file)).toSeq) == before)
+    } finally graft.CacheScope.release()
+  }
+
+  test("balanced export: odd sample sizes overhang by at most one sample") {
+    val dir = Files.createTempDirectory("graft-wds-b2").toString + "/export"
+    val rng = new scala.util.Random(7)
+    val sizes = (0 until 30).map(i => i.toLong -> (20 + rng.nextInt(180)))
+    val docs = sizes.map { case (i, n) => (i, f"$i%06d", "x" * n) }
+      .toDF("doc_id", "key", "text")
+      .select(col("doc_id"), col("key"),
+        array(struct(lit("txt").as("ext"),
+          encode(col("text"), "UTF-8").as("data"))).as("parts"))
+    try {
+      val target = 500L
+      val shards = writeBalanced(docs, "key", "parts", col("doc_id"),
+        dir, targetBytes = target)
+      val maxRec = sizes.map(_._2).max
+      assert(shards.map(_.records).sum == 30)
+      assert(shards.forall(_.payloadBytes <= target + maxRec),
+        shards.mkString(","))
+      assert(shards.forall(_.records > 0))
+    } finally graft.CacheScope.release()
+  }
+
   test("read quarantines a rotted shard but keeps its intact prefix") {
     val outDir = Files.createTempDirectory("wdsrot").toString
     // NIO-written shard (no Hadoop .crc sidecar to trip on the rot)
