@@ -348,11 +348,12 @@ object Bench {
     // and text sat AT the 40-query shard cap.
     else if (Set("rrf", "hamq", "hamr", "hamx", "hrc", "mmr", "mrl")
       .contains(name)) "ann"
-    // bm25 would hit the b-prefix core rule below — but core is the
+    // bm (bm25 pre-r18's second sweep) would hit the b-prefix core rule
+    // below — but core is the
     // latency-sensitive serving shard, and a corpus-scale explode in
     // that child JVM is exactly the cross-contamination sharding exists
     // to prevent
-    else if (name == "bm25" || name == "bpe") "text"
+    else if (name == "bm" || name == "bpe") "text"
     else if (name.startsWith("a") || name.startsWith("b")) "core"
     else "text"
 

@@ -1229,7 +1229,7 @@ model AS (
     // BM25 lexical retrieval: four fixed 3-term queries over the
     // corpus vocabulary, top-10 documents each, exact-integer scoring
     // (bit-length idf, cross-multiplied k1/b saturation term).
-    "bm25" -> ((s, d) =>
+    "bm" -> ((s, d) =>
       TextAnalysis.bm25TopK(Tables.documents(s, d), col("text"),
           col("doc_id"),
           Seq(0L -> "spark window join", 1L -> "hash table scan",
@@ -4131,7 +4131,7 @@ WHERE rnk <= 3 ORDER BY q_id, rnk"""),
     // Mirror of TextAnalysis.bm25TopK: bit-length Robertson idf,
     // cross-multiplied k1=1.2 / b=0.75 saturation term in exact
     // micro-units, top-10 per query with doc_id tie-break.
-    "bm25" -> ("""WITH qt AS (
+    "bm" -> ("""WITH qt AS (
   SELECT CAST(q_id AS BIGINT) AS q_id, term FROM (VALUES
     (0, 'spark'), (0, 'window'), (0, 'join'),
     (1, 'hash'), (1, 'table'), (1, 'scan'),

@@ -58,7 +58,7 @@ object RelationalQueries {
         .limit(10)
     }),
 
-    "q10r" -> ((s, d) => {
+    "qx" -> ((s, d) => {
       // TPC-H Q10 shape: revenue lost to returned items, per customer.
       // The only big shuffle is lineitem⋈orders on orderkey; customer is
       // broadcast after its own nation-dim broadcast.
@@ -98,7 +98,7 @@ object RelationalQueries {
     // Correlated SCALAR subquery (the TPC-H Q2 shape): Catalyst
     // decorrelates it into an aggregate + join, not a per-row probe —
     // the SQL is deliberately written subquery-style to pin that path.
-    "qmnp" -> ((s, d) => {
+    "qn" -> ((s, d) => {
       Tables.lineitem(s, d).createOrReplaceTempView("li_corr")
       s.sql("""
         SELECT l_partkey, l_orderkey, l_extendedprice
@@ -111,7 +111,7 @@ object RelationalQueries {
 
     // Correlated EXISTS (the TPC-H Q4 shape) → decorrelated semi join
     // under an aggregation.
-    "qdsc" -> ((s, d) => {
+    "qd" -> ((s, d) => {
       Tables.orders(s, d).createOrReplaceTempView("ord_corr")
       Tables.lineitem(s, d).createOrReplaceTempView("li_corr2")
       s.sql("""
@@ -124,7 +124,7 @@ object RelationalQueries {
         ORDER BY o_orderpriority""")
     }),
 
-    "qrol" -> ((s, d) =>
+    "ql" -> ((s, d) =>
       Tables.orders(s, d)
         .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
         .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
@@ -134,27 +134,27 @@ object RelationalQueries {
           count(lit(1)).as("n_orders"))
         .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)),
 
-    "qant" -> ((s, d) =>
+    "qa" -> ((s, d) =>
       Tables.customer(s, d)
         .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
         .select("c_custkey", "c_name")
         .orderBy("c_custkey")),
 
-    "qsem" -> ((s, d) =>
+    "qe" -> ((s, d) =>
       Tables.customer(s, d)
         .join(Tables.orders(s, d).where(col("o_totalprice") > 400000.0),
           col("c_custkey") === col("o_custkey"), "left_semi")
         .select("c_custkey", "c_name")
         .orderBy("c_custkey")),
 
-    "q_is" -> ((s, d) => {
+    "qi" -> ((s, d) => {
       val o = Tables.orders(s, d)
       val y96 = o.where(year(col("o_orderdate")) === 1996).select("o_custkey")
       val y97 = o.where(year(col("o_orderdate")) === 1997).select("o_custkey")
       y96.intersect(y97).orderBy("o_custkey")
     }),
 
-    "qwin" -> ((s, d) => {
+    "qw" -> ((s, d) => {
       val w = Window.partitionBy(col("o_custkey"))
         .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -164,7 +164,7 @@ object RelationalQueries {
         .orderBy("o_custkey", "o_orderkey")
     }),
 
-    "qbrd" -> ((s, d) =>
+    "qr" -> ((s, d) =>
       Tables.lineitem(s, d)
         .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
         .groupBy("p_brand")
@@ -172,7 +172,7 @@ object RelationalQueries {
           sum(col("l_quantity").cast(Dec)).cast("double").as("qty"))
         .orderBy("p_brand")),
 
-    "qaso" -> ((s, d) => {
+    "qo" -> ((s, d) => {
       // point-in-time: each event gets the customer's most recent order
       // as of the event time. Orders deduped to one per (custkey, date)
       // so the match is unique in both engines.
@@ -198,7 +198,7 @@ object RelationalQueries {
     // 100 TB needs a time-bounded pre-split (sessionize per day, then
     // stitch boundary sessions), which changes semantics and is a
     // caller decision, not a default.
-    "qses" -> ((s, d) => {
+    "qs" -> ((s, d) => {
       val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
       val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
       Tables.events(s, d)
@@ -213,7 +213,7 @@ object RelationalQueries {
         .orderBy("user_id", "session_id")
     }),
 
-    "qdau" -> ((s, d) =>
+    "qu" -> ((s, d) =>
       Tables.events(s, d)
         .groupBy(to_date(col("ts")).as("day"))
         .agg(countDistinct(col("user_id")).as("users"), count(lit(1)).as("n"))
@@ -223,7 +223,7 @@ object RelationalQueries {
     // interval the NEXT event of the same key closes (null = current) —
     // the slowly-changing-dimension shape a warehouse derives from CDC.
     // One user-keyed window; millisecond longs out (engine-portable).
-    "qsc2" -> ((s, d) => {
+    "qz" -> ((s, d) => {
       val byUser = Window.partitionBy("user_id")
         .orderBy(col("valid_from_ms").asc, col("event_id").asc)
       Tables.events(s, d)
@@ -237,7 +237,7 @@ object RelationalQueries {
     // it, first purchase strictly after that, per user — stage counts.
     // Three dependent full-partition windows share ONE user-keyed
     // exchange, then a per-user fold and a tiny final aggregate.
-    "qfun" -> ((s, d) => {
+    "qf" -> ((s, d) => {
       val byUser = Window.partitionBy("user_id")
       val staged = Tables.events(s, d)
         .select(col("user_id"), col("event_type"),
@@ -268,14 +268,14 @@ object RelationalQueries {
     // shuffles every row into per-key sorted windows; the histogram
     // needs one uniform (key,bin) partial-agg shuffle and then windows
     // over ≤256 rows per key, at binWidth-bounded error
-    "qhst" -> ((s, d) =>
+    "qh" -> ((s, d) =>
       graft.operators.HistogramQuantile.quantiles(Tables.events(s, d),
           col("event_type"), round(col("value") * 100), binWidth = 128,
           pcts = Seq(50, 90, 99))
         .withColumnRenamed("k", "event_type")
         .orderBy("event_type")),
 
-    "qmed" -> ((s, d) => {
+    "qm" -> ((s, d) => {
       // exact lower median, spelled out (row_number + count) so both
       // engines agree bit-for-bit — built-in percentile/quantile
       // functions interpolate with engine-specific semantics. The value
@@ -291,7 +291,7 @@ object RelationalQueries {
         .orderBy("event_type")
     }),
 
-    "qcub" -> ((s, d) =>
+    "qc" -> ((s, d) =>
       // full cube over (type, day): every subtotal combination in one
       // pass (Expand + single aggregation). Null group keys are
       // relabeled '(all)' so ordering is engine-independent.
@@ -305,7 +305,7 @@ object RelationalQueries {
           col("n"), col("sum_value"))
         .orderBy("event_type", "day")),
 
-    "q_pv" -> ((s, d) =>
+    "qv" -> ((s, d) =>
       // wide daily counts per event type: pivot with an explicit value
       // list (no extra distinct pass; stable output schema).
       Tables.events(s, d)
@@ -316,7 +316,7 @@ object RelationalQueries {
         .na.fill(0)
         .orderBy("day")),
 
-    "q_rg" -> ((s, d) => {
+    "qg" -> ((s, d) => {
       // banded point-in-interval join: each user's events inside their
       // first-3-days window, joined on (user, day-bucket) — uniform
       // shuffle keys, no theta join (operators.RangeJoin).
@@ -333,7 +333,7 @@ object RelationalQueries {
         .orderBy("user_id")
     }),
 
-    "qslt" -> ((s, d) => {
+    "qt" -> ((s, d) => {
       // events.event_type has ~5 values — the canonical skewed join key:
       // an unsalted shuffle join sends every 'view' row to one reducer.
       // SaltedJoin spreads each type over 8 sub-keys (deterministic salt
@@ -348,7 +348,7 @@ object RelationalQueries {
         .orderBy("event_type")
     }),
 
-    "q_bs" -> ((s, d) => {
+    "qb" -> ((s, d) => {
       // runtime-filter semi join: events of users who ever signed up.
       // The bloom pre-filter drops non-signup users' rows before the
       // exact semi join's shuffle; the result is row-identical to the
@@ -393,7 +393,7 @@ WHERE c_mktsegment = 'BUILDING'
 GROUP BY l_orderkey, o_orderdate, o_orderpriority
 ORDER BY revenue DESC, l_orderkey LIMIT 10""",
 
-    "q10r" -> s"""
+    "qx" -> s"""
 SELECT c_custkey, c_name, SUM($rev) AS revenue, c_acctbal, n_name
 FROM customer JOIN orders ON c_custkey = o_custkey
               JOIN lineitem ON l_orderkey = o_orderkey
@@ -413,7 +413,7 @@ WHERE r_name = 'ASIA'
   AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
 GROUP BY n_name ORDER BY revenue DESC, n_name""",
 
-    "qmnp" -> """
+    "qn" -> """
 SELECT l_partkey, l_orderkey, l_extendedprice
 FROM lineitem l1
 WHERE l_extendedprice = (SELECT min(l_extendedprice)
@@ -421,7 +421,7 @@ WHERE l_extendedprice = (SELECT min(l_extendedprice)
                          WHERE l2.l_partkey = l1.l_partkey)
 ORDER BY l_partkey, l_orderkey""",
 
-    "qdsc" -> """
+    "qd" -> """
 SELECT o_orderpriority, count(*) AS n
 FROM orders o
 WHERE EXISTS (SELECT 1 FROM lineitem l
@@ -429,7 +429,7 @@ WHERE EXISTS (SELECT 1 FROM lineitem l
 GROUP BY o_orderpriority
 ORDER BY o_orderpriority""",
 
-    "qrol" -> """
+    "ql" -> """
 SELECT r_name, n_name, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total, count(*) AS n_orders
 FROM orders JOIN customer ON o_custkey = c_custkey
             JOIN nation ON c_nationkey = n_nationkey
@@ -437,36 +437,36 @@ FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY ROLLUP(r_name, n_name)
 ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""",
 
-    "qant" -> """
+    "qa" -> """
 SELECT c_custkey, c_name FROM customer
 WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
 ORDER BY c_custkey""",
 
-    "qsem" -> """
+    "qe" -> """
 SELECT c_custkey, c_name FROM customer
 WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
 ORDER BY c_custkey""",
 
-    "q_is" -> """
+    "qi" -> """
 SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
 INTERSECT
 SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
 ORDER BY o_custkey""",
 
-    "qwin" -> """
+    "qw" -> """
 SELECT o_custkey, o_orderkey,
        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
          OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running
 FROM orders ORDER BY o_custkey, o_orderkey""",
 
-    "qbrd" -> """
+    "qr" -> """
 SELECT p_brand, count(DISTINCT l_suppkey) AS n_supp,
        CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS qty
 FROM lineitem JOIN part ON l_partkey = p_partkey
 GROUP BY p_brand ORDER BY p_brand""",
 
-    "qaso" -> """
+    "qo" -> """
 WITH orders_d AS (
   SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
   FROM orders GROUP BY 1, 2
@@ -476,7 +476,7 @@ FROM events e ASOF LEFT JOIN orders_d o
   ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
 ORDER BY e.event_id""",
 
-    "qses" -> """
+    "qs" -> """
 WITH x AS (
   SELECT user_id, event_id, ts,
          CASE WHEN lag(ts) OVER w IS NULL
@@ -492,19 +492,19 @@ SELECT user_id, CAST(session_id AS BIGINT) AS session_id, count(*) AS n_events,
        min(event_id) AS first_event, max(event_id) AS last_event
 FROM sess GROUP BY 1, 2 ORDER BY 1, 2""",
 
-    "qdau" -> """
+    "qu" -> """
 SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
        count(DISTINCT user_id) AS users, count(*) AS n
 FROM events GROUP BY 1 ORDER BY 1""",
 
-    "qsc2" -> """
+    "qz" -> """
 SELECT user_id, event_id, event_type,
        epoch_ms(ts) AS valid_from_ms,
        lead(epoch_ms(ts)) OVER (PARTITION BY user_id
          ORDER BY epoch_ms(ts), event_id) AS valid_to_ms
 FROM events ORDER BY user_id, valid_from_ms, event_id""",
 
-    "qfun" -> """
+    "qf" -> """
 WITH s1 AS (
   SELECT user_id, event_type, epoch_ms(ts) AS ms,
          min(CASE WHEN event_type = 'view' THEN epoch_ms(ts) END)
@@ -533,20 +533,20 @@ SELECT stage, n_users FROM (
   UNION ALL SELECT '3_purchase', n_purchase FROM f
 ) ORDER BY stage""",
 
-    "qslt" -> s"""
+    "qt" -> s"""
 WITH dim AS (SELECT event_type, min(event_id) AS type_first FROM events GROUP BY 1)
 SELECT e.event_type, d.type_first, count(*) AS n,
        CAST(SUM(CAST(e.value AS $dec)) AS DOUBLE) AS sum_value
 FROM events e JOIN dim d ON e.event_type = d.event_type
 GROUP BY 1, 2 ORDER BY 1""",
 
-    "q_bs" -> """
+    "qb" -> """
 SELECT user_id, count(*) AS n
 FROM events
 WHERE user_id IN (SELECT DISTINCT user_id FROM events WHERE event_type = 'signup')
 GROUP BY 1 ORDER BY 1""",
 
-    "qhst" -> """
+    "qh" -> """
 WITH b AS (
   SELECT event_type AS k,
          CAST(round(value * 100) AS BIGINT) // 128 AS bin,
@@ -564,7 +564,7 @@ SELECT k AS event_type,
        CAST((min(CASE WHEN cum * 100 >= total * 99 THEN bin END) + 1) * 128 AS BIGINT) AS p99_hi
 FROM c GROUP BY 1 ORDER BY 1""",
 
-    "qmed" -> """
+    "qm" -> """
 WITH r AS (
   SELECT event_type, value,
          row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
@@ -575,7 +575,7 @@ SELECT event_type, value AS median_value
 FROM r WHERE rn = (cnt + 1) // 2
 ORDER BY event_type""",
 
-    "qcub" -> s"""
+    "qc" -> s"""
 WITH e AS (
   SELECT event_type,
          CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR) AS day, value
@@ -588,7 +588,7 @@ SELECT coalesce(event_type, '(all)') AS event_type,
 FROM e GROUP BY CUBE (event_type, day)
 ORDER BY 1, 2""",
 
-    "q_pv" -> """
+    "qv" -> """
 SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
        count(*) FILTER (event_type = 'view') AS "view",
        count(*) FILTER (event_type = 'click') AS click,
@@ -597,7 +597,7 @@ SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
        count(*) FILTER (event_type = 'error') AS error
 FROM events GROUP BY 1 ORDER BY 1""",
 
-    "q_rg" -> """
+    "qg" -> """
 WITH ev AS (SELECT user_id, epoch_ms(ts) AS ts_ms FROM events),
 f AS (SELECT user_id AS f_user, min(ts_ms) AS start_ms FROM ev GROUP BY 1)
 SELECT ev.user_id, count(*) AS n_early_events

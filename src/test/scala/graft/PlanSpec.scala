@@ -168,7 +168,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("bloom semi join: membership filter sits under the exact join") {
-    val p = plan("q_bs")
+    val p = plan("qb")
     assert(p.contains("bloom_might_contain"),
       s"expected the bloom probe in the fact-side filter:\n$p")
     // the probe must run BEFORE the semi join it is pruning for: in the
@@ -537,7 +537,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("histogram quantile: one data-sized shuffle, windows over bins only") {
-    val p = plan("qhst")
+    val p = plan("qh")
     // (key,bin) partial+final count pair, then per-key windows over at
     // most #bins rows, then the tiny final groupBy — no join, no sort
     // of the raw data
@@ -644,13 +644,13 @@ class PlanSpec extends SparkSpec {
   }
 
   test("scd2: one user-keyed lead window, no join") {
-    val p = plan("qsc2")
+    val p = plan("qz")
     assert(!p.contains("Join"), s"scd2 must not join:\n$p")
     assert(count(p, "Window") == 1, s"expected the single lead window in:\n$p")
   }
 
   test("event funnel: dependent stage windows share one user exchange") {
-    val p = plan("qfun")
+    val p = plan("qf")
     assert(!p.contains("Join"), s"funnel must not join:\n$p")
     // three dependent min-windows + the per-user fold; only ONE
     // data-sized exchange (user_id) feeds them all
@@ -690,7 +690,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("bm25: query terms and df broadcast, top-k fused into WindowGroupLimit") {
-    val p = plan("bm25")
+    val p = plan("bm")
     // the postings frame meets the term table and the (N,S) stamps via
     // broadcast only — no term-keyed shuffle join of the corpus side
     assert(count(p, "BroadcastHashJoin") >= 2,
