@@ -330,8 +330,12 @@ object Bench {
         "cdd", "cdc", "dpc", "dpm", "sco", "scs",
         "dcc", "dex", "din", "dkb", "dln", "dnx", "dpa", "dsh",
         "dwd").contains(name)) "dedup"
+    // una/wpa (the stored-tokenizer boundary rows) price the
+    // tokenize→pack seam and shard with pack — the text catch-all sits
+    // at its 40-query cap (same balance call as the r17 ann moves)
     else if (name.startsWith("p_") || name.startsWith("s_") ||
-      name.startsWith("pipe_") || name.startsWith("wds")) "pack"
+      name.startsWith("pipe_") || name.startsWith("wds") ||
+      Set("una", "wpa").contains(name)) "pack"
     // the r15 graph rows shard with the relational analytics (their
     // iterative-join profile matches, and it keeps the text catch-all
     // under the 40-query shard cap)

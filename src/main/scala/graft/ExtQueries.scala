@@ -403,6 +403,43 @@ model AS (
       path
     }
 
+  /** Stored Unigram tokenizer for the `una` row — same closed-form
+    * three-word train corpus as [[bpeModelFor]], whose piece costs the
+    * oracle can state verbatim: 9 candidate pieces (b/bc/c @ 3n,
+    * d/de/e @ 2n, f/fg/g @ n out of 18n total), all kept at
+    * vocabSize = 9, quarter-bit costs 51/53/57 — constants at ANY
+    * doc count because the ppm ratios are corpus-size-free. */
+  private[graft] def uniModelFor(s: SparkSession, sfDir: String): String =
+    synchronized {
+      val path = graft.sources.Scratch.dir("una",
+        graft.sources.Scratch.key(sfDir))
+      if (!new java.io.File(s"$path/vocab/_SUCCESS").exists()) {
+        val train = Tables.documents(s, sfDir)
+          .select(col("doc_id"), lit("bc bc bc de de fg").as("text"))
+        Unigram.writeModel(s,
+          Unigram.learn(train, col("text"), vocabSize = 9), path)
+      }
+      path
+    }
+
+  /** Stored WordPiece tokenizer for the `wpa` row — the same
+    * closed-form train corpus: word-initial pieces b/bc/d/de/f/fg and
+    * continuations ##c/##e/##g are the ONLY candidates, all kept at
+    * vocabSize = 9, so the sorted vocab (and therefore every id) is a
+    * constant the oracle states verbatim. */
+  private[graft] def wpModelFor(s: SparkSession, sfDir: String): String =
+    synchronized {
+      val path = graft.sources.Scratch.dir("wpa",
+        graft.sources.Scratch.key(sfDir))
+      if (!new java.io.File(s"$path/vocab/_SUCCESS").exists()) {
+        val train = Tables.documents(s, sfDir)
+          .select(col("doc_id"), lit("bc bc bc de de fg").as("text"))
+        WordPiece.writeModel(s,
+          WordPiece.fromCounts(train, col("text"), vocabSize = 9), path)
+      }
+      path
+    }
+
   private[graft] def b1CodesFor(s: SparkSession, sfDir: String): String =
     synchronized {
       val path = graft.sources.Scratch.dir("b1c",
@@ -1116,6 +1153,55 @@ model AS (
             .as("ids_fp"),
           expr("CAST(size(filter(input_ids, " +
             "x -> x >= 1 AND x <= 256)) AS BIGINT)").as("n_fallback"))
+        .orderBy("doc_id")
+    }),
+
+    // The Unigram stored-artifact boundary: encodeStored against the
+    // uniModelFor closed-form model (costs 51/53/57 qb — see the
+    // builder's comment) over a synthesized per-doc word sequence. The
+    // oracle states each word's Viterbi outcome verbatim: one-piece
+    // wins for trained words ([▁, bc]), two known single-cp pieces for
+    // the unseen composition "cb", byte fallback for "zq" ('z' = 122,
+    // 'q' = 113 — byte-symbol ids ARE their byte values, the vocab
+    // sorts them first). Ids: b=256 bc=257 c=258 d=259 de=260 e=261
+    // f=262 fg=263 g=264 ▁=265.
+    "una" -> ((s, d) => {
+      val scored = Tables.documents(s, d).select(col("doc_id"), expr(
+        "array_join(transform(sequence(0, CAST(4 + doc_id % 5 AS INT)), " +
+          "i -> element_at(array('bc','de','fg','cb','zq'), " +
+          "CAST((i + doc_id) % 5 AS INT) + 1)), ' ')").as("text"))
+      Unigram.encodeStored(scored, col("doc_id"), col("text"),
+          uniModelFor(s, d))
+        .select(col("doc_id"), col("n_tokens"),
+          expr("aggregate(zip_with(input_ids, " +
+            "sequence(1, size(input_ids)), " +
+            "(x, k) -> x * CAST(k AS BIGINT)), 0L, (a, v) -> a + v)")
+            .as("ids_fp"),
+          expr("CAST(size(filter(input_ids, " +
+            "x -> x <= 255)) AS BIGINT)").as("n_fallback"))
+        .orderBy("doc_id")
+    }),
+
+    // The WordPiece stored-artifact boundary: encodeStored against the
+    // wpModelFor closed-form model. Sorted vocab is a constant —
+    // ##c=0 ##e=1 ##g=2 [UNK]=3 b=4 bc=5 d=6 de=7 f=8 fg=9 — so the
+    // oracle states each word's greedy outcome verbatim: [bc]=[5],
+    // [de]=[7], [fg]=[9], 'bce' exercises the continuation path
+    // ([bc,##e]=[5,1]), and 'zq' the whole-word [UNK] collapse ([3]).
+    "wpa" -> ((s, d) => {
+      val scored = Tables.documents(s, d).select(col("doc_id"), expr(
+        "array_join(transform(sequence(0, CAST(4 + doc_id % 5 AS INT)), " +
+          "i -> element_at(array('bc','de','fg','bce','zq'), " +
+          "CAST((i + doc_id) % 5 AS INT) + 1)), ' ')").as("text"))
+      WordPiece.encodeStored(scored, col("doc_id"), col("text"),
+          wpModelFor(s, d))
+        .select(col("doc_id"), col("n_tokens"),
+          expr("aggregate(zip_with(input_ids, " +
+            "sequence(1, size(input_ids)), " +
+            "(x, k) -> x * CAST(k AS BIGINT)), 0L, (a, v) -> a + v)")
+            .as("ids_fp"),
+          expr("CAST(size(filter(input_ids, x -> x = 3)) AS BIGINT)")
+            .as("n_unk"))
         .orderBy("doc_id")
     }),
 
@@ -3688,6 +3774,54 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
        CAST(sum(id * k) AS BIGINT) AS ids_fp,
        CAST(sum(CASE WHEN id BETWEEN 1 AND 256 THEN 1 ELSE 0 END)
          AS BIGINT) AS n_fallback
+FROM pos GROUP BY doc_id ORDER BY doc_id"""),
+
+    // Mirror of the una row: the uniModelFor vocab pins every id (byte
+    // symbols at 0..255, learned pieces b..g at 256..264, ▁ at 265);
+    // each synthesized word's Viterbi outcome is stated verbatim (the
+    // bpe convention — see the builder's closed-form cost argument).
+    "una" -> ("""WITH d AS (SELECT doc_id FROM documents),
+wseq AS (
+  SELECT doc_id, i, CASE CAST((i + doc_id) % 5 AS INT)
+    WHEN 0 THEN [265, 257] WHEN 1 THEN [265, 260]
+    WHEN 2 THEN [265, 263] WHEN 3 THEN [265, 258, 256]
+    ELSE [265, 122, 113] END AS ids
+  FROM (SELECT doc_id, unnest(range(5 + doc_id % 5)) AS i FROM d)
+), tok AS (
+  SELECT doc_id, i, j, ids[j+1] AS id
+  FROM (SELECT doc_id, i, ids, unnest(range(len(ids))) AS j FROM wseq)
+), pos AS (
+  SELECT doc_id, id,
+    row_number() OVER (PARTITION BY doc_id ORDER BY i, j) AS k
+  FROM tok
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(id * k) AS BIGINT) AS ids_fp,
+       CAST(sum(CASE WHEN id <= 255 THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_fallback
+FROM pos GROUP BY doc_id ORDER BY doc_id"""),
+
+    // Mirror of the wpa row: wpModelFor's sorted vocab pins the ids
+    // (##c=0 ##e=1 ##g=2 [UNK]=3 b=4 bc=5 d=6 de=7 f=8 fg=9); each
+    // word's greedy longest-match outcome is stated verbatim.
+    "wpa" -> ("""WITH d AS (SELECT doc_id FROM documents),
+wseq AS (
+  SELECT doc_id, i, CASE CAST((i + doc_id) % 5 AS INT)
+    WHEN 0 THEN [5] WHEN 1 THEN [7] WHEN 2 THEN [9]
+    WHEN 3 THEN [5, 1] ELSE [3] END AS ids
+  FROM (SELECT doc_id, unnest(range(5 + doc_id % 5)) AS i FROM d)
+), tok AS (
+  SELECT doc_id, i, j, ids[j+1] AS id
+  FROM (SELECT doc_id, i, ids, unnest(range(len(ids))) AS j FROM wseq)
+), pos AS (
+  SELECT doc_id, id,
+    row_number() OVER (PARTITION BY doc_id ORDER BY i, j) AS k
+  FROM tok
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(id * k) AS BIGINT) AS ids_fp,
+       CAST(sum(CASE WHEN id = 3 THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_unk
 FROM pos GROUP BY doc_id ORDER BY doc_id"""),
 
     "ppl" -> (PplCte + """

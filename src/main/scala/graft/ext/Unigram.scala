@@ -335,4 +335,51 @@ object Unigram {
       .distinct.sorted
     Model(newCosts, vocab)
   }
+
+  /** Persist a learned model as a self-describing parquet artifact —
+    * the train/score boundary contract the lm3/DSIR/NB/[[Bpe]]
+    * artifacts carry: re-export of the same model is byte-identical
+    * (canonical sort, one file per frame) and a crawl batch or stream
+    * micro-batch segments without ever touching the training corpus.
+    * Costs land before the vocab — `vocab/_SUCCESS` marks the whole
+    * artifact complete (the codebook build-order convention). Both
+    * frames are vocabulary-sized, never corpus-sized. */
+  def writeModel(spark: org.apache.spark.sql.SparkSession, model: Model,
+                 path: String): Unit = {
+    import spark.implicits._
+    spark.createDataset(model.costs.toSeq.sortBy(_._1))
+      .toDF("piece", "qb")
+      .coalesce(1).sortWithinPartitions("piece")
+      .write.mode("overwrite").parquet(s"$path/costs")
+    spark.createDataset(model.vocab.zipWithIndex.map { case (s, i) => (i, s) })
+      .toDF("id", "sym")
+      .coalesce(1).sortWithinPartitions("id")
+      .write.mode("overwrite").parquet(s"$path/vocab")
+  }
+
+  /** Rehydrate a [[writeModel]] artifact. Both collects are
+    * vocabulary-bounded (the model ships in the encode closure anyway);
+    * ids come back EXACTLY as written (positions re-sorted by the
+    * stored id column), so `readModel(write(m)) == m` structurally —
+    * the round-trip UnigramSpec pins. */
+  def readModel(spark: org.apache.spark.sql.SparkSession,
+                path: String): Model = {
+    import spark.implicits._
+    val costs = spark.read.parquet(s"$path/costs")
+      .select("piece", "qb").as[(String, Long)].collect().toMap
+    val vocab = spark.read.parquet(s"$path/vocab")
+      .select("id", "sym").as[(Int, String)]
+      .collect().sortBy(_._1).map(_._2).toSeq
+    Model(costs, vocab)
+  }
+
+  /** Segment against a STORED [[writeModel]] artifact — identical
+    * results to [[encode]] BY SHARED CODE (this is `encode` itself,
+    * fed the rehydrated model; Viterbi/cost semantics cannot drift),
+    * one shuffle-free `mapPartitions`. Stateless per input frame, so
+    * it composes into `foreachBatch` as the tokenizer stage of a
+    * streaming curation pipeline, exactly [[Bpe.encodeStored]]. */
+  def encodeStored(docs: DataFrame, id: Column, text: Column,
+                   path: String): DataFrame =
+    encode(docs, id, text, readModel(docs.sparkSession, path))
 }

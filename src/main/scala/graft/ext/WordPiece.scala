@@ -314,4 +314,48 @@ object WordPiece {
     words.unpersist()
     Model(pieces, (pieces.toSeq :+ Unk).distinct.sorted)
   }
+
+  /** Persist a learned model as a self-describing parquet artifact —
+    * the train/score boundary contract the lm3/DSIR/NB/[[Bpe]]/
+    * [[Unigram]] artifacts carry. The piece set and the id-indexed
+    * vocab are stored as separate frames so ANY model round-trips
+    * exactly (not just ones from [[fromCounts]]/[[learn]], whose vocab
+    * is derivable from the pieces); pieces land before the vocab —
+    * `vocab/_SUCCESS` marks the whole artifact complete. Re-export of
+    * the same model is byte-identical (canonical sort, one file per
+    * frame). Both frames are vocabulary-sized, never corpus-sized. */
+  def writeModel(spark: org.apache.spark.sql.SparkSession, model: Model,
+                 path: String): Unit = {
+    import spark.implicits._
+    spark.createDataset(model.pieces.toSeq.sorted).toDF("piece")
+      .coalesce(1).sortWithinPartitions("piece")
+      .write.mode("overwrite").parquet(s"$path/pieces")
+    spark.createDataset(model.vocab.zipWithIndex.map { case (s, i) => (i, s) })
+      .toDF("id", "sym")
+      .coalesce(1).sortWithinPartitions("id")
+      .write.mode("overwrite").parquet(s"$path/vocab")
+  }
+
+  /** Rehydrate a [[writeModel]] artifact — vocabulary-bounded collects,
+    * ids exactly as written; `readModel(write(m)) == m` structurally,
+    * the round-trip WordPieceSpec pins. */
+  def readModel(spark: org.apache.spark.sql.SparkSession,
+                path: String): Model = {
+    import spark.implicits._
+    val pieces = spark.read.parquet(s"$path/pieces")
+      .select("piece").as[String].collect().toSet
+    val vocab = spark.read.parquet(s"$path/vocab")
+      .select("id", "sym").as[(Int, String)]
+      .collect().sortBy(_._1).map(_._2).toSeq
+    Model(pieces, vocab)
+  }
+
+  /** Tokenize against a STORED [[writeModel]] artifact — identical
+    * results to [[encode]] BY SHARED CODE (greedy-match semantics
+    * cannot drift), one shuffle-free `mapPartitions`; stateless per
+    * input frame, composing into `foreachBatch` exactly like
+    * [[Bpe.encodeStored]]/[[Unigram.encodeStored]]. */
+  def encodeStored(docs: DataFrame, id: Column, text: Column,
+                   path: String): DataFrame =
+    encode(docs, id, text, readModel(docs.sparkSession, path))
 }

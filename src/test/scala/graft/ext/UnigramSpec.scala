@@ -133,4 +133,35 @@ class UnigramSpec extends SparkSpec {
       .as[(Long, String)].collect()(0)._2
     assert(back == "ab abc ba")
   }
+
+  test("stored artifact: round-trip, byte-identical re-export, encodeStored parity") {
+    val m = Unigram.learn(corpus, col("text"), vocabSize = 4)
+    val dir = java.nio.file.Files.createTempDirectory("unim").toString
+    Unigram.writeModel(spark, m, s"$dir/m1")
+    // structural round-trip: costs and ids come back exactly
+    assert(Unigram.readModel(spark, s"$dir/m1") == m)
+    // re-export of the same model is byte-identical (canonical order,
+    // one file per frame) — the lm3/DSIR/NB/Bpe artifact contract
+    Unigram.writeModel(spark, m, s"$dir/m2")
+    def bytesOf(sub: String, gen: String) = {
+      val fs = new java.io.File(s"$dir/$gen/$sub").listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+      assert(fs.length == 1, s"expected ONE $sub file, got ${fs.length}")
+      java.nio.file.Files.readAllBytes(fs.head.toPath).toSeq
+    }
+    Seq("costs", "vocab").foreach { sub =>
+      assert(bytesOf(sub, "m1") == bytesOf(sub, "m2"),
+        s"$sub re-export is not byte-identical")
+    }
+    // encodeStored == encode BY SHARED CODE on a foreign corpus that
+    // exercises piece hits, unseen compositions, and byte fallback
+    val foreign = Seq((1L, "ab abc ba"), (2L, "zq 低 abab"))
+      .toDF("doc_id", "text")
+    val direct = Unigram.encode(foreign, col("doc_id"), col("text"), m)
+      .orderBy("doc_id").collect().toSeq
+    val stored = Unigram.encodeStored(foreign, col("doc_id"), col("text"),
+        s"$dir/m1")
+      .orderBy("doc_id").collect().toSeq
+    assert(stored == direct)
+  }
 }

@@ -104,4 +104,35 @@ class WordPieceSpec extends SparkSpec {
       .where(length(col("w")) > 0).distinct().count()
     assert(words == 31L) // the fixture contract the oracle's CTE relies on
   }
+
+  test("stored artifact: round-trip, byte-identical re-export, encodeStored parity") {
+    val m = fromCounts(Seq((1L, "aa ab aa")).toDF("id", "text"),
+      col("text"), vocabSize = 3)
+    val dir = java.nio.file.Files.createTempDirectory("wpm").toString
+    writeModel(spark, m, s"$dir/m1")
+    // structural round-trip: pieces and ids come back exactly
+    assert(readModel(spark, s"$dir/m1") == m)
+    // re-export byte-identical — the shared artifact contract
+    writeModel(spark, m, s"$dir/m2")
+    def bytesOf(sub: String, gen: String) = {
+      val fs = new java.io.File(s"$dir/$gen/$sub").listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+      assert(fs.length == 1, s"expected ONE $sub file, got ${fs.length}")
+      java.nio.file.Files.readAllBytes(fs.head.toPath).toSeq
+    }
+    Seq("pieces", "vocab").foreach { sub =>
+      assert(bytesOf(sub, "m1") == bytesOf(sub, "m2"),
+        s"$sub re-export is not byte-identical")
+    }
+    // encodeStored == encode BY SHARED CODE on a foreign corpus that
+    // exercises piece hits, continuations, and the [UNK] collapse
+    val foreign = Seq((1L, "aa ab aaa"), (2L, "zq aab"))
+      .toDF("doc_id", "text")
+    val direct = encode(foreign, col("doc_id"), col("text"), m)
+      .orderBy("doc_id").collect().toSeq
+    val stored = encodeStored(foreign, col("doc_id"), col("text"),
+        s"$dir/m1")
+      .orderBy("doc_id").collect().toSeq
+    assert(stored == direct)
+  }
 }
