@@ -350,8 +350,10 @@ object Bench {
     // catch-all with it: the binary serving family (hamr/hamx/hamq)
     // and the embedding evals (mmr/mrl) are embeddings-table scans,
     // and text sat AT the 40-query shard cap.
-    else if (Set("rrf", "hamq", "hamr", "hamx", "hrc", "mmr", "mrl")
-      .contains(name)) "ann"
+    // hng (hard-negative mining) is an embeddings-table scan — same
+    // vector profile as the rest of this set
+    else if (Set("rrf", "hamq", "hamr", "hamx", "hrc", "mmr", "mrl",
+      "hng").contains(name)) "ann"
     // bm (bm25 pre-r18's second sweep) would hit the b-prefix core rule
     // below — but core is the
     // latency-sensitive serving shard, and a corpus-scale explode in

@@ -1205,6 +1205,25 @@ model AS (
         .orderBy("doc_id")
     }),
 
+    // Hard-negative mining (the retrieval-training seam): positives =
+    // ranks {1, 3} of each query's plain exact ranking — a
+    // NON-CONTIGUOUS set, so the anti-join must both drop interior
+    // rows and let rank 2 survive into the mined output; the oracle
+    // re-derives the same ranking, drops rn IN (1, 3), and re-ranks.
+    "hng" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.where(col("vec_id") % 50 === 10)
+      val nopos = s.range(0)
+        .select(col("id").as("q_id"), col("id").as("vec_id"))
+      val plain = Similarity.hardNegatives(
+        emb, queries, "vec_id", "embedding", nopos, k = 3)
+      val pos = plain.where(col("rnk").isin(1L, 3L))
+        .select("q_id", "vec_id")
+      Similarity.hardNegatives(
+          emb, queries, "vec_id", "embedding", pos, k = 5)
+        .orderBy("q_id", "rnk")
+    }),
+
     "dpx" -> ((s, d) =>
       Dedup.prefixDups(Tables.documents(s, d), col("text"), col("doc_id"),
         n = 64).orderBy("doc_id")),
@@ -3823,6 +3842,37 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
        CAST(sum(CASE WHEN id = 3 THEN 1 ELSE 0 END)
          AS BIGINT) AS n_unk
 FROM pos GROUP BY doc_id ORDER BY doc_id"""),
+
+    // Mirror of hardNegatives: the full exact ranking per query
+    // (quantized cosine, vec_id tie-break), positives = rn IN (1, 3),
+    // negatives re-ranked over the remainder and cut at 5.
+    "hng" -> ("""WITH qz AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS qe
+  FROM embeddings
+), qs AS (SELECT vec_id AS qid, qe AS qv FROM qz WHERE vec_id % 50 = 10),
+sc AS (
+  SELECT qs.qid, qz.vec_id,
+         round(
+           CAST(list_sum(list_transform(range(64), i -> qe[i+1] * qv[i+1])) AS DOUBLE)
+           / sqrt(CAST(list_sum(list_transform(range(64), i -> qe[i+1] * qe[i+1])) AS DOUBLE)
+                  * CAST(list_sum(list_transform(range(64), i -> qv[i+1] * qv[i+1])) AS DOUBLE)),
+           6) AS cosine
+  FROM qz CROSS JOIN qs WHERE qz.vec_id <> qs.qid
+), rk AS (
+  SELECT qid, vec_id, cosine,
+         row_number() OVER (PARTITION BY qid
+           ORDER BY cosine DESC, vec_id ASC) AS rn
+  FROM sc
+), neg AS (
+  SELECT qid, vec_id, cosine,
+         row_number() OVER (PARTITION BY qid
+           ORDER BY cosine DESC, vec_id ASC) AS rnk
+  FROM rk WHERE rn NOT IN (1, 3)
+)
+SELECT qid AS q_id, CAST(rnk AS BIGINT) AS rnk, vec_id, cosine
+FROM neg WHERE rnk <= 5 ORDER BY q_id, rnk"""),
 
     "ppl" -> (PplCte + """
 SELECT doc_id, n_bigrams, bits_sum, ppl_pm

@@ -611,6 +611,87 @@ object Similarity {
       .limit(k)
   }
 
+  /** HARD-NEGATIVE mining — the retrieval-training data operator (DPR/
+    * contrastive-encoder pipelines): for each query, the top-`k` most
+    * cosine-similar corpus vectors that are NOT known positives — the
+    * near-misses a contrastive loss learns the most from (random
+    * negatives are trivially separable; the informative ones live just
+    * under the positives).
+    *
+    * `queries` is the training batch (bounded by construction — a
+    * mining pass runs per epoch shard, thousands of rows against a
+    * corpus of billions) and `positives` the (q_id, vec_id) relevance
+    * pairs; both BROADCAST. The corpus is ONE unshuffled scan — never
+    * broadcast, never exchanged (at 10⁹ vectors the store is the big
+    * side, the [[hammingTopKIndexed]] direction): scoring rides the
+    * broadcast nested loop, known positives drop on a broadcast
+    * anti-join BEFORE the top-k cut (a dropped positive must not leave
+    * a hole in the k), and the per-query cut fuses through the partial
+    * WindowGroupLimit — `k·|queries|·tasks` rows reach the exchange,
+    * not `|corpus|·|queries|`. Exact integer-quantized cosine with
+    * vec_id tie-breaks ([[cosineQNormed]]), so the ranking is
+    * engine-exact — this is the mining oracle the approximate tier
+    * ([[hardNegativesIndexed]]) is measured against.
+    *
+    * `excludeSelf` drops `vec_id === q_id` pairs (queries drawn from
+    * the corpus id space must not mine themselves; disjoint id spaces
+    * pass false). Output: (q_id, rnk, vec_id, cosine). */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, idCol: String,
+                    embCol: String, positives: DataFrame, k: Int,
+                    excludeSelf: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val qb = queries.select(col(idCol).as("q_id"),
+        quantize(col(embCol)).as("__qv"))
+      .withColumn("__qn2", dotQ(col("__qv"), col("__qv")))
+    val scored = corpus.select(col(idCol).as("vec_id"),
+        quantize(col(embCol)).as("__e"))
+      .withColumn("__n2", dotQ(col("__e"), col("__e")))
+      .crossJoin(broadcast(qb))
+    val noSelf =
+      if (excludeSelf) scored.where(col("vec_id") =!= col("q_id"))
+      else scored
+    val win = Window.partitionBy("q_id")
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    noSelf
+      .join(broadcast(positives.select("q_id", "vec_id")),
+        Seq("q_id", "vec_id"), "left_anti")
+      .select(col("q_id"), col("vec_id"),
+        cosineQNormed(col("__e"), col("__qv"),
+          col("__n2"), col("__qn2")).as("cosine"))
+      .withColumn("rnk", row_number().over(win).cast("long"))
+      .where(col("rnk") <= k)
+      .select("q_id", "rnk", "vec_id", "cosine")
+  }
+
+  /** [[hardNegatives]] on the stored IVF cell index — the mining shape
+    * that doesn't scan the corpus at all: probe the `nprobe` nearest
+    * cells per query OVERSAMPLED to `k + overscan` candidates
+    * (positives drop AFTER the probe cut, so each dropped positive
+    * needs a spare candidate behind it — size `overscan` at the max
+    * positives-per-query of the batch), anti-join the positives, and
+    * re-cut to `k`. Partition-pruned scans, zero corpus Exchange — the
+    * [[annIvfIndexedBatch]] plan with the anti-join between cut and
+    * re-cut. Approximate exactly where the IVF probe is (a negative in
+    * an unprobed cell is missed); with `nprobe` ≥ the cell count and
+    * `overscan` ≥ positives-per-query it degenerates to
+    * [[hardNegatives]] exactly — the SimilaritySpec parity pin.
+    * Output: (q_id, rnk, vec_id, cosine). */
+  def hardNegativesIndexed(queries: DataFrame, idCol: String, embCol: String,
+                           path: String, positives: DataFrame, k: Int,
+                           nprobe: Int = 2, overscan: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val win = Window.partitionBy("q_id")
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    annIvfIndexedBatch(queries, idCol, embCol, path, k + overscan, nprobe)
+      .select(col("query_id").as("q_id"), col("vid").as("vec_id"),
+        col("cosine"))
+      .join(broadcast(positives.select("q_id", "vec_id")),
+        Seq("q_id", "vec_id"), "left_anti")
+      .withColumn("rnk", row_number().over(win).cast("long"))
+      .where(col("rnk") <= k)
+      .select("q_id", "rnk", "vec_id", "cosine")
+  }
+
   /** SEMANTIC decontamination — the embedding-space mirror of the
     * n-gram decontamination in [[graft.ext.Dedup]]: flag every TRAIN
     * document whose embedding is close to ANY eval/benchmark embedding

@@ -864,4 +864,67 @@ class SimilaritySpec extends SparkSpec {
     // rank 1 at cosine 1) = [0, exact top-2]
     assert(got.map(_._2) == 0L +: exact.filter(_ != 0L).take(2))
   }
+
+  test("hardNegatives: positives drop before the cut, ranks re-close") {
+    val rnd = new scala.util.Random(11)
+    val emb = (0L until 20L).map(i =>
+      (i, Array.fill(8)(rnd.nextFloat() * 2 - 1))).toDF("vec_id", "embedding")
+    val queries = emb.where($"vec_id".isin(0L, 7L))
+    val nopos = spark.range(0)
+      .select($"id".as("q_id"), $"id".as("vec_id"))
+    // the plain ranking (no positives) — the mining baseline
+    val plain = Similarity.hardNegatives(emb, queries, "vec_id",
+        "embedding", nopos, k = 19)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // no self-mining, full ranking covers corpus minus self
+    assert(plain.forall { case (q, _, v) => q != v })
+    assert(plain.count(_._1 == 0L) == 19)
+    // drop a NON-CONTIGUOUS positive set {rank 1, rank 3}: rank 2 must
+    // survive as the new rank 1 and everything after re-closes
+    val pos = plain.filter(t => t._2 == 1L || t._2 == 3L)
+      .map(t => (t._1, t._3)).toSeq.toDF("q_id", "vec_id")
+    val mined = Similarity.hardNegatives(emb, queries, "vec_id",
+        "embedding", pos, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    for (q <- Seq(0L, 7L)) {
+      val expect = plain.filter(_._1 == q).sortBy(_._2)
+        .filter(t => t._2 != 1L && t._2 != 3L).map(_._3).take(5).toSeq
+      val got = mined.filter(_._1 == q).sortBy(_._2).map(_._3).toSeq
+      assert(got == expect, s"query $q: $got vs $expect")
+    }
+    // scale pin: the corpus side never broadcasts and never exchanges —
+    // queries and positives ride broadcasts, the per-query cut fuses
+    // through a partial WindowGroupLimit before the one exchange
+    val plan = Similarity.hardNegatives(emb, queries, "vec_id",
+      "embedding", pos, k = 5).queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("hardNegativesIndexed: degenerates to exact mining at full probe width") {
+    val rnd = new scala.util.Random(13)
+    val emb = (0L until 24L).map(i =>
+      (i, Array.fill(8)(rnd.nextFloat() * 2 - 1))).toDF("vec_id", "embedding")
+    val root = java.nio.file.Files.createTempDirectory("graft-hng").toString
+    Similarity.writeCellIndex(emb, "vec_id", "embedding", root,
+      centroidStride = 8) // 3 cells
+    val queries = emb.where($"vec_id".isin(2L, 9L))
+    val nopos = spark.range(0)
+      .select($"id".as("q_id"), $"id".as("vec_id"))
+    val pos = Similarity.hardNegatives(emb, queries, "vec_id",
+        "embedding", nopos, k = 2)
+      .select($"q_id", $"vec_id")
+    val exact = Similarity.hardNegatives(emb, queries, "vec_id",
+        "embedding", pos, k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq.sorted
+    // nprobe >= cell count and overscan >= positives-per-query: the
+    // probe covers the corpus, so the approximate tier IS the exact one
+    val indexed = Similarity.hardNegativesIndexed(queries, "vec_id",
+        "embedding", root, pos, k = 4, nprobe = 3, overscan = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq.sorted
+    graft.CacheScope.release()
+    assert(indexed == exact)
+  }
 }
