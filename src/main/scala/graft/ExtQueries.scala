@@ -911,6 +911,35 @@ model AS (
         .orderBy("doc_id")
     }),
 
+    // The trainer-facing materialization of the p_s layout: every
+    // context window's ACTUAL fixed-length input_ids row plus its
+    // doc_spans sidecar, reduced to per-bin fingerprints (the bpe
+    // convention). input_ids are the closed form doc_id·10⁵ + t
+    // (t = 1..n_tokens), so the oracle re-derives every token id from
+    // the slice arithmetic alone; padId = 0 makes the padded tail
+    // fingerprint-neutral and n_pad prices it explicitly.
+    "p_a" -> ((s, d) => {
+      val toks = TextAnalysis
+        .tokenStats(Tables.documents(s, d), col("text"), col("doc_id"))
+        .select(col("doc_id"), col("n_tokens"))
+      val packed = Packing.packSequences(toks, col("doc_id"),
+        col("n_tokens"), budget = 512)
+      val ids = toks.where(col("n_tokens") > 0)
+        .select(col("doc_id"),
+          expr("transform(sequence(1, CAST(n_tokens AS INT)), " +
+            "t -> doc_id * 100000L + CAST(t AS BIGINT))").as("input_ids"))
+      Packing.materializeBins(packed, ids, budget = 512L)
+        .select(col("bin"), col("n_tokens"), col("n_pad"), col("n_docs"),
+          expr("aggregate(zip_with(input_ids, " +
+            "sequence(1, size(input_ids)), " +
+            "(x, k) -> x * CAST(k AS BIGINT)), 0L, (a, v) -> a + v)")
+            .as("ids_fp"),
+          expr("aggregate(transform(doc_spans, " +
+            "s -> s.doc_id * (s.off + 1L) + s.len), 0L, (a, v) -> a + v)")
+            .as("spans_fp"))
+        .orderBy("bin")
+    }),
+
     "p_sh" -> ((s, d) =>
       Packing.shuffledOrdinal(Tables.documents(s, d), col("doc_id"),
           seed = "epoch0")
@@ -3155,6 +3184,55 @@ SELECT bin, doc_id,
        greatest(start_off, bin * 512) - bin * 512 AS bin_off,
        least(end_off, (bin + 1) * 512) - greatest(start_off, bin * 512) AS len
 FROM e ORDER BY bin, bin_off"""),
+
+    // Mirror of materializeBins over the p_sl slice arithmetic: every
+    // token id re-derived as doc_id·10⁵ + doc_off + s + 1 at window
+    // position bin_off + s, fingerprinted with the same positional
+    // weights as the Spark side's padded array (pad id 0 contributes
+    // nothing).
+    "p_a" -> (s"""WITH t AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '$TokRe')) AS BIGINT) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, n_tokens,
+         CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS end_off
+  FROM t WHERE n_tokens > 0
+), p AS (
+  SELECT doc_id, end_off - n_tokens AS start_off, end_off,
+         (end_off - n_tokens) // 512 AS first_bin,
+         (end_off - 1) // 512 AS last_bin
+  FROM c
+), e AS (
+  SELECT doc_id, start_off, end_off,
+         unnest(range(first_bin, last_bin + 1)) AS bin
+  FROM p
+), sl AS (
+  SELECT bin, doc_id,
+         greatest(start_off, bin * 512) - start_off AS doc_off,
+         greatest(start_off, bin * 512) - bin * 512 AS bin_off,
+         least(end_off, (bin + 1) * 512) - greatest(start_off, bin * 512)
+           AS len
+  FROM e
+), tok AS (
+  SELECT bin, bin_off + s AS pos0,
+         doc_id * 100000 + doc_off + s + 1 AS tid
+  FROM (SELECT bin, doc_id, doc_off, bin_off, len,
+          unnest(range(len)) AS s FROM sl)
+), ag AS (
+  SELECT bin, CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(sum(tid * (pos0 + 1)) AS BIGINT) AS ids_fp
+  FROM tok GROUP BY bin
+), sp AS (
+  SELECT bin, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(doc_id * (bin_off + 1) + len) AS BIGINT) AS spans_fp
+  FROM sl GROUP BY bin
+)
+SELECT ag.bin, ag.n_tokens, CAST(512 - ag.n_tokens AS BIGINT) AS n_pad,
+       sp.n_docs, ag.ids_fp, sp.spans_fp
+FROM ag JOIN sp USING (bin) ORDER BY bin"""),
 
     "p_sh" -> (s"""WITH t AS (
   SELECT doc_id,

@@ -101,6 +101,62 @@ object Packing {
         (col("slice_end") - col("slice_start")).as("len"))
   }
 
+  /** The TRAINER-FACING materialization of a packed layout — the step
+    * between [[binSlices]]' bookkeeping and the TfRecord/WebDataset
+    * export: each context window becomes one fixed-length row of
+    * actual token ids. `packed` is [[packSequences]]' output; `ids`
+    * carries each document's tokenized `input_ids` (the [[graft.ext.Bpe]]/
+    * [[graft.ext.Unigram]]/[[graft.ext.WordPiece]] encode shape), whose length
+    * must equal the `n_tokens` the layout was computed from — a
+    * mismatch (tokenizer drift between the two passes) raises loudly
+    * per offending document instead of silently under-filling windows.
+    *
+    * Output, one row per bin: `input_ids` (exactly `budget` long —
+    * only the stream's final window carries `n_pad` trailing `padId`s),
+    * `n_tokens` (real ids), `n_docs`, and `doc_spans` —
+    * (doc_id, off, len) per document slice in window order, the
+    * attention-reset / loss-masking sidecar every packed-pretraining
+    * loader needs. Callers wanting an EOD separator add one to each
+    * document's `n_tokens` BEFORE packing and append the EOD id to its
+    * `input_ids` — the layout and this materialization stay mechanical.
+    *
+    * Scale shape: slices join `ids` on a uniform `doc_id` hash (the one
+    * corpus-sized exchange), window assembly shuffles rows already cut
+    * to ≤ budget tokens keyed by `bin` (uniform by construction — bins
+    * are a dense integer range), and per-window order is a
+    * `sort_array` over an ≤ budget-sized list, never a window
+    * function. Nothing collects; lists are budget-bounded. */
+  def materializeBins(packed: DataFrame, ids: DataFrame, budget: Long,
+                      padId: Long = 0L): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val chunk = expr("slice(input_ids, CAST(doc_off + 1 AS INT), " +
+      "CAST(len AS INT))")
+    val guarded = binSlices(packed, budget)
+      .join(ids.select(col("doc_id"), col("input_ids")), "doc_id")
+      .select(col("bin"), col("bin_off"), col("doc_id"), col("len"),
+        when(size(chunk) === col("len").cast("int"), chunk)
+          .otherwise(raise_error(concat(
+            lit("materializeBins: input_ids of doc "), col("doc_id"),
+            lit(" are shorter than the packed layout expects — "),
+            lit("re-pack from the same tokenizer output"))))
+          .as("chunk"))
+    guarded.groupBy("bin")
+      .agg(sort_array(collect_list(struct(col("bin_off"), col("doc_id"),
+        col("len"), col("chunk")))).as("sl"))
+      .select(col("bin"),
+        expr("flatten(transform(sl, s -> s.chunk))").as("toks"),
+        expr("transform(sl, s -> struct(s.doc_id AS doc_id, " +
+          "s.bin_off AS off, s.len AS len))").as("doc_spans"))
+      .select(col("bin"),
+        concat(col("toks"), expr(
+          s"array_repeat(${padId}L, CAST(${budget}L - size(toks) AS INT))"))
+          .as("input_ids"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        (lit(budget) - size(col("toks"))).cast("long").as("n_pad"),
+        size(col("doc_spans")).cast("long").as("n_docs"),
+        col("doc_spans"))
+  }
+
   /** Deterministic global shuffle: the training-order step that
     * precedes packing. Each document's position is its rank under
     * `hash60(seed + ":" + id)` (ties broken by id), so the permutation

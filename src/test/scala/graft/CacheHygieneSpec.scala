@@ -16,6 +16,8 @@ class CacheHygieneSpec extends SparkSpec {
     "dd_j", "dd_l", "dcc", "dd_r",
     "decs", "vkg", "vnr",
     "p_s", "p_sl", "p_sh",
+    "p_cs", // sentence chunks through the packer (persistTracked ranged frame)
+    "p_a", // materializeBins rides packSequences' persisted ranged frame
     "vkm", "vr",
     "hamx", // tagNearB1Codes persists the batch codes
     "cdc", // capped ngramContamination persists the exploded + capped shingle frames

@@ -136,4 +136,53 @@ class PackingSpec extends SparkSpec {
         "global window over non-aggregated rows:\n" + plan)
     }
   }
+
+  test("materializeBins: windows hold the exact ids, only the tail pads") {
+    // docs 1..3 of 5/3/4 tokens at budget 6: stream = d1[1..5] d2[1..3]
+    // d3[1..4]; bin 0 = d1 tokens 1..5 + d2 token 1, bin 1 = d2 tokens
+    // 2..3 + d3 tokens 1..4 — full; no bin 2
+    val toks = Seq(1L -> 5L, 2L -> 3L, 3L -> 4L).toDF("doc_id", "n_tokens")
+    val ids = toks.select($"doc_id",
+      expr("transform(sequence(1, CAST(n_tokens AS INT)), " +
+        "t -> doc_id * 100L + CAST(t AS BIGINT))").as("input_ids"))
+    val packed = Packing.packSequences(toks, $"doc_id", $"n_tokens", 6L)
+    val out = Packing.materializeBins(packed, ids, 6L, padId = -1L)
+      .orderBy("bin")
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1),
+        r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.length == 2)
+    assert(out(0) == ((0L, Seq(101L, 102L, 103L, 104L, 105L, 201L),
+      6L, 0L, 2L)))
+    assert(out(1) == ((1L, Seq(202L, 203L, 301L, 302L, 303L, 304L),
+      6L, 0L, 2L)))
+    // a short final window pads with padId and prices the padding
+    val toks2 = Seq(1L -> 4L).toDF("doc_id", "n_tokens")
+    val ids2 = toks2.select($"doc_id",
+      expr("transform(sequence(1, 4), t -> CAST(t AS BIGINT))")
+        .as("input_ids"))
+    val tail = Packing.materializeBins(
+        Packing.packSequences(toks2, $"doc_id", $"n_tokens", 6L),
+        ids2, 6L, padId = -1L)
+      .collect().map(r => (r.getSeq[Long](1), r.getLong(2), r.getLong(3)))
+    assert(tail.toSeq == Seq((Seq(1L, 2L, 3L, 4L, -1L, -1L), 4L, 2L)))
+    // doc_spans carry the loss-mask sidecar in window order
+    val spans = Packing.materializeBins(packed, ids, 6L)
+      .orderBy("bin").select("doc_spans")
+      .collect().map(_.getSeq[org.apache.spark.sql.Row](0)
+        .map(s => (s.getLong(0), s.getLong(1), s.getLong(2))))
+    assert(spans(0).toSeq == Seq((1L, 0L, 5L), (2L, 5L, 1L)))
+    assert(spans(1).toSeq == Seq((2L, 0L, 2L), (3L, 2L, 4L)))
+    // tokenizer drift (ids shorter than the layout) raises loudly
+    val short = toks.select($"doc_id",
+      expr("transform(sequence(1, CAST(n_tokens AS INT) - 1), " +
+        "t -> CAST(t AS BIGINT))").as("input_ids"))
+    val ex = intercept[Exception] {
+      Packing.materializeBins(packed, short, 6L).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("materializeBins")), msgs(ex))
+    graft.CacheScope.release()
+  }
 }
