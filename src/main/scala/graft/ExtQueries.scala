@@ -440,6 +440,27 @@ model AS (
       path
     }
 
+  /** Stored image-dHash code history for the `mic` row: the EVEN
+    * media_ids' codes appended as batch 0 (appendCodes' own marker
+    * makes the build once-only — same guard class as the _SUCCESS
+    * checks, and the replay contract under test is the store's own). */
+  private[graft] def imgCodesFor(s: SparkSession, sfDir: String): String =
+    synchronized {
+      val path = graft.sources.Scratch.dir("mic",
+        graft.sources.Scratch.key(sfDir))
+      if (!graft.sources.StoreCompaction.isApplied(s, path, 0L)) {
+        import s.implicits._
+        val rows = Tables.documents(s, sfDir).select(col("doc_id")).as[Long]
+          .filter(_ % 2 == 0)
+          .map(id => Multimodal.MediaRow(id,
+            Multimodal.synthPngPayload(id), "image/png"))
+        Similarity.appendCodes(
+          Multimodal.imageCodes(Multimodal.dhashBatched(rows).toDF()),
+          path, batchId = 0L)
+      }
+      path
+    }
+
   private[graft] def b1CodesFor(s: SparkSession, sfDir: String): String =
     synchronized {
       val path = graft.sources.Scratch.dir("b1c",
@@ -757,7 +778,7 @@ model AS (
     // 25 < every cell's population at both SFs (cells run 76-122
     // members), so the cap bites in every cell and the row verifies the
     // per-cell ranking, not a pass-through
-    "s_cl" -> ((s, d) =>
+    "s_l" -> ((s, d) =>
       Similarity.cellBalanced(Tables.embeddings(s, d), "vec_id", "embedding",
           n = 25)
         .orderBy("vec_id")),
@@ -861,12 +882,12 @@ model AS (
 
     // quality-proportional keep rate: 1000 ppm per char, saturating at
     // 500 chars — longer docs always survive, shorter ones pro rata
-    "s_wt" -> ((s, d) =>
+    "s_w" -> ((s, d) =>
       Sampling.weighted(Tables.documents(s, d), col("doc_id"),
           col("n_chars") * 2000L)
         .select("doc_id").orderBy("doc_id")),
 
-    "s_st" -> ((s, d) =>
+    "s_s" -> ((s, d) =>
       Sampling.stratified(Tables.events(s, d), col("event_type"),
           col("event_id"),
           Map("view" -> 100000, "click" -> 500000, "purchase" -> 1000000))
@@ -883,7 +904,7 @@ model AS (
     // Temperature-smoothed (alpha = 0.5) per-language sampling: rates
     // derived from the corpus's own counts via sqrt flattening — the
     // published mBERT/XLM-R low-resource upweighting.
-    "s_tp" -> ((s, d) =>
+    "s_t" -> ((s, d) =>
       Sampling.temperatureMix(Tables.documents(s, d), col("lang"),
           col("doc_id"), targetRows = 200)
         .select("doc_id", "lang").orderBy("doc_id")),
@@ -1057,7 +1078,7 @@ model AS (
       TextAnalysis.codeQuality(codeDocs(Tables.documents(s, d)),
         col("text"), col("doc_id")).orderBy("doc_id")),
 
-    "t_fp" -> ((s, d) =>
+    "tfp" -> ((s, d) =>
       TextAnalysis.fingerprint(Tables.documents(s, d), col("text"), col("doc_id"))
         .orderBy("doc_id")),
 
@@ -1313,7 +1334,7 @@ model AS (
     // Per-label centroid drift between the even and odd vec_id halves
     // (two "batches" of the same corpus) — the embedding-pipeline
     // monitoring row; integer-mean centroids, round-6 cosine.
-    "vdrf" -> ((s, d) => {
+    "vdf" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       Similarity.centroidDrift(emb.where(col("vec_id") % 2 === 0),
           emb.where(col("vec_id") % 2 === 1), "label", "embedding")
@@ -1443,7 +1464,7 @@ model AS (
     // JSON on % 17 — trailing garbage after the root value wouldn't
     // break Jackson), then REALLY parsed back and validated — the
     // oracle prices the closed form, JSON-blind (the mv move).
-    "chat" -> ((s, d) =>
+    "cht" -> ((s, d) =>
       Chat.stats(synthChatConv(Tables.documents(s, d)), col("conv"),
         col("doc_id")).orderBy("doc_id")),
 
@@ -1502,7 +1523,7 @@ model AS (
     // Preference-pair (DPO) validation over synthesized (chosen,
     // rejected) pairs: shared-prompt defect on id % 11, rejected-ends-
     // with-user defect on % 7, truncated rejected JSON on % 17.
-    "pref" -> ((s, d) =>
+    "prf" -> ((s, d) =>
       Chat.prefStats(synthPrefPairs(Tables.documents(s, d)),
         col("chosen"), col("rejected"), col("doc_id")).orderBy("pair_id")),
 
@@ -1547,7 +1568,7 @@ model AS (
           queryId = 0L, poolSize = 20, k = 5, lambdaPct = 70)
         .orderBy("step")),
 
-    "dsem" -> ((s, d) => {
+    "dse" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       Similarity.decontaminate(
         emb.where(col("vec_id") % 200 =!= 0),
@@ -1643,6 +1664,24 @@ model AS (
       Multimodal.nearDupImages(Multimodal.dhashBatched(rows).toDF(),
           col("media_id"), col("dhash"))
         .orderBy("id_a", "id_b")
+    }),
+
+    // INCREMENTAL image dedup — the (image × incremental) cell of the
+    // modality × mode matrix: even media_ids' dHash codes are the
+    // accumulated store (imgCodesFor, via the replay-safe appendCodes),
+    // the odd ids are the fresh crawl batch probed with tagNearCodes at
+    // the mnr pairing distance. The oracle recomputes both sides'
+    // hashes closed-form and tags by full-width XOR popcount (the two
+    // 32-bit halves sum to exactly that).
+    "mic" -> ((s, d) => {
+      import s.implicits._
+      val rows = Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .filter(_ % 2 == 1)
+        .map(id => Multimodal.MediaRow(id, Multimodal.synthPngPayload(id),
+          "image/png"))
+      val batch = Multimodal.imageCodes(Multimodal.dhashBatched(rows).toDF())
+      Similarity.tagNearCodes(batch, imgCodesFor(s, d), maxHam = 3)
+        .orderBy("vec_id")
     }),
 
     "mfr" -> ((s, d) =>
@@ -1780,7 +1819,7 @@ model AS (
     // strip, tracking-param drop, param sort, non-default port kept.
     // The oracle states each template's EXPECTED canonical form as a
     // literal — it never re-implements the canonicalizer.
-    "urlc" -> ((s, d) => {
+    "url" -> ((s, d) => {
       val h = (col("doc_id") % 100).cast("string")
       val t = col("doc_id") % 8
       val synth = when(t === 0, concat(lit("HTTP://Example.COM/a/b?x="), h))
@@ -1853,7 +1892,7 @@ model AS (
     // numeric entities, unknown-entity passthrough, quoted '>' inside
     // attributes, and self-closed <br/>. The oracle states each
     // template's expected extraction as a literal.
-    "html" -> ((s, d) => {
+    "htm" -> ((s, d) => {
       graft.functions.GraftFunctions.register(s)
       val h = (col("doc_id") % 100).cast("string")
       val t = col("doc_id") % 4
@@ -1937,7 +1976,7 @@ model AS (
     // Secret scan over text salted with deterministic credential
     // shapes on id slices (AWS key / PEM+password / GitHub token on
     // id%4, Slack token on id%6=0; the id%4=3 slice stays clean).
-    "secr" -> ((s, d) =>
+    "sec" -> ((s, d) =>
       Curation.flagSecrets(secretDocs(Tables.documents(s, d)), col("text"),
         col("doc_id")).orderBy("doc_id")),
 
@@ -2971,7 +3010,7 @@ WHERE vid NOT IN (SELECT vid FROM dropped)
 ORDER BY vec_id"""),
 
     // capPerGroup's seeded-hash rank, with the IVF cell as the group
-    "s_cl" -> (CellsCte + s""", ranked AS (
+    "s_l" -> (CellsCte + s""", ranked AS (
   SELECT vid, cid,
          row_number() OVER (PARTITION BY cid
            ORDER BY ${h60("'cell0:' || CAST(vid AS VARCHAR)")} ASC, vid ASC) AS rn
@@ -3038,7 +3077,7 @@ SELECT doc_id,
             ELSE 'train' END AS split
 FROM documents ORDER BY doc_id"""),
 
-    "s_wt" -> (s"""
+    "s_w" -> (s"""
 SELECT doc_id FROM documents
 WHERE ${h60("'wt0:' || CAST(doc_id AS VARCHAR)")} % 1000000
       < least(greatest(n_chars * 2000, 0), 1000000)
@@ -3046,7 +3085,7 @@ ORDER BY doc_id"""),
 
     // Mirror of temperatureMix: per-language counts, sqrt smoothing,
     // derived ppm rates, the same seeded hash thinning.
-    "s_tp" -> (s"""WITH c AS (
+    "s_t" -> (s"""WITH c AS (
   SELECT lang, count(*) AS n FROM documents GROUP BY 1
 ), s AS (
   SELECT lang, n, CAST(floor(sqrt(n)) AS BIGINT) AS sg FROM c
@@ -3101,7 +3140,7 @@ SELECT stage, n_docs FROM (
   SELECT '3_train', CAST(sum(CASE WHEN q AND k AND tr THEN 1 ELSE 0 END) AS BIGINT) FROM f
 ) ORDER BY stage"""),
 
-    "s_st" -> (s"""
+    "s_s" -> (s"""
 SELECT event_id, event_type
 FROM events
 WHERE ${h60("CAST(event_id AS VARCHAR)")} % 1000000 <
@@ -3521,7 +3560,7 @@ SELECT doc_id, CAST(n_lines AS INT) AS n_lines, CAST(max_ll AS INT) AS max_ll,
    AND n_comment * 100 // n_lines <= 80) AS code_ok
 FROM q ORDER BY doc_id"""),
 
-    "t_fp" -> (WordsCte + """
+    "tfp" -> (WordsCte + """
 SELECT doc_id,
        md5(regexp_replace(lower(trim(text)), ' +', ' ', 'g')) AS content_fp,
        list_min(list_transform(CASE WHEN len(words) >= 3
@@ -4195,7 +4234,7 @@ WHERE rnk <= 3 ORDER BY q_id, rnk"""),
     // Mirror of Similarity.centroidDrift over the even/odd halves:
     // per-(label, half, dim) integer sums div group count, per-label
     // dot and norms over the centroid dimensions, round-6 cosine.
-    "vdrf" -> ("""WITH qz AS (
+    "vdf" -> ("""WITH qz AS (
   SELECT vec_id, CAST(label AS BIGINT) AS label,
          list_transform(embedding,
            x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS qe
@@ -4636,7 +4675,7 @@ GROUP BY node ORDER BY node"""),
     // ceil-div, roles by parity, content chars = word chars + intra-turn
     // spaces (+27 system / +2 'hi'), render_fp = md5 of the template
     // string rebuilt turn-by-turn; % 17 rows quarantine to nulls.
-    "chat" -> ("""WITH w AS (
+    "cht" -> ("""WITH w AS (
   SELECT doc_id, string_split_regex(trim(text), ' +') AS ws FROM documents
 ), base AS (
   SELECT doc_id, ws, CAST(len(ws) AS BIGINT) AS nw,
@@ -4763,7 +4802,7 @@ FROM tagged t LEFT JOIN ts ON t.s = ts.s
 WHERE t.split <> 'train'
 GROUP BY 1, 2 ORDER BY doc_id"""),
 
-    "pref" -> ("""SELECT doc_id AS pair_id,
+    "prf" -> ("""SELECT doc_id AS pair_id,
   NOT (doc_id % 17 = 0) AS pair_ok,
   CASE WHEN doc_id % 17 = 0 THEN NULL
        ELSE NOT (doc_id % 7 = 0) END AS ends_asst,
@@ -4946,7 +4985,7 @@ SELECT * FROM (
   UNION ALL SELECT 5, vec_id, CAST(sc AS BIGINT) FROM s5
 ) ORDER BY step"""),
 
-    "dsem" -> ("""WITH qz AS (
+    "dse" -> ("""WITH qz AS (
   SELECT vec_id,
          list_transform(embedding,
            x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS qe
@@ -4967,7 +5006,7 @@ FROM scored ORDER BY vec_id"""),
 
     // Each url_canon template's EXPECTED canonical form, stated as a
     // literal — independent of the Spark-side canonicalizer.
-    "urlc" -> ("""WITH f AS (
+    "url" -> ("""WITH f AS (
   SELECT doc_id, doc_id % 8 AS t, CAST(doc_id % 100 AS VARCHAR) AS h
   FROM documents
 )
@@ -5096,7 +5135,7 @@ FROM f ORDER BY doc_id"""),
 
     // Each html_text template's EXPECTED extraction, stated as a
     // literal (chr(10) = the block-boundary newline, chr(233) = é).
-    "html" -> ("""WITH f AS (
+    "htm" -> ("""WITH f AS (
   SELECT doc_id, doc_id % 4 AS t, CAST(doc_id % 100 AS VARCHAR) AS h
   FROM documents
 )
@@ -5290,6 +5329,21 @@ SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS INT) AS dist
 FROM cand WHERE bit_count(xor(ha, hb)) <= 3
 ORDER BY id_a, id_b"""),
 
+    // Mirror of mic: even ids are the stored history, odd ids the
+    // probed batch; near_history by full-width XOR popcount <= 3 (the
+    // Spark side's two 32-bit halves sum to exactly that).
+    "mic" -> (DhashCte + """, bt AS (
+  SELECT media_id, h FROM hh WHERE media_id % 2 = 1
+), nr AS (
+  SELECT DISTINCT b.media_id
+  FROM bt b JOIN hh t
+    ON t.media_id % 2 = 0 AND bit_count(xor(b.h, t.h)) <= 3
+)
+SELECT b.media_id AS vec_id,
+       (nr.media_id IS NOT NULL) AS near_history
+FROM bt b LEFT JOIN nr ON b.media_id = nr.media_id
+ORDER BY vec_id"""),
+
     "mav" -> ("""WITH f AS (
   SELECT doc_id AS media_id, n_chars % 50 + 1 AS n FROM documents
 ), s AS (
@@ -5429,7 +5483,7 @@ FROM p ORDER BY doc_id"""),
 
     // \1\2 is RE2's backreference syntax (Spark-side $1$2); both keep
     // the kv key+separator so the scrub is a fixed point.
-    "secr" -> (s"""WITH p AS (
+    "sec" -> (s"""WITH p AS (
   SELECT doc_id,
          text || CASE doc_id % 4
            WHEN 0 THEN ' key AKIA' || lpad(CAST(doc_id AS VARCHAR), 16, '0')

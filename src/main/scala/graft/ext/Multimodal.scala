@@ -679,6 +679,22 @@ object Multimodal {
     * clips run hundreds of scenes but nowhere near 2²⁰ = 1,048,576; a
     * pathological clip past the bound fails LOUDLY via raise_error
     * instead of corrupting the shared history. */
+  /** Pack still-image dHashes ([[dhashBatched]]'s output) into the
+    * binary code store's (vec_id, b_hi, b_lo) layout — the image
+    * sibling of [[keyframeCodes]] (no id stride: one hash per image,
+    * media_id IS the vec_id). INCREMENTAL image dedup is this plus the
+    * store contract: [[graft.ext.Similarity.appendCodes]] accumulates
+    * each crawl batch's codes (replay-safe), and
+    * [[graft.ext.Similarity.tagNearCodes]] tags a fresh batch against
+    * everything before it at code-scan bandwidth — completing the
+    * (image × incremental) cell of the modality × mode dedup matrix
+    * the `mic` row prices. */
+  def imageCodes(hashes: DataFrame): DataFrame =
+    hashes.select(col("media_id").cast("long").as("vec_id"),
+      expr("shiftright(dhash, 32) & 4294967295").as("b_hi"),
+      expr("dhash & 4294967295").as("b_lo"),
+      expr("CAST(bit_count(dhash) AS BIGINT)").as("n_pos"))
+
   def keyframeCodes(kf: DataFrame): DataFrame =
     kf.select(expr(
         """CASE WHEN scene_idx < 1048576

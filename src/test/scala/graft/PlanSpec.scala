@@ -228,9 +228,9 @@ class PlanSpec extends SparkSpec {
     // per-document: split + HOF filters, nothing corpus-wide.
     // robots (per-host rule chain) and msc (scene-cut decode) join
     // the family: the verdict/segmentation is computed per document.
-    for (q <- Seq("urlc", "un", "html", "chk",
+    for (q <- Seq("url", "un", "htm", "chk",
         "mv", "mav", "s_r", "gph", "c4", "gr",
-        "secr", "rob", "msc", "cq")) {
+        "sec", "rob", "msc", "cq")) {
       val p = plan(q)
       assert(count(p, "Exchange") <= 1,
         s"$q must shuffle only for its output sort:\n$p")
@@ -367,7 +367,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("smp_cell: the per-cell cap pushes into WindowGroupLimit") {
-    val p = plan("s_cl")
+    val p = plan("s_l")
     assert(p.contains("WindowGroupLimit"),
       s"expected the rank<=n group-limit pushdown in:\n$p")
   }

@@ -127,4 +127,39 @@ class PhashSpec extends SparkSpec {
         f"planted pair ($a,$b) at distance $d missing (base $ha%016x)")
     }
   }
+
+  test("imageCodes + stored history: incremental image dedup end to end") {
+    // layout: halves reassemble the dHash exactly (keyframeCodes' pin,
+    // without the stride — media_id IS the vec_id)
+    val hs = Multimodal.dhashBatched(Seq(
+        Multimodal.MediaRow(7L, Multimodal.synthPngPayload(7L), "image/png"))
+      .toDS()).toDF()
+    val h = hs.collect().head.getAs[Long]("dhash")
+    val c = Multimodal.imageCodes(hs).collect().head
+    assert(c.getLong(0) == 7L)
+    assert((c.getLong(1) << 32 | c.getLong(2)) == h)
+    assert(c.getLong(3) == java.lang.Long.bitCount(h))
+    // store a history batch, probe a near and a far image against it:
+    // an exact re-crawl of image 7 tags, a far image doesn't
+    val path = java.nio.file.Files.createTempDirectory("imghist")
+      .toString + "/store"
+    assert(Similarity.appendCodes(Multimodal.imageCodes(hs), path, 0L))
+    val h7 = h
+    val far = (100L to 400L).find { id =>
+      val hx = Multimodal.dhashBatched(Seq(Multimodal.MediaRow(id,
+          Multimodal.synthPngPayload(id), "image/png")).toDS())
+        .toDF().collect().head.getAs[Long]("dhash")
+      java.lang.Long.bitCount(hx ^ h7) > 3
+    }.get
+    val probe = Multimodal.imageCodes(Multimodal.dhashBatched(Seq(
+        Multimodal.MediaRow(9000L + 7L, Multimodal.synthPngPayload(7L),
+          "image/png"),
+        Multimodal.MediaRow(far, Multimodal.synthPngPayload(far),
+          "image/png")).toDS()).toDF())
+    val tags = Similarity.tagNearCodes(probe, path, maxHam = 3)
+      .collect().map(r => (r.getLong(0), r.getBoolean(1))).toMap
+    assert(tags(9007L) === true)
+    assert(tags(far) === false)
+    graft.CacheScope.release()
+  }
 }
