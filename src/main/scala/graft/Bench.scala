@@ -316,7 +316,7 @@ object Bench {
     // stays so a future mm_* key routes here without a table edit
     else if (name.startsWith("mm_") || Set("ph", "afp", "mau", "mav",
       "mfr", "mft", "mnr", "msc", "mvd", "mv", "mr",
-      "mic").contains(name)) "mm"
+      "mic", "mac").contains(name)) "mm"
     // dsp/dpx/cns = dup_sp/dd_pfx/dd_cns after the r16 budget sweep;
     // dpc/dpm/sco/scs = dup_c/dup_m/src_o/src_s after the r17 sweep;
     // dcc..dwd = the nine dd_* keys after the r17 second sweep (a bare
@@ -353,7 +353,7 @@ object Bench {
     // and text sat AT the 40-query shard cap.
     // hng (hard-negative mining) is an embeddings-table scan — same
     // vector profile as the rest of this set
-    else if (Set("rrf", "hamq", "hamr", "hamx", "hrc", "mmr", "mrl",
+    else if (Set("rrf", "hmq", "hmr", "hmx", "hrc", "mmr", "mrl",
       "hng").contains(name)) "ann"
     // bm (bm25 pre-r18's second sweep) would hit the b-prefix core rule
     // below — but core is the

@@ -199,6 +199,31 @@ object ExtQueries {
   GROUP BY f.media_id
 )"""
 
+  /** Shared chain of the afp / mac oracles: synthLongAudioPayload's
+    * closed-form sample envelope through the 33-window means and bit
+    * packing (`code` = (media_id, n, afp)) — audio-blind. */
+  private val AfpCte = """WITH f AS (
+  SELECT doc_id AS media_id, n_chars % 200 + 64 AS n FROM documents
+), v AS (
+  SELECT media_id, n, i, abs((media_id * 31 + i * 7) % 200 - 100) AS v
+  FROM (SELECT media_id, n, unnest(range(0, n)) AS i FROM f)
+), wm AS (
+  SELECT media_id, n, w, sum(v) // count(*) AS m
+  FROM v JOIN (SELECT unnest(range(33)) AS w) wt
+    ON v.i >= w * v.n // 33 AND v.i < (w + 1) * v.n // 33
+  GROUP BY 1, 2, 3
+), bits AS (
+  SELECT a.media_id, a.w
+  FROM wm a JOIN wm b ON a.media_id = b.media_id AND b.w = a.w + 1
+  WHERE a.w < 32 AND a.m > b.m
+), code AS (
+  SELECT f.media_id, f.n,
+         CAST(coalesce(bit_or(1::BIGINT << CAST(w AS INT)), 0) AS BIGINT)
+           AS afp
+  FROM f LEFT JOIN bits USING (media_id)
+  GROUP BY f.media_id, f.n
+)"""
+
   /** Shared chain of text_ppl / ppl_cut: bigram self-scoring surprisal
     * per document (`pp` = (doc_id, n_bigrams, bits_sum, ppl_pm)). */
   private def PplCte = WordsCte + s""", bg AS (
@@ -456,6 +481,27 @@ model AS (
             Multimodal.synthPngPayload(id), "image/png"))
         Similarity.appendCodes(
           Multimodal.imageCodes(Multimodal.dhashBatched(rows).toDF()),
+          path, batchId = 0L)
+      }
+      path
+    }
+
+  /** Stored audio-envelope code history for the `mac` row — the
+    * [[imgCodesFor]] contract over [[Multimodal.audioCodes]]. */
+  private[graft] def audCodesFor(s: SparkSession, sfDir: String): String =
+    synchronized {
+      val path = graft.sources.Scratch.dir("mac",
+        graft.sources.Scratch.key(sfDir))
+      if (!graft.sources.StoreCompaction.isApplied(s, path, 0L)) {
+        import s.implicits._
+        val rows = Tables.documents(s, sfDir)
+          .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+          .filter(_._1 % 2 == 0)
+          .map { case (id, nch) => Multimodal.MediaRow(id,
+            Multimodal.synthLongAudioPayload(id, nch), "audio/wav") }
+        Similarity.appendCodes(
+          Multimodal.audioCodes(
+            Multimodal.audioFingerprintBatched(rows).toDF()),
           path, batchId = 0L)
       }
       path
@@ -1136,7 +1182,7 @@ model AS (
     // DSIR importance weighting: target distribution = the English
     // slice, raw = the whole corpus — every raw doc scored by the
     // hashed-n-gram LM log-ratio (bits), the resampling weight's sign.
-    "dsir" -> ((s, d) => {
+    "dsi" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       TextAnalysis.dsirWeights(docs.where(col("lang") === "en"), docs,
         col("text"), col("doc_id")).orderBy("doc_id")
@@ -1145,7 +1191,7 @@ model AS (
     // Trained quality classifier: naive-Bayes log-odds, good = the
     // English slice, bad = the zh slice, every document scored —
     // the fastText-classifier slot with exact-integer training.
-    "nb_q" -> ((s, d) => {
+    "nbq" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val model = TextAnalysis.nbTrain(docs.where(col("lang") === "en"),
         docs.where(col("lang") === "zh"), col("text"))
@@ -1344,7 +1390,7 @@ model AS (
     // Two-stage binary serving: coarse Hamming top-20 shortlist, exact
     // quantized-cosine rerank to top-3 — the pattern that makes 1-bit
     // codes usable (code-scan recall, exact-arithmetic precision).
-    "hamr" -> ((s, d) => {
+    "hmr" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       Similarity.hammingRerank(emb.where(col("vec_id") % 100 =!= 0),
           emb.where(col("vec_id") % 100 === 0), "vec_id", "embedding",
@@ -1355,7 +1401,7 @@ model AS (
     // Incremental near-dup tag against the STORED binary-code history
     // (vb1's incremental seat): fresh batch = vec_id % 10 >= 8,
     // history codes = the rest, suspect radius 20 sign-bit flips.
-    "hamx" -> ((s, d) =>
+    "hmx" -> ((s, d) =>
       Similarity.tagNearB1Codes(
           Tables.embeddings(s, d).where(col("vec_id") % 10 >= 8),
           "vec_id", "embedding", b1CodesFor(s, d), maxHam = 20)
@@ -1375,7 +1421,7 @@ model AS (
     // fused per-query Hamming top-3 in one job). A probe vector that
     // is itself stored self-matches at distance 0 — mirrored verbatim
     // in the oracle.
-    "hamq" -> ((s, d) =>
+    "hmq" -> ((s, d) =>
       Similarity.hammingTopKIndexed(s, b1CodesFor(s, d),
           Tables.embeddings(s, d).where(col("vec_id") % 100 === 0),
           "vec_id", "embedding", k = 3)
@@ -1681,6 +1727,24 @@ model AS (
           "image/png"))
       val batch = Multimodal.imageCodes(Multimodal.dhashBatched(rows).toDF())
       Similarity.tagNearCodes(batch, imgCodesFor(s, d), maxHam = 3)
+        .orderBy("vec_id")
+    }),
+
+    // INCREMENTAL audio dedup — the (audio × incremental) cell: even
+    // ids' envelope codes are the stored history (audCodesFor), odd
+    // ids the probed batch. The 32-bit fingerprint rides the code
+    // store's low half, so the probe distance IS the envelope XOR
+    // popcount the oracle recomputes closed-form.
+    "mac" -> ((s, d) => {
+      import s.implicits._
+      val rows = Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+        .filter(_._1 % 2 == 1)
+        .map { case (id, nch) => Multimodal.MediaRow(id,
+          Multimodal.synthLongAudioPayload(id, nch), "audio/wav") }
+      val batch = Multimodal.audioCodes(
+        Multimodal.audioFingerprintBatched(rows).toDF())
+      Similarity.tagNearCodes(batch, audCodesFor(s, d), maxHam = 3)
         .orderBy("vec_id")
     }),
 
@@ -3668,7 +3732,7 @@ FROM priced GROUP BY doc_id ORDER BY doc_id"""),
     // into 10000 buckets, per-corpus bucket counts (target = the
     // English slice, raw = everything), add-one bit-length surprisal,
     // per-doc log-ratio.
-    "dsir" -> (s"""WITH w AS (
+    "dsi" -> (s"""WITH w AS (
   SELECT doc_id, string_split_regex(trim(lower(text)), ' +') AS words
   FROM documents
 ), g AS (
@@ -3703,7 +3767,7 @@ FROM s GROUP BY doc_id ORDER BY doc_id"""),
     // Mirror of nbTrain + nbScore: per-class word-hash counts (good =
     // en, bad = zh), add-one stamps (totals + union vocabulary), exact
     // log-odds in bits per document.
-    "nb_q" -> (s"""WITH h AS (
+    "nbq" -> (s"""WITH h AS (
   SELECT doc_id, ${h60("wd")} AS wh
   FROM (SELECT doc_id,
           unnest(string_split_regex(trim(lower(text)), ' +')) AS wd
@@ -4270,7 +4334,7 @@ ORDER BY s.label"""),
     // Mirror of Similarity.hammingRerank: the vb1 coarse ranking
     // widened to top-20, reranked by the exact quantized cosine, cut
     // to 3 (vec_id tie-breaks at both stages).
-    "hamr" -> ("""WITH qz AS (
+    "hmr" -> ("""WITH qz AS (
   SELECT vec_id,
          list_transform(embedding,
            x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS xq
@@ -4314,7 +4378,7 @@ WHERE rnk <= 3 ORDER BY q_id, rnk"""),
     // Mirror of Similarity.tagNearB1Codes against the stored history
     // codes (vec_id % 10 < 8): a fresh vector tags near_history iff
     // some history code sits within 20 sign-bit flips.
-    "hamx" -> ("""WITH qz AS (
+    "hmx" -> ("""WITH qz AS (
   SELECT vec_id,
          list_transform(embedding,
            x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS xq
@@ -4399,7 +4463,7 @@ LEFT JOIN hits ON q.qid = hits.qid ORDER BY query_id"""),
     // Mirror of Similarity.hammingTopKIndexed: vb1's binarize/top-k
     // arithmetic with hamx's store/probe split — store = % 10 < 8,
     // probes = % 100 = 0 (self-matches included, distance 0).
-    "hamq" -> ("""WITH qz AS (
+    "hmq" -> ("""WITH qz AS (
   SELECT vec_id,
          list_transform(embedding,
            x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS xq
@@ -5284,27 +5348,25 @@ FROM p GROUP BY 1, 2 ORDER BY 1, 2"""),
     // n_chars % 200 + 64 frames, 33 floor-boundary windows (exact via
     // the range join, never an inverse-index formula), truncated
     // window means, 32 louder-than-next bits.
-    "afp" -> ("""WITH f AS (
-  SELECT doc_id AS media_id, n_chars % 200 + 64 AS n FROM documents
-), v AS (
-  SELECT media_id, n, i, abs((media_id * 31 + i * 7) % 200 - 100) AS v
-  FROM (SELECT media_id, n, unnest(range(0, n)) AS i FROM f)
-), wm AS (
-  SELECT media_id, n, w, sum(v) // count(*) AS m
-  FROM v JOIN (SELECT unnest(range(33)) AS w) wt
-    ON v.i >= w * v.n // 33 AND v.i < (w + 1) * v.n // 33
-  GROUP BY 1, 2, 3
-), bits AS (
-  SELECT a.media_id, a.w
-  FROM wm a JOIN wm b ON a.media_id = b.media_id AND b.w = a.w + 1
-  WHERE a.w < 32 AND a.m > b.m
+    "afp" -> (AfpCte + """
+SELECT media_id, 'wav' AS codec, CAST(8000 AS INT) AS sample_rate,
+       CAST(n AS BIGINT) AS n_frames, afp
+FROM code ORDER BY media_id"""),
+
+    // Mirror of mac: even ids are the stored audio-code history, odd
+    // ids the probed batch; near_history by envelope-code XOR popcount
+    // <= 3 (the 32-bit fingerprint rides the code store's low half).
+    "mac" -> (AfpCte + """, bt AS (
+  SELECT media_id, afp FROM code WHERE media_id % 2 = 1
+), nr AS (
+  SELECT DISTINCT b.media_id
+  FROM bt b JOIN code t
+    ON t.media_id % 2 = 0 AND bit_count(xor(b.afp, t.afp)) <= 3
 )
-SELECT f.media_id, 'wav' AS codec, CAST(8000 AS INT) AS sample_rate,
-       CAST(f.n AS BIGINT) AS n_frames,
-       CAST(coalesce(bit_or(1::BIGINT << CAST(w AS INT)), 0) AS BIGINT)
-         AS afp
-FROM f LEFT JOIN bits USING (media_id)
-GROUP BY f.media_id, f.n ORDER BY f.media_id"""),
+SELECT b.media_id AS vec_id,
+       (nr.media_id IS NOT NULL) AS near_history
+FROM bt b LEFT JOIN nr ON b.media_id = nr.media_id
+ORDER BY vec_id"""),
 
     // Mirror of synthPngPayload + dhashOf: the raster's closed form
     // through block means and bit packing — no image bytes touched.

@@ -695,6 +695,19 @@ object Multimodal {
       expr("dhash & 4294967295").as("b_lo"),
       expr("CAST(bit_count(dhash) AS BIGINT)").as("n_pos"))
 
+  /** Pack audio envelope fingerprints ([[audioFingerprintBatched]]'s
+    * output) into the code store's layout — the 32-bit `afp` mask
+    * rides the low half (high half zero, so pair distance is exactly
+    * the envelope XOR popcount). With [[graft.ext.Similarity.appendCodes]]/
+    * [[graft.ext.Similarity.tagNearCodes]] this is the (audio ×
+    * incremental) cell of the modality × mode dedup matrix (the `mac`
+    * row), same store contract as [[imageCodes]]/[[keyframeCodes]]. */
+  def audioCodes(afps: DataFrame): DataFrame =
+    afps.select(col("media_id").cast("long").as("vec_id"),
+      lit(0L).as("b_hi"),
+      col("afp").cast("long").as("b_lo"),
+      expr("CAST(bit_count(afp) AS BIGINT)").as("n_pos"))
+
   def keyframeCodes(kf: DataFrame): DataFrame =
     kf.select(expr(
         """CASE WHEN scene_idx < 1048576

@@ -19,7 +19,7 @@ class CacheHygieneSpec extends SparkSpec {
     "p_cs", // sentence chunks through the packer (persistTracked ranged frame)
     "p_a", // materializeBins rides packSequences' persisted ranged frame
     "vkm", "vr",
-    "hamx", // tagNearB1Codes persists the batch codes
+    "hmx", // tagNearB1Codes persists the batch codes
     "cdc", // capped ngramContamination persists the exploded + capped shingle frames
     "hrc") // binaryRecallAtK persists qz and codes
 

@@ -57,7 +57,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("dsir: bucket-bounded count tables broadcast; the probe never shuffle-joins") {
-    val p = plan("dsir")
+    val p = plan("dsi")
     // both LM count tables are <= buckets rows — they must reach the
     // corpus-sized probe as broadcasts (plus the two one-row totals);
     // a sort-merge or shuffled-hash join here would shuffle the probe
@@ -68,7 +68,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("nb_quality: smoothing stamps ride a broadcast, the model joins once") {
-    val p = plan("nb_q")
+    val p = plan("nbq")
     // the one-row stamps frame must be a broadcast (nested-loop on one
     // row), never a shuffle; and no cartesian anywhere
     assert(p.contains("BroadcastNestedLoopJoin") ||
@@ -271,7 +271,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("hamq: store scans unshuffled into a broadcast loop, top-k group-limited") {
-    val p = plan("hamq")
+    val p = plan("hmq")
     // the stored code side must stream into the probe join as a bare
     // scan — broadcast nested loop with the QUERY side broadcast, the
     // 10^9-vector store never shuffled or broadcast
@@ -736,7 +736,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("hamr rerank: shortlist broadcasts, the corpus never does") {
-    val p = plan("hamr")
+    val p = plan("hmr")
     // coarse stage: probe codes ride the nested-loop broadcast; rerank
     // stage: the coarseK*|probes| shortlist and the probe vectors ride
     // hash broadcasts onto one more corpus scan — the corpus side is

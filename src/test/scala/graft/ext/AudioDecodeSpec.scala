@@ -396,4 +396,34 @@ class AudioDecodeSpec extends SparkSpec {
         wav.duration_ms, wav.mean_abs_amp)))
     assert(flac.mean_abs_amp === 11339L)
   }
+
+  test("audioCodes + stored history: incremental audio dedup end to end") {
+    def afps(ids: Long*) = Multimodal.audioFingerprintBatched(
+      ids.map(id => MediaRow(id,
+        Multimodal.synthLongAudioPayload(id, 100L), "audio/wav")).toDS()).toDF()
+    // layout: the 32-bit envelope mask rides the low half verbatim
+    val a = afps(7L)
+    val fp = a.collect().head.getAs[Long]("afp")
+    val c = Multimodal.audioCodes(a).collect().head
+    assert((c.getLong(0), c.getLong(1), c.getLong(2)) == ((7L, 0L, fp)))
+    assert(c.getLong(3) == java.lang.Long.bitCount(fp))
+    // history = clip 7; an exact re-ingest tags, a far envelope doesn't
+    val path = java.nio.file.Files.createTempDirectory("audhist")
+      .toString + "/store"
+    assert(Similarity.appendCodes(Multimodal.audioCodes(a), path, 0L))
+    val far = (100L to 400L).find { id =>
+      val f = afps(id).collect().head.getAs[Long]("afp")
+      java.lang.Long.bitCount(f ^ fp) > 3
+    }.get
+    // the re-ingest probe carries clip 7's PAYLOAD under a fresh id
+    val probed = Multimodal.audioCodes(afps(far))
+      .unionByName(Multimodal.audioCodes(afps(7L))
+        .withColumn("vec_id",
+          org.apache.spark.sql.functions.lit(9007L)))
+    val tags = Similarity.tagNearCodes(probed, path, maxHam = 3)
+      .collect().map(r => (r.getLong(0), r.getBoolean(1))).toMap
+    assert(tags(9007L) === true)
+    assert(tags(far) === false)
+    graft.CacheScope.release()
+  }
 }
