@@ -232,11 +232,15 @@ object Similarity {
     // distinct: tagNearCodes emits one row per input ROW, so a batch
     // re-delivering the same vec_id would otherwise multiply rows
     // through the join below (output row count must equal batch's)
+    // near ⊆ the batch's ids — micro-batch-bounded, so the tag-back
+    // join broadcasts instead of sort-merging the batch through two
+    // exchanges (r18 plan audit)
     val near = tagNearCodes(codes, path, maxHam)
       .where(col("near_history"))
       .select(col("vec_id").as("__nid")).distinct()
       .withColumn("near_history", lit(true))
-    batch.join(near, col(idCol).cast("long") === col("__nid"), "left")
+    batch.join(broadcast(near), col(idCol).cast("long") === col("__nid"),
+        "left")
       .drop("__nid")
       .na.fill(false, Seq("near_history"))
   }
@@ -259,8 +263,11 @@ object Similarity {
       .where(expr(s"bit_count(b_hi ^ __hhi) + bit_count(b_lo ^ __hlo)" +
         s" <= $maxHam") && col("vec_id") =!= col("__hid"))
       .select(col("vec_id").as("__nid")).distinct()
+    // near ⊆ the batch's ids — bounded like the batch itself, so it
+    // broadcasts back rather than dragging the batch through a
+    // sort-merge exchange (r18 plan audit)
     c.select("vec_id")
-      .join(near, col("vec_id") === col("__nid"), "left")
+      .join(broadcast(near), col("vec_id") === col("__nid"), "left")
       .select(col("vec_id"), col("__nid").isNotNull.as("near_history"))
   }
 
