@@ -330,7 +330,9 @@ object Bench {
       Set("sdd", "smh", "kmv", "cms", "dsp", "dpx", "cns",
         "cdd", "cdc", "dpc", "dpm", "sco", "scs",
         "dcc", "dex", "din", "dkb", "dln", "dnx", "dpa", "dsh",
-        "dwd").contains(name)) "dedup"
+        // dj/dk/dl/dr = dd_j/dd_k/dd_l/dd_r after the r18 trim (the
+        // dd_ prefix rule no longer matches them)
+        "dwd", "dj", "dk", "dl", "dr").contains(name)) "dedup"
     // una/wpa (the stored-tokenizer boundary rows) price the
     // tokenize→pack seam and shard with pack — the text catch-all sits
     // at its 40-query cap (same balance call as the r17 ann moves)
@@ -343,7 +345,7 @@ object Bench {
     // dom is a per-host rollup — aggregation profile, and the text
     // catch-all sits at its 40-query cap
     else if (name.startsWith("q") ||
-      Set("zpf", "shp", "rare", "prk", "hits", "tri",
+      Set("zpf", "shp", "rar", "prk", "hits", "tri",
         "dom").contains(name)) "rel"
     // rrf fuses the bm25 and ANN top-k plans — it shards with ann (its
     // dominant cost is the vector scan, and text is at the 40-row cap).

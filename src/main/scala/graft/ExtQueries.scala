@@ -578,12 +578,12 @@ model AS (
       Dedup.exact(Tables.documents(s, d), col("text"), col("doc_id"))
         .orderBy("content_hash")),
 
-    "dd_j" -> ((s, d) =>
+    "dj" -> ((s, d) =>
       Dedup.ngramJaccard(Tables.documents(s, d), col("text"), col("doc_id"),
           k = 3, minJaccard = 0.2)
         .orderBy("doc_a", "doc_b")),
 
-    "dd_l" -> ((s, d) =>
+    "dl" -> ((s, d) =>
       Dedup.minhashLsh(Tables.documents(s, d), col("text"), col("doc_id"),
           k = 3, numHashes = 16, bands = 4, minMatches = 4)
         .orderBy("doc_a", "doc_b")),
@@ -591,7 +591,7 @@ model AS (
     // Measured LSH recall vs exact Jaccard at the dd_j/dd_l
     // parameters — the text-side ann_rec: banding quality is a number,
     // not a formula taken on faith.
-    "dd_r" -> ((s, d) =>
+    "dr" -> ((s, d) =>
       Dedup.lshRecall(Tables.documents(s, d), col("text"), col("doc_id"),
         k = 3, minJaccard = 0.2, numHashes = 16, bands = 4,
         minMatches = 4)),
@@ -603,7 +603,7 @@ model AS (
         .orderBy("doc_id")),
 
     // The apply endpoint over the same clustering: the surviving corpus.
-    "dd_k" -> ((s, d) => {
+    "dk" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val pairs = Dedup.minhashLsh(docs, col("text"), col("doc_id"),
         k = 3, numHashes = 16, bands = 4, minMatches = 4)
@@ -624,7 +624,7 @@ model AS (
         .select("doc_id").orderBy("doc_id")
     }),
 
-    "decs" -> ((s, d) => {
+    "dec" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val pairs = Dedup.minhashLsh(docs, col("text"), col("doc_id"),
         k = 3, numHashes = 16, bands = 4, minMatches = 4)
@@ -965,6 +965,19 @@ model AS (
             "zh" -> 200000), targetRows = 300)
         .select("doc_id", "lang").orderBy("doc_id")),
 
+    // The epoch-budget recipe plan: weights/budget/repetition-ceiling →
+    // per-language rates in ppm (over 10⁶ = epochs), achievable tokens,
+    // and an explicit capped flag. At sf0.001 en/de cap at 8 epochs
+    // while fr/zh fit and unweighted es reports rate 0 — all three
+    // branches on the correctness surface.
+    "s_e" -> ((s, d) =>
+      Sampling.epochPlan(Tables.documents(s, d), col("lang"),
+          col("n_chars"),
+          Map("en" -> 500000, "fr" -> 200000, "de" -> 200000,
+            "zh" -> 100000),
+          targetTokens = 1000000L, maxEpochsPpm = 8000000L)
+        .orderBy("grp")),
+
     "toks" -> ((s, d) =>
       TextAnalysis.tokenStats(Tables.documents(s, d), col("text"), col("doc_id"))
         .orderBy("doc_id")),
@@ -1133,7 +1146,7 @@ model AS (
         .orderBy("doc_id")),
 
     // corpus-level IDF-shaped rarity (integer bit-length surprisal)
-    "rare" -> ((s, d) =>
+    "rar" -> ((s, d) =>
       TextAnalysis.rarityScore(Tables.documents(s, d), col("text"),
         col("doc_id")).orderBy("doc_id")),
 
@@ -2509,7 +2522,7 @@ SELECT md5(text) AS content_hash, min(doc_id) AS keeper_doc_id,
        count(*) AS n_copies
 FROM documents GROUP BY 1 ORDER BY 1""",
 
-    "dd_j" -> (hashedShinglesCte + """, sizes AS (
+    "dj" -> (hashedShinglesCte + """, sizes AS (
   SELECT doc_id, count(*) AS n FROM sh GROUP BY 1
 ), pairs AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
@@ -2523,7 +2536,7 @@ FROM pairs JOIN sizes sa ON doc_a = sa.doc_id
 WHERE round(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 6) >= 0.2
 ORDER BY doc_a, doc_b"""),
 
-    "dd_l" -> (MinhashCte + """
+    "dl" -> (MinhashCte + """
 SELECT doc_a, doc_b,
        CAST(len(list_filter(range(16), i -> sa.sig[i+1] = sb.sig[i+1])) AS INT)
          AS n_matching
@@ -2573,7 +2586,7 @@ WHERE d.doc_id % 10 >= 8 ORDER BY d.doc_id"""),
     // exact side: DISTINCT shingles derived from MinhashCte's
     // per-occurrence sh (same strings hashedShinglesCte would hash),
     // Jaccard >= 0.2 as in dd_j; lsh side: the dd_l filter.
-    "dd_r" -> (MinhashCte + """, dsh AS (
+    "dr" -> (MinhashCte + """, dsh AS (
   SELECT DISTINCT doc_id, s FROM sh
 ), sizes AS (
   SELECT doc_id, count(*) AS n FROM dsh GROUP BY 1
@@ -2617,7 +2630,7 @@ FROM ex LEFT JOIN lshp l ON ex.doc_a = l.doc_a AND ex.doc_b = l.doc_b"""),
 SELECT id AS doc_id, min(r) AS component
 FROM reach GROUP BY 1 ORDER BY doc_id"""),
 
-    "dd_k" -> (MinhashCte.replaceFirst("WITH ", "WITH RECURSIVE ") + """, pairs AS (
+    "dk" -> (MinhashCte.replaceFirst("WITH ", "WITH RECURSIVE ") + """, pairs AS (
   SELECT doc_a, doc_b
   FROM cand JOIN sig sa ON doc_a = sa.doc_id
             JOIN sig sb ON doc_b = sb.doc_id
@@ -2664,7 +2677,7 @@ WHERE NOT EXISTS (
   SELECT 1 FROM best WHERE best.id = d.doc_id AND best.rn > 1)
 ORDER BY doc_id"""),
 
-    "decs" -> (MinhashCte + s""", pairs AS (
+    "dec" -> (MinhashCte + s""", pairs AS (
   SELECT doc_a, doc_b,
          CAST(len(list_filter(range(16), i -> sa.sig[i+1] = sb.sig[i+1])) AS INT)
            AS n_matching
@@ -3233,6 +3246,34 @@ SELECT doc_id, lang FROM documents JOIN r USING (lang)
 WHERE ${h60("'mix0:' || CAST(doc_id AS VARCHAR)")} % 1000000 < rate
 ORDER BY doc_id"""),
 
+    // Mirror of epochPlan: HUGEINT integral arithmetic in the same
+    // order as the Spark side's DECIMAL(38,0) (desired tokens, raw
+    // rate, ceiling, planned tokens).
+    "s_e" -> ("""WITH g AS (
+  SELECT lang AS grp, CAST(sum(n_chars) AS HUGEINT) AS mass,
+         CAST(count(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY 1
+), w AS (
+  SELECT grp, mass, n_docs,
+    CASE grp WHEN 'en' THEN 500000 WHEN 'fr' THEN 200000
+         WHEN 'de' THEN 200000 WHEN 'zh' THEN 100000 ELSE 0 END
+      AS target_ppm
+  FROM g
+), r AS (
+  SELECT grp, mass, n_docs, target_ppm,
+    CASE WHEN target_ppm <= 0 OR mass <= 0 THEN 0::HUGEINT
+         ELSE (CAST(target_ppm AS HUGEINT) * 1000000 // 1000000)
+              * 1000000 // mass END AS raw
+  FROM w
+)
+SELECT grp, CAST(mass AS BIGINT) AS mass, n_docs,
+       CAST(target_ppm AS BIGINT) AS target_ppm,
+       CAST(least(8000000::HUGEINT, raw) AS BIGINT) AS rate_ppm,
+       CAST(mass * least(8000000::HUGEINT, raw) // 1000000 AS BIGINT)
+         AS planned_tokens,
+       raw > 8000000 AS capped
+FROM r ORDER BY grp"""),
+
     "toks" -> (WordsCte + s"""
 SELECT doc_id,
        CAST(length(text) AS INT) AS n_chars,
@@ -3667,7 +3708,7 @@ ORDER BY b.doc_id"""),
     // after, matching the Spark order of operations), document
     // frequency as a row-count window over the hash, bit-length
     // surprisal folded per document.
-    "rare" -> (s"""WITH t AS (
+    "rar" -> (s"""WITH t AS (
   SELECT doc_id, ${h60("tok")} AS th
   FROM (SELECT DISTINCT doc_id, tok
         FROM (SELECT doc_id, unnest(regexp_extract_all(text, '$TokRe')) AS tok

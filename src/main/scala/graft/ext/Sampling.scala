@@ -168,6 +168,53 @@ object Sampling {
       .drop("__g", "__n", "__w", "__rate")
   }
 
+  /** EPOCH-BUDGET PLAN — the recipe-planning step between a designer
+    * mixture and [[repeatByRate]]: given target output weights (ppm), a
+    * total token budget, and a repetition ceiling, derive each group's
+    * sampling rate `min(maxEpochsPpm, w_g·budget·10⁶ div (10⁶·mass_g))`
+    * — rates over 10⁶ ppm are epochs of repetition (the published
+    * Llama/Pile recipes' "N epochs of Wikipedia" rows), and a group
+    * whose demand exceeds the ceiling reports `capped = true` with its
+    * achievable `planned_tokens`, so the under-fill is a NUMBER on the
+    * plan instead of a surprise at training time. Groups without a
+    * weight stay on the report at rate 0 (dropping them would hide
+    * corpus mass from the recipe audit).
+    *
+    * The output feeds [[repeatByRate]] directly (same ppm semantics:
+    * whole copies + a hash-decided fractional one). All arithmetic is
+    * integral DECIMAL(38,0) ([[mixtureByTokens]]'s overflow
+    * discipline — frontier budgets exceed Long around 9.2e12 tokens at
+    * full weight). Scale shape: ONE #groups-row partial-agg over the
+    * corpus; nothing else touches the data. */
+  def epochPlan(df: DataFrame, group: Column, tokens: Column,
+                weightsPpm: Map[String, Int], targetTokens: Long,
+                maxEpochsPpm: Long = 4000000L): DataFrame = {
+    require(targetTokens > 0, "targetTokens must be positive")
+    require(maxEpochsPpm > 0, "maxEpochsPpm must be positive")
+    val wcol = weightsPpm.foldLeft(lit(0L)) { case (acc, (k, v)) =>
+      when(col("grp") === k, lit(v.toLong)).otherwise(acc)
+    }
+    df.groupBy(group.as("grp"))
+      .agg(sum(tokens.cast("long")).as("mass"),
+        count(lit(1)).as("n_docs"))
+      .withColumn("target_ppm", wcol)
+      .withColumn("__raw", expr(
+        s"""CASE WHEN target_ppm <= 0 OR mass <= 0 THEN CAST(0 AS decimal(38,0))
+           |ELSE (cast(target_ppm as decimal(38,0))
+           |      * cast($targetTokens as decimal(38,0))
+           |      div cast(1000000 as decimal(38,0)))
+           |     * cast(1000000 as decimal(38,0))
+           |     div cast(mass as decimal(38,0)) END""".stripMargin))
+      .withColumn("rate_ppm",
+        least(lit(maxEpochsPpm), col("__raw")).cast("long"))
+      .withColumn("planned_tokens", expr(
+        "cast(cast(mass as decimal(38,0)) * cast(rate_ppm as decimal(38,0))" +
+          " div cast(1000000 as decimal(38,0)) as long)"))
+      .withColumn("capped", col("__raw") > lit(maxEpochsPpm))
+      .select("grp", "mass", "n_docs", "target_ppm", "rate_ppm",
+        "planned_tokens", "capped")
+  }
+
   /** TEMPERATURE-smoothed source sampling — the exponential smoothing
     * of the multilingual pretraining recipes (mBERT's and XLM-R's
     * published α-smoothing): sample groups proportionally to `n_g^α`

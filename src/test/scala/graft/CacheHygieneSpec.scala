@@ -13,8 +13,8 @@ class CacheHygieneSpec extends SparkSpec {
 
   /** Every declared query built on a persist/checkpoint-using operator. */
   private val cacheUsers = Seq(
-    "dd_j", "dd_l", "dcc", "dd_r",
-    "decs", "vkg", "vnr",
+    "dj", "dl", "dcc", "dr",
+    "dec", "vkg", "vnr",
     "p_s", "p_sl", "p_sh",
     "p_cs", // sentence chunks through the packer (persistTracked ranged frame)
     "p_a", // materializeBins rides packSequences' persisted ranged frame
@@ -38,7 +38,7 @@ class CacheHygieneSpec extends SparkSpec {
   test("tracking engages: the persisted intermediate exists until release") {
     CacheScope.release()
     val before = spark.sparkContext.getPersistentRDDs.keySet
-    SparkEntry.queries("dd_l")(spark, sf)
+    SparkEntry.queries("dl")(spark, sf)
       .queryExecution.toRdd.foreach(_ => ())
     val during = spark.sparkContext.getPersistentRDDs.keySet -- before
     assert(during.nonEmpty,

@@ -196,7 +196,7 @@ class PlanSpec extends SparkSpec {
   test("dedup apply: drop-set subtraction is bloom-pruned, no data cartesian") {
     // dd_keepb (best-copy retention) must hold the same shape: its
     // extra argmax is a cluster-sized partial agg, not a corpus window
-    for (q <- Seq("dd_k", "dkb")) {
+    for (q <- Seq("dk", "dkb")) {
       val p = plan(q)
       assert(count(p, "bloom_might_contain") >= 2,
         s"$q: expected the corpus-side and drop-side bloom probes:\n$p")
@@ -660,7 +660,7 @@ class PlanSpec extends SparkSpec {
   test("token rarity: partial-agg doc-frequency, no window over the token hash") {
     // "the" occurs in ~every document — the hot key a count window
     // over th cannot absorb; the groupBy(th) pair collapses it map-side
-    val p = plan("rare")
+    val p = plan("rar")
     assert(!p.contains("Window"), s"no window may partition on the token hash:\n$p")
     assert(count(p, "HashAggregate") >= 4,
       s"expected partial+final pairs for doc frequency and the per-doc fold in:\n$p")

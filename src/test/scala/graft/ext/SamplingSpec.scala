@@ -223,4 +223,32 @@ class SamplingSpec extends SparkSpec {
     assert(views > 50 && views < 200, s"~10% of 1000 views expected, got $views")
     assert(!kept.exists(_._2 == "other"))
   }
+
+  test("epochPlan: rates, epochs, the cap, and the zero-weight report by hand") {
+    // masses: a = 100 tokens (2 docs), b = 1000, c = 400
+    val docs = Seq(("a", 60L), ("a", 40L), ("b", 1000L), ("c", 400L))
+      .toDF("g", "nt")
+    // budget 2000, weights a 50% / b 50%: a demands 1000 tokens from a
+    // mass of 100 -> raw 10e6 ppm, capped at 3e6 -> planned 300;
+    // b demands 1000 from 1000 -> exactly 1e6 ppm, uncapped; c has no
+    // weight -> rate 0, still reported
+    val plan = Sampling.epochPlan(docs, $"g", $"nt",
+        Map("a" -> 500000, "b" -> 500000), targetTokens = 2000L,
+        maxEpochsPpm = 3000000L)
+      .orderBy("grp").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getBoolean(6)))
+    assert(plan.toSeq == Seq(
+      ("a", 100L, 2L, 500000L, 3000000L, 300L, true),
+      ("b", 1000L, 1L, 500000L, 1000000L, 1000L, false),
+      ("c", 400L, 1L, 0L, 0L, 0L, false)))
+    // the plan's rates feed repeatByRate directly: group a comes back
+    // 3x (3e6 ppm = three whole copies of each doc)
+    val withRates = docs.withColumn("id",
+      monotonically_increasing_id())
+    val reps = Sampling.repeatByRate(
+        withRates.where($"g" === "a"), $"id", lit(3000000L))
+      .count()
+    assert(reps == 6L) // 2 docs x 3 copies
+  }
 }
