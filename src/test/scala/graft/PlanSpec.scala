@@ -762,4 +762,51 @@ class PlanSpec extends SparkSpec {
         s"$name plans a CartesianProduct:\n$p")
     }
   }
+
+  test("stored-tokenizer rows una/wpa: one narrow encode pass, no joins or aggregates") {
+    Seq("una", "wpa").foreach { n =>
+      val p = plan(n)
+      assert(!p.contains("Join"),
+        s"$n must not join — the model ships in the encode closure:\n$p")
+      assert(!p.contains("HashAggregate"),
+        s"$n must not aggregate — fingerprints are in-row arithmetic:\n$p")
+    }
+  }
+
+  test("p_a materialization: every window above an aggregate, partial bin agg") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val lp = SparkEntry.queries("p_a")(spark, "/root/testdata/sf0.001")
+      .queryExecution.optimizedPlan
+    // the ONLY Window is packSequences' partition-count base-offset
+    // prefix sum; window-row assembly is a bin-keyed aggregate
+    // (budget-bounded sort_array), never a data-sized Window
+    val windows = lp.collect { case w: LWindow => w }
+    assert(windows.size == 1, lp.toString)
+    windows.foreach { w =>
+      assert(w.child.collectFirst { case a: Aggregate => a }.nonEmpty,
+        "global window over non-aggregated rows:\n" + lp)
+    }
+    graft.CacheScope.release()
+  }
+
+  test("history-tag rows mic/mac: history never shuffles, hit set broadcasts back") {
+    Seq("mic", "mac").foreach { n =>
+      val p = plan(n)
+      assert(p.contains("BroadcastNestedLoopJoin"),
+        s"$n probe must be a broadcast nested loop over the history scan:\n$p")
+      assert(!p.contains("SortMergeJoin"),
+        s"$n must not sort-merge — batch and hit set are both bounded:\n$p")
+    }
+  }
+
+  test("hng mining: corpus scans once, positives drop pre-cut, top-k group-limited") {
+    val p = plan("hng")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"queries must broadcast over the one corpus scan:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"the corpus must not shuffle for mining:\n$p")
+    assert(p.split('\n').exists(l =>
+      l.contains("WindowGroupLimit") && l.contains("Partial")),
+      s"expected a Partial-mode WindowGroupLimit for the per-query cut:\n$p")
+  }
 }

@@ -156,6 +156,48 @@ class StreamingCurationSpec extends SparkSpec {
     assert(replay.toSeq == got.sortBy(_._1).take(1).toSeq)
   }
 
+  test("unigram/wordpiece gates: live micro-batches score against the stored artifacts") {
+    implicit val sq = spark.sqlContext
+    // one train corpus, BOTH remaining tokenizer families' artifacts —
+    // the streaming side sees only the paths (bpe gate's shape)
+    val train = Seq((0L, "ab ab ab abc abc xyz"))
+      .toDF("doc_id", "text")
+    val um = Unigram.learn(train, $"text", vocabSize = 8)
+    val wm = WordPiece.fromCounts(train, $"text", vocabSize = 8)
+    val udir = java.nio.file.Files.createTempDirectory("unis").toString
+    val wdir = java.nio.file.Files.createTempDirectory("wps").toString
+    Unigram.writeModel(spark, um, udir)
+    WordPiece.writeModel(spark, wm, wdir)
+    val input = MemoryStream[(Long, String)]
+    val gotU = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[Long])]
+    val gotW = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[Long])]
+    def ids(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Long](r.fieldIndex("input_ids")).toSeq))
+    val q = input.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        gotU.synchronized {
+          gotU ++= ids(Unigram.encodeStored(batch, col("doc_id"),
+            col("text"), udir))
+          gotW ++= ids(WordPiece.encodeStored(batch, col("doc_id"),
+            col("text"), wdir))
+        }
+        ()
+      }.start()
+    try {
+      input.addData((10L, "ab abc"), (11L, "xyz 低"))
+      q.processAllAvailable()
+      input.addData((12L, "abcabc zq"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val scored = Seq((10L, "ab abc"), (11L, "xyz 低"), (12L, "abcabc zq"))
+      .toDF("doc_id", "text")
+    assert(gotU.sortBy(_._1).toSeq ==
+      ids(Unigram.encode(scored, $"doc_id", $"text", um)).sortBy(_._1).toSeq)
+    assert(gotW.sortBy(_._1).toSeq ==
+      ids(WordPiece.encode(scored, $"doc_id", $"text", wm)).sortBy(_._1).toSeq)
+  }
+
   test("nb gate: the stored classifier scores live micro-batches statelessly") {
     implicit val sq = spark.sqlContext
     // train once, store the model frame (it carries its own smoothing
