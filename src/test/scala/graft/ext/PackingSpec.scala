@@ -185,4 +185,48 @@ class PackingSpec extends SparkSpec {
     assert(msgs(ex).exists(_.contains("materializeBins")), msgs(ex))
     graft.CacheScope.release()
   }
+
+  test("materializeBins property: equals an independent straight-line packer") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // independent reference: walk the concatenated stream in plain
+    // Scala, cutting at every budget boundary — no shared arithmetic
+    // with the operator (which goes through the distributed prefix sum
+    // and slice algebra)
+    def reference(lens: Seq[(Long, Long)], budget: Int,
+        padId: Long): Seq[(Long, Seq[Long], Long, Seq[(Long, Long, Long)])] = {
+      val stream = lens.filter(_._2 > 0).sortBy(_._1).flatMap {
+        case (id, n) => (1L to n).map(t => (id, id * 100L + t))
+      }
+      stream.grouped(budget).zipWithIndex.map { case (chunk, bin) =>
+        val ids = chunk.map(_._2)
+        val spans = chunk.zipWithIndex.groupBy(_._1._1).toSeq
+          .map { case (id, xs) =>
+            (id, xs.head._2.toLong, xs.length.toLong) }
+          .sortBy(_._2)
+        (bin.toLong, ids ++ Seq.fill(budget - ids.length)(padId),
+          ids.length.toLong, spans)
+      }.toSeq
+    }
+    val lensGen = Gen.chooseNum(1, 8).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(0L, 13L)))
+      .map(_.zipWithIndex.map { case (l, i) => (i.toLong, l) })
+    val prop = Prop.forAll(lensGen, Gen.chooseNum(2, 9)) { (lens, budget) =>
+      val toks = lens.toDF("doc_id", "n_tokens")
+      val ids = toks.where($"n_tokens" > 0).select($"doc_id",
+        expr("transform(sequence(1, CAST(n_tokens AS INT)), " +
+          "t -> doc_id * 100L + CAST(t AS BIGINT))").as("input_ids"))
+      val got = Packing.materializeBins(
+          Packing.packSequences(toks, $"doc_id", $"n_tokens", budget),
+          ids, budget, padId = -7L)
+        .orderBy("bin").collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1).toSeq, r.getLong(2),
+          r.getSeq[org.apache.spark.sql.Row](5)
+            .map(s => (s.getLong(0), s.getLong(1), s.getLong(2))).toSeq))
+      graft.CacheScope.release()
+      got.toSeq == reference(lens, budget, -7L)
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(12), prop)
+    assert(res.passed, res.status.toString)
+  }
 }
