@@ -109,6 +109,27 @@ class TrainingPipelineSpec extends SparkSpec {
     assert(ep.agg(max("end_off")).collect()(0).getLong(0) ==
       packed.agg(max("end_off")).collect()(0).getLong(0))
 
+    // 4c. materialize the windows the trainer actually loads: every
+    // row exactly budget ids, token mass conserved end to end, only
+    // the stream's final window padded — and the windows themselves
+    // export/round-trip as tf.Examples (the true trainer tensor seam)
+    val bins = ext.Packing.materializeBins(packed,
+      encoded.select(col("doc_id"), col("input_ids")), budget = 8)
+    val binRows = bins.orderBy("bin").collect()
+    assert(binRows.nonEmpty)
+    assert(binRows.forall(_.getSeq[Long](1).length == 8))
+    assert(bins.agg(sum("n_tokens")).collect()(0).getLong(0) ==
+      encoded.agg(sum("n_tokens")).collect()(0).getLong(0))
+    assert(binRows.dropRight(1).forall(_.getLong(3) == 0L))
+    val winDir = Files.createTempDirectory("graft-e2e-win").toString + "/w"
+    val winPay = bins.select(concat(
+      expr("tf_feat_i64('bin', array(bin))"),
+      expr("tf_feat_i64('input_ids', input_ids)")).as("ex"))
+    assert(sources.TfRecord.write(winPay, "ex", winDir) >= 1L)
+    val wback = sources.TfRecord.read(spark, winDir)
+    assert(wback.corrupt.count() == 0)
+    assert(wback.records.count() == binRows.length.toLong)
+
     // 5. export: tf.Example payloads into TFRecord shards
     val outDir = Files.createTempDirectory("graft-e2e-out").toString + "/shards"
     val payloads = encoded.select(concat(
