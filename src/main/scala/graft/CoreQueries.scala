@@ -95,7 +95,7 @@ object CoreQueries {
         Tables.ati(s, d), "account", dim, a => shiftright(a, 2))
       canon.groupBy(col("account")).agg(count(lit(1)).as("n")).orderBy("account")
     }),
-    "a11r" -> ((s, d) =>
+    "a11" -> ((s, d) =>
       BlockIngest.resumeHeight(Tables.summaries(s, d))),
     "c2d" -> ((s, d) => {
       // CIS-2 binary log parse (§2.C): events → wire-format log bytes via
@@ -120,7 +120,7 @@ object CoreQueries {
       graft.ingest.BlockFeed.decodeRawLogs(raw)
         .orderBy("height", "seq_in_block")
     }),
-    "a12s" -> ((s, d) =>
+    "a12" -> ((s, d) =>
       Tables.ati(s, d).select("account").distinct().orderBy("account")),
 
     // — B. read surface (SURVEY §2.B) —
@@ -213,18 +213,18 @@ object CoreQueries {
         lit(Account), 0L, 100)),
     "b8m" -> ((s, d) =>
       Tables.summaries(s, d).agg(max("height").as("max_height"))),
-    "b10t" -> ((s, d) =>
+    "b10" -> ((s, d) =>
       Tables.cis2Tokens(s, d)
         .where(col("index") === CIdx && col("subindex") === 0L)
         .orderBy("token_id")),
-    "b11k" -> ((s, d) => {
+    "b11" -> ((s, d) => {
       val b = Tables.keyBindings(s, d)
       val keys = b.where(col("address") === Account).select("public_key")
       b.join(keys, Seq("public_key"), "left_semi")
         .select("address", "public_key", "key_index")
         .orderBy("address", "key_index")
     }),
-    "b12r" -> ((s, d) =>
+    "b12" -> ((s, d) =>
       QueryApi.accountTransactionsInRange(Tables.ati(s, d), Tables.summaries(s, d),
         lit(Account), lit(TsLo), lit(TsHi), "timestamp"))
   )
@@ -245,7 +245,7 @@ object CoreQueries {
 SELECT coalesce(d.canonical, a.account) AS account, count(*) AS n
 FROM ati a LEFT JOIN dim d ON a.account // 4 = d.prefix
 GROUP BY 1 ORDER BY 1"""),
-    "a11r" -> (cte +
+    "a11" -> (cte +
       "SELECT max_by(height, id) AS height FROM summaries"),
     "c2d" -> """
 SELECT event_id // 8 AS height,
@@ -257,7 +257,7 @@ SELECT event_id // 8 AS height,
        CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR) AS amount
 FROM events WHERE event_type IN ('purchase', 'click')
 ORDER BY height, seq_in_block""",
-    "a12s" -> (cte +
+    "a12" -> (cte +
       "SELECT DISTINCT account FROM ati ORDER BY account"),
     "b1a" -> (cte + s"""
 SELECT s.id, s.block, s."timestamp", s.height, s.summary
@@ -352,15 +352,15 @@ WHERE ati.account = $Account AND ati.summary > 0
 ORDER BY s.id LIMIT 100"""),
     "b8m" -> (cte +
       "SELECT max(height) AS max_height FROM summaries"),
-    "b10t" -> (cte + s"""
+    "b10" -> (cte + s"""
 SELECT "index", subindex, token_id, total_supply FROM cis2_tokens
 WHERE "index" = $CIdx AND subindex = 0 ORDER BY token_id"""),
-    "b11k" -> (cte + s"""
+    "b11" -> (cte + s"""
 SELECT b.address, b.public_key, b.key_index
 FROM bindings b
 WHERE b.public_key IN (SELECT public_key FROM bindings WHERE address = $Account)
 ORDER BY b.address, b.key_index"""),
-    "b12r" -> (cte + s"""
+    "b12" -> (cte + s"""
 SELECT s.id, s.block, s."timestamp", s.height, s.summary
 FROM ati JOIN summaries s ON ati.summary = s.id
 WHERE ati.account = $Account AND s."timestamp" BETWEEN $TsLo AND $TsHi

@@ -1060,7 +1060,7 @@ model AS (
     // documents concatenate in hash(seed,id) order, so first_bin is
     // each doc's trainer shard for THIS epoch; a different seed
     // (epoch1 here vs p_sh's epoch0) is a fresh layout with zero state.
-    "p_ep" -> ((s, d) => {
+    "p_e" -> ((s, d) => {
       val toks = TextAnalysis
         .tokenStats(Tables.documents(s, d), col("text"), col("doc_id"))
         .select(col("doc_id"), col("n_tokens"))
@@ -1671,7 +1671,7 @@ model AS (
     // 2^20 wide stride (the keyframeCodes convention; chunk_idx is
     // bounded by n_words/stride, so the stride holds to 25M-word
     // documents), word counts as the token proxy, 64-word bins.
-    "p_cs" -> ((s, d) => {
+    "p_c" -> ((s, d) => {
       val chunks = Curation.chunkBySentences(sentDocs(Tables.documents(s, d)),
           col("text"), col("doc_id"), sizeWords = 32, strideWords = 24)
         .select(expr("doc_id * 1048576 + chunk_idx").as("chunk_id"),
@@ -1759,6 +1759,39 @@ model AS (
         Multimodal.audioFingerprintBatched(rows).toDF())
       Similarity.tagNearCodes(batch, audCodesFor(s, d), maxHam = 3)
         .orderBy("vec_id")
+    }),
+
+    // IMAGE-TEXT pair extraction (the LAION pairing seam): synthesized
+    // pages exercise all four src reference forms — absolute,
+    // protocol-relative (single quotes, attrs flipped), root-relative
+    // beside a src-less tag that must drop, and path-relative with
+    // UPPERCASE attribute names — plus a second tag on the t=0 page so
+    // ref_idx > 0 is load-bearing. The oracle states each form's
+    // resolved URL and caption closed-form, extraction-blind.
+    "mit" -> ((s, d) => {
+      val h = (col("doc_id") % 100).cast("string")
+      val t = col("doc_id") % 4
+      val page = concat(lit("https://h"), (col("doc_id") % 5).cast("string"),
+        lit(".example.com/d/p"), col("doc_id").cast("string"),
+        lit(".html"))
+      val html = when(t === 0, concat(
+          lit("<p>x</p><img src=\"https://cdn.ex.com/i"), h,
+          lit(".jpg\" alt=\"cat "), h,
+          lit("\"><img src=\"/i2/"), h, lit(".jpg\" alt=\"b "), h,
+          lit("\">")))
+        .when(t === 1, concat(
+          lit("<img alt='dog "), h, lit("' src='//img.ex.org/p"), h,
+          lit(".png'>")))
+        .when(t === 2, concat(
+          lit("<img src=\"/s/"), h, lit(".gif\"><img class=\"x\">")))
+        .otherwise(concat(
+          lit("<img SRC=\"th/"), h, lit(".webp\" Alt=\"fish "), h,
+          lit("\">")))
+      Curation.imageRefs(
+          Tables.documents(s, d).select(col("doc_id"),
+            html.as("html"), page.as("url")),
+          col("doc_id"), col("html"), col("url"))
+        .orderBy("doc_id", "ref_idx")
     }),
 
     "mfr" -> ((s, d) =>
@@ -3439,7 +3472,7 @@ FROM c ORDER BY doc_id"""),
     // p_s's packing arithmetic over the EPOCH order: ordinals from the
     // seeded hash permutation (p_sh's closed form at seed epoch1),
     // prefix sums over ord instead of doc_id.
-    "p_ep" -> (s"""WITH t AS (
+    "p_e" -> (s"""WITH t AS (
   SELECT doc_id,
          CAST(len(regexp_extract_all(text, '$TokRe')) AS BIGINT) AS n_tokens
   FROM documents
@@ -4219,7 +4252,7 @@ FROM x GROUP BY 1, 2 ORDER BY doc_id, chunk_idx"""),
     // The curation→tokenize SEAM end to end: cks's sentence chunks
     // (wide-stride chunk ids, the keyframeCodes convention) priced
     // through p_s's prefix-sum packer at a 64-word budget.
-    "p_cs" -> (SentChunksCte + """, ck AS (
+    "p_c" -> (SentChunksCte + """, ck AS (
   SELECT doc_id * 1048576 + ci AS chunk_id, CAST(sum(c) AS BIGINT) AS nw
   FROM x GROUP BY doc_id, ci
 ), cc AS (
@@ -5408,6 +5441,30 @@ SELECT b.media_id AS vec_id,
        (nr.media_id IS NOT NULL) AS near_history
 FROM bt b LEFT JOIN nr ON b.media_id = nr.media_id
 ORDER BY vec_id"""),
+
+    // Mirror of mit: each synthesized page's resolved (img_url, alt)
+    // pairs stated closed-form per reference form — extraction-blind.
+    "mit" -> ("""WITH f AS (
+  SELECT doc_id, doc_id % 100 AS h, doc_id % 4 AS t,
+         'https://h' || (doc_id % 5) || '.example.com' AS hb
+  FROM documents
+), r AS (
+  SELECT doc_id,
+    CASE t
+      WHEN 0 THEN [
+        {u: 'https://cdn.ex.com/i' || h || '.jpg', a: 'cat ' || h},
+        {u: hb || '/i2/' || h || '.jpg', a: 'b ' || h}]
+      WHEN 1 THEN [{u: 'https://img.ex.org/p' || h || '.png',
+                    a: 'dog ' || h}]
+      WHEN 2 THEN [{u: hb || '/s/' || h || '.gif', a: ''}]
+      ELSE [{u: hb || '/d/th/' || h || '.webp', a: 'fish ' || h}]
+    END AS refs
+  FROM f
+)
+SELECT doc_id, CAST(i AS BIGINT) AS ref_idx,
+       refs[i+1].u AS img_url, refs[i+1].a AS alt
+FROM (SELECT doc_id, refs, unnest(range(len(refs))) AS i FROM r)
+ORDER BY doc_id, ref_idx"""),
 
     // Mirror of synthPngPayload + dhashOf: the raster's closed form
     // through block means and bit packing — no image bytes touched.

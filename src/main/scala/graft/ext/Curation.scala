@@ -235,6 +235,64 @@ object Curation {
     df.groupBy(canonicalUrl(url).as("canonical_url"))
       .agg(min(id).as("keeper_doc_id"), count(lit(1)).as("n_copies"))
 
+  /** IMAGE-TEXT PAIR extraction — the multimodal pairing seam of the
+    * LAION-style pipelines: pull every `<img>` reference out of a
+    * crawled page with its `alt` caption and resolve the `src` against
+    * the page URL, producing the (image url, caption) frame that joins
+    * the fetched-image corpus (by [[canonicalUrl]]) into
+    * (image bytes, caption) training pairs.
+    *
+    * Resolution covers the four reference forms a crawl actually sees:
+    * absolute (`http(s)://…` kept verbatim), protocol-relative
+    * (`//host/…` takes the page scheme), root-relative (`/…` takes
+    * scheme + host), and path-relative (resolved against the page
+    * path's directory; no `..` normalization — [[canonicalUrl]]
+    * downstream treats the dot segments as opaque, exactly like the
+    * crawler that fetched them). A tag without `src` drops; a missing
+    * `alt` is an EMPTY caption, not a dropped pair (caption-free
+    * images are the no-alt-text bucket every multimodal curation
+    * report prices). `ref_idx` is the tag's index among the page's
+    * `<img>` tags (a dropped src-less tag keeps its slot), so the pair
+    * order is deterministic and stable under the drop.
+    *
+    * Regexes stay in the shared Java ∩ RE2 dialect ([[urlScope]]'s
+    * constraint) so the DuckDB oracle matches byte-identically. A pure
+    * zero-shuffle projection + an explode bounded by the page's own
+    * tag count — scan-speed at 100 TB, like the other WARC-side
+    * passes. Output: (doc_id, ref_idx, img_url, alt). */
+  def imageRefs(df: DataFrame, id: Column, html: Column,
+                pageUrl: Column): DataFrame = {
+    val tags = expr("regexp_extract_all(__h, '(?i)<img\\\\b[^>]*>', 0)")
+    val base = df.select(id.as("doc_id"), html.as("__h"),
+        pageUrl.as("__u"))
+      .select(col("doc_id"), col("__u"),
+        posexplode(tags).as(Seq("ref_idx", "__tag")))
+    val src = regexp_extract(col("__tag"),
+      "(?i)src\\s*=\\s*[\"']([^\"']+)[\"']", 1)
+    val alt = regexp_extract(col("__tag"),
+      "(?i)alt\\s*=\\s*[\"']([^\"']*)[\"']", 1)
+    val scheme = regexp_extract(col("__u"), "^([A-Za-z][A-Za-z0-9+.-]*):", 1)
+    val hostPort = regexp_extract(col("__u"), "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    // directory of the page path, always ending in '/'; a URL with no
+    // path component resolves relatives against the root
+    val dir = regexp_replace(
+      regexp_extract(col("__u"), "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(/[^?#]*)?", 1),
+      "[^/]*$", "")
+    base
+      .withColumn("__src", src)
+      .where(col("__src") =!= "")
+      .select(col("doc_id"), col("ref_idx").cast("long").as("ref_idx"),
+        when(col("__src").rlike("^[A-Za-z][A-Za-z0-9+.-]*://"), col("__src"))
+          .when(col("__src").startsWith("//"),
+            concat(scheme, lit(":"), col("__src")))
+          .when(col("__src").startsWith("/"),
+            concat(scheme, lit("://"), hostPort, col("__src")))
+          .otherwise(concat(scheme, lit("://"), hostPort,
+            when(dir === "", lit("/")).otherwise(dir), col("__src")))
+          .as("img_url"),
+        alt.as("alt"))
+  }
+
   /** URL-SCOPE compliance filter — the allow/deny pass between crawl
     * ingest and dedup (robots/blocklist/domain-scope policies are
     * expressed over hosts and paths; crawl pipelines apply them per

@@ -16,7 +16,7 @@ class CacheHygieneSpec extends SparkSpec {
     "dj", "dl", "dcc", "dr",
     "dec", "vkg", "vnr",
     "p_s", "p_sl", "p_sh",
-    "p_cs", // sentence chunks through the packer (persistTracked ranged frame)
+    "p_c", // sentence chunks through the packer (persistTracked ranged frame)
     "p_a", // materializeBins rides packSequences' persisted ranged frame
     "vkm", "vr",
     "hmx", // tagNearB1Codes persists the batch codes

@@ -110,4 +110,37 @@ class UrlCanonSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"canonicalUrl must not shuffle:\n$plan")
   }
+
+  test("imageRefs: every src reference form resolves by hand, edge pages included") {
+    def refs(html: String, url: String) =
+      Curation.imageRefs(Seq((1L, html, url)).toDF("id", "h", "u"),
+          col("id"), col("h"), col("u"))
+        .orderBy("ref_idx").collect()
+        .map(r => (r.getLong(1), r.getString(2), r.getString(3))).toSeq
+    val page = "https://ex.com:8080/a/b/p.html?q=1#frag"
+    // absolute keeps verbatim; alt before src; single quotes
+    assert(refs("<img alt='A' src='http://c.dn/x.png'>", page) ==
+      Seq((0L, "http://c.dn/x.png", "A")))
+    // protocol-relative takes the page scheme
+    assert(refs("<img src=\"//c.dn/y.jpg\">", page) ==
+      Seq((0L, "https://c.dn/y.jpg", "")))
+    // root-relative keeps host AND port; query/fragment never leak
+    // into the directory
+    assert(refs("<img src=\"/z.gif\" alt=\"z\">", page) ==
+      Seq((0L, "https://ex.com:8080/z.gif", "z")))
+    // path-relative resolves against the page DIRECTORY; ../ passes
+    // through opaque (the crawler's behavior, canonicalUrl downstream)
+    assert(refs("<img src=\"w.webp\">", page) ==
+      Seq((0L, "https://ex.com:8080/a/b/w.webp", "")))
+    assert(refs("<img src=\"../u.png\">", page) ==
+      Seq((0L, "https://ex.com:8080/a/b/../u.png", "")))
+    // a page URL with NO path resolves relatives against the root
+    assert(refs("<img src=\"r.png\">", "https://bare.host") ==
+      Seq((0L, "https://bare.host/r.png", "")))
+    // src-less tags drop but keep their ref_idx slot (position = index
+    // among the page's img tags); UPPERCASE attrs hit
+    assert(refs("<img class=\"x\"><IMG SRC=\"/1.png\"><img src=\"/2.png\">",
+      page) == Seq((1L, "https://ex.com:8080/1.png", ""),
+        (2L, "https://ex.com:8080/2.png", "")))
+  }
 }
