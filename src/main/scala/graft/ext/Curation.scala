@@ -248,7 +248,9 @@ object Curation {
     * scheme + host), and path-relative (resolved against the page
     * path's directory; no `..` normalization — [[canonicalUrl]]
     * downstream treats the dot segments as opaque, exactly like the
-    * crawler that fetched them). A tag without `src` drops; a missing
+    * crawler that fetched them). A tag without `src` drops, as does a
+    * non-hierarchical scheme (`data:`/`javascript:`/`mailto:` — not
+    * fetchable, so not pairable); a missing
     * `alt` is an EMPTY caption, not a dropped pair (caption-free
     * images are the no-alt-text bucket every multimodal curation
     * report prices). `ref_idx` is the tag's index among the page's
@@ -267,10 +269,14 @@ object Curation {
         pageUrl.as("__u"))
       .select(col("doc_id"), col("__u"),
         posexplode(tags).as(Seq("ref_idx", "__tag")))
+    // attribute names need a LEFT boundary (whitespace or a closing
+    // quote): without it `data-src=`/`data-alt=` — ubiquitous
+    // lazy-load markup — would match as src/alt and pair placeholder
+    // pixels instead of the real image
     val src = regexp_extract(col("__tag"),
-      "(?i)src\\s*=\\s*[\"']([^\"']+)[\"']", 1)
+      "(?i)[\\s\"']src\\s*=\\s*[\"']([^\"']+)[\"']", 1)
     val alt = regexp_extract(col("__tag"),
-      "(?i)alt\\s*=\\s*[\"']([^\"']*)[\"']", 1)
+      "(?i)[\\s\"']alt\\s*=\\s*[\"']([^\"']*)[\"']", 1)
     val scheme = regexp_extract(col("__u"), "^([A-Za-z][A-Za-z0-9+.-]*):", 1)
     val hostPort = regexp_extract(col("__u"), "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
     // directory of the page path, always ending in '/'; a URL with no
@@ -280,7 +286,13 @@ object Curation {
       "[^/]*$", "")
     base
       .withColumn("__src", src)
-      .where(col("__src") =!= "")
+      // drop src-less tags AND non-hierarchical schemes (data:,
+      // javascript:, mailto: …) — a data: URI is not fetchable, so
+      // resolving it path-relative would mint a garbage URL that
+      // pollutes the canonicalUrl join against the image corpus
+      .where(col("__src") =!= "" &&
+        (col("__src").rlike("^[A-Za-z][A-Za-z0-9+.-]*://") ||
+          !col("__src").rlike("^[A-Za-z][A-Za-z0-9+.-]*:")))
       .select(col("doc_id"), col("ref_idx").cast("long").as("ref_idx"),
         when(col("__src").rlike("^[A-Za-z][A-Za-z0-9+.-]*://"), col("__src"))
           .when(col("__src").startsWith("//"),

@@ -659,26 +659,6 @@ object Multimodal {
     }
   }
 
-  /** Adapter from scene keyframes to the packed-code layout the binary
-    * serving stack stores ([[graft.ext.Similarity.appendCodes]] /
-    * `tagNearCodes`): vec_id = media_id·2²⁰ + scene_idx (the
-    * [[graft.ingest.BlockIngest.withId]] wide-stride convention; the
-    * mvd keyframe key), the 64-bit dHash split into 32-bit halves
-    * exactly like binarize1Bit's (b_hi, b_lo), n_pos = popcount. This
-    * is what makes INCREMENTAL video dedup a composition instead of
-    * new machinery: keyframe hashes of a live clip feed append/tag
-    * against the same stored history format as embedding codes
-    * (VideoDedupHistorySpec).
-    *
-    * The stride is a correctness bound, not a hint: a narrower packing
-    * (r16 shipped ·8) silently ALIASES clips once one exceeds the
-    * stride in scenes — clip m scene 8 == clip m+1 scene 0 — which
-    * makes appendCodes' id-level anti-join drop genuinely new
-    * keyframes as "already stored" and tagNearCodes' self-exclusion
-    * suppress real cross-clip matches (VERDICT r16 weak finding). Real
-    * clips run hundreds of scenes but nowhere near 2²⁰ = 1,048,576; a
-    * pathological clip past the bound fails LOUDLY via raise_error
-    * instead of corrupting the shared history. */
   /** Pack still-image dHashes ([[dhashBatched]]'s output) into the
     * binary code store's (vec_id, b_hi, b_lo) layout — the image
     * sibling of [[keyframeCodes]] (no id stride: one hash per image,
@@ -708,6 +688,26 @@ object Multimodal {
       col("afp").cast("long").as("b_lo"),
       expr("CAST(bit_count(afp) AS BIGINT)").as("n_pos"))
 
+  /** Adapter from scene keyframes to the packed-code layout the binary
+    * serving stack stores ([[graft.ext.Similarity.appendCodes]] /
+    * `tagNearCodes`): vec_id = media_id·2²⁰ + scene_idx (the
+    * [[graft.ingest.BlockIngest.withId]] wide-stride convention; the
+    * mvd keyframe key), the 64-bit dHash split into 32-bit halves
+    * exactly like binarize1Bit's (b_hi, b_lo), n_pos = popcount. This
+    * is what makes INCREMENTAL video dedup a composition instead of
+    * new machinery: keyframe hashes of a live clip feed append/tag
+    * against the same stored history format as embedding codes
+    * (VideoDedupHistorySpec).
+    *
+    * The stride is a correctness bound, not a hint: a narrower packing
+    * (r16 shipped ·8) silently ALIASES clips once one exceeds the
+    * stride in scenes — clip m scene 8 == clip m+1 scene 0 — which
+    * makes appendCodes' id-level anti-join drop genuinely new
+    * keyframes as "already stored" and tagNearCodes' self-exclusion
+    * suppress real cross-clip matches (VERDICT r16 weak finding). Real
+    * clips run hundreds of scenes but nowhere near 2²⁰ = 1,048,576; a
+    * pathological clip past the bound fails LOUDLY via raise_error
+    * instead of corrupting the shared history. */
   def keyframeCodes(kf: DataFrame): DataFrame =
     kf.select(expr(
         """CASE WHEN scene_idx < 1048576

@@ -107,9 +107,12 @@ object Packing {
     * actual token ids. `packed` is [[packSequences]]' output; `ids`
     * carries each document's tokenized `input_ids` (the [[graft.ext.Bpe]]/
     * [[graft.ext.Unigram]]/[[graft.ext.WordPiece]] encode shape), whose length
-    * must equal the `n_tokens` the layout was computed from — a
-    * mismatch (tokenizer drift between the two passes) raises loudly
-    * per offending document instead of silently under-filling windows.
+    * must equal the `n_tokens` the layout was computed from — a doc
+    * missing from `ids`, or an array longer OR shorter than the
+    * layout (tokenizer drift between the two passes), raises loudly
+    * per offending document instead of silently dropping, truncating,
+    * or under-filling windows (the fence costs one extra doc_id-keyed
+    * join of the narrow layout frame).
     *
     * Output, one row per bin: `input_ids` (exactly `budget` long —
     * only the stream's final window carries `n_pad` trailing `padId`s),
@@ -129,17 +132,30 @@ object Packing {
   def materializeBins(packed: DataFrame, ids: DataFrame, budget: Long,
                       padId: Long = 0L): DataFrame = {
     require(budget > 0, "budget must be positive")
+    // TWO-SIDED tokenizer-drift fence: every packed doc must appear in
+    // `ids` with EXACTLY the token count the layout was computed from.
+    // A one-sided slice-length check would let a doc MISSING from
+    // `ids` vanish through the join (under-filled windows whose spans
+    // point at the wrong tokens) and a LONGER array silently truncate
+    // — both raise loudly per doc_id instead. size(NULL) is null, so
+    // the missing-doc case falls through the `when` to the error.
+    val checked = packed.select(col("doc_id"), col("n_tokens"))
+      .join(ids.select(col("doc_id"), col("input_ids")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(size(col("input_ids")) === col("n_tokens").cast("int"),
+          col("input_ids"))
+          .otherwise(raise_error(concat(
+            lit("materializeBins: input_ids of doc "), col("doc_id"),
+            lit(" are missing or do not match the packed layout's "),
+            lit("token count — re-pack from the same tokenizer output"))))
+          .as("input_ids"))
     val chunk = expr("slice(input_ids, CAST(doc_off + 1 AS INT), " +
       "CAST(len AS INT))")
     val guarded = binSlices(packed, budget)
-      .join(ids.select(col("doc_id"), col("input_ids")), "doc_id")
+      .join(checked, "doc_id")
       .select(col("bin"), col("bin_off"), col("doc_id"), col("len"),
-        when(size(chunk) === col("len").cast("int"), chunk)
-          .otherwise(raise_error(concat(
-            lit("materializeBins: input_ids of doc "), col("doc_id"),
-            lit(" are shorter than the packed layout expects — "),
-            lit("re-pack from the same tokenizer output"))))
-          .as("chunk"))
+        chunk.as("chunk"))
     guarded.groupBy("bin")
       .agg(sort_array(collect_list(struct(col("bin_off"), col("doc_id"),
         col("len"), col("chunk")))).as("sl"))

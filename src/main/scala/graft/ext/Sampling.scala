@@ -178,7 +178,10 @@ object Sampling {
     * achievable `planned_tokens`, so the under-fill is a NUMBER on the
     * plan instead of a surprise at training time. Groups without a
     * weight stay on the report at rate 0 (dropping them would hide
-    * corpus mass from the recipe audit).
+    * corpus mass from the recipe audit), and a WEIGHTED group absent
+    * from the corpus — a typo'd key, a source missing from this
+    * snapshot — appears with mass 0, rate 0, `capped = true` rather
+    * than silently vanishing from the recipe.
     *
     * The output feeds [[repeatByRate]] directly (same ppm semantics:
     * whole copies + a hash-decided fractional one). All arithmetic is
@@ -194,9 +197,18 @@ object Sampling {
     val wcol = weightsPpm.foldLeft(lit(0L)) { case (acc, (k, v)) =>
       when(col("grp") === k, lit(v.toLong)).otherwise(acc)
     }
+    val spark = df.sparkSession
+    import spark.implicits._
+    // a weighted group ABSENT from the corpus must still appear on the
+    // plan (mass 0, rate 0, capped) — a typo'd weight key or a source
+    // missing from this snapshot is exactly the surprise the plan
+    // exists to surface, not a silently vanished recipe component
+    val weightRows = weightsPpm.keys.toSeq.toDF("grp")
     df.groupBy(group.as("grp"))
       .agg(sum(tokens.cast("long")).as("mass"),
         count(lit(1)).as("n_docs"))
+      .join(weightRows, Seq("grp"), "full_outer")
+      .na.fill(0L, Seq("mass", "n_docs"))
       .withColumn("target_ppm", wcol)
       .withColumn("__raw", expr(
         s"""CASE WHEN target_ppm <= 0 OR mass <= 0 THEN CAST(0 AS decimal(38,0))
@@ -210,7 +222,10 @@ object Sampling {
       .withColumn("planned_tokens", expr(
         "cast(cast(mass as decimal(38,0)) * cast(rate_ppm as decimal(38,0))" +
           " div cast(1000000 as decimal(38,0)) as long)"))
-      .withColumn("capped", col("__raw") > lit(maxEpochsPpm))
+      // capped = the demand is unmeetable: the ceiling bit, OR a
+      // weighted group with zero supply (demand > 0, nothing to repeat)
+      .withColumn("capped", col("__raw") > lit(maxEpochsPpm) ||
+        (col("target_ppm") > 0L && col("mass") <= 0L))
       .select("grp", "mass", "n_docs", "target_ppm", "rate_ppm",
         "planned_tokens", "capped")
   }

@@ -682,6 +682,10 @@ object Similarity {
     * an unprobed cell is missed); with `nprobe` ≥ the cell count and
     * `overscan` ≥ positives-per-query it degenerates to
     * [[hardNegatives]] exactly — the SimilaritySpec parity pin.
+    * One divergence from the exact tier: the underlying indexed probe
+    * ALWAYS drops `vec_id === q_id` pairs, so disjoint-id-space mining
+    * (the exact tier's `excludeSelf = false`) needs [[hardNegatives]];
+    * the parity claim holds at the default `excludeSelf = true`.
     * Output: (q_id, rnk, vec_id, cosine). */
   def hardNegativesIndexed(queries: DataFrame, idCol: String, embCol: String,
                            path: String, positives: DataFrame, k: Int,

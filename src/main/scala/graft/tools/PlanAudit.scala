@@ -17,7 +17,8 @@ object PlanAudit {
       val plan = graft.SparkEntry.queries(n)(spark, sfDir)
         .queryExecution.executedPlan.toString
       def c(p: String) = p.r.findAllIn(plan).size
-      println(s"== $n exchanges=${c("Exchange")} " +
+      // "Exchange" alone would double-count every BroadcastExchange
+      println(s"== $n exchanges=${c("Exchange") - c("BroadcastExchange")} " +
         s"bcast=${c("BroadcastExchange")} wgl=${c("WindowGroupLimit")} " +
         s"cartesian=${c("CartesianProduct")} bnlj=${c("BroadcastNestedLoopJoin")} " +
         s"smj=${c("SortMergeJoin")} codegenSpans=${c("WholeStageCodegen")}")

@@ -172,17 +172,26 @@ class PackingSpec extends SparkSpec {
         .map(s => (s.getLong(0), s.getLong(1), s.getLong(2))))
     assert(spans(0).toSeq == Seq((1L, 0L, 5L), (2L, 5L, 1L)))
     assert(spans(1).toSeq == Seq((2L, 0L, 2L), (3L, 2L, 4L)))
-    // tokenizer drift (ids shorter than the layout) raises loudly
-    val short = toks.select($"doc_id",
-      expr("transform(sequence(1, CAST(n_tokens AS INT) - 1), " +
-        "t -> CAST(t AS BIGINT))").as("input_ids"))
-    val ex = intercept[Exception] {
-      Packing.materializeBins(packed, short, 6L).collect()
-    }
+    // tokenizer drift raises loudly in ALL THREE shapes: shorter
+    // arrays, LONGER arrays (which a slice-length check alone would
+    // silently truncate), and a doc missing from ids entirely (which
+    // an inner join would silently drop)
     def msgs(t: Throwable): Seq[String] =
       if (t == null) Seq.empty
       else Option(t.getMessage).toSeq ++ msgs(t.getCause)
-    assert(msgs(ex).exists(_.contains("materializeBins")), msgs(ex))
+    def raises(ids2: org.apache.spark.sql.DataFrame): Unit = {
+      val ex = intercept[Exception] {
+        Packing.materializeBins(packed, ids2, 6L).collect()
+      }
+      assert(msgs(ex).exists(_.contains("materializeBins")), msgs(ex))
+    }
+    raises(toks.select($"doc_id",
+      expr("transform(sequence(1, CAST(n_tokens AS INT) - 1), " +
+        "t -> CAST(t AS BIGINT))").as("input_ids")))
+    raises(toks.select($"doc_id",
+      expr("transform(sequence(1, CAST(n_tokens AS INT) + 1), " +
+        "t -> CAST(t AS BIGINT))").as("input_ids")))
+    raises(ids.where($"doc_id" =!= 2L))
     graft.CacheScope.release()
   }
 

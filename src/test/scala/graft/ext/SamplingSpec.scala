@@ -242,6 +242,15 @@ class SamplingSpec extends SparkSpec {
       ("a", 100L, 2L, 500000L, 3000000L, 300L, true),
       ("b", 1000L, 1L, 500000L, 1000000L, 1000L, false),
       ("c", 400L, 1L, 0L, 0L, 0L, false)))
+    // a WEIGHTED group absent from the corpus still appears on the
+    // plan — mass 0, rate 0, capped — instead of silently vanishing
+    val ghost = Sampling.epochPlan(docs, $"g", $"nt",
+        Map("a" -> 500000, "zz" -> 500000), targetTokens = 2000L,
+        maxEpochsPpm = 3000000L)
+      .where($"grp" === "zz").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(4),
+        r.getBoolean(6)))
+    assert(ghost.toSeq == Seq(("zz", 0L, 0L, true)))
     // the plan's rates feed repeatByRate directly: group a comes back
     // 3x (3e6 ppm = three whole copies of each doc)
     val withRates = docs.withColumn("id",

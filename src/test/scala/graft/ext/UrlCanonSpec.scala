@@ -142,5 +142,16 @@ class UrlCanonSpec extends SparkSpec {
     assert(refs("<img class=\"x\"><IMG SRC=\"/1.png\"><img src=\"/2.png\">",
       page) == Seq((1L, "https://ex.com:8080/1.png", ""),
         (2L, "https://ex.com:8080/2.png", "")))
+    // lazy-load markup: data-src/data-alt must NOT match as src/alt —
+    // the real src wins and the placeholder never pairs
+    assert(refs("<img data-src=\"lazy.png\" src=\"real.jpg\" " +
+      "data-alt=\"no\" alt=\"yes\">", page) ==
+      Seq((0L, "https://ex.com:8080/a/b/real.jpg", "yes")))
+    assert(refs("<img data-src=\"lazy.png\">", page) == Seq.empty)
+    // non-hierarchical schemes are not fetchable: drop, never resolve
+    // path-relative into a garbage URL
+    assert(refs("<img src=\"data:image/gif;base64,R0lG\">", page) ==
+      Seq.empty)
+    assert(refs("<img src=\"javascript:void(0)\">", page) == Seq.empty)
   }
 }
