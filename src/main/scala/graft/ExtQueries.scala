@@ -1763,8 +1763,11 @@ model AS (
 
     // IMAGE-TEXT pair extraction (the LAION pairing seam): synthesized
     // pages exercise all four src reference forms — absolute,
-    // protocol-relative (single quotes, attrs flipped), root-relative
-    // beside a src-less tag that must drop, and path-relative with
+    // protocol-relative (single quotes, attrs flipped, a literal '>'
+    // inside the quoted alt that must NOT truncate the tag),
+    // root-relative behind a spoofing alt="src='x.png'" (the quoted
+    // value's inner src= must never win) beside a src-less tag that
+    // must drop, and path-relative with an UNQUOTED src value and
     // UPPERCASE attribute names — plus a second tag on the t=0 page so
     // ref_idx > 0 is load-bearing. The oracle states each form's
     // resolved URL and caption closed-form, extraction-blind.
@@ -1780,12 +1783,13 @@ model AS (
           lit("\"><img src=\"/i2/"), h, lit(".jpg\" alt=\"b "), h,
           lit("\">")))
         .when(t === 1, concat(
-          lit("<img alt='dog "), h, lit("' src='//img.ex.org/p"), h,
+          lit("<img alt='dog > "), h, lit("' src='//img.ex.org/p"), h,
           lit(".png'>")))
         .when(t === 2, concat(
-          lit("<img src=\"/s/"), h, lit(".gif\"><img class=\"x\">")))
+          lit("<img alt=\"src='x.png'\" src=\"/s/"), h,
+          lit(".gif\"><img class=\"x\">")))
         .otherwise(concat(
-          lit("<img SRC=\"th/"), h, lit(".webp\" Alt=\"fish "), h,
+          lit("<img SRC=th/"), h, lit(".webp Alt=\"fish "), h,
           lit("\">")))
       Curation.imageRefs(
           Tables.documents(s, d).select(col("doc_id"),
@@ -5443,7 +5447,9 @@ FROM bt b LEFT JOIN nr ON b.media_id = nr.media_id
 ORDER BY vec_id"""),
 
     // Mirror of mit: each synthesized page's resolved (img_url, alt)
-    // pairs stated closed-form per reference form — extraction-blind.
+    // pairs stated closed-form per reference form — extraction-blind
+    // (t=1 carries a quoted '>', t=2 a spoofing alt whose VALUE is a
+    // literal src='x.png', t=3 an unquoted src — the r18 ADVICE trio).
     "mit" -> ("""WITH f AS (
   SELECT doc_id, doc_id % 100 AS h, doc_id % 4 AS t,
          'https://h' || (doc_id % 5) || '.example.com' AS hb
@@ -5455,8 +5461,8 @@ ORDER BY vec_id"""),
         {u: 'https://cdn.ex.com/i' || h || '.jpg', a: 'cat ' || h},
         {u: hb || '/i2/' || h || '.jpg', a: 'b ' || h}]
       WHEN 1 THEN [{u: 'https://img.ex.org/p' || h || '.png',
-                    a: 'dog ' || h}]
-      WHEN 2 THEN [{u: hb || '/s/' || h || '.gif', a: ''}]
+                    a: 'dog > ' || h}]
+      WHEN 2 THEN [{u: hb || '/s/' || h || '.gif', a: 'src=''x.png'''}]
       ELSE [{u: hb || '/d/th/' || h || '.webp', a: 'fish ' || h}]
     END AS refs
   FROM f

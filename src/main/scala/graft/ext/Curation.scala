@@ -257,6 +257,22 @@ object Curation {
     * `<img>` tags (a dropped src-less tag keeps its slot), so the pair
     * order is deterministic and stable under the drop.
     *
+    * Attribute handling (the r18 ADVICE trio): the tag regex treats
+    * quoted runs atomically, so a literal `>` inside a quoted value
+    * (`alt="a > b"`) no longer truncates the tag; attributes are then
+    * TOKENIZED left-to-right as whole `name = value` pairs with quoted
+    * values consumed atomically — `data-src=`/`data-alt=` lazy-load
+    * names are whole-token mismatches (not suffix matches), and a
+    * literal `src='…'` inside an earlier attribute's quoted value
+    * (`alt="src='evil.png'"`) is swallowed by that attribute's own
+    * token, never picked up as the tag's src; unquoted values
+    * (`src=photo.jpg` — legal pre-HTML5 markup, common in legacy
+    * crawl) match as written. Residual crawl noise, accepted: a tag
+    * with an UNBALANCED quote never closes under the atomic-quote tag
+    * regex and drops (pre-r19 it matched through the first bare `>`),
+    * and an attribute name with characters outside the XML name
+    * charset tokenizes at its longest valid suffix.
+    *
     * Regexes stay in the shared Java ∩ RE2 dialect ([[urlScope]]'s
     * constraint) so the DuckDB oracle matches byte-identically. A pure
     * zero-shuffle projection + an explode bounded by the page's own
@@ -264,19 +280,35 @@ object Curation {
     * passes. Output: (doc_id, ref_idx, img_url, alt). */
   def imageRefs(df: DataFrame, id: Column, html: Column,
                 pageUrl: Column): DataFrame = {
-    val tags = expr("regexp_extract_all(__h, '(?i)<img\\\\b[^>]*>', 0)")
+    val tags = expr("regexp_extract_all(__h, " +
+      "'(?i)<img\\\\b(?:[^>\"\\']|\"[^\"]*\"|\\'[^\\']*\\')*>', 0)")
     val base = df.select(id.as("doc_id"), html.as("__h"),
         pageUrl.as("__u"))
       .select(col("doc_id"), col("__u"),
         posexplode(tags).as(Seq("ref_idx", "__tag")))
-    // attribute names need a LEFT boundary (whitespace or a closing
-    // quote): without it `data-src=`/`data-alt=` — ubiquitous
-    // lazy-load markup — would match as src/alt and pair placeholder
-    // pixels instead of the real image
-    val src = regexp_extract(col("__tag"),
-      "(?i)[\\s\"']src\\s*=\\s*[\"']([^\"']+)[\"']", 1)
-    val alt = regexp_extract(col("__tag"),
-      "(?i)[\\s\"']alt\\s*=\\s*[\"']([^\"']*)[\"']", 1)
+      // whole-attribute tokens: XML name charset, then = and a quoted
+      // (atomic) or unquoted ([^\s>"']+) value. Left-to-right
+      // non-overlapping matching is what makes the quoted-value spoof
+      // impossible: the spoofing text sits INSIDE a match already made
+      .withColumn("__attrs", expr("regexp_extract_all(__tag, " +
+        "'(?i)[a-zA-Z_:][a-zA-Z0-9_:.-]*\\\\s*=\\\\s*" +
+        "(?:\"[^\"]*\"|\\'[^\\']*\\'|[^\\\\s>\"\\']+)', 0)"))
+    // first token whose NAME is exactly src/alt, value unquoted. The
+    // tokenizer guarantees a value starting with a quote ends with the
+    // same quote, so the two strips cannot eat value characters.
+    // try_element_at: a tag with no such attribute filters to an empty
+    // array, which must read as NULL, not an ANSI index error.
+    def attrVal(name: String): Column = {
+      val tok = expr(
+        s"try_element_at(filter(__attrs, a -> a rlike '(?i)^$name\\\\s*='), 1)")
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(tok, s"(?i)^$name\\s*=\\s*", ""),
+          "^[\"']", ""),
+        "[\"']$", "")
+    }
+    val src = coalesce(attrVal("src"), lit(""))
+    val alt = coalesce(attrVal("alt"), lit(""))
     val scheme = regexp_extract(col("__u"), "^([A-Za-z][A-Za-z0-9+.-]*):", 1)
     val hostPort = regexp_extract(col("__u"), "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
     // directory of the page path, always ending in '/'; a URL with no

@@ -133,18 +133,31 @@ object Packing {
                       padId: Long = 0L): DataFrame = {
     require(budget > 0, "budget must be positive")
     // TWO-SIDED tokenizer-drift fence: every packed doc must appear in
-    // `ids` with EXACTLY the token count the layout was computed from.
-    // A one-sided slice-length check would let a doc MISSING from
-    // `ids` vanish through the join (under-filled windows whose spans
-    // point at the wrong tokens) and a LONGER array silently truncate
-    // — both raise loudly per doc_id instead. size(NULL) is null, so
-    // the missing-doc case falls through the `when` to the error.
+    // `ids` EXACTLY ONCE with EXACTLY the token count the layout was
+    // computed from. A one-sided slice-length check would let a doc
+    // MISSING from `ids` vanish through the join (under-filled windows
+    // whose spans point at the wrong tokens) and a LONGER array
+    // silently truncate; a DUPLICATED doc_id would pass a bare length
+    // check row-by-row and then duplicate every slice through the
+    // join, silently over-filling windows past `budget` (r18 ADVICE)
+    // — all three raise loudly per doc_id instead. The duplicate count
+    // rides the aggregation that dedups the join's build side, keyed
+    // on the same uniform doc_id hash the join shuffles on, so the
+    // fence still costs one exchange of the narrow ids frame.
+    // size(NULL) is null, so the missing-doc case falls through the
+    // `when`s to the error.
     val checked = packed.select(col("doc_id"), col("n_tokens"))
-      .join(ids.select(col("doc_id"), col("input_ids")),
+      .join(ids.select(col("doc_id"), col("input_ids"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("__dup"), first("input_ids").as("input_ids")),
         Seq("doc_id"), "left")
       .select(col("doc_id"),
-        when(size(col("input_ids")) === col("n_tokens").cast("int"),
-          col("input_ids"))
+        when(col("__dup") > 1, raise_error(concat(
+            lit("materializeBins: doc "), col("doc_id"),
+            lit(" appears more than once in ids — every doc_id must "),
+            lit("carry exactly one tokenized array"))))
+          .when(size(col("input_ids")) === col("n_tokens").cast("int"),
+            col("input_ids"))
           .otherwise(raise_error(concat(
             lit("materializeBins: input_ids of doc "), col("doc_id"),
             lit(" are missing or do not match the packed layout's "),

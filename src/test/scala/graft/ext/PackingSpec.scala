@@ -192,6 +192,10 @@ class PackingSpec extends SparkSpec {
       expr("transform(sequence(1, CAST(n_tokens AS INT) + 1), " +
         "t -> CAST(t AS BIGINT))").as("input_ids")))
     raises(ids.where($"doc_id" =!= 2L))
+    // ... and the FOURTH shape (r18 ADVICE): a DUPLICATED doc_id,
+    // whose rows each pass a bare length check but would duplicate
+    // every slice through the join and over-fill windows past budget
+    raises(ids.union(ids.where($"doc_id" === 2L)))
     graft.CacheScope.release()
   }
 

