@@ -335,10 +335,16 @@ object Bench {
         "dwd", "dj", "dk", "dl", "dr").contains(name)) "dedup"
     // una/wpa (the stored-tokenizer boundary rows) price the
     // tokenize→pack seam and shard with pack — the text catch-all sits
-    // at its 40-query cap (same balance call as the r17 ann moves)
+    // at its 40-query cap (same balance call as the r17 ann moves).
+    // pc/pf/ps/pl = p_pc/p_pf/p_sh/p_sl and sc..sw = the nine s_*
+    // sampling keys after the r19 budget sweep (mappings in
+    // BASELINE.md) — the prefix rules no longer match them, so the
+    // family stays an explicit set
     else if (name.startsWith("p_") || name.startsWith("s_") ||
       name.startsWith("pipe_") || name.startsWith("wds") ||
-      Set("una", "wpa").contains(name)) "pack"
+      Set("una", "wpa", "pc", "pf", "ps", "pl",
+        "sc", "se", "sl", "sm", "sp", "sr", "ss", "st", "sw")
+        .contains(name)) "pack"
     // the r15 graph rows shard with the relational analytics (their
     // iterative-join profile matches, and it keeps the text catch-all
     // under the 40-query shard cap)

@@ -206,12 +206,12 @@ object CoreQueries {
     }),
     "b5s" -> ((s, d) =>
       QueryApi.decodeRowsStrict(Tables.summaries(s, d)).orderBy("id")),
-    "b6k" -> ((s, d) =>
+    "b6" -> ((s, d) =>
       QueryApi.topKPerAccount(Tables.ati(s, d), 3).orderBy("account", "rn")),
-    "b7f" -> ((s, d) =>
+    "b7" -> ((s, d) =>
       QueryApi.changeFeed(Tables.ati(s, d), Tables.summariesWithSender(s, d),
         lit(Account), 0L, 100)),
-    "b8m" -> ((s, d) =>
+    "b8" -> ((s, d) =>
       Tables.summaries(s, d).agg(max("height").as("max_height"))),
     "b10" -> ((s, d) =>
       Tables.cis2Tokens(s, d)
@@ -339,18 +339,18 @@ SELECT id,
        CAST(summary->>'$.Left.k' AS BIGINT) AS left_k,
        CAST(summary->>'$.Right.k' AS BIGINT) AS right_k
 FROM summaries ORDER BY id"""),
-    "b6k" -> (cte + """
+    "b6" -> (cte + """
 SELECT account, summary, CAST(rn AS INT) AS rn FROM (
   SELECT account, summary,
          row_number() OVER (PARTITION BY account ORDER BY summary DESC) AS rn
   FROM ati) WHERE rn <= 3 ORDER BY account, rn"""),
-    "b7f" -> (cte + s"""
+    "b7" -> (cte + s"""
 SELECT s.id, s.block, s."timestamp", s.height, s.summary, s.sender
 FROM ati JOIN summaries s ON ati.summary = s.id
 WHERE ati.account = $Account AND ati.summary > 0
   AND (s.sender IS NULL OR s.sender <> $Account)
 ORDER BY s.id LIMIT 100"""),
-    "b8m" -> (cte +
+    "b8" -> (cte +
       "SELECT max(height) AS max_height FROM summaries"),
     "b10" -> (cte + s"""
 SELECT "index", subindex, token_id, total_supply FROM cis2_tokens

@@ -824,7 +824,7 @@ model AS (
     // 25 < every cell's population at both SFs (cells run 76-122
     // members), so the cap bites in every cell and the row verifies the
     // per-cell ranking, not a pass-through
-    "s_l" -> ((s, d) =>
+    "sl" -> ((s, d) =>
       Similarity.cellBalanced(Tables.embeddings(s, d), "vec_id", "embedding",
           n = 25)
         .orderBy("vec_id")),
@@ -866,7 +866,7 @@ model AS (
     // (uniq_pm >= 400, n_words >= 25) so the check is DISCRIMINATING —
     // on the synthetic corpus everything passes the base gate and a
     // pass-through pipeline would prove nothing.
-    "p_pc" -> ((s, d) => {
+    "pc" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val quality = TextAnalysis.qualityScore(docs, col("text"), col("doc_id"))
         .where(col("quality_ok") && col("uniq_pm") >= 400 && col("n_words") >= 25)
@@ -886,7 +886,7 @@ model AS (
     // before anyone trains on its output). Same gates as
     // pipe_curation, folded to one pass: per-doc flags, one
     // aggregate, unpivoted to (stage, n_docs) rows.
-    "p_pf" -> ((s, d) => {
+    "pf" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val quality = TextAnalysis.qualityScore(docs, col("text"), col("doc_id"))
         .where(col("quality_ok") && col("uniq_pm") >= 400 && col("n_words") >= 25)
@@ -912,14 +912,14 @@ model AS (
         .orderBy("stage")
     }),
 
-    "s_p" -> ((s, d) =>
+    "sp" -> ((s, d) =>
       Sampling.split(Tables.documents(s, d), col("doc_id"))
         .select("doc_id", "split").orderBy("doc_id")),
 
     // Multi-epoch repetition: rates 0.4 / 1.3 / 2.2 epochs by doc_id
     // class — whole copies + a hash-decided fractional copy, the
     // upsampling half of a published mixture recipe.
-    "s_r" -> ((s, d) =>
+    "sr" -> ((s, d) =>
       Sampling.repeatByRate(
           Tables.documents(s, d).select(col("doc_id")),
           col("doc_id"),
@@ -928,12 +928,12 @@ model AS (
 
     // quality-proportional keep rate: 1000 ppm per char, saturating at
     // 500 chars — longer docs always survive, shorter ones pro rata
-    "s_w" -> ((s, d) =>
+    "sw" -> ((s, d) =>
       Sampling.weighted(Tables.documents(s, d), col("doc_id"),
           col("n_chars") * 2000L)
         .select("doc_id").orderBy("doc_id")),
 
-    "s_s" -> ((s, d) =>
+    "ss" -> ((s, d) =>
       Sampling.stratified(Tables.events(s, d), col("event_type"),
           col("event_id"),
           Map("view" -> 100000, "click" -> 500000, "purchase" -> 1000000))
@@ -942,7 +942,7 @@ model AS (
     // per-language absolute cap (40 < the smallest language group at
     // both test scales, so every group is actually truncated and the
     // hash ranking — not a pass-through — is what the oracle checks)
-    "s_c" -> ((s, d) =>
+    "sc" -> ((s, d) =>
       Sampling.capPerGroup(Tables.documents(s, d), col("lang"),
           col("doc_id"), n = 40)
         .select("doc_id", "lang").orderBy("doc_id")),
@@ -950,7 +950,7 @@ model AS (
     // Temperature-smoothed (alpha = 0.5) per-language sampling: rates
     // derived from the corpus's own counts via sqrt flattening — the
     // published mBERT/XLM-R low-resource upweighting.
-    "s_t" -> ((s, d) =>
+    "st" -> ((s, d) =>
       Sampling.temperatureMix(Tables.documents(s, d), col("lang"),
           col("doc_id"), targetRows = 200)
         .select("doc_id", "lang").orderBy("doc_id")),
@@ -959,7 +959,7 @@ model AS (
     // weights, fr's demand exceeds its supply (rate clamps to 1e6 —
     // keep all), unweighted es drops entirely. All three regimes of
     // Sampling.mixture exercised by one row.
-    "s_m" -> ((s, d) =>
+    "sm" -> ((s, d) =>
       Sampling.mixture(Tables.documents(s, d), col("lang"), col("doc_id"),
           Map("en" -> 200000, "fr" -> 400000, "de" -> 200000,
             "zh" -> 200000), targetRows = 300)
@@ -970,7 +970,7 @@ model AS (
     // and an explicit capped flag. At sf0.001 en/de cap at 8 epochs
     // while fr/zh fit and unweighted es reports rate 0 — all three
     // branches on the correctness surface.
-    "s_e" -> ((s, d) =>
+    "se" -> ((s, d) =>
       Sampling.epochPlan(Tables.documents(s, d), col("lang"),
           col("n_chars"),
           Map("en" -> 500000, "fr" -> 200000, "de" -> 200000,
@@ -1020,7 +1020,7 @@ model AS (
         .orderBy("bin")
     }),
 
-    "p_sh" -> ((s, d) =>
+    "ps" -> ((s, d) =>
       Packing.shuffledOrdinal(Tables.documents(s, d), col("doc_id"),
           seed = "epoch0")
         .orderBy("doc_id")),
@@ -1069,7 +1069,7 @@ model AS (
         .orderBy("ord")
     }),
 
-    "p_sl" -> ((s, d) => {
+    "pl" -> ((s, d) => {
       val toks = TextAnalysis
         .tokenStats(Tables.documents(s, d), col("text"), col("doc_id"))
         .select(col("doc_id"), col("n_tokens"))
@@ -3124,7 +3124,7 @@ WHERE vid NOT IN (SELECT vid FROM dropped)
 ORDER BY vec_id"""),
 
     // capPerGroup's seeded-hash rank, with the IVF cell as the group
-    "s_l" -> (CellsCte + s""", ranked AS (
+    "sl" -> (CellsCte + s""", ranked AS (
   SELECT vid, cid,
          row_number() OVER (PARTITION BY cid
            ORDER BY ${h60("'cell0:' || CAST(vid AS VARCHAR)")} ASC, vid ASC) AS rn
@@ -3159,7 +3159,7 @@ SELECT event_type,
             END AS BIGINT) AS distinct_est
 FROM g ORDER BY 1"""),
 
-    "p_pc" -> (s"""WITH w AS (
+    "pc" -> (s"""WITH w AS (
   SELECT doc_id, text,
          string_split_regex(trim(lower(text)), ' +') AS words
   FROM documents
@@ -3184,14 +3184,14 @@ JOIN k ON d.doc_id = k.doc_id
 JOIN sp ON d.doc_id = sp.doc_id
 ORDER BY d.doc_id"""),
 
-    "s_p" -> (s"""
+    "sp" -> (s"""
 SELECT doc_id,
        CASE WHEN ${h60("CAST(doc_id AS VARCHAR)")} % 1000000 < 50000 THEN 'val'
             WHEN ${h60("CAST(doc_id AS VARCHAR)")} % 1000000 < 100000 THEN 'test'
             ELSE 'train' END AS split
 FROM documents ORDER BY doc_id"""),
 
-    "s_w" -> (s"""
+    "sw" -> (s"""
 SELECT doc_id FROM documents
 WHERE ${h60("'wt0:' || CAST(doc_id AS VARCHAR)")} % 1000000
       < least(greatest(n_chars * 2000, 0), 1000000)
@@ -3199,7 +3199,7 @@ ORDER BY doc_id"""),
 
     // Mirror of temperatureMix: per-language counts, sqrt smoothing,
     // derived ppm rates, the same seeded hash thinning.
-    "s_t" -> (s"""WITH c AS (
+    "st" -> (s"""WITH c AS (
   SELECT lang, count(*) AS n FROM documents GROUP BY 1
 ), s AS (
   SELECT lang, n, CAST(floor(sqrt(n)) AS BIGINT) AS sg FROM c
@@ -3215,7 +3215,7 @@ ORDER BY doc_id"""),
 
     // whole copies = rate // 1e6; the fractional copy lands iff the
     // seeded hash is under rate % 1e6 — identical arithmetic, no RNG
-    "s_r" -> (s"""WITH f AS (
+    "sr" -> (s"""WITH f AS (
   SELECT doc_id, (doc_id % 3) * 900000 + 400000 AS rate FROM documents
 ), c AS (
   SELECT doc_id,
@@ -3229,7 +3229,7 @@ FROM (SELECT doc_id, unnest(range(0, n)) AS i FROM c WHERE n > 0)
 ORDER BY doc_id, copy_idx"""),
 
     // pipe_curation's gates as cumulative per-stage counts
-    "p_pf" -> (s"""WITH w AS (
+    "pf" -> (s"""WITH w AS (
   SELECT doc_id, text,
          string_split_regex(trim(lower(text)), ' +') AS words
   FROM documents
@@ -3254,7 +3254,7 @@ SELECT stage, n_docs FROM (
   SELECT '3_train', CAST(sum(CASE WHEN q AND k AND tr THEN 1 ELSE 0 END) AS BIGINT) FROM f
 ) ORDER BY stage"""),
 
-    "s_s" -> (s"""
+    "ss" -> (s"""
 SELECT event_id, event_type
 FROM events
 WHERE ${h60("CAST(event_id AS VARCHAR)")} % 1000000 <
@@ -3262,7 +3262,7 @@ WHERE ${h60("CAST(event_id AS VARCHAR)")} % 1000000 <
            WHEN 'purchase' THEN 1000000 ELSE 0 END
 ORDER BY event_id"""),
 
-    "s_c" -> (s"""
+    "sc" -> (s"""
 SELECT doc_id, lang FROM (
   SELECT doc_id, lang,
          row_number() OVER (PARTITION BY lang
@@ -3270,7 +3270,7 @@ SELECT doc_id, lang FROM (
   FROM documents)
 WHERE rn <= 40 ORDER BY doc_id"""),
 
-    "s_m" -> (s"""
+    "sm" -> (s"""
 WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
 r AS (
   SELECT lang, least(1000000,
@@ -3286,7 +3286,7 @@ ORDER BY doc_id"""),
     // Mirror of epochPlan: HUGEINT integral arithmetic in the same
     // order as the Spark side's DECIMAL(38,0) (desired tokens, raw
     // rate, ceiling, planned tokens).
-    "s_e" -> ("""WITH g AS (
+    "se" -> ("""WITH g AS (
   SELECT lang AS grp, CAST(sum(n_chars) AS HUGEINT) AS mass,
          CAST(count(*) AS BIGINT) AS n_docs
   FROM documents GROUP BY 1
@@ -3340,7 +3340,7 @@ SELECT doc_id, n_tokens,
        (end_off - 1) // 512 - (end_off - n_tokens) // 512 + 1 AS n_bins
 FROM c ORDER BY doc_id"""),
 
-    "p_sl" -> (s"""WITH t AS (
+    "pl" -> (s"""WITH t AS (
   SELECT doc_id,
          CAST(len(regexp_extract_all(text, '$TokRe')) AS BIGINT) AS n_tokens
   FROM documents
@@ -3415,7 +3415,7 @@ SELECT ag.bin, ag.n_tokens, CAST(512 - ag.n_tokens AS BIGINT) AS n_pad,
        sp.n_docs, ag.ids_fp, sp.spans_fp
 FROM ag JOIN sp USING (bin) ORDER BY bin"""),
 
-    "p_sh" -> (s"""WITH t AS (
+    "ps" -> (s"""WITH t AS (
   SELECT doc_id,
          ${h60("'epoch0:' || CAST(doc_id AS VARCHAR)")} AS h
   FROM documents

@@ -33,7 +33,7 @@ object RelationalQueries {
   private def revenue = price2 * disc1m
 
   val queries: Map[String, Q] = Map(
-    "q1p" -> ((s, d) =>
+    "qj" -> ((s, d) =>
       Tables.lineitem(s, d)
         .where(col("l_shipdate") <= lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
@@ -45,7 +45,7 @@ object RelationalQueries {
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")),
 
-    "q3s" -> ((s, d) => {
+    "qk" -> ((s, d) => {
       val cust = Tables.customer(s, d).where(col("c_mktsegment") === "BUILDING")
       val ord = Tables.orders(s, d).where(col("o_orderdate") < lit("1998-03-15"))
       val li = Tables.lineitem(s, d).where(col("l_shipdate") > lit("1998-03-15"))
@@ -75,7 +75,7 @@ object RelationalQueries {
         .limit(20)
     }),
 
-    "q5v" -> ((s, d) => {
+    "qp" -> ((s, d) => {
       // dims (region→nation→customer) broadcast down the join chain; the
       // only shuffle joins lineitem⋈orders on orderkey.
       val nr = Tables.nation(s, d)
@@ -374,7 +374,7 @@ object RelationalQueries {
     "CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))"
 
   val oracles: Map[String, String] = Map(
-    "q1p" -> s"""
+    "qj" -> s"""
 SELECT l_returnflag, l_linestatus,
        CAST(SUM(CAST(l_quantity AS $dec)) AS DOUBLE) AS sum_qty,
        CAST(SUM(CAST(l_extendedprice AS $dec)) AS DOUBLE) AS sum_base_price,
@@ -384,7 +384,7 @@ SELECT l_returnflag, l_linestatus,
 FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
 GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",
 
-    "q3s" -> s"""
+    "qk" -> s"""
 SELECT l_orderkey, SUM($rev) AS revenue, o_orderdate, o_orderpriority
 FROM customer JOIN orders ON c_custkey = o_custkey
               JOIN lineitem ON l_orderkey = o_orderkey
@@ -402,7 +402,7 @@ WHERE l_returnflag = 'R'
 GROUP BY c_custkey, c_name, c_acctbal, n_name
 ORDER BY revenue DESC, c_custkey LIMIT 20""",
 
-    "q5v" -> s"""
+    "qp" -> s"""
 SELECT n_name, SUM($rev) AS revenue
 FROM customer JOIN orders ON c_custkey = o_custkey
               JOIN lineitem ON l_orderkey = o_orderkey

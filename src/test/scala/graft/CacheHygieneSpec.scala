@@ -15,7 +15,7 @@ class CacheHygieneSpec extends SparkSpec {
   private val cacheUsers = Seq(
     "dj", "dl", "dcc", "dr",
     "dec", "vkg", "vnr",
-    "p_s", "p_sl", "p_sh",
+    "p_s", "pl", "ps",
     "p_c", // sentence chunks through the packer (persistTracked ranged frame)
     "p_a", // materializeBins rides packSequences' persisted ranged frame
     "vkm", "vr",

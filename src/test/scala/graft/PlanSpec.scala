@@ -29,14 +29,14 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q5 local supplier volume: dimension joins broadcast") {
-    val p = plan("q5v")
+    val p = plan("qp")
     assert(count(p, "BroadcastHashJoin") >= 3,
       s"expected >=3 broadcast joins for the dimension chain in:\n$p")
     assert(!p.contains("CartesianProduct"))
   }
 
   test("q1 pricing summary: partial aggregation before the exchange") {
-    val p = plan("q1p")
+    val p = plan("qj")
     assert(count(p, "HashAggregate") >= 2,
       s"expected partial+final HashAggregate pair in:\n$p")
   }
@@ -229,7 +229,7 @@ class PlanSpec extends SparkSpec {
     // robots (per-host rule chain) and msc (scene-cut decode) join
     // the family: the verdict/segmentation is computed per document.
     for (q <- Seq("url", "un", "htm", "chk",
-        "mv", "mav", "s_r", "gph", "c4", "gr",
+        "mv", "mav", "sr", "gph", "c4", "gr",
         "sec", "rob", "msc", "cq")) {
       val p = plan(q)
       assert(count(p, "Exchange") <= 1,
@@ -367,7 +367,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("smp_cell: the per-cell cap pushes into WindowGroupLimit") {
-    val p = plan("s_l")
+    val p = plan("sl")
     assert(p.contains("WindowGroupLimit"),
       s"expected the rank<=n group-limit pushdown in:\n$p")
   }
@@ -573,7 +573,7 @@ class PlanSpec extends SparkSpec {
     // account, so one account owning most of the corpus cannot flood a
     // single window partition — losing the Partial phase here would be
     // the b6 scale bug
-    val p = plan("b6k")
+    val p = plan("b6")
     val lines = p.split('\n')
     // anchor to the WindowGroupLimit line itself: a bare indexOf("Partial")
     // would match any Partial-mode operator elsewhere in the plan text
@@ -589,7 +589,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("group cap: rank predicate pushed into WindowGroupLimit at the declared row") {
-    val p = plan("s_c")
+    val p = plan("sc")
     assert(p.contains("WindowGroupLimit"),
       s"expected the per-group limit below the window sort in:\n$p")
   }
@@ -669,7 +669,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("mixture: tiny rate table broadcast, corpus side stays a narrow filter") {
-    val p = plan("s_m")
+    val p = plan("sm")
     assert(p.contains("BroadcastHashJoin"),
       s"expected the per-group rates broadcast back in:\n$p")
     assert(!p.contains("Window") && !p.contains("SortMergeJoin"),
