@@ -195,11 +195,11 @@ object Bench {
     // target/graft-scratch, so only the first child pays the build.
     warm(graft.sources.ServingMirrors.atiSummaries(spark, sfDir))
     warm(graft.sources.ServingMirrors.ctiSummaries(spark, sfDir))
-    warm(ExtQueries.ivfIndexFor(spark, sfDir))
-    warm(ExtQueries.ivfLabelIndexFor(spark, sfDir))
-    warm(ExtQueries.pqIndexFor(spark, sfDir))
-    warm(ExtQueries.ivfPqIndexFor(spark, sfDir))
-    warm(ExtQueries.lshIndexFor(spark, sfDir))
+    warm(ExtShared.ivfIndexFor(spark, sfDir))
+    warm(ExtShared.ivfLabelIndexFor(spark, sfDir))
+    warm(ExtShared.pqIndexFor(spark, sfDir))
+    warm(ExtShared.ivfPqIndexFor(spark, sfDir))
+    warm(ExtShared.lshIndexFor(spark, sfDir))
     val queries = SparkEntry.queries
     names.foreach { name =>
       queries.get(name) match {

@@ -37,11 +37,11 @@ object BenchOne {
     // scratch would time the index BUILD, not the page/probe.
     warm(graft.sources.ServingMirrors.atiSummaries(spark, sfDir))
     warm(graft.sources.ServingMirrors.ctiSummaries(spark, sfDir))
-    warm(ExtQueries.ivfIndexFor(spark, sfDir))
-    warm(ExtQueries.ivfLabelIndexFor(spark, sfDir))
-    warm(ExtQueries.pqIndexFor(spark, sfDir))
-    warm(ExtQueries.ivfPqIndexFor(spark, sfDir))
-    warm(ExtQueries.lshIndexFor(spark, sfDir))
+    warm(ExtShared.ivfIndexFor(spark, sfDir))
+    warm(ExtShared.ivfLabelIndexFor(spark, sfDir))
+    warm(ExtShared.pqIndexFor(spark, sfDir))
+    warm(ExtShared.ivfPqIndexFor(spark, sfDir))
+    warm(ExtShared.lshIndexFor(spark, sfDir))
     val fn = SparkEntry.queries(name)
     val times = (1 to runs).map { _ =>
       val t0 = System.nanoTime()
