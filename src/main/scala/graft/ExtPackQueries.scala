@@ -150,6 +150,44 @@ object ExtPackQueries {
         .orderBy("doc_id")
     }),
 
+    // Document-atomic BFD vs the splitting stream packer, MEASURED
+    // (the hrc carry-numbers convention): a closed-form length fixture
+    // (doc_id % 4 → 60/30/25/10 tokens, budget 100, doc count clamped
+    // to a multiple of 16 so each class is equally sized and the BFD
+    // outcome is statable) runs through BOTH packers; the row carries
+    // each packer's bin count, total pad tokens and boundary-crossing
+    // doc count. The oracle states the BFD outcome closed-form
+    // (n bins of 60+30+10 plus n/4 bins of 4×25 — zero pad, zero
+    // splits) and re-derives the splitting packer's stats from the
+    // id-order prefix arithmetic — simulation-blind on both sides.
+    "pb" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      val m = docs.count() / 16 * 16
+      val fx = docs.where(col("doc_id") < m)
+        .withColumn("len",
+          when(col("doc_id") % 4 === 0, 60L)
+            .when(col("doc_id") % 4 === 1, 30L)
+            .when(col("doc_id") % 4 === 2, 25L).otherwise(10L))
+      val atomic = Packing
+        .packBestFit(fx, col("doc_id"), col("len"), budget = 100L)
+      val aStats = atomic.groupBy()
+        .agg(countDistinct("bin").as("n_bins"), sum("n_tokens").as("tok"))
+        .select(lit("atomic_bfd").as("packer"), col("n_bins"),
+          (col("n_bins") * 100L - col("tok")).as("pad_tokens"),
+          lit(0L).as("split_docs"))
+      val split = Packing
+        .packSequences(fx, col("doc_id"), col("len"), budget = 100L)
+      val sStats = split.groupBy()
+        .agg((max("last_bin") + 1L).as("n_bins"),
+          sum("n_tokens").as("tok"),
+          sum(when(col("first_bin") =!= col("last_bin"), 1L)
+            .otherwise(0L)).as("split_docs"))
+        .select(lit("split_seq").as("packer"), col("n_bins"),
+          (col("n_bins") * 100L - col("tok")).as("pad_tokens"),
+          col("split_docs"))
+      aStats.unionByName(sStats).orderBy("packer")
+    }),
+
     // The trainer-facing materialization of the p_s layout: every
     // context window's ACTUAL fixed-length input_ids row plus its
     // doc_spans sidecar, reduced to per-bin fingerprints (the bpe
@@ -465,6 +503,39 @@ SELECT grp, CAST(mass AS BIGINT) AS mass, n_docs,
          AS planned_tokens,
        raw > 8000000 AS capped
 FROM r ORDER BY grp"""),
+
+    // Mirror of pb: the BFD outcome stated closed-form from the class
+    // count n (n bins of 60+30+10 + n/4 bins of 4×25; n % 4 = 0 by the
+    // multiple-of-16 clamp), the splitting packer's stats re-derived
+    // per doc from the id-order prefix arithmetic (start = 125·(id//4)
+    // + the intra-cycle offset) — no packing simulation on either side.
+    "pb" -> ("""WITH p AS (
+  SELECT count(*) // 16 * 16 AS m, count(*) // 16 * 4 AS n FROM documents
+), d AS (
+  SELECT doc_id,
+         CASE doc_id % 4 WHEN 0 THEN 60 WHEN 1 THEN 30
+                         WHEN 2 THEN 25 ELSE 10 END AS len,
+         125 * (doc_id // 4) +
+         CASE doc_id % 4 WHEN 0 THEN 0 WHEN 1 THEN 60
+                         WHEN 2 THEN 90 ELSE 115 END AS st
+  FROM documents, p WHERE doc_id < m
+), seq AS (
+  SELECT (max(st + len) + 99) // 100 AS n_bins,
+         sum(len) AS tok,
+         sum(CASE WHEN st // 100 != (st + len - 1) // 100
+                  THEN 1 ELSE 0 END) AS split_docs
+  FROM d
+)
+SELECT 'atomic_bfd' AS packer,
+       CAST(n + n // 4 AS BIGINT) AS n_bins,
+       CAST((n + n // 4) * 100 - 125 * n AS BIGINT) AS pad_tokens,
+       CAST(0 AS BIGINT) AS split_docs
+FROM p
+UNION ALL
+SELECT 'split_seq', CAST(n_bins AS BIGINT),
+       CAST(n_bins * 100 - tok AS BIGINT), CAST(split_docs AS BIGINT)
+FROM seq
+ORDER BY packer"""),
 
     "p_s" -> (s"""WITH t AS (
   SELECT doc_id,

@@ -186,6 +186,144 @@ object Packing {
         col("doc_spans"))
   }
 
+  /** DOCUMENT-ATOMIC best-fit-decreasing packing — the least-padding
+    * alternative to [[packSequences]]' splitting stream: every
+    * document lands whole in exactly one `budget`-token window, so no
+    * attention span ever crosses a document boundary, and the padding
+    * that atomicity costs is minimized by the classical BFD heuristic
+    * (items in decreasing length order, each into the fullest bin
+    * that still fits; guaranteed within 11/9·OPT+1 bins of optimal).
+    * A document longer than `budget` cannot be atomic — it raises
+    * loudly ([[packSequences]] is the splitting packer's domain).
+    *
+    * The scalable formulation is HISTOGRAM-STRATEGY packing (the shape
+    * of the published sequence-packing recipes for fixed-context
+    * pretraining): token counts are integers in [1, budget], so the
+    * corpus collapses to a ≤ budget-row length histogram; the BFD
+    * simulation runs driver-side over that histogram with bins held as
+    * CONTIGUOUS-RANGE capacity groups — (capacity, binStart, binCount)
+    * triples, never per-bin state, so the driver footprint is bounded
+    * by the histogram size whatever the corpus size — and emits a
+    * SEGMENT TABLE: for the item ranked `r` within its length class
+    * (class rank = position by ascending doc id), `bin = bin_start +
+    * (r - r_start) div per_bin`. Assignment is then pure arithmetic:
+    * a two-level global rank over (length DESC, id ASC) — the
+    * [[packSequences]] machinery, never a corpus-sized window — minus
+    * the class base, broadcast-joined against the segment table.
+    *
+    * Determinism is engine-exact by construction: ranks are a pure
+    * function of (length, id); the simulation consumes only the
+    * integer histogram; capacity ties break to the LOWEST bin id.
+    * Output: (doc_id, n_tokens, bin) with bin ids dense in
+    * [0, n_bins). Per-bin padding = budget - sum(n_tokens) over the
+    * bin — measured by the `pb` correctness row against the closed
+    * form, never stated. */
+  def packBestFit(df: DataFrame, id: Column, nTokens: Column,
+                  budget: Long, numParts: Int = 0): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val parts = if (numParts > 0) numParts
+      else spark.sessionState.conf.numShufflePartitions
+    val base = df.select(id.cast("long").as("doc_id"),
+        nTokens.cast("long").as("n_tokens"))
+      .where(col("n_tokens") > 0)
+      .select(col("doc_id"),
+        when(col("n_tokens") <= budget, col("n_tokens"))
+          .otherwise(raise_error(concat(
+            lit("packBestFit: doc "), col("doc_id"),
+            lit(s" exceeds the $budget-token budget — an oversized "),
+            lit("document cannot pack atomically; split it with "),
+            lit("packSequences instead")))).as("n_tokens"))
+    // ≤ budget distinct lengths — the bounded collect the whole
+    // formulation exists for
+    val hist = base.groupBy("n_tokens").count()
+      .as[(Long, Long)].collect().sortBy(-_._1)
+    // driver-side BFD over capacity-RANGE groups. State: open ranges
+    // (cap, binStart, binCount); pick = smallest cap >= L, ties to the
+    // lowest binStart. Within a picked range, consecutive items stuff
+    // one bin to its floor(cap/L) capacity before moving to the next —
+    // sound because a just-reduced capacity is strictly below the
+    // picked minimum, hence still the best fit while it holds >= L.
+    case class Seg(len: Long, rStart: Long, rEnd: Long,
+                   binStart: Long, perBin: Long)
+    val segs = Seq.newBuilder[Seg]
+    var open = collection.immutable.TreeSet.empty[(Long, Long, Long)]
+    var nextBin = 0L
+    hist.foreach { case (len, count) =>
+      var k = count
+      var r = 0L
+      while (k > 0) {
+        open.iteratorFrom((len, Long.MinValue, Long.MinValue))
+          .nextOption() match {
+          case Some(range @ (cap, b0, m)) =>
+            val perBin = cap / len
+            val take = math.min(k, m * perBin)
+            segs += Seg(len, r, r + take, b0, perBin)
+            r += take; k -= take
+            open -= range
+            val mFull = take / perBin
+            val remItems = take % perBin
+            if (mFull > 0 && cap - perBin * len > 0)
+              open += ((cap - perBin * len, b0, mFull))
+            if (remItems > 0)
+              open += ((cap - remItems * len, b0 + mFull, 1L))
+            val untouched = m - mFull - (if (remItems > 0) 1L else 0L)
+            if (untouched > 0)
+              open += ((cap, b0 + mFull + (if (remItems > 0) 1L else 0L),
+                untouched))
+          case None =>
+            val perBin = budget / len
+            val newBins = (k + perBin - 1) / perBin
+            segs += Seg(len, r, r + k, nextBin, perBin)
+            val mFull = k / perBin
+            val remItems = k % perBin
+            if (mFull > 0 && budget - perBin * len > 0)
+              open += ((budget - perBin * len, nextBin, mFull))
+            if (remItems > 0)
+              open += ((budget - remItems * len, nextBin + mFull, 1L))
+            nextBin += newBins
+            r += k; k = 0
+        }
+      }
+    }
+    val segDf = segs.result()
+      .map(s => (s.len, s.rStart, s.rEnd, s.binStart, s.perBin))
+      .toDF("n_tokens", "r_start", "r_end", "bin_start", "per_bin")
+    // class base = items in strictly longer classes (histogram cumsum)
+    val bases = hist.scanLeft(("", 0L, 0L)) { case ((_, _, cum), (l, c)) =>
+      ("", cum, cum + c) }.drop(1)
+      .zip(hist).map { case ((_, base, _), (l, _)) => (l, base) }
+    val baseDf = bases.toSeq.toDF("n_tokens", "class_base")
+    // two-level global rank over (length DESC, id ASC) — the
+    // shuffledOrdinal shape; range boundaries are sampled but the RANK
+    // is a pure function of the order, so the result is deterministic
+    val ranged = graft.CacheScope.persistTracked(
+      base.repartitionByRange(parts, col("n_tokens").desc, col("doc_id"))
+        .sortWithinPartitions(col("n_tokens").desc, col("doc_id"))
+        .as[(Long, Long)]
+        .mapPartitions { it =>
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          var i = 0L
+          it.map { case (docId, n) => i += 1; (pid, docId, n, i) }
+        }
+        .toDF("pid", "doc_id", "n_tokens", "local_rank"))
+    val offsets = ranged.groupBy("pid").agg(max("local_rank").as("ptotal"))
+      .withColumn("pbase", coalesce(
+        sum("ptotal").over(Window.orderBy("pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("pid", "pbase")
+    ranged.join(broadcast(offsets), "pid")
+      .withColumn("grank", col("pbase") + col("local_rank") - 1L)
+      .join(broadcast(baseDf), "n_tokens")
+      .withColumn("crank", col("grank") - col("class_base"))
+      .join(broadcast(segDf), Seq("n_tokens"))
+      .where(col("crank") >= col("r_start") && col("crank") < col("r_end"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("bin_start") +
+          expr("(crank - r_start) div per_bin")).as("bin"))
+  }
+
   /** Deterministic global shuffle: the training-order step that
     * precedes packing. Each document's position is its rank under
     * `hash60(seed + ":" + id)` (ties broken by id), so the permutation

@@ -789,6 +789,25 @@ class PlanSpec extends SparkSpec {
     graft.CacheScope.release()
   }
 
+  test("pb best-fit packing: strategy broadcasts, no corpus window, no cartesian") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val q = SparkEntry.queries("pb")(spark, "/root/testdata/sf0.001")
+    val lp = q.queryExecution.optimizedPlan
+    // the only Windows are the two packers' partition-count base-offset
+    // prefix sums (partition-total rows, never corpus rows)
+    val windows = lp.collect { case w: LWindow => w }
+    windows.foreach { w =>
+      assert(w.child.collectFirst { case a: Aggregate => a }.nonEmpty,
+        "global window over non-aggregated rows:\n" + lp)
+    }
+    val p = q.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"),
+      s"strategy/base tables are histogram-sized and must broadcast:\n$p")
+    assert(p.contains("BroadcastHashJoin"), p)
+    graft.CacheScope.release()
+  }
+
   test("history-tag rows mic/mac: history never shuffles, hit set broadcasts back") {
     Seq("mic", "mac").foreach { n =>
       val p = plan(n)

@@ -242,4 +242,89 @@ class PackingSpec extends SparkSpec {
       SCTest.Parameters.default.withMinSuccessfulTests(12), prop)
     assert(res.passed, res.status.toString)
   }
+
+  // straight-line per-item BFD: items by (len desc, id), each into the
+  // open bin with the smallest remaining capacity >= len, capacity
+  // ties to the lowest bin id — the operator's documented tie-breaks,
+  // but none of its histogram/range-group machinery
+  private def refBfd(lens: Seq[(Long, Long)],
+                     budget: Long): Map[Long, Long] = {
+    val rem = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val out = scala.collection.mutable.Map.empty[Long, Long]
+    lens.sortBy { case (id, l) => (-l, id) }.foreach { case (id, l) =>
+      val fits = rem.zipWithIndex.filter(_._1 >= l)
+      if (fits.isEmpty) { rem += (budget - l); out(id) = rem.size - 1L }
+      else {
+        val bi = fits.minBy { case (c, i) => (c, i) }._2
+        rem(bi) -= l; out(id) = bi.toLong
+      }
+    }
+    out.toMap
+  }
+
+  // sequential document-atomic next-fit in id order — the naive
+  // alternative packBestFit exists to beat; returns total pad tokens
+  private def refNextFitPad(lens: Seq[(Long, Long)],
+                            budget: Long): Long = {
+    var bins = 0L; var room = 0L
+    lens.sortBy(_._1).foreach { case (_, l) =>
+      if (l > room) { bins += 1; room = budget }
+      room -= l
+    }
+    bins * budget - lens.map(_._2).sum
+  }
+
+  private def bfdCollect(lens: Seq[(Long, Long)], budget: Long,
+                         parts: Int = 0): Map[Long, Long] = {
+    val got = Packing.packBestFit(lens.toDF("doc_id", "n_tokens"),
+        $"doc_id", $"n_tokens", budget, parts)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    graft.CacheScope.release()
+    got
+  }
+
+  test("packBestFit: hand fixture, invariants, exact straight-line match") {
+    // budget 10, lens 6,6,4,4,3,3,2 — BFD by hand: [6,4] [6,4] [3,3,2]
+    val hand = Seq(0L -> 6L, 1L -> 6L, 2L -> 4L, 3L -> 4L,
+      4L -> 3L, 5L -> 3L, 6L -> 2L)
+    val got = bfdCollect(hand, 10L)
+    assert(got === Map(0L -> 0L, 1L -> 1L, 2L -> 0L, 3L -> 1L,
+      4L -> 2L, 5L -> 2L, 6L -> 2L))
+    // pseudo-random lengths: distributed result == straight-line BFD,
+    // independent of the partition count
+    val lens = (0L until 300L).map(i => (i, i * 37 % 97 + 1))
+    val ref = refBfd(lens, 128L)
+    val a = bfdCollect(lens, 128L, parts = 3)
+    assert(a === ref)
+    assert(bfdCollect(lens, 128L, parts = 7) === ref)
+    // invariants: every doc exactly once, no bin over budget, dense ids
+    val loads = lens.groupMapReduce(kv => a(kv._1))(_._2)(_ + _)
+    assert(a.keySet === lens.map(_._1).toSet)
+    assert(loads.values.forall(_ <= 128L))
+    assert(loads.keySet === (0L until loads.size.toLong).toSet)
+  }
+
+  test("packBestFit: padding beats sequential atomic packing on skew") {
+    // skewed mix: every long doc arrives BEFORE the tiny ones — the
+    // shape where id-order next-fit strands a 38-token hole behind
+    // each long doc that BFD fills with the tinies
+    val lens = (0L until 240L).map(i =>
+      (i, if (i < 120) 90L else i % 13 + 1))
+    val a = bfdCollect(lens, 128L)
+    val loads = lens.groupMapReduce(kv => a(kv._1))(_._2)(_ + _)
+    val bfdPad = loads.size * 128L - lens.map(_._2).sum
+    assert(bfdPad <= refNextFitPad(lens, 128L))
+    assert(bfdPad < refNextFitPad(lens, 128L)) // strictly, on this skew
+  }
+
+  test("packBestFit: an oversized document raises loudly") {
+    val ex = intercept[Exception] {
+      bfdCollect(Seq(1L -> 5L, 2L -> 11L), 10L)
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("packBestFit")), msgs(ex))
+    graft.CacheScope.release()
+  }
 }
