@@ -337,6 +337,41 @@ object Curation {
         alt.as("alt"))
   }
 
+  /** (IMAGE, CAPTION) PAIR ASSEMBLY — the step after [[imageRefs]]
+    * that the LAION-style recipes publish: the extracted references
+    * join the FETCHED image corpus by canonical URL, and the minimal
+    * pair gate (a dims floor against the decoded width/height, a
+    * caption-length floor against the alt text) drops the
+    * placeholder-pixel and no-caption noise before export.
+    *
+    * `refs` is [[imageRefs]]' output (doc_id, ref_idx, img_url, alt);
+    * `images` carries one row per successfully fetched-and-decoded
+    * image: (img_url, width, height, mean_luma) — the
+    * [[Multimodal.pixelsBatched]] stats keyed by the fetch URL. BOTH
+    * sides canonicalize through [[canonicalUrl]] inside the join key
+    * (crawl fetch logs store raw URLs; cosmetic variants of one image
+    * URL must meet), so a reference pairs iff its image was actually
+    * fetched — an unfetched reference drops, the coverage gap every
+    * crawl has.
+    *
+    * Scale shape: one hash shuffle per side on the canonical-url key
+    * (md5-uniform, skew-free) and nothing else — no broadcast
+    * assumption, both sides are corpus-sized at 100 TB. Output:
+    * (doc_id, ref_idx, canonical_url, caption, width, height,
+    * mean_luma). */
+  def imagePairs(refs: DataFrame, images: DataFrame,
+                 minW: Int, minH: Int, minCaptionChars: Int): DataFrame =
+    refs
+      .select(col("doc_id"), col("ref_idx"),
+        canonicalUrl(col("img_url")).as("canonical_url"),
+        col("alt").as("caption"))
+      .join(images.select(canonicalUrl(col("img_url")).as("canonical_url"),
+        col("width"), col("height"), col("mean_luma")), "canonical_url")
+      .where(col("width") >= minW && col("height") >= minH &&
+        length(col("caption")) >= minCaptionChars)
+      .select(col("doc_id"), col("ref_idx"), col("canonical_url"),
+        col("caption"), col("width"), col("height"), col("mean_luma"))
+
   /** URL-SCOPE compliance filter — the allow/deny pass between crawl
     * ingest and dedup (robots/blocklist/domain-scope policies are
     * expressed over hosts and paths; crawl pipelines apply them per

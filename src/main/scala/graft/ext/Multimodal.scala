@@ -1073,13 +1073,19 @@ object Multimodal {
     * pattern with a stock encoder. 18×16 divides the 9×8 grid into
     * 2×2 cells, so the oracle's block means are a 4-pixel integer
     * average of the same closed form. */
-  def synthPngPayload(id: Long): Array[Byte] = {
-    val img = new java.awt.image.BufferedImage(18, 16,
+  def synthPngPayload(id: Long): Array[Byte] =
+    synthPngPayloadSized(id, 18, 16)
+
+  /** [[synthPngPayload]] with free dimensions — the `mp` pair-gate
+    * fixture needs dims that VARY per image so the dims-floor filter
+    * has both sides; the raster closed form is unchanged. */
+  def synthPngPayloadSized(id: Long, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
       java.awt.image.BufferedImage.TYPE_INT_RGB)
     var y = 0
-    while (y < 16) {
+    while (y < h) {
       var x = 0
-      while (x < 18) {
+      while (x < w) {
         val v = ((id * 7 + x * 11 + y * 3) % 256).toInt
         img.setRGB(x, y, (v << 16) | (v << 8) | v)
         x += 1

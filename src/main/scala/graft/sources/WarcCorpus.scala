@@ -298,7 +298,27 @@ object WarcCorpus {
     * WHATWG rule every browser applies), anything else as UTF-8 (the
     * dominant and the fallback encoding; a `<meta charset>` sniff for
     * header-less pages is the documented next step of this seam). */
-  def webDocuments(records: DataFrame): DataFrame = {
+  def webDocuments(records: DataFrame): DataFrame =
+    decodedPages(records).select(
+      graft.ext.Text.hash60(col("target_uri")).as("doc_id"),
+      col("target_uri").as("url"),
+      col("warc_date").as("fetched"),
+      expr("html_text(__page)").as("text"))
+
+  /** The RAW-MARKUP sibling of [[webDocuments]]: same response gate
+    * and charset handling, page kept as decoded HTML instead of
+    * text-extracted — the frame the markup-level passes consume
+    * ([[graft.ext.Curation.imageRefs]] → image-text pairing; link
+    * extraction). Same narrow zero-shuffle projection, so it composes
+    * into the streaming crawl feed identically. */
+  def webPages(records: DataFrame): DataFrame =
+    decodedPages(records).select(
+      graft.ext.Text.hash60(col("target_uri")).as("doc_id"),
+      col("target_uri").as("url"),
+      col("warc_date").as("fetched"),
+      col("__page").as("html"))
+
+  private def decodedPages(records: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(records.sparkSession)
     val charset = regexp_extract(lower(col("http_content_type")),
       "charset=\"?([a-z0-9_\\-]+)", 1)
@@ -315,11 +335,6 @@ object WarcCorpus {
           translate(decode(col("payload"), "ISO-8859-1"),
             Cp1252High, Cp1252Glyphs))
           .otherwise(decode(col("payload"), "UTF-8")))
-      .select(
-        graft.ext.Text.hash60(col("target_uri")).as("doc_id"),
-        col("target_uri").as("url"),
-        col("warc_date").as("fetched"),
-        expr("html_text(__page)").as("text"))
   }
 
   /** The WET (extracted-text) composition — Common Crawl's

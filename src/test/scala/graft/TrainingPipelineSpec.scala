@@ -151,6 +151,85 @@ class TrainingPipelineSpec extends SparkSpec {
     CacheScope.release()
   }
 
+  test("multimodal leg: crawl pages to (image bytes, caption) shards") {
+    graft.functions.GraftFunctions.register(spark)
+    val warcDir = Files.createTempDirectory("graft-e2e-img")
+    // three pages, five img refs: a good absolute-path pair, an
+    // under-dims thumbnail, a protocol-relative CDN pair, a dup URL
+    // with an EMPTY caption, and a reference whose image the crawler
+    // never fetched
+    Files.write(warcDir.resolve("seg.warc"),
+      rec("http://a.example/page1",
+        "<p>intro</p><img src=\"/img/cat.png\" alt=\"a striped cat\">" +
+          "<img src=\"tiny.png\" alt=\"too small\">") ++
+      rec("http://b.example/page2",
+        "<img src=\"//cdn.other.example/dog.png\" alt=\"a good dog\">" +
+          "<img src=\"http://a.example/img/cat.png\" alt=\"\">") ++
+      rec("http://c.example/page3",
+        "<img src=\"/missing.png\" alt=\"this one was never fetched\">"))
+    // crawl → RAW pages (the markup-level sibling of webDocuments)
+    val pages = sources.WarcCorpus.webPages(
+      sources.WarcCorpus.readWarc(spark, warcDir.toString).records)
+    val refs = ext.Curation.imageRefs(pages,
+      col("doc_id"), col("html"), col("url"))
+    assert(refs.count() == 5)
+    // the fetched-image corpus: three real PNGs through the real
+    // pixel decode; tiny.png sits under the dims floor
+    val fetched = Seq(
+      ("http://a.example/img/cat.png", 20, 16),
+      ("http://cdn.other.example/dog.png", 24, 18),
+      ("http://a.example/tiny.png", 8, 8))
+    val media = fetched.zipWithIndex.map { case ((u, w, h), i) =>
+      (i.toLong, u, ext.Multimodal.synthPngPayloadSized(i.toLong, w, h)) }
+    val pix = ext.Multimodal.pixelsBatched(
+      media.map { case (id, _, p) =>
+        ext.Multimodal.MediaRow(id, p, "image/png") }.toDS()).toDF()
+    val images = pix
+      .join(media.map { case (id, u, _) => (id, u) }
+        .toDF("media_id", "img_url"), "media_id")
+      .select(col("img_url"), col("width"), col("height"),
+        col("mean_luma"))
+    val pairs = ext.Curation.imagePairs(refs, images,
+      minW = 10, minH = 10, minCaptionChars = 5)
+    // survivors: the cat (page 1) and the dog (page 2); the thumbnail
+    // fails dims, the dup-URL ref fails the caption floor, the
+    // unfetched ref drops through the inner join
+    val got = pairs.select("canonical_url", "caption").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got === Set(
+      ("a.example/img/cat.png", "a striped cat"),
+      ("cdn.other.example/dog.png", "a good dog")))
+    // export: one WebDataset sample per pair — image bytes beside the
+    // caption under one key, the loader contract of the multimodal
+    // trainers — and round-trip the shard
+    val payloads = media.map { case (_, u, p) => (u, p) }
+      .toDF("img_url", "png")
+      .select(ext.Curation.canonicalUrl(col("img_url"))
+        .as("canonical_url"), col("png"))
+    val samples = pairs.join(payloads, "canonical_url")
+      .select(concat_ws("-", col("doc_id"), col("ref_idx")).as("key"),
+        array(
+          struct(lit("png").as("ext"), col("png").as("data")),
+          struct(lit("txt").as("ext"),
+            encode(col("caption"), "UTF-8").as("data"))).as("parts"))
+    val outDir = Files.createTempDirectory("graft-e2e-wds").toString + "/sh"
+    val shards = sources.WebDataset.write(
+      samples.repartition(1), "key", "parts", outDir)
+    assert(shards.map(_.records).sum == 2L)
+    val back = sources.WebDataset.read(spark, outDir)
+    assert(back.corrupt.count() == 0)
+    val caps = back.samples.select("parts").collect()
+      .map(_.getMap[String, Array[Byte]](0))
+      .map(m => (new String(m("txt"), "UTF-8"), m("png").length)).toSet
+    assert(caps.map(_._1) === Set("a striped cat", "a good dog"))
+    // the image bytes came back verbatim (length check against the
+    // synthesized payloads)
+    val sizes = media.map { case (_, u, p) =>
+      ext.Curation.canonicalUrl(lit(u)) -> p.length }.map(_._2).toSet
+    assert(caps.map(_._2).subsetOf(sizes))
+    CacheScope.release()
+  }
+
   test("SFT leg: conversations gate, flatten, and feed the tokenizer/packer") {
     graft.functions.GraftFunctions.register(spark)
     val clean =
