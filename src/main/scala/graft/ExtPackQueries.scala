@@ -170,20 +170,25 @@ object ExtPackQueries {
             .when(col("doc_id") % 4 === 2, 25L).otherwise(10L))
       val atomic = Packing
         .packBestFit(fx, col("doc_id"), col("len"), budget = 100L)
+      // coalesce: an EMPTY fixture (a corpus under 16 docs clamps to
+      // zero rows) must read 0-bins/0-pad like the oracle's closed
+      // form, not NULL through the global aggregates
       val aStats = atomic.groupBy()
         .agg(countDistinct("bin").as("n_bins"), sum("n_tokens").as("tok"))
         .select(lit("atomic_bfd").as("packer"), col("n_bins"),
-          (col("n_bins") * 100L - col("tok")).as("pad_tokens"),
+          coalesce(col("n_bins") * 100L - col("tok"), lit(0L))
+            .as("pad_tokens"),
           lit(0L).as("split_docs"))
       val split = Packing
         .packSequences(fx, col("doc_id"), col("len"), budget = 100L)
       val sStats = split.groupBy()
-        .agg((max("last_bin") + 1L).as("n_bins"),
+        .agg(coalesce(max("last_bin") + 1L, lit(0L)).as("n_bins"),
           sum("n_tokens").as("tok"),
-          sum(when(col("first_bin") =!= col("last_bin"), 1L)
-            .otherwise(0L)).as("split_docs"))
+          coalesce(sum(when(col("first_bin") =!= col("last_bin"), 1L)
+            .otherwise(0L)), lit(0L)).as("split_docs"))
         .select(lit("split_seq").as("packer"), col("n_bins"),
-          (col("n_bins") * 100L - col("tok")).as("pad_tokens"),
+          coalesce(col("n_bins") * 100L - col("tok"), lit(0L))
+            .as("pad_tokens"),
           col("split_docs"))
       aStats.unionByName(sStats).orderBy("packer")
     }),
@@ -256,7 +261,7 @@ object ExtPackQueries {
     // EPOCH SHARD LAYOUT: the seeded permutation feeding the packer —
     // documents concatenate in hash(seed,id) order, so first_bin is
     // each doc's trainer shard for THIS epoch; a different seed
-    // (epoch1 here vs p_sh's epoch0) is a fresh layout with zero state.
+    // (epoch1 here vs ps's epoch0) is a fresh layout with zero state.
     "p_e" -> ((s, d) => {
       val toks = TextAnalysis
         .tokenStats(Tables.documents(s, d), col("text"), col("doc_id"))
@@ -520,10 +525,10 @@ FROM r ORDER BY grp"""),
                          WHEN 2 THEN 90 ELSE 115 END AS st
   FROM documents, p WHERE doc_id < m
 ), seq AS (
-  SELECT (max(st + len) + 99) // 100 AS n_bins,
-         sum(len) AS tok,
-         sum(CASE WHEN st // 100 != (st + len - 1) // 100
-                  THEN 1 ELSE 0 END) AS split_docs
+  SELECT coalesce((max(st + len) + 99) // 100, 0) AS n_bins,
+         coalesce(sum(len), 0) AS tok,
+         coalesce(sum(CASE WHEN st // 100 != (st + len - 1) // 100
+                  THEN 1 ELSE 0 END), 0) AS split_docs
   FROM d
 )
 SELECT 'atomic_bfd' AS packer,
@@ -582,7 +587,7 @@ SELECT bin, doc_id,
        least(end_off, (bin + 1) * 512) - greatest(start_off, bin * 512) AS len
 FROM e ORDER BY bin, bin_off"""),
 
-    // Mirror of materializeBins over the p_sl slice arithmetic: every
+    // Mirror of materializeBins over the pl slice arithmetic: every
     // token id re-derived as doc_id·10⁵ + doc_off + s + 1 at window
     // position bin_off + s, fingerprinted with the same positional
     // weights as the Spark side's padded array (pad id 0 contributes
@@ -690,7 +695,7 @@ SELECT doc_id, key, txt_entry, js_entry, cks_txt, cks_js,
 FROM c ORDER BY doc_id"""),
 
     // p_s's packing arithmetic over the EPOCH order: ordinals from the
-    // seeded hash permutation (p_sh's closed form at seed epoch1),
+    // seeded hash permutation (ps's closed form at seed epoch1),
     // prefix sums over ord instead of doc_id.
     "p_e" -> (s"""WITH t AS (
   SELECT doc_id,

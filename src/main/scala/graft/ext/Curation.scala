@@ -354,8 +354,17 @@ object Curation {
     * fetched — an unfetched reference drops, the coverage gap every
     * crawl has.
     *
+    * The images side aggregates to ONE row per canonical key before
+    * the join: a fetch log that holds several raw-URL variants of one
+    * image (www/no-www, tracking params) must not duplicate every
+    * pair that references it, so variants collapse to the
+    * lexicographically-least (width, height, mean_luma) triple — a
+    * deterministic keeper, and in practice identical rows since the
+    * variants are the same bytes.
+    *
     * Scale shape: one hash shuffle per side on the canonical-url key
-    * (md5-uniform, skew-free) and nothing else — no broadcast
+    * (md5-uniform, skew-free; the images-side partial agg rides the
+    * same exchange the join needs) and nothing else — no broadcast
     * assumption, both sides are corpus-sized at 100 TB. Output:
     * (doc_id, ref_idx, canonical_url, caption, width, height,
     * mean_luma). */
@@ -365,8 +374,15 @@ object Curation {
       .select(col("doc_id"), col("ref_idx"),
         canonicalUrl(col("img_url")).as("canonical_url"),
         col("alt").as("caption"))
-      .join(images.select(canonicalUrl(col("img_url")).as("canonical_url"),
-        col("width"), col("height"), col("mean_luma")), "canonical_url")
+      .join(images
+        .select(canonicalUrl(col("img_url")).as("canonical_url"),
+          col("width"), col("height"), col("mean_luma"))
+        .groupBy("canonical_url")
+        .agg(min(struct(col("width"), col("height"), col("mean_luma")))
+          .as("__s"))
+        .select(col("canonical_url"), col("__s.width").as("width"),
+          col("__s.height").as("height"),
+          col("__s.mean_luma").as("mean_luma")), "canonical_url")
       .where(col("width") >= minW && col("height") >= minH &&
         length(col("caption")) >= minCaptionChars)
       .select(col("doc_id"), col("ref_idx"), col("canonical_url"),

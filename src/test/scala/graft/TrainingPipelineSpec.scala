@@ -189,11 +189,18 @@ class TrainingPipelineSpec extends SparkSpec {
         .toDF("media_id", "img_url"), "media_id")
       .select(col("img_url"), col("width"), col("height"),
         col("mean_luma"))
-    val pairs = ext.Curation.imagePairs(refs, images,
+    // a fetch-log VARIANT of the cat image (www + tracking param, same
+    // canonical) — imagePairs must collapse it, not duplicate the pair
+    val imagesWithVariant = images.union(
+      Seq(("http://www.a.example/img/cat.png?utm_source=x", 20, 16, 255))
+        .toDF("img_url", "width", "height", "mean_luma"))
+    val pairs = ext.Curation.imagePairs(refs, imagesWithVariant,
       minW = 10, minH = 10, minCaptionChars = 5)
     // survivors: the cat (page 1) and the dog (page 2); the thumbnail
     // fails dims, the dup-URL ref fails the caption floor, the
-    // unfetched ref drops through the inner join
+    // unfetched ref drops through the inner join, and the cat's
+    // raw-URL variant collapsed instead of duplicating
+    assert(pairs.count() == 2)
     val got = pairs.select("canonical_url", "caption").collect()
       .map(r => (r.getString(0), r.getString(1))).toSet
     assert(got === Set(
@@ -220,13 +227,13 @@ class TrainingPipelineSpec extends SparkSpec {
     assert(back.corrupt.count() == 0)
     val caps = back.samples.select("parts").collect()
       .map(_.getMap[String, Array[Byte]](0))
-      .map(m => (new String(m("txt"), "UTF-8"), m("png").length)).toSet
-    assert(caps.map(_._1) === Set("a striped cat", "a good dog"))
-    // the image bytes came back verbatim (length check against the
-    // synthesized payloads)
-    val sizes = media.map { case (_, u, p) =>
-      ext.Curation.canonicalUrl(lit(u)) -> p.length }.map(_._2).toSet
-    assert(caps.map(_._2).subsetOf(sizes))
+      .map(m => (new String(m("txt"), "UTF-8"), m("png").toSeq)).toSet
+    // each caption came back beside ITS OWN image's exact bytes — a
+    // swapped pairing (cat caption on dog bytes) must fail
+    val pngByUrl = media.map { case (_, u, p) => u -> p.toSeq }.toMap
+    assert(caps === Set(
+      ("a striped cat", pngByUrl("http://a.example/img/cat.png")),
+      ("a good dog", pngByUrl("http://cdn.other.example/dog.png"))))
     CacheScope.release()
   }
 

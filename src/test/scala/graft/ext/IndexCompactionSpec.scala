@@ -355,6 +355,35 @@ class IndexCompactionSpec extends SparkSpec {
       assert(StoreCompaction.isApplied(spark, root, b), s"batch $b"))
   }
 
+  test("pre-r19 _watermark_tmp crash debris recovers and retires") {
+    // a store crashed under the OLD build between its watermark delete
+    // and rename: `_watermark_tmp` holds the ONLY copy of the
+    // folded-prefix value (the loss case the value-named form closes
+    // going forward) — the content must read as a watermark, replay
+    // must no-op on it, and the next roll-up must retire the debris
+    val root = Files.createTempDirectory("graft-cmp-tmp").toString + "/store"
+    def append(b: Long) = Similarity.appendB1Codes(
+      Seq((10L + b, v(1, -1, 1, -1))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", root, batchId = b)
+    Similarity.writeB1Codes(
+      Seq((1L, v(1, 1, 1, 1))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", root)
+    val mdir = new java.io.File(s"$root/_applied_batches")
+    assert(mdir.mkdirs())
+    java.nio.file.Files.write(
+      new java.io.File(mdir, "_watermark_tmp").toPath,
+      "1".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    assert(StoreCompaction.isApplied(spark, root, 1L))
+    assert(!StoreCompaction.isApplied(spark, root, 2L))
+    assert(!append(1L))
+    assert(append(2L))
+    Similarity.compactCodes(spark, root)
+    def markerNames() = mdir.list().filterNot(_.startsWith(".")).toSet
+    assert(markerNames() === Set("_watermark_2"))
+    assert(!append(1L))
+    assert(!append(2L))
+  }
+
   test("legacy content-named watermark still reads, upgrades on roll-up") {
     val root = Files.createTempDirectory("graft-cmp-leg").toString + "/store"
     def append(b: Long) = Similarity.appendB1Codes(
