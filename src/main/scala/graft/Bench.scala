@@ -342,7 +342,7 @@ object Bench {
     // family stays an explicit set
     else if (name.startsWith("p_") || name.startsWith("s_") ||
       name.startsWith("pipe_") || name.startsWith("wds") ||
-      Set("una", "wpa", "pc", "pf", "ps", "pl", "pb",
+      Set("una", "wpa", "pc", "pf", "ps", "pl", "pb", "pm",
         "sc", "se", "sl", "sm", "sp", "sr", "ss", "st", "sw")
         .contains(name)) "pack"
     // the r15 graph rows shard with the relational analytics (their

@@ -161,13 +161,7 @@ object ExtPackQueries {
     // splits) and re-derives the splitting packer's stats from the
     // id-order prefix arithmetic — simulation-blind on both sides.
     "pb" -> ((s, d) => {
-      val docs = Tables.documents(s, d).select(col("doc_id"))
-      val m = docs.count() / 16 * 16
-      val fx = docs.where(col("doc_id") < m)
-        .withColumn("len",
-          when(col("doc_id") % 4 === 0, 60L)
-            .when(col("doc_id") % 4 === 1, 30L)
-            .when(col("doc_id") % 4 === 2, 25L).otherwise(10L))
+      val fx = bfdFixture(s, d)
       val atomic = Packing
         .packBestFit(fx, col("doc_id"), col("len"), budget = 100L)
       // coalesce: an EMPTY fixture (a corpus under 16 docs clamps to
@@ -191,6 +185,34 @@ object ExtPackQueries {
             .as("pad_tokens"),
           col("split_docs"))
       aStats.unionByName(sStats).orderBy("packer")
+    }),
+
+    // The trainer-facing materialization of the ATOMIC layout
+    // (materializeAtomicBins over packBestFit's bins), reduced to
+    // per-bin fingerprints — the p_a convention on the atomic tier.
+    // input_ids are the closed form doc_id·10⁵ + t, and the oracle
+    // re-derives every window from the BFD outcome's closed-form
+    // membership (bin b < n holds docs 4b/4b+1/4b+3 at offsets
+    // 0/60/90; bin n+j holds 16j+2, 16j+6, 16j+10, 16j+14 at 25-token
+    // strides) — so a drift in the packer's assignment, the window
+    // order, the span offsets, or the padding breaks the row.
+    "pm" -> ((s, d) => {
+      val fx = bfdFixture(s, d)
+      val assign = Packing
+        .packBestFit(fx, col("doc_id"), col("len"), budget = 100L)
+      val ids = fx.select(col("doc_id"),
+        expr("transform(sequence(1, CAST(len AS INT)), " +
+          "t -> doc_id * 100000L + CAST(t AS BIGINT))").as("input_ids"))
+      Packing.materializeAtomicBins(assign, ids, budget = 100L)
+        .select(col("bin"), col("n_tokens"), col("n_pad"), col("n_docs"),
+          expr("aggregate(zip_with(input_ids, " +
+            "sequence(1, size(input_ids)), " +
+            "(x, k) -> x * CAST(k AS BIGINT)), 0L, (a, v) -> a + v)")
+            .as("ids_fp"),
+          expr("aggregate(transform(doc_spans, " +
+            "s -> s.doc_id * (s.off + 1L) + s.len), 0L, (a, v) -> a + v)")
+            .as("spans_fp"))
+        .orderBy("bin")
     }),
 
     // The trainer-facing materialization of the p_s layout: every
@@ -346,6 +368,20 @@ object ExtPackQueries {
         .orderBy("doc_id")
     }),
   )
+
+  /** The pb/pm BFD fixture: doc count clamped to a multiple of 16,
+    * lengths 60/30/25/10 by doc_id % 4 at budget 100 — each class
+    * equally sized with n % 4 = 0, so the BFD outcome is closed-form
+    * (n bins of 60+30+10 + n/4 bins of 4×25, zero pad). */
+  private def bfdFixture(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"))
+    val m = docs.count() / 16 * 16
+    docs.where(col("doc_id") < m)
+      .withColumn("len",
+        when(col("doc_id") % 4 === 0, 60L)
+          .when(col("doc_id") % 4 === 1, 30L)
+          .when(col("doc_id") % 4 === 2, 25L).otherwise(10L))
+  }
 
   val oracles: Map[String, String] = Map(
 
@@ -541,6 +577,40 @@ SELECT 'split_seq', CAST(n_bins AS BIGINT),
        CAST(n_bins * 100 - tok AS BIGINT), CAST(split_docs AS BIGINT)
 FROM seq
 ORDER BY packer"""),
+
+    // Mirror of pm: every atomic window re-derived from the BFD
+    // outcome's closed-form membership — per doc: class t = id % 4,
+    // class rank r = id // 4; bin = r for the 60/30/10 classes and
+    // n + r // 4 for the 25s; in-window offset 0/60/90 for the
+    // 60/30/10 stack and a 25-token stride for the 25s. Fingerprints
+    // in the p_a convention (Σ tid·(pos+1); Σ doc_id·(off+1)+len) —
+    // materialization-blind.
+    "pm" -> ("""WITH p AS (
+  SELECT count(*) // 16 * 16 AS m, count(*) // 16 * 4 AS n FROM documents
+), d AS (
+  SELECT doc_id, doc_id % 4 AS t, doc_id // 4 AS r,
+         CASE doc_id % 4 WHEN 0 THEN 60 WHEN 1 THEN 30
+                         WHEN 2 THEN 25 ELSE 10 END AS len,
+         CASE doc_id % 4 WHEN 2 THEN n + (doc_id // 4) // 4
+                         ELSE doc_id // 4 END AS bin,
+         CASE doc_id % 4 WHEN 0 THEN 0 WHEN 1 THEN 60 WHEN 3 THEN 90
+                         ELSE 25 * ((doc_id // 4) % 4) END AS off
+  FROM documents, p WHERE doc_id < m
+), tok AS (
+  SELECT bin, off + s AS pos0, doc_id * 100000 + s + 1 AS tid
+  FROM (SELECT bin, doc_id, off, len, unnest(range(len)) AS s FROM d)
+), ag AS (
+  SELECT bin, CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(sum(tid * (pos0 + 1)) AS BIGINT) AS ids_fp
+  FROM tok GROUP BY bin
+), sp AS (
+  SELECT bin, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(doc_id * (off + 1) + len) AS BIGINT) AS spans_fp
+  FROM d GROUP BY bin
+)
+SELECT ag.bin, ag.n_tokens, CAST(100 - ag.n_tokens AS BIGINT) AS n_pad,
+       sp.n_docs, ag.ids_fp, sp.spans_fp
+FROM ag JOIN sp USING (bin) ORDER BY bin"""),
 
     "p_s" -> (s"""WITH t AS (
   SELECT doc_id,

@@ -105,7 +105,7 @@ object ExtTextQueries {
           col("doc_id"), k = 5)
         .orderBy("doc_id", "rn")),
 
-    "ppl" -> ((s, d) =>
+    "px" -> ((s, d) =>
       TextAnalysis.lmSurprisal(Tables.documents(s, d), col("text"),
           col("doc_id"))
         .orderBy("doc_id")),
@@ -113,7 +113,7 @@ object ExtTextQueries {
     // CCNet's head/middle/tail perplexity split per language — value
     // thresholds at the 1/3 and 2/3 cumulative cuts of each language's
     // integer ppl distribution.
-    "ppc" -> ((s, d) =>
+    "py" -> ((s, d) =>
       TextAnalysis.pplBuckets(Tables.documents(s, d), col("text"),
           col("doc_id"), col("lang"))
         .orderBy("doc_id")),
@@ -159,7 +159,7 @@ object ExtTextQueries {
     // emit the exact integer segmentation statistics (token count,
     // quarter-bit cost, position-weighted piece fingerprint) — the
     // cross-engine-checkable surface of learn+encode.
-    "uni" -> ((s, d) => {
+    "ui" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val model = Unigram.learn(docs, col("text"), vocabSize = 2000)
       Unigram.tokStats(docs, col("doc_id"), col("text"), model)
@@ -224,7 +224,7 @@ object ExtTextQueries {
     // JSON on % 17 — trailing garbage after the root value wouldn't
     // break Jackson), then REALLY parsed back and validated — the
     // oracle prices the closed form, JSON-blind (the mv move).
-    "cht" -> ((s, d) =>
+    "ct" -> ((s, d) =>
       Chat.stats(synthChatConv(Tables.documents(s, d)), col("conv"),
         col("doc_id")).orderBy("doc_id")),
 
@@ -238,7 +238,7 @@ object ExtTextQueries {
     // Preference-pair (DPO) validation over synthesized (chosen,
     // rejected) pairs: shared-prompt defect on id % 11, rejected-ends-
     // with-user defect on % 7, truncated rejected JSON on % 17.
-    "prf" -> ((s, d) =>
+    "pz" -> ((s, d) =>
       Chat.prefStats(synthPrefPairs(Tables.documents(s, d)),
         col("chosen"), col("rejected"), col("doc_id")).orderBy("pair_id")),
 
@@ -260,7 +260,7 @@ object ExtTextQueries {
     // PMI collocations: top-30 adjacent word pairs by integer-bit
     // pointwise mutual information (joint-vs-independent ratio on the
     // exact count grid), pairs seen >= 5 times.
-    "pmi" -> ((s, d) =>
+    "pn" -> ((s, d) =>
       TextAnalysis.pmiCollocations(Tables.documents(s, d), col("text"),
         k = 30, minCount = 5L)),
 
@@ -276,7 +276,7 @@ object ExtTextQueries {
     // Sliding-window chunking: 32-word windows every 24 words (8-word
     // overlap) — the long-doc → context-window splitter; closed-form
     // integer chunk arithmetic, oracle reproduces it exactly.
-    "chk" -> ((s, d) =>
+    "ch" -> ((s, d) =>
       Curation.chunkByWords(Tables.documents(s, d), col("text"),
           col("doc_id"), sizeWords = 32, strideWords = 24)
         .orderBy("doc_id", "chunk_idx")),
@@ -329,7 +329,7 @@ object ExtTextQueries {
     // anchored host allowlist (admits t0/1/4/5/6), a cdn host denylist
     // and an /a/ path denylist (kick t0/t1 back out) — in_scope lands
     // true only for t4/t5/t6, exercising all three predicate slots.
-    "usc" -> ((s, d) =>
+    "us" -> ((s, d) =>
       Curation.urlScope(Tables.documents(s, d), synthCrawlUrl, col("doc_id"),
           allowHostRe =
             "^(example\\.com|news\\.example\\.org|shop\\.example\\.com)$",
@@ -365,7 +365,7 @@ object ExtTextQueries {
     // numeric entities, unknown-entity passthrough, quoted '>' inside
     // attributes, and self-closed <br/>. The oracle states each
     // template's expected extraction as a literal.
-    "htm" -> ((s, d) => {
+    "hm" -> ((s, d) => {
       graft.functions.GraftFunctions.register(s)
       val h = (col("doc_id") % 100).cast("string")
       val t = col("doc_id") % 4
@@ -407,7 +407,7 @@ object ExtTextQueries {
     // for 2/3 of documents (the fixture has no digits at all — an
     // unsalted row would be a vacuous zero-count pass-through); the
     // remaining third exercises the untouched path.
-    "pii" -> ((s, d) =>
+    "pi" -> ((s, d) =>
       Curation.redactPii(piiDocs(Tables.documents(s, d)), col("text"),
         col("doc_id")).orderBy("doc_id")),
 
@@ -839,7 +839,7 @@ FROM s GROUP BY doc_id ORDER BY doc_id"""),
     // vocabulary invalid (the DP never proposes one) and costing 1-cp
     // misses at 160 qb per UTF-8 byte. fp = Σ (h60(piece) mod 10⁶)·pi
     // over the winner's pieces, pi 1-based within the chunk.
-    "uni" -> (s"""WITH dw AS (
+    "ui" -> (s"""WITH dw AS (
   SELECT doc_id, wd
   FROM (SELECT doc_id,
           unnest(string_split_regex(lower(text), '\\s+')) AS wd
@@ -1004,14 +1004,14 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
          AS BIGINT) AS n_fallback
 FROM pos GROUP BY doc_id ORDER BY doc_id"""),
 
-    "ppl" -> (PplCte + """
+    "px" -> (PplCte + """
 SELECT doc_id, n_bigrams, bits_sum, ppl_pm
 FROM pp ORDER BY doc_id"""),
 
     // Mirror of pplBuckets: the text_ppl chain, per-(lang, ppl_pm)
     // frequency table, cumulative cuts at 1/3 and 2/3 of each
     // language, value-threshold tier assignment.
-    "ppc" -> (PplCte + """, sc AS (
+    "py" -> (PplCte + """, sc AS (
   SELECT pp.doc_id, d.lang, pp.ppl_pm
   FROM pp JOIN documents d USING (doc_id)
 ), fr AS (
@@ -1051,7 +1051,7 @@ FROM r WHERE rn <= 5 ORDER BY doc_id, rn"""),
 
     // chunk count 1 + ceil(max(0, n-32)/24); DuckDB's inclusive list
     // slice words[a : a+31] mirrors Spark's slice(words, a, 32)
-    "chk" -> ("""WITH w AS (
+    "ch" -> ("""WITH w AS (
   SELECT doc_id, string_split_regex(trim(text), ' +') AS words
   FROM documents WHERE length(trim(text)) > 0
 ), c AS (
@@ -1135,7 +1135,7 @@ WHERE rnk <= 10 ORDER BY q_id, rnk"""),
     // ceil-div, roles by parity, content chars = word chars + intra-turn
     // spaces (+27 system / +2 'hi'), render_fp = md5 of the template
     // string rebuilt turn-by-turn; % 17 rows quarantine to nulls.
-    "cht" -> ("""WITH w AS (
+    "ct" -> ("""WITH w AS (
   SELECT doc_id, string_split_regex(trim(text), ' +') AS ws FROM documents
 ), base AS (
   SELECT doc_id, ws, CAST(len(ws) AS BIGINT) AS nw,
@@ -1213,7 +1213,7 @@ SELECT doc_id, CAST(turn_idx AS BIGINT) AS turn_idx,
 FROM sp WHERE role = 'assistant'
 ORDER BY doc_id, turn_idx"""),
 
-    "prf" -> ("""SELECT doc_id AS pair_id,
+    "pz" -> ("""SELECT doc_id AS pair_id,
   NOT (doc_id % 17 = 0) AS pair_ok,
   CASE WHEN doc_id % 17 = 0 THEN NULL
        ELSE NOT (doc_id % 7 = 0) END AS ends_asst,
@@ -1251,7 +1251,7 @@ FROM p ORDER BY doc_id"""),
 
     // Mirror of TextAnalysis.pmiCollocations: adjacent pairs by
     // position join, integer-bit PMI, (pmi, count, pair) total order.
-    "pmi" -> ("""WITH w AS (
+    "pn" -> ("""WITH w AS (
   SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws
   FROM documents
 ), pos AS (
@@ -1312,7 +1312,7 @@ SELECT doc_id,
   END AS canonical_url
 FROM f ORDER BY doc_id"""),
 
-    "usc" -> ("""WITH f AS (
+    "us" -> ("""WITH f AS (
   SELECT doc_id, doc_id % 8 AS t, CAST(doc_id % 100 AS VARCHAR) AS h
   FROM documents
 )
@@ -1397,7 +1397,7 @@ FROM f ORDER BY doc_id"""),
 
     // Each html_text template's EXPECTED extraction, stated as a
     // literal (chr(10) = the block-boundary newline, chr(233) = é).
-    "htm" -> ("""WITH f AS (
+    "hm" -> ("""WITH f AS (
   SELECT doc_id, doc_id % 4 AS t, CAST(doc_id % 100 AS VARCHAR) AS h
   FROM documents
 )
@@ -1427,7 +1427,7 @@ FROM f ORDER BY doc_id"""),
     // Mirror of piiDocs + Curation.redactPii. Counts on the original
     // text; replacements email -> ip -> phone with the 'g' flag (DuckDB
     // replaces only the first match otherwise).
-    "pii" -> (s"""WITH p AS (
+    "pi" -> (s"""WITH p AS (
   SELECT doc_id,
          text || CASE WHEN doc_id % 3 <> 0
            THEN ' reach u' || CAST(doc_id AS VARCHAR)

@@ -146,23 +146,7 @@ object Packing {
     // fence still costs one exchange of the narrow ids frame.
     // size(NULL) is null, so the missing-doc case falls through the
     // `when`s to the error.
-    val checked = packed.select(col("doc_id"), col("n_tokens"))
-      .join(ids.select(col("doc_id"), col("input_ids"))
-          .groupBy("doc_id")
-          .agg(count(lit(1)).as("__dup"), first("input_ids").as("input_ids")),
-        Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        when(col("__dup") > 1, raise_error(concat(
-            lit("materializeBins: doc "), col("doc_id"),
-            lit(" appears more than once in ids — every doc_id must "),
-            lit("carry exactly one tokenized array"))))
-          .when(size(col("input_ids")) === col("n_tokens").cast("int"),
-            col("input_ids"))
-          .otherwise(raise_error(concat(
-            lit("materializeBins: input_ids of doc "), col("doc_id"),
-            lit(" are missing or do not match the packed layout's "),
-            lit("token count — re-pack from the same tokenizer output"))))
-          .as("input_ids"))
+    val checked = fencedIds(packed, ids, "materializeBins")
     val chunk = expr("slice(input_ids, CAST(doc_off + 1 AS INT), " +
       "CAST(len AS INT))")
     val guarded = binSlices(packed, budget)
@@ -322,6 +306,76 @@ object Packing {
       .select(col("doc_id"), col("n_tokens"),
         (col("bin_start") +
           expr("(crank - r_start) div per_bin")).as("bin"))
+  }
+
+  /** The four-shape tokenizer-drift fence shared by both window
+    * materializations: every doc in `layout` (doc_id, n_tokens) must
+    * appear in `ids` exactly once with exactly the layout's token
+    * count — missing, longer, shorter and DUPLICATED doc_ids all
+    * raise loudly per document (see [[materializeBins]]' scaladoc for
+    * why each silent alternative corrupts windows). Returns the
+    * fenced (doc_id, input_ids). */
+  private def fencedIds(layout: DataFrame, ids: DataFrame,
+                        who: String): DataFrame =
+    layout.select(col("doc_id"), col("n_tokens"))
+      .join(ids.select(col("doc_id"), col("input_ids"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("__dup"), first("input_ids").as("input_ids")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("__dup") > 1, raise_error(concat(
+            lit(s"$who: doc "), col("doc_id"),
+            lit(" appears more than once in ids — every doc_id must "),
+            lit("carry exactly one tokenized array"))))
+          .when(size(col("input_ids")) === col("n_tokens").cast("int"),
+            col("input_ids"))
+          .otherwise(raise_error(concat(
+            lit(s"$who: input_ids of doc "), col("doc_id"),
+            lit(" are missing or do not match the packed layout's "),
+            lit("token count — re-pack from the same tokenizer output"))))
+          .as("input_ids"))
+
+  /** The trainer-facing materialization of a [[packBestFit]] layout —
+    * [[materializeBins]]' sibling for DOCUMENT-ATOMIC windows: each
+    * bin becomes one fixed-length `input_ids` row holding its whole
+    * documents in ascending doc-id order, padded with `padId` to
+    * `budget` (atomic packing pads EVERY non-full window — that is
+    * the cost [[packBestFit]] minimizes), plus the same `doc_spans`
+    * loss-mask sidecar (off = the document's token offset inside the
+    * window). `assign` is [[packBestFit]]'s (doc_id, n_tokens, bin);
+    * `ids` carries each document's tokenized array under the same
+    * four-shape drift fence as [[materializeBins]].
+    *
+    * Scale shape: the fence join and the assignment join share the
+    * uniform doc_id hash; window assembly shuffles rows already cut
+    * to ≤ budget tokens keyed by the dense `bin` id; per-window order
+    * is a budget-bounded `sort_array`; the span offsets are a
+    * per-window prefix sum over the ≤ budget-token struct list —
+    * never a window function, nothing corpus-sized. */
+  def materializeAtomicBins(assign: DataFrame, ids: DataFrame,
+                            budget: Long, padId: Long = 0L): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val checked = fencedIds(assign, ids, "materializeAtomicBins")
+    assign.select(col("bin"), col("doc_id"), col("n_tokens"))
+      .join(checked, "doc_id")
+      .groupBy("bin")
+      .agg(sort_array(collect_list(struct(col("doc_id"),
+        col("n_tokens"), col("input_ids")))).as("sl"))
+      .select(col("bin"),
+        expr("flatten(transform(sl, s -> s.input_ids))").as("toks"),
+        // off = sum of the preceding docs' lengths — a per-window
+        // scan over a ≤ budget-token list (slice(sl, 1, 0) = empty)
+        expr("transform(sl, (s, i) -> struct(s.doc_id AS doc_id, " +
+          "aggregate(slice(sl, 1, i), 0L, (a, x) -> a + x.n_tokens) " +
+          "AS off, s.n_tokens AS len))").as("doc_spans"))
+      .select(col("bin"),
+        concat(col("toks"), expr(
+          s"array_repeat(${padId}L, CAST(${budget}L - size(toks) AS INT))"))
+          .as("input_ids"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        (lit(budget) - size(col("toks"))).cast("long").as("n_pad"),
+        size(col("doc_spans")).cast("long").as("n_docs"),
+        col("doc_spans"))
   }
 
   /** Deterministic global shuffle: the training-order step that

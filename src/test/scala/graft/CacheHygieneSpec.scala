@@ -19,6 +19,7 @@ class CacheHygieneSpec extends SparkSpec {
     "p_c", // sentence chunks through the packer (persistTracked ranged frame)
     "p_a", // materializeBins rides packSequences' persisted ranged frame
     "pb",  // packBestFit's rank frame + packSequences' ranged frame
+    "pm",  // materializeAtomicBins over packBestFit's rank frame
     "vkm", "vr",
     "hmx", // tagNearB1Codes persists the batch codes
     "cdc", // capped ngramContamination persists the exploded + capped shingle frames

@@ -99,7 +99,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("ppl_cut: thresholds broadcast; no corpus-keyed window anywhere") {
-    val p = plan("ppc")
+    val p = plan("py")
     // the #languages-row thresholds frame joins the scored stream as a
     // broadcast; the only windows run over the bounded (lang, ppl_pm)
     // frequency table — lang-keyed ntile over the corpus would be a
@@ -228,7 +228,7 @@ class PlanSpec extends SparkSpec {
     // per-document: split + HOF filters, nothing corpus-wide.
     // robots (per-host rule chain) and msc (scene-cut decode) join
     // the family: the verdict/segmentation is computed per document.
-    for (q <- Seq("url", "un", "htm", "chk",
+    for (q <- Seq("url", "un", "hm", "ch",
         "mv", "mav", "sr", "gph", "c4", "gr",
         "sec", "rob", "msc", "cq")) {
       val p = plan(q)
@@ -595,7 +595,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("pii redaction: narrow per-row map — no join, no window, only the sort exchange") {
-    val p = plan("pii")
+    val p = plan("pi")
     assert(!p.contains("Join") && !p.contains("Window"),
       s"redaction must stay per-row:\n$p")
     assert(count(p, "Exchange") == 1, // the final orderBy only
@@ -789,23 +789,25 @@ class PlanSpec extends SparkSpec {
     graft.CacheScope.release()
   }
 
-  test("pb best-fit packing: strategy broadcasts, no corpus window, no cartesian") {
+  test("pb/pm best-fit rows: strategy broadcasts, no corpus window, no cartesian") {
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
-    val q = SparkEntry.queries("pb")(spark, "/root/testdata/sf0.001")
-    val lp = q.queryExecution.optimizedPlan
-    // the only Windows are the two packers' partition-count base-offset
-    // prefix sums (partition-total rows, never corpus rows)
-    val windows = lp.collect { case w: LWindow => w }
-    windows.foreach { w =>
-      assert(w.child.collectFirst { case a: Aggregate => a }.nonEmpty,
-        "global window over non-aggregated rows:\n" + lp)
+    Seq("pb", "pm").foreach { n =>
+      val q = SparkEntry.queries(n)(spark, "/root/testdata/sf0.001")
+      val lp = q.queryExecution.optimizedPlan
+      // the only Windows are the packers' partition-count base-offset
+      // prefix sums (partition-total rows, never corpus rows)
+      val windows = lp.collect { case w: LWindow => w }
+      windows.foreach { w =>
+        assert(w.child.collectFirst { case a: Aggregate => a }.nonEmpty,
+          s"$n: global window over non-aggregated rows:\n" + lp)
+      }
+      val p = q.queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), s"$n:\n$p")
+      assert(!p.contains("SortMergeJoin"),
+        s"$n: strategy/base tables are histogram-sized and must broadcast:\n$p")
+      assert(p.contains("BroadcastHashJoin"), s"$n:\n$p")
+      graft.CacheScope.release()
     }
-    val p = q.queryExecution.executedPlan.toString
-    assert(!p.contains("CartesianProduct"), p)
-    assert(!p.contains("SortMergeJoin"),
-      s"strategy/base tables are histogram-sized and must broadcast:\n$p")
-    assert(p.contains("BroadcastHashJoin"), p)
-    graft.CacheScope.release()
   }
 
   test("history-tag rows mic/mac: history never shuffles, hit set broadcasts back") {

@@ -317,6 +317,43 @@ class PackingSpec extends SparkSpec {
     assert(bfdPad < refNextFitPad(lens, 128L)) // strictly, on this skew
   }
 
+  test("materializeAtomicBins: whole docs per window, spans, tail pads") {
+    // the hand BFD fixture: budget 10, lens 6,6,4,4,3,3,2 →
+    // bins [6,4] [6,4] [3,3,2]; ids are the closed form doc_id·100+t
+    val lens = Seq(0L -> 6L, 1L -> 6L, 2L -> 4L, 3L -> 4L,
+      4L -> 3L, 5L -> 3L, 6L -> 2L)
+    val toks = lens.toDF("doc_id", "n_tokens")
+    val ids = toks.select($"doc_id",
+      expr("transform(sequence(1, CAST(n_tokens AS INT)), " +
+        "t -> doc_id * 100L + CAST(t AS BIGINT))").as("input_ids"))
+    val assign = Packing.packBestFit(toks, $"doc_id", $"n_tokens", 10L)
+    val out = Packing.materializeAtomicBins(assign, ids, 10L, padId = -1L)
+      .orderBy("bin").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1), r.getLong(2),
+        r.getLong(3), r.getLong(4),
+        r.getSeq[org.apache.spark.sql.Row](5)
+          .map(s => (s.getLong(0), s.getLong(1), s.getLong(2)))))
+    assert(out.length == 3)
+    assert(out(0) == ((0L, Seq(1L, 2L, 3L, 4L, 5L, 6L,
+      201L, 202L, 203L, 204L), 10L, 0L, 2L, Seq((0L, 0L, 6L), (2L, 6L, 4L)))))
+    assert(out(1) == ((1L, Seq(101L, 102L, 103L, 104L, 105L, 106L,
+      301L, 302L, 303L, 304L), 10L, 0L, 2L, Seq((1L, 0L, 6L), (3L, 6L, 4L)))))
+    assert(out(2) == ((2L, Seq(401L, 402L, 403L, 501L, 502L, 503L,
+      601L, 602L, -1L, -1L), 8L, 2L, 3L,
+      Seq((4L, 0L, 3L), (5L, 3L, 3L), (6L, 6L, 2L)))))
+    // the shared four-shape drift fence is wired: a duplicated doc_id
+    // raises through the atomic path too
+    val ex = intercept[Exception] {
+      Packing.materializeAtomicBins(assign,
+        ids.union(ids.where($"doc_id" === 2L)), 10L).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("materializeAtomicBins")), msgs(ex))
+    graft.CacheScope.release()
+  }
+
   test("packBestFit: an oversized document raises loudly") {
     val ex = intercept[Exception] {
       bfdCollect(Seq(1L -> 5L, 2L -> 11L), 10L)
