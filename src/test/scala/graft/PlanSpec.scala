@@ -803,8 +803,13 @@ class PlanSpec extends SparkSpec {
       }
       val p = q.queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$n:\n$p")
-      assert(!p.contains("SortMergeJoin"),
-        s"$n: strategy/base tables are histogram-sized and must broadcast:\n$p")
+      // pb joins only histogram-sized strategy/base tables — nothing
+      // may sort-merge; pm ADDITIONALLY joins the corpus-sized fenced
+      // ids on the uniform doc_id hash, where a sort-merge IS the
+      // right 100 TB plan, so only the broadcast presence is pinned
+      if (n == "pb")
+        assert(!p.contains("SortMergeJoin"),
+          s"$n: strategy/base tables are histogram-sized and must broadcast:\n$p")
       assert(p.contains("BroadcastHashJoin"), s"$n:\n$p")
       graft.CacheScope.release()
     }
