@@ -369,8 +369,18 @@ object Packing {
           "aggregate(slice(sl, 1, i), 0L, (a, x) -> a + x.n_tokens) " +
           "AS off, s.n_tokens AS len))").as("doc_spans"))
       .select(col("bin"),
-        concat(col("toks"), expr(
-          s"array_repeat(${padId}L, CAST(${budget}L - size(toks) AS INT))"))
+        // over-budget fence: an assignment whose bin exceeds `budget`
+        // (a mismatched pack/materialize budget, or a corrupt hand
+        // -built assign) must raise, not silently emit a longer-than
+        // -budget row with negative n_pad (array_repeat treats a
+        // negative count as empty) — the fixed-length contract is the
+        // one thing a trainer loader cannot tolerate drifting
+        when(size(col("toks")) > budget, raise_error(concat(
+            lit("materializeAtomicBins: bin "), col("bin"),
+            lit(s" holds more than the $budget-token budget — the "),
+            lit("assignment was packed against a different budget"))))
+          .otherwise(concat(col("toks"), expr(
+            s"array_repeat(${padId}L, CAST(${budget}L - size(toks) AS INT))")))
           .as("input_ids"),
         size(col("toks")).cast("long").as("n_tokens"),
         (lit(budget) - size(col("toks"))).cast("long").as("n_pad"),

@@ -220,7 +220,7 @@ class PlanSpec extends SparkSpec {
     // ONLY Exchange allowed is the final orderBy's range partitioning.
     // A second Exchange would mean the synth or the transform started
     // shuffling data it never needs to move.
-    // chk (sliding-window chunking), mm_video (AVI frame decode) and
+    // ch (sliding-window chunking), mv (AVI frame decode) and
     // mav (AVI audio demux) hold the same contract: per-document
     // narrow work, the output sort's range partitioning is the only
     // data movement.

@@ -343,14 +343,22 @@ class PackingSpec extends SparkSpec {
       Seq((4L, 0L, 3L), (5L, 3L, 3L), (6L, 6L, 2L)))))
     // the shared four-shape drift fence is wired: a duplicated doc_id
     // raises through the atomic path too
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
     val ex = intercept[Exception] {
       Packing.materializeAtomicBins(assign,
         ids.union(ids.where($"doc_id" === 2L)), 10L).collect()
     }
-    def msgs(t: Throwable): Seq[String] =
-      if (t == null) Seq.empty
-      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
     assert(msgs(ex).exists(_.contains("materializeAtomicBins")), msgs(ex))
+    // ... and a MISMATCHED materialization budget (assignment packed
+    // at 10, materialized at 5) raises instead of silently emitting
+    // longer-than-budget rows with negative n_pad
+    val ex2 = intercept[Exception] {
+      Packing.materializeAtomicBins(assign, ids, 5L).collect()
+    }
+    assert(msgs(ex2).exists(_.contains("more than the 5-token budget")),
+      msgs(ex2))
     graft.CacheScope.release()
   }
 
