@@ -762,7 +762,7 @@ GROUP BY doc_id ORDER BY doc_id"""),
 )
 SELECT doc_id, CAST(len(ps) AS BIGINT) AS n_segs,
        CAST(len(kept) AS BIGINT) AS n_kept,
-       array_to_string(kept, chr(10)||chr(10)) AS clean_text
+       coalesce(array_to_string(kept, chr(10)||chr(10)), '') AS clean_text
 FROM (SELECT doc_id, ps,
         list_filter(ps, (s, i) -> list_position(ps, s) = i) AS kept
       FROM segs)

@@ -41,6 +41,12 @@ private[graft] object ExtShared {
   //    hashing values — alias every computed column identically in the
   //    Spark plan and the SQL, or the row hashes diverge on identical
   //    values.
+  // 6. EMPTY-LIST JOIN: DuckDB's `array_to_string([])` is NULL;
+  //    Spark's array_join/concat_ws on an empty array is ''. Any
+  //    oracle array_to_string over a list that CAN be empty (a
+  //    filter that keeps nothing) needs coalesce(..., '') — found at
+  //    sf0.1 only (r19: the c4 fixture's first clean-but-empty page
+  //    appears there), so test emptiness, don't wait for scale.
   // =================================================================
 
   // DuckDB mirrors of the portable primitives (graft.ext.Text).

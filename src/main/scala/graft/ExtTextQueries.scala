@@ -619,7 +619,8 @@ FROM gm ORDER BY doc_id"""),
 )
 SELECT doc_id, CAST(len(ls) AS INT) AS n_lines,
        CAST(len(keep) AS INT) AS n_kept, page_ok,
-       CASE WHEN page_ok THEN array_to_string(keep, chr(10)) ELSE '' END AS clean_text
+       CASE WHEN page_ok THEN coalesce(array_to_string(keep, chr(10)), '')
+            ELSE '' END AS clean_text
 FROM ck ORDER BY doc_id"""),
 
     // codeDocs rebuilt closed-form, counters via regex: comment lines
