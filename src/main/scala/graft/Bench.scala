@@ -327,12 +327,15 @@ object Bench {
     // decontamination sibling; smh = simh after the r18 sweep
     else if (name.startsWith("dd_") || name.startsWith("dup_") ||
       name.startsWith("src_") || name.startsWith("chat_d") ||
-      Set("sdd", "smh", "kmv", "cms", "dsp", "dpx", "cns",
+      Set("sdd", "sh", "kv", "cms", "dsp", "dpx", "cns",
         "cdd", "cdc", "dpc", "dpm", "sco", "scs",
-        "dcc", "dex", "din", "dkb", "dln", "dnx", "dpa", "dsh",
+        // dc..dw = the r20 budget sweep's 2-char forms of the nine
+        // former dd_* keys plus sh (smh) / kv (kmv); mappings in
+        // BASELINE.md
+        "dc", "dx", "di", "db", "dn", "dz", "dp", "dh",
         // dj/dk/dl/dr = dd_j/dd_k/dd_l/dd_r after the r18 trim (the
         // dd_ prefix rule no longer matches them)
-        "dwd", "dj", "dk", "dl", "dr").contains(name)) "dedup"
+        "dw", "dj", "dk", "dl", "dr").contains(name)) "dedup"
     // una/wpa (the stored-tokenizer boundary rows) price the
     // tokenize→pack seam and shard with pack — the text catch-all sits
     // at its 40-query cap (same balance call as the r17 ann moves).
@@ -342,7 +345,10 @@ object Bench {
     // family stays an explicit set
     else if (name.startsWith("p_") || name.startsWith("s_") ||
       name.startsWith("pipe_") || name.startsWith("wds") ||
-      Set("una", "wpa", "pc", "pf", "ps", "pl", "pb", "pm",
+      // pa/pd/pe/po = p_a/p_c/p_e/p_s and ua/wa = una/wpa after the
+      // r20 budget sweep (mappings in BASELINE.md)
+      Set("ua", "wa", "pa", "pd", "pe", "po", "pc", "pf", "ps", "pl",
+        "pb", "pm",
         "sc", "se", "sl", "sm", "sp", "sr", "ss", "st", "sw")
         .contains(name)) "pack"
     // the r15 graph rows shard with the relational analytics (their

@@ -13,7 +13,7 @@ import ExtShared._
 object ExtDedupQueries {
 
   val queries: Map[String, Q] = Map(
-    "dex" -> ((s, d) =>
+    "dx" -> ((s, d) =>
       Dedup.exact(Tables.documents(s, d), col("text"), col("doc_id"))
         .orderBy("content_hash")),
 
@@ -35,7 +35,7 @@ object ExtDedupQueries {
         k = 3, minJaccard = 0.2, numHashes = 16, bands = 4,
         minMatches = 4)),
 
-    "dcc" -> ((s, d) =>
+    "dc" -> ((s, d) =>
       Dedup.components(Dedup.minhashLsh(Tables.documents(s, d),
           col("text"), col("doc_id"),
           k = 3, numHashes = 16, bands = 4, minMatches = 4))
@@ -54,7 +54,7 @@ object ExtDedupQueries {
     // Quality-aware retention: same clusters as dd_keep, but each
     // keeps its LONGEST member (n_chars, ties to min id) — the
     // RefinedWeb/SlimPajama "don't throw away the best copy" policy.
-    "dkb" -> ((s, d) => {
+    "db" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val pairs = Dedup.minhashLsh(docs, col("text"), col("doc_id"),
         k = 3, numHashes = 16, bands = 4, minMatches = 4)
@@ -63,7 +63,7 @@ object ExtDedupQueries {
         .select("doc_id").orderBy("doc_id")
     }),
 
-    "dsh" -> ((s, d) =>
+    "dh" -> ((s, d) =>
       Dedup.sharedShingleStats(Tables.documents(s, d), col("text"),
           col("doc_id"), k = 3)
         .orderBy("doc_id")),
@@ -116,7 +116,7 @@ object ExtDedupQueries {
         .orderBy("source")
     }),
 
-    "smh" -> ((s, d) =>
+    "sh" -> ((s, d) =>
       Dedup.simhash(Tables.documents(s, d), col("text"), col("doc_id"))
         .orderBy("doc_id")),
 
@@ -131,7 +131,7 @@ object ExtDedupQueries {
           threshold = 0.35)
         .orderBy("vec_id")),
 
-    "kmv" -> ((s, d) =>
+    "kv" -> ((s, d) =>
       Tables.events(s, d).groupBy("event_type")
         .agg(graft.functions.KMV.distinctEst(
           graft.ext.Text.hash60(col("user_id").cast("string")), 64)
@@ -178,7 +178,7 @@ object ExtDedupQueries {
     // its own bucket-group partitions of the index built from the
     // history slice, and near_history tags docs matching >= 8 of 16
     // signature rows with any indexed doc.
-    "dnx" -> ((s, d) =>
+    "dz" -> ((s, d) =>
       Dedup.tagNearLshIndex(
           Tables.documents(s, d).where(col("doc_id") % 10 >= 8),
           col("text"), col("doc_id"), lshIndexFor(s, d))
@@ -186,7 +186,7 @@ object ExtDedupQueries {
 
     // New-vs-history incremental dedup: docs with doc_id % 10 >= 8 play
     // the fresh crawl batch, the rest the accumulated corpus.
-    "din" -> ((s, d) => {
+    "di" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       Dedup.newAgainst(
         docs.where(col("doc_id") % 10 < 8),
@@ -245,7 +245,7 @@ object ExtDedupQueries {
     // 4-word lines first (the encode-then-run pattern of b5_deep /
     // cis2_decode); ~340 lines are shared across documents at both
     // test scales, so the filter actually discriminates.
-    "dln" -> ((s, d) =>
+    "dn" -> ((s, d) =>
       Curation.dedupLines(linedDocs(Tables.documents(s, d)),
           col("text"), col("doc_id"))
         .orderBy("doc_id")),
@@ -255,7 +255,7 @@ object ExtDedupQueries {
     // paragraph appended to even ids so a multi-line block repeats
     // across half the corpus — the case line-level dedup shreds and
     // paragraph-level dedup drops as a unit.
-    "dpa" -> ((s, d) =>
+    "dp" -> ((s, d) =>
       Curation.dedupParagraphs(paraDocs(Tables.documents(s, d)),
           col("text"), col("doc_id"))
         .orderBy("doc_id")),
@@ -264,7 +264,7 @@ object ExtDedupQueries {
     // re-appends its own first paragraph (the scraper double-render),
     // and the keep-first-occurrence projection drops the repeat while
     // cross-document sharing is deliberately left alone.
-    "dwd" -> ((s, d) => {
+    "dw" -> ((s, d) => {
       val docs = paraDocs(Tables.documents(s, d))
       val withDup = docs.withColumn("text",
         when(col("doc_id") % 3 === 0,
@@ -301,7 +301,7 @@ object ExtDedupQueries {
   )
 
   val oracles: Map[String, String] = Map(
-    "dex" -> """
+    "dx" -> """
 SELECT md5(text) AS content_hash, min(doc_id) AS keeper_doc_id,
        count(*) AS n_copies
 FROM documents GROUP BY 1 ORDER BY 1""",
@@ -351,7 +351,7 @@ ORDER BY src_a, src_b"""),
     // collisions BETWEEN history (doc_id%10 < 8) and batch (>= 8),
     // best signature-match count per batch doc, tag at >= 8 of 16;
     // batch docs with no collision (or no shingles at all) tag false.
-    "dnx" -> (MinhashCte + """, xc AS (
+    "dz" -> (MinhashCte + """, xc AS (
   SELECT DISTINCT h.doc_id AS hid, n.doc_id AS nid
   FROM bands h JOIN bands n ON h.b = n.b AND h.bucket = n.bucket
   WHERE h.doc_id % 10 < 8 AND n.doc_id % 10 >= 8
@@ -397,7 +397,7 @@ SELECT CAST(count(*) AS BIGINT) AS n_true,
          // greatest((SELECT count(*) FROM lshp), 1) AS BIGINT) AS precision_pm
 FROM ex LEFT JOIN lshp l ON ex.doc_a = l.doc_a AND ex.doc_b = l.doc_b"""),
 
-    "dcc" -> (MinhashCte.replaceFirst("WITH ", "WITH RECURSIVE ") + """, pairs AS (
+    "dc" -> (MinhashCte.replaceFirst("WITH ", "WITH RECURSIVE ") + """, pairs AS (
   SELECT doc_a, doc_b
   FROM cand JOIN sig sa ON doc_a = sa.doc_id
             JOIN sig sb ON doc_b = sb.doc_id
@@ -435,7 +435,7 @@ WHERE NOT EXISTS (
   SELECT 1 FROM comp WHERE comp.id = d.doc_id AND comp.component <> comp.id)
 ORDER BY doc_id"""),
 
-    "dkb" -> (MinhashCte.replaceFirst("WITH ", "WITH RECURSIVE ") + """, pairs AS (
+    "db" -> (MinhashCte.replaceFirst("WITH ", "WITH RECURSIVE ") + """, pairs AS (
   SELECT doc_a, doc_b
   FROM cand JOIN sig sa ON doc_a = sa.doc_id
             JOIN sig sb ON doc_b = sb.doc_id
@@ -461,7 +461,7 @@ WHERE NOT EXISTS (
   SELECT 1 FROM best WHERE best.id = d.doc_id AND best.rn > 1)
 ORDER BY doc_id"""),
 
-    "dsh" -> (hashedShinglesCte + """
+    "dh" -> (hashedShinglesCte + """
 SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
        CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
        CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) * 1000
@@ -545,7 +545,7 @@ SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
   CAST(sum(CASE WHEN verdict = 'kept' THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
 FROM v GROUP BY source ORDER BY source"""),
 
-    "smh" -> (s"""WITH toks AS (
+    "sh" -> (s"""WITH toks AS (
   SELECT doc_id, unnest(regexp_extract_all(text, '$TokRe')) AS tok
   FROM documents
 ), votes AS (
@@ -588,7 +588,7 @@ SELECT probes.k AS user_id, CAST(min(coalesce(cells.n, 0)) AS BIGINT) AS est_cou
 FROM probes LEFT JOIN cells ON probes.r = cells.r AND probes.c = cells.c
 GROUP BY 1 ORDER BY 1"""),
 
-    "kmv" -> (s"""
+    "kv" -> (s"""
 WITH h AS (
   SELECT event_type, ${h60("CAST(user_id AS VARCHAR)")} AS hv
   FROM events
@@ -616,7 +616,7 @@ FROM documents GROUP BY source ORDER BY source"""),
 )
 SELECT p.doc_id, c.n_share FROM p JOIN c USING (ph) ORDER BY doc_id"""),
 
-    "din" -> """
+    "di" -> """
 SELECT doc_id, md5(text) AS content_hash
 FROM documents d
 WHERE doc_id % 10 >= 8 AND NOT EXISTS (
@@ -676,7 +676,7 @@ GROUP BY 1, 2 ORDER BY doc_id"""),
     // Mirror of linedDocs (4-word lines) + Curation.dedupLines: doc
     // frequency per exact line, drop lines in >= 2 docs, reassemble in
     // original order. chr(10) == the '\n' Spark joins/splits on.
-    "dln" -> (s"""WITH w AS (
+    "dn" -> (s"""WITH w AS (
   SELECT doc_id, string_split_regex(trim(text), ' +') AS words FROM documents
 ), ld AS (
   SELECT doc_id,
@@ -704,7 +704,7 @@ GROUP BY doc_id ORDER BY doc_id"""),
     // footer paragraph on even ids) + Curation.dedupParagraphs: doc
     // frequency per exact paragraph, drop paragraphs in >= 2 docs,
     // reassemble '\n\n'-joined in original order.
-    "dpa" -> (s"""WITH w AS (
+    "dp" -> (s"""WITH w AS (
   SELECT doc_id, string_split_regex(trim(text), ' +') AS words FROM documents
 ), l AS (
   SELECT doc_id, list_transform(range((len(words)+2)//3),
@@ -737,7 +737,7 @@ GROUP BY doc_id ORDER BY doc_id"""),
     // Mirror of paraDocs + the %3 self-duplication + dedupWithinDoc:
     // list_filter's 1-based index lambda against list_position is the
     // keep-first-occurrence rule.
-    "dwd" -> (s"""WITH w AS (
+    "dw" -> (s"""WITH w AS (
   SELECT doc_id, string_split_regex(trim(text), ' +') AS words FROM documents
 ), l AS (
   SELECT doc_id, list_transform(range((len(words)+2)//3),

@@ -141,7 +141,7 @@ object ExtPackQueries {
           targetTokens = 1000000L, maxEpochsPpm = 8000000L)
         .orderBy("grp")),
 
-    "p_s" -> ((s, d) => {
+    "po" -> ((s, d) => {
       val toks = TextAnalysis
         .tokenStats(Tables.documents(s, d), col("text"), col("doc_id"))
         .select(col("doc_id"), col("n_tokens"))
@@ -222,7 +222,7 @@ object ExtPackQueries {
     // (t = 1..n_tokens), so the oracle re-derives every token id from
     // the slice arithmetic alone; padId = 0 makes the padded tail
     // fingerprint-neutral and n_pad prices it explicitly.
-    "p_a" -> ((s, d) => {
+    "pa" -> ((s, d) => {
       val toks = TextAnalysis
         .tokenStats(Tables.documents(s, d), col("text"), col("doc_id"))
         .select(col("doc_id"), col("n_tokens"))
@@ -284,7 +284,7 @@ object ExtPackQueries {
     // documents concatenate in hash(seed,id) order, so first_bin is
     // each doc's trainer shard for THIS epoch; a different seed
     // (epoch1 here vs ps's epoch0) is a fresh layout with zero state.
-    "p_e" -> ((s, d) => {
+    "pe" -> ((s, d) => {
       val toks = TextAnalysis
         .tokenStats(Tables.documents(s, d), col("text"), col("doc_id"))
         .select(col("doc_id"), col("n_tokens"))
@@ -313,7 +313,7 @@ object ExtPackQueries {
     // 'q' = 113 — byte-symbol ids ARE their byte values, the vocab
     // sorts them first). Ids: b=256 bc=257 c=258 d=259 de=260 e=261
     // f=262 fg=263 g=264 ▁=265.
-    "una" -> ((s, d) => {
+    "ua" -> ((s, d) => {
       val scored = Tables.documents(s, d).select(col("doc_id"), expr(
         "array_join(transform(sequence(0, CAST(4 + doc_id % 5 AS INT)), " +
           "i -> element_at(array('bc','de','fg','cb','zq'), " +
@@ -336,7 +336,7 @@ object ExtPackQueries {
     // oracle states each word's greedy outcome verbatim: [bc]=[5],
     // [de]=[7], [fg]=[9], 'bce' exercises the continuation path
     // ([bc,##e]=[5,1]), and 'zq' the whole-word [UNK] collapse ([3]).
-    "wpa" -> ((s, d) => {
+    "wa" -> ((s, d) => {
       val scored = Tables.documents(s, d).select(col("doc_id"), expr(
         "array_join(transform(sequence(0, CAST(4 + doc_id % 5 AS INT)), " +
           "i -> element_at(array('bc','de','fg','bce','zq'), " +
@@ -358,7 +358,7 @@ object ExtPackQueries {
     // 2^20 wide stride (the keyframeCodes convention; chunk_idx is
     // bounded by n_words/stride, so the stride holds to 25M-word
     // documents), word counts as the token proxy, 64-word bins.
-    "p_c" -> ((s, d) => {
+    "pd" -> ((s, d) => {
       val chunks = Curation.chunkBySentences(sentDocs(Tables.documents(s, d)),
           col("text"), col("doc_id"), sizeWords = 32, strideWords = 24)
         .select(expr("doc_id * 1048576 + chunk_idx").as("chunk_id"),
@@ -612,7 +612,7 @@ SELECT ag.bin, ag.n_tokens, CAST(100 - ag.n_tokens AS BIGINT) AS n_pad,
        sp.n_docs, ag.ids_fp, sp.spans_fp
 FROM ag JOIN sp USING (bin) ORDER BY bin"""),
 
-    "p_s" -> (s"""WITH t AS (
+    "po" -> (s"""WITH t AS (
   SELECT doc_id,
          CAST(len(regexp_extract_all(text, '$TokRe')) AS BIGINT) AS n_tokens
   FROM documents
@@ -662,7 +662,7 @@ FROM e ORDER BY bin, bin_off"""),
     // position bin_off + s, fingerprinted with the same positional
     // weights as the Spark side's padded array (pad id 0 contributes
     // nothing).
-    "p_a" -> (s"""WITH t AS (
+    "pa" -> (s"""WITH t AS (
   SELECT doc_id,
          CAST(len(regexp_extract_all(text, '$TokRe')) AS BIGINT) AS n_tokens
   FROM documents
@@ -767,7 +767,7 @@ FROM c ORDER BY doc_id"""),
     // p_s's packing arithmetic over the EPOCH order: ordinals from the
     // seeded hash permutation (ps's closed form at seed epoch1),
     // prefix sums over ord instead of doc_id.
-    "p_e" -> (s"""WITH t AS (
+    "pe" -> (s"""WITH t AS (
   SELECT doc_id,
          CAST(len(regexp_extract_all(text, '$TokRe')) AS BIGINT) AS n_tokens
   FROM documents
@@ -798,7 +798,7 @@ FROM c ORDER BY ord"""),
     // symbols at 0..255, learned pieces b..g at 256..264, ▁ at 265);
     // each synthesized word's Viterbi outcome is stated verbatim (the
     // bpe convention — see the builder's closed-form cost argument).
-    "una" -> ("""WITH d AS (SELECT doc_id FROM documents),
+    "ua" -> ("""WITH d AS (SELECT doc_id FROM documents),
 wseq AS (
   SELECT doc_id, i, CASE CAST((i + doc_id) % 5 AS INT)
     WHEN 0 THEN [265, 257] WHEN 1 THEN [265, 260]
@@ -822,7 +822,7 @@ FROM pos GROUP BY doc_id ORDER BY doc_id"""),
     // Mirror of the wpa row: wpModelFor's sorted vocab pins the ids
     // (##c=0 ##e=1 ##g=2 [UNK]=3 b=4 bc=5 d=6 de=7 f=8 fg=9); each
     // word's greedy longest-match outcome is stated verbatim.
-    "wpa" -> ("""WITH d AS (SELECT doc_id FROM documents),
+    "wa" -> ("""WITH d AS (SELECT doc_id FROM documents),
 wseq AS (
   SELECT doc_id, i, CASE CAST((i + doc_id) % 5 AS INT)
     WHEN 0 THEN [5] WHEN 1 THEN [7] WHEN 2 THEN [9]
@@ -845,7 +845,7 @@ FROM pos GROUP BY doc_id ORDER BY doc_id"""),
     // The curation→tokenize SEAM end to end: cks's sentence chunks
     // (wide-stride chunk ids, the keyframeCodes convention) priced
     // through p_s's prefix-sum packer at a 64-word budget.
-    "p_c" -> (SentChunksCte + """, ck AS (
+    "pd" -> (SentChunksCte + """, ck AS (
   SELECT doc_id * 1048576 + ci AS chunk_id, CAST(sum(c) AS BIGINT) AS nw
   FROM x GROUP BY doc_id, ci
 ), cc AS (

@@ -13,11 +13,11 @@ class CacheHygieneSpec extends SparkSpec {
 
   /** Every declared query built on a persist/checkpoint-using operator. */
   private val cacheUsers = Seq(
-    "dj", "dl", "dcc", "dr",
+    "dj", "dl", "dc", "dr",
     "dec", "vkg", "vnr",
-    "p_s", "pl", "ps",
-    "p_c", // sentence chunks through the packer (persistTracked ranged frame)
-    "p_a", // materializeBins rides packSequences' persisted ranged frame
+    "po", "pl", "ps",
+    "pd", // sentence chunks through the packer (persistTracked ranged frame)
+    "pa", // materializeBins rides packSequences' persisted ranged frame
     "pb",  // packBestFit's rank frame + packSequences' ranged frame
     "pm",  // materializeAtomicBins over packBestFit's rank frame
     "vkm", "vr",

@@ -88,7 +88,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("dd_nidx: the history-index probe scans only the batch's bucket-group partitions") {
-    val p = plan("dnx")
+    val p = plan("dz")
     // the stored LSH index is hive-partitioned by pb; the batch's
     // distinct pb set must reach the scan as a PARTITION filter (the
     // ann_ivfx pruning discipline in text space), or every probe
@@ -181,7 +181,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("incremental dedup: both sides bloom-pruned before the exact anti join") {
-    val p = plan("din")
+    val p = plan("di")
     // two probes: history-bloom over the incoming batch, candidate-bloom
     // over the history scan — both sides of the exact join pre-pruned
     assert(count(p, "bloom_might_contain") >= 2,
@@ -196,7 +196,7 @@ class PlanSpec extends SparkSpec {
   test("dedup apply: drop-set subtraction is bloom-pruned, no data cartesian") {
     // dd_keepb (best-copy retention) must hold the same shape: its
     // extra argmax is a cluster-sized partial agg, not a corpus window
-    for (q <- Seq("dk", "dkb")) {
+    for (q <- Seq("dk", "db")) {
       val p = plan(q)
       assert(count(p, "bloom_might_contain") >= 2,
         s"$q: expected the corpus-side and drop-side bloom probes:\n$p")
@@ -204,7 +204,7 @@ class PlanSpec extends SparkSpec {
         s"$q: expected the exact anti join scrubbing false positives:\n$p")
       assert(!p.contains("CartesianProduct"))
     }
-    val pb = plan("dkb")
+    val pb = plan("db")
     assert(!pb.contains("Window"),
       s"dd_keepb's per-cluster argmax must be an aggregate, not a window:\n$pb")
     // the member-score fetch must ALSO be bloom-pruned (corpus side
@@ -335,7 +335,7 @@ class PlanSpec extends SparkSpec {
     // boilerplate shingle shared by most of the corpus) joined back on
     // the hash key — a count window over the hash would put every
     // occurrence of the hot key into one partition
-    val p = plan("dsh")
+    val p = plan("dh")
     assert(!p.contains("Window"), s"no window may partition on the shingle hash:\n$p")
     assert(count(p, "HashAggregate") >= 4,
       s"expected partial+final pairs for doc counts and the per-doc fold in:\n$p")
@@ -603,7 +603,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("line dedup: partial-agg distinct-doc counts, no window over the line hash") {
-    val p = plan("dln")
+    val p = plan("dn")
     // document frequency = groupBy(lh).count_distinct(doc_id): Spark
     // plans it as two partial-aggregating phases ((lh, doc_id) then
     // lh), so a line in half the corpus collapses map-side instead of
@@ -764,7 +764,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("stored-tokenizer rows una/wpa: one narrow encode pass, no joins or aggregates") {
-    Seq("una", "wpa").foreach { n =>
+    Seq("ua", "wa").foreach { n =>
       val p = plan(n)
       assert(!p.contains("Join"),
         s"$n must not join — the model ships in the encode closure:\n$p")
@@ -775,7 +775,7 @@ class PlanSpec extends SparkSpec {
 
   test("p_a materialization: every window above an aggregate, partial bin agg") {
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
-    val lp = SparkEntry.queries("p_a")(spark, "/root/testdata/sf0.001")
+    val lp = SparkEntry.queries("pa")(spark, "/root/testdata/sf0.001")
       .queryExecution.optimizedPlan
     // the ONLY Window is packSequences' partition-count base-offset
     // prefix sum; window-row assembly is a bin-keyed aggregate
