@@ -355,6 +355,39 @@ class IndexCompactionSpec extends SparkSpec {
       assert(StoreCompaction.isApplied(spark, root, b), s"batch $b"))
   }
 
+  test("roll-up is self-healing: stale debris retires even when the " +
+    "watermark does not advance (VERDICT r19 #5 / ADVICE r19 #1)") {
+    val root = Files.createTempDirectory("graft-cmp-heal").toString + "/store"
+    def append(b: Long) = Similarity.appendB1Codes(
+      Seq((10L + b, v(1, -1, 1, -1))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", root, batchId = b)
+    Similarity.writeB1Codes(
+      Seq((1L, v(1, 1, 1, 1))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", root)
+    (0L to 4L).foreach(b => assert(append(b)))
+    Similarity.compactCodes(spark, root)
+    val mdir = new java.io.File(s"$root/_applied_batches")
+    def markerNames() = mdir.list().filterNot(_.startsWith(".")).toSet
+    assert(markerNames() === Set("_watermark_4"))
+    // a prior roll-up crashed mid-retire: the superseded watermark
+    // pair member, crash-orphaned per-batch markers BELOW the durable
+    // watermark, and legacy-form debris all survive on disk
+    assert(new java.io.File(mdir, "_watermark_2").createNewFile())
+    assert(new java.io.File(mdir, "1").createNewFile())
+    assert(new java.io.File(mdir, "3").createNewFile())
+    java.nio.file.Files.write(
+      new java.io.File(mdir, "_watermark").toPath,
+      "0".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // NO new contiguous batch ids: the next roll-up's watermark cannot
+    // advance (w == old) — pre-r20 the retire loop only ran on
+    // advance, so this exact state persisted indefinitely
+    Similarity.compactCodes(spark, root)
+    assert(markerNames() === Set("_watermark_4"))
+    (0L to 4L).foreach(b =>
+      assert(StoreCompaction.isApplied(spark, root, b), s"batch $b"))
+    assert(!append(3L)) // replay still no-ops after the heal
+  }
+
   test("pre-r19 _watermark_tmp crash debris recovers and retires") {
     // a store crashed under the OLD build between its watermark delete
     // and rename: `_watermark_tmp` holds the ONLY copy of the
