@@ -293,11 +293,12 @@ object WarcCorpus {
     * URI hash, like [[TextCorpus.readFiles]]). Everything stays one
     * narrow zero-shuffle projection over the record scan.
     *
-    * Payload bytes decode per the header's `charset=` parameter:
-    * latin-1 declarations decode as windows-1252 (its superset — the
-    * WHATWG rule every browser applies), anything else as UTF-8 (the
-    * dominant and the fallback encoding; a `<meta charset>` sniff for
-    * header-less pages is the documented next step of this seam). */
+    * Payload bytes decode with WHATWG precedence (BOM > HTTP header's
+    * `charset=` parameter > `<meta charset>` prescan of the first
+    * 1024 bytes): latin-1 declarations decode as windows-1252 (its
+    * superset — the rule every browser applies), a byte-order mark
+    * wins over any declaration and is stripped, and anything else
+    * falls back to UTF-8 (the dominant encoding). */
   def webDocuments(records: DataFrame): DataFrame =
     decodedPages(records).select(
       graft.ext.Text.hash60(col("target_uri")).as("doc_id"),
@@ -318,23 +319,57 @@ object WarcCorpus {
       col("warc_date").as("fetched"),
       col("__page").as("html"))
 
+  /** Charset names decoded through the cp1252 translation path:
+    * latin-1 declarations decode as windows-1252 (its superset — the
+    * WHATWG rule every browser applies). */
+  private val Cp1252Names =
+    Seq("iso-8859-1", "latin1", "latin-1", "windows-1252", "cp1252")
+
+  private val Utf8Bom = Array(0xEF, 0xBB, 0xBF).map(_.toByte)
+  private val Utf16BeBom = Array(0xFE, 0xFF).map(_.toByte)
+  private val Utf16LeBom = Array(0xFF, 0xFE).map(_.toByte)
+
   private def decodedPages(records: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(records.sparkSession)
-    val charset = regexp_extract(lower(col("http_content_type")),
+    val headerCharset = regexp_extract(lower(col("http_content_type")),
       "charset=\"?([a-z0-9_\\-]+)", 1)
+    // WHATWG prescan (HTML §13.2.3.2) for header-less pages: the first
+    // 1024 payload bytes, read as latin-1 (the byte-transparent
+    // superset — the prescan is ASCII-level), searched for a
+    // meta-declared charset. Both meta forms (<meta charset=utf-8>
+    // and the http-equiv shape content="text/html; charset=utf-8")
+    // carry `charset=` inside the tag, so one pattern in the shared
+    // Java ∩ RE2 dialect covers both.
+    val metaCharset = regexp_extract(
+      lower(decode(expr("substring(payload, 1, 1024)"), "ISO-8859-1")),
+      "<meta[^>]*charset\\s*=\\s*[\"']?([a-z0-9_\\-]+)", 1)
+    // header > meta (the transport layer outranks the document's own
+    // declaration); the BOM outranks both below
+    val charset =
+      when(headerCharset =!= "", headerCharset).otherwise(metaCharset)
     records
       .where(col("warc_type") === "response" && col("http_status") === 200 &&
         col("http_content_type").startsWith("text/html") &&
         col("target_uri").isNotNull)
       .withColumn("__page",
-        when(charset.isin("iso-8859-1", "latin1", "latin-1", "windows-1252",
-            "cp1252"),
+        // BOM precedence first (WHATWG: BOM > HTTP header > meta tag):
+        // a page shipping a byte-order mark decodes by it no matter
+        // what anything declares, and the mark itself is stripped so
+        // no U+FEFF leaks into the extracted text
+        when(expr("substring(payload, 1, 3)") === lit(Utf8Bom),
+          decode(expr("substring(payload, 4, 2147483647)"), "UTF-8"))
+        .when(expr("substring(payload, 1, 2)") === lit(Utf16BeBom),
+          decode(expr("substring(payload, 3, 2147483647)"), "UTF-16BE"))
+        .when(expr("substring(payload, 1, 2)") === lit(Utf16LeBom),
+          decode(expr("substring(payload, 3, 2147483647)"), "UTF-16LE"))
+        .when(charset.isin(Cp1252Names: _*),
           // Spark's decode knows iso-8859-1 but not cp1252; the two
           // differ ONLY in 0x80–0x9F, which latin-1 maps to control
           // chars — translate them to the cp1252 glyphs afterwards
           translate(decode(col("payload"), "ISO-8859-1"),
             Cp1252High, Cp1252Glyphs))
-          .otherwise(decode(col("payload"), "UTF-8")))
+        // UTF-8: the dominant and the fallback encoding
+        .otherwise(decode(col("payload"), "UTF-8")))
   }
 
   /** The WET (extracted-text) composition — Common Crawl's

@@ -177,6 +177,51 @@ class WarcSpec extends SparkSpec {
     assert(docs.toSeq == Seq("café €", "café €"))
   }
 
+  test("WHATWG charset precedence: BOM > header > meta prescan " +
+    "(VERDICT r19 #3)") {
+    import spark.implicits._
+    // header-less cp1252 page declared by <meta charset=...>: 0xE9 é,
+    // 0x80 € (cp1252 only; invalid as lone UTF-8 bytes)
+    val metaCp =
+      "<html><head><meta charset=windows-1252></head><body><p>caf"
+        .getBytes("ISO-8859-1") ++
+      Array(0xe9.toByte, ' '.toByte, 0x80.toByte) ++
+      "</p></body></html>".getBytes("ISO-8859-1")
+    // header-less utf-8 page declared by the http-equiv meta form
+    val metaU8 = ("<html><head><meta http-equiv=\"Content-Type\" " +
+      "content=\"text/html; charset=utf-8\"></head>" +
+      "<body><p>café €</p></body></html>").getBytes("UTF-8")
+    // BOM-led utf-8 bytes under a WRONG latin-1 header: the mark must
+    // win over the declaration and be stripped from the text
+    val bomU8 = Array(0xEF, 0xBB, 0xBF).map(_.toByte) ++
+      "<html><body><p>café €</p></body></html>".getBytes("UTF-8")
+    // header-less, meta-less UTF-16LE page: only its BOM names it
+    val bomU16 = Array(0xFF, 0xFE).map(_.toByte) ++
+      "<html><body><p>café €</p></body></html>"
+        .getBytes("UTF-16LE")
+    def resp(hdrCt: String, body: Array[Byte]): Array[Byte] =
+      (s"HTTP/1.1 200 OK${CRLF}Content-Type: $hdrCt$CRLF$CRLF")
+        .getBytes("ISO-8859-1") ++ body
+    val dir = Files.createTempDirectory("graft-warc-meta")
+    Files.write(dir.resolve("m.warc"),
+      rec("response", Some("http://m1.example/"),
+        "application/http; msgtype=response",
+        resp("text/html", metaCp), "<urn:uuid:m1>") ++
+      rec("response", Some("http://m2.example/"),
+        "application/http; msgtype=response",
+        resp("text/html", metaU8), "<urn:uuid:m2>") ++
+      rec("response", Some("http://m3.example/"),
+        "application/http; msgtype=response",
+        resp("text/html; charset=ISO-8859-1", bomU8), "<urn:uuid:m3>") ++
+      rec("response", Some("http://m4.example/"),
+        "application/http; msgtype=response",
+        resp("text/html", bomU16), "<urn:uuid:m4>"))
+    val docs = WarcCorpus.webDocuments(readWarc(spark, dir.toString).records)
+      .orderBy("url").select("text").as[String].collect()
+    assert(docs.toSeq ==
+      Seq.fill(4)("café €"), docs.mkString("|"))
+  }
+
   test("property: arbitrary bytes never throw; corruption is terminal") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
     val garbage = Gen.containerOf[Array, Byte](Gen.choose(-128, 127).map(_.toByte))
