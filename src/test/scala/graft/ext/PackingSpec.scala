@@ -372,4 +372,28 @@ class PackingSpec extends SparkSpec {
     assert(msgs(ex).exists(_.contains("packBestFit")), msgs(ex))
     graft.CacheScope.release()
   }
+
+  test("packBestFit: a byte-scale budget misuse hits the histogram " +
+    "bound loudly (VERDICT r19 #4)") {
+    import spark.implicits._
+    // byte-packing shape: a huge budget and near-unique "lengths" —
+    // the histogram degenerates toward one row per document, which
+    // must raise (routing to the splitting packer), never silently
+    // collect an unbounded histogram to the driver
+    val docs = (1L to 64L).map(i => (i, 1000L + i * 7L))
+    val ex = intercept[IllegalArgumentException] {
+      Packing.packBestFit(docs.toDF("doc_id", "n_tokens"),
+        $"doc_id", $"n_tokens", budget = 1000000000L,
+        maxDistinctLengths = 16)
+    }
+    assert(ex.getMessage.contains("distinct token lengths"), ex.getMessage)
+    assert(ex.getMessage.contains("packSequences"), ex.getMessage)
+    graft.CacheScope.release()
+    // the same corpus under a cap that holds packs normally
+    val ok = Packing.packBestFit(docs.toDF("doc_id", "n_tokens"),
+      $"doc_id", $"n_tokens", budget = 1000000000L,
+      maxDistinctLengths = 64)
+    assert(ok.count() === 64)
+    graft.CacheScope.release()
+  }
 }
