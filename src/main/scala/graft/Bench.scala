@@ -316,7 +316,7 @@ object Bench {
     // stays so a future mm_* key routes here without a table edit
     else if (name.startsWith("mm_") || Set("ph", "afp", "mau", "mav",
       "mfr", "mft", "mnr", "msc", "mvd", "mv", "mr",
-      "mic", "mac", "mit", "mp").contains(name)) "mm"
+      "mic", "mac", "mit", "mp", "ms").contains(name)) "mm"
     // dsp/dpx/cns = dup_sp/dd_pfx/dd_cns after the r16 budget sweep;
     // dpc/dpm/sco/scs = dup_c/dup_m/src_o/src_s after the r17 sweep;
     // dcc..dwd = the nine dd_* keys after the r17 second sweep (a bare

@@ -121,30 +121,30 @@ object ExtMediaQueries {
     // fetch membership and the mean luma from h and the raster's
     // closed form — decode-blind — so a bug in the URL join, the PNG
     // decode, or either floor breaks the row.
-    "mp" -> ((s, d) => {
-      import s.implicits._
-      val pages = mitPages(s, d)
-      val refs = Curation.imageRefs(pages,
-        col("doc_id"), col("html"), col("url"))
-      val urls = refs
-        .select(Curation.canonicalUrl(col("img_url")).as("curl"))
-        .distinct()
-        .withColumn("h", graft.ext.Text.hash60(col("curl")))
-        .where(col("h") % 3 =!= 0)
-        .select(col("curl"), col("h"),
-          (lit(12) + col("h") % 5).cast("int").as("w"),
-          (lit(10) + col("h") % 7).cast("int").as("ht"))
-      val media = urls.select(col("h"), col("w"), col("ht"))
-        .as[(Long, Int, Int)]
-        .map { case (h, w, ht) => Multimodal.MediaRow(h,
-          Multimodal.synthPngPayloadSized(h, w, ht), "image/png") }
-      val images = Multimodal.pixelsBatched(media).toDF()
-        .join(urls.select(col("h").as("media_id"), col("curl")),
-          "media_id")
-        .select(col("curl").as("img_url"), col("width"), col("height"),
-          col("mean_luma"))
-      Curation.imagePairs(refs, images,
-          minW = 14, minH = 12, minCaptionChars = 5)
+    "mp" -> ((s, d) => mpPairs(s, d)._3.orderBy("doc_id", "ref_idx")),
+
+    // The LAION SIMILARITY gate over the completed pairing seam
+    // (VERDICT r19 #1): mp's pairs meet synthetic image and caption
+    // embeddings whose quantized components are closed-form in the
+    // url/caption 60-bit hashes — 4-dim vectors [(h%7+1, h%5+1,
+    // h%3+1, 1)·0.1f] — so the exact-integer dot/norm machinery and
+    // the one rounded double division are priced end-to-end by an
+    // embedding-blind oracle. The 0.94 threshold provably bites both
+    // ways at every SF (65 kept / 60 dropped of mp's 125 pairs at
+    // sf0.001 — fixture-tuned; a real CLIP deployment uses ~0.28).
+    "ms" -> ((s, d) => {
+      val (refs, urls, pairs) = mpPairs(s, d)
+      def comps(h: org.apache.spark.sql.Column) = array(
+        ((h % 7 + 1) / 10.0).cast("float"),
+        ((h % 5 + 1) / 10.0).cast("float"),
+        ((h % 3 + 1) / 10.0).cast("float"),
+        lit(0.1f))
+      val imgEmb = urls.select(col("curl").as("img_url"),
+        comps(col("h")).as("embedding"))
+      val txtEmb = refs.select(col("alt").as("caption")).distinct()
+        .select(col("caption"),
+          comps(graft.ext.Text.hash60(col("caption"))).as("embedding"))
+      Curation.pairSimilarity(pairs, imgEmb, txtEmb, minCosine = 0.94)
         .orderBy("doc_id", "ref_idx")
     }),
 
@@ -276,6 +276,39 @@ object ExtMediaQueries {
       Multimodal.avAudioBatched(rows).toDF().orderBy("media_id")
     }),
   )
+
+  /** The shared mit → mp pipeline: extracted references, the
+    * synthesized fetched-image corpus (each distinct canonical URL
+    * whose 60-bit hash is not ≡ 0 mod 3, as a REAL PNG of
+    * hash-derived dims decoded through pixelsBatched), and the gated
+    * pairs. Returns (refs, fetched urls (curl, h, w, ht), pairs) so
+    * `mp` and the similarity gate `ms` price the same seam. */
+  private def mpPairs(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    import s.implicits._
+    val pages = mitPages(s, d)
+    val refs = Curation.imageRefs(pages,
+      col("doc_id"), col("html"), col("url"))
+    val urls = refs
+      .select(Curation.canonicalUrl(col("img_url")).as("curl"))
+      .distinct()
+      .withColumn("h", graft.ext.Text.hash60(col("curl")))
+      .where(col("h") % 3 =!= 0)
+      .select(col("curl"), col("h"),
+        (lit(12) + col("h") % 5).cast("int").as("w"),
+        (lit(10) + col("h") % 7).cast("int").as("ht"))
+    val media = urls.select(col("h"), col("w"), col("ht"))
+      .as[(Long, Int, Int)]
+      .map { case (h, w, ht) => Multimodal.MediaRow(h,
+        Multimodal.synthPngPayloadSized(h, w, ht), "image/png") }
+    val images = Multimodal.pixelsBatched(media).toDF()
+      .join(urls.select(col("h").as("media_id"), col("curl")),
+        "media_id")
+      .select(col("curl").as("img_url"), col("width"), col("height"),
+        col("mean_luma"))
+    (refs, urls, Curation.imagePairs(refs, images,
+      minW = 14, minH = 12, minCaptionChars = 5))
+  }
 
   /** The mit/mp crawl-page fixture: four HTML templates by doc_id % 4
     * exercising every src reference form plus the r18 ADVICE trio
@@ -557,6 +590,71 @@ SELECT c.doc_id, c.ref_idx, c.curl AS canonical_url, c.a AS caption,
 FROM c JOIN lum l ON c.curl = l.curl
 WHERE l.w >= 14 AND l.ht >= 12 AND length(c.a) >= 5
 ORDER BY doc_id, ref_idx"""),
+
+    // Mirror of ms: mp's closed form extended with the synthetic
+    // embeddings — quantized components (h%7+1, h%5+1, h%3+1, 1)·1e5
+    // from the url hash (image side) and the caption hash (text
+    // side); exact BIGINT dot/norms, ONE rounded double division (the
+    // same IEEE sequence as cosineQNormed), gate at 0.94 —
+    // embedding-blind: a bug in the quantization, either join, or the
+    // cosine breaks the row.
+    "ms" -> ("""WITH f AS (
+  SELECT doc_id, doc_id % 100 AS h, doc_id % 4 AS t,
+         'https://h' || (doc_id % 5) || '.example.com' AS hb
+  FROM documents
+), r AS (
+  SELECT doc_id,
+    CASE t
+      WHEN 0 THEN [
+        {u: 'https://cdn.ex.com/i' || h || '.jpg', a: 'cat ' || h},
+        {u: hb || '/i2/' || h || '.jpg', a: 'b ' || h}]
+      WHEN 1 THEN [{u: 'https://img.ex.org/p' || h || '.png',
+                    a: 'dog > ' || h}]
+      WHEN 2 THEN [{u: hb || '/s/' || h || '.gif', a: 'src=''x.png'''}]
+      ELSE [{u: hb || '/d/th/' || h || '.webp', a: 'fish ' || h}]
+    END AS refs
+  FROM f
+), c AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS ref_idx,
+         substr(refs[i+1].u, 9) AS curl, refs[i+1].a AS a
+  FROM (SELECT doc_id, refs, unnest(range(len(refs))) AS i FROM r)
+), img AS (
+  SELECT curl, hh, 12 + hh % 5 AS w, 10 + hh % 7 AS ht
+  FROM (SELECT curl,
+          CAST(('0x' || substr(md5(curl),1,15)) AS BIGINT) AS hh
+        FROM (SELECT DISTINCT curl FROM c))
+  WHERE hh % 3 != 0
+), px AS (
+  SELECT curl, hh, w, ht, unnest(range(w)) AS x FROM img
+), pxy AS (
+  SELECT curl, hh, w, ht, x, unnest(range(ht)) AS y FROM px
+), lum AS (
+  SELECT curl, any_value(hh) AS hh, w, ht,
+         sum((hh * 7 + 11 * x + 3 * y) % 256) // (w * ht) AS ml
+  FROM pxy GROUP BY curl, w, ht
+), base AS (
+  SELECT c.doc_id, c.ref_idx, c.curl AS canonical_url, c.a AS caption,
+         CAST(l.w AS INT) AS width, CAST(l.ht AS INT) AS height,
+         CAST(l.ml AS INT) AS mean_luma, l.hh,
+         CAST(('0x' || substr(md5(c.a),1,15)) AS BIGINT) AS ch
+  FROM c JOIN lum l ON c.curl = l.curl
+  WHERE l.w >= 14 AND l.ht >= 12 AND length(c.a) >= 5
+), q AS (
+  SELECT *,
+    (hh % 7 + 1) * 100000 AS i1, (hh % 5 + 1) * 100000 AS i2,
+    (hh % 3 + 1) * 100000 AS i3, CAST(100000 AS BIGINT) AS i4,
+    (ch % 7 + 1) * 100000 AS t1, (ch % 5 + 1) * 100000 AS t2,
+    (ch % 3 + 1) * 100000 AS t3, CAST(100000 AS BIGINT) AS t4
+  FROM base
+), g AS (
+  SELECT doc_id, ref_idx, canonical_url, caption, width, height,
+         mean_luma,
+         round(CAST(i1*t1 + i2*t2 + i3*t3 + i4*t4 AS DOUBLE) /
+           sqrt(CAST(i1*i1 + i2*i2 + i3*i3 + i4*i4 AS DOUBLE) *
+                CAST(t1*t1 + t2*t2 + t3*t3 + t4*t4 AS DOUBLE)), 6) AS sim
+  FROM q
+)
+SELECT * FROM g WHERE sim >= 0.94 ORDER BY doc_id, ref_idx"""),
 
     // Mirror of synthPngPayload + dhashOf: the raster's closed form
     // through block means and bit packing — no image bytes touched.

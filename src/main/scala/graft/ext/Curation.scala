@@ -388,6 +388,68 @@ object Curation {
       .select(col("doc_id"), col("ref_idx"), col("canonical_url"),
         col("caption"), col("width"), col("height"), col("mean_luma"))
 
+  /** IMAGE-TEXT SIMILARITY gate — the filter that does the real work
+    * in the published LAION recipe (LAION-400M/5B: keep a pair only
+    * when the CLIP cosine between its image embedding and its caption
+    * embedding clears a threshold — 0.28 for LAION-400M; dims and
+    * caption floors are pre-filters, this is the semantic gate).
+    *
+    * `pairs` is [[imagePairs]]' output; `imgEmb` carries one row per
+    * embedded fetched image (img_url, embedding: array<float> — the
+    * CLIP image tower's output in a real deployment), `txtEmb` one row
+    * per embedded caption (caption, embedding — the text tower).
+    * The image side canonicalizes through [[canonicalUrl]] inside the
+    * join key and collapses raw-URL variants to one deterministic row
+    * (minimum quantized vector), mirroring [[imagePairs]]' images-side
+    * convention; the caption side collapses duplicate caption rows the
+    * same way. A pair whose image or caption has NO stored embedding
+    * drops through the inner joins — the embedding-coverage gap,
+    * exactly like the fetch-coverage gap upstream.
+    *
+    * Float discipline is [[Similarity]]'s: embeddings quantize to the
+    * 1e-6 integer grid, dot products and squared norms are exact
+    * integer sums, and the one rounded double division is the same
+    * IEEE sequence in both engines ([[Similarity.cosineQNormed]]).
+    * Norms are computed once per VECTOR before the joins, so the
+    * per-pair cost is a single dot product. A zero vector has no
+    * direction — its cosine is NaN and the pair drops (the
+    * [[Similarity]] convention for undefined cosines).
+    *
+    * Scale shape: two uniform-hash shuffles and nothing else — the
+    * canonical-url join (md5-uniform) and the caption join; both
+    * embedding sides partial-agg to one row per key BEFORE their join,
+    * and a hot caption (the "stock photo" string shared by millions of
+    * pairs) is one build row whose probe side AQE's skew-join split
+    * subdivides. No broadcast assumption — at 100 TB the pair frame
+    * and both embedding corpora are corpus-sized.
+    *
+    * Output: the pair columns + `sim` (the rounded cosine), filtered
+    * to `sim >= minCosine`. */
+  def pairSimilarity(pairs: DataFrame, imgEmb: DataFrame,
+                     txtEmb: DataFrame, minCosine: Double): DataFrame = {
+    val img = imgEmb
+      .select(canonicalUrl(col("img_url")).as("canonical_url"),
+        Similarity.quantize(col("embedding")).as("__qi"))
+      .groupBy("canonical_url")
+      .agg(min(col("__qi")).as("__qi"))
+      .withColumn("__ni", Similarity.dotQ(col("__qi"), col("__qi")))
+    val txt = txtEmb
+      .select(col("caption"),
+        Similarity.quantize(col("embedding")).as("__qt"))
+      .groupBy("caption")
+      .agg(min(col("__qt")).as("__qt"))
+      .withColumn("__nt", Similarity.dotQ(col("__qt"), col("__qt")))
+    pairs
+      .join(img, "canonical_url")
+      .join(txt, "caption")
+      .withColumn("sim", Similarity.cosineQNormed(col("__qi"), col("__qt"),
+        col("__ni"), col("__nt")))
+      .where(col("sim") >= minCosine)
+      .select(col("doc_id"), col("ref_idx"), col("canonical_url"),
+        col("caption"), col("width"), col("height"), col("mean_luma"),
+        col("sim"))
+  }
+
   /** URL-SCOPE compliance filter — the allow/deny pass between crawl
     * ingest and dedup (robots/blocklist/domain-scope policies are
     * expressed over hosts and paths; crawl pipelines apply them per

@@ -763,7 +763,7 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("stored-tokenizer rows una/wpa: one narrow encode pass, no joins or aggregates") {
+  test("stored-tokenizer rows ua/wa: one narrow encode pass, no joins or aggregates") {
     Seq("ua", "wa").foreach { n =>
       val p = plan(n)
       assert(!p.contains("Join"),
@@ -773,7 +773,7 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("p_a materialization: every window above an aggregate, partial bin agg") {
+  test("pa materialization: every window above an aggregate, partial bin agg") {
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
     val lp = SparkEntry.queries("pa")(spark, "/root/testdata/sf0.001")
       .queryExecution.optimizedPlan
@@ -813,6 +813,19 @@ class PlanSpec extends SparkSpec {
       assert(p.contains("BroadcastHashJoin"), s"$n:\n$p")
       graft.CacheScope.release()
     }
+  }
+
+  test("ms similarity gate: embedding sides pre-aggregate, no window, no cartesian") {
+    val p = plan("ms")
+    // both embedding frames collapse to one row per key (partial +
+    // final agg each) BEFORE their join — a hot caption or raw-URL
+    // fan never reaches the join build side un-aggregated; the pair
+    // gate itself is pure row arithmetic, so no Window of any size
+    assert(count(p, "HashAggregate") >= 4,
+      s"embedding sides must pre-aggregate to one row per key:\n$p")
+    assert(!p.contains("Window"),
+      s"the similarity gate is per-row arithmetic, never a window:\n$p")
+    assert(!p.contains("CartesianProduct"), s"ms:\n$p")
   }
 
   test("history-tag rows mic/mac: history never shuffles, hit set broadcasts back") {

@@ -166,13 +166,15 @@ class TrainingPipelineSpec extends SparkSpec {
         "<img src=\"//cdn.other.example/dog.png\" alt=\"a good dog\">" +
           "<img src=\"http://a.example/img/cat.png\" alt=\"\">") ++
       rec("http://c.example/page3",
-        "<img src=\"/missing.png\" alt=\"this one was never fetched\">"))
+        "<img src=\"/missing.png\" alt=\"this one was never fetched\">" +
+          "<img src=\"//cdn.other.example/dog.png\"" +
+          " alt=\"unrelated caption here\">"))
     // crawl → RAW pages (the markup-level sibling of webDocuments)
     val pages = sources.WarcCorpus.webPages(
       sources.WarcCorpus.readWarc(spark, warcDir.toString).records)
     val refs = ext.Curation.imageRefs(pages,
       col("doc_id"), col("html"), col("url"))
-    assert(refs.count() == 5)
+    assert(refs.count() == 6)
     // the fetched-image corpus: three real PNGs through the real
     // pixel decode; tiny.png sits under the dims floor
     val fetched = Seq(
@@ -196,24 +198,50 @@ class TrainingPipelineSpec extends SparkSpec {
         .toDF("img_url", "width", "height", "mean_luma"))
     val pairs = ext.Curation.imagePairs(refs, imagesWithVariant,
       minW = 10, minH = 10, minCaptionChars = 5)
-    // survivors: the cat (page 1) and the dog (page 2); the thumbnail
-    // fails dims, the dup-URL ref fails the caption floor, the
-    // unfetched ref drops through the inner join, and the cat's
-    // raw-URL variant collapsed instead of duplicating
-    assert(pairs.count() == 2)
+    // floor survivors: the cat (page 1), the dog (page 2), and page
+    // 3's mis-captioned dog reference; the thumbnail fails dims, the
+    // dup-URL ref fails the caption floor, the unfetched ref drops
+    // through the inner join, and the cat's raw-URL variant collapsed
+    // instead of duplicating
+    assert(pairs.count() == 3)
     val got = pairs.select("canonical_url", "caption").collect()
       .map(r => (r.getString(0), r.getString(1))).toSet
     assert(got === Set(
       ("a.example/img/cat.png", "a striped cat"),
-      ("cdn.other.example/dog.png", "a good dog")))
-    // export: one WebDataset sample per pair — image bytes beside the
-    // caption under one key, the loader contract of the multimodal
-    // trainers — and round-trip the shard
+      ("cdn.other.example/dog.png", "a good dog"),
+      ("cdn.other.example/dog.png", "unrelated caption here")))
+    // the LAION similarity gate (the semantic filter the floors
+    // cannot provide): image/caption embeddings where the two true
+    // pairs align and page 3's mis-caption is orthogonal to its image
+    // — the gate must drop exactly that one. The image side rides a
+    // RAW fetch-log URL variant to prove the gate canonicalizes too.
+    val imgEmb = Seq(
+      ("http://www.a.example/img/cat.png?utm_source=x",
+        Array(1.0f, 0.1f)),
+      ("http://cdn.other.example/dog.png", Array(0.6f, 0.8f)),
+      ("http://a.example/tiny.png", Array(1.0f, 1.0f)))
+      .toDF("img_url", "embedding")
+    val txtEmb = Seq(
+      ("a striped cat", Array(1.0f, 0.0f)),
+      ("a good dog", Array(0.6f, 0.8f)),
+      ("unrelated caption here", Array(-0.8f, 0.6f)),
+      ("too small", Array(1.0f, 0.0f)))
+      .toDF("caption", "embedding")
+    val gated = ext.Curation.pairSimilarity(pairs, imgEmb, txtEmb,
+      minCosine = 0.5)
+    val sims = gated.collect()
+      .map(r => (r.getAs[String]("caption"), r.getAs[Double]("sim")))
+      .toMap
+    assert(sims === Map("a striped cat" -> 0.995037,
+      "a good dog" -> 1.0))
+    // export: one WebDataset sample per GATED pair — image bytes
+    // beside the caption under one key, the loader contract of the
+    // multimodal trainers — and round-trip the shard
     val payloads = media.map { case (_, u, p) => (u, p) }
       .toDF("img_url", "png")
       .select(ext.Curation.canonicalUrl(col("img_url"))
         .as("canonical_url"), col("png"))
-    val samples = pairs.join(payloads, "canonical_url")
+    val samples = gated.join(payloads, "canonical_url")
       .select(concat_ws("-", col("doc_id"), col("ref_idx")).as("key"),
         array(
           struct(lit("png").as("ext"), col("png").as("data")),
