@@ -199,6 +199,30 @@ object ExtDedupQueries {
     // as pretraining text — public pipelines dedup on the flattened
     // render, so Chat.render feeds Dedup.ngramJaccard (near tier) and
     // the render fingerprint marks the exact tier on each pair.
+    // PAIR-LEVEL dedup for the multimodal corpus (VERDICT r19 #6):
+    // the dedup matrix over imagePairs-shaped rows. Fixture pairs:
+    // one per document, image groups of 4 (doc_id div 4) and caption
+    // groups of 8 (doc_id div 8) — captions "a nice photo of item G
+    // v V" share exactly the shingles {of item G, item G v} within a
+    // caption group once the maxDocFreq=8 cap drops the three
+    // corpus-wide template shingles (df = n), so every intra-group
+    // pair prices to inter=2 / union=4 / jaccard=0.5 closed-form,
+    // cross-group pairs share nothing, and same_image bites both
+    // ways (half of each caption group straddles two image groups).
+    // A bug in the cap, the shingle join, the struct pair key, or
+    // the url flag join breaks the row.
+    "md" -> ((s, d) => {
+      val pairs = Tables.documents(s, d).select(
+        col("doc_id"), lit(0L).as("ref_idx"),
+        concat(lit("cdn.ex.com/im"),
+          expr("doc_id div 4").cast("string")).as("canonical_url"),
+        concat(lit("a nice photo of item "),
+          expr("doc_id div 8").cast("string"), lit(" v "),
+          (col("doc_id") % 8).cast("string")).as("caption"))
+      Curation.dedupPairs(pairs, k = 3, minJaccard = 0.5, maxDocFreq = 8)
+        .orderBy("doc_a", "doc_b")
+    }),
+
     "cdd" -> ((s, d) => {
       val conv = synthChatDupConv(Tables.documents(s, d))
       val r = Chat.render(conv, col("conv"), col("doc_id"))
@@ -632,6 +656,20 @@ ORDER BY doc_id""",
     // maxDocFreq <= 8 stop-shingle filter mirrored (shf) — plus the
     // exact marker from the render md5. The render/shingle/cap front
     // (chatRenderShinglesCte) is shared verbatim with cdc.
+    // Mirror of md, simulation-blind: the capped shingle outcome is
+    // stated closed-form (every intra-caption-group pair shares
+    // exactly 2 of its 3 surviving shingles), same_image from the
+    // image-group arithmetic.
+    "md" -> ("""
+SELECT a.doc_id AS doc_a, CAST(0 AS BIGINT) AS ref_a,
+       b.doc_id AS doc_b, CAST(0 AS BIGINT) AS ref_b,
+       CAST(2 AS BIGINT) AS inter, CAST(4 AS BIGINT) AS union_n,
+       CAST(0.5 AS DOUBLE) AS jaccard,
+       (a.doc_id // 4 = b.doc_id // 4) AS same_image
+FROM documents a JOIN documents b
+  ON a.doc_id // 8 = b.doc_id // 8 AND a.doc_id < b.doc_id
+ORDER BY doc_a, doc_b"""),
+
     "cdd" -> (chatRenderShinglesCte + s""", sizes AS (
   SELECT doc_id, count(*) AS n FROM shf GROUP BY 1
 ), pairs AS (

@@ -450,6 +450,57 @@ object Curation {
         col("sim"))
   }
 
+  /** PAIR-LEVEL dedup for the multimodal corpus — the dedup matrix
+    * over [[imagePairs]] output. The dominant duplication mode of
+    * crawl-derived pair sets is the SAME image under near-identical
+    * captions across pages (syndicated articles, product listings,
+    * mirror sites), so the matrix composes the two tiers the text
+    * corpus already uses: the NEAR tier is caption-shingle Jaccard
+    * ([[Dedup.ngramJaccard]], with the `maxDocFreq` stop-shingle cap —
+    * the chat_dd lesson: templated captions make corpus-wide hot
+    * shingles the rule, and an uncapped shingle self-join goes
+    * quadratic on them), and the EXACT-image tier is canonical-url
+    * equality reported per pair-pair as `same_image`. The standard
+    * drop rule is `same_image AND jaccard >= minJaccard`; both tiers
+    * stay visible so callers can also audit caption-only dups
+    * (same text, different image — the watermark/recrop family).
+    *
+    * Pair identity is the composite (doc_id, ref_idx) — carried as
+    * one struct key through the shingle machinery (structs are
+    * orderable and hash-joinable), so no synthetic id arithmetic can
+    * overflow or alias.
+    *
+    * Scale shape — why a HOT IMAGE cannot go quadratic here:
+    * candidates come ONLY from the capped caption shingles, never
+    * from a per-image self-join, so an image referenced by millions
+    * of pages with distinct captions contributes zero candidate
+    * pairs; the canonical-url flag joins back on the uniform pair-id
+    * key AFTER the near tier has already bounded the row set. Same
+    * partial-agg + capped-self-join plan as every dedup operator.
+    *
+    * Output: (doc_a, ref_a, doc_b, ref_b, inter, union_n, jaccard,
+    * same_image), ordered pairs under the struct order. */
+  def dedupPairs(pairs: DataFrame, k: Int = 3, minJaccard: Double = 0.5,
+                 maxDocFreq: Int = Int.MaxValue): DataFrame = {
+    val keyed = pairs.select(
+      struct(col("doc_id"), col("ref_idx")).as("__pid"),
+      col("canonical_url"), col("caption"))
+    val near = Dedup.ngramJaccard(keyed, col("caption"), col("__pid"),
+      k, minJaccard, maxDocFreq)
+    val urls = keyed.select(col("__pid"), col("canonical_url"))
+    near
+      .join(urls.as("ua"), col("doc_a") === col("ua.__pid"))
+      .join(urls.as("ub"), col("doc_b") === col("ub.__pid"))
+      .select(
+        col("doc_a.doc_id").as("doc_a"),
+        col("doc_a.ref_idx").as("ref_a"),
+        col("doc_b.doc_id").as("doc_b"),
+        col("doc_b.ref_idx").as("ref_b"),
+        col("inter"), col("union_n"), col("jaccard"),
+        (col("ua.canonical_url") === col("ub.canonical_url"))
+          .as("same_image"))
+  }
+
   /** URL-SCOPE compliance filter — the allow/deny pass between crawl
     * ingest and dedup (robots/blocklist/domain-scope policies are
     * expressed over hosts and paths; crawl pipelines apply them per

@@ -14,6 +14,7 @@ class CacheHygieneSpec extends SparkSpec {
   /** Every declared query built on a persist/checkpoint-using operator. */
   private val cacheUsers = Seq(
     "dj", "dl", "dc", "dr",
+    "md", // dedupPairs rides ngramJaccard's persisted shingle frame
     "dec", "vkg", "vnr",
     "po", "pl", "ps",
     "pd", // sentence chunks through the packer (persistTracked ranged frame)

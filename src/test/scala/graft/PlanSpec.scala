@@ -828,6 +828,19 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"ms:\n$p")
   }
 
+  test("md pair dedup: capped shingle counts partial-agg, no window anywhere") {
+    val p = plan("md")
+    // candidates come only from the capped caption shingles (partial
+    // agg df counts + the capped self-join); the same_image flag joins
+    // back on the uniform struct pair key — a hot image contributes
+    // nothing, and nothing windows
+    assert(count(p, "HashAggregate") >= 4,
+      s"df counts and sizes must aggregate partially:\n$p")
+    assert(!p.contains("Window"),
+      s"pair dedup must never window:\n$p")
+    assert(!p.contains("CartesianProduct"), s"md:\n$p")
+  }
+
   test("history-tag rows mic/mac: history never shuffles, hit set broadcasts back") {
     Seq("mic", "mac").foreach { n =>
       val p = plan(n)

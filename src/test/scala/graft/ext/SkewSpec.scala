@@ -185,6 +185,36 @@ class SkewSpec extends SparkSpec with org.scalatest.BeforeAndAfterEach {
     assert(capped == Set((100L, 101L, 2L, 4L, 0.5)))
   }
 
+  test("dedupPairs: a hot image with distinct captions yields zero " +
+    "candidates; near-caption dups under it still pair (VERDICT r19 #6)") {
+    // ONE image referenced by 2000 pages (the hero-image / logo shape —
+    // the multimodal hot key) with otherwise-unique captions, plus two
+    // planted near-dup captions under the hot image and one caption dup
+    // across DIFFERENT images. Candidates come only from the capped
+    // caption shingles — the hot image itself must contribute nothing.
+    val pairs = ((0L until 2000L).map(i =>
+        (i, 0L, "cdn.ex/hot.png", s"unique caption number $i entirely")) ++
+      Seq((3000L, 0L, "cdn.ex/hot.png", "rare alpha beta gamma words"),
+          (3001L, 0L, "cdn.ex/hot.png", "rare alpha beta gamma tokens"),
+          (3002L, 0L, "cdn.ex/other.png", "rare alpha beta gamma words")))
+      .toDF("doc_id", "ref_idx", "canonical_url", "caption")
+    val got = Curation.dedupPairs(pairs, k = 3, minJaccard = 0.4,
+        maxDocFreq = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(4),
+        r.getLong(5), r.getBoolean(7))).toSet
+    // "unique caption number" / "caption number $i" share df=2000
+    // shingles ONLY via the template words — but each doc's shingles
+    // carry $i, so df=1 for the informative ones and the template
+    // shingles 'unique caption number' etc... are capped at df=2000>8.
+    // Survivors: the three planted docs pair pairwise on the rare
+    // shingles; same_image distinguishes the hot-image pair from the
+    // cross-image ones.
+    assert(got === Set(
+      (3000L, 3001L, 2L, 4L, true),   // same hot image, near captions
+      (3000L, 3002L, 3L, 3L, false),  // exact caption, different image
+      (3001L, 3002L, 2L, 4L, false)))
+  }
+
   test("minhashLsh/simhashPairs bucket caps skip the identical-cluster blowup") {
     // 30 byte-identical docs collide into one bucket per band/piece
     // (30*29/2 = 435 candidate pairs); one small true near-dup pair
