@@ -332,7 +332,10 @@ object Bench {
         // dc..dw = the r20 budget sweep's 2-char forms of the nine
         // former dd_* keys plus sh (smh) / kv (kmv); mappings in
         // BASELINE.md
-        "dc", "dx", "di", "db", "dn", "dz", "dp", "dh", "md",
+        "dc", "dx", "di", "db", "dn", "dz", "dp", "dh",
+        // md = pair-level dedup over the multimodal pair corpus (a
+        // NEW r20 row, not a rename)
+        "md",
         // dj/dk/dl/dr = dd_j/dd_k/dd_l/dd_r after the r18 trim (the
         // dd_ prefix rule no longer matches them)
         "dw", "dj", "dk", "dl", "dr").contains(name)) "dedup"

@@ -236,8 +236,12 @@ object Packing {
     // otherwise collect an unbounded histogram to the driver. The
     // limit keeps the collect itself bounded either way; exceeding it
     // raises with the routing a byte-scale packing actually wants.
+    // saturating +1: Int.MaxValue is the repo's "no cap" sentinel (the
+    // maxDocFreq convention) and must not wrap the limit negative
+    val lim = if (maxDistinctLengths >= Int.MaxValue) Int.MaxValue
+      else maxDistinctLengths + 1
     val hist = base.groupBy("n_tokens").count()
-      .limit(maxDistinctLengths + 1)
+      .limit(lim)
       .as[(Long, Long)].collect().sortBy(-_._1)
     if (hist.length > maxDistinctLengths)
       throw new IllegalArgumentException(

@@ -347,4 +347,29 @@ class CurationSpec extends SparkSpec with org.scalatest.BeforeAndAfterEach {
       ("spam.net", 4L, 1L, 250L, false),
       ("tiny.org", 2L, 2L, 1000L, false)))
   }
+
+  test("pairSimilarity: a zero-vector embedding has no direction — " +
+    "its NaN cosine must DROP, never pass the gate") {
+    // Spark orders NaN above every double, so without the explicit
+    // guard `sim >= minCosine` would evaluate TRUE for 0/0 = NaN and
+    // export an undefined pair
+    val pairs = Seq(
+      (1L, 0L, "cdn.ex/a.png", "a fine caption", 20, 20, 100),
+      (2L, 0L, "cdn.ex/b.png", "another caption", 20, 20, 100))
+      .toDF("doc_id", "ref_idx", "canonical_url", "caption",
+        "width", "height", "mean_luma")
+    val imgEmb = Seq(
+      ("http://cdn.ex/a.png", Array(0.0f, 0.0f)), // zero vector
+      ("http://cdn.ex/b.png", Array(1.0f, 0.0f)))
+      .toDF("img_url", "embedding")
+    val txtEmb = Seq(
+      ("a fine caption", Array(1.0f, 0.0f)),
+      ("another caption", Array(1.0f, 0.0f)))
+      .toDF("caption", "embedding")
+    val got = Curation.pairSimilarity(pairs, imgEmb, txtEmb,
+        minCosine = 0.5)
+      .select("doc_id", "sim").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.toSeq === Seq((2L, 1.0)))
+  }
 }

@@ -395,5 +395,12 @@ class PackingSpec extends SparkSpec {
       maxDistinctLengths = 64)
     assert(ok.count() === 64)
     graft.CacheScope.release()
+    // the repo's Int.MaxValue "no cap" sentinel must not wrap the
+    // limit negative (saturating +1)
+    val unc = Packing.packBestFit(docs.toDF("doc_id", "n_tokens"),
+      $"doc_id", $"n_tokens", budget = 1000000000L,
+      maxDistinctLengths = Int.MaxValue)
+    assert(unc.count() === 64)
+    graft.CacheScope.release()
   }
 }
