@@ -426,14 +426,17 @@ class StreamingCurationSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("image-text pairs: live crawl feed appends pair history replay-safe") {
-    // VERDICT r18 #6 — zero new operator code; the proof is the
-    // composition: WARC segments stream in, each micro-batch runs
-    // webPages → imageRefs → imagePairs against the fetched-image
-    // corpus, and the surviving pairs' canonical-url hashes append
-    // into the replay-safe code store (appendCodes' marker + id-level
-    // anti join). A url re-paired in a later batch must not duplicate,
-    // and a redelivered batch must no-op on its marker.
+  test("image-text pairs: live crawl feed gates on similarity and " +
+    "appends pair history replay-safe") {
+    // VERDICT r18 #6 + the r20 similarity gate — zero new operator
+    // code; the proof is the composition: WARC segments stream in,
+    // each micro-batch runs webPages → imageRefs → imagePairs against
+    // the fetched-image corpus, the LAION similarity gate
+    // (pairSimilarity against the static embedding corpora) drops the
+    // mis-captioned pair, and the survivors' canonical-url hashes
+    // append into the replay-safe code store (appendCodes' marker +
+    // id-level anti join). A url re-paired in a later batch must not
+    // duplicate, and a redelivered batch must no-op on its marker.
     val CRLF = "\r\n"
     def rec(uri: String, body: String): Array[Byte] = {
       val http = (s"HTTP/1.1 200 OK${CRLF}Content-Type: text/html; " +
@@ -464,6 +467,20 @@ class StreamingCurationSpec extends SparkSpec {
       ("http://cdn.other.example/b.png", 24, 18, 90),
       ("http://c.example/c.png", 32, 20, 80))
       .toDF("img_url", "width", "height", "mean_luma")
+    // static embedding corpora for the gate: b.png is orthogonal to
+    // its own caption (the mis-captioned crawl pair), so the gate
+    // must hold it out of the store from the first batch on
+    val imgEmb = Seq(
+      ("http://a.example/a.png", Array(1.0f, 0.0f)),
+      ("http://cdn.other.example/b.png", Array(0.0f, 1.0f)),
+      ("http://c.example/c.png", Array(1.0f, 0.0f)))
+      .toDF("img_url", "embedding")
+    val txtEmb = Seq(
+      ("a striped cat", Array(1.0f, 0.0f)),
+      ("a good dog", Array(1.0f, 0.0f)),
+      ("same cat again", Array(1.0f, 0.0f)),
+      ("a third image", Array(1.0f, 0.0f)))
+      .toDF("caption", "embedding")
     val seenBatches = scala.collection.mutable.ArrayBuffer.empty[Long]
     def urlCodes(pairs: org.apache.spark.sql.DataFrame) =
       pairs.select(Text.hash60(col("canonical_url")).as("vec_id"))
@@ -486,13 +503,16 @@ class StreamingCurationSpec extends SparkSpec {
           Curation.imageRefs(pages, col("doc_id"), col("html"),
             col("url")),
           images, minW = 10, minH = 10, minCaptionChars = 5)
+        val gated = Curation.pairSimilarity(pairs, imgEmb, txtEmb,
+          minCosine = 0.5)
         seenBatches.synchronized { seenBatches += bid }
-        Similarity.appendCodes(urlCodes(pairs), store, bid)
+        Similarity.appendCodes(urlCodes(gated), store, bid)
         ()
       }.start()
     try {
       q.processAllAvailable()
-      assert(spark.read.parquet(s"$store/codes").count() === 2)
+      // batch 1 held the mis-captioned dog pair out at the gate
+      assert(spark.read.parquet(s"$store/codes").count() === 1)
       // batch 2: a new page RE-references a.png (id-level dedup must
       // hold it out) and adds the fresh c.png pair
       java.nio.file.Files.write(dir.resolve("seg-1.warc"),
@@ -500,7 +520,7 @@ class StreamingCurationSpec extends SparkSpec {
           "<img src=\"http://a.example/a.png\" alt=\"same cat again\">" +
             "<img src=\"http://c.example/c.png\" alt=\"a third image\">"))
       q.processAllAvailable()
-      assert(spark.read.parquet(s"$store/codes").count() === 3)
+      assert(spark.read.parquet(s"$store/codes").count() === 2)
     } finally q.stop()
     // replay: the second batch redelivered under its original batchId
     // no-ops on the root-level marker — store unchanged
@@ -508,11 +528,11 @@ class StreamingCurationSpec extends SparkSpec {
       .toDF("canonical_url", "x")
     assert(!Similarity.appendCodes(urlCodes(replayPairs), store,
       seenBatches.max))
-    assert(spark.read.parquet(s"$store/codes").count() === 3)
+    assert(spark.read.parquet(s"$store/codes").count() === 2)
     // ... but the same pairs under a NEW batchId still add nothing —
     // the id-level anti join settles redelivery with fresh numbering
     assert(Similarity.appendCodes(urlCodes(replayPairs), store,
       seenBatches.max + 100L))
-    assert(spark.read.parquet(s"$store/codes").count() === 3)
+    assert(spark.read.parquet(s"$store/codes").count() === 2)
   }
 }
