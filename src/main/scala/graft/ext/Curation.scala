@@ -412,10 +412,11 @@ object Curation {
     * IEEE sequence in both engines ([[Similarity.cosineQNormed]]).
     * Norms are computed once per VECTOR before the joins, so the
     * per-pair cost is a single dot product. A zero vector has no
-    * direction — its cosine is undefined, so the pair drops on a
-    * zero-norm guard BEFORE the division (under ANSI the 0/0 would
-    * raise; as NaN it would perversely PASS the gate, since Spark
-    * orders NaN above every double).
+    * direction — its cosine is undefined, so the pair drops on an
+    * explicit zero-norm guard BEFORE the division: under ANSI (this
+    * engine's default) the 0/0 would otherwise raise DIVIDE_BY_ZERO
+    * mid-job, and under non-ANSI Spark's Divide yields NULL — a
+    * silent drop this guard turns into a documented one.
     *
     * Scale shape: two uniform-hash shuffles and nothing else — the
     * canonical-url join (md5-uniform) and the caption join; both
@@ -444,11 +445,11 @@ object Curation {
     pairs
       .join(img, "canonical_url")
       .join(txt, "caption")
-      // the zero-norm guard is load-bearing: a zero vector has no
-      // direction, and its 0/0 cosine would either raise under ANSI
-      // division or, as NaN, PASS `>= minCosine` (Spark orders NaN
-      // above every double) — the pair must DROP instead, quietly,
-      // like the coverage gaps above
+      // the zero-norm guard is load-bearing under ANSI (the default
+      // here): Spark's Divide raises DIVIDE_BY_ZERO on a zero
+      // divisor, so ONE zero embedding would kill the whole job;
+      // non-ANSI it yields NULL (a silent drop). The guard makes the
+      // drop explicit either way, like the coverage gaps above
       .where(col("__ni") > 0 && col("__nt") > 0)
       .withColumn("sim", Similarity.cosineQNormed(col("__qi"), col("__qt"),
         col("__ni"), col("__nt")))

@@ -162,25 +162,40 @@ object StoreCompaction {
     } finally in.close()
   }
 
+  /** The ONE derivation of the applied-prefix watermark from a set of
+    * marker-dir file NAMES — shared by the glob-scoped reader and the
+    * roll-up's full listing so the two can never diverge on which
+    * forms count or how corrupt content degrades: value-named files
+    * carry the value in the NAME's suffix; the content-valued forms
+    * (the pre-r19 `_watermark` file, and the pre-r19 crash debris
+    * `_watermark_tmp`, which may hold the ONLY copy of the
+    * folded-prefix value — VERDICT r18 #1's loss case) are read only
+    * when their name is present. -1 = no watermark. */
+  private def maxWatermark(fs: FileSystem, markers: Path,
+                           names: Seq[String]): Long = {
+    val named = names.filter(_.startsWith(WatermarkPrefix))
+      .flatMap(_.stripPrefix(WatermarkPrefix).toLongOption)
+    val legacy =
+      if (!names.contains(LegacyWatermarkFile)) -1L
+      else readContentValue(fs, new Path(markers, LegacyWatermarkFile))
+    val legacyTmp =
+      if (!names.contains(LegacyTmpFile)) -1L
+      else readContentValue(fs, new Path(markers, LegacyTmpFile))
+    ((named :+ legacy :+ legacyTmp) :+ -1L).max
+  }
+
   private def readWatermark(fs: FileSystem, markers: Path): Long = {
     if (!fs.exists(markers)) return -1L
     // prefix-scoped glob — a server-side prefix list on object
-    // stores, never an enumeration of the per-batch marker files
+    // stores, never an enumeration of the per-batch marker files —
+    // plus the one legacy name the `_watermark_*` glob cannot match
     val wmNames = fs.globStatus(new Path(markers, WatermarkPrefix + "*"))
-      .map(_.getPath.getName)
-    // value-named files: the value is the NAME's suffix
-    val named = wmNames
-      .flatMap(n => n.stripPrefix(WatermarkPrefix).toLongOption)
-    // content-valued forms: the pre-r19 `_watermark` file, and the
-    // pre-r19 crash debris `_watermark_tmp` (which may hold the ONLY
-    // copy of the folded-prefix value — VERDICT r18 #1's loss case)
-    val legacy =
-      if (!fs.exists(new Path(markers, LegacyWatermarkFile))) -1L
-      else readContentValue(fs, new Path(markers, LegacyWatermarkFile))
-    val legacyTmp =
-      if (!wmNames.contains(LegacyTmpFile)) -1L
-      else readContentValue(fs, new Path(markers, LegacyTmpFile))
-    (named :+ legacy :+ legacyTmp).max
+      .map(_.getPath.getName).toSeq
+    val withLegacy =
+      if (fs.exists(new Path(markers, LegacyWatermarkFile)))
+        wmNames :+ LegacyWatermarkFile
+      else wmNames
+    maxWatermark(fs, markers, withLegacy)
   }
 
   /** Roll the contiguous batch-id prefix into one value-named
@@ -202,18 +217,10 @@ object StoreCompaction {
     // watermark form, and the retire sweep all derive from this
     // listing (the just-created watermark file needs no re-list — the
     // `< w` predicate already excludes it).
-    val names = fs.listStatus(markers).map(_.getPath.getName)
+    val names = fs.listStatus(markers).map(_.getPath.getName).toSeq
     val ids = names.filter(n => n.nonEmpty && n.forall(_.isDigit))
       .flatMap(_.toLongOption).toSet
-    val named = names.filter(_.startsWith(WatermarkPrefix))
-      .flatMap(_.stripPrefix(WatermarkPrefix).toLongOption)
-    val legacy =
-      if (!names.contains(LegacyWatermarkFile)) -1L
-      else readContentValue(fs, new Path(markers, LegacyWatermarkFile))
-    val legacyTmp =
-      if (!names.contains(LegacyTmpFile)) -1L
-      else readContentValue(fs, new Path(markers, LegacyTmpFile))
-    val old = ((named :+ legacy :+ legacyTmp) :+ -1L).max
+    val old = maxWatermark(fs, markers, names)
     var w = old
     while (ids.contains(w + 1)) w += 1
     if (w < 0) return // nothing folded yet and no watermark to heal to

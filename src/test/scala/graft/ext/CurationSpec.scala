@@ -349,10 +349,11 @@ class CurationSpec extends SparkSpec with org.scalatest.BeforeAndAfterEach {
   }
 
   test("pairSimilarity: a zero-vector embedding has no direction — " +
-    "its NaN cosine must DROP, never pass the gate") {
-    // Spark orders NaN above every double, so without the explicit
-    // guard `sim >= minCosine` would evaluate TRUE for 0/0 = NaN and
-    // export an undefined pair
+    "its pair drops instead of raising under ANSI division") {
+    // without the explicit zero-norm guard the 0/0 cosine raises
+    // DIVIDE_BY_ZERO under ANSI (this engine's default) — one zero
+    // embedding killing the whole job — and silently NULL-drops
+    // non-ANSI; the guard makes the drop explicit in both modes
     val pairs = Seq(
       (1L, 0L, "cdn.ex/a.png", "a fine caption", 20, 20, 100),
       (2L, 0L, "cdn.ex/b.png", "another caption", 20, 20, 100))
