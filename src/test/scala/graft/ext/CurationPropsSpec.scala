@@ -288,4 +288,54 @@ class CurationPropsSpec extends SparkSpec {
       got == want
     }, cases = 500)
   }
+
+  test("pairSimilarity equals the quantized-cosine reference on random embeddings") {
+    // engine-exactness pin for the gate: random float embeddings
+    // (zero vectors included) against an independent Scala model of
+    // the documented arithmetic — quantize to the 1e-6 grid, exact
+    // integer dots/norms, one double division, HALF_UP round to 6 dp,
+    // zero-norm pairs drop. Any quantization or guard drift breaks it.
+    val rnd = new scala.util.Random(42)
+    def vec(dim: Int): Array[Float] =
+      if (rnd.nextInt(8) == 0) Array.fill(dim)(0.0f) // occasional zero
+      else Array.fill(dim)((rnd.nextDouble() * 2 - 1).toFloat)
+    def quant(v: Array[Float]): Array[Long] =
+      v.map(x => math.round(x.toDouble * 1e6))
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    (0 until 3).foreach { trial =>
+      val dim = 2 + trial * 3 // 2, 5, 8
+      // pairs carry the CANONICAL form (imagePairs' output contract);
+      // the embedding corpus carries raw fetch-log URLs the gate must
+      // canonicalize to meet them
+      val urls = (0 until 6).map(i => s"h$i.ex/p$i.png")
+      val caps = (0 until 6).map(i => s"caption number $i")
+      val imgV = urls.map(_ -> vec(dim)).toMap
+      val txtV = caps.map(_ -> vec(dim)).toMap
+      val pairRows = (0 until 30).map { i =>
+        (i.toLong, 0L, urls(rnd.nextInt(6)), caps(rnd.nextInt(6)),
+          10, 10, 50) }
+      val thr = Seq(0.0, 0.3, 0.9)(trial)
+      // independent reference over the SAME rows
+      val expect = pairRows.flatMap { case (id, _, u, c, _, _, _) =>
+        val qi = quant(imgV(u)); val qt = quant(txtV(c))
+        val ni = qi.map(x => x * x).sum; val nt = qt.map(x => x * x).sum
+        if (ni == 0 || nt == 0) None
+        else {
+          val dot = qi.zip(qt).map { case (a, b) => a * b }.sum
+          val sim = round6(dot.toDouble / math.sqrt(ni.toDouble * nt.toDouble))
+          if (sim >= thr) Some(id -> sim) else None
+        }
+      }.toMap
+      val got = Curation.pairSimilarity(
+          pairRows.toDF("doc_id", "ref_idx", "canonical_url", "caption",
+            "width", "height", "mean_luma"),
+          urls.map(u => (s"http://$u", imgV(u))).toDF("img_url", "embedding"),
+          caps.map(c => (c, txtV(c))).toDF("caption", "embedding"),
+          minCosine = thr)
+        .select("doc_id", "sim").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(got === expect, s"trial $trial (dim=$dim thr=$thr)")
+    }
+  }
 }
