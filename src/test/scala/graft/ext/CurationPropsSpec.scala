@@ -338,4 +338,55 @@ class CurationPropsSpec extends SparkSpec {
       assert(got === expect, s"trial $trial (dim=$dim thr=$thr)")
     }
   }
+
+  test("dedupPairs equals an independent shingle-set reference on random pair corpora") {
+    // pins the struct pair key, the df cap, the jaccard arithmetic
+    // and the same_image flag end-to-end against a from-scratch Scala
+    // model — random captions from a tiny vocabulary make shared and
+    // capped shingles common, and ref_idx > 0 keeps the composite key
+    // load-bearing
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("ab", "cd", "ef", "gh", "ij")
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    (0 until 3).foreach { trial =>
+      val cap = Seq(Int.MaxValue, 6, 3)(trial)
+      val rows = (0 until 20).map { i =>
+        val caption = Seq.fill(3 + rnd.nextInt(5))(
+          vocab(rnd.nextInt(vocab.size))).mkString(" ")
+        ((i / 2).toLong, (i % 2).toLong,
+          s"cdn.ex/i${rnd.nextInt(4)}.png", caption)
+      }
+      // independent model: distinct word 3-shingles per pair, df cap,
+      // pairwise jaccard over the capped sets, url equality flag
+      val shingleSets = rows.map { case (d, r, _, c) =>
+        ((d, r), c.split(" +").toSeq.sliding(3).filter(_.size == 3)
+          .map(_.mkString(" ")).toSeq.distinct)
+      }
+      val df = shingleSets.flatMap(_._2.map(s => s -> 1))
+        .groupBy(_._1).map { case (k, v) => k -> v.size }
+      val capped = shingleSets.map { case (k, sh) =>
+        k -> sh.filter(s => df(s) <= cap).toSet }.toMap
+      val urlOf = rows.map { case (d, r, u, _) => ((d, r), u) }.toMap
+      val keys = rows.map { case (d, r, _, _) => (d, r) }
+      val expect = (for {
+        a <- keys; b <- keys
+        if (a._1 < b._1) || (a._1 == b._1 && a._2 < b._2)
+        inter = (capped(a) & capped(b)).size
+        if inter > 0
+        union = capped(a).size + capped(b).size - inter
+        j = round6(inter.toDouble / union)
+        if j >= 0.2
+      } yield (a._1, a._2, b._1, b._2, inter.toLong, union.toLong, j,
+        urlOf(a) == urlOf(b))).toSet
+      val got = Curation.dedupPairs(
+          rows.toDF("doc_id", "ref_idx", "canonical_url", "caption"),
+          k = 3, minJaccard = 0.2, maxDocFreq = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5), r.getDouble(6),
+          r.getBoolean(7))).toSet
+      graft.CacheScope.release()
+      assert(got === expect, s"trial $trial (cap=$cap)")
+    }
+  }
 }
