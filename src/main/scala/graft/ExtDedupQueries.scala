@@ -195,10 +195,6 @@ object ExtDedupQueries {
         .orderBy("doc_id")
     }),
 
-    // CONVERSATION-LEVEL DEDUP: the SFT set gets the same dedup matrix
-    // as pretraining text — public pipelines dedup on the flattened
-    // render, so Chat.render feeds Dedup.ngramJaccard (near tier) and
-    // the render fingerprint marks the exact tier on each pair.
     // PAIR-LEVEL dedup for the multimodal corpus (VERDICT r19 #6):
     // the dedup matrix over imagePairs-shaped rows. Fixture pairs:
     // one per document, image groups of 4 (doc_id div 4) and caption
@@ -223,6 +219,10 @@ object ExtDedupQueries {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // CONVERSATION-LEVEL DEDUP: the SFT set gets the same dedup matrix
+    // as pretraining text — public pipelines dedup on the flattened
+    // render, so Chat.render feeds Dedup.ngramJaccard (near tier) and
+    // the render fingerprint marks the exact tier on each pair.
     "cdd" -> ((s, d) => {
       val conv = synthChatDupConv(Tables.documents(s, d))
       val r = Chat.render(conv, col("conv"), col("doc_id"))
@@ -648,14 +648,6 @@ WHERE doc_id % 10 >= 8 AND NOT EXISTS (
   WHERE h.doc_id % 10 < 8 AND md5(h.text) = md5(d.text))
 ORDER BY doc_id""",
 
-    // Mirror of Chat.prefStats over the synthesized pairs: every
-    // verdict is a pure residue function of the pair id (chosen always
-    // parses and ends assistant; the defects are injected by modulus).
-    // synthChatDupConv's renders rebuilt closed-form, then the dd_j
-    // pair arithmetic over the render's word shingles — with the
-    // maxDocFreq <= 8 stop-shingle filter mirrored (shf) — plus the
-    // exact marker from the render md5. The render/shingle/cap front
-    // (chatRenderShinglesCte) is shared verbatim with cdc.
     // Mirror of md, simulation-blind: the capped shingle outcome is
     // stated closed-form (every intra-caption-group pair shares
     // exactly 2 of its 3 surviving shingles), same_image from the
@@ -670,6 +662,11 @@ FROM documents a JOIN documents b
   ON a.doc_id // 8 = b.doc_id // 8 AND a.doc_id < b.doc_id
 ORDER BY doc_a, doc_b"""),
 
+    // synthChatDupConv's renders rebuilt closed-form, then the dd_j
+    // pair arithmetic over the render's word shingles — with the
+    // maxDocFreq <= 8 stop-shingle filter mirrored (shf) — plus the
+    // exact marker from the render md5. The render/shingle/cap front
+    // (chatRenderShinglesCte) is shared verbatim with cdc.
     "cdd" -> (chatRenderShinglesCte + s""", sizes AS (
   SELECT doc_id, count(*) AS n FROM shf GROUP BY 1
 ), pairs AS (

@@ -1214,6 +1214,9 @@ SELECT doc_id, CAST(turn_idx AS BIGINT) AS turn_idx,
 FROM sp WHERE role = 'assistant'
 ORDER BY doc_id, turn_idx"""),
 
+    // Mirror of Chat.prefStats over the synthesized pairs: every
+    // verdict is a pure residue function of the pair id (chosen always
+    // parses and ends assistant; the defects are injected by modulus).
     "pz" -> ("""SELECT doc_id AS pair_id,
   NOT (doc_id % 17 = 0) AS pair_ok,
   CASE WHEN doc_id % 17 = 0 THEN NULL

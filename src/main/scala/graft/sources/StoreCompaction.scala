@@ -223,7 +223,19 @@ object StoreCompaction {
     val old = maxWatermark(fs, markers, names)
     var w = old
     while (ids.contains(w + 1)) w += 1
-    if (w < 0) return // nothing folded yet and no watermark to heal to
+    if (w < 0) {
+      // nothing folded yet and no watermark value to heal to — but a
+      // legacy-form file can still be PRESENT with unreadable content
+      // (a pre-r19 crash mid-write): in this branch every watermark
+      // form read -1 (a readable one would have made old >= 0), so
+      // the files carry no recoverable value and retiring them is the
+      // heal — otherwise this dead debris survives every compaction
+      // and every isApplied re-reads it forever
+      Seq(LegacyWatermarkFile, LegacyTmpFile)
+        .filter(names.contains)
+        .foreach(n => fs.delete(new Path(markers, n), false))
+      return
+    }
     // Durable-before-destructive, and SELF-HEALING (VERDICT r19 #5 /
     // ADVICE r19 #1): the value-named `_watermark_<w>` is created
     // even when the watermark did not advance — a crashed prior

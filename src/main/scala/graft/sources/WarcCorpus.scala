@@ -2,7 +2,7 @@ package graft.sources
 
 import java.io.{ByteArrayOutputStream, EOFException, InputStream}
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Web-crawl ingestion: the WARC container (ISO 28500 — the format
@@ -335,14 +335,48 @@ object WarcCorpus {
       "charset=\"?([a-z0-9_\\-]+)", 1)
     // WHATWG prescan (HTML §13.2.3.2) for header-less pages: the first
     // 1024 payload bytes, read as latin-1 (the byte-transparent
-    // superset — the prescan is ASCII-level), searched for a
-    // meta-declared charset. Both meta forms (<meta charset=utf-8>
-    // and the http-equiv shape content="text/html; charset=utf-8")
-    // carry `charset=` inside the tag, so one pattern in the shared
-    // Java ∩ RE2 dialect covers both.
-    val metaCharset = regexp_extract(
+    // superset — the prescan is ASCII-level), comments stripped, then
+    // each <meta> tag parsed with the SAME atomic-quote tag regex and
+    // whole-token attribute tokenization as
+    // [[graft.ext.Curation.imageRefs]] — so a charset inside an HTML
+    // comment or inside an unrelated attribute's quoted value (an
+    // og:description mentioning one) can never be taken, exactly as
+    // the spec's prescan skips comments and parses attributes. A
+    // charset is accepted from a tag's own `charset` attribute, or
+    // from its `content` attribute only when the tag's `http-equiv`
+    // names content-type; the FIRST meta yielding one wins (document
+    // order, the spec's rule).
+    val prescan = regexp_replace(
       lower(decode(expr("substring(payload, 1, 1024)"), "ISO-8859-1")),
-      "<meta[^>]*charset\\s*=\\s*[\"']?([a-z0-9_\\-]+)", 1)
+      "(?s)<!--.*?-->", "")
+    val attrRe =
+      "[a-z_:][a-z0-9_:.-]*\\s*=\\s*(?:\"[^\"]*\"|'[^']*'|[^\\s>\"']+)"
+    def attrVal(tag: Column, name: String): Column = {
+      val tok = try_element_at(
+        filter(regexp_extract_all(tag, lit(attrRe), lit(0)),
+          a => a.rlike(s"^$name\\s*=")), lit(1))
+      coalesce(regexp_replace(
+        regexp_replace(
+          regexp_replace(tok, s"^$name\\s*=\\s*", ""),
+          "^[\"']", ""),
+        "[\"']$", ""), lit(""))
+    }
+    def tagCharset(tag: Column): Column = {
+      val direct = regexp_extract(attrVal(tag, "charset"),
+        "^([a-z0-9_\\-]+)", 1)
+      val fromContent = regexp_extract(attrVal(tag, "content"),
+        "charset\\s*=\\s*[\"']?([a-z0-9_\\-]+)", 1)
+      when(direct =!= "", direct)
+        .when(attrVal(tag, "http-equiv").contains("content-type") &&
+          fromContent =!= "", fromContent)
+        .otherwise(lit(""))
+    }
+    val metas = regexp_extract_all(prescan,
+      lit("<meta\\b(?:[^>\"']|\"[^\"]*\"|'[^']*')*>"), lit(0))
+    val metaCharset = coalesce(
+      try_element_at(filter(transform(metas, t => tagCharset(t)),
+        c => c =!= ""), lit(1)),
+      lit(""))
     // header > meta (the transport layer outranks the document's own
     // declaration); the BOM outranks both below
     val charset =

@@ -300,7 +300,11 @@ class CurationPropsSpec extends SparkSpec {
       if (rnd.nextInt(8) == 0) Array.fill(dim)(0.0f) // occasional zero
       else Array.fill(dim)((rnd.nextDouble() * 2 - 1).toFloat)
     def quant(v: Array[Float]): Array[Long] =
-      v.map(x => math.round(x.toDouble * 1e6))
+      // HALF_UP away from zero, matching Spark's round() — math.round
+      // rounds half toward +infinity and would diverge on a negative
+      // component landing exactly on the 1e-6 grid's .5 point
+      v.map(x => BigDecimal(x.toDouble * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
     def round6(x: Double): Double =
       BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     (0 until 3).foreach { trial =>

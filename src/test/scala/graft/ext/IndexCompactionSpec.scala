@@ -388,6 +388,29 @@ class IndexCompactionSpec extends SparkSpec {
     assert(!append(3L)) // replay still no-ops after the heal
   }
 
+  test("unreadable legacy watermark debris retires even with no value " +
+    "to heal to") {
+    // a pre-r19 store crashed MID-WRITE: the legacy `_watermark` file
+    // exists but its content is garbage (reads as no value). With no
+    // per-batch markers to fold, the roll-up has no watermark to
+    // create — but the dead file must still retire, or it survives
+    // every compaction and every replay check re-reads it forever
+    val root = Files.createTempDirectory("graft-cmp-junk").toString + "/store"
+    Similarity.writeB1Codes(
+      Seq((1L, v(1, 1, 1, 1))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", root)
+    val mdir = new java.io.File(s"$root/_applied_batches")
+    assert(mdir.mkdirs())
+    java.nio.file.Files.write(
+      new java.io.File(mdir, "_watermark").toPath,
+      "not a number".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    assert(!StoreCompaction.isApplied(spark, root, 0L))
+    Similarity.compactCodes(spark, root)
+    def markerNames() = mdir.list().filterNot(_.startsWith(".")).toSet
+    assert(markerNames() === Set.empty)
+    assert(!StoreCompaction.isApplied(spark, root, 0L))
+  }
+
   test("pre-r19 _watermark_tmp crash debris recovers and retires") {
     // a store crashed under the OLD build between its watermark delete
     // and rename: `_watermark_tmp` holds the ONLY copy of the

@@ -199,6 +199,19 @@ class WarcSpec extends SparkSpec {
     val bomU16 = Array(0xFF, 0xFE).map(_.toByte) ++
       "<html><body><p>café €</p></body></html>"
         .getBytes("UTF-16LE")
+    // prescan DECOYS (the WHATWG rules the tokenized prescan honors):
+    // a commented-out meta and a charset mention inside an unrelated
+    // attribute's quoted value must BOTH be skipped — only the real
+    // <meta charset=windows-1252> counts; taking either decoy would
+    // decode the latin-1 bytes as UTF-8 and mangle 0xE9/0x80
+    val metaDecoys =
+      ("<html><head><!-- <meta charset=utf-8> legacy -->" +
+        "<meta property=\"og:description\"" +
+        " content=\"charset=utf-8 is mentioned here\">" +
+        "<meta charset=windows-1252></head><body><p>caf")
+        .getBytes("ISO-8859-1") ++
+      Array(0xe9.toByte, ' '.toByte, 0x80.toByte) ++
+      "</p></body></html>".getBytes("ISO-8859-1")
     def resp(hdrCt: String, body: Array[Byte]): Array[Byte] =
       (s"HTTP/1.1 200 OK${CRLF}Content-Type: $hdrCt$CRLF$CRLF")
         .getBytes("ISO-8859-1") ++ body
@@ -215,11 +228,14 @@ class WarcSpec extends SparkSpec {
         resp("text/html; charset=ISO-8859-1", bomU8), "<urn:uuid:m3>") ++
       rec("response", Some("http://m4.example/"),
         "application/http; msgtype=response",
-        resp("text/html", bomU16), "<urn:uuid:m4>"))
+        resp("text/html", bomU16), "<urn:uuid:m4>") ++
+      rec("response", Some("http://m5.example/"),
+        "application/http; msgtype=response",
+        resp("text/html", metaDecoys), "<urn:uuid:m5>"))
     val docs = WarcCorpus.webDocuments(readWarc(spark, dir.toString).records)
       .orderBy("url").select("text").as[String].collect()
     assert(docs.toSeq ==
-      Seq.fill(4)("café €"), docs.mkString("|"))
+      Seq.fill(5)("café €"), docs.mkString("|"))
   }
 
   test("property: arbitrary bytes never throw; corruption is terminal") {
