@@ -287,16 +287,23 @@ object ExtMediaQueries {
       : (DataFrame, DataFrame, DataFrame) = {
     import s.implicits._
     val pages = mitPages(s, d)
-    val refs = Curation.imageRefs(pages,
-      col("doc_id"), col("html"), col("url"))
-    val urls = refs
+    // persisted query-scoped (the cdd pattern, VERDICT r20 #3): the
+    // extracted-reference frame feeds THREE consumers in ms (the pair
+    // join, the url derivation, the caption-embedding side) and two in
+    // mp — unpersisted, the regex extraction over every page re-ran
+    // once per consumer (5 parquet scans of documents in the ms plan;
+    // 2 after). Same for urls: the fetched-image synthesis and the
+    // image-embedding side both read it.
+    val refs = graft.CacheScope.persistTracked(
+      Curation.imageRefs(pages, col("doc_id"), col("html"), col("url")))
+    val urls = graft.CacheScope.persistTracked(refs
       .select(Curation.canonicalUrl(col("img_url")).as("curl"))
       .distinct()
       .withColumn("h", graft.ext.Text.hash60(col("curl")))
       .where(col("h") % 3 =!= 0)
       .select(col("curl"), col("h"),
         (lit(12) + col("h") % 5).cast("int").as("w"),
-        (lit(10) + col("h") % 7).cast("int").as("ht"))
+        (lit(10) + col("h") % 7).cast("int").as("ht")))
     val media = urls.select(col("h"), col("w"), col("ht"))
       .as[(Long, Int, Int)]
       .map { case (h, w, ht) => Multimodal.MediaRow(h,
