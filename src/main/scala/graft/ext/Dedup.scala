@@ -609,8 +609,13 @@ object Dedup {
     val scored = graft.operators.BloomSemiJoin(
       df.select(id.as("__kb_id"), score.as("__kb_s")), col("__kb_id"),
       members.select(col("doc_id")), col("doc_id"), expectedDups, fpp)
-    val withScore = members
-      .join(scored, members("doc_id") === scored("__kb_id"))
+    // persisted query-scoped: TWO consumers (the per-cluster argmax and
+    // the dropped-set join) — unpersisted, the bloom-pruned corpus scan
+    // and the member join re-ran once per consumer (the db plan carried
+    // 63 exchanges; the frame is duplicate-set-sized, so the cache is
+    // bounded by the dup count at any scale)
+    val withScore = graft.CacheScope.persistTracked(members
+      .join(scored, members("doc_id") === scored("__kb_id")))
     val winners = withScore.groupBy("component")
       .agg(max(struct(col("__kb_s"), (-col("doc_id")).as("__neg")))
         .as("__w"))

@@ -64,6 +64,12 @@ object Graph {
     val ed = e.join(e.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
     val teleport = scale / 100L * 15L
     var ranks = nodes.select(col("node"), lit(scale).as("rank_pu"))
+    // NOT checkpointed per sweep, unlike [[hits]]: pageRank's lineage is
+    // LINEAR (ranks(t) references ranks(t-1) exactly once), so the
+    // replayed plan stays small, and the per-iteration eager
+    // materialization cost more than the recompute it saved
+    // (measured r21: isolated min 2.8 s plain vs 3.3 s checkpointed at
+    // sf0.1 — the reverse of hits' recursive 2x blowup).
     for (_ <- 1 to iters) {
       val contrib = ed.join(ranks, ed("src") === ranks("node"))
         .select(col("dst").as("node"), expr("rank_pu div outdeg").as("c"))
@@ -115,16 +121,37 @@ object Graph {
         .crossJoin(broadcast(raw.agg(max("__raw").as("__mx"))))
         .select(col("node"),
           expr(s"__raw * $scale div __mx").as(c))
+    // Per-sweep localCheckpoint (the [[graft.ext.Dedup.components]]
+    // idiom): without it the evolving auth/hub plans nest RECURSIVELY —
+    // auth(t) references hub(t) which references auth(t-1) twice (the
+    // sum join and the max broadcast), so the final plan grows to
+    // ~2,000 physical nodes at iters=2 and Catalyst replans/re-executes
+    // overlapping subtrees (measured: isolated min 5.9 s → 3.1 s at
+    // sf0.1). Checkpointing each sweep keeps every round's plan three
+    // joins deep; blocks are tracked for the caller's CacheScope
+    // release, and round N-1's are freed as soon as round N is
+    // materialized — in-flight footprint stays one (auth, hub) pair.
+    // The loop-invariant frames (e, nodes) stay UNpersisted: caching
+    // them froze their output partitioning and forced extra exchanges
+    // into every sweep (measured 3.5x slower — see the object scaladoc).
+    var prevRdds: Seq[org.apache.spark.rdd.RDD[_]] = Nil
     for (_ <- 1 to iters) {
-      auth = normalize(
+      val (a2, aRdds) = graft.CacheScope.localCheckpointWithRdds(normalize(
         e.join(hub, e("src") === hub("node"))
           .groupBy(col("dst").as("node")).agg(sum("hub_pu").as("__raw")),
-        "auth_pu")
-      hub = normalize(
+        "auth_pu"))
+      auth = a2
+      val (h2, hRdds) = graft.CacheScope.localCheckpointWithRdds(normalize(
         e.join(auth, e("dst") === auth("node"))
           .groupBy(col("src").as("node")).agg(sum("auth_pu").as("__raw")),
-        "hub_pu")
+        "hub_pu"))
+      hub = h2
+      graft.CacheScope.unpersistRdds(prevRdds)
+      prevRdds = aRdds ++ hRdds
     }
+    // the final sweep's blocks back the returned plan (truncated
+    // lineage — they cannot recompute); they live until release()
+    graft.CacheScope.trackRdds(prevRdds)
     auth.join(hub, "node")
   }
 
