@@ -33,11 +33,17 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g default (r21, was 8g): the sandbox has 128 GiB and at most two
+  // JVMs alive at once (sbt parent + one bench shard child), and GC
+  // debt inside a ~25-query shard is the documented first-reading
+  // inflator (r15: cns 29 s vs 3.8 s; r20 rerun object: mvd 7.4→5.0).
+  // Doubling the heap halves the collection frequency at the same
+  // allocation rate. Still env-parameterised for smaller hosts.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
   // Pre-size the heap: with the default tiny -Xms, the first
   // memory-hungry query in each bench shard pays the whole heap
   // expansion in full-GC pauses (r15 sweep: cns 29 s first reading vs
   // 3.8 s re-run on a grown heap). Bench shard children inherit this
   // via the parent's RuntimeMXBean args.
-  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )

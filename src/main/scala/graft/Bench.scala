@@ -135,6 +135,17 @@ object Bench {
     * finishes in 2-7 min; a single family exceeding 20 min is a hang. */
   val ShardTimeoutSec = 1200L
 
+  /** The smallest sibling SF dir used for the untimed per-query JIT
+    * warm, or None when the bench already targets it (a same-data warm
+    * would be a repeat run, not a compilation warm) or no sibling
+    * exists. Exposed for BenchLineSpec. */
+  def warmQuerySfDir(sfDir: String): Option[String] = {
+    val f = new java.io.File(sfDir)
+    val warm = new java.io.File(f.getParentFile, "sf0.001")
+    if (f.getName == "sf0.001" || !warm.isDirectory) None
+    else Some(warm.getPath)
+  }
+
   // ---------------------------------------------------------------- child
 
   private def childMain(args: Array[String]): Unit = {
@@ -201,6 +212,28 @@ object Bench {
     warm(ExtShared.ivfPqIndexFor(spark, sfDir))
     warm(ExtShared.lshIndexFor(spark, sfDir))
     val queries = SparkEntry.queries
+    // Untimed PER-QUERY JIT warm at the smallest sibling SF (r21,
+    // guide §1: measure the computation, not the JVM): each query's
+    // first timed reading otherwise pays C2 compilation of its own
+    // generated wholestage code and operator classes — measured 2-4x
+    // on identical data (ms 8-15 s cold vs 2.5-5 s steady, mvd 11 vs
+    // 5 at sf0.1), which is exactly the signature the in-shard rerun
+    // guard keeps firing on. Running the query once at sf0.001 warms
+    // the SAME generated classes (codegen is schema-derived, not
+    // data-derived) while computing DIFFERENT data, so nothing the
+    // timed run produces is precomputed — the same contract as the
+    // existing untimed scan drains and index builds above. Skipped
+    // when the bench itself targets the smallest SF (a same-data warm
+    // would be a plain repeat run) or the sibling dir is absent.
+    warmQuerySfDir(sfDir).foreach { wd =>
+      names.foreach { n =>
+        queries.get(n).foreach { fn =>
+          warm(
+            try fn(spark, wd).queryExecution.toRdd.foreach(_ => ())
+            finally CacheScope.release())
+        }
+      }
+    }
     names.foreach { name =>
       queries.get(name) match {
         case None => appendTsv(outFile, "E", name, "unknown query name")

@@ -43,6 +43,13 @@ object BenchOne {
     warm(ExtShared.ivfPqIndexFor(spark, sfDir))
     warm(ExtShared.lshIndexFor(spark, sfDir))
     val fn = SparkEntry.queries(name)
+    // Same untimed per-query JIT warm as the sweep (Bench.warmQuerySfDir):
+    // without it run 1 prices C2 compilation, not the query.
+    Bench.warmQuerySfDir(sfDir).foreach { wd =>
+      warm(
+        try fn(spark, wd).queryExecution.toRdd.foreach(_ => ())
+        finally CacheScope.release())
+    }
     val times = (1 to runs).map { _ =>
       val t0 = System.nanoTime()
       // elapsed is captured before the cache release so the measured

@@ -15,6 +15,9 @@ class CacheHygieneSpec extends SparkSpec {
   private val cacheUsers = Seq(
     "dj", "dl", "dc", "dr",
     "md", // dedupPairs rides ngramJaccard's persisted shingle frame
+    "ms", "mp", // mpPairs persists the shared refs/urls fixture lineage (r21)
+    "db", // keepBest persists the duplicate-sized withScore frame (r21)
+    "hits", // per-sweep localCheckpoints tracked via trackRdds (r21)
     "dec", "vkg", "vnr",
     "po", "pl", "ps",
     "pd", // sentence chunks through the packer (persistTracked ranged frame)
