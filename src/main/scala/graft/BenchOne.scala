@@ -51,6 +51,12 @@ object BenchOne {
         finally CacheScope.release())
     }
     val times = (1 to runs).map { _ =>
+      // untimed GC before every reading — Bench's convention: the
+      // ContextCleaner only reclaims shuffle/broadcast state when a GC
+      // fires, and with a pre-sized 16g heap organic GCs are rare
+      // enough that runs otherwise degrade ~2x each as debris piles up
+      // (measured r21: ms 2.6/6.2/13.3 without, stable with)
+      System.gc()
       val t0 = System.nanoTime()
       // elapsed is captured before the cache release so the measured
       // span matches Bench's convention (release is untimed there too)
