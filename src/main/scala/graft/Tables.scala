@@ -11,7 +11,39 @@ import graft.ingest.{BlockFeed, BlockIngest}
   * is built on top. */
 object Tables {
   def read(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    spread(spark, s"$dir/$name.parquet",
+      spark.read.parquet(s"$dir/$name.parquet"))
+
+  /** Scale-adaptive scan-parallelism floor (optimization guide §2.5
+    * "input skew: one huge unsplittable file … repartition immediately
+    * after the read" / §6 scan parallelism). The testdata tables are
+    * ONE parquet file of well under `maxPartitionBytes` each, so every
+    * scan is a single task — and the CPU-heavy per-row kernels that run
+    * BEFORE the first shuffle (media payload synthesis + decode, chat
+    * render, shingle/minhash construction) ran serially on one core
+    * while the other 31 idled (measured: 671/720 executor-thread jstack
+    * samples parked during `mvd`). A round-robin exchange of the seed
+    * rows costs microseconds at this size and unlocks the whole box.
+    *
+    * Scale discipline: the spread fires ONLY when the whole file is
+    * small (default < 64 MB, `spark.graft.spreadScanMaxBytes`) and
+    * worth spreading (≥ 256 KB — broadcast-sized dimension tables skip
+    * it), so at production scale — where the table has at least one
+    * split per core by construction — this is the identity and no
+    * corpus-sized input is ever shuffled. Size is taken from the local
+    * file; non-local paths (no cheap size probe) skip the spread. */
+  private def spread(spark: SparkSession, path: String,
+                     df: DataFrame): DataFrame = {
+    val bytes =
+      try java.nio.file.Files.size(java.nio.file.Paths.get(path))
+      catch { case _: Exception => -1L }
+    val maxBytes = spark.conf.getOption("spark.graft.spreadScanMaxBytes")
+      .map(_.toLong).getOrElse(64L * 1024 * 1024)
+    val cores = spark.sparkContext.defaultParallelism
+    if (bytes >= 256L * 1024 && bytes < maxBytes && cores > 1)
+      df.repartition(cores)
+    else df
+  }
 
   def region(s: SparkSession, d: String): DataFrame = read(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = read(s, d, "nation")

@@ -19,9 +19,21 @@ import org.apache.spark.sql.functions._
 object Text {
 
   /** First 60 bits of md5 as a non-negative long.
-    * DuckDB equivalent: `CAST(('0x' || substr(md5(x),1,15)) AS BIGINT)`. */
+    * DuckDB equivalent: `CAST(('0x' || substr(md5(x),1,15)) AS BIGINT)`.
+    *
+    * Computed by the native [[graft.functions.Hash60Md5]] expression —
+    * bit-identical to the previous portable
+    * `conv(substring(md5(c),1,15),16,10).cast("long")` chain (pinned by
+    * Hash60Spec against that exact formulation), without its four
+    * per-row string allocations (md5 hex, substring, conv's decimal
+    * string, the cast's parse). hash60 runs on every exploded
+    * shingle/line/window/url row of the dedup and curation families,
+    * so the chain was the hottest scalar in the engine. Built directly
+    * as an expression Column (no registry round trip), so every caller
+    * — registered session or not — gets the native path. */
   def hash60(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    org.apache.spark.sql.GraftColumn.of(
+      graft.functions.Hash60Md5(org.apache.spark.sql.GraftColumn.expr(c)))
 
   /** Whitespace word split (trimmed, multi-space tolerant).
     * DuckDB: `string_split_regex(trim(text), ' +')`. */

@@ -53,13 +53,20 @@ object SimHashUtil {
     * loops allocate no digest objects. Callers must `reset()` before use. */
   def digest(): MessageDigest = digests.get()
 
+  // reused 16-byte digest sink: digest(buf, 0, 16) writes in place, so
+  // the hot hash60 loop allocates nothing per call
+  private val outBufs = ThreadLocal.withInitial[Array[Byte]](() =>
+    new Array[Byte](16))
+
   /** First 60 bits of md5(bytes) as a non-negative long — identical to
     * `conv(substring(md5(x),1,15),16,10)` / DuckDB
     * `CAST(('0x' || substr(md5(x),1,15)) AS BIGINT)`. */
   def hash60(bytes: Array[Byte]): Long = {
     val md = digests.get()
     md.reset()
-    val d = md.digest(bytes)
+    md.update(bytes)
+    val d = outBufs.get()
+    md.digest(d, 0, 16)
     var h = 0L
     var k = 0
     while (k < 7) { h = (h << 8) | (d(k) & 0xffL); k += 1 }
@@ -88,6 +95,48 @@ object SimHashUtil {
   }
 }
 
+/** `hash60_md5(bytes)` — first 60 bits of md5 as a non-negative long in
+  * one native codegen pass: bit-identical to the portable
+  * `conv(substring(md5(x),1,15),16,10)` / DuckDB
+  * `CAST(('0x' || substr(md5(x),1,15)) AS BIGINT)` formulation
+  * [[graft.ext.Text.hash60]] used to build, WITHOUT the per-row
+  * 32-char hex string, the substring slice, the radix-conversion
+  * string, and the string→long cast that chain allocated (hash60 runs
+  * on every exploded shingle/line/window/url row of the dedup and
+  * curation families — the engine's hottest scalar). Strings arrive
+  * as their UTF-8 bytes via the same implicit String→Binary cast
+  * `md5()` itself uses, so semantics are unchanged for every input
+  * the old chain accepted. */
+case class Hash60Md5(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case org.apache.spark.sql.types.BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"hash60_md5 requires string or binary, got ${other.catalogString}")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "hash60_md5"
+
+  private def isString = child.dataType == StringType
+
+  override def nullSafeEval(input: Any): Any =
+    if (isString)
+      SimHashUtil.hash60(
+        input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes)
+    else SimHashUtil.hash60(input.asInstanceOf[Array[Byte]])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    if (isString)
+      defineCodeGen(ctx, ev,
+        c => s"graft.functions.SimHashUtil.hash60($c.getBytes())")
+    else
+      defineCodeGen(ctx, ev, c => s"graft.functions.SimHashUtil.hash60($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Hash60Md5 =
+    copy(child = newChild)
+}
+
 /** Function registration: per-session (for library callers) and via
   * `SparkSessionExtensions` (`spark.sql.extensions=graft.functions.GraftSparkExtensions`). */
 object GraftFunctions {
@@ -95,6 +144,9 @@ object GraftFunctions {
     (FunctionIdentifier("simhash60"),
       new ExpressionInfo(classOf[SimHash60].getName, "simhash60"),
       (exprs: Seq[Expression]) => SimHash60(exprs.head)),
+    (FunctionIdentifier("hash60_md5"),
+      new ExpressionInfo(classOf[Hash60Md5].getName, "hash60_md5"),
+      (exprs: Seq[Expression]) => Hash60Md5(exprs.head)),
     (FunctionIdentifier("minhash64"),
       new ExpressionInfo(classOf[MinHash64].getName, "minhash64"),
       (exprs: Seq[Expression]) => MinHash64(exprs.head,

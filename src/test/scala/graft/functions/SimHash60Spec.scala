@@ -9,11 +9,24 @@ class SimHash60Spec extends SparkSpec {
   import spark.implicits._
 
   test("hash60 matches conv(substring(md5,1,15),16,10)") {
-    val inputs = Seq("", "a", "hello world", "σπάρκ", "x" * 1000)
-    val viaSql = inputs.toDF("s")
-      .select(Text.hash60(col("s")).as("h")).as[Long].collect()
-    val viaUtil = inputs.map(s => SimHashUtil.hash60(s.getBytes("UTF-8")))
-    assert(viaUtil == viaSql.toSeq)
+    // Text.hash60 is the native Hash60Md5 expression since r22 — pin it
+    // against the PORTABLE chain it replaced (the DuckDB oracle's exact
+    // formulation), not against SimHashUtil (that would be circular).
+    val rnd = new scala.util.Random(42)
+    val inputs = Seq("", "a", "hello world", "σπάρκ", "x" * 1000) ++
+      (1 to 500).map(_ => rnd.alphanumeric.take(rnd.nextInt(80)).mkString) ++
+      (1 to 100).map(_ => new String(Array.fill(rnd.nextInt(40))(
+        rnd.nextInt(0x2FFF).toChar)))
+    val df = inputs.toDF("s")
+    val viaNative = df.select(Text.hash60(col("s")).as("h")).as[Long].collect()
+    val viaChain = df.select(
+        conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long").as("h"))
+      .as[Long].collect()
+    assert(viaNative.toSeq == viaChain.toSeq)
+    // null propagates like the old chain (md5(null) -> null)
+    val nullRow = Seq[Option[String]](None).toDF("s")
+      .select(Text.hash60(col("s"))).collect()(0)
+    assert(nullRow.isNullAt(0))
   }
 
   test("simhash60 expression equals the exploded bit-vote formulation") {
