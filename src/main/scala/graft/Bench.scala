@@ -135,6 +135,22 @@ object Bench {
     * finishes in 2-7 min; a single family exceeding 20 min is a hang. */
   val ShardTimeoutSec = 1200L
 
+  /** Shuffle/block scratch directory for every graft session: prefer a
+    * RAM-backed tmpfs when one exists. Measured on this box: file
+    * creation on /tmp (the JVM default local dir) takes ~300 µs vs
+    * ~10 µs on /dev/shm, and `FileOutputStream.open0` was the TOP
+    * runnable executor frame in the r22 `hits` jstack profile — with 32
+    * concurrent map tasks per stage, small-shuffle file creation was
+    * the stage bottleneck, not the data. Ephemeral shuffle state on
+    * fast local storage is the standard production layout (guide §2.1:
+    * local disk can be the tighter shuffle limit); env-parameterised
+    * (`SPARK_GRAFT_LOCAL_DIR`) for hosts where RAM-backed shuffle is
+    * wrong, falling back to the JVM default tmpdir. */
+  def scratchLocalDir(): String = sys.env.get("SPARK_GRAFT_LOCAL_DIR")
+    .orElse(Option("/dev/shm/graft-local")
+      .filter(_ => new java.io.File("/dev/shm").isDirectory))
+    .getOrElse(System.getProperty("java.io.tmpdir"))
+
   /** The smallest sibling SF dir used for the untimed per-query JIT
     * warm, or None when the bench already targets it (a same-data warm
     * would be a repeat run, not a compilation warm) or no sibling
@@ -168,6 +184,7 @@ object Bench {
       // Tables.events is a bitwise no-op (matches Verify and the specs)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.local.dir", scratchLocalDir())
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     quietSweepLoggers()

@@ -21,6 +21,7 @@ object BenchOne {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.local.dir", Bench.scratchLocalDir())
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Bench.quietSweepLoggers()

@@ -47,13 +47,20 @@ object ExtGraphQueries {
     // would normalize to the uniform fixed point): 2 sweeps, L-inf
     // integer normalization on the 1e6 grid.
     "hits" -> ((s, d) => {
-      val docs = Tables.documents(s, d).select(col("doc_id"))
-      val edges = docs.crossJoin(
+      val docs = Tables.documentsSeed(s, d).select(col("doc_id"))
+      // persisted at the call site (the Graph scaladoc's contract for
+      // non-trivial edge lineage): hits checkpoints each sweep, so every
+      // sweep JOB replays the edge synthesis — cross-job plans share no
+      // exchanges, and with the documents scan-spread in front the
+      // replay re-paid that exchange 6+ times per query (r22: isolated
+      // min 4.5 s vs 2.6 pre-spread; persisted the sweeps read blocks)
+      val edges = graft.CacheScope.persistTracked(
+        docs.crossJoin(
           broadcast(docs.agg(count(lit(1)).as("__n"))))
         .select(col("doc_id").as("src"), explode(expr(
           "transform(sequence(0, CAST(doc_id % 4 AS INT)), k -> " +
             "(doc_id * 48271 + 1299721 * CAST(k AS BIGINT) + 17) % __n)"))
-          .as("dst"))
+          .as("dst")))
       Graph.hits(edges, iters = 2).orderBy("node")
     }),
 

@@ -11,8 +11,30 @@ import graft.ingest.{BlockFeed, BlockIngest}
   * is built on top. */
 object Tables {
   def read(spark: SparkSession, dir: String, name: String): DataFrame =
-    spread(spark, s"$dir/$name.parquet",
-      spark.read.parquet(s"$dir/$name.parquet"))
+    if (SpreadTables(name))
+      spread(spark, s"$dir/$name.parquet",
+        spark.read.parquet(s"$dir/$name.parquet"))
+    else spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Tables whose consumers run CPU-heavy per-row kernels before their
+    * first shuffle (media payload synthesis + decode, chat render,
+    * shingle/minhash/token construction, the feed's envelope parse) —
+    * the ones the scan-parallelism floor provably helps. The TPC-H
+    * relational tables are deliberately NOT spread: their queries are
+    * join/agg-bound codegen arithmetic, and measurement showed the
+    * extra exchange is pure cost there (qn — which scans lineitem
+    * twice after decorrelation — read 0.9 s unspread vs 1.9 s spread,
+    * with no relational query gaining more than noise). */
+  private val SpreadTables = Set("documents", "embeddings", "events")
+
+  /** The documents scan WITHOUT the parallelism floor — for consumers
+    * that project only the 8-byte id as an iterative operator's seed
+    * (the graph family): there is no CPU-heavy scan kernel for the
+    * spread to parallelize there, and each checkpointed sweep JOB
+    * replays the seed lineage, so the spread exchange was pure repeated
+    * cost (hits: isolated min 2.6 s unspread vs 4.3 s spread). */
+  def documentsSeed(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(s"$d/documents.parquet")
 
   /** Scale-adaptive scan-parallelism floor (optimization guide §2.5
     * "input skew: one huge unsplittable file … repartition immediately

@@ -16,6 +16,7 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.local.dir", Bench.scratchLocalDir())
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Testdata-drift canary FIRST: if the driver regenerated the parquet

@@ -12,6 +12,7 @@ object PlanAudit {
       .master("local[4]").appName("planaudit")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.ui.enabled", false)
+      .config("spark.local.dir", graft.Bench.scratchLocalDir())
       .getOrCreate()
     try names.foreach { n =>
       val plan = graft.SparkEntry.queries(n)(spark, sfDir)

@@ -25,6 +25,7 @@ object PlanDump {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", false)
+      .config("spark.local.dir", graft.Bench.scratchLocalDir())
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try names.foreach { n =>
