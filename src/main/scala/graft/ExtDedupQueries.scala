@@ -83,8 +83,15 @@ object ExtDedupQueries {
           pref.groupBy("__pf").agg(min("__id").as("__keep")), "__pf")
         .where(col("__id") =!= col("__keep"))
         .select(col("__id").as("ex_id"), lit(true).as("__ex"))
-      val nearDrop = Dedup.ngramJaccard(docs, col("text"), col("doc_id"),
-          k = 3, minJaccard = 0.2)
+      // ONE shingle pass for both shingle tiers (r22): the near tier
+      // (ngramJaccard) and the repetition tier (sharedShingleStats)
+      // consume the identical per-doc distinct hashed-shingle stream —
+      // built and persisted once, fed to both, instead of two full
+      // scan + shingle + hash passes over the corpus
+      val shingles = graft.CacheScope.persistTracked(
+        Dedup.hashedShingles(docs, col("text"), col("doc_id"), k = 3))
+      val nearDrop = Dedup.ngramJaccardFrom(shingles, minJaccard = 0.2,
+          maxDocFreq = Int.MaxValue, prePersisted = true)
         .select(col("doc_b").as("nr_id")).distinct()
         .select(col("nr_id"), lit(true).as("__nr"))
       val semDrop = Similarity.decontaminate(
@@ -99,8 +106,7 @@ object ExtDedupQueries {
           urls.groupBy("__u").agg(min("__id").as("__keep")), "__u")
         .where(col("__id") =!= col("__keep"))
         .select(col("__id").as("ur_id"), lit(true).as("__ur"))
-      val spanDrop = Dedup.sharedShingleStats(docs, col("text"),
-          col("doc_id"), k = 3)
+      val spanDrop = Dedup.sharedShingleStatsFrom(shingles)
         .where(col("shared_pm") >= 500)
         .select(col("doc_id").as("sp_id"), lit(true).as("__sp"))
       val flagged = docs.select(col("doc_id"), col("source"))

@@ -375,6 +375,11 @@ object ExtPackQueries {
     * (n bins of 60+30+10 + n/4 bins of 4×25, zero pad). */
   private def bfdFixture(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).select(col("doc_id"))
+    // eager count kept deliberately (r22): folding the 16-multiple
+    // bound into a broadcast-scalar crossJoin doubled pm/pb (the
+    // literal `doc_id < m` filter is load-bearing — as a join output
+    // the fixture loses the pushable predicate and every downstream
+    // re-read of the unpersisted fixture re-pays the join)
     val m = docs.count() / 16 * 16
     docs.where(col("doc_id") < m)
       .withColumn("len",

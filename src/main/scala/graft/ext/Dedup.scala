@@ -74,14 +74,16 @@ object Dedup {
     * inside one document has doc-count 1 and does NOT count as shared.
     * Documents with no k-shingle (under k words) are dropped. */
   def sharedShingleStats(df: DataFrame, content: Column, id: Column,
-                         k: Int = 3): DataFrame = {
-    graft.functions.GraftFunctions.register(df.sparkSession)
-    val ex = df.select(id.as("doc_id"),
-        explode(array_distinct(Text.shingles(content, k))).as("str"))
-      .select(col("doc_id"), Text.hash60(col("str")).as("s"))
+                         k: Int = 3): DataFrame =
+    sharedShingleStatsFrom(hashedShingles(df, content, id, k))
+
+  /** [[sharedShingleStats]] over a pre-built [[hashedShingles]] stream
+    * (shared-pass composition — see [[hashedShingles]]). */
+  private[graft] def sharedShingleStatsFrom(ex: DataFrame): DataFrame = {
     // rows are pre-distinct per (doc, shingle), so a plain row count per
     // shingle IS its document frequency; not persisted — the lineage is
     // a narrow scan+explode, cheaper to re-run than to cache at scale
+    // (a caller sharing the frame across tiers persists it itself)
     val docCount = ex.groupBy("s").agg(count(lit(1)).as("nd"))
     ex.join(docCount, "s")
       .groupBy("doc_id")
@@ -116,28 +118,51 @@ object Dedup {
     * signal — two documents sharing only a cookie banner are not
     * near-duplicates). The default keeps every shingle — exact
     * textbook Jaccard, matching the DuckDB oracle. */
+  /** The per-document DISTINCT hashed k-shingle stream (doc_id, s) that
+    * [[ngramJaccard]] and [[sharedShingleStats]] are both built on —
+    * exposed so a composition running several shingle tiers over the
+    * same corpus (the `cns` census) can compute it once, persist it
+    * once, and feed every tier from the shared frame instead of
+    * re-scanning + re-shingling per tier. */
+  private[graft] def hashedShingles(df: DataFrame, content: Column,
+                                    id: Column, k: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    df.select(id.as("doc_id"),
+        explode(array_distinct(Text.shingles(content, k))).as("str"))
+      .select(col("doc_id"), Text.hash60(col("str")).as("s"))
+  }
+
   def ngramJaccard(df: DataFrame, content: Column, id: Column,
                    k: Int = 3, minJaccard: Double = 0.5,
-                   maxDocFreq: Int = Int.MaxValue): DataFrame = {
-    graft.functions.GraftFunctions.register(df.sparkSession)
+                   maxDocFreq: Int = Int.MaxValue): DataFrame =
+    ngramJaccardFrom(hashedShingles(df, content, id, k), minJaccard,
+      maxDocFreq, prePersisted = false)
+
+  /** [[ngramJaccard]] over a pre-built [[hashedShingles]] stream.
+    * `prePersisted = true` means the caller already persisted
+    * `exploded` (and owns its release) — the uncapped path then uses
+    * it as-is instead of stacking a second cache on the same rows. */
+  private[graft] def ngramJaccardFrom(exploded: DataFrame,
+                                      minJaccard: Double,
+                                      maxDocFreq: Int,
+                                      prePersisted: Boolean): DataFrame = {
     // persist, not localCheckpoint: checkpoint blocks are unrecoverable
     // after executor loss (routine at cluster scale), while a persisted
     // frame recomputes lost partitions from lineage. The cache is
     // registered with [[graft.CacheScope]] — callers release it after
     // materializing the result (Verify/Bench do per query).
-    val exploded = df.select(id.as("doc_id"),
-        explode(array_distinct(Text.shingles(content, k))).as("str"))
-      .select(col("doc_id"), Text.hash60(col("str")).as("s"))
-    val sh = graft.CacheScope.persistTracked(
-      if (maxDocFreq == Int.MaxValue) exploded
-      else {
+    val sh =
+      if (maxDocFreq == Int.MaxValue) {
+        if (prePersisted) exploded
+        else graft.CacheScope.persistTracked(exploded)
+      } else graft.CacheScope.persistTracked {
         // rows are distinct per (doc, shingle): a row count per shingle
         // IS its document frequency (partial agg — the hot key is the
         // one being removed)
         val keep = exploded.groupBy("s").agg(count(lit(1)).as("__df"))
           .where(col("__df") <= maxDocFreq).select("s")
         exploded.join(keep, "s")
-      })
+      }
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val pairs = sh.as("a").join(sh.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))

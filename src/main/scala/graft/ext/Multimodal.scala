@@ -197,16 +197,16 @@ object Multimodal {
           graft.functions.MediaHeaderUtil.parseDims(r.payload).flatMap {
             case (fmt, _, _) =>
               decodeImage(r.payload).map { img =>
+                // bulk getRGB (identical values by spec) — was one
+                // virtual call + color conversion per pixel
+                val rgbs = img.getRGB(0, 0, img.getWidth, img.getHeight,
+                  null, 0, img.getWidth)
                 var sum = 0L
-                var y = 0
-                while (y < img.getHeight) {
-                  var x = 0
-                  while (x < img.getWidth) {
-                    val rgb = img.getRGB(x, y)
-                    sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
-                    x += 1
-                  }
-                  y += 1
+                var i = 0
+                while (i < rgbs.length) {
+                  val rgb = rgbs(i)
+                  sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+                  i += 1
                 }
                 val n = img.getWidth.toLong * img.getHeight
                 MediaPixels(r.media_id, fmt, img.getWidth, img.getHeight, n,
@@ -499,22 +499,18 @@ object Multimodal {
                   val bands = raster.getNumBands
                   var sum = 0L
                   if (bands == 1) {
-                    var y = 0
-                    while (y < h) {
-                      var x = 0
-                      while (x < w) { sum += raster.getSample(x, y, 0); x += 1 }
-                      y += 1
-                    }
+                    // bulk getSamples — identical sample values by spec
+                    val smp = raster.getSamples(0, 0, w, h, 0,
+                      null.asInstanceOf[Array[Int]])
+                    var i = 0
+                    while (i < smp.length) { sum += smp(i); i += 1 }
                   } else {
-                    var y = 0
-                    while (y < h) {
-                      var x = 0
-                      while (x < w) {
-                        val rgb = img.getRGB(x, y)
-                        sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
-                        x += 1
-                      }
-                      y += 1
+                    val rgbs = img.getRGB(0, 0, w, h, null, 0, w)
+                    var i = 0
+                    while (i < rgbs.length) {
+                      val rgb = rgbs(i)
+                      sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+                      i += 1
                     }
                     sum /= 3L
                   }
@@ -727,24 +723,18 @@ object Multimodal {
     val w = img.getWidth; val h = img.getHeight
     val out = new Array[Int](w * h)
     val raster = img.getRaster
+    // bulk accessors (one virtual call per image, not per pixel) —
+    // getSamples/bulk getRGB are specified to return exactly the
+    // per-pixel values, so the luma plane is unchanged byte for byte
     if (raster.getNumBands == 1) {
-      var y = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) { out(y * w + x) = raster.getSample(x, y, 0); x += 1 }
-        y += 1
-      }
+      raster.getSamples(0, 0, w, h, 0, out)
     } else {
-      var y = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) {
-          val rgb = img.getRGB(x, y)
-          out(y * w + x) =
-            (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
-          x += 1
-        }
-        y += 1
+      val rgb = img.getRGB(0, 0, w, h, null, 0, w)
+      var i = 0
+      while (i < rgb.length) {
+        val v = rgb(i)
+        out(i) = (((v >> 16) & 0xff) + ((v >> 8) & 0xff) + (v & 0xff)) / 3
+        i += 1
       }
     }
     (w, h, out)
@@ -973,6 +963,10 @@ object Multimodal {
     val (w, h) = (img.getWidth, img.getHeight)
     if (w < 9 || h < 8) None
     else {
+      // one bulk getRGB per image (identical values to the per-pixel
+      // form by spec) — the per-pixel call was one virtual dispatch +
+      // color-model conversion per sample
+      val rgbs = img.getRGB(0, 0, w, h, null, 0, w)
       val mean = Array.ofDim[Long](8, 9)
       var gy = 0
       while (gy < 8) {
@@ -983,9 +977,10 @@ object Multimodal {
           var sum = 0L
           var y = y0
           while (y < y1) {
+            val row = y * w
             var x = x0
             while (x < x1) {
-              val rgb = img.getRGB(x, y)
+              val rgb = rgbs(row + x)
               sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
               x += 1
             }
@@ -1113,11 +1108,60 @@ object Multimodal {
   // ImageIO users in the same JVM at an implicit time), so the cache
   // choice now rides each call as an explicit in-memory image stream —
   // same measured win, zero process-global state.
+  // Thread-local reusable readers for the two formats that dominate the
+  // decode volume (every MJPEG frame of every clip is one JPEG decode;
+  // the crawl-image fixtures are PNG): `ImageIO.read` walks the SPI
+  // registry and CONSTRUCTS a fresh reader — for JPEG a native-state
+  // allocation — per call. Sniffing the two magic numbers and reusing a
+  // per-thread reader does exactly what `ImageIO.read` does internally
+  // (`setInput(iis, true, true)` + `read(0, defaultReadParam)` — same
+  // reader class, the first registered one, so the decoded raster is
+  // bit-identical), minus the per-frame registry walk and construction.
+  // Unknown/damaged magic falls through to stock `ImageIO.read`, which
+  // also stays the quarantine path (any throw -> None).
+  private val pooledReaders =
+    ThreadLocal.withInitial[java.util.HashMap[String, javax.imageio.ImageReader]](
+      () => new java.util.HashMap)
+
+  private def pooledReader(fmt: String): javax.imageio.ImageReader = {
+    val m = pooledReaders.get()
+    var r = m.get(fmt)
+    if (r == null) {
+      r = javax.imageio.ImageIO.getImageReadersByFormatName(fmt).next()
+      m.put(fmt, r)
+    }
+    r
+  }
+
   private def decodeImage(payload: Array[Byte]): Option[java.awt.image.BufferedImage] = {
+    val fmt =
+      if (payload.length >= 2 && (payload(0) & 0xff) == 0xff &&
+          (payload(1) & 0xff) == 0xd8) "jpeg"
+      else if (payload.length >= 8 && (payload(0) & 0xff) == 0x89 &&
+          payload(1) == 'P' && payload(2) == 'N' && payload(3) == 'G') "png"
+      else null
     val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
       new java.io.ByteArrayInputStream(payload))
-    try Option(javax.imageio.ImageIO.read(iis))
-    catch { case _: Exception => None }
+    try {
+      if (fmt != null) {
+        val reader = pooledReader(fmt)
+        try {
+          reader.setInput(iis, true, true)
+          Option(reader.read(0, reader.getDefaultReadParam))
+        } catch {
+          case _: Exception =>
+            // a sniffed-but-broken payload may have wedged the pooled
+            // reader's state — drop it so the next decode starts clean
+            pooledReaders.get().remove(fmt)
+            try reader.dispose() catch { case _: Exception => () }
+            None
+        } finally {
+          // no-op release of the stream reference; guarded because a
+          // just-disposed reader (broken-payload path) rejects setInput
+          try reader.setInput(null) catch { case _: Exception => () }
+        }
+      } else Option(javax.imageio.ImageIO.read(iis))
+    } catch { case _: Exception => None }
     // read(ImageInputStream) closes the stream itself on the reader
     // path but NOT on the no-registered-reader null path — close
     // idempotently for that one

@@ -943,10 +943,16 @@ object TextAnalysis {
       .select(col("doc_id"), size(col("__ws")).cast("long").as("dl"),
         col("__ws"))
     val stamps = w.agg(count(lit(1)).as("n_docs"), sum("dl").as("s_len"))
-    val tf = w.select(col("doc_id"), col("dl"),
+    // persisted query-scoped: TWO consumers (the df broadcast build and
+    // the scored probe) — unpersisted, each re-ran the corpus tokenize +
+    // explode + term filter as its own job. The cache is bounded by
+    // docs × |query vocabulary| rows (the term filter runs before the
+    // aggregation), never corpus-sized — scale-safe at any SF.
+    val tf = graft.CacheScope.persistTracked(
+      w.select(col("doc_id"), col("dl"),
         explode(col("__ws")).as("term"))
       .where(col("term").isin(termSet: _*))
-      .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+      .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf")))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val scored = tf
       .join(broadcast(dfreq), "term")

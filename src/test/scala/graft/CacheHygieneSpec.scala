@@ -17,7 +17,8 @@ class CacheHygieneSpec extends SparkSpec {
     "md", // dedupPairs rides ngramJaccard's persisted shingle frame
     "ms", "mp", // mpPairs persists the shared refs/urls fixture lineage (r21)
     "db", // keepBest persists the duplicate-sized withScore frame (r21)
-    "hits", // per-sweep localCheckpoints tracked via trackRdds (r21)
+    "hits", // per-sweep localCheckpoints + the call-site edge persist (r22)
+    "bm", "rrf", // bm25TopK persists the query-vocabulary tf frame (r22)
     "dec", "vkg", "vnr",
     "po", "pl", "ps",
     "pd", // sentence chunks through the packer (persistTracked ranged frame)
