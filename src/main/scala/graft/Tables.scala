@@ -48,12 +48,18 @@ object Tables {
     * rows costs microseconds at this size and unlocks the whole box.
     *
     * Scale discipline: the spread fires ONLY when the whole file is
-    * small (default < 64 MB, `spark.graft.spreadScanMaxBytes`) and
-    * worth spreading (≥ 256 KB — broadcast-sized dimension tables skip
-    * it), so at production scale — where the table has at least one
-    * split per core by construction — this is the identity and no
-    * corpus-sized input is ever shuffled. Size is taken from the local
-    * file; non-local paths (no cheap size probe) skip the spread. */
+    * small (default < 64 MB, `spark.graft.spreadScanMaxBytes`), so at
+    * production scale — where the table has at least one split per
+    * core by construction — this is the identity and no corpus-sized
+    * input is ever shuffled. Size is taken from the local file;
+    * non-local paths (no cheap size probe) skip the spread. There is
+    * deliberately NO lower size bound (r22): the spread must fire at
+    * EVERY test SF so the plan shape is scale-invariant — the bench's
+    * untimed sf0.001 JIT warm then compiles exactly the generated
+    * classes the sf0.1 timed run executes (with a floor, the warm
+    * compiled the fused unspread shape and the first timed reading
+    * paid the real plan's codegen). Broadcast-sized dimension tables
+    * never reach this code — [[SpreadTables]] gates by table. */
   private def spread(spark: SparkSession, path: String,
                      df: DataFrame): DataFrame = {
     val bytes =
@@ -62,7 +68,7 @@ object Tables {
     val maxBytes = spark.conf.getOption("spark.graft.spreadScanMaxBytes")
       .map(_.toLong).getOrElse(64L * 1024 * 1024)
     val cores = spark.sparkContext.defaultParallelism
-    if (bytes >= 256L * 1024 && bytes < maxBytes && cores > 1)
+    if (bytes >= 0 && bytes < maxBytes && cores > 1)
       df.repartition(cores)
     else df
   }

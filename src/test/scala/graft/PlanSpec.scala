@@ -16,6 +16,14 @@ class PlanSpec extends SparkSpec {
   private def count(p: String, needle: String): Int =
     p.sliding(needle.length).count(_ == needle)
 
+  /** Exchanges that move data FOR THE OPERATOR (hash/range): excludes
+    * the scan-parallelism floor's round-robin spread of a tiny seed
+    * table (Tables.spread, r22) — it fires at every SF precisely so
+    * these test-scale plans match the bench-scale plans, and it is the
+    * one exchange a narrow per-document pipeline is allowed. */
+  private def opExchanges(p: String): Int =
+    count(p, "Exchange") - count(p, "Exchange RoundRobinPartitioning")
+
   test("b1 account page: top-k via TakeOrderedAndProject, cursor pushed to scan") {
     val p = plan("b1a")
     assert(p.contains("TakeOrderedAndProject"), s"expected limit+sort fusion in:\n$p")
@@ -52,7 +60,7 @@ class PlanSpec extends SparkSpec {
   test("text repetition: narrow per-document map — no joins, only the sort exchange") {
     val p = plan("tr")
     assert(!p.contains("Join"), s"repetition must stay per-document:\n$p")
-    assert(count(p, "Exchange") == 1, // the final orderBy only
+    assert(opExchanges(p) == 1, // the final orderBy only
       s"expected a single (sort) exchange in:\n$p")
   }
 
@@ -232,7 +240,7 @@ class PlanSpec extends SparkSpec {
         "mv", "mav", "sr", "gph", "c4", "gr",
         "sec", "rob", "msc", "cq")) {
       val p = plan(q)
-      assert(count(p, "Exchange") <= 1,
+      assert(opExchanges(p) <= 1,
         s"$q must shuffle only for its output sort:\n$p")
       assert(!p.contains("Join") && !p.contains("HashAggregate"),
         s"$q is a pure projection — no join/agg belongs in:\n$p")
@@ -391,7 +399,7 @@ class PlanSpec extends SparkSpec {
     // a corpus-wide operator. Exactly ONE exchange is allowed — the
     // declared row's orderBy (range partitioning); a second would be a
     // leaked hash shuffle.
-    assert(count(p, "Exchange") <= 1 && !p.contains("hashpartitioning"),
+    assert(opExchanges(p) <= 1 && !p.contains("hashpartitioning"),
       s"chunking must not shuffle (orderBy's range exchange aside):\n$p")
     assert(!p.contains("Join") && !p.contains("Window [") &&
       !p.contains("CartesianProduct"),
@@ -551,7 +559,7 @@ class PlanSpec extends SparkSpec {
     val p = plan("b5d")
     assert(!p.contains("Join") && !p.contains("Window"),
       s"encode→decode must stay per-row:\n$p")
-    assert(count(p, "Exchange") == 1, // the final orderBy only
+    assert(opExchanges(p) == 1, // the final orderBy only
       s"expected only the output-order exchange in:\n$p")
     // parse-once: without the parseOnce fence the guard filters are
     // pushed below the parse projection with the FAILFAST parse
@@ -598,7 +606,7 @@ class PlanSpec extends SparkSpec {
     val p = plan("pi")
     assert(!p.contains("Join") && !p.contains("Window"),
       s"redaction must stay per-row:\n$p")
-    assert(count(p, "Exchange") == 1, // the final orderBy only
+    assert(opExchanges(p) == 1, // the final orderBy only
       s"expected a single (sort) exchange in:\n$p")
   }
 
